@@ -1,0 +1,88 @@
+package graft.engine
+
+import graft.model.PipelineConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/**
+ * Session-scoped registry of persisted pipelines — the analogue of the
+ * reference's Store/Repository service layer
+ * (reference: host-go/store/store.go:29-59, host-go/node/node.go:23-104):
+ *
+ *   - `add` persists a lens config keyed by its content id; identical
+ *     configs dedupe to one entry (reference: host-go/store/store.go:30-33,
+ *     131-155),
+ *   - `transform` / `inverse` are the two top-level verbs
+ *     (reference: host-go/store/store.go:194-218),
+ *   - `list` enumerates stored configs (reference: store.go:157-192),
+ *   - `reload` re-hydrates from a directory on startup
+ *     (reference: store.go:220-237, called from node.go:96-101).
+ *
+ * Unlike the reference there are no instance pools: building a Pipeline is
+ * a pure, cheap plan construction (the reference pools because WASM
+ * instantiation is "pretty expensive" — host-go/repository/repository.go:284-286).
+ * Transactions (WithTxn) are unnecessary: registry writes are atomic file
+ * writes.
+ */
+final class LensEngine(persistDir: Option[Path] = None) {
+
+  private val configs = TrieMap.empty[String, PipelineConfig]
+  private val pipelines = TrieMap.empty[String, Pipeline]
+
+  /** Persist a lens file; returns its content id. Idempotent. */
+  def add(json: String): String = {
+    val cfg = PipelineConfig.fromJson(json)
+    val id = cfg.contentId
+    // Validate at add time, like the reference warming its pools on Add.
+    val pipe = Pipeline.fromConfig(cfg)
+    configs.putIfAbsent(id, cfg)
+    pipelines.putIfAbsent(id, pipe)
+    persistDir.foreach { dir =>
+      Files.createDirectories(dir)
+      val f = dir.resolve(id.replace(":", "_") + ".json")
+      if (!Files.exists(f)) Files.writeString(f, cfg.canonicalJson)
+    }
+    id
+  }
+
+  def list: Seq[(String, PipelineConfig)] = configs.toSeq.sortBy(_._1)
+
+  /** Unknown-but-well-formed id ⇒ identity pass-through, matching the
+   *  reference's repository behavior
+   *  (reference: host-go/repository/repository.go:244-254, test
+   *  tests/integration/node/transform_test.go:69-101); malformed id ⇒
+   *  error, matching CID-parse failures
+   *  (reference: tests/integration/node/transform_test.go:16-67). */
+  def transform(df: DataFrame, id: String): DataFrame = resolve(id) match {
+    case Some(p) => p.forward(df)
+    case None    => df
+  }
+
+  def inverse(df: DataFrame, id: String): DataFrame = resolve(id) match {
+    case Some(p) => p.inverseTransform(df)
+    case None    => df
+  }
+
+  private def resolve(id: String): Option[Pipeline] = {
+    require(id.matches("sha256:[0-9a-f]{64}"), s"malformed pipeline id: '$id'")
+    pipelines.get(id)
+  }
+
+  /** Re-hydrate persisted lens files from `persistDir`. */
+  def reload(): Int = persistDir match {
+    case Some(dir) if Files.isDirectory(dir) =>
+      val files = Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".json")).toSeq
+      files.foreach(f => add(Files.readString(f)))
+      files.size
+    case _ => 0
+  }
+}
+
+object LensEngine {
+  def apply(): LensEngine = new LensEngine(None)
+  def apply(dir: String): LensEngine = new LensEngine(Some(Paths.get(dir)))
+}

@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.operators.GlobalSequence
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The built-in lens-op library. Each entry is the declarative, Catalyst-
+ * optimizable equivalent of one of the reference's canonical WASM test
+ * modules (the only concrete transform semantics the reference defines —
+ * see SURVEY.md §2.3), plus general-purpose projection/filter ops.
+ *
+ * Registered under `builtin:<name>` paths; the registry is the analogue of
+ * the reference's module cache by path
+ * (reference: host-go/config/config.go:70-82).
+ */
+object BuiltinOps {
+
+  /** name -> factory. A factory is cheap; any expensive op state belongs in
+   *  lazy executor-side singletons (the reference amortizes instantiation
+   *  with pools instead — host-go/repository/repository.go:281-330). */
+  val registry: Map[String, Args => LensOp] = Map(
+    "identity" -> (_ => LensOp.identity),
+
+    // T1/T4 — rename, parameterized (reference:
+    // tests/modules/rust_wasm32_rename/src/lib.rs:31-63). Invertible by
+    // swapping src/dst. Errors on a missing source column like the module
+    // errors on a missing document key.
+    "rename" -> { a =>
+      val (src, dst) = (a.str("src"), a.str("dst"))
+      def doRename(from: String, to: String)(df: DataFrame): DataFrame = {
+        require(df.columns.contains(from),
+          s"The requested property was not found: '$from'")
+        df.withColumnRenamed(from, to)
+      }
+      LensOp.invertible(s"rename($src->$dst)", doRename(src, dst), doRename(dst, src))
+    },
+
+    // General projection (lossy — no inverse, like a module without an
+    // `inverse` export).
+    "select" -> { a =>
+      val cols = a.strList("cols")
+      LensOp(s"select(${cols.mkString(",")})", df => df.select(cols.map(col): _*))
+    },
+
+    "drop" -> { a =>
+      val cols = a.strList("cols")
+      LensOp(s"drop(${cols.mkString(",")})", df => df.drop(cols: _*))
+    },
+
+    // SQL-expression projection; `exprs` are `SELECT`-list items.
+    "select_expr" -> { a =>
+      val exprs = a.strList("exprs")
+      LensOp("select_expr", df => df.selectExpr(exprs: _*))
+    },
+
+    // T2/T3 — computed column (reference:
+    // tests/modules/rust_wasm32_simple2/src/lib.rs:19-57 — age+1 with
+    // inverse age-1). Invertible iff the caller supplies `inverse_expr`,
+    // mirroring the optional `inverse` export.
+    "with_column" -> { a =>
+      val c = a.str("col")
+      val fwdExpr = a.str("expr")
+      def set(e: String)(df: DataFrame): DataFrame = df.withColumn(c, expr(e))
+      a.strOpt("inverse_expr") match {
+        case Some(inv) => LensOp.invertible(s"with_column($c=$fwdExpr)", set(fwdExpr), set(inv))
+        case None      => LensOp(s"with_column($c=$fwdExpr)", set(fwdExpr))
+      }
+    },
+
+    "cast" -> { a =>
+      val (c, to) = (a.str("col"), a.str("to"))
+      LensOp(s"cast($c as $to)", df => df.withColumn(c, col(c).cast(to)))
+    },
+
+    // T5 — filter (reference: tests/modules/rust_wasm32_filter/src/lib.rs:17-32,
+    // consume-many/yield-one pull loop). Declarative predicate ⇒ Catalyst
+    // pushes it into the scan. Lossy ⇒ no inverse.
+    "filter" -> { a =>
+      val p = a.str("expr")
+      LensOp(s"filter($p)", df => df.filter(expr(p)))
+    },
+
+    // T6 — normalize / 1:N explode (reference:
+    // tests/modules/rust_wasm32_normalize/src/lib.rs:22-78 — Book{Name,
+    // PageNumbers[]} → Page{BookName, Number} via a pending queue; ours is
+    // the generator expression, no buffering). Lossy ⇒ no inverse; see
+    // `collect_group` for the (order-lossy) aggregate converse.
+    "explode" -> { a =>
+      val (c, as) = (a.str("col"), a.str("as"))
+      LensOp(s"explode($c as $as)",
+        df => df.withColumn(as, explode(col(c))).drop(c))
+    },
+
+    // Converse of explode: group by all other columns, collect the rest.
+    "collect_group" -> { a =>
+      val (c, as) = (a.str("col"), a.str("as"))
+      LensOp(s"collect_group($c as $as)", { df =>
+        val keys = df.columns.filterNot(_ == c).map(col).toSeq
+        df.groupBy(keys: _*).agg(collect_list(col(c)).as(as))
+      })
+    },
+
+    // T7 — stateful counter (reference:
+    // tests/modules/rust_wasm32_counter/src/lib.rs:26-54). `order_by` gives
+    // the deterministic contiguous sequence via the scalable two-pass
+    // range-partition scheme (see GlobalSequence); without it you get the
+    // one-pass unique-id variant (order = partition order, documented
+    // non-deterministic — exactly as order-dependent as the reference's
+    // single-threaded counter would be under parallelism).
+    "counter" -> { a =>
+      val as = a.strOpt("as").getOrElse("Id")
+      a.strOpt("order_by") match {
+        case Some(k) => LensOp(s"counter($as by $k)",
+          df => GlobalSequence.withSequentialId(df, col(k), as))
+        case None => LensOp(s"counter($as)",
+          df => GlobalSequence.withUniqueId(df, as))
+      }
+    },
+
+    // T8 — memory-stress identity (reference:
+    // tests/modules/rust_wasm32_memory/src/lib.rs:42-60 — clones the item
+    // 1000× then yields it unchanged; a leak detector for the WASM runtime,
+    // moot on the JVM). Kept as a named identity so reference lens files
+    // resolve.
+    "memory" -> (_ => LensOp.invertible("memory", df => df, df => df)),
+
+    "distinct" -> (_ => LensOp("distinct", df => df.distinct())),
+
+    "limit" -> { a =>
+      val n = a.int("n")
+      LensOp(s"limit($n)", df => df.limit(n))
+    },
+
+    "sort" -> { a =>
+      val keys = a.strList("cols")
+      LensOp(s"sort(${keys.mkString(",")})", { df =>
+        val sortCols = keys.map {
+          case k if k.endsWith(" desc") => col(k.stripSuffix(" desc")).desc
+          case k                        => col(k).asc
+        }
+        df.sort(sortCols: _*)
+      })
+    }
+  )
+
+  def resolve(path: String, args: Args): LensOp = {
+    val name = path.stripPrefix("builtin:")
+    registry.get(name) match {
+      case Some(factory) => factory(args)
+      case None =>
+        throw new IllegalArgumentException(s"unknown lens op: '$path'")
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * A lens operator: one pipeline stage, the Spark-native analogue of a
+ * reference WASM lens module (reference: host-go/engine/module/instance.go:9-34).
+ *
+ * Where the reference runs an opaque per-item guest function, a LensOp
+ * declares its transform against the DataFrame API, so the whole pipeline
+ * stays one Catalyst logical plan — projections fuse, filters push down to
+ * the scan, and whole-stage codegen replaces the reference's raw-bytes
+ * fast path between stages (reference: host-go/engine/pipes/fromPipe.go:36-140).
+ *
+ * Bidirectionality mirrors the reference's optional `inverse` export
+ * (reference: README.md:33, host-go/engine/engine.go:106-112): `inverseOp`
+ * is `None` exactly when the reference module would lack the export, and
+ * requesting the inverse of such a stage fails the same way
+ * (reference: host-go/repository/repository.go:199-202).
+ */
+trait LensOp extends Serializable {
+  def name: String
+
+  def forward(df: DataFrame): DataFrame
+
+  /** None = not invertible (module without an `inverse` export). */
+  def inverseOp: Option[LensOp] = None
+
+  final def apply(df: DataFrame): DataFrame = forward(df)
+}
+
+object LensOp {
+  /** Build a LensOp from plain functions. */
+  def apply(
+      opName: String,
+      fwd: DataFrame => DataFrame,
+      inv: Option[LensOp] = None): LensOp = new LensOp {
+    override def name: String = opName
+    override def forward(df: DataFrame): DataFrame = fwd(df)
+    override def inverseOp: Option[LensOp] = inv
+  }
+
+  /** A mutually-inverse pair (forward.inverseOp == inverse and vice versa). */
+  def invertible(
+      opName: String,
+      fwd: DataFrame => DataFrame,
+      inv: DataFrame => DataFrame): LensOp = new LensOp { self =>
+    override def name: String = opName
+    override def forward(df: DataFrame): DataFrame = fwd(df)
+    override val inverseOp: Option[LensOp] = Some(new LensOp {
+      override def name: String = opName + ":inverse"
+      override def forward(df: DataFrame): DataFrame = inv(df)
+      override def inverseOp: Option[LensOp] = Some(self)
+    })
+  }
+
+  /** Identity pass-through (reference: host-go/engine/engine.go:26-28 —
+   *  `Append` with zero instances returns the source unchanged). */
+  val identity: LensOp = invertible("identity", df => df, df => df)
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.engine.{LensEngine, Pipeline}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The reference's canonical transform semantics (SURVEY.md §2.3, T1–T8)
+ * exercised through the real lens-pipeline engine (JSON lens file →
+ * Pipeline → DataFrame fold) over the driver's testdata tables, each with
+ * a DuckDB oracle.
+ */
+object LensQueries extends QueryProvider {
+
+  // T1 — simple rename map (reference:
+  // tests/modules/rust_wasm32_simple/src/lib.rs:15-65).
+  private def renamePipe(s: SparkSession, dir: String): DataFrame = {
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:rename","arguments":{"src":"c_name","dst":"full_name"}},
+        |  {"path":"builtin:select","arguments":{"cols":["c_custkey","full_name"]}}
+        |]}""".stripMargin)
+    pipe.forward(T(s, dir, "customer"))
+  }
+
+  // T2 — arithmetic map with inverse (reference:
+  // tests/modules/rust_wasm32_simple2/src/lib.rs:19-57).
+  private val arithJson =
+    """{"lenses":[
+      |  {"path":"builtin:with_column","arguments":
+      |    {"col":"c_custkey","expr":"c_custkey + 1","inverse_expr":"c_custkey - 1"}}
+      |]}""".stripMargin
+
+  private def arithPipe(s: SparkSession, dir: String): DataFrame =
+    Pipeline.fromJson(arithJson)
+      .forward(T(s, dir, "customer"))
+      .select(col("c_custkey").as("key_plus_one"), col("c_name"))
+
+  // P11 — inverse pipeline derivation: forward then inverse must be the
+  // identity (reference: host-go/repository/repository.go:177-206,
+  // tests/integration/cli/with_inverse_test.go:13-40).
+  private def roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:rename","arguments":{"src":"c_name","dst":"full_name"}},
+        |  {"path":"builtin:with_column","arguments":
+        |    {"col":"c_custkey","expr":"c_custkey + 1","inverse_expr":"c_custkey - 1"}}
+        |]}""".stripMargin)
+    pipe.inverseTransform(pipe.forward(T(s, dir, "customer")))
+      .select("c_custkey", "c_name")
+  }
+
+  // T5 — filter (reference: tests/modules/rust_wasm32_filter/src/lib.rs:17-32).
+  private def filterPipe(s: SparkSession, dir: String): DataFrame =
+    Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:filter","arguments":{"expr":"lang = 'en'"}},
+        |  {"path":"builtin:select","arguments":{"cols":["doc_id","lang","source"]}}
+        |]}""".stripMargin)
+      .forward(T(s, dir, "documents"))
+
+  // T6 — normalize / 1:N explode (reference:
+  // tests/modules/rust_wasm32_normalize/src/lib.rs:22-78). Testdata has no
+  // array column, so the pipeline first builds one (split on space), then
+  // explodes — exercising with_column + explode + select in one plan.
+  private def explodePipe(s: SparkSession, dir: String): DataFrame =
+    Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:with_column","arguments":{"col":"words","expr":"split(text, ' ')"}},
+        |  {"path":"builtin:explode","arguments":{"col":"words","as":"word"}},
+        |  {"path":"builtin:select","arguments":{"cols":["doc_id","word"]}}
+        |]}""".stripMargin)
+      .forward(T(s, dir, "documents"))
+
+  // T7 — stateful counter as a deterministic, scalable global sequence
+  // (reference: tests/modules/rust_wasm32_counter/src/lib.rs:26-54; scale
+  // design SURVEY.md §7.5.1).
+  private def counterPipe(s: SparkSession, dir: String): DataFrame =
+    Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:select","arguments":{"cols":["doc_id"]}},
+        |  {"path":"builtin:counter","arguments":{"as":"id","order_by":"doc_id"}}
+        |]}""".stripMargin)
+      .forward(T(s, dir, "documents"))
+
+  // P10 — unknown lens id ⇒ identity pass-through through the engine
+  // (reference: host-go/repository/repository.go:244-254).
+  private def identityPipe(s: SparkSession, dir: String): DataFrame = {
+    val engine = LensEngine()
+    val unknown = "sha256:" + "0" * 64
+    engine.transform(T(s, dir, "nation"), unknown)
+  }
+
+  // L1–L4 — registry add/transform round-trip through a content id
+  // (reference: host-go/store/store.go:131-218).
+  private def registryPipe(s: SparkSession, dir: String): DataFrame = {
+    val engine = LensEngine()
+    val id = engine.add(
+      """{"lenses":[
+        |  {"path":"builtin:rename","arguments":{"src":"n_name","dst":"nation_name"}},
+        |  {"path":"builtin:filter","arguments":{"expr":"n_regionkey < 3"}}
+        |]}""".stripMargin)
+    // Idempotent re-add must return the same content id (dedup, store.go:30-33).
+    val id2 = engine.add(
+      """{"lenses":[
+        |  {"path":"builtin:rename","arguments":{"src":"n_name","dst":"nation_name"}},
+        |  {"path":"builtin:filter","arguments":{"expr":"n_regionkey < 3"}}
+        |]}""".stripMargin)
+    require(id == id2, s"content id not deterministic: $id vs $id2")
+    engine.transform(T(s, dir, "nation"), id)
+      .select("n_nationkey", "nation_name", "n_regionkey")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lens_rename"       -> (renamePipe _),
+    "lens_with_column"  -> (arithPipe _),
+    "lens_roundtrip"    -> (roundtrip _),
+    "lens_filter"       -> (filterPipe _),
+    "lens_explode"      -> (explodePipe _),
+    "lens_counter"      -> (counterPipe _),
+    "lens_identity"     -> (identityPipe _),
+    "lens_registry"     -> (registryPipe _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "lens_rename" ->
+      "SELECT c_custkey, c_name AS full_name FROM customer",
+    "lens_with_column" ->
+      "SELECT c_custkey + 1 AS key_plus_one, c_name FROM customer",
+    "lens_roundtrip" ->
+      "SELECT c_custkey, c_name FROM customer",
+    "lens_filter" ->
+      "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'",
+    "lens_explode" ->
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
+    "lens_counter" ->
+      "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS id FROM documents",
+    "lens_identity" ->
+      "SELECT * FROM nation",
+    "lens_registry" ->
+      "SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation WHERE n_regionkey < 3"
+  )
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.engine.{LensEngine, Pipeline}
+import graft.model.PipelineConfig
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden cases mirroring the reference's CLI/engine integration tests
+ *  (FIXTURES.md §1; reference: tests/integration/cli). */
+class LensEngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  // F1 input (reference: host-go/engine/tests/utils.go:12-20)
+  private def people = Seq(("John", 3L), ("Fred", 5L), ("Orpheus", 7L))
+    .toDF("Name", "Age")
+
+  test("F1 simple rename map (T1)") {
+    val out = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}""")
+      .forward(people)
+    assert(out.columns.toSeq == Seq("FullName", "Age"))
+    assert(out.as[(String, Long)].collect().toSeq ==
+      Seq(("John", 3L), ("Fred", 5L), ("Orpheus", 7L)))
+  }
+
+  test("F2 arithmetic map with inverse (T2): forward +1, inverse -1, lens-file inverse flag") {
+    val json =
+      """{"lenses":[{"path":"builtin:with_column","arguments":
+        |{"col":"Age","expr":"Age + 1","inverse_expr":"Age - 1"}}]}""".stripMargin
+    val fwd = Pipeline.fromJson(json)
+    assert(fwd.forward(people).select("Age").as[Long].collect().toSeq == Seq(4L, 6L, 8L))
+    // stage-level inverse flag (reference: config/config.go:84-100)
+    val flipped = Pipeline.fromJson(json.replace("\"arguments\"",
+      "\"inverse\":true,\"arguments\""))
+    assert(flipped.forward(people).select("Age").as[Long].collect().toSeq == Seq(2L, 4L, 6L))
+    // pipeline-level inverse: forward then inverse = identity (P11)
+    val round = fwd.inverseTransform(fwd.forward(people))
+    assert(round.as[(String, Long)].collect().toSeq == people.as[(String, Long)].collect().toSeq)
+  }
+
+  test("F3 parameterized rename error on missing source property (T4)") {
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromJson(
+        """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Nope","dst":"X"}}]}""")
+        .forward(people).collect()
+    }
+    assert(e.getMessage.contains("The requested property was not found"))
+  }
+
+  test("F4 filter keeps only __type == pass (T5)") {
+    val in = Seq(("John", "pass"), ("Fred", "skip"), ("Orpheus", "pass"))
+      .toDF("Name", "__type")
+    val out = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:filter","arguments":{"expr":"__type = 'pass'"}}]}""")
+      .forward(in)
+    assert(out.as[(String, String)].collect().toSeq ==
+      Seq(("John", "pass"), ("Orpheus", "pass")))
+  }
+
+  test("F5 normalize/explode Book -> Page (T6)") {
+    val books = Seq(("Alice", Seq(1, 2)), ("Bob", Seq(3)))
+      .toDF("BookName", "PageNumbers")
+    val out = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:explode","arguments":{"col":"PageNumbers","as":"Number"}}]}""")
+      .forward(books)
+    assert(out.as[(String, Int)].collect().toSeq ==
+      Seq(("Alice", 1), ("Alice", 2), ("Bob", 3)))
+  }
+
+  test("F6 counter assigns global 1-based sequence (T7)") {
+    val out = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:counter","arguments":{"as":"Id","order_by":"Name"}}]}""")
+      .forward(people)
+    assert(out.select("Id", "Name").as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "Fred"), (2L, "John"), (3L, "Orpheus")))
+  }
+
+  test("F8/P10 unknown lens id is identity; malformed id errors") {
+    val engine = LensEngine()
+    val out = engine.transform(people, "sha256:" + "ab" * 32)
+    assert(out.as[(String, Long)].collect().toSeq == people.as[(String, Long)].collect().toSeq)
+    intercept[IllegalArgumentException] {
+      engine.transform(people, "fjndshjbavgc")
+    }
+  }
+
+  test("F9 empty pipeline is identity; multi-stage composes in order") {
+    val empty = Pipeline.fromJson("""{"lenses":[]}""")
+    assert(empty.forward(people).collect().toSeq == people.collect().toSeq)
+
+    val multi = Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}},
+        |  {"path":"builtin:with_column","arguments":{"col":"Age","expr":"Age + 1"}}
+        |]}""".stripMargin)
+    val out = multi.forward(people)
+    assert(out.columns.toSeq == Seq("FullName", "Age"))
+    assert(out.as[(String, Long)].collect().toSeq ==
+      Seq(("John", 4L), ("Fred", 6L), ("Orpheus", 8L)))
+  }
+
+  test("content id is deterministic, key-order independent, and dedupes (L1)") {
+    val a = PipelineConfig.fromJson(
+      """{"lenses":[{"path":"p","arguments":{"b":1,"a":"x"}}]}""")
+    val b = PipelineConfig.fromJson(
+      """{"lenses":[{"path":"p","arguments":{"a":"x","b":1}}]}""")
+    assert(a.contentId == b.contentId)
+    assert(a.contentId.matches("sha256:[0-9a-f]{64}"))
+
+    val engine = LensEngine()
+    val id1 = engine.add("""{"lenses":[{"path":"builtin:identity"}]}""")
+    val id2 = engine.add("""{"lenses":[{"path":"builtin:identity"}]}""")
+    assert(id1 == id2)
+    assert(engine.list.map(_._1) == Seq(id1))
+  }
+
+  test("inverse of a non-invertible stage fails like a missing inverse export") {
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:filter","arguments":{"expr":"Age > 3"}}]}""")
+    val e = intercept[UnsupportedOperationException](pipe.inverse)
+    assert(e.getMessage.contains("does not export an inverse"))
+  }
+}
