@@ -27,29 +27,29 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object GlobalSequence {
 
-  private val PID = "__graft_pid"
-  private val LRN = "__graft_lrn"
-  private val OFF = "__graft_off"
-
   /** Deterministic contiguous 1-based ids ordered by `key` (total order
-   *  required for exact determinism — use a unique key). */
+   *  required for exact determinism — use a unique key).
+   *
+   *  Implementation note: this must be ONE lineage. Building the offsets
+   *  with a separate `groupBy(partitionId).count` job re-executes the
+   *  range exchange, and `repartitionByRange`'s bound-sampling is seeded
+   *  by RDD id — a fresh execution samples different bounds, so the
+   *  offsets would describe a different partitioning than the final job
+   *  (observed: overlapping id ranges at sf0.1). `zipWithIndex` runs its
+   *  count pass and its attach pass over the SAME shuffled RDD, so the
+   *  exchange executes once and both passes see identical partitions. */
   def withSequentialId(df: DataFrame, key: Column, as: String): DataFrame = {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .repartitionByRange(n, key)
-      .withColumn(PID, spark_partition_id())
-      .withColumn(LRN, row_number().over(Window.partitionBy(col(PID)).orderBy(key)))
-    // One row per partition — trivially small whatever the data size.
-    val counts = ranged.groupBy(col(PID)).agg(count(lit(1)).cast("long").as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
-      .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF(PID, OFF)
-    ranged
-      .join(broadcast(offsetsDf), PID)
-      .withColumn(as, (col(LRN).cast("long") + col(OFF)))
-      .drop(PID, LRN, OFF)
+    val sorted = df.repartitionByRange(n, key).sortWithinPartitions(key)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(as,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** One-pass unique (non-contiguous) id — scale-preferred when only

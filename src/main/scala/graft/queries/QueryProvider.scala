@@ -15,6 +15,16 @@ trait QueryProvider {
 
 /** Testdata table loader (tables documented in /root/repo/TESTDATA.md). */
 object T {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects outright; read it as a long (nanos since epoch).
+      // Ordering/comparison semantics are identical to the ns-precision
+      // timestamp DuckDB sees, with zero truncation risk. Convert with
+      // timestamp_micros(ts / 1000) where a real timestamp is needed —
+      // never emit it raw in an oracle-checked query.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

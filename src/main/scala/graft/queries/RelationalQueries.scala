@@ -1,0 +1,589 @@
+package graft.queries
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * The relational operator surface the reference deliberately lacks
+ * (SURVEY.md §2.5 — joins, aggregations, windows, sorts, set ops, scalar
+ * functions, subqueries), supplied by Spark built-ins and exposed as lens
+ * ops. Every query is written for scale first: dimension joins broadcast,
+ * fact-fact joins shuffle on their keys, windows partition by real keys
+ * (never a global single-partition window), and every predicate/projection
+ * is Column-based so Catalyst pushes it into the parquet scan.
+ *
+ * Oracle-parity rules (see .claude/skills/verify/SKILL.md): FP sums go
+ * through DECIMAL on both sides then cast to DOUBLE; integer-returning
+ * Spark functions are cast to long (DuckDB returns int64/hugeint);
+ * timestamps are never emitted at raw precision.
+ */
+object RelationalQueries extends QueryProvider {
+
+  /** Bit-deterministic money sum. Decimal paths are NOT portable across
+   *  engines (DuckDB rescales half-to-even, Spark half-up; decimal→double
+   *  above 2^53 differs by 1 ulp), so sum integer cents instead:
+   *  x*100 (IEEE multiply, identical), floor (exact), BIGINT sum (exact),
+   *  int64→double (correctly rounded on both), /100.0 (IEEE). */
+  private def dsum(c: Column): Column =
+    (sum(floor(c * lit(100)).cast("long")) / lit(100.0))
+  private val DSUM = "CAST(SUM(CAST(floor(%s * 100) AS BIGINT)) AS BIGINT) / 100.0"
+
+  // ---- Aggregation ---------------------------------------------------
+
+  // TPC-H Q1 shape: the canonical partial-agg (map-side combine) pattern —
+  // one shuffle of |groups| rows, not |rows|.
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        // revenue in exact integer micro-units: cents(price) × bp(1-disc)
+        (sum(floor(col("l_extendedprice") * lit(100)).cast("long") *
+             floor((lit(1.0) - col("l_discount")) * lit(10000)).cast("long"))
+          / lit(1e6)).as("sum_disc_price"),
+        (sum(col("l_quantity").cast("long")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  private val q1AggSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       |  ${DSUM.format("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+       |           CAST(floor((1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+       |    / 1e6 AS sum_disc_price,
+       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / COUNT(*) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // Exact + distinct aggregates. (approx_count_distinct is covered without
+  // an oracle in DedupQueries — HLL sketches differ across engines.)
+  private def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        sum(col("l_orderkey")).as("sum_keys"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+
+  private val aggDistinctSql =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // Variance/stddev from exact integer moments — bit-deterministic (a
+  // parallel stddev_samp would differ from DuckDB's in the last ulp).
+  private def aggStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("l_quantity").cast("long") * col("l_quantity").cast("long"))
+          .as("sum_qty_sq"))
+      .withColumn("variance",
+        (col("sum_qty_sq") - col("sum_qty") * col("sum_qty") / col("n").cast("double")) /
+          (col("n") - 1))
+      .withColumn("stddev", sqrt(col("variance")))
+
+  private val aggStatsSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |      AS sum_qty_sq
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n, sum_qty, sum_qty_sq,
+      |  (sum_qty_sq - sum_qty * sum_qty / CAST(n AS DOUBLE)) / (n - 1) AS variance,
+      |  sqrt((sum_qty_sq - sum_qty * sum_qty / CAST(n AS DOUBLE)) / (n - 1)) AS stddev
+      |FROM m""".stripMargin
+
+  // min_by/max_by (deterministic: selector key is unique).
+  private def aggArgmax(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), col("o_orderkey")).as("last_key"),
+        min_by(col("o_orderpriority"), col("o_orderkey")).as("first_priority"))
+
+  private val aggArgmaxSql =
+    """SELECT o_orderstatus,
+      |  arg_max(o_orderkey, o_orderkey) AS last_key,
+      |  arg_min(o_orderpriority, o_orderkey) AS first_priority
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  // ROLLUP — grouping-set nulls coalesced to 'ALL' so the compare never
+  // sorts nulls.
+  private def rollup(s: SparkSession, dir: String): DataFrame = {
+    val n = T(s, dir, "nation"); val r = T(s, dir, "region")
+    val c = T(s, dir, "customer")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"), col("sum_bal"))
+  }
+
+  private val rollupSql =
+    s"""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       |  COUNT(*) AS n_customers, ${DSUM.format("c_acctbal")} AS sum_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  private def cube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"))
+
+  private val cubeSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  private def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS user_bucket,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())""".stripMargin
+
+  // ---- Joins ---------------------------------------------------------
+
+  // Dimension join: explicit broadcast — zero shuffle of the fact side.
+  private def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  private val joinBroadcastSql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${DSUM.format("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment""".stripMargin
+
+  // Fact-fact join: shuffles both sides on the join key (AQE picks
+  // SMJ/shuffled-hash at scale; broadcasts when a side turns out tiny).
+  private def joinShuffle(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (sum(floor(col("l_extendedprice") * lit(100)).cast("long") *
+             floor((lit(1.0) - col("l_discount")) * lit(10000)).cast("long"))
+          / lit(1e6)).as("revenue"))
+  }
+
+  private val joinShuffleSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+      |           CAST(floor((1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+      |    / 1e6 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // Left outer + null handling.
+  private def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    val n = T(s, dir, "nation"); val c = T(s, dir, "customer")
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"))
+  }
+
+  private val joinOuterSql =
+    """SELECT n_name, COUNT(c_custkey) AS n_customers
+      |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  // Semi/anti joins — EXISTS / NOT EXISTS without materializing the right side.
+  private def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  private val joinSemiSql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  private def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer"); val o = T(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  private val joinAntiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // Non-equi range join (bucket bounds are a tiny inline table — broadcast
+  // nested-loop, the only sane plan).
+  private def joinRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq((0.0, 5.0, "low"), (5.0, 10.0, "mid"), (10.0, 100.0, "high"))
+      .toDF("lo", "hi", "bucket")
+    val e = T(s, dir, "events")
+    e.join(broadcast(buckets), e("value") >= col("lo") && e("value") < col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  private val joinRangeSql =
+    s"""SELECT bucket, COUNT(*) AS n, ${DSUM.format("value")} AS sum_value
+       |FROM events JOIN (VALUES (0.0, 5.0, 'low'), (5.0, 10.0, 'mid'),
+       |                         (10.0, 100.0, 'high')) AS b(lo, hi, bucket)
+       |  ON value >= lo AND value < hi
+       |GROUP BY bucket""".stripMargin
+
+  // As-of join (see AsOfJoin): each event matched to the same user's most
+  // recent STRICTLY earlier purchase — the attribution query.
+  private def joinAsOf(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("prev_purchase_id"))
+    AsOfJoin.asOf(
+      e, purchases,
+      leftKey = "user_id", rightKey = "p_user",
+      leftTime = "ts", rightTime = "p_ts",
+      rightCols = Seq("prev_purchase_id"),
+      strict = true)
+      .select(col("event_id"), col("prev_purchase_id"))
+  }
+
+  private val joinAsOfSql =
+    """SELECT e.event_id, p.event_id AS prev_purchase_id
+      |FROM events e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts > p.ts""".stripMargin
+
+  // ---- Windows ---------------------------------------------------------
+
+  // Rank within group (tie-safe: rank(), not row_number, over non-unique
+  // ordering). Window partitions by nation — parallel, never global.
+  private def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("c_nationkey"),
+        rank().over(w).cast("long").as("bal_rank"),
+        dense_rank().over(w).cast("long").as("bal_dense_rank"))
+  }
+
+  private val windowRankSql =
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(rank() OVER w AS BIGINT) AS bal_rank,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
+  // Running sum in integer cents: window aggregation association differs
+  // between engines (DuckDB uses segment trees), exact integers don't care.
+  private def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (sum(floor(col("o_totalprice") * lit(100)).cast("long")).over(w) / lit(100.0))
+          .as("running_spend"))
+  }
+
+  private val windowRunningSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+      |    AS running_spend
+      |FROM orders""".stripMargin
+
+  private def windowLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T(s, dir, "events")
+      .select(col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
+  private val windowLagLeadSql =
+    """SELECT event_id,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(event_type, 1) OVER w AS next_type
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // Top-k per group: rank ≤ k (tie-inclusive ⇒ deterministic), filter
+  // early — at scale this is a partial top-k per partition, not a global sort.
+  private def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .withColumn("rk", rank().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val topkPerGroupSql =
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(rank() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      |  FROM orders) WHERE rk <= 3""".stripMargin
+
+  // ---- Sort / limit / set ops -----------------------------------------
+
+  // Global top-k: orderBy+limit compiles to TakeOrderedAndProject — per-
+  // partition top-k then a k-row merge, no global sort shuffle.
+  private def sortLimit(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  private val sortLimitSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+    val sp = T(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+    val both = c.intersect(sp).withColumn("op", lit("intersect"))
+    val onlyC = c.except(sp).withColumn("op", lit("except"))
+    val all = c.union(sp).distinct().withColumn("op", lit("union"))
+    both.unionByName(onlyC).unionByName(all)
+  }
+
+  private val setOpsSql =
+    """SELECT nationkey, 'intersect' AS op FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'except' AS op FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   EXCEPT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'union' AS op FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   UNION SELECT s_nationkey FROM supplier)""".stripMargin
+
+  // ---- Subqueries (Catalyst decorrelation) -----------------------------
+
+  private def subqueries(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders) * 1.5
+        |  AND o_custkey IN (SELECT o_custkey FROM orders
+        |                    GROUP BY o_custkey HAVING COUNT(*) >= 2)""".stripMargin)
+  }
+
+  private val subqueriesSql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |  FROM orders) * 1.5
+      |  AND o_custkey IN (SELECT o_custkey FROM orders
+      |                    GROUP BY o_custkey HAVING COUNT(*) >= 2)""".stripMargin
+
+  // ---- Scalar function library ----------------------------------------
+
+  private def scalarString(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        col("p_name").contains("a").as("has_a"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"))
+
+  private val scalarStringSql =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_upper,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  substring(p_name, 1, 5) AS name_prefix,
+      |  p_brand || '/' || p_type AS brand_type,
+      |  replace(p_name, ' ', '_') AS name_snake,
+      |  contains(p_name, 'a') AS has_a,
+      |  lpad(p_brand, 12, '*') AS brand_padded
+      |FROM part""".stripMargin
+
+  private def scalarDate(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+        date_trunc("month", col("o_orderdate")).as("order_month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"))
+
+  private val scalarDateSql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      |  CAST(day(o_orderdate) AS BIGINT) AS order_day,
+      |  date_trunc('month', o_orderdate) AS order_month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+      |    AS days_to_2002
+      |FROM orders""".stripMargin
+
+  private def scalarMathJson(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        col("event_id"),
+        sqrt(col("value")).as("value_sqrt"),
+        floor(col("value")).cast("long").as("value_floor"),
+        ceil(col("value")).cast("long").as("value_ceil"),
+        abs(col("value") - lit(5.0)).as("value_dist5"),
+        (col("user_id") % 7).as("user_mod"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+        when(col("event_type") === "purchase", lit("buy"))
+          .when(col("event_type") === "error", lit("bad"))
+          .otherwise(lit("other")).as("type_class"))
+
+  private val scalarMathJsonSql =
+    """SELECT event_id,
+      |  sqrt(value) AS value_sqrt,
+      |  CAST(floor(value) AS BIGINT) AS value_floor,
+      |  CAST(ceil(value) AS BIGINT) AS value_ceil,
+      |  abs(value - 5.0) AS value_dist5,
+      |  user_id % 7 AS user_mod,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+      |  CASE WHEN event_type = 'purchase' THEN 'buy'
+      |       WHEN event_type = 'error' THEN 'bad'
+      |       ELSE 'other' END AS type_class
+      |FROM events""".stripMargin
+
+  // Array functions (emitted as a joined string — engine-portable shape).
+  private def scalarArray(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        array_join(slice(sort_array(array_distinct(split(col("text"), " "))), 1, 5), ",")
+          .as("first_words"),
+        array_contains(split(col("text"), " "), "data").as("mentions_data"))
+
+  private val scalarArraySql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',')
+      |    AS first_words,
+      |  list_contains(string_split(text, ' '), 'data') AS mentions_data
+      |FROM documents""".stripMargin
+
+  // Pivot. Spark's relational pivot operator compiles to exactly this
+  // conditional aggregation — one shuffle, engine-portable.
+  private def pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  private val pivotSql = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val cols = types.map(t =>
+      s"COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n  ")
+    s"SELECT user_id,\n  $cols\nFROM events GROUP BY user_id"
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q_agg_distinct"    -> (aggDistinct _),
+    "q_agg_stats"       -> (aggStats _),
+    "q_agg_argmax"      -> (aggArgmax _),
+    "q_rollup"          -> (rollup _),
+    "q_cube"            -> (cube _),
+    "q_grouping_sets"   -> (groupingSets _),
+    "q_join_broadcast"  -> (joinBroadcast _),
+    "q_join_shuffle"    -> (joinShuffle _),
+    "q_join_outer"      -> (joinOuter _),
+    "q_join_semi"       -> (joinSemi _),
+    "q_join_anti"       -> (joinAnti _),
+    "q_join_range"      -> (joinRange _),
+    "q_join_asof"       -> (joinAsOf _),
+    "q_window_rank"     -> (windowRank _),
+    "q_window_running"  -> (windowRunning _),
+    "q_window_lag_lead" -> (windowLagLead _),
+    "q_topk_per_group"  -> (topkPerGroup _),
+    "q_sort_limit"      -> (sortLimit _),
+    "q_set_ops"         -> (setOps _),
+    "q_subqueries"      -> (subqueries _),
+    "q_scalar_string"   -> (scalarString _),
+    "q_scalar_date"     -> (scalarDate _),
+    "q_scalar_mathjson" -> (scalarMathJson _),
+    "q_scalar_array"    -> (scalarArray _),
+    "q_pivot"           -> (pivot _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q1_agg"            -> q1AggSql,
+    "q_agg_distinct"    -> aggDistinctSql,
+    "q_agg_stats"       -> aggStatsSql,
+    "q_agg_argmax"      -> aggArgmaxSql,
+    "q_rollup"          -> rollupSql,
+    "q_cube"            -> cubeSql,
+    "q_grouping_sets"   -> groupingSetsSql,
+    "q_join_broadcast"  -> joinBroadcastSql,
+    "q_join_shuffle"    -> joinShuffleSql,
+    "q_join_outer"      -> joinOuterSql,
+    "q_join_semi"       -> joinSemiSql,
+    "q_join_anti"       -> joinAntiSql,
+    "q_join_range"      -> joinRangeSql,
+    "q_join_asof"       -> joinAsOfSql,
+    "q_window_rank"     -> windowRankSql,
+    "q_window_running"  -> windowRunningSql,
+    "q_window_lag_lead" -> windowLagLeadSql,
+    "q_topk_per_group"  -> topkPerGroupSql,
+    "q_sort_limit"      -> sortLimitSql,
+    "q_set_ops"         -> setOpsSql,
+    "q_subqueries"      -> subqueriesSql,
+    "q_scalar_string"   -> scalarStringSql,
+    "q_scalar_date"     -> scalarDateSql,
+    "q_scalar_mathjson" -> scalarMathJsonSql,
+    "q_scalar_array"    -> scalarArraySql,
+    "q_pivot"           -> pivotSql
+  )
+}
