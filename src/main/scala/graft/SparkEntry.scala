@@ -9,7 +9,8 @@ object SparkEntry {
 
   private def providers: Seq[QueryProvider] = Seq(
     LensQueries,
-    RelationalQueries
+    RelationalQueries,
+    DedupQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.functions.TextHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines
+ * (SURVEY.md §2.6 — north-star additions beyond the reference's surface).
+ *
+ * Scale design notes (the whole point of these implementations):
+ *
+ *  - Exact dedup groups on a 64-bit content hash, not the content itself —
+ *    the shuffle carries (hash, id), never the document body.
+ *  - MinHash/SimHash find candidates via bucket joins (band hash / bit
+ *    chunk): the shuffle key-space is the buckets, cost is
+ *    O(candidates), never the O(n²) all-pairs cross join. The quadratic
+ *    step exists only WITHIN a bucket, which hashing keeps tiny.
+ *  - Exact verification runs only on the candidate set.
+ *  - Everything is Catalyst HOF expressions — codegen'd, no Scala UDFs.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: one row per distinct value of `textCol`, keeping the
+   * smallest `idCol` as the deterministic representative plus the
+   * duplicate count. Grouping key is xxhash64(text): the shuffle moves
+   * 16 bytes/row instead of the document. (Collision probability at 64
+   * bits is ~n²/2⁶⁵ — negligible below ~10⁹ distinct docs; use a 128-bit
+   * hash pair beyond that.)
+   */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+
+  /**
+   * MinHash + LSH near-duplicate pairs over word w-gram shingles,
+   * verified with exact Jaccard ≥ `threshold`.
+   *
+   * k=128 hashes in 32 bands × 4 rows: a pair at Jaccard 0.8 shares a
+   * band bucket with probability 1-(1-0.8⁴)³² ≈ 1-5·10⁻⁸ — recall at the
+   * threshold is effectively 1, so the exact-verified output equals the
+   * ground-truth pair set.
+   */
+  def minHashLsh(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    require(k == bands * (k / bands) && k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+
+    val shingled = df
+      .withColumn("ws", split(col(textCol), " "))
+      .filter(size(col("ws")) >= shingleWidth)
+      .select(col(idCol).as("doc"), TextHash.wordShingles("ws", shingleWidth).as("sh"))
+
+    val withSig = shingled.withColumn("sig", TextHash.minHashSignature("sh", k))
+
+    val buckets = withSig
+      .select(col("doc"), explode(TextHash.bandHashes("sig", bands, rows)).as("bh"))
+      .select(col("doc"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+
+    // Candidate pairs: equal (band, bucket); dedup across bands.
+    val b2 = buckets.select(col("doc").as("doc_b"), col("band"), col("bucket"))
+    val candidates = buckets
+      .join(b2, Seq("band", "bucket"))
+      .where(col("doc") < col("doc_b"))
+      .select(col("doc").as("doc_a"), col("doc_b"))
+      .distinct()
+
+    // Exact verification on candidates only.
+    val shA = shingled.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val shB = shingled.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("jaccard", TextHash.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /**
+   * SimHash near-duplicate pairs: 64-bit signature, candidates via the
+   * 4×16-bit chunk trick (Hamming distance ≤ 3 ⇒ at least one of the 4
+   * chunks is equal, by pigeonhole), verified with exact bit_count.
+   */
+  def simHash(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking guarantees recall only for distance <= 3")
+    val sigs = df
+      .withColumn("tokens", split(col(textCol), " "))
+      .withColumn("votes", TextHash.simHashVotes("tokens"))
+      .select(col(idCol).as("doc"), TextHash.votesToSimHash("votes").as("simhash"))
+
+    val chunked = sigs.select(col("doc"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), " +
+        "j -> named_struct('chunk', j, 'val', (simhash >> (16 * j)) & 65535))")).as("c"))
+      .select(col("doc"), col("simhash"), col("c.chunk").as("chunk"), col("c.val").as("val"))
+
+    val right = chunked.select(col("doc").as("doc_b"), col("simhash").as("simhash_b"),
+      col("chunk"), col("val"))
+    chunked
+      .join(right, Seq("chunk", "val"))
+      .where(col("doc") < col("doc_b"))
+      .select(col("doc").as("doc_a"), col("doc_b"),
+        bit_count(expr("simhash ^ simhash_b")).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Exact n-gram Jaccard pairs within blocking groups (`blockCol`): the
+   * quadratic comparison runs only inside each block. At 100 TB the block
+   * column is an LSH bucket or cluster id; here it demonstrates the
+   * block-then-verify shape with exact char-n-gram Jaccard.
+   */
+  def ngramJaccard(
+      df: DataFrame, textCol: String, idCol: String, blockCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    val grams = df
+      .filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc"), col(blockCol).as("block"),
+        TextHash.charNgrams(textCol, n).as("g"))
+    val right = grams.select(col("doc").as("doc_b"), col("block"), col("g").as("g_b"))
+    grams
+      .join(right, "block")
+      .where(col("doc") < col("doc_b"))
+      .withColumn("jaccard", TextHash.jaccard(col("g"), col("g_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc").as("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /**
+   * Embedding near-duplicate pairs: exact double-accumulated cosine within
+   * blocking groups (IVF shape: block = coarse cluster id; only in-cluster
+   * pairs are compared). Emits ids only — cosine values stay internal so
+   * downstream comparisons never depend on float association order.
+   */
+  def embeddingCosine(
+      df: DataFrame, vecCol: String, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("vec_a"), col(blockCol).as("block"),
+      col(vecCol).as("e_a"))
+    val right = df.select(col(idCol).as("vec_b"), col(blockCol).as("block"),
+      col(vecCol).as("e_b"))
+    v.join(right, "block")
+      .where(col("vec_a") < col("vec_b"))
+      .where(TextHash.cosine("e_a", "e_b") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+  }
+}

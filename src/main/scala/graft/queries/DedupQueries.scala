@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Deduplication operator queries over the `documents` / `embeddings`
+ * tables (SURVEY.md §2.6). Oracles compute ground truth the slow way
+ * (all-pairs in SQL); the Spark side must reach the same answer through
+ * its scalable path (hash grouping / LSH candidates / blocking).
+ */
+object DedupQueries extends QueryProvider {
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(T(s, dir, "documents"), "text", "doc_id")
+
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(T(s, dir, "documents"), "text", "doc_id", threshold = 0.8)
+
+  // Ground truth: exact word-3-gram Jaccard over all pairs. The LSH path
+  // must find every pair ≥ 0.8 (recall ≈ 1-5e-8 at the threshold).
+  private val dedupMinhashSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |  FROM w WHERE len(ws) >= 3
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  1.0 * len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE 1.0 * len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(T(s, dir, "documents"), "text", "doc_id",
+      blockCol = "lang", threshold = 0.7, n = 3)
+
+  private val dedupNgramSql =
+    """WITH g AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, length(text) - 1),
+      |      i -> substring(text, i, 3))) AS t
+      |  FROM documents WHERE length(text) >= 3
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  1.0 * len(list_intersect(a.t, b.t)) / len(list_distinct(a.t || b.t)) AS jaccard
+      |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE 1.0 * len(list_intersect(a.t, b.t)) / len(list_distinct(a.t || b.t)) >= 0.7""".stripMargin
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosine(T(s, dir, "embeddings"), "embedding", "vec_id",
+      blockCol = "label", threshold = 0.402)
+
+  // Threshold 0.402 sits in a ≥3e-4 gap of the pair-similarity
+  // distribution at sf0.01 and sf0.1 — far above any cross-engine float
+  // noise (~1e-7). Ids only: similarity values never leave the engines.
+  private val dedupEmbeddingSql =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, 65),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |      / (a.nrm * b.nrm) >= 0.402""".stripMargin
+
+  // HLL sketch comparison is engine-specific — rows-only check by design.
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("text")).as("n_exact"),
+        approx_count_distinct(col("text"), 0.02).as("n_approx"))
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"          -> (dedupExact _),
+    "dedup_minhash_lsh"    -> (dedupMinhash _),
+    "dedup_simhash"        -> (dedupSimhash _),
+    "dedup_ngram_jaccard"  -> (dedupNgram _),
+    "dedup_embedding"      -> (dedupEmbedding _),
+    "dedup_approx_distinct" -> (approxDistinct _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "dedup_exact"         -> dedupExactSql,
+    "dedup_minhash_lsh"   -> dedupMinhashSql,
+    "dedup_ngram_jaccard" -> dedupNgramSql,
+    "dedup_embedding"     -> dedupEmbeddingSql
+    // dedup_simhash, dedup_approx_distinct: hash/sketch internals are
+    // engine-specific — rows-only checks, semantics covered in DedupSpec.
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.TextHash
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest to hide from the angry farmer"
+
+  test("exact dedup keeps min id and counts copies") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id")
+      .orderBy("keeper_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds a near-duplicate pair and skips unrelated text") {
+    val nearDup = base.replace("angry", "furious") // 1 word of ~26 differs
+    val other = "completely different content about spark catalyst plans " +
+      "and shuffle partitions during large scale query execution today yes"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(df, "text", "doc_id", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text -> hamming 0; perturbed -> small; unrelated -> large") {
+    val df = Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base.replace("angry", "furious")),
+      (4L, "utterly unrelated words describing quantum chromodynamics " +
+        "lattice computations on supercomputers with tensor cores galore"))
+      .toDF("doc_id", "text")
+    val sigs = df
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("votes", TextHash.simHashVotes("tokens"))
+      .select(col("doc_id"), TextHash.votesToSimHash("votes").as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) <= 8)
+    assert(hamming(sigs(1L), sigs(4L)) > 8)
+
+    val pairs = Dedup.simHash(df, "text", "doc_id", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard respects blocking column") {
+    val df = Seq(
+      (1L, base, "en"),
+      (2L, base + " x", "en"),
+      (3L, base + " y", "fr")) // same text, different block -> never compared
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.ngramJaccard(df, "text", "doc_id", "lang", threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embedding cosine finds identical vectors within a block") {
+    val v1 = Seq.tabulate(8)(i => i.toFloat + 1)
+    val v2 = v1.map(_ * 2) // same direction, cosine 1
+    val v3 = Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    val df = Seq((1L, v1, 0), (2L, v2, 0), (3L, v3, 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosine(df, "embedding", "vec_id", "label", 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
