@@ -10,7 +10,8 @@ object SparkEntry {
   private def providers: Seq[QueryProvider] = Seq(
     LensQueries,
     RelationalQueries,
-    DedupQueries
+    DedupQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

