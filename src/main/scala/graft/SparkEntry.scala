@@ -11,7 +11,9 @@ object SparkEntry {
     LensQueries,
     RelationalQueries,
     DedupQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    TextQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * Multimodal-column operators: treat image/audio/video as opaque `binary`
+ * columns plus a typed metadata struct, and run decode / feature-extract /
+ * resize / frame-sample as batched partition-local transforms.
+ *
+ * Execution model (the 100 TB design): payloads never leave their input
+ * split — every op here is `mapPartitions` over an explicit micro-batch
+ * iterator (`BatchSize` rows at a time, the JVM analogue of a vectorized
+ * Pandas-UDF batch): no shuffle, no driver collect, memory bounded by
+ * batch × payload size regardless of partition row count. Downstream
+ * relational work happens on the *small* decoded columns (meta, features),
+ * never on the payload bytes, so later shuffles move KBs not media blobs.
+ *
+ * Codec note: real image/audio decoders are not available in this
+ * environment, so `Codec` is STUBBED with a deterministic fake
+ * (`FakeCodec`) that derives pixel/sample tensors from the payload bytes.
+ * The Spark-side plumbing — schema, batch shape, partitioning, operator
+ * signatures — is real and is what these ops test; swap `FakeCodec` for a
+ * JNI/javax.imageio-backed `Codec` in production.
+ *
+ * The reference (sourcenetwork/lens) streams opaque JSON documents and
+ * leaves interpretation to user WASM (reference:
+ * host-go/engine/pipes/fromSource.go:37-145); these north-star ops give
+ * that role first-class, schema-typed operators instead.
+ */
+object Multimodal {
+
+  /** Rows per decode batch — the `mapInPandas` batch-size analogue. */
+  val BatchSize = 64
+
+  /** Decoded-image schema appended by `decodeImage`. */
+  val ImageMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  // ------------------------------------------------------------------ codec
+
+  /** Decoder contract. Production implementations wrap a real library;
+   *  `FakeCodec` below is the deterministic STUB used in this container. */
+  trait Codec extends Serializable {
+    /** payload → (width, height, channels, format, rowMajor pixels[h*w*c] in [0,1]). */
+    def decodeImage(payload: Array[Byte]): (Int, Int, Int, String, Array[Float])
+    /** payload → (sampleRate, mono samples in [-1,1]). */
+    def decodeAudio(payload: Array[Byte]): (Int, Array[Float])
+  }
+
+  /**
+   * STUB — deterministic fake decode (no media libraries in-container).
+   * Dimensions derive from payload length, pixels/samples from payload
+   * bytes, so every run and every engine agrees on the output and specs
+   * can assert exact values.
+   */
+  object FakeCodec extends Codec {
+    def imageDims(nBytes: Int): (Int, Int, Int) =
+      (8 + nBytes % 24, 8 + (nBytes / 7) % 24, 3)
+
+    override def decodeImage(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) = {
+      val (w, h, c) = imageDims(p.length)
+      val px = new Array[Float](w * h * c)
+      var i = 0
+      while (i < px.length) {
+        px(i) = ((p(i % p.length) & 0xff) ^ (i & 0xff)) / 255.0f
+        i += 1
+      }
+      (w, h, c, "fake", px)
+    }
+
+    override def decodeAudio(p: Array[Byte]): (Int, Array[Float]) = {
+      val n = 256 + (p.length % 1024)
+      val samples = Array.tabulate(n)(i => ((p(i % p.length) & 0xff) - 128) / 128.0f)
+      (16000, samples)
+    }
+  }
+
+  /** Partition iterator → fixed-size micro-batches → flat output. Keeps
+   *  per-task memory at O(BatchSize × payload) and amortizes any per-batch
+   *  codec setup, mirroring a vectorized UDF's batch loop. */
+  private def batched[A, B](it: Iterator[A], f: Seq[A] => Seq[B]): Iterator[B] =
+    it.grouped(BatchSize).flatMap(f)
+
+  // ------------------------------------------------------------------- ops
+
+  /**
+   * Decode an image payload column → appended `meta` struct + `pixels`
+   * array. Narrow (no shuffle); payload column is dropped from the output
+   * by default so downstream stages shuffle features, not blobs.
+   */
+  def decodeImage(
+      df: DataFrame,
+      payloadCol: String,
+      codec: Codec = FakeCodec,
+      keepPayload: Boolean = false): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val kept = inSchema.fields.zipWithIndex
+      .filter { case (f, i) => keepPayload || i != payloadIdx }
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("meta", ImageMetaType, nullable = false),
+      StructField("pixels", ArrayType(FloatType, containsNull = false))))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val (w, h, c, fmt, px) = codec.decodeImage(payload)
+        Row.fromSeq(keptIdx.toSeq.map(r.get) ++
+          Seq(Row(w, h, c, fmt), px.toSeq))
+      })
+    }(encoder)
+  }
+
+  /**
+   * Average-pool resize of a decoded `pixels` array to `outW`×`outH`.
+   * Real math over the (fake-)decoded tensor; same batched mapPartitions
+   * shape as decode.
+   */
+  def resizeImage(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val inSchema = df.schema
+    val metaIdx = inSchema.fieldIndex("meta")
+    val pxIdx = inSchema.fieldIndex("pixels")
+    val outSchema = StructType(
+      inSchema.fields.updated(metaIdx,
+        StructField("meta", ImageMetaType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.map { r =>
+        val meta = r.getStruct(metaIdx)
+        val (w, h, c) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+        val px = r.getSeq[Float](pxIdx)
+        val out = new Array[Float](outW * outH * c)
+        var oy = 0
+        while (oy < outH) {
+          var ox = 0
+          while (ox < outW) {
+            val (x0, x1) = (ox * w / outW, math.max((ox + 1) * w / outW, ox * w / outW + 1))
+            val (y0, y1) = (oy * h / outH, math.max((oy + 1) * h / outH, oy * h / outH + 1))
+            var ch = 0
+            while (ch < c) {
+              var sum = 0.0f; var n = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) { sum += px((y * w + x) * c + ch); n += 1; x += 1 }
+                y += 1
+              }
+              out((oy * outW + ox) * c + ch) = sum / n
+              ch += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        Row.fromSeq(r.toSeq.updated(metaIdx, Row(outW, outH, c, meta.getString(3)))
+          .updated(pxIdx, out.toSeq))
+      })
+    }(encoder)
+  }
+
+  /**
+   * Per-channel feature extraction over decoded pixels → fixed-length
+   * `features` array (mean, min, max per channel). The tiny feature vector
+   * is what downstream similarity/dedup shuffles — never the pixels.
+   */
+  def imageFeatures(df: DataFrame, dropPixels: Boolean = true): DataFrame = {
+    val inSchema = df.schema
+    val metaIdx = inSchema.fieldIndex("meta")
+    val pxIdx = inSchema.fieldIndex("pixels")
+    val kept = inSchema.fields.zipWithIndex
+      .filter { case (_, i) => !(dropPixels && i == pxIdx) }
+    val outSchema = StructType(kept.map(_._1) :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.map { r =>
+        val c = r.getStruct(metaIdx).getInt(2)
+        val px = r.getSeq[Float](pxIdx)
+        val feats = new Array[Float](c * 3)
+        var ch = 0
+        while (ch < c) {
+          var (sum, mn, mx) = (0.0f, Float.MaxValue, Float.MinValue)
+          var i = ch
+          while (i < px.length) {
+            val v = px(i); sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += c
+          }
+          val n = px.length / c
+          feats(ch * 3) = sum / n; feats(ch * 3 + 1) = mn; feats(ch * 3 + 2) = mx
+          ch += 1
+        }
+        Row.fromSeq(keptIdx.toSeq.map(r.get) :+ feats.toSeq)
+      })
+    }(encoder)
+  }
+
+  /**
+   * Frame sampling for video payloads: treat the payload as `nFrames`
+   * fixed-size frames (from the metadata columns) and emit every
+   * `stride`-th frame as its own row — the 1:N explode for media. Output
+   * rows carry (parent id cols…, frame_idx, frame payload); the explode
+   * happens partition-locally, no shuffle.
+   */
+  def sampleFrames(
+      df: DataFrame,
+      payloadCol: String,
+      nFramesCol: String,
+      stride: Int): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val nFramesIdx = inSchema.fieldIndex(nFramesCol)
+    val kept = inSchema.fields.zipWithIndex.filter(_._2 != payloadIdx)
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val nFrames = math.max(r.getInt(nFramesIdx), 1)
+        val frameSize = math.max(payload.length / nFrames, 1)
+        (0 until nFrames by stride).map { f =>
+          val from = f * frameSize
+          val frame = payload.slice(from, math.min(from + frameSize, payload.length))
+          Row.fromSeq(keptIdx.toSeq.map(r.get) ++ Seq(f, frame))
+        }
+      })
+    }(encoder)
+  }
+
+  /** Build a fake media table from any string column (deterministic:
+   *  payload = UTF-8 bytes). Lets the media ops run against the standard
+   *  testdata `documents` table. */
+  def fakeMediaFromText(df: DataFrame, textCol: String, modality: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("modality", lit(modality))
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.6):
+ * token counting, quality scoring, language identification, and document
+ * fingerprinting.
+ *
+ * Everything here is a pure Catalyst `Column` expression — no UDFs — so the
+ * whole analysis stays inside whole-stage codegen, filters composed on the
+ * outputs push down, and the scan reads only the `text` column
+ * (column pruning). At 100 TB this is a single narrow map stage: no
+ * shuffle, no driver involvement, embarrassingly parallel per input split.
+ *
+ * The reference (sourcenetwork/lens) ships no text operators — arbitrary
+ * per-item logic lives in user WASM (reference:
+ * host-go/engine/tests/append_lens_test.go:22-31); these are the
+ * north-star additions mandated by BASELINE.json, built as first-class
+ * lens ops instead of opaque guests.
+ */
+object TextAnalysis {
+
+  /** GPT-2-style pre-tokenizer shape: letter runs, single digits, single
+   *  punctuation marks. Counting these approximates BPE token counts to
+   *  within the merge factor without a vocab file. */
+  val BpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  /** Whitespace tokens of a (pre-normalized, single-spaced) text column. */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  // ---------------------------------------------------------------- tokens
+
+  /** doc_id, n_ws_tokens, n_bpe_tokens, avg_token_len. */
+  def tokenCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ws = wsTokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(ws).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      (aggregate(transform(ws, t => length(t)), lit(0L), (acc, x) => acc + x)
+        .cast("double") / size(ws)).as("avg_token_len"))
+  }
+
+  // --------------------------------------------------------------- quality
+
+  /** English function words used for the stopword-ratio quality signal. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Count of punctuation characters = what remains after removing
+   *  alphanumerics and spaces. Same formula is expressible in DuckDB
+   *  (`regexp_replace(..., 'g')`), keeping the oracle bit-exact. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+
+  private def inSet(t: Column, words: Seq[String]): Column =
+    t.isInCollection(words)
+
+  /**
+   * Heuristic quality score in [0,1]:
+   * 0.4·min(len/500,1) + 0.3·unique-token ratio + 0.3·(1−4·punct ratio)⁺.
+   * The formula's operation order is mirrored exactly in the oracle SQL —
+   * per-row IEEE-double arithmetic is deterministic across engines when
+   * the expression shape matches.
+   */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = wsTokens(t)
+    val nTok = size(ws)
+    val lenScore = least(length(t).cast("double") / 500.0, lit(1.0))
+    val punctRatio = punctCount(t).cast("double") / length(t)
+    val uniqueRatio = size(array_distinct(ws)).cast("double") / nTok
+    val stopRatio =
+      size(filter(ws, tk => inSet(tk, EnStopwords))).cast("double") / nTok
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars_calc"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      uniqueRatio.as("unique_ratio"),
+      (lenScore * 0.4 + uniqueRatio * 0.3 +
+        greatest(lit(0.0), lit(1.0) - punctRatio * 4.0) * 0.3).as("quality"))
+  }
+
+  // ---------------------------------------------------------------- langid
+
+  /** Signature function-word sets per language. Overlaps ("la", "de") are
+   *  expected — real language ID weighs overlapping evidence too. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "en", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est"))
+
+  /** Fraction of Han-script characters (CJK signal). Java regex script
+   *  class; the DuckDB oracle uses RE2's `\p{Han}` — both count the same
+   *  characters. */
+  def cjkRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{IsHan}]", "")))
+      .cast("double") / length(text)
+
+  /**
+   * N-gram/stopword heuristic language ID:
+   *  - Han-character ratio > 0.05 → "zh";
+   *  - else argmax of per-language stopword-hit ratios, ties broken by
+   *    the fixed language order (en, es, de, fr) for determinism;
+   *  - max ratio < 0.01 → "und" (no evidence).
+   * Emits the per-language scores too, so downstream filters can threshold
+   * on confidence.
+   */
+  def languageId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = wsTokens(t)
+    val nTok = size(ws)
+    val scores = LangStopwords.map { case (lang, words) =>
+      lang -> (size(filter(ws, tk => inSet(tk, words))).cast("double") / nTok)
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    // First language (in declared order) whose score equals the max.
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === maxScore, lang).otherwise(acc)
+    }
+    val pred = when(cjkRatio(t) > 0.05, "zh")
+      .when(maxScore < 0.01, "und")
+      .otherwise(pick)
+    df.select(
+      col(idCol) +: scores.map { case (l, s) => s.as(s"score_$l") } :+
+        pred.as("lang_pred"): _*)
+  }
+
+  // ----------------------------------------------------------- fingerprint
+
+  /** Rolling polynomial hash parameters (Rabin–Karp over token codes). */
+  val RollBase = 31L
+  val RollMod = 1000000007L
+
+  /** Per-token integer code: first codepoint ⊕ length — cheap, and
+   *  identically computable in DuckDB (`ascii` + `length`). */
+  private def tokenCode(t: Column): Column =
+    (ascii(t) * lit(RollBase) + length(t)).cast("long")
+
+  /**
+   * doc_id, fp_md5 (exact-dup content fingerprint of normalized text),
+   * fp_roll (Rabin–Karp rolling hash over token codes, mod 1e9+7),
+   * fp_shingle (min-hash-style: lexicographic min of md5'd word-3-shingles;
+   * robust to local edits).
+   */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val norm = trim(lower(regexp_replace(t, "\\s+", " ")))
+    val ws = wsTokens(norm)
+    val codes = transform(ws, tokenCode(_))
+    // Fold matching DuckDB list_reduce semantics: first element is the
+    // initial accumulator, remaining elements are folded in order.
+    val roll = aggregate(
+      slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
+      element_at(codes, 1).cast("long"),
+      (acc, x) => pmod(acc * RollBase + x, lit(RollMod)))
+    val shingles = transform(
+      sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+        element_at(ws, i + 3)))
+    val minShingle = when(size(ws) >= 3, array_min(transform(shingles, md5(_))))
+    df.select(
+      col(idCol),
+      md5(norm).as("fp_md5"),
+      roll.as("fp_roll"),
+      minShingle.as("fp_shingle"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.operators.GlobalSequence
+import graft.operators.{GlobalSequence, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -130,6 +130,33 @@ object BuiltinOps {
     "limit" -> { a =>
       val n = a.int("n")
       LensOp(s"limit($n)", df => df.limit(n))
+    },
+
+    // ---- Text-analysis lens ops (SURVEY.md §2.6 north-star additions).
+    // Pure Column expressions — stay inside whole-stage codegen; lossy
+    // projections ⇒ no inverse (like a module without an `inverse` export).
+    "token_count" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp(s"token_count($t)", df => TextAnalysis.tokenCounts(df, t, id))
+    },
+
+    "quality_score" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp(s"quality_score($t)", df => TextAnalysis.qualityScore(df, t, id))
+    },
+
+    "langid" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp(s"langid($t)", df => TextAnalysis.languageId(df, t, id))
+    },
+
+    "fingerprint" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp(s"fingerprint($t)", df => TextAnalysis.fingerprint(df, t, id))
     },
 
     "sort" -> { a =>

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Multimodal-plumbing queries. Media payloads are derived deterministically
+ * from `documents.text` (UTF-8 bytes) since the container ships no real
+ * media; the decode is the documented STUB (`Multimodal.FakeCodec`), the
+ * Spark plumbing (binary columns, batched mapPartitions, schema evolution,
+ * partition-local explode) is real.
+ *
+ * `mm_image_meta` is fully oracle-checked: the fake decoder's dimensions
+ * are a pure function of payload byte length, which DuckDB recomputes with
+ * `octet_length(encode(text))`. Pixel/feature/frame outputs are
+ * JVM-codec-specific → rows-only checks, semantics pinned in MultimodalSpec.
+ */
+object MultimodalQueries extends QueryProvider {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fakeMediaFromText(
+      T(s, dir, "documents").select("doc_id", "text"), "text", "image")
+      .drop("text")
+
+  /** decode → typed meta struct; flattened for the oracle. */
+  private def imageMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImage(media(s, dir), "payload")
+      .select(
+        col("doc_id"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("meta.channels").cast("long").as("channels"),
+        col("meta.format").as("format"))
+
+  private val imageMetaSql =
+    """SELECT doc_id,
+      |  CAST(8 + octet_length(encode(text)) % 24 AS BIGINT) AS width,
+      |  CAST(8 + (octet_length(encode(text)) // 7) % 24 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels,
+      |  'fake' AS format
+      |FROM documents""".stripMargin
+
+  /** decode → resize → per-channel features; the payload/pixels are gone
+   *  from the output — only the 9-float feature vector survives. */
+  private def imageFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageFeatures(
+      Multimodal.resizeImage(
+        Multimodal.decodeImage(media(s, dir), "payload"), 8, 8))
+      .select(col("doc_id"), col("modality"),
+        size(col("features")).cast("long").as("n_features"))
+
+  // Feature values are codec-specific; the *shape* contract (9 = 3 channels
+  // × mean/min/max) is SQL-checkable.
+  private val imageFeaturesSql =
+    """SELECT doc_id, 'image' AS modality, CAST(9 AS BIGINT) AS n_features
+      |FROM documents""".stripMargin
+
+  /** Video-style frame sampling: payload split into n_frames, every 2nd
+   *  frame emitted as a row — partition-local 1:N. Frame count and sizes
+   *  are byte-arithmetic → fully oracle-checkable. */
+  private def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val video = media(s, dir)
+      .withColumn("n_frames", (pmod(col("doc_id"), lit(7)) + lit(2)).cast("int"))
+    Multimodal.sampleFrames(video, "payload", "n_frames", stride = 2)
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"))
+  }
+
+  private val frameSampleSql =
+    """WITH v AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS nb,
+      |         doc_id % 7 + 2 AS n_frames
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, nb, n_frames,
+      |         greatest(nb // n_frames, 1) AS frame_size,
+      |         unnest(range(0, n_frames, 2)) AS frame_idx
+      |  FROM v
+      |)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(least(frame_size, nb - frame_idx * frame_size) AS BIGINT)
+      |    AS frame_bytes
+      |FROM f""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_meta"     -> (imageMeta _),
+    "mm_image_features" -> (imageFeatures _),
+    "mm_frame_sample"   -> (frameSample _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "mm_image_meta"     -> imageMetaSql,
+    "mm_image_features" -> imageFeaturesSql,
+    "mm_frame_sample"   -> frameSampleSql
+  )
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Text-analysis operator queries over `documents` (SURVEY.md §2.6):
+ * token counting, quality scoring, language ID, fingerprinting, and an
+ * aggregate corpus profile. Oracles mirror the exact expression shape
+ * (operation order) of the Spark side, so per-row IEEE arithmetic is
+ * bit-identical; aggregate FP sums use the integer-units idiom from
+ * RelationalQueries.
+ */
+object TextQueries extends QueryProvider {
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(T(s, dir, "documents"), "text", "doc_id")
+
+  private val tokensSql =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT)
+      |    AS n_bpe_tokens,
+      |  CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws)
+      |    AS avg_token_len
+      |FROM w""".stripMargin
+
+  private def quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(T(s, dir, "documents"), "text", "doc_id")
+
+  private val qualitySql =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |r AS (
+      |  SELECT doc_id, text, ws,
+      |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS punct_ratio,
+      |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS unique_ratio
+      |  FROM w
+      |)
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+      |  punct_ratio,
+      |  CAST(len(list_filter(ws, t -> t IN
+      |      ('the','a','an','of','and','to','in','is','it','that'))) AS DOUBLE)
+      |    / len(ws) AS stopword_ratio,
+      |  unique_ratio,
+      |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |    + unique_ratio * 0.3
+      |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3 AS quality
+      |FROM r""".stripMargin
+
+  private def langid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(T(s, dir, "documents"), "text", "doc_id")
+
+  private val langidSql =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |s AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(list_filter(ws, t -> t IN
+      |      ('the','a','of','and','to','in','is','it'))) AS DOUBLE)/len(ws) AS score_en,
+      |    CAST(len(list_filter(ws, t -> t IN
+      |      ('el','la','de','los','las','y','en','que'))) AS DOUBLE)/len(ws) AS score_es,
+      |    CAST(len(list_filter(ws, t -> t IN
+      |      ('der','die','das','und','ist','ein','zu','den'))) AS DOUBLE)/len(ws) AS score_de,
+      |    CAST(len(list_filter(ws, t -> t IN
+      |      ('le','la','les','de','et','un','une','est'))) AS DOUBLE)/len(ws) AS score_fr
+      |  FROM w
+      |)
+      |SELECT doc_id, score_en, score_es, score_de, score_fr,
+      |  CASE
+      |    WHEN CAST(length(text) - length(regexp_replace(text, '[\p{Han}]', '', 'g'))
+      |         AS DOUBLE) / length(text) > 0.05 THEN 'zh'
+      |    WHEN greatest(score_en, score_es, score_de, score_fr) < 0.01 THEN 'und'
+      |    WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+      |    WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+      |    WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+      |    WHEN score_fr = greatest(score_en, score_es, score_de, score_fr) THEN 'fr'
+      |    ELSE 'und'
+      |  END AS lang_pred
+      |FROM s""".stripMargin
+
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(T(s, dir, "documents"), "text", "doc_id")
+
+  private val fingerprintSql =
+    """WITH w AS (
+      |  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM w
+      |), c AS (
+      |  SELECT doc_id, norm, ws,
+      |    list_transform(ws, tk -> CAST(ascii(tk) * 31 + length(tk) AS BIGINT)) AS codes
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  md5(norm) AS fp_md5,
+      |  list_reduce(codes, (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll,
+      |  CASE WHEN len(ws) >= 3 THEN
+      |    list_min(list_transform(range(1, len(ws) - 1),
+      |      i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+      |  END AS fp_shingle
+      |FROM c""".stripMargin
+
+  /** Corpus profile: compose the per-doc ops with a grouped aggregate —
+   *  token totals and mean quality per source, FP routed through integer
+   *  nano-units (see RelationalQueries.dsum rationale). */
+  private def profile(s: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(T(s, dir, "documents"), "text", "doc_id")
+    val tk = TextAnalysis.tokenCounts(T(s, dir, "documents"), "text", "doc_id")
+    val d = T(s, dir, "documents").select("doc_id", "source")
+    d.join(q, "doc_id").join(tk, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
+        (sum(floor(col("quality") * lit(1e9)).cast("long")).cast("double")
+          / count(lit(1)) / lit(1e9)).as("avg_quality"))
+  }
+
+  private val profileSql =
+    """WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+      |      AS BIGINT) AS n_bpe,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) * 0.3
+      |      + greatest(0.0, 1.0 -
+      |          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / length(text) * 4.0) * 0.3 AS quality
+      |  FROM w
+      |)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(SUM(CAST(floor(quality * 1e9) AS BIGINT)) AS DOUBLE)
+      |    / COUNT(*) / 1e9 AS avg_quality
+      |FROM r GROUP BY source""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"      -> (tokens _),
+    "text_quality"     -> (quality _),
+    "text_langid"      -> (langid _),
+    "text_fingerprint" -> (fingerprint _),
+    "text_profile"     -> (profile _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "text_tokens"      -> tokensSql,
+    "text_quality"     -> qualitySql,
+    "text_langid"      -> langidSql,
+    "text_fingerprint" -> fingerprintSql,
+    "text_profile"     -> profileSql
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the multimodal plumbing semantics the oracle can't see (pixel /
+ *  feature values from the stub codec, batch behavior, schema evolution). */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def media(n: Int) =
+    (0 until n).map(i => (i, s"payload-text-$i-" + ("x" * (i % 50))))
+      .toDF("doc_id", "text")
+      .transform(df => Multimodal.fakeMediaFromText(df, "text", "image"))
+      .drop("text")
+
+  test("decodeImage: schema evolves, payload dropped, dims match stub codec") {
+    val out = Multimodal.decodeImage(media(150), "payload")
+    assert(out.columns.toSeq == Seq("doc_id", "modality", "meta", "pixels"))
+    val r = out.filter(col("doc_id") === 7).select("meta.width", "meta.height", "pixels").head()
+    val nb = "payload-text-7-xxxxxxx".getBytes("UTF-8").length
+    val (w, h, c) = Multimodal.FakeCodec.imageDims(nb)
+    assert(r.getInt(0) == w && r.getInt(1) == h)
+    assert(r.getSeq[Float](2).length == w * h * c)
+  }
+
+  test("decodeImage: batching covers partitions larger than one batch") {
+    // 150 rows in 1 partition > BatchSize=64 → 3 batches; all rows survive
+    val out = Multimodal.decodeImage(media(150).repartition(1), "payload")
+    assert(out.count() == 150)
+  }
+
+  test("resize + features: deterministic, pixel-free output") {
+    val out = Multimodal.imageFeatures(
+      Multimodal.resizeImage(Multimodal.decodeImage(media(20), "payload"), 4, 4))
+    assert(out.columns.toSeq == Seq("doc_id", "modality", "meta", "features"))
+    val feats = out.filter(col("doc_id") === 3).select("features")
+      .head().getSeq[Float](0)
+    assert(feats.length == 9) // 3 channels × (mean, min, max)
+    // mean within [min, max], all in [0,1] (stub pixels are normalized bytes)
+    for (ch <- 0 until 3) {
+      val (mean, mn, mx) = (feats(ch * 3), feats(ch * 3 + 1), feats(ch * 3 + 2))
+      assert(mn <= mean && mean <= mx)
+      assert(mn >= 0.0f && mx <= 1.0f)
+    }
+    // determinism: rerun produces identical floats
+    val again = Multimodal.imageFeatures(
+      Multimodal.resizeImage(Multimodal.decodeImage(media(20), "payload"), 4, 4))
+      .filter(col("doc_id") === 3).select("features").head().getSeq[Float](0)
+    assert(again == feats)
+  }
+
+  test("sampleFrames: partition-local 1:N with correct byte slicing") {
+    val video = media(10)
+      .withColumn("n_frames", (pmod(col("doc_id"), lit(7)) + lit(2)).cast("int"))
+    val out = Multimodal.sampleFrames(video, "payload", "n_frames", stride = 2)
+    val rows = out.filter(col("doc_id") === 5) // n_frames = 5+2 % ... = 0+... -> 5%7+2 = 7
+      .select("frame_idx", "frame").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 2, 4, 6))
+    val nb = media(10).filter(col("doc_id") === 5)
+      .select(length(col("payload"))).head().getInt(0)
+    val frameSize = nb / 7
+    assert(rows.forall(_.getAs[Array[Byte]](1).length == frameSize))
+  }
+
+  test("audio decode stub: sample rate + bounded samples") {
+    val (sr, samples) = Multimodal.FakeCodec.decodeAudio("hello audio".getBytes)
+    assert(sr == 16000)
+    assert(samples.nonEmpty && samples.forall(s => s >= -1.0f && s <= 1.0f))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics the DuckDB oracle can't show on the synthetic corpus (whose
+ *  languages share one vocabulary): langid must discriminate REAL
+ *  multilingual text, fingerprints must be edit-robust in the intended way.
+ */
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def docs(rows: (Int, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("languageId discriminates real multilingual samples") {
+    val df = docs(
+      1 -> "the cat sat on the mat and it is a fine day in the park",
+      2 -> "el perro corre en la casa y los gatos de la calle que juegan",
+      3 -> "der hund und die katze sind ein team zu hause in den bergen",
+      4 -> "le chat et le chien sont dans les jardins de la ville est un",
+      5 -> "这是一个中文句子 它包含很多汉字 用来测试语言识别",
+      6 -> "xyzzy qwerty plugh foobar")
+    val out = TextAnalysis.languageId(df, "text", "doc_id")
+      .select("doc_id", "lang_pred").as[(Int, String)].collect().toMap
+    assert(out(1) == "en")
+    assert(out(2) == "es")
+    assert(out(3) == "de")
+    assert(out(4) == "fr")
+    assert(out(5) == "zh")
+    assert(out(6) == "und")
+  }
+
+  test("tokenCounts: ws vs bpe-ish counts") {
+    val df = docs(1 -> "hello, world! x2")
+    val r = TextAnalysis.tokenCounts(df, "text", "doc_id").collect()(0)
+    assert(r.getAs[Long]("n_ws_tokens") == 3L)
+    // hello , world ! x 2  → 6 regex tokens
+    assert(r.getAs[Long]("n_bpe_tokens") == 6L)
+  }
+
+  test("qualityScore: clean long text beats punctuation soup") {
+    val clean = ("many distinct interesting words appear here " +
+      (1 to 60).map(i => s"w$i").mkString(" "))
+    val soup = "!!! ??? ... ;;; ::: @@@ ### $$$"
+    val out = TextAnalysis
+      .qualityScore(docs(1 -> clean, 2 -> soup), "text", "doc_id")
+      .select("doc_id", "quality").as[(Int, Double)].collect().toMap
+    assert(out(1) > out(2) + 0.3)
+    assert(out(1) <= 1.0 && out(2) >= 0.0)
+  }
+
+  test("fingerprint: md5 detects exact dups; min-shingle survives local edits") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val editedTail = (1 to 49).map(i => s"tok$i").mkString(" ") + " CHANGED"
+    val reordered = (1 to 50).reverse.map(i => s"tok$i").mkString(" ")
+    val out = TextAnalysis.fingerprint(
+      docs(1 -> base, 2 -> base, 3 -> editedTail, 4 -> reordered),
+      "text", "doc_id").collect().map(r =>
+        r.getInt(0) -> (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    // exact dup: all three fingerprints agree
+    assert(out(1) == out(2))
+    // tail edit: md5 + roll change, min shingle (over 48 shingles) survives
+    assert(out(3)._1 != out(1)._1 && out(3)._2 != out(1)._2)
+    assert(out(3)._3 == out(1)._3)
+    // full reorder: different roll hash (order-sensitive by design)
+    assert(out(4)._2 != out(1)._2)
+  }
+
+  test("lens op registration: text ops resolve and run through pipelines") {
+    val pipe = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:langid","arguments":{"text":"text","id":"doc_id"}}]}""")
+    val out = pipe.forward(docs(9 -> "the rain in spain is a plain"))
+    assert(out.columns.contains("lang_pred"))
+    assert(out.select("lang_pred").as[String].collect()(0) == "en")
+  }
+}
