@@ -50,10 +50,14 @@ object Dedup {
     require(k == bands * (k / bands) && k % bands == 0, "k must divide into bands")
     val rows = k / bands
 
+    // Shingle strings are hashed to sorted longs ONCE here; both the k
+    // signature re-hashes and the per-pair verify intersections downstream
+    // touch only fixed-width longs.
     val shingled = df
       .withColumn("ws", split(col(textCol), " "))
       .filter(size(col("ws")) >= shingleWidth)
-      .select(col(idCol).as("doc"), TextHash.wordShingles("ws", shingleWidth).as("sh"))
+      .select(col(idCol).as("doc"),
+        TextHash.hashedSet(TextHash.wordShingles("ws", shingleWidth)).as("sh"))
 
     val withSig = shingled.withColumn("sig", TextHash.minHashSignature("sh", k))
 
@@ -69,12 +73,21 @@ object Dedup {
       .select(col("doc").as("doc_a"), col("doc_b"))
       .distinct()
 
-    // Exact verification on candidates only.
-    val shA = shingled.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val shB = shingled.select(col("doc").as("doc_b"), col("sh").as("sh_b"))
+    // Exact verification on candidates only: merge-scan intersection over
+    // the sorted hashed shingle sets (custom codegen expression — zero
+    // per-pair allocation), behind the sound size-ratio prefilter
+    // (J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t — prunes before any array op).
+    val sized = shingled.withColumn("n", size(col("sh")))
+    val shA = sized.select(col("doc").as("doc_a"), col("sh").as("sh_a"),
+      col("n").as("n_a"))
+    val shB = sized.select(col("doc").as("doc_b"), col("sh").as("sh_b"),
+      col("n").as("n_b"))
     candidates
       .join(shA, "doc_a").join(shB, "doc_b")
-      .withColumn("jaccard", TextHash.jaccard(col("sh_a"), col("sh_b")))
+      .where(least(col("n_a"), col("n_b")) * lit(1.0) /
+        greatest(col("n_a"), col("n_b")) >= threshold)
+      .withColumn("jaccard",
+        TextHash.jaccardSorted(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -88,10 +101,12 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only for distance <= 3")
+    // Signature via the native SimHash64 expression — one tight primitive
+    // loop per row inside whole-stage codegen (see TextHash.simHash64 for
+    // the measured 65× gap vs the interpreted-HOF formulation).
     val sigs = df
       .withColumn("tokens", split(col(textCol), " "))
-      .withColumn("votes", TextHash.simHashVotes("tokens"))
-      .select(col(idCol).as("doc"), TextHash.votesToSimHash("votes").as("simhash"))
+      .select(col(idCol).as("doc"), TextHash.simHash64("tokens").as("simhash"))
 
     val chunked = sigs.select(col("doc"), col("simhash"),
       explode(expr("transform(sequence(0, 3), " +
@@ -105,8 +120,12 @@ object Dedup {
       .where(col("doc") < col("doc_b"))
       .select(col("doc").as("doc_a"), col("doc_b"),
         bit_count(expr("simhash ^ simhash_b")).cast("long").as("hamming"))
-      .distinct()
+      // Hamming filter BEFORE the distinct: bit_count is free at join
+      // time, and it shrinks the distinct's shuffle from every
+      // bucket-colliding pair (quadratic under skewed signatures) to just
+      // the near-duplicates.
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /**
@@ -117,18 +136,46 @@ object Dedup {
    */
   def ngramJaccard(
       df: DataFrame, textCol: String, idCol: String, blockCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
+      threshold: Double, n: Int = 3, saltBuckets: Int = 8): DataFrame = {
     val grams = df
       .filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc"), col(blockCol).as("block"),
-        TextHash.charNgrams(textCol, n).as("g"))
-    val right = grams.select(col("doc").as("doc_b"), col("block"), col("g").as("g_b"))
-    grams
-      .join(right, "block")
-      .where(col("doc") < col("doc_b"))
-      .withColumn("jaccard", TextHash.jaccard(col("g"), col("g_b")))
+        TextHash.hashedSet(TextHash.charNgrams(textCol, n)).as("g"))
+      .withColumn("ng", size(col("g")))
+      .withColumn("salt", pmod(xxhash64(col("doc")), lit(saltBuckets)).cast("int"))
+    // Salted triangle self-join: a block's quadratic pair space is split
+    // into S(S+1)/2 salt-pair cells so it spreads across the cluster even
+    // when there are few, huge blocks (the 100 TB failure mode of naive
+    // block joins — and measurable even here: 5 lang blocks ⇒ only 5
+    // active tasks without salting). Left carries (salt, sb≥salt), right
+    // (sa≤salt, salt): each unordered cell joins exactly once, and the
+    // doc < doc_b filter keeps pair uniqueness within the diagonal cells.
+    val left = grams
+      .withColumn("sb", explode(expr(s"sequence(salt, ${saltBuckets - 1})")))
+      .select(col("doc"), col("block"), col("g"), col("ng"),
+        col("salt").as("sa"), col("sb"))
+    val right = grams
+      .withColumn("sa", explode(expr("sequence(0, salt)")))
+      .select(col("doc").as("doc_b"), col("block"), col("g").as("g_b"),
+        col("ng").as("ng_b"), col("sa"), col("salt").as("sb"))
+    left
+      .join(right, Seq("block", "sa", "sb"))
+      // Off-diagonal cells (sa<sb) see each unordered pair exactly once
+      // (lower-salt doc on the left, whatever its id) — keep it; diagonal
+      // cells see both orderings — keep the id-ordered one. The output is
+      // canonicalized to doc_a < doc_b below.
+      .where(col("sa") < col("sb") || col("doc") < col("doc_b"))
+      // Size-ratio prefilter (sound: J ≥ t ⇒ min/max sizes ≥ t) prunes
+      // pairs before the per-pair intersect; gram sets are sorted hashed
+      // longs so the intersect that does run is an allocation-free
+      // merge scan (custom codegen expression), not hash-set building.
+      .where(least(col("ng"), col("ng_b")) * lit(1.0) /
+        greatest(col("ng"), col("ng_b")) >= threshold)
+      .withColumn("jaccard",
+        TextHash.jaccardSorted(col("g"), col("g_b"), col("ng"), col("ng_b")))
       .where(col("jaccard") >= threshold)
-      .select(col("doc").as("doc_a"), col("doc_b"), col("jaccard"))
+      .select(least(col("doc"), col("doc_b")).as("doc_a"),
+        greatest(col("doc"), col("doc_b")).as("doc_b"), col("jaccard"))
   }
 
   /**

@@ -42,8 +42,7 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val sigs = df
       .withColumn("tokens", split(col("text"), " "))
-      .withColumn("votes", TextHash.simHashVotes("tokens"))
-      .select(col("doc_id"), TextHash.votesToSimHash("votes").as("simhash"))
+      .select(col("doc_id"), TextHash.simHash64("tokens").as("simhash"))
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L))
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
