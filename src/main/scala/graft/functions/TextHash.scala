@@ -92,12 +92,10 @@ object TextHash {
     (inter * lit(1.0)) / (na + nb - inter)
   }
 
-  /** Cosine similarity of two float-array embedding columns (by name),
-   *  accumulated in double, left-to-right (deterministic order). */
-  def cosine(aCol: String, bCol: String): Column = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    expr(s"${dot(aCol, bCol)} / (sqrt(${dot(aCol, aCol)}) * sqrt(${dot(bCol, bCol)}))")
-  }
+  /** Cosine similarity of two float-array embedding columns (by name):
+   *  double-widened, left-to-right accumulation — deterministic and
+   *  bit-identical to the interpreted HOF formulation it replaces, but a
+   *  single fused codegen loop (o.a.s.sql.graft.CosineSim). */
+  def cosine(aCol: String, bCol: String): Column =
+    org.apache.spark.sql.graft.GraftCosine.cosineSim(col(aCol), col(bCol))
 }
