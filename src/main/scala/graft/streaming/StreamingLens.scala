@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.engine.Pipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * Structured-Streaming support for lens pipelines.
+ *
+ * The reference's Socket (late-bound source, reference:
+ * host-go/repository/repository.go:369-387) maps directly onto a
+ * streaming DataFrame: a lens pipeline is plan-to-plan
+ * (`DataFrame => DataFrame`), so the SAME pipeline object runs unchanged
+ * over `spark.readStream` input for every stateless op — filters,
+ * projections, renames, explodes, computed columns. Its pull model
+ * (one item in flight, reference: host-go/engine/pipes/fromSource.go:37-56)
+ * becomes micro-batch incremental execution; EOS (type id 127) becomes
+ * query termination.
+ *
+ * What the reference cannot express — event-time semantics (watermarks,
+ * windowed aggregation, late-data policy) and fault-tolerant keyed state —
+ * is added here as first-class operators, because a 100 TB training-data
+ * pipeline ingests continuously: dedup and windowed profiling must run on
+ * the stream, not on nightly batch reruns.
+ */
+object StreamingLens {
+
+  /** Ops whose semantics require a finite input; applying them to a
+   *  streaming DataFrame either throws in Spark's analyzer or silently
+   *  changes meaning — fail fast at pipeline-bind time instead. */
+  private val BatchOnlyOps = Set("sort", "limit", "counter", "collect_group")
+
+  /**
+   * Bind a lens pipeline to a streaming DataFrame (the Socket →
+   * Structured Streaming mapping). Stateless pipelines apply unchanged;
+   * batch-only stages are rejected eagerly with the op name (the analogue
+   * of the reference erroring on a missing module export).
+   */
+  def forward(pipeline: Pipeline, stream: DataFrame): DataFrame = {
+    require(stream.isStreaming, "forward(stream) expects a streaming DataFrame")
+    val bad = pipeline.stages.map(_.name).filter(n => BatchOnlyOps.exists(n.startsWith))
+    require(bad.isEmpty,
+      s"lens op(s) ${bad.mkString(", ")} are batch-only; " +
+        "use windowed/stateful streaming variants instead")
+    pipeline.forward(stream)
+  }
+
+  /**
+   * Event-time windowed aggregation with a watermark: the streaming
+   * analogue of `groupBy(...).agg(...)`. `aggExprs` are SQL aggregate
+   * expressions ("count(1) as n", "sum(x) as total"). State is bounded by
+   * the watermark: windows older than `delay` are finalized and dropped —
+   * the property that makes a continuous 100 TB ingest aggregation
+   * feasible at all.
+   */
+  def eventWindowAgg(
+      stream: DataFrame,
+      tsCol: String,
+      delay: String,
+      window: String,
+      keyCols: Seq[String],
+      aggExprs: Seq[String]): DataFrame = {
+    val withWm = stream.withWatermark(tsCol, delay)
+    val groupCols = org.apache.spark.sql.functions.window(col(tsCol), window) +:
+      keyCols.map(col)
+    val aggs = aggExprs.map(expr)
+    withWm.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Streaming exact dedup: first occurrence of each `idCols` tuple wins;
+   * duplicates arriving within the watermark horizon are dropped. State =
+   * one entry per distinct key inside the horizon (bounded), exactly the
+   * streaming face of `Dedup.exact`.
+   */
+  def streamingDedup(
+      stream: DataFrame,
+      tsCol: String,
+      delay: String,
+      idCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicates(idCols :+ tsCol)
+
+  /**
+   * Stateful per-key sequence numbers — the streaming answer to the
+   * reference's stateful counter module (T7, reference:
+   * tests/modules/rust_wasm32_counter/src/lib.rs:26-54). The batch
+   * equivalent is GlobalSequence; on a stream, keyed state via
+   * flatMapGroupsWithState carries each key's count across micro-batches
+   * (fault-tolerant through checkpointing). Within a micro-batch, rows of
+   * a key are numbered in `orderCol` order — the explicit determinism
+   * contract the single-threaded reference gets for free.
+   *
+   * Output: key, orderCol (long), seq (1-based running index per key).
+   */
+  def sequencedByKey(
+      stream: DataFrame,
+      keyCol: String,
+      orderCol: String): DataFrame = {
+    import stream.sparkSession.implicits._
+    val pairs = stream.select(col(keyCol).cast("string"), col(orderCol).cast("long"))
+      .as[(String, Long)]
+    pairs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val start = state.getOption.getOrElse(0L)
+          val sorted = rows.map(_._2).toSeq.sorted
+          val out = sorted.zipWithIndex.map { case (ord, i) =>
+            (key, ord, start + i + 1)
+          }
+          state.update(start + sorted.size)
+          out.iterator
+      }
+      .toDF(keyCol, orderCol, "seq")
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.engine.Pipeline
+import graft.streaming.StreamingLens
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured-Streaming lens support: stateless pipelines bind unchanged
+ *  (the Socket mapping), event-time/windowed/stateful ops behave. */
+class StreamingLensSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("stateless lens pipeline runs unchanged on a stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:filter","arguments":{"expr":"qty > 1"}},
+        |  {"path":"builtin:with_column","arguments":{"col":"qty2","expr":"qty * 2"}},
+        |  {"path":"builtin:rename","arguments":{"src":"name","dst":"item"}}
+        |]}""".stripMargin)
+    val out = StreamingLens.forward(pipe, in.toDF.toDF("name", "qty"))
+    val q = out.writeStream.format("memory").queryName("s_stateless").start()
+    try {
+      in.addData(("a", 1L), ("b", 2L), ("c", 3L))
+      q.processAllAvailable()
+      val rows = spark.sql("select item, qty, qty2 from s_stateless order by item")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(rows == Seq(("b", 2L, 4L), ("c", 3L, 6L)))
+    } finally q.stop()
+  }
+
+  test("batch-only ops are rejected eagerly with the op name") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long)]
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:sort","arguments":{"cols":["name"]}}]}""")
+    val e = intercept[IllegalArgumentException] {
+      StreamingLens.forward(pipe, in.toDF.toDF("name", "qty"))
+    }
+    assert(e.getMessage.contains("sort"))
+  }
+
+  test("event-time window agg with watermark: late data beyond delay dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val out = StreamingLens.eventWindowAgg(
+      in.toDF.toDF("ts", "k", "v"), "ts", "10 seconds", "30 seconds",
+      Seq("k"), Seq("sum(v) as total", "count(1) as n"))
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("s_window").start()
+    try {
+      in.addData((ts(5), "a", 1L), (ts(10), "a", 2L), (ts(100), "a", 10L))
+      q.processAllAvailable()
+      // watermark now 100-10=90s → the [0,30) window is finalized
+      in.addData((ts(7), "a", 100L)) // late beyond the watermark: dropped
+      in.addData((ts(110), "a", 20L))
+      q.processAllAvailable()
+      val totals = spark.sql(
+        "select window.start, total, n from s_window")
+        .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (w, rs) => w -> rs.maxBy(_._3) }
+      // [0,30) kept only the on-time rows 1+2
+      assert(totals(0L)._2 == 3L && totals(0L)._3 == 2L)
+      // [90,120) has 10+20
+      assert(totals(90L)._2 == 30L && totals(90L)._3 == 2L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup: duplicate ids across micro-batches dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingLens.streamingDedup(
+      in.toDF.toDF("ts", "id", "payload"), "ts", "1 minute", Seq("id"))
+    val q = out.writeStream.format("memory").queryName("s_dedup").start()
+    try {
+      in.addData((ts(1), 1L, "x"), (ts(2), 2L, "y"))
+      q.processAllAvailable()
+      in.addData((ts(1), 1L, "x"), (ts(3), 3L, "z")) // id 1 again: dropped
+      q.processAllAvailable()
+      val ids = spark.sql("select id from s_dedup").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sequencedByKey: per-key sequence persists across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val out = StreamingLens.sequencedByKey(in.toDF.toDF("k", "ord"), "k", "ord")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("s_seq").start()
+    try {
+      in.addData(("a", 10L), ("a", 5L), ("b", 1L))
+      q.processAllAvailable()
+      in.addData(("a", 20L), ("b", 2L))
+      q.processAllAvailable()
+      val rows = spark.sql("select k, ord, seq from s_seq")
+        .as[(String, Long, Long)].collect().toSet
+      // batch 1: a's rows numbered in ord order (5→1, 10→2); b: 1
+      // batch 2 continues: a 20→3, b 2→2
+      assert(rows == Set(
+        ("a", 5L, 1L), ("a", 10L, 2L), ("a", 20L, 3L),
+        ("b", 1L, 1L), ("b", 2L, 2L)))
+    } finally q.stop()
+  }
+}
