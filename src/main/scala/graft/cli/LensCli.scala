@@ -1,0 +1,98 @@
+package graft.cli
+
+import graft.engine.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+import scala.io.Source
+
+/**
+ * One-shot batch CLI — the reference's `host-go <lensFile.json> <
+ * input.json > output.json` entry point (reference: host-go/cli/main.go:19-60):
+ * read a JSON array of documents from stdin, run the lens pipeline
+ * (optionally inverted), write the resulting JSON array to stdout.
+ *
+ * The reference drives a single-threaded pull loop; here the same contract
+ * is one Catalyst plan over a parallel local session. Output rows are in
+ * input order for order-preserving (narrow) pipelines: the input carries a
+ * monotonic index used to sort before emission — the determinism the
+ * reference gets from its one-item-at-a-time loop.
+ *
+ * Usage: LensCli <lensFile.json> [--inverse] < input.json > output.json
+ */
+object LensCli {
+
+  /** Core, testable transform: JSON array in → JSON array out. */
+  def run(spark: SparkSession, inputJson: String, lensJson: String,
+      invert: Boolean = false): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val pipeline = Pipeline.fromJson(lensJson)
+    val bound = if (invert) pipeline.inverse else pipeline
+
+    // One JSON doc per Dataset row; schema inferred like json.Unmarshal
+    // into map[string]any (reference: host-go/cli/main.go:19-28).
+    val docs = parseArray(inputJson)
+    if (docs.isEmpty) return "[]"
+    val in = spark.read.json(docs.toDS)
+      .withColumn("__ord", monotonically_increasing_id())
+
+    val out = bound.forward(in)
+    val ordered: DataFrame =
+      if (out.columns.contains("__ord")) out.orderBy(col("__ord")).drop("__ord")
+      else out
+    ordered.toJSON.collect().mkString("[", ",", "]")
+  }
+
+  /** Split a top-level JSON array into element strings (no full JSON lib
+   *  needed — tracks nesting depth and string state only). */
+  private[cli] def parseArray(s: String): Seq[String] = {
+    val t = s.trim
+    require(t.startsWith("[") && t.endsWith("]"), "input must be a JSON array")
+    val body = t.substring(1, t.length - 1)
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var esc = false; var start = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (esc) esc = false
+      else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          val e = body.substring(start, i).trim; if (e.nonEmpty) out += e
+          start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    val last = body.substring(start).trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: LensCli <lensFile.json> [--inverse] [--in input.json]")
+    val lensJson = Files.readString(Paths.get(args(0)))
+    val invert = args.contains("--inverse")
+    // --in <file> supports launchers that swallow stdin (e.g. sbt batch).
+    val input = args.indexOf("--in") match {
+      case i if i >= 0 && i + 1 < args.length =>
+        Files.readString(Paths.get(args(i + 1)))
+      case _ => Source.stdin.mkString
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-lens-cli")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try println(run(spark, input, lensJson, invert))
+    finally spark.stop()
+  }
+}

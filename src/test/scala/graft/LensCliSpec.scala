@@ -1,0 +1,74 @@
+package graft
+
+import graft.cli.LensCli
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Golden end-to-end CLI tests replicating the reference's integration
+ * cases (reference: tests/integration/cli — simple_test.go,
+ * with_inverse_test.go, with_modules_params_test.go,
+ * with_len_change_test.go, with_state_test.go): JSON array in → lens
+ * pipeline → JSON array out, byte-for-byte goldens.
+ */
+class LensCliSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private val people = """[{"Age": 21, "Name": "John"}, {"Age": 9, "Name": "Fred"}]"""
+
+  test("no modules: identity pass-through (reference simple_test no-lens case)") {
+    val out = LensCli.run(spark, people, """{"lenses":[]}""")
+    assert(out == """[{"Age":21,"Name":"John"},{"Age":9,"Name":"Fred"}]""")
+  }
+
+  test("simple: rename Name -> FullName (reference T1)") {
+    val lens =
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}"""
+    val out = LensCli.run(spark, people, lens)
+    assert(out == """[{"Age":21,"FullName":"John"},{"Age":9,"FullName":"Fred"}]""")
+  }
+
+  test("with_column + inverse round-trip (reference T2: age+1 / age-1)") {
+    val lens =
+      """{"lenses":[{"path":"builtin:with_column",
+        |  "arguments":{"col":"Age","expr":"Age + 1","inverse_expr":"Age - 1"}}]}""".stripMargin
+    val fwd = LensCli.run(spark, people, lens)
+    assert(fwd == """[{"Age":22,"Name":"John"},{"Age":10,"Name":"Fred"}]""")
+    val back = LensCli.run(spark, fwd, lens, invert = true)
+    assert(back == """[{"Age":21,"Name":"John"},{"Age":9,"Name":"Fred"}]""")
+  }
+
+  test("filter + explode: consume-many/yield-many (reference T5/T6 len change)") {
+    val books =
+      """[{"Name": "A", "PageNumbers": [1, 2]},
+        | {"Name": "B", "PageNumbers": []},
+        | {"Name": "C", "PageNumbers": [7]}]""".stripMargin
+    val lens =
+      """{"lenses":[
+        |  {"path":"builtin:filter","arguments":{"expr":"Name != 'B'"}},
+        |  {"path":"builtin:explode","arguments":{"col":"PageNumbers","as":"Number"}},
+        |  {"path":"builtin:rename","arguments":{"src":"Name","dst":"BookName"}}
+        |]}""".stripMargin
+    val out = LensCli.run(spark, books, lens)
+    assert(out ==
+      """[{"BookName":"A","Number":1},{"BookName":"A","Number":2},{"BookName":"C","Number":7}]""")
+  }
+
+  test("stateful counter assigns sequential ids (reference T7)") {
+    val lens =
+      """{"lenses":[{"path":"builtin:counter",
+        |  "arguments":{"as":"Id","order_by":"Name"}}]}""".stripMargin
+    val out = LensCli.run(spark, people, lens)
+    // ids follow order_by (Name: Fred=1, John=2); row order stays input order
+    assert(out == """[{"Age":21,"Name":"John","Id":2},{"Age":9,"Name":"Fred","Id":1}]""")
+  }
+
+  test("memory module: identity (reference T8)") {
+    val lens = """{"lenses":[{"path":"builtin:memory","arguments":{}}]}"""
+    assert(LensCli.run(spark, people, lens) ==
+      """[{"Age":21,"Name":"John"},{"Age":9,"Name":"Fred"}]""")
+  }
+
+  test("empty input array") {
+    assert(LensCli.run(spark, "[]", """{"lenses":[]}""") == "[]")
+  }
+}
