@@ -78,12 +78,15 @@ object DedupQueries extends QueryProvider {
       |      / (a.nrm * b.nrm) >= 0.402""".stripMargin
 
   // HLL sketch comparison is engine-specific — rows-only check by design.
+  // The exact count groups 64-bit content hashes, not the documents: the
+  // distinct-shuffle moves 8 bytes/row instead of the text (same count up
+  // to a ~n²/2⁶⁵ collision; the scalable shape at 100 TB).
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .groupBy(col("source"))
       .agg(
-        countDistinct(col("text")).as("n_exact"),
-        approx_count_distinct(col("text"), 0.02).as("n_approx"))
+        countDistinct(xxhash64(col("text"))).as("n_exact"),
+        approx_count_distinct(xxhash64(col("text")), 0.02).as("n_approx"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),
