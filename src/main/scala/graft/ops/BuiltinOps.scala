@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.operators.{GlobalSequence, TextAnalysis}
+import graft.operators.{Dedup, GlobalSequence, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -130,6 +130,37 @@ object BuiltinOps {
     "limit" -> { a =>
       val n = a.int("n")
       LensOp(s"limit($n)", df => df.limit(n))
+    },
+
+    // ---- Dedup lens ops (SURVEY.md §2.6): the large-scale operators as
+    // pipeline stages, so a lens file alone drives a dedup run.
+    "dedup_exact" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp(s"dedup_exact($t)", df => Dedup.exact(df, t, id))
+    },
+
+    "dedup_minhash" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val thr = a.doubleOpt("threshold").getOrElse(0.8)
+      LensOp(s"dedup_minhash($t>=$thr)", df => Dedup.minHashLsh(df, t, id, thr))
+    },
+
+    "dedup_simhash" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val ham = a.intOpt("max_hamming").getOrElse(3)
+      LensOp(s"dedup_simhash($t<=$ham)", df => Dedup.simHash(df, t, id, ham))
+    },
+
+    "similar_pairs" -> { a =>
+      val (v, id) = (a.strOpt("vec").getOrElse("embedding"),
+        a.strOpt("id").getOrElse("vec_id"))
+      val block = a.str("block")
+      val thr = a.double("threshold")
+      LensOp(s"similar_pairs($v>=$thr)",
+        df => Dedup.embeddingCosine(df, v, id, block, thr))
     },
 
     // ---- Text-analysis lens ops (SURVEY.md §2.6 north-star additions).

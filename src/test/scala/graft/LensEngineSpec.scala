@@ -122,4 +122,15 @@ class LensEngineSpec extends AnyFunSuite {
     val e = intercept[UnsupportedOperationException](pipe.inverse)
     assert(e.getMessage.contains("does not export an inverse"))
   }
+
+  test("large-scale operators run as lens-file stages (dedup_exact)") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:dedup_exact",
+        |  "arguments":{"text":"text","id":"doc_id"}}]}""".stripMargin)
+    val out = pipe.forward(df).as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
 }
