@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Sessionization: split each key's event stream into sessions at
+ * inactivity gaps — the standard log-preparation step for training-data
+ * pipelines (conversation/episode construction).
+ *
+ * Scale shape: one window partitioned BY KEY (never a global window) —
+ * the shuffle is the same hash-by-key exchange a groupBy would do, state
+ * per task is one partition's rows, and skewed keys are bounded by the
+ * per-user event count, not corpus size. Batch here; the streaming
+ * equivalent is `StreamingLens.eventWindowAgg` / session windows with
+ * watermark state.
+ *
+ * The reference has no event-time semantics at all (its pull stream is
+ * order-only — SURVEY.md §2.5); this is a §2.6 north-star addition.
+ */
+object Sessionize {
+
+  /**
+   * Assign a per-key 1-based session index. A new session starts at the
+   * first event of a key or when the gap from the previous event exceeds
+   * `gap` (same units as `tsCol` — ns for the testdata `events.ts`).
+   * `tieCol` breaks equal-timestamp ordering deterministically.
+   */
+  def assign(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: Long,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession: Column =
+      when(prev.isNull || (col(tsCol) - prev) > gap, 1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session aggregates: event count and exact duration (ts units). */
+  def stats(
+      sessions: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame =
+    sessions
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration"))
+}

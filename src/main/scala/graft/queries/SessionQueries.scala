@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Sessionization queries over `events` (10k events, 150 users at sf0.01).
+ * `events.ts` is TIMESTAMP(ns): Spark reads it as a raw nanos long (see
+ * `T`), DuckDB compares `epoch_ns(ts)` — identical integer values, no
+ * precision trap. Gap = 8h (≈ the median per-user inactivity), giving
+ * ~2 events/session on the testdata.
+ */
+object SessionQueries extends QueryProvider {
+
+  private val GapUs = 8L * 3600 * 1000000L
+
+  /** Microsecond event times on both engines: Spark truncates the raw ns
+   *  long (`div 1000`); DuckDB's parquet reader already truncates
+   *  TIMESTAMP(NANOS)→µs (verified empirically: floor, not round), so
+   *  `epoch_us(ts)` sees the same integers. */
+  private def sessions(s: SparkSession, dir: String): DataFrame =
+    Sessionize.assign(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", GapUs, "event_id")
+
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessions(s, dir).select(
+      col("event_id"), col("user_id"), col("session_seq"))
+
+  private val sessionizeSql =
+    s"""SELECT event_id, user_id,
+       |  SUM(CASE WHEN prev IS NULL OR us - prev > $GapUs THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY us, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |FROM (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+       |  FROM events
+       |)""".stripMargin
+
+  private def sessionStats(s: SparkSession, dir: String): DataFrame =
+    Sessionize.stats(sessions(s, dir), "user_id", "ts_us")
+      .select(col("user_id"), col("session_seq"),
+        col("n_events"), col("duration").as("duration_us"))
+
+  private val sessionStatsSql =
+    s"""WITH s AS (
+       |  SELECT user_id, us,
+       |    SUM(CASE WHEN prev IS NULL OR us - prev > $GapUs THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM (
+       |    SELECT event_id, user_id, epoch_us(ts) AS us,
+       |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+       |    FROM events
+       |  )
+       |)
+       |SELECT user_id, session_seq, COUNT(*) AS n_events,
+       |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+       |FROM s GROUP BY user_id, session_seq""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize"    -> (sessionize _),
+    "q_session_stats" -> (sessionStats _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_sessionize"    -> sessionizeSql,
+    "q_session_stats" -> sessionStatsSql
+  )
+}

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Sessionize
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  test("sessions break at gap, keys independent, ties deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: events at t=0,10,1000,1005 with gap 100 → sessions 1,1,2,2
+      (1L, 0L, 1L), (2L, 10L, 1L), (3L, 1000L, 1L), (4L, 1005L, 1L),
+      // user 2: single event → session 1
+      (5L, 5000L, 2L),
+      // user 3: equal timestamps, tie-broken by event_id
+      (6L, 7L, 3L), (7L, 7L, 3L))
+      .toDF("event_id", "ts", "user_id")
+    val out = Sessionize.assign(df, "user_id", "ts", gap = 100L, tieCol = "event_id")
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L))
+
+    val stats = Sessionize.stats(
+      Sessionize.assign(df, "user_id", "ts", 100L, "event_id"), "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(stats((1L, 1L)) == ((2L, 10L)))   // 2 events, duration 10
+    assert(stats((1L, 2L)) == ((2L, 5L)))
+    assert(stats((2L, 1L)) == ((1L, 0L)))
+    assert(stats((3L, 1L)) == ((2L, 0L)))
+  }
+}
