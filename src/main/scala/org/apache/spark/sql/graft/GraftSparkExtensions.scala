@@ -1,0 +1,62 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/**
+ * SQL-surface registration for graft's native expressions, two ways:
+ *
+ *  1. `spark.sql.extensions=org.apache.spark.sql.graft.GraftSparkExtensions`
+ *     (or `builder.withExtensions(new GraftSparkExtensions)`) registers
+ *     them at session build — the standard plugin path for a cluster
+ *     deployment;
+ *  2. `GraftFunctions.register(spark)` injects into an already-running
+ *     session (used by the test suite).
+ *
+ * After either, `SELECT simhash64(tokens), cosine_sim(a, b), …` works in
+ * plain SQL, so lens `select_expr`/`filter` stages — and any downstream
+ * SQL user — reach the codegen'd hot paths directly.
+ */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftSparkExtensions].getName, null, name, usage, "")
+
+  private def literalInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  /** (name, info, builder) for every native function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(hashed, k) - k-element MinHash signature of a long array"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head, literalInt(args(1), "minhash_sig k"))),
+    ("sorted_long_intersect_size",
+      info("sorted_long_intersect_size",
+        "sorted_long_intersect_size(a, b) - |A∩B| of two sorted long arrays"),
+      (args: Seq[Expression]) => SortedLongIntersectSize(args.head, args(1))),
+    ("cosine_sim",
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+
+  /** Register into a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
