@@ -57,7 +57,8 @@ object Dedup {
       .withColumn("ws", split(col(textCol), " "))
       .filter(size(col("ws")) >= shingleWidth)
       .select(col(idCol).as("doc"),
-        TextHash.hashedSet(TextHash.wordShingles("ws", shingleWidth)).as("sh"))
+        org.apache.spark.sql.graft.GraftSetBuilders
+          .hashedWordShingles(col("ws"), shingleWidth).as("sh"))
 
     val withSig = shingled.withColumn("sig", TextHash.minHashSignature("sh", k))
 
@@ -140,7 +141,8 @@ object Dedup {
     val grams = df
       .filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc"), col(blockCol).as("block"),
-        TextHash.hashedSet(TextHash.charNgrams(textCol, n)).as("g"))
+        org.apache.spark.sql.graft.GraftSetBuilders
+          .hashedCharNgrams(col(textCol), n).as("g"))
       .withColumn("ng", size(col("g")))
       .withColumn("salt", pmod(xxhash64(col("doc")), lit(saltBuckets)).cast("int"))
     // Salted triangle self-join: a block's quadratic pair space is split

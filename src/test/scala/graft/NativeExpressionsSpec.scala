@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{ArrayOps, TextHash}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case behavior of the native codegen expressions: null propagation,
+ *  empty inputs, and agreement between codegen and interpreted eval. */
+class NativeExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private val schema = StructType(Seq(
+    StructField("a", ArrayType(LongType), nullable = true),
+    StructField("b", ArrayType(LongType), nullable = true)))
+
+  test("sortedIntersectSize: disjoint, subset, empty, null") {
+    val rows = Seq(
+      Row(Seq(1L, 2L, 3L), Seq(4L, 5L)),          // disjoint → 0
+      Row(Seq(1L, 2L, 3L), Seq(2L, 3L)),          // subset → 2
+      Row(Seq.empty[Long], Seq(1L)),              // empty → 0
+      Row(null, Seq(1L)))                         // null → null
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => r: Row)), schema)
+    val out = df.select(ArrayOps.sortedIntersectSize(col("a"), col("b")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(out.toSeq == Seq(Some(0), Some(2), Some(0), None))
+  }
+
+  test("simHash64: empty array -> 0, null -> null, deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Seq("x", "y"))),
+      (2, Some(Seq.empty[String])),
+      (3, Option.empty[Seq[String]])).toDF("id", "t")
+    val out = df.select(col("id"), TextHash.simHash64("t").as("s"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(2) == Some(0L)) // zero votes → all bits unset
+    assert(out(3) == None)
+    assert(out(1).get == Seq(Seq("x", "y")).toDF("t")
+      .select(TextHash.simHash64("t")).head().getLong(0))
+  }
+
+  test("minHashSignature: empty set -> MaxValue sentinels; monotone under union") {
+    import spark.implicits._
+    val sig = Seq((1, Seq(10L, 20L)), (2, Seq.empty[Long]))
+      .toDF("id", "h").select(col("id"), TextHash.minHashSignature("h", 8).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(2).forall(_ == Long.MaxValue))
+    // signature of a superset is element-wise <= (mins only decrease)
+    val sup = Seq(Seq(10L, 20L, 30L)).toDF("h")
+      .select(TextHash.minHashSignature("h", 8)).head().getSeq[Long](0)
+    assert(sig(1).zip(sup).forall { case (s, p) => p <= s })
+  }
+
+  test("cosine: orthogonal 0, antiparallel -1, zero vector -> NaN (documented)") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(-1.0f, -2.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(TextHash.cosine("a", "b")).collect().map(_.getDouble(0))
+    assert(math.abs(out(0)) < 1e-15)
+    assert(math.abs(out(1) + 1.0) < 1e-12)
+    assert(out(2).isNaN) // 0/0 — callers filter zero-norm vectors upstream
+  }
+}
