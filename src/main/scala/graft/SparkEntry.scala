@@ -14,7 +14,8 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     MultimodalQueries,
-    SessionQueries
+    SessionQueries,
+    IoQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -238,6 +238,65 @@ object Multimodal {
     }(encoder)
   }
 
+  /**
+   * Decode an audio payload column → `sample_rate` + `samples` float
+   * array; same batched mapPartitions shape as images, payload dropped so
+   * downstream stages never shuffle the bytes.
+   */
+  def decodeAudio(
+      df: DataFrame,
+      payloadCol: String,
+      codec: Codec = FakeCodec): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val kept = inSchema.fields.zipWithIndex.filter(_._2 != payloadIdx)
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("samples", ArrayType(FloatType, containsNull = false))))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.map { r =>
+        val (sr, samples) = codec.decodeAudio(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(keptIdx.toSeq.map(r.get) ++ Seq(sr, samples.toSeq))
+      })
+    }(encoder)
+  }
+
+  /** Per-clip audio features over decoded samples: RMS energy, zero-
+   *  crossing count, sample count — the tiny vector downstream ops shuffle
+   *  instead of waveforms. */
+  def audioFeatures(df: DataFrame, dropSamples: Boolean = true): DataFrame = {
+    val inSchema = df.schema
+    val sIdx = inSchema.fieldIndex("samples")
+    val kept = inSchema.fields.zipWithIndex
+      .filter { case (_, i) => !(dropSamples && i == sIdx) }
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("n_samples", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.map { r =>
+        val xs = r.getSeq[Float](sIdx)
+        var sumSq = 0.0; var zc = 0L
+        var i = 0
+        while (i < xs.length) {
+          val v = xs(i).toDouble
+          sumSq += v * v
+          if (i > 0 && ((xs(i - 1) < 0 && xs(i) >= 0) || (xs(i - 1) >= 0 && xs(i) < 0))) zc += 1
+          i += 1
+        }
+        val rms = math.sqrt(sumSq / math.max(xs.length, 1))
+        // Seq[Any]: a plain Seq(Long, Double, Long) would numerically
+        // widen every element to Double and corrupt the row encoding.
+        Row.fromSeq(keptIdx.toSeq.map(r.get) ++
+          Seq[Any](xs.length.toLong, rms, zc))
+      })
+    }(encoder)
+  }
+
   /** Build a fake media table from any string column (deterministic:
    *  payload = UTF-8 bytes). Lets the media ops run against the standard
    *  testdata `documents` table. */

@@ -85,15 +85,34 @@ object MultimodalQueries extends QueryProvider {
       |    AS frame_bytes
       |FROM f""".stripMargin
 
+  /** audio decode → features; stub sample count is byte arithmetic →
+   *  oracle-checkable, waveform-derived values pinned in the spec. */
+  private def audioFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(
+      Multimodal.decodeAudio(
+        Multimodal.fakeMediaFromText(
+          T(s, dir, "documents").select("doc_id", "text"), "text", "audio")
+          .drop("text"), "payload"))
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"))
+
+  private val audioFeaturesSql =
+    """SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(256 + octet_length(encode(text)) % 1024 AS BIGINT) AS n_samples
+      |FROM documents""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_image_meta"     -> (imageMeta _),
-    "mm_image_features" -> (imageFeatures _),
-    "mm_frame_sample"   -> (frameSample _)
+    "mm_image_meta"      -> (imageMeta _),
+    "mm_image_features"  -> (imageFeatures _),
+    "mm_frame_sample"    -> (frameSample _),
+    "mm_audio_features"  -> (audioFeatures _)
   )
 
   override val oracles: Map[String, String] = Map(
-    "mm_image_meta"     -> imageMetaSql,
-    "mm_image_features" -> imageFeaturesSql,
-    "mm_frame_sample"   -> frameSampleSql
+    "mm_image_meta"      -> imageMetaSql,
+    "mm_image_features"  -> imageFeaturesSql,
+    "mm_frame_sample"    -> frameSampleSql,
+    "mm_audio_features"  -> audioFeaturesSql
   )
 }

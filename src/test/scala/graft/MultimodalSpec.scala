@@ -70,4 +70,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sr == 16000)
     assert(samples.nonEmpty && samples.forall(s => s >= -1.0f && s <= 1.0f))
   }
+
+  test("audio pipeline: decode -> features, waveform dropped, values sane") {
+    val audio = (0 until 5).map(i => (i, s"clip-$i-payload"))
+      .toDF("doc_id", "text")
+      .transform(df => Multimodal.fakeMediaFromText(df, "text", "audio"))
+      .drop("text")
+    val out = Multimodal.audioFeatures(Multimodal.decodeAudio(audio, "payload"))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "modality", "sample_rate", "n_samples", "rms", "zero_crossings"))
+    val r = out.filter(col("doc_id") === 2).head()
+    val nBytes = "clip-2-payload".getBytes("UTF-8").length
+    assert(r.getAs[Long]("n_samples") == 256L + nBytes % 1024)
+    val rms = r.getAs[Double]("rms")
+    assert(rms > 0.0 && rms <= 1.0)
+    assert(r.getAs[Long]("zero_crossings") >= 0L)
+  }
 }
