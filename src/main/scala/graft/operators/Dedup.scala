@@ -181,6 +181,92 @@ object Dedup {
   }
 
   /**
+   * Exact n-gram Jaccard pairs WITHOUT a blocking column — the AllPairs
+   * prefix-filter join (Bayardo et al.): sound candidate generation from
+   * an inverted index over each document's rarest grams.
+   *
+   * Theory: order all grams globally by ascending document frequency; if
+   * J(A,B) ≥ t, then A and B must share a gram within the first
+   * |X| − ⌈t·|X|⌉ + 1 grams of each side's df-ordered list (else the
+   * overlap bound ⌈t·|X|⌉ is unreachable) — so indexing only prefixes
+   * keeps recall exactly 1 while the rare-gram buckets stay small.
+   *
+   * Scale shape: one groupBy for df, one per-doc window for prefix ranks,
+   * an inverted-index self-join keyed on prefix grams, then the usual
+   * size-ratio prefilter + merge-scan verify. No quadratic stage touches
+   * the full corpus — candidates are bounded by Σ(bucket²) over RARE
+   * grams. This is the no-prior-blocking counterpart of `ngramJaccard`
+   * (whose block column would be an LSH bucket / cluster id at scale).
+   *
+   * Token space matters: prefix filtering needs rare tokens to exist.
+   * `charGrams = false` (default) shingles WORDS — a combinatorially large
+   * space where per-doc rarest shingles index tiny buckets. Char n-grams
+   * (`charGrams = true`) collapse onto a few hundred distinct grams on
+   * vocabulary-dense corpora — measured 112M index hits for 30 true pairs
+   * at sf0.1 — and are kept only for short-string (name/URL) workloads.
+   */
+  def allPairsJaccard(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, n: Int = 3, charGrams: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val builders = org.apache.spark.sql.graft.GraftSetBuilders
+    val grams = (if (charGrams) {
+      df.filter(length(col(textCol)) >= n)
+        .select(col(idCol).as("doc"),
+          builders.hashedCharNgrams(col(textCol), n).as("g"))
+    } else {
+      df.withColumn("ws", split(col(textCol), " "))
+        .filter(size(col("ws")) >= n)
+        .select(col(idCol).as("doc"),
+          builders.hashedWordShingles(col("ws"), n).as("g"))
+    }).withColumn("ng", size(col("g")))
+
+    val exploded = grams.select(col("doc"), col("ng"), explode(col("g")).as("gram"))
+    val dfCounts = exploded.groupBy(col("gram")).agg(count(lit(1)).as("df_count"))
+
+    // Rank each doc's grams in the global (df, gram) order; keep the
+    // prefix. ceil(t·ng) via -floor(-x) keeps it in exact integer math.
+    val prefixLen = (col("ng") - (-floor(-lit(threshold) * col("ng"))).cast("int") + 1)
+    val prefixes = exploded
+      .join(dfCounts, "gram")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df_count"), col("gram"))))
+      .where(col("rn") <= prefixLen)
+      .select(col("doc"), col("gram"), col("rn"), col("ng"))
+
+    // Candidate-time pruning (PPJoin): before the distinct, drop index hits
+    // that cannot reach the required overlap α = t(|A|+|B|)/(1+t):
+    //  - size filter: min/max sizes ≥ t (J ≤ size ratio);
+    //  - positional filter: overlap ≤ min(|A|−posA, |B|−posB) + 1 given the
+    //    shared gram is at 1-based df-order position pos in each list.
+    // The 1e-9 slack keeps FP-computed α from ever pruning an exact-boundary
+    // true pair (verify is exact; recall must stay 1).
+    val right = prefixes.select(col("doc").as("doc_b"), col("gram"),
+      col("rn").as("rn_b"), col("ng").as("ng_b"))
+    val alpha = lit(threshold) * (col("ng") + col("ng_b")) / lit(1.0 + threshold)
+    val posBound =
+      least(col("ng") - col("rn"), col("ng_b") - col("rn_b")) + lit(1)
+    val candidates = prefixes.join(right, "gram")
+      .where(col("doc") < col("doc_b"))
+      .where(least(col("ng"), col("ng_b")) * lit(1.0) /
+        greatest(col("ng"), col("ng_b")) >= threshold)
+      .where(posBound.cast("double") >= alpha - lit(1e-9))
+      .select(col("doc").as("doc_a"), col("doc_b"))
+      .distinct()
+
+    val gA = grams.select(col("doc").as("doc_a"), col("g").as("g_a"), col("ng").as("ng_a"))
+    val gB = grams.select(col("doc").as("doc_b"), col("g").as("g_b"), col("ng").as("ng_b"))
+    candidates
+      .join(gA, "doc_a").join(gB, "doc_b")
+      .where(least(col("ng_a"), col("ng_b")) * lit(1.0) /
+        greatest(col("ng_a"), col("ng_b")) >= threshold)
+      .withColumn("jaccard",
+        TextHash.jaccardSorted(col("g_a"), col("g_b"), col("ng_a"), col("ng_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /**
    * Embedding near-duplicate pairs: exact double-accumulated cosine within
    * blocking groups (IVF shape: block = coarse cluster id; only in-cluster
    * pairs are compared). Emits ids only — cosine values stay internal so

@@ -57,6 +57,27 @@ object DedupQueries extends QueryProvider {
       |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE 1.0 * len(list_intersect(a.t, b.t)) / len(list_distinct(a.t || b.t)) >= 0.7""".stripMargin
 
+  private def dedupAllPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.allPairsJaccard(T(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.7, n = 3)
+
+  // Ground truth: UNBLOCKED exact all-pairs word-3-shingle Jaccard. The
+  // Spark side must reach the same pair set through the AllPairs prefix
+  // index (recall is exactly 1 by the prefix-filter theorem).
+  private val dedupAllPairsSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |  FROM w WHERE len(ws) >= 3
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  1.0 * len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE 1.0 * len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.7""".stripMargin
+
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosine(T(s, dir, "embeddings"), "embedding", "vec_id",
       blockCol = "label", threshold = 0.402)
@@ -93,6 +114,7 @@ object DedupQueries extends QueryProvider {
     "dedup_minhash_lsh"    -> (dedupMinhash _),
     "dedup_simhash"        -> (dedupSimhash _),
     "dedup_ngram_jaccard"  -> (dedupNgram _),
+    "dedup_allpairs"       -> (dedupAllPairs _),
     "dedup_embedding"      -> (dedupEmbedding _),
     "dedup_approx_distinct" -> (approxDistinct _)
   )
@@ -101,6 +123,7 @@ object DedupQueries extends QueryProvider {
     "dedup_exact"         -> dedupExactSql,
     "dedup_minhash_lsh"   -> dedupMinhashSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
+    "dedup_allpairs"      -> dedupAllPairsSql,
     "dedup_embedding"     -> dedupEmbeddingSql
     // dedup_simhash, dedup_approx_distinct: hash/sketch internals are
     // engine-specific — rows-only checks, semantics covered in DedupSpec.

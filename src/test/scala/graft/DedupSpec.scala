@@ -32,6 +32,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("allpairs prefix join == brute force, no blocking column needed") {
+    val nearDup = base.replace("angry", "furious")
+    val other = "completely different content about spark catalyst plans " +
+      "and shuffle partitions during large scale query execution today yes"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.allPairsJaccard(df, "text", "doc_id", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force over word-3-shingles finds (1,2), (1,4), (2,4)
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
   test("simhash: identical text -> hamming 0; perturbed -> small; unrelated -> large") {
     val df = Seq(
       (1L, base),
