@@ -15,7 +15,8 @@ object SparkEntry {
     TextQueries,
     MultimodalQueries,
     SessionQueries,
-    IoQueries
+    IoQueries,
+    StorageQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Physical-layout operators: bucketed co-located joins and deterministic
+ * per-group sampling — the storage-side levers a 100 TB deployment leans
+ * on (pre-bucketed fact tables turn every repeated key-join into a
+ * zero-shuffle merge; hash-order sampling gives reproducible subsets with
+ * no RNG state).
+ */
+object StorageQueries extends QueryProvider {
+
+  /**
+   * Bucket both join sides by the key into external tables, then join —
+   * with matching bucket counts Spark plans a SortMergeJoin with NO
+   * Exchange on either side (verified in StorageSpec via the physical
+   * plan). This is the "co-locate joins via bucketing" pattern: at scale
+   * the bucketed write happens once, every later join skips its shuffle.
+   */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val cat = s.catalog
+    Seq("g_orders_b", "g_customer_b").foreach { t =>
+      if (cat.tableExists(t)) s.sql(s"DROP TABLE $t")
+    }
+    T(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/orders_b").mode(SaveMode.Overwrite)
+      .saveAsTable("g_orders_b")
+    T(s, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/customer_b").mode(SaveMode.Overwrite)
+      .saveAsTable("g_customer_b")
+    s.table("g_orders_b")
+      .join(s.table("g_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(floor(col("o_totalprice") * lit(100)).cast("long")) / lit(100.0))
+          .as("total_price"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+      |    AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /**
+   * Deterministic per-group sampling: keep the k rows with the smallest
+   * xxhash64(id, salt) per group — a uniform-ish, seedable, RNG-free
+   * sample that is stable across runs and engines that share the hash.
+   * The emitted per-group count is oracle-exact; membership is
+   * hash-defined (spec-checked for determinism).
+   */
+  private def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val w = Window.partitionBy(col("source"))
+      .orderBy(xxhash64(col("doc_id"), lit(42)), col("doc_id"))
+    T(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("doc_id")).as("n_distinct"))
+  }
+
+  private val samplePerGroupSql =
+    """SELECT source,
+      |  least(5, COUNT(*)) AS n_sampled,
+      |  least(5, COUNT(*)) AS n_distinct
+      |FROM documents GROUP BY source""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_bucketed_join"   -> (bucketedJoin _),
+    "q_sample_per_group" -> (samplePerGroup _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "io_bucketed_join"   -> bucketedJoinSql,
+    "q_sample_per_group" -> samplePerGroupSql
+  )
+}

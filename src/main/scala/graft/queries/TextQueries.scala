@@ -141,12 +141,44 @@ object TextQueries extends QueryProvider {
       |    / COUNT(*) / 1e9 AS avg_quality
       |FROM r GROUP BY source""".stripMargin
 
+  /** End-to-end corpus preparation as ONE lens-file pipeline: score
+   *  quality → filter → dedup exact — the flagship composition showing
+   *  the engine's pieces (lens config, text ops, dedup op) fuse into a
+   *  single Catalyst plan. */
+  private def prepCorpus(s: SparkSession, dir: String): DataFrame = {
+    val pipe = graft.engine.Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:quality_score","arguments":{"text":"text","id":"doc_id"}},
+        |  {"path":"builtin:filter","arguments":{"expr":"quality >= 0.5"}},
+        |  {"path":"builtin:select","arguments":{"cols":["doc_id"]}}
+        |]}""".stripMargin)
+    val kept = pipe.forward(T(s, dir, "documents"))
+    // join back the text for the dedup stage (ids survived the filter)
+    val docs = T(s, dir, "documents").join(kept, "doc_id")
+    graft.operators.Dedup.exact(docs, "text", "doc_id")
+  }
+
+  private val prepCorpusSql =
+    """WITH q AS (
+      |  SELECT doc_id, text,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) * 0.3
+      |      + greatest(0.0, 1.0 -
+      |          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / length(text) * 4.0) * 0.3 AS quality
+      |  FROM documents
+      |)
+      |SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM q WHERE quality >= 0.5 GROUP BY text""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens"      -> (tokens _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langid _),
     "text_fingerprint" -> (fingerprint _),
-    "text_profile"     -> (profile _)
+    "text_profile"     -> (profile _),
+    "pipeline_prep_corpus" -> (prepCorpus _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -154,6 +186,7 @@ object TextQueries extends QueryProvider {
     "text_quality"     -> qualitySql,
     "text_langid"      -> langidSql,
     "text_fingerprint" -> fingerprintSql,
-    "text_profile"     -> profileSql
+    "text_profile"     -> profileSql,
+    "pipeline_prep_corpus" -> prepCorpusSql
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-layout behavior: bucketed joins plan without exchanges,
+ *  hash-order sampling is deterministic. */
+class StorageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  test("matching bucketed tables join with no shuffle on either side") {
+    import spark.implicits._
+    Seq("t_fact", "t_dim").foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+    }
+    (1 to 1000).map(i => (i.toLong % 97, s"v$i")).toDF("k", "v")
+      .write.bucketBy(4, "k").sortBy("k")
+      .option("path", "/tmp/graft_io/spec_fact").mode(SaveMode.Overwrite)
+      .saveAsTable("t_fact")
+    (0L until 97L).map(k => (k, s"dim$k")).toDF("k", "d")
+      .write.bucketBy(4, "k").sortBy("k")
+      .option("path", "/tmp/graft_io/spec_dim").mode(SaveMode.Overwrite)
+      .saveAsTable("t_dim")
+    val joined = spark.table("t_fact").join(
+      spark.table("t_dim").hint("merge"), "k")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"bucketed join must not shuffle, got:\n$physical")
+    assert(joined.count() == 1000L)
+  }
+
+  test("hash-order sampling: deterministic across runs, k per group") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+    def sample() = {
+      val w = Window.partitionBy(col("g"))
+        .orderBy(xxhash64(col("id"), lit(42)), col("id"))
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= 7)
+        .select("g", "id").as[(String, Long)].collect().toSet
+    }
+    val s1 = sample(); val s2 = sample()
+    assert(s1 == s2)
+    assert(s1.groupBy(_._1).forall(_._2.size == 7))
+  }
+}
