@@ -65,16 +65,6 @@ object TextHash {
   def jaccard(a: Column, b: Column): Column =
     (size(array_intersect(a, b)) * lit(1.0)) / size(array_union(a, b))
 
-  /** Jaccard of two distinct-element arrays computed WITHOUT materializing
-   *  the union array: |A∩B| / (|A| + |B| − |A∩B|). Same exact integer
-   *  ratio as `jaccard`, one array op per pair instead of two — this is
-   *  the per-pair hot path of the verify stage of every set-similarity
-   *  join. `na`/`nb` are precomputed per-side sizes. */
-  def jaccardBySizes(a: Column, b: Column, na: Column, nb: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    (inter * lit(1.0)) / (na + nb - inter)
-  }
-
   /** Distinct, SORTED 64-bit hashes of an array column's elements.
    *  Downstream set ops run on sorted longs — merge-scan intersection via
    *  `ArrayOps.sortedIntersectSize`, no string hashing/equality/allocation

@@ -62,8 +62,18 @@ object Multimodal {
     def imageDims(nBytes: Int): (Int, Int, Int) =
       (8 + nBytes % 24, 8 + (nBytes / 7) % 24, 3)
 
-    override def decodeImage(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) = {
-      val (w, h, c) = imageDims(p.length)
+    /** Empty/null payloads read as a single zero byte for the pixel/sample
+     *  fill — a deterministic stand-in instead of a task-killing division
+     *  by zero. Dimensions still derive from the TRUE byte length (0), so
+     *  the byte-arithmetic oracle contract is unchanged. */
+    private def nonEmpty(p: Array[Byte]): Array[Byte] =
+      if (p == null || p.isEmpty) Array[Byte](0) else p
+
+    private def trueLen(p: Array[Byte]): Int = if (p == null) 0 else p.length
+
+    override def decodeImage(p0: Array[Byte]): (Int, Int, Int, String, Array[Float]) = {
+      val p = nonEmpty(p0)
+      val (w, h, c) = imageDims(trueLen(p0))
       val px = new Array[Float](w * h * c)
       var i = 0
       while (i < px.length) {
@@ -73,8 +83,9 @@ object Multimodal {
       (w, h, c, "fake", px)
     }
 
-    override def decodeAudio(p: Array[Byte]): (Int, Array[Float]) = {
-      val n = 256 + (p.length % 1024)
+    override def decodeAudio(p0: Array[Byte]): (Int, Array[Float]) = {
+      val p = nonEmpty(p0)
+      val n = 256 + (trueLen(p0) % 1024)
       val samples = Array.tabulate(n)(i => ((p(i % p.length) & 0xff) - 128) / 128.0f)
       (16000, samples)
     }

@@ -38,8 +38,7 @@ object TextAnalysis {
     df.select(
       col(idCol),
       size(ws).cast("long").as("n_ws_tokens"),
-      size(regexp_extract_all(col(textCol), lit(BpePattern), lit(0)))
-        .cast("long").as("n_bpe_tokens"),
+      bpeTokenCount(col(textCol)).as("n_bpe_tokens"),
       (aggregate(transform(ws, t => length(t)), lit(0L), (acc, x) => acc + x)
         .cast("double") / size(ws)).as("avg_token_len"))
   }
@@ -59,6 +58,22 @@ object TextAnalysis {
   private def inSet(t: Column, words: Seq[String]): Column =
     t.isInCollection(words)
 
+  /** BPE-ish token count of a text column, as a Column (composable into
+   *  single-scan projections). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
+
+  /** The quality formula as a Column (see `qualityScore` for semantics) —
+   *  composable with other per-row metrics in one projection/scan. */
+  def qualityColumn(t: Column): Column = {
+    val ws = wsTokens(t)
+    val lenScore = least(length(t).cast("double") / 500.0, lit(1.0))
+    val punctRatio = punctCount(t).cast("double") / length(t)
+    val uniqueRatio = size(array_distinct(ws)).cast("double") / size(ws)
+    lenScore * 0.4 + uniqueRatio * 0.3 +
+      greatest(lit(0.0), lit(1.0) - punctRatio * 4.0) * 0.3
+  }
+
   /**
    * Heuristic quality score in [0,1]:
    * 0.4·min(len/500,1) + 0.3·unique-token ratio + 0.3·(1−4·punct ratio)⁺.
@@ -70,7 +85,6 @@ object TextAnalysis {
     val t = col(textCol)
     val ws = wsTokens(t)
     val nTok = size(ws)
-    val lenScore = least(length(t).cast("double") / 500.0, lit(1.0))
     val punctRatio = punctCount(t).cast("double") / length(t)
     val uniqueRatio = size(array_distinct(ws)).cast("double") / nTok
     val stopRatio =
@@ -81,8 +95,7 @@ object TextAnalysis {
       punctRatio.as("punct_ratio"),
       stopRatio.as("stopword_ratio"),
       uniqueRatio.as("unique_ratio"),
-      (lenScore * 0.4 + uniqueRatio * 0.3 +
-        greatest(lit(0.0), lit(1.0) - punctRatio * 4.0) * 0.3).as("quality"))
+      qualityColumn(t).as("quality"))
   }
 
   // ---------------------------------------------------------------- langid

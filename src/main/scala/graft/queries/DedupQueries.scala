@@ -106,8 +106,13 @@ object DedupQueries extends QueryProvider {
     T(s, dir, "documents")
       .groupBy(col("source"))
       .agg(
-        countDistinct(xxhash64(col("text"))).as("n_exact"),
-        approx_count_distinct(xxhash64(col("text")), 0.02).as("n_approx"))
+        // when() keeps nulls OUT of the hash (xxhash64(null) = the seed,
+        // which countDistinct would wrongly count as a value).
+        countDistinct(when(col("text").isNotNull, xxhash64(col("text"))))
+          .as("n_exact"),
+        approx_count_distinct(
+          when(col("text").isNotNull, xxhash64(col("text"))), 0.02)
+          .as("n_approx"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),

@@ -81,7 +81,7 @@ object MultimodalQueries extends QueryProvider {
       |  FROM v
       |)
       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-      |  CAST(least(frame_size, nb - frame_idx * frame_size) AS BIGINT)
+      |  CAST(greatest(0, least(frame_size, nb - frame_idx * frame_size)) AS BIGINT)
       |    AS frame_bytes
       |FROM f""".stripMargin
 

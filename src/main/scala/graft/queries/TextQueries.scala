@@ -107,18 +107,20 @@ object TextQueries extends QueryProvider {
   /** Corpus profile: compose the per-doc ops with a grouped aggregate —
    *  token totals and mean quality per source, FP routed through integer
    *  nano-units (see RelationalQueries.dsum rationale). */
-  private def profile(s: SparkSession, dir: String): DataFrame = {
-    val q = TextAnalysis.qualityScore(T(s, dir, "documents"), "text", "doc_id")
-    val tk = TextAnalysis.tokenCounts(T(s, dir, "documents"), "text", "doc_id")
-    val d = T(s, dir, "documents").select("doc_id", "source")
-    d.join(q, "doc_id").join(tk, "doc_id")
+  private def profile(s: SparkSession, dir: String): DataFrame =
+    // quality and token count are pure per-row Column expressions over the
+    // same text column: ONE scan, zero joins — the groupBy is the only
+    // shuffle. (A join-per-metric formulation scans the table three times.)
+    T(s, dir, "documents")
+      .select(col("source"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TextAnalysis.qualityColumn(col("text")).as("quality"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_bpe_tokens")).as("total_bpe_tokens"),
         (sum(floor(col("quality") * lit(1e9)).cast("long")).cast("double")
           / count(lit(1)) / lit(1e9)).as("avg_quality"))
-  }
 
   private val profileSql =
     """WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws

@@ -29,7 +29,8 @@ object StreamingLens {
   /** Ops whose semantics require a finite input; applying them to a
    *  streaming DataFrame either throws in Spark's analyzer or silently
    *  changes meaning — fail fast at pipeline-bind time instead. */
-  private val BatchOnlyOps = Set("sort", "limit", "counter", "collect_group")
+  private val BatchOnlyOps = Set("sort", "limit", "counter", "collect_group",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "similar_pairs")
 
   /**
    * Bind a lens pipeline to a streaming DataFrame (the Socket →
@@ -80,7 +81,10 @@ object StreamingLens {
       delay: String,
       idCols: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, delay)
-      .dropDuplicates(idCols :+ tsCol)
+      // Keyed on idCols ALONE: a duplicate id at a different event time is
+      // still a duplicate (dropDuplicates(id :+ ts) would let it through).
+      // WithinWatermark bounds the state exactly like the docstring says.
+      .dropDuplicatesWithinWatermark(idCols)
 
   /**
    * Stateful per-key sequence numbers — the streaming answer to the

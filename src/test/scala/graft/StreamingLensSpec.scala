@@ -85,7 +85,8 @@ class StreamingLensSpec extends AnyFunSuite {
     try {
       in.addData((ts(1), 1L, "x"), (ts(2), 2L, "y"))
       q.processAllAvailable()
-      in.addData((ts(1), 1L, "x"), (ts(3), 3L, "z")) // id 1 again: dropped
+      // id 1 again — at a DIFFERENT event time — still a duplicate
+      in.addData((ts(9), 1L, "x2"), (ts(3), 3L, "z"))
       q.processAllAvailable()
       val ids = spark.sql("select id from s_dedup").as[Long].collect().sorted.toSeq
       assert(ids == Seq(1L, 2L, 3L))
