@@ -14,4 +14,9 @@ object ArrayOps {
    *  Inputs MUST be sorted ascending (`TextHash.hashedSet` guarantees it). */
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftExpressions.sortedIntersectSize(a, b)
+
+  /** |A ∩ B| when ≥ required, else −1 with an early-exit mid-scan (see
+   *  o.a.s.sql.graft.SortedLongIntersectAtLeast). */
+  def sortedIntersectAtLeast(a: Column, b: Column, required: Column): Column =
+    GraftExpressions.sortedIntersectAtLeast(a, b, required)
 }

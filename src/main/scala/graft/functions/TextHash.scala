@@ -82,6 +82,20 @@ object TextHash {
     (inter * lit(1.0)) / (na + nb - inter)
   }
 
+  /** Thresholded Jaccard for verify stages: the merge-scan aborts the
+   *  moment a pair provably cannot reach `threshold` (J ≥ t ⟺ |A∩B| ≥
+   *  t(|A|+|B|)/(1+t)), yielding NULL; otherwise the EXACT Jaccard, equal
+   *  to `jaccardSorted`. The required-overlap bound carries a 1e-9 FP
+   *  slack so a boundary pair is never pruned — callers keep their final
+   *  exact `>= threshold` filter. */
+  def jaccardSortedThresholded(
+      a: Column, b: Column, na: Column, nb: Column, threshold: Double): Column = {
+    val alpha = lit(threshold) * (na + nb) / lit(1.0 + threshold)
+    val required = ceil(alpha - lit(1e-9)).cast("int")
+    val inter = ArrayOps.sortedIntersectAtLeast(a, b, required)
+    when(inter >= 0, (inter * lit(1.0)) / (na + nb - inter))
+  }
+
   /** Cosine similarity of two float-array embedding columns (by name):
    *  double-widened, left-to-right accumulation — deterministic and
    *  bit-identical to the interpreted HOF formulation it replaces, but a

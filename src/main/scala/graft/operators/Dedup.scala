@@ -88,7 +88,8 @@ object Dedup {
       .where(least(col("n_a"), col("n_b")) * lit(1.0) /
         greatest(col("n_a"), col("n_b")) >= threshold)
       .withColumn("jaccard",
-        TextHash.jaccardSorted(col("sh_a"), col("sh_b"), col("n_a"), col("n_b")))
+        TextHash.jaccardSortedThresholded(col("sh_a"), col("sh_b"),
+          col("n_a"), col("n_b"), threshold))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -174,7 +175,8 @@ object Dedup {
       .where(least(col("ng"), col("ng_b")) * lit(1.0) /
         greatest(col("ng"), col("ng_b")) >= threshold)
       .withColumn("jaccard",
-        TextHash.jaccardSorted(col("g"), col("g_b"), col("ng"), col("ng_b")))
+        TextHash.jaccardSortedThresholded(col("g"), col("g_b"),
+          col("ng"), col("ng_b"), threshold))
       .where(col("jaccard") >= threshold)
       .select(least(col("doc"), col("doc_b")).as("doc_a"),
         greatest(col("doc"), col("doc_b")).as("doc_b"), col("jaccard"))
@@ -261,7 +263,8 @@ object Dedup {
       .where(least(col("ng_a"), col("ng_b")) * lit(1.0) /
         greatest(col("ng_a"), col("ng_b")) >= threshold)
       .withColumn("jaccard",
-        TextHash.jaccardSorted(col("g_a"), col("g_b"), col("ng_a"), col("ng_b")))
+        TextHash.jaccardSortedThresholded(col("g_a"), col("g_b"),
+          col("ng_a"), col("ng_b"), threshold))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -73,9 +73,76 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Early-exit variant for thresholded verification: returns |A ∩ B| when it
+ * is ≥ `required`, or −1 the moment the bound c + min(remaining) shows the
+ * requirement is unreachable — a below-threshold pair aborts part-way
+ * through its merge-scan instead of paying for the full intersection.
+ * (A returned value ≥ 0 is always the EXACT intersection size.)
+ */
+case class SortedLongIntersectAtLeast(
+    first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), IntegerType)
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "sorted_long_intersect_at_least"
+
+  override def nullSafeEval(l: Any, r: Any, req: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val required = req.asInstanceOf[Int]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      if (c + math.min(na - i, nb - j) < required) return -1
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (c < required) -1 else c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, req) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val rem = ctx.freshName("rem")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |final int $na = $a.numElements(), $nb = $b.numElements();
+         |while ($i < $na && $j < $nb) {
+         |  final int $rem = ($na - $i < $nb - $j) ? ($na - $i) : ($nb - $j);
+         |  if ($c + $rem < $req) { $c = -1; break; }
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = ($c >= 0 && $c < $req) ? -1 : $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Column-level bridge (ExpressionUtils is private[sql]). */
 object GraftExpressions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedLongIntersectSize(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sortedIntersectAtLeast(a: Column, b: Column, required: Column): Column =
+    ExpressionUtils.column(SortedLongIntersectAtLeast(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(required)))
 }
