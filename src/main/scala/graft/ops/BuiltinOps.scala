@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.operators.{Dedup, GlobalSequence, TextAnalysis}
+import graft.operators.{Dedup, GlobalSequence, Sessionize, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -130,6 +130,29 @@ object BuiltinOps {
     "limit" -> { a =>
       val n = a.int("n")
       LensOp(s"limit($n)", df => df.limit(n))
+    },
+
+    // Per-key gaps-and-islands sessionization (SURVEY.md §2.6).
+    "sessionize" -> { a =>
+      val (key, ts) = (a.str("key"), a.str("ts"))
+      val gap = a.str("gap").toLong
+      val tie = a.strOpt("tie").getOrElse(ts)
+      LensOp(s"sessionize($key, gap=$gap)",
+        df => Sessionize.assign(df, key, ts, gap, tie))
+    },
+
+    // Deterministic per-group sampling: k smallest xxhash64(id, salt).
+    "sample_group" -> { a =>
+      val (group, id) = (a.str("group"), a.str("id"))
+      val k = a.int("k")
+      val salt = a.intOpt("salt").getOrElse(42)
+      LensOp(s"sample_group($group, k=$k)", { df =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(group))
+          .orderBy(xxhash64(col(id), lit(salt)), col(id))
+        df.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= k).drop("__rn")
+      })
     },
 
     // ---- Dedup lens ops (SURVEY.md §2.6): the large-scale operators as

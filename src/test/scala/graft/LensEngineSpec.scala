@@ -123,6 +123,25 @@ class LensEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not export an inverse"))
   }
 
+  test("sessionize and sample_group resolve as lens-file stages") {
+    import spark.implicits._
+    val events = Seq((1L, 0L, 10L), (1L, 50L, 11L), (1L, 500L, 12L), (2L, 5L, 13L))
+      .toDF("uid", "t", "eid")
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:sessionize",
+        |  "arguments":{"key":"uid","ts":"t","gap":"100","tie":"eid"}}]}""".stripMargin)
+    val out = pipe.forward(events)
+      .select("eid", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 1L))
+
+    val samplePipe = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:sample_group",
+        |  "arguments":{"group":"uid","id":"eid","k":1}}]}""".stripMargin)
+    val sampled = samplePipe.forward(events)
+    assert(sampled.count() == 2) // one per uid
+    assert(sampled.columns.toSeq == events.columns.toSeq)
+  }
+
   test("large-scale operators run as lens-file stages (dedup_exact)") {
     import spark.implicits._
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
