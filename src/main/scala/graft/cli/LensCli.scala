@@ -22,28 +22,31 @@ import scala.io.Source
  */
 object LensCli {
 
-  /** Core, testable transform: JSON array in → JSON array out. */
-  def run(spark: SparkSession, inputJson: String, lensJson: String,
-      invert: Boolean = false): String = {
+  /** Build the transformed, input-ordered DataFrame (None for empty input). */
+  private def transformed(spark: SparkSession, inputJson: String,
+      lensJson: String, invert: Boolean): Option[DataFrame] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-
     val pipeline = Pipeline.fromJson(lensJson)
     val bound = if (invert) pipeline.inverse else pipeline
-
     // One JSON doc per Dataset row; schema inferred like json.Unmarshal
     // into map[string]any (reference: host-go/cli/main.go:19-28).
     val docs = parseArray(inputJson)
-    if (docs.isEmpty) return "[]"
+    if (docs.isEmpty) return None
     val in = spark.read.json(docs.toDS)
       .withColumn("__ord", monotonically_increasing_id())
-
     val out = bound.forward(in)
-    val ordered: DataFrame =
+    Some(
       if (out.columns.contains("__ord")) out.orderBy(col("__ord")).drop("__ord")
-      else out
-    ordered.toJSON.collect().mkString("[", ",", "]")
+      else out)
   }
+
+  /** Core, testable transform: JSON array in → JSON array out. */
+  def run(spark: SparkSession, inputJson: String, lensJson: String,
+      invert: Boolean = false): String =
+    transformed(spark, inputJson, lensJson, invert)
+      .map(_.toJSON.collect().mkString("[", ",", "]"))
+      .getOrElse("[]")
 
   /** Split a top-level JSON array into element strings (no full JSON lib
    *  needed — tracks nesting depth and string state only). */
@@ -76,15 +79,20 @@ object LensCli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LensCli <lensFile.json> [--inverse] [--in input.json]")
+      "usage: LensCli <lensFile.json> [--inverse] [--in input.json] [--out dir]")
     val lensJson = Files.readString(Paths.get(args(0)))
     val invert = args.contains("--inverse")
-    // --in <file> supports launchers that swallow stdin (e.g. sbt batch).
-    val input = args.indexOf("--in") match {
-      case i if i >= 0 && i + 1 < args.length =>
-        Files.readString(Paths.get(args(i + 1)))
-      case _ => Source.stdin.mkString
+    def flagValue(flag: String): Option[String] = args.indexOf(flag) match {
+      case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+      case _ => None
     }
+    // --in <file> supports launchers that swallow stdin (e.g. sbt batch).
+    val input = flagValue("--in").map(p => Files.readString(Paths.get(p)))
+      .getOrElse(Source.stdin.mkString)
+    // --out <dir>: distributed JSON-lines write instead of a driver-side
+    // collect — the scale path for large outputs (stdout stays the
+    // reference-parity default).
+    val outDir = flagValue("--out")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-lens-cli")
@@ -92,7 +100,13 @@ object LensCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try println(run(spark, input, lensJson, invert))
-    finally spark.stop()
+    try outDir match {
+      case Some(dir) =>
+        transformed(spark, input, lensJson, invert)
+          .foreach(_.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(dir))
+        println(s"""{"written":"$dir"}""")
+      case None =>
+        println(run(spark, input, lensJson, invert))
+    } finally spark.stop()
   }
 }

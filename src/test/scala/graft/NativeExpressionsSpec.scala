@@ -55,6 +55,33 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(sig(1).zip(sup).forall { case (s, p) => p <= s })
   }
 
+  test("intersectAtLeast: agrees with plain intersect above the bar, -1 below") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b, rnd.nextInt(12))
+    }
+    val out = rows.toDF("a", "b", "req")
+      .select(
+        ArrayOps.sortedIntersectSize(col("a"), col("b")).as("exact"),
+        ArrayOps.sortedIntersectAtLeast(col("a"), col("b"), col("req")).as("bounded"),
+        col("req"))
+      .collect()
+    out.foreach { r =>
+      val (exact, bounded, req) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      if (exact >= req) assert(bounded == exact, s"exact=$exact req=$req")
+      else assert(bounded == -1, s"exact=$exact req=$req got $bounded")
+    }
+  }
+
+  test("cosine: mismatched lengths -> null (never silent truncation)") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f))).toDF("a", "b")
+    assert(df.select(TextHash.cosine("a", "b")).head().isNullAt(0))
+  }
+
   test("cosine: orthogonal 0, antiparallel -1, zero vector -> NaN (documented)") {
     import spark.implicits._
     val df = Seq(
