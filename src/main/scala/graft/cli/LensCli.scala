@@ -22,9 +22,17 @@ import scala.io.Source
  */
 object LensCli {
 
-  /** Build the transformed, input-ordered DataFrame (None for empty input). */
+  /** Build the transformed, input-ordered DataFrame (None for empty input).
+   *
+   *  Error-as-data (reference P9, host-go/engine/module/protocol.go:43):
+   *  `permissive = false` (default) fails fast on malformed documents, like
+   *  the reference surfacing an ErrTypeID item as a Go error on `Value()`;
+   *  `permissive = true` parses in PERMISSIVE mode instead — a malformed
+   *  document becomes a row whose `__error` column carries the raw text
+   *  (all data columns null), flowing through the pipeline as data exactly
+   *  like the reference's negative-type-id error items. */
   private def transformed(spark: SparkSession, inputJson: String,
-      lensJson: String, invert: Boolean): Option[DataFrame] = {
+      lensJson: String, invert: Boolean, permissive: Boolean): Option[DataFrame] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val pipeline = Pipeline.fromJson(lensJson)
@@ -33,7 +41,10 @@ object LensCli {
     // into map[string]any (reference: host-go/cli/main.go:19-28).
     val docs = parseArray(inputJson)
     if (docs.isEmpty) return None
-    val in = spark.read.json(docs.toDS)
+    val reader = spark.read
+      .option("mode", if (permissive) "PERMISSIVE" else "FAILFAST")
+      .option("columnNameOfCorruptRecord", "__error")
+    val in = reader.json(docs.toDS)
       .withColumn("__ord", monotonically_increasing_id())
     val out = bound.forward(in)
     Some(
@@ -43,10 +54,15 @@ object LensCli {
 
   /** Core, testable transform: JSON array in → JSON array out. */
   def run(spark: SparkSession, inputJson: String, lensJson: String,
-      invert: Boolean = false): String =
-    transformed(spark, inputJson, lensJson, invert)
+      invert: Boolean, permissive: Boolean): String =
+    transformed(spark, inputJson, lensJson, invert, permissive)
       .map(_.toJSON.collect().mkString("[", ",", "]"))
       .getOrElse("[]")
+
+  /** Core, testable transform: JSON array in → JSON array out. */
+  def run(spark: SparkSession, inputJson: String, lensJson: String,
+      invert: Boolean = false): String =
+    run(spark, inputJson, lensJson, invert, permissive = false)
 
   /** Split a top-level JSON array into element strings (no full JSON lib
    *  needed — tracks nesting depth and string state only). */
@@ -79,9 +95,11 @@ object LensCli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: LensCli <lensFile.json> [--inverse] [--in input.json] [--out dir]")
+      "usage: LensCli <lensFile.json> [--inverse] [--permissive] " +
+        "[--in input.json] [--out dir]")
     val lensJson = Files.readString(Paths.get(args(0)))
     val invert = args.contains("--inverse")
+    val permissive = args.contains("--permissive")
     def flagValue(flag: String): Option[String] = args.indexOf(flag) match {
       case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
       case _ => None
@@ -102,11 +120,11 @@ object LensCli {
     spark.sparkContext.setLogLevel("ERROR")
     try outDir match {
       case Some(dir) =>
-        transformed(spark, input, lensJson, invert)
+        transformed(spark, input, lensJson, invert, permissive)
           .foreach(_.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(dir))
         println(s"""{"written":"$dir"}""")
       case None =>
-        println(run(spark, input, lensJson, invert))
+        println(run(spark, input, lensJson, invert, permissive))
     } finally spark.stop()
   }
 }

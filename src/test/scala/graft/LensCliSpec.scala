@@ -71,4 +71,17 @@ class LensCliSpec extends AnyFunSuite {
   test("empty input array") {
     assert(LensCli.run(spark, "[]", """{"lenses":[]}""") == "[]")
   }
+
+  test("error-as-data (P9): permissive mode carries malformed docs, fail-fast throws") {
+    val mixed = """[{"Age": 1, "Name": "ok"}, {"Age": BROKEN}]"""
+    // fail-fast (default): surfaced as an error, like ErrTypeID -> Go error
+    intercept[Exception] {
+      LensCli.run(spark, mixed, """{"lenses":[]}""")
+    }
+    // permissive: the bad document becomes an __error row flowing as data
+    val out = LensCli.run(spark, mixed, """{"lenses":[]}""",
+      invert = false, permissive = true)
+    assert(out.contains(""""Name":"ok""""))
+    assert(out.contains("__error") && out.contains("BROKEN"))
+  }
 }
