@@ -64,28 +64,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
-  /** Deterministic sign-random-projection hyperplanes (fixed seed), as a
-   *  SQL array-of-arrays literal — broadcast to every task as a constant,
-   *  folded by Catalyst. */
-  private def planesExpr(nPlanes: Int, dim: Int, seed: Long): String = {
+  /** SRP bucket id: bit p of the bucket = sign of <v, plane_p>, over
+   *  deterministic (fixed-seed) Gaussian hyperplanes. Native expression —
+   *  one primitive loop per row (see o.a.s.sql.graft.SrpBucket); the
+   *  interpreted HOF formulation walked a tree per (plane × dim). */
+  private def srpBucket(vecCol: String, nPlanes: Int, dim: Int,
+      seed: Long): org.apache.spark.sql.Column = {
     val rnd = new Random(seed)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    planes.map(p => p.mkString("array(", "D, ", "D)"))
-      .mkString("array(", ", ", ")")
+    org.apache.spark.sql.graft.GraftSrp.srpBucket(col(vecCol), planes)
   }
-
-  /** SRP bucket id: bit p of the bucket = sign of <v, plane_p>. */
-  private def srpBucket(vecCol: String, nPlanes: Int, dim: Int,
-      seed: Long): org.apache.spark.sql.Column =
-    expr(
-      s"""aggregate(
-         |  zip_with(${planesExpr(nPlanes, dim, seed)},
-         |           sequence(0, ${nPlanes - 1}),
-         |    (plane, p) -> CASE WHEN aggregate(
-         |        zip_with(plane, $vecCol, (w, x) -> w * CAST(x AS DOUBLE)),
-         |        CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
-         |      THEN shiftleft(1L, p) ELSE 0L END),
-         |  0L, (a, v) -> a | v)""".stripMargin)
 
   /** Approximate top-k via multi-table SRP-LSH: `tables` independent sets
    *  of `nPlanes` hyperplanes; a corpus row is a candidate if it shares a

@@ -123,6 +123,27 @@ class LensEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not export an inverse"))
   }
 
+  test("registry persist + reload round-trip (L3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-registry")
+    val e1 = LensEngine(dir.toString)
+    val id = e1.add(
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"a","dst":"b"}}]}""")
+    // a fresh engine over the same dir re-hydrates the persisted lens
+    val e2 = LensEngine(dir.toString)
+    assert(e2.list.isEmpty)
+    assert(e2.reload() == 1)
+    assert(e2.list.map(_._1) == Seq(id))
+    import spark.implicits._
+    val out = e2.transform(Seq((1, "x")).toDF("a", "v"), id)
+    assert(out.columns.contains("b"))
+  }
+
+  test("driver entry() smoke: flagship query returns rows at sf0.001") {
+    val rows = graft.SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n") > 0))
+  }
+
   test("sessionize and sample_group resolve as lens-file stages") {
     import spark.implicits._
     val events = Seq((1L, 0L, 10L), (1L, 50L, 11L), (1L, 500L, 12L), (2L, 5L, 13L))
