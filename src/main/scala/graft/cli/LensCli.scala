@@ -120,9 +120,16 @@ object LensCli {
     spark.sparkContext.setLogLevel("ERROR")
     try outDir match {
       case Some(dir) =>
-        transformed(spark, input, lensJson, invert, permissive)
-          .foreach(_.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(dir))
-        println(s"""{"written":"$dir"}""")
+        transformed(spark, input, lensJson, invert, permissive) match {
+          case Some(df) =>
+            df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(dir)
+            println(s"""{"written":"$dir"}""")
+          case None =>
+            // empty input: still materialize an (empty) output dir so the
+            // success message never points at a missing/stale path
+            Files.createDirectories(Paths.get(dir))
+            println(s"""{"written":"$dir","rows":0}""")
+        }
       case None =>
         println(run(spark, input, lensJson, invert, permissive))
     } finally spark.stop()

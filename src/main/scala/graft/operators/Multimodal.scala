@@ -238,12 +238,17 @@ object Multimodal {
     df.mapPartitions { rows =>
       batched[Row, Row](rows, batch => batch.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
+        // null payload / frame count: no frames to emit (sibling decode ops
+        // substitute a stand-in byte; a 1:N op's natural null answer is N=0)
+        if (payload == null || r.isNullAt(nFramesIdx)) Seq.empty[Row]
+        else {
         val nFrames = math.max(r.getInt(nFramesIdx), 1)
         val frameSize = math.max(payload.length / nFrames, 1)
         (0 until nFrames by stride).map { f =>
           val from = f * frameSize
           val frame = payload.slice(from, math.min(from + frameSize, payload.length))
           Row.fromSeq(keptIdx.toSeq.map(r.get) ++ Seq(f, frame))
+        }
         }
       })
     }(encoder)

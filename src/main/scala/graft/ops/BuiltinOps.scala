@@ -146,13 +146,8 @@ object BuiltinOps {
       val (group, id) = (a.str("group"), a.str("id"))
       val k = a.int("k")
       val salt = a.intOpt("salt").getOrElse(42)
-      LensOp(s"sample_group($group, k=$k)", { df =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(group))
-          .orderBy(xxhash64(col(id), lit(salt)), col(id))
-        df.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") <= k).drop("__rn")
-      })
+      LensOp(s"sample_group($group, k=$k)",
+        df => graft.operators.Sampling.perGroup(df, group, id, k, salt))
     },
 
     // ---- Dedup lens ops (SURVEY.md §2.6): the large-scale operators as

@@ -12,12 +12,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object IoQueries extends QueryProvider {
 
-  private def tmp(dir: String, leaf: String) =
-    s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$leaf"
-
   /** region through CSV (header, explicit schema on read). */
   private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = tmp(dir, "region_csv")
+    val path = Scratch.dir(dir, "region_csv")
     T(s, dir, "region").write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
     s.read.schema("r_regionkey BIGINT, r_name STRING")
@@ -28,7 +25,7 @@ object IoQueries extends QueryProvider {
 
   /** nation through JSON lines (explicit schema on read). */
   private def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val path = tmp(dir, "nation_json")
+    val path = Scratch.dir(dir, "nation_json")
     T(s, dir, "nation").write.mode(SaveMode.Overwrite).json(path)
     s.read
       .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")

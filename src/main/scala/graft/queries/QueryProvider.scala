@@ -13,6 +13,12 @@ trait QueryProvider {
   def oracles: Map[String, String]
 }
 
+/** Per-sf scratch directories under /tmp for side-effecting IO queries. */
+object Scratch {
+  def dir(sfDir: String, leaf: String): String =
+    s"/tmp/graft_io/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/$leaf"
+}
+
 /** Testdata table loader (tables documented in /root/repo/TESTDATA.md). */
 object T {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -21,7 +21,7 @@ object StorageQueries extends QueryProvider {
    * the bucketed write happens once, every later join skips its shuffle.
    */
   private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val base = Scratch.dir(dir, "bucketed")
     val cat = s.catalog
     Seq("g_orders_b", "g_customer_b").foreach { t =>
       if (cat.tableExists(t)) s.sql(s"DROP TABLE $t")
@@ -60,17 +60,12 @@ object StorageQueries extends QueryProvider {
    * The emitted per-group count is oracle-exact; membership is
    * hash-defined (spec-checked for determinism).
    */
-  private def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
-    val k = 5
-    val w = Window.partitionBy(col("source"))
-      .orderBy(xxhash64(col("doc_id"), lit(42)), col("doc_id"))
-    T(s, dir, "documents")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
+  private def samplePerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.perGroup(T(s, dir, "documents"),
+        "source", "doc_id", k = 5)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_sampled"),
         countDistinct(col("doc_id")).as("n_distinct"))
-  }
 
   private val samplePerGroupSql =
     """SELECT source,

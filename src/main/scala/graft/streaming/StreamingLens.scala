@@ -30,7 +30,8 @@ object StreamingLens {
    *  streaming DataFrame either throws in Spark's analyzer or silently
    *  changes meaning — fail fast at pipeline-bind time instead. */
   private val BatchOnlyOps = Set("sort", "limit", "counter", "collect_group",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "similar_pairs")
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "similar_pairs",
+    "sessionize", "sample_group")
 
   /**
    * Bind a lens pipeline to a streaming DataFrame (the Socket →

@@ -32,11 +32,16 @@ case class SrpBucket(child: Expression, planes: Array[Array[Double]])
     var p = 0
     while (p < planes.length) {
       val plane = planes(p)
-      val d = math.min(plane.length, n)
-      var dot = 0.0
-      var i = 0
-      while (i < d) { dot += plane(i) * v.getFloat(i).toDouble; i += 1 }
-      if (dot > 0) bucket |= (1L << p)
+      // Dimension mismatch (corrupt/short embedding): bit stays unset —
+      // the HOF formulation's zip_with null-padding poisoned the dot
+      // product to null, failing the > 0 test. Never a silently-truncated
+      // partial dot product.
+      if (plane.length == n) {
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += plane(i) * v.getFloat(i).toDouble; i += 1 }
+        if (dot > 0) bucket |= (1L << p)
+      }
       p += 1
     }
     bucket

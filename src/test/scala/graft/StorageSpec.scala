@@ -34,12 +34,8 @@ class StorageSpec extends AnyFunSuite {
   test("hash-order sampling: deterministic across runs, k per group") {
     import spark.implicits._
     val df = (1 to 200).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
-    def sample() = {
-      val w = Window.partitionBy(col("g"))
-        .orderBy(xxhash64(col("id"), lit(42)), col("id"))
-      df.withColumn("rn", row_number().over(w)).where(col("rn") <= 7)
-        .select("g", "id").as[(String, Long)].collect().toSet
-    }
+    def sample() = graft.operators.Sampling.perGroup(df, "g", "id", k = 7)
+      .select("g", "id").as[(String, Long)].collect().toSet
     val s1 = sample(); val s2 = sample()
     assert(s1 == s2)
     assert(s1.groupBy(_._1).forall(_._2.size == 7))
