@@ -329,6 +329,46 @@ object RelationalQueries extends QueryProvider {
       |    AS running_spend
       |FROM orders""".stripMargin
 
+  // RANGE frame: events within a trailing 1-hour event-time window per
+  // user — value-based frames handle timestamp ties by peer-group, so the
+  // result is deterministic without a tie-break column. µs on both
+  // engines (see SessionQueries for the ns-truncation contract).
+  private def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    T(s, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_trailing_hour"),
+        (sum(floor(col("value") * lit(100)).cast("long")).over(w) / lit(100.0))
+          .as("v_trailing_hour"))
+  }
+
+  private val windowRangeSql =
+    """SELECT event_id,
+      |  COUNT(*) OVER w AS n_trailing_hour,
+      |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) / 100.0
+      |    AS v_trailing_hour
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // Exact discrete percentiles (order statistics — no FP interpolation,
+  // so values are actual data elements and hash-match across engines).
+  private def aggPercentiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("q25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("q50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)").as("q95"))
+
+  private val aggPercentilesSql =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.25) AS q25,
+      |  quantile_disc(l_quantity, 0.5) AS q50,
+      |  quantile_disc(l_quantity, 0.95) AS q95
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   private def windowLagLead(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     T(s, dir, "events")
@@ -546,6 +586,8 @@ object RelationalQueries extends QueryProvider {
     "q_join_asof"       -> (joinAsOf _),
     "q_window_rank"     -> (windowRank _),
     "q_window_running"  -> (windowRunning _),
+    "q_window_range"    -> (windowRange _),
+    "q_agg_percentiles" -> (aggPercentiles _),
     "q_window_lag_lead" -> (windowLagLead _),
     "q_topk_per_group"  -> (topkPerGroup _),
     "q_sort_limit"      -> (sortLimit _),
@@ -575,6 +617,8 @@ object RelationalQueries extends QueryProvider {
     "q_join_asof"       -> joinAsOfSql,
     "q_window_rank"     -> windowRankSql,
     "q_window_running"  -> windowRunningSql,
+    "q_window_range"    -> windowRangeSql,
+    "q_agg_percentiles" -> aggPercentilesSql,
     "q_window_lag_lead" -> windowLagLeadSql,
     "q_topk_per_group"  -> topkPerGroupSql,
     "q_sort_limit"      -> sortLimitSql,
