@@ -153,15 +153,20 @@ object Dedup {
     // active tasks without salting). Left carries (salt, sb≥salt), right
     // (sa≤salt, salt): each unordered cell joins exactly once, and the
     // doc < doc_b filter keeps pair uniqueness within the diagonal cells.
-    val left = grams
+    // Phase 1 — candidate ids: the triangle join runs on (doc, ng, salt)
+    // rows only; the heavy gram arrays do NOT flow through the quadratic
+    // join output (~2.4 KB/pair kept out of the widest shuffle — neutral
+    // at sf0.1 where compute dominates, structural at 100 TB where the
+    // candidate volume × payload product is what breaks).
+    val slim = grams.select(col("doc"), col("block"), col("ng"), col("salt"))
+    val left = slim
       .withColumn("sb", explode(expr(s"sequence(salt, ${saltBuckets - 1})")))
-      .select(col("doc"), col("block"), col("g"), col("ng"),
-        col("salt").as("sa"), col("sb"))
-    val right = grams
+      .select(col("doc"), col("block"), col("ng"), col("salt").as("sa"), col("sb"))
+    val right = slim
       .withColumn("sa", explode(expr("sequence(0, salt)")))
-      .select(col("doc").as("doc_b"), col("block"), col("g").as("g_b"),
-        col("ng").as("ng_b"), col("sa"), col("salt").as("sb"))
-    left
+      .select(col("doc").as("doc_b"), col("block"), col("ng").as("ng_b"),
+        col("sa"), col("salt").as("sb"))
+    val candidates = left
       .join(right, Seq("block", "sa", "sb"))
       // Off-diagonal cells (sa<sb) see each unordered pair exactly once
       // (lower-salt doc on the left, whatever its id) — keep it; diagonal
@@ -169,11 +174,19 @@ object Dedup {
       // canonicalized to doc_a < doc_b below.
       .where(col("sa") < col("sb") || col("doc") < col("doc_b"))
       // Size-ratio prefilter (sound: J ≥ t ⇒ min/max sizes ≥ t) prunes
-      // pairs before the per-pair intersect; gram sets are sorted hashed
-      // longs so the intersect that does run is an allocation-free
-      // merge scan (custom codegen expression), not hash-set building.
+      // before the arrays are ever attached.
       .where(least(col("ng"), col("ng_b")) * lit(1.0) /
         greatest(col("ng"), col("ng_b")) >= threshold)
+      .select(col("doc"), col("doc_b"), col("ng"), col("ng_b"))
+
+    // Phase 2 — verify: attach the sorted hashed gram sets to surviving
+    // pairs (broadcast-sized per-doc side tables at any sane doc count;
+    // Spark picks broadcast vs shuffle via AQE) and run the early-exit
+    // merge-scan intersect.
+    val gA = grams.select(col("doc"), col("g"))
+    val gB = grams.select(col("doc").as("doc_b"), col("g").as("g_b"))
+    candidates
+      .join(gA, "doc").join(gB, "doc_b")
       .withColumn("jaccard",
         TextHash.jaccardSortedThresholded(col("g"), col("g_b"),
           col("ng"), col("ng_b"), threshold))
