@@ -369,6 +369,22 @@ object RelationalQueries extends QueryProvider {
       |  quantile_disc(l_quantity, 0.95) AS q95
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // Typed imperative aggregate top-k: bounded k-entry partial buffers
+  // map-side, ≤ k·16 B per (partition × group) shuffled — vs the window
+  // formulation (q_topk_per_group) that shuffles and sorts every row.
+  private def aggTopkTyped(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(org.apache.spark.sql.graft.GraftTopK
+        .topKByValue(col("o_totalprice"), col("o_orderkey"), 3)
+        .as("top_orders"))
+
+  private val aggTopkTypedSql =
+    """SELECT o_custkey,
+      |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:3]
+      |    AS top_orders
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   private def windowLagLead(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     T(s, dir, "events")
@@ -588,6 +604,7 @@ object RelationalQueries extends QueryProvider {
     "q_window_running"  -> (windowRunning _),
     "q_window_range"    -> (windowRange _),
     "q_agg_percentiles" -> (aggPercentiles _),
+    "q_agg_topk_typed"  -> (aggTopkTyped _),
     "q_window_lag_lead" -> (windowLagLead _),
     "q_topk_per_group"  -> (topkPerGroup _),
     "q_sort_limit"      -> (sortLimit _),
@@ -619,6 +636,7 @@ object RelationalQueries extends QueryProvider {
     "q_window_running"  -> windowRunningSql,
     "q_window_range"    -> windowRangeSql,
     "q_agg_percentiles" -> aggPercentilesSql,
+    "q_agg_topk_typed"  -> aggTopkTypedSql,
     "q_window_lag_lead" -> windowLagLeadSql,
     "q_topk_per_group"  -> topkPerGroupSql,
     "q_sort_limit"      -> sortLimitSql,

@@ -76,6 +76,22 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("topKByValue: ties id-ordered, short groups, survives shuffle merge") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5.0, 10L), ("a", 5.0, 3L), ("a", 9.0, 7L), ("a", 1.0, 1L),
+      ("b", 2.0, 99L)) // group smaller than k
+      .toDF("g", "v", "id")
+      .repartition(4) // force partial buffers + serialized merge
+    val out = df.groupBy(col("g"))
+      .agg(org.apache.spark.sql.graft.GraftTopK
+        .topKByValue(col("v"), col("id"), 3).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // a: 9.0->7, then tie at 5.0 broken by id asc: 3 before 10
+    assert(out("a") == Seq(7L, 3L, 10L))
+    assert(out("b") == Seq(99L))
+  }
+
   test("cosine: mismatched lengths -> null (never silent truncation)") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f))).toDF("a", "b")
