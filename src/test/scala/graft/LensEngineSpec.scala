@@ -123,6 +123,38 @@ class LensEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("does not export an inverse"))
   }
 
+  test("P7 escape hatch: custom stateful mapPartitions LensOp composes in a pipeline") {
+    // The reference shares one WASM instance across stages for cross-stage
+    // state (order-sensitive by construction). The documented Spark
+    // analogue: a programmatic LensOp carrying partition-local state via
+    // mapPartitions — explicit, composable with builtin stages.
+    import spark.implicits._
+    import graft.ops.LensOp
+    val runningMax = LensOp("running_max_per_partition", { df =>
+      val enc = org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(df.schema.fields :+
+          org.apache.spark.sql.types.StructField("run_max",
+            org.apache.spark.sql.types.LongType)))
+      df.mapPartitions { rows =>
+        var mx = Long.MinValue // partition-local state, explicit
+        rows.map { r =>
+          mx = math.max(mx, r.getAs[Long]("v"))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ mx)
+        }
+      }(enc)
+    })
+    val pipe = Pipeline(Seq(
+      graft.ops.BuiltinOps.resolve("builtin:filter",
+        graft.ops.Args(Map("expr" -> "\"v > 0\""))),
+      runningMax))
+    val out = pipe.forward(
+      Seq(1L, -5L, 3L, 2L).toDF("v").repartition(1))
+    val got = out.select("v", "run_max").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 3L, 2L))
+    // run_max is non-decreasing within the partition
+    assert(got.map(_._2) == got.map(_._2).scanLeft(Long.MinValue)(math.max).tail)
+  }
+
   test("registry persist + reload round-trip (L3)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-registry")
     val e1 = LensEngine(dir.toString)
