@@ -372,18 +372,30 @@ object RelationalQueries extends QueryProvider {
   // Typed imperative aggregate top-k: bounded k-entry partial buffers
   // map-side, ≤ k·16 B per (partition × group) shuffled — vs the window
   // formulation (q_topk_per_group) that shuffles and sorts every row.
+  // Output exploded to (o_custkey, pos, o_orderkey) rows — the driver's
+  // comparer can't hash array cells, and flat rows oracle-check exactly.
   private def aggTopkTyped(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(org.apache.spark.sql.graft.GraftTopK
         .topKByValue(col("o_totalprice"), col("o_orderkey"), 3)
         .as("top_orders"))
+      .select(col("o_custkey"),
+        posexplode(col("top_orders")).as(Seq("pos", "o_orderkey")))
+      .select(col("o_custkey"), col("pos").cast("long").as("pos"),
+        col("o_orderkey"))
 
   private val aggTopkTypedSql =
-    """SELECT o_custkey,
-      |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:3]
-      |    AS top_orders
-      |FROM orders GROUP BY o_custkey""".stripMargin
+    """WITH t AS (
+      |  SELECT o_custkey,
+      |    (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:3]
+      |      AS tops
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT o_custkey,
+      |  CAST(unnest(range(len(tops))) AS BIGINT) AS pos,
+      |  unnest(tops) AS o_orderkey
+      |FROM t""".stripMargin
 
   private def windowLagLead(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

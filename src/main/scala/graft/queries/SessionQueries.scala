@@ -30,9 +30,9 @@ object SessionQueries extends QueryProvider {
 
   private val sessionizeSql =
     s"""SELECT event_id, user_id,
-       |  SUM(CASE WHEN prev IS NULL OR us - prev > $GapUs THEN 1 ELSE 0 END)
+       |  CAST(SUM(CASE WHEN prev IS NULL OR us - prev > $GapUs THEN 1 ELSE 0 END)
        |    OVER (PARTITION BY user_id ORDER BY us, event_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
        |FROM (
        |  SELECT event_id, user_id, epoch_us(ts) AS us,
        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
@@ -47,9 +47,9 @@ object SessionQueries extends QueryProvider {
   private val sessionStatsSql =
     s"""WITH s AS (
        |  SELECT user_id, us,
-       |    SUM(CASE WHEN prev IS NULL OR us - prev > $GapUs THEN 1 ELSE 0 END)
+       |    CAST(SUM(CASE WHEN prev IS NULL OR us - prev > $GapUs THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY user_id ORDER BY us, event_id
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
        |  FROM (
        |    SELECT event_id, user_id, epoch_us(ts) AS us,
        |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
