@@ -22,9 +22,18 @@ object Bench {
       try graft.queries.T(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // Bucketed tables are ingest-time setup, not per-query work — build
+    // them untimed so io_bucketed_join measures the zero-Exchange join.
+    try graft.queries.StorageQueries.ensureBucketedTables(spark, sfDir)
+    catch { case _: Throwable => () }
+    // Time to a noop sink, not count(): under count(1) Catalyst prunes
+    // every unused projection, so map-only queries would measure little
+    // more than a parquet row count. The noop v2 sink evaluates and
+    // discards every output row.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
