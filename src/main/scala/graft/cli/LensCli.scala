@@ -46,7 +46,11 @@ object LensCli {
       .option("columnNameOfCorruptRecord", "__error")
     val in = reader.json(docs.toDS)
       .withColumn("__ord", monotonically_increasing_id())
-    val out = bound.forward(in)
+    // Set-level stages (distinct/collect_group/sort) must not see __ord —
+    // forwardHiding drops it at their boundary; after a sort the pipeline's
+    // own order survives because the final orderBy below is skipped once
+    // __ord is gone.
+    val out = bound.forwardHiding(in, "__ord")
     Some(
       if (out.columns.contains("__ord")) out.orderBy(col("__ord")).drop("__ord")
       else out)
@@ -66,7 +70,7 @@ object LensCli {
 
   /** Split a top-level JSON array into element strings (no full JSON lib
    *  needed — tracks nesting depth and string state only). */
-  private[cli] def parseArray(s: String): Seq[String] = {
+  private[graft] def parseArray(s: String): Seq[String] = {
     val t = s.trim
     require(t.startsWith("[") && t.endsWith("]"), "input must be a JSON array")
     val body = t.substring(1, t.length - 1)

@@ -74,8 +74,12 @@ final class LensEngine(persistDir: Option[Path] = None) {
   /** Re-hydrate persisted lens files from `persistDir`. */
   def reload(): Int = persistDir match {
     case Some(dir) if Files.isDirectory(dir) =>
-      val files = Files.list(dir).iterator().asScala
-        .filter(_.toString.endsWith(".json")).toSeq
+      // Files.list must be closed (it holds a directory handle); materialize
+      // before closing.
+      val stream = Files.list(dir)
+      val files =
+        try stream.iterator().asScala.filter(_.toString.endsWith(".json")).toSeq
+        finally stream.close()
       files.foreach(f => add(Files.readString(f)))
       files.size
     case _ => 0

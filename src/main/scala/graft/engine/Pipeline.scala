@@ -32,6 +32,17 @@ final case class Pipeline(stages: Seq[LensOp]) {
 
   def inverseTransform(df: DataFrame): DataFrame = inverse.forward(df)
 
+  /** Forward, but drop the host's hidden bookkeeping column before any
+   *  stage that owns its row set (`LensOp.ownsRowSet` — distinct /
+   *  collect_group / sort): otherwise the hidden column silently changes
+   *  those ops' semantics (every row unique, singleton groups, sort undone
+   *  by the host's re-order). Once dropped it stays dropped — the caller
+   *  checks for the column's presence before re-ordering on it. */
+  def forwardHiding(df: DataFrame, hidden: String): DataFrame =
+    stages.foldLeft(df) { (d, s) =>
+      s.forward(if (s.ownsRowSet && d.columns.contains(hidden)) d.drop(hidden) else d)
+    }
+
   /** Late-bound source — the reference's Socket (reference:
    *  host-go/repository/repository.go:369-387): a pipeline is a reusable
    *  plan-to-plan function, applied per input. Works unchanged on

@@ -93,9 +93,10 @@ object BuiltinOps {
     },
 
     // Converse of explode: group by all other columns, collect the rest.
+    // Set-level: a hidden host column would make every group a singleton.
     "collect_group" -> { a =>
       val (c, as) = (a.str("col"), a.str("as"))
-      LensOp(s"collect_group($c as $as)", { df =>
+      LensOp.setLevel(s"collect_group($c as $as)", { df =>
         val keys = df.columns.filterNot(_ == c).map(col).toSeq
         df.groupBy(keys: _*).agg(collect_list(col(c)).as(as))
       })
@@ -125,7 +126,8 @@ object BuiltinOps {
     // resolve.
     "memory" -> (_ => LensOp.invertible("memory", df => df, df => df)),
 
-    "distinct" -> (_ => LensOp("distinct", df => df.distinct())),
+    // Set-level: a hidden host column would make every row unique.
+    "distinct" -> (_ => LensOp.setLevel("distinct", df => df.distinct())),
 
     "limit" -> { a =>
       val n = a.int("n")
@@ -208,9 +210,11 @@ object BuiltinOps {
       LensOp(s"fingerprint($t)", df => TextAnalysis.fingerprint(df, t, id))
     },
 
+    // Set-level (defines its own order): the CLI must not re-impose input
+    // order after this stage.
     "sort" -> { a =>
       val keys = a.strList("cols")
-      LensOp(s"sort(${keys.mkString(",")})", { df =>
+      LensOp.setLevel(s"sort(${keys.mkString(",")})", { df =>
         val sortCols = keys.map {
           case k if k.endsWith(" desc") => col(k.stripSuffix(" desc")).desc
           case k                        => col(k).asc

@@ -26,6 +26,14 @@ trait LensOp extends Serializable {
   /** None = not invertible (module without an `inverse` export). */
   def inverseOp: Option[LensOp] = None
 
+  /** True when the op's semantics depend on the *exact* column set or it
+   *  defines its own output order (distinct, collect_group, sort): a host
+   *  threading a hidden bookkeeping column through the pipeline (the CLI's
+   *  input-order ordinal) must drop it before such a stage, or dedup sees
+   *  every row as unique / grouping keys gain a unique column / the stage's
+   *  sort is undone by the host's re-order. */
+  def ownsRowSet: Boolean = false
+
   final def apply(df: DataFrame): DataFrame = forward(df)
 }
 
@@ -52,6 +60,14 @@ object LensOp {
       override def forward(df: DataFrame): DataFrame = inv(df)
       override def inverseOp: Option[LensOp] = Some(self)
     })
+  }
+
+  /** A set-level op (`ownsRowSet = true`): semantics depend on the exact
+   *  column set or the op defines its own output order. */
+  def setLevel(opName: String, fwd: DataFrame => DataFrame): LensOp = new LensOp {
+    override def name: String = opName
+    override def forward(df: DataFrame): DataFrame = fwd(df)
+    override def ownsRowSet: Boolean = true
   }
 
   /** Identity pass-through (reference: host-go/engine/engine.go:26-28 —

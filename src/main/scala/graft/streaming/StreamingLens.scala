@@ -63,6 +63,7 @@ object StreamingLens {
       window: String,
       keyCols: Seq[String],
       aggExprs: Seq[String]): DataFrame = {
+    require(aggExprs.nonEmpty, "eventWindowAgg requires at least one aggregate expression")
     val withWm = stream.withWatermark(tsCol, delay)
     val groupCols = org.apache.spark.sql.functions.window(col(tsCol), window) +:
       keyCols.map(col)

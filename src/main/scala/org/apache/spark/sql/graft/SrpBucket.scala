@@ -18,8 +18,15 @@ import org.apache.spark.sql.types._
  * call per row is noise against that (the per-PAIR expressions carry full
  * doGenCode instead).
  */
-case class SrpBucket(child: Expression, planes: Array[Array[Double]])
+case class SrpBucket(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  // planes is Seq-of-Seq (not Array) so case-class equality is structural —
+  // canonicalization / common-subexpression elimination can dedupe two
+  // SrpBucket instances built from the same seed. The hot loop indexes a
+  // pre-flattened Array copy.
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
@@ -28,10 +35,11 @@ case class SrpBucket(child: Expression, planes: Array[Array[Double]])
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    val planesLocal = planeArr
     var bucket = 0L
     var p = 0
-    while (p < planes.length) {
-      val plane = planes(p)
+    while (p < planesLocal.length) {
+      val plane = planesLocal(p)
       // Dimension mismatch (corrupt/short embedding): bit stays unset —
       // the HOF formulation's zip_with null-padding poisoned the dot
       // product to null, failing the > 0 test. Never a silently-truncated
@@ -53,5 +61,6 @@ case class SrpBucket(child: Expression, planes: Array[Array[Double]])
 
 object GraftSrp {
   def srpBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    ExpressionUtils.column(SrpBucket(ExpressionUtils.expression(vec), planes))
+    ExpressionUtils.column(SrpBucket(ExpressionUtils.expression(vec),
+      planes.toSeq.map(_.toSeq)))
 }

@@ -44,9 +44,16 @@ case class TopKByValue(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty
 
-  /** (a, idA) ranks before (b, idB): higher value first, lower id on tie. */
-  private def before(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** (a, idA) ranks before (b, idB): higher value first, lower id on tie.
+   *  Double.compare gives a TOTAL order (NaN greatest, -0.0 < 0.0) — a
+   *  raw `>`/`==` comparator is non-transitive under NaN and TimSort may
+   *  throw "Comparison method violates its general contract". NaN inputs
+   *  are additionally filtered in update(), so NaN ordering never shows
+   *  in output; the total order is defense in depth for merge(). */
+  private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def trim(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
     if (buf.length > k) {
@@ -61,7 +68,9 @@ case class TopKByValue(
       buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
     val v = value.eval(input)
     val i = id.eval(input)
-    if (v != null && i != null) {
+    // NaN (reachable: cosine of a zero vector is 0/0) never ranks — it has
+    // no meaningful order against real scores.
+    if (v != null && i != null && !java.lang.Double.isNaN(v.asInstanceOf[Double])) {
       buf += ((v.asInstanceOf[Double], i.asInstanceOf[Long]))
       // amortize: trim when the buffer doubles past k
       if (buf.length >= 2 * k) trim(buf)

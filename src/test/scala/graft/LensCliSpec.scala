@@ -72,6 +72,35 @@ class LensCliSpec extends AnyFunSuite {
     assert(LensCli.run(spark, "[]", """{"lenses":[]}""") == "[]")
   }
 
+  test("distinct: set-level op ignores the CLI's hidden ordinal") {
+    val dup = """[{"Age": 1, "Name": "A"}, {"Age": 1, "Name": "A"}, {"Age": 2, "Name": "B"}]"""
+    val lens = """{"lenses":[{"path":"builtin:distinct","arguments":{}}]}"""
+    val out = LensCli.parseArray(LensCli.run(spark, dup, lens))
+    assert(out.length == 2)
+    assert(out.toSet == Set("""{"Age":1,"Name":"A"}""", """{"Age":2,"Name":"B"}"""))
+  }
+
+  test("collect_group: groups are not split by the CLI's hidden ordinal") {
+    val pages =
+      """[{"BookName": "A", "Number": 1},
+        | {"BookName": "A", "Number": 2},
+        | {"BookName": "C", "Number": 7}]""".stripMargin
+    val lens =
+      """{"lenses":[{"path":"builtin:collect_group",
+        |  "arguments":{"col":"Number","as":"PageNumbers"}}]}""".stripMargin
+    val out = LensCli.parseArray(LensCli.run(spark, pages, lens))
+    assert(out.length == 2) // the bug made every group a singleton (3 rows)
+    val a = out.find(_.contains(""""BookName":"A"""")).get
+    assert(a.contains("1") && a.contains("2")) // collect_list order unspecified
+    assert(out.exists(_ == """{"BookName":"C","PageNumbers":[7]}"""))
+  }
+
+  test("sort: pipeline-defined order survives (not undone by input re-order)") {
+    val lens = """{"lenses":[{"path":"builtin:sort","arguments":{"cols":["Age"]}}]}"""
+    val out = LensCli.run(spark, people, lens)
+    assert(out == """[{"Age":9,"Name":"Fred"},{"Age":21,"Name":"John"}]""")
+  }
+
   test("error-as-data (P9): permissive mode carries malformed docs, fail-fast throws") {
     val mixed = """[{"Age": 1, "Name": "ok"}, {"Age": BROKEN}]"""
     // fail-fast (default): surfaced as an error, like ErrTypeID -> Go error
