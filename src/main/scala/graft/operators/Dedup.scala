@@ -53,7 +53,7 @@ object Dedup {
     // Shingle strings are hashed to sorted longs ONCE here; both the k
     // signature re-hashes and the per-pair verify intersections downstream
     // touch only fixed-width longs.
-    val shingled = df
+    val shingled = Par.spread(df, col(idCol))
       .withColumn("ws", split(col(textCol), " "))
       .filter(size(col("ws")) >= shingleWidth)
       .select(col(idCol).as("doc"),
@@ -106,7 +106,7 @@ object Dedup {
     // Signature via the native SimHash64 expression — one tight primitive
     // loop per row inside whole-stage codegen (see TextHash.simHash64 for
     // the measured 65× gap vs the interpreted-HOF formulation).
-    val sigs = df
+    val sigs = Par.spread(df, col(idCol))
       .withColumn("tokens", split(col(textCol), " "))
       .select(col(idCol).as("doc"), TextHash.simHash64("tokens").as("simhash"))
 
@@ -138,14 +138,26 @@ object Dedup {
    */
   def ngramJaccard(
       df: DataFrame, textCol: String, idCol: String, blockCol: String,
-      threshold: Double, n: Int = 3, saltBuckets: Int = 8): DataFrame = {
-    val grams = df
+      threshold: Double, n: Int = 3, saltBuckets: Int = 8,
+      cacheGrams: Boolean = true): DataFrame = {
+    // The gram table feeds THREE consumers (the slim triangle join and both
+    // verify sides); without a persist each consumer re-runs the scan +
+    // n-gram build — measured as most of the query's cost at sf0.1.
+    // `cacheGrams` is the recompute-vs-cache policy knob for 100 TB runs
+    // (where the gram table may not fit the cache tier and recompute can
+    // be the right trade); locally recompute is pure waste. MEMORY_AND_DISK
+    // spills rather than OOMs; LRU eviction bounds repeated-run growth.
+    val gramsPlan = Par.spread(df, col(idCol))
       .filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc"), col(blockCol).as("block"),
         org.apache.spark.sql.graft.GraftSetBuilders
           .hashedCharNgrams(col(textCol), n).as("g"))
       .withColumn("ng", size(col("g")))
       .withColumn("salt", pmod(xxhash64(col("doc")), lit(saltBuckets)).cast("int"))
+    val grams =
+      if (cacheGrams)
+        gramsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else gramsPlan
     // Salted triangle self-join: a block's quadratic pair space is split
     // into S(S+1)/2 salt-pair cells so it spreads across the cluster even
     // when there are few, huge blocks (the 100 TB failure mode of naive
@@ -225,12 +237,13 @@ object Dedup {
       threshold: Double, n: Int = 3, charGrams: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val builders = org.apache.spark.sql.graft.GraftSetBuilders
+    val spread = Par.spread(df, col(idCol))
     val grams = (if (charGrams) {
-      df.filter(length(col(textCol)) >= n)
+      spread.filter(length(col(textCol)) >= n)
         .select(col(idCol).as("doc"),
           builders.hashedCharNgrams(col(textCol), n).as("g"))
     } else {
-      df.withColumn("ws", split(col(textCol), " "))
+      spread.withColumn("ws", split(col(textCol), " "))
         .filter(size(col("ws")) >= n)
         .select(col(idCol).as("doc"),
           builders.hashedWordShingles(col("ws"), n).as("g"))

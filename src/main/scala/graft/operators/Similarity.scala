@@ -34,7 +34,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = Par.spread(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
@@ -50,9 +51,10 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, vecCol: String, idCol: String, clusterCol: String,
       k: Int): DataFrame = {
-    val q = corpus.select(col(idCol).as("query_id"), col(clusterCol).as("cluster"),
+    val spreadCorpus = Par.spread(corpus, col(idCol))
+    val q = spreadCorpus.select(col(idCol).as("query_id"), col(clusterCol).as("cluster"),
       col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(clusterCol).as("cluster"),
+    val c = spreadCorpus.select(col(idCol).as("neighbor_id"), col(clusterCol).as("cluster"),
       col(vecCol).as("c_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -101,7 +103,8 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "query_id", "q_vec")
     val c = bucketed(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      Par.spread(corpus, col(idCol))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "neighbor_id", "c_vec")
 
     val candidates = q.join(c, Seq("table", "bucket"))
@@ -124,7 +127,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, threshold: Double): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val c = Par.spread(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .where(TextHash.cosine("q_vec", "c_vec") >= threshold)

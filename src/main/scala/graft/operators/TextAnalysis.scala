@@ -147,40 +147,33 @@ object TextAnalysis {
   // ----------------------------------------------------------- fingerprint
 
   /** Rolling polynomial hash parameters (Rabin–Karp over token codes). */
-  val RollBase = 31L
-  val RollMod = 1000000007L
-
-  /** Per-token integer code: first codepoint ⊕ length — cheap, and
-   *  identically computable in DuckDB (`ascii` + `length`). */
-  private def tokenCode(t: Column): Column =
-    (ascii(t) * lit(RollBase) + length(t)).cast("long")
+  val RollBase: Long = org.apache.spark.sql.graft.TextFingerprint.RollBase
+  val RollMod: Long = org.apache.spark.sql.graft.TextFingerprint.RollMod
 
   /**
    * doc_id, fp_md5 (exact-dup content fingerprint of normalized text),
    * fp_roll (Rabin–Karp rolling hash over token codes, mod 1e9+7),
    * fp_shingle (min-hash-style: lexicographic min of md5'd word-3-shingles;
    * robust to local edits).
+   *
+   * The per-token fold and per-shingle md5-min are native expressions
+   * (o.a.s.sql.graft.{RollingTokenHash, MinShingleMd5}) — the interpreted
+   * HOF formulation they replace (token-code `transform` + `aggregate`
+   * fold; shingle `transform` + `md5` + `array_min`) walked a boxed
+   * expression tree per token and measured 9.4 s for 5 000 docs; the
+   * native loops are value-identical (same token-code formula, fold order,
+   * and hex-min semantics — see the expressions' Scaladoc), keeping the
+   * DuckDB oracle green.
    */
   def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     val norm = trim(lower(regexp_replace(t, "\\s+", " ")))
     val ws = wsTokens(norm)
-    val codes = transform(ws, tokenCode(_))
-    // Fold matching DuckDB list_reduce semantics: first element is the
-    // initial accumulator, remaining elements are folded in order.
-    val roll = aggregate(
-      slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
-      element_at(codes, 1).cast("long"),
-      (acc, x) => pmod(acc * RollBase + x, lit(RollMod)))
-    val shingles = transform(
-      sequence(lit(0), size(ws) - 3),
-      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-        element_at(ws, i + 3)))
-    val minShingle = when(size(ws) >= 3, array_min(transform(shingles, md5(_))))
+    val fp = org.apache.spark.sql.graft.TextFingerprint
     df.select(
       col(idCol),
       md5(norm).as("fp_md5"),
-      roll.as("fp_roll"),
-      minShingle.as("fp_shingle"))
+      fp.rollingTokenHash(ws).as("fp_roll"),
+      fp.minShingleMd5(ws).as("fp_shingle"))
   }
 }

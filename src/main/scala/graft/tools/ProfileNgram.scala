@@ -4,7 +4,8 @@ import graft.functions.TextHash
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiler for the ngram-Jaccard stages (not library API). */
+/** Scratch profiler for the ngram-Jaccard stages (not library API).
+ *  Mirrors the CURRENT two-phase Dedup.ngramJaccard shape. */
 object ProfileNgram {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -17,26 +18,49 @@ object ProfileNgram {
       val t0 = System.nanoTime(); val r = f
       println(f"STAGE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
     }
+    val saltBuckets = 8
     val grams = df.filter(length(col("text")) >= 3)
       .select(col("doc_id").as("doc"), col("lang").as("block"),
-        TextHash.hashedSet(TextHash.charNgrams("text", 3)).as("g"))
+        org.apache.spark.sql.graft.GraftSetBuilders
+          .hashedCharNgrams(col("text"), 3).as("g"))
       .withColumn("ng", size(col("g")))
-      .withColumn("salt", pmod(xxhash64(col("doc")), lit(8)).cast("int"))
-    time("grams compute")(grams.agg(sum("ng")).head().getLong(0))
-    val left = grams.withColumn("sb", explode(expr("sequence(salt, 7)")))
-      .select(col("doc"), col("block"), col("g"), col("ng"), col("salt").as("sa"), col("sb"))
-    val right = grams.withColumn("sa", explode(expr("sequence(0, salt)")))
-      .select(col("doc").as("doc_b"), col("block"), col("g").as("g_b"),
-        col("ng").as("ng_b"), col("sa"), col("salt").as("sb"))
-    val joined = left.join(right, Seq("block", "sa", "sb"))
+      .withColumn("salt", pmod(xxhash64(col("doc")), lit(saltBuckets)).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("grams compute+cache")(grams.agg(sum("ng")).head().getLong(0))
+    time("grams reread")(grams.agg(sum("ng")).head().getLong(0))
+
+    val slim = grams.select(col("doc"), col("block"), col("ng"), col("salt"))
+    val left = slim
+      .withColumn("sb", explode(expr(s"sequence(salt, ${saltBuckets - 1})")))
+      .select(col("doc"), col("block"), col("ng"), col("salt").as("sa"), col("sb"))
+    val right = slim
+      .withColumn("sa", explode(expr("sequence(0, salt)")))
+      .select(col("doc").as("doc_b"), col("block"), col("ng").as("ng_b"),
+        col("sa"), col("salt").as("sb"))
+    val candidates = left
+      .join(right, Seq("block", "sa", "sb"))
       .where(col("sa") < col("sb") || col("doc") < col("doc_b"))
-    time("join count (no verify)")(joined.count())
-    val sized = joined.where(least(col("ng"), col("ng_b")) * lit(1.0) /
-      greatest(col("ng"), col("ng_b")) >= 0.7)
-    time("size-filter count")(sized.count())
-    time("verify (intersect)")(sized.withColumn("j",
-      TextHash.jaccardSorted(col("g"), col("g_b"), col("ng"), col("ng_b")))
-      .where(col("j") >= 0.7).count())
+      .where(least(col("ng"), col("ng_b")) * lit(1.0) /
+        greatest(col("ng"), col("ng_b")) >= 0.7)
+      .select(col("doc"), col("doc_b"), col("ng"), col("ng_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("candidates count")(candidates.count())
+    time("candidates recount")(candidates.count())
+
+    val gA = broadcast(grams.select(col("doc"), col("g")))
+    val gB = broadcast(grams.select(col("doc").as("doc_b"), col("g").as("g_b")))
+    val out = candidates
+      .join(gA, "doc").join(gB, "doc_b")
+      .withColumn("jaccard",
+        TextHash.jaccardSortedThresholded(col("g"), col("g_b"),
+          col("ng"), col("ng_b"), 0.7))
+      .where(col("jaccard") >= 0.7)
+    time("verify count")(out.count())
+    time("verify count again")(out.count())
+    println(out.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Codegen") || l.contains("Jaccard") ||
+        l.contains("BroadcastHashJoin") || l.contains("Filter"))
+      .mkString("\n"))
     spark.stop()
   }
 }
