@@ -46,11 +46,14 @@ object LensCli {
       .option("columnNameOfCorruptRecord", "__error")
     val in = reader.json(docs.toDS)
       .withColumn("__ord", monotonically_increasing_id())
-    // Set-level stages (distinct/collect_group/sort) must not see __ord —
-    // forwardHiding drops it at their boundary; after a sort the pipeline's
+    // Set-level stages (distinct/collect_group/sort/opaque) must not see
+    // __ord — it is dropped at their boundary; after a sort the pipeline's
     // own order survives because the final orderBy below is skipped once
-    // __ord is gone.
-    val out = bound.forwardHiding(in, "__ord")
+    // __ord is gone. Permissive mode additionally converts a FAILING stage
+    // into in-band __error rows (P9 — see Pipeline.forwardPermissive).
+    val out =
+      if (permissive) bound.forwardPermissive(in, "__ord")
+      else bound.forwardHiding(in, "__ord")
     Some(
       if (out.columns.contains("__ord")) out.orderBy(col("__ord")).drop("__ord")
       else out)

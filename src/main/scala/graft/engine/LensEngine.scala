@@ -32,12 +32,20 @@ final class LensEngine(persistDir: Option[Path] = None) {
   private val configs = TrieMap.empty[String, PipelineConfig]
   private val pipelines = TrieMap.empty[String, Pipeline]
 
+  /** Stage paths like `sha256:<id>` resolve against this engine's registry,
+   *  so stored pipelines can reference each other (reference fetch
+   *  semantics, host-go/engine/engine.go:67-104). A referenced id must be
+   *  added BEFORE the pipeline that uses it — content ids cannot cycle. */
+  private val resolver: Pipeline.Resolver = new Pipeline.Resolver {
+    override def byId(id: String): Option[Pipeline] = pipelines.get(id)
+  }
+
   /** Persist a lens file; returns its content id. Idempotent. */
   def add(json: String): String = {
     val cfg = PipelineConfig.fromJson(json)
     val id = cfg.contentId
     // Validate at add time, like the reference warming its pools on Add.
-    val pipe = Pipeline.fromConfig(cfg)
+    val pipe = Pipeline.fromConfig(cfg, resolver)
     configs.putIfAbsent(id, cfg)
     pipelines.putIfAbsent(id, pipe)
     persistDir.foreach { dir =>

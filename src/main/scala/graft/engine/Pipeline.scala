@@ -1,8 +1,11 @@
 package graft.engine
 
 import graft.model.{PipelineConfig, StageConfig}
-import graft.ops.{Args, BuiltinOps, LensOp}
+import graft.ops.{Args, BuiltinOps, LensOp, OpaqueOp}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
 
 /**
  * An ordered chain of lens ops — the analogue of the reference's `Append`
@@ -34,13 +37,42 @@ final case class Pipeline(stages: Seq[LensOp]) {
 
   /** Forward, but drop the host's hidden bookkeeping column before any
    *  stage that owns its row set (`LensOp.ownsRowSet` — distinct /
-   *  collect_group / sort): otherwise the hidden column silently changes
-   *  those ops' semantics (every row unique, singleton groups, sort undone
-   *  by the host's re-order). Once dropped it stays dropped — the caller
-   *  checks for the column's presence before re-ordering on it. */
+   *  collect_group / sort / opaque): otherwise the hidden column silently
+   *  changes those ops' semantics (every row unique, singleton groups,
+   *  sort undone by the host's re-order). Once dropped it stays dropped —
+   *  the caller checks for the column's presence before re-ordering on it. */
   def forwardHiding(df: DataFrame, hidden: String): DataFrame =
     stages.foldLeft(df) { (d, s) =>
       s.forward(if (s.ownsRowSet && d.columns.contains(hidden)) d.drop(hidden) else d)
+    }
+
+  /**
+   * P9 completion — per-op error-as-data: like `forwardHiding`, but a
+   * stage that FAILS (e.g. `rename` on a missing column) turns its input
+   * rows into `__error` rows — data columns null, `__error` carrying the
+   * op name + message — which keep flowing through the remaining stages
+   * exactly like the reference's in-band negative-type-id error items
+   * (reference: host-go/engine/module/protocol.go:43,57-59). An already-
+   * errored row keeps its ORIGINAL `__error` (first cause wins). The
+   * fail-fast path is `forwardHiding`, matching the reference surfacing
+   * the error on `Value()`.
+   */
+  def forwardPermissive(df: DataFrame, hidden: String): DataFrame =
+    stages.foldLeft(df) { (d, s) =>
+      val input = if (s.ownsRowSet && d.columns.contains(hidden)) d.drop(hidden) else d
+      try s.forward(input)
+      catch {
+        case e: Exception =>
+          val msg = s"lens op '${s.name}' failed: ${e.getMessage}"
+          val dataCols = input.columns.filterNot(c => c == "__error" || c == hidden)
+          val keep = input.columns.filter(_ == hidden).map(col).toSeq
+          val err =
+            if (input.columns.contains("__error")) coalesce(col("__error"), lit(msg))
+            else lit(msg)
+          input.select(dataCols.map(c =>
+            lit(null).cast(input.schema(c).dataType).as(c)).toSeq ++
+            keep :+ err.as("__error"): _*)
+      }
     }
 
   /** Late-bound source — the reference's Socket (reference:
@@ -52,18 +84,84 @@ final case class Pipeline(stages: Seq[LensOp]) {
 
 object Pipeline {
 
+  /** Resolves `sha256:` content-id stage references — the analogue of the
+   *  reference fetching a module by URL at config time
+   *  (reference: host-go/engine/engine.go:59-104). The default resolver
+   *  knows no ids; `LensEngine` supplies its registry. */
+  trait Resolver { def byId(id: String): Option[Pipeline] }
+  object NoResolver extends Resolver { def byId(id: String): Option[Pipeline] = None }
+
   /** Build from a parsed lens file; `inverse: true` on a stage flips that
    *  stage at construction (reference: host-go/config/config.go:84-100). */
-  def fromConfig(cfg: PipelineConfig): Pipeline =
-    Pipeline(cfg.lenses.map(stage))
+  def fromConfig(cfg: PipelineConfig): Pipeline = fromConfig(cfg, NoResolver)
+
+  def fromConfig(cfg: PipelineConfig, resolver: Resolver): Pipeline =
+    build(cfg, resolver, Set.empty)
 
   def fromJson(json: String): Pipeline = fromConfig(PipelineConfig.fromJson(json))
 
-  private def stage(s: StageConfig): LensOp = {
-    val op = BuiltinOps.resolve(s.path, Args(s.arguments))
+  def fromJson(json: String, resolver: Resolver): Pipeline =
+    fromConfig(PipelineConfig.fromJson(json), resolver)
+
+  private def build(
+      cfg: PipelineConfig, resolver: Resolver, visiting: Set[String]): Pipeline =
+    Pipeline(fuse(cfg.lenses).map { case (s, times) =>
+      stage(s, times, resolver, visiting)
+    })
+
+  /** Collapse a run of consecutive `builtin:opaque` stages that name the
+   *  same `instance` (and are otherwise identical) into one stage applied
+   *  k times over ONE shared guest instance — the reference's
+   *  shared-instance state semantics (reference:
+   *  host-go/engine/tests/wasm32_pipeline_with_state_test.go:16-100). */
+  private def fuse(stages: Seq[StageConfig]): Seq[(StageConfig, Int)] =
+    stages.foldLeft(Vector.empty[(StageConfig, Int)]) { (acc, s) =>
+      acc.lastOption match {
+        case Some((p, k)) if p.path == "builtin:opaque" && p == s &&
+            p.arguments.contains("instance") =>
+          acc.init :+ ((p, k + 1))
+        case _ => acc :+ ((s, 1))
+      }
+    }
+
+  private def stage(
+      s: StageConfig, times: Int, resolver: Resolver,
+      visiting: Set[String]): LensOp = {
+    val args = Args(s.arguments)
+    val op: LensOp =
+      if (s.path == "builtin:opaque") {
+        OpaqueOp(args.str("guest"), times, serial = args.bool("serial"))
+      } else if (s.path.startsWith("file:")) {
+        // A stage may reference a whole stored lens FILE — the reference's
+        // fetch-by-file-URL (reference: host-go/engine/engine.go:67-104) —
+        // inlined as a sub-pipeline. Cycle-checked by canonical path.
+        val p = Paths.get(s.path.stripPrefix("file:")).toAbsolutePath.normalize
+        require(!visiting.contains(p.toString),
+          s"cyclic lens reference: '${s.path}'")
+        val sub = build(PipelineConfig.fromJson(Files.readString(p)),
+          resolver, visiting + p.toString)
+        subPipelineOp(s.path, sub)
+      } else if (s.path.startsWith("sha256:")) {
+        // Reference a stored pipeline by content id, resolved through the
+        // registry. Content ids cannot cycle: an id commits to the full
+        // config bytes, which cannot contain the id itself.
+        val sub = resolver.byId(s.path).getOrElse(throw new IllegalArgumentException(
+          s"unknown pipeline reference: '${s.path}' (not in the registry)"))
+        subPipelineOp(s.path, sub)
+      } else BuiltinOps.resolve(s.path, args)
     if (s.inverse) {
       op.inverseOp.getOrElse(throw new UnsupportedOperationException(
         s"lens op '${op.name}' does not export an inverse"))
     } else op
+  }
+
+  private def subPipelineOp(label: String, sub: Pipeline): LensOp = new LensOp {
+    override def name: String = label
+    override def forward(df: DataFrame): DataFrame = sub.forward(df)
+    /** The sub-pipeline's stages may hide a host bookkeeping column. */
+    override def ownsRowSet: Boolean = sub.stages.exists(_.ownsRowSet)
+    override def inverseOp: Option[LensOp] =
+      try Some(subPipelineOp(s"$label:inverse", sub.inverse))
+      catch { case _: UnsupportedOperationException => None }
   }
 }

@@ -111,7 +111,34 @@ object LensQueries extends QueryProvider {
       .select("n_nationkey", "nation_name", "n_regionkey")
   }
 
+  // P5 — opaque guest transform as a lens-file stage: a user-registered
+  // per-item function (the Spark analogue of a user WASM module — see
+  // graft.ops.RowGuest). The guest is 1:1 and partition-independent, so
+  // its effect is SQL-expressible and the oracle checks it exactly; the
+  // SHARED-STATE fusion semantics are spec-checked (LensEngineSpec /
+  // LensCliSpec golden, reference wasm32_pipeline_with_state_test.go).
+  // 100 TB shape: narrow map stage, partition-local state, no shuffle.
+  private def opaquePipe(s: SparkSession, dir: String): DataFrame = {
+    graft.ops.GuestRegistry.register("double_acct", new graft.ops.RowGuest {
+      override def outputSchema(in: org.apache.spark.sql.types.StructType) = in
+      override def open(in: org.apache.spark.sql.types.StructType)
+          : org.apache.spark.sql.Row => org.apache.spark.sql.Row = {
+        val idx = in.fieldIndex("c_acctbal")
+        r => org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(idx, r.getDouble(idx) * 2)) // *2 is FP-exact
+      }
+    })
+    Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:select","arguments":{"cols":["c_custkey","c_acctbal"]}},
+        |  {"path":"builtin:opaque","arguments":{"guest":"double_acct"}}
+        |]}""".stripMargin)
+      .forward(T(s, dir, "customer"))
+      .withColumnRenamed("c_acctbal", "doubled_bal")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lens_opaque"       -> (opaquePipe _),
     "lens_rename"       -> (renamePipe _),
     "lens_with_column"  -> (arithPipe _),
     "lens_roundtrip"    -> (roundtrip _),
@@ -123,6 +150,8 @@ object LensQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "lens_opaque" ->
+      "SELECT c_custkey, c_acctbal * 2 AS doubled_bal FROM customer",
     "lens_rename" ->
       "SELECT c_custkey, c_name AS full_name FROM customer",
     "lens_with_column" ->

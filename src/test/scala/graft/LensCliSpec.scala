@@ -101,6 +101,43 @@ class LensCliSpec extends AnyFunSuite {
     assert(out == """[{"Age":9,"Name":"Fred"},{"Age":21,"Name":"John"}]""")
   }
 
+  test("opaque guest via lens file (P5): shared instance x3 counts 3,6,9") {
+    graft.ops.GuestRegistry.register("cli_counter", new graft.ops.RowGuest {
+      override def outputSchema(in: org.apache.spark.sql.types.StructType) = in
+      override def open(in: org.apache.spark.sql.types.StructType)
+          : org.apache.spark.sql.Row => org.apache.spark.sql.Row = {
+        val idx = in.fieldIndex("Id")
+        var n = 0L
+        r => { n += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(idx, n)) }
+      }
+    })
+    val input =
+      """[{"Id": 0, "Name": "John"}, {"Id": 0, "Name": "Shahzad"}, {"Id": 0, "Name": "Addo"}]"""
+    val stage =
+      """{"path":"builtin:opaque","arguments":{"guest":"cli_counter","instance":"i1","serial":true}}"""
+    val out = LensCli.run(spark, input, s"""{"lenses":[$stage,$stage,$stage]}""")
+    assert(out ==
+      """[{"Id":3,"Name":"John"},{"Id":6,"Name":"Shahzad"},{"Id":9,"Name":"Addo"}]""")
+  }
+
+  test("per-op error-as-data (P9): failing stage emits __error rows in permissive mode") {
+    val lens =
+      """{"lenses":[
+        |  {"path":"builtin:with_column","arguments":{"col":"Age","expr":"Age + 1"}},
+        |  {"path":"builtin:rename","arguments":{"src":"Nope","dst":"X"}}
+        |]}""".stripMargin
+    // fail-fast: surfaced as an error, like the reference's Value() error
+    intercept[Exception] { LensCli.run(spark, people, lens) }
+    // permissive: every row entering the failing stage flows on as an
+    // in-band __error item
+    val out = LensCli.parseArray(
+      LensCli.run(spark, people, lens, invert = false, permissive = true))
+    assert(out.length == 2)
+    assert(out.forall(r => r.contains("__error") &&
+      r.contains("rename(Nope->X)") &&
+      r.contains("The requested property was not found")))
+  }
+
   test("error-as-data (P9): permissive mode carries malformed docs, fail-fast throws") {
     val mixed = """[{"Age": 1, "Name": "ok"}, {"Age": BROKEN}]"""
     // fail-fast (default): surfaced as an error, like ErrTypeID -> Go error

@@ -205,4 +205,83 @@ class LensEngineSpec extends AnyFunSuite {
     val out = pipe.forward(df).as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
+
+  /** The reference's shared-state counter module: increments instance
+   *  state on every transform call and writes it to Id (reference:
+   *  host-go/engine/tests/wasm32_pipeline_with_state_test.go:16-100). */
+  private def counterGuest = new graft.ops.RowGuest {
+    override def outputSchema(in: org.apache.spark.sql.types.StructType) = in
+    override def open(in: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.Row => org.apache.spark.sql.Row = {
+      val idx = in.fieldIndex("Id")
+      var n = 0L
+      r => { n += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(idx, n)) }
+    }
+  }
+
+  test("P5/P7 opaque guest: same instance appended 3x shares state (ids 3,6,9)") {
+    graft.ops.GuestRegistry.register("counter", counterGuest)
+    val stage =
+      """{"path":"builtin:opaque","arguments":
+        |  {"guest":"counter","instance":"i1","serial":true}}""".stripMargin
+    val pipe = Pipeline.fromJson(s"""{"lenses":[$stage,$stage,$stage]}""")
+    // fused to ONE mapPartitions over one shared instance
+    assert(pipe.stages.length == 1)
+    assert(pipe.stages.head.name == "opaque(counter x3)")
+    val in = Seq((0L, "John"), (0L, "Shahzad"), (0L, "Addo")).toDF("Id", "Name")
+    val out = pipe.forward(in).as[(Long, String)].collect().toSeq
+    // item i flows through all 3 stages before item i+1 (reference pull loop)
+    assert(out == Seq((3L, "John"), (6L, "Shahzad"), (9L, "Addo")))
+  }
+
+  test("P5 opaque guest: distinct instances do NOT fuse or share state") {
+    graft.ops.GuestRegistry.register("counter", counterGuest)
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:opaque","arguments":{"guest":"counter","instance":"a","serial":true}},
+        |  {"path":"builtin:opaque","arguments":{"guest":"counter","instance":"b","serial":true}}
+        |]}""".stripMargin)
+    assert(pipe.stages.length == 2)
+    val in = Seq((0L, "John"), (0L, "Shahzad")).toDF("Id", "Name")
+    // each stage recounts from its own fresh state: final ids 1, 2
+    val out = pipe.forward(in).as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "John"), (2L, "Shahzad")))
+  }
+
+  test("registry: a stored pipeline references another by content id") {
+    val engine = LensEngine()
+    val idA = engine.add(
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}""")
+    val idB = engine.add(
+      s"""{"lenses":[
+         |  {"path":"$idA"},
+         |  {"path":"builtin:with_column","arguments":{"col":"Age","expr":"Age + 1"}}
+         |]}""".stripMargin)
+    val out = engine.transform(people, idB)
+    assert(out.columns.toSeq == Seq("FullName", "Age"))
+    assert(out.as[(String, Long)].collect().toSeq ==
+      Seq(("John", 4L), ("Fred", 6L), ("Orpheus", 8L)))
+    // referencing an id that is not stored fails at add (fetch semantics)
+    intercept[IllegalArgumentException] {
+      engine.add(s"""{"lenses":[{"path":"sha256:${"cd" * 32}"}]}""")
+    }
+  }
+
+  test("file: lens references inline the referenced pipeline; cycles error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lensref")
+    val inner = dir.resolve("inner.json")
+    java.nio.file.Files.writeString(inner,
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}""")
+    val out = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"file:$inner"}]}""").forward(people)
+    assert(out.columns.toSeq == Seq("FullName", "Age"))
+
+    val a = dir.resolve("a.json"); val b = dir.resolve("b.json")
+    java.nio.file.Files.writeString(a, s"""{"lenses":[{"path":"file:$b"}]}""")
+    java.nio.file.Files.writeString(b, s"""{"lenses":[{"path":"file:$a"}]}""")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.fromJson(s"""{"lenses":[{"path":"file:$a"}]}""")
+    }
+    assert(e.getMessage.contains("cyclic lens reference"))
+  }
 }
