@@ -95,13 +95,34 @@ object Dedup {
   }
 
   /**
-   * SimHash near-duplicate pairs: 64-bit signature, candidates via the
-   * 4×16-bit chunk trick (Hamming distance ≤ 3 ⇒ at least one of the 4
-   * chunks is equal, by pigeonhole), verified with exact bit_count.
+   * SimHash near-duplicate pairs: 64-bit signature, candidates via
+   * pigeonhole blocking over 4×16-bit chunks, verified with exact
+   * bit_count.
+   *
+   * Two blocking levels (`wideKeys`):
+   *
+   *  - `false` — single-chunk: Hamming ≤ 3 ⇒ at least one of the 4 chunks
+   *    equal. Key space 2¹⁶ per chunk: at 10⁹ docs a bucket holds ~15 k
+   *    docs and the within-bucket pair space goes quadratic. Fine to ~10⁷
+   *    docs; kept as the equivalence baseline.
+   *  - `true` (default) — two-level pigeonhole: with ≤ 3 errors over 4
+   *    chunks, some chunk i carries 0 of them, and of the ≤ 3 left in the
+   *    other three chunks some chunk j ≠ i carries ≤ 1 (three counts
+   *    summing ≤ 3 cannot all be ≥ 2). So for some ordered pair (i, j):
+   *    val_i equal AND val_j within 1 bit. Join key (i, j, val_i, val_j) —
+   *    32 effective bits, bucket cardinality n/2³² — with the 1-bit slack
+   *    closed by single-bit-flip expansion of val_j on ONE side (17
+   *    variants; the asymmetric-probe trick of multi-index Hamming
+   *    search). Row cost: 12 exact + 204 expanded slim (id, key) rows per
+   *    doc — linear, tiny next to the quadratic buckets it removes.
+   *
+   * Both blockings have recall 1 for `maxHamming` ≤ 3 and feed the same
+   * exact hamming verify, so their outputs are identical (asserted in
+   * DedupSpec on real sf0.01 data).
    */
   def simHash(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, wideKeys: Boolean = true): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only for distance <= 3")
     // Signature via the native SimHash64 expression — one tight primitive
     // loop per row inside whole-stage codegen (see TextHash.simHash64 for
@@ -110,16 +131,39 @@ object Dedup {
       .withColumn("tokens", split(col(textCol), " "))
       .select(col(idCol).as("doc"), TextHash.simHash64("tokens").as("simhash"))
 
-    val chunked = sigs.select(col("doc"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), " +
-        "j -> named_struct('chunk', j, 'val', (simhash >> (16 * j)) & 65535))")).as("c"))
-      .select(col("doc"), col("simhash"), col("c.chunk").as("chunk"), col("c.val").as("val"))
+    val candidates =
+      if (wideKeys) {
+        val pairs = for { i <- 0 until 4; j <- 0 until 4 if i != j } yield (i, j)
+        val pairCol = explode(array(pairs.map { case (i, j) =>
+          struct(lit(i).as("pi"), lit(j).as("pj")) }: _*))
+        val keyed = sigs.withColumn("p", pairCol)
+          .select(col("doc"), col("simhash"),
+            col("p.pi").as("pi"), col("p.pj").as("pj"),
+            expr("(simhash >> (16 * p.pi)) & 65535").as("vi"),
+            expr("(simhash >> (16 * p.pj)) & 65535").as("vj"))
+        // Probe side: vj itself (-1) plus its 16 single-bit flips.
+        val probe = keyed
+          .withColumn("f", explode(array((-1 until 16).map(lit(_)): _*)))
+          .select(col("doc").as("doc_b"), col("simhash").as("simhash_b"),
+            col("pi"), col("pj"),
+            col("vi"),
+            when(col("f") < 0, col("vj"))
+              .otherwise(expr("vj ^ shiftleft(1L, f)")).as("vj"))
+        keyed.join(probe, Seq("pi", "pj", "vi", "vj"))
+          .where(col("doc") < col("doc_b"))
+      } else {
+        val chunked = sigs.select(col("doc"), col("simhash"),
+          explode(expr("transform(sequence(0, 3), " +
+            "j -> named_struct('chunk', j, 'val', (simhash >> (16 * j)) & 65535))")).as("c"))
+          .select(col("doc"), col("simhash"), col("c.chunk").as("chunk"),
+            col("c.val").as("val"))
+        val right = chunked.select(col("doc").as("doc_b"),
+          col("simhash").as("simhash_b"), col("chunk"), col("val"))
+        chunked.join(right, Seq("chunk", "val"))
+          .where(col("doc") < col("doc_b"))
+      }
 
-    val right = chunked.select(col("doc").as("doc_b"), col("simhash").as("simhash_b"),
-      col("chunk"), col("val"))
-    chunked
-      .join(right, Seq("chunk", "val"))
-      .where(col("doc") < col("doc_b"))
+    candidates
       .select(col("doc").as("doc_a"), col("doc_b"),
         bit_count(expr("simhash ^ simhash_b")).cast("long").as("hamming"))
       // Hamming filter BEFORE the distinct: bit_count is free at join

@@ -72,6 +72,39 @@ object StreamingLens {
   }
 
   /**
+   * Gap-based session windows — the streaming face of the batch
+   * `Sessionize.assign`/`stats` pair: each key's events merge into a
+   * session while consecutive events are less than `gap` apart; a session
+   * closes (and its aggregate row finalizes) once the watermark passes its
+   * end. State per key = the open session only — bounded, the property
+   * that lets sessionization run on a continuous ingest instead of
+   * nightly batch replays.
+   *
+   * Output: session_window (start, end) + keyCols + the aggregates; the
+   * session index of the batch op corresponds to the rank of
+   * `session_window.start` within the key.
+   *
+   * Boundary semantics: `session_window` starts a NEW session when the
+   * inter-event gap is ≥ `gap` (window extent is [ts, ts+gap)); the batch
+   * op keeps the session on an exactly-`gap` difference (`> gap` starts
+   * new). Events exactly at the gap boundary differ — Spark's windowing
+   * contract, documented rather than papered over.
+   */
+  def sessionWindowAgg(
+      stream: DataFrame,
+      tsCol: String,
+      delay: String,
+      gap: String,
+      keyCols: Seq[String],
+      aggExprs: Seq[String]): DataFrame = {
+    require(aggExprs.nonEmpty, "sessionWindowAgg requires at least one aggregate expression")
+    val withWm = stream.withWatermark(tsCol, delay)
+    val groupCols = session_window(col(tsCol), gap) +: keyCols.map(col)
+    val aggs = aggExprs.map(expr)
+    withWm.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * Streaming exact dedup: first occurrence of each `idCols` tuple wins;
    * duplicates arriving within the watermark horizon are dropped. State =
    * one entry per distinct key inside the horizon (bounded), exactly the

@@ -67,6 +67,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhash two-level blocking: identical pair set to single-chunk on sf0.01") {
+    // Both blockings are recall-1 for hamming <= 3 and feed the same exact
+    // verify, so their outputs must be set-equal on real data. The wide-key
+    // path is the 100 TB scale fix (buckets n/2^32 vs n/2^16).
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val wide = Dedup.simHash(docs, "text", "doc_id", maxHamming = 3, wideKeys = true)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val narrow = Dedup.simHash(docs, "text", "doc_id", maxHamming = 3, wideKeys = false)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(wide.nonEmpty)
+    assert(wide == narrow)
+  }
+
+  test("approx distinct stays within 2x the configured 2% rsd of its exact companion") {
+    // dedup_approx_distinct is rows-only at the oracle (HLL internals are
+    // engine-specific); this pins its accuracy so a drift in the sketch
+    // config or the hashing fails a spec instead of passing silently.
+    val rows = graft.SparkEntry.queries("dedup_approx_distinct")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val approx = r.getAs[Long]("n_approx")
+      val relErr = math.abs(approx - exact).toDouble / math.max(exact, 1L)
+      assert(relErr <= 0.04,
+        s"source ${r.get(0)}: approx $approx vs exact $exact (relErr $relErr)")
+    }
+  }
+
   test("ngram jaccard respects blocking column") {
     val df = Seq(
       (1L, base, "en"),

@@ -93,6 +93,55 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: replayed log matches batch sessionize output") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // Two users; u1 has two sessions split by a >30s gap, u2 one session.
+    // No inter-event gap sits exactly AT the 30s boundary (where streaming
+    // `session_window` and the batch `> gap` rule legitimately differ —
+    // see sessionWindowAgg scaladoc).
+    val events = Seq(
+      ("u1", 0L), ("u1", 10L), ("u1", 20L),  // session 1: 3 events, 20s
+      ("u1", 100L), ("u1", 105L),            // session 2: 2 events, 5s
+      ("u2", 50L))                           // session 1: 1 event
+    val in = MemoryStream[(String, Timestamp)]
+    val out = StreamingLens.sessionWindowAgg(
+      in.toDF.toDF("uid", "ts"), "ts", "10 seconds", "30 seconds",
+      Seq("uid"), Seq("count(1) as n_events",
+        "cast(unix_millis(max(ts)) - unix_millis(min(ts)) as bigint) as duration_ms"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("s_sessions").start()
+    try {
+      events.foreach { case (u, s) => in.addData((u, ts(s))) }
+      in.addData(("u2", ts(1000L))) // advance watermark far past all sessions
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """select uid, n_events, duration_ms,
+          |  rank() over (partition by uid order by session_window.start) as session_seq
+          |from s_sessions""".stripMargin)
+        .as[(String, Long, Long, Int)].collect()
+        .map(r => ((r._1, r._4.toLong), (r._2, r._3))).toMap
+
+      // batch reference on the same replayed log (ts in ms units, gap 30s)
+      val batchDf = events.toDF("uid", "s")
+        .select(col("uid"), (col("s") * 1000).as("ts_ms"))
+      val batch = graft.operators.Sessionize.stats(
+        graft.operators.Sessionize.assign(batchDf, "uid", "ts_ms", 30000L, "ts_ms"),
+        "uid", "ts_ms")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+
+      assert(streamed.nonEmpty)
+      // every CLOSED streaming session matches the batch session exactly
+      // (the u2 watermark-advancing event's own session may still be open)
+      streamed.foreach { case (k, v) =>
+        assert(batch(k) == v, s"session $k: stream $v vs batch ${batch(k)}")
+      }
+      assert(streamed.contains(("u1", 1L)) && streamed.contains(("u1", 2L)) &&
+        streamed.contains(("u2", 1L)))
+    } finally q.stop()
+  }
+
   test("sequencedByKey: per-key sequence persists across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
