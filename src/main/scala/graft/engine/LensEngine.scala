@@ -79,6 +79,43 @@ final class LensEngine(persistDir: Option[Path] = None) {
     pipelines.get(id)
   }
 
+  /**
+   * L6 — transactions: stage several lens-file adds and publish them
+   * all-or-nothing, the analogue of the reference's per-txn pool overlay
+   * merged into the shared repository on commit and dropped on error
+   * (reference: host-go/repository/repository.go:123-170 — `txnCtx`
+   * staged pools, `OnSuccess` merge, `OnError`/`OnDiscard` delete).
+   *
+   * `f` stages adds against a private overlay; ids staged earlier in the
+   * SAME txn are visible to later `sha256:` references (the reference's
+   * txnCtx-before-shared lookup order). If `f` throws, nothing is
+   * published or persisted. Publication happens under the engine lock —
+   * readers see none or all of the txn's entries.
+   */
+  def withTxn[A](f: LensTxn => A): A = {
+    val txn = new LensTxn(this)
+    val result = f(txn) // any throw discards the staged overlay wholesale
+    txn.publish()
+    result
+  }
+
+  private[engine] def publishAll(
+      entries: Seq[(String, PipelineConfig, Pipeline)]): Unit = synchronized {
+    entries.foreach { case (id, cfg, pipe) =>
+      configs.putIfAbsent(id, cfg)
+      pipelines.putIfAbsent(id, pipe)
+    }
+    persistDir.foreach { dir =>
+      Files.createDirectories(dir)
+      entries.foreach { case (id, cfg, _) =>
+        val file = dir.resolve(id.replace(":", "_") + ".json")
+        if (!Files.exists(file)) Files.writeString(file, cfg.canonicalJson)
+      }
+    }
+  }
+
+  private[engine] def lookup(id: String): Option[Pipeline] = pipelines.get(id)
+
   /** Re-hydrate persisted lens files from `persistDir`. */
   def reload(): Int = persistDir match {
     case Some(dir) if Files.isDirectory(dir) =>
@@ -97,4 +134,27 @@ final class LensEngine(persistDir: Option[Path] = None) {
 object LensEngine {
   def apply(): LensEngine = new LensEngine(None)
   def apply(dir: String): LensEngine = new LensEngine(Some(Paths.get(dir)))
+}
+
+/** A transaction's staged overlay (see LensEngine.withTxn). */
+final class LensTxn private[engine] (engine: LensEngine) {
+  private val staged =
+    scala.collection.mutable.LinkedHashMap.empty[String, (PipelineConfig, Pipeline)]
+
+  /** Stage a lens file: validated now (build fails the txn), visible to
+   *  later same-txn `sha256:` references, published only on commit. */
+  def add(json: String): String = {
+    val cfg = PipelineConfig.fromJson(json)
+    val id = cfg.contentId
+    val resolver: Pipeline.Resolver = new Pipeline.Resolver {
+      override def byId(refId: String): Option[Pipeline] =
+        staged.get(refId).map(_._2).orElse(engine.lookup(refId))
+    }
+    val pipe = Pipeline.fromConfig(cfg, resolver)
+    staged.getOrElseUpdate(id, (cfg, pipe))
+    id
+  }
+
+  private[engine] def publish(): Unit =
+    engine.publishAll(staged.map { case (id, (cfg, pipe)) => (id, cfg, pipe) }.toSeq)
 }

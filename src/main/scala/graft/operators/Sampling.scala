@@ -19,4 +19,25 @@ object Sampling {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /**
+   * Deterministic train/val/test assignment from the record id alone — no
+   * RNG state, stable under reruns, repartitioning, and incremental
+   * appends (a doc's split never changes when the corpus grows, unlike
+   * `randomSplit`). Buckets come from a Knuth multiplicative mix
+   * ((id·2654435761) mod 2³², the golden-ratio constant) taken mod 100 —
+   * plain integer arithmetic, so any engine computes the identical split
+   * (the DuckDB oracle does); swap in xxhash64 when portability of the
+   * exact assignment doesn't matter. 100 TB shape: pure map stage.
+   */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "percentages must leave room for a test slice")
+    val bucket = ((col(idCol) * lit(2654435761L)) % lit(4294967296L)) % lit(100)
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
 }

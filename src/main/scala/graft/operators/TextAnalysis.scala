@@ -144,6 +144,36 @@ object TextAnalysis {
         pred.as("lang_pred"): _*)
   }
 
+  // ------------------------------------------------------------ repetition
+
+  /**
+   * Within-document repetition (the Gopher-style repetitive-content
+   * quality signal): the fraction of word 3-shingles that are duplicates
+   * of an earlier shingle in the same document. Highly repetitive docs
+   * (boilerplate, keyword stuffing, degenerate generations) score high
+   * and get filtered before training.
+   *
+   * doc_id, n_shingles (total, = tokens-2), n_distinct_shingles,
+   * dup_ratio = 1 - distinct/total; null for docs under 3 tokens.
+   *
+   * The distinct count runs on the native sorted-hashed shingle builder
+   * (same primitive as MinHash — shuffle-free, one pass per doc); the
+   * DuckDB oracle counts distinct shingle STRINGS, equal up to a ~n²/2⁶⁵
+   * hash collision. 100 TB shape: pure map stage, no shuffle.
+   */
+  def repetition(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ws = wsTokens(col(textCol))
+    val nSh = (size(ws) - 2).cast("long")
+    val nDistinct = size(org.apache.spark.sql.graft.GraftSetBuilders
+      .hashedWordShingles(ws, 3)).cast("long")
+    df.select(
+      col(idCol),
+      when(size(ws) >= 3, nSh).as("n_shingles"),
+      when(size(ws) >= 3, nDistinct).as("n_distinct_shingles"),
+      when(size(ws) >= 3,
+        lit(1.0) - nDistinct.cast("double") / nSh).as("dup_ratio"))
+  }
+
   // ----------------------------------------------------------- fingerprint
 
   /** Rolling polynomial hash parameters (Rabin–Karp over token codes). */

@@ -210,6 +210,21 @@ object BuiltinOps {
       LensOp(s"fingerprint($t)", df => TextAnalysis.fingerprint(df, t, id))
     },
 
+    "repetition" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp(s"repetition($t)", df => TextAnalysis.repetition(df, t, id))
+    },
+
+    // Deterministic hash train/val/test assignment (Sampling.hashSplit).
+    "train_split" -> { a =>
+      val id = a.strOpt("id").getOrElse("doc_id")
+      val train = a.intOpt("train_pct").getOrElse(90)
+      val vp = a.intOpt("val_pct").getOrElse(5)
+      LensOp(s"train_split($id $train/$vp)",
+        df => graft.operators.Sampling.hashSplit(df, id, train, vp))
+    },
+
     // Set-level (defines its own order): the CLI must not re-impose input
     // order after this stage.
     "sort" -> { a =>

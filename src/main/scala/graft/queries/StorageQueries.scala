@@ -88,13 +88,32 @@ object StorageQueries extends QueryProvider {
       |  least(5, COUNT(*)) AS n_distinct
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Deterministic train/val/test split (see Sampling.hashSplit): the
+   *  bucket arithmetic is plain integer math, so the oracle computes the
+   *  IDENTICAL per-row assignment — membership itself is checked, not
+   *  just slice sizes. */
+  private def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(T(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("split"))
+
+  private val splitAssignSql =
+    """SELECT doc_id,
+      |  CASE
+      |    WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'train'
+      |    WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95 THEN 'val'
+      |    ELSE 'test'
+      |  END AS split
+      |FROM documents""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_bucketed_join"   -> (bucketedJoin _),
-    "q_sample_per_group" -> (samplePerGroup _)
+    "q_sample_per_group" -> (samplePerGroup _),
+    "q_split_assign"     -> (splitAssign _)
   )
 
   override val oracles: Map[String, String] = Map(
     "io_bucketed_join"   -> bucketedJoinSql,
-    "q_sample_per_group" -> samplePerGroupSql
+    "q_sample_per_group" -> samplePerGroupSql,
+    "q_split_assign"     -> splitAssignSql
   )
 }

@@ -143,6 +143,49 @@ object TextQueries extends QueryProvider {
       |    / COUNT(*) / 1e9 AS avg_quality
       |FROM r GROUP BY source""".stripMargin
 
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(T(s, dir, "documents"), "text", "doc_id")
+
+  private val repetitionSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (
+      |  SELECT doc_id, len(ws) AS n,
+      |    CASE WHEN len(ws) >= 3 THEN len(list_distinct(list_transform(
+      |      range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])))
+      |    END AS nd
+      |  FROM w
+      |)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN n >= 3 THEN n - 2 END AS BIGINT) AS n_shingles,
+      |  CAST(nd AS BIGINT) AS n_distinct_shingles,
+      |  CASE WHEN n >= 3 THEN 1.0 - CAST(nd AS DOUBLE) / (n - 2) END AS dup_ratio
+      |FROM s""".stripMargin
+
+  // Benchmark slice = every 10th doc (a stand-in eval set); 8-gram word
+  // shingles, any overlap flags the pair. See Contamination scaladoc for
+  // the broadcast inverted-index scale shape.
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Contamination.ngramOverlap(
+      docs, docs.where(col("doc_id") % 10 === 0), "text", "doc_id",
+      n = 8, minShared = 1)
+  }
+
+  private val contaminationSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(ws) - 7),
+      |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] ||
+      |         ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] || ' ' || ws[i+8]))) AS g
+      |  FROM w WHERE len(ws) >= 8
+      |),
+      |b AS (SELECT doc_id AS bench_id, g FROM s WHERE doc_id % 10 = 0)
+      |SELECT s.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM s JOIN b USING (g)
+      |WHERE s.doc_id != b.bench_id
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 1""".stripMargin
+
   /** End-to-end corpus preparation as ONE lens-file pipeline: score
    *  quality → filter → dedup exact — the flagship composition showing
    *  the engine's pieces (lens config, text ops, dedup op) fuse into a
@@ -180,6 +223,8 @@ object TextQueries extends QueryProvider {
     "text_langid"      -> (langid _),
     "text_fingerprint" -> (fingerprint _),
     "text_profile"     -> (profile _),
+    "text_repetition"  -> (repetition _),
+    "text_contamination" -> (contamination _),
     "pipeline_prep_corpus" -> (prepCorpus _)
   )
 
@@ -189,6 +234,8 @@ object TextQueries extends QueryProvider {
     "text_langid"      -> langidSql,
     "text_fingerprint" -> fingerprintSql,
     "text_profile"     -> profileSql,
+    "text_repetition"  -> repetitionSql,
+    "text_contamination" -> contaminationSql,
     "pipeline_prep_corpus" -> prepCorpusSql
   )
 }

@@ -267,6 +267,31 @@ class LensEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("L6 transactions: all-or-nothing publish, staged ids visible in-txn") {
+    val engine = LensEngine()
+    // commit path: B references A staged in the SAME txn
+    val (idA, idB) = engine.withTxn { txn =>
+      val a = txn.add(
+        """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}""")
+      val b = txn.add(
+        s"""{"lenses":[{"path":"$a"},
+           |  {"path":"builtin:with_column","arguments":{"col":"Age","expr":"Age + 1"}}]}""".stripMargin)
+      (a, b)
+    }
+    assert(engine.list.map(_._1).toSet == Set(idA, idB))
+    assert(engine.transform(people, idB).columns.contains("FullName"))
+
+    // error path: a later invalid add discards the whole txn
+    val before = engine.list.map(_._1).toSet
+    intercept[IllegalArgumentException] {
+      engine.withTxn { txn =>
+        txn.add("""{"lenses":[{"path":"builtin:filter","arguments":{"expr":"Age > 1"}}]}""")
+        txn.add("""{"lenses":[{"path":"builtin:no_such_op"}]}""")
+      }
+    }
+    assert(engine.list.map(_._1).toSet == before) // nothing published
+  }
+
   test("file: lens references inline the referenced pipeline; cycles error") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lensref")
     val inner = dir.resolve("inner.json")

@@ -75,4 +75,50 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.columns.contains("lang_pred"))
     assert(out.select("lang_pred").as[String].collect()(0) == "en")
   }
+
+  test("repetition: repeated shingles score high, varied text low, short text null") {
+    val out = TextAnalysis.repetition(docs(
+      1 -> "spam spam spam spam spam spam spam spam",   // one distinct shingle
+      2 -> "each word here appears exactly once today", // all distinct
+      3 -> "too short"),                                // under 3 tokens
+      "text", "doc_id").collect()
+      .map(r => r.getInt(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1).get > 0.8)
+    assert(out(2).get == 0.0)
+    assert(out(3).isEmpty)
+  }
+
+  test("contamination: shared 8-gram flags the pair, disjoint text does not") {
+    val bench = docs(100 -> ("the quick brown fox jumps over the lazy dog " +
+      "while the farmer watches from the old barn door"))
+    val corpus = docs(
+      1 -> ("intro words then the quick brown fox jumps over the lazy dog " +
+        "and something else entirely follows here"),   // contains a bench 8-gram
+      2 -> ("completely different content with no overlap at all in any window " +
+        "of eight words whatsoever believe me now"))
+    val out = graft.operators.Contamination
+      .ngramOverlap(corpus, bench, "text", "doc_id", n = 8, minShared = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == Set(1))
+    assert(out.forall(p => p._2 == 100 && p._3 >= 1))
+  }
+
+  test("hashSplit: deterministic, portable arithmetic, sane slice sizes") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("doc_id")
+    val a = graft.operators.Sampling.hashSplit(df, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = graft.operators.Sampling.hashSplit(df.repartition(7), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b) // layout-independent assignment
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes("train") > 800 && sizes("train") < 950)
+    assert(sizes.getOrElse("val", 0) + sizes.getOrElse("test", 0) == 1000 - sizes("train"))
+    // the documented mixer, computed independently
+    val expected = (1L to 1000L).map { id =>
+      val bkt = ((id * 2654435761L) % 4294967296L) % 100
+      id -> (if (bkt < 90) "train" else if (bkt < 95) "val" else "test")
+    }.toMap
+    assert(a == expected)
+  }
 }
