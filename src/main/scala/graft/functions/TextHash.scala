@@ -89,12 +89,13 @@ object TextHash {
    *  slack so a boundary pair is never pruned — callers keep their final
    *  exact `>= threshold` filter. */
   def jaccardSortedThresholded(
-      a: Column, b: Column, na: Column, nb: Column, threshold: Double): Column = {
-    val alpha = lit(threshold) * (na + nb) / lit(1.0 + threshold)
-    val required = ceil(alpha - lit(1e-9)).cast("int")
-    val inter = ArrayOps.sortedIntersectAtLeast(a, b, required)
-    when(inter >= 0, (inter * lit(1.0)) / (na + nb - inter))
-  }
+      a: Column, b: Column, na: Column, nb: Column, threshold: Double): Column =
+    // ONE fused expression (merge-scan + threshold + ratio): the Column
+    // composition it replaces duplicated the intersect subtree 3× when
+    // the optimizer pushed the verify filter into a join condition —
+    // see JaccardThresholded scaladoc. Arithmetic shape identical.
+    org.apache.spark.sql.graft.GraftExpressions
+      .jaccardThresholded(a, b, na, nb, threshold)
 
   /** Cosine similarity of two float-array embedding columns (by name):
    *  double-widened, left-to-right accumulation — deterministic and

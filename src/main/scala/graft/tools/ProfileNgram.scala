@@ -57,10 +57,8 @@ object ProfileNgram {
       .where(col("jaccard") >= 0.7)
     time("verify count")(out.count())
     time("verify count again")(out.count())
-    println(out.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Codegen") || l.contains("Jaccard") ||
-        l.contains("BroadcastHashJoin") || l.contains("Filter"))
-      .mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/ngram_plan.txt"),
+      out.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

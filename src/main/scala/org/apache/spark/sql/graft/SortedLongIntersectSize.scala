@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -135,6 +135,86 @@ case class SortedLongIntersectAtLeast(
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/**
+ * The whole thresholded-Jaccard verify as ONE expression:
+ * required = ceil(t·(|A|+|B|)/(1+t) − 1e-9); run the early-exit merge-scan;
+ * emit |A∩B|/(|A|+|B|−|A∩B|) when the bound is met, else NULL.
+ *
+ * Exists because the equivalent Column composition (`when(inter >= 0,
+ * inter/(na+nb-inter))` over `sortedIntersectAtLeast`) duplicates the
+ * intersect subtree 3× once the optimizer pushes the verify filter into
+ * the join CONDITION (no subexpression elimination there), and the
+ * inlined triple loop bloats the joined stage past codegen comfort. One
+ * expression ⇒ one loop per candidate pair, small generated method.
+ * Arithmetic shape (mult before divide, the 1e-9 slack, ceil-to-long)
+ * matches the Column formulation bit-for-bit, so oracles are unchanged.
+ */
+case class JaccardThresholded(
+    first: Expression, second: Expression, third: Expression,
+    fourth: Expression, threshold: Double)
+    extends QuaternaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), IntegerType, IntegerType)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_thresholded"
+
+  override def nullSafeEval(l: Any, r: Any, nl: Any, nr: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val sum = nl.asInstanceOf[Int] + nr.asInstanceOf[Int]
+    val alpha = threshold * sum / (1.0 + threshold)
+    val required = math.ceil(alpha - 1e-9).toLong.toInt
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      if (c + math.min(na - i, nb - j) < required) return null
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (c < required) null else c * 1.0 / (sum - c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, nl, nr) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val sum = ctx.freshName("sum")
+      val req = ctx.freshName("req")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val rem = ctx.freshName("rem")
+      s"""
+         |final int $sum = $nl + $nr;
+         |final int $req = (int) Math.ceil(${threshold}D * $sum / ${1.0 + threshold}D - 1.0E-9D);
+         |final int $na = $a.numElements(), $nb = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  final int $rem = ($na - $i < $nb - $j) ? ($na - $i) : ($nb - $j);
+         |  if ($c + $rem < $req) { $c = -1; break; }
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; }
+         |  else { $j++; }
+         |}
+         |if ($c < $req) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $c * 1.0D / ($sum - $c);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 /** Column-level bridge (ExpressionUtils is private[sql]). */
 object GraftExpressions {
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -145,4 +225,10 @@ object GraftExpressions {
     ExpressionUtils.column(SortedLongIntersectAtLeast(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       ExpressionUtils.expression(required)))
+
+  def jaccardThresholded(a: Column, b: Column, na: Column, nb: Column,
+      threshold: Double): Column =
+    ExpressionUtils.column(JaccardThresholded(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(na), ExpressionUtils.expression(nb), threshold))
 }
