@@ -23,9 +23,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // Bucketed tables are ingest-time setup, not per-query work — build
-    // them untimed so io_bucketed_join measures the zero-Exchange join.
-    try graft.queries.StorageQueries.ensureBucketedTables(spark, sfDir)
-    catch { case _: Throwable => () }
+    // them untimed so io_bucketed_join measures the zero-Exchange join
+    // (skipped when the filter excludes that query).
+    if (selected.contains("io_bucketed_join")) {
+      try graft.queries.StorageQueries.ensureBucketedTables(spark, sfDir)
+      catch { case _: Throwable => () }
+    }
     // Time to a noop sink, not count(): under count(1) Catalyst prunes
     // every unused projection, so map-only queries would measure little
     // more than a parquet row count. The noop v2 sink evaluates and

@@ -46,13 +46,7 @@ final class LensEngine(persistDir: Option[Path] = None) {
     val id = cfg.contentId
     // Validate at add time, like the reference warming its pools on Add.
     val pipe = Pipeline.fromConfig(cfg, resolver)
-    configs.putIfAbsent(id, cfg)
-    pipelines.putIfAbsent(id, pipe)
-    persistDir.foreach { dir =>
-      Files.createDirectories(dir)
-      val f = dir.resolve(id.replace(":", "_") + ".json")
-      if (!Files.exists(f)) Files.writeString(f, cfg.canonicalJson)
-    }
+    publishAll(Seq((id, cfg, pipe)))
     id
   }
 
@@ -89,8 +83,12 @@ final class LensEngine(persistDir: Option[Path] = None) {
    * `f` stages adds against a private overlay; ids staged earlier in the
    * SAME txn are visible to later `sha256:` references (the reference's
    * txnCtx-before-shared lookup order). If `f` throws, nothing is
-   * published or persisted. Publication happens under the engine lock —
-   * readers see none or all of the txn's entries.
+   * published or persisted. The guarantee is all-or-nothing DURABILITY
+   * (files are written before any in-memory publication, so a persist
+   * failure commits nothing); publication into the live registry is
+   * sequential, so a concurrent reader may briefly observe a prefix of a
+   * committing txn's entries — same as the reference, whose OnSuccess
+   * merge iterates its staged pools entry by entry.
    */
   def withTxn[A](f: LensTxn => A): A = {
     val txn = new LensTxn(this)
@@ -101,10 +99,8 @@ final class LensEngine(persistDir: Option[Path] = None) {
 
   private[engine] def publishAll(
       entries: Seq[(String, PipelineConfig, Pipeline)]): Unit = synchronized {
-    entries.foreach { case (id, cfg, pipe) =>
-      configs.putIfAbsent(id, cfg)
-      pipelines.putIfAbsent(id, pipe)
-    }
+    // Durability first: if any file write fails, the in-memory registry is
+    // untouched and the whole publish (txn or single add) aborts clean.
     persistDir.foreach { dir =>
       Files.createDirectories(dir)
       entries.foreach { case (id, cfg, _) =>
@@ -112,11 +108,19 @@ final class LensEngine(persistDir: Option[Path] = None) {
         if (!Files.exists(file)) Files.writeString(file, cfg.canonicalJson)
       }
     }
+    entries.foreach { case (id, cfg, pipe) =>
+      configs.putIfAbsent(id, cfg)
+      pipelines.putIfAbsent(id, pipe)
+    }
   }
 
   private[engine] def lookup(id: String): Option[Pipeline] = pipelines.get(id)
 
-  /** Re-hydrate persisted lens files from `persistDir`. */
+  /** Re-hydrate persisted lens files from `persistDir`. Files may contain
+   *  `sha256:` references to each other and directory order is arbitrary,
+   *  so adds retry until a fixpoint: each pass admits every file whose
+   *  references now resolve; a pass with no progress surfaces the first
+   *  remaining error (genuinely dangling reference or corrupt file). */
   def reload(): Int = persistDir match {
     case Some(dir) if Files.isDirectory(dir) =>
       // Files.list must be closed (it holds a directory handle); materialize
@@ -125,8 +129,20 @@ final class LensEngine(persistDir: Option[Path] = None) {
       val files =
         try stream.iterator().asScala.filter(_.toString.endsWith(".json")).toSeq
         finally stream.close()
-      files.foreach(f => add(Files.readString(f)))
-      files.size
+      var pending = files.map(Files.readString(_))
+      var loaded = 0
+      var progress = true
+      while (pending.nonEmpty && progress) {
+        val results = pending.map(json => json -> scala.util.Try(add(json)))
+        val failed = results.collect { case (json, scala.util.Failure(_)) => json }
+        progress = failed.size < pending.size
+        loaded += pending.size - failed.size
+        if (!progress) {
+          results.collectFirst { case (_, scala.util.Failure(e)) => throw e }
+        }
+        pending = failed
+      }
+      loaded
     case _ => 0
   }
 }

@@ -60,7 +60,9 @@ final case class Pipeline(stages: Seq[LensOp]) {
   def forwardPermissive(df: DataFrame, hidden: String): DataFrame =
     stages.foldLeft(df) { (d, s) =>
       val input = if (s.ownsRowSet && d.columns.contains(hidden)) d.drop(hidden) else d
-      try s.forward(input)
+      // forwardPermissive lets imperative ops (opaque guests) also capture
+      // PER-ROW runtime failures; the catch below handles plan-time ones.
+      try s.forwardPermissive(input)
       catch {
         case e: Exception =>
           val msg = s"lens op '${s.name}' failed: ${e.getMessage}"

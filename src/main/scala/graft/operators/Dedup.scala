@@ -190,7 +190,11 @@ object Dedup {
     // `cacheGrams` is the recompute-vs-cache policy knob for 100 TB runs
     // (where the gram table may not fit the cache tier and recompute can
     // be the right trade); locally recompute is pure waste. MEMORY_AND_DISK
-    // spills rather than OOMs; LRU eviction bounds repeated-run growth.
+    // spills rather than OOMs. Lifecycle: the cache entry outlives the
+    // call (the result is returned lazily, so the operator cannot know
+    // when to unpersist); long-lived sessions issuing many distinct
+    // ngramJaccard plans should pass cacheGrams=false or clear via
+    // spark.catalog.clearCache() — LRU eviction bounds growth meanwhile.
     val gramsPlan = Par.spread(df, col(idCol))
       .filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc"), col(blockCol).as("block"),

@@ -76,22 +76,70 @@ object OpaqueOp {
     // columns (the CLI ordinal) are dropped at this boundary.
     override def ownsRowSet: Boolean = true
 
-    override def forward(df: DataFrame): DataFrame = {
+    override def forward(df: DataFrame): DataFrame = run(df, permissive = false)
+
+    /** P9 per-ROW error capture: a guest throwing on an item yields an
+     *  `__error` row (data columns null, message carries op + cause)
+     *  instead of failing the job — the per-item half of error-as-data
+     *  that plan-time catches cannot see. Rows already carrying a
+     *  non-null `__error` bypass the guest unchanged (first cause wins,
+     *  like the reference passing error items through). */
+    override def forwardPermissive(df: DataFrame): DataFrame =
+      run(df, permissive = true)
+
+    private def run(df: DataFrame, permissive: Boolean): DataFrame = {
       val guest = GuestRegistry.resolve(guestName)
       val base = if (serial) df.coalesce(1) else df
       val inSchema = base.schema
-      var schema = inSchema
-      for (_ <- 0 until times) schema = guest.outputSchema(schema)
-      val enc = org.apache.spark.sql.Encoders.row(schema)
+      var outSchema = inSchema
+      for (_ <- 0 until times) outSchema = guest.outputSchema(outSchema)
       val k = times
-      base.mapPartitions { rows =>
-        val f = guest.open(inSchema) // one instance per partition, shared by the k stages
-        rows.map { r =>
-          var cur = r; var i = 0
-          while (i < k) { cur = f(cur); i += 1 }
-          cur
-        }
-      }(enc)
+      val opName = name
+      if (!permissive) {
+        val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        base.mapPartitions { rows =>
+          val f = guest.open(inSchema) // one instance per partition, shared by the k stages
+          rows.map { r =>
+            var cur = r; var i = 0
+            while (i < k) { cur = f(cur); i += 1 }
+            cur
+          }
+        }(enc)
+      } else {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        // The guest sees only DATA columns — `__error` is host bookkeeping
+        // (an already-errored row bypasses the guest, first cause wins).
+        val errIdxIn = inSchema.fieldNames.indexOf("__error")
+        val dataIdx = inSchema.fieldNames.indices.filter(_ != errIdxIn)
+        val dataSchema = StructType(dataIdx.map(inSchema.fields(_)).toArray)
+        var guestOut = dataSchema
+        for (_ <- 0 until times) guestOut = guest.outputSchema(guestOut)
+        val nData = guestOut.length
+        val permSchema = StructType(guestOut.fields :+
+          StructField("__error", StringType, nullable = true))
+        val enc = org.apache.spark.sql.Encoders.row(permSchema)
+        base.mapPartitions { rows =>
+          val f = guest.open(dataSchema)
+          def errRow(err: Any): org.apache.spark.sql.Row =
+            org.apache.spark.sql.Row.fromSeq(Seq.fill[Any](nData)(null) :+ err)
+          rows.map { r =>
+            val priorErr = if (errIdxIn >= 0) r.get(errIdxIn) else null
+            if (priorErr != null) errRow(priorErr)
+            else {
+              try {
+                var cur = org.apache.spark.sql.Row.fromSeq(dataIdx.map(r.get))
+                var i = 0
+                while (i < k) { cur = f(cur); i += 1 }
+                org.apache.spark.sql.Row.fromSeq(
+                  cur.toSeq.padTo(nData, null).take(nData) :+ null)
+              } catch {
+                case e: Exception =>
+                  errRow(s"lens op '$opName' failed: ${e.getMessage}")
+              }
+            }
+          }
+        }(enc)
+      }
     }
   }
 }

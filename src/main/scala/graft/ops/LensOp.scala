@@ -34,6 +34,13 @@ trait LensOp extends Serializable {
    *  sort is undone by the host's re-order. */
   def ownsRowSet: Boolean = false
 
+  /** Permissive-mode forward for ops that can capture PER-ROW runtime
+   *  failures as in-band `__error` rows (reference P9 error items). The
+   *  default is plain `forward` — declarative Column ops either fail at
+   *  plan time (handled by `Pipeline.forwardPermissive`'s catch) or not at
+   *  all; imperative ops (opaque guests) override to try/catch per item. */
+  def forwardPermissive(df: DataFrame): DataFrame = forward(df)
+
   final def apply(df: DataFrame): DataFrame = forward(df)
 }
 

@@ -29,25 +29,30 @@ object StorageQueries extends QueryProvider {
    * from the untimed warmup and the timed query measures only the
    * zero-Exchange join.
    */
-  def ensureBucketedTables(s: SparkSession, dir: String): Unit = {
-    val base = Scratch.dir(dir, "bucketed")
-    val key = s"${System.identityHashCode(s.sparkContext)}:$base"
-    if (!bucketedBuilt.add(key)) return
-    val cat = s.catalog
-    Seq("g_orders_b", "g_customer_b").foreach { t =>
-      if (cat.tableExists(t)) s.sql(s"DROP TABLE $t")
+  def ensureBucketedTables(s: SparkSession, dir: String): Unit =
+    // Serialized, and the memo key is recorded only AFTER a successful
+    // build: a failed or interrupted build retries on the next call
+    // instead of poisoning every later io_bucketed_join in the JVM.
+    bucketedBuilt.synchronized {
+      val base = Scratch.dir(dir, "bucketed")
+      val key = s"${System.identityHashCode(s.sparkContext)}:$base"
+      if (bucketedBuilt.contains(key)) return
+      val cat = s.catalog
+      Seq("g_orders_b", "g_customer_b").foreach { t =>
+        if (cat.tableExists(t)) s.sql(s"DROP TABLE $t")
+      }
+      T(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders_b").mode(SaveMode.Overwrite)
+        .saveAsTable("g_orders_b")
+      T(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer_b").mode(SaveMode.Overwrite)
+        .saveAsTable("g_customer_b")
+      bucketedBuilt.add(key)
     }
-    T(s, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$base/orders_b").mode(SaveMode.Overwrite)
-      .saveAsTable("g_orders_b")
-    T(s, dir, "customer")
-      .select("c_custkey", "c_mktsegment")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$base/customer_b").mode(SaveMode.Overwrite)
-      .saveAsTable("g_customer_b")
-  }
 
   private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     ensureBucketedTables(s, dir)
@@ -99,8 +104,8 @@ object StorageQueries extends QueryProvider {
   private val splitAssignSql =
     """SELECT doc_id,
       |  CASE
-      |    WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90 THEN 'train'
-      |    WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 95 THEN 'val'
+      |    WHEN (((abs(doc_id) % 1000003) * 2654435761) % 4294967296) % 100 < 90 THEN 'train'
+      |    WHEN (((abs(doc_id) % 1000003) * 2654435761) % 4294967296) % 100 < 95 THEN 'val'
       |    ELSE 'test'
       |  END AS split
       |FROM documents""".stripMargin

@@ -40,8 +40,12 @@ case class RollingTokenHash(child: Expression)
   override def prettyName: String = "rolling_token_hash"
 
   private def tokenCode(u: UTF8String): Long = {
-    // Spark `ascii` = numeric value of the first character (0 for empty);
-    // `length` = character count. BMP-safe; test corpora are ASCII.
+    // First-CODEPOINT semantics (0 for empty) — matches DuckDB's `ascii`,
+    // which is what the oracle computes, for ANY input. NB: Spark's own
+    // `ascii` builtin returns the first byte and diverges on non-ASCII
+    // leading characters; the replaced HOF formulation therefore agreed
+    // with this expression (and the oracle) only on ASCII corpora. The
+    // codepoint definition is the portable one, so it is authoritative.
     val first = if (u.numBytes == 0) 0 else u.toString.codePointAt(0)
     first.toLong * TextFingerprint.RollBase + u.numChars()
   }

@@ -138,6 +138,30 @@ class LensCliSpec extends AnyFunSuite {
       r.contains("The requested property was not found")))
   }
 
+  test("per-ROW error-as-data (P9): a guest throwing on one item yields one __error row") {
+    graft.ops.GuestRegistry.register("cli_fussy", new graft.ops.RowGuest {
+      override def outputSchema(in: org.apache.spark.sql.types.StructType) = in
+      override def open(in: org.apache.spark.sql.types.StructType)
+          : org.apache.spark.sql.Row => org.apache.spark.sql.Row = {
+        val idx = in.fieldIndex("Age")
+        r => {
+          if (r.getLong(idx) < 10) throw new IllegalStateException("too young")
+          r
+        }
+      }
+    })
+    val lens = """{"lenses":[{"path":"builtin:opaque","arguments":{"guest":"cli_fussy"}}]}"""
+    // fail-fast: the guest exception surfaces as a job failure
+    intercept[Exception] { LensCli.run(spark, people, lens) }
+    // permissive: the good row passes through; the bad ITEM becomes an
+    // __error row while the rest of the partition is unaffected
+    val out = LensCli.parseArray(
+      LensCli.run(spark, people, lens, invert = false, permissive = true))
+    assert(out.length == 2)
+    assert(out.exists(r => r.contains(""""Name":"John"""") && !r.contains("__error")))
+    assert(out.exists(r => r.contains("__error") && r.contains("too young")))
+  }
+
   test("error-as-data (P9): permissive mode carries malformed docs, fail-fast throws") {
     val mixed = """[{"Age": 1, "Name": "ok"}, {"Age": BROKEN}]"""
     // fail-fast (default): surfaced as an error, like ErrTypeID -> Go error

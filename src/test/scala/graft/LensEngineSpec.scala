@@ -292,6 +292,24 @@ class LensEngineSpec extends AnyFunSuite {
     assert(engine.list.map(_._1).toSet == before) // nothing published
   }
 
+  test("reload rehydrates cross-referencing pipelines regardless of file order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reload-refs")
+    val e1 = LensEngine(dir.toString)
+    val idA = e1.add(
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}""")
+    val idB = e1.add(s"""{"lenses":[{"path":"$idA"}]}""")
+    // fresh engine: directory order is arbitrary (hash-named files); the
+    // fixpoint loop must admit B whenever A loads, in any order
+    val e2 = LensEngine(dir.toString)
+    assert(e2.reload() == 2)
+    assert(e2.list.map(_._1).toSet == Set(idA, idB))
+    assert(e2.transform(people, idB).columns.contains("FullName"))
+    // a genuinely dangling reference surfaces instead of looping
+    java.nio.file.Files.writeString(dir.resolve("sha256_dangling.json"),
+      s"""{"lenses":[{"path":"sha256:${"ef" * 32}"}]}""")
+    intercept[IllegalArgumentException] { LensEngine(dir.toString).reload() }
+  }
+
   test("file: lens references inline the referenced pipeline; cycles error") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lensref")
     val inner = dir.resolve("inner.json")

@@ -116,9 +116,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sizes.getOrElse("val", 0) + sizes.getOrElse("test", 0) == 1000 - sizes("train"))
     // the documented mixer, computed independently
     val expected = (1L to 1000L).map { id =>
-      val bkt = ((id * 2654435761L) % 4294967296L) % 100
+      val bkt = (((math.abs(id) % 1000003L) * 2654435761L) % 4294967296L) % 100
       id -> (if (bkt < 90) "train" else if (bkt < 95) "val" else "test")
     }.toMap
     assert(a == expected)
+    // overflow regression: billions-scale ids (where the unreduced product
+    // id*2654435761 would wrap Long negative) still match the mixer exactly
+    val bigIds = Seq(4000000000L, 8999999999L)
+    val big = graft.operators.Sampling.hashSplit(bigIds.toDF("doc_id"), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    bigIds.foreach { id =>
+      val bkt = (((math.abs(id) % 1000003L) * 2654435761L) % 4294967296L) % 100
+      val want = if (bkt < 90) "train" else if (bkt < 95) "val" else "test"
+      assert(big(id) == want)
+    }
   }
 }
