@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Duplicate-cluster resolution: turns the PAIR output of the dedup
+ * operators (`Dedup.minHashLsh` / `simHash` / `ngramJaccard` /
+ * `allPairsJaccard` / `embeddingCosine`) into per-document cluster
+ * assignments, so a corpus can actually be deduplicated (keep one
+ * canonical doc per near-duplicate component, drop the rest).
+ *
+ * Pairs alone under-delete: near-duplication is not transitive, but
+ * training-data dedup treats it as if it were (A≈B, B≈C ⇒ drop two of
+ * {A,B,C} even when J(A,C) < t). That closure is a connected-components
+ * problem on the pair graph.
+ *
+ * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+ * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+ * O(log n) rounds regardless of component diameter, vs O(diameter) for
+ * naive min-label propagation (a 100 TB corpus chained by pairwise
+ * near-dups can have long paths; log-round convergence is the difference
+ * between 4 and 400 shuffles).
+ *
+ * Scale shape per round: each star op is one groupBy(min) + one join on
+ * node ids — no `collect_list` adjacency arrays anywhere, so a
+ * high-degree node (a template duplicated 10⁶ times) never materializes
+ * its neighborhood in one task; skew lands in a join, where AQE's skew
+ * split handles it. Edges carry two longs. `localCheckpoint` cuts the
+ * iterative lineage (on a real cluster with executor loss concerns, swap
+ * for reliable `checkpoint` to a DFS dir — same call site).
+ *
+ * No reference counterpart (the reference has no relational layer);
+ * companion to §2.6 dedup (SURVEY.md).
+ */
+object Clusters {
+
+  /**
+   * Connected components over an undirected pair list. Output:
+   * `(node, cluster)` — one row per distinct endpoint, `cluster` = the
+   * smallest node id in its component (the canonical representative).
+   *
+   * Convergence is detected by edge-set stability (count + order-free
+   * hash-sum checksum); at the fixpoint the edge set is exactly the
+   * min-centered star of every component (the SoCC'14 invariant), which
+   * is read off as the assignment.
+   */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // Canonical undirected edges u < v; self-loops and duplicates dropped.
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // Order-free edge-set checksum: (count, XOR-fold of per-edge hashes —
+    // overflow-free under ANSI, sound over a distinct edge set). One tiny
+    // aggregate action per round — never collects edges to the driver.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: center each node c; m(c) = min(neighbors ∪ c); every
+      // LARGER neighbor n > c re-attaches to m(c). Each canonical edge is
+      // seen once from its smaller endpoint's neighborhood.
+      val dir = edges.select(col("u").as("c"), col("v").as("n"))
+        .union(edges.select(col("v").as("c"), col("u").as("n")))
+      val lsMin = dir.groupBy("c").agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val ls = dir.join(lsMin, "c")
+        .where(col("n") > col("c"))
+        .select(col("m").as("u"), col("n").as("v")) // m ≤ c < n ⇒ canonical
+        .distinct()
+
+      // SMALL-STAR on the (now larger→smaller-pointing) edges: center the
+      // larger endpoint c = v; m(c) = min of its smaller neighbors; every
+      // smaller neighbor AND c itself re-attach to m(c).
+      val ssMin = ls.groupBy(col("v").as("c")).agg(min(col("u")).as("m"))
+      val ss = ls.select(col("v").as("c"), col("u").as("n"))
+        .join(ssMin, "c")
+        .select(col("m").as("u"), col("n").as("v"))
+        .where(col("u") =!= col("v")) // n = m ⇒ self-loop, drop
+        .union(ssMin.select(col("m").as("u"), col("c").as("v")))
+        .distinct()
+        .localCheckpoint()
+
+      val next = checksum(ss)
+      converged = next == sig
+      sig = next
+      edges = ss
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(O(log n) expected; raise maxIter for adversarial inputs)")
+
+    // Fixpoint edges are min-centered stars: (min, member) per member.
+    edges.select(col("v").as("node"), col("u").as("cluster"))
+      .union(edges.select(col("u").as("node"), col("u").as("cluster")))
+      .distinct()
+  }
+
+  /**
+   * Keep one canonical document per duplicate cluster: drops every row
+   * whose id is a non-canonical member of `clusters` (`node ≠ cluster`);
+   * rows never seen in a pair pass through untouched. Left-anti join on
+   * ids only — the document payload never enters the dedup shuffle.
+   */
+  def survivors(docs: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.where(col("node") =!= col("cluster"))
+        .select(col("node").as(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -98,6 +98,83 @@ object DedupQueries extends QueryProvider {
       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
       |      / (a.nrm * b.nrm) >= 0.402""".stripMargin
 
+  /**
+   * Pair graph for cluster resolution: near-dup pairs (blocked char-3-gram
+   * Jaccard ≥ 0.7 — the oracle-proven pair set) unioned with exact-dup
+   * pairs. The exact side emits STAR pairs (keeper → copy) from a hash
+   * groupBy, not the within-group all-pairs quadratic — different edge
+   * set, identical components, which is all `connectedComponents` needs.
+   */
+  private def dupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val near = Dedup.ngramJaccard(docs, "text", "doc_id",
+      blockCol = "lang", threshold = 0.7, n = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val hashed = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val keepers = hashed.groupBy("h").agg(min(col("doc_id")).as("k"))
+    val exact = hashed.join(keepers, "h")
+      .where(col("doc_id") =!= col("k"))
+      .select(col("k").as("doc_a"), col("doc_id").as("doc_b"))
+    near.union(exact)
+  }
+
+  // Oracle-side closure over the SAME pair graph: transitive reachability
+  // via recursive CTE (fine at oracle scale — closure size is Σ component²
+  // and dup components are small), cluster = min reachable node. The Spark
+  // side must reach identical assignments through log-round star rounds.
+  private val ccOracleCte =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, length(text) - 1),
+      |      i -> substring(text, i, 3))) AS t
+      |  FROM documents WHERE length(text) >= 3
+      |), near AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE 1.0 * len(list_intersect(a.t, b.t)) / len(list_distinct(a.t || b.t)) >= 0.7
+      |), ex AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+      |), e AS (
+      |  SELECT u, v FROM near UNION SELECT u, v FROM ex
+      |  UNION SELECT v AS u, u AS v FROM near UNION SELECT v AS u, u AS v FROM ex
+      |), reach(node, r) AS (
+      |  SELECT u, u FROM e
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+      |), cc AS (
+      |  SELECT node, min(r) AS cluster FROM reach GROUP BY node
+      |)""".stripMargin
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clusters.connectedComponents(dupPairs(s, dir), "doc_a", "doc_b")
+      .select(col("node").cast("long").as("doc_id"),
+        col("cluster").cast("long").as("cluster_id"))
+
+  private val dedupClustersSql = ccOracleCte +
+    """
+      |SELECT CAST(node AS BIGINT) AS doc_id, CAST(cluster AS BIGINT) AS cluster_id
+      |FROM cc""".stripMargin
+
+  // End-to-end corpus dedup: resolve clusters, keep the canonical member,
+  // count survivors per language — the composition a training pipeline
+  // actually runs (pairs → components → filtered corpus).
+  private def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val clusters = graft.operators.Clusters
+      .connectedComponents(dupPairs(s, dir), "doc_a", "doc_b")
+    graft.operators.Clusters.survivors(docs, "doc_id", clusters)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  private val dedupSurvivorsSql = ccOracleCte +
+    """
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)
+      |GROUP BY d.lang""".stripMargin
+
   // HLL sketch comparison is engine-specific — rows-only check by design.
   // The exact count groups 64-bit content hashes, not the documents: the
   // distinct-shuffle moves 8 bytes/row instead of the text (same count up
@@ -121,7 +198,9 @@ object DedupQueries extends QueryProvider {
     "dedup_ngram_jaccard"  -> (dedupNgram _),
     "dedup_allpairs"       -> (dedupAllPairs _),
     "dedup_embedding"      -> (dedupEmbedding _),
-    "dedup_approx_distinct" -> (approxDistinct _)
+    "dedup_approx_distinct" -> (approxDistinct _),
+    "dedup_clusters"       -> (dedupClusters _),
+    "dedup_survivors"      -> (dedupSurvivors _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -129,7 +208,9 @@ object DedupQueries extends QueryProvider {
     "dedup_minhash_lsh"   -> dedupMinhashSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "dedup_allpairs"      -> dedupAllPairsSql,
-    "dedup_embedding"     -> dedupEmbeddingSql
+    "dedup_embedding"     -> dedupEmbeddingSql,
+    "dedup_clusters"      -> dedupClustersSql,
+    "dedup_survivors"     -> dedupSurvivorsSql
     // dedup_simhash, dedup_approx_distinct: hash/sketch internals are
     // engine-specific — rows-only checks, semantics covered in DedupSpec.
   )

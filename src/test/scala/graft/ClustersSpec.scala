@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Clusters
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClustersSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("transitive closure: a chain collapses to one cluster under min id") {
+    // A≈B, B≈C, C≈D — no direct A≈D pair, but dedup must treat it as one
+    // component. Pair order and orientation are deliberately scrambled.
+    val got = cc(Seq((3L, 2L), (1L, 2L), (4L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("separate components stay separate; duplicates and self-loops ignored") {
+    val got = cc(Seq((5L, 9L), (9L, 5L), (5L, 5L), (20L, 30L), (30L, 25L)))
+    assert(got == Map(5L -> 5L, 9L -> 5L, 20L -> 20L, 25L -> 20L, 30L -> 20L))
+  }
+
+  test("long path converges within the log-round budget (not O(diameter))") {
+    // Path of 60 nodes: naive min-propagation needs ~60 rounds; the
+    // large-star/small-star alternation must finish far inside maxIter=12.
+    val path = (0L until 59L).map(i => (i, i + 1))
+    val got = Clusters.connectedComponents(path.toDF("a", "b"), "a", "b",
+      maxIter = 12).as[(Long, Long)].collect().toMap
+    assert(got.size == 60 && got.values.forall(_ == 0L))
+  }
+
+  test("empty pair set yields empty assignment without iterating") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("survivors keeps the canonical member and untouched rows") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "alone"))
+      .toDF("doc_id", "text")
+    val clusters = Clusters.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+    val kept = Clusters.survivors(docs, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L)) // 2,3 dropped; 9 never paired, passes through
+  }
+}
