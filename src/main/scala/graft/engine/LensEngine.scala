@@ -40,6 +40,12 @@ final class LensEngine(persistDir: Option[Path] = None) {
     override def byId(id: String): Option[Pipeline] = pipelines.get(id)
   }
 
+  /** Fetch a lens file by scheme-dispatched reference (`file:`, `data:`,
+   *  `http(s):` — see ModuleFetch) and add it; returns its content id.
+   *  The reference's fetch-then-register path
+   *  (reference: host-go/engine/engine.go:59-104). */
+  def addRef(ref: String): String = add(ModuleFetch.fetch(ref))
+
   /** Persist a lens file; returns its content id. Idempotent. */
   def add(json: String): String = {
     val cfg = PipelineConfig.fromJson(json)

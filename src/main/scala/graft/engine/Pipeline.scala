@@ -5,8 +5,6 @@ import graft.ops.{Args, BuiltinOps, LensOp, OpaqueOp}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Paths}
-
 /**
  * An ordered chain of lens ops — the analogue of the reference's `Append`
  * fold (reference: host-go/engine/engine.go:25-49), except the result is
@@ -133,15 +131,16 @@ object Pipeline {
     val op: LensOp =
       if (s.path == "builtin:opaque") {
         OpaqueOp(args.str("guest"), times, serial = args.bool("serial"))
-      } else if (s.path.startsWith("file:")) {
-        // A stage may reference a whole stored lens FILE — the reference's
-        // fetch-by-file-URL (reference: host-go/engine/engine.go:67-104) —
-        // inlined as a sub-pipeline. Cycle-checked by canonical path.
-        val p = Paths.get(s.path.stripPrefix("file:")).toAbsolutePath.normalize
-        require(!visiting.contains(p.toString),
+      } else if (ModuleFetch.supports(s.path)) {
+        // A stage may reference a whole stored lens FILE by URL — the
+        // reference's scheme-dispatched fetch (reference:
+        // host-go/engine/engine.go:67-104; `file:`, `data:`, `http(s):`) —
+        // inlined as a sub-pipeline. Cycle-checked by canonical reference.
+        val key = ModuleFetch.visitKey(s.path)
+        require(!visiting.contains(key),
           s"cyclic lens reference: '${s.path}'")
-        val sub = build(PipelineConfig.fromJson(Files.readString(p)),
-          resolver, visiting + p.toString)
+        val sub = build(PipelineConfig.fromJson(ModuleFetch.fetch(s.path)),
+          resolver, visiting + key)
         subPipelineOp(s.path, sub)
       } else if (s.path.startsWith("sha256:")) {
         // Reference a stored pipeline by content id, resolved through the

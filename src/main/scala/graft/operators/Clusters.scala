@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -108,6 +108,32 @@ object Clusters {
     edges.select(col("v").as("node"), col("u").as("cluster"))
       .union(edges.select(col("u").as("node"), col("u").as("cluster")))
       .distinct()
+  }
+
+  /**
+   * Materialize the cluster assignment ONCE as a bucketed external table
+   * and return it — the shape a real 100 TB pipeline runs: the log-round
+   * CC computation happens at ingest, and every consumer (survivor
+   * filters, per-cluster stats, canonical-doc joins) reads the
+   * `(node, cluster)` table with zero CC stages in its own plan — the
+   * consumer plan is a bucketed FileScan plus its join (asserted in
+   * ClustersSpec). Bucketing by `node` pre-hashes the column every
+   * consumer joins on, so the map side of each later join skips its
+   * Exchange entirely.
+   *
+   * Overwrites `table` if present (re-clustering after a corpus refresh is
+   * the normal cadence). The returned DataFrame reads THROUGH the table,
+   * never the in-memory lineage.
+   */
+  def materialize(
+      spark: SparkSession, pairs: DataFrame, aCol: String, bCol: String,
+      table: String, path: String, buckets: Int = 8): DataFrame = {
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE `$table`")
+    connectedComponents(pairs, aCol, bCol)
+      .write.bucketBy(buckets, "node").sortBy("node")
+      .option("path", path).mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    spark.table(table)
   }
 
   /**

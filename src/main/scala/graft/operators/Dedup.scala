@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextHash
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -22,15 +22,31 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /**
+   * Content-hash grouping key for exact dedup / distinct counting. The
+   * shuffle moves the key, never the document body.
+   *
+   *  - 64-bit (default): collision probability ~n²/2⁶⁵ — negligible below
+   *    ~10⁹ distinct docs, and what the bench measures.
+   *  - `hash128`: a second xxhash64 over (seed-constant, text) — a
+   *    different hash chain, so the pair behaves as an independent 128-bit
+   *    key with collision odds ~n²/2¹²⁹. Use for ≥10⁹-doc corpora (the
+   *    100 TB regime), at +8 bytes/row of shuffle.
+   */
+  def contentKey(textCol: String, hash128: Boolean = false): Column =
+    if (hash128)
+      struct(xxhash64(col(textCol)).as("h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol)).as("h2"))
+    else struct(xxhash64(col(textCol)).as("h1"))
+
+  /**
    * Exact dedup: one row per distinct value of `textCol`, keeping the
    * smallest `idCol` as the deterministic representative plus the
-   * duplicate count. Grouping key is xxhash64(text): the shuffle moves
-   * 16 bytes/row instead of the document. (Collision probability at 64
-   * bits is ~n²/2⁶⁵ — negligible below ~10⁹ distinct docs; use a 128-bit
-   * hash pair beyond that.)
+   * duplicate count. Grouping key is `contentKey` (64-bit xxhash64 by
+   * default; `hash128 = true` for ≥10⁹-doc corpora — see contentKey).
    */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+  def exact(df: DataFrame, textCol: String, idCol: String,
+      hash128: Boolean = false): DataFrame =
+    df.groupBy(contentKey(textCol, hash128).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 
@@ -348,17 +364,41 @@ object Dedup {
    * blocking groups (IVF shape: block = coarse cluster id; only in-cluster
    * pairs are compared). Emits ids only — cosine values stay internal so
    * downstream comparisons never depend on float association order.
+   *
+   * Salted triangle self-join (same decomposition as `ngramJaccard`): each
+   * block's quadratic pair space splits into S(S+1)/2 salt-pair cells, so a
+   * skewed block (one dominant IVF cell at 100 TB) spreads across the
+   * cluster instead of serializing its whole O(|block|²) pair enumeration
+   * on one task — AQE's skew split moves bytes, not the pair loop a single
+   * join key implies. Vectors ride the triangle directly (each row is
+   * replicated ~S/2+1 times, linear) rather than a slim id-phase: cosine
+   * has no sound prefilter, so every in-cell pair is scored anyway and an
+   * id-only phase would just re-attach vectors to a quadratic pair set.
+   * `saltBuckets = 1` degenerates to the plain block join (used by the
+   * equivalence spec).
    */
   def embeddingCosine(
       df: DataFrame, vecCol: String, idCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("vec_a"), col(blockCol).as("block"),
-      col(vecCol).as("e_a"))
-    val right = df.select(col(idCol).as("vec_b"), col(blockCol).as("block"),
-      col(vecCol).as("e_b"))
-    v.join(right, "block")
-      .where(col("vec_a") < col("vec_b"))
+      threshold: Double, saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val base = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      col(vecCol).as("e"),
+      pmod(xxhash64(col(idCol)), lit(saltBuckets)).cast("int").as("salt"))
+    // Left carries (salt, sb ≥ salt), right (sa ≤ salt, salt): each
+    // unordered salt-pair cell joins exactly once; diagonal cells see both
+    // orderings, kept unique by the id filter. Output canonicalized below.
+    val left = base
+      .withColumn("sb", explode(expr(s"sequence(salt, ${saltBuckets - 1})")))
+      .select(col("id").as("id_a"), col("block"), col("e").as("e_a"),
+        col("salt").as("sa"), col("sb"))
+    val right = base
+      .withColumn("sa", explode(expr("sequence(0, salt)")))
+      .select(col("id").as("id_b"), col("block"), col("e").as("e_b"),
+        col("sa"), col("salt").as("sb"))
+    left.join(right, Seq("block", "sa", "sb"))
+      .where(col("sa") < col("sb") || col("id_a") < col("id_b"))
       .where(TextHash.cosine("e_a", "e_b") >= threshold)
-      .select(col("vec_a"), col("vec_b"))
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"))
   }
 }

@@ -66,52 +66,76 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
-  /** SRP bucket id: bit p of the bucket = sign of <v, plane_p>, over
-   *  deterministic (fixed-seed) Gaussian hyperplanes. Native expression —
-   *  one primitive loop per row (see o.a.s.sql.graft.SrpBucket); the
-   *  interpreted HOF formulation walked a tree per (plane × dim). */
-  private def srpBucket(vecCol: String, nPlanes: Int, dim: Int,
-      seed: Long): org.apache.spark.sql.Column = {
-    val rnd = new Random(seed)
-    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    org.apache.spark.sql.graft.GraftSrp.srpBucket(col(vecCol), planes)
+  /** Deterministic per-table hyperplanes (fixed seed; distinct per table)
+   *  shared by the corpus-side bucket and the query-side probe list. */
+  private def tablePlanes(nPlanes: Int, dim: Int, t: Int): Array[Array[Double]] = {
+    val rnd = new Random(42L + t)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Approximate top-k via multi-table SRP-LSH: `tables` independent sets
-   *  of `nPlanes` hyperplanes; a corpus row is a candidate if it shares a
-   *  bucket with the query in ANY table. Recall ≈ 1-(1-p^nPlanes)^tables
-   *  where p = 1-θ/π; tune nPlanes (selectivity) vs tables (recall).
-   *  Candidates dedupe before scoring, so each is scored once. */
-  def srpAnn(
+  /**
+   * SRP-LSH candidate pairs — the scored set behind `srpAnn`, public so
+   * recall/selectivity can be measured against brute force (SimilaritySpec).
+   *
+   * Asymmetric multi-probe: the CORPUS is indexed once per table (single
+   * bucket per row — the index size a 100 TB corpus actually pays), while
+   * each QUERY probes its own bucket plus the `probes - 1` lowest-margin
+   * perturbations (see SrpProbes). Recall per table rises from p^nPlanes
+   * to P(Hamming error ⊆ probed low-margin bits); candidate fraction per
+   * table is ≈ probes/2^nPlanes of the corpus. Probing multiplies only the
+   * slim query side — more `tables` would multiply the corpus index.
+   * Candidates dedupe before scoring, so each pair is scored once.
+   */
+  def srpCandidates(
       corpus: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int,
-      nPlanes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
-
-    def bucketed(df: DataFrame, id: String, vec: String) = {
-      val buckets = (0 until tables).map { t =>
-        // independent planes per table via distinct seeds
-        struct(lit(t).as("table"),
-          srpBucket(vec, nPlanes, dim, seed = 42L + t).as("bucket"))
-      }
-      df.select(col(id), col(vec),
-        explode(array(buckets: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.table").as("table"),
-          col("tb.bucket").as("bucket"))
+      vecCol: String, idCol: String,
+      nPlanes: Int = 4, tables: Int = 8, probes: Int = 1,
+      dim: Int = 64): DataFrame = {
+    val cBuckets = (0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        org.apache.spark.sql.graft.GraftSrp
+          .srpBucket(col("c_vec"), tablePlanes(nPlanes, dim, t)).as("bucket"))
     }
+    val c = Par.spread(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .select(col("neighbor_id"), col("c_vec"),
+        explode(array(cBuckets: _*)).as("tb"))
+      .select(col("neighbor_id"), col("c_vec"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
 
-    val q = bucketed(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "query_id", "q_vec")
-    val c = bucketed(
-      Par.spread(corpus, col(idCol))
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-      "neighbor_id", "c_vec")
+    val qProbes = (0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        org.apache.spark.sql.graft.GraftSrp
+          .srpProbes(col("q_vec"), tablePlanes(nPlanes, dim, t), probes)
+          .as("probes"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("query_id"), col("q_vec"),
+        explode(array(qProbes: _*)).as("tb"))
+      .select(col("query_id"), col("q_vec"), col("tb.table").as("table"),
+        explode(col("tb.probes")).as("bucket"))
 
-    val candidates = q.join(c, Seq("table", "bucket"))
+    q.join(c, Seq("table", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "q_vec", "neighbor_id", "c_vec")
       .dropDuplicates("query_id", "neighbor_id")
+  }
 
+  /** Approximate top-k via multi-table, multi-probe SRP-LSH (candidate
+   *  generation in `srpCandidates`; exact cosine + rank over the candidate
+   *  set here). `probes = 1` is classic single-bucket LSH; the measured
+   *  operating point on near-random 64-d data is nPlanes=8, tables=16,
+   *  probes=9 → recall@10 ≈ 0.85 at ~0.45 candidate fraction
+   *  (SimilaritySpec pins recall ≥ 0.8, selectivity ≤ 0.5 — this synthetic
+   *  corpus is the LSH-adversarial case; clustered real embeddings do far
+   *  better at the same config). */
+  def srpAnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nPlanes: Int = 4, tables: Int = 8, dim: Int = 64,
+      probes: Int = 1): DataFrame = {
+    val candidates = srpCandidates(corpus, queries, vecCol, idCol,
+      nPlanes, tables, probes, dim)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates

@@ -175,6 +175,37 @@ object DedupQueries extends QueryProvider {
       |WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)
       |GROUP BY d.lang""".stripMargin
 
+  /**
+   * One-time cluster-map materialization per (session, sf dir) — the CC
+   * run is ingest-time work (cluster once, filter many), so the consumer
+   * query below measures only the map-join. Memo key recorded only after
+   * a successful build, mirroring StorageQueries.ensureBucketedTables.
+   */
+  private val clusterMapBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def ensureClusterMap(s: SparkSession, dir: String): Unit =
+    clusterMapBuilt.synchronized {
+      val path = Scratch.dir(dir, "cluster_map")
+      val key = s"${System.identityHashCode(s.sparkContext)}:$path"
+      if (clusterMapBuilt.contains(key)) return
+      graft.operators.Clusters.materialize(s, dupPairs(s, dir),
+        "doc_a", "doc_b", table = "g_cluster_map", path = path)
+      clusterMapBuilt.add(key)
+    }
+
+  // Same composition as dedup_survivors, but consuming the MATERIALIZED
+  // cluster map: zero CC stages in this query's plan (asserted in
+  // ClustersSpec) — the assignment is a bucketed FileScan. Oracle is the
+  // identical closure SQL, so the map is proven equal to the inline run.
+  private def dedupSurvivorsFromMap(s: SparkSession, dir: String): DataFrame = {
+    ensureClusterMap(s, dir)
+    graft.operators.Clusters
+      .survivors(T(s, dir, "documents"), "doc_id", s.table("g_cluster_map"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
   // HLL sketch comparison is engine-specific — rows-only check by design.
   // The exact count groups 64-bit content hashes, not the documents: the
   // distinct-shuffle moves 8 bytes/row instead of the text (same count up
@@ -200,7 +231,8 @@ object DedupQueries extends QueryProvider {
     "dedup_embedding"      -> (dedupEmbedding _),
     "dedup_approx_distinct" -> (approxDistinct _),
     "dedup_clusters"       -> (dedupClusters _),
-    "dedup_survivors"      -> (dedupSurvivors _)
+    "dedup_survivors"      -> (dedupSurvivors _),
+    "dedup_survivors_from_map" -> (dedupSurvivorsFromMap _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -210,7 +242,8 @@ object DedupQueries extends QueryProvider {
     "dedup_allpairs"      -> dedupAllPairsSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
     "dedup_clusters"      -> dedupClustersSql,
-    "dedup_survivors"     -> dedupSurvivorsSql
+    "dedup_survivors"     -> dedupSurvivorsSql,
+    "dedup_survivors_from_map" -> dedupSurvivorsSql
     // dedup_simhash, dedup_approx_distinct: hash/sketch internals are
     // engine-specific — rows-only checks, semantics covered in DedupSpec.
   )

@@ -38,6 +38,31 @@ class ClustersSpec extends AnyFunSuite {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("materialized cluster map: consumer plan has zero CC stages and matches inline") {
+    // The pipeline shape: cluster once at ingest (materialize), filter many.
+    // The consumer must read the assignment as a bucketed FileScan — no
+    // localCheckpoint scans (how CC's iterative lineage shows up in plans)
+    // and no aggregation rounds.
+    val dir = "/root/testdata/sf0.01"
+    graft.queries.DedupQueries.ensureClusterMap(spark, dir)
+    val consumer = SparkEntry.queries("dedup_survivors_from_map")(spark, dir)
+    val plan = consumer.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      "consumer plan contains a checkpointed CC stage — the map is not being reused")
+    assert(plan.contains("g_cluster_map") || plan.contains("cluster_map"),
+      "consumer plan does not scan the materialized cluster-map table")
+    // Bucketing by node pre-hashes the map side of the anti-join: the scan
+    // must carry the bucket spec instead of an Exchange above it.
+    assert(plan.contains("Bucketed: true"),
+      "cluster-map scan is not bucket-aware")
+
+    val fromMap = consumer.as[(String, Long)].collect().toMap
+    val inline = SparkEntry.queries("dedup_survivors")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(fromMap.nonEmpty)
+    assert(fromMap == inline)
+  }
+
   test("survivors keeps the canonical member and untouched rows") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (9L, "alone"))
       .toDF("doc_id", "text")

@@ -107,6 +107,39 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("exact dedup hash128 mode == 64-bit mode on sf0.01 (no collisions at this n)") {
+    // At sf0.01 both key widths are collision-free, so the outputs must be
+    // identical; hash128 exists for the >=1e9-doc regime where 64-bit
+    // birthday odds stop being negligible.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val h64 = Dedup.exact(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val h128 = Dedup.exact(docs, "text", "doc_id", hash128 = true)
+      .as[(Long, Long)].collect().toSet
+    assert(h64.nonEmpty)
+    assert(h64 == h128)
+    // Same guarantee for distinct counting through the same key.
+    val d64 = docs.agg(countDistinct(Dedup.contentKey("text"))).head.getLong(0)
+    val d128 = docs.agg(countDistinct(Dedup.contentKey("text", hash128 = true)))
+      .head.getLong(0)
+    assert(d64 == d128)
+  }
+
+  test("embedding cosine: salted triangle == unsalted pair set on sf0.01") {
+    // saltBuckets=1 degenerates to the plain block join; the salted
+    // decomposition must produce the identical pair set (it only re-cells
+    // the same quadratic space). This is the skew fix's correctness pin.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val salted = Dedup.embeddingCosine(emb, "embedding", "vec_id", "label",
+      threshold = 0.402, saltBuckets = 8)
+      .as[(Long, Long)].collect().toSet
+    val plain = Dedup.embeddingCosine(emb, "embedding", "vec_id", "label",
+      threshold = 0.402, saltBuckets = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(salted.nonEmpty)
+    assert(salted == plain)
+  }
+
   test("embedding cosine finds identical vectors within a block") {
     val v1 = Seq.tabulate(8)(i => i.toFloat + 1)
     val v2 = v1.map(_ * 2) // same direction, cosine 1

@@ -327,4 +327,56 @@ class LensEngineSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("cyclic lens reference"))
   }
+
+  test("data: lens references: base64 and percent-encoded, as stage and engine add") {
+    val lensJson =
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(lensJson.getBytes("UTF-8"))
+
+    // As a stage path: the reference's fetch-by-URL inlined as a sub-pipeline.
+    val out = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"data:application/json;base64,$b64"}]}""").forward(people)
+    assert(out.columns.toSeq == Seq("FullName", "Age"))
+
+    // Percent-encoded (no ;base64 marker) resolves identically.
+    val enc = java.net.URLEncoder.encode(lensJson, "UTF-8")
+    val out2 = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"data:application/json,$enc"}]}""").forward(people)
+    assert(out2.columns.toSeq == Seq("FullName", "Age"))
+
+    // Engine-level: addRef ingests the data: URL, id matches the inline
+    // add, and the stored pipeline resolves by sha256: id afterwards.
+    val engine = LensEngine()
+    val id = engine.addRef(s"data:application/json;base64,$b64")
+    assert(id == engine.add(lensJson)) // content id is transport-independent
+    assert(engine.transform(people, id).columns.toSeq == Seq("FullName", "Age"))
+  }
+
+  test("http: lens references fetch through the scheme dispatcher") {
+    val lensJson =
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}"""
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/lens.json", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val bytes = lensJson.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+      server.start()
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/lens.json"
+      // Stage-path fetch and engine-level addRef, same as file:/data:.
+      val out = Pipeline.fromJson(s"""{"lenses":[{"path":"$url"}]}""").forward(people)
+      assert(out.columns.toSeq == Seq("FullName", "Age"))
+      val engine = LensEngine()
+      val id = engine.addRef(url)
+      assert(engine.transform(people, id).columns.toSeq == Seq("FullName", "Age"))
+      // 404 surfaces as a fetch error, not a silent identity.
+      val e = intercept[IllegalArgumentException] {
+        engine.addRef(s"http://127.0.0.1:${server.getAddress.getPort}/missing.json")
+      }
+      assert(e.getMessage.contains("HTTP 404"))
+    } finally server.stop(0)
+  }
 }
