@@ -206,4 +206,56 @@ object TextAnalysis {
       fp.rollingTokenHash(ws).as("fp_roll"),
       fp.minShingleMd5(ws).as("fp_shingle"))
   }
+
+  // ------------------------------------------------------------ vocabulary
+
+  /**
+   * Global token vocabulary: the `k` most frequent whitespace tokens,
+   * `(token, n)`, ordered by (count desc, token asc) — a TOTAL order, so
+   * the cut at k is deterministic across runs and engines.
+   *
+   * 100 TB shape: explode + groupBy gets map-side partial aggregation
+   * (the shuffle carries one row per distinct token per task, not per
+   * occurrence), and orderBy(...).limit(k) plans as TakeOrderedAndProject
+   * — per-partition top-k heaps merged once, never a full sort of the
+   * vocabulary. This is the vocab-building pass of tokenizer training.
+   */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /**
+   * Top-`k` characteristic terms per document, ranked by tf·idf with
+   * LINEAR idf: score ∝ tf/df, computed as `tf * 10⁹ div df` in exact
+   * 64-bit integer math so the per-doc ranking (score desc, token asc) is
+   * bit-identical in any engine — log-idf would rank through `ln`, whose
+   * last-ulp rounding is libm-specific and can flip near-ties across
+   * engines. Output: (doc_id, token, tf, df_count, rk), rk ≤ k by
+   * row_number (total order ⇒ deterministic rows).
+   *
+   * 100 TB shape: two partial-aggregated groupBys (doc×token, then token)
+   * plus one hash join on token — the df side is one row per distinct
+   * token, so the join never amplifies; a hot token ("the") is still one
+   * build row. The per-doc window ranks ≤|doc| rows per partition.
+   */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(wsTokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df_count"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("token"))
+    tf.join(dfc, "token")
+      .withColumn("score_scaled", expr("tf * 1000000000L div df_count"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df_count"),
+        col("rk"))
+  }
 }

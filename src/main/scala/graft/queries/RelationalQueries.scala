@@ -490,6 +490,11 @@ object RelationalQueries extends QueryProvider {
 
   // ---- Scalar function library ----------------------------------------
 
+  // Profiled (r4): 0.18 s warm median at sf0.1 — the 1.3-1.7 s single-run
+  // timings that flagged this query were first-execution codegen
+  // compilation, not per-row work (regexp_replace compiles its literal
+  // pattern once, outside the row loop). Median-of-N benching (Bench)
+  // reports the steady state; no plan change was warranted.
   private def scalarString(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "part")
       .select(

