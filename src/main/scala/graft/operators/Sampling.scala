@@ -44,4 +44,33 @@ object Sampling {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /**
+   * Deterministic corpus-mixture sampling — per-group keep rates, the
+   * "data mixture weights" step of LM training-corpus assembly (keep 50%
+   * of web text, 100% of books, ...). A row survives iff its id's mixer
+   * bucket (mod 10⁶) falls under round(rate·10⁶) for its group; unknown
+   * groups use `defaultRate`. The mixer follows hashSplit's portable
+   * overflow-free integer recipe but with DIFFERENT prime/multiplier
+   * constants, so mixture membership is statistically independent of
+   * split assignment (sharing constants would make "sampled" correlate
+   * with "train", biasing every split built from a mixed corpus —
+   * mod-100 buckets are exactly the low digits of mod-10⁶ buckets).
+   * Rates are rounded to 10⁻⁶ at plan time: the threshold compare is pure
+   * integer math, identical in any engine.
+   *
+   * 100 TB shape: a map-side filter pushed into the scan — no shuffle, no
+   * RNG state, rerun/repartition/append-stable membership.
+   */
+  def mixture(df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate $r outside [0, 1]"))
+    val bucket =
+      (((abs(col(idCol)) % lit(999983L)) * lit(2246822519L)) % lit(4294967296L)) % lit(1000000L)
+    val threshold = rates.foldLeft(lit(math.round(defaultRate * 1e6))) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(math.round(r * 1e6))).otherwise(acc)
+    }
+    df.where(bucket < threshold)
+  }
 }

@@ -228,6 +228,34 @@ object TextAnalysis {
       .limit(k)
 
   /**
+   * Overlapping token-window chunking (the RAG/embedding preprocessing
+   * step): each document becomes ⌈n/stride⌉-ish chunks of up to `window`
+   * tokens starting every `stride` tokens (overlap = window − stride).
+   * Chunk starts run 0, stride, 2·stride, … while < n, so every token is
+   * covered and boundaries depend only on the token count — deterministic,
+   * engine-portable (exact integer offsets + substring-free token joins).
+   *
+   * 100 TB shape: pure per-row explode — no shuffle; output rows ≈
+   * input tokens / stride. Chunk text re-joins the token slice, so the
+   * operator never materializes more than one document per task row.
+   */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    df.select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0L, (n - 1) div ${stride}L)")))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"), lit(window))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /**
    * Top-`k` characteristic terms per document, ranked by tf·idf with
    * LINEAR idf: score ∝ tf/df, computed as `tf * 10⁹ div df` in exact
    * 64-bit integer math so the per-doc ranking (score desc, token asc) is

@@ -272,7 +272,49 @@ object TextQueries extends QueryProvider {
       |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id
       |FROM c""".stripMargin
 
+  private def chunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(T(s, dir, "documents"), "text", "doc_id",
+      window = 64, stride = 48)
+
+  // DuckDB list slices are 1-based inclusive [a : a+window-1], clamped by
+  // the engine at the list end — same truncation as Spark's slice().
+  private val chunkSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, ws, n,
+      |    unnest(range(0, (n - 1) // 48 + 1)) AS chunk_id
+      |  FROM w
+      |), s AS (
+      |  SELECT doc_id, chunk_id,
+      |    ws[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS chunk
+      |  FROM c
+      |)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(chunk, ' ') AS chunk_text
+      |FROM s""".stripMargin
+
+  // Mixture weights: thin two named sources, keep the rest at 90% — the
+  // membership itself is oracle-checked (exact integer mixer both sides).
+  private def mixtureQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixture(T(s, dir, "documents"),
+        "source", "doc_id",
+        rates = Map("src0" -> 0.25, "src1" -> 0.5), defaultRate = 0.9)
+      .select(col("doc_id"), col("source"))
+
+  private val mixtureSql =
+    """SELECT doc_id, source FROM documents
+      |WHERE (((abs(doc_id) % 999983) * 2246822519) % 4294967296) % 1000000 <
+      |  CASE source WHEN 'src0' THEN 250000
+      |              WHEN 'src1' THEN 500000
+      |              ELSE 900000 END""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk"       -> (chunk _),
+    "q_corpus_mixture" -> (mixtureQ _),
     "text_vocab"       -> (vocab _),
     "text_tfidf"       -> (tfidf _),
     "q_pack_sequences" -> (packSeqs _),
@@ -287,6 +329,8 @@ object TextQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "text_chunk"       -> chunkSql,
+    "q_corpus_mixture" -> mixtureSql,
     "text_vocab"       -> vocabSql,
     "text_tfidf"       -> tfidfSql,
     "q_pack_sequences" -> packSeqsSql,

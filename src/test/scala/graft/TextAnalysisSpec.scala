@@ -166,4 +166,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("doc_id", "pack_id").as[(Int, Long)].collect().toMap
     assert(got == Map(1 -> 0L, 2 -> 0L, 3 -> 1L, 4 -> 0L))
   }
+
+  test("chunkDocuments: overlapping windows cover all tokens, truncated tail") {
+    val df = docs(1 -> (1 to 10).map(i => s"t$i").mkString(" "))
+    val out = TextAnalysis.chunkDocuments(df, "text", "doc_id", window = 4, stride = 3)
+      .select("chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    // starts 0,3,6,9; last chunk truncates to the final token
+    assert(out == Seq(
+      (0L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10"),
+      (3L, 1L, "t10")))
+  }
+
+  test("mixture: deterministic membership, rates ordered, zero and one exact") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 3 == 0) "keep"
+      else if (i % 3 == 1) "half" else "drop")).toDF("doc_id", "source")
+    val kept = graft.operators.Sampling.mixture(df, "source", "doc_id",
+      rates = Map("keep" -> 1.0, "half" -> 0.5, "drop" -> 0.0))
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("keep", 0) == 667)  // rate 1.0 keeps every row
+    assert(!bySrc.contains("drop"))            // rate 0.0 keeps none
+    val half = bySrc.getOrElse("half", 0)
+    assert(half > 200 && half < 467, s"half-rate kept $half of 667")
+    // rerun-stable: the same call yields the identical membership
+    val again = graft.operators.Sampling.mixture(df, "source", "doc_id",
+      rates = Map("keep" -> 1.0, "half" -> 0.5, "drop" -> 0.0))
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+  }
 }
