@@ -33,6 +33,13 @@ final case class Args(raw: Map[String, String]) {
     node(key).elements().asScala.map(_.asText()).toSeq
   def strListOpt(key: String): Option[Seq[String]] =
     if (has(key)) Some(strList(key)) else None
+
+  /** JSON object of string → number (e.g. mixture rates). */
+  def doubleMap(key: String): Map[String, Double] = {
+    val n = node(key)
+    require(n.isObject, s"'$key' must be a JSON object")
+    n.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+  }
 }
 
 object Args {

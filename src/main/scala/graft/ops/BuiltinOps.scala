@@ -216,6 +216,53 @@ object BuiltinOps {
       LensOp(s"repetition($t)", df => TextAnalysis.repetition(df, t, id))
     },
 
+    // Overlapping token-window chunking (TextAnalysis.chunkDocuments).
+    "chunk" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val w = a.intOpt("window").getOrElse(512)
+      val st = a.intOpt("stride").getOrElse(w)
+      LensOp.setLevel(s"chunk($t, $w/$st)",
+        df => TextAnalysis.chunkDocuments(df, t, id, w, st))
+    },
+
+    // Global top-k vocabulary (set-level: defines its own row set).
+    "vocab" -> { a =>
+      val t = a.strOpt("text").getOrElse("text")
+      val k = a.intOpt("k").getOrElse(10000)
+      LensOp.setLevel(s"vocab($t, k=$k)",
+        df => TextAnalysis.vocabulary(df, t, k))
+    },
+
+    // Top-k tf-idf terms per document (set-level).
+    "tfidf" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val k = a.intOpt("k").getOrElse(5)
+      LensOp.setLevel(s"tfidf($t, k=$k)",
+        df => TextAnalysis.tfidfTopTerms(df, t, id, k))
+    },
+
+    // Training-sequence packing by running token count (Packing).
+    "pack" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val group = a.str("group")
+      val budget = a.intOpt("budget").getOrElse(2048)
+      LensOp.setLevel(s"pack($group, budget=$budget)",
+        df => graft.operators.Packing.packSequences(df, t, id, group, budget))
+    },
+
+    // Deterministic per-group mixture rates (Sampling.mixture). `rates`
+    // is a JSON object {group: rate}; unknown groups use `default`.
+    "mixture" -> { a =>
+      val (group, id) = (a.str("group"), a.strOpt("id").getOrElse("doc_id"))
+      val default = a.doubleOpt("default").getOrElse(1.0)
+      val rates = a.doubleMap("rates")
+      LensOp(s"mixture($group)",
+        df => graft.operators.Sampling.mixture(df, group, id, rates, default))
+    },
+
     // Deterministic hash train/val/test assignment (Sampling.hashSplit).
     "train_split" -> { a =>
       val id = a.strOpt("id").getOrElse("doc_id")

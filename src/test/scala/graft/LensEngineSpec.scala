@@ -328,6 +328,41 @@ class LensEngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cyclic lens reference"))
   }
 
+  test("pipeline-prep lens ops: chunk, mixture, pack, vocab, tfidf resolve as stages") {
+    val docs = Seq(
+      (1L, "srcA", "a b c d e f g h i j"),
+      (2L, "srcA", "a a a b b c x y z w"),
+      (3L, "srcB", "k l m n o p q r s t"))
+      .toDF("doc_id", "source", "text")
+
+    val chunked = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:chunk","arguments":{"window":4,"stride":4}}]}""")
+      .forward(docs)
+    assert(chunked.count() == 9) // 3 docs x 10 tokens / stride 4 -> 3 chunks each
+
+    val mixed = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:mixture","arguments":
+        |{"group":"source","rates":{"srcA":0.0},"default":1.0}}]}""".stripMargin)
+      .forward(docs)
+    assert(mixed.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+
+    val packed = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:pack","arguments":{"group":"source","budget":15}}]}""")
+      .forward(docs)
+    assert(packed.select("doc_id", "pack_id").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 0L)) // doc 2 starts at token 10 < 15
+
+    val vocab = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:vocab","arguments":{"k":1}}]}""")
+      .forward(docs)
+    assert(vocab.as[(String, Long)].collect().toSeq == Seq(("a", 4L)))
+
+    val terms = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:tfidf","arguments":{"k":1}}]}""")
+      .forward(docs).select("doc_id", "token").as[(Long, String)].collect().toMap
+    assert(terms.keySet == Set(1L, 2L, 3L))
+  }
+
   test("data: lens references: base64 and percent-encoded, as stage and engine add") {
     val lensJson =
       """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}"""
