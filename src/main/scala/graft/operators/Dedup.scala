@@ -360,6 +360,82 @@ object Dedup {
   }
 
   /**
+   * Corpus-level segment ("line") dedup — the CCNet-style pass that strips
+   * text shared across many documents (boilerplate, headers, license
+   * blurbs) while keeping each document's unique content. Documents are
+   * cut into fixed-width `segTokens`-token segments (the generic stand-in
+   * for newline splitting — pass-through for corpora that carry real line
+   * structure), each segment is keyed by xxhash64, and any segment whose
+   * DISTINCT-document frequency exceeds `maxDocFreq` is dropped from every
+   * document. Output: one row per document that retains at least one
+   * segment — (doc_id, n_kept_segments, text_dedup) with segments rejoined
+   * in original order.
+   *
+   * 100 TB shape: the frequency pass shuffles (doc_id, 8-byte hash) only —
+   * never segment text; the ban list (segments over the frequency cap) is
+   * bounded by the corpus's boilerplate cardinality, orders of magnitude
+   * smaller than the distinct-segment count, so the anti-join broadcasts
+   * in practice (AQE decides) and the corpus side never shuffles for it.
+   * The reconstruction groupBy moves each surviving segment once, keyed by
+   * doc — no skew (a document's segment count is bounded). Spark groups by
+   * segment HASH while the DuckDB oracle groups by segment text: equal up
+   * to a ~n²/2⁶⁵ collision, the same trade documented on `contentKey`.
+   */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+      segTokens: Int = 10, maxDocFreq: Int = 1): DataFrame = {
+    require(segTokens >= 1 && maxDocFreq >= 1, "need segTokens, maxDocFreq >= 1")
+    val segs = TextAnalysis.chunkDocuments(df, textCol, idCol,
+        window = segTokens, stride = segTokens)
+      .select(col("doc_id"), col("chunk_id").as("seg_id"),
+        col("chunk_text").as("seg"))
+      .withColumn("h", xxhash64(col("seg")))
+    val banned = segs.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") > maxDocFreq)
+      .select(col("h"))
+    segs.join(banned, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_segments"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_id"), col("seg")))),
+            x => x.getField("seg")), " ").as("text_dedup"))
+  }
+
+  /**
+   * Membership of `corpus` documents against a REFERENCE corpus via a
+   * broadcast Bloom filter — the incremental-ingest dedup shape: "which of
+   * today's crawl did we already train on?" asked without ever shuffling
+   * either corpus. Returns (id, might_match): `might_match = true` for
+   * every document whose text occurs in `ref` (no false negatives — Bloom
+   * guarantee) plus an `fpp`-bounded fraction of false positives; route
+   * `true` rows to an exact verify (anti-join) when exactness matters.
+   *
+   * 100 TB shape: pass 1 aggregates the reference into one `numBits`-bit
+   * sketch through the normal partial-agg tree (executors OR partial
+   * filters; only the final ≤8 MiB bitset reaches the driver — the same
+   * bytes a broadcast would move anyway). Pass 2 probes the sketch as a
+   * literal inside a codegen'd scan projection: narrow, shuffle-free, no
+   * join. The sketch build runs EAGERLY at call time (two-job operator by
+   * nature — the probe plan needs the finished bits).
+   */
+  def bloomReference(corpus: DataFrame, ref: DataFrame,
+      textCol: String, idCol: String, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1, "bad bloom parameters")
+    val bridge = org.apache.spark.sql.graft.GraftBloom
+    // optimal bits for the target fpp: -n·ln(p)/ln(2)², clamped to Spark's
+    // runtime-filter creation cap (2²⁶ bits = 8 MiB).
+    val numBits = math.min(
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
+      1L << 26)
+    val bits = ref
+      .agg(bridge.bloomAgg(xxhash64(col(textCol)), expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    corpus.select(col(idCol),
+      bridge.mightContain(lit(bits), xxhash64(col(textCol))).as("might_match"))
+  }
+
+  /**
    * Embedding near-duplicate pairs: exact double-accumulated cosine within
    * blocking groups (IVF shape: block = coarse cluster id; only in-cluster
    * pairs are compared). Emits ids only — cosine values stay internal so

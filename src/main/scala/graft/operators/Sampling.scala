@@ -62,6 +62,36 @@ object Sampling {
    * 100 TB shape: a map-side filter pushed into the scan — no shuffle, no
    * RNG state, rerun/repartition/append-stable membership.
    */
+  /**
+   * Exact k-quantile bucket assignment by a score column — the
+   * curriculum/mixing step that bins a corpus into quality deciles before
+   * per-bucket sampling rates are applied. Emits (id, rn, bucket) where
+   * `rn` is the 1-based global rank under the TOTAL order (score, id) and
+   * `bucket = (rn−1)·k div n + 1` — the equi-width rank formula, written
+   * out explicitly on both engine sides rather than relying on `ntile`
+   * (whose remainder-distribution rule differs in spirit across engines).
+   *
+   * 100 TB shape: a naive `row_number().over(Window.orderBy(score))`
+   * funnels the corpus through ONE partition; this instead rides
+   * `GlobalSequence.withSequentialId` (range-partition + per-partition
+   * ranks + broadcast offsets — every stage parallel) and takes `n` from a
+   * 1-row aggregate joined back by broadcast. Two passes, zero bottleneck
+   * stages.
+   */
+  def quantileBuckets(df: DataFrame, scoreCol: String, idCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val scored =
+      if (scoreCol == idCol) df.select(col(idCol))
+      else df.select(col(idCol), col(scoreCol))
+    val ranked = GlobalSequence.withSequentialId(
+      scored, struct(col(scoreCol), col(idCol)), "rn")
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .select(col(idCol), col("rn"),
+        (expr(s"(rn - 1) * $k div n_total") + 1).as("bucket"))
+  }
+
   def mixture(df: DataFrame, groupCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>

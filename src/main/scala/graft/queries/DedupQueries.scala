@@ -206,6 +206,63 @@ object DedupQueries extends QueryProvider {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  // Segment ("line") dedup: 10-token segments, drop any appearing in >1
+  // distinct docs. Spark keys segments by xxhash64, the oracle by segment
+  // text — equal up to a ~n²/2⁶⁵ collision (same trade as dedup_exact).
+  private def dedupSegments(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(T(s, dir, "documents"), "text", "doc_id",
+      segTokens = 10, maxDocFreq = 1)
+
+  private val dedupSegmentsSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, ws, n, unnest(range(0, (n - 1) // 10 + 1)) AS seg_id
+      |  FROM w
+      |), s AS (
+      |  SELECT doc_id, seg_id,
+      |    array_to_string(ws[seg_id * 10 + 1 : seg_id * 10 + 10], ' ') AS seg
+      |  FROM c
+      |), f AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS doc_freq FROM s GROUP BY seg
+      |), kept AS (
+      |  SELECT s.doc_id, s.seg_id, s.seg
+      |  FROM s JOIN f USING (seg) WHERE f.doc_freq <= 1
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_segments,
+      |  string_agg(seg, ' ' ORDER BY seg_id) AS text_dedup
+      |FROM kept GROUP BY doc_id""".stripMargin
+
+  // Reference slice = every 10th doc (the "already trained on" corpus).
+  // Bloom probe output is rows-only by design (the false-positive set is
+  // sketch-internal); DedupSpec pins no-false-negatives + an FP ceiling
+  // against the exact companion below.
+  private def dedupBloomRef(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.bloomReference(docs, docs.where(col("doc_id") % 10 === 0),
+        "text", "doc_id", expectedItems = 100000, fpp = 0.01)
+      .where(col("might_match"))
+      .select(col("doc_id"))
+  }
+
+  // Exact companion (and ground truth for the bloom spec): membership by
+  // content hash semi-join — the verify pass a pipeline runs on the
+  // bloom-flagged slice.
+  private def dedupRefExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val ref = docs.where(col("doc_id") % 10 === 0)
+      .select(xxhash64(col("text")).as("h")).distinct()
+    docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .join(ref, Seq("h"), "left_semi")
+      .select(col("doc_id"))
+  }
+
+  private val dedupRefExactSql =
+    """SELECT doc_id FROM documents
+      |WHERE text IN (SELECT text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
   // HLL sketch comparison is engine-specific — rows-only check by design.
   // The exact count groups 64-bit content hashes, not the documents: the
   // distinct-shuffle moves 8 bytes/row instead of the text (same count up
@@ -230,6 +287,9 @@ object DedupQueries extends QueryProvider {
     "dedup_allpairs"       -> (dedupAllPairs _),
     "dedup_embedding"      -> (dedupEmbedding _),
     "dedup_approx_distinct" -> (approxDistinct _),
+    "dedup_segments"       -> (dedupSegments _),
+    "dedup_bloom_ref"      -> (dedupBloomRef _),
+    "dedup_ref_exact"      -> (dedupRefExact _),
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_survivors"      -> (dedupSurvivors _),
     "dedup_survivors_from_map" -> (dedupSurvivorsFromMap _)
@@ -241,6 +301,8 @@ object DedupQueries extends QueryProvider {
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "dedup_allpairs"      -> dedupAllPairsSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
+    "dedup_segments"      -> dedupSegmentsSql,
+    "dedup_ref_exact"     -> dedupRefExactSql,
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_survivors"     -> dedupSurvivorsSql,
     "dedup_survivors_from_map" -> dedupSurvivorsSql

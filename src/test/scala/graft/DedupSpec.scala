@@ -140,6 +140,56 @@ class DedupSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("segmentDedup drops cross-doc boilerplate, keeps unique content in order") {
+    // 4-token segments; docs 1 and 2 share their first segment verbatim
+    // (boilerplate), doc 3 is fully unique, doc 4 is an exact copy of doc 1
+    // so its unique-to-1 tail also goes over the frequency cap.
+    val boiler = "all rights reserved today"
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi"),
+      (4L, s"$boiler alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "text", "doc_id",
+        segTokens = 4, maxDocFreq = 1)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // boilerplate (freq 3) gone everywhere; docs 1/4 tails have freq 2 → gone
+    assert(out(2L) == ((1L, "epsilon zeta eta theta")))
+    assert(out(3L) == ((2L, "iota kappa lambda mu nu xi omicron pi")))
+    assert(!out.contains(1L) && !out.contains(4L))
+  }
+
+  test("segmentDedup reconstruction preserves segment order across many segments") {
+    // 26 4-token segments, all unique → output text must equal the input.
+    val words = (0 until 104).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, words)).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "text", "doc_id",
+        segTokens = 4, maxDocFreq = 1)
+      .as[(Long, Long, String)].collect().head
+    assert(out == ((7L, 26L, words)))
+  }
+
+  test("bloomReference: zero false negatives, FP rate within budget on sf0.01") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val ref = docs.where(col("doc_id") % 10 === 0)
+    val flagged = Dedup.bloomReference(docs, ref, "text", "doc_id",
+        expectedItems = 100000, fpp = 0.01)
+      .where(col("might_match")).select("doc_id")
+      .as[Long].collect().toSet
+    val exact = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .join(ref.select(xxhash64(col("text")).as("h")).distinct(), Seq("h"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    // Bloom guarantee: every true member is flagged.
+    assert(exact.subsetOf(flagged))
+    // FP budget: at fpp=0.01 and this corpus size, allow 5x slack.
+    val nonMembers = docs.count() - exact.size
+    val fps = (flagged -- exact).size
+    assert(fps <= math.max(5, (nonMembers * 0.05).toLong),
+      s"$fps false positives over $nonMembers non-members")
+  }
+
   test("embedding cosine finds identical vectors within a block") {
     val v1 = Seq.tabulate(8)(i => i.toFloat + 1)
     val v2 = v1.map(_ * 2) // same direction, cosine 1
