@@ -255,6 +255,45 @@ object TextAnalysis {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  // ----------------------------------------------------------------- PII
+
+  /** PII patterns chosen for the Java-regex ∩ RE2 dialect intersection
+   *  (no backreferences, no lookaround), so the DuckDB oracle runs the
+   *  IDENTICAL pattern strings. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+  val PhonePattern = "\\+\\d{1,2} \\d{3} \\d{4}"
+
+  /**
+   * PII redaction — the scrubbing pass a training pipeline runs before any
+   * text leaves the ingest zone: emails, IPv4 addresses, and international
+   * phone numbers are replaced with `[EMAIL]`/`[IP]`/`[PHONE]` tokens, with
+   * per-document match counts (taken on the ORIGINAL text, so counts are
+   * independent of replacement order) for audit metrics. Replacement order
+   * (email → ip → phone) is fixed; the patterns cannot overlap each
+   * other's replacements.
+   *
+   * 100 TB shape: pure per-row projection — codegen'd `regexp_replace` /
+   * `regexp_extract_all` over one scan, no shuffle, no UDF; Java compiles
+   * each pattern once per task.
+   */
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def count(p: String): Column =
+      size(regexp_extract_all(t, lit(p), lit(0))).cast("long")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "[EMAIL]"),
+        Ipv4Pattern, "[IP]"),
+      PhonePattern, "[PHONE]")
+    df.select(
+      col(idCol),
+      count(EmailPattern).as("n_emails"),
+      count(Ipv4Pattern).as("n_ips"),
+      count(PhonePattern).as("n_phones"),
+      redacted.as("text_redacted"))
+  }
+
   /**
    * Top-`k` characteristic terms per document, ranked by tf·idf with
    * LINEAR idf: score ∝ tf/df, computed as `tf * 10⁹ div df` in exact
@@ -285,5 +324,38 @@ object TextAnalysis {
       .where(col("rk") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df_count"),
         col("rk"))
+  }
+
+  /**
+   * Corpus-trained unigram language-model score per document — the
+   * KenLM-style "how typical of the corpus is this text" quality signal a
+   * training pipeline thresholds on before mixing. The model IS the
+   * corpus unigram table (token → occurrence count); each document scores
+   * as (n_tokens, sum_freq, min_freq) where `sum_freq` totals the corpus
+   * frequency of every token occurrence and `min_freq` is the rarest
+   * token's count (the OOV-proximity signal). `sum_freq/n_tokens` is
+   * the document's mean token commonness — a monotone stand-in for
+   * unigram likelihood kept in EXACT integer math (a true log-prob would
+   * sum `ln`, whose last-ulp rounding is libm-specific; the integer form
+   * is bit-identical in any engine, so it oracle-checks).
+   *
+   * 100 TB shape: model = one partial-aggregated groupBy over exploded
+   * tokens (exchange carries distinct tokens per partition, not
+   * occurrences); scoring joins occurrences to the model on the token and
+   * re-aggregates per doc — both shuffles carry (hash, count) pairs,
+   * never document text. A hot token is ONE build-side row, so the join
+   * never amplifies. When the vocabulary fits an executor (it nearly
+   * always does — vocab grows ~log of corpus size), AQE broadcasts the
+   * model side and the scoring pass is a narrow map stage.
+   */
+  def unigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(wsTokens(col(textCol))).as("token"))
+    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("tf_corpus"))
+    toks.join(model, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf_corpus")).as("sum_freq"),
+        min(col("tf_corpus")).as("min_freq"))
   }
 }

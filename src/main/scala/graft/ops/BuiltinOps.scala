@@ -216,6 +216,53 @@ object BuiltinOps {
       LensOp(s"repetition($t)", df => TextAnalysis.repetition(df, t, id))
     },
 
+    // PII redaction (TextAnalysis.redactPii): email/ip/phone scrub with
+    // per-doc audit counts. Lossy (counts replace the raw text) ⇒ no inverse.
+    "redact_pii" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp(s"redact_pii($t)", df => TextAnalysis.redactPii(df, t, id))
+    },
+
+    // Corpus-level segment dedup (Dedup.segmentDedup): set-level — the
+    // surviving row set depends on cross-document frequencies.
+    "segment_dedup" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val seg = a.intOpt("seg_tokens").getOrElse(10)
+      val freq = a.intOpt("max_doc_freq").getOrElse(1)
+      LensOp.setLevel(s"segment_dedup($t, seg=$seg, freq<=$freq)",
+        df => Dedup.segmentDedup(df, t, id, seg, freq))
+    },
+
+    // Exact k-quantile bucketing by a score column (Sampling.quantileBuckets).
+    "quantile_buckets" -> { a =>
+      val (score, id) = (a.str("score"), a.strOpt("id").getOrElse("doc_id"))
+      val k = a.intOpt("k").getOrElse(10)
+      LensOp.setLevel(s"quantile_buckets($score, k=$k)",
+        df => graft.operators.Sampling.quantileBuckets(df, score, id, k))
+    },
+
+    // Corpus-trained unigram LM score (TextAnalysis.unigramLmScore):
+    // set-level — every score depends on the whole corpus's token table.
+    "unigram_lm" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp.setLevel(s"unigram_lm($t)",
+        df => TextAnalysis.unigramLmScore(df, t, id))
+    },
+
+    // Lloyd's k-means over an embedding column (Kmeans.cluster):
+    // set-level — assignments depend on centroids trained on the corpus.
+    "kmeans" -> { a =>
+      val (v, id) = (a.strOpt("vec").getOrElse("embedding"),
+        a.strOpt("id").getOrElse("vec_id"))
+      val k = a.intOpt("k").getOrElse(8)
+      val iters = a.intOpt("iters").getOrElse(5)
+      LensOp.setLevel(s"kmeans($v, k=$k, iters=$iters)",
+        df => graft.operators.Kmeans.cluster(df, v, id, k, iters))
+    },
+
     // Overlapping token-window chunking (TextAnalysis.chunkDocuments).
     "chunk" -> { a =>
       val (t, id) = (a.strOpt("text").getOrElse("text"),

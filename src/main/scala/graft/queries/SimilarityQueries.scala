@@ -78,10 +78,28 @@ object SimilarityQueries extends QueryProvider {
       nPlanes = 8, tables = 16, probes = 9)
   }
 
+  // Trained coarse quantizer: Lloyd's k-means (deterministic hash-seed +
+  // fixed-point centroid sums, see graft.operators.Kmeans) clusters the
+  // embeddings, then IVF-search runs WITHIN the trained cells — the real
+  // scale path where no pre-labelled cluster column exists. Cluster ids
+  // depend on the trained model (engine-internal, like sketch values) →
+  // rows-only here; SimilaritySpec pins determinism, objective descent,
+  // and IVF-over-kmeans recall against brute force.
+  private def kmeansIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val cells = graft.operators.Kmeans
+      .cluster(emb, "embedding", "vec_id", k = 8, iters = 3)
+      .withColumnRenamed("vec_id", "cid").withColumnRenamed("cluster", "cell")
+    Similarity.ivfTopK(
+      emb.join(cells, emb("vec_id") === cells("cid")).drop("cid"),
+      vecCol = "embedding", idCol = "vec_id", clusterCol = "cell", k = 3)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute"  -> (topkBrute _),
     "sim_threshold"   -> (thresholdNbrs _),
     "sim_ivf_topk"    -> (ivfTopk _),
+    "sim_ivf_kmeans"  -> (kmeansIvf _),
     "sim_ann_srp"     -> (srpAnn _)
   )
 
@@ -91,5 +109,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_ivf_topk"   -> ivfTopkSql
     // sim_ann_srp: approximate (LSH) — rows-only; recall bound covered in
     // SimilaritySpec against the brute-force baseline.
+    // sim_ivf_kmeans: cluster ids come from the trained quantizer
+    // (engine-internal) — rows-only; SimilaritySpec pins recall/determinism.
   )
 }

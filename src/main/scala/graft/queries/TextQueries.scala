@@ -312,7 +312,148 @@ object TextQueries extends QueryProvider {
       |              WHEN 'src1' THEN 500000
       |              ELSE 900000 END""".stripMargin
 
+  // PII lives in no synthetic column, so both sides append IDENTICAL
+  // deterministic PII (email/ip/phone derived from doc_id) to the text
+  // before redacting — the redaction logic is what's under test.
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com from 10."), pmod(col("doc_id"), lit(256)),
+      lit(".0.1 call +1 555 0"), pmod(col("doc_id"), lit(10)), lit("23 end"))
+    TextAnalysis.redactPii(
+      T(s, dir, "documents").select(col("doc_id"), aug.as("text")),
+      "text", "doc_id")
+  }
+
+  private val piiRedactSql =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com from 10.' ||
+      |      (doc_id % 256) || '.0.1 call +1 555 0' || (doc_id % 10) || '23 end' AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t,
+      |    '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(t,
+      |    '\+\d{1,2} \d{3} \d{4}')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b\d{1,3}(?:\.\d{1,3}){3}\b', '[IP]', 'g'),
+      |    '\+\d{1,2} \d{3} \d{4}', '[PHONE]', 'g') AS text_redacted
+      |FROM a""".stripMargin
+
+  // Decile assignment by quality score — rank formula written out on both
+  // sides (see Sampling.quantileBuckets for why not ntile); the quality
+  // doubles are bit-identical cross-engine (proven by text_quality), so
+  // the (quality, doc_id) total order is too.
+  private def qualityBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.quantileBuckets(
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityColumn(col("text")).as("quality")),
+      "quality", "doc_id", k = 10)
+
+  private val qualityBucketsSql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) * 0.3
+      |      + greatest(0.0, 1.0 -
+      |          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / length(text) * 4.0) * 0.3 AS quality
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY quality, doc_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM q
+      |)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rn,
+      |  CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS bucket
+      |FROM r""".stripMargin
+
+  // Corpus-trained unigram LM score (TextAnalysis.unigramLmScore): exact
+  // integer totals of per-token corpus frequency — both engines train the
+  // same "model" (the unigram table) from the same corpus.
+  private def unigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLmScore(T(s, dir, "documents"), "text", "doc_id")
+
+  private val unigramLmSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), model AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tf_corpus
+      |  FROM toks GROUP BY token
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(tf_corpus) AS BIGINT) AS sum_freq,
+      |  CAST(min(tf_corpus) AS BIGINT) AS min_freq
+      |FROM toks JOIN model USING (token)
+      |GROUP BY doc_id""".stripMargin
+
+  // Composition flagship #2 — the full pretraining-prep chain a training
+  // pipeline actually ships, run END TO END through the lens engine:
+  // quality-score → threshold filter → PII redaction → exact dedup on the
+  // REDACTED text (so two docs differing only in their PII dedup together)
+  // → deterministic train/val/test split. Every stage is the
+  // oracle-checked operator; the composition is hash-checked as a whole.
+  // The one Scala step is the text join-back after the quality filter
+  // (quality_score projects metrics, not text) — ids-only on the build
+  // side, the same shape as pipeline_prep_corpus.
+  private def pretrainFull(s: SparkSession, dir: String): DataFrame = {
+    val keptIds = graft.engine.Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:quality_score","arguments":{"text":"text","id":"doc_id"}},
+        |  {"path":"builtin:filter","arguments":{"expr":"quality >= 0.5"}},
+        |  {"path":"builtin:select","arguments":{"cols":["doc_id"]}}
+        |]}""".stripMargin)
+      .forward(T(s, dir, "documents"))
+    val kept = T(s, dir, "documents").join(keptIds, "doc_id")
+    graft.engine.Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:redact_pii","arguments":{"text":"text","id":"doc_id"}},
+        |  {"path":"builtin:dedup_exact","arguments":{"text":"text_redacted","id":"doc_id"}},
+        |  {"path":"builtin:train_split","arguments":{"id":"keeper_id","train_pct":90,"val_pct":5}}
+        |]}""".stripMargin)
+      .forward(kept)
+      .select(col("keeper_id"), col("n_copies"), col("split"))
+  }
+
+  private val pretrainFullSql =
+    """WITH q AS (
+      |  SELECT doc_id, text,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) * 0.3
+      |      + greatest(0.0, 1.0 -
+      |          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / length(text) * 4.0) * 0.3 AS quality
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\b\d{1,3}(?:\.\d{1,3}){3}\b', '[IP]', 'g'),
+      |      '\+\d{1,2} \d{3} \d{4}', '[PHONE]', 'g') AS tr
+      |  FROM q WHERE quality >= 0.5
+      |), d AS (
+      |  SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+      |  FROM r GROUP BY tr
+      |)
+      |SELECT keeper_id, n_copies,
+      |  CASE WHEN ((abs(keeper_id) % 1000003) * 2654435761) % 4294967296 % 100 < 90
+      |         THEN 'train'
+      |       WHEN ((abs(keeper_id) % 1000003) * 2654435761) % 4294967296 % 100 < 95
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM d""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pretrain_full" -> (pretrainFull _),
+    "text_unigram_lm"  -> (unigramLm _),
+    "text_pii_redact"  -> (piiRedact _),
+    "q_quality_buckets" -> (qualityBuckets _),
     "text_chunk"       -> (chunk _),
     "q_corpus_mixture" -> (mixtureQ _),
     "text_vocab"       -> (vocab _),
@@ -329,6 +470,10 @@ object TextQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "pipeline_pretrain_full" -> pretrainFullSql,
+    "text_unigram_lm"  -> unigramLmSql,
+    "text_pii_redact"  -> piiRedactSql,
+    "q_quality_buckets" -> qualityBucketsSql,
     "text_chunk"       -> chunkSql,
     "q_corpus_mixture" -> mixtureSql,
     "text_vocab"       -> vocabSql,

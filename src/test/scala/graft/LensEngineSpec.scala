@@ -361,6 +361,41 @@ class LensEngineSpec extends AnyFunSuite {
       """{"lenses":[{"path":"builtin:tfidf","arguments":{"k":1}}]}""")
       .forward(docs).select("doc_id", "token").as[(Long, String)].collect().toMap
     assert(terms.keySet == Set(1L, 2L, 3L))
+
+    val redacted = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:redact_pii","arguments":{}}]}""")
+      .forward(Seq((9L, "mail me a@b.co now")).toDF("doc_id", "text"))
+      .select("doc_id", "n_emails", "text_redacted")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(redacted == Seq((9L, 1L, "mail me [EMAIL] now")))
+
+    val segDedup = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:segment_dedup","arguments":
+        |{"seg_tokens":5,"max_doc_freq":1}}]}""".stripMargin)
+      .forward(docs)
+    assert(segDedup.count() == 3) // all 5-token segments here are unique
+
+    val buckets = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:quantile_buckets","arguments":
+        |{"score":"text","k":3}}]}""".stripMargin)
+      .forward(docs).select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    // (text, id) order: doc 2 ("a a a…") < doc 1 ("a b c…") < doc 3 ("k l…")
+    assert(buckets == Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
+
+    val lm = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:unigram_lm","arguments":{}}]}""")
+      .forward(Seq((1L, "x y"), (2L, "x x")).toDF("doc_id", "text"))
+      .select("doc_id", "sum_freq").as[(Long, Long)].collect().toMap
+    assert(lm == Map(1L -> 4L, 2L -> 6L)) // x:3, y:1
+
+    val km = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:kmeans","arguments":{"k":2,"iters":2}}]}""")
+      .forward(Seq(
+        (1L, Array(0f, 0f)), (2L, Array(0.1f, 0f)),
+        (3L, Array(9f, 9f)), (4L, Array(9.1f, 9f)))
+        .toDF("vec_id", "embedding"))
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(km(1L) == km(2L) && km(3L) == km(4L) && km(1L) != km(3L))
   }
 
   test("data: lens references: base64 and percent-encoded, as stage and engine add") {

@@ -197,4 +197,55 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("doc_id", "source").as[(Long, String)].collect()
     assert(kept.toSet == again.toSet)
   }
+
+  test("redactPii replaces emails, IPs, and phones with counts") {
+    val df = docs(
+      1 -> "reach me at alice.smith+work@sub.example.co.uk or bob@x.io thanks",
+      2 -> "server 192.168.001.255 and 10.0.0.1 rebooted at dawn",
+      3 -> "call +44 123 4567 or +1 555 0199 now",
+      4 -> "nothing sensitive here at all",
+      5 -> "mix: a@b.com on 8.8.8.8 dial +1 555 0100 ok")
+    val out = TextAnalysis.redactPii(df, "text", "doc_id")
+      .as[(Int, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1) == ((1, 2L, 0L, 0L,
+      "reach me at [EMAIL] or [EMAIL] thanks")))
+    assert(out(2) == ((2, 0L, 2L, 0L,
+      "server [IP] and [IP] rebooted at dawn")))
+    assert(out(3) == ((3, 0L, 0L, 2L, "call [PHONE] or [PHONE] now")))
+    assert(out(4) == ((4, 0L, 0L, 0L, "nothing sensitive here at all")))
+    assert(out(5) == ((5, 1L, 1L, 1L, "mix: [EMAIL] on [IP] dial [PHONE] ok")))
+  }
+
+  test("unigramLmScore: corpus-frequency totals and rarest-token signal") {
+    // corpus unigram counts: the:4, cat:1, sat:2, dog:1
+    val df = docs(
+      1 -> "the cat sat",
+      2 -> "the dog sat",
+      3 -> "the the")
+    val out = TextAnalysis.unigramLmScore(df, "text", "doc_id")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1) == ((3L, 7L, 1L))) // 4(the) + 1(cat) + 2(sat), rarest 1
+    assert(out(2) == ((3L, 7L, 1L)))
+    assert(out(3) == ((2L, 8L, 4L))) // two occurrences of a freq-4 token
+  }
+
+  test("quantileBuckets: equi-rank deciles, every bucket populated") {
+    val df = (1 to 1000).map(i => (i.toLong, (i % 97).toDouble))
+      .toDF("doc_id", "score")
+    val out = graft.operators.Sampling
+      .quantileBuckets(df, "score", "doc_id", k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 1000)
+    assert(out.map(_._2).sorted.toSeq == (1L to 1000L))  // rn is a permutation
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (1L to 10L).toSet)
+    assert(sizes.values.forall(_ == 100))  // 1000 rows / 10 buckets exactly
+    // ranks respect the (score, id) total order
+    val byRn = out.sortBy(_._2).map(_._1)
+    val expected = (1 to 1000).map(i => (i.toLong, (i % 97).toDouble))
+      .sortBy { case (id, s) => (s, id) }.map(_._1)
+    assert(byRn.toSeq == expected)
+  }
 }
