@@ -28,5 +28,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g is the canonical bench heap (the sandbox has 128 GiB): at the
+  // default 8g, suite-scale session state starved the unified memory pool
+  // and inflated BENCH_r04 5.6× — see VERDICT round 4, What's wrong #1.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

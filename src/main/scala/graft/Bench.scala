@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-query session hygiene. 252 query executions in one long-lived JVM
+   *  accumulate cached blocks (gram tables), localCheckpoint blocks (CC
+   *  rounds), and broadcasts; left alone, that unified-memory pressure
+   *  taxes whichever queries run NEXT — r4's recorded suite was 5.6× slower
+   *  than the same binary with a clean session per query. Dropping scratch
+   *  state between queries makes each number approximate its isolated
+   *  median, which is the only comparable-across-rounds definition. */
+  private def hygiene(spark: SparkSession): Unit = {
+    graft.operators.Dedup.clearGramCache()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,20 +53,30 @@ object Bench {
     // binaries), which hides real 20% regressions. The median of 3 is
     // robust to one GC/compilation hiccup while keeping wall-clock ~3×.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
+      hygiene(spark)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
+        // A failed run is recorded, never swallowed: a broken query used to
+        // post a fast time and look healthy (r4 verdict, What's wrong #4).
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs}"""
     println(json)
     // Also write to a file: the driver's stdout tail-capture truncated 4
     // of 70 entries in r3; the file is the complete, parseable record.

@@ -190,6 +190,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Memoized persisted gram tables for `ngramJaccard`, keyed by
+   *  (session, canonicalized input plan, gram parameters) — the same
+   *  one-entry-per-logical-input discipline `DedupQueries.ensureClusterMap`
+   *  uses for the cluster map. Repeated calls with the same inputs (e.g.
+   *  the pair generator inside `dedup_survivors` plus the standalone
+   *  `dedup_ngram_jaccard`, or N bench reruns) share ONE cache entry
+   *  instead of leaking one per call. `threshold` is deliberately absent
+   *  from the key: the gram table does not depend on it. */
+  private val gramCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Any, String, String, String, Int, Int), DataFrame]()
+
+  /** Number of live memoized gram tables (test/monitoring hook). */
+  def gramCacheSize: Int = gramCache.size
+
+  /** Unpersist and forget every memoized gram table — session hygiene for
+   *  benchmarks and long-lived services (pairs with
+   *  `spark.catalog.clearCache()`, which drops the cached blocks but not
+   *  this map; entries self-heal by re-persisting on next use either way). */
+  def clearGramCache(): Unit = {
+    gramCache.values.forEach(_.unpersist(false))
+    gramCache.clear()
+  }
+
   /**
    * Exact n-gram Jaccard pairs within blocking groups (`blockCol`): the
    * quadratic comparison runs only inside each block. At 100 TB the block
@@ -206,11 +229,11 @@ object Dedup {
     // `cacheGrams` is the recompute-vs-cache policy knob for 100 TB runs
     // (where the gram table may not fit the cache tier and recompute can
     // be the right trade); locally recompute is pure waste. MEMORY_AND_DISK
-    // spills rather than OOMs. Lifecycle: the cache entry outlives the
-    // call (the result is returned lazily, so the operator cannot know
-    // when to unpersist); long-lived sessions issuing many distinct
-    // ngramJaccard plans should pass cacheGrams=false or clear via
-    // spark.catalog.clearCache() — LRU eviction bounds growth meanwhile.
+    // spills rather than OOMs. Lifecycle: entries are MEMOIZED per
+    // (session, input plan, params) in `gramCache` — repeat invocations
+    // reuse one entry rather than stacking persists; `clearGramCache()`
+    // releases them eagerly, and an entry whose blocks were dropped by
+    // `spark.catalog.clearCache()` re-persists itself on next use.
     val gramsPlan = Par.spread(df, col(idCol))
       .filter(length(col(textCol)) >= n)
       .select(col(idCol).as("doc"), col(blockCol).as("block"),
@@ -219,9 +242,16 @@ object Dedup {
       .withColumn("ng", size(col("g")))
       .withColumn("salt", pmod(xxhash64(col("doc")), lit(saltBuckets)).cast("int"))
     val grams =
-      if (cacheGrams)
-        gramsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else gramsPlan
+      if (cacheGrams) {
+        val key = (System.identityHashCode(df.sparkSession),
+          df.queryExecution.analyzed.canonicalized: Any,
+          textCol, idCol, blockCol, n, saltBuckets)
+        val cached = gramCache.computeIfAbsent(key, _ =>
+          gramsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        if (cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          cached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached
+      } else gramsPlan
     // Salted triangle self-join: a block's quadratic pair space is split
     // into S(S+1)/2 salt-pair cells so it spreads across the cluster even
     // when there are few, huge blocks (the 100 TB failure mode of naive
@@ -417,6 +447,14 @@ object Dedup {
    * literal inside a codegen'd scan projection: narrow, shuffle-free, no
    * join. The sketch build runs EAGERLY at call time (two-job operator by
    * nature — the probe plan needs the finished bits).
+   *
+   * The bitset is capped at 2²⁶ bits (8 MiB — Spark's own runtime-filter
+   * creation cap, and the practical broadcast budget). At fpp = 0.01 that
+   * cap is saturated by ~7 M reference items; beyond it the EFFECTIVE
+   * false-positive rate degrades as p ≈ (1 − e^(−k·n/m))^k rather than
+   * honoring the request, so the clamp is logged with the recomputed
+   * effective fpp instead of failing silently. An empty reference yields
+   * `might_match = false` for every row (not null).
    */
   def bloomReference(corpus: DataFrame, ref: DataFrame,
       textCol: String, idCol: String, expectedItems: Long,
@@ -425,13 +463,27 @@ object Dedup {
     val bridge = org.apache.spark.sql.graft.GraftBloom
     // optimal bits for the target fpp: -n·ln(p)/ln(2)², clamped to Spark's
     // runtime-filter creation cap (2²⁶ bits = 8 MiB).
-    val numBits = math.min(
-      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong,
-      1L << 26)
+    val optimalBits =
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.min(optimalBits, 1L << 26)
+    if (optimalBits > numBits) {
+      // k hash functions Spark derives from (expectedItems, numBits).
+      val k = math.max(1, math.round(numBits.toDouble / expectedItems * math.log(2)))
+      val effFpp = math.pow(
+        1.0 - math.exp(-k.toDouble * expectedItems / numBits), k.toDouble)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bloomReference: requested fpp=$fpp needs $optimalBits bits but the " +
+          s"creation cap is $numBits (8 MiB); effective fpp ≈ $effFpp. " +
+          "Shard the reference or verify positives exactly downstream.")
+    }
     val bits = ref
       .agg(bridge.bloomAgg(xxhash64(col(textCol)), expectedItems, numBits).as("bf"))
       .head.getAs[Array[Byte]](0)
-    corpus.select(col(idCol),
+    // Empty reference: the aggregate returns null bits; membership is
+    // definitionally false, not null.
+    if (bits == null)
+      corpus.select(col(idCol), lit(false).as("might_match"))
+    else corpus.select(col(idCol),
       bridge.mightContain(lit(bits), xxhash64(col(textCol))).as("might_match"))
   }
 

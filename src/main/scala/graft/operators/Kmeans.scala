@@ -37,13 +37,34 @@ object Kmeans {
   private val FixedScale: Double = (1L << 24).toDouble
 
   /** Deterministic seed centroids: the k vectors with the smallest
-   *  `xxhash64(id)` (global TakeOrdered of k tiny rows). */
+   *  `xxhash64(id)` (global TakeOrdered of k tiny rows). Dirty rows —
+   *  null vectors, null elements, or a dimension differing from the
+   *  corpus's first clean row — are filtered BEFORE the TakeOrdered, so a
+   *  corrupt row among the k smallest hashes degrades to the next seed
+   *  instead of an NPE here or a `rectangular` failure in the argmin
+   *  (train() already tolerates such rows via NearestCentroid's null). */
   def seed(df: DataFrame, vecCol: String, idCol: String, k: Int): Array[Array[Double]] = {
     require(k >= 1, "need k >= 1")
-    df.select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+    val clean = df
+      .where(col(vecCol).isNotNull &&
+        !exists(col(vecCol), _.isNull) && size(col(vecCol)) > 0)
+    // Reference dim = the clean row with the smallest hash (deterministic,
+    // same order the seeds use), not an arbitrary "first" row.
+    val dim = clean
+      .select(size(col(vecCol)).as("d"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(1).select(col("d")).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        s"no non-null '$vecCol' rows to seed k-means from")
+    }
+    val seeds = clean.where(size(col(vecCol)) === dim)
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
       .orderBy(col("h")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.length == k,
+      s"only ${seeds.length} clean $dim-dim vectors available for k=$k seeds")
+    seeds
   }
 
   /** `iters` Lloyd rounds from the hash-order seeds; returns the trained

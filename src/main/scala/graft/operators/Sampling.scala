@@ -77,6 +77,11 @@ object Sampling {
    * ranks + broadcast offsets — every stage parallel) and takes `n` from a
    * 1-row aggregate joined back by broadcast. Two passes, zero bottleneck
    * stages.
+   *
+   * Null scores rank FIRST (Spark's ascending default, which struct-field
+   * comparison inherits); any SQL oracle over a nullable score column must
+   * pin `ORDER BY score NULLS FIRST` explicitly — DuckDB's ascending
+   * default is NULLS LAST, a silent divergence otherwise.
    */
   def quantileBuckets(df: DataFrame, scoreCol: String, idCol: String,
       k: Int = 10): DataFrame = {

@@ -365,7 +365,8 @@ object TextQueries extends QueryProvider {
       |          / length(text) * 4.0) * 0.3 AS quality
       |  FROM documents
       |), r AS (
-      |  SELECT doc_id, row_number() OVER (ORDER BY quality, doc_id) AS rn,
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY quality NULLS FIRST, doc_id) AS rn,
       |    count(*) OVER () AS n
       |  FROM q
       |)

@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
  * would walk an interpreted lambda tree per (element × k) — the hot-loop
  * case CLAUDE.md bans from HOFs.
  *
- * Rows whose embedding length differs from the centroid dim yield null
- * (corrupt row), never a plausible-but-wrong assignment.
+ * Rows whose embedding length differs from the centroid dim — or that
+ * carry a null element — yield null (corrupt row), never a
+ * plausible-but-wrong assignment.
  */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression with ExpectsInputTypes {
@@ -38,6 +39,8 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     val v = input.asInstanceOf[ArrayData]
     val dim = centroids(0).length
     if (v.numElements() != dim) return null
+    var j = 0
+    while (j < dim) { if (v.isNullAt(j)) return null; j += 1 }
     var best = 0; var bestDist = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
@@ -61,9 +64,16 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
       val i = ctx.freshName("i"); val d = ctx.freshName("d")
       val diff = ctx.freshName("diff"); val best = ctx.freshName("best")
       val bestDist = ctx.freshName("bestDist"); val ctr = ctx.freshName("ctr")
+      val j = ctx.freshName("j"); val hasNull = ctx.freshName("hasNull")
       s"""
          |final int $dim = $mat[0].length;
-         |if ($v.numElements() != $dim) {
+         |boolean $hasNull = false;
+         |if ($v.numElements() == $dim) {
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($v.isNullAt($j)) { $hasNull = true; break; }
+         |  }
+         |}
+         |if ($v.numElements() != $dim || $hasNull) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $best = 0; double $bestDist = Double.MAX_VALUE;
@@ -108,6 +118,8 @@ case class NearestCentroidDist(child: Expression, centroids: Array[Array[Double]
     val v = input.asInstanceOf[ArrayData]
     val dim = centroids(0).length
     if (v.numElements() != dim) return null
+    var j = 0
+    while (j < dim) { if (v.isNullAt(j)) return null; j += 1 }
     var bestDist = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
@@ -131,9 +143,16 @@ case class NearestCentroidDist(child: Expression, centroids: Array[Array[Double]
       val i = ctx.freshName("i"); val d = ctx.freshName("d")
       val diff = ctx.freshName("diff"); val bestDist = ctx.freshName("bestDist")
       val ctr = ctx.freshName("ctr")
+      val j = ctx.freshName("j"); val hasNull = ctx.freshName("hasNull")
       s"""
          |final int $dim = $mat[0].length;
-         |if ($v.numElements() != $dim) {
+         |boolean $hasNull = false;
+         |if ($v.numElements() == $dim) {
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($v.isNullAt($j)) { $hasNull = true; break; }
+         |  }
+         |}
+         |if ($v.numElements() != $dim || $hasNull) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $bestDist = Double.MAX_VALUE;

@@ -107,6 +107,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ngram jaccard memoizes one gram cache entry per (input, params)") {
+    Dedup.clearGramCache()
+    assert(Dedup.gramCacheSize == 0)
+    val df = Seq((1L, base, "en"), (2L, base + " x", "en"), (3L, base + " y", "fr"))
+      .toDF("doc_id", "text", "lang")
+    Dedup.ngramJaccard(df, "text", "doc_id", "lang", threshold = 0.9).collect()
+    assert(Dedup.gramCacheSize == 1)
+    // Re-invocation with the same inputs — and a different threshold, which
+    // the gram table does not depend on — must NOT stack a second persist
+    // (the r4 leak: one cache entry per call in long-lived sessions).
+    Dedup.ngramJaccard(df, "text", "doc_id", "lang", threshold = 0.9).collect()
+    val r = Dedup.ngramJaccard(df, "text", "doc_id", "lang", threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(Dedup.gramCacheSize == 1)
+    assert(r == Set((1L, 2L)))
+    // External spark.catalog.clearCache() drops the blocks but not the memo;
+    // the entry self-heals (re-persists) and stays correct, still 1 entry.
+    spark.catalog.clearCache()
+    val healed = Dedup.ngramJaccard(df, "text", "doc_id", "lang", threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(healed == Set((1L, 2L)))
+    assert(Dedup.gramCacheSize == 1)
+    // Different gram params = a genuinely different table = a second entry.
+    Dedup.ngramJaccard(df, "text", "doc_id", "lang", threshold = 0.9, n = 4).collect()
+    assert(Dedup.gramCacheSize == 2)
+    Dedup.clearGramCache()
+    assert(Dedup.gramCacheSize == 0)
+  }
+
   test("exact dedup hash128 mode == 64-bit mode on sf0.01 (no collisions at this n)") {
     // At sf0.01 both key widths are collision-free, so the outputs must be
     // identical; hash128 exists for the >=1e9-doc regime where 64-bit
@@ -188,6 +217,17 @@ class DedupSpec extends AnyFunSuite {
     val fps = (flagged -- exact).size
     assert(fps <= math.max(5, (nonMembers * 0.05).toLong),
       s"$fps false positives over $nonMembers non-members")
+  }
+
+  test("bloomReference: empty reference flags nothing (false, never null)") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val ref = docs.where(lit(false))
+    val out = Dedup.bloomReference(docs, ref, "text", "doc_id",
+        expectedItems = 10, fpp = 0.01)
+      .select("doc_id", "might_match").as[(Long, Boolean)].collect().toMap
+    // The aggregate over zero rows yields null bits; membership must
+    // surface as FALSE for callers reading the boolean, not as null.
+    assert(out == Map(1L -> false, 2L -> false))
   }
 
   test("embedding cosine finds identical vectors within a block") {

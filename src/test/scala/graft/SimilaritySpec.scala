@@ -94,6 +94,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(assigned.forall { case (_, c) => c >= 0 && c < 8 })
   }
 
+  test("kmeans tolerates dirty rows: null vectors / null elements / wrong dims") {
+    import graft.operators.Kmeans
+    // 6 clean 4-dim rows plus a null vector, a vector with a null element,
+    // and a wrong-dim vector. All three corruption shapes must be excluded
+    // from seeding AND from assignment (null cluster), never silently
+    // assigned via a zero-filled read.
+    val clean = (1L to 6L).map(i =>
+      (i, Some(Seq[java.lang.Float](i.toFloat, 2f, 3f, 4f))))
+    val dirty = Seq(
+      (7L, None),
+      (8L, Some(Seq[java.lang.Float](1f, null, 3f, 4f))),
+      (9L, Some(Seq[java.lang.Float](1f, 2f))))
+    val df = (clean ++ dirty).toDF("vec_id", "embedding")
+    val centroids = Kmeans.train(df, "embedding", "vec_id", k = 3, iters = 2)
+    assert(centroids.length == 3 && centroids.forall(_.length == 4))
+    val assigned = Kmeans.assign(df, "embedding", "vec_id", centroids)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert((1L to 6L).forall(assigned(_).isDefined))
+    assert(Seq(7L, 8L, 9L).forall(assigned(_).isEmpty),
+      "corrupt rows must yield null assignments, not plausible clusters")
+  }
+
   test("ivf over trained kmeans cells: recall vs brute force on sf0.001") {
     import graft.operators.Kmeans
     val cells = Kmeans.cluster(emb, "embedding", "vec_id", k = 4, iters = 3)
