@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Embedding quantization (SURVEY.md §2.6 similarity, scale path): shrink
+ * a float32 embedding column to int8 codes + one float scale per vector —
+ * the standard 4× memory cut an ANN index takes before sharding. Per-
+ * vector symmetric absmax scaling:
+ *
+ *   scale = max_i |v_i|      q_i = floor(v_i · 127 / scale)  ∈ [-127, 127]
+ *
+ * `floor` (not round) is used deliberately: its result is exact in both
+ * engines for any double, so the DuckDB oracle matches bit-for-bit
+ * (HALF_UP vs HALF_EVEN rounding would diverge on ties). Dequantization
+ * error is bounded by scale/127 per element (QuantizeSpec pins it).
+ *
+ * 100 TB shape: a pure scan-projection — per-row, no shuffle, no state;
+ * runs fused next to the parquet read. The per-element loop is a Catalyst
+ * HOF (interpreted) but single-pass per row — not the per-(element×k)
+ * hot-loop case CLAUDE.md routes to native expressions; at 64 dims the
+ * transform is I/O-bound. All-zero vectors (scale = 0) quantize to zero
+ * codes rather than dividing by zero. Null vectors pass through null.
+ *
+ * No reference counterpart (the reference has no vector layer); companion
+ * to [[Similarity]]/[[Kmeans]].
+ */
+object Quantize {
+
+  private def absmax(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** (id, scale, q): symmetric int8 codes as BIGINTs (oracle-comparable;
+   *  a production sink would cast to tinyint on write). */
+  def int8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val v = col(vecCol)
+    val s = absmax(v)
+    df.select(col(idCol), s.as("scale"),
+      when(v.isNull, lit(null))
+        .when(s > 0.0,
+          transform(v, x => floor(x.cast("double") * lit(127.0) / s).cast("long")))
+        .otherwise(transform(v, _ => lit(0L)))
+        .as("q"))
+  }
+
+  /** Reconstruction: q_i · scale / 127 as double — for error measurement
+   *  and approximate scoring over the quantized index. */
+  def dequantize(df: DataFrame, qCol: String, scaleCol: String,
+      as: String): DataFrame =
+    df.withColumn(as,
+      transform(col(qCol), q => q.cast("double") * col(scaleCol) / lit(127.0)))
+}

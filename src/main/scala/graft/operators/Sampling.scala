@@ -97,6 +97,26 @@ object Sampling {
         (expr(s"(rn - 1) * $k div n_total") + 1).as("bucket"))
   }
 
+  /**
+   * Deterministic global training order — a pseudorandom permutation of
+   * the corpus as an explicit 1-based position column. LM training wants
+   * documents visited in an order uncorrelated with ingest order
+   * (source/time clustering biases early training); shuffling 100 TB with
+   * `orderBy(rand())` is non-deterministic under retry. Instead: order by
+   * `md5(id)` — a portable keyed permutation both Spark and any SQL oracle
+   * compute identically — and attach contiguous positions via the
+   * [[GlobalSequence]] two-pass construction (range-partition the hash,
+   * per-partition ranks, broadcast offsets; no single-partition sort).
+   * Rerun-, layout-, and engine-stable: position depends only on the id
+   * set. 100 TB shape: identical to GlobalSequence — every stage parallel.
+   */
+  def shuffleOrder(df: DataFrame, idCol: String,
+      as: String = "train_pos"): DataFrame =
+    GlobalSequence.withSequentialId(
+      df.withColumn("__shuffle_key", md5(col(idCol).cast("string"))),
+      col("__shuffle_key"), as)
+      .drop("__shuffle_key")
+
   def mixture(df: DataFrame, groupCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>

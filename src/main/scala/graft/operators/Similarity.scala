@@ -66,6 +66,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
+  /**
+   * Probed-IVF candidate pairs: the corpus keeps ONE trained cell per row
+   * (`NearestCentroid` argmin — the index a 100 TB corpus actually
+   * stores), each query explodes its `nprobe` nearest cells
+   * ([[org.apache.spark.sql.graft.NearestCentroids]] arg-top-n) and joins
+   * on the cell id. Asymmetric like `srpCandidates`: probing multiplies
+   * only the slim query side, never the corpus index. Each (query,
+   * neighbor) pair appears at most once — a corpus row lives in exactly
+   * one cell — so no dedupe stage is needed before scoring. Candidate
+   * fraction ≈ the probed cells' share of the corpus (nprobe/k for
+   * balanced cells). Public so recall/selectivity are measurable
+   * (SimilaritySpec).
+   */
+  def ivfProbedCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.graft.GraftKmeans
+    val c = Par.spread(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        GraftKmeans.nearestCentroid(col(vecCol), centroids).as("cell"))
+      .where(col("cell").isNotNull)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(GraftKmeans.nearestCentroids(col(vecCol), centroids, nprobe))
+          .as("cell"))
+    q.join(c, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "q_vec", "neighbor_id", "c_vec")
+  }
+
+  /** Approximate top-k via a trained coarse quantizer with multi-cell
+   *  probing — the IVF search a trained [[Kmeans]] model serves. nprobe=1
+   *  is classic single-cell IVF; raising nprobe buys recall linearly in
+   *  candidate cost with zero index growth. */
+  def ivfProbedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    ivfProbedCandidates(corpus, queries, vecCol, idCol, centroids, nprobe)
+      .withColumn("cos", TextHash.cosine("q_vec", "c_vec"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
   /** Deterministic per-table hyperplanes (fixed seed; distinct per table)
    *  shared by the corpus-side bucket and the query-side probe list. */
   private def tablePlanes(nPlanes: Int, dim: Int, t: Int): Array[Array[Double]] = {

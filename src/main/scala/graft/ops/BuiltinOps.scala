@@ -157,7 +157,11 @@ object BuiltinOps {
     "dedup_exact" -> { a =>
       val (t, id) = (a.strOpt("text").getOrElse("text"),
         a.strOpt("id").getOrElse("doc_id"))
-      LensOp(s"dedup_exact($t)", df => Dedup.exact(df, t, id))
+      // hash128: independent second hash chain for ≥10⁹-doc corpora
+      // (see Dedup.contentKey) — same output schema, +8 bytes/row shuffle.
+      val h128 = a.bool("hash128")
+      LensOp(s"dedup_exact($t${if (h128) ", hash128" else ""})",
+        df => Dedup.exact(df, t, id, h128))
     },
 
     "dedup_minhash" -> { a =>
@@ -298,6 +302,32 @@ object BuiltinOps {
       val budget = a.intOpt("budget").getOrElse(2048)
       LensOp.setLevel(s"pack($group, budget=$budget)",
         df => graft.operators.Packing.packSequences(df, t, id, group, budget))
+    },
+
+    // Pack-level shard manifest (Packing.packManifest).
+    "pack_manifest" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val group = a.str("group")
+      val budget = a.intOpt("budget").getOrElse(2048)
+      LensOp.setLevel(s"pack_manifest($group, budget=$budget)",
+        df => graft.operators.Packing.packManifest(df, t, id, group, budget))
+    },
+
+    // Symmetric int8 embedding quantization (Quantize.int8).
+    "quantize_int8" -> { a =>
+      val (v, id) = (a.strOpt("vec").getOrElse("embedding"),
+        a.strOpt("id").getOrElse("vec_id"))
+      LensOp(s"quantize_int8($v)",
+        df => graft.operators.Quantize.int8(df, v, id))
+    },
+
+    // Deterministic global training order (Sampling.shuffleOrder).
+    "shuffle_order" -> { a =>
+      val id = a.strOpt("id").getOrElse("doc_id")
+      val as = a.strOpt("as").getOrElse("train_pos")
+      LensOp.setLevel(s"shuffle_order($id)",
+        df => graft.operators.Sampling.shuffleOrder(df, id, as))
     },
 
     // Deterministic per-group mixture rates (Sampling.mixture). `rates`

@@ -36,13 +36,43 @@ object IoQueries extends QueryProvider {
   private val jsonSql =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** customer through ORC — the columnar format besides parquet a lake
+   *  actually serves; type fidelity is native (no schema-on-read). */
+  private def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir(dir, "customer_orc")
+    T(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .write.mode(SaveMode.Overwrite).orc(path)
+    s.read.orc(path)
+  }
+
+  private val orcSql =
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"
+
+  /** document text through line-oriented text files (the raw-corpus
+   *  ingest shape: one document per line, schema = a single string
+   *  column). Valid because the synthetic texts carry no newlines; a real
+   *  pipeline would JSONL-frame instead (io_json_roundtrip). */
+  private def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir(dir, "documents_text")
+    T(s, dir, "documents").select(col("text").as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    s.read.text(path)
+  }
+
+  private val textSql = "SELECT text AS value FROM documents"
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_csv_roundtrip"  -> (csvRoundtrip _),
-    "io_json_roundtrip" -> (jsonRoundtrip _)
+    "io_json_roundtrip" -> (jsonRoundtrip _),
+    "io_orc_roundtrip"  -> (orcRoundtrip _),
+    "io_text_roundtrip" -> (textRoundtrip _)
   )
 
   override val oracles: Map[String, String] = Map(
     "io_csv_roundtrip"  -> csvSql,
-    "io_json_roundtrip" -> jsonSql
+    "io_json_roundtrip" -> jsonSql,
+    "io_orc_roundtrip"  -> orcSql,
+    "io_text_roundtrip" -> textSql
   )
 }

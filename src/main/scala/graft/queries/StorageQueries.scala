@@ -110,15 +110,30 @@ object StorageQueries extends QueryProvider {
       |  END AS split
       |FROM documents""".stripMargin
 
+  /** Deterministic global training order (Sampling.shuffleOrder): the
+   *  md5-keyed permutation is portable, so the oracle checks the EXACT
+   *  per-row position, not just that positions are a permutation. */
+  private def shuffleOrder(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shuffleOrder(T(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"), col("train_pos"))
+
+  private val shuffleOrderSql =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+      |    AS BIGINT) AS train_pos
+      |FROM documents""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_bucketed_join"   -> (bucketedJoin _),
     "q_sample_per_group" -> (samplePerGroup _),
-    "q_split_assign"     -> (splitAssign _)
+    "q_split_assign"     -> (splitAssign _),
+    "q_shuffle_order"    -> (shuffleOrder _)
   )
 
   override val oracles: Map[String, String] = Map(
     "io_bucketed_join"   -> bucketedJoinSql,
     "q_sample_per_group" -> samplePerGroupSql,
-    "q_split_assign"     -> splitAssignSql
+    "q_split_assign"     -> splitAssignSql,
+    "q_shuffle_order"    -> shuffleOrderSql
   )
 }

@@ -272,6 +272,64 @@ object TextQueries extends QueryProvider {
       |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id
       |FROM c""".stripMargin
 
+  private def packManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packManifest(T(s, dir, "documents"),
+      "text", "doc_id", groupCol = "source", budget = 512)
+
+  private val packManifestSql =
+    """WITH n AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM n
+      |)
+      |SELECT source, CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM c GROUP BY source, pack_id""".stripMargin
+
+  // Corpus-composition report: per (source, lang) doc and token totals +
+  // the per-source doc share in exact per-mille (integer) units — the
+  // observability table a mixture step reads before setting rates. One
+  // partial-agg groupBy plus a broadcast-joined per-source total.
+  private def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+    val bySrcLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src_docs"))
+    bySrcLang.join(broadcast(bySrc), "source")
+      .select(col("source"), col("lang"), col("n_docs"),
+        col("total_tokens"), col("total_chars"),
+        expr("n_docs * 1000 div n_src_docs").as("share_permille"))
+  }
+
+  private val corpusReportSql =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+      |  FROM documents),
+      |sl AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM d GROUP BY source, lang),
+      |s AS (SELECT source, COUNT(*) AS n_src_docs FROM d GROUP BY source)
+      |SELECT sl.source, sl.lang, sl.n_docs, sl.total_tokens, sl.total_chars,
+      |  CAST(sl.n_docs * 1000 // s.n_src_docs AS BIGINT) AS share_permille
+      |FROM sl JOIN s ON sl.source = s.source""".stripMargin
+
   private def chunk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkDocuments(T(s, dir, "documents"), "text", "doc_id",
       window = 64, stride = 48)
@@ -460,6 +518,8 @@ object TextQueries extends QueryProvider {
     "text_vocab"       -> (vocab _),
     "text_tfidf"       -> (tfidf _),
     "q_pack_sequences" -> (packSeqs _),
+    "q_pack_manifest"  -> (packManifest _),
+    "q_corpus_report"  -> (corpusReport _),
     "text_tokens"      -> (tokens _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langid _),
@@ -480,6 +540,8 @@ object TextQueries extends QueryProvider {
     "text_vocab"       -> vocabSql,
     "text_tfidf"       -> tfidfSql,
     "q_pack_sequences" -> packSeqsSql,
+    "q_pack_manifest"  -> packManifestSql,
+    "q_corpus_report"  -> corpusReportSql,
     "text_tokens"      -> tokensSql,
     "text_quality"     -> qualitySql,
     "text_langid"      -> langidSql,

@@ -49,17 +49,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "vocab lost map-side partial aggregation")
   }
 
-  test("q_pack_sequences: one hash-partitioned window, no text in the shuffle") {
+  test("q_pack_sequences: range-spread per-group cumsum, no window at all") {
+    // The final plan is the attach pass over the shared shuffle — it must
+    // contain NO Window (the one-task-per-group shape this op replaces).
     val p = plan("q_pack_sequences")
-    assert(p.contains("hashpartitioning(source"),
-      "packing window must partition by the group column")
-    assert(!p.contains("SinglePartition"), "packing planned a global window")
-    // The token count is computed in the scan-side Project (below the
-    // exchange), so the shuffle carries (id, group, n_tokens) — asserted
-    // structurally: exactly one Exchange, and the Window's input schema
-    // (the exchange output) is the slim 3-column projection.
-    assert("Exchange".r.findAllIn(p).length == 1,
-      "packing should shuffle exactly once")
+    assert(!p.contains("Window"), "packing reintroduced a window")
+    assert(!p.contains("SinglePartition"), "packing planned a global operator")
+    // The shuffle side: range partitioning on (group, id) — one giant
+    // group spreads over many partitions — and the payload is the slim
+    // 3-column projection (no text in the shuffle).
+    val slim = graft.operators.Packing
+      .slimSorted(spark.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", "source")
+    val sp = slim.queryExecution.executedPlan.toString
+    assert(sp.contains("rangepartitioning(source"),
+      "packing must range-partition by (group, id)")
+    assert(!sp.contains("SinglePartition"), "packing sort collapsed to one task")
   }
 
   test("sessionization partitions by key, never a global window") {

@@ -134,4 +134,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall $recall below the single-cell floor")
     assert(approx.forall { case (q, n) => q != n })
   }
+
+  test("probed IVF: recall@5 >= 0.7 at candidate fraction <= 0.5 (nprobe=6 of k=16)") {
+    import graft.operators.Kmeans
+    val centroids = Kmeans.train(emb, "embedding", "vec_id", k = 16, iters = 3)
+    val nRows = emb.count()
+    val candidates = Similarity.ivfProbedCandidates(
+      emb, emb, "embedding", "vec_id", centroids, nprobe = 6)
+    val fraction = candidates.count().toDouble / (nRows * (nRows - 1)).toDouble
+    val approx = Similarity.ivfProbedTopK(
+      emb, emb, "embedding", "vec_id", centroids, k = 5, nprobe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, emb, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"probed-IVF recall@5 (k=16, nprobe=6): $recall%.3f at $fraction%.3f candidates")
+    assert(recall >= 0.7, s"recall $recall below the 0.7 bar")
+    assert(fraction <= 0.5, s"candidate fraction $fraction above 0.5")
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("probed IVF: nprobe=1 equals classic single-cell IVF over the same model") {
+    import graft.operators.Kmeans
+    val centroids = Kmeans.train(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val probed = Similarity.ivfProbedTopK(
+      emb, emb, "embedding", "vec_id", centroids, k = 3, nprobe = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val cells = Kmeans.assign(emb, "embedding", "vec_id", centroids)
+      .withColumnRenamed("vec_id", "cid").withColumnRenamed("cluster", "cell")
+    val classic = Similarity.ivfTopK(
+      emb.join(cells, emb("vec_id") === cells("cid")).drop("cid"),
+      "embedding", "vec_id", "cell", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(probed == classic,
+      "nprobe=1 probed IVF must reproduce the single-cell IVF result")
+  }
 }

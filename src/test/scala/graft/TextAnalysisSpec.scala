@@ -167,6 +167,85 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map(1 -> 0L, 2 -> 0L, 3 -> 1L, 4 -> 0L))
   }
 
+  test("packSequences: one giant group spanning partitions == window formulation") {
+    // 1 group, 1000 docs: the range partitioner spreads the group over many
+    // partitions, exercising the cross-partition offset stitching. Expected
+    // values come from the exact integer window formulation computed inline.
+    val docs = (1 to 1000).map(i => (i, "g", ("t " * (i % 7 + 1)).trim))
+    val df = docs.toDF("doc_id", "source", "text")
+    val got = graft.operators.Packing
+      .packSequences(df, "text", "doc_id", "source", budget = 50)
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    var cum = 0L
+    val want = docs.map { case (id, _, text) =>
+      val n = text.split(" ").length.toLong
+      cum += n
+      (id, n, cum, (cum - n) / 50L)
+    }
+    assert(got == want)
+  }
+
+  test("packSequences: null text mirrors window-sum null semantics") {
+    val df = Seq[(Int, String, String)](
+      (1, "g", null),       // all-null prefix: cum null, pack null
+      (2, "g", "t t t"),    // first non-null: cum 3, pack 0
+      (3, "g", null),       // cum carries (3), pack null
+      (4, "g", "t t"))      // cum 5, pack 0
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Packing
+      .packSequences(df, "text", "doc_id", "source", budget = 4)
+      .select("doc_id", "cum_tokens", "pack_id")
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1, None, None),
+      (2, Some(3L), Some(0L)),
+      (3, Some(3L), None),
+      (4, Some(5L), Some(0L))))
+  }
+
+  test("packManifest: totals reconcile with packSequences per (group, pack)") {
+    val df = (1 to 200).map(i => (i, if (i % 2 == 0) "g" else "h",
+      ("t " * (i % 5 + 1)).trim)).toDF("doc_id", "source", "text")
+    val packs = graft.operators.Packing
+      .packSequences(df, "text", "doc_id", "source", budget = 20)
+      .select("source", "pack_id", "n_tokens", "doc_id")
+      .as[(String, Long, Long, Int)].collect()
+    val manifest = graft.operators.Packing
+      .packManifest(df, "text", "doc_id", "source", budget = 20)
+      .select("source", "pack_id", "n_docs", "pack_tokens", "first_doc")
+      .as[(String, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val expected = packs.groupBy(p => (p._1, p._2)).map { case (k, ps) =>
+      k -> (ps.length.toLong, ps.map(_._3).sum, ps.map(_._4).min)
+    }
+    assert(manifest == expected)
+    // every pack but each group's last is filled to >= the budget boundary
+    val lastPack = packs.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    expected.foreach { case ((g, pid), (_, tokens, _)) =>
+      if (pid != lastPack(g))
+        assert(tokens >= 20 - 5,
+          s"pack ($g, $pid) under-filled: $tokens of 20-token budget")
+    }
+  }
+
+  test("shuffleOrder: contiguous 1..n permutation, rerun-stable, decorrelated") {
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pos = graft.operators.Sampling.shuffleOrder(df, "doc_id")
+      .select("doc_id", "train_pos").as[(Long, Long)].collect()
+    assert(pos.map(_._2).sorted.toSeq == (1L to 500L),
+      "positions must be a contiguous 1..n permutation")
+    val again = graft.operators.Sampling.shuffleOrder(df, "doc_id")
+      .select("doc_id", "train_pos").as[(Long, Long)].collect()
+    assert(pos.toSet == again.toSet, "rerun must produce the same permutation")
+    // decorrelated from ingest order: the permutation moves most rows far
+    // from their original rank (an identity-ish order would not)
+    val displaced = pos.count { case (id, p) => math.abs(id - p) > 50 }
+    assert(displaced > 250, s"only $displaced rows displaced — not shuffled")
+  }
+
   test("chunkDocuments: overlapping windows cover all tokens, truncated tail") {
     val df = docs(1 -> (1 to 10).map(i => s"t$i").mkString(" "))
     val out = TextAnalysis.chunkDocuments(df, "text", "doc_id", window = 4, stride = 3)
