@@ -122,6 +122,59 @@ final class LensEngine(persistDir: Option[Path] = None) {
 
   private[engine] def lookup(id: String): Option[Pipeline] = pipelines.get(id)
 
+  private[engine] def configOf(id: String): Option[PipelineConfig] = configs.get(id)
+
+  /**
+   * L5 — SyncLens: ensure `id` exists locally, fetching it from connected
+   * peers if absent (reference: host-go/p2p/p2p.go:19-88 — "keep trying to
+   * fetch the lens until it either succeeds, or the context times out").
+   * The reference's transport is libp2p + IPLD block exchange; the JVM
+   * analogue is a pull from peer REGISTRIES (other engines in-process or
+   * on shared storage), which preserves every property the contract
+   * actually promises:
+   *
+   *   - content-addressed integrity: the fetched config's recomputed
+   *     contentId must equal the requested id — a peer serving altered
+   *     bytes is rejected, exactly what CIDv1 verification buys the
+   *     reference;
+   *   - transitive resolution: a lens whose stages reference other
+   *     `sha256:` ids pulls those blocks first (the linked-block walk of
+   *     store.LoadLensModel), depth-safe because content ids cannot
+   *     cycle;
+   *   - retry-until-deadline: peers that don't (yet) hold the id are
+   *     polled until `timeoutMs` elapses, mirroring the context-timeout
+   *     loop — a peer may acquire the lens between polls.
+   *
+   * Fetched lenses persist via the normal `add` path (durable if this
+   * engine has a persistDir). Idempotent: a locally-present id returns
+   * immediately.
+   */
+  def syncLens(id: String, peers: Seq[LensEngine], timeoutMs: Long = 5000): Unit = {
+    require(id.matches("sha256:[0-9a-f]{64}"), s"malformed pipeline id: '$id'")
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def pull(wanted: String): Unit = {
+      if (pipelines.contains(wanted)) return
+      var fetched: Option[PipelineConfig] = None
+      while (fetched.isEmpty) {
+        fetched = peers.iterator.flatMap(_.configOf(wanted).iterator).nextOption()
+        if (fetched.isEmpty) {
+          if (System.nanoTime() > deadline)
+            throw new java.util.concurrent.TimeoutException(
+              s"lens $wanted not available on any of ${peers.size} peer(s)")
+          Thread.sleep(20)
+        }
+      }
+      val cfg = fetched.get
+      require(cfg.contentId == wanted,
+        s"peer served corrupt block: wanted $wanted, got ${cfg.contentId}")
+      // linked blocks first (content ids cannot cycle ⇒ finite recursion)
+      cfg.lenses.map(_.path).filter(_.startsWith("sha256:"))
+        .foreach(pull)
+      add(cfg.canonicalJson)
+    }
+    pull(id)
+  }
+
   /** Re-hydrate persisted lens files from `persistDir`. Files may contain
    *  `sha256:` references to each other and directory order is arbitrary,
    *  so adds retry until a fixpoint: each pass admits every file whose

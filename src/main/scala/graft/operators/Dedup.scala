@@ -59,28 +59,36 @@ object Dedup {
    * threshold is effectively 1, so the exact-verified output equals the
    * ground-truth pair set.
    */
-  def minHashLsh(
-      df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
-      shingleWidth: Int = 3): DataFrame = {
-    require(k == bands * (k / bands) && k % bands == 0, "k must divide into bands")
-    val rows = k / bands
-
-    // Shingle strings are hashed to sorted longs ONCE here; both the k
-    // signature re-hashes and the per-pair verify intersections downstream
-    // touch only fixed-width longs.
-    val shingled = Par.spread(df, col(idCol))
+  /** Hashed, sorted, deduped word-shingle sets — the shared front end of
+   *  the self- and cross-corpus MinHash paths. Shingle strings are hashed
+   *  to sorted longs ONCE; both the k signature re-hashes and the
+   *  per-pair verify intersections downstream touch only fixed-width
+   *  longs. */
+  private def hashedShingleSets(df: DataFrame, textCol: String,
+      idCol: String, shingleWidth: Int): DataFrame =
+    Par.spread(df, col(idCol))
       .withColumn("ws", split(col(textCol), " "))
       .filter(size(col("ws")) >= shingleWidth)
       .select(col(idCol).as("doc"),
         org.apache.spark.sql.graft.GraftSetBuilders
           .hashedWordShingles(col("ws"), shingleWidth).as("sh"))
 
-    val withSig = shingled.withColumn("sig", TextHash.minHashSignature("sh", k))
-
-    val buckets = withSig
+  /** (doc, band, bucket) LSH index rows over the shingle sets. */
+  private def bandBuckets(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    shingled.withColumn("sig", TextHash.minHashSignature("sh", k))
       .select(col("doc"), explode(TextHash.bandHashes("sig", bands, rows)).as("bh"))
       .select(col("doc"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+  }
+
+  def minHashLsh(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    require(k == bands * (k / bands) && k % bands == 0, "k must divide into bands")
+
+    val shingled = hashedShingleSets(df, textCol, idCol, shingleWidth)
+    val buckets = bandBuckets(shingled, k, bands)
 
     // Candidate pairs: equal (band, bucket); dedup across bands.
     val b2 = buckets.select(col("doc").as("doc_b"), col("band"), col("bucket"))
@@ -108,6 +116,55 @@ object Dedup {
           col("n_a"), col("n_b"), threshold))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /**
+   * Cross-corpus near-duplicate pairs — MinHash+LSH DECONTAMINATION: find
+   * corpus documents whose word-shingle Jaccard against ANY reference
+   * document reaches `threshold` (evaluation-set leakage, licensed-text
+   * screening, cross-snapshot dedup). Same k/band construction and
+   * recall-≈1 argument as [[minHashLsh]], but the bucket join is
+   * BIPARTITE (corpus × ref): pair space is bucket collisions across the
+   * two sides, never corpus². Output (doc_id, ref_id, jaccard); anti-join
+   * corpus on doc_id to drop contaminated rows (`dedup_cross_minhash`
+   * shows the pair set; DedupSpec covers the anti-join shape).
+   *
+   * 100 TB shape: the reference side is typically benchmark/eval text —
+   * orders of magnitude smaller than the corpus — so its bucket and
+   * shingle tables broadcast and the corpus is touched in one narrow
+   * pass + one bucket join; with a large ref both sides degrade
+   * gracefully to the same bucketed-shuffle shape as self-dedup. Shuffles
+   * carry (id, band, bucket) and hashed-long sets, never text.
+   */
+  def minHashLshAgainst(
+      corpus: DataFrame, ref: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
+      shingleWidth: Int = 3): DataFrame = {
+    require(k == bands * (k / bands) && k % bands == 0, "k must divide into bands")
+
+    val shCorpus = hashedShingleSets(corpus, textCol, idCol, shingleWidth)
+    val shRef = hashedShingleSets(ref, textCol, idCol, shingleWidth)
+
+    val candidates = bandBuckets(shCorpus, k, bands)
+      .join(bandBuckets(shRef, k, bands)
+          .select(col("doc").as("ref_doc"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("doc").as("doc_id"), col("ref_doc"))
+      .distinct()
+
+    val sizedA = shCorpus.select(col("doc").as("doc_id"),
+      col("sh").as("sh_a"), size(col("sh")).as("n_a"))
+    val sizedB = shRef.select(col("doc").as("ref_doc"),
+      col("sh").as("sh_b"), size(col("sh")).as("n_b"))
+    candidates
+      .join(sizedA, "doc_id").join(sizedB, "ref_doc")
+      .where(least(col("n_a"), col("n_b")) * lit(1.0) /
+        greatest(col("n_a"), col("n_b")) >= threshold)
+      .withColumn("jaccard",
+        TextHash.jaccardSortedThresholded(col("sh_a"), col("sh_b"),
+          col("n_a"), col("n_b"), threshold))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ref_doc"), col("jaccard"))
   }
 
   /**

@@ -38,6 +38,35 @@ object DedupQueries extends QueryProvider {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE 1.0 * len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin
 
+  // Decontamination split: sources src0-src4 act as the "reference"
+  // (eval/benchmark stand-in), the rest as the training corpus.
+  private val RefSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  private def dedupCrossMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.minHashLshAgainst(
+      corpus = docs.where(!col("source").isInCollection(RefSources)),
+      ref = docs.where(col("source").isInCollection(RefSources)),
+      "text", "doc_id", threshold = 0.8)
+  }
+
+  // Ground truth: exact word-3-gram Jaccard across the bipartite split.
+  private val dedupCrossMinhashSql =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |  FROM w WHERE len(ws) >= 3
+      |)
+      |SELECT a.doc_id AS doc_id, b.doc_id AS ref_doc,
+      |  1.0 * len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) AS jaccard
+      |FROM sh a JOIN sh b
+      |  ON a.source NOT IN ('src0','src1','src2','src3','src4')
+      | AND b.source IN ('src0','src1','src2','src3','src4')
+      |WHERE 1.0 * len(list_intersect(a.s, b.s)) / len(list_distinct(a.s || b.s)) >= 0.8""".stripMargin
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
 
@@ -282,6 +311,7 @@ object DedupQueries extends QueryProvider {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),
     "dedup_minhash_lsh"    -> (dedupMinhash _),
+    "dedup_cross_minhash"  -> (dedupCrossMinhash _),
     "dedup_simhash"        -> (dedupSimhash _),
     "dedup_ngram_jaccard"  -> (dedupNgram _),
     "dedup_allpairs"       -> (dedupAllPairs _),
@@ -298,6 +328,7 @@ object DedupQueries extends QueryProvider {
   override val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactSql,
     "dedup_minhash_lsh"   -> dedupMinhashSql,
+    "dedup_cross_minhash" -> dedupCrossMinhashSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "dedup_allpairs"      -> dedupAllPairsSql,
     "dedup_embedding"     -> dedupEmbeddingSql,

@@ -449,4 +449,55 @@ class LensEngineSpec extends AnyFunSuite {
       assert(e.getMessage.contains("HTTP 404"))
     } finally server.stop(0)
   }
+
+  test("L5 syncLens: pulls a missing lens from a peer, durable + idempotent") {
+    val peer = LensEngine()
+    val id = peer.add(
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}""")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sync")
+    val local = LensEngine(dir.toString)
+    assert(local.transform(people, id).columns.toSeq == Seq("Name", "Age"),
+      "unknown id must be identity before sync")
+    local.syncLens(id, Seq(peer))
+    assert(local.transform(people, id).columns.toSeq == Seq("FullName", "Age"))
+    // durable: a fresh engine over the same dir reloads the synced lens
+    val rehydrated = LensEngine(dir.toString)
+    assert(rehydrated.reload() == 1)
+    assert(rehydrated.transform(people, id).columns.toSeq == Seq("FullName", "Age"))
+    // idempotent: re-sync with NO peers succeeds because it's local now
+    local.syncLens(id, Seq.empty)
+  }
+
+  test("L5 syncLens: transitive sha256 references pull linked lenses first") {
+    val peer = LensEngine()
+    val idA = peer.add(
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}""")
+    val idB = peer.add(
+      s"""{"lenses":[
+         |  {"path":"$idA"},
+         |  {"path":"builtin:with_column","arguments":{"col":"Age","expr":"Age + 1"}}
+         |]}""".stripMargin)
+    val local = LensEngine()
+    local.syncLens(idB, Seq(peer))
+    val out = local.transform(people, idB)
+    assert(out.columns.toSeq == Seq("FullName", "Age"))
+    assert(out.where("FullName = 'John'").select("Age")
+      .as[Long].collect().toSeq == Seq(4L))
+    // the linked block arrived too, as its own addressable entry
+    assert(local.list.map(_._1).toSet == Set(idA, idB))
+  }
+
+  test("L5 syncLens: times out when no peer holds the id") {
+    val local = LensEngine()
+    val absent = "sha256:" + "0" * 64
+    val t0 = System.nanoTime()
+    intercept[java.util.concurrent.TimeoutException] {
+      local.syncLens(absent, Seq(LensEngine()), timeoutMs = 150)
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 150, "must keep retrying until the deadline")
+    intercept[IllegalArgumentException] {
+      local.syncLens("not-a-cid", Seq.empty)
+    }
+  }
 }
