@@ -127,6 +127,16 @@ object DedupQueries extends QueryProvider {
       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
       |      / (a.nrm * b.nrm) >= 0.402""".stripMargin
 
+  // SemDeDup: k-means cells from the corpus's own embeddings, within-cell
+  // cosine pairs, keep-one survivors. Cell boundaries come from the
+  // trained quantizer (engine-internal, like sim_ivf_kmeans) — rows-only
+  // here; SemDedupSpec pins k=1 ground-truth equivalence, determinism,
+  // and the partition property.
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemDedup.semantic(T(s, dir, "embeddings"),
+      "embedding", "vec_id", k = 8, iters = 3, threshold = 0.402)
+      .select(col("vec_id"), col("label"))
+
   /**
    * Pair graph for cluster resolution: near-dup pairs (blocked char-3-gram
    * Jaccard ≥ 0.7 — the oracle-proven pair set) unioned with exact-dup
@@ -264,6 +274,72 @@ object DedupQueries extends QueryProvider {
       |  string_agg(seg, ' ' ORDER BY seg_id) AS text_dedup
       |FROM kept GROUP BY doc_id""".stripMargin
 
+  // ExactSubstr-style duplicated token runs (Spans.duplicateSpans):
+  // Spark detects duplicates by positioned xxhash64 8-grams, the oracle by
+  // literal gram strings — identical spans up to a ~positions²/2⁶⁵
+  // collision. The gaps-and-islands merge is exact integer arithmetic on
+  // both sides.
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Spans.duplicateSpans(T(s, dir, "documents"),
+      "text", "doc_id", n = 8, minOccurrences = 2)
+
+  private val spansCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(range(len(ws) - 7)) AS pos, ws
+      |  FROM w WHERE len(ws) >= 8
+      |), gs AS (
+      |  SELECT doc_id, pos,
+      |    ws[pos+1] || ' ' || ws[pos+2] || ' ' || ws[pos+3] || ' ' || ws[pos+4]
+      |    || ' ' || ws[pos+5] || ' ' || ws[pos+6] || ' ' || ws[pos+7] || ' '
+      |    || ws[pos+8] AS gram
+      |  FROM g
+      |), dup AS (
+      |  SELECT gram FROM gs GROUP BY gram HAVING count(*) >= 2
+      |), cov AS (
+      |  SELECT doc_id, pos FROM gs JOIN dup USING (gram)
+      |), brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM cov
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk
+      |), spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, island
+      |)""".stripMargin
+
+  private val dedupSpansSql = spansCte +
+    """
+      |SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end
+      |FROM spans""".stripMargin
+
+  // Consumer of the spans: strip every duplicated run, keep the rest of
+  // the document verbatim (fully-covered docs come back as '').
+  private def dedupStripSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Spans.stripSpans(T(s, dir, "documents"),
+      "text", "doc_id", n = 8, minOccurrences = 2)
+
+  private val dedupStripSpansSql = spansCte +
+    """,
+      |covpos AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
+      |toks AS (SELECT doc_id, unnest(range(len(ws))) AS p, ws FROM w),
+      |tok2 AS (SELECT doc_id, p, ws[p+1] AS tok FROM toks),
+      |kept AS (
+      |  SELECT t.doc_id, t.p, t.tok
+      |  FROM tok2 t LEFT JOIN covpos c ON t.doc_id = c.doc_id AND t.p = c.p
+      |  WHERE c.doc_id IS NULL
+      |), agg AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(a.text, '') AS text
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // Reference slice = every 10th doc (the "already trained on" corpus).
   // Bloom probe output is rows-only by design (the false-positive set is
   // sketch-internal); DedupSpec pins no-false-negatives + an FP ceiling
@@ -318,6 +394,9 @@ object DedupQueries extends QueryProvider {
     "dedup_embedding"      -> (dedupEmbedding _),
     "dedup_approx_distinct" -> (approxDistinct _),
     "dedup_segments"       -> (dedupSegments _),
+    "dedup_spans"          -> (dedupSpans _),
+    "dedup_strip_spans"    -> (dedupStripSpans _),
+    "dedup_semantic"       -> (dedupSemantic _),
     "dedup_bloom_ref"      -> (dedupBloomRef _),
     "dedup_ref_exact"      -> (dedupRefExact _),
     "dedup_clusters"       -> (dedupClusters _),
@@ -333,6 +412,8 @@ object DedupQueries extends QueryProvider {
     "dedup_allpairs"      -> dedupAllPairsSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
     "dedup_segments"      -> dedupSegmentsSql,
+    "dedup_spans"         -> dedupSpansSql,
+    "dedup_strip_spans"   -> dedupStripSpansSql,
     "dedup_ref_exact"     -> dedupRefExactSql,
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_survivors"     -> dedupSurvivorsSql,

@@ -214,6 +214,27 @@ object RelationalQueries extends QueryProvider {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  // Skew-salted shuffle join (SkewJoin.saltedInner): probe rows scatter
+  // over salt buckets, the slim build side replicates — and the result
+  // multiset is EXACTLY the plain join's, which is what the UNsalted
+  // oracle SQL verifies by hash.
+  private def joinSkew(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val o = T(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedInner(li, o, Seq("l_orderkey"), saltBuckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(floor(col("l_quantity") * lit(100)).cast("long")).as("qty_centi"))
+  }
+
+  private val joinSkewSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_centi
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   // Left outer + null handling.
   private def joinOuter(s: SparkSession, dir: String): DataFrame = {
     val n = T(s, dir, "nation"); val c = T(s, dir, "customer")
@@ -612,6 +633,7 @@ object RelationalQueries extends QueryProvider {
     "q_grouping_sets"   -> (groupingSets _),
     "q_join_broadcast"  -> (joinBroadcast _),
     "q_join_shuffle"    -> (joinShuffle _),
+    "q_join_skew"       -> (joinSkew _),
     "q_join_outer"      -> (joinOuter _),
     "q_join_semi"       -> (joinSemi _),
     "q_join_anti"       -> (joinAnti _),
@@ -644,6 +666,7 @@ object RelationalQueries extends QueryProvider {
     "q_grouping_sets"   -> groupingSetsSql,
     "q_join_broadcast"  -> joinBroadcastSql,
     "q_join_shuffle"    -> joinShuffleSql,
+    "q_join_skew"       -> joinSkewSql,
     "q_join_outer"      -> joinOuterSql,
     "q_join_semi"       -> joinSemiSql,
     "q_join_anti"       -> joinAntiSql,

@@ -109,10 +109,57 @@ case class HashedWordShingles(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/**
+ * POSITIONED xxhash64 values of word w-shingles: element i is the hash of
+ * the shingle starting at word i — no dedup, no sort, so `posexplode`
+ * yields (position, gram-hash) pairs. Same XXH64/seed-42/concatWs
+ * primitives as [[HashedWordShingles]], so a hash here equals the hash of
+ * the same shingle there (and of DuckDB's literal space-joined gram, up to
+ * 64-bit collisions). Feeds position-aware consumers (duplicate-span
+ * detection) where the set builders' distinctness would lose offsets.
+ */
+case class PositionedWordShingles(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(w >= 1, "w must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positioned_word_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nw = arr.numElements()
+    val m = nw - w + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val words = new Array[UTF8String](nw)
+    var i = 0
+    while (i < nw) { words(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Long](m)
+    val parts = new Array[UTF8String](w)
+    i = 0
+    while (i < m) {
+      var j = 0
+      while (j < w) { parts(j) = words(i + j); j += 1 }
+      out(i) = XXH64.hashUTF8String(UTF8String.concatWs(space, parts: _*), 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftSetBuilders {
   def hashedCharNgrams(text: Column, n: Int): Column =
     ExpressionUtils.column(HashedCharNgrams(ExpressionUtils.expression(text), n))
 
   def hashedWordShingles(words: Column, w: Int): Column =
     ExpressionUtils.column(HashedWordShingles(ExpressionUtils.expression(words), w))
+
+  def positionedWordShingles(words: Column, w: Int): Column =
+    ExpressionUtils.column(PositionedWordShingles(ExpressionUtils.expression(words), w))
 }
