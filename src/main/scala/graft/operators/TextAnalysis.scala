@@ -207,6 +207,17 @@ object TextAnalysis {
       fp.minShingleMd5(ws).as("fp_shingle"))
   }
 
+  /** Canonical text normalization — the cleanup pass upstream of every
+   *  hash-keyed dedup: lowercase, collapse whitespace runs to one space,
+   *  trim. Exactly the norm key `fingerprint` computes internally, exposed
+   *  as its own operator so `dedup_exact` after `normalize` catches
+   *  case/spacing variants. 100 TB shape: pure codegen'd scan projection,
+   *  zero shuffles; the `\s+` pattern sits in the Java∩RE2∩DuckDB common
+   *  subset, so the oracle is bit-exact. */
+  def normalizeText(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      trim(lower(regexp_replace(col(textCol), "\\s+", " "))).as("text_norm"))
+
   // ------------------------------------------------------------ vocabulary
 
   /**

@@ -222,6 +222,22 @@ object BuiltinOps {
 
     // PII redaction (TextAnalysis.redactPii): email/ip/phone scrub with
     // per-doc audit counts. Lossy (counts replace the raw text) ⇒ no inverse.
+    // BPE merge training (Bpe.train): set-level — output is the merge
+    // list, not the input rows.
+    "bpe_train" -> { a =>
+      val t = a.strOpt("text").getOrElse("text")
+      val merges = a.intOpt("merges").getOrElse(100)
+      val minFreq = a.intOpt("min_freq").getOrElse(2).toLong
+      LensOp.setLevel(s"bpe_train($t, merges=$merges)",
+        df => graft.operators.Bpe.train(df, t, merges, minFreq))
+    },
+
+    "normalize" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp(s"normalize($t)", df => TextAnalysis.normalizeText(df, t, id))
+    },
+
     "redact_pii" -> { a =>
       val (t, id) = (a.strOpt("text").getOrElse("text"),
         a.strOpt("id").getOrElse("doc_id"))
@@ -237,6 +253,38 @@ object BuiltinOps {
       val freq = a.intOpt("max_doc_freq").getOrElse(1)
       LensOp.setLevel(s"segment_dedup($t, seg=$seg, freq<=$freq)",
         df => Dedup.segmentDedup(df, t, id, seg, freq))
+    },
+
+    // Duplicated-run detection/removal (Spans): set-level — which spans
+    // exist depends on corpus-wide n-gram frequencies.
+    "dup_spans" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val n = a.intOpt("n").getOrElse(8)
+      val minOcc = a.intOpt("min_occurrences").getOrElse(2)
+      LensOp.setLevel(s"dup_spans($t, n=$n)",
+        df => graft.operators.Spans.duplicateSpans(df, t, id, n, minOcc))
+    },
+
+    "strip_spans" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val n = a.intOpt("n").getOrElse(8)
+      val minOcc = a.intOpt("min_occurrences").getOrElse(2)
+      LensOp.setLevel(s"strip_spans($t, n=$n)",
+        df => graft.operators.Spans.stripSpans(df, t, id, n, minOcc))
+    },
+
+    // SemDeDup keep-one survivors (SemDedup.semantic): set-level — the
+    // surviving row set depends on the corpus-trained quantizer.
+    "semantic_dedup" -> { a =>
+      val (v, id) = (a.strOpt("vec").getOrElse("embedding"),
+        a.strOpt("id").getOrElse("vec_id"))
+      val k = a.intOpt("k").getOrElse(8)
+      val iters = a.intOpt("iters").getOrElse(3)
+      val thr = a.double("threshold")
+      LensOp.setLevel(s"semantic_dedup($v>=$thr, k=$k)",
+        df => graft.operators.SemDedup.semantic(df, v, id, k, iters, thr))
     },
 
     // Exact k-quantile bucketing by a score column (Sampling.quantileBuckets).

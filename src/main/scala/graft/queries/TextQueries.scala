@@ -17,6 +17,13 @@ object TextQueries extends QueryProvider {
   private def tokens(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenCounts(T(s, dir, "documents"), "text", "doc_id")
 
+  private def normalize(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalizeText(T(s, dir, "documents"), "text", "doc_id")
+
+  private val normalizeSql =
+    """SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_norm
+      |FROM documents""".stripMargin
+
   private val tokensSql =
     """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
       |SELECT doc_id,
@@ -26,6 +33,14 @@ object TextQueries extends QueryProvider {
       |  CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws)
       |    AS avg_token_len
       |FROM w""".stripMargin
+
+  // BPE merge training (Bpe.train): the merge list is fully deterministic
+  // (total-order tie-break) but the iterative argmax is not expressible in
+  // oracle SQL — rows-only here; BpeSpec pins merge-by-merge equality with
+  // an in-memory reference implementation.
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(T(s, dir, "documents"), "text",
+      merges = 10, minFreq = 2)
 
   private def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(T(s, dir, "documents"), "text", "doc_id")
@@ -521,6 +536,8 @@ object TextQueries extends QueryProvider {
     "q_pack_manifest"  -> (packManifest _),
     "q_corpus_report"  -> (corpusReport _),
     "text_tokens"      -> (tokens _),
+    "text_normalize"   -> (normalize _),
+    "text_bpe_merges"  -> (bpeMerges _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langid _),
     "text_fingerprint" -> (fingerprint _),
@@ -543,6 +560,7 @@ object TextQueries extends QueryProvider {
     "q_pack_manifest"  -> packManifestSql,
     "q_corpus_report"  -> corpusReportSql,
     "text_tokens"      -> tokensSql,
+    "text_normalize"   -> normalizeSql,
     "text_quality"     -> qualitySql,
     "text_langid"      -> langidSql,
     "text_fingerprint" -> fingerprintSql,

@@ -49,6 +49,15 @@ class SemDedupSpec extends AnyFunSuite {
     assert(sem == Set(1L, 10L, 20L, 30L, 31L))
   }
 
+  test("lens file drives semantic_dedup end-to-end (builtin:semantic_dedup)") {
+    val pipe = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:semantic_dedup",
+        |  "arguments":{"vec":"embedding","id":"vec_id",
+        |               "k":3,"iters":3,"threshold":0.99}}]}""".stripMargin)
+    val out = pipe.forward(corpus).select("vec_id").as[Long].collect().toSet
+    assert(out == Set(1L, 10L, 20L, 30L, 31L))
+  }
+
   test("semantic: deterministic across reruns; survivors+dropped partition the corpus") {
     val a = SemDedup.semantic(corpus, "embedding", "vec_id",
       k = 3, iters = 3, threshold = 0.99).select("vec_id").as[Long].collect().toSet

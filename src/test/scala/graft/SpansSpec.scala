@@ -67,6 +67,19 @@ class SpansSpec extends AnyFunSuite {
     assert(out == Map(1L -> "", 2L -> ""))
   }
 
+  test("lens file drives strip_spans end-to-end (builtin:strip_spans)") {
+    val df = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"one two $boiler three four five six")
+    ).toDF("doc_id", "text")
+    val pipe = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:strip_spans",
+        |  "arguments":{"text":"text","id":"doc_id","n":8}}]}""".stripMargin)
+    val out = pipe.forward(df).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "alpha beta gamma delta epsilon",
+      2L -> "one two three four five six"))
+  }
+
   test("saltedInner equals the plain inner join, any salt bucket count") {
     val probe = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
       .toDF("k", "pv")

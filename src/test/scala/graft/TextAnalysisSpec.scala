@@ -327,4 +327,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       .sortBy { case (id, s) => (s, id) }.map(_._1)
     assert(byRn.toSeq == expected)
   }
+
+  test("normalizeText: lowercase, collapsed whitespace, trimmed; lens op wired") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Hello   WORLD\tfoo  "),
+      (2L, "already clean"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.normalizeText(df, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "hello world foo", 2L -> "already clean", 3L -> ""))
+    val pipe = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:normalize",
+        |  "arguments":{"text":"text","id":"doc_id"}}]}""".stripMargin)
+    val viaLens = pipe.forward(df).as[(Long, String)].collect().toMap
+    assert(viaLens == out)
+  }
 }
