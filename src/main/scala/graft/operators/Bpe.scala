@@ -79,6 +79,20 @@ object Bpe {
       .select(col("step").cast("long").as("step"), col("pair"), col("freq"))
   }
 
+  /** Apply a trained merge list to the corpus — the tokenizer-application
+   *  face of `train`: every word re-encodes under rank-greedy BPE (lowest-
+   *  rank present pair fuses first, all occurrences per round — the
+   *  standard tokenizer loop), output is (id, n_subwords). Map-only native
+   *  pass ([[org.apache.spark.sql.graft.BpeEncodeWords]] — merge table
+   *  bound by closure like a broadcast model), zero shuffles at any
+   *  scale. */
+  def encode(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[String]): DataFrame =
+    df.select(col(idCol),
+      size(GraftBpe.encodeWords(split(col(textCol), " "), merges))
+        .cast("long").as("n_subwords"))
+
   /** Reference in-memory BPE over a (word -> count) dictionary — the
    *  ground truth the spec compares `train` against (same tie-break). */
   private[graft] def referenceMerges(

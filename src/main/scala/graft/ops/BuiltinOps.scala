@@ -232,6 +232,16 @@ object BuiltinOps {
         df => graft.operators.Bpe.train(df, t, merges, minFreq))
     },
 
+    // Tokenizer application under a trained merge list (the lens file
+    // carries the merges, like set_param carries static params).
+    "bpe_encode" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val merges = a.strList("merges")
+      LensOp(s"bpe_encode($t, ${merges.size} merges)",
+        df => graft.operators.Bpe.encode(df, t, id, merges))
+    },
+
     "normalize" -> { a =>
       val (t, id) = (a.strOpt("text").getOrElse("text"),
         a.strOpt("id").getOrElse("doc_id"))

@@ -42,6 +42,27 @@ object TextQueries extends QueryProvider {
     graft.operators.Bpe.train(T(s, dir, "documents"), "text",
       merges = 10, minFreq = 2)
 
+  // Tokenizer application: encode the corpus under the merges trained on
+  // it (train + encode = the full tokenizer lifecycle in one query).
+  // Training is memoized per (session, sf dir) — tokenizer training is
+  // ingest-time work, the same cluster-once/filter-many split
+  // ensureClusterMap documents — so this query measures ENCODING.
+  // Rows-only like the trainer; BpeSpec pins the encoder against an
+  // in-memory reference implementation.
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def trainedMerges(s: SparkSession, dir: String): Seq[String] =
+    mergeCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}:$dir",
+      _ => graft.operators.Bpe
+        .train(T(s, dir, "documents"), "text", merges = 10, minFreq = 2)
+        .orderBy("step").select("pair").collect().map(_.getString(0)).toSeq)
+
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.encode(T(s, dir, "documents"), "text", "doc_id",
+      trainedMerges(s, dir))
+
   private def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(T(s, dir, "documents"), "text", "doc_id")
 
@@ -538,6 +559,7 @@ object TextQueries extends QueryProvider {
     "text_tokens"      -> (tokens _),
     "text_normalize"   -> (normalize _),
     "text_bpe_merges"  -> (bpeMerges _),
+    "text_bpe_encode"  -> (bpeEncode _),
     "text_quality"     -> (quality _),
     "text_langid"      -> (langid _),
     "text_fingerprint" -> (fingerprint _),

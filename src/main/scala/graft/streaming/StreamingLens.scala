@@ -122,6 +122,29 @@ object StreamingLens {
       .dropDuplicatesWithinWatermark(idCols)
 
   /**
+   * Streaming reference decontamination: drop stream rows whose content
+   * already appears in a STATIC reference corpus — the ingest-time face of
+   * `Dedup.bloomReference`/`dedup_ref_exact` (filter new shards against
+   * the "already trained on" set as they arrive). The static side reduces
+   * to distinct 8-byte content hashes ONCE (broadcast to every
+   * micro-batch); anti semantics use the supported stream-static
+   * left-outer + null-filter shape, since stream-static left_anti is not
+   * a supported join type. Stateless — no watermark, no streaming state;
+   * at 100 TB-reference scale swap the broadcast keys for the Bloom probe
+   * column (same plan shape, 8 MiB instead of the key set).
+   */
+  def decontaminate(
+      stream: DataFrame, ref: DataFrame, textCol: String): DataFrame = {
+    val refKeys = ref
+      .select(xxhash64(col(textCol)).as("__h")).distinct()
+      .withColumn("__hit", lit(true))
+    stream.withColumn("__h", xxhash64(col(textCol)))
+      .join(broadcast(refKeys), Seq("__h"), "left")
+      .where(col("__hit").isNull)
+      .drop("__h", "__hit")
+  }
+
+  /**
    * Stateful per-key sequence numbers — the streaming answer to the
    * reference's stateful counter module (T7, reference:
    * tests/modules/rust_wasm32_counter/src/lib.rs:26-54). The batch

@@ -90,6 +90,77 @@ case class ApplyBpeMerge(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Full BPE encoding of a word array under a trained merge list: each word
+ * starts as characters, then the present pair with the LOWEST merge rank
+ * fuses (all its occurrences, left-to-right) until no trained pair
+ * remains — the standard rank-greedy BPE tokenizer. Output is the
+ * flattened subword array across all words. `merges` is the trainer's
+ * ordered "left right" list (index = rank), bound at construction like
+ * NearestCentroid's centroid matrix — broadcast-by-closure, never a
+ * per-row column.
+ */
+case class BpeEncodeWords(child: Expression, merges: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode_words"
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, i) =>
+      if (!m.containsKey(p)) m.put(p, i)
+    }
+    m
+  }
+
+  private def encodeWord(word: String,
+      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    var syms = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val Array(a, b) = merges(bestRank).split(" ", 2)
+        val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            merged += (a + b); j += 2
+          } else { merged += syms(j); j += 1 }
+        }
+        syms = merged.toArray
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.foreach(s => out += UTF8String.fromString(s))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n * 4)
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      if (w != null && w.numChars() > 0) encodeWord(w.toString, out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftBpe {
   def adjacentPairs(symbols: Column): Column =
     ExpressionUtils.column(AdjacentPairs(ExpressionUtils.expression(symbols)))
@@ -97,4 +168,7 @@ object GraftBpe {
   def applyMerge(symbols: Column, pair: Column): Column =
     ExpressionUtils.column(ApplyBpeMerge(
       ExpressionUtils.expression(symbols), ExpressionUtils.expression(pair)))
+
+  def encodeWords(words: Column, merges: Seq[String]): Column =
+    ExpressionUtils.column(BpeEncodeWords(ExpressionUtils.expression(words), merges))
 }

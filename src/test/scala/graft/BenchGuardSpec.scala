@@ -45,19 +45,33 @@ class BenchGuardSpec extends AnyFunSuite {
     // not tax the next (that interaction WAS the r4 regression).
     try graft.queries.StorageQueries.ensureBucketedTables(spark, dir)
     catch { case _: Throwable => () }
+    def measure(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      graft.operators.Dedup.clearGramCache()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable => return Left(s"$name FAILED: ${e.getMessage}") }
+      Right((System.nanoTime() - t0) / 1e9)
+    }
+    // A single over-ceiling measurement re-measures once before counting:
+    // a one-off JIT/GC pause (observed: a 200-row projection at 16 s once,
+    // 0.1 s on every other run) must not fail the build, while a genuine
+    // plan regression is slow BOTH times.
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        graft.operators.Dedup.clearGramCache()
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, dir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable => Some(s"$name FAILED: ${e.getMessage}") }
-        val sec = (System.nanoTime() - t0) / 1e9
-        err.orElse {
-          if (sec > ceiling(name))
-            Some(f"$name took $sec%.1f s (ceiling ${ceiling(name)}%.1f s, " +
-              f"floor ${floors.getOrElse(name, 0.0)}%.2f s)")
-          else None
+        measure(name, fn) match {
+          case Left(err) => Some(err)
+          case Right(sec) if sec <= ceiling(name) => None
+          case Right(first) =>
+            measure(name, fn) match {
+              case Left(err) => Some(err)
+              case Right(second) if second <= ceiling(name) => None
+              case Right(second) =>
+                Some(f"$name took $first%.1f s then $second%.1f s " +
+                  f"(ceiling ${ceiling(name)}%.1f s, " +
+                  f"floor ${floors.getOrElse(name, 0.0)}%.2f s)")
+            }
         }
     }
     assert(violations.isEmpty,

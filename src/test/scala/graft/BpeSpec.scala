@@ -45,6 +45,50 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(unique, "text", merges = 3).count() == 0L)
   }
 
+  // Rank-greedy reference encoder: lowest-rank present pair fuses (all
+  // occurrences, left-to-right) until no trained pair remains.
+  private def referenceEncode(word: String, merges: Seq[String]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms: Seq[String] = word.map(_.toString)
+    var done = syms.length < 2
+    while (!done) {
+      val present = syms.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).filter(rank.contains).toSeq
+      if (present.isEmpty) done = true
+      else {
+        val best = present.minBy(rank)
+        val Array(a, b) = best.split(" ", 2)
+        val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            merged += (a + b); i += 2
+          } else { merged += syms(i); i += 1 }
+        }
+        syms = merged.toSeq
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  test("encode matches the rank-greedy reference encoder on every document") {
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", merges = 8, minFreq = 2)
+      .orderBy("step").select("pair").as[String].collect().toSeq
+    assert(merges.nonEmpty)
+    val got = Bpe.encode(df, "text", "doc_id", merges)
+      .as[(Long, Long)].collect().toMap
+    val want = docs.map { case (id, text) =>
+      id -> text.split(" ").filter(_.nonEmpty)
+        .map(w => referenceEncode(w, merges).length.toLong).sum
+    }.toMap
+    assert(got == want)
+    // merges actually compress: fewer subwords than characters
+    val charCount = docs.map(_._2.count(_ != ' ').toLong).sum
+    assert(got.values.sum < charCount)
+  }
+
   test("merged symbols re-tokenize: k merges shrink total symbol count monotonically") {
     val df = docs.toDF("doc_id", "text")
     // Every selected merge has freq >= 2, so each round removes >= 2

@@ -67,6 +67,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!sp.contains("SinglePartition"), "packing sort collapsed to one task")
   }
 
+  test("duplicate-span ops: doc-partitioned windows, no cartesian, 8-byte dup keys") {
+    for (q <- Seq("dedup_spans", "dedup_strip_spans")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+      assert(!p.contains("SinglePartition"), s"$q planned a global operator")
+      // island-merge windows must partition by document, never globally
+      assert(p.contains("hashpartitioning(doc_id"),
+        s"$q windows are not doc-partitioned")
+      // duplicate detection must aggregate gram HASHES (positioned native
+      // expression), not gram strings
+      assert(p.contains("positioned_word_shingles"),
+        s"$q lost the native positioned-shingle builder")
+    }
+  }
+
+  test("q_join_skew: salted equi-join plans as a hash join on (keys, salt)") {
+    val p = plan("q_join_skew")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "salting degenerated to a non-equi join")
+    assert(p.contains("__salt"), "salt column missing from the join keys")
+  }
+
   test("sessionization partitions by key, never a global window") {
     val p = plan("q_sessionize")
     // a global (empty-partition) window would show 'Window [..] ORDER BY' with

@@ -93,6 +93,25 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static decontamination: reference content dropped every micro-batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ref = Seq("seen one", "seen two").toDF("text")
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingLens.decontaminate(in.toDF.toDF("doc_id", "text"), ref, "text")
+    val q = out.writeStream.format("memory").queryName("s_decon").start()
+    try {
+      in.addData((1L, "fresh alpha"), (2L, "seen one"))
+      q.processAllAvailable()
+      // reference filtering must hold on LATER batches too (static side
+      // re-broadcast per micro-batch)
+      in.addData((3L, "seen two"), (4L, "fresh beta"), (5L, "seen one"))
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from s_decon").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 4L))
+    } finally q.stop()
+  }
+
   test("session windows: replayed log matches batch sessionize output") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
