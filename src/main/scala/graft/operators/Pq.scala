@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.graft.GraftPq
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Product quantization for embedding search (Jégou et al. 2011) — the
+ * index layout a 100 TB vector corpus actually affords. SURVEY.md §2.6
+ * north-star addition, completing the similarity family's memory story:
+ * `Quantize.int8` shrinks vectors 4×; PQ shrinks them dim·4/m bytes →
+ * 32× for 64-dim/m=8 — the corpus index is (id, m small ints) and the
+ * float vectors never need to be resident at query time.
+ *
+ *  - `train`: m independent sub-quantizers, each a deterministic
+ *    [[Kmeans.train]] over one dsub-wide slice of the corpus (hash-order
+ *    seeds + fixed-point sums ⇒ the whole codebook is rerun-stable).
+ *    Driver traffic: m·ksub·dsub doubles — the codebook IS the model.
+ *  - `encode`: map-only codegen'd argmin per subspace
+ *    ([[org.apache.spark.sql.graft.PqEncode]]); corrupt rows drop rather
+ *    than mis-encode.
+ *  - `topK`: asymmetric-distance search — the exact query vector scores
+ *    against each row's RECONSTRUCTION
+ *    ([[org.apache.spark.sql.graft.PqAdcCosine]], fused per-pair loop).
+ *    Approximation error comes only from quantizing the corpus side
+ *    (that asymmetry is why ADC beats symmetric code-vs-code distance).
+ *
+ * 100 TB shape: scoring scans the slim code table (m ints + id per row,
+ * broadcast queries, map-side per-partition ranking before the |q|·k
+ * shuffle); compose with the IVF cell column to prune the scan the same
+ * way `ivfProbedTopK` does — PQ compresses WITHIN the cell layout, IVF
+ * prunes ACROSS cells; the two multiply.
+ */
+object Pq {
+
+  /** Train m sub-codebooks of ksub centroids each. The embedding dim (of
+   *  the hash-smallest clean row, the same deterministic probe Kmeans
+   *  uses) must divide evenly into m subspaces. */
+  def train(df: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iters: Int = 3): Array[Array[Array[Double]]] = {
+    require(m >= 1, "need m >= 1")
+    val clean = df.where(col(vecCol).isNotNull &&
+      !exists(col(vecCol), _.isNull) && size(col(vecCol)) > 0)
+    val dim = clean
+      .select(size(col(vecCol)).as("d"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(1).select(col("d")).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        s"no non-null '$vecCol' rows to train PQ from")
+    }
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), j * dsub + 1, dsub).as("sub"))
+      Kmeans.train(sub, "sub", idCol, ksub, iters)
+    }.toArray
+  }
+
+  /** The PQ index: (id, codes) — m small ints per row; corrupt rows
+   *  (wrong dim / null elements) are dropped, never mis-encoded. */
+  def encode(df: DataFrame, vecCol: String, idCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol),
+      GraftPq.pqEncode(col(vecCol), codebooks).as("codes"))
+      .where(col("codes").isNotNull)
+
+  /** ADC top-k: exact query vectors against the encoded corpus.
+   *  (query_id, neighbor_id, rk) like the other similarity searches. */
+  def topK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val c = encode(Par.spread(corpus, col(idCol)), vecCol, idCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", GraftPq.pqAdcCosine(col("q_vec"), col("codes"), codebooks))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+}

@@ -96,6 +96,26 @@ object SimilarityQueries extends QueryProvider {
       idCol = "vec_id", centroids = centroids, k = 3, nprobe = 6)
   }
 
+  // Product quantization: codebooks train once per (session, sf dir) —
+  // PQ training is ingest-time work like the cluster map — so the query
+  // measures ADC search over the 8-byte-code index. Codes/ranks depend on
+  // the trained codebook (engine-internal) → rows-only; PqSpec pins code
+  // shape, determinism, self-cosine, and recall vs brute force.
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}:$dir",
+      _ => graft.operators.Pq.train(T(s, dir, "embeddings"),
+        "embedding", "vec_id", m = 16, ksub = 16, iters = 2))
+
+  private def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Pq.topK(emb, emb.where(col("vec_id") < 10),
+      "embedding", "vec_id", pqCodebooks(s, dir), k = 5)
+  }
+
   // Int8 quantization (Quantize.int8): floor-based codes are exact
   // integers in both engines, so codes AND the double scale hash-match.
   private def quantizeInt8(s: SparkSession, dir: String): DataFrame =
@@ -122,7 +142,8 @@ object SimilarityQueries extends QueryProvider {
     "sim_ivf_topk"    -> (ivfTopk _),
     "sim_ivf_kmeans"  -> (kmeansIvf _),
     "sim_ann_srp"     -> (srpAnn _),
-    "sim_quantize_int8" -> (quantizeInt8 _)
+    "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_pq_topk"     -> (pqTopk _)
   )
 
   override val oracles: Map[String, String] = Map(
