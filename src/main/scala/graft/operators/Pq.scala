@@ -83,4 +83,37 @@ object Pq {
       .where(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
+
+  /** IVF×PQ — the production ANN layout (FAISS's IVFPQ): the corpus index
+   *  is (cell, codes) — one coarse cell + m small ints per row — queries
+   *  explode their `nprobe` nearest cells
+   *  ([[org.apache.spark.sql.graft.NearestCentroids]]) and ADC-score only
+   *  in-cell candidates. IVF prunes ACROSS cells (candidate fraction ≈
+   *  nprobe/k(cells)), PQ compresses WITHIN them (m ints vs dim floats);
+   *  the two compose multiplicatively, and probing still multiplies only
+   *  the slim query side. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.graft.GraftKmeans
+    val c = Par.spread(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"),
+        GraftKmeans.nearestCentroid(col(vecCol), centroids).as("cell"),
+        GraftPq.pqEncode(col(vecCol), codebooks).as("codes"))
+      .where(col("cell").isNotNull && col("codes").isNotNull)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        explode(GraftKmeans.nearestCentroids(col(vecCol), centroids, nprobe))
+          .as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", GraftPq.pqAdcCosine(col("q_vec"), col("codes"), codebooks))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
 }

@@ -116,6 +116,26 @@ object SimilarityQueries extends QueryProvider {
       "embedding", "vec_id", pqCodebooks(s, dir), k = 5)
   }
 
+  // IVF×PQ (FAISS-IVFPQ layout): coarse cells prune, PQ codes compress —
+  // the corpus index is one cell id + m small ints per row. Both models
+  // memoized as ingest-time work; rows-only (trained-model internals),
+  // PqSpec pins cell containment + full-probe ≡ exhaustive-ADC.
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    ivfCache.computeIfAbsent(
+      s"${System.identityHashCode(s.sparkContext)}:$dir",
+      _ => graft.operators.Kmeans.train(T(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 16, iters = 3))
+
+  private def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Pq.ivfTopK(emb, emb.where(col("vec_id") < 10),
+      "embedding", "vec_id", ivfCentroids(s, dir), pqCodebooks(s, dir),
+      k = 5, nprobe = 6)
+  }
+
   // Int8 quantization (Quantize.int8): floor-based codes are exact
   // integers in both engines, so codes AND the double scale hash-match.
   private def quantizeInt8(s: SparkSession, dir: String): DataFrame =
@@ -143,7 +163,8 @@ object SimilarityQueries extends QueryProvider {
     "sim_ivf_kmeans"  -> (kmeansIvf _),
     "sim_ann_srp"     -> (srpAnn _),
     "sim_quantize_int8" -> (quantizeInt8 _),
-    "sim_pq_topk"     -> (pqTopk _)
+    "sim_pq_topk"     -> (pqTopk _),
+    "sim_ivfpq_topk"  -> (ivfPqTopk _)
   )
 
   override val oracles: Map[String, String] = Map(

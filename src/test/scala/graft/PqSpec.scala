@@ -46,6 +46,35 @@ class PqSpec extends AnyFunSuite {
     assert(self._1 >= 0.0, s"min self-cosine ${self._1} — reconstruction inverted")
   }
 
+  test("IVF x PQ: cell pruning composes with ADC — candidates stay in probed cells") {
+    import graft.operators.Kmeans
+    val centroids = Kmeans.train(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val cb = Pq.train(emb, "embedding", "vec_id", m = 16, ksub = 8, iters = 2)
+    val out = Pq.ivfTopK(emb, emb.where(col("vec_id") < 10),
+      "embedding", "vec_id", centroids, cb, k = 3, nprobe = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // neighbors must come from the query's 2 probed cells only
+    val cells = Kmeans.assign(emb, "embedding", "vec_id", centroids)
+      .as[(Long, Long)].collect().toMap
+    val probed = emb.where(col("vec_id") < 10)
+      .select(col("vec_id"), org.apache.spark.sql.graft.GraftKmeans
+        .nearestCentroids(col("embedding"), centroids, 2).as("p"))
+      .as[(Long, Seq[Int])].collect().toMap
+    out.foreach { case (q, n, _) =>
+      assert(probed(q).map(_.toLong).contains(cells(n)),
+        s"neighbor $n of query $q came from an unprobed cell")
+    }
+    // full probe (nprobe = k cells) must equal plain PQ topK
+    val full = Pq.ivfTopK(emb, emb.where(col("vec_id") < 10),
+      "embedding", "vec_id", centroids, cb, k = 3, nprobe = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val plain = Pq.topK(emb, emb.where(col("vec_id") < 10),
+      "embedding", "vec_id", cb, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == plain, "nprobe=all-cells must degenerate to exhaustive ADC")
+  }
+
   test("ADC recall@5 vs exact brute force on sf0.01") {
     val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val queries = emb01.where(col("vec_id") < 50)
