@@ -93,13 +93,35 @@ object Bpe {
       size(GraftBpe.encodeWords(split(col(textCol), " "), merges))
         .cast("long").as("n_subwords"))
 
+  /** Unsigned UTF-8 byte order — what Spark's `orderBy` on a string
+   *  column compares (UTF8String.compareTo); Java String order (UTF-16)
+   *  disagrees for supplementary vs U+E000–U+FFFF characters, so the
+   *  reference must mirror the engine's order for tie-breaks to match. */
+  private[graft] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Code-point symbols — the alphabet Spark's split(word, "") produces
+   *  (zero-width regex never splits a surrogate pair). */
+  private[graft] def codePointSymbols(w: String): Seq[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq
+
   /** Reference in-memory BPE over a (word -> count) dictionary — the
-   *  ground truth the spec compares `train` against (same tie-break). */
+   *  ground truth the spec compares `train` against (same code-point
+   *  alphabet, same UTF-8-byte-order tie-break). */
   private[graft] def referenceMerges(
       wordCounts: Map[String, Long], merges: Int,
       minFreq: Long = 2): Seq[(Int, String, Long)] = {
     var dict: Seq[(Seq[String], Long)] =
-      wordCounts.toSeq.map { case (w, n) => (w.map(_.toString): Seq[String], n) }
+      wordCounts.toSeq.map { case (w, n) => (codePointSymbols(w), n) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var step = 1
     var done = false
@@ -114,7 +136,9 @@ object Bpe {
       val eligible = counts.filter(_._2 >= minFreq)
       if (eligible.isEmpty) done = true
       else {
-        val (pair, freq) = eligible.minBy { case (p, f) => (-f, p) }
+        val (pair, freq) = eligible.reduceLeft { (a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && utf8Less(b._1, a._1))) b else a
+        }
         out += ((step, pair, freq))
         val Array(a, b) = pair.split(" ", 2)
         dict = dict.map { case (syms, n) =>

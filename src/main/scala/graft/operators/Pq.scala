@@ -36,7 +36,13 @@ object Pq {
 
   /** Train m sub-codebooks of ksub centroids each. The embedding dim (of
    *  the hash-smallest clean row, the same deterministic probe Kmeans
-   *  uses) must divide evenly into m subspaces. */
+   *  uses) must divide evenly into m subspaces. Sub-quantizers train on
+   *  the CLEAN full-dim rows only — a corrupt row (null element, odd
+   *  dim) whose slice happens to look valid must not shape a codebook
+   *  `encode` would reject the row for (a short row's tail slice could
+   *  even seed a wrong-width sub-codebook and break rectangularity). The
+   *  slim clean projection is cached for the m × (iters+1) passes the
+   *  sub-trainers make, then released. */
   def train(df: DataFrame, vecCol: String, idCol: String,
       m: Int, ksub: Int, iters: Int = 3): Array[Array[Array[Double]]] = {
     require(m >= 1, "need m >= 1")
@@ -51,11 +57,15 @@ object Pq {
     }
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    (0 until m).map { j =>
-      val sub = df.select(col(idCol),
-        slice(col(vecCol), j * dsub + 1, dsub).as("sub"))
-      Kmeans.train(sub, "sub", idCol, ksub, iters)
-    }.toArray
+    val base = clean.where(size(col(vecCol)) === dim)
+      .select(col(idCol), col(vecCol)).persist()
+    try {
+      (0 until m).map { j =>
+        val sub = base.select(col(idCol),
+          slice(col(vecCol), j * dsub + 1, dsub).as("sub"))
+        Kmeans.train(sub, "sub", idCol, ksub, iters)
+      }.toArray
+    } finally base.unpersist(blocking = false)
   }
 
   /** The PQ index: (id, codes) — m small ints per row; corrupt rows

@@ -42,9 +42,12 @@ import org.apache.spark.sql.functions._
 object Spans {
 
   /** Maximal duplicated token spans per document:
-   *  (doc_id, span_start, span_end) — token indices, 0-based inclusive;
-   *  every n-gram starting inside [span_start, span_end - n + 1] occurs
-   *  ≥ `minOccurrences` times in the corpus. */
+   *  (doc_id, span_start, span_end) — token indices, 0-based inclusive.
+   *  A span is the union of overlapping/adjacent duplicated n-gram
+   *  windows: every TOKEN in it lies inside at least one window whose
+   *  n-gram occurs ≥ `minOccurrences` times corpus-wide (interior grams
+   *  that straddle two merged windows need not themselves be
+   *  duplicated). */
   def duplicateSpans(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 8, minOccurrences: Int = 2): DataFrame = {

@@ -197,7 +197,7 @@ object TextAnalysis {
    */
   def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
-    val norm = trim(lower(regexp_replace(t, "\\s+", " ")))
+    val norm = trim(lower(regexp_replace(t, WsClass, " ")))
     val ws = wsTokens(norm)
     val fp = org.apache.spark.sql.graft.TextFingerprint
     df.select(
@@ -207,16 +207,22 @@ object TextAnalysis {
       fp.minShingleMd5(ws).as("fp_shingle"))
   }
 
+  /** The whitespace class shared verbatim by Java regex and RE2/DuckDB.
+   *  `\s` itself is NOT shared: Java's includes \x0B (vertical tab),
+   *  RE2's does not — an explicit class keeps oracles bit-exact on any
+   *  input, not just \x0B-free test data. */
+  private[operators] val WsClass = "[ \\t\\n\\r\\f]+"
+
   /** Canonical text normalization — the cleanup pass upstream of every
    *  hash-keyed dedup: lowercase, collapse whitespace runs to one space,
    *  trim. Exactly the norm key `fingerprint` computes internally, exposed
    *  as its own operator so `dedup_exact` after `normalize` catches
    *  case/spacing variants. 100 TB shape: pure codegen'd scan projection,
-   *  zero shuffles; the `\s+` pattern sits in the Java∩RE2∩DuckDB common
-   *  subset, so the oracle is bit-exact. */
+   *  zero shuffles; the explicit whitespace class sits in the
+   *  Java∩RE2∩DuckDB common subset, so the oracle is bit-exact. */
   def normalizeText(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol),
-      trim(lower(regexp_replace(col(textCol), "\\s+", " "))).as("text_norm"))
+      trim(lower(regexp_replace(col(textCol), WsClass, " "))).as("text_norm"))
 
   // ------------------------------------------------------------ vocabulary
 

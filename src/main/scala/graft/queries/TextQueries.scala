@@ -21,7 +21,7 @@ object TextQueries extends QueryProvider {
     TextAnalysis.normalizeText(T(s, dir, "documents"), "text", "doc_id")
 
   private val normalizeSql =
-    """SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_norm
+    """SELECT doc_id, trim(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS text_norm
       |FROM documents""".stripMargin
 
   private val tokensSql =
@@ -122,7 +122,7 @@ object TextQueries extends QueryProvider {
 
   private val fingerprintSql =
     """WITH w AS (
-      |  SELECT doc_id, trim(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  SELECT doc_id, trim(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm
       |  FROM documents
       |), t AS (
       |  SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM w

@@ -126,18 +126,23 @@ object StreamingLens {
    * already appears in a STATIC reference corpus — the ingest-time face of
    * `Dedup.bloomReference`/`dedup_ref_exact` (filter new shards against
    * the "already trained on" set as they arrive). The static side reduces
-   * to distinct 8-byte content hashes ONCE (broadcast to every
-   * micro-batch); anti semantics use the supported stream-static
-   * left-outer + null-filter shape, since stream-static left_anti is not
-   * a supported join type. Stateless — no watermark, no streaming state;
-   * at 100 TB-reference scale swap the broadcast keys for the Bloom probe
-   * column (same plan shape, 8 MiB instead of the key set).
+   * to distinct 8-byte content hashes ONCE — persisted, because a
+   * stream-static join re-executes an uncached static side on EVERY
+   * micro-batch — then broadcast per batch; anti semantics use the
+   * supported stream-static left-outer + null-filter shape, since
+   * stream-static left_anti is not a supported join type. Stateless — no
+   * watermark, no streaming state; at 100 TB-reference scale swap the
+   * broadcast keys for the Bloom probe column (same plan shape, 8 MiB
+   * instead of the key set). Caller owns the lifecycle: unpersist the
+   * returned plan's static side by stopping the query and calling
+   * `spark.catalog.clearCache()` (or keep it — the key set is the index).
    */
   def decontaminate(
       stream: DataFrame, ref: DataFrame, textCol: String): DataFrame = {
     val refKeys = ref
       .select(xxhash64(col(textCol)).as("__h")).distinct()
       .withColumn("__hit", lit(true))
+      .persist()
     stream.withColumn("__h", xxhash64(col(textCol)))
       .join(broadcast(refKeys), Seq("__h"), "left")
       .where(col("__hit").isNull)

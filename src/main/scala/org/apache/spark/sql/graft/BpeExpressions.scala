@@ -117,7 +117,12 @@ case class BpeEncodeWords(child: Expression, merges: Seq[String])
 
   private def encodeWord(word: String,
       out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
-    var syms = word.map(_.toString).toArray
+    // CODE-POINT symbols, not UTF-16 chars: the trainer's initial alphabet
+    // comes from Spark's split(word, ""), whose zero-width regex never
+    // matches inside a surrogate pair — encoding from lone surrogates
+    // would use a different alphabet than training on any non-BMP text.
+    var syms: Array[String] = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue

@@ -49,7 +49,7 @@ class BpeSpec extends AnyFunSuite {
   // occurrences, left-to-right) until no trained pair remains.
   private def referenceEncode(word: String, merges: Seq[String]): Seq[String] = {
     val rank = merges.zipWithIndex.toMap
-    var syms: Seq[String] = word.map(_.toString)
+    var syms: Seq[String] = Bpe.codePointSymbols(word)
     var done = syms.length < 2
     while (!done) {
       val present = syms.sliding(2).filter(_.size == 2)
@@ -87,6 +87,30 @@ class BpeSpec extends AnyFunSuite {
     // merges actually compress: fewer subwords than characters
     val charCount = docs.map(_._2.count(_ != ' ').toLong).sum
     assert(got.values.sum < charCount)
+  }
+
+  test("non-BMP text: trainer and encoder share the code-point alphabet") {
+    // Two emoji (U+1F600, U+1F680 — surrogate pairs in UTF-16): the
+    // trainer's split(word, "") yields code points, so the encoder must
+    // too, or trained merges never match at encode time.
+    val word = new String(Character.toChars(0x1F600)) +
+      new String(Character.toChars(0x1F680))
+    val df = Seq((1L, s"$word $word $word"), (2L, s"$word tail")).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", merges = 3, minFreq = 2)
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    val want = Bpe.referenceMerges(
+      Map(word -> 4L, "tail" -> 1L), merges = 3, minFreq = 2)
+      .map { case (s, p, f) => (s.toLong, p, f) }
+    assert(merges == want)
+    // first merge fuses the two code points — 4 occurrences of the word
+    assert(merges.head._2 ==
+      new String(Character.toChars(0x1F600)) + " " +
+      new String(Character.toChars(0x1F680)))
+    // encoding the merged word yields ONE subword, not 4 lone surrogates
+    val mergeList = merges.map(_._2)
+    val counts = Bpe.encode(df, "text", "doc_id", mergeList)
+      .as[(Long, Long)].collect().toMap
+    assert(counts(1L) == 3L, s"each emoji-pair word should be 1 subword: $counts")
   }
 
   test("merged symbols re-tokenize: k merges shrink total symbol count monotonically") {

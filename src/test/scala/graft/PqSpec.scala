@@ -24,6 +24,24 @@ class PqSpec extends AnyFunSuite {
     assert(Pq.encode(dirty, "embedding", "vec_id", cb).count() == 0L)
   }
 
+  test("train ignores corrupt rows: dirty corpus yields clean-corpus codebooks") {
+    // A short row (60 elements) and a null-element row must not shape any
+    // sub-codebook — a short row's tail slice is a plausible-width array
+    // that could otherwise seed a wrong-dim (or biased) sub-quantizer.
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dirty = base
+      .union(emb.limit(2).select((col("vec_id") + 10000).as("vec_id"),
+        slice(col("embedding"), 1, 60).as("embedding")))
+      .union(emb.limit(1).select((col("vec_id") + 20000).as("vec_id"),
+        concat(slice(col("embedding"), 1, 63),
+          array(lit(null).cast("float"))).as("embedding")))
+    val a = Pq.train(base, "embedding", "vec_id", m = 4, ksub = 8, iters = 2)
+    val b = Pq.train(dirty, "embedding", "vec_id", m = 4, ksub = 8, iters = 2)
+    for (j <- a.indices; c <- a(j).indices)
+      assert(a(j)(c).toSeq == b(j)(c).toSeq,
+        s"dirty rows leaked into codebook $j centroid $c")
+  }
+
   test("train is deterministic across reruns (codebooks bit-equal)") {
     val a = Pq.train(emb, "embedding", "vec_id", m = 4, ksub = 8, iters = 2)
     val b = Pq.train(emb, "embedding", "vec_id", m = 4, ksub = 8, iters = 2)
