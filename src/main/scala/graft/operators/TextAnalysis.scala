@@ -224,6 +224,50 @@ object TextAnalysis {
     df.select(col(idCol),
       trim(lower(regexp_replace(col(textCol), WsClass, " "))).as("text_norm"))
 
+  /**
+   * Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+   * Models: Methods, Analysis & Insights from Training Gopher", App. A)
+   * — the published heuristic filter set most pretraining pipelines run:
+   * word-count window, mean-word-length window, symbol-to-word ratio
+   * (# and ellipsis), alphabetic-word fraction, minimum distinct
+   * stopwords. Emits the metrics plus the combined verdict so callers
+   * can audit WHICH rule fired, not just the boolean.
+   *
+   * 100 TB shape: one scan projection, zero shuffles — every metric is a
+   * per-row Column expression over the same token array. The HOF lambdas
+   * are per-row, bounded by document length (the per-pair native-kernel
+   * rule does not apply). Oracle mirrors every expression shape exactly.
+   */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val ws = wsTokens(t)
+    val nWords = size(ws).cast("long")
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / size(ws)
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+      .cast("double")
+    val symbolRatio = (hashes + ellipses) / size(ws)
+    val alphaRatio = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("double") /
+      size(ws)
+    val stops = array(Seq("the", "a", "of", "and", "to", "in", "is",
+      "that").map(lit): _*)
+    val nStop = size(array_intersect(ws, stops)).cast("long")
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      nStop.as("n_stop"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 &&
+        alphaRatio >= 0.8 &&
+        nStop >= 2).as("gopher_pass"))
+  }
+
   // ------------------------------------------------------------ vocabulary
 
   /**

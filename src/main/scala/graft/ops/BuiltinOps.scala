@@ -196,6 +196,16 @@ object BuiltinOps {
       LensOp(s"token_count($t)", df => TextAnalysis.tokenCounts(df, t, id))
     },
 
+    // Gopher-style published heuristic filter set (Rae et al. 2021 App. A).
+    "gopher_rules" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val minW = a.intOpt("min_words").getOrElse(10)
+      val maxW = a.intOpt("max_words").getOrElse(100000)
+      LensOp(s"gopher_rules($t)",
+        df => TextAnalysis.gopherRules(df, t, id, minW, maxW))
+    },
+
     "quality_score" -> { a =>
       val (t, id) = (a.strOpt("text").getOrElse("text"),
         a.strOpt("id").getOrElse("doc_id"))

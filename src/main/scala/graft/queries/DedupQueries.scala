@@ -245,6 +245,25 @@ object DedupQueries extends QueryProvider {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  // Duplicate-cluster size histogram — the dedup-diagnostics report
+  // (how much of the corpus sits in 2-copy vs 50-copy families). Rides
+  // the MATERIALIZED cluster map like dedup_survivors_from_map: zero CC
+  // stages here, two tiny aggregations over (node, cluster).
+  private def dedupClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    ensureClusterMap(s, dir)
+    s.table("g_cluster_map")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).cast("long").as("n_clusters"))
+      .select(col("n").cast("long").as("cluster_size"), col("n_clusters"))
+  }
+
+  private val dedupClusterSizesSql = ccOracleCte +
+    """,
+      |szs AS (SELECT cluster, count(*) AS n FROM cc GROUP BY cluster)
+      |SELECT CAST(n AS BIGINT) AS cluster_size,
+      |  CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM szs GROUP BY n""".stripMargin
+
   // Segment ("line") dedup: 10-token segments, drop any appearing in >1
   // distinct docs. Spark keys segments by xxhash64, the oracle by segment
   // text — equal up to a ~n²/2⁶⁵ collision (same trade as dedup_exact).
@@ -401,7 +420,8 @@ object DedupQueries extends QueryProvider {
     "dedup_ref_exact"      -> (dedupRefExact _),
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_survivors"      -> (dedupSurvivors _),
-    "dedup_survivors_from_map" -> (dedupSurvivorsFromMap _)
+    "dedup_survivors_from_map" -> (dedupSurvivorsFromMap _),
+    "dedup_cluster_sizes"  -> (dedupClusterSizes _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -417,7 +437,8 @@ object DedupQueries extends QueryProvider {
     "dedup_ref_exact"     -> dedupRefExactSql,
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_survivors"     -> dedupSurvivorsSql,
-    "dedup_survivors_from_map" -> dedupSurvivorsSql
+    "dedup_survivors_from_map" -> dedupSurvivorsSql,
+    "dedup_cluster_sizes" -> dedupClusterSizesSql
     // dedup_simhash, dedup_approx_distinct: hash/sketch internals are
     // engine-specific — rows-only checks, semantics covered in DedupSpec.
   )

@@ -63,6 +63,33 @@ object TextQueries extends QueryProvider {
     graft.operators.Bpe.encode(T(s, dir, "documents"), "text", "doc_id",
       trainedMerges(s, dir))
 
+  private def gopher(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(T(s, dir, "documents"), "text", "doc_id")
+
+  private val gopherSql =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |m AS (
+      |  SELECT doc_id, text, ws,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws)
+      |      AS mean_word_len,
+      |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+      |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE))
+      |      / len(ws) AS symbol_ratio,
+      |    CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+      |      / len(ws) AS alpha_ratio,
+      |    CAST(len(list_intersect(ws, ['the','a','of','and','to','in','is','that']))
+      |      AS BIGINT) AS n_stop
+      |  FROM w
+      |)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_stop,
+      |  (n_words >= 10 AND n_words <= 100000
+      |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |   AND symbol_ratio <= 0.1
+      |   AND alpha_ratio >= 0.8
+      |   AND n_stop >= 2) AS gopher_pass
+      |FROM m""".stripMargin
+
   private def quality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(T(s, dir, "documents"), "text", "doc_id")
 
@@ -561,6 +588,7 @@ object TextQueries extends QueryProvider {
     "text_bpe_merges"  -> (bpeMerges _),
     "text_bpe_encode"  -> (bpeEncode _),
     "text_quality"     -> (quality _),
+    "text_gopher_rules" -> (gopher _),
     "text_langid"      -> (langid _),
     "text_fingerprint" -> (fingerprint _),
     "text_profile"     -> (profile _),
@@ -584,6 +612,7 @@ object TextQueries extends QueryProvider {
     "text_tokens"      -> tokensSql,
     "text_normalize"   -> normalizeSql,
     "text_quality"     -> qualitySql,
+    "text_gopher_rules" -> gopherSql,
     "text_langid"      -> langidSql,
     "text_fingerprint" -> fingerprintSql,
     "text_profile"     -> profileSql,

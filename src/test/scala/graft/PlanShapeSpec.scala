@@ -90,6 +90,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salt column missing from the join keys")
   }
 
+  test("sim_ivfpq_topk: equi-join on the cell id, native PQ expressions in-plan") {
+    val p = plan("sim_ivfpq_topk")
+    assert(!p.contains("CartesianProduct"),
+      "IVF cell pruning degenerated to a cartesian scan")
+    // the index is built by the codegen'd expressions, not HOFs
+    assert(p.contains("pq_encode"), "corpus side lost the native PQ encoder")
+    assert(p.contains("pq_adc_cosine"), "scoring lost the native ADC kernel")
+    assert(p.contains("nearest_centroids"), "query side lost the probe list")
+  }
+
   test("sessionization partitions by key, never a global window") {
     val p = plan("q_sessionize")
     // a global (empty-partition) window would show 'Window [..] ORDER BY' with

@@ -344,4 +344,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     val viaLens = pipe.forward(df).as[(Long, String)].collect().toMap
     assert(viaLens == out)
   }
+
+  test("gopherRules: each published rule fires on its crafted violator") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog and then it runs " +
+      "far away to hide in the deep dark forest of the north"
+    val df = Seq(
+      (1L, good),                                       // passes all rules
+      (2L, "too short to pass"),                        // n_words < 10
+      (3L, good + " ### ## # # # # # # # # # # # #"),   // symbol ratio > 0.1
+      (4L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"),   // alpha ratio < 0.8
+      (5L, "zebra quartz jolt vex wump flug dask pren " +
+           "orbix clam trew spin dolf marn")            // < 2 stopwords
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.gopherRules(df, "text", "doc_id")
+      .select("doc_id", "gopher_pass").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+  }
 }
