@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -147,4 +148,31 @@ object Clusters {
       clusters.where(col("node") =!= col("cluster"))
         .select(col("node").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /**
+   * Keep the BEST member per duplicate cluster instead of the min-id one
+   * — the policy real pipelines run ("keep the longest / highest-quality
+   * copy"). `score` is any deterministic Column over the document row;
+   * ties break toward the lower id so the survivor set stays
+   * rerun-stable. Rows never seen in a pair pass through untouched.
+   *
+   * 100 TB shape: the argmax runs over a SLIM (id, score, cluster)
+   * projection — cluster-partitioned window, bounded by the largest
+   * duplicate family — and the winners semi-join back by id, so the
+   * document payload crosses no dedup shuffle (same discipline as
+   * `survivors`).
+   */
+  def survivorsBy(docs: DataFrame, idCol: String, clusters: DataFrame,
+      score: Column): DataFrame = {
+    val slim = docs.select(col(idCol), score.as("__score"))
+      .join(clusters.select(col("node").as(idCol), col("cluster")),
+        Seq(idCol), "left")
+      .withColumn("__grp", coalesce(col("cluster"), col(idCol)))
+    val w = Window.partitionBy(col("__grp"))
+      .orderBy(col("__score").desc, col(idCol))
+    val keep = slim.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -117,6 +117,41 @@ object Sampling {
       col("__shuffle_key"), as)
       .drop("__shuffle_key")
 
+  /**
+   * Deterministic fractional UPsampling — the other half of mixture
+   * weighting: epoch multipliers > 1 ("books ×2.5, web ×0.5") replicate
+   * each surviving row `floor(rate)` times plus one more iff the id's
+   * mixer bucket falls under the fractional part. Same portable
+   * overflow-free mixer recipe as `hashSplit`/`mixture` with a THIRD
+   * (prime, multiplier) pair, so replication is independent of both
+   * split assignment and downsample membership. Emits a 0-based `copy`
+   * column — downstream `shuffleOrder` over (id, copy) interleaves the
+   * epochs.
+   *
+   * 100 TB shape: a map-side `explode(sequence(...))` — no shuffle, no
+   * RNG state; rerun/repartition/append-stable copy counts. Rows whose
+   * copy count is zero are filtered before the explode (Spark's
+   * `sequence(0, -1)` would DESCEND, not empty out).
+   */
+  def upsample(df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0, s"rate $r negative"))
+    val bucket =
+      (((abs(col(idCol)) % lit(999979L)) * lit(3266489917L)) % lit(4294967296L)) % lit(1000000L)
+    def copiesFor(r: Double) =
+      lit(math.floor(r).toLong) +
+        when(bucket < lit(math.round((r - math.floor(r)) * 1e6)), lit(1L))
+          .otherwise(lit(0L))
+    val copies = rates.foldLeft(copiesFor(defaultRate)) {
+      case (acc, (g, r)) => when(col(groupCol) === g, copiesFor(r)).otherwise(acc)
+    }
+    df.withColumn("__copies", copies)
+      .where(col("__copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   def mixture(df: DataFrame, groupCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>

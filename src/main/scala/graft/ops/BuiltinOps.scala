@@ -408,6 +408,16 @@ object BuiltinOps {
         df => graft.operators.Sampling.mixture(df, group, id, rates, default))
     },
 
+    // Deterministic fractional upsampling (Sampling.upsample): epoch
+    // multipliers > 1; set-level (changes row multiplicity).
+    "upsample" -> { a =>
+      val (group, id) = (a.str("group"), a.strOpt("id").getOrElse("doc_id"))
+      val default = a.doubleOpt("default").getOrElse(1.0)
+      val rates = a.doubleMap("rates")
+      LensOp.setLevel(s"upsample($group)",
+        df => graft.operators.Sampling.upsample(df, group, id, rates, default))
+    },
+
     // Deterministic hash train/val/test assignment (Sampling.hashSplit).
     "train_split" -> { a =>
       val id = a.strOpt("id").getOrElse("doc_id")

@@ -245,6 +245,33 @@ object DedupQueries extends QueryProvider {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  // Keep-BEST survivors: per duplicate cluster keep the longest copy
+  // (ties to the lower id) — the policy real pipelines run instead of
+  // keep-min-id. Rides the materialized map (zero CC stages); oracle is
+  // the same closure with the argmax in SQL.
+  private def dedupSurvivorsBest(s: SparkSession, dir: String): DataFrame = {
+    ensureClusterMap(s, dir)
+    graft.operators.Clusters
+      .survivorsBy(T(s, dir, "documents"), "doc_id", s.table("g_cluster_map"),
+        length(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  private val dedupSurvivorsBestSql = ccOracleCte +
+    """,
+      |a AS (
+      |  SELECT d.doc_id, d.lang, d.text, coalesce(cc.cluster, d.doc_id) AS grp
+      |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+      |), r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY grp
+      |      ORDER BY length(text) DESC, doc_id) AS rn
+      |  FROM a
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+      |FROM r WHERE rn = 1 GROUP BY lang""".stripMargin
+
   // Duplicate-cluster size histogram — the dedup-diagnostics report
   // (how much of the corpus sits in 2-copy vs 50-copy families). Rides
   // the MATERIALIZED cluster map like dedup_survivors_from_map: zero CC
@@ -421,7 +448,8 @@ object DedupQueries extends QueryProvider {
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_survivors"      -> (dedupSurvivors _),
     "dedup_survivors_from_map" -> (dedupSurvivorsFromMap _),
-    "dedup_cluster_sizes"  -> (dedupClusterSizes _)
+    "dedup_cluster_sizes"  -> (dedupClusterSizes _),
+    "dedup_survivors_best" -> (dedupSurvivorsBest _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -438,7 +466,8 @@ object DedupQueries extends QueryProvider {
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_survivors"     -> dedupSurvivorsSql,
     "dedup_survivors_from_map" -> dedupSurvivorsSql,
-    "dedup_cluster_sizes" -> dedupClusterSizesSql
+    "dedup_cluster_sizes" -> dedupClusterSizesSql,
+    "dedup_survivors_best" -> dedupSurvivorsBestSql
     // dedup_simhash, dedup_approx_distinct: hash/sketch internals are
     // engine-specific — rows-only checks, semantics covered in DedupSpec.
   )

@@ -433,6 +433,32 @@ object TextQueries extends QueryProvider {
       |              WHEN 'src1' THEN 500000
       |              ELSE 900000 END""".stripMargin
 
+  // Epoch upsampling: books-style ×2.5 on one source, ×0.5 on another,
+  // everything else ×1 — replicated rows carry a 0-based copy index;
+  // copy counts are exact integer mixer math on both sides.
+  private def upsampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.upsample(T(s, dir, "documents"),
+        "source", "doc_id",
+        rates = Map("src0" -> 2.5, "src1" -> 0.5), defaultRate = 1.0)
+      .select(col("doc_id"), col("source"), col("copy"))
+
+  private val upsampleSql =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    (((abs(doc_id) % 999979) * 3266489917) % 4294967296) % 1000000 AS bk
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source,
+      |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+      |    + (CASE WHEN bk < (CASE source WHEN 'src0' THEN 500000
+      |                                   WHEN 'src1' THEN 500000
+      |                                   ELSE 0 END)
+      |       THEN 1 ELSE 0 END) AS copies
+      |  FROM b
+      |)
+      |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
+      |FROM c WHERE copies >= 1""".stripMargin
+
   // PII lives in no synthetic column, so both sides append IDENTICAL
   // deterministic PII (email/ip/phone derived from doc_id) to the text
   // before redacting — the redaction logic is what's under test.
@@ -578,6 +604,7 @@ object TextQueries extends QueryProvider {
     "q_quality_buckets" -> (qualityBuckets _),
     "text_chunk"       -> (chunk _),
     "q_corpus_mixture" -> (mixtureQ _),
+    "q_corpus_upsample" -> (upsampleQ _),
     "text_vocab"       -> (vocab _),
     "text_tfidf"       -> (tfidf _),
     "q_pack_sequences" -> (packSeqs _),
@@ -604,6 +631,7 @@ object TextQueries extends QueryProvider {
     "q_quality_buckets" -> qualityBucketsSql,
     "text_chunk"       -> chunkSql,
     "q_corpus_mixture" -> mixtureSql,
+    "q_corpus_upsample" -> upsampleSql,
     "text_vocab"       -> vocabSql,
     "text_tfidf"       -> tfidfSql,
     "q_pack_sequences" -> packSeqsSql,

@@ -72,4 +72,20 @@ class ClustersSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 9L)) // 2,3 dropped; 9 never paired, passes through
   }
+
+  test("survivorsBy keeps the best-scoring member per cluster, ties to lower id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "aaa"),   // cluster {1,2,3}: 2 longest
+      (10L, "bb"), (11L, "bb"),                 // cluster {10,11}: tie -> 10
+      (20L, "untouched loner")                  // no pairs
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "cluster")
+    val kept = graft.operators.Clusters
+      .survivorsBy(docs, "doc_id", clusters,
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 20L))
+  }
 }

@@ -362,4 +362,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false,
       4L -> false, 5L -> false))
   }
+
+  test("upsample: floor+fraction copies per rate, contiguous copy indices, rerun-stable") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i <= 200) "books" else "web"))
+      .toDF("doc_id", "source")
+    val out = graft.operators.Sampling.upsample(df, "source", "doc_id",
+      rates = Map("books" -> 2.5, "web" -> 0.25), defaultRate = 1.0)
+    val rows = out.select("doc_id", "source", "copy")
+      .as[(Long, String, Long)].collect()
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // copy indices are exactly 0..k-1
+    byDoc.values.foreach(cs => assert(cs == (0L until cs.length).toSeq))
+    val books = byDoc.filter(_._1 <= 200).values.map(_.length)
+    val web = byDoc.filter(_._1 > 200)
+    assert(books.forall(k => k == 2 || k == 3), "books copies must be 2 or 3")
+    // fraction ~0.5 of books get the third copy
+    val frac3 = books.count(_ == 3).toDouble / 200
+    assert(frac3 > 0.3 && frac3 < 0.7, s"books x2.5 third-copy fraction $frac3")
+    // web x0.25: survivors have exactly one copy; ~25% survive
+    assert(web.values.forall(_.length == 1))
+    assert(web.size > 20 && web.size < 80, s"web x0.25 kept ${web.size} of 200")
+    // deterministic
+    val rerun = graft.operators.Sampling.upsample(df, "source", "doc_id",
+      rates = Map("books" -> 2.5, "web" -> 0.25), defaultRate = 1.0)
+      .select("doc_id", "source", "copy").as[(Long, String, Long)].collect()
+    assert(rerun.sorted.toSeq == rows.sorted.toSeq)
+  }
 }
