@@ -459,6 +459,115 @@ object TextQueries extends QueryProvider {
       |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
       |FROM c WHERE copies >= 1""".stripMargin
 
+  /** Flagship #3 — the modern preprocessing pipeline end-to-end, every
+   *  stage from THIS round's operator set, cross-checked as one query:
+   *  canonical normalize → ExactSubstr span strip → Gopher-rule filter →
+   *  fractional epoch upsample → per-source corpus report. DuckDB
+   *  recomputes the whole chain (the CTE reuses each stage's proven
+   *  oracle fragment), so the hash match certifies the COMPOSITION, not
+   *  just the parts. */
+  private def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val norm = TextAnalysis.normalizeText(docs, "text", "doc_id")
+      .withColumnRenamed("text_norm", "text")
+    val stripped = graft.operators.Spans.stripSpans(norm, "text", "doc_id",
+      n = 8, minOccurrences = 2)
+    val pass = TextAnalysis.gopherRules(stripped, "text", "doc_id")
+      .where(col("gopher_pass")).select(col("doc_id"))
+    val kept = stripped.join(pass, "doc_id")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    graft.operators.Sampling.upsample(kept, "source", "doc_id",
+        rates = Map("src0" -> 2.5), defaultRate = 1.0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+  }
+
+  private val cleanCorpusSql =
+    """WITH n0 AS (
+      |  SELECT doc_id, trim(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))
+      |    AS text
+      |  FROM documents
+      |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM n0),
+      |g AS (
+      |  SELECT doc_id, unnest(range(len(ws) - 7)) AS pos, ws
+      |  FROM w WHERE len(ws) >= 8
+      |), gs AS (
+      |  SELECT doc_id, pos,
+      |    ws[pos+1] || ' ' || ws[pos+2] || ' ' || ws[pos+3] || ' ' || ws[pos+4]
+      |    || ' ' || ws[pos+5] || ' ' || ws[pos+6] || ' ' || ws[pos+7] || ' '
+      |    || ws[pos+8] AS gram
+      |  FROM g
+      |), dup AS (
+      |  SELECT gram FROM gs GROUP BY gram HAVING count(*) >= 2
+      |), cov AS (
+      |  SELECT doc_id, pos FROM gs JOIN dup USING (gram)
+      |), brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM cov
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk
+      |), spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, island
+      |), covpos AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
+      |toks AS (SELECT doc_id, unnest(range(len(ws))) AS p, ws FROM w),
+      |tok2 AS (SELECT doc_id, p, ws[p+1] AS tok FROM toks),
+      |kept AS (
+      |  SELECT t.doc_id, t.p, t.tok
+      |  FROM tok2 t LEFT JOIN covpos c ON t.doc_id = c.doc_id AND t.p = c.p
+      |  WHERE c.doc_id IS NULL
+      |), agg AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+      |  FROM kept GROUP BY doc_id
+      |), cleaned AS (
+      |  SELECT d.doc_id, coalesce(a.text, '') AS text
+      |  FROM n0 d LEFT JOIN agg a USING (doc_id)
+      |), cw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM cleaned),
+      |m AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws)
+      |      AS mean_word_len,
+      |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+      |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE))
+      |      / len(ws) AS symbol_ratio,
+      |    CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+      |      / len(ws) AS alpha_ratio,
+      |    CAST(len(list_intersect(ws, ['the','a','of','and','to','in','is','that']))
+      |      AS BIGINT) AS n_stop
+      |  FROM cw
+      |), pass AS (
+      |  SELECT doc_id, text FROM m
+      |  WHERE n_words >= 10 AND n_words <= 100000
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2
+      |), srcd AS (
+      |  SELECT p.doc_id, p.text, d.source
+      |  FROM pass p JOIN documents d USING (doc_id)
+      |), bkt AS (
+      |  SELECT doc_id, text, source,
+      |    (((abs(doc_id) % 999979) * 3266489917) % 4294967296) % 1000000 AS bk
+      |  FROM srcd
+      |), cps AS (
+      |  SELECT doc_id, text, source,
+      |    (CASE source WHEN 'src0' THEN 2 ELSE 1 END)
+      |    + (CASE WHEN bk < (CASE source WHEN 'src0' THEN 500000 ELSE 0 END)
+      |       THEN 1 ELSE 0 END) AS copies
+      |  FROM bkt
+      |), rep AS (
+      |  SELECT doc_id, text, source, unnest(range(copies)) AS copy
+      |  FROM cps WHERE copies >= 1
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM rep GROUP BY source""".stripMargin
+
   // PII lives in no synthetic column, so both sides append IDENTICAL
   // deterministic PII (email/ip/phone derived from doc_id) to the text
   // before redacting — the redaction logic is what's under test.
@@ -605,6 +714,7 @@ object TextQueries extends QueryProvider {
     "text_chunk"       -> (chunk _),
     "q_corpus_mixture" -> (mixtureQ _),
     "q_corpus_upsample" -> (upsampleQ _),
+    "pipeline_clean_corpus" -> (cleanCorpus _),
     "text_vocab"       -> (vocab _),
     "text_tfidf"       -> (tfidf _),
     "q_pack_sequences" -> (packSeqs _),
@@ -632,6 +742,7 @@ object TextQueries extends QueryProvider {
     "text_chunk"       -> chunkSql,
     "q_corpus_mixture" -> mixtureSql,
     "q_corpus_upsample" -> upsampleSql,
+    "pipeline_clean_corpus" -> cleanCorpusSql,
     "text_vocab"       -> vocabSql,
     "text_tfidf"       -> tfidfSql,
     "q_pack_sequences" -> packSeqsSql,
