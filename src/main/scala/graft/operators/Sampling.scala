@@ -137,6 +137,11 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0, s"rate $r negative"))
+    // withColumn REPLACES an existing column of the same name — a second
+    // upsample pass would silently destroy the first pass's copy index.
+    require(!df.columns.contains("copy") && !df.columns.contains("__copies"),
+      "input already carries a 'copy'/'__copies' column — rename it first " +
+        "(re-upsampling replicated rows would clobber the copy index)")
     val bucket =
       (((abs(col(idCol)) % lit(999979L)) * lit(3266489917L)) % lit(4294967296L)) % lit(1000000L)
     def copiesFor(r: Double) =

@@ -225,21 +225,32 @@ object TextAnalysis {
       trim(lower(regexp_replace(col(textCol), WsClass, " "))).as("text_norm"))
 
   /**
-   * Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+   * Gopher-style quality rules (after Rae et al. 2021, "Scaling Language
    * Models: Methods, Analysis & Insights from Training Gopher", App. A)
-   * — the published heuristic filter set most pretraining pipelines run:
+   * — the heuristic filter shape most pretraining pipelines run:
    * word-count window, mean-word-length window, symbol-to-word ratio
-   * (# and ellipsis), alphabetic-word fraction, minimum distinct
+   * (# and ASCII "..."), alphabetic-word fraction, minimum distinct
    * stopwords. Emits the metrics plus the combined verdict so callers
    * can audit WHICH rule fired, not just the boolean.
+   *
+   * DELIBERATE deviations from the paper's exact recipe (documented so
+   * nobody mistakes defaults for the published constants): `minWords`
+   * defaults to 10 (paper: 50 — too strict for short synthetic docs;
+   * pass the paper's value for web corpora), the stopword list is the
+   * engine's shared 8-word English set (paper: the/be/to/of/and/that/
+   * have/with), and only the ASCII three-dot ellipsis is counted (the
+   * U+2026 character is not).
    *
    * 100 TB shape: one scan projection, zero shuffles — every metric is a
    * per-row Column expression over the same token array. The HOF lambdas
    * are per-row, bounded by document length (the per-pair native-kernel
    * rule does not apply). Oracle mirrors every expression shape exactly.
+   * `keep` passes extra columns through (e.g. the text itself), so a
+   * filter-then-continue pipeline needs no self-join back to the input.
    */
   def gopherRules(df: DataFrame, textCol: String, idCol: String,
-      minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+      minWords: Int = 10, maxWords: Int = 100000,
+      keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val ws = wsTokens(t)
     val nWords = size(ws).cast("long")
@@ -255,17 +266,17 @@ object TextAnalysis {
       "that").map(lit): _*)
     val nStop = size(array_intersect(ws, stops)).cast("long")
     df.select(
-      col(idCol),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"),
-      alphaRatio.as("alpha_ratio"),
-      nStop.as("n_stop"),
-      (nWords >= minWords && nWords <= maxWords &&
-        meanLen >= 3.0 && meanLen <= 10.0 &&
-        symbolRatio <= 0.1 &&
-        alphaRatio >= 0.8 &&
-        nStop >= 2).as("gopher_pass"))
+      (col(idCol) +: keep.map(col)) ++ Seq(
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        nStop.as("n_stop"),
+        (nWords >= minWords && nWords <= maxWords &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          symbolRatio <= 0.1 &&
+          alphaRatio >= 0.8 &&
+          nStop >= 2).as("gopher_pass")): _*)
   }
 
   // ------------------------------------------------------------ vocabulary

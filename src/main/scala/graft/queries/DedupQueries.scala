@@ -329,8 +329,12 @@ object DedupQueries extends QueryProvider {
     graft.operators.Spans.duplicateSpans(T(s, dir, "documents"),
       "text", "doc_id", n = 8, minOccurrences = 2)
 
-  private val spansCte =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** Shared spans chain over any (doc_id, text) source — `w … spans`
+   *  CTEs of the ExactSubstr oracle; `pipeline_clean_corpus` composes the
+   *  SAME string over normalized text, so a future fix here propagates to
+   *  every consumer instead of drifting in a copy. */
+  private[queries] def spansChainSql(src: String): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
       |g AS (
       |  SELECT doc_id, unnest(range(len(ws) - 7)) AS pos, ws
       |  FROM w WHERE len(ws) >= 8
@@ -359,6 +363,28 @@ object DedupQueries extends QueryProvider {
       |  FROM isl GROUP BY doc_id, island
       |)""".stripMargin
 
+  /** Strip consumer over the spans chain: rebuilt text per doc, fully-
+   *  covered docs restored as '' from `src` (same contract as
+   *  `Spans.stripSpans`). */
+  private[queries] def stripChainSql(src: String): String =
+    s""",
+      |covpos AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
+      |toks AS (SELECT doc_id, unnest(range(len(ws))) AS p, ws FROM w),
+      |tok2 AS (SELECT doc_id, p, ws[p+1] AS tok FROM toks),
+      |kept AS (
+      |  SELECT t.doc_id, t.p, t.tok
+      |  FROM tok2 t LEFT JOIN covpos c ON t.doc_id = c.doc_id AND t.p = c.p
+      |  WHERE c.doc_id IS NULL
+      |), agg AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+      |  FROM kept GROUP BY doc_id
+      |), cleaned AS (
+      |  SELECT d.doc_id, coalesce(a.text, '') AS text
+      |  FROM $src d LEFT JOIN agg a USING (doc_id)
+      |)""".stripMargin
+
+  private val spansCte = "WITH " + spansChainSql("documents")
+
   private val dedupSpansSql = spansCte +
     """
       |SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end
@@ -370,21 +396,8 @@ object DedupQueries extends QueryProvider {
     graft.operators.Spans.stripSpans(T(s, dir, "documents"),
       "text", "doc_id", n = 8, minOccurrences = 2)
 
-  private val dedupStripSpansSql = spansCte +
-    """,
-      |covpos AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
-      |toks AS (SELECT doc_id, unnest(range(len(ws))) AS p, ws FROM w),
-      |tok2 AS (SELECT doc_id, p, ws[p+1] AS tok FROM toks),
-      |kept AS (
-      |  SELECT t.doc_id, t.p, t.tok
-      |  FROM tok2 t LEFT JOIN covpos c ON t.doc_id = c.doc_id AND t.p = c.p
-      |  WHERE c.doc_id IS NULL
-      |), agg AS (
-      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
-      |  FROM kept GROUP BY doc_id
-      |)
-      |SELECT d.doc_id, coalesce(a.text, '') AS text
-      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+  private val dedupStripSpansSql = spansCte + stripChainSql("documents") +
+    "\nSELECT doc_id, text FROM cleaned"
 
   // Reference slice = every 10th doc (the "already trained on" corpus).
   // Bloom probe output is rows-only by design (the false-positive set is

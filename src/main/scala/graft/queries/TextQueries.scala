@@ -66,11 +66,13 @@ object TextQueries extends QueryProvider {
   private def gopher(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherRules(T(s, dir, "documents"), "text", "doc_id")
 
-  private val gopherSql =
-    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-      |m AS (
-      |  SELECT doc_id, text, ws,
-      |    CAST(len(ws) AS BIGINT) AS n_words,
+  /** Shared Gopher-rule fragments — the metric select-list and the pass
+   *  predicate, mirrored EXACTLY by `TextAnalysis.gopherRules`;
+   *  `pipeline_clean_corpus` composes the same strings so a threshold
+   *  change propagates instead of drifting in a copy. The m-CTE expects
+   *  (doc_id, text, ws) in scope. */
+  private[queries] val gopherMetricsSql =
+    """    CAST(len(ws) AS BIGINT) AS n_words,
       |    CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws)
       |      AS mean_word_len,
       |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
@@ -79,15 +81,24 @@ object TextQueries extends QueryProvider {
       |    CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
       |      / len(ws) AS alpha_ratio,
       |    CAST(len(list_intersect(ws, ['the','a','of','and','to','in','is','that']))
-      |      AS BIGINT) AS n_stop
-      |  FROM w
-      |)
-      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_stop,
-      |  (n_words >= 10 AND n_words <= 100000
+      |      AS BIGINT) AS n_stop""".stripMargin
+
+  private[queries] val gopherPassSql =
+    """(n_words >= 10 AND n_words <= 100000
       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
       |   AND symbol_ratio <= 0.1
       |   AND alpha_ratio >= 0.8
-      |   AND n_stop >= 2) AS gopher_pass
+      |   AND n_stop >= 2)""".stripMargin
+
+  private val gopherSql =
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |m AS (
+      |  SELECT doc_id, text, ws,
+      |$gopherMetricsSql
+      |  FROM w
+      |)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, n_stop,
+      |  $gopherPassSql AS gopher_pass
       |FROM m""".stripMargin
 
   private def quality(s: SparkSession, dir: String): DataFrame =
@@ -436,24 +447,37 @@ object TextQueries extends QueryProvider {
   // Epoch upsampling: books-style ×2.5 on one source, ×0.5 on another,
   // everything else ×1 — replicated rows carry a 0-based copy index;
   // copy counts are exact integer mixer math on both sides.
+  /** Mixer bucket + copy-count SQL for `Sampling.upsample`, GENERATED
+   *  from the same rates map the Spark side takes — the two engines can't
+   *  drift because there is one source of the constants. */
+  private[queries] val upsampleBucketSql =
+    "(((abs(doc_id) % 999979) * 3266489917) % 4294967296) % 1000000"
+
+  private[queries] def upsampleCopiesSql(
+      rates: Map[String, Double], default: Double): String = {
+    def fl(r: Double) = math.floor(r).toLong
+    def fr(r: Double) = math.round((r - math.floor(r)) * 1e6)
+    def cases(f: Double => Long) =
+      if (rates.isEmpty) f(default).toString
+      else rates.map { case (g, r) => s"WHEN '$g' THEN ${f(r)}" }
+        .mkString("CASE source ", " ", s" ELSE ${f(default)} END")
+    s"(${cases(fl)})\n    + (CASE WHEN bk < (${cases(fr)}) THEN 1 ELSE 0 END)"
+  }
+
+  private val upsampleRates = Map("src0" -> 2.5, "src1" -> 0.5)
+
   private def upsampleQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.upsample(T(s, dir, "documents"),
-        "source", "doc_id",
-        rates = Map("src0" -> 2.5, "src1" -> 0.5), defaultRate = 1.0)
+        "source", "doc_id", rates = upsampleRates, defaultRate = 1.0)
       .select(col("doc_id"), col("source"), col("copy"))
 
   private val upsampleSql =
-    """WITH b AS (
-      |  SELECT doc_id, source,
-      |    (((abs(doc_id) % 999979) * 3266489917) % 4294967296) % 1000000 AS bk
+    s"""WITH b AS (
+      |  SELECT doc_id, source, $upsampleBucketSql AS bk
       |  FROM documents
       |), c AS (
       |  SELECT doc_id, source,
-      |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
-      |    + (CASE WHEN bk < (CASE source WHEN 'src0' THEN 500000
-      |                                   WHEN 'src1' THEN 500000
-      |                                   ELSE 0 END)
-      |       THEN 1 ELSE 0 END) AS copies
+      |    ${upsampleCopiesSql(upsampleRates, 1.0)} AS copies
       |  FROM b
       |)
       |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
@@ -466,107 +490,66 @@ object TextQueries extends QueryProvider {
    *  recomputes the whole chain (the CTE reuses each stage's proven
    *  oracle fragment), so the hash match certifies the COMPOSITION, not
    *  just the parts. */
+  private val cleanRates = Map("src0" -> 2.5)
+
   private def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val norm = TextAnalysis.normalizeText(docs, "text", "doc_id")
       .withColumnRenamed("text_norm", "text")
     val stripped = graft.operators.Spans.stripSpans(norm, "text", "doc_id",
       n = 8, minOccurrences = 2)
-    val pass = TextAnalysis.gopherRules(stripped, "text", "doc_id")
-      .where(col("gopher_pass")).select(col("doc_id"))
-    val kept = stripped.join(pass, "doc_id")
+    // keep = text: verdict + payload in ONE projection over the strip
+    // subtree — a join back to `stripped` would carry the whole
+    // ExactSubstr pipeline twice unless ReuseExchange happens to fire.
+    val kept = TextAnalysis
+      .gopherRules(stripped, "text", "doc_id", keep = Seq("text"))
+      .where(col("gopher_pass")).select(col("doc_id"), col("text"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     graft.operators.Sampling.upsample(kept, "source", "doc_id",
-        rates = Map("src0" -> 2.5), defaultRate = 1.0)
+        rates = cleanRates, defaultRate = 1.0)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
   }
 
-  private val cleanCorpusSql =
-    """WITH n0 AS (
-      |  SELECT doc_id, trim(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))
-      |    AS text
-      |  FROM documents
-      |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM n0),
-      |g AS (
-      |  SELECT doc_id, unnest(range(len(ws) - 7)) AS pos, ws
-      |  FROM w WHERE len(ws) >= 8
-      |), gs AS (
-      |  SELECT doc_id, pos,
-      |    ws[pos+1] || ' ' || ws[pos+2] || ' ' || ws[pos+3] || ' ' || ws[pos+4]
-      |    || ' ' || ws[pos+5] || ' ' || ws[pos+6] || ' ' || ws[pos+7] || ' '
-      |    || ws[pos+8] AS gram
-      |  FROM g
-      |), dup AS (
-      |  SELECT gram FROM gs GROUP BY gram HAVING count(*) >= 2
-      |), cov AS (
-      |  SELECT doc_id, pos FROM gs JOIN dup USING (gram)
-      |), brk AS (
-      |  SELECT doc_id, pos,
-      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-      |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
-      |      THEN 1 ELSE 0 END AS b
-      |  FROM cov
-      |), isl AS (
-      |  SELECT doc_id, pos,
-      |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      |  FROM brk
-      |), spans AS (
-      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
-      |  FROM isl GROUP BY doc_id, island
-      |), covpos AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM spans),
-      |toks AS (SELECT doc_id, unnest(range(len(ws))) AS p, ws FROM w),
-      |tok2 AS (SELECT doc_id, p, ws[p+1] AS tok FROM toks),
-      |kept AS (
-      |  SELECT t.doc_id, t.p, t.tok
-      |  FROM tok2 t LEFT JOIN covpos c ON t.doc_id = c.doc_id AND t.p = c.p
-      |  WHERE c.doc_id IS NULL
-      |), agg AS (
-      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
-      |  FROM kept GROUP BY doc_id
-      |), cleaned AS (
-      |  SELECT d.doc_id, coalesce(a.text, '') AS text
-      |  FROM n0 d LEFT JOIN agg a USING (doc_id)
-      |), cw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM cleaned),
-      |m AS (
-      |  SELECT doc_id, text,
-      |    CAST(len(ws) AS BIGINT) AS n_words,
-      |    CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / len(ws)
-      |      AS mean_word_len,
-      |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
-      |      + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE))
-      |      / len(ws) AS symbol_ratio,
-      |    CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
-      |      / len(ws) AS alpha_ratio,
-      |    CAST(len(list_intersect(ws, ['the','a','of','and','to','in','is','that']))
-      |      AS BIGINT) AS n_stop
-      |  FROM cw
-      |), pass AS (
-      |  SELECT doc_id, text FROM m
-      |  WHERE n_words >= 10 AND n_words <= 100000
-      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-      |    AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND n_stop >= 2
-      |), srcd AS (
-      |  SELECT p.doc_id, p.text, d.source
-      |  FROM pass p JOIN documents d USING (doc_id)
-      |), bkt AS (
-      |  SELECT doc_id, text, source,
-      |    (((abs(doc_id) % 999979) * 3266489917) % 4294967296) % 1000000 AS bk
-      |  FROM srcd
-      |), cps AS (
-      |  SELECT doc_id, text, source,
-      |    (CASE source WHEN 'src0' THEN 2 ELSE 1 END)
-      |    + (CASE WHEN bk < (CASE source WHEN 'src0' THEN 500000 ELSE 0 END)
-      |       THEN 1 ELSE 0 END) AS copies
-      |  FROM bkt
-      |), rep AS (
-      |  SELECT doc_id, text, source, unnest(range(copies)) AS copy
-      |  FROM cps WHERE copies >= 1
-      |)
-      |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-      |FROM rep GROUP BY source""".stripMargin
+  // Composed from the per-stage oracle fragments (normalize literal =
+  // normalizeSql's expression, spans/strip = DedupQueries.spansChainSql/
+  // stripChainSql over n0, gopher = gopherMetricsSql/gopherPassSql,
+  // upsample = the generated mixer CASEs) — one source of truth per
+  // stage, concatenated because stripMargin would corrupt embedded
+  // fragments whose lines begin with `||`.
+  private val cleanCorpusSql = {
+    val n0 =
+      """WITH n0 AS (
+        |  SELECT doc_id, trim(lower(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')))
+        |    AS text
+        |  FROM documents
+        |), """.stripMargin
+    val gopherStage =
+      ",\ncw AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM cleaned),\n" +
+        "m AS (\n  SELECT doc_id, text,\n" + gopherMetricsSql + "\n  FROM cw\n" +
+        "), pass AS (\n  SELECT doc_id, text FROM m\n  WHERE " + gopherPassSql + "\n)"
+    val upsampleStage =
+      s""", srcd AS (
+        |  SELECT p.doc_id, p.text, d.source
+        |  FROM pass p JOIN documents d USING (doc_id)
+        |), bkt AS (
+        |  SELECT doc_id, text, source, $upsampleBucketSql AS bk
+        |  FROM srcd
+        |), cps AS (
+        |  SELECT doc_id, text, source,
+        |    ${upsampleCopiesSql(cleanRates, 1.0)} AS copies
+        |  FROM bkt
+        |), rep AS (
+        |  SELECT doc_id, text, source, unnest(range(copies)) AS copy
+        |  FROM cps WHERE copies >= 1
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM rep GROUP BY source""".stripMargin
+    n0 + DedupQueries.spansChainSql("n0") + DedupQueries.stripChainSql("n0") +
+      gopherStage + upsampleStage
+  }
 
   // PII lives in no synthetic column, so both sides append IDENTICAL
   // deterministic PII (email/ip/phone derived from doc_id) to the text
