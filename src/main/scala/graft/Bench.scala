@@ -48,27 +48,39 @@ object Bench {
     // more than a parquet row count. The noop v2 sink evaluates and
     // discards every output row.
     //
-    // Median of `runs` (default 3): single-run timings of sub-second
-    // queries swing ±40% run-to-run (measured r2 vs r3 on identical
-    // binaries), which hides real 20% regressions. The median of 3 is
-    // robust to one GC/compilation hiccup while keeping wall-clock ~3×.
+    // Median of `runs` (default 3), with the runs INTERLEAVED as whole-
+    // suite rounds rather than back-to-back per query: single-run timings
+    // of sub-second queries swing ±40% run-to-run (measured r2 vs r3 on
+    // identical binaries), and this shared box additionally sees multi-
+    // minute external interference windows that inflated back-to-back
+    // samples of whichever queries they overlapped 10-60× (two full-suite
+    // runs of one binary: 56 s and 123 s, with DIFFERENT outlier sets).
+    // Spreading a query's samples a full suite-pass apart means one such
+    // window can taint at most one of its three samples — which the
+    // median discards. Same wall clock either way.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = selected.map { case (name, fn) =>
+    val names = selected.keys.toSeq.sorted
+    val timings =
+      scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    for (_ <- 1 to runs; name <- names) {
+      val fn = selected(name)
       hygiene(spark)
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        // A failed run is recorded, never swallowed: a broken query used to
-        // post a fast time and look healthy (r4 verdict, What's wrong #4).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          errors.getOrElseUpdate(name,
-            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+      val t0 = System.nanoTime()
+      // A failed run is recorded, never swallowed: a broken query used to
+      // post a fast time and look healthy (r4 verdict, What's wrong #4).
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      timings(name) = sec :: timings.getOrElse(name, Nil)
     }
+    val results = names.map { name =>
+      val times = timings(name).sorted
+      name -> times(times.length / 2)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
