@@ -60,13 +60,43 @@ object SessionQueries extends QueryProvider {
        |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
        |FROM s GROUP BY user_id, session_seq""".stripMargin
 
+  // Ordered-sequence funnel (Funnel.report): view -> click -> purchase,
+  // strictly-increasing first-touch times; stage populations are exact
+  // integer comparisons on the shared µs timestamps.
+  private def funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.report(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_type",
+      Seq("view", "click", "purchase"))
+
+  private val funnelSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id
+      |)
+      |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |UNION ALL
+      |SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+      |UNION ALL
+      |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize"    -> (sessionize _),
-    "q_session_stats" -> (sessionStats _)
+    "q_session_stats" -> (sessionStats _),
+    "q_funnel"        -> (funnel _)
   )
 
   override val oracles: Map[String, String] = Map(
     "q_sessionize"    -> sessionizeSql,
-    "q_session_stats" -> sessionStatsSql
+    "q_session_stats" -> sessionStatsSql,
+    "q_funnel"        -> funnelSql
   )
 }

@@ -30,4 +30,19 @@ class SessionizeSpec extends AnyFunSuite {
     assert(stats((2L, 1L)) == ((1L, 0L)))
     assert(stats((3L, 1L)) == ((2L, 0L)))
   }
+
+  test("funnel: strict first-touch ordering; same-timestamp and missing stages excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full path
+      (2L, 5L, "click"), (2L, 10L, "view"),   // click precedes first view
+      (3L, 10L, "view"),                      // view only
+      (4L, 10L, "click"), (4L, 20L, "purchase"), // never viewed
+      (5L, 10L, "view"), (5L, 10L, "click")   // simultaneous: strict > excludes
+    ).toDF("user_id", "us", "event_type")
+    val out = graft.operators.Funnel
+      .report(df, "user_id", "us", "event_type", Seq("view", "click", "purchase"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("1_view" -> 4L, "2_click" -> 1L, "3_purchase" -> 1L))
+  }
 }
