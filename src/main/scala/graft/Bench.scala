@@ -81,14 +81,22 @@ object Bench {
       val times = timings(name).sorted
       name -> times(times.length / 2)
     }.toMap
+    // Per-query MIN alongside the median: min-of-interleaved-rounds is the
+    // standard co-tenant-robust statistic (the median of 3 still admits
+    // one tainted + one slow sample); judge regressions by mins, report
+    // totals by medians (see BENCH_ISOLATED.md).
+    val mins = names.map(name => name -> timings(name).min).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs}"""
     println(json)
     // Also write to a file: the driver's stdout tail-capture truncated 4
     // of 70 entries in r3; the file is the complete, parseable record.

@@ -256,7 +256,7 @@ object Dedup {
    *  instead of leaking one per call. `threshold` is deliberately absent
    *  from the key: the gram table does not depend on it. */
   private val gramCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Any, String, String, String, Int, Int), DataFrame]()
+    (String, Any, String, String, String, Int, Int), DataFrame]()
 
   /** Number of live memoized gram tables (test/monitoring hook). */
   def gramCacheSize: Int = gramCache.size
@@ -300,7 +300,7 @@ object Dedup {
       .withColumn("salt", pmod(xxhash64(col("doc")), lit(saltBuckets)).cast("int"))
     val grams =
       if (cacheGrams) {
-        val key = (System.identityHashCode(df.sparkSession),
+        val key = (df.sparkSession.sparkContext.applicationId,
           df.queryExecution.analyzed.canonicalized: Any,
           textCol, idCol, blockCol, n, saltBuckets)
         val cached = gramCache.computeIfAbsent(key, _ =>

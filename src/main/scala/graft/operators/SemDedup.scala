@@ -30,14 +30,15 @@ import org.apache.spark.sql.functions._
  */
 object SemDedup {
 
-  /** Within-cell near-duplicate pairs (vec_a, vec_b) under a quantizer
-   *  trained on the corpus itself. Public so specs can compare the pair
-   *  set against unblocked ground truth. */
+  /** Within-cell near-duplicate pairs (vec_a, vec_b) under a PRE-TRAINED
+   *  quantizer — the production entry point: at scale the coarse quantizer
+   *  is trained once at ingest and shared between the dedup pass and the
+   *  IVF index (see `SimilarityQueries.ivfCentroids`), never retrained per
+   *  invocation. */
   def semanticPairs(
       df: DataFrame, vecCol: String, idCol: String,
-      k: Int, iters: Int, threshold: Double,
-      saltBuckets: Int = 8): DataFrame = {
-    val centroids = Kmeans.train(df, vecCol, idCol, k, iters)
+      centroids: Array[Array[Double]], threshold: Double,
+      saltBuckets: Int): DataFrame = {
     val blocked = df.withColumn("__cell",
       org.apache.spark.sql.graft.GraftKmeans
         .nearestCentroid(col(vecCol), centroids))
@@ -46,15 +47,36 @@ object SemDedup {
       threshold, saltBuckets)
   }
 
-  /** The corpus with semantic near-duplicates removed: one canonical
-   *  (min-id) member survives per duplicate group; rows in no group pass
-   *  through untouched. */
-  def semantic(
+  /** Within-cell near-duplicate pairs (vec_a, vec_b) under a quantizer
+   *  trained inline on the corpus itself — the self-contained convenience
+   *  form (trains k-means on every call; reuse the centroids overload when
+   *  invoking repeatedly). Public so specs can compare the pair set
+   *  against unblocked ground truth. */
+  def semanticPairs(
       df: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int, threshold: Double,
-      saltBuckets: Int = 8): DataFrame = {
-    val pairs = semanticPairs(df, vecCol, idCol, k, iters, threshold, saltBuckets)
+      saltBuckets: Int = 8): DataFrame =
+    semanticPairs(df, vecCol, idCol,
+      Kmeans.train(df, vecCol, idCol, k, iters), threshold, saltBuckets)
+
+  /** The corpus with semantic near-duplicates removed under a PRE-TRAINED
+   *  quantizer: one canonical (min-id) member survives per duplicate
+   *  group; rows in no group pass through untouched. */
+  def semantic(
+      df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      saltBuckets: Int): DataFrame = {
+    val pairs = semanticPairs(df, vecCol, idCol, centroids, threshold, saltBuckets)
     val cc = Clusters.connectedComponents(pairs, "vec_a", "vec_b")
     Clusters.survivors(df, idCol, cc)
   }
+
+  /** Inline-training form of [[semantic]] (see the k/iters
+   *  [[semanticPairs]] note on when to prefer the centroids overload). */
+  def semantic(
+      df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, threshold: Double,
+      saltBuckets: Int = 8): DataFrame =
+    semantic(df, vecCol, idCol,
+      Kmeans.train(df, vecCol, idCol, k, iters), threshold, saltBuckets)
 }

@@ -143,6 +143,24 @@ object BuiltinOps {
         df => Sessionize.assign(df, key, ts, gap, tie))
     },
 
+    // Ordered-sequence funnel over an event log (SURVEY.md §2.5):
+    // mode=report (default) emits (stage, n_users); mode=users emits
+    // per-user first-touch times; optional conversion window in the ts
+    // column's units.
+    "funnel" -> { a =>
+      val (user, ts, typ) = (a.str("user"), a.str("ts"), a.str("type"))
+      val stages = a.str("stages").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val window = a.strOpt("window").map(_.toLong)
+      val mode = a.strOpt("mode").getOrElse("report")
+      LensOp(s"funnel(${stages.mkString(">")}${window.fold("")(w => s", w=$w")}, $mode)",
+        df => mode match {
+          case "users" =>
+            graft.operators.Funnel.userStages(df, user, ts, typ, stages, window)
+          case _ =>
+            graft.operators.Funnel.report(df, user, ts, typ, stages, window)
+        })
+    },
+
     // Deterministic per-group sampling: k smallest xxhash64(id, salt).
     "sample_group" -> { a =>
       val (group, id) = (a.str("group"), a.str("id"))

@@ -88,15 +88,80 @@ object SessionQueries extends QueryProvider {
       |UNION ALL
       |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin
 
+  // Conversion-window funnel: stage i+1 must land within 24h of stage i's
+  // first touch — pure integer µs arithmetic on both engines, so the
+  // windowed variant is exactly DuckDB-checkable too.
+  private val WindowUs = 24L * 3600 * 1000000L
+
+  private def funnelWindowed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.report(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_type",
+      Seq("view", "click", "purchase"), windowUs = Some(WindowUs))
+
+  private val funnelWindowedSql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+       |), s1 AS (
+       |  SELECT user_id, min(us) AS t1 FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'click' AND us > t1 AND us <= t1 + $WindowUs
+       |  GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + $WindowUs
+       |  GROUP BY e.user_id
+       |)
+       |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+       |UNION ALL
+       |SELECT '2_click', CAST(count(*) AS BIGINT) FROM s2
+       |UNION ALL
+       |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin
+
+  // Per-user stage first-touch times (windowed) — the long-format output
+  // downstream joins consume; every value is an exact integer.
+  private def funnelUsers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.userStages(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_type",
+      Seq("view", "click", "purchase"), windowUs = Some(WindowUs))
+
+  private val funnelUsersSql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+       |), s1 AS (
+       |  SELECT user_id, min(us) AS t1 FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'click' AND us > t1 AND us <= t1 + $WindowUs
+       |  GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + $WindowUs
+       |  GROUP BY e.user_id
+       |)
+       |SELECT user_id, '1_view' AS stage, CAST(t1 AS BIGINT) AS first_us FROM s1
+       |UNION ALL
+       |SELECT user_id, '2_click', CAST(t2 AS BIGINT) FROM s2
+       |UNION ALL
+       |SELECT user_id, '3_purchase', CAST(t3 AS BIGINT) FROM s3""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sessionize"    -> (sessionize _),
-    "q_session_stats" -> (sessionStats _),
-    "q_funnel"        -> (funnel _)
+    "q_sessionize"      -> (sessionize _),
+    "q_session_stats"   -> (sessionStats _),
+    "q_funnel"          -> (funnel _),
+    "q_funnel_windowed" -> (funnelWindowed _),
+    "q_funnel_users"    -> (funnelUsers _)
   )
 
   override val oracles: Map[String, String] = Map(
-    "q_sessionize"    -> sessionizeSql,
-    "q_session_stats" -> sessionStatsSql,
-    "q_funnel"        -> funnelSql
+    "q_sessionize"      -> sessionizeSql,
+    "q_session_stats"   -> sessionStatsSql,
+    "q_funnel"          -> funnelSql,
+    "q_funnel_windowed" -> funnelWindowedSql,
+    "q_funnel_users"    -> funnelUsersSql
   )
 }

@@ -106,7 +106,7 @@ object SimilarityQueries extends QueryProvider {
 
   private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
     pqCache.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}:$dir",
+      s"${s.sparkContext.applicationId}:$dir",
       _ => graft.operators.Pq.train(T(s, dir, "embeddings"),
         "embedding", "vec_id", m = 16, ksub = 16, iters = 2))
 
@@ -125,7 +125,7 @@ object SimilarityQueries extends QueryProvider {
 
   private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
     ivfCache.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}:$dir",
+      s"${s.sparkContext.applicationId}:$dir",
       _ => graft.operators.Kmeans.train(T(s, dir, "embeddings"),
         "embedding", "vec_id", k = 16, iters = 3))
 
@@ -138,23 +138,36 @@ object SimilarityQueries extends QueryProvider {
 
   // Int8 quantization (Quantize.int8): floor-based codes are exact
   // integers in both engines, so codes AND the double scale hash-match.
+  // The library API returns one array row per vector; the registered
+  // query posexplodes it to (vec_id, scale, idx, code) rows because the
+  // driver's comparator sorts column values and cannot sort a top-level
+  // array cell — same math, comparator-safe shape.
   private def quantizeInt8(s: SparkSession, dir: String): DataFrame =
     graft.operators.Quantize.int8(T(s, dir, "embeddings"), "embedding", "vec_id")
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("q")).as(Seq("idx", "code")))
+      .withColumn("idx", col("idx").cast("long"))
 
   private val quantizeInt8Sql =
     """WITH s AS (
       |  SELECT vec_id, embedding,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
       |      AS scale
-      |  FROM embeddings)
-      |SELECT vec_id, scale,
-      |  CASE
-      |    WHEN embedding IS NULL THEN NULL
-      |    WHEN scale > 0 THEN list_transform(embedding,
-      |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT))
-      |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
-      |  END AS q
-      |FROM s""".stripMargin
+      |  FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id, scale,
+      |    CASE
+      |      WHEN embedding IS NULL THEN NULL
+      |      WHEN scale > 0 THEN list_transform(embedding,
+      |        x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT))
+      |      ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |    END AS q
+      |  FROM s)
+      |SELECT vec_id, scale, CAST(i1 - 1 AS BIGINT) AS idx, code FROM (
+      |  SELECT vec_id, scale,
+      |    unnest(list_transform(q, (x, i) -> i)) AS i1,
+      |    unnest(q) AS code
+      |  FROM codes)""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_brute"  -> (topkBrute _),

@@ -35,7 +35,7 @@ object StorageQueries extends QueryProvider {
     // instead of poisoning every later io_bucketed_join in the JVM.
     bucketedBuilt.synchronized {
       val base = Scratch.dir(dir, "bucketed")
-      val key = s"${System.identityHashCode(s.sparkContext)}:$base"
+      val key = s"${s.sparkContext.applicationId}:$base"
       if (bucketedBuilt.contains(key)) return
       val cat = s.catalog
       Seq("g_orders_b", "g_customer_b").foreach { t =>

@@ -54,7 +54,7 @@ object TextQueries extends QueryProvider {
 
   private def trainedMerges(s: SparkSession, dir: String): Seq[String] =
     mergeCache.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}:$dir",
+      s"${s.sparkContext.applicationId}:$dir",
       _ => graft.operators.Bpe
         .train(T(s, dir, "documents"), "text", merges = 10, minFreq = 2)
         .orderBy("step").select("pair").collect().map(_.getString(0)).toSeq)

@@ -45,6 +45,76 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(unique, "text", merges = 3).count() == 0L)
   }
 
+  test("batched training is bit-identical to sequential at several batch sizes") {
+    val df = docs.toDF("doc_id", "text")
+    val sequential = Bpe.train(df, "text", merges = 12, minFreq = 2, batch = 1)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    Seq(2, 4, 8, 16).foreach { b =>
+      val batched = Bpe.train(df, "text", merges = 12, minFreq = 2, batch = b)
+        .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(batched == sequential, s"batch=$b diverged from sequential")
+    }
+  }
+
+  test("batched training: fully disjoint top pairs commit together, list unchanged") {
+    // Three disjoint-alphabet words with separated frequencies and no
+    // cross pairs: W = 0, C = 0 — the whole batch commits in one round.
+    val df = Seq(
+      (1L, Seq.fill(100)("ab").mkString(" ")),
+      (2L, Seq.fill(60)("cd").mkString(" ")),
+      (3L, Seq.fill(30)("ef").mkString(" "))).toDF("doc_id", "text")
+    val got = Bpe.train(df, "text", merges = 3, minFreq = 2, batch = 8)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    val want = Bpe.referenceMerges(
+      Map("ab" -> 100L, "cd" -> 60L, "ef" -> 30L), merges = 3, minFreq = 2)
+      .map { case (s, p, f) => (s.toLong, p, f) }
+    assert(got == want)
+    assert(got.map(_._2) == Seq("a b", "c d", "e f"))
+  }
+
+  test("batched training: witness guard catches the created-pair tie hazard") {
+    // Adversarial chain: merging (a,d) f=100 converts "adg" into [ad][g],
+    // creating pair ("ad","g") at f=50 that TIES the disjoint candidate
+    // ("e","f") f=50 and beats it lexicographically ("ad g" < "e f") —
+    // an unguarded disjoint-pairs batch would commit ("e","f") second and
+    // diverge from sequential training. The W probe sees witness ("d","g")
+    // at f=50 and truncates the batch to one merge.
+    val df = Seq(
+      (1L, Seq.fill(50)("ad").mkString(" ")),
+      (2L, Seq.fill(50)("adg").mkString(" ")),
+      (3L, Seq.fill(50)("ef").mkString(" "))).toDF("doc_id", "text")
+    val wc = Map("ad" -> 50L, "adg" -> 50L, "ef" -> 50L)
+    val want = Bpe.referenceMerges(wc, merges = 3, minFreq = 2)
+      .map { case (s, p, f) => (s.toLong, p, f) }
+    // Sequential ground truth really does pick the created pair second.
+    assert(want.map(_._2) == Seq("a d", "ad g", "e f"))
+    val got = Bpe.train(df, "text", merges = 3, minFreq = 2, batch = 8)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("batched training equals the reference on random small-alphabet dictionaries") {
+    // Raw ScalaCheck Gens with fixed seeds (no scalatest bridge offline).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString))
+    val dictGen = Gen.mapOfN(8, Gen.zip(wordGen, Gen.choose(1L, 9L)))
+    (1 to 4).foreach { i =>
+      val wc = dictGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val df = wc.toSeq.zipWithIndex.map { case ((w, n), j) =>
+        (j.toLong, Seq.fill(n.toInt)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val want = Bpe.referenceMerges(wc, merges = 6, minFreq = 2)
+        .map { case (s, p, f) => (s.toLong, p, f) }
+      Seq(3, 8).foreach { b =>
+        val got = Bpe.train(df, "text", merges = 6, minFreq = 2, batch = b)
+          .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+        assert(got == want, s"sample $i batch=$b diverged: got=$got want=$want")
+      }
+    }
+  }
+
   // Rank-greedy reference encoder: lowest-rank present pair fuses (all
   // occurrences, left-to-right) until no trained pair remains.
   private def referenceEncode(word: String, merges: Seq[String]): Seq[String] = {

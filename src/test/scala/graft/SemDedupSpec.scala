@@ -58,6 +58,25 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out == Set(1L, 10L, 20L, 30L, 31L))
   }
 
+  test("semantic: pre-trained centroids overload equals inline training") {
+    val centroids = graft.operators.Kmeans
+      .train(corpus, "embedding", "vec_id", k = 3, iters = 3)
+    val viaTrained = SemDedup.semantic(corpus, "embedding", "vec_id",
+      centroids, threshold = 0.99, saltBuckets = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val inline = SemDedup.semantic(corpus, "embedding", "vec_id",
+      k = 3, iters = 3, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaTrained == inline)
+    val pairsTrained = SemDedup.semanticPairs(corpus, "embedding", "vec_id",
+      centroids, threshold = 0.99, saltBuckets = 8)
+      .as[(Long, Long)].collect().toSet
+    val pairsInline = SemDedup.semanticPairs(corpus, "embedding", "vec_id",
+      k = 3, iters = 3, threshold = 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(pairsTrained == pairsInline)
+  }
+
   test("semantic: deterministic across reruns; survivors+dropped partition the corpus") {
     val a = SemDedup.semantic(corpus, "embedding", "vec_id",
       k = 3, iters = 3, threshold = 0.99).select("vec_id").as[Long].collect().toSet

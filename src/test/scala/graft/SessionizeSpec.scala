@@ -45,4 +45,56 @@ class SessionizeSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(out == Map("1_view" -> 4L, "2_click" -> 1L, "3_purchase" -> 1L))
   }
+
+  test("funnel: conversion window bounds each stage; boundary is inclusive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),  // within W=10
+      (2L, 10L, "view"), (2L, 21L, "click"),                         // click 11 > W after view
+      (3L, 10L, "view"), (3L, 20L, "click"), (3L, 31L, "purchase"),  // purchase misses window
+      (4L, 10L, "view"), (4L, 15L, "click"), (4L, 25L, "purchase")   // boundary: 25 = 15+10 counts
+    ).toDF("user_id", "us", "event_type")
+    val out = graft.operators.Funnel
+      .report(df, "user_id", "us", "event_type",
+        Seq("view", "click", "purchase"), windowUs = Some(10L))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("1_view" -> 4L, "2_click" -> 3L, "3_purchase" -> 2L))
+  }
+
+  test("funnel: userStages emits per-user first-touch rows consistent with report") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 15L, "click"), (1L, 30L, "purchase"),
+      (2L, 5L, "view"), (2L, 50L, "click"),
+      (3L, 7L, "click")
+    ).toDF("user_id", "us", "event_type")
+    val rows = graft.operators.Funnel
+      .userStages(df, "user_id", "us", "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().toSet
+    // first-touch click for user 1 is the EARLIEST qualifying (15 > 10)
+    assert(rows == Set(
+      (1L, "1_view", 10L), (1L, "2_click", 15L), (1L, "3_purchase", 30L),
+      (2L, "1_view", 5L), (2L, "2_click", 50L)))
+  }
+
+  test("funnel: lens file drives report and users modes (builtin:funnel)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"),
+      (2L, 5L, "view")
+    ).toDF("user_id", "us", "event_type")
+    val report = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:funnel",
+        |  "arguments":{"user":"user_id","ts":"us","type":"event_type",
+        |               "stages":"view,click"}}]}""".stripMargin)
+      .forward(df).as[(String, Long)].collect().toMap
+    assert(report == Map("1_view" -> 2L, "2_click" -> 1L))
+    val users = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:funnel",
+        |  "arguments":{"user":"user_id","ts":"us","type":"event_type",
+        |               "stages":"view,click","window":"5","mode":"users"}}]}""".stripMargin)
+      .forward(df).as[(Long, String, Long)].collect().toSet
+    // window 5: user 1's click at 20 is 10 after view at 10 — excluded
+    assert(users == Set((1L, "1_view", 10L), (2L, "1_view", 5L)))
+  }
 }

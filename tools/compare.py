@@ -18,13 +18,18 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def tuplize(v):
+    # lists/arrays -> tuples, recursively, so cells sort/hash/compare
+    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+        return tuple(tuplize(x) for x in v)
+    return v
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
-            # lists/arrays -> tuples so they sort/compare
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
-                                str(type(v)).find("ndarray") >= 0 else v)
+            df[c] = df[c].apply(tuplize)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
