@@ -195,15 +195,31 @@ object Dedup {
    */
   def simHash(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, wideKeys: Boolean = true): DataFrame = {
-    require(maxHamming <= 3, "4-chunk blocking guarantees recall only for distance <= 3")
-    // Signature via the native SimHash64 expression — one tight primitive
-    // loop per row inside whole-stage codegen (see TextHash.simHash64 for
-    // the measured 65× gap vs the interpreted-HOF formulation).
-    val sigs = Par.spread(df, col(idCol))
+      maxHamming: Int = 3, wideKeys: Boolean = true): DataFrame =
+    simHashFromSignatures(simHashSignatures(df, textCol, idCol),
+      maxHamming, wideKeys)
+
+  /** The signature table behind [[simHash]]: (doc, simhash) — one 64-bit
+   *  signature per row via the native SimHash64 expression (one tight
+   *  primitive loop per row inside whole-stage codegen; see
+   *  TextHash.simHash64 for the measured 65× gap vs the interpreted-HOF
+   *  formulation). Public so the signature table can be materialized as
+   *  an ingest-time artifact and re-searched ([[simHashFromSignatures]])
+   *  — and so a cross-engine oracle can re-verify the blocking + hamming
+   *  math over the exact signatures Spark computed. */
+  def simHashSignatures(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Par.spread(df, col(idCol))
       .withColumn("tokens", split(col(textCol), " "))
       .select(col(idCol).as("doc"), TextHash.simHash64("tokens").as("simhash"))
 
+  /** Candidate blocking + exact hamming verify over a prebuilt (doc,
+   *  simhash) signature table — the search half of [[simHash]], usable
+   *  against a stored signature index. */
+  def simHashFromSignatures(
+      sigs: DataFrame, maxHamming: Int = 3,
+      wideKeys: Boolean = true): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking guarantees recall only for distance <= 3")
     val candidates =
       if (wideKeys) {
         val pairs = for { i <- 0 until 4; j <- 0 until 4 if i != j } yield (i, j)

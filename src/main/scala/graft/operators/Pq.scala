@@ -80,18 +80,41 @@ object Pq {
    *  (query_id, neighbor_id, rk) like the other similarity searches. */
   def topK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int): DataFrame =
+    searchIndex(
+      encode(Par.spread(corpus, col(idCol)), vecCol, idCol, codebooks)
+        .select(col(idCol).as("neighbor_id"), col("codes")),
+      queries, vecCol, idCol, codebooks, k)
+
+  /** ADC top-k over a PREBUILT (neighbor_id, codes) index — the
+   *  production search shape: the index is encoded once at ingest, stored
+   *  (m small ints + id per row), and scanned here without the float
+   *  vectors ever being resident. [[topK]] is encode-then-search over
+   *  this. */
+  def searchIndex(index: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String,
       codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val c = encode(Par.spread(corpus, col(idCol)), vecCol, idCol, codebooks)
-      .select(col(idCol).as("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    c.crossJoin(broadcast(q))
+    index.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", GraftPq.pqAdcCosine(col("q_vec"), col("codes"), codebooks))
       .withColumn("rk", rank().over(w).cast("long"))
       .where(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
+  /** The trained codebooks as a DataFrame — (sub, code, vals): sub-space
+   *  index, centroid index within it, and the dsub-wide centroid — the
+   *  relational form a catalog stores and a cross-engine oracle reads. */
+  def codebooksDf(s: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val rows = for {
+      (cb, sub) <- codebooks.zipWithIndex
+      (vals, code) <- cb.zipWithIndex
+    } yield (sub, code, vals.toSeq)
+    s.createDataFrame(rows.toSeq).toDF("sub", "code", "vals")
   }
 
   /** IVF×PQ — the production ANN layout (FAISS's IVFPQ): the corpus index

@@ -139,34 +139,52 @@ object Similarity {
       vecCol: String, idCol: String,
       nPlanes: Int = 4, tables: Int = 8, probes: Int = 1,
       dim: Int = 64): DataFrame = {
+    val c = srpCorpusBuckets(corpus, vecCol, idCol, nPlanes, tables, dim)
+    val q = srpQueryProbes(queries, vecCol, idCol, nPlanes, tables, probes, dim)
+    q.join(c, Seq("tbl", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "q_vec", "neighbor_id", "c_vec")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** The corpus-side SRP index behind [[srpCandidates]]: (neighbor_id,
+   *  c_vec, tbl, bucket) — ONE bucket per (row, table), the index a
+   *  100 TB corpus stores. Public so the bucket table can be materialized
+   *  and a cross-engine oracle can replay the bucket-join over the exact
+   *  integers Spark computed. */
+  def srpCorpusBuckets(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nPlanes: Int, tables: Int, dim: Int = 64): DataFrame = {
     val cBuckets = (0 until tables).map { t =>
-      struct(lit(t).as("table"),
+      struct(lit(t).as("tbl"),
         org.apache.spark.sql.graft.GraftSrp
           .srpBucket(col("c_vec"), tablePlanes(nPlanes, dim, t)).as("bucket"))
     }
-    val c = Par.spread(corpus, col(idCol))
+    Par.spread(corpus, col(idCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .select(col("neighbor_id"), col("c_vec"),
         explode(array(cBuckets: _*)).as("tb"))
       .select(col("neighbor_id"), col("c_vec"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
 
+  /** The query-side probe list behind [[srpCandidates]]: (query_id,
+   *  q_vec, tbl, bucket) — own bucket plus the `probes - 1` lowest-margin
+   *  perturbations per table; probing multiplies only this slim side. */
+  def srpQueryProbes(
+      queries: DataFrame, vecCol: String, idCol: String,
+      nPlanes: Int, tables: Int, probes: Int, dim: Int = 64): DataFrame = {
     val qProbes = (0 until tables).map { t =>
-      struct(lit(t).as("table"),
+      struct(lit(t).as("tbl"),
         org.apache.spark.sql.graft.GraftSrp
           .srpProbes(col("q_vec"), tablePlanes(nPlanes, dim, t), probes)
           .as("probes"))
     }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .select(col("query_id"), col("q_vec"),
         explode(array(qProbes: _*)).as("tb"))
-      .select(col("query_id"), col("q_vec"), col("tb.table").as("table"),
+      .select(col("query_id"), col("q_vec"), col("tb.tbl").as("tbl"),
         explode(col("tb.probes")).as("bucket"))
-
-    q.join(c, Seq("table", "bucket"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "q_vec", "neighbor_id", "c_vec")
-      .dropDuplicates("query_id", "neighbor_id")
   }
 
   /** Approximate top-k via multi-table, multi-probe SRP-LSH (candidate

@@ -70,6 +70,29 @@ object DedupQueries extends QueryProvider {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
 
+  // Cross-engine certification of the simhash candidate/verify math. The
+  // 64-bit signatures are engine-internal (native token-hash loop), so
+  // dedup_simhash itself stays rows-only — but GIVEN the signatures the
+  // rest is exact integer math. Spark materializes its signature table as
+  // an ingest-time artifact (Scratch.materialize), re-searches it through
+  // the pigeonhole blocking, and the oracle brute-forces all-pairs
+  // hamming over the SAME parquet — certifying blocking recall (the
+  // blocked path must find every pair brute force finds) and the bit
+  // arithmetic, as dedup_ref_exact does for the bloom path.
+  private def dedupSimhashVerify(s: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.materialize(s, dir, "simhash_sigs",
+      Dedup.simHashSignatures(T(s, dir, "documents"), "text", "doc_id"))
+    Dedup.simHashFromSignatures(s.read.parquet(path), maxHamming = 3)
+  }
+
+  private val dedupSimhashVerifySql =
+    s"""WITH s AS (SELECT doc, simhash
+       |  FROM read_parquet('${Scratch.oraclePath("simhash_sigs")}/*.parquet'))
+       |SELECT a.doc AS doc_a, b.doc AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.doc < b.doc
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(T(s, dir, "documents"), "text", "doc_id",
       blockCol = "lang", threshold = 0.7, n = 3)
@@ -471,6 +494,7 @@ object DedupQueries extends QueryProvider {
     "dedup_semantic"       -> (dedupSemantic _),
     "dedup_bloom_ref"      -> (dedupBloomRef _),
     "dedup_ref_exact"      -> (dedupRefExact _),
+    "dedup_simhash_verify" -> (dedupSimhashVerify _),
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_survivors"      -> (dedupSurvivors _),
     "dedup_survivors_from_map" -> (dedupSurvivorsFromMap _),
@@ -489,6 +513,7 @@ object DedupQueries extends QueryProvider {
     "dedup_spans"         -> dedupSpansSql,
     "dedup_strip_spans"   -> dedupStripSpansSql,
     "dedup_ref_exact"     -> dedupRefExactSql,
+    "dedup_simhash_verify" -> dedupSimhashVerifySql,
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_survivors"     -> dedupSurvivorsSql,
     "dedup_survivors_from_map" -> dedupSurvivorsSql,

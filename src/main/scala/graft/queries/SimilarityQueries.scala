@@ -136,6 +136,105 @@ object SimilarityQueries extends QueryProvider {
       k = 5, nprobe = 6)
   }
 
+  // Cross-engine certification of the ADC search math. The trained
+  // codebooks and codes are engine-internal (sim_pq_topk stays
+  // rows-only), but GIVEN them, reconstruction + cosine ranking is
+  // exactly replayable: Spark materializes the code index and the
+  // codebook table (Scratch.materialize), searches the index it wrote,
+  // and the oracle reconstructs each row from the SAME parquet
+  // (flatten sub-centroids in sub order) and ranks with the same
+  // dot/(sqrt·sqrt) shape — certifying PqAdcCosine against a from-first-
+  // principles SQL formulation.
+  private def pqAdcVerify(s: SparkSession, dir: String): DataFrame = {
+    val cbs = pqCodebooks(s, dir)
+    val emb = T(s, dir, "embeddings")
+    Scratch.materialize(s, dir, "pq_codebooks",
+      graft.operators.Pq.codebooksDf(s, cbs))
+    val idxPath = Scratch.materialize(s, dir, "pq_index",
+      graft.operators.Pq.encode(emb, "embedding", "vec_id", cbs)
+        .select(col("vec_id").as("neighbor_id"), col("codes")))
+    graft.operators.Pq.searchIndex(s.read.parquet(idxPath),
+      emb.where(col("vec_id") < 10), "embedding", "vec_id", cbs, k = 5)
+  }
+
+  private val pqAdcVerifySql =
+    s"""WITH cb AS (SELECT sub, code, vals
+       |  FROM read_parquet('${Scratch.oraclePath("pq_codebooks")}/*.parquet')),
+       |idx AS (SELECT neighbor_id, codes
+       |  FROM read_parquet('${Scratch.oraclePath("pq_index")}/*.parquet')),
+       |ic AS (
+       |  SELECT neighbor_id, CAST(i1 - 1 AS INT) AS sub, c AS code FROM (
+       |    SELECT neighbor_id,
+       |      unnest(list_transform(codes, (x, i) -> i)) AS i1,
+       |      unnest(codes) AS c
+       |    FROM idx)),
+       |recon AS (
+       |  SELECT ic.neighbor_id, flatten(list(cb.vals ORDER BY ic.sub)) AS r
+       |  FROM ic JOIN cb ON cb.sub = ic.sub AND cb.code = ic.code
+       |  GROUP BY ic.neighbor_id),
+       |rn AS (SELECT neighbor_id, r,
+       |    sqrt(list_sum(list_transform(r, x -> x * x))) AS nr FROM recon),
+       |qn AS (SELECT vec_id AS query_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qn.query_id, rn.neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(qn.embedding[i] AS DOUBLE) * rn.r[i]))
+       |      / (qn.nq * rn.nr) AS cos
+       |  FROM qn JOIN rn ON rn.neighbor_id <> qn.query_id)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(rank() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5""".stripMargin
+
+  // Cross-engine certification of the SRP candidate/verify math: bucket
+  // ids are engine-internal (sim_ann_srp stays rows-only), but GIVEN the
+  // materialized corpus buckets and query probe lists the candidate set
+  // is an exact integer join, and the cosine verify runs on the original
+  // embeddings both engines share. Threshold output (ids only) instead of
+  // top-k: the candidate set — the part under test — determines the
+  // result with no rank-tie sensitivity.
+  private def srpVerify(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val cPath = Scratch.materialize(s, dir, "srp_corpus_buckets",
+      Similarity.srpCorpusBuckets(emb, "embedding", "vec_id",
+        nPlanes = 8, tables = 16).select("neighbor_id", "tbl", "bucket"))
+    val qPath = Scratch.materialize(s, dir, "srp_query_probes",
+      Similarity.srpQueryProbes(emb.where(col("vec_id") < 10),
+        "embedding", "vec_id", nPlanes = 8, tables = 16, probes = 9)
+        .select("query_id", "tbl", "bucket"))
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    s.read.parquet(qPath).join(s.read.parquet(cPath), Seq("tbl", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+      .join(vecs.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_vec")), "query_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec")), "neighbor_id")
+      .where(graft.functions.TextHash.cosine("q_vec", "c_vec") >= 0.32)
+      .select("query_id", "neighbor_id")
+  }
+
+  private val srpVerifySql =
+    s"""WITH cbk AS (SELECT * FROM
+       |  read_parquet('${Scratch.oraclePath("srp_corpus_buckets")}/*.parquet')),
+       |p AS (SELECT * FROM
+       |  read_parquet('${Scratch.oraclePath("srp_query_probes")}/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, cbk.neighbor_id
+       |  FROM p JOIN cbk ON p.tbl = cbk.tbl AND p.bucket = cbk.bucket
+       |  WHERE cbk.neighbor_id <> p.query_id),
+       |n AS ($NORMED)
+       |SELECT cand.query_id, cand.neighbor_id
+       |FROM cand
+       |JOIN n q ON q.vec_id = cand.query_id
+       |JOIN n c ON c.vec_id = cand.neighbor_id
+       |WHERE $COS >= 0.32""".stripMargin
+
   // Int8 quantization (Quantize.int8): floor-based codes are exact
   // integers in both engines, so codes AND the double scale hash-match.
   // The library API returns one array row per vector; the registered
@@ -177,17 +276,26 @@ object SimilarityQueries extends QueryProvider {
     "sim_ann_srp"     -> (srpAnn _),
     "sim_quantize_int8" -> (quantizeInt8 _),
     "sim_pq_topk"     -> (pqTopk _),
-    "sim_ivfpq_topk"  -> (ivfPqTopk _)
+    "sim_ivfpq_topk"  -> (ivfPqTopk _),
+    "sim_pq_adc_verify" -> (pqAdcVerify _),
+    "sim_srp_verify"  -> (srpVerify _)
   )
 
   override val oracles: Map[String, String] = Map(
     "sim_topk_brute" -> topkBruteSql,
     "sim_threshold"  -> thresholdNbrsSql,
     "sim_ivf_topk"   -> ivfTopkSql,
-    "sim_quantize_int8" -> quantizeInt8Sql
+    "sim_quantize_int8" -> quantizeInt8Sql,
+    "sim_pq_adc_verify" -> pqAdcVerifySql,
+    "sim_srp_verify"    -> srpVerifySql
     // sim_ann_srp: approximate (LSH) — rows-only; recall bound covered in
-    // SimilaritySpec against the brute-force baseline.
+    // SimilaritySpec against the brute-force baseline. sim_srp_verify
+    // hash-certifies the bucket-join + cosine verify over materialized
+    // buckets.
     // sim_ivf_kmeans: cluster ids come from the trained quantizer
     // (engine-internal) — rows-only; SimilaritySpec pins recall/determinism.
+    // sim_pq_topk / sim_ivfpq_topk: trained-model internals — rows-only;
+    // sim_pq_adc_verify hash-certifies the ADC math over materialized
+    // codes + codebooks.
   )
 }
