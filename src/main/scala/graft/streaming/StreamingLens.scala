@@ -133,21 +133,36 @@ object StreamingLens {
    * stream-static left_anti is not a supported join type. Stateless — no
    * watermark, no streaming state; at 100 TB-reference scale swap the
    * broadcast keys for the Bloom probe column (same plan shape, 8 MiB
-   * instead of the key set). Caller owns the lifecycle: unpersist the
-   * returned plan's static side by stopping the query and calling
-   * `spark.catalog.clearCache()` (or keep it — the key set is the index).
+   * instead of the key set).
+   *
+   * Lifecycle: build the key set ONCE with [[referenceKeys]] and bind any
+   * number of streams to it with [[decontaminateWith]] — the caller holds
+   * the persisted handle and unpersists exactly that when done (query
+   * restarts and retries then reuse one cached copy instead of
+   * accumulating them). This convenience form persists a fresh key set
+   * per call and is for one-shot pipelines only.
    */
   def decontaminate(
-      stream: DataFrame, ref: DataFrame, textCol: String): DataFrame = {
-    val refKeys = ref
-      .select(xxhash64(col(textCol)).as("__h")).distinct()
+      stream: DataFrame, ref: DataFrame, textCol: String): DataFrame =
+    decontaminateWith(stream, referenceKeys(ref, textCol), textCol)
+
+  /** The persisted static side of [[decontaminate]]: distinct 8-byte
+   *  content hashes of the reference corpus, built once per reference.
+   *  The caller owns the returned handle — `unpersist()` it after the
+   *  queries bound via [[decontaminateWith]] stop. */
+  def referenceKeys(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(xxhash64(col(textCol)).as("__h")).distinct()
       .withColumn("__hit", lit(true))
       .persist()
+
+  /** Bind a stream to a prepared [[referenceKeys]] table (broadcast per
+   *  micro-batch; anti semantics via left-outer + null-filter). */
+  def decontaminateWith(
+      stream: DataFrame, refKeys: DataFrame, textCol: String): DataFrame =
     stream.withColumn("__h", xxhash64(col(textCol)))
       .join(broadcast(refKeys), Seq("__h"), "left")
       .where(col("__hit").isNull)
       .drop("__h", "__hit")
-  }
 
   /**
    * Stateful per-key sequence numbers — the streaming answer to the

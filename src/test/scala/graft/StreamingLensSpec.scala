@@ -182,4 +182,73 @@ class StreamingLensSpec extends AnyFunSuite {
         ("b", 1L, 1L), ("b", 2L, 2L)))
     } finally q.stop()
   }
+
+  test("referenceKeys handle: caller builds once, binds, and unpersists exactly it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ref = Seq("seen one").toDF("text")
+    val refKeys = StreamingLens.referenceKeys(ref, "text")
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingLens.decontaminateWith(
+      in.toDF.toDF("doc_id", "text"), refKeys, "text")
+    val q = out.writeStream.format("memory").queryName("s_decon_keys").start()
+    try {
+      in.addData((1L, "fresh"), (2L, "seen one"))
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from s_decon_keys")
+        .as[Long].collect().toSeq
+      assert(kept == Seq(1L))
+      assert(refKeys.storageLevel.useMemory)
+    } finally q.stop()
+    refKeys.unpersist(blocking = true)
+    assert(!refKeys.storageLevel.useMemory)
+  }
+
+  test("gopher filtering binds free to a stream (builtin:gopher_rules)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:gopher_rules","arguments":{"min_words":"3"}},
+        |  {"path":"builtin:filter","arguments":{"expr":"gopher_pass"}}
+        |]}""".stripMargin)
+    val out = StreamingLens.forward(pipe, in.toDF.toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("s_gopher").start()
+    try {
+      in.addData(
+        (1L, "the cat sat on the mat and purred"),
+        (2L, "hi"))  // below min_words: fails the rule set
+      q.processAllAvailable()
+      // stateless per-row projection: later micro-batches filter identically
+      in.addData((3L, "a quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from s_gopher")
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("fractional upsampling binds free to a stream (builtin:upsample)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:upsample",
+        |  "arguments":{"group":"src","rates":{"hot":"2.0"},"default":"1.0"}}]}""".stripMargin)
+    val out = StreamingLens.forward(pipe, in.toDF.toDF("doc_id", "src"))
+    val q = out.writeStream.format("memory").queryName("s_upsample").start()
+    try {
+      in.addData((1L, "hot"), (2L, "cold"))
+      q.processAllAvailable()
+      in.addData((3L, "hot"))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, copy from s_upsample")
+        .as[(Long, Long)].collect().toSet
+      // integer rate 2.0 → exactly two copies of every 'hot' row, one of
+      // the rest — deterministic, and identical across micro-batches
+      assert(rows == Set(
+        (1L, 0L), (1L, 1L), (2L, 0L), (3L, 0L), (3L, 1L)))
+    } finally q.stop()
+  }
 }
