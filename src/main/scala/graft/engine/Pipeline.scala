@@ -130,7 +130,18 @@ object Pipeline {
     val args = Args(s.arguments)
     val op: LensOp =
       if (s.path == "builtin:opaque") {
-        OpaqueOp(args.str("guest"), times, serial = args.bool("serial"))
+        // Arguments beyond the host keys are the MODULE's parameters,
+        // handed to the guest's set_param export (P6) — the reference
+        // passes the stage's arguments JSON to the module the same way
+        // (reference: tests/integration/cli/with_params_test.go).
+        val params = s.arguments.filterNot { case (k, _) =>
+          k == "guest" || k == "instance" || k == "serial" }
+        val paramsJson =
+          if (params.isEmpty) None
+          else Some(params.map { case (k, v) =>
+            s"${graft.model.Json.quote(k)}:$v" }.mkString("{", ",", "}"))
+        OpaqueOp(args.str("guest"), times, serial = args.bool("serial"),
+          params = paramsJson)
       } else if (ModuleFetch.supports(s.path)) {
         // A stage may reference a whole stored lens FILE by URL — the
         // reference's scheme-dispatched fetch (reference:

@@ -43,6 +43,52 @@ trait BytesGuest extends Serializable {
   /** Instantiate guest state (once per partition); the returned function
    *  performs one bytes-in/bytes-out transform per item. */
   def open(): Array[Byte] => Array[Byte]
+
+  /** The `set_param` export at the byte level: the stage's arguments JSON
+   *  (host keys removed), handed over once at configure time; returns the
+   *  parameterized guest. The default models a module compiled WITHOUT
+   *  the export (parameters error); a parameterized module overrides and
+   *  conversely rejects None ("Parameters have not been set.", reference:
+   *  tests/integration/cli/with_params_test.go). */
+  def configured(paramsJson: Option[Array[Byte]]): BytesGuest = {
+    require(paramsJson.isEmpty, "guest does not export set_param")
+    this
+  }
+
+  /** The optional `inverse` export (reference:
+   *  tests/integration/cli/with_inverse_test.go). */
+  def inverseGuest: Option[BytesGuest] = None
+}
+
+/**
+ * The PULL form of the byte ABI — for len-changing modules. The
+ * reference's `Transform(next)` receives no item: the module pulls source
+ * items itself through `next` (zero, one, or many per call — each one
+ * JSON-framed, None = end of stream) and returns ONE framed output item
+ * per call, or None once exhausted (reference:
+ * host-go/engine/module/instance.go:16, host-go/engine/pipes/
+ * fromPipe.go:36-140). A filter pulls until an item passes; a normalize
+ * pulls one item, buffers, and emits the buffer across subsequent calls
+ * WITHOUT pulling — the with_len_change CLI cases. Mounted via
+ * [[BytesGuest.asPartitionGuest]].
+ */
+trait PullBytesGuest extends Serializable {
+
+  /** Output document shape (stable across items). */
+  def outputSchema(in: StructType): StructType
+
+  /** Instantiate guest state (once per partition); the returned function
+   *  is one `Transform(next)` call. */
+  def open(): (() => Option[Array[Byte]]) => Option[Array[Byte]]
+
+  /** `set_param`, as in [[BytesGuest.configured]]. */
+  def configured(paramsJson: Option[Array[Byte]]): PullBytesGuest = {
+    require(paramsJson.isEmpty, "guest does not export set_param")
+    this
+  }
+
+  /** Optional `inverse` export, as in [[BytesGuest.inverseGuest]]. */
+  def inverseGuest: Option[PullBytesGuest] = None
 }
 
 object BytesGuest {
@@ -55,6 +101,12 @@ object BytesGuest {
    *  drive it from a `builtin:opaque` lens-file stage. */
   def asRowGuest(guest: BytesGuest): RowGuest = new RowGuest {
     override def outputSchema(in: StructType): StructType = guest.outputSchema(in)
+
+    override def configured(params: Option[String]): RowGuest =
+      asRowGuest(guest.configured(params.map(_.getBytes(UTF_8))))
+
+    override def inverseGuest: Option[RowGuest] =
+      guest.inverseGuest.map(asRowGuest)
 
     override def open(in: StructType): Row => Row = {
       val f = guest.open()
@@ -76,27 +128,99 @@ object BytesGuest {
     }
   }
 
+  /** Mount a pull-mode byte guest behind the [[PartitionGuest]] seam: the
+   *  host feeds `next` with JSON-framed partition rows and drains
+   *  `Transform(next)` until end-of-stream — the reference's pull loop
+   *  (host-go/engine/pipes/fromPipe.go:36-140) with Spark's partition
+   *  iterator as the source pipe. */
+  def asPartitionGuest(guest: PullBytesGuest): PartitionGuest = new PartitionGuest {
+    override def outputSchema(in: StructType): StructType = guest.outputSchema(in)
+
+    override def configured(params: Option[String]): PartitionGuest =
+      asPartitionGuest(guest.configured(params.map(_.getBytes(UTF_8))))
+
+    override def inverseGuest: Option[PartitionGuest] =
+      guest.inverseGuest.map(asPartitionGuest)
+
+    override def open(in: StructType): Iterator[Row] => Iterator[Row] = {
+      val out = guest.outputSchema(in)
+      rows => {
+        val transform = guest.open()
+        val pull: () => Option[Array[Byte]] =
+          () => if (rows.hasNext) Some(toJson(rows.next(), in)) else None
+        new Iterator[Row] {
+          private var pending: Row = null
+          private var eos = false
+          def hasNext: Boolean = pending != null || (!eos && {
+            transform(pull) match {
+              case Some(b) => pending = fromJson(b, out); true
+              case None    => eos = true; false
+            }
+          })
+          def next(): Row = { val r = pending; pending = null; r }
+        }
+      }
+    }
+  }
+
   private def mapper = BytesGuestMapper.m
 
-  /** One item → one JSON object (the reference host's framing). */
+  private def putScalar(node: ObjectNode, name: String, dt: DataType,
+      v: Any): Unit = dt match {
+    case StringType  => node.put(name, v.asInstanceOf[String])
+    case IntegerType => node.put(name, v.asInstanceOf[Int])
+    case LongType    => node.put(name, v.asInstanceOf[Long])
+    case DoubleType  => node.put(name, v.asInstanceOf[Double])
+    case FloatType   => node.put(name, v.asInstanceOf[Float].toDouble)
+    case BooleanType => node.put(name, v.asInstanceOf[Boolean])
+    case ShortType   => node.put(name, v.asInstanceOf[Short].toInt)
+    case ByteType    => node.put(name, v.asInstanceOf[Byte].toInt)
+    case other => throw new IllegalArgumentException(
+      s"BytesGuest framing supports JSON scalars; column '$name' is $other")
+  }
+
+  /** One item → one JSON object (the reference host's framing). Supported
+   *  field types: the JSON-representable scalars plus one-level arrays of
+   *  them — the value space the reference's JSON documents carry. */
   private[graft] def toJson(row: Row, schema: StructType): Array[Byte] = {
     val node = mapper.createObjectNode()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (row.isNullAt(i)) node.putNull(f.name)
       else f.dataType match {
-        case StringType  => node.put(f.name, row.getString(i))
-        case IntegerType => node.put(f.name, row.getInt(i))
-        case LongType    => node.put(f.name, row.getLong(i))
-        case DoubleType  => node.put(f.name, row.getDouble(i))
-        case FloatType   => node.put(f.name, row.getFloat(i).toDouble)
-        case BooleanType => node.put(f.name, row.getBoolean(i))
-        case ShortType   => node.put(f.name, row.getShort(i).toInt)
-        case ByteType    => node.put(f.name, row.getByte(i).toInt)
-        case other => throw new IllegalArgumentException(
-          s"BytesGuest framing supports JSON scalars; column '${f.name}' is $other")
+        case ArrayType(et, _) =>
+          val arr = node.putArray(f.name)
+          row.getSeq[Any](i).foreach {
+            case null => arr.addNull()
+            case v => et match {
+              case StringType  => arr.add(v.asInstanceOf[String])
+              case IntegerType => arr.add(v.asInstanceOf[Int])
+              case LongType    => arr.add(v.asInstanceOf[Long])
+              case DoubleType  => arr.add(v.asInstanceOf[Double])
+              case FloatType   => arr.add(v.asInstanceOf[Float].toDouble)
+              case BooleanType => arr.add(v.asInstanceOf[Boolean])
+              case ShortType   => arr.add(v.asInstanceOf[Short].toInt)
+              case ByteType    => arr.add(v.asInstanceOf[Byte].toInt)
+              case other => throw new IllegalArgumentException(
+                s"BytesGuest framing: unsupported array element $other in '${f.name}'")
+            }
+          }
+        case dt => putScalar(node, f.name, dt, row.get(i))
       }
     }
     mapper.writeValueAsString(node).getBytes(UTF_8)
+  }
+
+  private def readScalar(v: JsonNode, dt: DataType, name: String): Any = dt match {
+    case StringType  => v.asText()
+    case IntegerType => v.asInt()
+    case LongType    => v.asLong()
+    case DoubleType  => v.asDouble()
+    case FloatType   => v.asDouble().toFloat
+    case BooleanType => v.asBoolean()
+    case ShortType   => v.asInt().toShort
+    case ByteType    => v.asInt().toByte
+    case other => throw new IllegalArgumentException(
+      s"BytesGuest framing supports JSON scalars; column '$name' is $other")
   }
 
   /** JSON object bytes → one Row in `schema` order; missing fields are
@@ -108,16 +232,12 @@ object BytesGuest {
       val v: JsonNode = node.get(f.name)
       if (v == null || v.isNull) null
       else f.dataType match {
-        case StringType  => v.asText()
-        case IntegerType => v.asInt()
-        case LongType    => v.asLong()
-        case DoubleType  => v.asDouble()
-        case FloatType   => v.asDouble().toFloat
-        case BooleanType => v.asBoolean()
-        case ShortType   => v.asInt().toShort
-        case ByteType    => v.asInt().toByte
-        case other => throw new IllegalArgumentException(
-          s"BytesGuest framing supports JSON scalars; column '${f.name}' is $other")
+        case ArrayType(et, _) =>
+          import scala.jdk.CollectionConverters._
+          v.elements().asScala.map { e =>
+            if (e.isNull) null else readScalar(e, et, f.name)
+          }.toSeq
+        case dt => readScalar(v, dt, f.name)
       }
     })
   }

@@ -42,6 +42,59 @@ trait RowGuest extends Serializable {
    *  Under stage fusion the instance is opened once with the FIRST stage's
    *  input schema; applications 2..k see the guest's own output shape. */
   def open(in: StructType): Row => Row
+
+  /** P6 — the `set_param` export: called once at configure time with the
+   *  stage's `arguments` JSON (host keys guest/instance/serial removed;
+   *  None when no parameters were given), returning the parameterized
+   *  guest. The default models a module WITHOUT the export: parameters
+   *  error, absence of parameters is identity (reference:
+   *  tests/integration/cli/with_params_test.go — a parameterized module
+   *  conversely rejects None with "Parameters have not been set."). */
+  def configured(params: Option[String]): RowGuest = {
+    require(params.isEmpty, "guest does not export set_param")
+    this
+  }
+
+  /** P11 — the optional `inverse` export (reference:
+   *  tests/integration/cli/with_inverse_test.go): None models a module
+   *  compiled without it; `builtin:opaque` with `"inverse": true` then
+   *  fails exactly like the reference's "Export `inverse` does not
+   *  exist". */
+  def inverseGuest: Option[RowGuest] = None
+}
+
+/**
+ * The PULL form of the guest contract — for len-changing modules. The
+ * reference's `Transform(next)` does not receive an item: the module
+ * PULLS source items itself (zero, one, or many per call) and returns one
+ * output item per call, or end-of-stream (reference:
+ * host-go/engine/module/instance.go:16, pull loop
+ * host-go/engine/pipes/fromPipe.go:36-140). A filter pulls until an item
+ * passes (1:≤1); a normalize pulls one item, buffers its pages, and
+ * returns them on subsequent calls WITHOUT pulling (1:N) — exactly the
+ * reference's with_len_change CLI cases.
+ *
+ * 100 TB shape: still a narrow per-partition stage — the pull loop runs
+ * inside mapPartitions, items stream through without materializing the
+ * partition; buffering is bounded by the guest's own window (one document
+ * of pages), never the partition.
+ */
+trait PartitionGuest extends Serializable {
+  /** Schema after one application (stable across items). */
+  def outputSchema(in: StructType): StructType
+
+  /** Fresh instance per partition: the returned iterator transform IS the
+   *  reference's Transform-until-EOS pull loop over this partition. */
+  def open(in: StructType): Iterator[Row] => Iterator[Row]
+
+  /** P6 `set_param`, as in [[RowGuest.configured]]. */
+  def configured(params: Option[String]): PartitionGuest = {
+    require(params.isEmpty, "guest does not export set_param")
+    this
+  }
+
+  /** P11 optional `inverse` export, as in [[RowGuest.inverseGuest]]. */
+  def inverseGuest: Option[PartitionGuest] = None
 }
 
 /**
@@ -54,27 +107,83 @@ trait RowGuest extends Serializable {
  * (reference: host-go/engine/engine.go:59-104).
  */
 object GuestRegistry {
-  private val guests = TrieMap.empty[String, RowGuest]
+  private val guests = TrieMap.empty[String, Either[RowGuest, PartitionGuest]]
 
-  def register(name: String, guest: RowGuest): Unit = guests.put(name, guest)
+  def register(name: String, guest: RowGuest): Unit =
+    guests.put(name, Left(guest))
 
-  def resolve(name: String): RowGuest =
+  /** Register a pull-mode (len-changing) guest under the same namespace —
+   *  a lens file addresses both kinds as `builtin:opaque`. */
+  def register(name: String, guest: PartitionGuest): Unit =
+    guests.put(name, Right(guest))
+
+  def resolveAny(name: String): Either[RowGuest, PartitionGuest] =
     guests.getOrElse(name,
       throw new IllegalArgumentException(
         s"unknown guest transform: '$name' (register it via GuestRegistry.register)"))
+
+  def resolve(name: String): RowGuest = resolveAny(name) match {
+    case Left(g) => g
+    case Right(_) => throw new IllegalArgumentException(
+      s"guest '$name' is a pull-mode (len-changing) guest")
+  }
+
+  private[ops] def lookup(name: String): Option[Either[RowGuest, PartitionGuest]] =
+    guests.get(name)
 }
 
 object OpaqueOp {
 
+  def apply(guestName: String, times: Int, serial: Boolean): LensOp =
+    apply(guestName, times, serial, params = None)
+
   /** Build the (possibly fused) opaque stage. `times` > 1 = the same
-   *  instance appended `times` consecutive stages (see RowGuest scaladoc). */
-  def apply(guestName: String, times: Int, serial: Boolean): LensOp = new LensOp {
-    override def name: String =
-      if (times == 1) s"opaque($guestName)" else s"opaque($guestName x$times)"
+   *  instance appended `times` consecutive stages (see RowGuest scaladoc).
+   *  `params` is the stage's arguments JSON minus host keys — handed to
+   *  the guest's `set_param` export at configure time (P6). */
+  def apply(guestName: String, times: Int, serial: Boolean,
+      params: Option[String]): LensOp =
+    make(guestName, times, serial, params, invert = false)
+
+  private def make(guestName: String, times: Int, serial: Boolean,
+      params: Option[String], invert: Boolean): LensOp = new LensOp {
+    override def name: String = {
+      val base = if (times == 1) guestName else s"$guestName x$times"
+      if (invert) s"opaque($base):inverse" else s"opaque($base)"
+    }
 
     // The guest must see exactly the document schema — host bookkeeping
     // columns (the CLI ordinal) are dropped at this boundary.
     override def ownsRowSet: Boolean = true
+
+    /** Configure (set_param) then select the forward or inverse export —
+     *  the reference's instantiation order (parameterize the module, then
+     *  pick the export to drive). */
+    private def resolved(): Either[RowGuest, PartitionGuest] = {
+      def noInverse = new UnsupportedOperationException(
+        s"lens op 'opaque($guestName)' does not export an inverse")
+      GuestRegistry.resolveAny(guestName) match {
+        case Left(g) =>
+          val conf = g.configured(params)
+          Left(if (invert) conf.inverseGuest.getOrElse(throw noInverse) else conf)
+        case Right(g) =>
+          val conf = g.configured(params)
+          Right(if (invert) conf.inverseGuest.getOrElse(throw noInverse) else conf)
+      }
+    }
+
+    /** P11: present iff the guest exports an inverse (checked against the
+     *  registry at derivation time, like the reference failing on a
+     *  missing `inverse` export at config time). */
+    override def inverseOp: Option[LensOp] =
+      if (invert) Some(make(guestName, times, serial, params, invert = false))
+      else GuestRegistry.lookup(guestName) match {
+        case Some(Left(g)) if g.inverseGuest.isDefined =>
+          Some(make(guestName, times, serial, params, invert = true))
+        case Some(Right(g)) if g.inverseGuest.isDefined =>
+          Some(make(guestName, times, serial, params, invert = true))
+        case _ => None
+      }
 
     override def forward(df: DataFrame): DataFrame = run(df, permissive = false)
 
@@ -87,8 +196,14 @@ object OpaqueOp {
     override def forwardPermissive(df: DataFrame): DataFrame =
       run(df, permissive = true)
 
-    private def run(df: DataFrame, permissive: Boolean): DataFrame = {
-      val guest = GuestRegistry.resolve(guestName)
+    private def run(df: DataFrame, permissive: Boolean): DataFrame =
+      resolved() match {
+        case Left(guest) => runRow(df, guest, permissive)
+        case Right(guest) => runPartition(df, guest, permissive)
+      }
+
+    private def runRow(
+        df: DataFrame, guest: RowGuest, permissive: Boolean): DataFrame = {
       val base = if (serial) df.coalesce(1) else df
       val inSchema = base.schema
       var outSchema = inSchema
@@ -137,6 +252,101 @@ object OpaqueOp {
                   errRow(s"lens op '$opName' failed: ${e.getMessage}")
               }
             }
+          }
+        }(enc)
+      }
+    }
+
+    /** Pull-mode (len-changing) guests: the per-partition iterator
+     *  transform IS the Transform-until-EOS loop. `times` > 1 chains
+     *  application i's pull loop over application i-1's output iterator
+     *  (appended len-change stages chain the same way in the reference's
+     *  pipe composition). Permissive capture wraps the LOOP, not the
+     *  item: a guest failure emits one `__error` row and ends the
+     *  partition — after an unknown amount of internal buffering the
+     *  stream cannot safely continue (in-band error items remain the pull
+     *  contract's own channel, as in the reference protocol). */
+    private def runPartition(
+        df: DataFrame, guest: PartitionGuest, permissive: Boolean): DataFrame = {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val base = if (serial) df.coalesce(1) else df
+      val inSchema = base.schema
+      val k = times
+      val opName = name
+      if (!permissive) {
+        var outSchema = inSchema
+        for (_ <- 0 until times) outSchema = guest.outputSchema(outSchema)
+        val enc = org.apache.spark.sql.Encoders.row(outSchema)
+        base.mapPartitions { rows =>
+          var out: Iterator[Row] = rows
+          var schema = inSchema
+          var i = 0
+          while (i < k) {
+            out = guest.open(schema)(out)
+            schema = guest.outputSchema(schema)
+            i += 1
+          }
+          out
+        }(enc)
+      } else {
+        val errIdxIn = inSchema.fieldNames.indexOf("__error")
+        val dataIdx = inSchema.fieldNames.indices.filter(_ != errIdxIn)
+        val dataSchema = StructType(dataIdx.map(inSchema.fields(_)).toArray)
+        var guestOut = dataSchema
+        for (_ <- 0 until times) guestOut = guest.outputSchema(guestOut)
+        val nData = guestOut.length
+        val permSchema = StructType(guestOut.fields :+
+          StructField("__error", StringType, nullable = true))
+        val enc = org.apache.spark.sql.Encoders.row(permSchema)
+        base.mapPartitions { rows =>
+          // Already-errored rows bypass the guest: stashed as the guest
+          // pulls past them, re-emitted ahead of the next output (order
+          // within a len-changing stage carries no contract).
+          val stash = scala.collection.mutable.Queue.empty[Row]
+          val dataIter = new Iterator[Row] {
+            private var pending: Row = null
+            def hasNext: Boolean = {
+              while (pending == null && rows.hasNext) {
+                val r = rows.next()
+                val prior = if (errIdxIn >= 0) r.get(errIdxIn) else null
+                if (prior != null)
+                  stash.enqueue(Row.fromSeq(Seq.fill[Any](nData)(null) :+ prior))
+                else pending = Row.fromSeq(dataIdx.map(r.get))
+              }
+              pending != null
+            }
+            def next(): Row = { val r = pending; pending = null; r }
+          }
+          var out: Iterator[Row] = dataIter
+          var schema = dataSchema
+          var i = 0
+          while (i < k) {
+            out = guest.open(schema)(out)
+            schema = guest.outputSchema(schema)
+            i += 1
+          }
+          new Iterator[Row] {
+            private var pending: Row = null
+            private var failed = false
+            def hasNext: Boolean = stash.nonEmpty || pending != null ||
+              (!failed && {
+                try {
+                  if (out.hasNext) {
+                    pending = Row.fromSeq(
+                      out.next().toSeq.padTo(nData, null).take(nData) :+ null)
+                    true
+                  } else false
+                } catch {
+                  case e: Exception =>
+                    failed = true
+                    pending = Row.fromSeq(Seq.fill[Any](nData)(null) :+
+                      s"lens op '$opName' failed: ${e.getMessage}")
+                    true
+                }
+              })
+            def next(): Row =
+              if (stash.nonEmpty) stash.dequeue()
+              else { val r = pending; pending = null; r }
           }
         }(enc)
       }
