@@ -191,6 +191,86 @@ object SimilarityQueries extends QueryProvider {
        |  FROM scored)
        |WHERE rk <= 5""".stripMargin
 
+  // Cross-engine certification of the composed IVF×PQ search: cell ids
+  // and codes are trained-model internals (sim_ivfpq_topk stays
+  // rows-only), but GIVEN the materialized (neighbor_id, cell, codes)
+  // index and the query-side probe lists, cell pruning is an exact
+  // integer join and ADC ranking replays from the codebook table —
+  // certifying the full production layout (coarse prune × compressed
+  // verify) end to end.
+  private def ivfPqVerify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{GraftKmeans, GraftPq}
+    val cbs = pqCodebooks(s, dir)
+    val cents = ivfCentroids(s, dir)
+    val emb = T(s, dir, "embeddings")
+    Scratch.materialize(s, dir, "pq_codebooks",
+      graft.operators.Pq.codebooksDf(s, cbs))
+    val idxPath = Scratch.materialize(s, dir, "ivfpq_index",
+      emb.select(col("vec_id").as("neighbor_id"),
+        GraftKmeans.nearestCentroid(col("embedding"), cents).as("cell"),
+        GraftPq.pqEncode(col("embedding"), cbs).as("codes"))
+        .where(col("cell").isNotNull && col("codes").isNotNull))
+    val probePath = Scratch.materialize(s, dir, "ivfpq_probes",
+      emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          explode(GraftKmeans.nearestCentroids(col("embedding"), cents, 6))
+            .as("cell")))
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    s.read.parquet(probePath)
+      .join(s.read.parquet(idxPath), "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(q, "query_id")
+      .withColumn("cos", GraftPq.pqAdcCosine(col("q_vec"), col("codes"), cbs))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
+  private val ivfPqVerifySql =
+    s"""WITH cb AS (SELECT sub, code, vals
+       |  FROM read_parquet('${Scratch.oraclePath("pq_codebooks")}/*.parquet')),
+       |idx AS (SELECT neighbor_id, cell, codes
+       |  FROM read_parquet('${Scratch.oraclePath("ivfpq_index")}/*.parquet')),
+       |probes AS (SELECT query_id, cell
+       |  FROM read_parquet('${Scratch.oraclePath("ivfpq_probes")}/*.parquet')),
+       |ic AS (
+       |  SELECT neighbor_id, CAST(i1 - 1 AS INT) AS sub, c AS code FROM (
+       |    SELECT neighbor_id,
+       |      unnest(list_transform(codes, (x, i) -> i)) AS i1,
+       |      unnest(codes) AS c
+       |    FROM idx)),
+       |recon AS (
+       |  SELECT ic.neighbor_id, flatten(list(cb.vals ORDER BY ic.sub)) AS r
+       |  FROM ic JOIN cb ON cb.sub = ic.sub AND cb.code = ic.code
+       |  GROUP BY ic.neighbor_id),
+       |rn AS (SELECT neighbor_id, r,
+       |    sqrt(list_sum(list_transform(r, x -> x * x))) AS nr FROM recon),
+       |qn AS (SELECT vec_id AS query_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+       |  FROM embeddings WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT probes.query_id, idx.neighbor_id
+       |  FROM probes JOIN idx ON probes.cell = idx.cell
+       |  WHERE idx.neighbor_id <> probes.query_id),
+       |scored AS (
+       |  SELECT qn.query_id, rn.neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(qn.embedding[i] AS DOUBLE) * rn.r[i]))
+       |      / (qn.nq * rn.nr) AS cos
+       |  FROM cand
+       |  JOIN qn ON qn.query_id = cand.query_id
+       |  JOIN rn ON rn.neighbor_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(rank() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5""".stripMargin
+
   // Cross-engine certification of the SRP candidate/verify math: bucket
   // ids are engine-internal (sim_ann_srp stays rows-only), but GIVEN the
   // materialized corpus buckets and query probe lists the candidate set
@@ -278,6 +358,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_pq_topk"     -> (pqTopk _),
     "sim_ivfpq_topk"  -> (ivfPqTopk _),
     "sim_pq_adc_verify" -> (pqAdcVerify _),
+    "sim_ivfpq_verify" -> (ivfPqVerify _),
     "sim_srp_verify"  -> (srpVerify _)
   )
 
@@ -287,6 +368,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_ivf_topk"   -> ivfTopkSql,
     "sim_quantize_int8" -> quantizeInt8Sql,
     "sim_pq_adc_verify" -> pqAdcVerifySql,
+    "sim_ivfpq_verify"  -> ivfPqVerifySql,
     "sim_srp_verify"    -> srpVerifySql
     // sim_ann_srp: approximate (LSH) — rows-only; recall bound covered in
     // SimilaritySpec against the brute-force baseline. sim_srp_verify
