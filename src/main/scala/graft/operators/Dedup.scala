@@ -84,10 +84,30 @@ object Dedup {
   def minHashLsh(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, k: Int = 128, bands: Int = 32,
-      shingleWidth: Int = 3): DataFrame = {
+      shingleWidth: Int = 3): DataFrame =
+    minHashLshFromShingles(
+      hashedShingleSets(df, textCol, idCol, shingleWidth),
+      threshold, k, bands)
+
+  /** The MinHash ingest-time artifact: (doc, sh) hashed sorted shingle
+   *  sets — the stored table BOTH the LSH band index and the exact
+   *  verify derive from. At 100 TB this is computed once at ingest (one
+   *  narrow pass over the text), persisted columnar, and re-searched per
+   *  dedup run ([[minHashLshFromShingles]]) — the text itself never
+   *  re-enters the dedup path. */
+  def minHashShingleSets(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int = 3): DataFrame =
+    hashedShingleSets(df, textCol, idCol, shingleWidth)
+
+  /** Candidate generation + exact verify over a PREBUILT (doc, sh)
+   *  shingle table — the search half of [[minHashLsh]], usable against a
+   *  stored [[minHashShingleSets]] artifact. */
+  def minHashLshFromShingles(
+      shingled: DataFrame,
+      threshold: Double = 0.8, k: Int = 128, bands: Int = 32): DataFrame = {
     require(k == bands * (k / bands) && k % bands == 0, "k must divide into bands")
 
-    val shingled = hashedShingleSets(df, textCol, idCol, shingleWidth)
     val buckets = bandBuckets(shingled, k, bands)
 
     // Candidate pairs: equal (band, bucket); dedup across bands.

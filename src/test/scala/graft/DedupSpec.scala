@@ -32,6 +32,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash search over a STORED shingle-set artifact == direct path (sf0.01)") {
+    // The 100 TB discipline: shingle sets are computed once at ingest,
+    // persisted columnar, and re-searched per run — results must be
+    // identical to shingling inline, including through a parquet
+    // round-trip of the artifact.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .where($"doc_id" < 200)
+    val direct = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("mh_sets").toString
+    Dedup.minHashShingleSets(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(path)
+    val fromStored = Dedup
+      .minHashLshFromShingles(spark.read.parquet(path), threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fromStored == direct && direct.nonEmpty)
+  }
+
   test("allpairs prefix join == brute force, no blocking column needed") {
     val nearDup = base.replace("angry", "furious")
     val other = "completely different content about spark catalyst plans " +
