@@ -157,6 +157,51 @@ object Sampling {
       .drop("__copies")
   }
 
+  /**
+   * Temperature-rebalanced mixture — the multilingual/multi-source
+   * corpus-balancing knob (sampling with q_g ∝ p_g^α, the exponentiated
+   * smoothing of XLM-R / mT5-style pipelines: α = 1 keeps natural
+   * proportions, α → 0 approaches uniform-per-group, raising rare groups
+   * and shrinking dominant ones while preserving the total corpus size in
+   * expectation). Rates are COMPUTED from the corpus itself —
+   * rate_g = (N · p_g^α / Σ p^α) / n_g — then applied through the same
+   * deterministic integer mixer as [[upsample]] (floor copies + one more
+   * iff the id's bucket falls under the fractional part), emitting the
+   * same 0-based `copy` column.
+   *
+   * 100 TB shape: one per-group count (rows = #groups), one single-row
+   * normalizer, both broadcast back — then a map-side explode; no
+   * log-wide shuffle, no RNG state, rerun/repartition-stable. α = 1 is
+   * the exact identity (every rate is exactly 1.0 in IEEE arithmetic:
+   * floor 1 + frac 0), pinned in SamplingSpec.
+   */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0, s"alpha $alpha negative")
+    require(!df.columns.contains("copy") && !df.columns.contains("__copies"),
+      "input already carries a 'copy'/'__copies' column — rename it first")
+    val n = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__ng"))
+    val tot = n.agg(sum(col("__ng")).as("__N"),
+      sum(pow(col("__ng"), lit(alpha))).as("__Z"))
+    // Association mirrored EXACTLY by the DuckDB oracle fragment:
+    // ((N * pow(ng, a)) / Z) / ng — cross-engine double parity.
+    val rates = n.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        (col("__N") * pow(col("__ng"), lit(alpha)) / col("__Z") / col("__ng"))
+          .as("__rate"))
+    val bucket =
+      (((abs(col(idCol)) % lit(999979L)) * lit(3266489917L)) % lit(4294967296L)) % lit(1000000L)
+    val copies = (floor(col("__rate")).cast("long") +
+      when(bucket < round((col("__rate") - floor(col("__rate"))) * lit(1e6)),
+        lit(1L)).otherwise(lit(0L))).as("__copies")
+    df.join(broadcast(rates), groupCol)
+      .withColumn("__copies", copies)
+      .where(col("__copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies", "__rate")
+  }
+
   def mixture(df: DataFrame, groupCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>

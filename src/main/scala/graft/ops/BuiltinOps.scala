@@ -436,6 +436,15 @@ object BuiltinOps {
         df => graft.operators.Sampling.upsample(df, group, id, rates, default))
     },
 
+    // Temperature-rebalanced mixture (Sampling.temperatureMixture):
+    // rates computed from the corpus itself, q_g ∝ p_g^alpha.
+    "temperature_mix" -> { a =>
+      val (group, id) = (a.str("group"), a.strOpt("id").getOrElse("doc_id"))
+      val alpha = a.double("alpha")
+      LensOp.setLevel(s"temperature_mix($group, a=$alpha)",
+        df => graft.operators.Sampling.temperatureMixture(df, group, id, alpha))
+    },
+
     // Deterministic hash train/val/test assignment (Sampling.hashSplit).
     "train_split" -> { a =>
       val id = a.strOpt("id").getOrElse("doc_id")

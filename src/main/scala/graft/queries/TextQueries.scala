@@ -483,6 +483,37 @@ object TextQueries extends QueryProvider {
       |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
       |FROM c WHERE copies >= 1""".stripMargin
 
+  // Temperature-rebalanced mixture: rates computed FROM the corpus
+  // (q_g ∝ p_g^α), applied through the same integer mixer — the oracle
+  // recomputes counts, normalizer, per-group rate, and mixer with the
+  // identical expression association, so the hash match certifies the
+  // whole rate derivation cross-engine, not just the mixing.
+  private def temperatureQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMixture(
+      T(s, dir, "documents"), "source", "doc_id", alpha = 0.5)
+      .select(col("doc_id"), col("source"), col("copy"))
+
+  private val temperatureSql =
+    s"""WITH n AS (
+      |  SELECT source, CAST(count(*) AS DOUBLE) AS ng
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT sum(ng) AS nn, sum(pow(ng, 0.5)) AS z FROM n
+      |), r AS (
+      |  SELECT n.source, ((tot.nn * pow(n.ng, 0.5)) / tot.z) / n.ng AS rate
+      |  FROM n, tot
+      |), b AS (
+      |  SELECT doc_id, source, $upsampleBucketSql AS bk FROM documents
+      |), c AS (
+      |  SELECT b.doc_id, b.source,
+      |    CAST(floor(r.rate) AS BIGINT)
+      |      + (CASE WHEN b.bk < round((r.rate - floor(r.rate)) * 1e6)
+      |         THEN 1 ELSE 0 END) AS copies
+      |  FROM b JOIN r ON b.source = r.source
+      |)
+      |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
+      |FROM c WHERE copies >= 1""".stripMargin
+
   /** Flagship #3 — the modern preprocessing pipeline end-to-end, every
    *  stage from THIS round's operator set, cross-checked as one query:
    *  canonical normalize → ExactSubstr span strip → Gopher-rule filter →
@@ -697,6 +728,7 @@ object TextQueries extends QueryProvider {
     "text_chunk"       -> (chunk _),
     "q_corpus_mixture" -> (mixtureQ _),
     "q_corpus_upsample" -> (upsampleQ _),
+    "q_temperature_mix" -> (temperatureQ _),
     "pipeline_clean_corpus" -> (cleanCorpus _),
     "text_vocab"       -> (vocab _),
     "text_tfidf"       -> (tfidf _),
@@ -725,6 +757,7 @@ object TextQueries extends QueryProvider {
     "text_chunk"       -> chunkSql,
     "q_corpus_mixture" -> mixtureSql,
     "q_corpus_upsample" -> upsampleSql,
+    "q_temperature_mix" -> temperatureSql,
     "pipeline_clean_corpus" -> cleanCorpusSql,
     "text_vocab"       -> vocabSql,
     "text_tfidf"       -> tfidfSql,

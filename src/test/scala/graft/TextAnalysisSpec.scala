@@ -389,4 +389,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("doc_id", "source", "copy").as[(Long, String, Long)].collect()
     assert(rerun.sorted.toSeq == rows.sorted.toSeq)
   }
+
+  test("temperatureMixture: alpha=1 is exact identity; alpha<1 lifts rare groups") {
+    import spark.implicits._
+    // 500 common / 50 rare — a 10:1 imbalance.
+    val df = (1L to 550L).map(i => (i, if (i <= 500) "web" else "books"))
+      .toDF("doc_id", "source")
+    // alpha = 1: every rate is exactly 1.0 (N * (n/N) / n), so the output
+    // IS the input with copy = 0 — no sampling noise at all.
+    val id = graft.operators.Sampling
+      .temperatureMixture(df, "source", "doc_id", alpha = 1.0)
+      .select("doc_id", "copy").as[(Long, Long)].collect()
+    assert(id.map(_._1).sorted.toSeq == (1L to 550L).toSeq)
+    assert(id.forall(_._2 == 0L))
+    // alpha = 0.5: rare group upsampled, dominant group downsampled,
+    // expected total preserved (within integer-mixer rounding noise).
+    val t = graft.operators.Sampling
+      .temperatureMixture(df, "source", "doc_id", alpha = 0.5)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val books = t.count(_._2 == "books")
+    val web = t.count(_._2 == "web")
+    // q_books = sqrt(50)/(sqrt(500)+sqrt(50)) ≈ 0.240 → ≈ 132 rows (was 50);
+    // web ≈ 418 (was 500)
+    assert(books > 100 && books < 165, s"books lifted to $books")
+    assert(web > 350 && web < 470, s"web shrunk to $web")
+    assert(math.abs(books + web - 550) < 60, s"total drifted to ${books + web}")
+    // deterministic across reruns
+    val rerun = graft.operators.Sampling
+      .temperatureMixture(df, "source", "doc_id", alpha = 0.5)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(rerun.sorted.toSeq == t.sorted.toSeq)
+  }
+
+  test("temperature_mix binds as a lens-file stage (builtin:temperature_mix)") {
+    import spark.implicits._
+    val df = (1L to 120L).map(i => (i, if (i <= 100) "a" else "b"))
+      .toDF("doc_id", "src")
+    val out = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:temperature_mix",
+        |  "arguments":{"group":"src","alpha":"1.0"}}]}""".stripMargin)
+      .forward(df)
+    assert(out.count() == 120L)
+  }
 }
