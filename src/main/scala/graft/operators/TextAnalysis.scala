@@ -430,4 +430,55 @@ object TextAnalysis {
         sum(col("tf_corpus")).as("sum_freq"),
         min(col("tf_corpus")).as("min_freq"))
   }
+
+  /**
+   * Corpus-trained BIGRAM LM scoring — the CCNet-style "does this read
+   * like the corpus" perplexity filter (Wenzek et al. 2020 filter CC with
+   * an LM; this is the self-trained n=2 form). Per document:
+   *
+   *  - `n_bigrams` — scored transitions (docs with < 2 tokens drop);
+   *  - `ll_sum_micro` — Σ floor(1e6 · ln((N(w₁,w₂)+1)/(N(w₁)+V))) as
+   *    BIGINT: add-one-smoothed log-likelihood in integer micro-nats.
+   *    Per-ROW floor-to-integer BEFORE the sum makes the aggregate exact
+   *    under any partitioning/order (the FP-aggregate discipline; mean
+   *    log-likelihood = ll_sum_micro / 1e6 / n_bigrams downstream);
+   *  - `min_bigram_freq` — the rarest transition's corpus count (the
+   *    sharpest "weird text" signal, exact integer).
+   *
+   * N(w₁) is the context count (bigrams starting with w₁), V the distinct
+   * corpus token count — so probabilities are properly normalized:
+   * Σ_w₂ P(w₂|w₁) = 1 under add-one smoothing.
+   *
+   * 100 TB shape: same as the unigram model — the bigram table partial-
+   * aggregates map-side (exchange carries distinct bigrams, not
+   * occurrences), scoring joins occurrences to the model on the bigram
+   * key and re-aggregates per doc; V is one scalar broadcast. A hot
+   * bigram is ONE build-side row; nothing shuffles text.
+   */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      wsTokens(col(textCol)).as("ws"))
+    val pairs = toks.where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model2 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val model1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("ws")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    pairs
+      .join(model2, Seq("w1", "w2")).join(model1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("ll_micro",
+        floor(lit(1e6) * log(
+          (col("c12").cast("double") + lit(1.0)) /
+            (col("c1").cast("double") + col("v").cast("double"))))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ll_micro")).as("ll_sum_micro"),
+        min(col("c12")).as("min_bigram_freq"))
+  }
 }

@@ -342,6 +342,14 @@ object BuiltinOps {
         df => TextAnalysis.unigramLmScore(df, t, id))
     },
 
+    // Corpus-trained bigram LM score (CCNet-style perplexity filter).
+    "bigram_lm" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp.setLevel(s"bigram_lm($t)",
+        df => TextAnalysis.bigramLmScore(df, t, id))
+    },
+
     // Lloyd's k-means over an embedding column (Kmeans.cluster):
     // set-level — assignments depend on centroids trained on the corpus.
     "kmeans" -> { a =>

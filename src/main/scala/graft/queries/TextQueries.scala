@@ -663,6 +663,41 @@ object TextQueries extends QueryProvider {
       |FROM toks JOIN model USING (token)
       |GROUP BY doc_id""".stripMargin
 
+  // Corpus-trained bigram LM score (TextAnalysis.bigramLmScore): the
+  // CCNet-style perplexity filter. The smoothed log-likelihood floors to
+  // integer micro-nats PER ROW before summing (exact under any
+  // partitioning), so the whole score — model training included — is
+  // hash-checkable; expression association mirrored exactly both sides.
+  private def bigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(T(s, dir, "documents"), "text", "doc_id")
+
+  private val bigramLmSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), pairs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+      |  FROM w WHERE len(ws) >= 2
+      |), m2 AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM pairs GROUP BY w1, w2
+      |), m1 AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1
+      |), voc AS (
+      |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM (
+      |    SELECT unnest(ws) AS token FROM w)
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CAST(floor(1e6 * ln(
+      |    (CAST(c12 AS DOUBLE) + 1.0) /
+      |      (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))) AS BIGINT))
+      |    AS BIGINT) AS ll_sum_micro,
+      |  CAST(min(c12) AS BIGINT) AS min_bigram_freq
+      |FROM pairs
+      |JOIN m2 USING (w1, w2) JOIN m1 USING (w1) CROSS JOIN voc
+      |GROUP BY doc_id""".stripMargin
+
   // Composition flagship #2 — the full pretraining-prep chain a training
   // pipeline actually ships, run END TO END through the lens engine:
   // quality-score → threshold filter → PII redaction → exact dedup on the
@@ -723,6 +758,7 @@ object TextQueries extends QueryProvider {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pretrain_full" -> (pretrainFull _),
     "text_unigram_lm"  -> (unigramLm _),
+    "text_bigram_lm"   -> (bigramLm _),
     "text_pii_redact"  -> (piiRedact _),
     "q_quality_buckets" -> (qualityBuckets _),
     "text_chunk"       -> (chunk _),
@@ -752,6 +788,7 @@ object TextQueries extends QueryProvider {
   override val oracles: Map[String, String] = Map(
     "pipeline_pretrain_full" -> pretrainFullSql,
     "text_unigram_lm"  -> unigramLmSql,
+    "text_bigram_lm"   -> bigramLmSql,
     "text_pii_redact"  -> piiRedactSql,
     "q_quality_buckets" -> qualityBucketsSql,
     "text_chunk"       -> chunkSql,

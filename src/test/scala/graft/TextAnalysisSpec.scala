@@ -390,6 +390,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rerun.sorted.toSeq == rows.sorted.toSeq)
   }
 
+  test("bigramLmScore: hand-computed smoothed log-likelihoods, exact integers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams (a,b) ×2, (b,a) ×1
+      (2L, "a b"),       // bigram (a,b)
+      (3L, "c")          // < 2 tokens: dropped from scoring
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .bigramLmScore(df, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // model: N(a,b)=3, N(b,a)=1; contexts N(a)=3, N(b)=1; V=3 (a,b,c)
+    // P(b|a) = (3+1)/(3+3) = 2/3 → floor(1e6·ln(2/3)) = -405466
+    // P(a|b) = (1+1)/(1+3) = 1/2 → floor(1e6·ln(1/2)) = -693148
+    val ab = math.floor(1e6 * math.log(4.0 / 6.0)).toLong
+    val ba = math.floor(1e6 * math.log(2.0 / 4.0)).toLong
+    assert(ab == -405466L && ba == -693148L)
+    assert(out == Map(
+      1L -> ((3L, 2 * ab + ba, 1L)),
+      2L -> ((1L, ab, 3L))))
+  }
+
+  test("bigram_lm binds as a lens-file stage (builtin:bigram_lm)") {
+    import spark.implicits._
+    val df = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+    val out = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:bigram_lm","arguments":{}}]}""")
+      .forward(df)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "ll_sum_micro", "min_bigram_freq"))
+    assert(out.count() == 1L)
+  }
+
   test("temperatureMixture: alpha=1 is exact identity; alpha<1 lifts rare groups") {
     import spark.implicits._
     // 500 common / 50 rare — a 10:1 imbalance.
