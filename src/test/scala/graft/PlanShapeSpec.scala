@@ -107,4 +107,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"))
     assert(!p.contains("SinglePartition"))
   }
+
+  test("q_temperature_mix: rates broadcast back — corpus side never shuffle-joins") {
+    val p = plan("q_temperature_mix")
+    // the corpus joins its per-group rate via broadcast (rates = #groups
+    // rows); a SortMergeJoin here would shuffle the full corpus on the
+    // group key for a handful of build rows
+    assert(p.contains("BroadcastHashJoin"), "rate join lost its broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled to meet its rates")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate explode"), "copy fan-out lost the map-side explode")
+  }
+
+  test("text_bigram_lm: model joins keyed on the bigram, scalar vocab broadcast") {
+    val p = plan("text_bigram_lm")
+    assert(!p.contains("CartesianProduct"),
+      "bigram scoring degenerated to a cartesian")
+    // the V scalar rides a 1-row broadcast (nested-loop with a single
+    // build row is the intended shape, not a data-sized cartesian)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_count"), "bigram model lost map-side partial aggregation")
+  }
 }
