@@ -53,18 +53,64 @@ object Spans {
       n: Int = 8, minOccurrences: Int = 2): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(minOccurrences >= 2, "minOccurrences must be >= 2")
-    val builders = org.apache.spark.sql.graft.GraftSetBuilders
-    val grams = Par.spread(df, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        posexplode(builders.positionedWordShingles(split(col(textCol), " "), n)))
-      .toDF("doc_id", "pos", "g")
+    val grams = positionedGrams(df, textCol, idCol, n)
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minOccurrences)
       .select(col("g"))
-    val covered = grams.join(dup, "g").select(col("doc_id"), col("pos"))
-    // Sorted same-length windows merge iff the next start is within n of
-    // the previous (overlap or exact adjacency) — lag is the running max.
+    mergeIslands(grams.join(dup, "g").select(col("doc_id"), col("pos")), n)
+  }
+
+  /**
+   * Cross-corpus CONTAMINATED spans: maximal token runs in `corpus`
+   * documents whose word n-grams appear anywhere in a REFERENCE corpus —
+   * substring-level decontamination (the eval-overlap scrub of the GPT-3
+   * appendix / Lee et al. 2022 §6, where containing an eval n-gram
+   * taints the span, not the whole document). Complements
+   * [[graft.operators.Dedup.minHashLshAgainst]] (document-level) the way
+   * [[duplicateSpans]] complements self-dedup: a training doc QUOTING a
+   * benchmark item keeps its clean remainder.
+   *
+   * 100 TB shape: identical to the self-corpus path except the
+   * duplicated-hash set comes from the reference side — distinct 8-byte
+   * gram hashes of the (typically benchmark-sized) reference, so the
+   * semi-join broadcasts; corpus text never shuffles, per-doc windows
+   * stay doc-bounded.
+   */
+  def contaminatedSpans(
+      corpus: DataFrame, ref: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = positionedGrams(corpus, textCol, idCol, n)
+    val refGrams = positionedGrams(ref, textCol, idCol, n)
+      .select(col("g")).distinct()
+    mergeIslands(grams.join(refGrams, "g").select(col("doc_id"), col("pos")), n)
+  }
+
+  /** `corpus` with every reference-contaminated span removed — the strip
+   *  consumer of [[contaminatedSpans]], same contract as [[stripSpans]]
+   *  (fully-contaminated docs come back as empty strings). */
+  def stripContaminated(
+      corpus: DataFrame, ref: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame =
+    stripByPositions(corpus, textCol, idCol,
+      contaminatedSpans(corpus, ref, textCol, idCol, n))
+
+  /** (doc_id, pos, g): one XXH64 gram hash per token position — native
+   *  per-row loop fused next to the scan. */
+  private def positionedGrams(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val builders = org.apache.spark.sql.graft.GraftSetBuilders
+    Par.spread(df, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(builders.positionedWordShingles(split(col(textCol), " "), n)))
+      .toDF("doc_id", "pos", "g")
+  }
+
+  /** Merge covered positions into maximal spans (gaps-and-islands over
+   *  doc-bounded windows). Sorted same-length windows merge iff the next
+   *  start is within n of the previous (overlap or exact adjacency). */
+  private def mergeIslands(covered: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     covered
       .withColumn("brk",
@@ -85,8 +131,14 @@ object Spans {
    *  than disappearing — downstream length filters decide their fate. */
   def stripSpans(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 8, minOccurrences: Int = 2): DataFrame = {
-    val spans = duplicateSpans(df, textCol, idCol, n, minOccurrences)
+      n: Int = 8, minOccurrences: Int = 2): DataFrame =
+    stripByPositions(df, textCol, idCol,
+      duplicateSpans(df, textCol, idCol, n, minOccurrences))
+
+  /** Rebuild each document keeping only tokens outside `spans`. */
+  private def stripByPositions(
+      df: DataFrame, textCol: String, idCol: String,
+      spans: DataFrame): DataFrame = {
     val coveredPos = spans.select(col("doc_id"),
       explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val toks = df.select(col(idCol).as("doc_id"),

@@ -313,6 +313,21 @@ object BuiltinOps {
         df => graft.operators.Spans.stripSpans(df, t, id, n, minOcc))
     },
 
+    // Substring-level decontamination against a REFERENCE corpus
+    // (Spans.stripContaminated). Two-input op: the reference side
+    // resolves from the session catalog by name (`ref_table` — register
+    // the eval set as a temp view before running the pipeline), the
+    // standard Spark channel for a second input.
+    "strip_contam" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val n = a.intOpt("n").getOrElse(8)
+      val refTable = a.str("ref_table")
+      LensOp.setLevel(s"strip_contam($t, ref=$refTable, n=$n)",
+        df => graft.operators.Spans.stripContaminated(
+          df, df.sparkSession.table(refTable), t, id, n))
+    },
+
     // SemDeDup keep-one survivors (SemDedup.semantic): set-level — the
     // surviving row set depends on the corpus-trained quantizer.
     "semantic_dedup" -> { a =>

@@ -419,6 +419,47 @@ object DedupQueries extends QueryProvider {
       |  FROM $src d LEFT JOIN agg a USING (doc_id)
       |)""".stripMargin
 
+  /** Bipartite spans chain: corpus positions covered iff their gram
+   *  appears ANYWHERE in the reference side (≥ 1) — the decontamination
+   *  form of `spansChainSql`; CTE names line up so `stripChainSql`
+   *  composes unchanged. */
+  private[queries] def contamSpansChainSql(
+      corpusSrc: String, refSrc: String): String = {
+    // Single line: a multi-line fragment would be re-mangled by the
+    // OUTER stripMargin (leading "||" reads as a margin pipe + "|").
+    val gram = (v: String) =>
+      (1 to 8).map(i => s"$v[pos+$i]").mkString(" || ' ' || ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $corpusSrc),
+      |g AS (
+      |  SELECT doc_id, unnest(range(len(ws) - 7)) AS pos, ws
+      |  FROM w WHERE len(ws) >= 8
+      |), gs AS (
+      |  SELECT doc_id, pos, ${gram("ws")} AS gram
+      |  FROM g
+      |), rw AS (SELECT string_split(text, ' ') AS ws FROM $refSrc),
+      |rg AS (
+      |  SELECT unnest(range(len(ws) - 7)) AS pos, ws
+      |  FROM rw WHERE len(ws) >= 8
+      |), dup AS (
+      |  SELECT DISTINCT ${gram("ws")} AS gram FROM rg
+      |), cov AS (
+      |  SELECT doc_id, pos FROM gs JOIN dup USING (gram)
+      |), brk AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM cov
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM brk
+      |), spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, island
+      |)""".stripMargin
+  }
+
   private val spansCte = "WITH " + spansChainSql("documents")
 
   private val dedupSpansSql = spansCte +
@@ -433,6 +474,41 @@ object DedupQueries extends QueryProvider {
       "text", "doc_id", n = 8, minOccurrences = 2)
 
   private val dedupStripSpansSql = spansCte + stripChainSql("documents") +
+    "\nSELECT doc_id, text FROM cleaned"
+
+  // Substring-level decontamination: spans of training docs quoting any
+  // reference (eval-set stand-in) 8-gram, and the corpus with those runs
+  // stripped — the span-level complement of dedup_cross_minhash (same
+  // src0-4 reference split). Positions/intervals are exact integers on
+  // both sides.
+  private def contamCorpus(s: SparkSession, dir: String) =
+    T(s, dir, "documents").where(!col("source").isInCollection(RefSources))
+  private def contamRef(s: SparkSession, dir: String) =
+    T(s, dir, "documents").where(col("source").isInCollection(RefSources))
+
+  private def dedupContamSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Spans.contaminatedSpans(
+      contamCorpus(s, dir), contamRef(s, dir), "text", "doc_id", n = 8)
+
+  private def dedupStripContam(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Spans.stripContaminated(
+      contamCorpus(s, dir), contamRef(s, dir), "text", "doc_id", n = 8)
+
+  private val contamCorpusSql =
+    "(SELECT * FROM documents WHERE source NOT IN " +
+      "('src0','src1','src2','src3','src4'))"
+  private val contamRefSql =
+    "(SELECT * FROM documents WHERE source IN " +
+      "('src0','src1','src2','src3','src4'))"
+
+  private val contamCte = "WITH " + contamSpansChainSql(contamCorpusSql, contamRefSql)
+
+  private val dedupContamSpansSql = contamCte +
+    """
+      |SELECT doc_id, CAST(s AS BIGINT) AS span_start, CAST(e AS BIGINT) AS span_end
+      |FROM spans""".stripMargin
+
+  private val dedupStripContamSql = contamCte + stripChainSql(contamCorpusSql) +
     "\nSELECT doc_id, text FROM cleaned"
 
   // Reference slice = every 10th doc (the "already trained on" corpus).
@@ -491,6 +567,8 @@ object DedupQueries extends QueryProvider {
     "dedup_segments"       -> (dedupSegments _),
     "dedup_spans"          -> (dedupSpans _),
     "dedup_strip_spans"    -> (dedupStripSpans _),
+    "dedup_contam_spans"   -> (dedupContamSpans _),
+    "dedup_strip_contam"   -> (dedupStripContam _),
     "dedup_semantic"       -> (dedupSemantic _),
     "dedup_bloom_ref"      -> (dedupBloomRef _),
     "dedup_ref_exact"      -> (dedupRefExact _),
@@ -512,6 +590,8 @@ object DedupQueries extends QueryProvider {
     "dedup_segments"      -> dedupSegmentsSql,
     "dedup_spans"         -> dedupSpansSql,
     "dedup_strip_spans"   -> dedupStripSpansSql,
+    "dedup_contam_spans"  -> dedupContamSpansSql,
+    "dedup_strip_contam"  -> dedupStripContamSql,
     "dedup_ref_exact"     -> dedupRefExactSql,
     "dedup_simhash_verify" -> dedupSimhashVerifySql,
     "dedup_clusters"      -> dedupClustersSql,

@@ -80,6 +80,45 @@ class SpansSpec extends AnyFunSuite {
       2L -> "one two three four five six"))
   }
 
+  test("contaminatedSpans: only reference-quoting runs flagged; strip keeps the rest") {
+    // corpus doc 1 quotes the benchmark item mid-document; doc 2 is
+    // clean; doc 3 shares a run with doc 1 but NOT with the reference —
+    // self-duplication must not flag in the cross-corpus mode.
+    val shared = "this run repeats across corpus docs but never in the reference x"
+    val corpus = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, "totally unique training document with no benchmark overlap at all"),
+      (3L, s"one two $shared three four")
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, s"prefix $boiler suffix")).toDF("doc_id", "text")
+    val spans = Spans.contaminatedSpans(corpus, ref, "text", "doc_id", n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // boiler = 12 tokens, starts at token 2 of doc 1
+    assert(spans == Set((1L, 2L, 13L)))
+    val stripped = Spans.stripContaminated(corpus, ref, "text", "doc_id", n = 8)
+      .as[(Long, String)].collect().toMap
+    assert(stripped(1L) == "alpha beta gamma delta")
+    assert(stripped(2L) ==
+      "totally unique training document with no benchmark overlap at all")
+    assert(stripped(3L) == s"one two $shared three four")
+  }
+
+  test("lens file drives strip_contam end-to-end (builtin:strip_contam)") {
+    val corpus = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, "clean doc with nothing quoted from any benchmark here at all")
+    ).toDF("doc_id", "text")
+    Seq((100L, s"x $boiler y")).toDF("doc_id", "text")
+      .createOrReplaceTempView("spans_spec_ref")
+    val out = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:strip_contam",
+        |  "arguments":{"ref_table":"spans_spec_ref"}}]}""".stripMargin)
+      .forward(corpus).as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha beta gamma delta")
+    assert(out(2L) ==
+      "clean doc with nothing quoted from any benchmark here at all")
+  }
+
   test("saltedInner equals the plain inner join, any salt bucket count") {
     val probe = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (3L, "e"))
       .toDF("k", "pv")
