@@ -282,6 +282,41 @@ object BuiltinOps {
       LensOp(s"redact_pii($t)", df => TextAnalysis.redactPii(df, t, id))
     },
 
+    // Cross-corpus MinHash decontamination (Dedup.minHashLshAgainst):
+    // two-input — the reference (eval/benchmark) corpus resolves from the
+    // session catalog by name, like strip_contam. Emits the contaminated
+    // pair set; compose with a downstream anti-join (or use mode=drop to
+    // anti-join inline and keep the clean corpus rows).
+    "minhash_against" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val refTable = a.str("ref_table")
+      val threshold = a.doubleOpt("threshold").getOrElse(0.8)
+      val drop = a.strOpt("mode").contains("drop")
+      LensOp.setLevel(s"minhash_against(ref=$refTable, t=$threshold)",
+        df => {
+          val pairs = Dedup.minHashLshAgainst(
+            df, df.sparkSession.table(refTable), t, id, threshold)
+          if (!drop) pairs
+          else df.join(pairs.select(org.apache.spark.sql.functions.col("doc_id")
+            .as(id)).distinct(), Seq(id), "left_anti")
+        })
+    },
+
+    // Reference-membership Bloom probe (Dedup.bloomReference): two-input
+    // via the catalog; flags rows whose exact content may appear in the
+    // reference (verify the flagged slice with an exact semi-join).
+    "bloom_ref" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val refTable = a.str("ref_table")
+      val items = a.intOpt("expected_items").getOrElse(100000)
+      val fpp = a.doubleOpt("fpp").getOrElse(0.01)
+      LensOp.setLevel(s"bloom_ref(ref=$refTable)",
+        df => Dedup.bloomReference(
+          df, df.sparkSession.table(refTable), t, id, items, fpp))
+    },
+
     // Corpus-level segment dedup (Dedup.segmentDedup): set-level — the
     // surviving row set depends on cross-document frequencies.
     "segment_dedup" -> { a =>

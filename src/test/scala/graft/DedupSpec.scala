@@ -270,6 +270,34 @@ class DedupSpec extends AnyFunSuite {
     assert(clean.select("doc_id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("lens files drive cross-corpus decontamination (minhash_against, bloom_ref)") {
+    import graft.engine.Pipeline
+    val tail = "and then the story continued with many long and detailed " +
+      "descriptions of the journey through the mountains and valleys beyond"
+    Seq((100L, s"$base $tail")).toDF("doc_id", "text")
+      .createOrReplaceTempView("dedup_spec_ref")
+    val corpus = Seq(
+      (1L, s"$base $tail"),
+      (3L, "completely unrelated short text about cooking pasta with " +
+        "tomatoes garlic olive oil and fresh basil leaves from the garden"))
+      .toDF("doc_id", "text")
+    // mode=drop: inline anti-join keeps only the clean corpus rows
+    val clean = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:minhash_against",
+        |"arguments":{"ref_table":"dedup_spec_ref","mode":"drop"}}]}"""
+        .stripMargin)
+      .forward(corpus).select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(3L))
+    // bloom_ref: exact-content membership probe flags the copy
+    val flagged = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:bloom_ref",
+        |"arguments":{"ref_table":"dedup_spec_ref","expected_items":"10"}}]}"""
+        .stripMargin)
+      .forward(corpus).where(col("might_match"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.contains(1L))
+  }
+
   test("lens files drive hash128 exact dedup and segment dedup end-to-end") {
     // VERDICT r4 #5: every §2.6 operator reachable from a lens file alone.
     import graft.engine.Pipeline
