@@ -40,7 +40,7 @@ object DedupQueries extends QueryProvider {
 
   // Decontamination split: sources src0-src4 act as the "reference"
   // (eval/benchmark stand-in), the rest as the training corpus.
-  private val RefSources = Seq("src0", "src1", "src2", "src3", "src4")
+  private[queries] val RefSources = Seq("src0", "src1", "src2", "src3", "src4")
 
   private def dedupCrossMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -494,10 +494,10 @@ object DedupQueries extends QueryProvider {
     graft.operators.Spans.stripContaminated(
       contamCorpus(s, dir), contamRef(s, dir), "text", "doc_id", n = 8)
 
-  private val contamCorpusSql =
+  private[queries] val contamCorpusSql =
     "(SELECT * FROM documents WHERE source NOT IN " +
       "('src0','src1','src2','src3','src4'))"
-  private val contamRefSql =
+  private[queries] val contamRefSql =
     "(SELECT * FROM documents WHERE source IN " +
       "('src0','src1','src2','src3','src4'))"
 

@@ -493,26 +493,87 @@ object TextQueries extends QueryProvider {
       T(s, dir, "documents"), "source", "doc_id", alpha = 0.5)
       .select(col("doc_id"), col("source"), col("copy"))
 
-  private val temperatureSql =
-    s"""WITH n AS (
+  /** Temperature-mix chain over any (doc_id, source) src — CTEs
+   *  `tn … tmix`, `tmix` = (doc_id, source, copy). `alpha` passed as the
+   *  literal string both engines parse (identical IEEE double). */
+  private[queries] def temperatureChainSql(src: String, alpha: String): String =
+    s"""tn AS (
       |  SELECT source, CAST(count(*) AS DOUBLE) AS ng
-      |  FROM documents GROUP BY source
-      |), tot AS (
-      |  SELECT sum(ng) AS nn, sum(pow(ng, 0.5)) AS z FROM n
-      |), r AS (
-      |  SELECT n.source, ((tot.nn * pow(n.ng, 0.5)) / tot.z) / n.ng AS rate
-      |  FROM n, tot
-      |), b AS (
-      |  SELECT doc_id, source, $upsampleBucketSql AS bk FROM documents
-      |), c AS (
-      |  SELECT b.doc_id, b.source,
-      |    CAST(floor(r.rate) AS BIGINT)
-      |      + (CASE WHEN b.bk < round((r.rate - floor(r.rate)) * 1e6)
+      |  FROM $src GROUP BY source
+      |), ttot AS (
+      |  SELECT sum(ng) AS nn, sum(pow(ng, $alpha)) AS z FROM tn
+      |), tr AS (
+      |  SELECT tn.source, ((ttot.nn * pow(tn.ng, $alpha)) / ttot.z) / tn.ng AS rate
+      |  FROM tn, ttot
+      |), tb AS (
+      |  SELECT doc_id, source, $upsampleBucketSql AS bk FROM $src
+      |), tc AS (
+      |  SELECT tb.doc_id, tb.source,
+      |    CAST(floor(tr.rate) AS BIGINT)
+      |      + (CASE WHEN tb.bk < round((tr.rate - floor(tr.rate)) * 1e6)
       |         THEN 1 ELSE 0 END) AS copies
-      |  FROM b JOIN r ON b.source = r.source
-      |)
-      |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
-      |FROM c WHERE copies >= 1""".stripMargin
+      |  FROM tb JOIN tr ON tb.source = tr.source
+      |), tmix AS (
+      |  SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
+      |  FROM tc WHERE copies >= 1
+      |)""".stripMargin
+
+  private val temperatureSql = "WITH " + temperatureChainSql("documents", "0.5") +
+    "\nSELECT doc_id, source, copy FROM tmix"
+
+  /** Flagship #4 — the decontamination + LM-quality + rebalancing chain a
+   *  frontier-data pipeline runs between raw corpus and training mix,
+   *  every stage from THIS round's operator set, cross-checked as one
+   *  query: substring-level reference decontamination
+   *  (`Spans.stripContaminated`, eval split = src0-4) → corpus-trained
+   *  bigram-LM scoring over the CLEANED text → integer-exact mean
+   *  log-likelihood filter (≥ −7 nats, ll_sum_micro ≥ −7e6·n_bigrams —
+   *  no FP comparison anywhere) → temperature-rebalanced mixture
+   *  (α = 0.7) over the survivors → per-source report. DuckDB recomputes
+   *  the whole chain from the shared fragments (contamSpansChainSql +
+   *  stripChainSql + bigramChainSql + temperatureChainSql), so the hash
+   *  match certifies the COMPOSITION. */
+  private def decontamLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val corpus = docs.where(
+      !col("source").isInCollection(DedupQueries.RefSources))
+    val ref = docs.where(col("source").isInCollection(DedupQueries.RefSources))
+    val cleaned = graft.operators.Spans
+      .stripContaminated(corpus, ref, "text", "doc_id", n = 8)
+    val withSrc = cleaned.join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    val lm = TextAnalysis.bigramLmScore(withSrc, "text", "doc_id")
+    val surv = withSrc.select(col("doc_id"), col("source")).join(lm, "doc_id")
+      .where(col("n_bigrams") >= 5 &&
+        col("ll_sum_micro") >= lit(-7000000L) * col("n_bigrams"))
+      .select(col("doc_id"), col("source"))
+    graft.operators.Sampling
+      .temperatureMixture(surv, "source", "doc_id", alpha = 0.7)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  private val decontamLmSql = "WITH " +
+    DedupQueries.contamSpansChainSql(
+      DedupQueries.contamCorpusSql, DedupQueries.contamRefSql) +
+    DedupQueries.stripChainSql(DedupQueries.contamCorpusSql) + ",\n" +
+    s"""cdocs AS (
+      |  SELECT c.doc_id, c.text, d.source
+      |  FROM cleaned c JOIN ${DedupQueries.contamCorpusSql} d USING (doc_id)
+      |),
+      |""".stripMargin +
+    bigramChainSql("cdocs") + ",\n" +
+    """surv AS (
+      |  SELECT cdocs.doc_id, cdocs.source
+      |  FROM cdocs JOIN lm USING (doc_id)
+      |  WHERE n_bigrams >= 5 AND ll_sum_micro >= -7000000 * n_bigrams
+      |),
+      |""".stripMargin +
+    temperatureChainSql("surv", "0.7") +
+    """
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM tmix GROUP BY source""".stripMargin
 
   /** Flagship #3 — the modern preprocessing pipeline end-to-end, every
    *  stage from THIS round's operator set, cross-checked as one query:
@@ -671,32 +732,40 @@ object TextQueries extends QueryProvider {
   private def bigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(T(s, dir, "documents"), "text", "doc_id")
 
-  private val bigramLmSql =
-    """WITH w AS (
-      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |), pairs AS (
+  /** Bigram-LM chain over any (doc_id, text) source — CTEs `bw … lm`,
+   *  `lm` = (doc_id, n_bigrams, ll_sum_micro, min_bigram_freq). Shared by
+   *  `text_bigram_lm` and the decontamination flagship, one source of
+   *  the formula. */
+  private[queries] def bigramChainSql(src: String): String =
+    s"""bw AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM $src
+      |), bpairs AS (
       |  SELECT doc_id,
       |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
       |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
-      |  FROM w WHERE len(ws) >= 2
-      |), m2 AS (
+      |  FROM bw WHERE len(ws) >= 2
+      |), bm2 AS (
       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-      |  FROM pairs GROUP BY w1, w2
-      |), m1 AS (
-      |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1
-      |), voc AS (
+      |  FROM bpairs GROUP BY w1, w2
+      |), bm1 AS (
+      |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bpairs GROUP BY w1
+      |), bvoc AS (
       |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM (
-      |    SELECT unnest(ws) AS token FROM w)
-      |)
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  CAST(sum(CAST(floor(1e6 * ln(
-      |    (CAST(c12 AS DOUBLE) + 1.0) /
-      |      (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))) AS BIGINT))
-      |    AS BIGINT) AS ll_sum_micro,
-      |  CAST(min(c12) AS BIGINT) AS min_bigram_freq
-      |FROM pairs
-      |JOIN m2 USING (w1, w2) JOIN m1 USING (w1) CROSS JOIN voc
-      |GROUP BY doc_id""".stripMargin
+      |    SELECT unnest(ws) AS token FROM bw)
+      |), lm AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CAST(floor(1e6 * ln(
+      |      (CAST(c12 AS DOUBLE) + 1.0) /
+      |        (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))) AS BIGINT))
+      |      AS BIGINT) AS ll_sum_micro,
+      |    CAST(min(c12) AS BIGINT) AS min_bigram_freq
+      |  FROM bpairs
+      |  JOIN bm2 USING (w1, w2) JOIN bm1 USING (w1) CROSS JOIN bvoc
+      |  GROUP BY doc_id
+      |)""".stripMargin
+
+  private val bigramLmSql = "WITH " + bigramChainSql("documents") +
+    "\nSELECT doc_id, n_bigrams, ll_sum_micro, min_bigram_freq FROM lm"
 
   // Composition flagship #2 — the full pretraining-prep chain a training
   // pipeline actually ships, run END TO END through the lens engine:
@@ -766,6 +835,7 @@ object TextQueries extends QueryProvider {
     "q_corpus_upsample" -> (upsampleQ _),
     "q_temperature_mix" -> (temperatureQ _),
     "pipeline_clean_corpus" -> (cleanCorpus _),
+    "pipeline_decontam_lm" -> (decontamLm _),
     "text_vocab"       -> (vocab _),
     "text_tfidf"       -> (tfidf _),
     "q_pack_sequences" -> (packSeqs _),
@@ -796,6 +866,7 @@ object TextQueries extends QueryProvider {
     "q_corpus_upsample" -> upsampleSql,
     "q_temperature_mix" -> temperatureSql,
     "pipeline_clean_corpus" -> cleanCorpusSql,
+    "pipeline_decontam_lm" -> decontamLmSql,
     "text_vocab"       -> vocabSql,
     "text_tfidf"       -> tfidfSql,
     "q_pack_sequences" -> packSeqsSql,
