@@ -108,6 +108,17 @@ object Kmeans {
       iters: Int = 5): DataFrame =
     assign(df, vecCol, idCol, train(df, vecCol, idCol, k, iters))
 
+  /** The trained centroids as a DataFrame — (cell, vals): cell index and
+   *  the dim-wide centroid — the relational form a catalog stores and a
+   *  cross-engine oracle reads (mirrors [[Pq.codebooksDf]]). */
+  def centroidsDf(s: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val rows = centroids.zipWithIndex.map { case (vals, cell) =>
+      (cell.toLong, vals.toSeq)
+    }
+    s.createDataFrame(rows.toSeq).toDF("cell", "vals")
+  }
+
   /** Within-cluster sum of squares (the Lloyd objective) — convergence
    *  metric for specs/monitoring; one narrow scan + scalar aggregate. */
   def cost(df: DataFrame, vecCol: String, centroids: Array[Array[Double]]): Double =

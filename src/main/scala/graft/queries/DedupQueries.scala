@@ -173,6 +173,65 @@ object DedupQueries extends QueryProvider {
       saltBuckets = 8)
       .select(col("vec_id"), col("label"))
 
+  // Cross-engine certification of the WHOLE SemDeDup chain — the
+  // companion that closes dedup_semantic's rows-only gap. The centroid
+  // values are trained-model internals (that query stays rows-only), but
+  // GIVEN the materialized centroid table every downstream stage is
+  // exactly replayable: DuckDB recomputes each row's squared-L2 argmin
+  // cell (certifying the NearestCentroid blocking), the within-cell
+  // cosine-threshold pair set (certifying that salted-triangle blocking
+  // loses nothing — the salt decomposition must be invisible in the
+  // result), the transitive closure over those pairs (recursive CTE, the
+  // same oracle shape dedup_clusters uses), and the min-id survivor set.
+  // One hash match certifies blocking + verify + CC + keep-one end to end.
+  private def dedupSemanticVerify(s: SparkSession, dir: String): DataFrame = {
+    val cents = semCentroids(s, dir)
+    Scratch.materialize(s, dir, "semdedup_centroids",
+      graft.operators.Kmeans.centroidsDf(s, cents))
+    graft.operators.SemDedup.semantic(T(s, dir, "embeddings"),
+      "embedding", "vec_id", cents, threshold = 0.402, saltBuckets = 8)
+      .select(col("vec_id"), col("label"))
+  }
+
+  private val dedupSemanticVerifySql =
+    s"""WITH RECURSIVE ct AS (SELECT cell, vals
+       |  FROM read_parquet('${Scratch.oraclePath("semdedup_centroids")}/*.parquet')),
+       |n AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT n.vec_id, ct.cell,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (CAST(n.embedding[i] AS DOUBLE) - ct.vals[i])
+       |         * (CAST(n.embedding[i] AS DOUBLE) - ct.vals[i]))) AS dist
+       |  FROM n CROSS JOIN ct),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      rank() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+       |    FROM d)
+       |  WHERE r = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS u, b.vec_id AS v
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN n x ON x.vec_id = a.vec_id
+       |  JOIN n y ON y.vec_id = b.vec_id
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |          i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+       |        / (x.nrm * y.nrm) >= 0.402),
+       |e AS (
+       |  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node),
+       |cc AS (
+       |  SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT node FROM cc WHERE node <> cluster)""".stripMargin
+
   /**
    * Pair graph for cluster resolution: near-dup pairs (blocked char-3-gram
    * Jaccard ≥ 0.7 — the oracle-proven pair set) unioned with exact-dup
@@ -570,6 +629,7 @@ object DedupQueries extends QueryProvider {
     "dedup_contam_spans"   -> (dedupContamSpans _),
     "dedup_strip_contam"   -> (dedupStripContam _),
     "dedup_semantic"       -> (dedupSemantic _),
+    "dedup_semantic_verify" -> (dedupSemanticVerify _),
     "dedup_bloom_ref"      -> (dedupBloomRef _),
     "dedup_ref_exact"      -> (dedupRefExact _),
     "dedup_simhash_verify" -> (dedupSimhashVerify _),
@@ -593,6 +653,7 @@ object DedupQueries extends QueryProvider {
     "dedup_contam_spans"  -> dedupContamSpansSql,
     "dedup_strip_contam"  -> dedupStripContamSql,
     "dedup_ref_exact"     -> dedupRefExactSql,
+    "dedup_semantic_verify" -> dedupSemanticVerifySql,
     "dedup_simhash_verify" -> dedupSimhashVerifySql,
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_survivors"     -> dedupSurvivorsSql,

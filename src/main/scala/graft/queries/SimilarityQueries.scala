@@ -316,6 +316,67 @@ object SimilarityQueries extends QueryProvider {
        |JOIN n c ON c.vec_id = cand.neighbor_id
        |WHERE $COS >= 0.32""".stripMargin
 
+  // Cross-engine certification of the trained-quantizer search math —
+  // the companion that closes sim_ivf_kmeans's rows-only gap. The
+  // centroid VALUES are trained-model internals (that query stays
+  // rows-only), but GIVEN the materialized centroid table, everything
+  // downstream is exactly replayable from first principles: DuckDB
+  // recomputes every row's squared-L2 argmin cell (certifying
+  // NearestCentroid), each query's nprobe-nearest cells (certifying
+  // NearestCentroids' arg-top-n), and the cosine top-k over the probed
+  // candidate union — the complete probed-IVF pipeline. Pair distances in
+  // this corpus are far above double noise, so argmin/rank are stable
+  // cross-engine (same reasoning as the exact-cosine oracles above).
+  private def kmeansVerify(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(s, dir)
+    val emb = T(s, dir, "embeddings")
+    Scratch.materialize(s, dir, "kmeans_centroids",
+      graft.operators.Kmeans.centroidsDf(s, cents))
+    Similarity.ivfProbedTopK(emb, emb.where(col("vec_id") < 10),
+      "embedding", "vec_id", cents, k = 3, nprobe = 6)
+  }
+
+  private val kmeansVerifySql =
+    s"""WITH ct AS (SELECT cell, vals
+       |  FROM read_parquet('${Scratch.oraclePath("kmeans_centroids")}/*.parquet')),
+       |n AS ($NORMED),
+       |d AS (
+       |  SELECT n.vec_id, ct.cell,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (CAST(n.embedding[i] AS DOUBLE) - ct.vals[i])
+       |         * (CAST(n.embedding[i] AS DOUBLE) - ct.vals[i]))) AS dist
+       |  FROM n CROSS JOIN ct),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      rank() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+       |    FROM d)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      rank() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+       |    FROM d WHERE vec_id < 10)
+       |  WHERE r <= 6),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN asg a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+       |      / (q.nrm * c.nrm) AS cos
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.query_id
+       |  JOIN n c ON c.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(rank() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3""".stripMargin
+
   // Int8 quantization (Quantize.int8): floor-based codes are exact
   // integers in both engines, so codes AND the double scale hash-match.
   // The library API returns one array row per vector; the registered
@@ -360,7 +421,8 @@ object SimilarityQueries extends QueryProvider {
     "sim_ivfpq_topk"  -> (ivfPqTopk _),
     "sim_pq_adc_verify" -> (pqAdcVerify _),
     "sim_ivfpq_verify" -> (ivfPqVerify _),
-    "sim_srp_verify"  -> (srpVerify _)
+    "sim_srp_verify"  -> (srpVerify _),
+    "sim_kmeans_verify" -> (kmeansVerify _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -370,13 +432,16 @@ object SimilarityQueries extends QueryProvider {
     "sim_quantize_int8" -> quantizeInt8Sql,
     "sim_pq_adc_verify" -> pqAdcVerifySql,
     "sim_ivfpq_verify"  -> ivfPqVerifySql,
-    "sim_srp_verify"    -> srpVerifySql
+    "sim_srp_verify"    -> srpVerifySql,
+    "sim_kmeans_verify" -> kmeansVerifySql
     // sim_ann_srp: approximate (LSH) — rows-only; recall bound covered in
     // SimilaritySpec against the brute-force baseline. sim_srp_verify
     // hash-certifies the bucket-join + cosine verify over materialized
     // buckets.
     // sim_ivf_kmeans: cluster ids come from the trained quantizer
-    // (engine-internal) — rows-only; SimilaritySpec pins recall/determinism.
+    // (engine-internal) — rows-only; SimilaritySpec pins recall/
+    // determinism, and sim_kmeans_verify hash-certifies the argmin
+    // assignment + probing + ranking math over materialized centroids.
     // sim_pq_topk / sim_ivfpq_topk: trained-model internals — rows-only;
     // sim_pq_adc_verify hash-certifies the ADC math over materialized
     // codes + codebooks.
