@@ -317,6 +317,29 @@ object BuiltinOps {
           df, df.sparkSession.table(refTable), t, id, items, fpp))
     },
 
+    // DSIR importance selection (Dsir — Xie et al. 2023): two-input via
+    // the catalog — the TARGET domain sample resolves by name, like
+    // minhash_against. mode=weights (default) emits per-doc importance
+    // weights; mode=select keeps the k corpus rows most resembling the
+    // target (Gumbel-resampled at temperature > 0, hard top-k at 0).
+    "dsir" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val targetTable = a.str("target_table")
+      val buckets = a.intOpt("buckets").getOrElse(10007)
+      val select = a.strOpt("mode").contains("select")
+      val k = a.intOpt("k").getOrElse(1000)
+      val temp = a.doubleOpt("temperature").getOrElse(0.0)
+      LensOp.setLevel(s"dsir(target=$targetTable)",
+        df => {
+          val w = graft.operators.Dsir.importanceWeights(
+            df, df.sparkSession.table(targetTable), t, id, buckets)
+          if (!select) w
+          else df.join(graft.operators.Dsir.resample(w, k, temp)
+            .select(col("doc_id").as(id)), Seq(id), "left_semi")
+        })
+    },
+
     // Corpus-level segment dedup (Dedup.segmentDedup): set-level — the
     // surviving row set depends on cross-document frequencies.
     "segment_dedup" -> { a =>

@@ -767,6 +767,75 @@ object TextQueries extends QueryProvider {
   private val bigramLmSql = "WITH " + bigramChainSql("documents") +
     "\nSELECT doc_id, n_bigrams, ll_sum_micro, min_bigram_freq FROM lm"
 
+  // DSIR importance weights (Dsir.importanceWeights — Xie et al. 2023):
+  // every document scored by how much likelier its hashed-bigram features
+  // are under the English-target model than under the raw-corpus model.
+  // The xxhash64 bucket ids are engine-internal (like simhash signatures),
+  // so the featurized count tables materialize to parquet and DuckDB
+  // refits BOTH multinomial models, rebuilds the smoothed log-ratio
+  // table, and recomputes every weight from the same bytes — the hash
+  // match certifies model fit + scoring end to end. Integer micro-nat
+  // ratios (per-bucket floor BEFORE the per-doc sum) make the aggregate
+  // exact under any partitioning, the bigram-LM discipline.
+  private val DsirB = 10007
+
+  private def dsirCounts(s: SparkSession, dir: String): (String, String) = {
+    val docs = T(s, dir, "documents")
+    val srcPath = Scratch.materialize(s, dir, "dsir_src_counts",
+      graft.operators.Dsir.hashedBigramCounts(docs, "text", "doc_id", DsirB))
+    val tgtPath = Scratch.materialize(s, dir, "dsir_tgt_counts",
+      graft.operators.Dsir.hashedBigramCounts(
+        docs.where(col("lang") === "en"), "text", "doc_id", DsirB))
+    (srcPath, tgtPath)
+  }
+
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val (srcPath, tgtPath) = dsirCounts(s, dir)
+    graft.operators.Dsir.weightsFromCounts(
+      s.read.parquet(srcPath), s.read.parquet(tgtPath), DsirB)
+  }
+
+  /** Shared weight-derivation CTEs over the materialized count tables:
+   *  `sc` (per-doc source counts) … `w` = (doc_id, n_feats, w_sum_micro). */
+  private def dsirChainSql: String =
+    s"""sc AS (SELECT doc_id, bucket, cnt
+       |  FROM read_parquet('${Scratch.oraclePath("dsir_src_counts")}/*.parquet')),
+       |tc AS (SELECT bucket, cnt
+       |  FROM read_parquet('${Scratch.oraclePath("dsir_tgt_counts")}/*.parquet')),
+       |sb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cs FROM sc GROUP BY bucket),
+       |tb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct FROM tc GROUP BY bucket),
+       |tot AS (SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM sc) AS ts,
+       |               (SELECT CAST(sum(cnt) AS DOUBLE) FROM tc) AS tt),
+       |r AS (
+       |  SELECT COALESCE(sb.bucket, tb.bucket) AS bucket,
+       |    CAST(floor(1e6 * ln((CAST(COALESCE(tb.ct, 0) AS DOUBLE) + 1.0)
+       |        / (tot.tt + ${DsirB}.0))) AS BIGINT)
+       |    - CAST(floor(1e6 * ln((CAST(COALESCE(sb.cs, 0) AS DOUBLE) + 1.0)
+       |        / (tot.ts + ${DsirB}.0))) AS BIGINT) AS r_micro
+       |  FROM sb FULL OUTER JOIN tb ON sb.bucket = tb.bucket CROSS JOIN tot),
+       |w AS (
+       |  SELECT sc.doc_id, CAST(sum(sc.cnt) AS BIGINT) AS n_feats,
+       |    CAST(sum(sc.cnt * r.r_micro) AS BIGINT) AS w_sum_micro
+       |  FROM sc JOIN r USING (bucket)
+       |  GROUP BY sc.doc_id)""".stripMargin
+
+  private def dsirWeightsSql: String = "WITH " + dsirChainSql +
+    "\nSELECT doc_id, n_feats, w_sum_micro FROM w"
+
+  // The selection step at temperature 0 — hard top-k by weight. The
+  // Gumbel-perturbed sampler (temperature > 0) derandomizes through
+  // xxhash64 uniforms (engine-internal) and is spec-pinned in DsirSpec;
+  // at temperature 0 the ordering key is the exact integer weight, so
+  // the selected set replays cross-engine.
+  private def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.resample(dsirWeights(s, dir), k = 50,
+      temperature = 0.0)
+
+  private def dsirSelectSql: String = "WITH " + dsirChainSql +
+    """
+      |SELECT doc_id, n_feats, w_sum_micro FROM w
+      |ORDER BY w_sum_micro DESC, doc_id LIMIT 50""".stripMargin
+
   // Composition flagship #2 — the full pretraining-prep chain a training
   // pipeline actually ships, run END TO END through the lens engine:
   // quality-score → threshold filter → PII redaction → exact dedup on the
@@ -828,6 +897,8 @@ object TextQueries extends QueryProvider {
     "pipeline_pretrain_full" -> (pretrainFull _),
     "text_unigram_lm"  -> (unigramLm _),
     "text_bigram_lm"   -> (bigramLm _),
+    "text_dsir_weights" -> (dsirWeights _),
+    "text_dsir_select" -> (dsirSelect _),
     "text_pii_redact"  -> (piiRedact _),
     "q_quality_buckets" -> (qualityBuckets _),
     "text_chunk"       -> (chunk _),
@@ -859,6 +930,8 @@ object TextQueries extends QueryProvider {
     "pipeline_pretrain_full" -> pretrainFullSql,
     "text_unigram_lm"  -> unigramLmSql,
     "text_bigram_lm"   -> bigramLmSql,
+    "text_dsir_weights" -> dsirWeightsSql,
+    "text_dsir_select" -> dsirSelectSql,
     "text_pii_redact"  -> piiRedactSql,
     "q_quality_buckets" -> qualityBucketsSql,
     "text_chunk"       -> chunkSql,
