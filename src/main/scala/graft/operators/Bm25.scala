@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Okapi BM25 relevance scoring (Robertson & Zaragoza 2009) of every
+ * document against a fixed query-term set — the ranking function behind
+ * classic retrieval and the standard "does this doc match my domain
+ * keywords" scorer in data-curation pipelines (keyword-seeded corpus
+ * selection). Complements [[TextAnalysis]]'s tf-idf table: tf-idf emits
+ * per-(doc, term) weights; BM25 emits one calibrated per-doc relevance
+ * score with length normalization. Not in the reference; SURVEY.md §2.6
+ * north-star addition.
+ *
+ * Uses the Lucene-standard smoothed idf `ln(1 + (N − df + 0.5)/(df + 0.5))`
+ * (always ≥ 0) and the k1/b saturation form. Each term's contribution
+ * floors to integer micro-units BEFORE the per-doc sum (the FP-aggregate
+ * discipline every score here follows), so scores are exact under any
+ * partitioning and the whole computation replays cross-engine — the
+ * DuckDB oracle re-derives df/avgdl/idf from the same table and matches
+ * by hash.
+ *
+ * 100 TB shape: one tiny corpus aggregate (N, Σdl, and one df counter per
+ * query term — a single row regardless of corpus size) broadcast into a
+ * narrow per-doc map; no other shuffle. Per-doc cost is
+ * O(terms × words). Query terms are a handful of constants by
+ * construction (a query, not a vocabulary) — for whole-vocabulary
+ * weighting use the tf-idf table instead.
+ */
+object Bm25 {
+
+  /** (id, dl, score_micro) for every document; `dl` is whitespace word
+   *  count, `score_micro` = Σ_terms floor(1e6 · idf_t · tf·(k1+1) /
+   *  (tf + k1·(1 − b + b·dl/avgdl))). */
+  def score(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms == terms.distinct, "query terms must be distinct")
+    val ws = TextAnalysis.wsTokens(col(textCol))
+    val dl = size(ws).cast("long")
+
+    // Corpus statistics: one row — N, Σdl, df per term. Broadcast.
+    val stats = df.select(
+      (Seq(lit(1L).as("__one"), dl.as("__dl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          when(array_contains(ws, t), 1L).otherwise(0L).as(s"__df_$i")
+        }): _*)
+      .agg(sum(col("__one")).as("n_docs"),
+        (sum(col("__dl")).as("sum_dl") +:
+          terms.indices.map(i => sum(col(s"__df_$i")).as(s"df_$i"))): _*)
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / avgdl)
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(ws, w => w === t)).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col(s"df_$i").cast("double") + lit(0.5))
+          / (col(s"df_$i").cast("double") + lit(0.5)))
+      floor(lit(1e6) * idf * (tf * lit(k1 + 1.0)) / (tf + norm)).cast("long")
+    }
+    df.crossJoin(broadcast(stats))
+      .select(col(idCol), dl.as("dl"),
+        contribs.reduce(_ + _).as("score_micro"))
+  }
+}

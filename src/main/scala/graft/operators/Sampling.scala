@@ -202,6 +202,48 @@ object Sampling {
       .drop("__copies", "__rate")
   }
 
+  /**
+   * Token-budget mixture planner: given per-document token counts, a
+   * total training-token budget, and desired mixture WEIGHTS (relative,
+   * unnormalized), compute per-group epoch counts — the planning step
+   * that turns "train on B tokens at mixture w" into the per-group rates
+   * [[upsample]]/[[mixture]] execute. Per group g:
+   * `target_tokens = floor(budget · w_g / Σw)` and
+   * `epochs_micro = floor(1e6 · target_tokens / tokens)` — epochs > 1e6
+   * means the group repeats (upsample), < 1e6 means it subsamples.
+   * Integer outputs throughout, so the plan replays exactly cross-engine
+   * and downstream integer-unit samplers consume it without FP drift.
+   *
+   * 100 TB shape: one groupBy over (group, tokens) — a shuffle of one
+   * long per document — into a ≤ |groups| result; the weights map is a
+   * broadcast-sized literal. The expensive part of a budget change is
+   * re-running the SAMPLER, never the plan.
+   */
+  def tokenBudgetPlan(df: DataFrame, groupCol: String, tokenCol: String,
+      budgetTokens: Long, weights: Map[String, Double],
+      defaultWeight: Double = 0.0): DataFrame = {
+    require(budgetTokens > 0, "need budgetTokens > 0")
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0.0, s"weight $w negative"))
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("tokens"))
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (g, v)) => when(col(groupCol) === g, lit(v)).otherwise(acc)
+    }
+    val weighted = perGroup.withColumn("__w", w)
+    val totW = weighted.agg(sum(col("__w")).as("__sumw"))
+    weighted.crossJoin(broadcast(totW))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        floor(lit(budgetTokens.toDouble) * col("__w") / col("__sumw"))
+          .cast("long").as("target_tokens"))
+      .withColumn("epochs_micro",
+        when(col("tokens") > 0,
+          floor(lit(1e6) * col("target_tokens").cast("double") /
+            col("tokens").cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   def mixture(df: DataFrame, groupCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>

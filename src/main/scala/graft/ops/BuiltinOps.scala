@@ -224,6 +224,45 @@ object BuiltinOps {
         df => TextAnalysis.gopherRules(df, t, id, minW, maxW))
     },
 
+    // C4-style line-level cleaning (C4Clean.clean — Raffel et al. 2020).
+    // Row-level projection: emits per-doc kept-line stats + clean_text +
+    // c4_pass; compose with a downstream filter/select to drop.
+    "c4_clean" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val minW = a.intOpt("min_line_words").getOrElse(3)
+      val minL = a.intOpt("min_kept_lines").getOrElse(5)
+      val punct = a.strOpt("terminal_punct").forall(_ != "false")
+      LensOp(s"c4_clean($t)",
+        df => graft.operators.C4Clean.clean(df, t, id, minW, minL, punct))
+    },
+
+    // BM25 keyword relevance (Bm25.score): per-doc score against a fixed
+    // query-term list in integer micro-units.
+    "bm25" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val terms = a.strList("terms")
+      val k1 = a.doubleOpt("k1").getOrElse(1.2)
+      val b = a.doubleOpt("b").getOrElse(0.75)
+      LensOp(s"bm25(${terms.mkString(",")})",
+        df => graft.operators.Bm25.score(df, t, id, terms, k1, b))
+    },
+
+    // Token-budget mixture planning (Sampling.tokenBudgetPlan): per-group
+    // epoch plan to hit a token budget at the given weights; feed
+    // epochs_micro/1e6 to `upsample`/`mixture` rates downstream.
+    "token_budget" -> { a =>
+      val group = a.str("group")
+      val tokenCol = a.strOpt("tokens").getOrElse("n_ws_tokens")
+      val budget = a.str("budget").toLong
+      val weights = a.doubleMap("weights")
+      val default = a.doubleOpt("default").getOrElse(0.0)
+      LensOp.setLevel(s"token_budget($group, $budget)",
+        df => graft.operators.Sampling.tokenBudgetPlan(
+          df, group, tokenCol, budget, weights, default))
+    },
+
     "quality_score" -> { a =>
       val (t, id) = (a.strOpt("text").getOrElse("text"),
         a.strOpt("id").getOrElse("doc_id"))

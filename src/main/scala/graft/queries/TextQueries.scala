@@ -836,6 +836,110 @@ object TextQueries extends QueryProvider {
       |SELECT doc_id, n_feats, w_sum_micro FROM w
       |ORDER BY w_sum_micro DESC, doc_id LIMIT 50""".stripMargin
 
+  // C4 line-level cleaning (C4Clean.clean — Raffel et al. 2020 §2.2).
+  // The corpus is single-line by construction, so the query re-lines each
+  // document every 12 words first (a deterministic re-lining both engines
+  // replay) and disables the terminal-punctuation rule (the synthetic
+  // text has no punctuation — C4CleanSpec exercises the full rule set on
+  // text that does). Line survival then hinges on the ≥5-word rule (the
+  // short last line drops) and document survival on ≥3 kept lines.
+  private def c4Clean(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val relined = T(s, dir, "documents").select(col("doc_id"),
+      array_join(transform(
+        sequence(lit(0), ((size(ws) - lit(1)) / lit(12)).cast("int")),
+        i => array_join(slice(ws, i * 12 + 1, lit(12)), " ")), "\n").as("text"))
+    graft.operators.C4Clean.clean(relined, "text", "doc_id",
+      minLineWords = 5, minKeptLines = 3, requireTerminalPunct = false)
+  }
+
+  private val c4CleanSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |rl AS (SELECT doc_id,
+      |  array_to_string(list_transform(
+      |    generate_series(0, CAST((len(ws) - 1) // 12 AS INT)),
+      |    i -> array_to_string(ws[(i*12+1):(i*12+12)], ' ')), chr(10)) AS text
+      |  FROM w),
+      |ln AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM rl),
+      |k AS (SELECT doc_id, text, lines,
+      |  list_filter(lines, l -> len(string_split(trim(l), ' ')) >= 5
+      |    AND trim(l) <> '' AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM ln)
+      |SELECT doc_id,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  array_to_string(kept, chr(10)) AS clean_text,
+      |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(text, '{')) AS c4_pass
+      |FROM k""".stripMargin
+
+  // BM25 keyword relevance (Bm25.score): per-term contributions floor to
+  // integer micro-units before the per-doc sum; the oracle re-derives
+  // N/df/avgdl from the same table with the identical expression shape.
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25Terms = Seq("spark", "join", "window", "vector")
+
+  private def bm25Q(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.score(T(s, dir, "documents"), "text", "doc_id",
+      bm25Terms, k1 = bm25K1, b = bm25B)
+
+  private def bm25Sql: String = {
+    val dfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i"
+    }.mkString(",\n  ")
+    val contribs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)"
+      val idf = s"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)" +
+        s" / (CAST(df_$i AS DOUBLE) + 0.5))"
+      val norm = s"${bm25K1} * (${1.0 - bm25B} + ${bm25B} * CAST(len(ws) AS DOUBLE)" +
+        s" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))"
+      s"CAST(floor(1000000.0 * $idf * ($tf * ${bm25K1 + 1.0}) / ($tf + $norm)) AS BIGINT)"
+    }.mkString("\n  + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(ws)) AS BIGINT) AS sum_dl,
+       |  $dfCols
+       |  FROM w)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |  $contribs AS score_micro
+       |FROM w CROSS JOIN st""".stripMargin
+  }
+
+  // Token-budget mixture planning (Sampling.tokenBudgetPlan): per-source
+  // epoch counts to hit a 1M-token budget at weights 4:2:1. Weights are
+  // integer-valued so Σw is an exact double under ANY summation order —
+  // the one FP aggregate in the plan is order-independent by choice.
+  private val budgetWeights = Map("src0" -> 4.0, "src1" -> 2.0)
+
+  private def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetPlan(
+      T(s, dir, "documents")
+        .withColumn("tk", size(split(col("text"), " ")).cast("long")),
+      "source", "tk", budgetTokens = 1000000L, weights = budgetWeights,
+      defaultWeight = 1.0)
+
+  private def tokenBudgetSql: String = {
+    val cases = budgetWeights.map { case (g, v) =>
+      s"WHEN source = '$g' THEN $v"
+    }.mkString(" ")
+    s"""WITH d AS (SELECT source, len(string_split(text, ' ')) AS tk FROM documents),
+       |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tk) AS BIGINT) AS tokens FROM d GROUP BY source),
+       |wt AS (SELECT source, n_docs, tokens,
+       |  CASE $cases ELSE 1.0 END AS w FROM g),
+       |t AS (SELECT sum(w) AS sumw FROM wt),
+       |p AS (SELECT source, n_docs, tokens,
+       |  CAST(floor(1000000.0 * w / sumw) AS BIGINT) AS target_tokens
+       |  FROM wt CROSS JOIN t)
+       |SELECT source, n_docs, tokens, target_tokens,
+       |  CASE WHEN tokens > 0 THEN
+       |    CAST(floor(1000000.0 * CAST(target_tokens AS DOUBLE)
+       |      / CAST(tokens AS DOUBLE)) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS epochs_micro
+       |FROM p""".stripMargin
+  }
+
   // Composition flagship #2 — the full pretraining-prep chain a training
   // pipeline actually ships, run END TO END through the lens engine:
   // quality-score → threshold filter → PII redaction → exact dedup on the
@@ -899,6 +1003,9 @@ object TextQueries extends QueryProvider {
     "text_bigram_lm"   -> (bigramLm _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_dsir_select" -> (dsirSelect _),
+    "text_c4_clean"    -> (c4Clean _),
+    "text_bm25"        -> (bm25Q _),
+    "q_token_budget"   -> (tokenBudget _),
     "text_pii_redact"  -> (piiRedact _),
     "q_quality_buckets" -> (qualityBuckets _),
     "text_chunk"       -> (chunk _),
@@ -932,6 +1039,9 @@ object TextQueries extends QueryProvider {
     "text_bigram_lm"   -> bigramLmSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_dsir_select" -> dsirSelectSql,
+    "text_c4_clean"    -> c4CleanSql,
+    "text_bm25"        -> bm25Sql,
+    "q_token_budget"   -> tokenBudgetSql,
     "text_pii_redact"  -> piiRedactSql,
     "q_quality_buckets" -> qualityBucketsSql,
     "text_chunk"       -> chunkSql,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Bm25
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class Bm25Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark shuffles data across the cluster"),
+    (2L, "spark spark spark is mentioned repeatedly in this much longer " +
+      "document about spark and its spark runtime behavior"),
+    (3L, "ducks swim on the quiet pond"),
+    (4L, "the cluster runs spark jobs")).toDF("doc_id", "text")
+
+  private def scores(terms: Seq[String]): Map[Long, Long] =
+    Bm25.score(corpus, "text", "doc_id", terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("matches the hand-computed Okapi formula on a tiny corpus") {
+    // Corpus: N=4, dl = (6, 18, 6, 5), avgdl = 35/4 = 8.75; 'spark' df=3.
+    val s = scores(Seq("spark"))
+    val idf = math.log(1.0 + (4.0 - 3.0 + 0.5) / (3.0 + 0.5))
+    def contrib(tf: Double, dl: Double): Long =
+      math.floor(1e6 * idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / 8.75))).toLong
+    assert(s(1L) == contrib(1, 6))
+    assert(s(2L) == contrib(5, 18))
+    assert(s(3L) == 0L, "zero tf scores exactly zero")
+    assert(s(4L) == contrib(1, 5))
+  }
+
+  test("term-frequency saturation: 5 occurrences score < 5x one occurrence") {
+    val s = scores(Seq("spark"))
+    assert(s(2L) > s(1L), "more occurrences still score higher")
+    assert(s(2L) < 5L * s(4L), "but sub-linearly (k1 saturation)")
+  }
+
+  test("length normalization: same tf in a shorter doc scores higher") {
+    val s = scores(Seq("spark"))
+    assert(s(4L) > s(1L), "tf=1 in dl=5 beats tf=1 in dl=6")
+  }
+
+  test("rarer terms carry higher idf weight") {
+    // 'ducks' df=1 vs 'spark' df=3, equal tf=1, same doc lengths would
+    // be ideal; compare within one doc: doc 3 scores 'ducks' higher than
+    // doc 1 scores 'spark' despite identical tf and dl.
+    val ducks = scores(Seq("ducks"))(3L)
+    val spark1 = scores(Seq("spark"))(1L)
+    assert(ducks > spark1)
+  }
+
+  test("multi-term scores are the exact sum of single-term scores") {
+    val both = scores(Seq("spark", "cluster"))
+    val a = scores(Seq("spark"))
+    val b = scores(Seq("cluster"))
+    corpus.select("doc_id").as[Long].collect().foreach { id =>
+      assert(both(id) == a(id) + b(id), s"doc $id")
+    }
+  }
+}

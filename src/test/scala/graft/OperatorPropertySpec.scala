@@ -100,6 +100,26 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetPlan: targets split the budget by weight, epochs floor exactly") {
+    val df = Seq(
+      (1L, "a", 40L), (2L, "a", 60L),          // a: 100 tokens
+      (3L, "b", 300L),                          // b: 300
+      (4L, "c", 200L), (5L, "c", 400L))         // c: 600
+      .toDF("doc_id", "grp", "tk")
+    val plan = Sampling.tokenBudgetPlan(df, "grp", "tk",
+        budgetTokens = 1000L, weights = Map("a" -> 2.0), defaultWeight = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // sumw = 2 + 1 + 1 = 4 -> targets 500 / 250 / 250
+    assert(plan("a") == ((2L, 100L, 500L, 5000000L)),
+      "a repeats 5x to spend its half of the budget")
+    assert(plan("b") == ((1L, 300L, 250L, 833333L)),
+      "b subsamples to 250/300 epochs, floored at micro precision")
+    assert(plan("c") == ((2L, 600L, 250L, 416666L)))
+    assert(plan.values.map(_._3).sum <= 1000L,
+      "floored targets never overspend the budget")
+  }
+
   test("saltedInner == plain join on generated tables and salt counts") {
     val tableGen = Gen.zip(
       Gen.listOfN(60, Gen.chooseNum(0L, 8L)), // probe keys (collisions + misses)
