@@ -233,8 +233,9 @@ object BuiltinOps {
       val minW = a.intOpt("min_line_words").getOrElse(3)
       val minL = a.intOpt("min_kept_lines").getOrElse(5)
       val punct = a.strOpt("terminal_punct").forall(_ != "false")
+      val keep = a.strListOpt("keep").getOrElse(Nil)
       LensOp(s"c4_clean($t)",
-        df => graft.operators.C4Clean.clean(df, t, id, minW, minL, punct))
+        df => graft.operators.C4Clean.clean(df, t, id, minW, minL, punct, keep))
     },
 
     // BM25 keyword relevance (Bm25.score): per-doc score against a fixed
@@ -365,14 +366,19 @@ object BuiltinOps {
       val (t, id) = (a.strOpt("text").getOrElse("text"),
         a.strOpt("id").getOrElse("doc_id"))
       val targetTable = a.str("target_table")
+      val tgtText = a.strOpt("target_text").getOrElse(t)
+      val tgtId = a.strOpt("target_id").getOrElse(id)
       val buckets = a.intOpt("buckets").getOrElse(10007)
       val select = a.strOpt("mode").contains("select")
       val k = a.intOpt("k").getOrElse(1000)
       val temp = a.doubleOpt("temperature").getOrElse(0.0)
       LensOp.setLevel(s"dsir(target=$targetTable)",
         df => {
-          val w = graft.operators.Dsir.importanceWeights(
-            df, df.sparkSession.table(targetTable), t, id, buckets)
+          val w = graft.operators.Dsir.weightsFromCounts(
+            graft.operators.Dsir.hashedBigramCounts(df, t, id, buckets),
+            graft.operators.Dsir.hashedBigramCounts(
+              df.sparkSession.table(targetTable), tgtText, tgtId, buckets),
+            buckets)
           if (!select) w
           else df.join(graft.operators.Dsir.resample(w, k, temp)
             .select(col("doc_id").as(id)), Seq(id), "left_semi")

@@ -796,12 +796,15 @@ object TextQueries extends QueryProvider {
   }
 
   /** Shared weight-derivation CTEs over the materialized count tables:
-   *  `sc` (per-doc source counts) … `w` = (doc_id, n_feats, w_sum_micro). */
-  private def dsirChainSql: String =
+   *  `sc` (per-doc source counts) … `w` = (doc_id, n_feats, w_sum_micro).
+   *  Leaf names parameterize which materialized featurization feeds the
+   *  model fit (the raw-corpus queries vs the curation flagship). */
+  private def dsirChainSql(srcLeaf: String = "dsir_src_counts",
+      tgtLeaf: String = "dsir_tgt_counts"): String =
     s"""sc AS (SELECT doc_id, bucket, cnt
-       |  FROM read_parquet('${Scratch.oraclePath("dsir_src_counts")}/*.parquet')),
+       |  FROM read_parquet('${Scratch.oraclePath(srcLeaf)}/*.parquet')),
        |tc AS (SELECT bucket, cnt
-       |  FROM read_parquet('${Scratch.oraclePath("dsir_tgt_counts")}/*.parquet')),
+       |  FROM read_parquet('${Scratch.oraclePath(tgtLeaf)}/*.parquet')),
        |sb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cs FROM sc GROUP BY bucket),
        |tb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct FROM tc GROUP BY bucket),
        |tot AS (SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM sc) AS ts,
@@ -819,7 +822,7 @@ object TextQueries extends QueryProvider {
        |  FROM sc JOIN r USING (bucket)
        |  GROUP BY sc.doc_id)""".stripMargin
 
-  private def dsirWeightsSql: String = "WITH " + dsirChainSql +
+  private def dsirWeightsSql: String = "WITH " + dsirChainSql() +
     "\nSELECT doc_id, n_feats, w_sum_micro FROM w"
 
   // The selection step at temperature 0 — hard top-k by weight. The
@@ -831,7 +834,7 @@ object TextQueries extends QueryProvider {
     graft.operators.Dsir.resample(dsirWeights(s, dir), k = 50,
       temperature = 0.0)
 
-  private def dsirSelectSql: String = "WITH " + dsirChainSql +
+  private def dsirSelectSql: String = "WITH " + dsirChainSql() +
     """
       |SELECT doc_id, n_feats, w_sum_micro FROM w
       |ORDER BY w_sum_micro DESC, doc_id LIMIT 50""".stripMargin
@@ -843,15 +846,19 @@ object TextQueries extends QueryProvider {
   // text has no punctuation — C4CleanSpec exercises the full rule set on
   // text that does). Line survival then hinges on the ≥5-word rule (the
   // short last line drops) and document survival on ≥3 kept lines.
-  private def c4Clean(s: SparkSession, dir: String): DataFrame = {
+  private def relinedDocs(s: SparkSession, dir: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val ws = split(col("text"), " ")
-    val relined = T(s, dir, "documents").select(col("doc_id"),
+    T(s, dir, "documents").select((col("doc_id") +: keep.map(col)) :+
       array_join(transform(
         sequence(lit(0), ((size(ws) - lit(1)) / lit(12)).cast("int")),
-        i => array_join(slice(ws, i * 12 + 1, lit(12)), " ")), "\n").as("text"))
-    graft.operators.C4Clean.clean(relined, "text", "doc_id",
-      minLineWords = 5, minKeptLines = 3, requireTerminalPunct = false)
+        i => array_join(slice(ws, i * 12 + 1, lit(12)), " ")), "\n")
+        .as("text"): _*)
   }
+
+  private def c4Clean(s: SparkSession, dir: String): DataFrame =
+    graft.operators.C4Clean.clean(relinedDocs(s, dir), "text", "doc_id",
+      minLineWords = 5, minKeptLines = 3, requireTerminalPunct = false)
 
   private val c4CleanSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -940,6 +947,89 @@ object TextQueries extends QueryProvider {
        |FROM p""".stripMargin
   }
 
+  // Composition flagship #5 — the WEB-CURATION chain (the C4→DSIR recipe
+  // a curated-pretraining pipeline actually runs): re-line + C4 line
+  // cleaning → DSIR importance weights of every cleaned doc against the
+  // cleaned ENGLISH slice as target → hard top-k selection → token-budget
+  // epoch plan per source over the selected subset. DuckDB replays the
+  // C4 stage from raw text, refits both DSIR models from the materialized
+  // count tables, re-selects, and re-plans — the final per-source hash
+  // certifies the four-stage composition (a drifted clean set, weight,
+  // selection, or plan all surface as a token-count mismatch).
+  private val CurateK = 100
+  private val CurateBudget = 100000L
+  private val curateWeights = Map("src0" -> 2.0)
+
+  private def curatedCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.operators.C4Clean.clean(
+        relinedDocs(s, dir, keep = Seq("source", "lang")), "text", "doc_id",
+        minLineWords = 5, minKeptLines = 3, requireTerminalPunct = false,
+        keep = Seq("source", "lang"))
+      .where(col("c4_pass"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        regexp_replace(col("clean_text"), "\n", " ").as("ctext"))
+
+  private def curateWeb(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = curatedCorpus(s, dir)
+    val srcPath = Scratch.materialize(s, dir, "curate_src_counts",
+      graft.operators.Dsir.hashedBigramCounts(cleaned, "ctext", "doc_id",
+        DsirB))
+    val tgtPath = Scratch.materialize(s, dir, "curate_tgt_counts",
+      graft.operators.Dsir.hashedBigramCounts(
+        cleaned.where(col("lang") === "en"), "ctext", "doc_id", DsirB))
+    val weights = graft.operators.Dsir.weightsFromCounts(
+      s.read.parquet(srcPath), s.read.parquet(tgtPath), DsirB)
+    val picked = cleaned
+      .join(graft.operators.Dsir.resample(weights, CurateK, temperature = 0.0)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .withColumn("tk", size(split(col("ctext"), " ")).cast("long"))
+    graft.operators.Sampling.tokenBudgetPlan(picked, "source", "tk",
+      CurateBudget, curateWeights, defaultWeight = 1.0)
+  }
+
+  private def curateWebSql: String = {
+    val cases = curateWeights.map { case (g, v) =>
+      s"WHEN source = '$g' THEN $v"
+    }.mkString(" ")
+    s"""WITH wsrc AS (SELECT doc_id, source, lang, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |rl AS (SELECT doc_id, source, lang,
+       |  array_to_string(list_transform(
+       |    generate_series(0, CAST((len(ws) - 1) // 12 AS INT)),
+       |    i -> array_to_string(ws[(i*12+1):(i*12+12)], ' ')), chr(10)) AS text
+       |  FROM wsrc),
+       |kk AS (SELECT doc_id, source, lang, text,
+       |  list_filter(string_split(text, chr(10)),
+       |    l -> len(string_split(trim(l), ' ')) >= 5
+       |      AND trim(l) <> '' AND NOT contains(lower(l), 'javascript')) AS kept
+       |  FROM rl),
+       |cl AS (SELECT doc_id, source,
+       |  replace(array_to_string(kept, chr(10)), chr(10), ' ') AS ctext
+       |  FROM kk WHERE len(kept) >= 3
+       |    AND NOT contains(lower(text), 'lorem ipsum')
+       |    AND NOT contains(text, '{')),
+       |${dsirChainSql("curate_src_counts", "curate_tgt_counts")},
+       |sel AS (SELECT doc_id FROM w ORDER BY w_sum_micro DESC, doc_id
+       |  LIMIT $CurateK),
+       |pk AS (SELECT cl.source, len(string_split(cl.ctext, ' ')) AS tk
+       |  FROM cl JOIN sel USING (doc_id)),
+       |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tk) AS BIGINT) AS tokens FROM pk GROUP BY source),
+       |wt AS (SELECT source, n_docs, tokens, CASE $cases ELSE 1.0 END AS w
+       |  FROM g),
+       |tt AS (SELECT sum(w) AS sumw FROM wt),
+       |p AS (SELECT source, n_docs, tokens,
+       |  CAST(floor(${CurateBudget.toDouble} * w / sumw) AS BIGINT)
+       |    AS target_tokens
+       |  FROM wt CROSS JOIN tt)
+       |SELECT source, n_docs, tokens, target_tokens,
+       |  CASE WHEN tokens > 0 THEN
+       |    CAST(floor(1000000.0 * CAST(target_tokens AS DOUBLE)
+       |      / CAST(tokens AS DOUBLE)) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS epochs_micro
+       |FROM p""".stripMargin
+  }
+
   // Composition flagship #2 — the full pretraining-prep chain a training
   // pipeline actually ships, run END TO END through the lens engine:
   // quality-score → threshold filter → PII redaction → exact dedup on the
@@ -1006,6 +1096,7 @@ object TextQueries extends QueryProvider {
     "text_c4_clean"    -> (c4Clean _),
     "text_bm25"        -> (bm25Q _),
     "q_token_budget"   -> (tokenBudget _),
+    "pipeline_curate_web" -> (curateWeb _),
     "text_pii_redact"  -> (piiRedact _),
     "q_quality_buckets" -> (qualityBuckets _),
     "text_chunk"       -> (chunk _),
@@ -1042,6 +1133,7 @@ object TextQueries extends QueryProvider {
     "text_c4_clean"    -> c4CleanSql,
     "text_bm25"        -> bm25Sql,
     "q_token_budget"   -> tokenBudgetSql,
+    "pipeline_curate_web" -> curateWebSql,
     "text_pii_redact"  -> piiRedactSql,
     "q_quality_buckets" -> qualityBucketsSql,
     "text_chunk"       -> chunkSql,
