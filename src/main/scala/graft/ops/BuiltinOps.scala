@@ -238,6 +238,26 @@ object BuiltinOps {
         df => graft.operators.C4Clean.clean(df, t, id, minW, minL, punct, keep))
     },
 
+    // CCNet paragraph-LM scoring / corpus partitioning (Ccnet — Wenzek
+    // et al. 2020). Both set-level: scores explode to paragraphs, the
+    // partition's buckets depend on the whole corpus.
+    "ccnet_score" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val sep = a.strOpt("sep").getOrElse("\n")
+      LensOp.setLevel(s"ccnet_score($t)",
+        df => graft.operators.Ccnet.paragraphScores(df, t, id, sep))
+    },
+
+    "ccnet_partition" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val k = a.intOpt("k").getOrElse(3)
+      val sep = a.strOpt("sep").getOrElse("\n")
+      LensOp.setLevel(s"ccnet_partition($t, k=$k)",
+        df => graft.operators.Ccnet.partition(df, t, id, k, sep))
+    },
+
     // BM25 keyword relevance (Bm25.score): per-doc score against a fixed
     // query-term list in integer micro-units.
     "bm25" -> { a =>

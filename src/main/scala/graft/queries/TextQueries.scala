@@ -947,6 +947,68 @@ object TextQueries extends QueryProvider {
        |FROM p""".stripMargin
   }
 
+  // CCNet paragraph-LM partitioning (Ccnet — Wenzek et al. 2020): score
+  // every re-lined paragraph under the corpus-trained add-one bigram
+  // model, aggregate per doc, exact-rank, cut head/middle/tail. The
+  // oracle retrains the paragraph model from raw text and replays the
+  // rank — model fit, scoring, and the bucket cut all hash-check.
+  private def ccnetParagraphs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ccnet.paragraphScores(relinedDocs(s, dir), "text",
+      "doc_id")
+
+  private def ccnetPartition(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ccnet.partition(relinedDocs(s, dir), "text", "doc_id",
+      k = 3)
+
+  /** Paragraph-level bigram-LM CTEs over the re-lined corpus:
+   *  `clm` = (doc_id, para_idx, n_bigrams, ll_sum_micro). */
+  private def ccnetChainSql: String =
+    """cws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |crl AS (SELECT doc_id,
+      |  list_transform(generate_series(0, CAST((len(ws) - 1) // 12 AS INT)),
+      |    i -> array_to_string(ws[(i*12+1):(i*12+12)], ' ')) AS ps
+      |  FROM cws),
+      |cp AS (SELECT doc_id,
+      |  unnest(range(0, len(ps))) AS para_idx,
+      |  unnest(ps) AS ptext FROM crl),
+      |cw AS (SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx,
+      |  string_split(ptext, ' ') AS ws FROM cp),
+      |cpr AS (SELECT doc_id, para_idx,
+      |  unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |  unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+      |  FROM cw WHERE len(ws) >= 2),
+      |cm2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM cpr GROUP BY w1, w2),
+      |cm1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM cpr GROUP BY w1),
+      |cvoc AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM (
+      |  SELECT unnest(ws) AS token FROM cw)),
+      |clm AS (SELECT doc_id, para_idx, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CAST(floor(1e6 * ln(
+      |    (CAST(c12 AS DOUBLE) + 1.0) /
+      |      (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)))) AS BIGINT)) AS BIGINT)
+      |    AS ll_sum_micro
+      |  FROM cpr JOIN cm2 USING (w1, w2) JOIN cm1 USING (w1) CROSS JOIN cvoc
+      |  GROUP BY doc_id, para_idx)""".stripMargin
+
+  private def ccnetParagraphsSql: String = "WITH " + ccnetChainSql +
+    "\nSELECT doc_id, para_idx, n_bigrams, ll_sum_micro FROM clm"
+
+  private def ccnetPartitionSql: String = "WITH " + ccnetChainSql +
+    """,
+      |cdoc AS (SELECT doc_id, CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(ll_sum_micro) AS BIGINT) AS ll_sum_micro
+      |  FROM clm GROUP BY doc_id),
+      |cdm AS (SELECT doc_id, n_bigrams, ll_sum_micro,
+      |  CAST(floor(CAST(ll_sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+      |    AS BIGINT) AS mean_ll_micro FROM cdoc),
+      |crk AS (SELECT doc_id, n_bigrams, ll_sum_micro, mean_ll_micro,
+      |  row_number() OVER (ORDER BY -mean_ll_micro, doc_id) AS rn,
+      |  count(*) OVER () AS n FROM cdm)
+      |SELECT doc_id, n_bigrams, ll_sum_micro, mean_ll_micro,
+      |  CAST(rn AS BIGINT) AS rn,
+      |  CAST((rn - 1) * 3 // n + 1 AS BIGINT) AS ccnet_bucket
+      |FROM crk""".stripMargin
+
   // Composition flagship #5 — the WEB-CURATION chain (the C4→DSIR recipe
   // a curated-pretraining pipeline actually runs): re-line + C4 line
   // cleaning → DSIR importance weights of every cleaned doc against the
@@ -1097,6 +1159,8 @@ object TextQueries extends QueryProvider {
     "text_bm25"        -> (bm25Q _),
     "q_token_budget"   -> (tokenBudget _),
     "pipeline_curate_web" -> (curateWeb _),
+    "text_ccnet_paragraphs" -> (ccnetParagraphs _),
+    "q_ccnet_partition" -> (ccnetPartition _),
     "text_pii_redact"  -> (piiRedact _),
     "q_quality_buckets" -> (qualityBuckets _),
     "text_chunk"       -> (chunk _),
@@ -1134,6 +1198,8 @@ object TextQueries extends QueryProvider {
     "text_bm25"        -> bm25Sql,
     "q_token_budget"   -> tokenBudgetSql,
     "pipeline_curate_web" -> curateWebSql,
+    "text_ccnet_paragraphs" -> ccnetParagraphsSql,
+    "q_ccnet_partition" -> ccnetPartitionSql,
     "text_pii_redact"  -> piiRedactSql,
     "q_quality_buckets" -> qualityBucketsSql,
     "text_chunk"       -> chunkSql,

@@ -204,6 +204,35 @@ class StreamingLensSpec extends AnyFunSuite {
     assert(!refKeys.storageLevel.useMemory)
   }
 
+  test("C4 line cleaning binds free to a stream (builtin:c4_clean)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:c4_clean","arguments":{"min_line_words":"3",
+        |    "min_kept_lines":"1"}},
+        |  {"path":"builtin:filter","arguments":{"expr":"c4_pass"}}
+        |]}""".stripMargin)
+    val out = StreamingLens.forward(pipe, in.toDF.toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("s_c4").start()
+    try {
+      in.addData(
+        (1L, "The cat sat on the mat.\nno terminal punctuation here"),
+        (2L, "function f() { return 1; }"))  // brace fails the page
+      q.processAllAvailable()
+      // stateless per-row projection: later micro-batches clean identically
+      in.addData((3L, "A quick brown fox jumps!"))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, n_kept, clean_text from s_c4")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(rows.map(_._1) == Seq(1L, 3L))
+      assert(rows(0)._2 == 1L &&
+        rows(0)._3 == "The cat sat on the mat.",
+        "the unpunctuated line drops inside the stream")
+    } finally q.stop()
+  }
+
   test("gopher filtering binds free to a stream (builtin:gopher_rules)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
