@@ -63,4 +63,64 @@ object Bm25 {
       .select(col(idCol), dl.as("dl"),
         contribs.reduce(_ + _).as("score_micro"))
   }
+
+  /**
+   * Inverted-index top-k retrieval: the SEARCH shape of BM25, returning
+   * the `k` best-scoring documents for one query instead of scoring every
+   * document ([[score]] is the corpus-sweep shape — per-doc scores for
+   * selection pipelines; this is the serving/eval shape — "find the k
+   * docs most relevant to these terms"). Scores are bit-identical to
+   * [[score]] for every returned doc: same Lucene idf, same k1/b
+   * saturation, same per-term integer micro-unit floors, and a term with
+   * tf = 0 contributes exactly 0 there, so summing only matched postings
+   * loses nothing.
+   *
+   * 100 TB shape: the posting-list discipline without materializing an
+   * index — tokens explode INSIDE the scan projection and the
+   * query-term `isin` filter drops every non-query token before anything
+   * shuffles, so the exchange carries only (id, dl, term) rows for terms
+   * that are actually in the query: per-term document frequency, not
+   * corpus size. Per-term df is a ≤|terms|-row broadcast; the corpus
+   * (N, Σdl) row likewise; the global top-k is TakeOrdered (per-partition
+   * heaps, no full sort). Ties break deterministically on (score desc,
+   * id asc).
+   */
+  def searchTopK(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms == terms.distinct, "query terms must be distinct")
+    require(k >= 1, "need k >= 1")
+    val ws = TextAnalysis.wsTokens(col(textCol))
+    val dl = size(ws).cast("long")
+
+    val corpus = df.agg(count(lit(1)).as("n_docs"),
+      sum(dl).as("sum_dl"))
+    val postings = df
+      .select(col(idCol).as("id"), dl.as("dl"), explode(ws).as("w"))
+      .where(col("w").isInCollection(terms))
+      .groupBy(col("id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = postings.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / avgdl)
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+    postings
+      .join(broadcast(docFreq), Seq("w"))
+      .crossJoin(broadcast(corpus))
+      .select(col("id"), col("dl"),
+        floor(lit(1e6) * idf * (tf * lit(k1 + 1.0)) / (tf + norm))
+          .cast("long").as("contrib_micro"))
+      .groupBy(col("id"), col("dl"))
+      .agg(sum(col("contrib_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("dl"), col("score_micro"))
+  }
 }

@@ -622,4 +622,61 @@ object Dedup {
       .select(least(col("id_a"), col("id_b")).as("vec_a"),
         greatest(col("id_a"), col("id_b")).as("vec_b"))
   }
+
+  /**
+   * Incremental snapshot ingest: from a NEW batch of documents, keep
+   * exactly the rows whose content is (a) absent from the already-ingested
+   * corpus and (b) unique within the batch (first-id-wins) — the operator
+   * a rolling crawl pipeline runs on every new dump before anything else
+   * touches it. Exact semantics (identical to an anti-join against the
+   * old corpus followed by [[exact]]-style keep-min within the batch);
+   * the returned frame is the surviving NEW rows with their full payload.
+   *
+   * 100 TB shape: both sides reduce to 8-byte content hashes before
+   * anything shuffles. The old corpus first collapses to distinct hashes
+   * (in production: a maintained bucketed hash table, built once per
+   * snapshot, not recomputed — pass that table here). A broadcast Bloom
+   * filter over the old hashes (built distributed via the
+   * `BloomFilterAggregate` bridge, same 8 MiB cap as [[bloomReference]])
+   * prefilters the batch INSIDE the scan projection, so the exact
+   * anti-join only shuffles the ~fpp false-positive sliver plus genuine
+   * new content; false negatives are impossible, so the result is still
+   * exact. Within-batch keep-min is one hash-keyed partial aggregate.
+   * Set `bloomExpectedItems = 0` to skip the prefilter (the equivalence
+   * spec's plain-anti-join path).
+   */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      bloomExpectedItems: Long = 0): DataFrame = {
+    val h = xxhash64(col(textCol))
+    val oldKeys = corpus.select(h.as("__h")).distinct()
+    val hashed = batch.withColumn("__h", h)
+    val prefiltered =
+      if (bloomExpectedItems <= 0) hashed
+      else {
+        val bridge = org.apache.spark.sql.graft.GraftBloom
+        val numBits = math.min(
+          math.ceil(-bloomExpectedItems * math.log(0.01) /
+            (math.log(2) * math.log(2))).toLong, 1L << 26)
+        val bits = oldKeys
+          .agg(bridge.bloomAgg(col("__h"), bloomExpectedItems, numBits)
+            .as("bf"))
+          .head.getAs[Array[Byte]](0)
+        if (bits == null) hashed
+        else hashed // survivors: definitely-new rows skip the join entirely
+          .withColumn("__maybe_old", bridge.mightContain(lit(bits), col("__h")))
+      }
+    val (sure, unsure) =
+      if (prefiltered.columns.contains("__maybe_old"))
+        (prefiltered.where(!col("__maybe_old")).drop("__maybe_old"),
+          prefiltered.where(col("__maybe_old")).drop("__maybe_old"))
+      else (null: DataFrame, prefiltered)
+    val checked = unsure.join(oldKeys, Seq("__h"), "left_anti")
+    val fresh = if (sure == null) checked else sure.unionByName(checked)
+    // Within-batch keep-min: slim (hash, min id) aggregate, then re-attach
+    // the payload by (hash, id) — the payload never rides the aggregate.
+    val keepers = fresh.groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+    fresh.join(keepers, Seq("__h", idCol), "left_semi").drop("__h")
+  }
 }

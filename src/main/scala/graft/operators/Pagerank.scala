@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * PageRank (Page et al. 1999) over an edge table — the link-graph
+ * centrality signal web-curation pipelines use for source/domain quality
+ * weighting (Common Crawl publishes exactly this shape as its host-level
+ * ranks). Not in the reference (no graph surface); SURVEY.md §2.6
+ * north-star addition.
+ *
+ * Fixed-iteration power method with dangling-mass redistribution:
+ * `pr'(v) = (100−d)·(ONE/N)/100 + d·(Σ_in pr(u)/outdeg(u) + dang/N)/100`
+ * where `dang` is the total rank parked on nodes with no out-edges.
+ * ALL arithmetic is integer nano-units with integer division (`DIV` /
+ * DuckDB `//` — identical on non-negative operands), so every
+ * iteration — and therefore the fixpoint after any number of rounds —
+ * replays bit-exactly cross-engine; the oracle unrolls the same
+ * iterations as CTEs. Integer truncation loses < N·iters nano-units of
+ * mass total, which is noise for ranking and a price worth paying for
+ * exact cross-engine replay.
+ *
+ * 100 TB shape: the canonical Pregel cost — per iteration, one join of
+ * the slim (node, pr, outdeg) rank table with the edge table partitioned
+ * by src, and one re-aggregation partitioned by dst; shuffles carry
+ * (8-byte id, 8-byte rank) pairs, never payloads. The dangling sum and
+ * N are one-row broadcast aggregates. Ranks are `localCheckpoint`ed per
+ * round (previous round's blocks freed), so lineage stays one round deep
+ * no matter how many iterations run. Iteration count is fixed and small
+ * (the web-graph standard is O(10) rounds to ranking stability) — cost
+ * is iters × (|E| join + |E| agg), embarrassingly scalable.
+ */
+object Pagerank {
+
+  /** Free a localCheckpoint'ed frame's blocks (same discipline as
+   *  `Bpe.train` / `Clusters.connectedComponents` round caches). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
+
+  /** Ranks after `iters` power iterations over the DISTINCT (src, dst)
+   *  edges: (node_id, pr_nano) for every node appearing as an endpoint.
+   *  `dampingPct` is the damping factor in percent (85 = the published
+   *  0.85). */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 100, "need 1 <= iters <= 100")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percent")
+    val ONE = 1000000000L
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id")))
+      .distinct().persist()
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).persist()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node_id"), expr(s"CAST($ONE DIV n AS BIGINT)").as("pr"))
+      .localCheckpoint()
+    try {
+      for (_ <- 1 to iters) {
+        val withDeg = ranks
+          .join(outdeg, ranks("node_id") === outdeg("src"), "left")
+        val dang = withDeg.where(col("outdeg").isNull)
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+        val inflow = withDeg.where(col("outdeg").isNotNull)
+          .select(col("node_id"), expr("CAST(pr DIV outdeg AS BIGINT)").as("c"))
+          .join(e, col("node_id") === e("src"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val prev = ranks
+        ranks = nodes
+          .join(inflow, nodes("node_id") === inflow("dst"), "left")
+          .crossJoin(broadcast(nRow)).crossJoin(broadcast(dang))
+          .select(nodes("node_id"),
+            expr(s"CAST((${100 - dampingPct} * ($ONE DIV n)) DIV 100 + " +
+              s"($dampingPct * (coalesce(inflow, 0) + (dang DIV n))) DIV 100" +
+              " AS BIGINT)").as("pr"))
+          .localCheckpoint()
+        unpersistCheckpoint(prev)
+      }
+    } finally {
+      e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+    }
+    ranks.select(col("node_id"), col("pr").as("pr_nano"))
+  }
+}

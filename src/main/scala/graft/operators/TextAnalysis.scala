@@ -481,4 +481,81 @@ object TextAnalysis {
         sum(col("ll_micro")).as("ll_sum_micro"),
         min(col("c12")).as("min_bigram_freq"))
   }
+
+  /**
+   * Intra-document repeated-line removal (the RefinedWeb / MassiveText
+   * line-dedup rule: within one page, an exactly repeated line is
+   * boilerplate — nav bars, cookie banners, footer links — and only its
+   * first occurrence survives). The cross-document companion is
+   * [[Dedup.segmentDedup]], which strips lines COMMON ACROSS pages; this
+   * strips lines repeated WITHIN a page, which segment dedup deliberately
+   * keeps when the page is the only repeater.
+   *
+   * Emits (doc_id, n_lines, n_kept, clean_text). `array_distinct` is
+   * order-preserving on first occurrence (codegen'd), so the whole
+   * operator is ONE narrow map over the document — zero exchanges, no
+   * window, no per-line shuffle. At 100 TB this is the cheapest cleanup
+   * pass in the pipeline: cost is per-row O(lines) hash-set membership,
+   * fused into whole-stage codegen next to the scan.
+   */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = array_distinct(lines)
+    df.select(col(idCol).as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, sep).as("clean_text"))
+  }
+
+  /**
+   * Per-group corpus drift: KL(group ‖ corpus) between each group's
+   * add-one-smoothed unigram distribution and the whole-corpus
+   * distribution, in integer micro-nats — the domain-shift monitor a
+   * multi-source training pipeline runs per source / per crawl snapshot
+   * ("which slice stopped looking like the mixture?"), and the
+   * distributional half of the DSIR story ([[graft.operators.Dsir]] uses
+   * the same two-model construction for importance WEIGHTS; this reduces
+   * it to one scalar per group).
+   *
+   * For every (group, vocab-token) cell — including tokens the group
+   * never uses, which add-one smoothing keeps finite —
+   * `p_g(t) = (c_{g,t}+1)/(T_g+V)`, `p_c(t) = (c_t+1)/(T+V)`, and the
+   * per-cell term `floor(1e6 · p_g · ln(p_g/p_c))` (negative terms and
+   * all) sums to the group's `kl_micro`. Per-cell floors before the sum:
+   * the score is exact under any partitioning and the DuckDB oracle
+   * replays model fit and divergence from raw text.
+   *
+   * 100 TB shape: two token-keyed hash aggregates (corpus counts, group
+   * counts) whose shuffles carry (token, count) — bounded by vocab ×
+   * groups, not corpus size; totals are a one-row and a per-group
+   * broadcast. The scoring grid is vocab × groups rows — model-sized,
+   * corpus-independent. Nothing document-shaped ever shuffles.
+   */
+  def sourceDivergence(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("grp"),
+      explode(wsTokens(col(textCol))).as("t"))
+    val corpusCounts = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val groupCounts = toks.groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("cg"))
+    val totals = corpusCounts
+      .agg(sum(col("c")).as("tt"), count(lit(1)).as("v"))
+    val groupTotals = toks.groupBy(col("grp"))
+      .agg(count(lit(1)).as("tg"))
+    val pg = (coalesce(col("cg"), lit(0L)) + lit(1L)).cast("double") /
+      (col("tg") + col("v")).cast("double")
+    val pc = (col("c") + lit(1L)).cast("double") /
+      (col("tt") + col("v")).cast("double")
+    corpusCounts
+      .crossJoin(broadcast(groupTotals))
+      .join(groupCounts, Seq("grp", "t"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("grp"), col("tg"),
+        floor(lit(1e6) * pg * log(pg / pc)).cast("long").as("term_micro"))
+      .groupBy(col("grp"))
+      .agg(first(col("tg")).as("n_tokens"),
+        sum(col("term_micro")).as("kl_micro"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("kl_micro"))
+  }
 }

@@ -258,6 +258,59 @@ object BuiltinOps {
         df => graft.operators.Ccnet.partition(df, t, id, k, sep))
     },
 
+    // Intra-document repeated-line removal (TextAnalysis.dedupLines —
+    // the RefinedWeb within-page rule). Row-level narrow map.
+    "dedup_lines" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val sep = a.strOpt("sep").getOrElse("\n")
+      LensOp(s"dedup_lines($t)",
+        df => TextAnalysis.dedupLines(df, t, id, sep))
+    },
+
+    // Incremental snapshot ingest (Dedup.incrementalNew): two-input via
+    // the catalog — the already-ingested corpus resolves by name; the
+    // stream is the new dump. Survivors keep their full payload.
+    "incremental_new" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val corpusTable = a.str("corpus_table")
+      val bloomItems = a.intOpt("bloom_items").getOrElse(0)
+      LensOp.setLevel(s"incremental_new(corpus=$corpusTable)",
+        df => Dedup.incrementalNew(df, df.sparkSession.table(corpusTable),
+          t, id, bloomExpectedItems = bloomItems.toLong))
+    },
+
+    // Inverted-index BM25 retrieval (Bm25.searchTopK): top-k docs for a
+    // fixed term list; only query-term postings shuffle.
+    "search_topk" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val terms = a.strList("terms")
+      val k = a.intOpt("k").getOrElse(10)
+      LensOp.setLevel(s"search_topk(${terms.mkString("+")}, k=$k)",
+        df => graft.operators.Bm25.searchTopK(df, t, id, terms, k))
+    },
+
+    // Per-group corpus drift (TextAnalysis.sourceDivergence): unigram
+    // KL(group ‖ corpus) in integer micro-nats, one row per group.
+    "divergence" -> { a =>
+      val t = a.strOpt("text").getOrElse("text")
+      val group = a.strOpt("group").getOrElse("source")
+      LensOp.setLevel(s"divergence($group)",
+        df => TextAnalysis.sourceDivergence(df, t, group))
+    },
+
+    // PageRank over an edge table (Pagerank.run): the rows ARE the edges;
+    // emits (node_id, pr_nano) after `iters` integer power iterations.
+    "pagerank" -> { a =>
+      val src = a.strOpt("src").getOrElse("src")
+      val dst = a.strOpt("dst").getOrElse("dst")
+      val iters = a.intOpt("iters").getOrElse(5)
+      LensOp.setLevel(s"pagerank($src->$dst, iters=$iters)",
+        df => graft.operators.Pagerank.run(df, src, dst, iters))
+    },
+
     // BM25 keyword relevance (Bm25.score): per-doc score against a fixed
     // query-term list in integer micro-units.
     "bm25" -> { a =>

@@ -415,6 +415,63 @@ object DedupQueries extends QueryProvider {
       |  string_agg(seg, ' ' ORDER BY seg_id) AS text_dedup
       |FROM kept GROUP BY doc_id""".stripMargin
 
+  // Intra-document repeated-line removal (TextAnalysis.dedupLines — the
+  // RefinedWeb within-page rule, vs segment dedup's cross-page rule). The
+  // corpus is re-lined deterministically at 2 words/line on both engines
+  // (narrow enough that real intra-doc repeats exist in the synthetic
+  // text); the oracle keeps each line's first occurrence by min position.
+  private def dedupLinesIntra(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val relined = T(s, dir, "documents").select(col("doc_id"),
+      array_join(transform(
+        sequence(lit(0), ((size(ws) - lit(1)) / lit(2)).cast("int")),
+        i => array_join(slice(ws, i * lit(2) + lit(1), lit(2)), " ")), "\n")
+        .as("text"))
+    graft.operators.TextAnalysis.dedupLines(relined, "text", "doc_id")
+  }
+
+  private val dedupLinesIntraSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |rl AS (SELECT doc_id,
+      |  list_transform(generate_series(0, CAST((len(ws) - 1) // 2 AS INT)),
+      |    i -> array_to_string(ws[(i*2+1):(i*2+2)], ' ')) AS ls
+      |  FROM w),
+      |ix AS (SELECT doc_id, unnest(range(0, len(ls))) AS idx,
+      |  unnest(ls) AS line FROM rl),
+      |fk AS (SELECT doc_id, line, min(idx) AS mi
+      |  FROM ix GROUP BY doc_id, line),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |  string_agg(line, chr(10) ORDER BY mi) AS clean_text
+      |  FROM fk GROUP BY doc_id),
+      |nl AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM rl)
+      |SELECT doc_id, n_lines, n_kept, clean_text
+      |FROM nl JOIN agg USING (doc_id)""".stripMargin
+
+  // Incremental snapshot ingest (Dedup.incrementalNew): sources src0-src4
+  // are the already-ingested corpus, the rest the new dump; survivors are
+  // content-new AND first-id-unique within the dump. The registered query
+  // exercises the Bloom-prefiltered scale path; DedupSpec pins it equal
+  // to the plain anti-join. Spark keys by xxhash64, the oracle by text.
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.incrementalNew(
+      batch = docs.where(!col("source").isInCollection(RefSources)),
+      corpus = docs.where(col("source").isInCollection(RefSources)),
+      "text", "doc_id", bloomExpectedItems = 4096)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH newb AS (SELECT * FROM documents
+      |  WHERE source NOT IN (${RefSources.map("'" + _ + "'").mkString(", ")})),
+      |oldc AS (SELECT DISTINCT text FROM documents
+      |  WHERE source IN (${RefSources.map("'" + _ + "'").mkString(", ")})),
+      |fresh AS (SELECT n.* FROM newb n LEFT JOIN oldc o ON n.text = o.text
+      |  WHERE o.text IS NULL),
+      |keep AS (SELECT text, min(doc_id) AS doc_id FROM fresh GROUP BY text)
+      |SELECT f.doc_id, f.source, f.n_chars
+      |FROM fresh f JOIN keep k ON f.text = k.text AND f.doc_id = k.doc_id""".stripMargin
+
   // ExactSubstr-style duplicated token runs (Spans.duplicateSpans):
   // Spark detects duplicates by positioned xxhash64 8-grams, the oracle by
   // literal gram strings — identical spans up to a ~positions²/2⁶⁵
@@ -624,6 +681,8 @@ object DedupQueries extends QueryProvider {
     "dedup_embedding"      -> (dedupEmbedding _),
     "dedup_approx_distinct" -> (approxDistinct _),
     "dedup_segments"       -> (dedupSegments _),
+    "dedup_lines_intra"    -> (dedupLinesIntra _),
+    "dedup_incremental"    -> (dedupIncremental _),
     "dedup_spans"          -> (dedupSpans _),
     "dedup_strip_spans"    -> (dedupStripSpans _),
     "dedup_contam_spans"   -> (dedupContamSpans _),
@@ -648,6 +707,8 @@ object DedupQueries extends QueryProvider {
     "dedup_allpairs"      -> dedupAllPairsSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
     "dedup_segments"      -> dedupSegmentsSql,
+    "dedup_lines_intra"   -> dedupLinesIntraSql,
+    "dedup_incremental"   -> dedupIncrementalSql,
     "dedup_spans"         -> dedupSpansSql,
     "dedup_strip_spans"   -> dedupStripSpansSql,
     "dedup_contam_spans"  -> dedupContamSpansSql,

@@ -623,7 +623,52 @@ object RelationalQueries extends QueryProvider {
     s"SELECT user_id,\n  $cols\nFROM events GROUP BY user_id"
   }
 
+  // PageRank over the customer→supplier purchase graph (Pagerank.run):
+  // suppliers are offset by 1e6 into a shared id space and are all
+  // dangling (no out-edges), exercising the dangling-mass path. All
+  // arithmetic is integer nano-units with integer division, so the
+  // oracle replays the 5 unrolled power iterations bit-exactly.
+  private val prIters = 5
+  private def pagerankQ(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+    graft.operators.Pagerank.run(edges, "src", "dst", iters = prIters)
+  }
+
+  private val pagerankSql: String = {
+    val iterCtes = (1 to prIters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+         |  FROM r$p LEFT JOIN odeg ON node_id = src WHERE outdeg IS NULL),
+         |f$i AS (SELECT e.dst, CAST(sum(pr // outdeg) AS BIGINT) AS inflow
+         |  FROM r$p JOIN odeg ON node_id = odeg.src
+         |  JOIN e ON e.src = odeg.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT node_id,
+         |  CAST((15 * (1000000000 // n)) // 100
+         |    + (85 * (coalesce(inflow, 0) + (dang // n))) // 100 AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN f$i ON node_id = dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+       |  l_suppkey + 1000000 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node_id FROM e
+       |  UNION SELECT dst AS node_id FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM e GROUP BY src),
+       |r0 AS (SELECT node_id, CAST(1000000000 // n AS BIGINT) AS pr
+       |  FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT node_id, pr AS pr_nano FROM r$prIters""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank"        -> (pagerankQ _),
     "q1_agg"            -> (q1Agg _),
     "q_agg_distinct"    -> (aggDistinct _),
     "q_agg_stats"       -> (aggStats _),
@@ -657,6 +702,7 @@ object RelationalQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_pagerank"        -> pagerankSql,
     "q1_agg"            -> q1AggSql,
     "q_agg_distinct"    -> aggDistinctSql,
     "q_agg_stats"       -> aggStatsSql,

@@ -913,6 +913,56 @@ object TextQueries extends QueryProvider {
        |FROM w CROSS JOIN st""".stripMargin
   }
 
+  // Inverted-index BM25 retrieval (Bm25.searchTopK): top-25 docs for the
+  // same query terms, postings-discipline plan (only query-term tokens
+  // shuffle). Scores are bit-identical to text_bm25's; the oracle scores
+  // term-matching docs with the identical expression and replays the
+  // deterministic (score desc, doc_id) cut.
+  private def searchTopkQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.searchTopK(T(s, dir, "documents"), "text",
+      "doc_id", bm25Terms, k = 25, k1 = bm25K1, b = bm25B)
+
+  private def searchTopkSql: String = {
+    val anyTerm = bm25Terms
+      .map(t => s"list_contains(ws, '$t')").mkString(" OR ")
+    bm25Sql.replace("FROM w CROSS JOIN st",
+      s"""FROM w CROSS JOIN st
+         |WHERE $anyTerm
+         |ORDER BY score_micro DESC, doc_id LIMIT 25""".stripMargin)
+  }
+
+  // Per-source corpus drift (TextAnalysis.sourceDivergence): add-one
+  // smoothed unigram KL(source ‖ corpus) in integer micro-nats, per-cell
+  // floors before the sum. The oracle refits both distributions from raw
+  // text and replays the full vocab × source grid.
+  private def divergenceQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.sourceDivergence(
+      T(s, dir, "documents"), "text", "source")
+
+  private val divergenceSql =
+    """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |cc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY t),
+      |gc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cg
+      |  FROM tk GROUP BY source, t),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+      |  CAST(count(*) AS BIGINT) AS v FROM cc),
+      |gt AS (SELECT source, CAST(count(*) AS BIGINT) AS tg
+      |  FROM tk GROUP BY source),
+      |grid AS (SELECT gt.source, gt.tg, cc.t, cc.c, gc.cg
+      |  FROM cc CROSS JOIN gt
+      |  LEFT JOIN gc ON gc.source = gt.source AND gc.t = cc.t),
+      |term AS (SELECT source, tg,
+      |  CAST(floor(1000000.0
+      |    * (CAST(coalesce(cg, 0) + 1 AS DOUBLE) / CAST(tg + v AS DOUBLE))
+      |    * ln((CAST(coalesce(cg, 0) + 1 AS DOUBLE) / CAST(tg + v AS DOUBLE))
+      |        / (CAST(c + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))))
+      |    AS BIGINT) AS term_micro
+      |  FROM grid CROSS JOIN tot)
+      |SELECT source, CAST(min(tg) AS BIGINT) AS n_tokens,
+      |  CAST(sum(term_micro) AS BIGINT) AS kl_micro
+      |FROM term GROUP BY source""".stripMargin
+
   // Token-budget mixture planning (Sampling.tokenBudgetPlan): per-source
   // epoch counts to hit a 1M-token budget at weights 4:2:1. Weights are
   // integer-valued so Σw is an exact double under ANY summation order —
@@ -1157,6 +1207,8 @@ object TextQueries extends QueryProvider {
     "text_dsir_select" -> (dsirSelect _),
     "text_c4_clean"    -> (c4Clean _),
     "text_bm25"        -> (bm25Q _),
+    "text_search_topk" -> (searchTopkQ _),
+    "text_divergence"  -> (divergenceQ _),
     "q_token_budget"   -> (tokenBudget _),
     "pipeline_curate_web" -> (curateWeb _),
     "text_ccnet_paragraphs" -> (ccnetParagraphs _),
@@ -1196,6 +1248,8 @@ object TextQueries extends QueryProvider {
     "text_dsir_select" -> dsirSelectSql,
     "text_c4_clean"    -> c4CleanSql,
     "text_bm25"        -> bm25Sql,
+    "text_search_topk" -> searchTopkSql,
+    "text_divergence"  -> divergenceSql,
     "q_token_budget"   -> tokenBudgetSql,
     "pipeline_curate_web" -> curateWebSql,
     "text_ccnet_paragraphs" -> ccnetParagraphsSql,

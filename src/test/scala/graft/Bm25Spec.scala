@@ -53,6 +53,33 @@ class Bm25Spec extends AnyFunSuite {
     assert(ducks > spark1)
   }
 
+  test("searchTopK returns exactly the score()-ranked head") {
+    // Retrieval must agree bit-for-bit with the corpus-sweep scorer:
+    // same docs, same scores, in (score desc, id asc) order.
+    val terms = Seq("spark", "cluster")
+    val sweep = Bm25.score(corpus, "text", "doc_id", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .filter(_._2 != 0L) // zero-tf docs never enter the postings
+      .sortBy { case (id, s) => (-s, id) }
+    val got = Bm25.searchTopK(corpus, "text", "doc_id", terms, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == sweep.take(2).toSeq)
+  }
+
+  test("searchTopK k beyond matches returns every matching doc only") {
+    val got = Bm25.searchTopK(corpus, "text", "doc_id", Seq("ducks"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L), "only the matching doc, not zero-score fill")
+  }
+
+  test("searchTopK ties break on ascending doc id") {
+    val tied = Seq((5L, "alpha beta"), (2L, "alpha beta"), (9L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val got = Bm25.searchTopK(tied, "text", "doc_id", Seq("alpha"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 5L))
+  }
+
   test("multi-term scores are the exact sum of single-term scores") {
     val both = scores(Seq("spark", "cluster"))
     val a = scores(Seq("spark"))

@@ -348,4 +348,55 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("incrementalNew: drops old content, keeps min-id within the batch") {
+    val corpus = Seq((100L, "already ingested"), (101L, "also old"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already ingested"), // content-dup of the old corpus — drop
+      (5L, "fresh content"),
+      (3L, "fresh content"),    // within-batch dup — 3 wins (min id)
+      (7L, "unique new doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L, 7L))
+  }
+
+  test("incrementalNew: bloom-prefiltered path is exactly the plain path") {
+    val docs = (1L to 60L).map(i =>
+      (i, if (i % 7 == 0) s"old text ${i % 3}" else s"text ${i % 11}"))
+      .toDF("doc_id", "text")
+    val corpus = docs.where(col("doc_id") <= 20)
+    val batch = docs.where(col("doc_id") > 20)
+    val plain = Dedup.incrementalNew(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.incrementalNew(batch, corpus, "text", "doc_id",
+      bloomExpectedItems = 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == bloomed, "bloom prefilter must not change the answer")
+    assert(plain.nonEmpty)
+  }
+
+  test("incrementalNew: empty corpus degenerates to within-batch exact dedup") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((2L, "a"), (1L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(batch, corpus, "text", "doc_id",
+      bloomExpectedItems = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("lens file drives incremental ingest (builtin:incremental_new)") {
+    import graft.engine.Pipeline
+    Seq((100L, "already ingested")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ingested_corpus")
+    val batch = Seq((1L, "already ingested"), (2L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:incremental_new",
+        |"arguments":{"corpus_table":"ingested_corpus","bloom_items":"16"}}]}"""
+        .stripMargin).forward(batch)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
 }

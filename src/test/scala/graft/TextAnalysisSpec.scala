@@ -464,4 +464,69 @@ class TextAnalysisSpec extends AnyFunSuite {
       .forward(df)
     assert(out.count() == 120L)
   }
+
+  test("dedupLines: keeps the FIRST occurrence of a repeated line, in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "cookie banner\nreal content\ncookie banner\nmore content"),
+      (2L, "a\na\na"),
+      (3L, "unique one\nunique two")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == (4L, 3L, "cookie banner\nreal content\nmore content"))
+    assert(got(2L) == (3L, 1L, "a"))
+    assert(got(3L) == (2L, 2L, "unique one\nunique two"))
+  }
+
+  test("dedupLines: custom separator is treated literally, not as regex") {
+    import spark.implicits._
+    val df = Seq((1L, "x|y|x|z")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(df, "text", "doc_id", sep = "|")
+      .collect().head
+    assert(got.getString(3) == "x|y|z")
+  }
+
+  test("dedupLines binds as a lens-file stage (builtin:dedup_lines)") {
+    import spark.implicits._
+    val df = Seq((1L, "a\nb\na")).toDF("doc_id", "text")
+    val out = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:dedup_lines"}]}""").forward(df)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_lines", "n_kept", "clean_text"))
+    assert(out.collect().head.getString(3) == "a\nb")
+  }
+
+  test("sourceDivergence: the corpus-typical slice diverges least") {
+    import spark.implicits._
+    // srcA and srcB share the dominant vocabulary; srcC is word salad.
+    val df = Seq(
+      (1L, "data flows through the engine", "srcA"),
+      (2L, "data flows through the engine", "srcA"),
+      (3L, "the engine moves data", "srcB"),
+      (4L, "zyx qwv plk mnb vcx", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.sourceDivergence(df, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(kl.keySet == Set("srcA", "srcB", "srcC"))
+    assert(kl("srcA") < kl("srcC"),
+      s"the dominant slice must sit closer to the mixture: $kl")
+    assert(kl("srcB") < kl("srcC"), s"shared-vocab slice beats salad: $kl")
+  }
+
+  test("sourceDivergence: identical distribution gives (near-)zero KL") {
+    import spark.implicits._
+    // One group = the whole corpus: p_g and p_c differ only through
+    // smoothing denominators (T_g = T), so KL is exactly the zero vector
+    // of per-cell floors.
+    val df = Seq((1L, "a b c a", "only")).toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.sourceDivergence(df, "text", "source")
+      .collect().head.getLong(2)
+    // per-cell terms are floor(1e6 * p * ln(1)) = floor(-0.0) = 0
+    assert(kl == 0L, s"single-group corpus must have zero drift, got $kl")
+    val counted = TextAnalysis.sourceDivergence(df, "text", "source")
+      .collect().head.getLong(1)
+    assert(counted == 4L, "n_tokens is the group's token total")
+  }
 }
