@@ -255,4 +255,47 @@ object Sampling {
     }
     df.where(bucket < threshold)
   }
+
+  /**
+   * Cluster-balanced (density-weighted) downsampling — the semantic
+   * DIVERSITY sampler of D4 (Tirumala et al. 2023) / SSL-prototype
+   * curation: assign every row to its nearest trained k-means cell (the
+   * same coarse quantizer the IVF index and SemDeDup share) and keep it
+   * with rate `min(1, targetPerCell / cellSize)`. Dense cells — the
+   * boilerplate-heavy modes of the embedding space — thin toward
+   * `targetPerCell` surviving rows; sparse cells survive whole, so the
+   * sample equalizes coverage across semantic modes instead of
+   * replicating the corpus's density skew.
+   *
+   * Membership is the deterministic integer-mixer compare with a FOURTH
+   * (prime, multiplier) pair — independent of [[hashSplit]], [[mixture]],
+   * and [[upsample]] membership, so stacked stages can't correlate. The
+   * rate is `floor(1e6·target/size)` micro-units: the final compare is
+   * pure integer math, identical in any engine given the same cell sizes.
+   *
+   * 100 TB shape: assignment is a map-side codegen argmin (the k·dim FMA
+   * loop fused next to the scan); cell sizes are one ≤k-row aggregate
+   * broadcast back; the keep decision is a map-side compare. The only
+   * exchange carries (cell, count) pairs bounded by k — nothing
+   * corpus-shaped shuffles, no RNG state, and per-row membership is
+   * rerun/repartition-stable given fixed cell sizes. Output: the input
+   * columns plus the row's `cell` (for downstream per-mode reporting).
+   */
+  def clusterBalanced(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Array[Double]], targetPerCell: Long): DataFrame = {
+    require(targetPerCell >= 1, "need targetPerCell >= 1")
+    val assigned = df.withColumn("cell",
+      org.apache.spark.sql.graft.GraftKmeans
+        .nearestCentroid(col(vecCol), centroids).cast("long"))
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_n"))
+    val bucket =
+      (((abs(col(idCol)) % lit(999961L)) * lit(3432918353L)) % lit(4294967296L)) % lit(1000000L)
+    val keepMicro = least(lit(1000000L),
+      floor(lit(1e6) * lit(targetPerCell).cast("double")
+        / col("cell_n").cast("double")).cast("long"))
+    assigned.join(broadcast(sizes), Seq("cell"))
+      .where(bucket < keepMicro)
+      .select(df.columns.map(col) :+ col("cell"): _*)
+  }
 }

@@ -301,6 +301,24 @@ object BuiltinOps {
         df => TextAnalysis.sourceDivergence(df, t, group))
     },
 
+    // Cluster-balanced diversity downsampling (Sampling.clusterBalanced):
+    // trains a k-cell quantizer on the stream, thins dense cells toward
+    // `target` surviving rows. Two driver-visible phases by nature (the
+    // sampling plan needs the finished centroids — Bloom-build
+    // discipline).
+    "cluster_balance" -> { a =>
+      val (vec, id) = (a.strOpt("vec").getOrElse("embedding"),
+        a.strOpt("id").getOrElse("vec_id"))
+      val k = a.intOpt("k").getOrElse(16)
+      val target = a.intOpt("target").getOrElse(100)
+      LensOp.setLevel(s"cluster_balance(k=$k, target=$target)",
+        df => {
+          val cents = graft.operators.Kmeans.train(df, vec, id, k, iters = 3)
+          graft.operators.Sampling.clusterBalanced(df, vec, id, cents,
+            target.toLong)
+        })
+    },
+
     // PageRank over an edge table (Pagerank.run): the rows ARE the edges;
     // emits (node_id, pr_nano) after `iters` integer power iterations.
     "pagerank" -> { a =>

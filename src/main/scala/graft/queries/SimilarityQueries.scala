@@ -410,7 +410,50 @@ object SimilarityQueries extends QueryProvider {
       |    unnest(q) AS code
       |  FROM codes)""".stripMargin
 
+  // Cluster-balanced diversity downsampling (Sampling.clusterBalanced —
+  // the D4-style density equalizer) over the shared IVF quantizer: dense
+  // k-means cells thin toward 12 rows, sparse cells survive whole,
+  // membership via the fourth independent integer mixer. GIVEN the
+  // materialized centroid table the whole chain is replayable from first
+  // principles: DuckDB recomputes every row's argmin cell, the cell
+  // sizes, the floor(1e6·target/size) micro-rate, and the mixer compare.
+  private def clusterBalanceQ(s: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(s, dir)
+    Scratch.materialize(s, dir, "balance_centroids",
+      graft.operators.Kmeans.centroidsDf(s, cents))
+    graft.operators.Sampling.clusterBalanced(
+      T(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", cents, targetPerCell = 12L)
+      // array columns don't survive the driver comparator's sort — emit
+      // only the scalar (vec_id, cell) membership.
+      .select(col("vec_id"), col("cell"))
+  }
+
+  private val clusterBalanceSql =
+    s"""WITH ct AS (SELECT cell, vals
+       |  FROM read_parquet('${Scratch.oraclePath("balance_centroids")}/*.parquet')),
+       |d AS (
+       |  SELECT e.vec_id, ct.cell,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> (CAST(e.embedding[i] AS DOUBLE) - ct.vals[i])
+       |         * (CAST(e.embedding[i] AS DOUBLE) - ct.vals[i]))) AS dist
+       |  FROM embeddings e CROSS JOIN ct),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      rank() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS r
+       |    FROM d)
+       |  WHERE r = 1),
+       |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+       |  FROM asg GROUP BY cell)
+       |SELECT asg.vec_id, asg.cell
+       |FROM asg JOIN sz ON asg.cell = sz.cell
+       |WHERE ((abs(vec_id) % 999961) * 3432918353) % 4294967296 % 1000000
+       |  < least(1000000,
+       |      CAST(floor(1000000.0 * 12 / CAST(cell_n AS DOUBLE)) AS BIGINT))""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cluster_balance" -> (clusterBalanceQ _),
     "sim_topk_brute"  -> (topkBrute _),
     "sim_threshold"   -> (thresholdNbrs _),
     "sim_ivf_topk"    -> (ivfTopk _),
@@ -426,6 +469,7 @@ object SimilarityQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "sim_cluster_balance" -> clusterBalanceSql,
     "sim_topk_brute" -> topkBruteSql,
     "sim_threshold"  -> thresholdNbrsSql,
     "sim_ivf_topk"   -> ivfTopkSql,

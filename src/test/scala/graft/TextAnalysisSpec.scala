@@ -529,4 +529,47 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().head.getLong(1)
     assert(counted == 4L, "n_tokens is the group's token total")
   }
+
+  test("clusterBalanced: thins dense cells toward target, keeps sparse whole") {
+    import spark.implicits._
+    // Two well-separated modes: a dense cloud of 400 near (10,0), a
+    // sparse one of 5 near (-10,0). Fixed centroids — assignment is
+    // unambiguous, so expected membership is the mixer formula replayed
+    // in memory, row for row.
+    val rows = (1L to 400L).map(i => (i, Array(10f + (i % 7) * 0.01f, 0f))) ++
+      (1001L to 1005L).map(i => (i, Array(-10f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Array(Array(10.0, 0.0), Array(-10.0, 0.0))
+    val kept = graft.operators.Sampling
+      .clusterBalanced(df, "embedding", "vec_id", cents, targetPerCell = 50L)
+      .select("vec_id", "cell").as[(Long, Long)].collect()
+    val byCell = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCell(1L) == 5, s"sparse cell must survive whole: $byCell")
+    val denseRate = math.floor(1e6 * 50.0 / 400.0).toLong
+    val expectedDense = (1L to 400L).filter { id =>
+      ((id % 999961L) * 3432918353L) % 4294967296L % 1000000L < denseRate
+    }.toSet
+    assert(kept.filter(_._2 == 0L).map(_._1).toSet == expectedDense,
+      "dense-cell survivors must be exactly the mixer's picks")
+    // ~50/400 target: the mixer is uniform-ish, not exact — bound loosely
+    assert(byCell(0L) > 20 && byCell(0L) < 100, s"thinned: $byCell")
+    val rerun = graft.operators.Sampling
+      .clusterBalanced(df, "embedding", "vec_id", cents, targetPerCell = 50L)
+      .select("vec_id", "cell").as[(Long, Long)].collect()
+    assert(rerun.sorted.toSeq == kept.sorted.toSeq, "rerun-deterministic")
+  }
+
+  test("cluster_balance binds as a lens-file stage (builtin:cluster_balance)") {
+    import spark.implicits._
+    val rows = (1L to 60L).map(i => (i, Array((i % 3).toFloat * 5f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:cluster_balance",
+        |"arguments":{"k":"3","target":"100"}}]}""".stripMargin).forward(df)
+    assert(out.columns.contains("cell"))
+    // target ≥ every cell size: rate clips to 1.0 and EVERY row survives
+    // (bucket mod 1e6 is always < 1e6) — the identity edge the micro-unit
+    // clip must preserve.
+    assert(out.count() == 60L)
+  }
 }
