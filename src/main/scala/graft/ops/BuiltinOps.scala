@@ -301,6 +301,19 @@ object BuiltinOps {
         df => TextAnalysis.sourceDivergence(df, t, group))
     },
 
+    // Multi-signal rank-ensemble (Ensemble.rankSum): attach rank_sum over
+    // the named signal columns (all higher-is-better). The stream keeps
+    // its payload; ranks ride an id-keyed join.
+    "rank_ensemble" -> { a =>
+      val id = a.strOpt("id").getOrElse("doc_id")
+      val sigs = a.strList("signals")
+      LensOp.setLevel(s"rank_ensemble(${sigs.mkString("+")})",
+        df => df.join(
+          graft.operators.Ensemble.rankSum(df, id, sigs)
+            .select(col(id), col("rank_sum")),
+          Seq(id)))
+    },
+
     // Cluster-balanced diversity downsampling (Sampling.clusterBalanced):
     // trains a k-cell quantizer on the stream, thins dense cells toward
     // `target` surviving rows. Two driver-visible phases by nature (the

@@ -963,6 +963,81 @@ object TextQueries extends QueryProvider {
       |  CAST(sum(term_micro) AS BIGINT) AS kl_micro
       |FROM term GROUP BY source""".stripMargin
 
+  // Multi-signal rank-ensemble selection (Ensemble.rankSum — the
+  // FineWeb-style "vote several weak classifiers" cut): three
+  // independently-proven signals (heuristic quality score, unigram-LM
+  // mean token frequency in micro-units, distinct-shingle ratio) reduce
+  // to global ranks over the jointly-scored set, rank sums pick the top
+  // 100. Every rank is a row_number over (signal, doc_id) — a total
+  // order — so the whole ensemble including tie-breaks replays exactly;
+  // the oracle refits all three signals from raw text and mirrors the
+  // three window ranks.
+  private def rankEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val q = graft.operators.TextAnalysis.qualityScore(docs, "text", "doc_id")
+      .select(col("doc_id"), col("quality"))
+    val lm = graft.operators.TextAnalysis
+      .unigramLmScore(docs, "text", "doc_id")
+      .select(col("doc_id"),
+        floor(lit(1e6) * col("sum_freq").cast("double")
+          / col("n_tokens").cast("double")).cast("long").as("mf_micro"))
+    val rep = graft.operators.TextAnalysis.repetition(docs, "text", "doc_id")
+      .where(col("n_shingles").isNotNull)
+      .select(col("doc_id"),
+        (col("n_distinct_shingles").cast("double")
+          / col("n_shingles").cast("double")).as("uniq_ratio"))
+    val joined = q.join(lm, Seq("doc_id")).join(rep, Seq("doc_id"))
+    graft.operators.Ensemble
+      .rankSum(joined, "doc_id", Seq("quality", "mf_micro", "uniq_ratio"))
+      .orderBy(col("rank_sum").desc, col("doc_id")).limit(100)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("rank_sum"))
+  }
+
+  private val rankEnsembleSql =
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |qr AS (
+      |  SELECT doc_id,
+      |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS punct_ratio,
+      |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS unique_ratio,
+      |    text
+      |  FROM w),
+      |q AS (
+      |  SELECT doc_id,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + unique_ratio * 0.3
+      |      + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3 AS quality
+      |  FROM qr),
+      |toks AS (SELECT doc_id, unnest(ws) AS token FROM w),
+      |model AS (SELECT token, CAST(count(*) AS BIGINT) AS tf_corpus
+      |  FROM toks GROUP BY token),
+      |lm AS (
+      |  SELECT doc_id,
+      |    CAST(floor(1000000.0 * CAST(sum(tf_corpus) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mf_micro
+      |  FROM toks JOIN model USING (token) GROUP BY doc_id),
+      |rep AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(list_transform(range(len(ws) - 2),
+      |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS DOUBLE)
+      |      / CAST(len(ws) - 2 AS DOUBLE) AS uniq_ratio
+      |  FROM w WHERE len(ws) >= 3),
+      |j AS (SELECT q.doc_id, quality, mf_micro, uniq_ratio
+      |  FROM q JOIN lm USING (doc_id) JOIN rep USING (doc_id)),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY quality, doc_id)
+      |       + row_number() OVER (ORDER BY mf_micro, doc_id)
+      |       + row_number() OVER (ORDER BY uniq_ratio, doc_id)
+      |      AS BIGINT) AS rank_sum
+      |  FROM j),
+      |top AS (SELECT doc_id, rank_sum FROM r
+      |  ORDER BY rank_sum DESC, doc_id LIMIT 100)
+      |SELECT top.doc_id, d.source, top.rank_sum
+      |FROM top JOIN documents d USING (doc_id)""".stripMargin
+
   // Token-budget mixture planning (Sampling.tokenBudgetPlan): per-source
   // epoch counts to hit a 1M-token budget at weights 4:2:1. Weights are
   // integer-valued so Σw is an exact double under ANY summation order —
@@ -1209,6 +1284,7 @@ object TextQueries extends QueryProvider {
     "text_bm25"        -> (bm25Q _),
     "text_search_topk" -> (searchTopkQ _),
     "text_divergence"  -> (divergenceQ _),
+    "pipeline_rank_ensemble" -> (rankEnsemble _),
     "q_token_budget"   -> (tokenBudget _),
     "pipeline_curate_web" -> (curateWeb _),
     "text_ccnet_paragraphs" -> (ccnetParagraphs _),
@@ -1250,6 +1326,7 @@ object TextQueries extends QueryProvider {
     "text_bm25"        -> bm25Sql,
     "text_search_topk" -> searchTopkSql,
     "text_divergence"  -> divergenceSql,
+    "pipeline_rank_ensemble" -> rankEnsembleSql,
     "q_token_budget"   -> tokenBudgetSql,
     "pipeline_curate_web" -> curateWebSql,
     "text_ccnet_paragraphs" -> ccnetParagraphsSql,
