@@ -128,4 +128,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(p.contains("partial_count"), "bigram model lost map-side partial aggregation")
   }
+
+  test("dedup_lines_intra: within-page line dedup never leaves the scan stage") {
+    val p = plan("dedup_lines_intra")
+    assert(!p.contains("Exchange"),
+      "line dedup is a narrow map — an exchange means it regressed to a shuffle")
+  }
+
+  test("text_search_topk: retrieval cut is a per-partition heap; stats broadcast") {
+    val p = plan("text_search_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject, not a global sort+limit")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/corpus stats should ride broadcasts, not shuffle joins")
+  }
+
+  test("sim_cluster_balance: cell sizes broadcast back — corpus never shuffle-joins") {
+    val p = plan("sim_cluster_balance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k-row cell-size table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side shuffle-joined against a k-row aggregate")
+  }
+
 }

@@ -280,4 +280,26 @@ class StreamingLensSpec extends AnyFunSuite {
         (1L, 0L), (1L, 1L), (2L, 0L), (3L, 0L), (3L, 1L)))
     } finally q.stop()
   }
+
+  test("within-page line dedup binds free to a stream (builtin:dedup_lines)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pipe = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:dedup_lines"}]}""")
+    val out = StreamingLens.forward(pipe, in.toDF.toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("s_dedup_lines").start()
+    try {
+      in.addData((1L, "banner\nbody\nbanner"))
+      q.processAllAvailable()
+      // narrow per-row map: a later micro-batch dedups independently —
+      // no state crosses batches, exactly the batch operator's semantics
+      in.addData((2L, "x\nx\ny"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select doc_id, n_kept, clean_text from s_dedup_lines")
+        .as[(Long, Long, String)].collect().toSet
+      assert(rows == Set((1L, 2L, "banner\nbody"), (2L, 2L, "x\ny")))
+    } finally q.stop()
+  }
 }
