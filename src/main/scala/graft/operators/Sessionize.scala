@@ -51,4 +51,30 @@ object Sessionize {
       .agg(
         count(lit(1)).as("n_events"),
         (max(col(tsCol)) - min(col(tsCol))).as("duration"))
+
+  /**
+   * Per-session ordered event path — the episode/trajectory construction
+   * a behavior model trains on ("view>click>purchase"), and the batch
+   * complement of the streaming per-key sequence state
+   * ([[graft.streaming.StreamingLens]] `flatMapGroupsWithState`). For
+   * every (key, session): event count, start time, and the step column's
+   * values joined in event order. Ordering is the total order
+   * (ts, tie) — `sort_array` over collected (ts, tie, step) structs
+   * (struct comparison is lexicographic), so the path is deterministic
+   * under equal timestamps and NEEDS no second window pass.
+   *
+   * 100 TB shape: one hash exchange keyed (key, session) with map-side
+   * partial collect; per-group state is one session's events — bounded
+   * by per-user activity within one gap window, never a log-wide sort.
+   */
+  def sequences(sessions: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stepCol: String, sep: String = ">"): DataFrame =
+    sessions.groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("t_start"),
+        array_join(transform(
+          sort_array(collect_list(
+            struct(col(tsCol), col(tieCol), col(stepCol)))),
+          s => s.getField(stepCol)), sep).as("path"))
 }

@@ -143,6 +143,20 @@ object BuiltinOps {
         df => Sessionize.assign(df, key, ts, gap, tie))
     },
 
+    // Per-session ordered event paths (Sessionize.sequences): sessionize
+    // then join the step column in (ts, tie) order per session — the
+    // episode construction, one lens stage.
+    "session_paths" -> { a =>
+      val (key, ts) = (a.str("key"), a.str("ts"))
+      val gap = a.str("gap").toLong
+      val tie = a.strOpt("tie").getOrElse(ts)
+      val step = a.str("step")
+      val sep = a.strOpt("sep").getOrElse(">")
+      LensOp.setLevel(s"session_paths($key, gap=$gap, step=$step)",
+        df => Sessionize.sequences(
+          Sessionize.assign(df, key, ts, gap, tie), key, ts, tie, step, sep))
+    },
+
     // Ordered-sequence funnel over an event log (SURVEY.md §2.5):
     // mode=report (default) emits (stage, n_users); mode=users emits
     // per-user first-touch times; optional conversion window in the ts

@@ -60,6 +60,34 @@ object SessionQueries extends QueryProvider {
        |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
        |FROM s GROUP BY user_id, session_seq""".stripMargin
 
+  // Per-session ordered event paths (Sessionize.sequences): the episode
+  // construction — deterministic (us, event_id) order inside each
+  // session, string-joined steps. The oracle replays session assignment
+  // AND the ordered aggregation (string_agg ORDER BY matches the
+  // sort_array total order because event_id is unique).
+  private def sessionSeqs(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sequences(sessions(s, dir), "user_id", "ts_us",
+      "event_id", "event_type")
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("t_start"), col("path"))
+
+  private val sessionSeqsSql =
+    s"""WITH s AS (
+       |  SELECT user_id, us, event_id, event_type,
+       |    CAST(SUM(CASE WHEN prev IS NULL OR us - prev > $GapUs THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM (
+       |    SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+       |      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+       |    FROM events
+       |  )
+       |)
+       |SELECT user_id, session_seq, COUNT(*) AS n_events,
+       |  CAST(MIN(us) AS BIGINT) AS t_start,
+       |  string_agg(event_type, '>' ORDER BY us, event_id) AS path
+       |FROM s GROUP BY user_id, session_seq""".stripMargin
+
   // Ordered-sequence funnel (Funnel.report): view -> click -> purchase,
   // strictly-increasing first-touch times; stage populations are exact
   // integer comparisons on the shared µs timestamps.
@@ -152,6 +180,7 @@ object SessionQueries extends QueryProvider {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize"      -> (sessionize _),
     "q_session_stats"   -> (sessionStats _),
+    "q_session_paths"   -> (sessionSeqs _),
     "q_funnel"          -> (funnel _),
     "q_funnel_windowed" -> (funnelWindowed _),
     "q_funnel_users"    -> (funnelUsers _)
@@ -160,6 +189,7 @@ object SessionQueries extends QueryProvider {
   override val oracles: Map[String, String] = Map(
     "q_sessionize"      -> sessionizeSql,
     "q_session_stats"   -> sessionStatsSql,
+    "q_session_paths"   -> sessionSeqsSql,
     "q_funnel"          -> funnelSql,
     "q_funnel_windowed" -> funnelWindowedSql,
     "q_funnel_users"    -> funnelUsersSql

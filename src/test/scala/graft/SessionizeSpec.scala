@@ -31,6 +31,37 @@ class SessionizeSpec extends AnyFunSuite {
     assert(stats((3L, 1L)) == ((2L, 0L)))
   }
 
+  test("sequences: per-session ordered paths, ties broken by the tie column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, 1L, "view"), (2L, 10L, 1L, "click"),
+      (3L, 1000L, 1L, "view"), (4L, 1005L, 1L, "purchase"),
+      // equal timestamps: event_id order decides the path
+      (6L, 7L, 3L, "b_second"), (5L, 7L, 3L, "a_first"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val paths = Sessionize.sequences(
+      Sessionize.assign(df, "user_id", "ts", gap = 100L, tieCol = "event_id"),
+      "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(paths((1L, 1L)) == ((2L, 0L, "view>click")))
+    assert(paths((1L, 2L)) == ((2L, 1000L, "view>purchase")))
+    assert(paths((3L, 1L)) == ((2L, 7L, "a_first>b_second")),
+      "tie at ts=7 must order by event_id (5 before 6)")
+  }
+
+  test("session_paths binds as one lens-file stage (builtin:session_paths)") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1L, "x"), (2L, 5L, 1L, "y"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:session_paths","arguments":
+        |{"key":"user_id","ts":"ts","gap":"100","tie":"event_id",
+        |"step":"event_type","sep":"-"}}]}""".stripMargin).forward(df)
+    val r = out.collect().head
+    assert(r.getString(4) == "x-y")
+  }
+
   test("funnel: strict first-touch ordering; same-timestamp and missing stages excluded") {
     import spark.implicits._
     val df = Seq(
