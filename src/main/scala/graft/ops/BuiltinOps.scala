@@ -315,6 +315,15 @@ object BuiltinOps {
         df => TextAnalysis.sourceDivergence(df, t, group))
     },
 
+    // Deterministic contrastive negatives (Contrastive.negatives): k
+    // mixer-picked negatives per anchor over the rank space.
+    "negatives" -> { a =>
+      val id = a.strOpt("id").getOrElse("vec_id")
+      val k = a.intOpt("k").getOrElse(4)
+      LensOp.setLevel(s"negatives(k=$k)",
+        df => graft.operators.Contrastive.negatives(df, id, k))
+    },
+
     // Multi-signal rank-ensemble (Ensemble.rankSum): attach rank_sum over
     // the named signal columns (all higher-is-better). The stream keeps
     // its payload; ranks ride an id-keyed join.

@@ -452,7 +452,31 @@ object SimilarityQueries extends QueryProvider {
        |  < least(1000000,
        |      CAST(floor(1000000.0 * 12 / CAST(cell_n AS DOUBLE)) AS BIGINT))""".stripMargin
 
+  // Deterministic contrastive negatives (Contrastive.negatives): 4 picks
+  // per anchor via the fifth integer mixer over the GlobalSequence rank
+  // space, self-picks re-rolled one step. The oracle replays ranks,
+  // mixer, re-roll, and the rank join — every pair is exact.
+  private def negativesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Contrastive.negatives(
+      T(s, dir, "embeddings").select(col("vec_id")), "vec_id", k = 4)
+
+  private val negativesSql =
+    """WITH r AS (SELECT vec_id,
+      |    CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS rn
+      |  FROM embeddings),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM r),
+      |c AS (SELECT vec_id, rn, nn, CAST(t AS BIGINT) AS t,
+      |    ((abs(vec_id) % 999959) * 2891336453
+      |      + CAST(t AS BIGINT) * 2654435761) % 4294967296 % nn + 1 AS pick0
+      |  FROM r CROSS JOIN n CROSS JOIN (SELECT unnest(range(1, 5)) AS t)),
+      |p AS (SELECT vec_id, t,
+      |    CASE WHEN pick0 = rn THEN pick0 % nn + 1 ELSE pick0 END AS pick
+      |  FROM c)
+      |SELECT p.vec_id AS anchor_id, p.t, r2.vec_id AS negative_id
+      |FROM p JOIN r r2 ON p.pick = r2.rn""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_negatives" -> (negativesQ _),
     "sim_cluster_balance" -> (clusterBalanceQ _),
     "sim_topk_brute"  -> (topkBrute _),
     "sim_threshold"   -> (thresholdNbrs _),
@@ -469,6 +493,7 @@ object SimilarityQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "sim_negatives" -> negativesSql,
     "sim_cluster_balance" -> clusterBalanceSql,
     "sim_topk_brute" -> topkBruteSql,
     "sim_threshold"  -> thresholdNbrsSql,
