@@ -705,6 +705,52 @@ object TextQueries extends QueryProvider {
       |  CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS bucket
       |FROM r""".stripMargin
 
+  // Curriculum-ordering flagship: quality-quantile difficulty tiers →
+  // tier-major deterministic pseudorandom training order (curriculum
+  // learning's data schedule: best-tier documents first, md5-shuffled
+  // within each tier so position correlates with quality tier but not
+  // with ingest order). Pure composition of proven parts — qualityColumn
+  // → quantileBuckets (exact two-pass ranks) → GlobalSequence over
+  // (tier, md5(id)) — and every stage is integer/shape-exact, so the
+  // oracle replays the entire schedule position-for-position.
+  private def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = T(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityColumn(col("text")).as("quality"))
+    val buckets = graft.operators.Sampling
+      .quantileBuckets(scored, "quality", "doc_id", k = 4)
+      .select(col("doc_id"), col("bucket"))
+    val keyed = buckets
+      .withColumn("__tier", lit(4L) - col("bucket"))
+      .withColumn("__mix", md5(col("doc_id").cast("string")))
+    graft.operators.GlobalSequence.withSequentialId(
+      keyed, struct(col("__tier"), col("__mix"), col("doc_id")), "pos")
+      .select(col("doc_id"), col("bucket"), col("pos"))
+  }
+
+  private val curriculumSql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')) * 0.3
+      |      + greatest(0.0, 1.0 -
+      |          CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / length(text) * 4.0) * 0.3 AS quality
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY quality NULLS FIRST, doc_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM q
+      |), b AS (
+      |  SELECT doc_id, CAST((rn - 1) * 4 // n + 1 AS BIGINT) AS bucket FROM r
+      |)
+      |SELECT doc_id, bucket,
+      |  CAST(row_number() OVER (ORDER BY (4 - bucket),
+      |    md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+      |FROM b""".stripMargin
+
   // Corpus-trained unigram LM score (TextAnalysis.unigramLmScore): exact
   // integer totals of per-token corpus frequency — both engines train the
   // same "model" (the unigram table) from the same corpus.
@@ -1285,6 +1331,7 @@ object TextQueries extends QueryProvider {
     "text_search_topk" -> (searchTopkQ _),
     "text_divergence"  -> (divergenceQ _),
     "pipeline_rank_ensemble" -> (rankEnsemble _),
+    "pipeline_curriculum" -> (curriculum _),
     "q_token_budget"   -> (tokenBudget _),
     "pipeline_curate_web" -> (curateWeb _),
     "text_ccnet_paragraphs" -> (ccnetParagraphs _),
@@ -1327,6 +1374,7 @@ object TextQueries extends QueryProvider {
     "text_search_topk" -> searchTopkSql,
     "text_divergence"  -> divergenceSql,
     "pipeline_rank_ensemble" -> rankEnsembleSql,
+    "pipeline_curriculum" -> curriculumSql,
     "q_token_budget"   -> tokenBudgetSql,
     "pipeline_curate_web" -> curateWebSql,
     "text_ccnet_paragraphs" -> ccnetParagraphsSql,
