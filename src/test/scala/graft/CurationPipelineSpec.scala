@@ -63,4 +63,30 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(rows(0)._3 == 1000L, "a single surviving group takes the full budget")
     assert(rows(0)._4 > 0L)
   }
+
+  test("line dedup feeds Gopher filtering in ONE lens file") {
+    import spark.implicits._
+    // Doc 1 is a page whose real content passes min_words only AFTER the
+    // repeated banner lines collapse into one (the within-page rule runs
+    // first, then the word-count rule sees the cleaned text). Doc 2 is a
+    // banner-only page: after dedup it is one short line and fails.
+    val df = Seq(
+      (1L, "subscribe now\nthe quick brown fox jumps over a lazy dog\nsubscribe now"),
+      (2L, "subscribe now\nsubscribe now\nsubscribe now"))
+      .toDF("doc_id", "text")
+    // dedup_lines joins kept lines with '\n'; wsTokens splits on literal
+    // spaces — the canonical normalize stage (whitespace collapse) sits
+    // between them exactly as a real pipeline orders these passes.
+    val out = graft.engine.Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:dedup_lines"},
+        |  {"path":"builtin:normalize","arguments":{"text":"clean_text"}},
+        |  {"path":"builtin:rename","arguments":{"src":"text_norm","dst":"text"}},
+        |  {"path":"builtin:gopher_rules","arguments":{"min_words":"5"}},
+        |  {"path":"builtin:filter","arguments":{"expr":"gopher_pass"}}
+        |]}""".stripMargin).forward(df)
+    val kept = out.select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L),
+      s"content page survives, banner-only page drops: got $kept")
+  }
 }
