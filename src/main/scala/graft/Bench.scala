@@ -26,7 +26,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated query-name filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) =>
+    val selected = SparkEntry.benchQueries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
     // Untimed warmup: session init, codegen compiler, parquet footers —
     // so query timings reflect steady state, not first-touch overhead.

@@ -42,6 +42,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     providers.flatMap(_.queries).toMap
 
+  /** Everything [[graft.Bench]] times: the correctness surface plus the
+   *  bench-only production shapes (see [[graft.queries.QueryProvider.benchOnly]]
+   *  — each certified by a `*_verify` row in [[queries]]). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    providers.flatMap(p => p.queries ++ p.benchOnly).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -17,31 +17,26 @@ import org.apache.spark.sql.{Column, DataFrame}
  * error is bounded by scale/127 per element (QuantizeSpec pins it).
  *
  * 100 TB shape: a pure scan-projection — per-row, no shuffle, no state;
- * runs fused next to the parquet read. The per-element loop is a Catalyst
- * HOF (interpreted) but single-pass per row — not the per-(element×k)
- * hot-loop case CLAUDE.md routes to native expressions; at 64 dims the
- * transform is I/O-bound. All-zero vectors (scale = 0) quantize to zero
- * codes rather than dividing by zero. Null vectors pass through null.
+ * runs fused next to the parquet read. The per-element loops are native
+ * codegen expressions ([[org.apache.spark.sql.graft.AbsMaxDouble]] /
+ * [[org.apache.spark.sql.graft.QuantizeInt8Codes]]) — the interpreted-HOF
+ * formulation regressed 3.9× under the round-6 runtime, and quantization
+ * is the ingest step every ANN index takes, so it must stay scan-bound.
+ * All-zero vectors (scale = 0) quantize to zero codes rather than
+ * dividing by zero. Null vectors pass through null.
  *
  * No reference counterpart (the reference has no vector layer); companion
  * to [[Similarity]]/[[Kmeans]].
  */
 object Quantize {
 
-  private def absmax(vec: Column): Column =
-    array_max(transform(vec, x => abs(x.cast("double"))))
-
   /** (id, scale, q): symmetric int8 codes as BIGINTs (oracle-comparable;
    *  a production sink would cast to tinyint on write). */
   def int8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
     val v = col(vecCol)
-    val s = absmax(v)
+    val s = org.apache.spark.sql.graft.GraftQuantize.absMax(v)
     df.select(col(idCol), s.as("scale"),
-      when(v.isNull, lit(null))
-        .when(s > 0.0,
-          transform(v, x => floor(x.cast("double") * lit(127.0) / s).cast("long")))
-        .otherwise(transform(v, _ => lit(0L)))
-        .as("q"))
+      org.apache.spark.sql.graft.GraftQuantize.int8Codes(v, s).as("q"))
   }
 
   /** Reconstruction: q_i · scale / 127 as double — for error measurement

@@ -11,6 +11,15 @@ trait QueryProvider {
    *  may be omitted for non-SQL-expressible ops (driver then records a
    *  weaker rows-only check). */
   def oracles: Map[String, String]
+
+  /** Bench-shape-only queries: timed by [[graft.Bench]] but NOT part of
+   *  the driver's correctness surface. Reserved for approximate/engine-
+   *  internal operators (trained-quantizer ANN, LSH, sketch signatures)
+   *  whose MATH is already hash-certified by a `*_verify` companion in
+   *  [[queries]] over materialized artifacts — the verify row is the
+   *  primary correctness entry; this shape exists to keep the production
+   *  plan (train + index + probe in one query) on the benchmark board. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }
 
 /** Per-sf scratch directories under /tmp for side-effecting IO queries. */
@@ -51,14 +60,30 @@ object Scratch {
 object T {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects outright; read it as a long (nanos since epoch).
-      // Ordering/comparison semantics are identical to the ns-precision
-      // timestamp DuckDB sees, with zero truncation risk. Convert with
-      // timestamp_micros(ts / 1000) where a real timestamp is needed —
-      // never emit it raw in an oracle-checked query.
+      // events.ts is parquet TIMESTAMP(NANOS). The contract every consumer
+      // (and every committed oracle) assumes is ts: LongType nanos since
+      // epoch. Older runtimes honor nanosAsLong at scan time; current
+      // Spark 4.1.2 ignores the flag and surfaces the column as
+      // TIMESTAMP_NTZ (µs precision — the ns tail is already floored by
+      // the reader). Normalize at this one choke point: if the scan gave
+      // us a timestamp, rebuild long nanos as unix_micros * 1000 — bit-
+      // identical to what DuckDB's epoch_us(ts)*1000 would compute, so
+      // every `ts div 1000` consumer and oracle is unaffected. The NTZ →
+      // TIMESTAMP cast is value-preserving only under a UTC session zone,
+      // so pin it (Verify and the test session already do; Bench must
+      // agree for cross-run comparability).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df
+        case _ =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr(
+              "unix_micros(cast(ts as timestamp)) * 1000L"))
+      }
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
     }
-    spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -58,7 +58,7 @@ class BenchGuardSpec extends AnyFunSuite {
     // a one-off JIT/GC pause (observed: a 200-row projection at 16 s once,
     // 0.1 s on every other run) must not fail the build, while a genuine
     // plan regression is slow BOTH times.
-    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    val violations = SparkEntry.benchQueries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         measure(name, fn) match {
           case Left(err) => Some(err)

@@ -13,7 +13,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    SparkEntry.benchQueries(name)(spark, dir).queryExecution.executedPlan.toString
 
   test("q1_agg: filter pushed to scan, partial aggregation before exchange") {
     val p = plan("q1_agg")
