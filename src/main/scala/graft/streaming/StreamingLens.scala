@@ -165,6 +165,77 @@ object StreamingLens {
       .drop("__h", "__hit")
 
   /**
+   * Streaming ordered-sequence funnel — the continuous-ingest face of the
+   * batch [[graft.operators.Funnel]] (view → click → purchase with
+   * first-touch attribution and an optional conversion window). Keyed
+   * state per user is the prefix of stage first-touch times reached so
+   * far (≤ k longs — bounded, no event buffering), updated by a single
+   * event-time-ordered fold per micro-batch; each newly-reached stage
+   * emits one (user, stage, first_us) row in Append mode, the same long
+   * format [[graft.operators.Funnel.userStages]] produces.
+   *
+   * Exactness contract: the greedy fold locks each stage's first touch
+   * when it is observed, which reproduces the batch result exactly when
+   * each user's events arrive in non-decreasing event-time order ACROSS
+   * micro-batches (within a batch, arrival order is irrelevant — events
+   * are sorted by event time before the fold). Out-of-order arrivals
+   * beyond that are the usual streaming-funnel approximation: a late
+   * earlier event cannot retract an already-emitted touch (Append mode
+   * has no retractions); bound the disorder with the watermark `delay`.
+   *
+   * 100 TB shape: one shuffle of slim (user, ts, type) rows per batch to
+   * co-locate keys; state is k×8 bytes per user that ever entered stage 1
+   * (32 B/user at k=4 — ~32 GB of distributed state per 10⁹ users; a
+   * production deployment with churning users adds an event-time timeout
+   * to evict users whose conversion window has lapsed).
+   */
+  def streamingFunnel(
+      stream: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String],
+      delay: String,
+      windowUs: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    windowUs.foreach(w => require(w > 0, "need windowUs > 0"))
+    import stream.sparkSession.implicits._
+    val stageArr = stages.toArray
+    val win = windowUs.getOrElse(Long.MaxValue)
+    val events = stream
+      .withWatermark(tsCol, delay)
+      .select(col(userCol).cast("string"), unix_micros(col(tsCol)),
+        col(typeCol).cast("string"))
+      .as[(String, Long, String)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (String, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: String, rows: Iterator[(String, Long, String)],
+            state: GroupState[Seq[Long]]) =>
+          // state: first-touch µs per reached stage, LATEST FIRST (the
+          // fold only ever consults the most recent touch).
+          var touched = state.getOption.getOrElse(Seq.empty[Long]).toList
+          val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+          rows.toSeq.sortBy(_._2).foreach { case (_, t, tpe) =>
+            val k = touched.size
+            if (k < stageArr.length && tpe == stageArr(k)) {
+              val qualifies =
+                if (k == 0) true
+                else t > touched.head &&
+                  (win == Long.MaxValue || t <= touched.head + win)
+              if (qualifies) {
+                touched = t :: touched
+                out += ((user, s"${k + 1}_$tpe", t))
+              }
+            }
+          }
+          if (out.nonEmpty) state.update(touched)
+          out.iterator
+      }
+      .toDF(userCol, "stage", "first_us")
+  }
+
+  /**
    * Stateful per-key sequence numbers — the streaming answer to the
    * reference's stateful counter module (T7, reference:
    * tests/modules/rust_wasm32_counter/src/lib.rs:26-54). The batch

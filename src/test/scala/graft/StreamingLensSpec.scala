@@ -281,6 +281,57 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: in-order replayed log matches the batch funnel") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val stages = Seq("view", "click", "purchase")
+    val winUs = Some(7L * 24 * 3600 * 1000000) // 7-day conversion window
+
+    // Batch truth over the real event log (µs column, as SessionQueries).
+    val batchIn = graft.queries.T(spark, dir, "events")
+      .selectExpr("user_id", "ts div 1000 as us", "event_type")
+    def batchStages(w: Option[Long]) =
+      graft.operators.Funnel.userStages(batchIn, "user_id", "us", "event_type",
+        stages, w)
+        .selectExpr("cast(user_id as string)", "stage", "first_us")
+        .as[(String, String, Long)].collect().toSet
+
+    // Replay the same log in two micro-batches split at the median event
+    // time: per-user event-time order is preserved across batches, the
+    // regime where the greedy fold is exact.
+    val log = batchIn.selectExpr("user_id", "us", "event_type")
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    val mid = log(log.length / 2)._2
+    def toRow(e: (Long, Long, String)) = {
+      val t = new Timestamp((e._2 / 1000000) * 1000)
+      t.setNanos((e._2 % 1000000).toInt * 1000)
+      (e._1, t, e._3)
+    }
+    for ((w, sink) <- Seq((None, "s_funnel"), (winUs, "s_funnel_w"))) {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val out = StreamingLens.streamingFunnel(
+        in.toDF.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", stages, "1 hour", w)
+      val q = out.writeStream.format("memory").queryName(sink).start()
+      try {
+        in.addData(log.filter(_._2 <= mid).map(toRow).toSeq)
+        q.processAllAvailable()
+        in.addData(log.filter(_._2 > mid).map(toRow).toSeq)
+        q.processAllAvailable()
+        val got = spark.sql(s"select user_id, stage, first_us from $sink")
+          .as[(String, String, Long)].collect().toSet
+        assert(got == batchStages(w), s"window=$w")
+        // the per-stage report is the groupBy of the emitted long format
+        val report = got.groupBy(_._2).view.mapValues(_.size).toMap
+        val want = graft.operators.Funnel.report(
+          batchIn, "user_id", "us", "event_type", stages, w)
+          .as[(String, Long)].collect().map { case (s, n) => s -> n.toInt }.toMap
+        assert(report == want, s"report window=$w")
+      } finally q.stop()
+    }
+  }
+
   test("within-page line dedup binds free to a stream (builtin:dedup_lines)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
