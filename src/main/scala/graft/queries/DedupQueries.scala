@@ -655,6 +655,42 @@ object DedupQueries extends QueryProvider {
     """SELECT doc_id FROM documents
       |WHERE text IN (SELECT text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  // Cross-engine certification of the bloom-probe contract. The bitset is
+  // engine-internal (so dedup_bloom_ref stays a bench shape), but GIVEN
+  // the materialized per-row probe decisions the contract is exact
+  // relational math: Spark and DuckDB each recompute exact reference
+  // membership from raw text and join it against the SAME probe parquet —
+  // the hash match certifies the exact-membership sets agree cross-engine
+  // and that both engines see an identical false_negative column (all
+  // false; DedupSpec pins the invariant, this row pins it cross-engine
+  // over the exact bytes the bloom emitted).
+  private def dedupBloomVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val path = Scratch.materialize(s, dir, "bloom_probe",
+      Dedup.bloomReference(docs, docs.where(col("doc_id") % 10 === 0),
+        "text", "doc_id", expectedItems = 100000, fpp = 0.01))
+    val ref = docs.where(col("doc_id") % 10 === 0)
+      .select(xxhash64(col("text")).as("h")).distinct()
+      .withColumn("__m", lit(true))
+    val exact = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+      .join(ref, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("__m"), lit(false)).as("exact_member"))
+    s.read.parquet(path).join(exact, Seq("doc_id"))
+      .select(col("doc_id"), col("might_match"), col("exact_member"),
+        (col("exact_member") && !col("might_match")).as("false_negative"))
+  }
+
+  private val dedupBloomVerifySql =
+    s"""WITH p AS (SELECT doc_id, might_match
+       |  FROM read_parquet('${Scratch.oraclePath("bloom_probe")}/*.parquet')),
+       |e AS (SELECT doc_id,
+       |  text IN (SELECT text FROM documents WHERE doc_id % 10 = 0) AS exact_member
+       |  FROM documents)
+       |SELECT p.doc_id AS doc_id, p.might_match AS might_match,
+       |  e.exact_member AS exact_member,
+       |  (e.exact_member AND NOT p.might_match) AS false_negative
+       |FROM p JOIN e ON p.doc_id = e.doc_id""".stripMargin
+
   // HLL sketch comparison is engine-specific — rows-only check by design.
   // The exact count groups 64-bit content hashes, not the documents: the
   // distinct-shuffle moves 8 bytes/row instead of the text (same count up
@@ -671,6 +707,36 @@ object DedupQueries extends QueryProvider {
           when(col("text").isNotNull, xxhash64(col("text"))), 0.02)
           .as("n_approx"))
 
+  // Cross-engine certification of the HLL error contract: the sketch
+  // value is engine-internal (dedup_approx_distinct stays a bench shape),
+  // but GIVEN the materialized per-source (n_exact, n_approx) pair DuckDB
+  // recomputes the exact distinct count from raw text and re-derives the
+  // same agreement/error-bound booleans — the hash match certifies the
+  // exact counts agree cross-engine and the committed ±4% bound holds
+  // over the exact sketch values Spark produced.
+  private def dedupApproxVerify(s: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.materialize(s, dir, "approx_counts",
+      approxDistinct(s, dir))
+    val check = T(s, dir, "documents").groupBy(col("source"))
+      .agg(countDistinct(when(col("text").isNotNull, xxhash64(col("text"))))
+        .as("n_check"))
+    s.read.parquet(path).join(check, Seq("source"))
+      .select(col("source"), col("n_exact"), col("n_approx"),
+        (col("n_exact") === col("n_check")).as("exact_agrees"),
+        (abs(col("n_approx") - col("n_check")) <= col("n_check") * 0.04)
+          .as("within_bound"))
+  }
+
+  private val dedupApproxVerifySql =
+    s"""WITH m AS (SELECT source, n_exact, n_approx
+       |  FROM read_parquet('${Scratch.oraclePath("approx_counts")}/*.parquet')),
+       |e AS (SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_check
+       |  FROM documents GROUP BY source)
+       |SELECT m.source AS source, m.n_exact AS n_exact, m.n_approx AS n_approx,
+       |  (m.n_exact = e.n_check) AS exact_agrees,
+       |  (abs(m.n_approx - e.n_check) <= e.n_check * 0.04) AS within_bound
+       |FROM m JOIN e ON m.source = e.source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),
     "dedup_minhash_lsh"    -> (dedupMinhash _),
@@ -678,7 +744,7 @@ object DedupQueries extends QueryProvider {
     "dedup_ngram_jaccard"  -> (dedupNgram _),
     "dedup_allpairs"       -> (dedupAllPairs _),
     "dedup_embedding"      -> (dedupEmbedding _),
-    "dedup_approx_distinct" -> (approxDistinct _),
+    "dedup_approx_verify"  -> (dedupApproxVerify _),
     "dedup_segments"       -> (dedupSegments _),
     "dedup_lines_intra"    -> (dedupLinesIntra _),
     "dedup_incremental"    -> (dedupIncremental _),
@@ -687,7 +753,7 @@ object DedupQueries extends QueryProvider {
     "dedup_contam_spans"   -> (dedupContamSpans _),
     "dedup_strip_contam"   -> (dedupStripContam _),
     "dedup_semantic_verify" -> (dedupSemanticVerify _),
-    "dedup_bloom_ref"      -> (dedupBloomRef _),
+    "dedup_bloom_verify"   -> (dedupBloomVerify _),
     "dedup_ref_exact"      -> (dedupRefExact _),
     "dedup_simhash_verify" -> (dedupSimhashVerify _),
     "dedup_clusters"       -> (dedupClusters _),
@@ -700,12 +766,16 @@ object DedupQueries extends QueryProvider {
   /** Bench shapes whose math is hash-certified by the `*_verify` rows
    *  above (`dedup_simhash_verify` re-derives hamming + blocking recall
    *  over the materialized signature table; `dedup_semantic_verify` the
-   *  centroid-assignment + cosine math). Kept on the benchmark board;
-   *  excluded from the correctness surface where an engine-internal
-   *  signature/centroid dump would read as an unverifiable row. */
+   *  centroid-assignment + cosine math; `dedup_bloom_verify` the probe
+   *  contract over the materialized decisions; `dedup_approx_verify` the
+   *  HLL error bound over the materialized counts). Kept on the benchmark
+   *  board; excluded from the correctness surface where an engine-internal
+   *  signature/sketch dump would read as an unverifiable row. */
   override val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_simhash"  -> (dedupSimhash _),
-    "dedup_semantic" -> (dedupSemantic _)
+    "dedup_simhash"         -> (dedupSimhash _),
+    "dedup_semantic"        -> (dedupSemantic _),
+    "dedup_bloom_ref"       -> (dedupBloomRef _),
+    "dedup_approx_distinct" -> (approxDistinct _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -725,12 +795,12 @@ object DedupQueries extends QueryProvider {
     "dedup_ref_exact"     -> dedupRefExactSql,
     "dedup_semantic_verify" -> dedupSemanticVerifySql,
     "dedup_simhash_verify" -> dedupSimhashVerifySql,
+    "dedup_bloom_verify"  -> dedupBloomVerifySql,
+    "dedup_approx_verify" -> dedupApproxVerifySql,
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_survivors"     -> dedupSurvivorsSql,
     "dedup_survivors_from_map" -> dedupSurvivorsSql,
     "dedup_cluster_sizes" -> dedupClusterSizesSql,
     "dedup_survivors_best" -> dedupSurvivorsBestSql
-    // dedup_simhash, dedup_approx_distinct: hash/sketch internals are
-    // engine-specific — rows-only checks, semantics covered in DedupSpec.
   )
 }

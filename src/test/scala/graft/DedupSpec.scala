@@ -102,7 +102,7 @@ class DedupSpec extends AnyFunSuite {
     // dedup_approx_distinct is rows-only at the oracle (HLL internals are
     // engine-specific); this pins its accuracy so a drift in the sketch
     // config or the hashing fails a spec instead of passing silently.
-    val rows = graft.SparkEntry.queries("dedup_approx_distinct")(
+    val rows = graft.SparkEntry.benchQueries("dedup_approx_distinct")(
       spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
