@@ -122,6 +122,34 @@ object StreamingLens {
       .dropDuplicatesWithinWatermark(idCols)
 
   /**
+   * Streaming signature-level near-dedup: first occurrence of each 64-bit
+   * SimHash signature wins; later arrivals with the SAME signature inside
+   * the watermark horizon are dropped. The signature is the native
+   * codegen `SimHash64` over whitespace tokens — identical to the batch
+   * [[graft.operators.Dedup.simHashSignatures]] — so this catches the
+   * whitespace/token-profile clones exact content-hash dedup misses
+   * (boilerplate re-crawls, trailing-space variants) while staying a pure
+   * keyed-state op: one 8-byte key per distinct signature in the horizon.
+   *
+   * Contract: signature-EXACT (hamming 0) — the hamming≤3 banded search
+   * with its candidate-verify join is a batch shape (`Dedup.simHash`);
+   * running it on a stream would need cross-band stateful aggregation
+   * with retraction, which Append-mode streaming cannot express. At
+   * ingest, this op is the cheap first gate; the banded near-dup pass
+   * runs on the accumulated corpus behind it.
+   */
+  def streamingSimhashDedup(
+      stream: DataFrame,
+      tsCol: String,
+      delay: String,
+      textCol: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .withColumn("__sig", org.apache.spark.sql.graft.GraftHashExpressions
+        .simhash64(split(col(textCol), " ")))
+      .dropDuplicatesWithinWatermark(Seq("__sig"))
+      .drop("__sig")
+
+  /**
    * Streaming reference decontamination: drop stream rows whose content
    * already appears in a STATIC reference corpus — the ingest-time face of
    * `Dedup.bloomReference`/`dedup_ref_exact` (filter new shards against

@@ -281,6 +281,31 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash dedup: signature clones across micro-batches dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingLens.streamingSimhashDedup(
+      in.toDF.toDF("ts", "doc_id", "text"), "ts", "10 minutes", "text")
+    val q = out.writeStream.format("memory").queryName("s_simdedup").start()
+    try {
+      in.addData((ts(10), 1L, "alpha beta gamma"), (ts(11), 2L, "totally different text"))
+      q.processAllAvailable()
+      // same token profile as doc 1 (identical tokens => identical SimHash
+      // signature) arriving a batch later: dropped; fresh content kept
+      in.addData((ts(20), 3L, "alpha beta gamma"), (ts(21), 4L, "another new document"))
+      q.processAllAvailable()
+      val kept = spark.sql("select doc_id from s_simdedup").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L))
+      // parity with the batch signature: doc 3 collides with doc 1 there too
+      val sigs = graft.operators.Dedup.simHashSignatures(
+        Seq((1L, "alpha beta gamma"), (3L, "alpha beta gamma"))
+          .toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(sigs(1L) == sigs(3L))
+    } finally q.stop()
+  }
+
   test("streaming funnel: in-order replayed log matches the batch funnel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
