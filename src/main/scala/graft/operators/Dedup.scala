@@ -283,6 +283,38 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Bipartite simhash search: every `sigs` row within `maxHamming` bits
+   * of ANY `ref` row — the signature-level complement of
+   * [[minHashLshAgainst]] (cross-corpus/near-dup decontamination where
+   * the reference side is a stored signature index, not raw text). Both
+   * sides are (doc, simhash) tables; output (doc, ref_doc, hamming).
+   *
+   * Blocking: the 4×16-bit chunk pigeonhole — hamming ≤ 3 forces at
+   * least one equal chunk, so the equi-join on (chunk, val) has exact
+   * recall at maxHamming ≤ 3 and the quadratic work is bounded to
+   * chunk-colliding candidates, never all-pairs. 100 TB shape: shuffle
+   * carries 20-byte signature rows keyed by chunk value; the exact
+   * `bit_count` verify runs at join time BEFORE the distinct so the
+   * distinct's exchange holds only true near-duplicates.
+   */
+  def simHashAgainst(
+      sigs: DataFrame, ref: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking guarantees recall only for distance <= 3")
+    def chunked(df: DataFrame, docAs: String, sigAs: String) =
+      df.select(col("doc").as(docAs), col("simhash").as(sigAs),
+        explode(expr("transform(sequence(0, 3), " +
+          "j -> named_struct('chunk', j, 'val', (simhash >> (16 * j)) & 65535))")).as("c"))
+        .select(col(docAs), col(sigAs), col("c.chunk").as("chunk"),
+          col("c.val").as("val"))
+    chunked(sigs, "doc", "sig")
+      .join(chunked(ref, "ref_doc", "ref_sig"), Seq("chunk", "val"))
+      .select(col("doc"), col("ref_doc"),
+        bit_count(expr("sig ^ ref_sig")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Memoized persisted gram tables for `ngramJaccard`, keyed by
    *  (session, canonicalized input plan, gram parameters) — the same
    *  one-entry-per-logical-input discipline `DedupQueries.ensureClusterMap`

@@ -93,6 +93,35 @@ object DedupQueries extends QueryProvider {
        |FROM s a JOIN s b ON a.doc < b.doc
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  // Cross-corpus signature search, hash-certified like dedup_simhash_verify:
+  // both sides' signatures are materialized (engine-internal token-hash
+  // loop), then Spark re-searches corpus-vs-reference through the chunk
+  // pigeonhole while DuckDB brute-forces the full bipartite hamming over
+  // the SAME parquet — certifying blocking recall (the blocked path must
+  // find every cross pair brute force finds) and the bit arithmetic.
+  private def dedupCrossSimhashVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val isRef = col("source").isin("src0", "src1", "src2", "src3", "src4")
+    val path = Scratch.materialize(s, dir, "cross_simhash_sigs",
+      Dedup.simHashSignatures(docs.where(!isRef), "text", "doc_id")
+        .withColumn("side", lit("corpus"))
+        .unionAll(Dedup.simHashSignatures(docs.where(isRef), "text", "doc_id")
+          .withColumn("side", lit("ref"))))
+    val all = s.read.parquet(path)
+    Dedup.simHashAgainst(
+      all.where(col("side") === "corpus").select("doc", "simhash"),
+      all.where(col("side") === "ref").select("doc", "simhash"),
+      maxHamming = 3)
+  }
+
+  private val dedupCrossSimhashVerifySql =
+    s"""WITH s AS (SELECT doc, simhash, side
+       |  FROM read_parquet('${Scratch.oraclePath("cross_simhash_sigs")}/*.parquet'))
+       |SELECT a.doc AS doc, b.doc AS ref_doc,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.side = 'corpus' AND b.side = 'ref'
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(T(s, dir, "documents"), "text", "doc_id",
       blockCol = "lang", threshold = 0.7, n = 3)
@@ -756,6 +785,7 @@ object DedupQueries extends QueryProvider {
     "dedup_bloom_verify"   -> (dedupBloomVerify _),
     "dedup_ref_exact"      -> (dedupRefExact _),
     "dedup_simhash_verify" -> (dedupSimhashVerify _),
+    "dedup_cross_simhash_verify" -> (dedupCrossSimhashVerify _),
     "dedup_clusters"       -> (dedupClusters _),
     "dedup_survivors"      -> (dedupSurvivors _),
     "dedup_survivors_from_map" -> (dedupSurvivorsFromMap _),
@@ -797,6 +827,7 @@ object DedupQueries extends QueryProvider {
     "dedup_simhash_verify" -> dedupSimhashVerifySql,
     "dedup_bloom_verify"  -> dedupBloomVerifySql,
     "dedup_approx_verify" -> dedupApproxVerifySql,
+    "dedup_cross_simhash_verify" -> dedupCrossSimhashVerifySql,
     "dedup_clusters"      -> dedupClustersSql,
     "dedup_survivors"     -> dedupSurvivorsSql,
     "dedup_survivors_from_map" -> dedupSurvivorsSql,

@@ -150,6 +150,64 @@ object StreamingLens {
       .drop("__sig")
 
   /**
+   * Streaming BANDED near-dedup gate (hamming ≤ `maxHamming`, not just
+   * signature-exact): the full chunk-pigeonhole search of
+   * [[graft.operators.Dedup.simHashAgainst]] run per micro-batch against
+   * a persistent signature index — the production shape for "drop
+   * near-duplicates of anything already ingested" at 100 TB, where the
+   * index is the corpus itself and therefore deliberately NOT
+   * watermark-bounded keyed state but an external table (here a parquet
+   * directory; on a cluster, a bucketed table location).
+   *
+   * Per batch: (1) sign the batch (native `SimHash64`); (2) in-batch
+   * pass — drop every doc within `maxHamming` of ANY smaller-id doc in
+   * the same batch (whether or not that doc itself survives — the
+   * deterministic, conservative cut; batch CC keep-min and this agree on
+   * id-ordered chains and differ only on multi-hop shapes a micro-batch
+   * rarely holds); (3) drop survivors within `maxHamming` of any
+   * indexed signature;
+   * (4) append the remaining rows to `outDir` and their signatures to
+   * `indexDir`. Across batches the gate is arrival-order greedy — a doc
+   * is probed against kept-and-indexed signatures only — and every drop
+   * is exact: it carries a verified hamming witness, never just a bucket
+   * collision.
+   *
+   * Use with `stream.writeStream.foreachBatch(nearDedupGate(...)).start()`.
+   * Exactly-once caveat: a replayed micro-batch re-probes the index it
+   * already updated, so its survivors dedup against themselves — replays
+   * must key `outDir` appends by batchId (Spark's foreachBatch contract)
+   * if the sink must be idempotent; signatures re-appended by a replay
+   * are harmless (the gate's drop decisions are unchanged by duplicate
+   * index rows).
+   */
+  def nearDedupGate(
+      textCol: String,
+      idCol: String,
+      indexDir: String,
+      outDir: String,
+      maxHamming: Int = 3): (DataFrame, Long) => Unit = (batch, _) => {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val sigs = Dedup.simHashSignatures(batch, textCol, idCol)
+      .localCheckpoint() // probe + two appends reuse it; cut the lineage
+    val inBatchDropped = Dedup.simHashFromSignatures(sigs, maxHamming)
+      .select(col("doc_b").as("doc"))
+    val afterBatch = sigs.join(inBatchDropped, Seq("doc"), "left_anti")
+    val indexed =
+      if (new java.io.File(indexDir).exists)
+        spark.read.parquet(indexDir)
+      else spark.emptyDataFrame.select(lit(0L).as("doc"), lit(0L).as("simhash"))
+        .limit(0)
+    val kept = afterBatch.join(
+      Dedup.simHashAgainst(afterBatch, indexed, maxHamming).select("doc").distinct(),
+      Seq("doc"), "left_anti")
+      .localCheckpoint()
+    batch.join(kept.select(col("doc").as(idCol)), Seq(idCol), "left_semi")
+      .write.mode("append").parquet(outDir)
+    kept.write.mode("append").parquet(indexDir)
+  }
+
+  /**
    * Streaming reference decontamination: drop stream rows whose content
    * already appears in a STATIC reference corpus — the ingest-time face of
    * `Dedup.bloomReference`/`dedup_ref_exact` (filter new shards against

@@ -306,6 +306,39 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("banded near-dedup gate: hamming<=3 variants dropped across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("neardedup").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingLens.nearDedupGate("text", "doc_id", idx, out))
+      .start()
+    try {
+      // doc 3 = doc 1 with one token swapped (tok6 → tokX): measured
+      // signature hamming 3 — inside the gate's radius but NOT
+      // signature-exact, so this exercises the banded search, not the
+      // hamming-0 fast path
+      val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+      val variant = ((1 to 40).filter(_ != 6).map(i => s"tok$i") :+ "tokX").mkString(" ")
+      in.addData((1L, base), (2L, "completely unrelated content right here"))
+      q.processAllAvailable()
+      in.addData((3L, variant), (4L, "yet another brand new page"))
+      q.processAllAvailable()
+      val sigs = graft.operators.Dedup.simHashSignatures(
+        Seq((1L, base), (3L, variant)).toDF("doc_id", "text"), "text", "doc_id")
+        .as[(Long, Long)].collect().toMap
+      val dist = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+      assert(dist > 0 && dist <= 3, s"fixture drifted: hamming $dist not in 1..3")
+      val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L))
+      // the index carries exactly the kept signatures
+      val indexed = spark.read.parquet(idx).select("doc").as[Long].collect().toSet
+      assert(indexed == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming funnel: in-order replayed log matches the batch funnel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
