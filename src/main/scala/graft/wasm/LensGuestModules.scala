@@ -1,0 +1,442 @@
+package graft.wasm
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/**
+ * Lens guest modules, authored as WebAssembly bytecode.
+ *
+ * Each value here is a genuine `.wasm` binary (magic `\0asm`, encoded by
+ * [[WasmBinary.encode]]) implementing the reference's guest ABI
+ * (reference: host-go/runtimes/wasmtime/runtime.go:164-227 and the guest
+ * side sdk-rust/src/lib.rs):
+ *
+ *  - exports `memory`, `alloc(i32)->i32`, `transform()->i32`, and
+ *    optionally `inverse()->i32` / `set_param(i32)->i32`;
+ *  - imports `lens.next: () -> i32` and PULLS its input through it —
+ *    zero, one, or many items per `transform` call;
+ *  - items cross linear memory framed as `[i8 typeId][u32 LE len][bytes]`
+ *    with typeIds Err=-1, Nil=0, JSON=1, EOS=127
+ *    (reference: host-go/engine/module/protocol.go:44-53,
+ *    host-go/engine/pipes/protocol.go:31-89).
+ *
+ * The guests operate on the JSON item bytes directly (byte scan +
+ * integer parse/format — no allocation-heavy JSON tree), the same way
+ * size-conscious real-world guests do:
+ *
+ *  - [[shiftGuest]]: adds `delta` (set_param) to the named integer
+ *    field; exports `inverse` subtracting it — the reference's T2/T3
+ *    arithmetic lens (reference: tests/modules/rust_wasm32/src/lib.rs)
+ *    with its parameter and inverse variants.
+ *  - [[filterGuest]]: pulls until an item's integer field >= `min`,
+ *    forwarding the winning frame verbatim — the 1:<=1 len-change
+ *    contract (reference: tests/modules/rust_wasm32_filter, and
+ *    fromPipe's pull loop host-go/engine/pipes/fromPipe.go:36-140).
+ *  - [[repeatGuest]]: emits each pulled item `times` times via a
+ *    pending counter carried in guest globals across `transform` calls —
+ *    the buffered 1:N contract (reference:
+ *    tests/modules/rust_wasm32_normalize/src/lib.rs:22-78's pending
+ *    queue, reduced to its state shape).
+ *
+ * Memory discipline: a bump allocator whose pointer RESETS at each
+ * transform entry (after the previous output frame has been consumed by
+ * the host), so per-partition memory is bounded by one item's frames,
+ * never the partition — the property that makes the guest safe on a
+ * 100 TB scan. `repeatGuest` resets only when its pending buffer drains.
+ */
+object LensGuestModules {
+
+  // ---- ABI constants ----
+  val TypeErr: Int = -1
+  val TypeNil: Int = 0
+  val TypeJson: Int = 1
+  val TypeEos: Int = 127
+
+  val NoParamsMsg = "Parameters have not been set."
+
+  import ValType.{Empty, I32, I64}
+
+  // concise instruction aliases
+  private def ic(v: Int) = I32Const(v)
+  private def lc(v: Long) = I64Const(v)
+  private val addI = Num(0x6A); private val subI = Num(0x6B)
+  private val mulI = Num(0x6C)
+  private val addL = Num(0x7C); private val subL = Num(0x7D)
+  private val mulL = Num(0x7E); private val divUL = Num(0x80)
+  private val remUL = Num(0x82)
+  private val eqI = Num(0x46); private val neI = Num(0x47)
+  private val ltI = Num(0x48); private val gtI = Num(0x4A)
+  private val geI = Num(0x4E)
+  private val ltL = Num(0x53); private val geL = Num(0x59)
+  private val shrUI = Num(0x76)
+  private val extendS = Num(0xAC)
+  private def load8s(off: Int = 0) = MemLoad(0x2C, 0, off)
+  private def load8u(off: Int = 0) = MemLoad(0x2D, 0, off)
+  private def load32(off: Int = 0) = MemLoad(0x28, 2, off)
+  private def store8(off: Int = 0) = MemStore(0x3A, 0, off)
+  private def store32(off: Int = 0) = MemStore(0x36, 2, off)
+
+  // ---- shared function types ----
+  private val tNoArgPtr = FuncType(Vector(), Vector(I32)) // next/transform/inverse
+  private val tPtrPtr = FuncType(Vector(I32), Vector(I32)) // alloc/set_param
+  private val tFind = FuncType(Vector(I32, I32, I32, I32), Vector(I32))
+  private val tParse = FuncType(Vector(I32), Vector(I64))
+  private val tWrite = FuncType(Vector(I32, I64), Vector(I32))
+  private val tMkErr = FuncType(Vector(I32, I32), Vector(I32))
+  private val tShift = FuncType(Vector(I64), Vector(I32))
+  private val types = Vector(tNoArgPtr, tPtrPtr, tFind, tParse, tWrite, tMkErr, tShift)
+  private val TNoArgPtr = 0; private val TPtrPtr = 1; private val TFind = 2
+  private val TParse = 3; private val TWrite = 4; private val TMkErr = 5
+  private val TShift = 6
+
+  // ---- function indices (import first, then defined order) ----
+  private val NEXT = 0
+  private val ALLOC = 1
+  private val FIND = 2
+  private val PARSE = 3
+  private val WRITE = 4
+  private val MKERR = 5
+  private val F6 = 6 // first guest-specific function
+
+  // ---- globals (same layout in every guest) ----
+  private val HEAP = 0 // i32 mut: bump pointer
+  private val HAS_PARAM = 1 // i32 mut
+  private val PARAM = 2 // i64 mut: delta / min / times
+  private val PARSE_END = 3 // i32 mut: parseI64's end pointer
+  private val PEND = 4 // i32 mut (repeat guest): items left to re-emit
+  private val PEND_PTR = 5 // i32 mut (repeat guest)
+
+  /** Data-segment strings packed from offset 16; returns (segment, offsets). */
+  private final class DataPacker {
+    private var off = 16
+    private val parts = Vector.newBuilder[(Int, Array[Byte])]
+    def add(s: String): (Int, Int) = {
+      val b = s.getBytes(UTF_8)
+      val at = off
+      parts += ((at, b))
+      off += b.length
+      (at, b.length)
+    }
+    def heapBase: Int = (off + 7) & ~7
+    def segments: Vector[DataSeg] =
+      parts.result().map { case (at, b) => DataSeg(at, b.toVector) }
+  }
+
+  // ---------- shared helper function bodies ----------
+
+  /** alloc(n)->ptr: bump + grow. locals: 0=n, 1=ptr, 2=need. */
+  private val allocBody = FuncBody(Vector(I32, I32), Vector(
+    GlobalGet(HEAP), LocalTee(1),
+    LocalGet(0), addI, GlobalSet(HEAP),
+    // need = heap - memoryBytes; grow ceil(need/64Ki) pages if positive
+    GlobalGet(HEAP), MemorySize, ic(65536), mulI, subI, LocalTee(2),
+    ic(0), gtI,
+    If(Empty, Vector(
+      LocalGet(2), ic(65535), addI, ic(16), shrUI, MemoryGrow, Drop), Vector()),
+    LocalGet(1)))
+
+  /** find(hay,hayLen,needle,needleLen)->idx|-1. locals: 4=i,5=j,6=limit. */
+  private val findBody = FuncBody(Vector(I32, I32, I32), Vector(
+    LocalGet(1), LocalGet(3), subI, LocalTee(6),
+    ic(0), ltI,
+    If(Empty, Vector(ic(-1), Return), Vector()),
+    ic(0), LocalSet(4),
+    Block(Empty, Vector(
+      Loop(Empty, Vector(
+        LocalGet(4), LocalGet(6), gtI, BrIf(1), // i > limit -> exit
+        ic(0), LocalSet(5),
+        Block(Empty, Vector(
+          Loop(Empty, Vector(
+            LocalGet(5), LocalGet(3), eqI,
+            If(Empty, Vector(LocalGet(4), Return), Vector()), // full match
+            LocalGet(0), LocalGet(4), addI, LocalGet(5), addI, load8u(),
+            LocalGet(2), LocalGet(5), addI, load8u(),
+            neI, BrIf(1), // mismatch -> next i
+            LocalGet(5), ic(1), addI, LocalSet(5),
+            Br(0))))),
+        LocalGet(4), ic(1), addI, LocalSet(4),
+        Br(0))))),
+    ic(-1)))
+
+  /** parseI64(p)->v; sets PARSE_END. locals: 1=neg(i32), 2=acc(i64), 3=c(i32). */
+  private val parseBody = FuncBody(Vector(I32, I64, I32), Vector(
+    ic(0), LocalSet(1),
+    LocalGet(0), load8u(), ic('-'.toInt), eqI,
+    If(Empty, Vector(
+      ic(1), LocalSet(1),
+      LocalGet(0), ic(1), addI, LocalSet(0)), Vector()),
+    lc(0L), LocalSet(2),
+    Block(Empty, Vector(
+      Loop(Empty, Vector(
+        LocalGet(0), load8u(), LocalTee(3), ic('0'.toInt), ltI, BrIf(1),
+        LocalGet(3), ic('9'.toInt), gtI, BrIf(1),
+        LocalGet(2), lc(10L), mulL,
+        LocalGet(3), ic('0'.toInt), subI, extendS, addL, LocalSet(2),
+        LocalGet(0), ic(1), addI, LocalSet(0),
+        Br(0))))),
+    LocalGet(0), GlobalSet(PARSE_END),
+    LocalGet(1),
+    If(I64, Vector(lc(0L), LocalGet(2), subL), Vector(LocalGet(2)))))
+
+  /** writeI64(p,v)->end: decimal itoa. locals: 2=n(i64), 3=len(i32), 4=i(i32). */
+  private val writeBody = FuncBody(Vector(I64, I32, I32), Vector(
+    LocalGet(1), lc(0L), ltL,
+    If(Empty, Vector(
+      LocalGet(0), ic('-'.toInt), store8(),
+      LocalGet(0), ic(1), addI, LocalSet(0),
+      lc(0L), LocalGet(1), subL, LocalSet(1)), Vector()),
+    // len = decimal digit count of v (unsigned-safe: v >= 0 here)
+    LocalGet(1), LocalSet(2),
+    ic(1), LocalSet(3),
+    Block(Empty, Vector(
+      Loop(Empty, Vector(
+        LocalGet(2), lc(10L), ltL, BrIf(1),
+        LocalGet(2), lc(10L), divUL, LocalSet(2),
+        LocalGet(3), ic(1), addI, LocalSet(3),
+        Br(0))))),
+    // write digits backwards from p+len-1
+    LocalGet(0), LocalGet(3), addI, ic(1), subI, LocalSet(4),
+    LocalGet(1), LocalSet(2),
+    Block(Empty, Vector(
+      Loop(Empty, Vector(
+        LocalGet(4),
+        LocalGet(2), lc(10L), remUL, Num(0xA7), ic('0'.toInt), addI, // wrap + '0'
+        store8(),
+        LocalGet(2), lc(10L), divUL, LocalSet(2),
+        LocalGet(4), ic(1), subI, LocalSet(4),
+        LocalGet(2), lc(0L), Num(0x52), BrIf(0))))), // ne 0 -> continue
+    LocalGet(0), LocalGet(3), addI))
+
+  /** mkErr(msgPtr,msgLen)->framePtr. locals: 2=out. */
+  private val mkErrBody = FuncBody(Vector(I32), Vector(
+    ic(5), LocalGet(1), addI, Call(ALLOC), LocalSet(2),
+    LocalGet(2), ic(TypeErr), store8(),
+    LocalGet(2), LocalGet(1), store32(1),
+    LocalGet(2), ic(5), addI, LocalGet(0), LocalGet(1), MemoryCopy,
+    LocalGet(2)))
+
+  /** Shared "parse the named integer field out of a JSON frame" prologue:
+   *  emits instructions that leave the FRAME ptr in local `ptr` and the
+   *  parsed value in local `v`, or return early (forwarding non-JSON
+   *  frames / erroring). Expects locals (ptr,len,pay,idx,numStart) +
+   *  v(i64); pattern/msg offsets from the packer. */
+  private def parseFieldSeq(ptr: Int, len: Int, pay: Int, idx: Int,
+      numStart: Int, v: Int, pat: (Int, Int), noField: (Int, Int),
+      noParam: (Int, Int)): Vector[Instr] = Vector(
+    // id != JSON -> forward frame verbatim (EOS / Err / Nil)
+    LocalGet(ptr), load8s(), ic(TypeJson), neI,
+    If(Empty, Vector(LocalGet(ptr), Return), Vector()),
+    // parameters must have been set (reference:
+    // tests/integration/cli/with_params_errors_test.go message)
+    GlobalGet(HAS_PARAM), Num(0x45),
+    If(Empty, Vector(
+      ic(noParam._1), ic(noParam._2), Call(MKERR), Return), Vector()),
+    LocalGet(ptr), load32(1), LocalSet(len),
+    LocalGet(ptr), ic(5), addI, LocalSet(pay),
+    LocalGet(pay), LocalGet(len), ic(pat._1), ic(pat._2), Call(FIND),
+    LocalTee(idx), ic(0), ltI,
+    If(Empty, Vector(
+      ic(noField._1), ic(noField._2), Call(MKERR), Return), Vector()),
+    LocalGet(pay), LocalGet(idx), addI, ic(pat._2), addI, LocalSet(numStart),
+    // skip spaces after the colon
+    Block(Empty, Vector(
+      Loop(Empty, Vector(
+        LocalGet(numStart), load8u(), ic(' '.toInt), neI, BrIf(1),
+        LocalGet(numStart), ic(1), addI, LocalSet(numStart),
+        Br(0))))),
+    LocalGet(numStart), Call(PARSE), LocalSet(v))
+
+  /** set_param body parsing one integer parameter by JSON key. locals:
+   *  0=ptr(param), 1=len, 2=pay, 3=idx, 4=p, 5=out. */
+  private def setParamBody(pat: (Int, Int), missing: (Int, Int)): FuncBody =
+    FuncBody(Vector(I32, I32, I32, I32, I32), Vector(
+      LocalGet(0), load8s(), ic(TypeJson), neI,
+      If(Empty, Vector(
+        ic(missing._1), ic(missing._2), Call(MKERR), Return), Vector()),
+      LocalGet(0), load32(1), LocalSet(1),
+      LocalGet(0), ic(5), addI, LocalSet(2),
+      LocalGet(2), LocalGet(1), ic(pat._1), ic(pat._2), Call(FIND),
+      LocalTee(3), ic(0), ltI,
+      If(Empty, Vector(
+        ic(missing._1), ic(missing._2), Call(MKERR), Return), Vector()),
+      LocalGet(2), LocalGet(3), addI, ic(pat._2), addI, LocalSet(4),
+      Block(Empty, Vector(
+        Loop(Empty, Vector(
+          LocalGet(4), load8u(), ic(' '.toInt), neI, BrIf(1),
+          LocalGet(4), ic(1), addI, LocalSet(4),
+          Br(0))))),
+      LocalGet(4), Call(PARSE), GlobalSet(PARAM),
+      ic(1), GlobalSet(HAS_PARAM),
+      // Nil ack frame (reference set_param returns a readable item;
+      // host checks IsError — pipes/protocol.go:31-63)
+      ic(1), Call(ALLOC), LocalTee(5),
+      ic(TypeNil), store8(),
+      LocalGet(5)))
+
+  private def globals(n: Int): Vector[WasmGlobal] =
+    Vector.tabulate(n) { i =>
+      val vt: Byte = if (i == PARAM) I64 else I32
+      WasmGlobal(vt, mutable = true, Vector(
+        if (vt == I64) I64Const(0L) else I32Const(0)))
+    }
+
+  private def withHeapInit(gs: Vector[WasmGlobal], heapBase: Int): Vector[WasmGlobal] =
+    gs.updated(HEAP, gs(HEAP).copy(init = Vector(I32Const(heapBase))))
+
+  private val commonExports = Vector(
+    WasmExport("memory", 2, 0),
+    WasmExport("alloc", 0, ALLOC))
+
+  // ---------- guest: shift (T2/T3 arithmetic ± inverse, set_param) ----------
+
+  /** Adds `delta` to integer field `field`; `inverse` subtracts. */
+  def shiftGuest(field: String): Array[Byte] = {
+    val d = new DataPacker
+    val pat = d.add("\"" + field + "\":")
+    val deltaPat = d.add("\"delta\":")
+    val noParam = d.add(NoParamsMsg)
+    val noField = d.add(s"field '$field' not found")
+    val badParam = d.add("parameter 'delta' missing")
+
+    // doShift(sign: i64)->i32
+    // locals: 0=sign, 1=ptr, 2=len, 3=pay, 4=idx, 5=numStart, 6=numEnd,
+    //         7=out, 8=q, 9=v(i64)
+    val doShift = FuncBody(Vector(I32, I32, I32, I32, I32, I32, I32, I32, I64),
+      Vector[Instr](
+        ic(d.heapBase), GlobalSet(HEAP), // previous frames consumed: reset
+        Call(NEXT), LocalSet(1)) ++
+      parseFieldSeq(ptr = 1, len = 2, pay = 3, idx = 4, numStart = 5, v = 9,
+        pat = pat, noField = noField, noParam = noParam) ++
+      Vector[Instr](
+        GlobalGet(PARSE_END), LocalSet(6),
+        LocalGet(9), GlobalGet(PARAM), LocalGet(0), mulL, addL, LocalSet(9),
+        // out frame: worst case len + 21 digits
+        ic(26), LocalGet(2), addI, Call(ALLOC), LocalSet(7),
+        LocalGet(7), ic(5), addI, LocalSet(8),
+        // prefix
+        LocalGet(8), LocalGet(3), LocalGet(5), LocalGet(3), subI, MemoryCopy,
+        LocalGet(8), LocalGet(5), LocalGet(3), subI, addI, LocalSet(8),
+        // number
+        LocalGet(8), LocalGet(9), Call(WRITE), LocalSet(8),
+        // suffix
+        LocalGet(8), LocalGet(6),
+        LocalGet(3), LocalGet(2), addI, LocalGet(6), subI, MemoryCopy,
+        LocalGet(8), LocalGet(3), LocalGet(2), addI, LocalGet(6), subI, addI,
+        LocalSet(8),
+        // frame header
+        LocalGet(7), ic(TypeJson), store8(),
+        LocalGet(7), LocalGet(8), LocalGet(7), subI, ic(5), subI, store32(1),
+        LocalGet(7)))
+
+    val transform = FuncBody(Vector(), Vector(lc(1L), Call(F6)))
+    val inverse = FuncBody(Vector(), Vector(lc(-1L), Call(F6)))
+
+    WasmBinary.encode(WasmModule(
+      types = types,
+      imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
+      funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr, // 1..5
+        TShift, TNoArgPtr, TNoArgPtr, TPtrPtr), // 6=doShift 7=transform 8=inverse 9=set_param
+      memMinPages = 2,
+      memMaxPages = None,
+      globals = withHeapInit(globals(4), d.heapBase),
+      exports = commonExports ++ Vector(
+        WasmExport("transform", 0, F6 + 1),
+        WasmExport("inverse", 0, F6 + 2),
+        WasmExport("set_param", 0, F6 + 3)),
+      codes = Vector(allocBody, findBody, parseBody, writeBody, mkErrBody,
+        doShift, transform, inverse, setParamBody(deltaPat, badParam)),
+      datas = d.segments,
+      start = None))
+  }
+
+  // ---------- guest: filter (1:<=1 pull loop, set_param) ----------
+
+  /** Keeps items whose integer `field` >= `min` (set_param), forwarding
+   *  the winning frame verbatim; pulls past rejected items. */
+  def filterGuest(field: String): Array[Byte] = {
+    val d = new DataPacker
+    val pat = d.add("\"" + field + "\":")
+    val minPat = d.add("\"min\":")
+    val noParam = d.add(NoParamsMsg)
+    val noField = d.add(s"field '$field' not found")
+    val badParam = d.add("parameter 'min' missing")
+
+    // transform()->i32
+    // locals: 1=ptr, 2=len, 3=pay, 4=idx, 5=numStart, 9=v(i64); 0 and 6-8
+    // unused (keeps parseFieldSeq's local numbering shared with shiftGuest)
+    val transform = FuncBody(
+      Vector(I32, I32, I32, I32, I32, I32, I32, I32, I32, I64),
+      Vector[Instr](
+        Loop(Empty,
+          Vector[Instr](
+            ic(d.heapBase), GlobalSet(HEAP), // rejected frames do not accumulate
+            Call(NEXT), LocalSet(1)) ++
+          parseFieldSeq(ptr = 1, len = 2, pay = 3, idx = 4, numStart = 5, v = 9,
+            pat = pat, noField = noField, noParam = noParam) ++
+          Vector[Instr](
+            LocalGet(9), GlobalGet(PARAM), geL,
+            If(Empty, Vector(LocalGet(1), Return), Vector()),
+            Br(0))),
+        Unreachable))
+
+    WasmBinary.encode(WasmModule(
+      types = types,
+      imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
+      funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr,
+        TNoArgPtr, TPtrPtr), // 6=transform 7=set_param
+      memMinPages = 2,
+      memMaxPages = None,
+      globals = withHeapInit(globals(4), d.heapBase),
+      exports = commonExports ++ Vector(
+        WasmExport("transform", 0, F6),
+        WasmExport("set_param", 0, F6 + 1)),
+      codes = Vector(allocBody, findBody, parseBody, writeBody, mkErrBody,
+        transform, setParamBody(minPat, badParam)),
+      datas = d.segments,
+      start = None))
+  }
+
+  // ---------- guest: repeat (buffered 1:N, set_param) ----------
+
+  /** Emits each pulled JSON item `times` times — pending count carried in
+   *  guest globals across transform calls (the normalize module's
+   *  buffered-queue contract). */
+  def repeatGuest(): Array[Byte] = {
+    val d = new DataPacker
+    val timesPat = d.add("\"times\":")
+    val noParam = d.add(NoParamsMsg)
+    val badParam = d.add("parameter 'times' missing")
+
+    // transform()->i32. locals: 1=ptr.
+    val transform = FuncBody(Vector(I32, I32), Vector(
+      GlobalGet(PEND), ic(0), gtI,
+      If(Empty, Vector(
+        GlobalGet(PEND), ic(1), subI, GlobalSet(PEND),
+        GlobalGet(PEND_PTR), Return), Vector()),
+      ic(d.heapBase), GlobalSet(HEAP), // pending frame drained: reset
+      Call(NEXT), LocalSet(1),
+      LocalGet(1), load8s(), ic(TypeJson), neI,
+      If(Empty, Vector(LocalGet(1), Return), Vector()),
+      GlobalGet(HAS_PARAM), Num(0x45),
+      If(Empty, Vector(
+        ic(noParam._1), ic(noParam._2), Call(MKERR), Return), Vector()),
+      LocalGet(1), GlobalSet(PEND_PTR),
+      GlobalGet(PARAM), Num(0xA7), ic(1), subI, GlobalSet(PEND),
+      LocalGet(1)))
+
+    WasmBinary.encode(WasmModule(
+      types = types,
+      imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
+      funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr,
+        TNoArgPtr, TPtrPtr), // 6=transform 7=set_param
+      memMinPages = 2,
+      memMaxPages = None,
+      globals = withHeapInit(globals(6), d.heapBase),
+      exports = commonExports ++ Vector(
+        WasmExport("transform", 0, F6),
+        WasmExport("set_param", 0, F6 + 1)),
+      codes = Vector(allocBody, findBody, parseBody, writeBody, mkErrBody,
+        transform, setParamBody(timesPat, badParam)),
+      datas = d.segments,
+      start = None))
+  }
+}

@@ -1,0 +1,472 @@
+package graft.wasm
+
+import java.io.ByteArrayOutputStream
+
+/**
+ * WebAssembly MVP binary format — instruction AST + decoder + encoder.
+ *
+ * P5 closure: the reference executes lens modules as real WebAssembly
+ * (reference: host-go/runtimes/wasmtime/runtime.go:164-227 and the
+ * wazero/wasmer/js siblings). No WASM runtime resolves offline in this
+ * container, so graft ships its own: this file models the public
+ * WebAssembly 1.0 binary format (https://webassembly.github.io/spec/core/
+ * binary/), [[WasmInterp]] evaluates it, and [[WasmAsm]] assembles guest
+ * modules from the same AST — giving a bit-level round-trip property
+ * (decode(encode(m)) == m) that pins both directions.
+ *
+ * Scope: the integer MVP used by lens guests — full i32/i64 instruction
+ * set, structured control flow, calls (direct + host imports), mutable
+ * globals, linear memory with grow + bulk copy/fill, data segments —
+ * plus the common f32/f64 arithmetic. Not implemented (trap with a clear
+ * message if encountered): tables/call_indirect, SIMD, reference types,
+ * threads. Lens guests are single-function pipelines over bytes in
+ * linear memory; none of the omitted features appear in the reference's
+ * guest SDKs (sdk-rust/src/lib.rs, sdk-assemblyscript).
+ *
+ * 100 TB shape: a module is a few KB of bytes broadcast with the closure;
+ * decode happens once per (executor, module) via [[WasmInterp.moduleOf]]'s
+ * cache, execution is per-partition with zero driver involvement.
+ */
+sealed trait Instr
+
+// ---- control ----
+case object Unreachable extends Instr
+case object Nop extends Instr
+/** blockType: -0x40 (0x40 byte) = empty, else a valtype byte (single result). */
+final case class Block(blockType: Int, body: Vector[Instr]) extends Instr
+final case class Loop(blockType: Int, body: Vector[Instr]) extends Instr
+final case class If(blockType: Int, thn: Vector[Instr], els: Vector[Instr]) extends Instr
+final case class Br(depth: Int) extends Instr
+final case class BrIf(depth: Int) extends Instr
+final case class BrTable(targets: Vector[Int], default: Int) extends Instr
+case object Return extends Instr
+final case class Call(funcIdx: Int) extends Instr
+
+// ---- parametric / variable ----
+case object Drop extends Instr
+case object Select extends Instr
+final case class LocalGet(idx: Int) extends Instr
+final case class LocalSet(idx: Int) extends Instr
+final case class LocalTee(idx: Int) extends Instr
+final case class GlobalGet(idx: Int) extends Instr
+final case class GlobalSet(idx: Int) extends Instr
+
+// ---- memory ----
+/** `op` is the raw opcode byte (0x28–0x35 loads, 0x36–0x3E stores). */
+final case class MemLoad(op: Int, align: Int, offset: Int) extends Instr
+final case class MemStore(op: Int, align: Int, offset: Int) extends Instr
+case object MemorySize extends Instr
+case object MemoryGrow extends Instr
+case object MemoryCopy extends Instr
+case object MemoryFill extends Instr
+
+// ---- numeric ----
+final case class I32Const(v: Int) extends Instr
+final case class I64Const(v: Long) extends Instr
+final case class F32Const(bits: Int) extends Instr
+final case class F64Const(bits: Long) extends Instr
+/** Every no-immediate numeric opcode (0x45–0xC4), dispatched by byte. */
+final case class Num(op: Int) extends Instr
+
+object ValType {
+  val I32: Byte = 0x7F
+  val I64: Byte = 0x7E
+  val F32: Byte = 0x7D
+  val F64: Byte = 0x7C
+  /** blockType byte for "no result". */
+  val Empty: Int = 0x40
+}
+
+final case class FuncType(params: Vector[Byte], results: Vector[Byte])
+/** Function imports only — the lens ABI imports exactly one host function
+ *  (`lens.next`, reference: host-go/runtimes/wasmtime/runtime.go:87-91). */
+final case class WasmImport(module: String, name: String, typeIdx: Int)
+final case class WasmGlobal(valType: Byte, mutable: Boolean, init: Vector[Instr])
+/** kind: 0 = func, 2 = memory (the two the lens ABI exports). */
+final case class WasmExport(name: String, kind: Int, idx: Int)
+final case class FuncBody(locals: Vector[Byte], body: Vector[Instr])
+final case class DataSeg(offset: Int, bytes: Vector[Byte])
+
+final case class WasmModule(
+    types: Vector[FuncType],
+    imports: Vector[WasmImport],
+    funcTypeIdxs: Vector[Int],
+    memMinPages: Int,
+    memMaxPages: Option[Int],
+    globals: Vector[WasmGlobal],
+    exports: Vector[WasmExport],
+    codes: Vector[FuncBody],
+    datas: Vector[DataSeg],
+    start: Option[Int]) {
+  def export(name: String): Option[WasmExport] = exports.find(_.name == name)
+}
+
+final class WasmDecodeError(msg: String) extends RuntimeException(msg)
+final class WasmTrap(msg: String) extends RuntimeException(msg)
+
+/** Binary-format decoder (WebAssembly spec §5). Stateless; pure function
+ *  of the module bytes. */
+object WasmBinary {
+
+  val Magic: Array[Byte] = Array(0x00, 0x61, 0x73, 0x6D).map(_.toByte)
+  val Version: Array[Byte] = Array(0x01, 0x00, 0x00, 0x00).map(_.toByte)
+
+  def isWasm(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes.take(4).sameElements(Magic)
+
+  // ---------- decoding ----------
+
+  private final class Reader(val b: Array[Byte], var pos: Int) {
+    def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
+    def u32(): Int = {
+      var result = 0L; var shift = 0; var byte = 0
+      do {
+        byte = u8()
+        result |= (byte & 0x7FL) << shift
+        shift += 7
+      } while ((byte & 0x80) != 0)
+      result.toInt
+    }
+    def s64(): Long = {
+      var result = 0L; var shift = 0; var byte = 0
+      do {
+        byte = u8()
+        result |= (byte & 0x7FL) << shift
+        shift += 7
+      } while ((byte & 0x80) != 0)
+      if (shift < 64 && (byte & 0x40) != 0) result |= -1L << shift
+      result
+    }
+    def s32(): Int = s64().toInt
+    def bytes(n: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
+    }
+    def name(): String = new String(bytes(u32()), java.nio.charset.StandardCharsets.UTF_8)
+    def hasMore: Boolean = pos < b.length
+  }
+
+  def decode(moduleBytes: Array[Byte]): WasmModule = {
+    if (!isWasm(moduleBytes) ||
+        !moduleBytes.slice(4, 8).sameElements(Version))
+      throw new WasmDecodeError("not a wasm v1 module (bad magic/version)")
+    val r = new Reader(moduleBytes, 8)
+
+    var types = Vector.empty[FuncType]
+    var imports = Vector.empty[WasmImport]
+    var funcTypeIdxs = Vector.empty[Int]
+    var memMin = 0
+    var memMax = Option.empty[Int]
+    var globals = Vector.empty[WasmGlobal]
+    var exports = Vector.empty[WasmExport]
+    var codes = Vector.empty[FuncBody]
+    var datas = Vector.empty[DataSeg]
+    var start = Option.empty[Int]
+
+    while (r.hasMore) {
+      val id = r.u8()
+      val size = r.u32()
+      val end = r.pos + size
+      id match {
+        case 1 => // type
+          types = Vector.fill(r.u32()) {
+            val tag = r.u8()
+            if (tag != 0x60) throw new WasmDecodeError(s"bad functype tag $tag")
+            val params = Vector.fill(r.u32())(r.u8().toByte)
+            val results = Vector.fill(r.u32())(r.u8().toByte)
+            FuncType(params, results)
+          }
+        case 2 => // import
+          imports = Vector.fill(r.u32()) {
+            val mod = r.name(); val nm = r.name()
+            r.u8() match {
+              case 0x00 => WasmImport(mod, nm, r.u32())
+              case k => throw new WasmDecodeError(
+                s"unsupported import kind $k for $mod.$nm (only functions)")
+            }
+          }
+        case 3 => // function
+          funcTypeIdxs = Vector.fill(r.u32())(r.u32())
+        case 5 => // memory
+          val n = r.u32()
+          if (n > 1) throw new WasmDecodeError("multiple memories unsupported")
+          if (n == 1) {
+            val flags = r.u8()
+            memMin = r.u32()
+            memMax = if ((flags & 1) != 0) Some(r.u32()) else None
+          }
+        case 6 => // global
+          globals = Vector.fill(r.u32()) {
+            val vt = r.u8().toByte
+            val mut = r.u8() == 1
+            WasmGlobal(vt, mut, decodeExpr(r))
+          }
+        case 7 => // export
+          exports = Vector.fill(r.u32()) {
+            WasmExport(r.name(), r.u8(), r.u32())
+          }
+        case 8 => start = Some(r.u32())
+        case 10 => // code
+          codes = Vector.fill(r.u32()) {
+            val bodySize = r.u32()
+            val bodyEnd = r.pos + bodySize
+            val locals = Vector.fill(r.u32()) {
+              val count = r.u32(); val vt = r.u8().toByte
+              Vector.fill(count)(vt)
+            }.flatten
+            val body = decodeExpr(r)
+            if (r.pos != bodyEnd)
+              throw new WasmDecodeError("code body size mismatch")
+            FuncBody(locals, body)
+          }
+        case 11 => // data
+          datas = Vector.fill(r.u32()) {
+            val flag = r.u32()
+            if (flag != 0) throw new WasmDecodeError(
+              s"only active data segments for memory 0 supported (flag $flag)")
+            val off = decodeExpr(r) match {
+              case Vector(I32Const(v)) => v
+              case other => throw new WasmDecodeError(s"bad data offset expr $other")
+            }
+            DataSeg(off, r.bytes(r.u32()).toVector)
+          }
+        case _ => // custom / table / elem / datacount: skip
+      }
+      r.pos = end
+    }
+    WasmModule(types, imports, funcTypeIdxs, memMin, memMax, globals,
+      exports, codes, datas, start)
+  }
+
+  /** Decode an instruction sequence up to (and consuming) `end` (0x0B).
+   *  Returns the instructions; `else` handled inside `if`. */
+  private def decodeExpr(r: Reader): Vector[Instr] = {
+    val (body, terminator) = decodeSeq(r)
+    if (terminator != 0x0B) throw new WasmDecodeError("expected end opcode")
+    body
+  }
+
+  private def decodeSeq(r: Reader): (Vector[Instr], Int) = {
+    val out = Vector.newBuilder[Instr]
+    while (true) {
+      val op = r.u8()
+      op match {
+        case 0x0B | 0x05 => return (out.result(), op) // end | else
+        case 0x00 => out += Unreachable
+        case 0x01 => out += Nop
+        case 0x02 =>
+          val bt = r.u8()
+          val (body, t) = decodeSeq(r)
+          if (t != 0x0B) throw new WasmDecodeError("block: expected end")
+          out += Block(bt, body)
+        case 0x03 =>
+          val bt = r.u8()
+          val (body, t) = decodeSeq(r)
+          if (t != 0x0B) throw new WasmDecodeError("loop: expected end")
+          out += Loop(bt, body)
+        case 0x04 =>
+          val bt = r.u8()
+          val (thn, t) = decodeSeq(r)
+          val els =
+            if (t == 0x05) {
+              val (e, t2) = decodeSeq(r)
+              if (t2 != 0x0B) throw new WasmDecodeError("if/else: expected end")
+              e
+            } else Vector.empty[Instr]
+          out += If(bt, thn, els)
+        case 0x0C => out += Br(r.u32())
+        case 0x0D => out += BrIf(r.u32())
+        case 0x0E =>
+          val targets = Vector.fill(r.u32())(r.u32())
+          out += BrTable(targets, r.u32())
+        case 0x0F => out += Return
+        case 0x10 => out += Call(r.u32())
+        case 0x1A => out += Drop
+        case 0x1B => out += Select
+        case 0x20 => out += LocalGet(r.u32())
+        case 0x21 => out += LocalSet(r.u32())
+        case 0x22 => out += LocalTee(r.u32())
+        case 0x23 => out += GlobalGet(r.u32())
+        case 0x24 => out += GlobalSet(r.u32())
+        case ld if ld >= 0x28 && ld <= 0x35 =>
+          out += MemLoad(ld, r.u32(), r.u32())
+        case st if st >= 0x36 && st <= 0x3E =>
+          out += MemStore(st, r.u32(), r.u32())
+        case 0x3F => r.u8(); out += MemorySize
+        case 0x40 => r.u8(); out += MemoryGrow
+        case 0x41 => out += I32Const(r.s32())
+        case 0x42 => out += I64Const(r.s64())
+        case 0x43 =>
+          val b = r.bytes(4)
+          out += F32Const(
+            (b(0) & 0xFF) | (b(1) & 0xFF) << 8 | (b(2) & 0xFF) << 16 | (b(3) & 0xFF) << 24)
+        case 0x44 =>
+          val b = r.bytes(8)
+          var bits = 0L
+          var i = 7
+          while (i >= 0) { bits = (bits << 8) | (b(i) & 0xFFL); i -= 1 }
+          out += F64Const(bits)
+        case 0xFC =>
+          r.u32() match {
+            case 10 => r.u8(); r.u8(); out += MemoryCopy
+            case 11 => r.u8(); out += MemoryFill
+            case sub => throw new WasmDecodeError(s"unsupported 0xFC subopcode $sub")
+          }
+        case num if num >= 0x45 && num <= 0xC4 => out += Num(num)
+        case other => throw new WasmDecodeError(
+          f"unsupported opcode 0x$other%02X at offset ${r.pos - 1}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // ---------- encoding ----------
+
+  private final class Writer {
+    val out = new ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u32(v0: Int): Unit = {
+      var v = v0.toLong & 0xFFFFFFFFL
+      var more = true
+      while (more) {
+        val byte = (v & 0x7F).toInt
+        v >>>= 7
+        more = v != 0
+        u8(if (more) byte | 0x80 else byte)
+      }
+    }
+    def s64(v0: Long): Unit = {
+      var v = v0
+      var more = true
+      while (more) {
+        val byte = (v & 0x7F).toInt
+        v >>= 7
+        more = !((v == 0 && (byte & 0x40) == 0) || (v == -1 && (byte & 0x40) != 0))
+        u8(if (more) byte | 0x80 else byte)
+      }
+    }
+    def s32(v: Int): Unit = s64(v.toLong)
+    def raw(b: Array[Byte]): Unit = out.write(b)
+    def name(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      u32(b.length); raw(b)
+    }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  def encode(m: WasmModule): Array[Byte] = {
+    val w = new Writer
+    w.raw(Magic); w.raw(Version)
+
+    def section(id: Int)(f: Writer => Unit): Unit = {
+      val sw = new Writer
+      f(sw)
+      val body = sw.bytes
+      w.u8(id); w.u32(body.length); w.raw(body)
+    }
+
+    if (m.types.nonEmpty) section(1) { s =>
+      s.u32(m.types.size)
+      m.types.foreach { t =>
+        s.u8(0x60)
+        s.u32(t.params.size); t.params.foreach(p => s.u8(p & 0xFF))
+        s.u32(t.results.size); t.results.foreach(p => s.u8(p & 0xFF))
+      }
+    }
+    if (m.imports.nonEmpty) section(2) { s =>
+      s.u32(m.imports.size)
+      m.imports.foreach { i =>
+        s.name(i.module); s.name(i.name); s.u8(0x00); s.u32(i.typeIdx)
+      }
+    }
+    if (m.funcTypeIdxs.nonEmpty) section(3) { s =>
+      s.u32(m.funcTypeIdxs.size); m.funcTypeIdxs.foreach(s.u32)
+    }
+    if (m.memMinPages > 0 || m.memMaxPages.nonEmpty) section(5) { s =>
+      s.u32(1)
+      m.memMaxPages match {
+        case Some(max) => s.u8(0x01); s.u32(m.memMinPages); s.u32(max)
+        case None      => s.u8(0x00); s.u32(m.memMinPages)
+      }
+    }
+    if (m.globals.nonEmpty) section(6) { s =>
+      s.u32(m.globals.size)
+      m.globals.foreach { g =>
+        s.u8(g.valType & 0xFF); s.u8(if (g.mutable) 1 else 0)
+        encodeSeq(s, g.init); s.u8(0x0B)
+      }
+    }
+    if (m.exports.nonEmpty) section(7) { s =>
+      s.u32(m.exports.size)
+      m.exports.foreach { e => s.name(e.name); s.u8(e.kind); s.u32(e.idx) }
+    }
+    m.start.foreach(idx => section(8)(_.u32(idx)))
+    if (m.codes.nonEmpty) section(10) { s =>
+      s.u32(m.codes.size)
+      m.codes.foreach { c =>
+        val cw = new Writer
+        // run-length group the locals as the format requires
+        val groups = c.locals.foldLeft(Vector.empty[(Byte, Int)]) { (acc, vt) =>
+          acc.lastOption match {
+            case Some((t, n)) if t == vt => acc.init :+ ((t, n + 1))
+            case _ => acc :+ ((vt, 1))
+          }
+        }
+        cw.u32(groups.size)
+        groups.foreach { case (t, n) => cw.u32(n); cw.u8(t & 0xFF) }
+        encodeSeq(cw, c.body); cw.u8(0x0B)
+        val body = cw.bytes
+        s.u32(body.length); s.raw(body)
+      }
+    }
+    if (m.datas.nonEmpty) section(11) { s =>
+      s.u32(m.datas.size)
+      m.datas.foreach { d =>
+        s.u32(0)
+        s.u8(0x41); s.s32(d.offset); s.u8(0x0B)
+        s.u32(d.bytes.size); s.raw(d.bytes.toArray)
+      }
+    }
+    w.bytes
+  }
+
+  private def encodeSeq(w: Writer, body: Vector[Instr]): Unit =
+    body.foreach {
+      case Unreachable => w.u8(0x00)
+      case Nop => w.u8(0x01)
+      case Block(bt, b) => w.u8(0x02); w.u8(bt); encodeSeq(w, b); w.u8(0x0B)
+      case Loop(bt, b) => w.u8(0x03); w.u8(bt); encodeSeq(w, b); w.u8(0x0B)
+      case If(bt, t, e) =>
+        w.u8(0x04); w.u8(bt); encodeSeq(w, t)
+        if (e.nonEmpty) { w.u8(0x05); encodeSeq(w, e) }
+        w.u8(0x0B)
+      case Br(d) => w.u8(0x0C); w.u32(d)
+      case BrIf(d) => w.u8(0x0D); w.u32(d)
+      case BrTable(ts, d) =>
+        w.u8(0x0E); w.u32(ts.size); ts.foreach(w.u32); w.u32(d)
+      case Return => w.u8(0x0F)
+      case Call(f) => w.u8(0x10); w.u32(f)
+      case Drop => w.u8(0x1A)
+      case Select => w.u8(0x1B)
+      case LocalGet(i) => w.u8(0x20); w.u32(i)
+      case LocalSet(i) => w.u8(0x21); w.u32(i)
+      case LocalTee(i) => w.u8(0x22); w.u32(i)
+      case GlobalGet(i) => w.u8(0x23); w.u32(i)
+      case GlobalSet(i) => w.u8(0x24); w.u32(i)
+      case MemLoad(op, a, o) => w.u8(op); w.u32(a); w.u32(o)
+      case MemStore(op, a, o) => w.u8(op); w.u32(a); w.u32(o)
+      case MemorySize => w.u8(0x3F); w.u8(0x00)
+      case MemoryGrow => w.u8(0x40); w.u8(0x00)
+      case MemoryCopy => w.u8(0xFC); w.u32(10); w.u8(0x00); w.u8(0x00)
+      case MemoryFill => w.u8(0xFC); w.u32(11); w.u8(0x00)
+      case I32Const(v) => w.u8(0x41); w.s32(v)
+      case I64Const(v) => w.u8(0x42); w.s64(v)
+      case F32Const(bits) =>
+        w.u8(0x43)
+        w.u8(bits); w.u8(bits >> 8); w.u8(bits >> 16); w.u8(bits >> 24)
+      case F64Const(bits) =>
+        w.u8(0x44)
+        var i = 0
+        while (i < 8) { w.u8((bits >>> (8 * i)).toInt); i += 1 }
+      case Num(op) => w.u8(op)
+    }
+}

@@ -1,0 +1,470 @@
+package graft.wasm
+
+/**
+ * WebAssembly MVP evaluator over the [[WasmModule]] AST.
+ *
+ * Execution model (WebAssembly spec §4): a structured-control stack
+ * machine. Values live on one operand stack as raw 64-bit slots (i32
+ * sign-extended in the low word, f32/f64 as IEEE bits); blocks record
+ * the operand-stack height on entry so a `br` unwinds to the target's
+ * arity exactly as the spec's label semantics require. Traps (OOB
+ * access, div-by-zero, unreachable) surface as [[WasmTrap]].
+ *
+ * Host imports are Scala closures and may RE-ENTER the instance — the
+ * lens ABI depends on this: the host's `next()` import allocates guest
+ * memory via the guest's own exported `alloc` while `transform` is on
+ * the interpreter stack (reference:
+ * host-go/runtimes/wasmtime/runtime.go:87-91,192-205). Re-entrancy is
+ * free here because each invocation owns its locals/operands; only
+ * memory and globals are instance state.
+ *
+ * Deliberately an interpreter, not a compiler: lens guests are a few
+ * hundred instructions per item and the per-partition loop amortizes
+ * instantiation. Scale note for 100 TB: instances are per-partition and
+ * share nothing; memory is bounded by the guest's own allocator
+ * discipline (see LensGuestModules).
+ */
+object WasmInterp {
+
+  /** Pages are 64 KiB (WebAssembly spec §4.2.8). */
+  val PageSize: Int = 65536
+
+  private val moduleCache =
+    new java.util.concurrent.ConcurrentHashMap[java.math.BigInteger, WasmModule]()
+
+  /** Decode-once cache keyed by content hash — executors instantiate many
+   *  partitions from the same broadcast module bytes. */
+  def moduleOf(bytes: Array[Byte]): WasmModule = {
+    val key = new java.math.BigInteger(
+      java.security.MessageDigest.getInstance("MD5").digest(bytes))
+    moduleCache.computeIfAbsent(key, _ => WasmBinary.decode(bytes))
+  }
+
+  /** One live instance: memory + globals + import bindings. Not
+   *  thread-safe (mirrors the reference's single-threaded store). */
+  final class Instance(
+      val module: WasmModule,
+      imports: Map[(String, String), Vector[Long] => Vector[Long]]) {
+
+    private[wasm] var memory: Array[Byte] =
+      new Array[Byte](module.memMinPages * PageSize)
+
+    private val globals: Array[Long] = module.globals.map { g =>
+      g.init match {
+        case Vector(I32Const(v)) => v.toLong
+        case Vector(I64Const(v)) => v
+        case Vector(F32Const(b)) => b.toLong & 0xFFFFFFFFL
+        case Vector(F64Const(b)) => b
+        case other => throw new WasmTrap(s"unsupported global init $other")
+      }
+    }.toArray
+
+    private val importedFns: Vector[Vector[Long] => Vector[Long]] =
+      module.imports.map { imp =>
+        imports.getOrElse((imp.module, imp.name), throw new WasmTrap(
+          s"missing import ${imp.module}.${imp.name}"))
+      }
+
+    // data segments
+    module.datas.foreach { d =>
+      val arr = d.bytes.toArray
+      if (d.offset < 0 || d.offset + arr.length > memory.length)
+        throw new WasmTrap("data segment out of bounds")
+      System.arraycopy(arr, 0, memory, d.offset, arr.length)
+    }
+
+    module.start.foreach(idx => invokeByIndex(idx, Vector.empty))
+
+    def memorySize: Int = memory.length
+
+    def readBytes(offset: Int, len: Int): Array[Byte] = {
+      checkBounds(offset.toLong, len.toLong)
+      java.util.Arrays.copyOfRange(memory, offset, offset + len)
+    }
+
+    def writeBytes(offset: Int, bytes: Array[Byte]): Unit = {
+      checkBounds(offset.toLong, bytes.length.toLong)
+      System.arraycopy(bytes, 0, memory, offset, bytes.length)
+    }
+
+    def invoke(name: String, args: Long*): Vector[Long] = {
+      val exp = module.export(name).getOrElse(
+        throw new WasmTrap(s"export `$name` does not exist"))
+      if (exp.kind != 0) throw new WasmTrap(s"export `$name` is not a function")
+      invokeByIndex(exp.idx, args.toVector)
+    }
+
+    def hasExport(name: String): Boolean =
+      module.export(name).exists(_.kind == 0)
+
+    // ---------- evaluation ----------
+
+    private def invokeByIndex(funcIdx: Int, args: Vector[Long]): Vector[Long] = {
+      val nImports = module.imports.size
+      if (funcIdx < nImports) return importedFns(funcIdx)(args)
+      val localIdx = funcIdx - nImports
+      val ftype = module.types(module.funcTypeIdxs(localIdx))
+      val body = module.codes(localIdx)
+      val locals = new Array[Long](ftype.params.size + body.locals.size)
+      var i = 0
+      while (i < args.size) { locals(i) = args(i); i += 1 }
+      val stack = new OperandStack
+      evalSeq(body.body, locals, stack) match {
+        case _ => // Fall, Branch(spent) or Ret all leave results on the stack top
+      }
+      Vector.fill(ftype.results.size)(stack.pop()).reverse
+    }
+
+    /** Branch signal: -1 = fell through, -2 = function return,
+     *  n >= 0 = branch crossing n MORE labels outward. */
+    private val FALL = -1
+    private val RET = -2
+
+    private def evalSeq(body: Vector[Instr], locals: Array[Long],
+        stack: OperandStack): Int = {
+      var i = 0
+      val n = body.size
+      while (i < n) {
+        body(i) match {
+          case Unreachable => throw new WasmTrap("unreachable executed")
+          case Nop =>
+          case Block(bt, inner) =>
+            val h = stack.size
+            evalSeq(inner, locals, stack) match {
+              case FALL => // values already in place
+              case RET => return RET
+              case 0 => unwind(stack, h, arity(bt))
+              case d => unwind(stack, h, arity(bt)); return d - 1
+            }
+          case Loop(_, inner) =>
+            val h = stack.size
+            var looping = true
+            while (looping) {
+              evalSeq(inner, locals, stack) match {
+                case FALL => looping = false
+                case RET => return RET
+                case 0 => stack.truncate(h) // br to loop start: MVP loops take no params
+                case d => stack.truncate(h); return d - 1
+              }
+            }
+          case If(bt, thn, els) =>
+            val cond = stack.pop() != 0L
+            val h = stack.size
+            evalSeq(if (cond) thn else els, locals, stack) match {
+              case FALL =>
+              case RET => return RET
+              case 0 => unwind(stack, h, arity(bt))
+              case d => unwind(stack, h, arity(bt)); return d - 1
+            }
+          case Br(d) => return d
+          case BrIf(d) => if (stack.pop() != 0L) return d
+          case BrTable(targets, default) =>
+            val v = stack.pop().toInt
+            return if (v >= 0 && v < targets.size) targets(v) else default
+          case Return => return RET
+          case Call(f) =>
+            val nImp = module.imports.size
+            val ftype =
+              if (f < nImp) module.types(module.imports(f).typeIdx)
+              else module.types(module.funcTypeIdxs(f - nImp))
+            val argc = ftype.params.size
+            val args = new Array[Long](argc)
+            var j = argc - 1
+            while (j >= 0) { args(j) = stack.pop(); j -= 1 }
+            invokeByIndex(f, args.toVector).foreach(stack.push)
+          case Drop => stack.pop()
+          case Select =>
+            val c = stack.pop(); val b = stack.pop(); val a = stack.pop()
+            stack.push(if (c != 0L) a else b)
+          case LocalGet(idx) => stack.push(locals(idx))
+          case LocalSet(idx) => locals(idx) = stack.pop()
+          case LocalTee(idx) => locals(idx) = stack.peek
+          case GlobalGet(idx) => stack.push(globals(idx))
+          case GlobalSet(idx) => globals(idx) = stack.pop()
+          case MemLoad(op, _, offset) => memLoad(op, offset, stack)
+          case MemStore(op, _, offset) => memStore(op, offset, stack)
+          case MemorySize => stack.push(memory.length / PageSize)
+          case MemoryGrow =>
+            val delta = stack.pop().toInt
+            val oldPages = memory.length / PageSize
+            val newPages = oldPages.toLong + delta
+            val maxPages = module.memMaxPages.getOrElse(65536)
+            if (delta < 0 || newPages > maxPages) stack.push(-1L)
+            else {
+              memory = java.util.Arrays.copyOf(memory, (newPages * PageSize).toInt)
+              stack.push(oldPages)
+            }
+          case MemoryCopy =>
+            val len = stack.pop().toInt; val src = stack.pop().toInt
+            val dst = stack.pop().toInt
+            checkBounds(src.toLong, len.toLong); checkBounds(dst.toLong, len.toLong)
+            System.arraycopy(memory, src, memory, dst, len)
+          case MemoryFill =>
+            val len = stack.pop().toInt; val v = stack.pop().toByte
+            val dst = stack.pop().toInt
+            checkBounds(dst.toLong, len.toLong)
+            java.util.Arrays.fill(memory, dst, dst + len, v)
+          case I32Const(v) => stack.push(v.toLong)
+          case I64Const(v) => stack.push(v)
+          case F32Const(bits) => stack.push(bits.toLong & 0xFFFFFFFFL)
+          case F64Const(bits) => stack.push(bits)
+          case Num(op) => numeric(op, stack)
+        }
+        i += 1
+      }
+      FALL
+    }
+
+    private def arity(blockType: Int): Int =
+      if (blockType == ValType.Empty) 0 else 1
+
+    /** On exiting a block via br: keep the label's arity from the top,
+     *  truncate to entry height, push the kept values back. */
+    private def unwind(stack: OperandStack, entryHeight: Int, arity: Int): Unit = {
+      if (arity == 0) stack.truncate(entryHeight)
+      else {
+        val kept = new Array[Long](arity)
+        var i = arity - 1
+        while (i >= 0) { kept(i) = stack.pop(); i -= 1 }
+        stack.truncate(entryHeight)
+        var j = 0
+        while (j < arity) { stack.push(kept(j)); j += 1 }
+      }
+    }
+
+    private def checkBounds(offset: Long, len: Long): Unit =
+      if (offset < 0 || len < 0 || offset + len > memory.length)
+        throw new WasmTrap(
+          s"out of bounds memory access ($offset+$len of ${memory.length})")
+
+    private def addr(offset: Int, stack: OperandStack, width: Int): Int = {
+      val base = stack.pop().toInt
+      val ea = (base.toLong & 0xFFFFFFFFL) + (offset.toLong & 0xFFFFFFFFL)
+      checkBounds(ea, width.toLong)
+      ea.toInt
+    }
+
+    private def ld(a: Int, w: Int): Long = {
+      var v = 0L
+      var i = w - 1
+      while (i >= 0) { v = (v << 8) | (memory(a + i) & 0xFFL); i -= 1 }
+      v
+    }
+
+    private def st(a: Int, w: Int, v: Long): Unit = {
+      var i = 0
+      while (i < w) { memory(a + i) = (v >>> (8 * i)).toByte; i += 1 }
+    }
+
+    private def memLoad(op: Int, offset: Int, stack: OperandStack): Unit = op match {
+      case 0x28 => stack.push(ld(addr(offset, stack, 4), 4).toInt.toLong) // i32.load
+      case 0x29 => stack.push(ld(addr(offset, stack, 8), 8)) // i64.load
+      case 0x2A => stack.push(ld(addr(offset, stack, 4), 4)) // f32.load (bits)
+      case 0x2B => stack.push(ld(addr(offset, stack, 8), 8)) // f64.load (bits)
+      case 0x2C => stack.push(ld(addr(offset, stack, 1), 1).toByte.toLong) // i32.load8_s
+      case 0x2D => stack.push(ld(addr(offset, stack, 1), 1)) // i32.load8_u
+      case 0x2E => stack.push(ld(addr(offset, stack, 2), 2).toShort.toLong) // i32.load16_s
+      case 0x2F => stack.push(ld(addr(offset, stack, 2), 2)) // i32.load16_u
+      case 0x30 => stack.push(ld(addr(offset, stack, 1), 1).toByte.toLong) // i64.load8_s
+      case 0x31 => stack.push(ld(addr(offset, stack, 1), 1)) // i64.load8_u
+      case 0x32 => stack.push(ld(addr(offset, stack, 2), 2).toShort.toLong) // i64.load16_s
+      case 0x33 => stack.push(ld(addr(offset, stack, 2), 2)) // i64.load16_u
+      case 0x34 => stack.push(ld(addr(offset, stack, 4), 4).toInt.toLong) // i64.load32_s
+      case 0x35 => stack.push(ld(addr(offset, stack, 4), 4)) // i64.load32_u
+      case other => throw new WasmTrap(f"unsupported load 0x$other%02X")
+    }
+
+    private def memStore(op: Int, offset: Int, stack: OperandStack): Unit = {
+      val v = stack.pop()
+      op match {
+        case 0x36 => st(addr(offset, stack, 4), 4, v) // i32.store
+        case 0x37 => st(addr(offset, stack, 8), 8, v) // i64.store
+        case 0x38 => st(addr(offset, stack, 4), 4, v) // f32.store
+        case 0x39 => st(addr(offset, stack, 8), 8, v) // f64.store
+        case 0x3A => st(addr(offset, stack, 1), 1, v) // i32.store8
+        case 0x3B => st(addr(offset, stack, 2), 2, v) // i32.store16
+        case 0x3C => st(addr(offset, stack, 1), 1, v) // i64.store8
+        case 0x3D => st(addr(offset, stack, 2), 2, v) // i64.store16
+        case 0x3E => st(addr(offset, stack, 4), 4, v) // i64.store32
+        case other => throw new WasmTrap(f"unsupported store 0x$other%02X")
+      }
+    }
+
+    private def numeric(op: Int, s: OperandStack): Unit = {
+      @inline def i32 = s.pop().toInt
+      @inline def i64 = s.pop()
+      @inline def f64 = java.lang.Double.longBitsToDouble(s.pop())
+      @inline def f32 = java.lang.Float.intBitsToFloat(s.pop().toInt)
+      @inline def pushI(v: Int): Unit = s.push(v.toLong)
+      @inline def pushB(v: Boolean): Unit = s.push(if (v) 1L else 0L)
+      @inline def pushL(v: Long): Unit = s.push(v)
+      @inline def pushF(v: Float): Unit =
+        s.push(java.lang.Float.floatToRawIntBits(v).toLong & 0xFFFFFFFFL)
+      @inline def pushD(v: Double): Unit =
+        s.push(java.lang.Double.doubleToRawLongBits(v))
+      op match {
+        // i32 compare
+        case 0x45 => pushB(i32 == 0)
+        case 0x46 => val b = i32; pushB(i32 == b)
+        case 0x47 => val b = i32; pushB(i32 != b)
+        case 0x48 => val b = i32; pushB(i32 < b)
+        case 0x49 => val b = i32; pushB(java.lang.Integer.compareUnsigned(i32, b) < 0)
+        case 0x4A => val b = i32; pushB(i32 > b)
+        case 0x4B => val b = i32; pushB(java.lang.Integer.compareUnsigned(i32, b) > 0)
+        case 0x4C => val b = i32; pushB(i32 <= b)
+        case 0x4D => val b = i32; pushB(java.lang.Integer.compareUnsigned(i32, b) <= 0)
+        case 0x4E => val b = i32; pushB(i32 >= b)
+        case 0x4F => val b = i32; pushB(java.lang.Integer.compareUnsigned(i32, b) >= 0)
+        // i64 compare
+        case 0x50 => pushB(i64 == 0L)
+        case 0x51 => val b = i64; pushB(i64 == b)
+        case 0x52 => val b = i64; pushB(i64 != b)
+        case 0x53 => val b = i64; pushB(i64 < b)
+        case 0x54 => val b = i64; pushB(java.lang.Long.compareUnsigned(i64, b) < 0)
+        case 0x55 => val b = i64; pushB(i64 > b)
+        case 0x56 => val b = i64; pushB(java.lang.Long.compareUnsigned(i64, b) > 0)
+        case 0x57 => val b = i64; pushB(i64 <= b)
+        case 0x58 => val b = i64; pushB(java.lang.Long.compareUnsigned(i64, b) <= 0)
+        case 0x59 => val b = i64; pushB(i64 >= b)
+        case 0x5A => val b = i64; pushB(java.lang.Long.compareUnsigned(i64, b) >= 0)
+        // f32 compare
+        case 0x5B => val b = f32; pushB(f32 == b)
+        case 0x5C => val b = f32; pushB(f32 != b)
+        case 0x5D => val b = f32; pushB(f32 < b)
+        case 0x5E => val b = f32; pushB(f32 > b)
+        case 0x5F => val b = f32; pushB(f32 <= b)
+        case 0x60 => val b = f32; pushB(f32 >= b)
+        // f64 compare
+        case 0x61 => val b = f64; pushB(f64 == b)
+        case 0x62 => val b = f64; pushB(f64 != b)
+        case 0x63 => val b = f64; pushB(f64 < b)
+        case 0x64 => val b = f64; pushB(f64 > b)
+        case 0x65 => val b = f64; pushB(f64 <= b)
+        case 0x66 => val b = f64; pushB(f64 >= b)
+        // i32 arithmetic
+        case 0x67 => pushI(java.lang.Integer.numberOfLeadingZeros(i32))
+        case 0x68 => pushI(java.lang.Integer.numberOfTrailingZeros(i32))
+        case 0x69 => pushI(java.lang.Integer.bitCount(i32))
+        case 0x6A => val b = i32; pushI(i32 + b)
+        case 0x6B => val b = i32; pushI(i32 - b)
+        case 0x6C => val b = i32; pushI(i32 * b)
+        case 0x6D =>
+          val b = i32; val a = i32
+          if (b == 0) throw new WasmTrap("integer divide by zero")
+          if (a == Int.MinValue && b == -1) throw new WasmTrap("integer overflow")
+          pushI(a / b)
+        case 0x6E =>
+          val b = i32; val a = i32
+          if (b == 0) throw new WasmTrap("integer divide by zero")
+          pushI(java.lang.Integer.divideUnsigned(a, b))
+        case 0x6F =>
+          val b = i32; val a = i32
+          if (b == 0) throw new WasmTrap("integer divide by zero")
+          pushI(if (a == Int.MinValue && b == -1) 0 else a % b)
+        case 0x70 =>
+          val b = i32; val a = i32
+          if (b == 0) throw new WasmTrap("integer divide by zero")
+          pushI(java.lang.Integer.remainderUnsigned(a, b))
+        case 0x71 => val b = i32; pushI(i32 & b)
+        case 0x72 => val b = i32; pushI(i32 | b)
+        case 0x73 => val b = i32; pushI(i32 ^ b)
+        case 0x74 => val b = i32; pushI(i32 << (b & 31))
+        case 0x75 => val b = i32; pushI(i32 >> (b & 31))
+        case 0x76 => val b = i32; pushI(i32 >>> (b & 31))
+        case 0x77 => val b = i32; pushI(java.lang.Integer.rotateLeft(i32, b))
+        case 0x78 => val b = i32; pushI(java.lang.Integer.rotateRight(i32, b))
+        // i64 arithmetic
+        case 0x79 => pushL(java.lang.Long.numberOfLeadingZeros(i64).toLong)
+        case 0x7A => pushL(java.lang.Long.numberOfTrailingZeros(i64).toLong)
+        case 0x7B => pushL(java.lang.Long.bitCount(i64).toLong)
+        case 0x7C => val b = i64; pushL(i64 + b)
+        case 0x7D => val b = i64; pushL(i64 - b)
+        case 0x7E => val b = i64; pushL(i64 * b)
+        case 0x7F =>
+          val b = i64; val a = i64
+          if (b == 0) throw new WasmTrap("integer divide by zero")
+          if (a == Long.MinValue && b == -1) throw new WasmTrap("integer overflow")
+          pushL(a / b)
+        case 0x80 =>
+          val b = i64; val a = i64
+          if (b == 0) throw new WasmTrap("integer divide by zero")
+          pushL(java.lang.Long.divideUnsigned(a, b))
+        case 0x81 =>
+          val b = i64; val a = i64
+          if (b == 0) throw new WasmTrap("integer divide by zero")
+          pushL(if (a == Long.MinValue && b == -1) 0L else a % b)
+        case 0x82 =>
+          val b = i64; val a = i64
+          if (b == 0) throw new WasmTrap("integer divide by zero")
+          pushL(java.lang.Long.remainderUnsigned(a, b))
+        case 0x83 => val b = i64; pushL(i64 & b)
+        case 0x84 => val b = i64; pushL(i64 | b)
+        case 0x85 => val b = i64; pushL(i64 ^ b)
+        case 0x86 => val b = i64; pushL(i64 << (b & 63))
+        case 0x87 => val b = i64; pushL(i64 >> (b & 63))
+        case 0x88 => val b = i64; pushL(i64 >>> (b & 63))
+        case 0x89 => val b = i64; pushL(java.lang.Long.rotateLeft(i64, b.toInt))
+        case 0x8A => val b = i64; pushL(java.lang.Long.rotateRight(i64, b.toInt))
+        // f32 arithmetic (common subset)
+        case 0x8B => pushF(math.abs(f32))
+        case 0x8C => pushF(-f32)
+        case 0x91 => pushF(math.sqrt(f32.toDouble).toFloat)
+        case 0x92 => val b = f32; pushF(f32 + b)
+        case 0x93 => val b = f32; pushF(f32 - b)
+        case 0x94 => val b = f32; pushF(f32 * b)
+        case 0x95 => val b = f32; pushF(f32 / b)
+        case 0x96 => val b = f32; pushF(math.min(f32, b))
+        case 0x97 => val b = f32; pushF(math.max(f32, b))
+        // f64 arithmetic (common subset)
+        case 0x99 => pushD(math.abs(f64))
+        case 0x9A => pushD(-f64)
+        case 0x9F => pushD(math.sqrt(f64))
+        case 0xA0 => val b = f64; pushD(f64 + b)
+        case 0xA1 => val b = f64; pushD(f64 - b)
+        case 0xA2 => val b = f64; pushD(f64 * b)
+        case 0xA3 => val b = f64; pushD(f64 / b)
+        case 0xA4 => val b = f64; pushD(math.min(f64, b))
+        case 0xA5 => val b = f64; pushD(math.max(f64, b))
+        // conversions
+        case 0xA7 => pushI(i64.toInt) // i32.wrap_i64
+        case 0xAC => pushL(i32.toLong) // i64.extend_i32_s
+        case 0xAD => pushL(i32.toLong & 0xFFFFFFFFL) // i64.extend_i32_u
+        case 0xB7 => pushD(i32.toDouble) // f64.convert_i32_s
+        case 0xB9 => pushD(i64.toDouble) // f64.convert_i64_s
+        case 0xBB => pushD(f32.toDouble) // f64.promote_f32
+        case 0xAA => pushI(f64.toInt) // i32.trunc_f64_s
+        case 0xB0 => pushL(f64.toLong) // i64.trunc_f64_s
+        case 0xBC => pushI(s.pop().toInt) // i32.reinterpret_f32 (sign-extend bits)
+        case 0xBD => // i64.reinterpret_f64 (bit-identical slot)
+        case 0xBE => s.push(s.pop() & 0xFFFFFFFFL) // f32.reinterpret_i32 (zero-extend)
+        case 0xBF => // f64.reinterpret_i64 (bit-identical slot)
+        case other => throw new WasmTrap(f"unsupported numeric opcode 0x$other%02X")
+      }
+    }
+  }
+
+  /** Minimal growable Long stack (no boxing). */
+  private[wasm] final class OperandStack {
+    private var arr = new Array[Long](64)
+    private var top = 0
+    def push(v: Long): Unit = {
+      if (top == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(top) = v; top += 1
+    }
+    def pop(): Long = {
+      if (top == 0) throw new WasmTrap("operand stack underflow")
+      top -= 1; arr(top)
+    }
+    def peek: Long = {
+      if (top == 0) throw new WasmTrap("operand stack underflow")
+      arr(top - 1)
+    }
+    def size: Int = top
+    def truncate(h: Int): Unit = top = h
+  }
+
+  def instantiate(
+      moduleBytes: Array[Byte],
+      imports: Map[(String, String), Vector[Long] => Vector[Long]]): Instance =
+    new Instance(moduleOf(moduleBytes), imports)
+}
