@@ -26,9 +26,15 @@ object ModuleFetch {
   def supports(ref: String): Boolean =
     Seq("file:", "data:", "http:", "https:").exists(ref.startsWith)
 
-  def fetch(ref: String): String =
+  def fetch(ref: String): String = new String(fetchBytes(ref), UTF_8)
+
+  /** Raw-bytes fetch — the reference's `GetWasmBytes`
+   *  (host-go/engine/engine.go:67-104): the same references can carry a
+   *  binary `.wasm` module (magic-sniffed by the caller) or lens-file
+   *  JSON. */
+  def fetchBytes(ref: String): Array[Byte] =
     if (ref.startsWith("file:")) {
-      Files.readString(
+      Files.readAllBytes(
         Paths.get(ref.stripPrefix("file:")).toAbsolutePath.normalize)
     } else if (ref.startsWith("data:")) {
       val body = ref.stripPrefix("data:")
@@ -37,12 +43,12 @@ object ModuleFetch {
       val header = body.substring(0, comma)
       val payload = body.substring(comma + 1)
       if (header.endsWith(";base64"))
-        new String(java.util.Base64.getDecoder.decode(payload), UTF_8)
-      else URLDecoder.decode(payload, "UTF-8")
+        java.util.Base64.getDecoder.decode(payload)
+      else URLDecoder.decode(payload, "UTF-8").getBytes(UTF_8)
     } else if (ref.startsWith("http:") || ref.startsWith("https:")) {
       val resp = HttpClient.newHttpClient().send(
         HttpRequest.newBuilder(java.net.URI.create(ref)).GET().build(),
-        HttpResponse.BodyHandlers.ofString())
+        HttpResponse.BodyHandlers.ofByteArray())
       require(resp.statusCode() == 200,
         s"module fetch '$ref' failed: HTTP ${resp.statusCode()}")
       resp.body()

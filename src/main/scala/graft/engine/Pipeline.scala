@@ -143,16 +143,23 @@ object Pipeline {
         OpaqueOp(args.str("guest"), times, serial = args.bool("serial"),
           params = paramsJson)
       } else if (ModuleFetch.supports(s.path)) {
-        // A stage may reference a whole stored lens FILE by URL — the
-        // reference's scheme-dispatched fetch (reference:
-        // host-go/engine/engine.go:67-104; `file:`, `data:`, `http(s):`) —
-        // inlined as a sub-pipeline. Cycle-checked by canonical reference.
+        // A stage may reference either a real WebAssembly MODULE or a
+        // whole stored lens FILE by URL — the reference's scheme-dispatched
+        // fetch (reference: host-go/engine/engine.go:67-104; `file:`,
+        // `data:`, `http(s):`), which likewise sniffs the fetched bytes.
+        // A `\0asm` module becomes an executed-bytecode guest stage; JSON
+        // is inlined as a sub-pipeline. Cycle-checked by canonical ref.
         val key = ModuleFetch.visitKey(s.path)
         require(!visiting.contains(key),
           s"cyclic lens reference: '${s.path}'")
-        val sub = build(PipelineConfig.fromJson(ModuleFetch.fetch(s.path)),
-          resolver, visiting + key)
-        subPipelineOp(s.path, sub)
+        val bytes = ModuleFetch.fetchBytes(s.path)
+        if (graft.wasm.WasmBinary.isWasm(bytes)) wasmStage(s, bytes)
+        else {
+          val sub = build(
+            PipelineConfig.fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)),
+            resolver, visiting + key)
+          subPipelineOp(s.path, sub)
+        }
       } else if (s.path.startsWith("sha256:")) {
         // Reference a stored pipeline by content id, resolved through the
         // registry. Content ids cannot cycle: an id commits to the full
@@ -165,6 +172,38 @@ object Pipeline {
       op.inverseOp.getOrElse(throw new UnsupportedOperationException(
         s"lens op '${op.name}' does not export an inverse"))
     } else op
+  }
+
+  /** A lens stage whose `path` fetched a genuine `.wasm` binary: register
+   *  the module (content-addressed) as an executed-bytecode partition
+   *  guest and drive it through the SAME opaque machinery builtin guests
+   *  use — fusion-free, permissive-error-capable, inverse via the
+   *  module's own `inverse` export. Host argument keys: `schema` (DDL of
+   *  the output document when the module changes shape; default = input
+   *  schema), `serial`; everything else is the module's set_param JSON
+   *  (reference: host-go/engine/engine.go:67-104 GetWasmBytes +
+   *  config/config.go:84-100 export selection). */
+  private def wasmStage(s: StageConfig, bytes: Array[Byte]): LensOp = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val name = "wasm:" + digest.map(b => f"$b%02x").mkString
+    val schemaFn: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType =
+      s.arguments.get("schema") match {
+        case Some(ddlJson) =>
+          val ddl = graft.model.Json.parse(ddlJson).asText()
+          val out = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          _ => out
+        case None => in => in
+      }
+    graft.ops.GuestRegistry.register(name, graft.ops.BytesGuest.asPartitionGuest(
+      new graft.ops.WasmGuest(bytes, "transform", None, schemaFn)))
+    val params = s.arguments.filterNot { case (k, _) =>
+      k == "schema" || k == "serial" || k == "instance" }
+    val paramsJson =
+      if (params.isEmpty) None
+      else Some(params.map { case (k, v) =>
+        s"${graft.model.Json.quote(k)}:$v" }.mkString("{", ",", "}"))
+    OpaqueOp(name, times = 1, serial = Args(s.arguments).bool("serial"),
+      params = paramsJson)
   }
 
   private def subPipelineOp(label: String, sub: Pipeline): LensOp = new LensOp {

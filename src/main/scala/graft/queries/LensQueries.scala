@@ -137,7 +137,58 @@ object LensQueries extends QueryProvider {
       .withColumnRenamed("c_acctbal", "doubled_bal")
   }
 
+  // P5 REAL — lens stages whose `path` is a genuine `.wasm` binary,
+  // executed by the embedded WebAssembly interpreter on the executors
+  // (graft.wasm; reference: host-go/runtimes/wasmtime/runtime.go:164-227
+  // + engine.go:67-104 GetWasmBytes). The modules are authored as
+  // bytecode (LensGuestModules), shipped inside the lens file as a
+  // data:;base64 URL — the full reference path: fetch → magic-sniff →
+  // instantiate → set_param → pull-mode transform over framed items in
+  // linear memory. Oracles replay the arithmetic/filter/fan-out in SQL,
+  // certifying the executed bytecode cross-engine. 100 TB shape: narrow
+  // map over each partition, module bytes broadcast in the closure, one
+  // instance per partition, guest heap bounded per item; the interpreter
+  // is the ABI-parity escape hatch (~µs/item), not the hot path —
+  // builtin: stages stay whole-stage-codegen.
+  private def wasmDataUrl(bytes: Array[Byte]): String =
+    "data:application/wasm;base64," +
+      java.util.Base64.getEncoder.encodeToString(bytes)
+
+  private def wasmShiftPipe(s: SparkSession, dir: String): DataFrame = {
+    val url = wasmDataUrl(graft.wasm.LensGuestModules.shiftGuest("c_custkey"))
+    Pipeline.fromJson(
+      s"""{"lenses":[
+         |  {"path":"builtin:select","arguments":{"cols":["c_custkey","c_name"]}},
+         |  {"path":"$url","arguments":{"delta":1000000}}
+         |]}""".stripMargin)
+      .forward(T(s, dir, "customer"))
+      .withColumnRenamed("c_custkey", "shifted_key")
+  }
+
+  private def wasmFilterPipe(s: SparkSession, dir: String): DataFrame = {
+    val url = wasmDataUrl(graft.wasm.LensGuestModules.filterGuest("c_custkey"))
+    Pipeline.fromJson(
+      s"""{"lenses":[
+         |  {"path":"builtin:select","arguments":{"cols":["c_custkey","c_mktsegment"]}},
+         |  {"path":"$url","arguments":{"min":700}}
+         |]}""".stripMargin)
+      .forward(T(s, dir, "customer"))
+  }
+
+  private def wasmRepeatPipe(s: SparkSession, dir: String): DataFrame = {
+    val url = wasmDataUrl(graft.wasm.LensGuestModules.repeatGuest())
+    Pipeline.fromJson(
+      s"""{"lenses":[
+         |  {"path":"builtin:select","arguments":{"cols":["n_nationkey","n_name"]}},
+         |  {"path":"$url","arguments":{"times":3}}
+         |]}""".stripMargin)
+      .forward(T(s, dir, "nation"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lens_wasm_shift"   -> (wasmShiftPipe _),
+    "lens_wasm_filter"  -> (wasmFilterPipe _),
+    "lens_wasm_repeat"  -> (wasmRepeatPipe _),
     "lens_opaque"       -> (opaquePipe _),
     "lens_rename"       -> (renamePipe _),
     "lens_with_column"  -> (arithPipe _),
@@ -150,6 +201,13 @@ object LensQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "lens_wasm_shift" ->
+      "SELECT c_custkey + 1000000 AS shifted_key, c_name FROM customer",
+    "lens_wasm_filter" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey >= 700",
+    "lens_wasm_repeat" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |CROSS JOIN (VALUES (1),(2),(3)) AS copies(i)""".stripMargin,
     "lens_opaque" ->
       "SELECT c_custkey, c_acctbal * 2 AS doubled_bal FROM customer",
     "lens_rename" ->

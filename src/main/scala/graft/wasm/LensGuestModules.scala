@@ -221,15 +221,17 @@ object LensGuestModules {
    *  v(i64); pattern/msg offsets from the packer. */
   private def parseFieldSeq(ptr: Int, len: Int, pay: Int, idx: Int,
       numStart: Int, v: Int, pat: (Int, Int), noField: (Int, Int),
-      noParam: (Int, Int)): Vector[Instr] = Vector(
+      noParam: Option[(Int, Int)]): Vector[Instr] = Vector(
     // id != JSON -> forward frame verbatim (EOS / Err / Nil)
     LocalGet(ptr), load8s(), ic(TypeJson), neI,
-    If(Empty, Vector(LocalGet(ptr), Return), Vector()),
+    If(Empty, Vector(LocalGet(ptr), Return), Vector())) ++
     // parameters must have been set (reference:
     // tests/integration/cli/with_params_errors_test.go message)
-    GlobalGet(HAS_PARAM), Num(0x45),
-    If(Empty, Vector(
-      ic(noParam._1), ic(noParam._2), Call(MKERR), Return), Vector()),
+    noParam.toVector.flatMap { msg => Vector[Instr](
+      GlobalGet(HAS_PARAM), Num(0x45),
+      If(Empty, Vector(
+        ic(msg._1), ic(msg._2), Call(MKERR), Return), Vector()))
+    } ++ Vector(
     LocalGet(ptr), load32(1), LocalSet(len),
     LocalGet(ptr), ic(5), addI, LocalSet(pay),
     LocalGet(pay), LocalGet(len), ic(pat._1), ic(pat._2), Call(FIND),
@@ -305,7 +307,7 @@ object LensGuestModules {
         ic(d.heapBase), GlobalSet(HEAP), // previous frames consumed: reset
         Call(NEXT), LocalSet(1)) ++
       parseFieldSeq(ptr = 1, len = 2, pay = 3, idx = 4, numStart = 5, v = 9,
-        pat = pat, noField = noField, noParam = noParam) ++
+        pat = pat, noField = noField, noParam = Some(noParam)) ++
       Vector[Instr](
         GlobalGet(PARSE_END), LocalSet(6),
         LocalGet(9), GlobalGet(PARAM), LocalGet(0), mulL, addL, LocalSet(9),
@@ -371,7 +373,7 @@ object LensGuestModules {
             ic(d.heapBase), GlobalSet(HEAP), // rejected frames do not accumulate
             Call(NEXT), LocalSet(1)) ++
           parseFieldSeq(ptr = 1, len = 2, pay = 3, idx = 4, numStart = 5, v = 9,
-            pat = pat, noField = noField, noParam = noParam) ++
+            pat = pat, noField = noField, noParam = Some(noParam)) ++
           Vector[Instr](
             LocalGet(9), GlobalGet(PARAM), geL,
             If(Empty, Vector(LocalGet(1), Return), Vector()),
@@ -436,6 +438,62 @@ object LensGuestModules {
         WasmExport("set_param", 0, F6 + 1)),
       codes = Vector(allocBody, findBody, parseBody, writeBody, mkErrBody,
         transform, setParamBody(timesPat, badParam)),
+      datas = d.segments,
+      start = None))
+  }
+
+  // ---------- guest: counter (stateful T7, no params) ----------
+
+  /** REPLACES integer `field` with a 1-based per-instance counter that
+   *  advances across transform calls — mutable guest state held in a
+   *  wasm global, the reference's stateful counter module (reference:
+   *  tests/modules/rust_wasm32_counter/src/lib.rs:26-54). Order-dependent
+   *  by design: drive serially (one partition) for a deterministic
+   *  sequence, exactly as the reference's single-threaded pull stream. */
+  def counterGuest(field: String): Array[Byte] = {
+    val d = new DataPacker
+    val pat = d.add("\"" + field + "\":")
+    val noField = d.add(s"field '$field' not found")
+
+    // transform()->i32 — shiftGuest's splice with v = ++PARAM (the
+    // counter) instead of parsed+delta.
+    // locals: 1=ptr, 2=len, 3=pay, 4=idx, 5=numStart, 6=numEnd, 7=out,
+    //         8=q, 9=v(i64); 0 unused
+    val transform = FuncBody(
+      Vector(I32, I32, I32, I32, I32, I32, I32, I32, I32, I64),
+      Vector[Instr](
+        ic(d.heapBase), GlobalSet(HEAP),
+        Call(NEXT), LocalSet(1)) ++
+      parseFieldSeq(ptr = 1, len = 2, pay = 3, idx = 4, numStart = 5, v = 9,
+        pat = pat, noField = noField, noParam = None) ++
+      Vector[Instr](
+        GlobalGet(PARSE_END), LocalSet(6),
+        GlobalGet(PARAM), lc(1L), addL, GlobalSet(PARAM),
+        GlobalGet(PARAM), LocalSet(9),
+        ic(26), LocalGet(2), addI, Call(ALLOC), LocalSet(7),
+        LocalGet(7), ic(5), addI, LocalSet(8),
+        LocalGet(8), LocalGet(3), LocalGet(5), LocalGet(3), subI, MemoryCopy,
+        LocalGet(8), LocalGet(5), LocalGet(3), subI, addI, LocalSet(8),
+        LocalGet(8), LocalGet(9), Call(WRITE), LocalSet(8),
+        LocalGet(8), LocalGet(6),
+        LocalGet(3), LocalGet(2), addI, LocalGet(6), subI, MemoryCopy,
+        LocalGet(8), LocalGet(3), LocalGet(2), addI, LocalGet(6), subI, addI,
+        LocalSet(8),
+        LocalGet(7), ic(TypeJson), store8(),
+        LocalGet(7), LocalGet(8), LocalGet(7), subI, ic(5), subI, store32(1),
+        LocalGet(7)))
+
+    WasmBinary.encode(WasmModule(
+      types = types,
+      imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
+      funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr,
+        TNoArgPtr), // 6=transform
+      memMinPages = 2,
+      memMaxPages = None,
+      globals = withHeapInit(globals(4), d.heapBase),
+      exports = commonExports ++ Vector(WasmExport("transform", 0, F6)),
+      codes = Vector(allocBody, findBody, parseBody, writeBody, mkErrBody,
+        transform),
       datas = d.segments,
       start = None))
   }

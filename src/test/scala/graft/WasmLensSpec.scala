@@ -1,0 +1,100 @@
+package graft
+
+import graft.engine.Pipeline
+import graft.wasm.LensGuestModules
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import java.util.Base64
+
+/** Lens files whose stage `path` references a REAL `.wasm` module —
+ *  fetched by URL, magic-sniffed, and executed as bytecode on the
+ *  executors (the reference's GetWasmBytes path,
+ *  host-go/engine/engine.go:67-104). */
+class WasmLensSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private def dataUrl(module: Array[Byte]): String =
+    "data:application/wasm;base64," + Base64.getEncoder.encodeToString(module)
+
+  private val shiftUrl = dataUrl(LensGuestModules.shiftGuest("Age"))
+
+  test("a lens stage pointing at a wasm module executes the bytecode") {
+    val pipe = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+    val out = pipe.forward(Seq(("John", 32L), ("Ada", 36L)).toDF("Name", "Age"))
+      .as[(String, Long)].collect().toSeq.sorted
+    out shouldBe Seq(("Ada", 41L), ("John", 37L))
+  }
+
+  test("the module's inverse export drives `\"inverse\": true` stages") {
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")
+    val roundTrip = Pipeline.fromJson(
+      s"""{"lenses":[
+            {"path":"$shiftUrl","arguments":{"delta":9}},
+            {"path":"$shiftUrl","arguments":{"delta":9},"inverse":true}
+          ]}""")
+    val in = Seq(("John", 32L), ("Ada", 36L)).toDF("Name", "Age")
+    fwd.forward(in).as[(String, Long)].collect().toSet shouldBe
+      Set(("John", 41L), ("Ada", 45L))
+    roundTrip.forward(in).as[(String, Long)].collect().toSet shouldBe
+      Set(("John", 32L), ("Ada", 36L))
+    // and Pipeline.inverse derives the reversed+flipped chain (P11)
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe Set(("John", 32L), ("Ada", 36L))
+  }
+
+  test("a wasm filter module changes stream length (1:<=1 pull contract)") {
+    val url = dataUrl(LensGuestModules.filterGuest("Age"))
+    val pipe = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$url","arguments":{"min":35}}]}""")
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Grace", 45L), ("Al", 10L))
+      .toDF("Name", "Age")
+    pipe.forward(in).as[(String, Long)].collect().toSet shouldBe
+      Set(("Ada", 36L), ("Grace", 45L))
+  }
+
+  test("a wasm 1:N module emits buffered repeats") {
+    val url = dataUrl(LensGuestModules.repeatGuest())
+    val pipe = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$url","arguments":{"times":3}}]}""")
+    val in = Seq(("a", 1L), ("b", 2L)).toDF("Name", "Age")
+    val out = pipe.forward(in).as[(String, Long)].collect().toSeq
+    out.groupBy(identity).view.mapValues(_.size).toMap shouldBe
+      Map(("a", 1L) -> 3, ("b", 2L) -> 3)
+  }
+
+  test("file: scheme fetches and executes a .wasm artifact on disk") {
+    val f = java.nio.file.Files.createTempFile("lens-shift", ".wasm")
+    try {
+      java.nio.file.Files.write(f, LensGuestModules.shiftGuest("Age"))
+      val pipe = Pipeline.fromJson(
+        s"""{"lenses":[{"path":"file:$f","arguments":{"delta":1}}]}""")
+      val out = pipe.forward(Seq(("x", 7L)).toDF("Name", "Age"))
+        .as[(String, Long)].collect().toSeq
+      out shouldBe Seq(("x", 8L))
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("a stateful wasm counter numbers a serial stream (T7 as bytecode)") {
+    val url = dataUrl(LensGuestModules.counterGuest("Id"))
+    val pipe = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$url","arguments":{"serial":true}}]}""")
+    val in = Seq(("w", 0L), ("x", 0L), ("y", 0L), ("z", 0L)).toDF("Name", "Id")
+    pipe.forward(in).as[(String, Long)].collect().toSet shouldBe
+      Set(("w", 1L), ("x", 2L), ("y", 3L), ("z", 4L))
+  }
+
+  test("a guest error surfaces with the guest's own message") {
+    // module parameterized but the lens file passes no arguments
+    val pipe = Pipeline.fromJson(s"""{"lenses":[{"path":"$shiftUrl"}]}""")
+    val e = intercept[Exception] {
+      pipe.forward(Seq(("x", 1L)).toDF("Name", "Age")).collect()
+    }
+    e.getMessage should include(LensGuestModules.NoParamsMsg)
+  }
+}

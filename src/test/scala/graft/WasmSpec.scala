@@ -184,6 +184,17 @@ class WasmSpec extends AnyFunSuite with Matchers {
       """{"a":2}""", """{"a":2}""", """{"a":2}""")
   }
 
+  test("counter guest advances mutable guest state across transform calls (T7)") {
+    val g = new WasmGuest(LensGuestModules.counterGuest("id"), "transform",
+      None, identity)
+    drive(g, Seq(
+      """{"id":0,"n":"a"}""", """{"id":0,"n":"b"}""",
+      """{"id":0,"n":"c"}""")) shouldBe Seq(
+      """{"id":1,"n":"a"}""", """{"id":2,"n":"b"}""", """{"id":3,"n":"c"}""")
+    // a fresh open() is a fresh instance: state does not leak
+    drive(g, Seq("""{"id":9}""")) shouldBe Seq("""{"id":1}""")
+  }
+
   test("guest memory stays bounded across many items (allocator resets)") {
     val g = shift(1)
     val t = g.open()
