@@ -41,6 +41,9 @@ final case class BrIf(depth: Int) extends Instr
 final case class BrTable(targets: Vector[Int], default: Int) extends Instr
 case object Return extends Instr
 final case class Call(funcIdx: Int) extends Instr
+/** Indirect call through the funcref table (how compiled Rust/AS guests
+ *  dispatch trait objects / function pointers). */
+final case class CallIndirect(typeIdx: Int) extends Instr
 
 // ---- parametric / variable ----
 case object Drop extends Instr
@@ -86,6 +89,8 @@ final case class WasmGlobal(valType: Byte, mutable: Boolean, init: Vector[Instr]
 final case class WasmExport(name: String, kind: Int, idx: Int)
 final case class FuncBody(locals: Vector[Byte], body: Vector[Instr])
 final case class DataSeg(offset: Int, bytes: Vector[Byte])
+/** Active funcref element segment for table 0. */
+final case class ElemSeg(offset: Int, funcIdxs: Vector[Int])
 
 final case class WasmModule(
     types: Vector[FuncType],
@@ -97,7 +102,9 @@ final case class WasmModule(
     exports: Vector[WasmExport],
     codes: Vector[FuncBody],
     datas: Vector[DataSeg],
-    start: Option[Int]) {
+    start: Option[Int],
+    tableMin: Int = 0,
+    elems: Vector[ElemSeg] = Vector.empty) {
   def export(name: String): Option[WasmExport] = exports.find(_.name == name)
 }
 
@@ -161,6 +168,8 @@ object WasmBinary {
     var codes = Vector.empty[FuncBody]
     var datas = Vector.empty[DataSeg]
     var start = Option.empty[Int]
+    var tableMin = 0
+    var elems = Vector.empty[ElemSeg]
 
     while (r.hasMore) {
       val id = r.u8()
@@ -186,6 +195,16 @@ object WasmBinary {
           }
         case 3 => // function
           funcTypeIdxs = Vector.fill(r.u32())(r.u32())
+        case 4 => // table (one funcref table, the MVP limit)
+          val n = r.u32()
+          if (n > 1) throw new WasmDecodeError("multiple tables unsupported")
+          if (n == 1) {
+            val et = r.u8()
+            if (et != 0x70) throw new WasmDecodeError(s"non-funcref table $et")
+            val flags = r.u8()
+            tableMin = r.u32()
+            if ((flags & 1) != 0) r.u32() // max: tracked implicitly
+          }
         case 5 => // memory
           val n = r.u32()
           if (n > 1) throw new WasmDecodeError("multiple memories unsupported")
@@ -205,6 +224,17 @@ object WasmBinary {
             WasmExport(r.name(), r.u8(), r.u32())
           }
         case 8 => start = Some(r.u32())
+        case 9 => // elem (active funcref segments for table 0)
+          elems = Vector.fill(r.u32()) {
+            val flag = r.u32()
+            if (flag != 0) throw new WasmDecodeError(
+              s"only active table-0 elem segments supported (flag $flag)")
+            val off = decodeExpr(r) match {
+              case Vector(I32Const(v)) => v
+              case other => throw new WasmDecodeError(s"bad elem offset expr $other")
+            }
+            ElemSeg(off, Vector.fill(r.u32())(r.u32()))
+          }
         case 10 => // code
           codes = Vector.fill(r.u32()) {
             val bodySize = r.u32()
@@ -234,7 +264,7 @@ object WasmBinary {
       r.pos = end
     }
     WasmModule(types, imports, funcTypeIdxs, memMin, memMax, globals,
-      exports, codes, datas, start)
+      exports, codes, datas, start, tableMin, elems)
   }
 
   /** Decode an instruction sequence up to (and consuming) `end` (0x0B).
@@ -280,6 +310,11 @@ object WasmBinary {
           out += BrTable(targets, r.u32())
         case 0x0F => out += Return
         case 0x10 => out += Call(r.u32())
+        case 0x11 =>
+          val typeIdx = r.u32()
+          val table = r.u8()
+          if (table != 0) throw new WasmDecodeError("call_indirect: table != 0")
+          out += CallIndirect(typeIdx)
         case 0x1A => out += Drop
         case 0x1B => out += Select
         case 0x20 => out += LocalGet(r.u32())
@@ -381,6 +416,9 @@ object WasmBinary {
     if (m.funcTypeIdxs.nonEmpty) section(3) { s =>
       s.u32(m.funcTypeIdxs.size); m.funcTypeIdxs.foreach(s.u32)
     }
+    if (m.tableMin > 0) section(4) { s =>
+      s.u32(1); s.u8(0x70); s.u8(0x00); s.u32(m.tableMin)
+    }
     if (m.memMinPages > 0 || m.memMaxPages.nonEmpty) section(5) { s =>
       s.u32(1)
       m.memMaxPages match {
@@ -400,6 +438,14 @@ object WasmBinary {
       m.exports.foreach { e => s.name(e.name); s.u8(e.kind); s.u32(e.idx) }
     }
     m.start.foreach(idx => section(8)(_.u32(idx)))
+    if (m.elems.nonEmpty) section(9) { s =>
+      s.u32(m.elems.size)
+      m.elems.foreach { e =>
+        s.u32(0)
+        s.u8(0x41); s.s32(e.offset); s.u8(0x0B)
+        s.u32(e.funcIdxs.size); e.funcIdxs.foreach(s.u32)
+      }
+    }
     if (m.codes.nonEmpty) section(10) { s =>
       s.u32(m.codes.size)
       m.codes.foreach { c =>
@@ -445,6 +491,7 @@ object WasmBinary {
         w.u8(0x0E); w.u32(ts.size); ts.foreach(w.u32); w.u32(d)
       case Return => w.u8(0x0F)
       case Call(f) => w.u8(0x10); w.u32(f)
+      case CallIndirect(t) => w.u8(0x11); w.u32(t); w.u8(0x00)
       case Drop => w.u8(0x1A)
       case Select => w.u8(0x1B)
       case LocalGet(i) => w.u8(0x20); w.u32(i)

@@ -73,6 +73,18 @@ object WasmInterp {
       System.arraycopy(arr, 0, memory, d.offset, arr.length)
     }
 
+    // funcref table + element segments
+    private val table: Array[Int] = {
+      val sizeNeeded = (module.tableMin +:
+        module.elems.map(e => e.offset + e.funcIdxs.size)).max
+      val t = Array.fill(sizeNeeded)(-1)
+      module.elems.foreach { e =>
+        var i = 0
+        while (i < e.funcIdxs.size) { t(e.offset + i) = e.funcIdxs(i); i += 1 }
+      }
+      t
+    }
+
     module.start.foreach(idx => invokeByIndex(idx, Vector.empty))
 
     def memorySize: Int = memory.length
@@ -167,6 +179,23 @@ object WasmInterp {
             val ftype =
               if (f < nImp) module.types(module.imports(f).typeIdx)
               else module.types(module.funcTypeIdxs(f - nImp))
+            val argc = ftype.params.size
+            val args = new Array[Long](argc)
+            var j = argc - 1
+            while (j >= 0) { args(j) = stack.pop(); j -= 1 }
+            invokeByIndex(f, args.toVector).foreach(stack.push)
+          case CallIndirect(typeIdx) =>
+            val slot = stack.pop().toInt
+            if (slot < 0 || slot >= table.length || table(slot) < 0)
+              throw new WasmTrap(s"undefined element at table slot $slot")
+            val f = table(slot)
+            val nImp = module.imports.size
+            val actualType =
+              if (f < nImp) module.imports(f).typeIdx
+              else module.funcTypeIdxs(f - nImp)
+            if (module.types(actualType) != module.types(typeIdx))
+              throw new WasmTrap("indirect call type mismatch")
+            val ftype = module.types(typeIdx)
             val argc = ftype.params.size
             val args = new Array[Long](argc)
             var j = argc - 1
@@ -438,6 +467,12 @@ object WasmInterp {
         case 0xBD => // i64.reinterpret_f64 (bit-identical slot)
         case 0xBE => s.push(s.pop() & 0xFFFFFFFFL) // f32.reinterpret_i32 (zero-extend)
         case 0xBF => // f64.reinterpret_i64 (bit-identical slot)
+        // sign-extension operators (post-MVP, emitted by LLVM by default)
+        case 0xC0 => pushI(i32.toByte.toInt) // i32.extend8_s
+        case 0xC1 => pushI(i32.toShort.toInt) // i32.extend16_s
+        case 0xC2 => pushL(i64.toByte.toLong) // i64.extend8_s
+        case 0xC3 => pushL(i64.toShort.toLong) // i64.extend16_s
+        case 0xC4 => pushL(i64.toInt.toLong) // i64.extend32_s
         case other => throw new WasmTrap(f"unsupported numeric opcode 0x$other%02X")
       }
     }

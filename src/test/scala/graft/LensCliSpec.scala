@@ -53,6 +53,18 @@ class LensCliSpec extends AnyFunSuite {
       """[{"BookName":"A","Number":1},{"BookName":"A","Number":2},{"BookName":"C","Number":7}]""")
   }
 
+  test("a lens file shipping a real .wasm module runs through the one-shot CLI") {
+    val url = "data:application/wasm;base64," +
+      java.util.Base64.getEncoder.encodeToString(
+        graft.wasm.LensGuestModules.shiftGuest("Age"))
+    val lens = s"""{"lenses":[{"path":"$url","arguments":{"delta":5}}]}"""
+    val fwd = LensCli.run(spark, people, lens)
+    assert(fwd == """[{"Age":26,"Name":"John"},{"Age":14,"Name":"Fred"}]""")
+    // inverse selects the module's own `inverse` export
+    val back = LensCli.run(spark, fwd, lens, invert = true)
+    assert(back == """[{"Age":21,"Name":"John"},{"Age":9,"Name":"Fred"}]""")
+  }
+
   test("stateful counter assigns sequential ids (reference T7)") {
     val lens =
       """{"lenses":[{"path":"builtin:counter",

@@ -97,6 +97,44 @@ class WasmSpec extends AnyFunSuite with Matchers {
     run1(m, "f") shouldBe (254L + 1L + 255L + 0x01010101L)
   }
 
+  test("call_indirect dispatches through the funcref table (SDK-compiled shape)") {
+    // table [add, mul]; f(sel, a, b) = table[sel](a, b)
+    val binop = FuncType(Vector(ValType.I32, ValType.I32), Vector(ValType.I32))
+    val m = WasmModule(
+      types = Vector(
+        FuncType(Vector(ValType.I32, ValType.I32, ValType.I32), Vector(ValType.I32)),
+        binop),
+      imports = Vector.empty,
+      funcTypeIdxs = Vector(0, 1, 1),
+      memMinPages = 0, memMaxPages = None,
+      globals = Vector.empty,
+      exports = Vector(WasmExport("f", 0, 0)),
+      codes = Vector(
+        FuncBody(Vector(), Vector(
+          LocalGet(1), LocalGet(2), LocalGet(0), CallIndirect(1))),
+        FuncBody(Vector(), Vector(LocalGet(0), LocalGet(1), Num(0x6A))), // add
+        FuncBody(Vector(), Vector(LocalGet(0), LocalGet(1), Num(0x6C)))), // mul
+      datas = Vector.empty, start = None,
+      tableMin = 2, elems = Vector(ElemSeg(0, Vector(1, 2))))
+    // round-trips through the binary format too
+    val decoded = WasmBinary.decode(WasmBinary.encode(m))
+    decoded shouldBe m
+    val inst = new WasmInterp.Instance(decoded, Map.empty)
+    inst.invoke("f", 0L, 6L, 7L).head shouldBe 13L
+    inst.invoke("f", 1L, 6L, 7L).head shouldBe 42L
+    a[WasmTrap] should be thrownBy inst.invoke("f", 5L, 1L, 1L) // OOB slot
+  }
+
+  test("sign-extension operators (emitted by LLVM by default)") {
+    val m = func(Vector(ValType.I32), Vector(ValType.I32), Vector(),
+      LocalGet(0), Num(0xC0)) // i32.extend8_s
+    run1(m, "f", 0x80L) shouldBe -128L
+    run1(m, "f", 0x7FL) shouldBe 127L
+    val m64 = func(Vector(ValType.I64), Vector(ValType.I64), Vector(),
+      LocalGet(0), Num(0xC4)) // i64.extend32_s
+    run1(m64, "f", 0xFFFFFFFFL) shouldBe -1L
+  }
+
   test("traps: unreachable, division by zero, out-of-bounds access") {
     val unreachable = func(Vector(), Vector(), Vector(), Unreachable)
     a[WasmTrap] should be thrownBy run1(unreachable, "f")
