@@ -50,10 +50,16 @@ object Pagerank {
     require(iters >= 1 && iters <= 100, "need 1 <= iters <= 100")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percent")
     val ONE = 1000000000L
+    // Re-partition the deduped edges by src BEFORE caching: distinct()
+    // leaves hash(src, dst) partitioning, under which every iteration's
+    // contribution join would re-shuffle the FULL edge table; cached as
+    // hash(src) the per-iteration join co-locates against the rank side
+    // and only (id, rank) pairs move — |E|-shuffle once, |V|-shuffle per
+    // round, the difference that dominates at web-graph scale.
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst").as("node_id")))
       .distinct().persist()

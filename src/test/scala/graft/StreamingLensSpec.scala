@@ -36,6 +36,28 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a real .wasm lens stage runs unchanged on a stream (S4 × P5)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val url = "data:application/wasm;base64," +
+      java.util.Base64.getEncoder.encodeToString(
+        graft.wasm.LensGuestModules.shiftGuest("qty"))
+    val in = MemoryStream[(String, Long)]
+    val pipe = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$url","arguments":{"delta":100}}]}""")
+    val out = StreamingLens.forward(pipe, in.toDF.toDF("name", "qty"))
+    val q = out.writeStream.format("memory").queryName("s_wasm").start()
+    try {
+      in.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+      in.addData(("c", 3L)) // a second micro-batch re-instantiates cleanly
+      q.processAllAvailable()
+      val rows = spark.sql("select name, qty from s_wasm order by name")
+        .as[(String, Long)].collect().toSeq
+      assert(rows == Seq(("a", 101L), ("b", 102L), ("c", 103L)))
+    } finally q.stop()
+  }
+
   test("batch-only ops are rejected eagerly with the op name") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

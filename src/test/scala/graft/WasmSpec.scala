@@ -26,6 +26,66 @@ class WasmSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("codec round-trip property over random modules (LEB128 edges included)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val intEdges = Gen.oneOf(0, 1, -1, 63, 64, -64, -65, 127, 128,
+      Int.MaxValue, Int.MinValue)
+    val longEdges = Gen.oneOf(0L, -1L, 63L, -64L, -65L, 8191L,
+      Long.MaxValue, Long.MinValue)
+    val leaf: Gen[Instr] = Gen.oneOf(
+      intEdges.map(I32Const.apply), longEdges.map(I64Const.apply),
+      intEdges.map(F32Const.apply), longEdges.map(F64Const.apply),
+      Gen.choose(0, 10).map(LocalGet.apply), Gen.choose(0, 10).map(LocalSet.apply),
+      Gen.choose(0, 3).map(GlobalGet.apply), Gen.choose(0, 3).map(GlobalSet.apply),
+      Gen.choose(0, 3).map(Br.apply), Gen.choose(0, 3).map(BrIf.apply),
+      Gen.choose(0, 7).map(Call.apply), Gen.choose(0, 6).map(CallIndirect.apply),
+      for { op <- Gen.choose(0x28, 0x35); a <- Gen.choose(0, 3);
+            o <- Gen.choose(0, 1 << 20) } yield MemLoad(op, a, o),
+      for { op <- Gen.choose(0x36, 0x3E); a <- Gen.choose(0, 3);
+            o <- Gen.choose(0, 1 << 20) } yield MemStore(op, a, o),
+      Gen.choose(0x45, 0xC4).map(Num.apply),
+      Gen.oneOf(Seq[Instr](Nop, Drop, Select, Return, Unreachable,
+        MemorySize, MemoryGrow, MemoryCopy, MemoryFill)),
+      Gen.listOfN(3, Gen.choose(0, 3)).map(ts => BrTable(ts.toVector, 0)))
+    def instr(depth: Int): Gen[Instr] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        6 -> leaf,
+        1 -> Gen.listOfN(3, instr(depth - 1)).map(b => Block(0x40, b.toVector)),
+        1 -> Gen.listOfN(3, instr(depth - 1)).map(b => Loop(0x7F, b.toVector)),
+        1 -> (for { t <- Gen.listOfN(2, instr(depth - 1));
+                    e <- Gen.listOfN(2, instr(depth - 1)) }
+              yield If(0x40, t.toVector, e.toVector)),
+        1 -> Gen.listOfN(2, instr(depth - 1)).map(b => If(0x7E, b.toVector, Vector())))
+    val moduleGen: Gen[WasmModule] = for {
+      body <- Gen.listOfN(12, instr(2))
+      locals <- Gen.listOf(Gen.oneOf(ValType.I32, ValType.I64, ValType.F32, ValType.F64))
+      nGlobals <- Gen.choose(0, 3)
+      data <- Gen.listOf(Gen.choose(-128, 127).map(_.toByte))
+      tbl <- Gen.choose(0, 4)
+    } yield WasmModule(
+      types = Vector(FuncType(Vector(ValType.I32), Vector(ValType.I64))),
+      imports = Vector(WasmImport("env", "host", 0)),
+      funcTypeIdxs = Vector(0),
+      memMinPages = 1, memMaxPages = None,
+      globals = Vector.fill(nGlobals)(
+        WasmGlobal(ValType.I64, mutable = true, Vector(I64Const(7L)))),
+      exports = Vector(WasmExport("f", 0, 1), WasmExport("memory", 2, 0)),
+      codes = Vector(FuncBody(locals.toVector, body.toVector)),
+      datas = if (data.isEmpty) Vector.empty
+        else Vector(DataSeg(64, data.toVector)),
+      start = None,
+      tableMin = tbl,
+      elems = if (tbl == 0) Vector.empty
+        else Vector(ElemSeg(0, Vector.fill(tbl)(1))))
+    (1 to 60).foreach { i =>
+      val m = moduleGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val decoded = WasmBinary.decode(WasmBinary.encode(m))
+      withClue(s"seed $i") { decoded shouldBe m }
+    }
+  }
+
   // ---------- evaluator core ----------
 
   private def run1(m: WasmModule, fn: String, args: Long*): Long =
