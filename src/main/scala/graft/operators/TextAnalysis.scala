@@ -558,4 +558,54 @@ object TextAnalysis {
         sum(col("term_micro")).as("kl_micro"))
       .select(col("grp").as(groupCol), col("n_tokens"), col("kl_micro"))
   }
+
+  /**
+   * Heavy hitters via a count–min sketch (Cormode & Muthukrishnan 2005):
+   * tokens whose estimated frequency reaches `minSharePpm` parts-per-
+   * million of the corpus token count. The sketch answers the SKEWED
+   * monitoring question ("which terms dominate this snapshot?") in one
+   * pass with O(1/eps · ln 1/(1-conf)) memory where the exact vocabulary
+   * aggregate ([[vocabulary]]) shuffles every distinct token — the same
+   * exact-vs-sketch trade [[approxDistinct]] makes with HLL.
+   *
+   * Determinism: Spark's `count_min_sketch` with a fixed seed is
+   * merge-order-independent (cell-wise sums), so the sketch bytes — and
+   * every estimate — replay bit-exactly across reruns and partitionings.
+   * CMS guarantees estimate >= exact always, and estimate <= exact +
+   * eps·N with probability `confidence` per query — the contract
+   * `text_cms_verify` hash-certifies cross-engine against DuckDB's exact
+   * per-token counts.
+   *
+   * 100 TB shape: one pass building a ~56 KB sketch (map-side partial
+   * merge, 1-row result to the driver — bounded), then the vocab-bounded
+   * distinct-token probe runs map-side with the sketch bytes in the
+   * closure; threshold arithmetic is integer (ppm), never FP-ambiguous.
+   * The probe is per-DISTINCT-token (vocab-bounded), not per-occurrence,
+   * so the sketch-library call sits outside any corpus-sized hot loop.
+   */
+  def heavyHitters(df: DataFrame, textCol: String, minSharePpm: Long,
+      eps: Double = 0.002, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val toks = df.select(
+      explode(split(col(textCol), " ")).as("token"))
+    val one = toks.agg(
+      expr(s"count_min_sketch(token, ${eps}d, ${confidence}d, $seed)").as("cms"),
+      count(lit(1)).as("n_total")).head()
+    val sketchBytes = one.getAs[Array[Byte]](0)
+    val nTotal = one.getLong(1)
+    val threshold = nTotal * minSharePpm / 1000000L
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong)
+    toks.distinct()
+      .select(col("token")).as(org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions { it =>
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        it.map(t => (t, sk.estimateCount(t)))
+      }(enc)
+      .toDF("token", "est_count")
+      .where(col("est_count") >= threshold)
+      .withColumn("n_total", lit(nTotal))
+  }
 }

@@ -355,6 +355,25 @@ object BuiltinOps {
         })
     },
 
+    // Z-order clustering layout (Layout.zorderLayout): emits (id, zval,
+    // pos) — the two-dimensional write order; callers join it back or
+    // repartitionByRange(pos) before writing.
+    "zorder" -> { a =>
+      val id = a.str("id")
+      val (da, db) = (a.str("dim_a"), a.str("dim_b"))
+      LensOp.setLevel(s"zorder($da x $db)",
+        df => graft.operators.Layout.zorderLayout(df, id, da, db))
+    },
+
+    // Count-min-sketch heavy hitters (TextAnalysis.heavyHitters): tokens
+    // at >= `min_ppm` parts-per-million of the corpus, sketch-estimated.
+    "heavy_hitters" -> { a =>
+      val t = a.strOpt("text").getOrElse("text")
+      val ppm = a.intOpt("min_ppm").getOrElse(1000).toLong
+      LensOp.setLevel(s"heavy_hitters($t >= ${ppm}ppm)",
+        df => graft.operators.TextAnalysis.heavyHitters(df, t, ppm))
+    },
+
     // PageRank over an edge table (Pagerank.run): the rows ARE the edges;
     // emits (node_id, pr_nano) after `iters` integer power iterations.
     "pagerank" -> { a =>

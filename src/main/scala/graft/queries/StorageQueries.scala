@@ -123,17 +123,48 @@ object StorageQueries extends QueryProvider {
       |    AS BIGINT) AS train_pos
       |FROM documents""".stripMargin
 
+  /** Z-order layout over (o_custkey, o_totalprice): the DuckDB oracle
+   *  replays the rank spaces and the five-step Morton spread as a CTE
+   *  chain with the same decimal mask literals, so the hash certifies
+   *  the full bit-interleave, not just that positions permute. */
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.zorderLayout(
+      T(s, dir, "orders"), "o_orderkey", "o_custkey", "o_totalprice")
+
+  private val zorderLayoutSql: String = {
+    def spreadCtes(tag: String, orderBy: String): String = {
+      val base = s"""${tag}0 AS (SELECT o_orderkey AS id,
+         |  ((CAST(row_number() OVER (ORDER BY $orderBy, o_orderkey) AS BIGINT) - 1)
+         |    & 4294967295) AS x FROM orders)""".stripMargin
+      val steps = graft.operators.Layout.spreadSteps.zipWithIndex.map {
+        case ((sh, m), i) =>
+          s"${tag}${i + 1} AS (SELECT id, ((x | (x << $sh)) & $m) AS x FROM $tag$i)"
+      }
+      (base +: steps).mkString(",\n")
+    }
+    s"""WITH
+       |${spreadCtes("ra", "o_custkey")},
+       |${spreadCtes("rb", "o_totalprice")},
+       |z AS (SELECT ra5.id, (ra5.x | (rb5.x << 1)) AS zval
+       |  FROM ra5 JOIN rb5 ON ra5.id = rb5.id)
+       |SELECT id AS o_orderkey, zval,
+       |  CAST(row_number() OVER (ORDER BY zval, id) AS BIGINT) AS pos
+       |FROM z""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_bucketed_join"   -> (bucketedJoin _),
     "q_sample_per_group" -> (samplePerGroup _),
     "q_split_assign"     -> (splitAssign _),
-    "q_shuffle_order"    -> (shuffleOrder _)
+    "q_shuffle_order"    -> (shuffleOrder _),
+    "q_zorder_layout"    -> (zorderLayout _)
   )
 
   override val oracles: Map[String, String] = Map(
     "io_bucketed_join"   -> bucketedJoinSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_split_assign"     -> splitAssignSql,
-    "q_shuffle_order"    -> shuffleOrderSql
+    "q_shuffle_order"    -> shuffleOrderSql,
+    "q_zorder_layout"    -> zorderLayoutSql
   )
 }

@@ -1360,10 +1360,51 @@ object TextQueries extends QueryProvider {
     "text_profile"     -> (profile _),
     "text_repetition"  -> (repetition _),
     "text_contamination" -> (contamination _),
+    "text_cms_verify"  -> (cmsVerify _),
     "pipeline_prep_corpus" -> (prepCorpus _)
   )
 
+  // Count-min-sketch heavy hitters (TextAnalysis.heavyHitters). The
+  // estimates are sketch-internal, so the production shape benches only;
+  // `text_cms_verify` materializes (token, est, n_total) and DuckDB
+  // re-derives exact per-token counts from raw text, certifying BOTH CMS
+  // contracts cross-engine: est >= exact unconditionally, and
+  // est <= exact + eps*N at the configured confidence (fixed seed makes
+  // the sketch — and so the booleans — rerun-deterministic).
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.heavyHitters(
+      T(s, dir, "documents"), "text", minSharePpm = 2000L)
+
+  private def cmsVerify(s: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.materialize(s, dir, "cms_hitters", heavyHitters(s, dir))
+    val exact = T(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    s.read.parquet(path).join(exact, Seq("token"))
+      .select(col("token"), col("est_count"), col("n_exact"),
+        (col("est_count") >= col("n_exact")).as("ge_exact"),
+        (col("est_count") <= col("n_exact") +
+          col("n_total").cast("double") * 0.002).as("within_eps"))
+  }
+
+  private val cmsVerifySql =
+    s"""WITH m AS (SELECT token, est_count, n_total
+       |  FROM read_parquet('${Scratch.oraclePath("cms_hitters")}/*.parquet')),
+       |e AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |  GROUP BY token)
+       |SELECT m.token AS token, m.est_count AS est_count, e.n_exact AS n_exact,
+       |  (m.est_count >= e.n_exact) AS ge_exact,
+       |  (m.est_count <= e.n_exact + CAST(m.n_total AS DOUBLE) * 0.002)
+       |    AS within_eps
+       |FROM m JOIN e ON m.token = e.token""".stripMargin
+
+  override val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> (heavyHitters _)
+  )
+
   override val oracles: Map[String, String] = Map(
+    "text_cms_verify"  -> cmsVerifySql,
     "pipeline_pretrain_full" -> pretrainFullSql,
     "text_unigram_lm"  -> unigramLmSql,
     "text_bigram_lm"   -> bigramLmSql,

@@ -442,6 +442,223 @@ object LensGuestModules {
       start = None))
   }
 
+  // ---------- guest: rename (T1/T4 with inverse) ----------
+
+  /** Renames JSON field `src` to `dst` by byte-splicing the first key
+   *  occurrence; `inverse` renames back — the reference's rename module
+   *  with its error message (reference:
+   *  tests/modules/rust_wasm32_rename/src/lib.rs:31-37). */
+  def renameGuest(src: String, dst: String): Array[Byte] = {
+    val d = new DataPacker
+    val srcPat = d.add("\"" + src + "\":")
+    val dstPat = d.add("\"" + dst + "\":")
+    val notFound = d.add("The requested property was not found")
+
+    // doRename(spatPtr, spatLen, dpatPtr, dpatLen) -> i32  (type TFind)
+    // locals: 4=ptr, 5=len, 6=pay, 7=idx, 8=out, 9=q
+    val doRename = FuncBody(Vector(I32, I32, I32, I32, I32, I32), Vector(
+      ic(d.heapBase), GlobalSet(HEAP),
+      Call(NEXT), LocalSet(4),
+      LocalGet(4), load8s(), ic(TypeJson), neI,
+      If(Empty, Vector(LocalGet(4), Return), Vector()),
+      LocalGet(4), load32(1), LocalSet(5),
+      LocalGet(4), ic(5), addI, LocalSet(6),
+      LocalGet(6), LocalGet(5), LocalGet(0), LocalGet(1), Call(FIND),
+      LocalTee(7), ic(0), ltI,
+      If(Empty, Vector(
+        ic(notFound._1), ic(notFound._2), Call(MKERR), Return), Vector()),
+      ic(13), LocalGet(5), addI, LocalGet(3), addI, Call(ALLOC), LocalSet(8),
+      LocalGet(8), ic(5), addI, LocalSet(9),
+      // prefix
+      LocalGet(9), LocalGet(6), LocalGet(7), MemoryCopy,
+      LocalGet(9), LocalGet(7), addI, LocalSet(9),
+      // replacement key
+      LocalGet(9), LocalGet(2), LocalGet(3), MemoryCopy,
+      LocalGet(9), LocalGet(3), addI, LocalSet(9),
+      // suffix
+      LocalGet(9),
+      LocalGet(6), LocalGet(7), addI, LocalGet(1), addI,
+      LocalGet(5), LocalGet(7), subI, LocalGet(1), subI, MemoryCopy,
+      LocalGet(9), LocalGet(5), LocalGet(7), subI, LocalGet(1), subI, addI,
+      LocalSet(9),
+      LocalGet(8), ic(TypeJson), store8(),
+      LocalGet(8), LocalGet(9), LocalGet(8), subI, ic(5), subI, store32(1),
+      LocalGet(8)))
+
+    val transform = FuncBody(Vector(), Vector(
+      ic(srcPat._1), ic(srcPat._2), ic(dstPat._1), ic(dstPat._2), Call(F6)))
+    val inverse = FuncBody(Vector(), Vector(
+      ic(dstPat._1), ic(dstPat._2), ic(srcPat._1), ic(srcPat._2), Call(F6)))
+
+    WasmBinary.encode(WasmModule(
+      types = types,
+      imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
+      funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr,
+        TFind, TNoArgPtr, TNoArgPtr), // 6=doRename 7=transform 8=inverse
+      memMinPages = 2,
+      memMaxPages = None,
+      globals = withHeapInit(globals(4), d.heapBase),
+      exports = commonExports ++ Vector(
+        WasmExport("transform", 0, F6 + 1),
+        WasmExport("inverse", 0, F6 + 2)),
+      codes = Vector(allocBody, findBody, parseBody, writeBody, mkErrBody,
+        doRename, transform, inverse),
+      datas = d.segments,
+      start = None))
+  }
+
+  // ---------- guest: normalize (buffered 1:N explode, T6) ----------
+
+  // globals 4-7 (normalize guest): the pending-array scan state
+  private val ARR_POS = 4 // i32 mut: scan position inside the array span (0 = none)
+  private val ARR_END = 5 // i32 mut: position of the closing ']'
+  private val NAME_PTR = 6 // i32 mut: book-name string span start
+  private val NAME_LEN = 7 // i32 mut
+
+  /** The reference's normalize module semantics as bytecode:
+   *  `Book{Name, PageNumbers[]}` → one `Page{BookName, Number}` per array
+   *  element, the remainder buffered in guest state across transform
+   *  calls; an empty array yields a Nil item, and a Nil input forwards as
+   *  Nil (reference: tests/modules/rust_wasm32_normalize/src/lib.rs:22-78).
+   *  The heap resets only when the pending array drains, so memory is
+   *  bounded by one book's frames. */
+  def normalizeGuest(): Array[Byte] = {
+    val d = new DataPacker
+    val patName = d.add("\"Name\":")
+    val patPages = d.add("\"PageNumbers\":")
+    val lit1 = d.add("{\"BookName\":\"")
+    val lit2 = d.add("\",\"Number\":")
+    val noName = d.add("field 'Name' not found")
+    val noPages = d.add("field 'PageNumbers' not found")
+
+    // skip spaces/commas at ARR_POS up to ARR_END (inline sequence)
+    val skipSeps: Vector[Instr] = Vector(
+      Block(Empty, Vector(
+        Loop(Empty, Vector(
+          GlobalGet(ARR_POS), GlobalGet(ARR_END), geI, BrIf(1),
+          GlobalGet(ARR_POS), load8u(), LocalTee(0),
+          ic(' '.toInt), eqI,
+          LocalGet(0), ic(','.toInt), eqI,
+          Num(0x72), // or
+          Num(0x45), BrIf(1), // neither -> stop
+          GlobalGet(ARR_POS), ic(1), addI, GlobalSet(ARR_POS),
+          Br(0))))))
+
+    // emitElem() -> i32: one Page frame from the element at ARR_POS.
+    // locals: 0=numStart, 1=p, 2=out, 3=q, 4=c
+    val emitElem = FuncBody(Vector(I32, I32, I32, I32, I32), Vector(
+      GlobalGet(ARR_POS), LocalTee(0), LocalSet(1),
+      Block(Empty, Vector(
+        Loop(Empty, Vector(
+          LocalGet(1), GlobalGet(ARR_END), geI, BrIf(1),
+          LocalGet(1), load8u(), LocalTee(4), ic('-'.toInt), eqI,
+          If(Empty, Vector(
+            LocalGet(1), ic(1), addI, LocalSet(1), Br(1)), Vector()),
+          LocalGet(4), ic('0'.toInt), ltI, BrIf(1),
+          LocalGet(4), ic('9'.toInt), gtI, BrIf(1),
+          LocalGet(1), ic(1), addI, LocalSet(1),
+          Br(0))))),
+      LocalGet(1), GlobalSet(ARR_POS),
+      // out = alloc(5 + 13 + NAME_LEN + 11 + numLen + 1)
+      ic(30), GlobalGet(NAME_LEN), addI,
+      LocalGet(1), LocalGet(0), subI, addI, Call(ALLOC), LocalSet(2),
+      LocalGet(2), ic(5), addI, LocalSet(3),
+      LocalGet(3), ic(lit1._1), ic(lit1._2), MemoryCopy,
+      LocalGet(3), ic(lit1._2), addI, LocalSet(3),
+      LocalGet(3), GlobalGet(NAME_PTR), GlobalGet(NAME_LEN), MemoryCopy,
+      LocalGet(3), GlobalGet(NAME_LEN), addI, LocalSet(3),
+      LocalGet(3), ic(lit2._1), ic(lit2._2), MemoryCopy,
+      LocalGet(3), ic(lit2._2), addI, LocalSet(3),
+      LocalGet(3), LocalGet(0), LocalGet(1), LocalGet(0), subI, MemoryCopy,
+      LocalGet(3), LocalGet(1), LocalGet(0), subI, addI, LocalSet(3),
+      LocalGet(3), ic('}'.toInt), store8(),
+      LocalGet(3), ic(1), addI, LocalSet(3),
+      LocalGet(2), ic(TypeJson), store8(),
+      LocalGet(2), LocalGet(3), LocalGet(2), subI, ic(5), subI, store32(1),
+      LocalGet(2)))
+
+    // transform() -> i32
+    // locals: 0=c(skipSeps scratch), 1=ptr, 2=len, 3=pay, 4=i, 5=p, 6=q
+    val transform = FuncBody(Vector(I32, I32, I32, I32, I32, I32, I32),
+      Vector[Instr](
+        GlobalGet(ARR_POS), Num(0x45), // pending array?
+        If(Empty, Vector(), // none -> fall to pull
+          skipSeps ++ Vector[Instr](
+            GlobalGet(ARR_POS), GlobalGet(ARR_END), ltI,
+            If(Empty, Vector(Call(F6), Return), Vector()),
+            ic(0), GlobalSet(ARR_POS)))) ++ // drained -> pull a new book
+      Vector[Instr](
+        ic(d.heapBase), GlobalSet(HEAP),
+        Call(NEXT), LocalSet(1),
+        // EOS/Err forwarded; Nil input -> Nil output (reference behavior)
+        LocalGet(1), load8s(), ic(TypeJson), neI,
+        If(Empty, Vector(LocalGet(1), Return), Vector()),
+        LocalGet(1), load32(1), LocalSet(2),
+        LocalGet(1), ic(5), addI, LocalSet(3),
+        // Name string span
+        LocalGet(3), LocalGet(2), ic(patName._1), ic(patName._2), Call(FIND),
+        LocalTee(4), ic(0), ltI,
+        If(Empty, Vector(
+          ic(noName._1), ic(noName._2), Call(MKERR), Return), Vector()),
+        LocalGet(3), LocalGet(4), addI, ic(patName._2), addI, LocalSet(5),
+        Block(Empty, Vector(
+          Loop(Empty, Vector(
+            LocalGet(5), load8u(), ic(' '.toInt), neI, BrIf(1),
+            LocalGet(5), ic(1), addI, LocalSet(5), Br(0))))),
+        LocalGet(5), load8u(), ic('"'.toInt), neI,
+        If(Empty, Vector(
+          ic(noName._1), ic(noName._2), Call(MKERR), Return), Vector()),
+        LocalGet(5), ic(1), addI, LocalTee(5), GlobalSet(NAME_PTR),
+        LocalGet(5), LocalSet(6),
+        Block(Empty, Vector(
+          Loop(Empty, Vector(
+            LocalGet(6), load8u(), ic('"'.toInt), eqI, BrIf(1),
+            LocalGet(6), ic(1), addI, LocalSet(6), Br(0))))),
+        LocalGet(6), LocalGet(5), subI, GlobalSet(NAME_LEN),
+        // PageNumbers array span
+        LocalGet(3), LocalGet(2), ic(patPages._1), ic(patPages._2), Call(FIND),
+        LocalTee(4), ic(0), ltI,
+        If(Empty, Vector(
+          ic(noPages._1), ic(noPages._2), Call(MKERR), Return), Vector()),
+        LocalGet(3), LocalGet(4), addI, ic(patPages._2), addI, LocalSet(5),
+        Block(Empty, Vector(
+          Loop(Empty, Vector(
+            LocalGet(5), load8u(), ic(' '.toInt), neI, BrIf(1),
+            LocalGet(5), ic(1), addI, LocalSet(5), Br(0))))),
+        LocalGet(5), load8u(), ic('['.toInt), neI,
+        If(Empty, Vector(
+          ic(noPages._1), ic(noPages._2), Call(MKERR), Return), Vector()),
+        LocalGet(5), ic(1), addI, LocalTee(5), GlobalSet(ARR_POS),
+        LocalGet(5), LocalSet(6),
+        Block(Empty, Vector(
+          Loop(Empty, Vector(
+            LocalGet(6), load8u(), ic(']'.toInt), eqI, BrIf(1),
+            LocalGet(6), ic(1), addI, LocalSet(6), Br(0))))),
+        LocalGet(6), GlobalSet(ARR_END)) ++
+      skipSeps ++ Vector[Instr](
+        GlobalGet(ARR_POS), GlobalGet(ARR_END), ltI,
+        If(Empty, Vector(Call(F6), Return), Vector()),
+        // empty array: one Nil item, exactly like the reference
+        ic(0), GlobalSet(ARR_POS),
+        ic(1), Call(ALLOC), LocalTee(1),
+        ic(TypeNil), store8(),
+        LocalGet(1)))
+
+    WasmBinary.encode(WasmModule(
+      types = types,
+      imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
+      funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr,
+        TNoArgPtr, TNoArgPtr), // 6=emitElem 7=transform
+      memMinPages = 2,
+      memMaxPages = None,
+      globals = withHeapInit(globals(8), d.heapBase),
+      exports = commonExports ++ Vector(WasmExport("transform", 0, F6 + 1)),
+      codes = Vector(allocBody, findBody, parseBody, writeBody, mkErrBody,
+        emitElem, transform),
+      datas = d.segments,
+      start = None))
+  }
+
   // ---------- guest: counter (stateful T7, no params) ----------
 
   /** REPLACES integer `field` with a 1-based per-instance counter that

@@ -65,6 +65,21 @@ class LensCliSpec extends AnyFunSuite {
     assert(back == """[{"Age":21,"Name":"John"},{"Age":9,"Name":"Fred"}]""")
   }
 
+  test("a schema-changing wasm normalize module: the reference books golden") {
+    val url = "data:application/wasm;base64," +
+      java.util.Base64.getEncoder.encodeToString(
+        graft.wasm.LensGuestModules.normalizeGuest())
+    val books =
+      """[{"Name": "A", "PageNumbers": [1, 2]},
+        | {"Name": "B", "PageNumbers": []},
+        | {"Name": "C", "PageNumbers": [7]}]""".stripMargin
+    val out = LensCli.run(spark, books,
+      s"""{"lenses":[{"path":"$url",
+         |  "arguments":{"schema":"BookName STRING, Number BIGINT"}}]}""".stripMargin)
+    assert(out ==
+      """[{"BookName":"A","Number":1},{"BookName":"A","Number":2},{"BookName":"C","Number":7}]""")
+  }
+
   test("stateful counter assigns sequential ids (reference T7)") {
     val lens =
       """{"lenses":[{"path":"builtin:counter",

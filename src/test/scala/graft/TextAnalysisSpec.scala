@@ -572,4 +572,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     // clip must preserve.
     assert(out.count() == 60L)
   }
+
+  test("heavyHitters: CMS overestimates-only, finds the dominant tokens, deterministic") {
+    import spark.implicits._
+    // "the" in every doc (x3), "rare" once: at 10% share only dominants pass
+    val docs = (1L to 50L)
+      .map(i => (i, s"the the the tok$i" + (if (i == 1) " rare" else "")))
+      .toDF("id", "text")
+    val hh = graft.operators.TextAnalysis
+      .heavyHitters(docs, "text", minSharePpm = 100000L)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val exact = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(hh.map(_._1).contains("the"))
+    assert(!hh.map(_._1).contains("rare"))
+    // CMS contract: estimate never undercounts
+    hh.foreach { case (t, est, _) => assert(est >= exact(t), t) }
+    val again = graft.operators.TextAnalysis
+      .heavyHitters(docs, "text", minSharePpm = 100000L)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(hh.toSeq == again.toSeq)
+  }
 }

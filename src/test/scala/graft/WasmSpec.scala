@@ -282,6 +282,37 @@ class WasmSpec extends AnyFunSuite with Matchers {
       """{"a":2}""", """{"a":2}""", """{"a":2}""")
   }
 
+  test("rename guest splices the key bytes; inverse renames back (T1/T4)") {
+    val g = new WasmGuest(LensGuestModules.renameGuest("Name", "FullName"),
+      "transform", None, identity)
+    drive(g, Seq("""{"Age":21,"Name":"John"}""")) shouldBe
+      Seq("""{"Age":21,"FullName":"John"}""")
+    val inv = g.inverseGuest.get.asInstanceOf[WasmGuest]
+    drive(inv, Seq("""{"Age":21,"FullName":"John"}""")) shouldBe
+      Seq("""{"Age":21,"Name":"John"}""")
+    val e = the[RuntimeException] thrownBy drive(g, Seq("""{"Age":21}"""))
+    e.getMessage shouldBe "The requested property was not found"
+  }
+
+  test("normalize guest explodes Book pages into buffered Page items (T6)") {
+    val g = new WasmGuest(LensGuestModules.normalizeGuest(), "transform",
+      None, identity)
+    // the reference's books fixture: 1:N with a pending queue, an empty
+    // array yields nothing downstream (its Nil is dropped at the sink)
+    drive(g, Seq(
+      """{"Name":"A","PageNumbers":[1,2]}""",
+      """{"Name":"B","PageNumbers":[]}""",
+      """{"Name":"C","PageNumbers":[7]}""")) shouldBe Seq(
+      """{"BookName":"A","Number":1}""",
+      """{"BookName":"A","Number":2}""",
+      """{"BookName":"C","Number":7}""")
+    // negative elements and state across many books
+    drive(g, Seq("""{"Name":"D","PageNumbers":[-3,10,-1]}""")) shouldBe Seq(
+      """{"BookName":"D","Number":-3}""",
+      """{"BookName":"D","Number":10}""",
+      """{"BookName":"D","Number":-1}""")
+  }
+
   test("counter guest advances mutable guest state across transform calls (T7)") {
     val g = new WasmGuest(LensGuestModules.counterGuest("id"), "transform",
       None, identity)
