@@ -109,16 +109,16 @@ object Pipeline {
       stage(s, times, resolver, visiting)
     })
 
-  /** Collapse a run of consecutive `builtin:opaque` stages that name the
-   *  same `instance` (and are otherwise identical) into one stage applied
-   *  k times over ONE shared guest instance — the reference's
-   *  shared-instance state semantics (reference:
+  /** Collapse a run of consecutive `builtin:opaque` — or `.wasm`-module —
+   *  stages that name the same `instance` (and are otherwise identical)
+   *  into one stage applied k times over ONE shared guest instance — the
+   *  reference's shared-instance state semantics (reference:
    *  host-go/engine/tests/wasm32_pipeline_with_state_test.go:16-100). */
   private def fuse(stages: Seq[StageConfig]): Seq[(StageConfig, Int)] =
     stages.foldLeft(Vector.empty[(StageConfig, Int)]) { (acc, s) =>
       acc.lastOption match {
-        case Some((p, k)) if p.path == "builtin:opaque" && p == s &&
-            p.arguments.contains("instance") =>
+        case Some((p, k)) if p == s && p.arguments.contains("instance") &&
+            (p.path == "builtin:opaque" || ModuleFetch.supports(p.path)) =>
           acc.init :+ ((p, k + 1))
         case _ => acc :+ ((s, 1))
       }
@@ -153,8 +153,10 @@ object Pipeline {
         require(!visiting.contains(key),
           s"cyclic lens reference: '${s.path}'")
         val bytes = ModuleFetch.fetchBytes(s.path)
-        if (graft.wasm.WasmBinary.isWasm(bytes)) wasmStage(s, bytes)
+        if (graft.wasm.WasmBinary.isWasm(bytes)) wasmStage(s, bytes, times)
         else {
+          require(times == 1,
+            s"'instance' fusion applies to guest modules, not lens files: '${s.path}'")
           val sub = build(
             PipelineConfig.fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)),
             resolver, visiting + key)
@@ -183,7 +185,7 @@ object Pipeline {
    *  schema), `serial`; everything else is the module's set_param JSON
    *  (reference: host-go/engine/engine.go:67-104 GetWasmBytes +
    *  config/config.go:84-100 export selection). */
-  private def wasmStage(s: StageConfig, bytes: Array[Byte]): LensOp = {
+  private def wasmStage(s: StageConfig, bytes: Array[Byte], times: Int): LensOp = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     val name = "wasm:" + digest.map(b => f"$b%02x").mkString
     val schemaFn: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType =
@@ -202,7 +204,7 @@ object Pipeline {
       if (params.isEmpty) None
       else Some(params.map { case (k, v) =>
         s"${graft.model.Json.quote(k)}:$v" }.mkString("{", ",", "}"))
-    OpaqueOp(name, times = 1, serial = Args(s.arguments).bool("serial"),
+    OpaqueOp(name, times = times, serial = Args(s.arguments).bool("serial"),
       params = paramsJson)
   }
 

@@ -89,6 +89,16 @@ trait PullBytesGuest extends Serializable {
 
   /** Optional `inverse` export, as in [[BytesGuest.inverseGuest]]. */
   def inverseGuest: Option[PullBytesGuest] = None
+
+  /** `times` transform drivers for fused consecutive stages (P7). The
+   *  default instantiates independently; a guest with shared mutable
+   *  state (the wasm runtime) overrides to hand out `times` drivers over
+   *  ONE instance, reproducing the reference's shared-instance counter
+   *  semantics (ids 3, 6, 9 —
+   *  host-go/engine/tests/wasm32_pipeline_with_state_test.go:16-100). */
+  def openShared(times: Int)
+      : Seq[(() => Option[Array[Byte]]) => Option[Array[Byte]]] =
+    Seq.fill(times)(open())
 }
 
 object BytesGuest {
@@ -144,21 +154,41 @@ object BytesGuest {
 
     override def open(in: StructType): Iterator[Row] => Iterator[Row] = {
       val out = guest.outputSchema(in)
-      rows => {
-        val transform = guest.open()
-        val pull: () => Option[Array[Byte]] =
-          () => if (rows.hasNext) Some(toJson(rows.next(), in)) else None
-        new Iterator[Row] {
-          private var pending: Row = null
-          private var eos = false
-          def hasNext: Boolean = pending != null || (!eos && {
-            transform(pull) match {
-              case Some(b) => pending = fromJson(b, out); true
-              case None    => eos = true; false
-            }
-          })
-          def next(): Row = { val r = pending; pending = null; r }
+      rows => stage(guest.open(), rows, in, out)
+    }
+
+    /** Fused consecutive stages drain through the drivers `openShared`
+     *  hands out — ONE underlying guest instance when the implementation
+     *  supports it (P7), independent instances otherwise. */
+    override def openChain(in: StructType, times: Int)
+        : Iterator[Row] => Iterator[Row] =
+      rows0 => {
+        val drivers = guest.openShared(times)
+        var it = rows0
+        var schema = in
+        drivers.foreach { drv =>
+          val out = guest.outputSchema(schema)
+          it = stage(drv, it, schema, out)
+          schema = out
         }
+        it
+      }
+
+    private def stage(
+        transform: (() => Option[Array[Byte]]) => Option[Array[Byte]],
+        rows: Iterator[Row], in: StructType, out: StructType): Iterator[Row] = {
+      val pull: () => Option[Array[Byte]] =
+        () => if (rows.hasNext) Some(toJson(rows.next(), in)) else None
+      new Iterator[Row] {
+        private var pending: Row = null
+        private var eos = false
+        def hasNext: Boolean = pending != null || (!eos && {
+          transform(pull) match {
+            case Some(b) => pending = fromJson(b, out); true
+            case None    => eos = true; false
+          }
+        })
+        def next(): Row = { val r = pending; pending = null; r }
       }
     }
   }

@@ -95,6 +95,26 @@ trait PartitionGuest extends Serializable {
 
   /** P11 optional `inverse` export, as in [[RowGuest.inverseGuest]]. */
   def inverseGuest: Option[PartitionGuest] = None
+
+  /** `times` consecutive fused applications over this partition (P7).
+   *  The default chains `times` INDEPENDENT instances; implementations
+   *  whose guest carries shared mutable state (the wasm runtime)
+   *  override to drive every stage through ONE instance — the
+   *  reference's shared-instance contract (reference:
+   *  host-go/runtimes/wasmtime/runtime.go:192-205 "multiple pipeline
+   *  stages to share the same wasm instance"). */
+  def openChain(in: StructType, times: Int): Iterator[Row] => Iterator[Row] =
+    rows0 => {
+      var out = rows0
+      var schema = in
+      var i = 0
+      while (i < times) {
+        out = open(schema)(out)
+        schema = outputSchema(schema)
+        i += 1
+      }
+      out
+    }
 }
 
 /**
@@ -277,17 +297,7 @@ object OpaqueOp {
         var outSchema = inSchema
         for (_ <- 0 until times) outSchema = guest.outputSchema(outSchema)
         val enc = org.apache.spark.sql.Encoders.row(outSchema)
-        base.mapPartitions { rows =>
-          var out: Iterator[Row] = rows
-          var schema = inSchema
-          var i = 0
-          while (i < k) {
-            out = guest.open(schema)(out)
-            schema = guest.outputSchema(schema)
-            i += 1
-          }
-          out
-        }(enc)
+        base.mapPartitions(rows => guest.openChain(inSchema, k)(rows))(enc)
       } else {
         val errIdxIn = inSchema.fieldNames.indexOf("__error")
         val dataIdx = inSchema.fieldNames.indices.filter(_ != errIdxIn)
@@ -317,14 +327,7 @@ object OpaqueOp {
             }
             def next(): Row = { val r = pending; pending = null; r }
           }
-          var out: Iterator[Row] = dataIter
-          var schema = dataSchema
-          var i = 0
-          while (i < k) {
-            out = guest.open(schema)(out)
-            schema = guest.outputSchema(schema)
-            i += 1
-          }
+          val out: Iterator[Row] = guest.openChain(dataSchema, k)(dataIter)
           new Iterator[Row] {
             private var pending: Row = null
             private var failed = false

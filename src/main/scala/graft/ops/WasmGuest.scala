@@ -53,9 +53,19 @@ final class WasmGuest(
       Some(new WasmGuest(moduleBytes, "inverse", paramsJson, schemaFn))
     else None
 
-  override def open(): (() => Option[Array[Byte]]) => Option[Array[Byte]] = {
-    // The pull callback is (re)bound at each Transform call — the slot the
-    // reference assigns immediately before calling transform.
+  override def open(): (() => Option[Array[Byte]]) => Option[Array[Byte]] =
+    openShared(1).head
+
+  /** One interpreter instance, `times` transform drivers — consecutive
+   *  fused stages all mutate the SAME guest memory/globals, the
+   *  reference's shared-instance contract (runtime.go:192-205). The pull
+   *  slot is saved/restored around each invoke, so a downstream stage's
+   *  re-entrant pull through an upstream stage cannot leave the slot
+   *  pointing at the wrong source (the reference's single-assignment slot
+   *  relies on one-pull-per-transform guests; stack discipline makes
+   *  multi-pull guests safe too without changing observable behavior). */
+  override def openShared(times: Int)
+      : Seq[(() => Option[Array[Byte]]) => Option[Array[Byte]]] = {
     var nextFn: () => Option[Array[Byte]] = () => None
 
     var inst: WasmInterp.Instance = null
@@ -69,6 +79,8 @@ final class WasmGuest(
     if (fnName != "transform") require(inst.hasExport(fnName),
       s"wasm guest: export `$fnName` does not exist")
 
+    // set_param applies once per instance, exactly as the reference's
+    // NewInstance does before any transform runs (runtime.go:118-152).
     paramsJson.foreach { bytes =>
       val at = WasmGuest.writeFrame(inst, Some(bytes))
       val out = inst.invoke("set_param", at.toLong).head.toInt
@@ -78,25 +90,23 @@ final class WasmGuest(
         case _ => // Nil/JSON ack
       }
     }
-    if (paramsJson.isEmpty && inst.hasExport("set_param")) {
-      // mirror the reference: a parameterized module invoked without
-      // params errors at transform time with the guest's own message —
-      // nothing to do here; the guest checks its hasParam flag itself.
-    }
 
-    pull => {
+    Seq.fill(times) { pull =>
+      val saved = nextFn
       nextFn = pull
-      var result: Option[Array[Byte]] = null
-      while (result == null) {
-        val at = inst.invoke(fnName).head.toInt
-        WasmGuest.readFrame(inst, at) match {
-          case WasmGuest.JsonFrame(bytes) => result = Some(bytes)
-          case WasmGuest.EosFrame => result = None
-          case WasmGuest.ErrFrame(msg) => throw new RuntimeException(msg)
-          case WasmGuest.NilFrame => // skip nil items (sink behavior)
+      try {
+        var result: Option[Array[Byte]] = null
+        while (result == null) {
+          val at = inst.invoke(fnName).head.toInt
+          WasmGuest.readFrame(inst, at) match {
+            case WasmGuest.JsonFrame(bytes) => result = Some(bytes)
+            case WasmGuest.EosFrame => result = None
+            case WasmGuest.ErrFrame(msg) => throw new RuntimeException(msg)
+            case WasmGuest.NilFrame => // skip nil items (sink behavior)
+          }
         }
-      }
-      result
+        result
+      } finally nextFn = saved
     }
   }
 }

@@ -151,4 +151,31 @@ class PlanShapeSpec extends AnyFunSuite {
       "corpus side shuffle-joined against a k-row aggregate")
   }
 
+  test("q_zorder_layout: no global operator, and the rank join stays slim") {
+    // The final position pass is GlobalSequence's zipWithIndex RDD (range
+    // exchange inside the lineage), so the outer plan is its scan; what
+    // must never appear is a window rank or a single-partition stage.
+    val p = plan("q_zorder_layout")
+    assert(!p.contains("SinglePartition"), "layout planned a global operator")
+    assert(!p.contains("Window"), "layout fell back to a window rank")
+    // and the zval computation joins only (id, rank) pairs — inspect the
+    // pre-position plan where the join is visible
+    val orders = graft.queries.T(spark, dir, "orders")
+    val ra = graft.operators.GlobalSequence.withSequentialId(
+      orders.select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_custkey")),
+      org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_orderkey")), "ra")
+    val joined = ra.join(ra.withColumnRenamed("ra", "rb"), Seq("o_orderkey"))
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        graft.operators.Layout.morton(
+          org.apache.spark.sql.functions.col("ra"),
+          org.apache.spark.sql.functions.col("rb")).as("zval"))
+    val jp = joined.queryExecution.executedPlan.toString
+    assert(!jp.contains("CartesianProduct") && !jp.contains("BroadcastNestedLoop"),
+      "rank join must be an equi-join on the id")
+    assert(!jp.contains("Window") && !jp.contains("SinglePartition"))
+  }
+
 }

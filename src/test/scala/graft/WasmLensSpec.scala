@@ -89,6 +89,26 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
       Set(("w", 1L), ("x", 2L), ("y", 3L), ("z", 4L))
   }
 
+  test("fused same-instance wasm stages share ONE guest's state (P7: ids 3,6,9)") {
+    // the reference's with_state pipeline: three consecutive stages naming
+    // the same instance over the stateful counter module — each item
+    // passes the SAME wasm instance three times, so its counter reads
+    // 3, 6, 9 (reference: wasm32_pipeline_with_state_test.go:16-100)
+    val url = dataUrl(LensGuestModules.counterGuest("Id"))
+    val stage = s"""{"path":"$url","arguments":{"instance":"i1","serial":true}}"""
+    val pipe = Pipeline.fromJson(s"""{"lenses":[$stage,$stage,$stage]}""")
+    val in = Seq((0L, "John"), (0L, "Shahzad"), (0L, "Addo")).toDF("Id", "Name")
+    val out = pipe.forward(in).as[(Long, String)].collect().toSeq
+    out.toSet shouldBe Set((3L, "John"), (6L, "Shahzad"), (9L, "Addo"))
+    // WITHOUT the instance key, stages do not fuse: three independent
+    // counters each re-number from 1, so every item ends at its position
+    val stageNoInst = s"""{"path":"$url","arguments":{"serial":true}}"""
+    val indep = Pipeline.fromJson(
+      s"""{"lenses":[$stageNoInst,$stageNoInst,$stageNoInst]}""")
+      .forward(in).as[(Long, String)].collect().toSeq
+    indep.toSet shouldBe Set((1L, "John"), (2L, "Shahzad"), (3L, "Addo"))
+  }
+
   test("a guest error surfaces with the guest's own message") {
     // module parameterized but the lens file passes no arguments
     val pipe = Pipeline.fromJson(s"""{"lenses":[{"path":"$shiftUrl"}]}""")
