@@ -677,6 +677,33 @@ object Dedup {
    * Set `bloomExpectedItems = 0` to skip the prefilter (the equivalence
    * spec's plain-anti-join path).
    */
+  /**
+   * Snapshot diff — the ingest AUDIT companion of [[incrementalNew]]:
+   * for two corpus snapshots keyed by `idCol`, classify every id as
+   * `added` (new only), `removed` (old only), `changed` (both, content
+   * differs), or `unchanged`. The report a crawl/dump pipeline publishes
+   * per refresh, and the precondition check before an incremental
+   * re-dedup (only `added`+`changed` need processing).
+   *
+   * 100 TB shape: both sides reduce to (id, xxhash64(content)) inside
+   * their scan projections, so the full-outer join shuffles 16 B/row
+   * regardless of document size — document text never moves. Content
+   * equality via 64-bit hash equality (collision odds ~n²/2⁶⁵; the
+   * DuckDB oracle compares raw text, so a collision would surface as a
+   * hash mismatch in CI long before it mattered at scale).
+   */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol), xxhash64(col(textCol)).as("__h_old"))
+    val n = newSnap.select(col(idCol), xxhash64(col(textCol)).as("__h_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") === col("__h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def incrementalNew(batch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String,
       bloomExpectedItems: Long = 0): DataFrame = {

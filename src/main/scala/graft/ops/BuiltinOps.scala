@@ -295,6 +295,16 @@ object BuiltinOps {
           t, id, bloomExpectedItems = bloomItems.toLong))
     },
 
+    // Snapshot diff (Dedup.snapshotDiff): the stream is the NEW snapshot,
+    // the old one resolves from the catalog; emits (id, status).
+    "snapshot_diff" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val oldTable = a.str("old_table")
+      LensOp.setLevel(s"snapshot_diff(old=$oldTable)",
+        df => Dedup.snapshotDiff(df.sparkSession.table(oldTable), df, id, t))
+    },
+
     // Inverted-index BM25 retrieval (Bm25.searchTopK): top-k docs for a
     // fixed term list; only query-term postings shuffle.
     "search_topk" -> { a =>

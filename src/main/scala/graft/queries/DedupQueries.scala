@@ -501,6 +501,35 @@ object DedupQueries extends QueryProvider {
       |SELECT f.doc_id, f.source, f.n_chars
       |FROM fresh f JOIN keep k ON f.text = k.text AND f.doc_id = k.doc_id""".stripMargin
 
+  // Snapshot diff (Dedup.snapshotDiff): two crawl snapshots carved
+  // deterministically from documents — ids ending in 3 joined late
+  // (added), ids ending in 6 dropped from the refresh (removed), every
+  // id divisible by 7 re-crawled with edited content (changed). The
+  // oracle rebuilds both snapshots and the full-outer classification
+  // from raw text.
+  private def dedupSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val oldSnap = docs.where(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v1]")))
+          .otherwise(col("text")).as("text"))
+    val newSnap = docs.where(col("doc_id") % 10 =!= 6)
+      .select(col("doc_id"), col("text"))
+    Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+  }
+
+  private val dedupSnapshotDiffSql =
+    """WITH olds AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v1]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 10 <> 3),
+      |news AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 6)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.text = n.text THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id""".stripMargin
+
   // ExactSubstr-style duplicated token runs (Spans.duplicateSpans):
   // Spark detects duplicates by positioned xxhash64 8-grams, the oracle by
   // literal gram strings — identical spans up to a ~positions²/2⁶⁵
@@ -777,6 +806,7 @@ object DedupQueries extends QueryProvider {
     "dedup_segments"       -> (dedupSegments _),
     "dedup_lines_intra"    -> (dedupLinesIntra _),
     "dedup_incremental"    -> (dedupIncremental _),
+    "dedup_snapshot_diff"  -> (dedupSnapshotDiff _),
     "dedup_spans"          -> (dedupSpans _),
     "dedup_strip_spans"    -> (dedupStripSpans _),
     "dedup_contam_spans"   -> (dedupContamSpans _),
@@ -818,6 +848,7 @@ object DedupQueries extends QueryProvider {
     "dedup_segments"      -> dedupSegmentsSql,
     "dedup_lines_intra"   -> dedupLinesIntraSql,
     "dedup_incremental"   -> dedupIncrementalSql,
+    "dedup_snapshot_diff" -> dedupSnapshotDiffSql,
     "dedup_spans"         -> dedupSpansSql,
     "dedup_strip_spans"   -> dedupStripSpansSql,
     "dedup_contam_spans"  -> dedupContamSpansSql,

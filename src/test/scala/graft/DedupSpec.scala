@@ -363,6 +363,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(3L, 7L))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    val oldSnap = Seq((1L, "same"), (2L, "was this"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "now this"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // lens-reachable: the old snapshot resolves from the catalog
+    oldSnap.createOrReplaceTempView("snap_old")
+    val viaLens = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:snapshot_diff",
+        |"arguments":{"old_table":"snap_old"}}]}""".stripMargin)
+      .forward(newSnap).as[(Long, String)].collect().toMap
+    assert(viaLens == got)
+  }
+
   test("incrementalNew: bloom-prefiltered path is exactly the plain path") {
     val docs = (1L to 60L).map(i =>
       (i, if (i % 7 == 0) s"old text ${i % 3}" else s"text ${i % 11}"))
