@@ -77,4 +77,30 @@ object Sessionize {
           sort_array(collect_list(
             struct(col(tsCol), col(tieCol), col(stepCol)))),
           s => s.getField(stepCol)), sep).as("path"))
+
+  /**
+   * Retention cohort matrix — the product-analytics companion of the
+   * funnel: users grouped by their first-activity bucket (cohort), each
+   * later-active bucket counted at its offset. `(cohort_bucket,
+   * bucket_offset, n_users)` with integer bucket ids (`ts div bucketUs`,
+   * default one week), so the whole matrix replays bit-exactly
+   * cross-engine.
+   *
+   * 100 TB shape: the log collapses to DISTINCT (user, bucket) inside
+   * the first aggregate — after that everything is bounded by
+   * |users| × |buckets|, never event volume. One distinct aggregate, one
+   * per-user min, one slim user-keyed join, one count — no windows.
+   */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+      bucketUs: Long = 7L * 86400 * 1000000L): DataFrame = {
+    val perBucket = events
+      .select(col(keyCol).as("k"), expr(s"$tsCol div $bucketUs").as("b"))
+      .distinct()
+    val first = perBucket.groupBy(col("k")).agg(min(col("b")).as("b0"))
+    perBucket.join(first, Seq("k"))
+      .select(col("b0").as("cohort_bucket"),
+        (col("b") - col("b0")).as("bucket_offset"))
+      .groupBy(col("cohort_bucket"), col("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

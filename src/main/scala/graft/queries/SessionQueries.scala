@@ -177,13 +177,32 @@ object SessionQueries extends QueryProvider {
        |UNION ALL
        |SELECT user_id, '3_purchase', CAST(t3 AS BIGINT) FROM s3""".stripMargin
 
+  // Retention cohorts (Sessionize.retentionCohorts): weekly buckets from
+  // µs integer division, so the matrix replays exactly in DuckDB (`div`
+  // ≡ `//` on non-negative longs).
+  private def retention(s: SparkSession, dir: String): DataFrame =
+    Sessionize.retentionCohorts(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us")
+
+  private val retentionSql =
+    """WITH pb AS (
+      |  SELECT DISTINCT user_id AS k, epoch_us(ts) // 604800000000 AS b
+      |  FROM events
+      |), f AS (SELECT k, min(b) AS b0 FROM pb GROUP BY k)
+      |SELECT f.b0 AS cohort_bucket, pb.b - f.b0 AS bucket_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM pb JOIN f ON pb.k = f.k
+      |GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize"      -> (sessionize _),
     "q_session_stats"   -> (sessionStats _),
     "q_session_paths"   -> (sessionSeqs _),
     "q_funnel"          -> (funnel _),
     "q_funnel_windowed" -> (funnelWindowed _),
-    "q_funnel_users"    -> (funnelUsers _)
+    "q_funnel_users"    -> (funnelUsers _),
+    "q_retention"       -> (retention _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -192,6 +211,7 @@ object SessionQueries extends QueryProvider {
     "q_session_paths"   -> sessionSeqsSql,
     "q_funnel"          -> funnelSql,
     "q_funnel_windowed" -> funnelWindowedSql,
-    "q_funnel_users"    -> funnelUsersSql
+    "q_funnel_users"    -> funnelUsersSql,
+    "q_retention"       -> retentionSql
   )
 }

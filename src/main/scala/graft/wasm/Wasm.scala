@@ -14,14 +14,16 @@ import java.io.ByteArrayOutputStream
  * modules from the same AST — giving a bit-level round-trip property
  * (decode(encode(m)) == m) that pins both directions.
  *
- * Scope: the integer MVP used by lens guests — full i32/i64 instruction
- * set, structured control flow, calls (direct + host imports), mutable
- * globals, linear memory with grow + bulk copy/fill, data segments —
- * plus the common f32/f64 arithmetic. Not implemented (trap with a clear
- * message if encountered): tables/call_indirect, SIMD, reference types,
- * threads. Lens guests are single-function pipelines over bytes in
- * linear memory; none of the omitted features appear in the reference's
- * guest SDKs (sdk-rust/src/lib.rs, sdk-assemblyscript).
+ * Scope: the full WebAssembly 1.0 numeric/control/memory matrix — every
+ * i32/i64/f32/f64 instruction including the spec's trapping float→int
+ * truncations and ties-to-even rounding, structured control flow, calls
+ * (direct, host imports, and call_indirect through funcref tables),
+ * mutable globals, linear memory with grow + bulk copy/fill, data and
+ * element segments, and the post-MVP sign-extension operators LLVM
+ * emits by default. Not implemented (trap with a clear message if
+ * encountered): SIMD, reference types, threads, multi-value blocks —
+ * none appear in the reference's guest SDKs (sdk-rust/src/lib.rs,
+ * sdk-assemblyscript).
  *
  * 100 TB shape: a module is a few KB of bytes broadcast with the closure;
  * decode happens once per (executor, module) via [[WasmInterp.moduleOf]]'s

@@ -319,6 +319,25 @@ object WasmInterp {
       }
     }
 
+    /** Signed float→int truncation with the spec's traps (NaN, out of
+     *  range — WebAssembly spec §4.3.2 trunc_s). */
+    private def truncTrap(d: Double, lo: Long, hi: Long): Long = {
+      if (d.isNaN) throw new WasmTrap("invalid conversion to integer")
+      val t = if (d < 0) math.ceil(d) else math.floor(d)
+      if (t < lo.toDouble || t > hi.toDouble)
+        throw new WasmTrap("integer overflow")
+      t.toLong
+    }
+
+    /** Unsigned float→int truncation (result returned as the raw bits). */
+    private def truncTrapU(d: Double, hi: Double): Long = {
+      if (d.isNaN) throw new WasmTrap("invalid conversion to integer")
+      val t = if (d < 0) math.ceil(d) else math.floor(d)
+      if (t < 0.0 || t > hi) throw new WasmTrap("integer overflow")
+      if (t <= Long.MaxValue.toDouble) t.toLong
+      else (t - 9.223372036854776e18).toLong | Long.MinValue
+    }
+
     private def numeric(op: Int, s: OperandStack): Unit = {
       @inline def i32 = s.pop().toInt
       @inline def i64 = s.pop()
@@ -434,9 +453,16 @@ object WasmInterp {
         case 0x88 => val b = i64; pushL(i64 >>> (b & 63))
         case 0x89 => val b = i64; pushL(java.lang.Long.rotateLeft(i64, b.toInt))
         case 0x8A => val b = i64; pushL(java.lang.Long.rotateRight(i64, b.toInt))
-        // f32 arithmetic (common subset)
+        // f32 arithmetic
         case 0x8B => pushF(math.abs(f32))
         case 0x8C => pushF(-f32)
+        case 0x8D => pushF(math.ceil(f32.toDouble).toFloat)
+        case 0x8E => pushF(math.floor(f32.toDouble).toFloat)
+        case 0x8F => pushF(f32.toDouble match { // trunc toward zero
+          case d if d < 0 => math.ceil(d).toFloat
+          case d => math.floor(d).toFloat
+        })
+        case 0x90 => pushF(math.rint(f32.toDouble).toFloat) // nearest (ties-to-even)
         case 0x91 => pushF(math.sqrt(f32.toDouble).toFloat)
         case 0x92 => val b = f32; pushF(f32 + b)
         case 0x93 => val b = f32; pushF(f32 - b)
@@ -444,9 +470,17 @@ object WasmInterp {
         case 0x95 => val b = f32; pushF(f32 / b)
         case 0x96 => val b = f32; pushF(math.min(f32, b))
         case 0x97 => val b = f32; pushF(math.max(f32, b))
-        // f64 arithmetic (common subset)
+        case 0x98 => val b = f32; pushF(math.copySign(f32, b))
+        // f64 arithmetic
         case 0x99 => pushD(math.abs(f64))
         case 0x9A => pushD(-f64)
+        case 0x9B => pushD(math.ceil(f64))
+        case 0x9C => pushD(math.floor(f64))
+        case 0x9D => pushD(f64 match { // trunc toward zero
+          case d if d < 0 => math.ceil(d)
+          case d => math.floor(d)
+        })
+        case 0x9E => pushD(math.rint(f64)) // nearest (ties-to-even)
         case 0x9F => pushD(math.sqrt(f64))
         case 0xA0 => val b = f64; pushD(f64 + b)
         case 0xA1 => val b = f64; pushD(f64 - b)
@@ -454,15 +488,35 @@ object WasmInterp {
         case 0xA3 => val b = f64; pushD(f64 / b)
         case 0xA4 => val b = f64; pushD(math.min(f64, b))
         case 0xA5 => val b = f64; pushD(math.max(f64, b))
+        case 0xA6 => val b = f64; pushD(math.copySign(f64, b))
         // conversions
         case 0xA7 => pushI(i64.toInt) // i32.wrap_i64
+        case 0xA8 => pushI(truncTrap(f32.toDouble, Int.MinValue, Int.MaxValue).toInt) // i32.trunc_f32_s
+        case 0xA9 => pushI(truncTrapU(f32.toDouble, 4294967295.0).toInt) // i32.trunc_f32_u
+        case 0xAA => pushI(truncTrap(f64, Int.MinValue, Int.MaxValue).toInt) // i32.trunc_f64_s
+        case 0xAB => pushI(truncTrapU(f64, 4294967295.0).toInt) // i32.trunc_f64_u
         case 0xAC => pushL(i32.toLong) // i64.extend_i32_s
         case 0xAD => pushL(i32.toLong & 0xFFFFFFFFL) // i64.extend_i32_u
+        case 0xAE => pushL(truncTrap(f32.toDouble, Long.MinValue, Long.MaxValue)) // i64.trunc_f32_s
+        case 0xAF => pushL(truncTrapU(f32.toDouble, 1.8446744073709552e19)) // i64.trunc_f32_u
+        case 0xB0 => pushL(truncTrap(f64, Long.MinValue, Long.MaxValue)) // i64.trunc_f64_s
+        case 0xB1 => pushL(truncTrapU(f64, 1.8446744073709552e19)) // i64.trunc_f64_u
+        case 0xB2 => pushF(i32.toFloat) // f32.convert_i32_s
+        case 0xB3 => pushF((i32.toLong & 0xFFFFFFFFL).toFloat) // f32.convert_i32_u
+        case 0xB4 => pushF(i64.toFloat) // f32.convert_i64_s
+        case 0xB5 => // f32.convert_i64_u
+          val v = i64
+          pushF(if (v >= 0) v.toFloat
+            else ((v >>> 1) | (v & 1L)).toFloat * 2.0f)
+        case 0xB6 => pushF(f64.toFloat) // f32.demote_f64
         case 0xB7 => pushD(i32.toDouble) // f64.convert_i32_s
+        case 0xB8 => pushD((i32.toLong & 0xFFFFFFFFL).toDouble) // f64.convert_i32_u
         case 0xB9 => pushD(i64.toDouble) // f64.convert_i64_s
+        case 0xBA => // f64.convert_i64_u
+          val v = i64
+          pushD(if (v >= 0) v.toDouble
+            else ((v >>> 1) | (v & 1L)).toDouble * 2.0)
         case 0xBB => pushD(f32.toDouble) // f64.promote_f32
-        case 0xAA => pushI(f64.toInt) // i32.trunc_f64_s
-        case 0xB0 => pushL(f64.toLong) // i64.trunc_f64_s
         case 0xBC => pushI(s.pop().toInt) // i32.reinterpret_f32 (sign-extend bits)
         case 0xBD => // i64.reinterpret_f64 (bit-identical slot)
         case 0xBE => s.push(s.pop() & 0xFFFFFFFFL) // f32.reinterpret_i32 (zero-extend)

@@ -128,4 +128,24 @@ class SessionizeSpec extends AnyFunSuite {
     // window 5: user 1's click at 20 is 10 after view at 10 — excluded
     assert(users == Set((1L, "1_view", 10L), (2L, "1_view", 5L)))
   }
+
+  test("retentionCohorts: first-bucket cohorts with exact offset counts") {
+    import spark.implicits._
+    // bucket size 100: u1 active in buckets 0,1,3; u2 in 1,2; u3 in 1
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 150L), (1L, 399L),
+      (2L, 101L), (2L, 250L),
+      (3L, 199L)
+    ).toDF("user_id", "us")
+    val got = Sessionize.retentionCohorts(df, "user_id", "us", bucketUs = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L), // u1's cohort 0
+      (1L, 0L, 2L), (1L, 1L, 1L)))              // u2+u3 cohort 1; u2 at +1
+    // duplicate activity within a bucket counts once
+    val dup = Sessionize.retentionCohorts(
+      df.union(df), "user_id", "us", bucketUs = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dup == got)
+  }
 }

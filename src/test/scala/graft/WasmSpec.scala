@@ -195,6 +195,39 @@ class WasmSpec extends AnyFunSuite with Matchers {
     run1(m64, "f", 0xFFFFFFFFL) shouldBe -1L
   }
 
+  test("float matrix: rounding modes, copysign, conversions, trunc traps") {
+    def f64op(ops: Instr*): Double = java.lang.Double.longBitsToDouble(
+      run1(func(Vector(ValType.F64), Vector(ValType.F64), Vector(),
+        (LocalGet(0) +: ops): _*), "f",
+        java.lang.Double.doubleToRawLongBits(-2.5)))
+    f64op(Num(0x9B)) shouldBe -2.0 // ceil
+    f64op(Num(0x9C)) shouldBe -3.0 // floor
+    f64op(Num(0x9D)) shouldBe -2.0 // trunc toward zero
+    f64op(Num(0x9E)) shouldBe -2.0 // nearest, ties to even
+    java.lang.Double.longBitsToDouble(run1(
+      func(Vector(ValType.F64, ValType.F64), Vector(ValType.F64), Vector(),
+        LocalGet(0), LocalGet(1), Num(0xA6)), "f",
+      java.lang.Double.doubleToRawLongBits(3.0),
+      java.lang.Double.doubleToRawLongBits(-0.0))) shouldBe -3.0 // copysign
+    // i64.trunc_f64_s
+    run1(func(Vector(ValType.F64), Vector(ValType.I64), Vector(),
+      LocalGet(0), Num(0xB0)), "f",
+      java.lang.Double.doubleToRawLongBits(-7.9)) shouldBe -7L
+    // f64.convert_i64_u of a negative (high-bit) long
+    java.lang.Double.longBitsToDouble(run1(
+      func(Vector(ValType.I64), Vector(ValType.F64), Vector(),
+        LocalGet(0), Num(0xBA)), "f", -1L)) shouldBe 1.8446744073709552e19
+    // NaN and out-of-range truncations trap per spec
+    a[WasmTrap] should be thrownBy run1(
+      func(Vector(ValType.F64), Vector(ValType.I32), Vector(),
+        LocalGet(0), Num(0xAA)), "f",
+      java.lang.Double.doubleToRawLongBits(Double.NaN))
+    a[WasmTrap] should be thrownBy run1(
+      func(Vector(ValType.F64), Vector(ValType.I32), Vector(),
+        LocalGet(0), Num(0xAA)), "f",
+      java.lang.Double.doubleToRawLongBits(3e10))
+  }
+
   test("traps: unreachable, division by zero, out-of-bounds access") {
     val unreachable = func(Vector(), Vector(), Vector(), Unreachable)
     a[WasmTrap] should be thrownBy run1(unreachable, "f")
