@@ -15,6 +15,7 @@ object SparkEntry {
     TextQueries,
     MultimodalQueries,
     SessionQueries,
+    AnomalyQueries,
     IoQueries,
     StorageQueries
   )

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Integer-exact statistical anomaly detection — the pipeline-monitoring
+ * operators a 100 TB ingest runs continuously: row-level value outliers
+ * (bad sensor readings, corrupted metrics) and per-group volume spikes
+ * (a source suddenly 3σ over its daily mean = crawler loop or upstream
+ * incident).
+ *
+ * Exactness contract: the usual z-score `|v - mean| > k·σ` divides and
+ * square-roots, which no two engines reproduce bit-identically. Instead
+ * the test is algebraically cleared of both: with per-group n = count,
+ * s = Σv, q = Σv² over per-row integer-floored values v = ⌊x·scale⌋,
+ *
+ *   (v·n − s)² · kDen² > kNum² · (n·q − s²)        [all integers]
+ *
+ * is EXACTLY `|v - mean| > (kNum/kDen)·σ_pop` — every engine that can
+ * multiply 128-bit integers agrees on every row, no FP tie-breaking, no
+ * epsilon. Spark evaluates the cleared form in DECIMAL(38,0) (the
+ * products reach ~1e21, past 64-bit but far inside 38 digits); a DuckDB
+ * oracle mirrors it in HUGEINT.
+ *
+ * 100 TB shape: one partial-aggregated groupBy over (group, v) —
+ * shuffle carries #groups × 24 B — then the tiny stats table broadcast
+ * back onto the stream; the flag itself is a map-side projection. Rows
+ * never shuffle. Caller picks `scale` so Σv² fits a signed 64-bit
+ * accumulator (|v| ≤ 3e6 is safe past 1e6 rows/group; the default
+ * milli-scale handles values up to ~9e6 at 1e5 rows/group).
+ *
+ * The reference (sourcenetwork/lens) leaves analytics like this to
+ * downstream consumers of its document streams (reference:
+ * host-go/engine/pipes/fromSource.go:37-56); here it is a first-class
+ * relational operator.
+ */
+object Anomaly {
+
+  private val Dec = DecimalType(38, 0)
+  private def d(c: Column): Column = c.cast(Dec)
+
+  /**
+   * Flag rows whose `valueCol` deviates more than kNum/kDen population
+   * standard deviations from their `groupCol` mean. Appends
+   * `value_int` (= ⌊value·scale⌋, the integer the test ran on) and
+   * `is_outlier`; all input columns pass through unchanged.
+   */
+  def zscoreOutliers(
+      df: DataFrame, valueCol: String, groupCol: String,
+      kNum: Long = 3, kDen: Long = 1, scale: Long = 1000L): DataFrame = {
+    require(kNum > 0 && kDen > 0, "k must be a positive rational")
+    val withV = df.withColumn("value_int",
+      floor(col(valueCol) * lit(scale)).cast(LongType))
+    val stats = withV.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(col("value_int")).as("__s"),
+        sum(col("value_int") * col("value_int")).as("__q"))
+    val dev = d(col("value_int")) * d(col("__n")) - d(col("__s"))
+    val varN2 = d(col("__n")) * d(col("__q")) - d(col("__s")) * d(col("__s"))
+    withV.join(broadcast(stats), Seq(groupCol))
+      .withColumn("is_outlier",
+        dev * dev * lit(kDen * kDen) > lit(kNum * kNum) * varN2)
+      .drop("__n", "__s", "__q")
+  }
+
+  /**
+   * Per-group volume-spike detection: bucket event times into fixed
+   * windows of `bucketUs` microseconds, count rows per (group, bucket),
+   * and flag buckets whose count is a kNum/kDen-σ outlier against that
+   * group's own bucket history — [[zscoreOutliers]] over the count table
+   * (scale 1: counts are already integers). Output is one row per
+   * (group, bucket) with `n_events` and `is_outlier`; input rows never
+   * shuffle — only the (group, bucket) count table (bounded by
+   * groups × time-span/bucket, not event volume) moves.
+   */
+  def volumeSpikes(
+      df: DataFrame, tsUsCol: String, groupCol: String,
+      bucketUs: Long, kNum: Long = 5, kDen: Long = 2): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val counts = df
+      .withColumn("bucket_us",
+        col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs)))
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(count(lit(1)).as("n_events"))
+    zscoreOutliers(counts, "n_events", groupCol,
+      kNum = kNum, kDen = kDen, scale = 1L)
+      .select(col(groupCol), col("bucket_us"), col("n_events"),
+        col("is_outlier"))
+  }
+}

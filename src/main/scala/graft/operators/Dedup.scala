@@ -656,6 +656,31 @@ object Dedup {
   }
 
   /**
+   * Embedding-level decontamination against a small reference set: every
+   * corpus vector whose cosine to ANY reference vector reaches
+   * `threshold` — the semantic complement of [[minHashLshAgainst]]
+   * (paraphrased eval leakage that shares no n-grams but sits next to the
+   * benchmark in embedding space; the probe SemDeDup-style pipelines run
+   * between a training corpus and held-out sets).
+   *
+   * 100 TB shape: the reference side (an eval benchmark — thousands of
+   * rows, not billions) is `broadcast` and the join is a map-side
+   * nested-loop with the native codegen [[graft.functions.TextHash.cosine]]
+   * in the condition: the corpus never shuffles, never replicates, and the
+   * per-row cost is |ref| fused dot products inside whole-stage codegen.
+   * Output is the flagged (corpus id, reference id) pair list — feed it to
+   * an anti-join to strip, or keep it as the audit table.
+   */
+  def embeddingAgainst(
+      corpus: DataFrame, ref: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("e_c"))
+    val r = ref.select(col(idCol).as("ref_id"), col(vecCol).as("e_r"))
+    c.join(broadcast(r), TextHash.cosine("e_c", "e_r") >= threshold)
+      .select(col("vec_id"), col("ref_id"))
+  }
+
+  /**
    * Incremental snapshot ingest: from a NEW batch of documents, keep
    * exactly the rows whose content is (a) absent from the already-ingested
    * corpus and (b) unique within the batch (first-id-wins) — the operator

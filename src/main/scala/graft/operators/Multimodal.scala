@@ -313,6 +313,81 @@ object Multimodal {
     }(encoder)
   }
 
+  /**
+   * Perceptual image hash (aHash): decode → grayscale → `side`×`side`
+   * average-pool → one bit per cell (1 = cell above the 64-cell mean).
+   * Emits a (doc, simhash) signature table — column names chosen so
+   * [[graft.operators.Dedup.simHashFromSignatures]] /
+   * [[graft.operators.Dedup.simHashAgainst]] consume it unchanged: image
+   * near-dup detection is then the SAME 4×16-bit pigeonhole blocking +
+   * exact-hamming search the text pipeline uses, and a stored phash index
+   * doubles as the cross-snapshot image-decontamination reference.
+   *
+   * 100 TB shape: one narrow batched `mapPartitions` per image (pixels
+   * never leave their split — each payload collapses to 8 bytes before
+   * anything shuffles); the downstream match is candidate-bounded by the
+   * chunk join, never all-pairs. Near-identical images (re-encodes,
+   * small edits) land within a few bits because average-pooling absorbs
+   * local perturbation — with the deterministic [[FakeCodec]] the same
+   * property holds for payloads sharing long byte prefixes.
+   */
+  def imagePhash(
+      df: DataFrame, payloadCol: String, idCol: String,
+      codec: Codec = FakeCodec, side: Int = 8): DataFrame = {
+    require(side * side == 64, "phash is a 64-bit signature: side must be 8")
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema.fields(idIdx).copy(name = "doc"),
+      StructField("simhash", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.map { r =>
+        val (w, h, c, _, px) = codec.decodeImage(r.getAs[Array[Byte]](payloadIdx))
+        // grayscale = channel mean, then side×side average-pool (the same
+        // split arithmetic as resizeImage so cell boundaries agree).
+        val cells = new Array[Double](side * side)
+        var oy = 0
+        while (oy < side) {
+          var ox = 0
+          while (ox < side) {
+            val x0 = ox * w / side
+            val x1 = math.max((ox + 1) * w / side, x0 + 1)
+            val y0 = oy * h / side
+            val y1 = math.max((oy + 1) * h / side, y0 + 1)
+            var sum = 0.0; var n = 0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                var ch = 0; var g = 0.0
+                while (ch < c) { g += px((y * w + x) * c + ch); ch += 1 }
+                sum += g / c; n += 1
+                x += 1
+              }
+              y += 1
+            }
+            cells(oy * side + ox) = sum / n
+            ox += 1
+          }
+          oy += 1
+        }
+        var mean = 0.0
+        var i = 0
+        while (i < cells.length) { mean += cells(i); i += 1 }
+        mean /= cells.length
+        var sig = 0L
+        i = 0
+        while (i < cells.length) {
+          if (cells(i) > mean) sig |= (1L << i)
+          i += 1
+        }
+        Row(r.get(idIdx), sig)
+      })
+    }(encoder)
+  }
+
   /** Build a fake media table from any string column (deterministic:
    *  payload = UTF-8 bytes). Lets the media ops run against the standard
    *  testdata `documents` table. */

@@ -384,6 +384,52 @@ object BuiltinOps {
         df => graft.operators.TextAnalysis.heavyHitters(df, t, ppm))
     },
 
+    // Integer-exact z-score outliers (Anomaly.zscoreOutliers): appends
+    // value_int + is_outlier per row; stats broadcast, rows never shuffle.
+    "outliers" -> { a =>
+      val v = a.strOpt("value").getOrElse("value")
+      val g = a.strOpt("group").getOrElse("event_type")
+      val kNum = a.intOpt("k_num").getOrElse(3).toLong
+      val kDen = a.intOpt("k_den").getOrElse(1).toLong
+      val scale = a.intOpt("scale").getOrElse(1000).toLong
+      LensOp.setLevel(s"outliers($v by $g, k=$kNum/$kDen)",
+        df => graft.operators.Anomaly.zscoreOutliers(df, v, g, kNum, kDen, scale))
+    },
+
+    // Volume-spike detection (Anomaly.volumeSpikes): (group, bucket)
+    // counts each z-tested against the group's own bucket history.
+    "volume_spikes" -> { a =>
+      val ts = a.strOpt("ts").getOrElse("ts_us")
+      val g = a.strOpt("group").getOrElse("event_type")
+      val bucketUs = a.strOpt("bucket_us").getOrElse("86400000000").toLong
+      val kNum = a.intOpt("k_num").getOrElse(5).toLong
+      val kDen = a.intOpt("k_den").getOrElse(2).toLong
+      LensOp.setLevel(s"volume_spikes($g / ${bucketUs}us)",
+        df => graft.operators.Anomaly.volumeSpikes(df, ts, g, bucketUs, kNum, kDen))
+    },
+
+    // Embedding-level decontamination (Dedup.embeddingAgainst): the
+    // reference (eval) set resolves from the catalog and broadcasts;
+    // emits flagged (vec_id, ref_id) pairs.
+    "embed_contam" -> { a =>
+      val (vec, id) = (a.strOpt("vec").getOrElse("embedding"),
+        a.strOpt("id").getOrElse("vec_id"))
+      val refTable = a.str("ref_table")
+      val threshold = a.doubleOpt("threshold").getOrElse(0.4)
+      LensOp.setLevel(s"embed_contam(ref=$refTable, t=$threshold)",
+        df => Dedup.embeddingAgainst(df, df.sparkSession.table(refTable),
+          vec, id, threshold))
+    },
+
+    // Perceptual image hash (Multimodal.imagePhash): payload column →
+    // (doc, simhash) signature table, ready for simhash search/blocking.
+    "phash" -> { a =>
+      val payload = a.strOpt("payload").getOrElse("payload")
+      val id = a.strOpt("id").getOrElse("doc_id")
+      LensOp(s"phash($payload)",
+        df => graft.operators.Multimodal.imagePhash(df, payload, id))
+    },
+
     // PageRank over an edge table (Pagerank.run): the rows ARE the edges;
     // emits (node_id, pr_nano) after `iters` integer power iterations.
     "pagerank" -> { a =>

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.operators.Anomaly
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Pipeline-monitoring queries over `events`: integer-exact z-score
+ * anomaly detection ([[graft.operators.Anomaly]]). Both queries clear
+ * the z-test of division and sqrt — `(v·n − s)²·kDen² > kNum²·(n·q − s²)`
+ * over per-row integer-floored values — so Spark (DECIMAL(38,0)) and
+ * DuckDB (HUGEINT) agree on every row with no FP boundary risk.
+ */
+object AnomalyQueries extends QueryProvider {
+
+  /** Row-level 3σ value outliers per event type. `value` is
+   *  exponential-ish (mean ≈ σ ≈ 50, max ≈ 9σ), so the 3σ tail is
+   *  populated at every sf (~1.9% of rows). */
+  private def eventOutliers(s: SparkSession, dir: String): DataFrame =
+    Anomaly.zscoreOutliers(T(s, dir, "events"), "value", "event_type",
+        kNum = 3, kDen = 1, scale = 1000L)
+      .where(col("is_outlier"))
+      .select(col("event_id"), col("event_type"),
+        col("value_int").as("value_milli"))
+
+  private val eventOutliersSql =
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 1000) AS BIGINT) AS value_milli
+      |  FROM events
+      |), s AS (
+      |  SELECT event_type, count(*) AS n, sum(value_milli) AS sm,
+      |         sum(value_milli * value_milli) AS sq
+      |  FROM v GROUP BY 1
+      |)
+      |SELECT v.event_id, v.event_type, v.value_milli
+      |FROM v JOIN s USING (event_type)
+      |WHERE (v.value_milli::HUGEINT * s.n - s.sm)
+      |      * (v.value_milli::HUGEINT * s.n - s.sm)
+      |      > 9 * (s.n::HUGEINT * s.sq - s.sm::HUGEINT * s.sm)""".stripMargin
+
+  /** Ingest-volume spike detection: day × type counts, each day tested
+   *  at 2.5σ against its type's own daily history. The count table
+   *  (days × types, never event volume) is all that shuffles. */
+  private def dailySpikes(s: SparkSession, dir: String): DataFrame =
+    Anomaly.volumeSpikes(
+        T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "ts_us", "event_type",
+        bucketUs = 86400000000L, kNum = 5, kDen = 2)
+      .where(col("is_outlier"))
+      .select(col("event_type"), col("bucket_us"), col("n_events"))
+
+  private val dailySpikesSql =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT event_type, count(*) AS nb, sum(n_events) AS sm,
+      |         sum(n_events * n_events) AS sq
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT d.event_type, d.bucket_us, d.n_events
+      |FROM d JOIN s USING (event_type)
+      |WHERE (d.n_events::HUGEINT * s.nb - s.sm)
+      |      * (d.n_events::HUGEINT * s.nb - s.sm) * 4
+      |      > 25 * (s.nb::HUGEINT * s.sq - s.sm::HUGEINT * s.sm)""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_outliers" -> (eventOutliers _),
+    "q_daily_spikes"   -> (dailySpikes _)
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_event_outliers" -> eventOutliersSql,
+    "q_daily_spikes"   -> dailySpikesSql
+  )
+}

@@ -179,6 +179,33 @@ object DedupQueries extends QueryProvider {
       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
       |      / (a.nrm * b.nrm) >= 0.402""".stripMargin
 
+  // Embedding-level decontamination: corpus vectors (19/20 of the table)
+  // probed against a small held-out reference slice (vec_id % 20 = 0 — the
+  // "eval benchmark"). The reference broadcasts; the corpus never
+  // shuffles. Threshold 0.4157 sits in a ≥1.9e-3 gap of the cross-pair
+  // cosine distribution at sf0.01 AND sf0.1 — far above cross-engine
+  // float noise (~1e-7).
+  private def dedupEmbedContam(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Dedup.embeddingAgainst(
+      emb.where(col("vec_id") % 20 =!= 0),
+      emb.where(col("vec_id") % 20 === 0),
+      "embedding", "vec_id", threshold = 0.4157)
+  }
+
+  private val dedupEmbedContamSql =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT c.vec_id AS vec_id, r.vec_id AS ref_id
+      |FROM n c JOIN n r ON c.vec_id % 20 != 0 AND r.vec_id % 20 = 0
+      |WHERE list_sum(list_transform(range(1, 65),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))
+      |      / (c.nrm * r.nrm) >= 0.4157""".stripMargin
+
   // SemDeDup: k-means cells from the corpus's own embeddings, within-cell
   // cosine pairs, keep-one survivors. Cell boundaries come from the
   // trained quantizer (engine-internal, like sim_ivf_kmeans) — rows-only
@@ -802,6 +829,7 @@ object DedupQueries extends QueryProvider {
     "dedup_ngram_jaccard"  -> (dedupNgram _),
     "dedup_allpairs"       -> (dedupAllPairs _),
     "dedup_embedding"      -> (dedupEmbedding _),
+    "dedup_embed_contam"   -> (dedupEmbedContam _),
     "dedup_approx_verify"  -> (dedupApproxVerify _),
     "dedup_segments"       -> (dedupSegments _),
     "dedup_lines_intra"    -> (dedupLinesIntra _),
@@ -845,6 +873,7 @@ object DedupQueries extends QueryProvider {
     "dedup_ngram_jaccard" -> dedupNgramSql,
     "dedup_allpairs"      -> dedupAllPairsSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
+    "dedup_embed_contam"  -> dedupEmbedContamSql,
     "dedup_segments"      -> dedupSegmentsSql,
     "dedup_lines_intra"   -> dedupLinesIntraSql,
     "dedup_incremental"   -> dedupIncrementalSql,

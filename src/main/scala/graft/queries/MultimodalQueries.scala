@@ -102,17 +102,55 @@ object MultimodalQueries extends QueryProvider {
       |  CAST(256 + octet_length(encode(text)) % 1024 AS BIGINT) AS n_samples
       |FROM documents""".stripMargin
 
+  /** Image near-dup via perceptual hash: decode → aHash signature →
+   *  4×16-bit pigeonhole blocking → exact hamming ≤ 3 pairs — the text
+   *  simhash machinery verbatim over image signatures. Production shape
+   *  (bench board): the whole chain in one query. */
+  private def phashDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.simHashFromSignatures(
+      Multimodal.imagePhash(media(s, dir), "payload", "doc_id"),
+      maxHamming = 3)
+
+  /** Cross-engine certification: the signature VALUES are codec-internal
+   *  (exact aHash bits pinned in MultimodalSpec), but GIVEN the
+   *  materialized signature table the search is exactly replayable —
+   *  DuckDB brute-forces all-pairs 64-bit hamming and must reach the
+   *  identical pair set, certifying that pigeonhole blocking loses
+   *  nothing at hamming ≤ 3 and that the bit_count math agrees. */
+  private def phashVerify(s: SparkSession, dir: String): DataFrame = {
+    Scratch.materialize(s, dir, "phash_sigs",
+      Multimodal.imagePhash(media(s, dir), "payload", "doc_id"))
+    graft.operators.Dedup.simHashFromSignatures(
+      s.read.parquet(Scratch.dir(dir, "phash_sigs")), maxHamming = 3)
+  }
+
+  private val phashVerifySql =
+    s"""WITH sigs AS (
+       |  SELECT doc, simhash
+       |  FROM read_parquet('${Scratch.oraclePath("phash_sigs")}/*.parquet')
+       |)
+       |SELECT a.doc AS doc_a, b.doc AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc < b.doc
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_image_meta"      -> (imageMeta _),
     "mm_image_features"  -> (imageFeatures _),
     "mm_frame_sample"    -> (frameSample _),
-    "mm_audio_features"  -> (audioFeatures _)
+    "mm_audio_features"  -> (audioFeatures _),
+    "mm_phash_verify"    -> (phashVerify _)
   )
 
   override val oracles: Map[String, String] = Map(
     "mm_image_meta"      -> imageMetaSql,
     "mm_image_features"  -> imageFeaturesSql,
     "mm_frame_sample"    -> frameSampleSql,
-    "mm_audio_features"  -> audioFeaturesSql
+    "mm_audio_features"  -> audioFeaturesSql,
+    "mm_phash_verify"    -> phashVerifySql
+  )
+
+  override val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup"     -> (phashDedup _)
   )
 }

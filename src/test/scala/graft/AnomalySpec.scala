@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Anomaly
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the integer-exact z-score operators: the cleared-form
+ *  comparison must agree with exact rational arithmetic (BigInt
+ *  reference), honor the kNum/kDen ratio, floor (not truncate) negative
+ *  values, and bucket volume spikes per group. */
+class AnomalySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("zscoreOutliers: hand-computable case honors the k ratio exactly") {
+    // group a: [0,0,0,0,100] → mean 20, σ_pop 40; v=100 deviates 2σ.
+    val df = Seq.fill(4)(0.0).map(("a", _)) :+ (("a", 100.0))
+    val base = df.toDF("g", "v")
+    def flagged(kNum: Long, kDen: Long) =
+      Anomaly.zscoreOutliers(base, "v", "g", kNum, kDen, scale = 1L)
+        .where(col("is_outlier")).select("value_int").as[Long].collect().toSet
+    assert(flagged(3, 2) == Set(100L)) // 2σ > 1.5σ → flagged
+    assert(flagged(2, 1) == Set.empty) // 2σ > 2σ is false: strict inequality
+    assert(flagged(3, 1) == Set.empty)
+  }
+
+  test("zscoreOutliers: matches an exact BigInt reference on seeded data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, if (i % 3 == 0) "x" else "y",
+        rnd.nextDouble() * 100 - 20 + (if (i % 97 == 0) 400.0 else 0.0))
+    }
+    val df = rows.toDF("id", "g", "v")
+    val got = Anomaly.zscoreOutliers(df, "v", "g", kNum = 3, kDen = 1, scale = 1000L)
+      .where(col("is_outlier")).select("id").as[Long].collect().toSet
+
+    // reference: same milli floors, exact BigInt cleared-form comparison
+    val byG = rows.groupBy(_._2)
+    val expect = rows.filter { case (_, g, v) =>
+      val vs = byG(g).map(t => BigInt(math.floor(t._3 * 1000).toLong))
+      val (n, s, q) = (BigInt(vs.size), vs.sum, vs.map(x => x * x).sum)
+      val vm = BigInt(math.floor(v * 1000).toLong)
+      val d = vm * n - s
+      d * d > 9 * (n * q - s * s)
+    }.map(_._1).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("zscoreOutliers: negative values floor toward -inf (not truncate)") {
+    val df = Seq(("a", -1.0005), ("a", 2.0)).toDF("g", "v")
+    val ints = Anomaly.zscoreOutliers(df, "v", "g", scale = 1000L)
+      .select("value_int").as[Long].collect().sorted
+    assert(ints.toSeq == Seq(-1001L, 2000L))
+  }
+
+  test("lens files drive outliers, volume_spikes, embed_contam, phash end-to-end") {
+    import graft.engine.Pipeline
+    // builtin:outliers over the hand-computable 2σ case at k=3/2
+    val base = (Seq.fill(4)(0.0).map(("a", _)) :+ (("a", 100.0))).toDF("g", "v")
+    val flagged = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:outliers",
+        |"arguments":{"value":"v","group":"g","k_num":"3","k_den":"2","scale":"1"}}]}"""
+        .stripMargin)
+      .forward(base).where(col("is_outlier"))
+      .select("value_int").as[Long].collect().toSeq
+    assert(flagged == Seq(100L))
+
+    // builtin:volume_spikes over a 3-bucket burst
+    val day = 86400000000L
+    val ev = ((for (d <- 0 until 10; i <- 0 until 10) yield ("x", d * day + i)) ++
+      (for (i <- 0 until 100) yield ("x", 10 * day + i))).toDF("g", "t")
+    val spikes = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:volume_spikes",
+        |"arguments":{"ts":"t","group":"g","bucket_us":"86400000000"}}]}"""
+        .stripMargin)
+      .forward(ev).where(col("is_outlier"))
+      .select("n_events").as[Long].collect().toSeq
+    assert(spikes == Seq(100L))
+
+    // builtin:embed_contam: corpus row 1 duplicates the catalog ref vector
+    val v = Seq.tabulate(8)(_.toFloat + 1)
+    Seq((100L, v)).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("anomaly_spec_ref")
+    val pairs = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:embed_contam",
+        |"arguments":{"ref_table":"anomaly_spec_ref","threshold":"0.99"}}]}"""
+        .stripMargin)
+      .forward(Seq((1L, v.map(_ * 2)), (2L, Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)))
+        .toDF("vec_id", "embedding"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L)))
+
+    // builtin:phash: signature table shape from a payload column
+    val sigs = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:phash","arguments":{"id":"doc_id"}}]}""")
+      .forward(Seq((1L, "same text"), (2L, "same text"))
+        .toDF("doc_id", "text")
+        .withColumn("payload", encode(col("text"), "UTF-8")).drop("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs.keySet == Set(1L, 2L) && sigs(1L) == sigs(2L))
+  }
+
+  test("volumeSpikes: flags only the burst bucket, per group") {
+    // type x: ten quiet days of 10 events + one day of 100 (≈3.2σ);
+    // type y: constant 5/day (σ=0 → nothing can flag).
+    val day = 86400000000L
+    val events =
+      (for (d <- 0 until 10; i <- 0 until 10) yield ("x", d * day + i)) ++
+        (for (i <- 0 until 100) yield ("x", 10 * day + i)) ++
+        (for (d <- 0 until 11; i <- 0 until 5) yield ("y", d * day + i))
+    val df = events.toDF("g", "ts_us")
+    val out = Anomaly.volumeSpikes(df, "ts_us", "g", bucketUs = day,
+      kNum = 5, kDen = 2)
+    assert(out.count() == 22) // 11 buckets per group
+    val spikes = out.where(col("is_outlier"))
+      .select("g", "bucket_us", "n_events")
+      .as[(String, Long, Long)].collect().toSet
+    assert(spikes == Set(("x", 10 * day, 100L)))
+  }
+}

@@ -349,6 +349,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embeddingAgainst: broadcast probe equals brute-force, corpus side never shuffles") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val corpus = (0L until 60L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val ref = (100L until 105L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingAgainst(corpus, ref, "embedding", "vec_id", 0.3)
+      .as[(Long, Long)].collect().toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val c = corpus.as[(Long, Seq[Float])].collect()
+    val r = ref.as[(Long, Seq[Float])].collect()
+    val expect = (for { (ci, cv) <- c; (ri, rv) <- r if cos(cv, rv) >= 0.3 }
+      yield (ci, ri)).toSet
+    assert(got == expect && got.nonEmpty)
+    // scale shape: the small side broadcasts — no shuffle exchange anywhere
+    val plan = Dedup.embeddingAgainst(corpus, ref, "embedding", "vec_id", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"))
+  }
+
   test("incrementalNew: drops old content, keeps min-id within the batch") {
     val corpus = Seq((100L, "already ingested"), (101L, "also old"))
       .toDF("doc_id", "text")

@@ -52,6 +52,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again == feats)
   }
 
+  test("imagePhash: deterministic pure function of payload; schema (doc, simhash)") {
+    val sigs = Multimodal.imagePhash(media(40), "payload", "doc_id")
+    assert(sigs.columns.toSeq == Seq("doc", "simhash"))
+    val m = sigs.as[(Int, Long)].collect().toMap
+    assert(m.size == 40)
+    // identical payloads → identical signatures: doc 0 and a copy
+    val twin = media(1).withColumn("doc_id", lit(999))
+    val sigTwin = Multimodal.imagePhash(twin, "payload", "doc_id")
+      .as[(Int, Long)].head()._2
+    assert(sigTwin == m(0))
+    // rerun is bit-identical
+    val again = Multimodal.imagePhash(media(40), "payload", "doc_id")
+      .as[(Int, Long)].collect().toMap
+    assert(again == m)
+  }
+
+  test("imagePhash + simHashFromSignatures: pair set equals brute-force hamming <= 3") {
+    val sigs = Multimodal.imagePhash(media(80), "payload", "doc_id")
+    val got = graft.operators.Dedup.simHashFromSignatures(sigs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Int, Int)].collect().toSet
+    val local = sigs.as[(Int, Long)].collect()
+    val expect = (for {
+      (a, sa) <- local; (b, sb) <- local
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got == expect)
+  }
+
   test("sampleFrames: partition-local 1:N with correct byte slicing") {
     val video = media(10)
       .withColumn("n_frames", (pmod(col("doc_id"), lit(7)) + lit(2)).cast("int"))
