@@ -390,6 +390,63 @@ object RelationalQueries extends QueryProvider {
       |  quantile_disc(l_quantity, 0.95) AS q95
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // Approximate-quantile sketch certification — the Greenwald-Khanna
+  // sibling of the HLL (dedup_approx_verify), CMS (text_cms_verify) and
+  // Bloom (dedup_bloom_verify) error-contract checks. Spark's
+  // percentile_approx at `accuracy` guarantees the returned ELEMENT's
+  // exact rank lies within ceil(n/accuracy) of ceil(p·n). The sketch
+  // estimates are engine-internal → materialized to parquet; both engines
+  // then recompute exact ranks from raw events over those exact bytes and
+  // re-check the bound with pure integer arithmetic. 100 TB shape: the
+  // sketch is one partial-aggregated pass (KB-sized per-partition
+  // summaries merge on the driver side of the agg); the rank recheck is
+  // one broadcast of the ≤groups×quantiles estimate table back over the
+  // stream — a verify-time cost only.
+  private def aggQuantileVerify(s: SparkSession, dir: String): DataFrame = {
+    val ests = T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 100)")
+        .as("ests"))
+      .select(col("event_type"), posexplode(col("ests")).as(Seq("pos", "est")))
+      .withColumn("p_pct",
+        element_at(array(lit(50L), lit(90L), lit(99L)), col("pos") + 1))
+      .select("event_type", "p_pct", "est")
+    Scratch.materialize(s, dir, "quantile_ests", ests)
+    s.read.parquet(Scratch.dir(dir, "quantile_ests"))
+      .join(T(s, dir, "events").select("event_type", "value"), "event_type")
+      .groupBy(col("event_type"), col("p_pct"), col("est"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("n_lt"),
+        sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("n_le"))
+      .withColumn("target", expr("(p_pct * n + 99) div 100"))
+      .withColumn("eps", expr("(n + 99) div 100"))
+      .select(col("event_type"), col("p_pct"), col("est"), col("n"),
+        (col("n_lt") + 1).as("rank_lo"), col("n_le").as("rank_hi"),
+        col("target"), col("eps"),
+        (col("n_lt") + 1 <= col("target") + col("eps") &&
+          col("n_le") >= col("target") - col("eps")).as("within_bound"))
+  }
+
+  private val aggQuantileVerifySql =
+    s"""WITH est AS (
+       |  SELECT event_type, p_pct, est
+       |  FROM read_parquet('${Scratch.oraclePath("quantile_ests")}/*.parquet')
+       |), r AS (
+       |  SELECT e.event_type, e.p_pct, e.est,
+       |    count(*) AS n,
+       |    sum(CASE WHEN v.value < e.est THEN 1 ELSE 0 END) AS n_lt,
+       |    sum(CASE WHEN v.value <= e.est THEN 1 ELSE 0 END) AS n_le
+       |  FROM est e JOIN events v USING (event_type)
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT event_type, p_pct, est, CAST(n AS BIGINT) AS n,
+       |  CAST(n_lt + 1 AS BIGINT) AS rank_lo, CAST(n_le AS BIGINT) AS rank_hi,
+       |  CAST((p_pct * n + 99) // 100 AS BIGINT) AS target,
+       |  CAST((n + 99) // 100 AS BIGINT) AS eps,
+       |  (n_lt + 1 <= (p_pct * n + 99) // 100 + (n + 99) // 100
+       |   AND n_le >= (p_pct * n + 99) // 100 - (n + 99) // 100) AS within_bound
+       |FROM r""".stripMargin
+
   // Typed imperative aggregate top-k: bounded k-entry partial buffers
   // map-side, ≤ k·16 B per (partition × group) shuffled — vs the window
   // formulation (q_topk_per_group) that shuffles and sorts every row.
@@ -688,6 +745,7 @@ object RelationalQueries extends QueryProvider {
     "q_window_running"  -> (windowRunning _),
     "q_window_range"    -> (windowRange _),
     "q_agg_percentiles" -> (aggPercentiles _),
+    "q_agg_quantile_verify" -> (aggQuantileVerify _),
     "q_agg_topk_typed"  -> (aggTopkTyped _),
     "q_window_lag_lead" -> (windowLagLead _),
     "q_topk_per_group"  -> (topkPerGroup _),
@@ -722,6 +780,7 @@ object RelationalQueries extends QueryProvider {
     "q_window_running"  -> windowRunningSql,
     "q_window_range"    -> windowRangeSql,
     "q_agg_percentiles" -> aggPercentilesSql,
+    "q_agg_quantile_verify" -> aggQuantileVerifySql,
     "q_agg_topk_typed"  -> aggTopkTypedSql,
     "q_window_lag_lead" -> windowLagLeadSql,
     "q_topk_per_group"  -> topkPerGroupSql,

@@ -53,6 +53,17 @@ class AnomalySpec extends AnyFunSuite {
     assert(ints.toSeq == Seq(-1001L, 2000L))
   }
 
+  test("q_agg_quantile_verify: GK rank-error contract holds on sf0.001") {
+    // The registered certification query: every percentile_approx estimate
+    // must sit within ceil(n/accuracy) ranks of its target — and the rank
+    // interval columns must be internally consistent.
+    val out = SparkEntry.queries("q_agg_quantile_verify")(spark, "/root/testdata/sf0.001")
+      .select("within_bound", "rank_lo", "rank_hi", "n").collect()
+    assert(out.length == 15) // 5 event types × 3 quantiles
+    assert(out.forall(_.getBoolean(0)), "a sketch estimate violated its rank bound")
+    assert(out.forall(r => r.getLong(1) <= r.getLong(2) + 1 && r.getLong(2) <= r.getLong(3)))
+  }
+
   test("lens files drive outliers, volume_spikes, embed_contam, phash end-to-end") {
     import graft.engine.Pipeline
     // builtin:outliers over the hand-computable 2σ case at k=3/2
