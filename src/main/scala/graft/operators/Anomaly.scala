@@ -65,6 +65,46 @@ object Anomaly {
   }
 
   /**
+   * Robust (median/MAD) outlier detection — the estimator actually used on
+   * dirty data, where the outliers themselves inflate mean and σ until the
+   * z-test stops seeing them: flag rows with |v − median| · kDen >
+   * kNum · MAD, where MAD is the median absolute deviation from the group
+   * median. Defaults encode the Iglewicz–Hoaglin modified z-score cut at
+   * 3.5 (0.6745·|dev|/MAD > 3.5, both sides scaled by 2000 to the exact
+   * integer ratio 7000/1349). Medians are ORDER STATISTICS over the
+   * integer-floored values — actual data elements, so every engine agrees
+   * exactly with no FP clearing needed at all.
+   *
+   * Scale note: `percentile_disc` is an exact order statistic — Spark's
+   * aggregate buffers the per-group value multiset, fine for the
+   * groups×values this monitor sees (metrics per source/type), wrong for
+   * corpus-sized groups. At that scale take the group median via
+   * GlobalSequence ranks (the q_quality_buckets shape) or accept the
+   * GK sketch bound certified by q_agg_quantile_verify; the flag itself
+   * stays a broadcast-joined map-side projection either way.
+   */
+  def madOutliers(
+      df: DataFrame, valueCol: String, groupCol: String,
+      kNum: Long = 7000, kDen: Long = 1349, scale: Long = 1000L): DataFrame = {
+    require(kNum > 0 && kDen > 0, "k must be a positive rational")
+    val withV = df.withColumn("value_int",
+      floor(col(valueCol) * lit(scale)).cast(LongType))
+    // percentile_disc returns DOUBLE; the statistic is an actual integer
+    // element, so the cast back to long is exact.
+    val med = withV.groupBy(col(groupCol))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value_int)")
+        .cast(LongType).as("median_int"))
+    val withDev = withV.join(broadcast(med), Seq(groupCol))
+      .withColumn("abs_dev_int", abs(col("value_int") - col("median_int")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev_int)")
+        .cast(LongType).as("mad_int"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier",
+        col("abs_dev_int") * lit(kDen) > lit(kNum) * col("mad_int"))
+  }
+
+  /**
    * Per-group volume-spike detection: bucket event times into fixed
    * windows of `bucketUs` microseconds, count rows per (group, bucket),
    * and flag buckets whose count is a kNum/kDen-σ outlier against that

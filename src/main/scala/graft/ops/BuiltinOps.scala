@@ -396,6 +396,18 @@ object BuiltinOps {
         df => graft.operators.Anomaly.zscoreOutliers(df, v, g, kNum, kDen, scale))
     },
 
+    // Robust median/MAD outliers (Anomaly.madOutliers): modified z-score
+    // over order statistics — exact, no FP clearing.
+    "mad_outliers" -> { a =>
+      val v = a.strOpt("value").getOrElse("value")
+      val g = a.strOpt("group").getOrElse("event_type")
+      val kNum = a.intOpt("k_num").getOrElse(7000).toLong
+      val kDen = a.intOpt("k_den").getOrElse(1349).toLong
+      val scale = a.intOpt("scale").getOrElse(1000).toLong
+      LensOp.setLevel(s"mad_outliers($v by $g)",
+        df => graft.operators.Anomaly.madOutliers(df, v, g, kNum, kDen, scale))
+    },
+
     // Volume-spike detection (Anomaly.volumeSpikes): (group, bucket)
     // counts each z-tested against the group's own bucket history.
     "volume_spikes" -> { a =>

@@ -67,13 +67,44 @@ object AnomalyQueries extends QueryProvider {
       |      * (d.n_events::HUGEINT * s.nb - s.sm) * 4
       |      > 25 * (s.nb::HUGEINT * s.sq - s.sm::HUGEINT * s.sm)""".stripMargin
 
+  /** Robust outliers: modified z-score at 3.5 over median/MAD order
+   *  statistics — integer-exact end to end (medians are data elements). */
+  private def eventMad(s: SparkSession, dir: String): DataFrame =
+    Anomaly.madOutliers(T(s, dir, "events"), "value", "event_type",
+        kNum = 7000, kDen = 1349, scale = 1000L)
+      .where(col("is_outlier"))
+      .select(col("event_id"), col("event_type"),
+        col("value_int").as("value_milli"),
+        col("median_int").as("median_milli"), col("mad_int").as("mad_milli"))
+
+  private val eventMadSql =
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 1000) AS BIGINT) AS vm
+      |  FROM events
+      |), m AS (
+      |  SELECT event_type, quantile_disc(vm, 0.5) AS med FROM v GROUP BY 1
+      |), d AS (
+      |  SELECT v.event_id, v.event_type, v.vm, m.med,
+      |    abs(v.vm - m.med) AS adev
+      |  FROM v JOIN m USING (event_type)
+      |), md AS (
+      |  SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM d GROUP BY 1
+      |)
+      |SELECT d.event_id, d.event_type, d.vm AS value_milli,
+      |  d.med AS median_milli, md.mad AS mad_milli
+      |FROM d JOIN md USING (event_type)
+      |WHERE d.adev * 1349 > 7000 * md.mad""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_outliers" -> (eventOutliers _),
+    "q_event_mad"      -> (eventMad _),
     "q_daily_spikes"   -> (dailySpikes _)
   )
 
   override val oracles: Map[String, String] = Map(
     "q_event_outliers" -> eventOutliersSql,
+    "q_event_mad"      -> eventMadSql,
     "q_daily_spikes"   -> dailySpikesSql
   )
 }

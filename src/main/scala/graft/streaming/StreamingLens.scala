@@ -208,6 +208,55 @@ object StreamingLens {
   }
 
   /**
+   * Streaming ingest-volume monitor — the continuous face of
+   * [[graft.operators.Anomaly.volumeSpikes]]: per micro-batch, fold the
+   * batch's (group, bucket) event counts into a persistent count history
+   * and alert on any bucket THIS batch touched that is now a
+   * kNum/kDen-σ outlier against its group's full accumulated history.
+   * The z-test is the same integer-cleared form as the batch operator, so
+   * an alert replayed in batch (`q_daily_spikes` shape) reproduces the
+   * same verdict exactly.
+   *
+   * State is deliberately NOT watermarked keyed state but an external
+   * count table (parquet here; a bucketed table on a cluster): the
+   * monitor's history must span the whole corpus lifetime, and its size
+   * is groups × time-span/bucket — counts, never events. Per batch: one
+   * partial-aggregated count of the batch, one append, one re-aggregate
+   * of the (small) history table, one broadcast-joined flag pass.
+   * Replays re-append a batch's counts (inflating that bucket), so an
+   * idempotent deployment keys `historyDir` writes by batchId per the
+   * foreachBatch contract — same caveat as [[nearDedupGate]].
+   *
+   * Use with `stream.writeStream.foreachBatch(volumeSpikeGate(...)).start()`.
+   */
+  def volumeSpikeGate(
+      tsUsCol: String,
+      groupCol: String,
+      bucketUs: Long,
+      historyDir: String,
+      alertDir: String,
+      kNum: Long = 5,
+      kDen: Long = 2): (DataFrame, Long) => Unit = (batch, _) => {
+    import graft.operators.Anomaly
+    val spark = batch.sparkSession
+    val counts = batch
+      .withColumn("bucket_us", col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs)))
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint() // appended AND probed below; cut the lineage
+    counts.write.mode("append").parquet(historyDir)
+    val history = spark.read.parquet(historyDir)
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(sum("n_events").as("n_events"))
+    Anomaly.zscoreOutliers(history, "n_events", groupCol, kNum, kDen, scale = 1L)
+      .where(col("is_outlier"))
+      .join(counts.select(col(groupCol), col("bucket_us")),
+        Seq(groupCol, "bucket_us"), "left_semi")
+      .select(col(groupCol), col("bucket_us"), col("n_events"))
+      .write.mode("append").parquet(alertDir)
+  }
+
+  /**
    * Streaming reference decontamination: drop stream rows whose content
    * already appears in a STATIC reference corpus — the ingest-time face of
    * `Dedup.bloomReference`/`dedup_ref_exact` (filter new shards against

@@ -53,6 +53,25 @@ class AnomalySpec extends AnyFunSuite {
     assert(ints.toSeq == Seq(-1001L, 2000L))
   }
 
+  test("madOutliers: robust to the contamination that blinds the z-test") {
+    // group a: 20 inliers at 10..29 plus FOUR huge outliers. Masking: the
+    // outliers inflate σ until their own z drops to ~2.2 (< 3 → z-test
+    // blind) but leave median/MAD untouched (med 21, MAD 6 → modified
+    // z ≈ 110).
+    val vals = (0 until 20).map(i => 10.0 + i) ++ Seq.fill(4)(1000.0)
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val zFlags = Anomaly.zscoreOutliers(df, "v", "g", kNum = 3, kDen = 1, scale = 1L)
+      .where(col("is_outlier")).count()
+    val madFlags = Anomaly.madOutliers(df, "v", "g", scale = 1L)
+      .where(col("is_outlier")).select("value_int").as[Long].collect().toSet
+    assert(zFlags == 0L)            // classic z-test misses all four
+    assert(madFlags == Set(1000L))  // MAD flags them, inliers stay clean
+    // median/MAD are order statistics of the actual data
+    val r = Anomaly.madOutliers(df, "v", "g", scale = 1L)
+      .select("median_int", "mad_int").head()
+    assert(r.getLong(0) == 21L && r.getLong(1) == 6L)
+  }
+
   test("q_agg_quantile_verify: GK rank-error contract holds on sf0.001") {
     // The registered certification query: every percentile_approx estimate
     // must sit within ceil(n/accuracy) ranks of its target — and the rank

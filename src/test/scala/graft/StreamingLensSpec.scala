@@ -361,6 +361,41 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("volume-spike gate: burst bucket alerts; verdict matches the batch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("volspike").toString
+    val (hist, alerts) = (s"$root/history", s"$root/alerts")
+    val day = 86400000000L
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF.toDF("g", "ts_us").writeStream
+      .foreachBatch(StreamingLens.volumeSpikeGate("ts_us", "g", day, hist, alerts))
+      .start()
+    try {
+      // batch 1: ten quiet days of 10 events — uniform history, no alert
+      in.addData((for (d <- 0 until 10; i <- 0 until 10) yield ("x", d * day + i)): _*)
+      q.processAllAvailable()
+      assert(!new java.io.File(alerts).exists ||
+        spark.read.parquet(alerts).count() == 0)
+      // batch 2: a 100-event burst day (~3.2σ against the history)
+      in.addData((for (i <- 0 until 100) yield ("x", 10 * day + i)): _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(alerts)
+        .select("g", "bucket_us", "n_events")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == Set(("x", 10 * day, 100L)))
+      // the streaming verdict == the batch operator over the replayed log
+      val replayed = ((for (d <- 0 until 10; i <- 0 until 10) yield ("x", d * day + i)) ++
+        (for (i <- 0 until 100) yield ("x", 10 * day + i))).toDF("g", "ts_us")
+      val batchSpikes = graft.operators.Anomaly
+        .volumeSpikes(replayed, "ts_us", "g", day)
+        .where(col("is_outlier"))
+        .select("g", "bucket_us", "n_events")
+        .as[(String, Long, Long)].collect().toSet
+      assert(batchSpikes == got)
+    } finally q.stop()
+  }
+
   test("streaming funnel: in-order replayed log matches the batch funnel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
