@@ -96,4 +96,84 @@ object Pagerank {
     }
     ranks.select(col("node_id"), col("pr").as("pr_nano"))
   }
+
+  /**
+   * Personalized PageRank (topic-sensitive PageRank, Haveliwala 2002):
+   * identical power iteration to [[run]], except ALL teleport mass — the
+   * (100−d)% restart AND the dangling-node mass — lands uniformly on a
+   * SEED set instead of on every node. This is the trust/quality
+   * propagation primitive web curation uses (TrustRank, Gyöngyi et al.
+   * 2004): seed a small set of known-good hosts and let proximity in the
+   * link graph rank everything else; pages unreachable from the seeds
+   * decay to exactly 0 rank.
+   *
+   * Same integer nano-unit arithmetic as [[run]] (every division is
+   * `DIV`, so each iteration replays bit-exactly in the DuckDB oracle's
+   * CTE unroll). Seeds not present as graph nodes are ignored; `S` is
+   * the count of seed∩nodes, and the start vector is `ONE DIV S` on
+   * seeds, 0 elsewhere.
+   *
+   * 100 TB shape: identical per-iteration cost to [[run]] (one
+   * src-co-located join + one dst agg over (id, rank) pairs). The seed
+   * flag rides on the slim node table (one extra byte), and the seed set
+   * itself is broadcast once — seeds are by construction small (that is
+   * the point of the operator).
+   */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 5,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 100, "need 1 <= iters <= 100")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percent")
+    val ONE = 1000000000L
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().repartition(col("src")).persist()
+    val seedIds = seeds.select(col(seedCol).cast("long").as("node_id"))
+      .distinct()
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id")))
+      .distinct()
+      .join(broadcast(seedIds.withColumn("seed_one", lit(1L))),
+        Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("seed_one"), lit(0L)).as("is_seed"))
+      .persist()
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).persist()
+    val sRow = nodes.agg(sum(col("is_seed")).as("s"))
+
+    var ranks = nodes.crossJoin(broadcast(sRow))
+      .select(col("node_id"), col("is_seed"),
+        expr(s"CAST(CASE WHEN is_seed = 1 THEN $ONE DIV s ELSE 0 END" +
+          " AS BIGINT)").as("pr"))
+      .localCheckpoint()
+    try {
+      for (_ <- 1 to iters) {
+        val withDeg = ranks
+          .join(outdeg, ranks("node_id") === outdeg("src"), "left")
+        val dang = withDeg.where(col("outdeg").isNull)
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+        val inflow = withDeg.where(col("outdeg").isNotNull)
+          .select(col("node_id"), expr("CAST(pr DIV outdeg AS BIGINT)").as("c"))
+          .join(e, col("node_id") === e("src"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val prev = ranks
+        ranks = nodes
+          .join(inflow, nodes("node_id") === inflow("dst"), "left")
+          .crossJoin(broadcast(sRow)).crossJoin(broadcast(dang))
+          .select(nodes("node_id"), nodes("is_seed"),
+            expr(s"CAST((${100 - dampingPct} * " +
+              s"(CASE WHEN is_seed = 1 THEN $ONE DIV s ELSE 0 END)) DIV 100" +
+              s" + ($dampingPct * (coalesce(inflow, 0) + " +
+              "(CASE WHEN is_seed = 1 THEN dang DIV s ELSE 0 END)))" +
+              " DIV 100 AS BIGINT)").as("pr"))
+          .localCheckpoint()
+        unpersistCheckpoint(prev)
+      }
+    } finally {
+      e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+    }
+    ranks.select(col("node_id"), col("pr").as("pr_nano"))
+  }
 }

@@ -452,6 +452,30 @@ object BuiltinOps {
         df => graft.operators.Pagerank.run(df, src, dst, iters))
     },
 
+    // Personalized PageRank (Pagerank.personalized): teleport + dangling
+    // mass restricted to a seed-node catalog view — TrustRank-style
+    // quality propagation from a vetted seed list.
+    "ppr" -> { a =>
+      val src = a.strOpt("src").getOrElse("src")
+      val dst = a.strOpt("dst").getOrElse("dst")
+      val iters = a.intOpt("iters").getOrElse(5)
+      val seedTable = a.str("seed_table")
+      val seedCol = a.strOpt("seed_col").getOrElse("node_id")
+      LensOp.setLevel(s"ppr($src->$dst, seeds=$seedTable, iters=$iters)",
+        df => graft.operators.Pagerank.personalized(df, src, dst,
+          df.sparkSession.table(seedTable), seedCol, iters))
+    },
+
+    // HITS hubs/authorities (Hits.run): the topic-local link-quality
+    // signal next to pagerank.
+    "hits" -> { a =>
+      val src = a.strOpt("src").getOrElse("src")
+      val dst = a.strOpt("dst").getOrElse("dst")
+      val iters = a.intOpt("iters").getOrElse(5)
+      LensOp.setLevel(s"hits($src->$dst, iters=$iters)",
+        df => graft.operators.Hits.run(df, src, dst, iters))
+    },
+
     // BM25 keyword relevance (Bm25.score): per-doc score against a fixed
     // query-term list in integer micro-units.
     "bm25" -> { a =>

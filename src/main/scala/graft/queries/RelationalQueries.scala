@@ -724,8 +724,110 @@ object RelationalQueries extends QueryProvider {
        |SELECT node_id, pr AS pr_nano FROM r$prIters""".stripMargin
   }
 
+  // Personalized PageRank (Pagerank.personalized): same purchase graph,
+  // teleport + dangling mass restricted to the 'BUILDING'-segment seed
+  // customers — the TrustRank quality-propagation shape. Bit-exact CTE
+  // replay like q_pagerank.
+  private def pprQ(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+    val seeds = T(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    graft.operators.Pagerank.personalized(edges, "src", "dst",
+      seeds, "c_custkey", iters = prIters)
+  }
+
+  private val pprSql: String = {
+    val iterCtes = (1 to prIters).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+         |  FROM r$p LEFT JOIN odeg ON node_id = src WHERE outdeg IS NULL),
+         |f$i AS (SELECT e.dst, CAST(sum(pr // outdeg) AS BIGINT) AS inflow
+         |  FROM r$p JOIN odeg ON node_id = odeg.src
+         |  JOIN e ON e.src = odeg.src
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (SELECT node_id, is_seed,
+         |  CAST((15 * (CASE WHEN is_seed = 1 THEN 1000000000 // s ELSE 0 END)) // 100
+         |    + (85 * (coalesce(inflow, 0)
+         |      + (CASE WHEN is_seed = 1 THEN dang // s ELSE 0 END))) // 100
+         |    AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN ss CROSS JOIN d$i
+         |  LEFT JOIN f$i ON node_id = dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+       |  l_suppkey + 1000000 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes0 AS (SELECT src AS node_id FROM e
+       |  UNION SELECT dst AS node_id FROM e),
+       |seeds AS (SELECT DISTINCT c_custkey AS node_id FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |nodes AS (SELECT n.node_id,
+       |  CASE WHEN s.node_id IS NULL THEN 0 ELSE 1 END AS is_seed
+       |  FROM nodes0 n LEFT JOIN seeds s ON n.node_id = s.node_id),
+       |ss AS (SELECT CAST(sum(is_seed) AS BIGINT) AS s FROM nodes),
+       |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM e GROUP BY src),
+       |r0 AS (SELECT node_id, is_seed,
+       |  CAST(CASE WHEN is_seed = 1 THEN 1000000000 // s ELSE 0 END AS BIGINT) AS pr
+       |  FROM nodes CROSS JOIN ss),
+       |$iterCtes
+       |SELECT node_id, pr AS pr_nano FROM r$prIters""".stripMargin
+  }
+
+  // HITS hubs/authorities (Hits.run) over the same purchase graph:
+  // customers are pure hubs, suppliers pure authorities (each side's
+  // zero-score half exercises the renormalization's coalesce path). L1
+  // renorm in HUGEINT/DECIMAL(38,0) — every half-step replays exactly.
+  private def hitsQ(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+    graft.operators.Hits.run(edges, "src", "dst", iters = prIters)
+  }
+
+  private val hitsSql: String = {
+    val iterCtes = (1 to prIters).map { i =>
+      val p = i - 1
+      val hPrev = if (p == 0) "h0" else s"h$p"
+      // AS MATERIALIZED: DuckDB 1.0 inlines CTEs by reference, and each
+      // half-step here is referenced twice — without materialization the
+      // 5-round unroll re-evaluates the chain ~4^5 times.
+      s"""ar$i AS MATERIALIZED (SELECT e.dst, CAST(sum(h) AS BIGINT) AS raw
+         |  FROM $hPrev JOIN e ON node_id = e.src GROUP BY e.dst),
+         |asum$i AS (SELECT greatest(coalesce(CAST(sum(raw) AS HUGEINT), 0), 1) AS s
+         |  FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT n.node_id,
+         |  CAST((CAST(coalesce(raw, 0) AS HUGEINT) * 1000000000) // s AS BIGINT) AS a
+         |  FROM nodes n CROSS JOIN asum$i LEFT JOIN ar$i ON n.node_id = ar$i.dst),
+         |hr$i AS MATERIALIZED (SELECT e.src, CAST(sum(a) AS BIGINT) AS raw
+         |  FROM a$i JOIN e ON node_id = e.dst GROUP BY e.src),
+         |hsum$i AS (SELECT greatest(coalesce(CAST(sum(raw) AS HUGEINT), 0), 1) AS s
+         |  FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT n.node_id,
+         |  CAST((CAST(coalesce(raw, 0) AS HUGEINT) * 1000000000) // s AS BIGINT) AS h
+         |  FROM nodes n CROSS JOIN hsum$i LEFT JOIN hr$i ON n.node_id = hr$i.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+       |  l_suppkey + 1000000 AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node_id FROM e
+       |  UNION SELECT dst AS node_id FROM e),
+       |h0 AS (SELECT node_id, CAST(1000000000 AS BIGINT) AS h FROM nodes),
+       |$iterCtes
+       |SELECT h$prIters.node_id, h AS hub_nano, a AS auth_nano
+       |FROM h$prIters JOIN a$prIters ON h$prIters.node_id = a$prIters.node_id""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"        -> (pagerankQ _),
+    "q_ppr"             -> (pprQ _),
+    "q_hits"            -> (hitsQ _),
     "q1_agg"            -> (q1Agg _),
     "q_agg_distinct"    -> (aggDistinct _),
     "q_agg_stats"       -> (aggStats _),
@@ -761,6 +863,8 @@ object RelationalQueries extends QueryProvider {
 
   override val oracles: Map[String, String] = Map(
     "q_pagerank"        -> pagerankSql,
+    "q_ppr"             -> pprSql,
+    "q_hits"            -> hitsSql,
     "q1_agg"            -> q1AggSql,
     "q_agg_distinct"    -> aggDistinctSql,
     "q_agg_stats"       -> aggStatsSql,

@@ -1,0 +1,157 @@
+package graft
+
+import graft.operators.{Hits, Pagerank}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Personalized PageRank + HITS — the round-7 graph-signal additions.
+ *  Each is checked against an in-memory integer replica of the exact
+ *  arithmetic the operator (and its DuckDB oracle unroll) performs. */
+class GraphSignalsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import spark.implicits._
+
+  private val ONE = 1000000000L
+
+  // ---- personalized PageRank -------------------------------------------
+
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int = 5): Map[Long, Long] =
+    Pagerank.personalized(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("id"), "id", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def pprReference(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val seedSet = seeds.toSet.intersect(nodes.toSet)
+    val s = seedSet.size.toLong
+    val outdeg = e.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    def tele(v: Long): Long = if (seedSet(v)) ONE / s else 0L
+    var pr = nodes.map(v => v -> tele(v)).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(outdeg.contains).map(pr).sum
+      val inflow = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (u, _) => pr(u) / outdeg(u) }.sum
+      }
+      pr = nodes.map { v =>
+        val dangShare = if (seedSet(v)) dang / s else 0L
+        v -> ((15L * tele(v)) / 100L +
+          (85L * (inflow.getOrElse(v, 0L) + dangShare)) / 100L)
+      }.toMap
+    }
+    pr
+  }
+
+  test("ppr matches the integer reference on a graph with dangling nodes") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val seeds = Seq(1L, 2L)
+    assert(ppr(edges, seeds) == pprReference(edges, seeds, 5))
+  }
+
+  test("ppr: nodes unreachable from the seeds decay to zero rank") {
+    // two disjoint cycles; seeds only in the first
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    val r = ppr(edges, Seq(1L), iters = 10)
+    assert(r(10L) == 0L && r(11L) == 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+  }
+
+  test("ppr: seeds outside the graph are ignored") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    assert(ppr(edges, Seq(1L, 999L)) == ppr(edges, Seq(1L)))
+  }
+
+  test("ppr: all-nodes seed set ranks like uniform teleport") {
+    // with every node seeded, personalization degrades to plain PageRank
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val nodes = Seq(1L, 2L, 3L)
+    val plain = Pagerank.run(edges.toDF("src", "dst"), "src", "dst", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr(edges, nodes) == plain)
+  }
+
+  test("ppr is rerun-deterministic") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(ppr(edges, Seq(2L)) == ppr(edges, Seq(2L)))
+  }
+
+  // ---- HITS ------------------------------------------------------------
+
+  private def hits(edges: Seq[(Long, Long)],
+      iters: Int = 5): Map[Long, (Long, Long)] =
+    Hits.run(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  private def hitsReference(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> BigInt(ONE)).toMap
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to iters) {
+      val aRaw = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(x => h(x._1)).sum }
+      val aS = aRaw.values.sum.max(BigInt(1))
+      a = nodes.map(v =>
+        v -> aRaw.getOrElse(v, BigInt(0)) * ONE / aS).toMap
+      val hRaw = e.groupBy(_._1).map { case (u, es) =>
+        u -> es.map(x => a(x._2)).sum }
+      val hS = hRaw.values.sum.max(BigInt(1))
+      h = nodes.map(v =>
+        v -> hRaw.getOrElse(v, BigInt(0)) * ONE / hS).toMap
+    }
+    nodes.map(v => v -> ((h(v).toLong, a(v).toLong))).toMap
+  }
+
+  test("hits matches the integer reference on a bipartite-ish graph") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L), (10L, 11L))
+    assert(hits(edges) == hitsReference(edges, 5))
+  }
+
+  test("hits: the most-pointed-at node has the top authority score") {
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (1L, 8L))
+    val r = hits(edges)
+    assert(r(9L)._2 > r(8L)._2)
+    assert(r(9L)._2 > r(1L)._2)
+  }
+
+  test("hits: a node linking to every authority is the top hub") {
+    val edges = Seq((1L, 8L), (1L, 9L), (2L, 9L), (3L, 7L))
+    val r = hits(edges)
+    assert(r(1L)._1 > r(2L)._1 && r(1L)._1 > r(3L)._1)
+  }
+
+  test("hits: pure sources have zero authority, pure sinks zero hub") {
+    val edges = Seq((1L, 10L), (2L, 10L))
+    val r = hits(edges)
+    assert(r(1L)._2 == 0L && r(2L)._2 == 0L)
+    assert(r(10L)._1 == 0L)
+  }
+
+  test("lens file drives ppr and hits end-to-end (builtin:ppr / builtin:hits)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    Seq(2L).toDF("node_id").createOrReplaceTempView("graft_test_seeds")
+    val viaLens = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:ppr",
+        |  "arguments":{"seed_table":"graft_test_seeds","iters":"3"}}]}""".stripMargin)
+      .forward(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLens == ppr(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)),
+      Seq(2L), iters = 3))
+    val hitsLens = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:hits","arguments":{"iters":"2"}}]}""")
+      .forward(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hitsLens == hits(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)),
+      iters = 2))
+  }
+
+  test("hits is rerun-deterministic and duplicate-edge-invariant") {
+    val e1 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val e2 = e1 ++ Seq((1L, 2L), (1L, 3L))
+    assert(hits(e1) == hits(e1))
+    assert(hits(e1) == hits(e2))
+  }
+}
