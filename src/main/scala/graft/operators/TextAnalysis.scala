@@ -608,4 +608,181 @@ object TextAnalysis {
       .where(col("est_count") >= threshold)
       .withColumn("n_total", lit(nTotal))
   }
+
+  /**
+   * PMI collocations (Church & Hanks 1990): the top-k adjacent token
+   * pairs by pointwise mutual information — the multi-word-expression
+   * miner ("new york", "machine learning") tokenizer and phrase-vocab
+   * builders run over a corpus before training.
+   *
+   * `pmi = ln(P(w1,w2) / (P(w1)·P(w2)))` with P(w1,w2) over the N2
+   * adjacent-pair occurrences and P(w) over the N1 token occurrences,
+   * computed as `floor(1e6 · ln((c12·N1·N1) / (N2·c1·c2)))` in integer
+   * micro-nats. The double ratio is built with the EXACT same
+   * multiplication shape on both engines (left-associated, doubles
+   * throughout) so the floor is bit-identical cross-engine — the same
+   * discipline as [[bigramLmScore]]. `minCount` drops rare-pair noise
+   * (the textbook c12 ≥ 5 cut); the k cut is a total order
+   * (pmi desc, w1, w2) so the LIMIT is engine-independent.
+   *
+   * 100 TB shape: one bigram-keyed and one token-keyed hash aggregate
+   * (both partial-aggregated map-side, shuffles carry distinct
+   * bigrams/tokens, not occurrences), two vocab-sized joins keyed on the
+   * unigram, two one-row broadcast totals, and a TakeOrdered top-k —
+   * nothing corpus-shaped moves.
+   */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      k: Int = 100): DataFrame = {
+    val toks = df.select(wsTokens(col(textCol)).as("ws"))
+    val pairs = toks.where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toks.select(explode(col("ws")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n1"), lit(1L).as("dummy"))
+    val bi = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    val n2Row = pairs.agg(count(lit(1)).as("n2"))
+    bi
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals.select(col("n1"))))
+      .crossJoin(broadcast(n2Row))
+      .select(col("w1"), col("w2"), col("c12"),
+        floor(lit(1e6) * log(
+          col("c12").cast("double") * col("n1") * col("n1") /
+            (col("n2").cast("double") * col("c1") * col("c2"))))
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /**
+   * Sparse TF-IDF all-pairs document cosine via an inverted index with a
+   * document-frequency cap — "find similar documents WITHOUT embeddings"
+   * (Bayardo et al. 2007's all-pairs similarity, the term-vector
+   * complement of [[Dedup.ngramJaccard]]'s set-overlap variant).
+   *
+   * Integer-exact end to end: weights are `w = tf·1000 DIV df`
+   * (milli-units — small enough that every product below stays inside
+   * DECIMAL(38,0)/HUGEINT), norms are `Σw²`, pair scores are
+   * `cos²_bp = (dot²·10⁴) DIV (‖a‖²·‖b‖²)` — cosine SQUARED in basis
+   * points, which ranks identically to cosine (all weights are
+   * non-negative) and needs no square root, so both engines agree on
+   * every row. Pairs below `minCos2Bp` are dropped on the floored value.
+   *
+   * 100 TB shape: THE scale lever is the df cap — a term appearing in
+   * more than `dfCapPpm` parts-per-million of the corpus documents is
+   * dropped before the self-join, which bounds the per-term join fanout
+   * and drops exactly the stop-terms that carry no discriminative weight
+   * anyway (their idf ≈ 0). The cap is corpus-RELATIVE (an integer ppm of
+   * the broadcast one-row doc count) so the same query keeps the same
+   * selectivity at every scale factor. The exchange is keyed on the
+   * term; per-pair partial dot products partial-aggregate map-side.
+   * df < 2 terms can't pair and are pruned with the same filter. At
+   * production scale, materialize the weighted postings table once
+   * ([[graft.queries.Scratch]] discipline) and share it across
+   * threshold sweeps.
+   */
+  def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+      dfCapPpm: Long = 790000L, minCos2Bp: Long = 7000L): DataFrame = {
+    val dec = "DECIMAL(38,0)"
+    val nd = df.agg(count(lit(1)).as("n"))
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(wsTokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .where(col("df") >= 2L &&
+        col("df") <= greatest(lit(2L), expr(s"n * $dfCapPpm DIV 1000000")))
+      .select(col("token"), col("df"))
+    val w = tf.join(dfc, Seq("token"))
+      .select(col("doc_id"), col("token"),
+        expr("CAST(tf * 1000 DIV df AS BIGINT)").as("w"))
+    val n2 = w.groupBy(col("doc_id"))
+      .agg(sum(expr(s"CAST(w AS $dec) * w")).as("n2"))
+    val a = w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))
+    val b = w.select(col("doc_id").as("doc_b"), col("token"), col("w").as("wb"))
+    a.join(b, Seq("token")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum(expr(s"CAST(wa AS $dec) * wb")).as("dot"))
+      .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), Seq("doc_a"))
+      .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("shared_terms").cast("long").as("shared_terms"),
+        expr("CAST((dot * dot * 10000) DIV (n2a * n2b) AS BIGINT)")
+          .as("cos2_bp"))
+      .where(col("cos2_bp") >= minCos2Bp)
+  }
+
+  /**
+   * Corpus-trained multinomial Naive Bayes classifier — the
+   * fastText-shaped trained gate (language ID, quality labels, topic
+   * routing) LLM pipelines run after the heuristic filters: fit on a
+   * LABELED slice, score and argmax-classify the rest. The heuristic
+   * sibling is [[languageId]]; this one LEARNS its evidence from
+   * `labelCol` on the training rows.
+   *
+   * Multinomial NB with add-one smoothing over whitespace tokens:
+   * `score(d, c) = floor(1e6·ln(n_c/n_docs)) + Σ_t floor(1e6·ln((c_{c,t}+1)/(T_c+V)))`
+   * in integer micro-nats (per-term floors before the sum — exact under
+   * any partitioning, same discipline as [[bigramLmScore]]). Tokens
+   * outside the training vocab still contribute the smoothed floor
+   * ln(1/(T_c+V)). Prediction is the (score desc, label asc) argmax —
+   * a total order, so the verdict is engine-independent and the DuckDB
+   * oracle refits the whole model from the same split.
+   *
+   * 100 TB shape: the model is (vocab × classes) + per-class scalars —
+   * two token-keyed training aggregates bounded by vocab, broadcast to
+   * the scoring side; scoring is explode + broadcast-join + per-doc agg
+   * (the exchange carries (doc, class) partial sums, never text); the
+   * argmax is a per-doc window over `classes` rows. Nothing
+   * corpus-shaped shuffles, and the scored side never joins shuffled.
+   */
+  def nbClassify(train: DataFrame, score: DataFrame, textCol: String,
+      idCol: String, labelCol: String): DataFrame = {
+    val toks = train.select(col(labelCol).as("cls"),
+      explode(wsTokens(col(textCol))).as("t"))
+    val model = toks.groupBy(col("cls"), col("t"))
+      .agg(count(lit(1)).as("ct"))
+    val classTotals = toks.groupBy(col("cls"))
+      .agg(count(lit(1)).as("tc"))
+    val vocab = toks.agg(countDistinct(col("t")).as("v"))
+    val priors = train.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("nc"))
+    val nDocs = train.agg(count(lit(1)).as("nd"))
+    val classes = classTotals
+      .join(priors, Seq("cls"))
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
+      .select(col("cls"), col("tc"), col("v"),
+        floor(lit(1e6) * log(col("nc").cast("double") / col("nd")))
+          .cast("long").as("prior_micro"))
+    val occ = score.select(col(idCol).as("doc_id"),
+      explode(wsTokens(col(textCol))).as("t"))
+    val scored = occ
+      .crossJoin(broadcast(classes))
+      .join(broadcast(model), Seq("cls", "t"), "left")
+      .select(col("doc_id"), col("cls"), col("prior_micro"),
+        floor(lit(1e6) * log(
+          (coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("tc").cast("double") + col("v"))))
+          .cast("long").as("ll_micro"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(first(col("prior_micro")).as("prior_micro"),
+        sum(col("ll_micro")).as("ll_sum"))
+      .select(col("doc_id"), col("cls"),
+        (col("prior_micro") + col("ll_sum")).as("score_micro"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("cls"))
+    scored.withColumn("rk", row_number().over(win))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("cls").as("pred"),
+        col("score_micro").as("best_score_micro"))
+  }
 }

@@ -325,6 +325,39 @@ object BuiltinOps {
         df => TextAnalysis.sourceDivergence(df, t, group))
     },
 
+    // PMI collocations (TextAnalysis.collocations): top-k adjacent pairs
+    // by pointwise mutual information in integer micro-nats.
+    "collocations" -> { a =>
+      val t = a.strOpt("text").getOrElse("text")
+      val minCount = a.intOpt("min_count").getOrElse(5).toLong
+      val k = a.intOpt("k").getOrElse(100)
+      LensOp.setLevel(s"collocations(min=$minCount, k=$k)",
+        df => TextAnalysis.collocations(df, t, minCount, k))
+    },
+
+    // df-capped TF-IDF all-pairs cosine (TextAnalysis.tfidfCosinePairs):
+    // similar-document pairs without embeddings, cos² in basis points.
+    "tfidf_pairs" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val ppm = a.intOpt("df_cap_ppm").getOrElse(790000).toLong
+      val minBp = a.intOpt("min_cos2_bp").getOrElse(7000).toLong
+      LensOp.setLevel(s"tfidf_pairs(cap=${ppm}ppm, tau2=${minBp}bp)",
+        df => TextAnalysis.tfidfCosinePairs(df, t, id, ppm, minBp))
+    },
+
+    // Trained multinomial NB classifier (TextAnalysis.nbClassify): fit on
+    // a labeled catalog view, argmax-classify the incoming rows.
+    "nb_classify" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val trainTable = a.str("train_table")
+      val label = a.strOpt("label").getOrElse("lang")
+      LensOp.setLevel(s"nb_classify(train=$trainTable, label=$label)",
+        df => TextAnalysis.nbClassify(
+          df.sparkSession.table(trainTable), df, t, id, label))
+    },
+
     // Deterministic contrastive negatives (Contrastive.negatives): k
     // mixer-picked negatives per anchor over the rank space.
     "negatives" -> { a =>

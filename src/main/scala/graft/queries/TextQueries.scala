@@ -1320,7 +1320,114 @@ object TextQueries extends QueryProvider {
       |       ELSE 'test' END AS split
       |FROM d""".stripMargin
 
+  // PMI collocations (TextAnalysis.collocations): top-100 adjacent pairs
+  // by pointwise mutual information, c12 >= 5, micro-nat floors with the
+  // multiplication shape mirrored exactly — same FP discipline as
+  // text_bigram_lm.
+  private def collocationsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(T(s, dir, "documents"), "text",
+      minCount = 5L, k = 100)
+
+  private val collocationsSql =
+    """WITH toks AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+      |  FROM toks WHERE len(ws) >= 2
+      |),
+      |uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(ws) AS t FROM toks) GROUP BY t),
+      |tot1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uc),
+      |tot2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM pairs),
+      |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM pairs GROUP BY w1, w2 HAVING count(*) >= 5)
+      |SELECT w1, w2, c12,
+      |  CAST(floor(1e6 * ln(CAST(c12 AS DOUBLE) * n1 * n1 /
+      |    (CAST(n2 AS DOUBLE) * u1.c * u2.c))) AS BIGINT) AS pmi_micro
+      |FROM bi JOIN uc u1 ON bi.w1 = u1.t JOIN uc u2 ON bi.w2 = u2.t
+      |CROSS JOIN tot1 CROSS JOIN tot2
+      |ORDER BY pmi_micro DESC, w1, w2
+      |LIMIT 100""".stripMargin
+
+  // df-capped TF-IDF all-pairs cosine (TextAnalysis.tfidfCosinePairs)
+  // over the English slice: integer milli-unit weights, cos² in basis
+  // points via DECIMAL(38,0)/HUGEINT — no sqrt, no FP anywhere.
+  private def tfidfPairsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfCosinePairs(
+      T(s, dir, "documents").where(col("lang") === "en"),
+      "text", "doc_id")
+
+  private val tfidfPairsSql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY doc_id, token),
+      |dfk AS (SELECT token, df FROM (
+      |    SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+      |  CROSS JOIN nd
+      |  WHERE df >= 2 AND df <= greatest(2, n * 790000 // 1000000)),
+      |w AS (SELECT doc_id, tf.token, CAST(tf.tf * 1000 // dfk.df AS BIGINT) AS w
+      |  FROM tf JOIN dfk ON tf.token = dfk.token),
+      |n2 AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+      |  FROM w GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS shared_terms,
+      |    sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+      |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, shared_terms,
+      |  CAST((dot * dot * 10000) // (na.n2 * nb.n2) AS BIGINT) AS cos2_bp
+      |FROM p JOIN n2 na ON na.doc_id = doc_a JOIN n2 nb ON nb.doc_id = doc_b
+      |WHERE CAST((dot * dot * 10000) // (na.n2 * nb.n2) AS BIGINT) >= 7000"""
+      .stripMargin
+
+  // Trained multinomial NB classifier (TextAnalysis.nbClassify): fit
+  // language from the even-doc_id half, predict the odd half. The oracle
+  // refits the whole model (counts, smoothing, priors, argmax) from the
+  // same split — the hash match certifies training AND inference.
+  private def nbClassifyQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    TextAnalysis.nbClassify(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1),
+      "text", "doc_id", "lang")
+  }
+
+  private val nbClassifySql =
+    """WITH tr AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+      |sc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      |toks AS (SELECT lang AS cls, unnest(string_split(text, ' ')) AS t FROM tr),
+      |model AS (SELECT cls, t, CAST(count(*) AS BIGINT) AS ct
+      |  FROM toks GROUP BY cls, t),
+      |ctot AS (SELECT cls, CAST(count(*) AS BIGINT) AS tc FROM toks GROUP BY cls),
+      |voc AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM toks),
+      |pri AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS nc
+      |  FROM tr GROUP BY lang),
+      |ndoc AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tr),
+      |clstab AS (SELECT ctot.cls, tc, v,
+      |    CAST(floor(1e6 * ln(CAST(nc AS DOUBLE) / nd)) AS BIGINT) AS prior_micro
+      |  FROM ctot JOIN pri ON ctot.cls = pri.cls CROSS JOIN voc CROSS JOIN ndoc),
+      |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM sc),
+      |scored AS (SELECT occ.doc_id, clstab.cls,
+      |    any_value(prior_micro) AS prior_micro,
+      |    CAST(sum(CAST(floor(1e6 * ln(
+      |      (CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) /
+      |        (CAST(tc AS DOUBLE) + v))) AS BIGINT)) AS BIGINT) AS ll_sum
+      |  FROM occ CROSS JOIN clstab
+      |  LEFT JOIN model ON model.cls = clstab.cls AND model.t = occ.t
+      |  GROUP BY occ.doc_id, clstab.cls),
+      |fin AS (SELECT doc_id, cls, prior_micro + ll_sum AS score_micro,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY prior_micro + ll_sum DESC, cls) AS rk
+      |  FROM scored)
+      |SELECT doc_id, cls AS pred, CAST(score_micro AS BIGINT) AS best_score_micro
+      |FROM fin WHERE rk = 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_collocations" -> (collocationsQ _),
+    "text_tfidf_pairs" -> (tfidfPairsQ _),
+    "text_nb_classify" -> (nbClassifyQ _),
     "pipeline_pretrain_full" -> (pretrainFull _),
     "text_unigram_lm"  -> (unigramLm _),
     "text_bigram_lm"   -> (bigramLm _),
@@ -1404,6 +1511,9 @@ object TextQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "text_collocations" -> collocationsSql,
+    "text_tfidf_pairs" -> tfidfPairsSql,
+    "text_nb_classify" -> nbClassifySql,
     "text_cms_verify"  -> cmsVerifySql,
     "pipeline_pretrain_full" -> pretrainFullSql,
     "text_unigram_lm"  -> unigramLmSql,

@@ -594,4 +594,100 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().sortBy(_._1)
     assert(hh.toSeq == again.toSeq)
   }
+
+  test("collocations: a glued pair tops the PMI board; min_count filters") {
+    // "new york" always adjacent; "of the" frequent but independent.
+    val base = "of the data of the set of the run"
+    val df = docs((1 to 6).map(i => i -> s"new york $base"): _*)
+    val out = TextAnalysis.collocations(df, "text", minCount = 5L, k = 10)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.head._1 == "new" && out.head._2 == "york")
+    // every surviving pair occurs >= 5 times
+    assert(out.forall(_._3 >= 5L))
+    // a pair seen < minCount times is absent ("run new" never repeats)
+    assert(!out.exists(p => p._1 == "run" && p._2 == "new"))
+  }
+
+  test("collocations: k-cut is a deterministic total order") {
+    val df = docs((1 to 8).map(i => i -> "a b a b c d c d"): _*)
+    val a = TextAnalysis.collocations(df, "text", 5L, 3).collect().toSeq
+    val b = TextAnalysis.collocations(df, "text", 5L, 3).collect().toSeq
+    assert(a == b && a.size == 3)
+  }
+
+  test("tfidfCosinePairs: identical docs score a perfect 10000 bp") {
+    // 6 docs; two identical rare-term docs pair at cos²=1; the shared
+    // ubiquitous term is df-capped out (df=6 of 6 > 79%).
+    val df = docs(
+      1 -> "common alpha beta", 2 -> "common alpha beta",
+      3 -> "common gamma delta", 4 -> "common gamma epsilon",
+      5 -> "common zeta eta", 6 -> "common theta iota")
+    val out = TextAnalysis
+      .tfidfCosinePairs(df, "text", "doc_id", dfCapPpm = 790000L,
+        minCos2Bp = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val pair12 = out.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(pair12._4 == 10000L, s"identical docs: $out")
+    // 'common' (df=6 > cap of 4) never pairs anyone: 5-6 share only it
+    assert(!out.exists(p => p._1 == 5L && p._2 == 6L))
+  }
+
+  test("tfidfCosinePairs: threshold drops weak pairs on the floored value") {
+    val df = docs(
+      1 -> "x alpha beta", 2 -> "x alpha beta",
+      3 -> "x alpha gamma", 4 -> "x delta epsilon")
+    val all = TextAnalysis
+      .tfidfCosinePairs(df, "text", "doc_id", 790000L, 0L).collect().length
+    val strict = TextAnalysis
+      .tfidfCosinePairs(df, "text", "doc_id", 790000L, 9999L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(strict.forall(_._4 >= 9999L) && strict.length < all)
+  }
+
+  test("nbClassify: learns class-typical vocabulary and argmaxes it") {
+    val train = Seq(
+      (1L, "spark spark shuffle join", "tech"),
+      (2L, "shuffle join spark agg", "tech"),
+      (3L, "pasta olive basil tomato", "food"),
+      (4L, "basil tomato pasta bread", "food")
+    ).toDF("doc_id", "text", "label")
+    val score = Seq(
+      (10L, "spark join agg"), (11L, "tomato pasta basil"),
+      (12L, "unseen words only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.nbClassify(train, score, "text", "doc_id", "label")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(10L) == "tech" && out(11L) == "food")
+    // all-unseen doc: every class scores the same smoothed floor terms ×
+    // count, tie broken by (score desc, label asc) — deterministic
+    assert(out(12L) == TextAnalysis
+      .nbClassify(train, score, "text", "doc_id", "label")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+      .apply(12L))
+  }
+
+  test("lens files drive collocations, tfidf_pairs, nb_classify") {
+    val df = docs(
+      1 -> "new york new york new york new york new york",
+      2 -> "new york alpha beta", 3 -> "new york alpha beta")
+    val coll = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:collocations",
+        |  "arguments":{"min_count":"5","k":"5"}}]}""".stripMargin)
+      .forward(df).as[(String, String, Long, Long)].collect()
+    assert(coll.exists(p => p._1 == "new" && p._2 == "york"))
+    val pairs = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:tfidf_pairs",
+        |  "arguments":{"id":"doc_id","min_cos2_bp":"0"}}]}""".stripMargin)
+      .forward(df).as[(Long, Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 2L && p._2 == 3L))
+    Seq((1L, "spark join", "tech"), (2L, "pasta basil", "food"))
+      .toDF("doc_id", "text", "label")
+      .createOrReplaceTempView("graft_nb_train")
+    val preds = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:nb_classify",
+        |  "arguments":{"train_table":"graft_nb_train","label":"label"}}]}""".stripMargin)
+      .forward(Seq((9L, "spark join join")).toDF("doc_id", "text"))
+      .as[(Long, String, Long)].collect()
+    assert(preds.head._2 == "tech")
+  }
 }
