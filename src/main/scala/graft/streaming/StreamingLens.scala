@@ -404,4 +404,49 @@ object StreamingLens {
       }
       .toDF(keyCol, orderCol, "seq")
   }
+
+  /**
+   * Watermarked stream-stream interval join — the ATTRIBUTION shape
+   * (impression ⨝ conversion, click ⨝ purchase) joining two live streams
+   * on a key with the right event inside `[left.ts, left.ts + horizon]`.
+   * This is the streaming face of the batch range join (`q_join_range`)
+   * and the two-sided sibling of [[decontaminate]]'s stream-static join.
+   *
+   * Both sides carry the SAME watermark delay and the join condition
+   * time-bounds the match window — together these are precisely what
+   * lets Spark evict buffered rows: a left row's state is droppable once
+   * the watermark passes `left.ts + horizon`, a right row's once it
+   * passes `right.ts`. Without the interval bound the state grows without
+   * limit (Spark would reject the stream-stream join outright in append
+   * mode) — the bound is not an optimization, it is the feasibility
+   * condition for a continuous 100 TB ingest.
+   *
+   * Column contract: key columns are equated pairwise; all other columns
+   * from both sides pass through, so the two frames must not share other
+   * names (rename upstream — same rule as Spark's own join API).
+   *
+   * Admission semantics: a row at or below the CURRENT global watermark
+   * is dropped on arrival (standard stateful-operator lateness rule, and
+   * the global watermark is the min across both inputs) — the horizon
+   * reaches back from an admitted left row, but the row itself must be
+   * on time.
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      delay: String,
+      horizon: String): DataFrame = {
+    require(left.isStreaming && right.isStreaming,
+      "intervalJoin expects two streaming DataFrames")
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizon"))
+  }
 }

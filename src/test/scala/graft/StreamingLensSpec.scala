@@ -447,6 +447,47 @@ class StreamingLensSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches the batch range join on a replayed log") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[(Long, Long)]
+    val buys = MemoryStream[(Long, Long)]
+    val vdf = views.toDF.toDF("v_user", "v_sec")
+      .withColumn("v_ts", timestamp_seconds(col("v_sec")))
+    val bdf = buys.toDF.toDF("b_user", "b_sec")
+      .withColumn("b_ts", timestamp_seconds(col("b_sec")))
+    val out = StreamingLens.intervalJoin(vdf, bdf, "v_user", "b_user",
+      "v_ts", "b_ts", delay = "10 seconds", horizon = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("s_ssjoin").start()
+    // Seconds offset from a realistic base: a stateful op drops rows at or
+    // below the CURRENT watermark (initially 0), so epoch-0-adjacent test
+    // timestamps would be discarded as late before ever reaching the join.
+    val B = 1600000000L
+    val viewLog = Seq((1L, B + 0L), (1L, B + 100L), (2L, B + 45L))
+    val buyLog = Seq((1L, B + 5L), (1L, B + 50L), (1L, B + 110L),
+      (2L, B + 65L), (3L, B + 6L))
+    try {
+      // split the replay mid-log on BOTH sides: matches must survive the
+      // micro-batch boundary through buffered join state
+      views.addData(viewLog.take(2))
+      buys.addData(buyLog.take(2))
+      q.processAllAvailable()
+      views.addData(viewLog.drop(2))
+      buys.addData(buyLog.drop(2))
+      q.processAllAvailable()
+      val got = spark.sql("select v_user, v_sec, b_sec from s_ssjoin")
+        .as[(Long, Long, Long)].collect().toSet
+      // batch reference: same key + b in [v, v+30]
+      val want = (for {
+        (vu, v) <- viewLog; (bu, b) <- buyLog
+        if vu == bu && b >= v && b <= v + 30
+      } yield (vu, v, b)).toSet
+      assert(got == want)
+      assert(want == Set((1L, B + 0L, B + 5L), (1L, B + 100L, B + 110L),
+        (2L, B + 45L, B + 65L)))
+    } finally q.stop()
+  }
+
   test("within-page line dedup binds free to a stream (builtin:dedup_lines)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
