@@ -325,6 +325,16 @@ object BuiltinOps {
         df => TextAnalysis.sourceDivergence(df, t, group))
     },
 
+    // Nearest-centroid label confusion (EmbeddingQa.confusion): the
+    // labeled-corpus sanity audit, integer-exact end to end.
+    "label_confusion" -> { a =>
+      val vec = a.strOpt("vec").getOrElse("embedding")
+      val id = a.strOpt("id").getOrElse("vec_id")
+      val label = a.strOpt("label").getOrElse("label")
+      LensOp.setLevel(s"label_confusion($label by $vec)",
+        df => graft.operators.EmbeddingQa.confusion(df, vec, id, label))
+    },
+
     // PMI collocations (TextAnalysis.collocations): top-k adjacent pairs
     // by pointwise mutual information in integer micro-nats.
     "collocations" -> { a =>

@@ -475,7 +475,34 @@ object SimilarityQueries extends QueryProvider {
       |SELECT p.vec_id AS anchor_id, p.t, r2.vec_id AS negative_id
       |FROM p JOIN r r2 ON p.pick = r2.rn""".stripMargin
 
+  // Nearest-centroid label confusion (EmbeddingQa.confusion): integer
+  // quantized+shifted components, per-label floored-mean centroids, exact
+  // squared distances, (dist2, label) argmin — the oracle replays the
+  // entire classifier from the raw parquet floats.
+  private def labelConfusionQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingQa.confusion(
+      T(s, dir, "embeddings"), "embedding", "vec_id", "label")
+
+  private val labelConfusionSql =
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |e AS (SELECT vec_id AS vid, CAST(label AS BIGINT) AS label, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |      + 1000000 AS e
+      |  FROM embeddings CROSS JOIN dims),
+      |cent AS (SELECT label AS clabel, i,
+      |    CAST(sum(e) // count(*) AS BIGINT) AS c
+      |  FROM e GROUP BY label, i),
+      |d AS (SELECT e.vid, e.label, cent.clabel,
+      |    sum((e.e - cent.c) * (e.e - cent.c)) AS dist2
+      |  FROM e JOIN cent ON e.i = cent.i GROUP BY e.vid, e.label, cent.clabel),
+      |r AS (SELECT vid, label, clabel,
+      |    row_number() OVER (PARTITION BY vid ORDER BY dist2, clabel) AS rk
+      |  FROM d)
+      |SELECT label, clabel AS pred, CAST(count(*) AS BIGINT) AS n
+      |FROM r WHERE rk = 1 GROUP BY label, clabel""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_confusion" -> (labelConfusionQ _),
     "sim_negatives" -> (negativesQ _),
     "sim_cluster_balance" -> (clusterBalanceQ _),
     "sim_topk_brute"  -> (topkBrute _),
@@ -501,6 +528,7 @@ object SimilarityQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "sim_label_confusion" -> labelConfusionSql,
     "sim_negatives" -> negativesSql,
     "sim_cluster_balance" -> clusterBalanceSql,
     "sim_topk_brute" -> topkBruteSql,

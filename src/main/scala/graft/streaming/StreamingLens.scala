@@ -31,7 +31,10 @@ object StreamingLens {
    *  changes meaning — fail fast at pipeline-bind time instead. */
   private val BatchOnlyOps = Set("sort", "limit", "counter", "collect_group",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "similar_pairs",
-    "sessionize", "sample_group")
+    "sessionize", "sample_group",
+    // iterative (localCheckpoint) graph ops and whole-corpus aggregates
+    "pagerank", "ppr", "hits", "collocations", "tfidf_pairs", "nb_classify",
+    "label_confusion")
 
   /**
    * Bind a lens pipeline to a streaming DataFrame (the Socket →
