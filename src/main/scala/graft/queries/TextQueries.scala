@@ -1424,7 +1424,52 @@ object TextQueries extends QueryProvider {
       |SELECT doc_id, cls AS pred, CAST(score_micro AS BIGINT) AS best_score_micro
       |FROM fin WHERE rk = 1""".stripMargin
 
+  // Composition flagship: TF-IDF all-pairs similarity (cos² >= 0.81)
+  // feeding connected components — near-dup clustering WITHOUT embeddings
+  // or minhash, certified end to end (the oracle replays pair mining AND
+  // the transitive closure via recursive CTE, the dedup_clusters shape).
+  private def tfidfDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextAnalysis.tfidfCosinePairs(
+      T(s, dir, "documents").where(col("lang") === "en"),
+      "text", "doc_id", dfCapPpm = 790000L, minCos2Bp = 8100L)
+      .select(col("doc_a"), col("doc_b"))
+    graft.operators.Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").cast("long").as("doc_id"),
+        col("cluster").cast("long").as("cluster_id"))
+  }
+
+  private val tfidfDedupSql =
+    """WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY doc_id, token),
+      |dfk AS (SELECT token, df FROM (
+      |    SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+      |  CROSS JOIN nd
+      |  WHERE df >= 2 AND df <= greatest(2, n * 790000 // 1000000)),
+      |w AS (SELECT doc_id, tf.token, CAST(tf.tf * 1000 // dfk.df AS BIGINT) AS w
+      |  FROM tf JOIN dfk ON tf.token = dfk.token),
+      |n2 AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+      |  FROM w GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+      |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pr AS (SELECT doc_a AS u, doc_b AS v
+      |  FROM p JOIN n2 na ON na.doc_id = doc_a JOIN n2 nb ON nb.doc_id = doc_b
+      |  WHERE CAST((dot * dot * 10000) // (na.n2 * nb.n2) AS BIGINT) >= 8100),
+      |e AS (SELECT u, v FROM pr UNION SELECT v AS u, u AS v FROM pr),
+      |reach(node, r) AS (
+      |  SELECT u, u FROM e
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+      |)
+      |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY node""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_tfidf_dedup" -> (tfidfDedup _),
     "text_collocations" -> (collocationsQ _),
     "text_tfidf_pairs" -> (tfidfPairsQ _),
     "text_nb_classify" -> (nbClassifyQ _),
@@ -1511,6 +1556,7 @@ object TextQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "pipeline_tfidf_dedup" -> tfidfDedupSql,
     "text_collocations" -> collocationsSql,
     "text_tfidf_pairs" -> tfidfPairsSql,
     "text_nb_classify" -> nbClassifySql,
