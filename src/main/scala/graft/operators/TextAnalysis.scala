@@ -700,9 +700,14 @@ object TextAnalysis {
       .where(col("df") >= 2L &&
         col("df") <= greatest(lit(2L), expr(s"n * $dfCapPpm DIV 1000000")))
       .select(col("token"), col("df"))
+    // w = 0 happens when df > tf·1000 (a huge corpus under a generous
+    // cap); zero-weight postings contribute nothing to any dot product or
+    // norm but would leave an all-zero doc with n2 = 0 and a division by
+    // zero downstream — drop them here (both engines do).
     val w = tf.join(dfc, Seq("token"))
       .select(col("doc_id"), col("token"),
         expr("CAST(tf * 1000 DIV df AS BIGINT)").as("w"))
+      .where(col("w") > 0L)
     val n2 = w.groupBy(col("doc_id"))
       .agg(sum(expr(s"CAST(w AS $dec) * w")).as("n2"))
     val a = w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))

@@ -1367,8 +1367,9 @@ object TextQueries extends QueryProvider {
       |    SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
       |  CROSS JOIN nd
       |  WHERE df >= 2 AND df <= greatest(2, n * 790000 // 1000000)),
-      |w AS (SELECT doc_id, tf.token, CAST(tf.tf * 1000 // dfk.df AS BIGINT) AS w
-      |  FROM tf JOIN dfk ON tf.token = dfk.token),
+      |w AS (SELECT doc_id, token, w FROM (
+      |    SELECT doc_id, tf.token, CAST(tf.tf * 1000 // dfk.df AS BIGINT) AS w
+      |    FROM tf JOIN dfk ON tf.token = dfk.token) WHERE w > 0),
       |n2 AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
       |  FROM w GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1448,8 +1449,9 @@ object TextQueries extends QueryProvider {
       |    SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
       |  CROSS JOIN nd
       |  WHERE df >= 2 AND df <= greatest(2, n * 790000 // 1000000)),
-      |w AS (SELECT doc_id, tf.token, CAST(tf.tf * 1000 // dfk.df AS BIGINT) AS w
-      |  FROM tf JOIN dfk ON tf.token = dfk.token),
+      |w AS (SELECT doc_id, token, w FROM (
+      |    SELECT doc_id, tf.token, CAST(tf.tf * 1000 // dfk.df AS BIGINT) AS w
+      |    FROM tf JOIN dfk ON tf.token = dfk.token) WHERE w > 0),
       |n2 AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
       |  FROM w GROUP BY doc_id),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
