@@ -688,7 +688,8 @@ object TextAnalysis {
    * threshold sweeps.
    */
   def tfidfCosinePairs(df: DataFrame, textCol: String, idCol: String,
-      dfCapPpm: Long = 790000L, minCos2Bp: Long = 7000L): DataFrame = {
+      dfCapPpm: Long = 790000L, minCos2Bp: Long = 7000L,
+      saltBuckets: Int = 8): DataFrame = {
     val dec = "DECIMAL(38,0)"
     val nd = df.agg(count(lit(1)).as("n"))
     val tf = df.select(col(idCol).as("doc_id"),
@@ -704,15 +705,39 @@ object TextAnalysis {
     // cap); zero-weight postings contribute nothing to any dot product or
     // norm but would leave an all-zero doc with n2 = 0 and a division by
     // zero downstream — drop them here (both engines do).
-    val w = tf.join(dfc, Seq("token"))
+    val w = tf.join(broadcast(dfc), Seq("token"))
       .select(col("doc_id"), col("token"),
         expr("CAST(tf * 1000 DIV df AS BIGINT)").as("w"))
       .where(col("w") > 0L)
     val n2 = w.groupBy(col("doc_id"))
       .agg(sum(expr(s"CAST(w AS $dec) * w")).as("n2"))
-    val a = w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa"))
-    val b = w.select(col("doc_id").as("doc_b"), col("token"), col("w").as("wb"))
-    a.join(b, Seq("token")).where(col("doc_a") < col("doc_b"))
+    // Salted triangle on the term: a plain token-keyed self-join keys the
+    // quadratic work on the TERM, and term cardinality (≤ dfCap-surviving
+    // vocab) can be far below the core count — the biggest term's df²/2
+    // products would land in ONE task (measured 7 s of an 11 s query on a
+    // 31-token vocab). Salting each posting by hash(doc) and splitting
+    // every term's pair space into S(S+1)/2 (sa, sb) cells restores
+    // parallelism regardless of vocabulary shape — the same triangle
+    // Dedup.ngramJaccard uses for few-huge-block joins. Off-diagonal
+    // cells see each unordered pair once (keep it, canonicalize with
+    // least/greatest); diagonal cells see both orderings (keep doc_a <
+    // doc_b). The oracle is UNCHANGED — salting only re-buckets the same
+    // per-(pair, term) products.
+    val wS = w.withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(saltBuckets)).cast("int"))
+    val left = wS
+      .withColumn("sb", explode(expr(s"sequence(salt, ${saltBuckets - 1})")))
+      .select(col("token"), col("doc_id").as("da"), col("w").as("wa"),
+        col("salt").as("sa"), col("sb"))
+    val right = wS
+      .withColumn("sa", explode(expr("sequence(0, salt)")))
+      .select(col("token"), col("doc_id").as("db"), col("w").as("wb"),
+        col("sa"), col("salt").as("sb"))
+    left.join(right, Seq("token", "sa", "sb"))
+      .where(col("sa") < col("sb") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("wa"), col("wb"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_terms"),
         sum(expr(s"CAST(wa AS $dec) * wb")).as("dot"))
