@@ -61,18 +61,28 @@ object Hits {
       .union(eBySrc.select(col("dst").as("node_id")))
       .distinct().persist()
 
+    // Half-step state carries ONLY nodes with a nonzero raw score: a node
+    // absent from the aggregate would normalize to exactly 0, and zero
+    // scores contribute nothing to the next half-step's sums — so the
+    // iteration never densifies to the full node set (pure hubs stay out
+    // of the authority table and vice versa, roughly halving per-round
+    // state and dropping a |V|-sized left join + checkpoint per
+    // half-step). The full node set is re-attached once, at output time,
+    // with the same coalesce-to-0 the oracle applies every round —
+    // bit-identical results.
     def renorm(raw: DataFrame, keyCol: String, out: String): DataFrame = {
       val s = raw.agg(greatest(coalesce(sum(col("raw")), lit(0L)), lit(1L))
         .as("s"))
-      nodes.join(raw, nodes("node_id") === raw(keyCol), "left")
-        .crossJoin(broadcast(s))
-        .select(nodes("node_id"),
-          expr(s"CAST((CAST(coalesce(raw, 0) AS DECIMAL(38,0)) * $ONE)" +
+      raw.crossJoin(broadcast(s))
+        .select(col(keyCol).as("node_id"),
+          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $ONE)" +
             s" DIV s AS BIGINT)").as(out))
         .localCheckpoint()
     }
 
-    var hub = nodes.select(col("node_id"), lit(ONE).as("h")).localCheckpoint()
+    // Initial hubs: ONE on every node, but only src hubs are ever read.
+    var hub = eBySrc.select(col("src").as("node_id")).distinct()
+      .select(col("node_id"), lit(ONE).as("h")).localCheckpoint()
     var auth: DataFrame = null
     try {
       for (_ <- 1 to iters) {
@@ -90,8 +100,12 @@ object Hits {
     } finally {
       eBySrc.unpersist(false); eByDst.unpersist(false)
     }
-    val out = hub.join(auth, Seq("node_id"))
-      .select(col("node_id"), col("h").as("hub_nano"), col("a").as("auth_nano"))
+    val out = nodes
+      .join(hub, Seq("node_id"), "left")
+      .join(auth, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("h"), lit(0L)).as("hub_nano"),
+        coalesce(col("a"), lit(0L)).as("auth_nano"))
     nodes.unpersist(false)
     out
   }
