@@ -178,4 +178,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!jp.contains("Window") && !jp.contains("SinglePartition"))
   }
 
+  test("text_tfidf_pairs: pair join is salted on (token, sa, sb); dfc broadcast") {
+    val p = plan("text_tfidf_pairs")
+    // the quadratic self-join must key on the salted triangle, not the
+    // bare token (term skew would serialize the pair space otherwise)
+    assert(p.contains("sa") && p.contains("sb"),
+      "pair join lost its salt columns")
+    assert(!p.contains("CartesianProduct"), "pair join planned a cartesian")
+    // the df-cap side is a vocab-sized build — must broadcast
+    assert(p.contains("BroadcastHashJoin"), "dfc join lost its broadcast")
+  }
+
+  test("text_nb_classify: model joins broadcast; no corpus-side shuffle join") {
+    val p = plan("text_nb_classify")
+    // both the class table and the (vocab × classes) model ride to the
+    // scored side as broadcasts — the scored text must never shuffle-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "model join must be broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "scoring side shuffle-joined the model — corpus-shaped exchange")
+  }
+
+  test("text_collocations: top-k is a heap cut; totals are broadcast") {
+    val p = plan("text_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "PMI k-cut should be a per-partition heap, not a global sort")
+    assert(p.contains("partial_count"), "bigram counts lost map-side combine")
+  }
+
+  test("sim_label_confusion: centroids broadcast; argmin window is per-vector") {
+    val p = plan("sim_label_confusion")
+    assert(p.contains("BroadcastHashJoin"),
+      "centroid grid join must broadcast the (labels × dims) side")
+    assert(!p.contains("SinglePartition"),
+      "confusion planned a global operator")
+  }
+
+  test("graph outputs are slim: iterations ran eagerly, lineage truncated") {
+    // ppr/hits iterate with per-round localCheckpoint, so the FINAL plan
+    // must be (at most joins over) checkpointed 8-byte-pair scans — a
+    // deep plan here would mean lineage grew O(iters) and every action
+    // re-executes the whole power iteration.
+    val ppr = plan("q_ppr")
+    assert(ppr.contains("ExistingRDD"), "ppr output lost its checkpoint")
+    assert(!ppr.contains("Generate") && !ppr.contains("FileScan"),
+      "ppr output re-derives the graph instead of reading the checkpoint")
+    val hits = plan("q_hits")
+    assert(hits.contains("ExistingRDD"), "hits output lost its checkpoint")
+    assert(!hits.contains("CartesianProduct") &&
+      !hits.contains("BroadcastNestedLoopJoin"),
+      "hits output densify must be an equi-join")
+  }
 }
