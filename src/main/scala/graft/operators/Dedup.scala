@@ -344,6 +344,31 @@ object Dedup {
    * column is an LSH bucket or cluster id; here it demonstrates the
    * block-then-verify shape with exact char-n-gram Jaccard.
    */
+  /** Shared (doc, block, g, ng, salt) hashed-char-n-gram table for the
+   *  blocked pair joins ([[ngramJaccard]], [[ngramContainment]]), with the
+   *  memoized-persist policy documented on [[ngramJaccard]]. */
+  private def gramTable(df: DataFrame, textCol: String, idCol: String,
+      blockCol: String, n: Int, saltBuckets: Int,
+      cacheGrams: Boolean): DataFrame = {
+    val gramsPlan = Par.spread(df, col(idCol))
+      .filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("doc"), col(blockCol).as("block"),
+        org.apache.spark.sql.graft.GraftSetBuilders
+          .hashedCharNgrams(col(textCol), n).as("g"))
+      .withColumn("ng", size(col("g")))
+      .withColumn("salt", pmod(xxhash64(col("doc")), lit(saltBuckets)).cast("int"))
+    if (cacheGrams) {
+      val key = (df.sparkSession.sparkContext.applicationId,
+        df.queryExecution.analyzed.canonicalized: Any,
+        textCol, idCol, blockCol, n, saltBuckets)
+      val cached = gramCache.computeIfAbsent(key, _ =>
+        gramsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      if (cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        cached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached
+    } else gramsPlan
+  }
+
   def ngramJaccard(
       df: DataFrame, textCol: String, idCol: String, blockCol: String,
       threshold: Double, n: Int = 3, saltBuckets: Int = 8,
@@ -359,24 +384,8 @@ object Dedup {
     // reuse one entry rather than stacking persists; `clearGramCache()`
     // releases them eagerly, and an entry whose blocks were dropped by
     // `spark.catalog.clearCache()` re-persists itself on next use.
-    val gramsPlan = Par.spread(df, col(idCol))
-      .filter(length(col(textCol)) >= n)
-      .select(col(idCol).as("doc"), col(blockCol).as("block"),
-        org.apache.spark.sql.graft.GraftSetBuilders
-          .hashedCharNgrams(col(textCol), n).as("g"))
-      .withColumn("ng", size(col("g")))
-      .withColumn("salt", pmod(xxhash64(col("doc")), lit(saltBuckets)).cast("int"))
-    val grams =
-      if (cacheGrams) {
-        val key = (df.sparkSession.sparkContext.applicationId,
-          df.queryExecution.analyzed.canonicalized: Any,
-          textCol, idCol, blockCol, n, saltBuckets)
-        val cached = gramCache.computeIfAbsent(key, _ =>
-          gramsPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        if (cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          cached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached
-      } else gramsPlan
+    val grams = gramTable(df, textCol, idCol, blockCol, n, saltBuckets,
+      cacheGrams)
     // Salted triangle self-join: a block's quadratic pair space is split
     // into S(S+1)/2 salt-pair cells so it spreads across the cluster even
     // when there are few, huge blocks (the 100 TB failure mode of naive
@@ -424,6 +433,68 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(least(col("doc"), col("doc_b")).as("doc_a"),
         greatest(col("doc"), col("doc_b")).as("doc_b"), col("jaccard"))
+  }
+
+  /**
+   * DIRECTED n-gram containment pairs: `cont(A→B) = |A∩B| / |A|` ≥ t —
+   * the asymmetric near-dup relation Jaccard misses. A truncated article,
+   * a quote-with-commentary page, or a doc-plus-boilerplate wrapper is
+   * nearly CONTAINED in its source while their Jaccard stays low (the
+   * union is dominated by the longer side). Emits one row per direction
+   * that passes: (doc_sub, doc_super, inter, n_sub, cont_bp) with
+   * `cont_bp = inter·10⁴ DIV n_sub` — containment in integer basis
+   * points, so the DuckDB oracle (real trigram lists, list_intersect)
+   * replays every verdict with zero FP. The keep policy downstream is the
+   * opposite of symmetric dedup's min-id: drop the SUBSET doc, keep the
+   * superset.
+   *
+   * Shape: same blocked salted-triangle candidate join as [[ngramJaccard]]
+   * and the same codegen merge-scan intersect — but NO size-ratio
+   * prefilter exists for containment (cont(small→big) can be 1 at any
+   * size ratio), which is exactly why the block + salt structure matters
+   * more here: the quadratic candidate space is undiminished by sizes.
+   * 100 TB: blocks bound the pair space, salt cells spread it, and the
+   * heavy gram arrays join only to surviving candidates.
+   */
+  def ngramContainment(
+      df: DataFrame, textCol: String, idCol: String, blockCol: String,
+      tBp: Long = 9000L, n: Int = 3, saltBuckets: Int = 8,
+      cacheGrams: Boolean = true): DataFrame = {
+    val grams = gramTable(df, textCol, idCol, blockCol, n, saltBuckets,
+      cacheGrams)
+    val slim = grams.select(col("doc"), col("block"), col("ng"), col("salt"))
+    val left = slim
+      .withColumn("sb", explode(expr(s"sequence(salt, ${saltBuckets - 1})")))
+      .select(col("doc"), col("block"), col("ng"), col("salt").as("sa"), col("sb"))
+    val right = slim
+      .withColumn("sa", explode(expr("sequence(0, salt)")))
+      .select(col("doc").as("doc_b"), col("block"), col("ng").as("ng_b"),
+        col("sa"), col("salt").as("sb"))
+    val candidates = left
+      .join(right, Seq("block", "sa", "sb"))
+      .where(col("sa") < col("sb") || col("doc") < col("doc_b"))
+      .select(col("doc"), col("doc_b"), col("ng"), col("ng_b"))
+    val gA = grams.select(col("doc"), col("g"))
+    val gB = grams.select(col("doc").as("doc_b"), col("g").as("g_b"))
+    candidates
+      .join(gA, "doc").join(gB, "doc_b")
+      .withColumn("inter",
+        graft.functions.ArrayOps.sortedIntersectSize(col("g"), col("g_b"))
+          .cast("long"))
+      .select(col("doc"), col("doc_b"),
+        col("ng").cast("long").as("na"), col("ng_b").cast("long").as("nb"),
+        col("inter"))
+      .select(explode(array(
+        struct(col("doc").as("doc_sub"), col("doc_b").as("doc_super"),
+          col("inter"), col("na").as("n_sub"),
+          expr("CAST(inter * 10000 DIV na AS BIGINT)").as("cont_bp")),
+        struct(col("doc_b").as("doc_sub"), col("doc").as("doc_super"),
+          col("inter"), col("nb").as("n_sub"),
+          expr("CAST(inter * 10000 DIV nb AS BIGINT)").as("cont_bp"))))
+        .as("d"))
+      .select(col("d.doc_sub"), col("d.doc_super"), col("d.inter"),
+        col("d.n_sub"), col("d.cont_bp"))
+      .where(col("cont_bp") >= tBp)
   }
 
   /**

@@ -210,6 +210,18 @@ object BuiltinOps {
       LensOp(s"dedup_simhash($t<=$ham)", df => Dedup.simHash(df, t, id, ham))
     },
 
+    // Directed n-gram containment (Dedup.ngramContainment): the
+    // asymmetric near-dup relation — truncations, quotes, wrapped copies.
+    "dedup_containment" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val block = a.str("block")
+      val tBp = a.intOpt("t_bp").getOrElse(9000).toLong
+      val n = a.intOpt("n").getOrElse(3)
+      LensOp(s"dedup_containment($t>=${tBp}bp)",
+        df => Dedup.ngramContainment(df, t, id, block, tBp, n))
+    },
+
     "similar_pairs" -> { a =>
       val (v, id) = (a.strOpt("vec").getOrElse("embedding"),
         a.strOpt("id").getOrElse("vec_id"))

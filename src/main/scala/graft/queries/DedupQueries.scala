@@ -138,6 +138,37 @@ object DedupQueries extends QueryProvider {
       |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE 1.0 * len(list_intersect(a.t, b.t)) / len(list_distinct(a.t || b.t)) >= 0.7""".stripMargin
 
+  // Directed containment pairs (Dedup.ngramContainment): the asymmetric
+  // near-dup relation — truncations/quotes/wrapped copies — in integer
+  // basis points, the oracle replaying intersect counts on real trigram
+  // lists.
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainment(T(s, dir, "documents"), "text", "doc_id",
+      blockCol = "lang", tBp = 9000L, n = 3)
+
+  private val dedupContainmentSql =
+    """WITH g AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, length(text) - 1),
+      |      i -> substring(text, i, 3))) AS t
+      |  FROM documents WHERE length(text) >= 3
+      |),
+      |p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+      |    CAST(len(a.t) AS BIGINT) AS na, CAST(len(b.t) AS BIGINT) AS nb
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |),
+      |d AS (
+      |  SELECT da AS doc_sub, db AS doc_super, inter, na AS n_sub,
+      |    CAST(inter * 10000 // na AS BIGINT) AS cont_bp FROM p
+      |  UNION ALL
+      |  SELECT db AS doc_sub, da AS doc_super, inter, nb AS n_sub,
+      |    CAST(inter * 10000 // nb AS BIGINT) AS cont_bp FROM p
+      |)
+      |SELECT doc_sub, doc_super, inter, n_sub, cont_bp
+      |FROM d WHERE cont_bp >= 9000""".stripMargin
+
   private def dedupAllPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.allPairsJaccard(T(s, dir, "documents"), "text", "doc_id",
       threshold = 0.7, n = 3)
@@ -827,6 +858,7 @@ object DedupQueries extends QueryProvider {
     "dedup_minhash_lsh"    -> (dedupMinhash _),
     "dedup_cross_minhash"  -> (dedupCrossMinhash _),
     "dedup_ngram_jaccard"  -> (dedupNgram _),
+    "dedup_containment"    -> (dedupContainment _),
     "dedup_allpairs"       -> (dedupAllPairs _),
     "dedup_embedding"      -> (dedupEmbedding _),
     "dedup_embed_contam"   -> (dedupEmbedContam _),
@@ -871,6 +903,7 @@ object DedupQueries extends QueryProvider {
     "dedup_minhash_lsh"   -> dedupMinhashSql,
     "dedup_cross_minhash" -> dedupCrossMinhashSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
+    "dedup_containment"   -> dedupContainmentSql,
     "dedup_allpairs"      -> dedupAllPairsSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
     "dedup_embed_contam"  -> dedupEmbedContamSql,

@@ -431,6 +431,53 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L))
   }
 
+  test("ngramContainment: a truncated doc is contained in its source, not vice versa") {
+    val full = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val truncated = "alpha beta gamma delta epsilon"
+    val unrelated = "zz yy xx ww vv uu tt ss rr qq"
+    val df = Seq((1L, full, "en"), (2L, truncated, "en"), (3L, unrelated, "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.ngramContainment(df, "text", "doc_id", "lang",
+        tBp = 9000L, cacheGrams = false)
+      .select("doc_sub", "doc_super", "cont_bp")
+      .as[(Long, Long, Long)].collect().toSet
+    // truncated (2) is fully contained in full (1): every trigram of 2 is
+    // in 1 → cont = 10000; the reverse direction is far below threshold
+    assert(out.exists(r => r._1 == 2L && r._2 == 1L && r._3 == 10000L),
+      s"containment missing: $out")
+    assert(!out.exists(r => r._1 == 1L && r._2 == 2L))
+    assert(!out.exists(r => r._1 == 3L || r._2 == 3L))
+  }
+
+  test("ngramContainment: catches the asymmetric pair Jaccard misses") {
+    // sub is 1/4 the size of super: jaccard ≈ 0.25 (below any dedup
+    // threshold) while containment(sub→super) = 1.
+    val words = (1 to 40).map(i => s"w$i")
+    val sup = words.mkString(" ")
+    val sub = words.take(10).mkString(" ")
+    val df = Seq((1L, sup, "en"), (2L, sub, "en")).toDF("doc_id", "text", "lang")
+    val jac = Dedup.ngramJaccard(df, "text", "doc_id", "lang",
+      threshold = 0.7, cacheGrams = false).count()
+    val cont = Dedup.ngramContainment(df, "text", "doc_id", "lang",
+        tBp = 9000L, cacheGrams = false)
+      .select("doc_sub", "doc_super").as[(Long, Long)].collect().toSet
+    assert(jac == 0L, "jaccard should miss the truncation pair")
+    assert(cont.contains((2L, 1L)), s"containment must catch it: $cont")
+  }
+
+  test("lens file drives containment (builtin:dedup_containment)") {
+    import graft.engine.Pipeline
+    val df = Seq(
+      (1L, "one two three four five six", "en"),
+      (2L, "one two three four", "en")).toDF("doc_id", "text", "lang")
+    val out = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:dedup_containment",
+        |"arguments":{"block":"lang","t_bp":"9000"}}]}""".stripMargin)
+      .forward(df).select("doc_sub", "doc_super").as[(Long, Long)]
+      .collect().toSet
+    assert(out.contains((2L, 1L)))
+  }
+
   test("lens file drives incremental ingest (builtin:incremental_new)") {
     import graft.engine.Pipeline
     Seq((100L, "already ingested")).toDF("doc_id", "text")
