@@ -175,4 +175,52 @@ object Clusters {
       .select(col(idCol))
     docs.join(keep, Seq(idCol), "left_semi")
   }
+
+  /**
+   * INCREMENTAL cluster-map maintenance: fold a batch of newly discovered
+   * duplicate pairs into an existing `(node, cluster)` map without
+   * re-clustering the corpus — the continuous-ingest face of
+   * [[connectedComponents]]/[[materialize]]. At 100 TB the full log-round
+   * CC over every historical edge is an ingest-time-only event; per-batch
+   * maintenance must touch work proportional to the BATCH, not the
+   * corpus, or the pipeline can't keep up with its own input.
+   *
+   * Only clusters containing an endpoint of a new edge can change (no new
+   * edge touches any member of the others), so the corpus-sized map
+   * splits into an untouched part that passes through without ANY CC
+   * stage (a broadcast anti-join on the affected cluster ids is its whole
+   * plan) and a touched part — affected-cluster membership stars plus the
+   * new edges — that re-clusters through the normal log-round CC. The
+   * star edges (cluster, member) preserve exactly the connectivity the
+   * old map proved, so the result is bit-identical to a full recompute
+   * over (old edges ∪ new edges): min-id labels, merged clusters
+   * relabeled to the smaller min, brand-new nodes clustered among
+   * themselves. Certified by `dedup_cluster_update`, whose oracle IS the
+   * full-recompute CC.
+   *
+   * Broadcast budget: the new-edge endpoint set and the affected cluster
+   * id set are batch-bounded (that is the premise of incremental
+   * ingest); the touched-member volume is bounded by the affected
+   * clusters' sizes — duplicate families, small by construction.
+   */
+  def addEdges(map: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val edges = newPairs
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .where(col("u").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val endpoints = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+    val affected = map
+      .join(broadcast(endpoints), Seq("node"), "left_semi")
+      .select(col("cluster")).distinct()
+    val untouched = map.join(broadcast(affected), Seq("cluster"), "left_anti")
+      .select(col("node"), col("cluster"))
+    val touchedStars = map.join(broadcast(affected), Seq("cluster"), "left_semi")
+      .select(col("cluster").as("u"), col("node").as("v"))
+    val recomputed = connectedComponents(
+      touchedStars.union(edges), "u", "v")
+    untouched.union(recomputed.select(col("node"), col("cluster")))
+  }
 }

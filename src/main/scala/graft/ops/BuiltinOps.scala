@@ -210,6 +210,17 @@ object BuiltinOps {
       LensOp(s"dedup_simhash($t<=$ham)", df => Dedup.simHash(df, t, id, ham))
     },
 
+    // Incremental cluster-map maintenance (Clusters.addEdges): fold the
+    // incoming batch of duplicate pairs into a persisted cluster map.
+    "cluster_update" -> { a =>
+      val mapTable = a.str("map_table")
+      val ac = a.strOpt("a").getOrElse("doc_a")
+      val bc = a.strOpt("b").getOrElse("doc_b")
+      LensOp.setLevel(s"cluster_update(map=$mapTable)",
+        df => graft.operators.Clusters.addEdges(
+          df.sparkSession.table(mapTable), df, ac, bc))
+    },
+
     // Directed n-gram containment (Dedup.ngramContainment): the
     // asymmetric near-dup relation — truncations, quotes, wrapped copies.
     "dedup_containment" -> { a =>

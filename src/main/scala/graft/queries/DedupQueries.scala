@@ -339,6 +339,35 @@ object DedupQueries extends QueryProvider {
     near.union(exact)
   }
 
+  // Incremental cluster maintenance (Clusters.addEdges), certified
+  // against the FULL recompute: the "ingested" half (even doc_ids) is
+  // clustered normally, then the pairs touching the "new batch" (odd
+  // doc_ids) fold in incrementally — only affected clusters re-cluster,
+  // the rest pass through with no CC stage. Pair-measure subset
+  // consistency + same-text star/clique equivalence make the union of
+  // the two mined pair sets component-equal to mining everything at
+  // once, so the oracle is exactly the dedup_clusters closure: the hash
+  // match proves incremental ≡ full.
+  private def dedupClusterUpdate(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val near = Dedup.ngramJaccard(evens, "text", "doc_id",
+      blockCol = "lang", threshold = 0.7, n = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val hashedE = evens.select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val keepersE = hashedE.groupBy("h").agg(min(col("doc_id")).as("k"))
+    val exactE = hashedE.join(keepersE, "h")
+      .where(col("doc_id") =!= col("k"))
+      .select(col("k").as("doc_a"), col("doc_id").as("doc_b"))
+    val map = graft.operators.Clusters.connectedComponents(
+      near.union(exactE), "doc_a", "doc_b")
+    val batchTouching = dupPairs(s, dir)
+      .where(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+    graft.operators.Clusters.addEdges(map, batchTouching, "doc_a", "doc_b")
+      .select(col("node").cast("long").as("doc_id"),
+        col("cluster").cast("long").as("cluster_id"))
+  }
+
   // Oracle-side closure over the SAME pair graph: transitive reachability
   // via recursive CTE (fine at oracle scale — closure size is Σ component²
   // and dup components are small), cluster = min reachable node. The Spark
@@ -877,6 +906,7 @@ object DedupQueries extends QueryProvider {
     "dedup_simhash_verify" -> (dedupSimhashVerify _),
     "dedup_cross_simhash_verify" -> (dedupCrossSimhashVerify _),
     "dedup_clusters"       -> (dedupClusters _),
+    "dedup_cluster_update" -> (dedupClusterUpdate _),
     "dedup_survivors"      -> (dedupSurvivors _),
     "dedup_survivors_from_map" -> (dedupSurvivorsFromMap _),
     "dedup_cluster_sizes"  -> (dedupClusterSizes _),
@@ -922,6 +952,7 @@ object DedupQueries extends QueryProvider {
     "dedup_approx_verify" -> dedupApproxVerifySql,
     "dedup_cross_simhash_verify" -> dedupCrossSimhashVerifySql,
     "dedup_clusters"      -> dedupClustersSql,
+    "dedup_cluster_update" -> dedupClustersSql,
     "dedup_survivors"     -> dedupSurvivorsSql,
     "dedup_survivors_from_map" -> dedupSurvivorsSql,
     "dedup_cluster_sizes" -> dedupClusterSizesSql,

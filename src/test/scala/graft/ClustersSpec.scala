@@ -88,4 +88,39 @@ class ClustersSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L, 10L, 20L))
   }
+
+  private def addE(map: Map[Long, Long],
+      newPairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.addEdges(map.toSeq.toDF("node", "cluster"),
+        newPairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("addEdges equals a full recompute over old ∪ new edges") {
+    val old = Seq((1L, 2L), (5L, 6L), (10L, 11L), (11L, 12L))
+    val batchCases = Seq(
+      Seq((2L, 5L)),                 // merge two clusters
+      Seq((20L, 21L)),               // brand-new nodes, own cluster
+      Seq((12L, 20L), (20L, 5L)),    // chain new node into two merges
+      Seq((1L, 2L)),                 // already-known edge: no-op
+      Seq((3L, 1L), (3L, 10L)))      // new node bridging two clusters
+    for (batch <- batchCases) {
+      assert(addE(cc(old), batch) == cc(old ++ batch), s"batch=$batch")
+    }
+  }
+
+  test("addEdges leaves unaffected clusters byte-identical and CC-free") {
+    val map = cc(Seq((1L, 2L), (100L, 101L)))
+    val out = Clusters.addEdges(map.toSeq.toDF("node", "cluster"),
+      Seq((1L, 3L)).toDF("a", "b"), "a", "b")
+    // the untouched (100,101) cluster survives verbatim
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got(100L) == 100L && got(101L) == 100L)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 100L -> 100L, 101L -> 100L))
+  }
+
+  test("addEdges merging relabels the union to the smaller min id") {
+    val map = cc(Seq((5L, 6L), (2L, 9L)))
+    val got = addE(map, Seq((6L, 9L)))
+    assert(got.values.toSet == Set(2L), s"merged cluster must take min id: $got")
+  }
 }
