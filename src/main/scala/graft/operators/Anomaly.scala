@@ -128,4 +128,53 @@ object Anomaly {
       .select(col(groupCol), col("bucket_us"), col("n_events"),
         col("is_outlier"))
   }
+
+  /**
+   * Per-key exponentially-weighted moving average over event time — the
+   * trend-smoothing companion to the point-in-time monitors above
+   * ([[zscoreOutliers]] flags single rows; this tracks each entity's
+   * drifting baseline, the metric a per-user/per-source health dashboard
+   * plots). Integer-exact: values quantize to `floor(value·scale)` and
+   * the recurrence is `s_t = ((den−num)·s_{t−1} + num·v_t) DIV den`
+   * (smoothing factor num/den), seeded with `s_1 = v_1`. Every quantity
+   * stays a non-negative integer (values must be ≥ 0 — enforced), so
+   * Spark's truncating DIV and DuckDB's flooring `//` agree, and the
+   * oracle replays the entire fold per key with `list_reduce`. Events
+   * order by (ts, id) — a total order, so the fold is deterministic.
+   *
+   * A running fold is inherently sequential per key and NOT expressible
+   * as codegen'd Column ops (no recursive window in Spark), so this is
+   * the documented typed-API case: `flatMapGroups` with an in-memory
+   * sort of ONE key's events. 100 TB shape: one user-keyed exchange of
+   * 32-byte rows; per-key memory is bounded by that key's event count —
+   * the same bound `Sessionize.sequences` carries, and the reason the
+   * streaming face (state = one running s per key) is the unbounded-
+   * history variant.
+   */
+  def ewmaByKey(
+      df: DataFrame, keyCol: String, tsUsCol: String, valueCol: String,
+      num: Long = 1, den: Long = 4, idCol: String,
+      scale: Long = 100L): DataFrame = {
+    require(num > 0 && den > num, "need 0 < num < den")
+    val ss = df.sparkSession
+    import ss.implicits._
+    val slim = df.select(
+        col(keyCol).cast("long").as("k"),
+        col(tsUsCol).cast("long").as("us"),
+        col(idCol).cast("long").as("id"),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+    slim.groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        var s = Long.MinValue
+        evs.iterator.map { e =>
+          require(e._4 >= 0, s"ewmaByKey requires non-negative values, got ${e._4}")
+          s = if (s == Long.MinValue) e._4
+              else ((den - num) * s + num * e._4) / den
+          (k, e._3, e._4, s)
+        }
+      }
+      .toDF(keyCol, idCol, "v", "ewma")
+  }
 }

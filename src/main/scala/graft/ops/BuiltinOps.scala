@@ -210,6 +210,21 @@ object BuiltinOps {
       LensOp(s"dedup_simhash($t<=$ham)", df => Dedup.simHash(df, t, id, ham))
     },
 
+    // Per-key integer EWMA over event time (Anomaly.ewmaByKey): the
+    // trend-smoothing monitor.
+    "ewma" -> { a =>
+      val key = a.strOpt("key").getOrElse("user_id")
+      val ts = a.strOpt("ts").getOrElse("ts_us")
+      val v = a.strOpt("value").getOrElse("value")
+      val id = a.strOpt("id").getOrElse("event_id")
+      val num = a.intOpt("num").getOrElse(1).toLong
+      val den = a.intOpt("den").getOrElse(4).toLong
+      val scale = a.intOpt("scale").getOrElse(100).toLong
+      LensOp.setLevel(s"ewma($v by $key, $num/$den)",
+        df => graft.operators.Anomaly.ewmaByKey(df, key, ts, v, num, den,
+          id, scale))
+    },
+
     // Incremental cluster-map maintenance (Clusters.addEdges): fold the
     // incoming batch of duplicate pairs into a persisted cluster map.
     "cluster_update" -> { a =>

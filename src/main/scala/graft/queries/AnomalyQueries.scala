@@ -96,15 +96,44 @@ object AnomalyQueries extends QueryProvider {
       |FROM d JOIN md USING (event_type)
       |WHERE d.adev * 1349 > 7000 * md.mad""".stripMargin
 
+  // Per-user EWMA of event values in integer cents (Anomaly.ewmaByKey,
+  // smoothing 1/4): the oracle replays each user's whole fold with
+  // list_reduce over the (ts, id)-ordered prefix — quadratic per user at
+  // oracle scale, sequential-exact on the Spark side.
+  private def ewmaQ(s: SparkSession, dir: String): DataFrame =
+    Anomaly.ewmaByKey(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "value", num = 1, den = 4, idCol = "event_id")
+
+  private val ewmaSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(floor(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |), l AS (
+      |  SELECT user_id,
+      |    list(struct_pack(us := us, eid := event_id, v := v)
+      |      ORDER BY us, event_id) AS evs
+      |  FROM e GROUP BY user_id
+      |), idx AS (
+      |  SELECT user_id, evs, unnest(range(1, len(evs) + 1)) AS i FROM l
+      |)
+      |SELECT user_id, evs[i].eid AS event_id, evs[i].v AS v,
+      |  CAST(list_reduce(list_transform(evs[1:i], x -> x.v),
+      |    (a, b) -> (3 * a + b) // 4) AS BIGINT) AS ewma
+      |FROM idx""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_outliers" -> (eventOutliers _),
     "q_event_mad"      -> (eventMad _),
-    "q_daily_spikes"   -> (dailySpikes _)
+    "q_daily_spikes"   -> (dailySpikes _),
+    "q_ewma"           -> (ewmaQ _)
   )
 
   override val oracles: Map[String, String] = Map(
     "q_event_outliers" -> eventOutliersSql,
     "q_event_mad"      -> eventMadSql,
-    "q_daily_spikes"   -> dailySpikesSql
+    "q_daily_spikes"   -> dailySpikesSql,
+    "q_ewma"           -> ewmaSql
   )
 }

@@ -34,7 +34,7 @@ object StreamingLens {
     "sessionize", "sample_group",
     // iterative (localCheckpoint) graph ops and whole-corpus aggregates
     "pagerank", "ppr", "hits", "collocations", "tfidf_pairs", "nb_classify",
-    "label_confusion")
+    "label_confusion", "ewma", "cluster_update")
 
   /**
    * Bind a lens pipeline to a streaming DataFrame (the Socket →

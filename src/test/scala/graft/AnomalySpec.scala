@@ -147,4 +147,51 @@ class AnomalySpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSet
     assert(spikes == Set(("x", 10 * day, 100L)))
   }
+
+  test("ewmaByKey: hand-computed integer fold, (ts, id) total order") {
+    import spark.implicits._
+    // key 1 in scrambled arrival order; same-ts tie broken by id
+    val df = Seq(
+      (1L, 30L, 3L, 3.00), (1L, 10L, 1L, 1.00), (1L, 20L, 2L, 2.00),
+      (1L, 30L, 4L, 4.00),  // same ts as id 3 → folds after it
+      (2L, 5L, 9L, 7.00)
+    ).toDF("user_id", "ts_us", "event_id", "value")
+    val got = graft.operators.Anomaly
+      .ewmaByKey(df, "user_id", "ts_us", "value", num = 1, den = 4,
+        idCol = "event_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    // cents: 100, 200, 300, 400 → s: 100, (300+200)/4=125,
+    // (375+300)/4=168, (504+400)/4=226
+    assert(got(1L) == ((100L, 100L)))
+    assert(got(2L) == ((200L, 125L)))
+    assert(got(3L) == ((300L, 168L)))
+    assert(got(4L) == ((400L, 226L)))
+    assert(got(9L) == ((700L, 700L)))
+  }
+
+  test("ewmaByKey rejects negative values (DIV/floor-div would disagree)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1L, -5.0)).toDF("user_id", "ts_us", "event_id", "value")
+    val ex = intercept[Exception] {
+      graft.operators.Anomaly
+        .ewmaByKey(df, "user_id", "ts_us", "value", idCol = "event_id")
+        .collect()
+    }
+    assert(ex.getMessage.contains("non-negative") ||
+      ex.getCause != null)
+  }
+
+  test("ewma binds as a lens-file stage (builtin:ewma)") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1L, 1.00), (1L, 20L, 2L, 2.00))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val out = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:ewma",
+        |  "arguments":{"key":"user_id","ts":"ts_us","value":"value",
+        |               "id":"event_id","den":"4"}}]}""".stripMargin)
+      .forward(df).as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(out == Map(1L -> 100L, 2L -> 125L))
+  }
 }
