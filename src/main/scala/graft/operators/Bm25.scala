@@ -123,4 +123,31 @@ object Bm25 {
       .limit(k)
       .select(col("id").as(idCol), col("dl"), col("score_micro"))
   }
+
+  /**
+   * Conjunctive (boolean-AND) retrieval: documents containing EVERY query
+   * term — the filter-shaped companion to [[searchTopK]]'s ranked OR
+   * (search engines run the conjunctive pass first and rank inside it).
+   * Same scale discipline: the query-term `isin` filter drops non-query
+   * tokens INSIDE the scan projection, so the one exchange carries at
+   * most |terms| distinct rows per matching document, never corpus
+   * volume; the ALL-terms check is a per-doc distinct-count equality —
+   * integer, engine-portable.
+   *
+   * Output: (idCol, n_hits) where n_hits = total occurrences of query
+   * terms in the doc (a cheap relevance proxy the caller can sort by).
+   */
+  def searchAnd(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms == terms.distinct, "query terms must be distinct")
+    val ws = TextAnalysis.wsTokens(col(textCol))
+    df.select(col(idCol).as("id"), explode(ws).as("w"))
+      .where(col("w").isInCollection(terms))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("w")).as("n_terms"),
+        count(lit(1)).as("n_hits"))
+      .where(col("n_terms") === terms.size.toLong)
+      .select(col("id").as(idCol), col("n_hits"))
+  }
 }

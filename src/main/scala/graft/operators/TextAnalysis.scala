@@ -751,6 +751,36 @@ object TextAnalysis {
   }
 
   /**
+   * Vocabulary-growth monitor over ingest order: per id-bucket ("batch"),
+   * how many distinct tokens appear at all and how many appear for the
+   * FIRST time anywhere in the corpus — the novelty curve a continuous
+   * ingest watches to spot saturation (new batches stop contributing
+   * vocabulary) or contamination (a batch suddenly introduces a burst of
+   * never-seen tokens: encoding breakage, spam, language drift). The
+   * token-level sibling of [[sourceDivergence]]'s distribution drift.
+   *
+   * 100 TB shape: both aggregates are token-keyed and partial-aggregate
+   * map-side — the exchanges carry (token, bucket) distinct rows and
+   * first-bucket rows, bounded by vocab × buckets, never occurrence
+   * volume.
+   */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+      batchSize: Long): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val toks = df.select(
+      expr(s"CAST($idCol DIV $batchSize AS BIGINT)").as("batch"),
+      explode(wsTokens(col(textCol))).as("t"))
+    val perBatch = toks.groupBy(col("batch"))
+      .agg(countDistinct(col("t")).as("n_distinct"))
+    val firstSeen = toks.groupBy(col("t"))
+      .agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
+    perBatch.join(firstSeen, Seq("batch"), "left")
+      .select(col("batch"), col("n_distinct"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+  }
+
+  /**
    * Corpus-trained multinomial Naive Bayes classifier — the
    * fastText-shaped trained gate (language ID, quality labels, topic
    * routing) LLM pipelines run after the heuristic filters: fit on a

@@ -354,6 +354,24 @@ object BuiltinOps {
         df => graft.operators.Bm25.searchTopK(df, t, id, terms, k))
     },
 
+    // Conjunctive retrieval (Bm25.searchAnd): docs containing every term.
+    "search_and" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val terms = a.strList("terms")
+      LensOp.setLevel(s"search_and(${terms.mkString("&")})",
+        df => graft.operators.Bm25.searchAnd(df, t, id, terms))
+    },
+
+    // Vocabulary-growth monitor (TextAnalysis.vocabGrowth).
+    "vocab_growth" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val batch = a.intOpt("batch").getOrElse(50).toLong
+      LensOp.setLevel(s"vocab_growth(batch=$batch)",
+        df => TextAnalysis.vocabGrowth(df, t, id, batch))
+    },
+
     // Per-group corpus drift (TextAnalysis.sourceDivergence): unigram
     // KL(group ‖ corpus) in integer micro-nats, one row per group.
     "divergence" -> { a =>

@@ -1470,8 +1470,43 @@ object TextQueries extends QueryProvider {
       |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY node""".stripMargin
 
+  // Conjunctive retrieval (Bm25.searchAnd): docs containing EVERY term.
+  private def searchAndQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.searchAnd(T(s, dir, "documents"), "text", "doc_id",
+      Seq("data", "spark", "key"))
+
+  private val searchAndSql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |m AS (SELECT doc_id, CAST(count(DISTINCT w) AS BIGINT) AS n_terms,
+      |    CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM t WHERE w IN ('data', 'spark', 'key') GROUP BY doc_id)
+      |SELECT doc_id, n_hits FROM m WHERE n_terms = 3""".stripMargin
+
+  // Vocabulary-growth monitor (TextAnalysis.vocabGrowth): distinct + new
+  // tokens per ingest batch of 50 docs.
+  private def vocabGrowthQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabGrowth(T(s, dir, "documents"), "text", "doc_id",
+      batchSize = 50L)
+
+  private val vocabGrowthSql =
+    """WITH t AS (SELECT doc_id // 50 AS batch,
+      |    unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |pb AS (SELECT batch, CAST(count(DISTINCT t) AS BIGINT) AS n_distinct
+      |  FROM t GROUP BY batch),
+      |fs AS (SELECT CAST(min_batch AS BIGINT) AS batch,
+      |    CAST(count(*) AS BIGINT) AS n_new
+      |  FROM (SELECT t, min(batch) AS min_batch FROM t GROUP BY t)
+      |  GROUP BY min_batch)
+      |SELECT CAST(pb.batch AS BIGINT) AS batch, n_distinct,
+      |  coalesce(n_new, 0) AS n_new
+      |FROM pb LEFT JOIN fs ON pb.batch = fs.batch""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_tfidf_dedup" -> (tfidfDedup _),
+    "text_search_and"  -> (searchAndQ _),
+    "text_vocab_growth" -> (vocabGrowthQ _),
     "text_collocations" -> (collocationsQ _),
     "text_tfidf_pairs" -> (tfidfPairsQ _),
     "text_nb_classify" -> (nbClassifyQ _),
@@ -1559,6 +1594,8 @@ object TextQueries extends QueryProvider {
 
   override val oracles: Map[String, String] = Map(
     "pipeline_tfidf_dedup" -> tfidfDedupSql,
+    "text_search_and"  -> searchAndSql,
+    "text_vocab_growth" -> vocabGrowthSql,
     "text_collocations" -> collocationsSql,
     "text_tfidf_pairs" -> tfidfPairsSql,
     "text_nb_classify" -> nbClassifySql,

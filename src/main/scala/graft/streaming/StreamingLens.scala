@@ -34,7 +34,7 @@ object StreamingLens {
     "sessionize", "sample_group",
     // iterative (localCheckpoint) graph ops and whole-corpus aggregates
     "pagerank", "ppr", "hits", "collocations", "tfidf_pairs", "nb_classify",
-    "label_confusion", "ewma", "cluster_update")
+    "label_confusion", "ewma", "cluster_update", "search_and", "vocab_growth")
 
   /**
    * Bind a lens pipeline to a streaming DataFrame (the Socket →
@@ -406,6 +406,52 @@ object StreamingLens {
           out.iterator
       }
       .toDF(keyCol, orderCol, "seq")
+  }
+
+  /**
+   * Streaming face of [[graft.operators.Anomaly.ewmaByKey]]: the per-key
+   * integer EWMA carried across micro-batches through keyed state — one
+   * running `s` per key, the bounded-state variant of the batch op's
+   * whole-history fold. Within a micro-batch rows fold in (ts, id) order;
+   * under per-key in-order arrival the emitted values are EXACTLY the
+   * batch operator's (spec-checked on a replayed log, the
+   * [[streamingFunnel]] discipline). Same non-negativity contract, same
+   * `((den−num)·s + num·v) DIV den` recurrence.
+   */
+  def streamingEwma(
+      stream: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      valueCol: String,
+      idCol: String,
+      num: Long = 1,
+      den: Long = 4,
+      scale: Long = 100L): DataFrame = {
+    require(num > 0 && den > num, "need 0 < num < den")
+    import stream.sparkSession.implicits._
+    val slim = stream.select(
+        col(keyCol).cast("long"),
+        col(tsUsCol).cast("long"),
+        col(idCol).cast("long"),
+        floor(col(valueCol).cast("double") * scale).cast("long"))
+      .as[(Long, Long, Long, Long)]
+    slim.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toArray.sortBy(e => (e._2, e._3)).map { e =>
+            require(e._4 >= 0,
+              s"streamingEwma requires non-negative values, got ${e._4}")
+            s = if (s == Long.MinValue) e._4
+                else ((den - num) * s + num * e._4) / den
+            (key, e._3, e._4, s)
+          }
+          state.update(s)
+          out.iterator
+      }
+      .toDF(keyCol, idCol, "v", "ewma")
   }
 
   /**

@@ -88,4 +88,28 @@ class Bm25Spec extends AnyFunSuite {
       assert(both(id) == a(id) + b(id), s"doc $id")
     }
   }
+
+  test("searchAnd: only docs with EVERY term; n_hits counts occurrences") {
+    val df = Seq(
+      (1L, "spark cluster spark"),  // both terms, 3 hits
+      (2L, "spark only here"),      // missing 'cluster'
+      (3L, "cluster cluster"),      // missing 'spark'
+      (4L, "no match at all")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Bm25
+      .searchAnd(df, "text", "doc_id", Seq("spark", "cluster"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L))
+  }
+
+  test("vocabGrowth: first-seen tokens attribute to their earliest batch") {
+    val df = Seq(
+      (0L, "a b"), (1L, "a c"),      // batch 0: distinct {a,b,c}, new 3
+      (2L, "a d"), (3L, "b e")       // batch 1: distinct {a,b,d,e}, new 2
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .vocabGrowth(df, "text", "doc_id", batchSize = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 3L, 3L), (1L, 4L, 2L)))
+  }
 }

@@ -447,6 +447,34 @@ class StreamingLensSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming EWMA matches the batch fold on an in-order replayed log") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val log = Seq(
+      (1L, 10L, 1L, 1.00), (1L, 20L, 2L, 2.00), (1L, 30L, 3L, 3.00),
+      (2L, 5L, 9L, 7.00), (2L, 40L, 10L, 3.00))
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val out = StreamingLens.streamingEwma(
+      in.toDF.toDF("user_id", "ts_us", "event_id", "value"),
+      "user_id", "ts_us", "value", "event_id")
+    val q = out.writeStream.format("memory").queryName("s_ewma")
+      .outputMode("append").start()
+    try {
+      // split mid-log per key: the running s must survive the batch gap
+      in.addData(log.take(2))
+      q.processAllAvailable()
+      in.addData(log.drop(2))
+      q.processAllAvailable()
+      val got = spark.sql("select event_id, ewma from s_ewma")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.operators.Anomaly.ewmaByKey(
+          log.toDF("user_id", "ts_us", "event_id", "value"),
+          "user_id", "ts_us", "value", num = 1, den = 4, idCol = "event_id")
+        .select("event_id", "ewma").as[(Long, Long)].collect().toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range join on a replayed log") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
