@@ -177,4 +177,56 @@ object Anomaly {
       }
       .toDF(keyCol, idCol, "v", "ewma")
   }
+
+  /**
+   * Exact per-group winsorization — clip each value into the group's
+   * [pLo, pHi] EXACT quantile band (order statistics, not an approximate
+   * sketch). The treatment companion of [[zscoreOutliers]]/[[madOutliers]]:
+   * those FLAG tail rows, this caps them, which is how training pipelines
+   * neutralize metric outliers (reward clipping, loss-scale caps) without
+   * dropping the rows.
+   *
+   * Integer-exact end to end: values floor to `scale` units, quantile
+   * INDEX is `(n−1)·ppm div 10⁶ + 1` (non-negative operands, so Spark
+   * `DIV` ≡ DuckDB `//`), and the clip is `greatest(least(v, hi), lo)` on
+   * BIGINTs — every row replays bit-identically cross-engine.
+   *
+   * 100 TB shape: per-group rank WITHOUT a per-group window task — one
+   * [[GlobalSequence]] range-partition pass over (group, v, id) gives
+   * global ranks; per-group ranks are `rn − min(rn)+1` via a
+   * #groups-row broadcast aggregate, the two bound rows per group reduce
+   * to another #groups-row broadcast, and the clip is a narrow map. Rows
+   * shuffle exactly once (the range exchange); every later join moves
+   * only group-cardinality tables. The per-group window alternative
+   * funnels each group through one task — unusable when a group holds
+   * 10¹⁰ rows.
+   *
+   * reference: no winsorize in lens — arbitrary per-item numeric rules
+   * live in guest modules (host-go/engine/tests/append_lens_test.go);
+   * this is the §2.6 monitoring-family addition.
+   */
+  def winsorize(df: DataFrame, valueCol: String, idCol: String,
+      groupCol: String, pLoPpm: Long = 10000L, pHiPpm: Long = 990000L,
+      scale: Long = 1000L): DataFrame = {
+    require(pLoPpm >= 0 && pHiPpm <= 1000000L && pLoPpm <= pHiPpm,
+      "need 0 <= pLoPpm <= pHiPpm <= 1e6")
+    val q = df.select(col(idCol), col(groupCol),
+      floor(col(valueCol).cast("double") * scale).cast("long").as("v"))
+    val ranked = GlobalSequence.withSequentialId(q,
+      struct(col(groupCol), col("v"), col(idCol)), "rn")
+    val stats = ranked.groupBy(col(groupCol))
+      .agg(min(col("rn")).as("rn0"), count(lit(1)).as("n"))
+    val withR = ranked.join(broadcast(stats), Seq(groupCol))
+      .withColumn("r", col("rn") - col("rn0") + 1)
+      .withColumn("lo_r", expr(s"(n - 1) * $pLoPpm div 1000000 + 1"))
+      .withColumn("hi_r", expr(s"(n - 1) * $pHiPpm div 1000000 + 1"))
+    val bounds = withR
+      .where(col("r") === col("lo_r") || col("r") === col("hi_r"))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("r") === col("lo_r"), col("v"))).as("lo_v"),
+        max(when(col("r") === col("hi_r"), col("v"))).as("hi_v"))
+    withR.join(broadcast(bounds), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("v"),
+        greatest(least(col("v"), col("hi_v")), col("lo_v")).as("v_clipped"))
+  }
 }

@@ -213,6 +213,26 @@ object Similarity {
 
   /** All corpus rows within `threshold` cosine of any query — set-valued
    *  output (ids only), the FP-robust form used for oracle checks. */
+  /**
+   * Signed-random-projection (JL / Achlioptas ±1) dimensionality cut to
+   * `dOut` integer components, long format (id, j, comp) — see
+   * [[org.apache.spark.sql.graft.RandomProjectSigns]] for the derived
+   * sign matrix and the integer-exact contract. The ingest-side dimension
+   * reduction in front of index builds: run k-means/IVF/PQ on the
+   * projected vectors at dOut/dIn the cost with JL-bounded distortion.
+   *
+   * 100 TB shape: the projection itself is a pure codegen'd scan
+   * projection (no shuffle, no stored matrix); the explode here is for
+   * the oracle-friendly long format — index-build consumers keep the
+   * array form (`GraftRandomProject.project`) and never explode.
+   */
+  def randomProject(df: DataFrame, vecCol: String, idCol: String,
+      dOut: Int, scale: Long = 1000000L): DataFrame =
+    df.select(col(idCol),
+        posexplode(org.apache.spark.sql.graft.GraftRandomProject
+          .project(col(vecCol), dOut, scale)).as(Seq("j", "comp")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("comp"))
+
   def thresholdNeighbors(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, threshold: Double): DataFrame = {

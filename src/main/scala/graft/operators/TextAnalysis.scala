@@ -225,6 +225,32 @@ object TextAnalysis {
       trim(lower(regexp_replace(col(textCol), WsClass, " "))).as("text_norm"))
 
   /**
+   * Blocklist (bad-words) screen — the C4 "List of Dirty, Naughty …"
+   * page rule (Raffel et al. 2020 §2.2: drop any page containing a
+   * blocklisted word) generalized to report per-document evidence:
+   * emits the count of DISTINCT blocklisted terms present plus the keep
+   * verdict, so a curation run can audit what fired before committing to
+   * the drop. Matching is exact whole-token (the published rule), not
+   * substring — "scunthorpe" survives.
+   *
+   * 100 TB shape: one narrow scan projection, zero shuffles — the
+   * blocklist is a literal array inside the codegen'd `array_intersect`,
+   * so there is no join and nothing is broadcast. For blocklists beyond
+   * a few thousand terms, swap the literal for a broadcast-join against
+   * an exploded token column filtered `isin`-first (the `Bm25.searchTopK`
+   * shape); at the published list's size (~400 terms) the literal wins.
+   */
+  def blocklistScreen(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one blocklisted term")
+    val blocked = array(terms.map(lit): _*)
+    df.select(col(idCol),
+      size(array_intersect(wsTokens(col(textCol)), blocked)).cast("long")
+        .as("n_blocked_terms"))
+      .withColumn("kept", col("n_blocked_terms") === 0L)
+  }
+
+  /**
    * Gopher-style quality rules (after Rae et al. 2021, "Scaling Language
    * Models: Methods, Analysis & Insights from Training Gopher", App. A)
    * — the heuristic filter shape most pretraining pipelines run:

@@ -123,17 +123,48 @@ object AnomalyQueries extends QueryProvider {
       |    (a, b) -> (3 * a + b) // 4) AS BIGINT) AS ewma
       |FROM idx""".stripMargin
 
+  /** Exact per-type [p1, p99] winsorization of `value` — the treatment
+   *  companion of the outlier detectors: order-statistic bounds, BIGINT
+   *  clip, every row replayed by the oracle. */
+  private def winsorizeQ(s: SparkSession, dir: String): DataFrame =
+    Anomaly.winsorize(T(s, dir, "events"), "value", "event_id",
+        "event_type", pLoPpm = 10000L, pHiPpm = 990000L, scale = 1000L)
+      .select(col("event_id"), col("event_type"),
+        col("v").as("value_milli"), col("v_clipped").as("value_clipped"))
+
+  private val winsorizeSql =
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v
+      |), b AS (
+      |  SELECT event_type,
+      |    min(CASE WHEN r = (n - 1) * 10000 // 1000000 + 1 THEN v END) AS lo_v,
+      |    max(CASE WHEN r = (n - 1) * 990000 // 1000000 + 1 THEN v END) AS hi_v
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT v.event_id, v.event_type, v.v AS value_milli,
+      |  greatest(least(v.v, b.hi_v), b.lo_v) AS value_clipped
+      |FROM v JOIN b USING (event_type)""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_outliers" -> (eventOutliers _),
     "q_event_mad"      -> (eventMad _),
     "q_daily_spikes"   -> (dailySpikes _),
-    "q_ewma"           -> (ewmaQ _)
+    "q_ewma"           -> (ewmaQ _),
+    "q_winsorize"      -> (winsorizeQ _)
   )
 
   override val oracles: Map[String, String] = Map(
     "q_event_outliers" -> eventOutliersSql,
     "q_event_mad"      -> eventMadSql,
     "q_daily_spikes"   -> dailySpikesSql,
-    "q_ewma"           -> ewmaSql
+    "q_ewma"           -> ewmaSql,
+    "q_winsorize"      -> winsorizeSql
   )
 }

@@ -383,6 +383,24 @@ object SimilarityQueries extends QueryProvider {
   // query posexplodes it to (vec_id, scale, idx, code) rows because the
   // driver's comparator sorts column values and cannot sort a top-level
   // array cell — same math, comparator-safe shape.
+  /** JL ±1 random projection to 16 integer components — the sign matrix
+   *  is mixer-derived, so DuckDB replays every component exactly. */
+  private def randomProjQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.randomProject(
+      T(s, dir, "embeddings"), "embedding", "vec_id", dOut = 16)
+
+  private val randomProjSql =
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |q AS (SELECT vec_id, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN dims),
+      |ds AS (SELECT unnest(range(0, 16)) AS j)
+      |SELECT vec_id, CAST(j AS BIGINT) AS j,
+      |  CAST(sum(CASE WHEN (((i * 16 + j) % 999983) * 2654435761)
+      |                     % 4294967296 < 2147483648
+      |      THEN q ELSE -q END) AS BIGINT) AS comp
+      |FROM q CROSS JOIN ds GROUP BY vec_id, j""".stripMargin
+
   private def quantizeInt8(s: SparkSession, dir: String): DataFrame =
     graft.operators.Quantize.int8(T(s, dir, "embeddings"), "embedding", "vec_id")
       .select(col("vec_id"), col("scale"),
@@ -509,6 +527,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_threshold"   -> (thresholdNbrs _),
     "sim_ivf_topk"    -> (ivfTopk _),
     "sim_quantize_int8" -> (quantizeInt8 _),
+    "sim_random_proj" -> (randomProjQ _),
     "sim_pq_adc_verify" -> (pqAdcVerify _),
     "sim_ivfpq_verify" -> (ivfPqVerify _),
     "sim_srp_verify"  -> (srpVerify _),
@@ -535,6 +554,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_threshold"  -> thresholdNbrsSql,
     "sim_ivf_topk"   -> ivfTopkSql,
     "sim_quantize_int8" -> quantizeInt8Sql,
+    "sim_random_proj" -> randomProjSql,
     "sim_pq_adc_verify" -> pqAdcVerifySql,
     "sim_ivfpq_verify"  -> ivfPqVerifySql,
     "sim_srp_verify"    -> srpVerifySql,

@@ -66,6 +66,25 @@ object TextQueries extends QueryProvider {
   private def gopher(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherRules(T(s, dir, "documents"), "text", "doc_id")
 
+  /** C4 bad-words page screen: exact whole-token blocklist hits +
+   *  keep verdict. Three mid-frequency corpus tokens so both verdicts
+   *  are populated at every sf. */
+  private val blockTerms = Seq("dup", "slow", "big")
+
+  private def blocklist(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistScreen(T(s, dir, "documents"), "text", "doc_id",
+      blockTerms)
+
+  private val blocklistSql = {
+    val arr = blockTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_distinct(list_intersect(ws, $arr))) AS BIGINT)
+       |    AS n_blocked_terms,
+       |  len(list_distinct(list_intersect(ws, $arr))) = 0 AS kept
+       |FROM w""".stripMargin
+  }
+
   /** Shared Gopher-rule fragments — the metric select-list and the pass
    *  predicate, mirrored EXACTLY by `TextAnalysis.gopherRules`;
    *  `pipeline_clean_corpus` composes the same strings so a threshold
@@ -1544,6 +1563,7 @@ object TextQueries extends QueryProvider {
     "text_bpe_encode"  -> (bpeEncode _),
     "text_quality"     -> (quality _),
     "text_gopher_rules" -> (gopher _),
+    "text_blocklist"   -> (blocklist _),
     "text_langid"      -> (langid _),
     "text_fingerprint" -> (fingerprint _),
     "text_profile"     -> (profile _),
@@ -1632,6 +1652,7 @@ object TextQueries extends QueryProvider {
     "text_normalize"   -> normalizeSql,
     "text_quality"     -> qualitySql,
     "text_gopher_rules" -> gopherSql,
+    "text_blocklist"   -> blocklistSql,
     "text_langid"      -> langidSql,
     "text_fingerprint" -> fingerprintSql,
     "text_profile"     -> profileSql,

@@ -194,4 +194,42 @@ class AnomalySpec extends AnyFunSuite {
       .map(r => r._2 -> r._4).toMap
     assert(out == Map(1L -> 100L, 2L -> 125L))
   }
+
+  test("winsorize: exact per-group order-statistic bounds clip the tails") {
+    import spark.implicits._
+    // group a: values 1..100 (scale=1): p10 index = 99*100000 div 1e6 + 1
+    // = 10 → lo=10; p90 index = 99*900000 div 1e6 + 1 = 90 → hi=90.
+    // group b: constant → lo=hi → nothing changes.
+    val a = (1 to 100).map(i => (i.toLong, "a", i.toDouble))
+    val b = (101 to 110).map(i => (i.toLong, "b", 7.0))
+    val df = (a ++ b).toDF("id", "g", "v")
+    val out = Anomaly.winsorize(df, "v", "id", "g",
+        pLoPpm = 100000L, pHiPpm = 900000L, scale = 1L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L) == 10L && out(5L) == 10L && out(10L) == 10L)
+    assert(out(11L) == 11L && out(50L) == 50L && out(90L) == 90L)
+    assert(out(91L) == 90L && out(100L) == 90L)
+    assert((101 to 110).forall(i => out(i.toLong) == 7L))
+  }
+
+  test("winsorize: matches a brute-force in-memory reference on a " +
+      "negative-valued skewed sample") {
+    import spark.implicits._
+    val vals = Seq(-50.5, -3.2, 0.0, 1.1, 2.2, 2.2, 3.3, 4.4, 5.5, 900.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "g", "v")
+    val scale = 1000L
+    val ints = vals.map(v => math.floor(v * scale).toLong)
+    val sorted = ints.zipWithIndex.sortBy { case (v, i) => (v, i) }.map(_._1)
+    val n = sorted.size
+    val lo = sorted(((n - 1) * 100000L / 1000000L).toInt)
+    val hi = sorted(((n - 1) * 900000L / 1000000L).toInt)
+    val expect = ints.map(v => math.max(math.min(v, hi), lo))
+    val out = Anomaly.winsorize(df, "v", "id", "g",
+        pLoPpm = 100000L, pHiPpm = 900000L, scale = scale)
+      .as[(Long, String, Long, Long)].collect()
+      .sortBy(_._1).map(_._4).toSeq
+    assert(out == expect)
+  }
 }

@@ -109,4 +109,44 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(math.abs(out(1) + 1.0) < 1e-12)
     assert(out(2).isNaN) // 0/0 — callers filter zero-norm vectors upstream
   }
+
+  test("randomProjectSigns: equals the in-memory mixer reference; " +
+      "null vector -> null, null elements contribute zero") {
+    import org.apache.spark.sql.graft.GraftRandomProject
+    val dOut = 5; val scale = 1000L
+    def ref(xs: Seq[Option[Float]]): Seq[Long] = {
+      val acc = new Array[Long](dOut)
+      xs.zipWithIndex.foreach {
+        case (Some(x), i) =>
+          val q = math.floor(x.toDouble * scale).toLong
+          for (j <- 0 until dOut) {
+            val m = (((i + 1).toLong * dOut + j) % 999983L) *
+              2654435761L % 4294967296L
+            acc(j) += (if (m < 2147483648L) q else -q)
+          }
+        case (None, _) =>
+      }
+      acc.toSeq
+    }
+    val vecs = Seq(
+      Seq(Some(0.5f), Some(-1.25f), Some(0.0f)),
+      Seq(Some(2.0f), None, Some(-0.001f)),
+      Seq.empty[Option[Float]])
+    val sch = StructType(Seq(StructField("v",
+      ArrayType(FloatType, containsNull = true), nullable = true)))
+    val rows = vecs.map(v =>
+      Row(v.map(_.getOrElse(null).asInstanceOf[Any]))) :+ Row(null)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), sch)
+    val out = df.select(
+        GraftRandomProject.project(col("v"), dOut, scale).as("y"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    assert(out(0) == ref(vecs(0)))
+    assert(out(1) == ref(vecs(1)))       // null element skipped
+    assert(out(2) == Seq.fill(dOut)(0L)) // empty vector -> zero components
+    assert(out(3) == null)               // null vector -> null
+    // signs are genuinely mixed: a one-hot input must produce both signs
+    val oneHot = Seq(Some(1.0f))
+    assert(ref(oneHot).toSet == Set(1000L, -1000L))
+  }
 }

@@ -690,4 +690,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect()
     assert(preds.head._2 == "tech")
   }
+
+  test("blocklistScreen: exact whole-token hits, distinct-term counting") {
+    val df = docs(
+      1 -> "clean text only",
+      2 -> "one bad apple",          // 1 distinct blocked term
+      3 -> "bad bad worse bad",      // repeats count once per term
+      4 -> "badge is not bad-free")  // substrings must NOT match
+    val out = TextAnalysis.blocklistScreen(df, "text", "doc_id",
+        Seq("bad", "worse"))
+      .as[(Int, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(1) == ((0L, true)))
+    assert(out(2) == ((1L, false)))
+    assert(out(3) == ((2L, false)))   // "bad" + "worse", dupes collapsed
+    assert(out(4) == ((0L, true)))    // "badge"/"bad-free" are not "bad"
+  }
 }
