@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Undirected-graph analytics beyond the spectral family
+ * ([[Pagerank]]/[[Hits]]): co-occurrence graph construction, exact
+ * triangle counting, and deterministic label-propagation communities.
+ * Together they cover the "affinity structure" questions a curation
+ * pipeline asks of its entity graphs (user co-activity, supplier
+ * co-shipment, near-dup doc adjacency): how clustered is the
+ * neighborhood (triangles → local clustering), and what are the
+ * communities (LPA — the cheap non-iterative-matrix alternative to
+ * spectral methods).
+ *
+ * Everything is integer-exact and RNG-free, so a SQL oracle replays
+ * every output row: triangle counting is plain joins; LPA is made
+ * deterministic by the (weight desc, label asc) argmax tie-break and a
+ * FIXED iteration count (classic async LPA is order-dependent by
+ * design; the sync+tie-broken variant trades a little convergence speed
+ * for bit-exact replayability — same trade every operator here makes).
+ *
+ * reference: no graph layer in lens (items are independent JSON docs —
+ * host-go/engine/pipes/fromSource.go); these are §2.6 north-star
+ * additions alongside [[Pagerank]].
+ */
+object Graphs {
+
+  /** Free the blocks behind a localCheckpoint'ed round (same hygiene as
+   *  [[Pagerank]] — lineage is one round deep, previous rounds' blocks
+   *  must not accumulate across iterations). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ =>
+    }
+
+  /**
+   * Co-occurrence projection of a bipartite (entity, cell) relation:
+   * entities sharing at least `minWeight` distinct cells become an
+   * undirected weighted edge (u < v, w = #shared cells). This is how
+   * entity graphs are BUILT from event logs and corpora — user
+   * co-activity (cells = type×hour), supplier co-shipment (cells =
+   * parts), doc adjacency (cells = shingle buckets).
+   *
+   * 100 TB shape: the input collapses to DISTINCT (entity, cell) FIRST
+   * (cost drops from event volume to |entities×active cells|), then the
+   * pair join is keyed on the cell — per-cell fanout is C(k,2) for k
+   * entities in the cell, the same bounded-block structure the dedup
+   * family uses. A pathological hot cell (one hour where everyone is
+   * active) is the [[SkewJoin]] salted-triangle case — cap or salt cells
+   * upstream if entity-per-cell counts are unbounded. The weight
+   * aggregate and threshold shuffle only (u, v) pairs.
+   */
+  def cooccurrenceEdges(df: DataFrame, idCol: String,
+      cellCols: Seq[String], minWeight: Long = 1L): DataFrame = {
+    require(cellCols.nonEmpty, "need at least one cell column")
+    val d = df.select(col(idCol) +: cellCols.map(col): _*).distinct()
+    val a = d.as("a"); val b = d.as("b")
+    val cellEq = cellCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    a.join(b, cellEq && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("u"), col(s"b.$idCol").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= minWeight)
+  }
+
+  /**
+   * Exact per-node triangle counts of an undirected simple graph
+   * (self-loops and duplicate/reversed edges normalized away). Output:
+   * (node_id, n_triangles) for every node in at least one triangle.
+   *
+   * Algorithm: degree orientation (Schank & Wagner 2005 / Suri &
+   * Vassilvitskii 2011 MR-triangles) — orient every edge from the
+   * endpoint with smaller (degree, id) to the larger, enumerate wedges
+   * only from each vertex's ORIENTED out-neighbors, and close them
+   * against the edge set. Every triangle has exactly one minimum-rank
+   * vertex, so each is found exactly once.
+   *
+   * 100 TB shape: the orientation is the whole point — out-degree under
+   * it is O(√m) even on power-law graphs, so the wedge self-join costs
+   * Σ d⁺(v)² = O(m^1.5) instead of the Σ d(v)² blowup a hub vertex
+   * causes unoriented. Three shuffles of slim id tuples: the wedge
+   * build keyed on the pivot, the closure semi-join keyed on the
+   * (b, c) pair, and the final per-node count. Nothing corpus-shaped
+   * moves; the degree table is |V| rows.
+   */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("x"))
+      .union(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("x").as("u"), col("d").as("du"))
+    val dv = deg.select(col("x").as("v"), col("d").as("dv"))
+    val ranked = und.join(du, "u").join(dv, "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = ranked.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("t"))
+    val o1 = oriented.as("o1"); val o2 = oriented.as("o2")
+    // wedge (b, c) canonicalized by id so it joins the (u < v) edge set
+    val wedges = o1.join(o2,
+        col("o1.s") === col("o2.s") && col("o1.t") < col("o2.t"))
+      .select(col("o1.s").as("a"),
+        col("o1.t").as("b"), col("o2.t").as("c"))
+    val tri = wedges.join(und,
+      wedges("b") === und("u") && wedges("c") === und("v"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
+
+  /**
+   * Deterministic synchronous label propagation (Raghavan et al. 2007
+   * made replayable): labels start as node ids; each round every node
+   * adopts the label with the greatest incident edge weight among its
+   * neighbors' current labels, ties broken by smallest label. A FIXED
+   * `iters` rounds — no convergence test — so the output is a pure
+   * function of the edge set and the oracle unrolls the rounds as CTEs.
+   *
+   * 100 TB shape: per round one join of the adjacency (cached once,
+   * both directions) against the (node, label) table and one
+   * (node, label)-keyed weight aggregate with a min-struct argmax —
+   * only slim pairs shuffle, the same per-iteration cost envelope as
+   * [[Pagerank.run]]. Rounds are localCheckpoint'ed with the previous
+   * round's blocks freed, so lineage stays one round deep.
+   */
+  def labelPropagation(edges: DataFrame, uCol: String, vCol: String,
+      wCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, "need 1 <= iters <= 50")
+    val und = edges.select(col(uCol).cast("long").as("u"),
+      col(vCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
+    val adj = und
+      .union(und.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("v")).persist()
+    var labels = adj.select(col("u").as("node_id"))
+      .distinct().withColumn("label", col("node_id"))
+      .localCheckpoint()
+    try {
+      for (_ <- 1 to iters) {
+        val prev = labels
+        labels = adj
+          .join(labels, adj("v") === labels("node_id"))
+          .groupBy(adj("u"), col("label"))
+          .agg(sum(col("w")).as("ws"))
+          .groupBy(col("u").as("node_id"))
+          .agg(min(struct((-col("ws")).as("nw"), col("label").as("l")))
+            .as("best"))
+          .select(col("node_id"), col("best.l").as("label"))
+          .localCheckpoint()
+        unpersistCheckpoint(prev)
+      }
+    } finally {
+      adj.unpersist(false)
+    }
+    labels
+  }
+}

@@ -824,8 +824,71 @@ object RelationalQueries extends QueryProvider {
        |FROM h$prIters JOIN a$prIters ON h$prIters.node_id = a$prIters.node_id""".stripMargin
   }
 
+  // User co-activity graph (Graphs.cooccurrenceEdges): users sharing >= 3
+  // distinct (event_type, hour) activity cells become a weighted edge —
+  // ~12% density at sf0.01, so triangles and communities are both
+  // populated and non-degenerate. Shared by q_triangles / q_label_prop;
+  // the SQL fragment below is the bit-exact oracle twin.
+  private def coActivityEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.cooccurrenceEdges(
+      T(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("ts div 1000 div 3600000000").as("hr")),
+      "user_id", Seq("event_type", "hr"), minWeight = 3L)
+
+  private val coActSql =
+    """d AS (SELECT DISTINCT user_id, event_type,
+      |    epoch_us(ts) // 3600000000 AS hr FROM events),
+      |e AS (SELECT a.user_id AS u, b.user_id AS v,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.hr = b.hr
+      |    AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+
+  /** Exact per-node triangle counts over the co-activity graph
+   *  (degree-oriented wedge closure — see Graphs.triangleCounts). */
+  private def trianglesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.triangleCounts(coActivityEdges(s, dir), "u", "v")
+
+  private val trianglesSql =
+    s"""WITH $coActSql,
+       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+       |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |n AS (SELECT a AS node_id FROM tri
+       |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM n GROUP BY 1""".stripMargin
+
+  /** Deterministic sync label-propagation communities, 3 unrolled
+   *  rounds, (weight desc, label asc) tie-break (Graphs.labelPropagation). */
+  private val lpaIters = 3
+  private def labelPropQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.labelPropagation(
+      coActivityEdges(s, dir), "u", "v", "w", iters = lpaIters)
+
+  private val labelPropSql: String = {
+    val iterCtes = (1 to lpaIters).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT adj.u AS node_id, l.label AS lbl,
+         |    CAST(sum(w) AS BIGINT) AS ws
+         |  FROM adj JOIN l$p l ON adj.v = l.node_id GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node_id, lbl AS label FROM (
+         |  SELECT node_id, lbl,
+         |    row_number() OVER (PARTITION BY node_id ORDER BY ws DESC, lbl) AS rk
+         |  FROM c$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coActSql,
+       |adj AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+       |l0 AS (SELECT node_id, node_id AS label FROM
+       |  (SELECT u AS node_id FROM e UNION SELECT v FROM e)),
+       |$iterCtes
+       |SELECT node_id, label FROM l$lpaIters""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"        -> (pagerankQ _),
+    "q_triangles"       -> (trianglesQ _),
+    "q_label_prop"      -> (labelPropQ _),
     "q_ppr"             -> (pprQ _),
     "q_hits"            -> (hitsQ _),
     "q1_agg"            -> (q1Agg _),
@@ -863,6 +926,8 @@ object RelationalQueries extends QueryProvider {
 
   override val oracles: Map[String, String] = Map(
     "q_pagerank"        -> pagerankSql,
+    "q_triangles"       -> trianglesSql,
+    "q_label_prop"      -> labelPropSql,
     "q_ppr"             -> pprSql,
     "q_hits"            -> hitsSql,
     "q1_agg"            -> q1AggSql,

@@ -154,4 +154,82 @@ class GraphSignalsSpec extends AnyFunSuite {
     assert(hits(e1) == hits(e1))
     assert(hits(e1) == hits(e2))
   }
+
+  // ---- triangles + label propagation -----------------------------------
+
+  import graft.operators.Graphs
+
+  private def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graphs.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  /** Brute-force reference: every unordered triple with all three edges. */
+  private def triBrute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } yield Seq(a, b, c)
+    tris.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("triangleCounts: K4 gives 3 per node; adding a pendant changes nothing") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(triangles(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(triangles(k4 :+ ((4L, 9L))) == triangles(k4))
+    // triangle-free graphs produce an empty result
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == Map.empty)
+  }
+
+  test("triangleCounts: equals brute force on a pseudorandom graph, " +
+      "robust to duplicates / reversed edges / self-loops") {
+    val raw = (1 to 120).map { i =>
+      val a = (i * 2654435761L % 13) + 1
+      val b = (i * 40503L % 13) + 1
+      (a, b)
+    }
+    val noisy = raw ++ raw.map(_.swap) ++ Seq((5L, 5L))
+    assert(triangles(noisy) == triBrute(raw))
+  }
+
+  test("labelPropagation: two cliques with a weak bridge resolve to two " +
+      "communities labeled by their smallest member") {
+    // cliques {1,2,3} and {10,11,12} with heavy internal edges, one
+    // weight-1 bridge 3–10.
+    val heavy = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).map { case (u, v) => (u, v, 5L) }
+    val edges = (heavy :+ ((3L, 10L, 1L))).toDF("u", "v", "w")
+    val out = Graphs.labelPropagation(edges, "u", "v", "w", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(Set(out(10L), out(11L), out(12L)).size == 1)
+    assert(out(1L) != out(10L))
+  }
+
+  test("labelPropagation: deterministic tie-break adopts the smallest label") {
+    // node 9 sees labels 1 and 2 at equal weight -> picks 1.
+    val edges = Seq((1L, 9L, 2L), (2L, 9L, 2L)).toDF("u", "v", "w")
+    val out = Graphs.labelPropagation(edges, "u", "v", "w", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out(9L) == 1L)
+  }
+
+  test("cooccurrenceEdges: pair weight counts DISTINCT shared cells and " +
+      "the threshold prunes") {
+    val df = Seq(
+      (1L, "x", 0L), (1L, "x", 0L), (1L, "y", 1L), (1L, "z", 2L),
+      (2L, "x", 0L), (2L, "y", 1L), (2L, "z", 2L),
+      (3L, "x", 0L)).toDF("id", "t", "cell")
+    val all = Graphs.cooccurrenceEdges(df, "id", Seq("t", "cell"), 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    // duplicate (1,x,0) row must not inflate the weight
+    assert(all == Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val strong = Graphs.cooccurrenceEdges(df, "id", Seq("t", "cell"), 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(strong == Set((1L, 2L, 3L)))
+  }
 }
