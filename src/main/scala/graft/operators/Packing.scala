@@ -136,4 +136,49 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("pack_tokens"),
         min(col(idCol)).as("first_doc"))
+
+  /**
+   * Length-bucketed INFERENCE batching with an exact padding-waste
+   * audit — the serving-side complement of [[packSequences]]: inference
+   * and eval runs can't concat documents, they pad every sequence in a
+   * batch to the batch max, so the lever is grouping like-length
+   * sequences ("bucketing" in every serving stack). This operator
+   * assigns each row to one of `buckets` global length-quantile buckets,
+   * cuts each bucket into consecutive `batchSize`-row batches in
+   * (length, id) order, and reports per batch the row count, max length,
+   * and wasted pad tokens (`n·max − Σlen`) — the number a capacity plan
+   * actually needs. One row per batch; `buckets = 1` degenerates to
+   * naive length-sorted batching for an A/B of the bucketing win.
+   *
+   * Integer-exact: quantile bucket is rank arithmetic
+   * (`(rn−1)·B div total + 1`, [[Sampling.quantileBuckets]]'s formula),
+   * per-bucket rank is `rn − min(rn) + 1` (buckets are contiguous in
+   * rank space), batch is `(r−1) div batchSize` — all non-negative, so
+   * Spark `DIV` ≡ DuckDB `//` and every batch boundary replays exactly.
+   *
+   * 100 TB shape: one [[GlobalSequence]] range-partition pass over the
+   * slim (id, len) projection gives the global ranks; the per-bucket
+   * offset table is `buckets` rows broadcast back; the batch report is
+   * one hash aggregate on (bucket, batch). No per-bucket window task,
+   * nothing text-shaped ever shuffles.
+   */
+  def padBatches(df: DataFrame, lenCol: String, idCol: String,
+      buckets: Int, batchSize: Int): DataFrame = {
+    require(buckets >= 1 && batchSize >= 1, "need buckets, batchSize >= 1")
+    val slim = df.select(col(idCol), col(lenCol).cast("long").as("len"))
+    val ranked = GlobalSequence.withSequentialId(slim,
+      struct(col("len"), col(idCol)), "rn")
+    val total = slim.agg(count(lit(1)).as("total"))
+    val bucketed = ranked.crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"(rn - 1) * $buckets div total + 1"))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(min(col("rn")).as("rn0"))
+    bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("batch_id", expr(s"(rn - rn0) div $batchSize"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_seqs"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .select(col("bucket"), col("batch_id"), col("n_seqs"), col("max_len"),
+        (col("n_seqs") * col("max_len") - col("sum_len")).as("waste_tokens"))
+  }
 }

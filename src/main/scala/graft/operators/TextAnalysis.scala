@@ -251,6 +251,49 @@ object TextAnalysis {
   }
 
   /**
+   * TextRank keyword extraction (Mihalcea & Tarau 2004) at corpus
+   * granularity: adjacent-token co-occurrence builds an undirected word
+   * graph, [[Pagerank.run]] scores it (same integer nano-unit power
+   * iteration, so the whole chain — vocab ids, edges, 5 iterations, the
+   * top-k cut — replays bit-exactly in a SQL oracle), and the top `k`
+   * words by (rank desc, token asc) are the corpus keywords. The
+   * graph-centrality alternative to frequency-based keyword signals
+   * ([[tfIdfTopTerms]], [[collocations]]): a word ranks high when it
+   * neighbors many other well-connected words, not merely when it is
+   * common.
+   *
+   * 100 TB shape: pair construction is a narrow map (slice+zip inside
+   * the scan projection — the token stream never shuffles as singles);
+   * everything after the first DISTINCT is vocab-bounded: the word-id
+   * table, the edge set, and every PageRank iteration move |vocab|- and
+   * |vocab-edge|-sized slim rows only. The vocab map joins back by
+   * broadcast. The corpus is touched exactly once.
+   */
+  def textrankKeywords(df: DataFrame, textCol: String, idCol: String,
+      iters: Int = 5, k: Int = 50): DataFrame = {
+    val ws = wsTokens(col(textCol))
+    val pairs = df
+      .select(explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 1).as("a"),
+        slice(ws, lit(2), size(ws) - 1).as("b"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val vocab = GlobalSequence.withSequentialId(
+      df.select(explode(ws).as("tok")).distinct(), col("tok"), "wid")
+    val edges = und
+      .join(broadcast(vocab.select(col("tok").as("a"), col("wid").as("src"))), "a")
+      .join(broadcast(vocab.select(col("tok").as("b"), col("wid").as("dst"))), "b")
+      .select(col("src"), col("dst"))
+    Pagerank.run(edges, "src", "dst", iters = iters)
+      .join(broadcast(vocab.select(col("wid").as("node_id"), col("tok"))),
+        "node_id")
+      .select(col("tok").as("token"), col("pr_nano"))
+      .orderBy(col("pr_nano").desc, col("token")).limit(k)
+  }
+
+  /**
    * Gopher-style quality rules (after Rae et al. 2021, "Scaling Language
    * Models: Methods, Analysis & Insights from Training Gopher", App. A)
    * — the heuristic filter shape most pretraining pipelines run:

@@ -369,6 +369,83 @@ object TextQueries extends QueryProvider {
     graft.operators.Packing.packManifest(T(s, dir, "documents"),
       "text", "doc_id", groupCol = "source", budget = 512)
 
+  /** TextRank corpus keywords: adjacent-token word graph → 5 integer
+   *  PageRank iterations → top-50 by (rank desc, token). The oracle
+   *  replays vocab ids, edges, and every iteration (MATERIALIZED per
+   *  round — each r CTE is referenced twice). */
+  private val textrankIters = 5
+  private def textrankQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textrankKeywords(T(s, dir, "documents"), "text", "doc_id",
+      iters = textrankIters, k = 50)
+
+  private val textrankSql: String = {
+    val iterCtes = (1 to textrankIters).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+         |  FROM r$p LEFT JOIN odeg ON node_id = src WHERE outdeg IS NULL),
+         |f$i AS MATERIALIZED (SELECT e.dst, CAST(sum(pr // outdeg) AS BIGINT) AS inflow
+         |  FROM r$p JOIN odeg ON node_id = odeg.src
+         |  JOIN e ON e.src = odeg.src
+         |  GROUP BY e.dst),
+         |r$i AS MATERIALIZED (SELECT node_id,
+         |  CAST((15 * (1000000000 // n)) // 100
+         |    + (85 * (coalesce(inflow, 0) + (dang // n))) // 100 AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN f$i ON node_id = dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |p AS (SELECT unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b
+       |  FROM w),
+       |pp AS (SELECT a, b FROM p WHERE a <> b
+       |  UNION SELECT b, a FROM p WHERE a <> b),
+       |v AS (SELECT tok, row_number() OVER (ORDER BY tok) AS wid
+       |  FROM (SELECT DISTINCT unnest(ws) AS tok FROM w)),
+       |e AS (SELECT DISTINCT va.wid AS src, vb.wid AS dst
+       |  FROM pp JOIN v va ON pp.a = va.tok JOIN v vb ON pp.b = vb.tok),
+       |nodes AS (SELECT src AS node_id FROM e
+       |  UNION SELECT dst AS node_id FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM e GROUP BY src),
+       |r0 AS (SELECT node_id, CAST(1000000000 // n AS BIGINT) AS pr
+       |  FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT v.tok AS token, pr AS pr_nano
+       |FROM r$textrankIters JOIN v ON node_id = wid
+       |ORDER BY pr DESC, token LIMIT 50""".stripMargin
+  }
+
+  /** Length-bucketed inference batching: 8 length-quantile buckets cut
+   *  into 32-row batches, per-batch exact pad-waste audit. */
+  private def padBatchesQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.padBatches(
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("len")),
+      "len", "doc_id", buckets = 8, batchSize = 32)
+
+  private val padBatchesSql =
+    """WITH w AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, len,
+      |    row_number() OVER (ORDER BY len, doc_id) AS rn,
+      |    count(*) OVER () AS total
+      |  FROM w
+      |), b AS (
+      |  SELECT doc_id, len, rn, (rn - 1) * 8 // total + 1 AS bucket FROM r
+      |), o AS (
+      |  SELECT bucket, min(rn) AS rn0 FROM b GROUP BY 1
+      |)
+      |SELECT CAST(b.bucket AS BIGINT) AS bucket,
+      |  CAST((rn - rn0) // 32 AS BIGINT) AS batch_id,
+      |  CAST(count(*) AS BIGINT) AS n_seqs,
+      |  max(len) AS max_len,
+      |  CAST(count(*) * max(len) - sum(len) AS BIGINT) AS waste_tokens
+      |FROM b JOIN o USING (bucket)
+      |GROUP BY b.bucket, (rn - rn0) // 32""".stripMargin
+
   private val packManifestSql =
     """WITH n AS (
       |  SELECT doc_id, source,
@@ -1556,6 +1633,8 @@ object TextQueries extends QueryProvider {
     "text_tfidf"       -> (tfidf _),
     "q_pack_sequences" -> (packSeqs _),
     "q_pack_manifest"  -> (packManifest _),
+    "q_pad_batches"    -> (padBatchesQ _),
+    "text_textrank"    -> (textrankQ _),
     "q_corpus_report"  -> (corpusReport _),
     "text_tokens"      -> (tokens _),
     "text_normalize"   -> (normalize _),
@@ -1647,6 +1726,8 @@ object TextQueries extends QueryProvider {
     "text_tfidf"       -> tfidfSql,
     "q_pack_sequences" -> packSeqsSql,
     "q_pack_manifest"  -> packManifestSql,
+    "q_pad_batches"    -> padBatchesSql,
+    "text_textrank"    -> textrankSql,
     "q_corpus_report"  -> corpusReportSql,
     "text_tokens"      -> tokensSql,
     "text_normalize"   -> normalizeSql,

@@ -691,6 +691,61 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(preds.head._2 == "tech")
   }
 
+  test("padBatches: exact waste accounting; bucketing beats naive batching " +
+      "on a bimodal corpus") {
+    import graft.operators.Packing
+    // 8 short (len 10) + 8 long (len 100) sequences, batchSize 4.
+    val df = ((1 to 8).map(i => (i.toLong, 10L)) ++
+      (9 to 16).map(i => (i.toLong, 100L))).toDF("id", "len")
+    // 2 buckets: each holds one length -> zero waste.
+    val bucketed = Packing.padBatches(df, "len", "id", buckets = 2,
+      batchSize = 4).collect()
+    assert(bucketed.length == 4 && bucketed.forall(_.getAs[Long]("waste_tokens") == 0L))
+    // 1 bucket, batch 4: length-sorted order still separates them -> 0;
+    // shuffle the lengths via batchSize 16 (one batch) -> 8*(100-10) waste.
+    val naive = Packing.padBatches(df, "len", "id", buckets = 1,
+      batchSize = 16).collect()
+    assert(naive.length == 1)
+    assert(naive.head.getAs[Long]("waste_tokens") == 8L * 90L)
+    assert(naive.head.getAs[Long]("max_len") == 100L)
+    assert(naive.head.getAs[Long]("n_seqs") == 16L)
+  }
+
+  test("padBatches: batch boundaries are exact rank arithmetic (ragged " +
+      "final batch, bucket-contiguous ranks)") {
+    import graft.operators.Packing
+    val df = (1 to 10).map(i => (i.toLong, i.toLong)).toDF("id", "len")
+    val out = Packing.padBatches(df, "len", "id", buckets = 2, batchSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_seqs"), r.getAs[Long]("max_len"),
+          r.getAs[Long]("waste_tokens"))).toMap
+    // bucket 1 = lens 1..5 (ranks 1..5), batches [1,2,3],[4,5]
+    assert(out((1L, 0L)) == ((3L, 3L, 3L)))   // 3*3-(1+2+3)=3
+    assert(out((1L, 1L)) == ((2L, 5L, 1L)))   // 2*5-(4+5)=1
+    // bucket 2 = lens 6..10, batches [6,7,8],[9,10]
+    assert(out((2L, 0L)) == ((3L, 8L, 3L)))
+    assert(out((2L, 1L)) == ((2L, 10L, 1L)))
+  }
+
+  test("textrankKeywords: a co-occurrence hub outranks peripheral words; " +
+      "output is the deterministic top-k") {
+    val df = docs(
+      1 -> "red hub blue",
+      2 -> "green hub yellow",
+      3 -> "pink hub teal",
+      4 -> "red blue")
+    val out = TextAnalysis.textrankKeywords(df, "text", "doc_id",
+        iters = 5, k = 3)
+      .as[(String, Long)].collect()
+    assert(out.head._1 == "hub")               // 6 neighbors vs <= 3
+    assert(out.length == 3)
+    assert(out.map(_._2).toSeq ==
+      out.map(_._2).sorted(Ordering[Long].reverse).toSeq)
+    val again = TextAnalysis.textrankKeywords(df, "text", "doc_id",
+        iters = 5, k = 3).as[(String, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("blocklistScreen: exact whole-token hits, distinct-term counting") {
     val df = docs(
       1 -> "clean text only",
