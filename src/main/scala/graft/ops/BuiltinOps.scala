@@ -575,6 +575,92 @@ object BuiltinOps {
         df => graft.operators.Hits.run(df, src, dst, iters))
     },
 
+    // Exact per-node triangle counts (Graphs.triangleCounts): degree-
+    // oriented wedge closure over an undirected edge stream.
+    "triangles" -> { a =>
+      val u = a.strOpt("a").getOrElse("u")
+      val v = a.strOpt("b").getOrElse("v")
+      LensOp.setLevel(s"triangles($u-$v)",
+        df => graft.operators.Graphs.triangleCounts(df, u, v))
+    },
+
+    // Deterministic sync label propagation (Graphs.labelPropagation):
+    // weighted-majority communities with fixed rounds + tie-break.
+    "label_prop" -> { a =>
+      val u = a.strOpt("u").getOrElse("u")
+      val v = a.strOpt("v").getOrElse("v")
+      val w = a.strOpt("w").getOrElse("w")
+      val iters = a.intOpt("iters").getOrElse(3)
+      LensOp.setLevel(s"label_prop($u-$v, iters=$iters)",
+        df => graft.operators.Graphs.labelPropagation(df, u, v, w, iters))
+    },
+
+    // Co-occurrence graph projection (Graphs.cooccurrenceEdges): entities
+    // sharing >= min_weight distinct cells become a weighted edge.
+    "cooccur_edges" -> { a =>
+      val id = a.str("id")
+      val cells = a.strList("cells")
+      val minW = a.intOpt("min_weight").getOrElse(1).toLong
+      LensOp.setLevel(s"cooccur_edges($id by ${cells.mkString(",")})",
+        df => graft.operators.Graphs.cooccurrenceEdges(df, id, cells, minW))
+    },
+
+    // Exact per-group winsorization (Anomaly.winsorize): clip values into
+    // the group's [pLo, pHi] order-statistic band.
+    "winsorize" -> { a =>
+      val v = a.strOpt("value").getOrElse("value")
+      val id = a.strOpt("id").getOrElse("event_id")
+      val g = a.strOpt("group").getOrElse("event_type")
+      val lo = a.intOpt("p_lo_ppm").getOrElse(10000).toLong
+      val hi = a.intOpt("p_hi_ppm").getOrElse(990000).toLong
+      val scale = a.intOpt("scale").getOrElse(1000).toLong
+      LensOp.setLevel(s"winsorize($v by $g, [$lo,$hi]ppm)",
+        df => graft.operators.Anomaly.winsorize(df, v, id, g, lo, hi, scale))
+    },
+
+    // C4 bad-words page screen (TextAnalysis.blocklistScreen): exact
+    // whole-token blocklist hits + keep verdict.
+    "blocklist" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val terms = a.strList("terms")
+      LensOp(s"blocklist(${terms.size} terms)",
+        df => graft.operators.TextAnalysis.blocklistScreen(df, t, id, terms))
+    },
+
+    // JL ±1 random projection (Similarity.randomProject): dimension cut
+    // to d_out integer components, mixer-derived signs, long format.
+    "random_proj" -> { a =>
+      val (vec, id) = (a.strOpt("vec").getOrElse("embedding"),
+        a.strOpt("id").getOrElse("vec_id"))
+      val dOut = a.intOpt("d_out").getOrElse(16)
+      val scale = a.intOpt("scale").getOrElse(1000000).toLong
+      LensOp(s"random_proj(d_out=$dOut)",
+        df => graft.operators.Similarity.randomProject(df, vec, id, dOut, scale))
+    },
+
+    // Length-bucketed inference batching (Packing.padBatches): per-batch
+    // exact pad-waste audit over length-quantile buckets.
+    "pad_batches" -> { a =>
+      val len = a.strOpt("len").getOrElse("len")
+      val id = a.strOpt("id").getOrElse("doc_id")
+      val buckets = a.intOpt("buckets").getOrElse(8)
+      val batch = a.intOpt("batch_size").getOrElse(32)
+      LensOp.setLevel(s"pad_batches($buckets x $batch)",
+        df => graft.operators.Packing.padBatches(df, len, id, buckets, batch))
+    },
+
+    // TextRank corpus keywords (TextAnalysis.textrankKeywords): word
+    // co-occurrence graph scored by integer PageRank, top-k cut.
+    "textrank" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val iters = a.intOpt("iters").getOrElse(5)
+      val k = a.intOpt("k").getOrElse(50)
+      LensOp.setLevel(s"textrank(iters=$iters, k=$k)",
+        df => graft.operators.TextAnalysis.textrankKeywords(df, t, id, iters, k))
+    },
+
     // BM25 keyword relevance (Bm25.score): per-doc score against a fixed
     // query-term list in integer micro-units.
     "bm25" -> { a =>

@@ -195,6 +195,21 @@ class AnomalySpec extends AnyFunSuite {
     assert(out == Map(1L -> 100L, 2L -> 125L))
   }
 
+  test("lens file drives winsorize end-to-end (builtin:winsorize)") {
+    import graft.engine.Pipeline
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("id", "g", "v")
+    val out = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:winsorize",
+        |  "arguments":{"value":"v","id":"id","group":"g",
+        |    "p_lo_ppm":"100000","p_hi_ppm":"900000","scale":"1"}}]}"""
+        .stripMargin)
+      .forward(df).as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L) == 10L && out(50L) == 50L && out(100L) == 90L)
+  }
+
   test("winsorize: exact per-group order-statistic bounds clip the tails") {
     import spark.implicits._
     // group a: values 1..100 (scale=1): p10 index = 99*100000 div 1e6 + 1

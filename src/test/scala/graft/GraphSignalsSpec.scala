@@ -218,6 +218,30 @@ class GraphSignalsSpec extends AnyFunSuite {
     assert(out(9L) == 1L)
   }
 
+  test("lens files drive cooccur_edges -> triangles and label_prop " +
+      "end-to-end") {
+    import graft.engine.Pipeline
+    // 3 entities sharing one cell -> K3 -> one triangle (1 per node).
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"))
+      .toDF("id", "cell")
+    val tri = Pipeline.fromJson(
+      """{"lenses":[
+        |  {"path":"builtin:cooccur_edges",
+        |   "arguments":{"id":"id","cells":["cell"]}},
+        |  {"path":"builtin:triangles","arguments":{"a":"u","b":"v"}}
+        |]}""".stripMargin)
+      .forward(df).as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L))
+      .toDF("u", "v", "w")
+    val lpa = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:label_prop",
+        |  "arguments":{"iters":"2"}}]}""".stripMargin)
+      .forward(edges).as[(Long, Long)].collect().toMap
+    assert(lpa.values.toSet.size == 1)
+  }
+
   test("cooccurrenceEdges: pair weight counts DISTINCT shared cells and " +
       "the threshold prunes") {
     val df = Seq(

@@ -727,6 +727,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out((2L, 1L)) == ((2L, 10L, 1L)))
   }
 
+  test("lens files drive blocklist, textrank, pad_batches, random_proj") {
+    import graft.engine.Pipeline
+    val d = docs(1 -> "good bad good", 2 -> "all clean here")
+    val screened = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:blocklist",
+        |  "arguments":{"terms":["bad"]}}]}""".stripMargin)
+      .forward(d).as[(Int, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(screened == Map(1 -> false, 2 -> true))
+
+    val kw = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:textrank",
+        |  "arguments":{"iters":"3","k":"2"}}]}""".stripMargin)
+      .forward(docs(1 -> "x hub y", 2 -> "z hub q"))
+      .as[(String, Long)].collect()
+    assert(kw.head._1 == "hub" && kw.length == 2)
+
+    val lens = Seq((1L, 4L), (2L, 4L), (3L, 9L), (4L, 9L)).toDF("id", "len")
+    val batches = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:pad_batches",
+        |  "arguments":{"len":"len","id":"id","buckets":"2","batch_size":"2"}}]}"""
+        .stripMargin)
+      .forward(lens).collect()
+    assert(batches.length == 2 &&
+      batches.forall(_.getAs[Long]("waste_tokens") == 0L))
+
+    val vecs = Seq((1L, Seq(1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val proj = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:random_proj",
+        |  "arguments":{"d_out":"4","scale":"1000"}}]}""".stripMargin)
+      .forward(vecs).as[(Long, Long, Long)].collect()
+    assert(proj.length == 4)
+    assert(proj.forall(p => math.abs(p._3) == 3000L || math.abs(p._3) == 1000L))
+  }
+
   test("textrankKeywords: a co-occurrence hub outranks peripheral words; " +
       "output is the deterministic top-k") {
     val df = docs(
