@@ -229,4 +229,40 @@ class PlanShapeSpec extends AnyFunSuite {
       !hits.contains("BroadcastNestedLoopJoin"),
       "hits output densify must be an equi-join")
   }
+
+  test("text_blocklist + sim_random_proj are pure scan projections") {
+    for (q <- Seq("text_blocklist", "sim_random_proj")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles a per-row computation")
+    }
+    // the projection is the native expression, not an interpreted HOF
+    assert(plan("sim_random_proj").contains("random_project_signs"))
+  }
+
+  test("q_winsorize + q_pad_batches: bounds/offsets broadcast back — " +
+      "rows join them without a second full shuffle") {
+    for (q <- Seq("q_winsorize", "q_pad_batches")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q must broadcast its per-group bound/offset table")
+      assert(!p.contains("Window"), s"$q reintroduced a window operator")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("q_triangles: wedge and closure are equi-joins on slim id tuples") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "triangle closure must be an equi-join, never all-pairs")
+    assert(p.contains("partial_count"),
+      "per-node triangle count lost map-side partial aggregation")
+  }
+
+  test("q_label_prop: rounds ran eagerly — final plan reads the checkpoint") {
+    val p = plan("q_label_prop")
+    assert(p.contains("ExistingRDD"), "label_prop output lost its checkpoint")
+    assert(!p.contains("FileScan"),
+      "label_prop output re-derives the graph instead of reading the checkpoint")
+  }
 }
