@@ -115,6 +115,51 @@ object Graphs {
   }
 
   /**
+   * Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+   * 2003): for every NON-adjacent pair with at least one common
+   * neighbor, emit the common-neighbor count and the
+   * preferential-attachment product deg(a)·deg(b) — the two classic
+   * integer-exact scores — cut to the top `k` by (cn desc, pa desc, a,
+   * b). In a curation pipeline this is the "which entities are probably
+   * the same / will interact" signal over the graphs
+   * [[cooccurrenceEdges]] builds, and the integer counts are why it
+   * oracle-replays where Adamic-Adar's 1/log(deg) would not.
+   *
+   * 100 TB shape: candidate generation is the wedge join keyed on the
+   * shared neighbor — Σ deg(c)² over centers, the same envelope as
+   * unoriented wedge counting (orientation can't apply: BOTH endpoints
+   * of a candidate must surface). On power-law graphs cap or salt hub
+   * centers upstream (the [[SkewJoin]] discipline); every shuffle moves
+   * slim id pairs, the degree table is |V| rows, and the final cut is a
+   * per-partition heap (TakeOrdered), never a global sort.
+   */
+  def linkPrediction(edges: DataFrame, uCol: String, vCol: String,
+      k: Int = 100): DataFrame = {
+    val und = edges.select(
+        least(col(uCol), col(vCol)).cast("long").as("u"),
+        greatest(col(uCol), col(vCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("x"), col("v").as("n"))
+      .union(und.select(col("v").as("x"), col("u").as("n")))
+    val a1 = adj.select(col("n").as("c"), col("x").as("a"))
+    val a2 = adj.select(col("n").as("c"), col("x").as("b"))
+    val cand = a1.join(a2, Seq("c"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"))
+    val non = cand.join(und,
+        cand("a") === und("u") && cand("b") === und("v"), "left_anti")
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    non
+      .join(deg.select(col("x").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("x").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        (col("da") * col("db")).as("pa"))
+      .orderBy(col("cn").desc, col("pa").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /**
    * Deterministic synchronous label propagation (Raghavan et al. 2007
    * made replayable): labels start as node ids; each round every node
    * adopts the label with the greatest incident edge weight among its

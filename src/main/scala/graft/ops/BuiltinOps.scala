@@ -584,6 +584,16 @@ object BuiltinOps {
         df => graft.operators.Graphs.triangleCounts(df, u, v))
     },
 
+    // Link prediction (Graphs.linkPrediction): top-k non-adjacent pairs
+    // by (common neighbors, preferential attachment).
+    "link_predict" -> { a =>
+      val u = a.strOpt("a").getOrElse("u")
+      val v = a.strOpt("b").getOrElse("v")
+      val k = a.intOpt("k").getOrElse(100)
+      LensOp.setLevel(s"link_predict($u-$v, k=$k)",
+        df => graft.operators.Graphs.linkPrediction(df, u, v, k))
+    },
+
     // Deterministic sync label propagation (Graphs.labelPropagation):
     // weighted-majority communities with fixed rounds + tie-break.
     "label_prop" -> { a =>
@@ -616,6 +626,19 @@ object BuiltinOps {
       val scale = a.intOpt("scale").getOrElse(1000).toLong
       LensOp.setLevel(s"winsorize($v by $g, [$lo,$hi]ppm)",
         df => graft.operators.Anomaly.winsorize(df, v, id, g, lo, hi, scale))
+    },
+
+    // Exact per-group multi-quantile report (Anomaly.quantileReport):
+    // order-statistic P50/P95/P99-style columns per group.
+    "quantiles" -> { a =>
+      val v = a.strOpt("value").getOrElse("value")
+      val id = a.strOpt("id").getOrElse("event_id")
+      val g = a.strOpt("group").getOrElse("event_type")
+      val ppms = a.strListOpt("ppms")
+        .map(_.map(_.toLong)).getOrElse(Seq(500000L, 950000L, 990000L))
+      val scale = a.intOpt("scale").getOrElse(1000).toLong
+      LensOp.setLevel(s"quantiles($v by $g)",
+        df => graft.operators.Anomaly.quantileReport(df, v, id, g, ppms, scale))
     },
 
     // C4 bad-words page screen (TextAnalysis.blocklistScreen): exact

@@ -152,12 +152,36 @@ object AnomalyQueries extends QueryProvider {
       |  greatest(least(v.v, b.hi_v), b.lo_v) AS value_clipped
       |FROM v JOIN b USING (event_type)""".stripMargin
 
+  /** Exact per-type P50/P95/P99 of `value` in milli units — the latency-
+   *  report shape, order statistics replayed row-for-row by the oracle. */
+  private def percentilesQ(s: SparkSession, dir: String): DataFrame =
+    Anomaly.quantileReport(T(s, dir, "events"), "value", "event_id",
+      "event_type", ppms = Seq(500000L, 950000L, 990000L), scale = 1000L)
+
+  private val percentilesSql =
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v
+      |)
+      |SELECT event_type,
+      |  min(CASE WHEN r = (n - 1) * 500000 // 1000000 + 1 THEN v END) AS p50,
+      |  min(CASE WHEN r = (n - 1) * 950000 // 1000000 + 1 THEN v END) AS p95,
+      |  min(CASE WHEN r = (n - 1) * 990000 // 1000000 + 1 THEN v END) AS p99
+      |FROM r GROUP BY 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_outliers" -> (eventOutliers _),
     "q_event_mad"      -> (eventMad _),
     "q_daily_spikes"   -> (dailySpikes _),
     "q_ewma"           -> (ewmaQ _),
-    "q_winsorize"      -> (winsorizeQ _)
+    "q_winsorize"      -> (winsorizeQ _),
+    "q_percentiles"    -> (percentilesQ _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -165,6 +189,7 @@ object AnomalyQueries extends QueryProvider {
     "q_event_mad"      -> eventMadSql,
     "q_daily_spikes"   -> dailySpikesSql,
     "q_ewma"           -> ewmaSql,
-    "q_winsorize"      -> winsorizeSql
+    "q_winsorize"      -> winsorizeSql,
+    "q_percentiles"    -> percentilesSql
   )
 }

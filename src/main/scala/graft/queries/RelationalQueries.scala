@@ -885,10 +885,30 @@ object RelationalQueries extends QueryProvider {
        |SELECT node_id, label FROM l$lpaIters""".stripMargin
   }
 
+  /** Top-100 non-adjacent pairs by (common neighbors, preferential
+   *  attachment) over the co-activity graph (Graphs.linkPrediction). */
+  private def linkPredictQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.linkPrediction(coActivityEdges(s, dir), "u", "v",
+      k = 100)
+
+  private val linkPredictSql =
+    s"""WITH $coActSql,
+       |adj AS (SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e),
+       |cand AS (SELECT a1.x AS a, a2.x AS b, CAST(count(*) AS BIGINT) AS cn
+       |  FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
+       |  GROUP BY 1, 2),
+       |non AS (SELECT cand.a, cand.b, cand.cn FROM cand
+       |  LEFT JOIN e ON cand.a = e.u AND cand.b = e.v WHERE e.u IS NULL),
+       |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1)
+       |SELECT a, b, cn, da.d * db.d AS pa
+       |FROM non JOIN deg da ON a = da.x JOIN deg db ON b = db.x
+       |ORDER BY cn DESC, pa DESC, a, b LIMIT 100""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"        -> (pagerankQ _),
     "q_triangles"       -> (trianglesQ _),
     "q_label_prop"      -> (labelPropQ _),
+    "q_link_predict"    -> (linkPredictQ _),
     "q_ppr"             -> (pprQ _),
     "q_hits"            -> (hitsQ _),
     "q1_agg"            -> (q1Agg _),
@@ -928,6 +948,7 @@ object RelationalQueries extends QueryProvider {
     "q_pagerank"        -> pagerankSql,
     "q_triangles"       -> trianglesSql,
     "q_label_prop"      -> labelPropSql,
+    "q_link_predict"    -> linkPredictSql,
     "q_ppr"             -> pprSql,
     "q_hits"            -> hitsSql,
     "q1_agg"            -> q1AggSql,

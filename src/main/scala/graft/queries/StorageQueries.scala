@@ -152,7 +152,48 @@ object StorageQueries extends QueryProvider {
        |FROM z""".stripMargin
   }
 
+  /**
+   * Hive-style partitioned layout + partition pruning — the OTHER
+   * storage-side read lever next to bucketing: write the corpus
+   * partitioned by a low-cardinality column (here `lang`), and a
+   * language-sliced read touches only that partition's files. The write
+   * is one-time setup (same discipline as the bucketed tables); the
+   * query measures the pruned scan. StorageSpec asserts the physical
+   * plan carries the lang predicate as a PartitionFilter — the scan
+   * never opens the other partitions' files. At 100 TB this is the
+   * difference between reading one language's slice and the whole
+   * corpus for every per-language pipeline run.
+   */
+  private val partitionedBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def ensurePartitionedTable(s: SparkSession, dir: String): String =
+    partitionedBuilt.synchronized {
+      val path = Scratch.dir(dir, "docs_by_lang")
+      val key = s"${s.sparkContext.applicationId}:$path"
+      if (!partitionedBuilt.contains(key)) {
+        T(s, dir, "documents")
+          .write.partitionBy("lang").mode(SaveMode.Overwrite).parquet(path)
+        partitionedBuilt.add(key)
+      }
+      path
+    }
+
+  private def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val path = ensurePartitionedTable(s, dir)
+    s.read.parquet(path)
+      .where(col("lang") === "de")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+  }
+
+  private val partitionedScanSql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE lang = 'de' GROUP BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_partitioned_scan" -> (partitionedScan _),
     "io_bucketed_join"   -> (bucketedJoin _),
     "q_sample_per_group" -> (samplePerGroup _),
     "q_split_assign"     -> (splitAssign _),
@@ -161,6 +202,7 @@ object StorageQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "io_partitioned_scan" -> partitionedScanSql,
     "io_bucketed_join"   -> bucketedJoinSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_split_assign"     -> splitAssignSql,

@@ -195,6 +195,26 @@ class AnomalySpec extends AnyFunSuite {
     assert(out == Map(1L -> 100L, 2L -> 125L))
   }
 
+  test("quantileReport: exact order-statistic picks per group, lens-reachable") {
+    import graft.engine.Pipeline
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "a", i.toDouble)) ++
+      (101 to 103).map(i => (i.toLong, "b", 42.0))).toDF("id", "g", "v")
+    val out = Anomaly.quantileReport(df, "v", "id", "g",
+        ppms = Seq(500000L, 950000L, 990000L), scale = 1L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") == ((50L, 95L, 99L)))
+    assert(out("b") == ((42L, 42L, 42L)))
+    val lens = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:quantiles",
+        |  "arguments":{"value":"v","id":"id","group":"g","scale":"1",
+        |    "ppms":["500000","990000"]}}]}""".stripMargin)
+      .forward(df).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lens("a") == ((50L, 99L)))
+  }
+
   test("lens file drives winsorize end-to-end (builtin:winsorize)") {
     import graft.engine.Pipeline
     import spark.implicits._

@@ -218,6 +218,25 @@ class GraphSignalsSpec extends AnyFunSuite {
     assert(out(9L) == 1L)
   }
 
+  test("linkPrediction: square graph scores both diagonals, never " +
+      "existing edges; k cuts deterministically") {
+    // square 1-2-3-4-1: non-adjacent pairs are the diagonals (1,3),(2,4),
+    // each with cn=2 and pa=4; all existing edges excluded.
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val out = Graphs.linkPrediction(sq, "a", "b", k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 2L, 4L), (2L, 4L, 2L, 4L)))
+    // path 1-2-3: one candidate (1,3), cn=1, pa=1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = Graphs.linkPrediction(path, "a", "b", k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(p == Seq((1L, 3L, 1L, 1L)))
+    // k=1 keeps the (cn, pa, a, b)-first candidate
+    val k1 = Graphs.linkPrediction(sq, "a", "b", k = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(k1 == Seq((1L, 3L, 2L, 4L)))
+  }
+
   test("lens files drive cooccur_edges -> triangles and label_prop " +
       "end-to-end") {
     import graft.engine.Pipeline

@@ -40,4 +40,27 @@ class StorageSpec extends AnyFunSuite {
     assert(s1 == s2)
     assert(s1.groupBy(_._1).forall(_._2.size == 7))
   }
+
+  test("partitioned layout: the lang slice reads via PartitionFilters, " +
+      "not a data filter over every file") {
+    val dir = "/root/testdata/sf0.001"
+    val path = graft.queries.StorageQueries.ensurePartitionedTable(spark, dir)
+    // partition directories exist per lang value
+    val langDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
+    assert(langDirs.length > 1, s"expected lang= partition dirs, got: ${langDirs.toSeq}")
+    val q = spark.read.parquet(path).where(col("lang") === "de")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      "lang predicate must prune partitions at plan time")
+    // pruned read agrees with the unpartitioned source
+    val expect = graft.queries.T(spark, dir, "documents")
+      .where(col("lang") === "de").groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
 }
