@@ -205,11 +205,18 @@ object Clusters {
    */
   def addEdges(map: DataFrame, newPairs: DataFrame,
       aCol: String, bCol: String): DataFrame = {
+    // Batch-bounded by the incremental-ingest premise, and referenced by
+    // the endpoint set AND the star recompute below — checkpoint once so
+    // the (possibly expensive) pair-mining lineage behind `newPairs`
+    // never re-executes per reference. `map` is the caller's concern:
+    // production reads it from the materialized cluster table
+    // ([[materialize]]), so its re-reads are file scans.
     val edges = newPairs
       .select(least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .where(col("u").isNotNull && col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val endpoints = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node"))).distinct()
     val affected = map

@@ -115,6 +115,51 @@ object Graphs {
   }
 
   /**
+   * k-core peeling (Seidman 1983): repeatedly delete nodes with degree
+   * < k; what survives is the k-core — the "dense backbone" membership
+   * signal spam/quality graph analysis uses (core number correlates
+   * with authority; fringe nodes peel off early). A FIXED `rounds`
+   * budget instead of an until-stable loop keeps the output a pure
+   * function of the edge set (each peel is deterministic, so `rounds`
+   * that reach the fixpoint give the true k-core; the oracle unrolls
+   * the same rounds either way — equality holds converged or not).
+   * Output: (node_id, deg) — surviving nodes with their degree in the
+   * surviving subgraph.
+   *
+   * 100 TB shape: per round one degree aggregate over slim (x, n) pairs
+   * and two semi-joins of the edge set against the survivor table —
+   * nothing but id pairs ever shuffles, and the edge set only SHRINKS.
+   * Rounds are localCheckpoint'ed with previous blocks freed (the
+   * [[Pagerank]] discipline), so lineage stays one round deep.
+   */
+  def kCore(edges: DataFrame, uCol: String, vCol: String,
+      k: Int, rounds: Int = 5): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 50,
+      "need k >= 1, 1 <= rounds <= 50")
+    def adjacency(e: DataFrame): DataFrame =
+      e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+    var e = edges.select(col(uCol).cast("long").as("u"),
+        col(vCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = adjacency(e).groupBy(col("x"))
+        .agg(count(lit(1)).as("d")).where(col("d") >= k)
+        .select(col("x"))
+      val prev = e
+      e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      unpersistCheckpoint(prev)
+    }
+    adjacency(e).groupBy(col("x").as("node_id"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+  }
+
+  /**
    * Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
    * 2003): for every NON-adjacent pair with at least one common
    * neighbor, emit the common-neighbor count and the

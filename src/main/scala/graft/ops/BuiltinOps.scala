@@ -584,6 +584,17 @@ object BuiltinOps {
         df => graft.operators.Graphs.triangleCounts(df, u, v))
     },
 
+    // k-core peeling (Graphs.kCore): dense-backbone membership after a
+    // fixed number of minimum-degree peel rounds.
+    "kcore" -> { a =>
+      val u = a.strOpt("a").getOrElse("u")
+      val v = a.strOpt("b").getOrElse("v")
+      val k = a.intOpt("k").getOrElse(3)
+      val rounds = a.intOpt("rounds").getOrElse(5)
+      LensOp.setLevel(s"kcore($u-$v, k=$k, rounds=$rounds)",
+        df => graft.operators.Graphs.kCore(df, u, v, k, rounds))
+    },
+
     // Link prediction (Graphs.linkPrediction): top-k non-adjacent pairs
     // by (common neighbors, preferential attachment).
     "link_predict" -> { a =>

@@ -359,8 +359,12 @@ object DedupQueries extends QueryProvider {
     val exactE = hashedE.join(keepersE, "h")
       .where(col("doc_id") =!= col("k"))
       .select(col("k").as("doc_a"), col("doc_id").as("doc_b"))
+    // Checkpointed to mirror production, where the map is read back from
+    // the materialized cluster table: addEdges references it three times
+    // (affected set, untouched pass-through, touched stars) and must not
+    // re-run the ingest clustering per reference.
     val map = graft.operators.Clusters.connectedComponents(
-      near.union(exactE), "doc_a", "doc_b")
+      near.union(exactE), "doc_a", "doc_b").localCheckpoint()
     val batchTouching = dupPairs(s, dir)
       .where(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
     graft.operators.Clusters.addEdges(map, batchTouching, "doc_a", "doc_b")

@@ -866,7 +866,10 @@ object RelationalQueries extends QueryProvider {
     graft.operators.Graphs.labelPropagation(
       coActivityEdges(s, dir), "u", "v", "w", iters = lpaIters)
 
-  private val labelPropSql: String = {
+  /** The LPA round CTE chain over the co-activity graph, shared by
+   *  `q_label_prop` and the `pipeline_user_segments` flagship so the two
+   *  oracles cannot drift. Exposes `l$lpaIters` as (node_id, label). */
+  private val labelPropCtes: String = {
     val iterCtes = (1 to lpaIters).map { i =>
       val p = i - 1
       s"""c$i AS MATERIALIZED (SELECT adj.u AS node_id, l.label AS lbl,
@@ -877,12 +880,83 @@ object RelationalQueries extends QueryProvider {
          |    row_number() OVER (PARTITION BY node_id ORDER BY ws DESC, lbl) AS rk
          |  FROM c$i) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $coActSql,
+    s"""$coActSql,
        |adj AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
        |l0 AS (SELECT node_id, node_id AS label FROM
        |  (SELECT u AS node_id FROM e UNION SELECT v FROM e)),
-       |$iterCtes
+       |$iterCtes""".stripMargin
+  }
+
+  private val labelPropSql: String =
+    s"""WITH $labelPropCtes
        |SELECT node_id, label FROM l$lpaIters""".stripMargin
+
+  /**
+   * Composition flagship over the graph family: co-activity graph →
+   * label-propagation communities → per-community activity report
+   * (members, events, purchase count), communities labeled by their LPA
+   * label, singleton users (no qualifying edges) bucketed under their
+   * own id. The oracle recomputes the graph, replays all three LPA
+   * rounds, and re-aggregates the raw event log — the hash certifies
+   * the whole chain. 100 TB shape: the segment map is |users| slim
+   * rows; the event aggregate is the only log-sized pass and it
+   * partial-aggregates per (user) before the label join.
+   */
+  private def userSegmentsQ(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.Graphs.labelPropagation(
+      coActivityEdges(s, dir), "u", "v", "w", iters = lpaIters)
+    val perUser = T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+    perUser
+      .join(labels, perUser("user_id") === labels("node_id"), "left")
+      .select(coalesce(col("label"), col("user_id")).as("segment"),
+        col("n_events"), col("n_purchases"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("n_purchases")).as("n_purchases"))
+  }
+
+  private val userSegmentsSql =
+    s"""WITH $labelPropCtes,
+       |pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+       |      AS n_purchases
+       |  FROM events GROUP BY 1)
+       |SELECT coalesce(l.label, pu.user_id) AS segment,
+       |  CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events,
+       |  CAST(sum(n_purchases) AS BIGINT) AS n_purchases
+       |FROM pu LEFT JOIN l$lpaIters l ON pu.user_id = l.node_id
+       |GROUP BY 1""".stripMargin
+
+  /** 12-core backbone of the co-activity graph after 3 peel rounds
+   *  (Graphs.kCore) — surviving nodes with their in-core degree (k=12
+   *  peels ~20% of nodes at sf0.01, so the rounds do real work). */
+  private val kCoreK = 12
+  private val kCoreRounds = 3
+  private def kCoreQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.kCore(coActivityEdges(s, dir), "u", "v",
+      k = kCoreK, rounds = kCoreRounds)
+
+  private val kCoreSql: String = {
+    val iterCtes = (1 to kCoreRounds).map { i =>
+      val p = i - 1
+      s"""n$i AS MATERIALIZED (SELECT x FROM (
+         |    SELECT u AS x FROM e$p UNION ALL SELECT v FROM e$p)
+         |  GROUP BY x HAVING count(*) >= $kCoreK),
+         |e$i AS MATERIALIZED (SELECT e$p.u, e$p.v FROM e$p
+         |  JOIN n$i a ON e$p.u = a.x JOIN n$i b ON e$p.v = b.x)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coActSql,
+       |e0 AS (SELECT u, v FROM e),
+       |$iterCtes
+       |SELECT x AS node_id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT u AS x FROM e$kCoreRounds UNION ALL SELECT v FROM e$kCoreRounds)
+       |GROUP BY x""".stripMargin
   }
 
   /** Top-100 non-adjacent pairs by (common neighbors, preferential
@@ -909,6 +983,8 @@ object RelationalQueries extends QueryProvider {
     "q_triangles"       -> (trianglesQ _),
     "q_label_prop"      -> (labelPropQ _),
     "q_link_predict"    -> (linkPredictQ _),
+    "q_kcore"           -> (kCoreQ _),
+    "pipeline_user_segments" -> (userSegmentsQ _),
     "q_ppr"             -> (pprQ _),
     "q_hits"            -> (hitsQ _),
     "q1_agg"            -> (q1Agg _),
@@ -949,6 +1025,8 @@ object RelationalQueries extends QueryProvider {
     "q_triangles"       -> trianglesSql,
     "q_label_prop"      -> labelPropSql,
     "q_link_predict"    -> linkPredictSql,
+    "q_kcore"           -> kCoreSql,
+    "pipeline_user_segments" -> userSegmentsSql,
     "q_ppr"             -> pprSql,
     "q_hits"            -> hitsSql,
     "q1_agg"            -> q1AggSql,

@@ -218,6 +218,29 @@ class GraphSignalsSpec extends AnyFunSuite {
     assert(out(9L) == 1L)
   }
 
+  test("kCore: pendant chain peels away, the clique core survives with " +
+      "its in-core degrees; lens-reachable") {
+    import graft.engine.Pipeline
+    // K4 {1..4} plus a chain 4-5-6: 2-core = the K4 (chain peels in 2
+    // rounds: 6 first, then 5).
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val out = Graphs.kCore(edges, "a", "b", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree empties the graph
+    assert(Graphs.kCore(edges, "a", "b", k = 9, rounds = 2).count() == 0L)
+    // one round peels only the first fringe layer (6 gone, 5 still in)
+    val r1 = Graphs.kCore(edges, "a", "b", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.contains(5L) && !r1.contains(6L))
+    val lens = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:kcore",
+        |  "arguments":{"a":"a","b":"b","k":"2","rounds":"3"}}]}""".stripMargin)
+      .forward(edges).as[(Long, Long)].collect().toMap
+    assert(lens == out)
+  }
+
   test("linkPrediction: square graph scores both diagonals, never " +
       "existing edges; k cuts deterministically") {
     // square 1-2-3-4-1: non-adjacent pairs are the diagonals (1,3),(2,4),
