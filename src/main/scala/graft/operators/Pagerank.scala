@@ -176,4 +176,76 @@ object Pagerank {
     }
     ranks.select(col("node_id"), col("pr").as("pr_nano"))
   }
+
+  /**
+   * Weighted PageRank (Xing & Ghorbani 2004 shape): identical power
+   * iteration to [[run]] except each out-edge carries a positive integer
+   * weight and a node's rank splits proportionally —
+   * `contribution(src→dst) = (pr · w) DIV Σw(src)` — instead of
+   * uniformly. This is host-rank over link MULTIPLICITY (how often A
+   * links B), and the scored form of the graphs
+   * [[Graphs.cooccurrenceEdges]] emits; on an all-weights-equal graph it
+   * reduces to [[run]] up to DIV rounding order (spec-pinned on
+   * weight-1 inputs).
+   *
+   * Integer contract: weights must be positive and `pr · w` must fit a
+   * long — pr ≤ 10⁹ nano-units, so w ≤ ~10⁹ is safe; duplicate (src,
+   * dst) rows pre-sum their weights. Every division is `DIV`, so the
+   * oracle's CTE unroll replays each iteration bit-exactly.
+   *
+   * 100 TB shape: identical to [[run]] — the weighted edge table is
+   * cached hash(src)-partitioned once, per round one co-located
+   * contribution join + one dst-keyed aggregate over slim (id, rank)
+   * pairs, ranks localCheckpoint'ed with previous blocks freed.
+   */
+  def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int = 5, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 100, "need 1 <= iters <= 100")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percent")
+    val ONE = 1000000000L
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .where(col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id")))
+      .distinct().persist()
+    val outw = e.groupBy(col("src"))
+      .agg(sum(col("w")).as("wsum")).persist()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node_id"), expr(s"CAST($ONE DIV n AS BIGINT)").as("pr"))
+      .localCheckpoint()
+    try {
+      for (_ <- 1 to iters) {
+        val withW = ranks
+          .join(outw, ranks("node_id") === outw("src"), "left")
+        val dang = withW.where(col("wsum").isNull)
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+        val inflow = withW.where(col("wsum").isNotNull)
+          .select(col("node_id"), col("pr"), col("wsum"))
+          .join(e, col("node_id") === e("src"))
+          .select(col("dst"),
+            expr("CAST((pr * w) DIV wsum AS BIGINT)").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val prev = ranks
+        ranks = nodes
+          .join(inflow, nodes("node_id") === inflow("dst"), "left")
+          .crossJoin(broadcast(nRow)).crossJoin(broadcast(dang))
+          .select(nodes("node_id"),
+            expr(s"CAST((${100 - dampingPct} * ($ONE DIV n)) DIV 100 + " +
+              s"($dampingPct * (coalesce(inflow, 0) + (dang DIV n))) DIV 100" +
+              " AS BIGINT)").as("pr"))
+          .localCheckpoint()
+        unpersistCheckpoint(prev)
+      }
+    } finally {
+      e.unpersist(false); nodes.unpersist(false); outw.unpersist(false)
+    }
+    ranks.select(col("node_id"), col("pr").as("pr_nano"))
+  }
 }

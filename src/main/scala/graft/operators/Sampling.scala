@@ -298,4 +298,30 @@ object Sampling {
       .where(bucket < keepMicro)
       .select(df.columns.map(col) :+ col("cell"): _*)
   }
+
+  /**
+   * Key-skew profile — the join/partition-planning audit a 100 TB
+   * deployment runs BEFORE picking a shuffle strategy: the top `k` keys
+   * by frequency plus the global concentration numbers (distinct keys,
+   * total rows, and the Herfindahl numerator Σnᵢ² — hhi/n_rows² is the
+   * collision probability, and a top key's n vs n_rows/#partitions says
+   * whether AQE skew-split or an explicit [[SkewJoin]] salt is needed).
+   * All integer: the Σn² accumulates in DECIMAL(38,0) and is emitted as
+   * BIGINT (exact while Σn² < 2⁶³; the oracle's HUGEINT agrees
+   * digit-for-digit there).
+   *
+   * 100 TB shape: one partial-aggregated count per key (map-side
+   * combine), a 1-row total aggregate broadcast back, and a TakeOrdered
+   * top-k cut — never a global sort, nothing key-shaped moves twice.
+   */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+      sum(col("n").cast("decimal(38,0)") * col("n")).cast("long").as("hhi"))
+    counts.orderBy(col("n").desc, col("key")).limit(k)
+      .crossJoin(broadcast(totals))
+  }
 }

@@ -551,6 +551,26 @@ object BuiltinOps {
         df => graft.operators.Pagerank.run(df, src, dst, iters))
     },
 
+    // Weighted PageRank (Pagerank.runWeighted): rank splits proportional
+    // to positive integer edge weights.
+    "pagerank_weighted" -> { a =>
+      val src = a.strOpt("src").getOrElse("src")
+      val dst = a.strOpt("dst").getOrElse("dst")
+      val w = a.strOpt("w").getOrElse("w")
+      val iters = a.intOpt("iters").getOrElse(5)
+      LensOp.setLevel(s"pagerank_weighted($src->$dst by $w, iters=$iters)",
+        df => graft.operators.Pagerank.runWeighted(df, src, dst, w, iters))
+    },
+
+    // Key-skew profile (Sampling.keySkew): top-k keys + global
+    // concentration numbers, the pre-join partitioning audit.
+    "key_skew" -> { a =>
+      val key = a.str("key")
+      val k = a.intOpt("k").getOrElse(20)
+      LensOp.setLevel(s"key_skew($key, k=$k)",
+        df => graft.operators.Sampling.keySkew(df, key, k))
+    },
+
     // Personalized PageRank (Pagerank.personalized): teleport + dangling
     // mass restricted to a seed-node catalog view — TrustRank-style
     // quality propagation from a vetted seed list.

@@ -62,7 +62,38 @@ object IoQueries extends QueryProvider {
 
   private val textSql = "SELECT text AS value FROM documents"
 
+  /**
+   * Schema evolution across ingest batches: an early batch without a
+   * column and a later batch with it land in the same dataset;
+   * `mergeSchema` reads the union schema and back-fills nulls — the
+   * snapshot-over-snapshot reality of a growing corpus (new metadata
+   * columns appear mid-history and old files must stay readable). The
+   * per-lang aggregate counts total docs and docs carrying the new
+   * column, so the hash certifies both the union schema and the
+   * null back-fill.
+   */
+  private def schemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir(dir, "docs_schema_merge")
+    val docs = T(s, dir, "documents")
+    docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/b1")
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/b1", s"$path/b2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("source")).as("n_with_source"))
+  }
+
+  private val schemaMergeSql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN source END) AS BIGINT)
+      |    AS n_with_source
+      |FROM documents GROUP BY 1""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_schema_merge"   -> (schemaMerge _),
     "io_csv_roundtrip"  -> (csvRoundtrip _),
     "io_json_roundtrip" -> (jsonRoundtrip _),
     "io_orc_roundtrip"  -> (orcRoundtrip _),
@@ -70,6 +101,7 @@ object IoQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "io_schema_merge"   -> schemaMergeSql,
     "io_csv_roundtrip"  -> csvSql,
     "io_json_roundtrip" -> jsonSql,
     "io_orc_roundtrip"  -> orcSql,

@@ -824,6 +824,74 @@ object RelationalQueries extends QueryProvider {
        |FROM h$prIters JOIN a$prIters ON h$prIters.node_id = a$prIters.node_id""".stripMargin
   }
 
+  /** CDC-style compaction: the LATEST event per user by (event time, id)
+   *  — one argmax struct aggregate (map-side partial), the "keep the
+   *  newest version of every key" upsert shape. Ordering uses µs (`ts
+   *  div 1000`) so Spark and the oracle rank identically. */
+  private def latestByKeyQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(struct(expr("ts div 1000").as("ts_us"), col("event_id"),
+        col("event_type"),
+        floor(col("value") * 1000).cast("long").as("value_milli")))
+        .as("last"))
+      .select(col("user_id"), col("last.ts_us").as("ts_us"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        col("last.value_milli").as("value_milli"))
+
+  private val latestByKeySql =
+    """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+      |  CAST(floor(value * 1000) AS BIGINT) AS value_milli
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+      |  FROM events
+      |) WHERE rk = 1""".stripMargin
+
+  /** Integer-exact correlation components between event value (milli)
+   *  and hour-of-day, per type: the covariance and variance NUMERATORS
+   *  (n·Σxy − ΣxΣy etc.) in DECIMAL(38,0) — emit the exact integers,
+   *  not the FP ratio, so both engines agree digit-for-digit; the
+   *  caller divides when it wants Pearson r. One partial-aggregated
+   *  pass, #types output rows. */
+  private def correlationQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("event_type"),
+      floor(col("value") * 1000).cast("decimal(38,0)").as("x"),
+      expr("(ts div 1000 div 3600000000) % 24").cast("decimal(38,0)").as("y"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("long")
+          .as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("long")
+          .as("var_x_num"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("long")
+          .as("var_y_num"))
+  }
+
+  private val correlationSql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 1000) AS HUGEINT) AS x,
+      |    CAST(epoch_us(ts) // 3600000000 % 24 AS HUGEINT) AS y
+      |  FROM events
+      |), s AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
+      |  CAST(n * syy - sy * sy AS BIGINT) AS var_y_num
+      |FROM s""".stripMargin
+
   // User co-activity graph (Graphs.cooccurrenceEdges): users sharing >= 3
   // distinct (event_type, hour) activity cells become a weighted edge —
   // ~12% density at sf0.01, so triangles and communities are both
@@ -933,6 +1001,45 @@ object RelationalQueries extends QueryProvider {
        |FROM pu LEFT JOIN l$lpaIters l ON pu.user_id = l.node_id
        |GROUP BY 1""".stripMargin
 
+  /** Weighted PageRank over the co-activity graph (both directions, edge
+   *  weight = shared activity cells): rank splits ∝ weight per out-edge,
+   *  every iteration integer-exact (Pagerank.runWeighted). */
+  private def pagerankWeightedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = coActivityEdges(s, dir)
+    val adj = e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+    graft.operators.Pagerank.runWeighted(adj, "u", "v", "w", iters = prIters)
+  }
+
+  private val pagerankWeightedSql: String = {
+    val iterCtes = (1 to prIters).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+         |  FROM r$p LEFT JOIN outw ON node_id = src WHERE wsum IS NULL),
+         |f$i AS MATERIALIZED (SELECT we.dst,
+         |    CAST(sum((pr * we.w) // wsum) AS BIGINT) AS inflow
+         |  FROM r$p JOIN outw ON node_id = outw.src
+         |  JOIN we ON we.src = outw.src
+         |  GROUP BY we.dst),
+         |r$i AS MATERIALIZED (SELECT node_id,
+         |  CAST((15 * (1000000000 // n)) // 100
+         |    + (85 * (coalesce(inflow, 0) + (dang // n))) // 100 AS BIGINT) AS pr
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN f$i ON node_id = dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coActSql,
+       |we AS (SELECT u AS src, v AS dst, w FROM e
+       |  UNION ALL SELECT v, u, w FROM e),
+       |nodes AS (SELECT src AS node_id FROM we
+       |  UNION SELECT dst AS node_id FROM we),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+       |  FROM we GROUP BY src),
+       |r0 AS (SELECT node_id, CAST(1000000000 // n AS BIGINT) AS pr
+       |  FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT node_id, pr AS pr_nano FROM r$prIters""".stripMargin
+  }
+
   /** 12-core backbone of the co-activity graph after 3 peel rounds
    *  (Graphs.kCore) — surviving nodes with their in-core degree (k=12
    *  peels ~20% of nodes at sf0.01, so the rounds do real work). */
@@ -985,6 +1092,9 @@ object RelationalQueries extends QueryProvider {
     "q_link_predict"    -> (linkPredictQ _),
     "q_kcore"           -> (kCoreQ _),
     "pipeline_user_segments" -> (userSegmentsQ _),
+    "q_pagerank_weighted" -> (pagerankWeightedQ _),
+    "q_latest_by_key"   -> (latestByKeyQ _),
+    "q_correlation"     -> (correlationQ _),
     "q_ppr"             -> (pprQ _),
     "q_hits"            -> (hitsQ _),
     "q1_agg"            -> (q1Agg _),
@@ -1027,6 +1137,9 @@ object RelationalQueries extends QueryProvider {
     "q_link_predict"    -> linkPredictSql,
     "q_kcore"           -> kCoreSql,
     "pipeline_user_segments" -> userSegmentsSql,
+    "q_pagerank_weighted" -> pagerankWeightedSql,
+    "q_latest_by_key"   -> latestByKeySql,
+    "q_correlation"     -> correlationSql,
     "q_ppr"             -> pprSql,
     "q_hits"            -> hitsSql,
     "q1_agg"            -> q1AggSql,

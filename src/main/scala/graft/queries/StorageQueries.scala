@@ -192,8 +192,29 @@ object StorageQueries extends QueryProvider {
       |  CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM documents WHERE lang = 'de' GROUP BY source""".stripMargin
 
+  /** Key-skew profile of the event log's user_id — top-20 keys + global
+   *  concentration (Sampling.keySkew), the pre-join audit that decides
+   *  between AQE skew-split and an explicit salt. */
+  private def keySkewQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.keySkew(T(s, dir, "events"), "user_id", k = 20)
+
+  private val keySkewSql =
+    """WITH c AS (
+      |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(n) AS BIGINT) AS n_rows,
+      |    CAST(sum(n::HUGEINT * n) AS BIGINT) AS hhi
+      |  FROM c
+      |)
+      |SELECT key, n, n_keys, n_rows, hhi
+      |FROM (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20)
+      |CROSS JOIN t""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_partitioned_scan" -> (partitionedScan _),
+    "q_key_skew"         -> (keySkewQ _),
     "io_bucketed_join"   -> (bucketedJoin _),
     "q_sample_per_group" -> (samplePerGroup _),
     "q_split_assign"     -> (splitAssign _),
@@ -203,6 +224,7 @@ object StorageQueries extends QueryProvider {
 
   override val oracles: Map[String, String] = Map(
     "io_partitioned_scan" -> partitionedScanSql,
+    "q_key_skew"         -> keySkewSql,
     "io_bucketed_join"   -> bucketedJoinSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_split_assign"     -> splitAssignSql,

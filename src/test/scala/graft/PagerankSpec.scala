@@ -64,4 +64,28 @@ class PagerankSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
     assert(ranks(edges) == ranks(edges))
   }
+
+  private def wranks(edges: Seq[(Long, Long, Long)],
+      iters: Int = 5): Map[Long, Long] =
+    Pagerank.runWeighted(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+      iters).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("runWeighted: all-weights-1 equals the unweighted run exactly") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(wranks(edges.map(e => (e._1, e._2, 1L))) == ranks(edges))
+  }
+
+  test("runWeighted: rank follows the heavy edge; duplicate edges pre-sum") {
+    // 1 splits 9:1 between 2 and 3 -> node 2 outranks node 3.
+    val w = wranks(Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)))
+    assert(w(2L) > w(3L))
+    // (1,2,4)+(1,2,5) pre-sums to (1,2,9)
+    val dup = wranks(Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (3L, 1L, 1L)))
+    assert(dup == w)
+    // non-positive weights are dropped, not divided by
+    val zed = wranks(Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L),
+      (3L, 1L, 1L), (1L, 4L, 0L)))
+    assert(zed == w && !zed.contains(4L)) // the w=0 edge (and node 4) vanish
+  }
 }

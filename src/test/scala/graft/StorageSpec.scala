@@ -41,6 +41,19 @@ class StorageSpec extends AnyFunSuite {
     assert(s1.groupBy(_._1).forall(_._2.size == 7))
   }
 
+  test("keySkew: exact top-k, totals, and Herfindahl numerator") {
+    import spark.implicits._
+    // key 7 appears 5x, key 3 appears 3x, keys 1,2 once each -> 10 rows.
+    val df = (Seq.fill(5)(7L) ++ Seq.fill(3)(3L) ++ Seq(1L, 2L)).toDF("k")
+    val rows = graft.operators.Sampling.keySkew(df, "k", k = 2).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 5L), (3L, 3L)))
+    val r = rows.head
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("hhi") == 25L + 9L + 1L + 1L)
+  }
+
   test("partitioned layout: the lang slice reads via PartitionFilters, " +
       "not a data filter over every file") {
     val dir = "/root/testdata/sf0.001"
