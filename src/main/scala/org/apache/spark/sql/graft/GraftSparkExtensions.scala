@@ -19,10 +19,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
  * SQL user — reach the codegen'd hot paths directly.
  */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => NativeRewrites)
+  }
 }
 
 object GraftFunctions {
@@ -54,9 +56,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
 
   /** Register into a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    registerOptimizations(spark)
+  }
+
+  /** Add [[NativeRewrites]] to a live session (idempotent) — the
+   *  already-running-session analogue of `injectOptimizerRule`. */
+  def registerOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(NativeRewrites))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NativeRewrites
 }

@@ -47,4 +47,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(GraftFunctions.all.map(_._1).toSet ==
       Set("simhash64", "minhash_sig", "sorted_long_intersect_size", "cosine_sim"))
   }
+
+  test("NativeRewrites: the HOF absmax spelling optimizes to abs_max_double " +
+      "and agrees on values; double arrays are left alone") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // RDD-backed (a literal LocalRelation constant-folds before the
+    // rewrite is observable).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def floats(vs: Seq[Seq[Option[Float]]]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vs.map(v => Row(v.map(_.getOrElse(null).asInstanceOf[Any])))),
+      StructType(Seq(StructField("v",
+        ArrayType(FloatType, containsNull = true)))))
+    val hof = floats(Seq(Seq(Some(1.5f), Some(-3.25f), Some(2.0f)),
+        Seq(Some(-0.5f))))
+      .selectExpr("array_max(transform(v, x -> abs(CAST(x AS double)))) AS m")
+    assert(hof.queryExecution.optimizedPlan.toString.contains("abs_max_double"),
+      "float-array absmax HOF must rewrite to the native expression")
+    assert(hof.as[Double].collect().toSet == Set(3.25, 0.5))
+    // NaN-greatest and all-null edges survive the rewrite
+    val edge = floats(Seq(Seq(Some(1.0f), None, Some(Float.NaN)), Seq(None)))
+      .selectExpr("array_max(transform(v, x -> abs(CAST(x AS double)))) AS m")
+    val vals = edge.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(vals.count(_.exists(_.isNaN)) == 1 && vals.count(_.isEmpty) == 1)
+    // double input: types don't line up with AbsMaxDouble -> untouched
+    val dbl = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(Seq(1.0, -9.0)))),
+        StructType(Seq(StructField("v", ArrayType(DoubleType)))))
+      .selectExpr("array_max(transform(v, x -> abs(CAST(x AS double)))) AS m")
+    assert(!dbl.queryExecution.optimizedPlan.toString.contains("abs_max_double"))
+    assert(dbl.as[Double].head() == 9.0)
+  }
 }
