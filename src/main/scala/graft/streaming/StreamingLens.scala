@@ -455,6 +455,51 @@ object StreamingLens {
   }
 
   /**
+   * Streaming latest-by-key — the CDC/upsert ingest face of the batch
+   * `q_latest_by_key` compaction: per key, keep the maximum
+   * `(event-time µs, id)` version seen so far and EMIT a row whenever a
+   * micro-batch advances it (update semantics: downstream writes the
+   * emitted row over the key's previous value). Late rows older than the
+   * retained version are absorbed silently — exactly what "keep the
+   * newest version" means.
+   *
+   * State: one `(ts_us, id, payload)` tuple per key — bounded by key
+   * cardinality, not event volume (the same budget as a compacted
+   * table). After any prefix of the log, emitted-last-per-key equals the
+   * batch argmax over that prefix (spec-replayed across micro-batch
+   * splits); arrival order never changes the outcome because max is
+   * order-free.
+   */
+  def streamingLatestByKey(
+      stream: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      idCol: String,
+      payloadCol: String): DataFrame = {
+    import stream.sparkSession.implicits._
+    val slim = stream.select(
+        col(keyCol).cast("long"),
+        col(tsUsCol).cast("long"),
+        col(idCol).cast("long"),
+        col(payloadCol).cast("string"))
+      .as[(Long, Long, Long, String)]
+    slim.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+            state: GroupState[(Long, Long, String)]) =>
+          val best0 = state.getOption.getOrElse((Long.MinValue, Long.MinValue, ""))
+          val incoming = rows.map(r => (r._2, r._3, r._4))
+          val best = (Iterator(best0) ++ incoming).maxBy(t => (t._1, t._2))
+          if (best != best0) {
+            state.update(best)
+            Iterator((key, best._1, best._2, best._3))
+          } else Iterator.empty
+      }
+      .toDF(keyCol, "ts_us", idCol, payloadCol)
+  }
+
+  /**
    * Watermarked stream-stream interval join — the ATTRIBUTION shape
    * (impression ⨝ conversion, click ⨝ purchase) joining two live streams
    * on a key with the right event inside `[left.ts, left.ts + horizon]`.

@@ -447,6 +447,38 @@ class StreamingLensSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming latest-by-key: emitted-last == batch argmax on a " +
+      "split, out-of-order replayed log; stale rows emit nothing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // key 1: versions at 10, 30 (update), then a LATE 20 (absorbed);
+    // key 2: one version.
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val out = StreamingLens.streamingLatestByKey(
+      in.toDF.toDF("user_id", "ts_us", "event_id", "payload"),
+      "user_id", "ts_us", "event_id", "payload")
+    val q = out.writeStream.format("memory").queryName("s_latest")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, 10L, 100L, "v1"), (2L, 50L, 200L, "w1")))
+      q.processAllAvailable()
+      in.addData(Seq((1L, 30L, 101L, "v2")))
+      q.processAllAvailable()
+      in.addData(Seq((1L, 20L, 102L, "late"))) // older than retained 30
+      q.processAllAvailable()
+      val emitted = spark.sql("select * from s_latest")
+        .as[(Long, Long, Long, String)].collect()
+      // three emissions total: two initial + one update, no stale emit
+      assert(emitted.length == 3)
+      val last = emitted.groupBy(_._1).view
+        .mapValues(_.maxBy(r => (r._2, r._3))).toMap
+      val batchLast = Seq((1L, 10L, 100L, "v1"), (2L, 50L, 200L, "w1"),
+          (1L, 30L, 101L, "v2"), (1L, 20L, 102L, "late"))
+        .groupBy(_._1).view.mapValues(_.maxBy(r => (r._2, r._3))).toMap
+      assert(last == batchLast)
+    } finally q.stop()
+  }
+
   test("streaming EWMA matches the batch fold on an in-order replayed log") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
