@@ -116,6 +116,66 @@ object SessionQueries extends QueryProvider {
       |UNION ALL
       |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM s3""".stripMargin
 
+  /**
+   * Composition flagship: funnel stage times → exact per-leg latency
+   * percentiles. For every fully-converted user (view→click→purchase
+   * with strictly increasing first touches), the three leg latencies in
+   * µs feed [[graft.operators.Anomaly.quantileReport]]'s order-statistic
+   * machinery — the "how long does conversion take" report with P50/P90/
+   * P99 that are EXACT, not sketch estimates. The oracle re-derives the
+   * funnel, the legs, and every rank pick. 100 TB shape: the funnel
+   * reduces the log to one row per converted user before anything else;
+   * the quantile pass ranks 3×|converted| slim rows.
+   */
+  private def funnelLatencyQ(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.operators.Funnel.userStages(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+    def tcol(label: String, as: String) =
+      st.where(col("stage") === label)
+        .select(col("user_id"), col("first_us").as(as))
+    val j = tcol("1_view", "t1").join(tcol("2_click", "t2"), "user_id")
+      .join(tcol("3_purchase", "t3"), "user_id")
+    val legs = j.select(col("user_id"), explode(array(
+        struct(lit("click_purchase").as("leg"), (col("t3") - col("t2")).as("v")),
+        struct(lit("view_click").as("leg"), (col("t2") - col("t1")).as("v")),
+        struct(lit("view_purchase").as("leg"), (col("t3") - col("t1")).as("v"))))
+        .as("l"))
+      .select(col("user_id"), col("l.leg").as("leg"), col("l.v").as("v"))
+    graft.operators.Anomaly.quantileReport(legs, "v", "user_id", "leg",
+      ppms = Seq(500000L, 900000L, 990000L), scale = 1L)
+  }
+
+  private val funnelLatencySql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(us) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id
+      |), j AS (
+      |  SELECT s1.user_id, t1, t2, t3
+      |  FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+      |), legs AS (
+      |  SELECT user_id, 'view_click' AS leg, t2 - t1 AS v FROM j
+      |  UNION ALL SELECT user_id, 'click_purchase', t3 - t2 FROM j
+      |  UNION ALL SELECT user_id, 'view_purchase', t3 - t1 FROM j
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY leg ORDER BY v, user_id) AS r,
+      |    count(*) OVER (PARTITION BY leg) AS n
+      |  FROM legs
+      |)
+      |SELECT leg,
+      |  min(CASE WHEN r = (n - 1) * 500000 // 1000000 + 1 THEN v END) AS p50,
+      |  min(CASE WHEN r = (n - 1) * 900000 // 1000000 + 1 THEN v END) AS p90,
+      |  min(CASE WHEN r = (n - 1) * 990000 // 1000000 + 1 THEN v END) AS p99
+      |FROM r GROUP BY 1""".stripMargin
+
   // Conversion-window funnel: stage i+1 must land within 24h of stage i's
   // first touch — pure integer µs arithmetic on both engines, so the
   // windowed variant is exactly DuckDB-checkable too.
@@ -202,7 +262,8 @@ object SessionQueries extends QueryProvider {
     "q_funnel"          -> (funnel _),
     "q_funnel_windowed" -> (funnelWindowed _),
     "q_funnel_users"    -> (funnelUsers _),
-    "q_retention"       -> (retention _)
+    "q_retention"       -> (retention _),
+    "pipeline_funnel_latency" -> (funnelLatencyQ _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -212,6 +273,7 @@ object SessionQueries extends QueryProvider {
     "q_funnel"          -> funnelSql,
     "q_funnel_windowed" -> funnelWindowedSql,
     "q_funnel_users"    -> funnelUsersSql,
-    "q_retention"       -> retentionSql
+    "q_retention"       -> retentionSql,
+    "pipeline_funnel_latency" -> funnelLatencySql
   )
 }

@@ -369,6 +369,29 @@ object TextQueries extends QueryProvider {
     graft.operators.Packing.packManifest(T(s, dir, "documents"),
       "text", "doc_id", groupCol = "source", budget = 512)
 
+  /** Corpus card — the one-row dataset-datasheet summary (docs, tokens,
+   *  chars, languages, sources, distinct texts): the numbers a data
+   *  governance review asks for first, in one partial-aggregated pass.
+   *  `n_docs − n_distinct_texts` is the exact-dup volume. */
+  private def corpusCardQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.wsTokens(col("text"))).cast("long"))
+        .as("n_ws_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("text")).as("n_distinct_texts"))
+
+  private val corpusCardSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+      |FROM documents""".stripMargin
+
   /** TextRank corpus keywords: adjacent-token word graph → 5 integer
    *  PageRank iterations → top-50 by (rank desc, token). The oracle
    *  replays vocab ids, edges, and every iteration (MATERIALIZED per
@@ -1635,6 +1658,7 @@ object TextQueries extends QueryProvider {
     "q_pack_manifest"  -> (packManifest _),
     "q_pad_batches"    -> (padBatchesQ _),
     "text_textrank"    -> (textrankQ _),
+    "q_corpus_card"    -> (corpusCardQ _),
     "q_corpus_report"  -> (corpusReport _),
     "text_tokens"      -> (tokens _),
     "text_normalize"   -> (normalize _),
@@ -1728,6 +1752,7 @@ object TextQueries extends QueryProvider {
     "q_pack_manifest"  -> packManifestSql,
     "q_pad_batches"    -> padBatchesSql,
     "text_textrank"    -> textrankSql,
+    "q_corpus_card"    -> corpusCardSql,
     "q_corpus_report"  -> corpusReportSql,
     "text_tokens"      -> tokensSql,
     "text_normalize"   -> normalizeSql,
