@@ -205,38 +205,6 @@ object Anomaly {
    * live in guest modules (host-go/engine/tests/append_lens_test.go);
    * this is the §2.6 monitoring-family addition.
    */
-  /**
-   * Exact per-group multi-quantile report — one row per group with the
-   * EXACT order-statistic value at each requested ppm quantile (the
-   * P50/P95/P99 latency-report shape, and the exact sibling of the
-   * certified approx-quantile sketch: run this on the groups you alert
-   * on, the sketch on everything). Column `p<ppm/10⁴>` per quantile.
-   *
-   * Same integer-exact rank machinery as [[winsorize]] (one
-   * [[GlobalSequence]] pass, per-group ranks by broadcast offset,
-   * quantile INDEX `(n−1)·ppm div 10⁶ + 1`); the report itself is a
-   * single #groups-row aggregate. Rows shuffle once, in the range
-   * exchange.
-   */
-  def quantileReport(df: DataFrame, valueCol: String, idCol: String,
-      groupCol: String, ppms: Seq[Long], scale: Long = 1000L): DataFrame = {
-    require(ppms.nonEmpty && ppms.forall(p => p >= 0 && p <= 1000000L),
-      "need ppms in [0, 1e6]")
-    val q = df.select(col(idCol), col(groupCol),
-      floor(col(valueCol).cast("double") * scale).cast("long").as("v"))
-    val ranked = GlobalSequence.withSequentialId(q,
-      struct(col(groupCol), col("v"), col(idCol)), "rn")
-    val stats = ranked.groupBy(col(groupCol))
-      .agg(min(col("rn")).as("rn0"), count(lit(1)).as("n"))
-    val withR = ranked.join(broadcast(stats), Seq(groupCol))
-      .withColumn("r", col("rn") - col("rn0") + 1)
-    val picks = ppms.map { p =>
-      min(when(col("r") === expr(s"(n - 1) * $p div 1000000 + 1"), col("v")))
-        .as(s"p${p / 10000}")
-    }
-    withR.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
-  }
-
   def winsorize(df: DataFrame, valueCol: String, idCol: String,
       groupCol: String, pLoPpm: Long = 10000L, pHiPpm: Long = 990000L,
       scale: Long = 1000L): DataFrame = {
@@ -260,5 +228,42 @@ object Anomaly {
     withR.join(broadcast(bounds), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("v"),
         greatest(least(col("v"), col("hi_v")), col("lo_v")).as("v_clipped"))
+  }
+
+  /**
+   * Exact per-group multi-quantile report — one row per group with the
+   * EXACT order-statistic value at each requested ppm quantile (the
+   * P50/P95/P99 latency-report shape, and the exact sibling of the
+   * certified approx-quantile sketch: run this on the groups you alert
+   * on, the sketch on everything). Column `p<ppm/10⁴>` for whole-percent
+   * quantiles, `p<ppm>ppm` otherwise (so 990000 → `p99` and 999000 →
+   * `p999000ppm` never collide); duplicate labels are rejected up front.
+   *
+   * Same integer-exact rank machinery as [[winsorize]] (one
+   * [[GlobalSequence]] pass, per-group ranks by broadcast offset,
+   * quantile INDEX `(n−1)·ppm div 10⁶ + 1`); the report itself is a
+   * single #groups-row aggregate. Rows shuffle once, in the range
+   * exchange.
+   */
+  def quantileReport(df: DataFrame, valueCol: String, idCol: String,
+      groupCol: String, ppms: Seq[Long], scale: Long = 1000L): DataFrame = {
+    require(ppms.nonEmpty && ppms.forall(p => p >= 0 && p <= 1000000L),
+      "need ppms in [0, 1e6]")
+    def label(p: Long) = if (p % 10000L == 0L) s"p${p / 10000}" else s"p${p}ppm"
+    require(ppms.map(label).distinct.size == ppms.size,
+      s"duplicate quantile labels in ${ppms.mkString(",")}")
+    val q = df.select(col(idCol), col(groupCol),
+      floor(col(valueCol).cast("double") * scale).cast("long").as("v"))
+    val ranked = GlobalSequence.withSequentialId(q,
+      struct(col(groupCol), col("v"), col(idCol)), "rn")
+    val stats = ranked.groupBy(col(groupCol))
+      .agg(min(col("rn")).as("rn0"), count(lit(1)).as("n"))
+    val withR = ranked.join(broadcast(stats), Seq(groupCol))
+      .withColumn("r", col("rn") - col("rn0") + 1)
+    val picks = ppms.map { p =>
+      min(when(col("r") === expr(s"(n - 1) * $p div 1000000 + 1"), col("v")))
+        .as(label(p))
+    }
+    withR.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
   }
 }

@@ -36,6 +36,16 @@ object Graphs {
       case _ =>
     }
 
+  /** Canonical undirected simple-graph normalization shared by every
+   *  operator here: (min, max) endpoint order, self-loops dropped,
+   *  duplicate/reversed rows collapsed. One definition so the ops cannot
+   *  drift on graph semantics. */
+  private def canonicalEdges(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    edges.select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+
   /**
    * Co-occurrence projection of a bipartite (entity, cell) relation:
    * entities sharing at least `minWeight` distinct cells become an
@@ -87,10 +97,7 @@ object Graphs {
    * moves; the degree table is |V| rows.
    */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = edges.select(
-        least(col(aCol), col(bCol)).cast("long").as("u"),
-        greatest(col(aCol), col(bCol)).cast("long").as("v"))
-      .where(col("u") =!= col("v")).distinct()
+    val und = canonicalEdges(edges, aCol, bCol)
     val deg = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -138,12 +145,7 @@ object Graphs {
       "need k >= 1, 1 <= rounds <= 50")
     def adjacency(e: DataFrame): DataFrame =
       e.select(col("u").as("x")).union(e.select(col("v").as("x")))
-    var e = edges.select(col(uCol).cast("long").as("u"),
-        col(vCol).cast("long").as("v"))
-      .where(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+    var e = canonicalEdges(edges, uCol, vCol).localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = adjacency(e).groupBy(col("x"))
         .agg(count(lit(1)).as("d")).where(col("d") >= k)
@@ -180,10 +182,7 @@ object Graphs {
    */
   def linkPrediction(edges: DataFrame, uCol: String, vCol: String,
       k: Int = 100): DataFrame = {
-    val und = edges.select(
-        least(col(uCol), col(vCol)).cast("long").as("u"),
-        greatest(col(uCol), col(vCol)).cast("long").as("v"))
-      .where(col("u") =!= col("v")).distinct()
+    val und = canonicalEdges(edges, uCol, vCol)
     val adj = und.select(col("u").as("x"), col("v").as("n"))
       .union(und.select(col("v").as("x"), col("u").as("n")))
     val a1 = adj.select(col("n").as("c"), col("x").as("a"))
@@ -222,8 +221,16 @@ object Graphs {
   def labelPropagation(edges: DataFrame, uCol: String, vCol: String,
       wCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 50, "need 1 <= iters <= 50")
-    val und = edges.select(col(uCol).cast("long").as("u"),
-      col(vCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
+    // Same graph normalization as the siblings, weight-aware: canonical
+    // endpoint order, self-loops out (a node must not vote for its own
+    // label), non-positive weights out, duplicate/reversed rows merged
+    // by SUMMING their weights.
+    val und = edges.select(
+        least(col(uCol), col(vCol)).cast("long").as("u"),
+        greatest(col(uCol), col(vCol)).cast("long").as("v"),
+        col(wCol).cast("long").as("w"))
+      .where(col("u") =!= col("v") && col("w") > 0)
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
     val adj = und
       .union(und.select(col("v").as("u"), col("u").as("v"), col("w")))
       .repartition(col("v")).persist()

@@ -211,8 +211,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
-  /** All corpus rows within `threshold` cosine of any query — set-valued
-   *  output (ids only), the FP-robust form used for oracle checks. */
   /**
    * Signed-random-projection (JL / Achlioptas ±1) dimensionality cut to
    * `dOut` integer components, long format (id, j, comp) — see
@@ -233,6 +231,8 @@ object Similarity {
           .project(col(vecCol), dOut, scale)).as(Seq("j", "comp")))
       .select(col(idCol), col("j").cast("long").as("j"), col("comp"))
 
+  /** All corpus rows within `threshold` cosine of any query — set-valued
+   *  output (ids only), the FP-robust form used for oracle checks. */
   def thresholdNeighbors(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, threshold: Double): DataFrame = {

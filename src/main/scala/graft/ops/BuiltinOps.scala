@@ -598,8 +598,8 @@ object BuiltinOps {
     // Exact per-node triangle counts (Graphs.triangleCounts): degree-
     // oriented wedge closure over an undirected edge stream.
     "triangles" -> { a =>
-      val u = a.strOpt("a").getOrElse("u")
-      val v = a.strOpt("b").getOrElse("v")
+      val u = a.strOpt("a").orElse(a.strOpt("u")).getOrElse("u")
+      val v = a.strOpt("b").orElse(a.strOpt("v")).getOrElse("v")
       LensOp.setLevel(s"triangles($u-$v)",
         df => graft.operators.Graphs.triangleCounts(df, u, v))
     },
@@ -607,8 +607,8 @@ object BuiltinOps {
     // k-core peeling (Graphs.kCore): dense-backbone membership after a
     // fixed number of minimum-degree peel rounds.
     "kcore" -> { a =>
-      val u = a.strOpt("a").getOrElse("u")
-      val v = a.strOpt("b").getOrElse("v")
+      val u = a.strOpt("a").orElse(a.strOpt("u")).getOrElse("u")
+      val v = a.strOpt("b").orElse(a.strOpt("v")).getOrElse("v")
       val k = a.intOpt("k").getOrElse(3)
       val rounds = a.intOpt("rounds").getOrElse(5)
       LensOp.setLevel(s"kcore($u-$v, k=$k, rounds=$rounds)",
@@ -618,8 +618,8 @@ object BuiltinOps {
     // Link prediction (Graphs.linkPrediction): top-k non-adjacent pairs
     // by (common neighbors, preferential attachment).
     "link_predict" -> { a =>
-      val u = a.strOpt("a").getOrElse("u")
-      val v = a.strOpt("b").getOrElse("v")
+      val u = a.strOpt("a").orElse(a.strOpt("u")).getOrElse("u")
+      val v = a.strOpt("b").orElse(a.strOpt("v")).getOrElse("v")
       val k = a.intOpt("k").getOrElse(100)
       LensOp.setLevel(s"link_predict($u-$v, k=$k)",
         df => graft.operators.Graphs.linkPrediction(df, u, v, k))
@@ -628,8 +628,9 @@ object BuiltinOps {
     // Deterministic sync label propagation (Graphs.labelPropagation):
     // weighted-majority communities with fixed rounds + tie-break.
     "label_prop" -> { a =>
-      val u = a.strOpt("u").getOrElse("u")
-      val v = a.strOpt("v").getOrElse("v")
+      // endpoint args accept a/b (the graph-family convention) or u/v
+      val u = a.strOpt("a").orElse(a.strOpt("u")).getOrElse("u")
+      val v = a.strOpt("b").orElse(a.strOpt("v")).getOrElse("v")
       val w = a.strOpt("w").getOrElse("w")
       val iters = a.intOpt("iters").getOrElse(3)
       LensOp.setLevel(s"label_prop($u-$v, iters=$iters)",

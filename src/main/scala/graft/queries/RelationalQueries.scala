@@ -903,10 +903,14 @@ object RelationalQueries extends QueryProvider {
         expr("ts div 1000 div 3600000000").as("hr")),
       "user_id", Seq("event_type", "hr"), minWeight = 3L)
 
+  // d and e are AS MATERIALIZED: DuckDB 1.0 inlines CTEs per reference
+  // (CLAUDE.md q_hits pitfall), and the co-occurrence self-join in e is
+  // the heaviest part of every graph oracle — the LPA/PageRank unrolls
+  // reference it once per round.
   private val coActSql =
-    """d AS (SELECT DISTINCT user_id, event_type,
+    """d AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
       |    epoch_us(ts) // 3600000000 AS hr FROM events),
-      |e AS (SELECT a.user_id AS u, b.user_id AS v,
+      |e AS MATERIALIZED (SELECT a.user_id AS u, b.user_id AS v,
       |    CAST(count(*) AS BIGINT) AS w
       |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.hr = b.hr
       |    AND a.user_id < b.user_id
@@ -949,7 +953,8 @@ object RelationalQueries extends QueryProvider {
          |  FROM c$i) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
     s"""$coActSql,
-       |adj AS (SELECT u, v, w FROM e UNION ALL SELECT v, u, w FROM e),
+       |adj AS MATERIALIZED (SELECT u, v, w FROM e
+       |  UNION ALL SELECT v, u, w FROM e),
        |l0 AS (SELECT node_id, node_id AS label FROM
        |  (SELECT u AS node_id FROM e UNION SELECT v FROM e)),
        |$iterCtes""".stripMargin
@@ -1027,7 +1032,7 @@ object RelationalQueries extends QueryProvider {
          |  LEFT JOIN f$i ON node_id = dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH $coActSql,
-       |we AS (SELECT u AS src, v AS dst, w FROM e
+       |we AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM e
        |  UNION ALL SELECT v, u, w FROM e),
        |nodes AS (SELECT src AS node_id FROM we
        |  UNION SELECT dst AS node_id FROM we),

@@ -477,11 +477,16 @@ object StreamingLens {
       idCol: String,
       payloadCol: String): DataFrame = {
     import stream.sparkSession.implicits._
+    // A malformed row with a null key/ts/id must not kill the query (the
+    // primitive-Long encoder throws on null) — drop it, matching the
+    // batch argmax which such a row could never win anyway.
     val slim = stream.select(
         col(keyCol).cast("long"),
         col(tsUsCol).cast("long"),
         col(idCol).cast("long"),
         col(payloadCol).cast("string"))
+      .where(col(keyCol).isNotNull && col(tsUsCol).isNotNull &&
+        col(idCol).isNotNull)
       .as[(Long, Long, Long, String)]
     slim.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, String), (Long, Long, Long, String)](

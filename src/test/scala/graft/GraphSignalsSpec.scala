@@ -210,6 +210,26 @@ class GraphSignalsSpec extends AnyFunSuite {
     assert(out(1L) != out(10L))
   }
 
+  test("labelPropagation: input normalization — self-loops cannot vote, " +
+      "reversed duplicates merge by summing") {
+    // self-loop (3,3,10) must not let node 3 vote for (and keep) its own
+    // label against the real neighbor — without normalization the doubled
+    // weight-20 self-vote beats the weight-4 edge and 3 stays labeled 3.
+    val loop = Seq((1L, 2L, 5L), (2L, 3L, 4L), (3L, 3L, 10L))
+      .toDF("u", "v", "w")
+    val out = Graphs.labelPropagation(loop, "u", "v", "w", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out(3L) != 3L)
+    // (1,9,1)+(9,1,1) must behave as a single weight-2 edge: with a
+    // competing (2,9,2) edge the tie-break goes to label 1 only if the
+    // reversed pair summed.
+    val dup = Seq((1L, 9L, 1L), (9L, 1L, 1L), (2L, 9L, 2L))
+      .toDF("u", "v", "w")
+    val d = Graphs.labelPropagation(dup, "u", "v", "w", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d(9L) == 1L) // 2 vs 2 tie -> smallest label; unsummed would be 2
+  }
+
   test("labelPropagation: deterministic tie-break adopts the smallest label") {
     // node 9 sees labels 1 and 2 at equal weight -> picks 1.
     val edges = Seq((1L, 9L, 2L), (2L, 9L, 2L)).toDF("u", "v", "w")
