@@ -162,6 +162,49 @@ object Graphs {
   }
 
   /**
+   * Multi-source BFS — hop distance from a seed set, bounded at
+   * `maxHops`: the reachability/influence-radius primitive ("how far is
+   * every user from a converter", "which hosts sit within 2 links of a
+   * trusted seed"), and the hard-threshold sibling of
+   * [[Pagerank.personalized]]'s soft proximity. Output: (node_id, dist)
+   * for seeds (0) and every node reached within the budget; unreached
+   * nodes are absent. Deterministic: distance is a pure min over the
+   * edge set.
+   *
+   * 100 TB shape: frontier expansion — per hop one join of the
+   * adjacency against the CURRENT distance table, an anti-join against
+   * everything already labeled, and a union; only (id, dist) pairs
+   * shuffle and each hop is localCheckpoint'ed with previous blocks
+   * freed. Work per hop is proportional to edges incident to the
+   * frontier, the textbook BSP/Pregel BFS cost.
+   */
+  def bfsDistances(edges: DataFrame, uCol: String, vCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50, "need 1 <= maxHops <= 50")
+    val und = canonicalEdges(edges, uCol, vCol)
+    val adj = und
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")).persist()
+    var dist = seeds.select(col(seedCol).cast("long").as("node_id"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    try {
+      for (h <- 1 to maxHops) {
+        val reached = adj.join(dist.where(col("dist") === (h - 1)),
+            adj("u") === col("node_id"))
+          .select(adj("v").as("node_id")).distinct()
+          .join(dist, Seq("node_id"), "left_anti")
+          .withColumn("dist", lit(h.toLong))
+        val prev = dist
+        dist = dist.union(reached).localCheckpoint()
+        unpersistCheckpoint(prev)
+      }
+    } finally {
+      adj.unpersist(false)
+    }
+    dist
+  }
+
+  /**
    * Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
    * 2003): for every NON-adjacent pair with at least one common
    * neighbor, emit the common-neighbor count and the

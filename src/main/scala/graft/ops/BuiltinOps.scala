@@ -615,6 +615,19 @@ object BuiltinOps {
         df => graft.operators.Graphs.kCore(df, u, v, k, rounds))
     },
 
+    // Multi-source BFS (Graphs.bfsDistances): hop distance from a
+    // seed-node catalog view, bounded at max_hops.
+    "bfs" -> { a =>
+      val u = a.strOpt("a").orElse(a.strOpt("u")).getOrElse("u")
+      val v = a.strOpt("b").orElse(a.strOpt("v")).getOrElse("v")
+      val seedTable = a.str("seed_table")
+      val seedCol = a.strOpt("seed_col").getOrElse("node_id")
+      val hops = a.intOpt("max_hops").getOrElse(3)
+      LensOp.setLevel(s"bfs($u-$v, seeds=$seedTable, hops=$hops)",
+        df => graft.operators.Graphs.bfsDistances(df, u, v,
+          df.sparkSession.table(seedTable), seedCol, hops))
+    },
+
     // Link prediction (Graphs.linkPrediction): top-k non-adjacent pairs
     // by (common neighbors, preferential attachment).
     "link_predict" -> { a =>

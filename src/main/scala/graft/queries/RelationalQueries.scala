@@ -1071,6 +1071,36 @@ object RelationalQueries extends QueryProvider {
        |GROUP BY x""".stripMargin
   }
 
+  /** Hop distance from the purchaser seed set within 3 hops of the
+   *  co-activity graph (Graphs.bfsDistances) — the influence-radius
+   *  report; the oracle unrolls the frontier expansion. */
+  private val bfsHops = 3
+  private def bfsQ(s: SparkSession, dir: String): DataFrame = {
+    val seeds = T(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    graft.operators.Graphs.bfsDistances(coActivityEdges(s, dir), "u", "v",
+      seeds, "user_id", maxHops = bfsHops)
+  }
+
+  private val bfsSql: String = {
+    val iterCtes = (1 to bfsHops).map { i =>
+      val p = i - 1
+      s"""f$i AS MATERIALIZED (SELECT DISTINCT adj.v AS node_id
+         |  FROM adj JOIN d$p ON adj.u = d$p.node_id WHERE d$p.dist = ${p}),
+         |d$i AS MATERIALIZED (SELECT node_id, dist FROM d$p
+         |  UNION ALL SELECT f$i.node_id, CAST($i AS BIGINT) AS dist
+         |  FROM f$i LEFT JOIN d$p ON f$i.node_id = d$p.node_id
+         |  WHERE d$p.node_id IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coActSql,
+       |adj AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |d0 AS (SELECT DISTINCT user_id AS node_id, CAST(0 AS BIGINT) AS dist
+       |  FROM events WHERE event_type = 'purchase'),
+       |$iterCtes
+       |SELECT node_id, dist FROM d$bfsHops""".stripMargin
+  }
+
   /** Top-100 non-adjacent pairs by (common neighbors, preferential
    *  attachment) over the co-activity graph (Graphs.linkPrediction). */
   private def linkPredictQ(s: SparkSession, dir: String): DataFrame =
@@ -1096,6 +1126,7 @@ object RelationalQueries extends QueryProvider {
     "q_label_prop"      -> (labelPropQ _),
     "q_link_predict"    -> (linkPredictQ _),
     "q_kcore"           -> (kCoreQ _),
+    "q_bfs_distance"    -> (bfsQ _),
     "pipeline_user_segments" -> (userSegmentsQ _),
     "q_pagerank_weighted" -> (pagerankWeightedQ _),
     "q_latest_by_key"   -> (latestByKeyQ _),
@@ -1141,6 +1172,7 @@ object RelationalQueries extends QueryProvider {
     "q_label_prop"      -> labelPropSql,
     "q_link_predict"    -> linkPredictSql,
     "q_kcore"           -> kCoreSql,
+    "q_bfs_distance"    -> bfsSql,
     "pipeline_user_segments" -> userSegmentsSql,
     "q_pagerank_weighted" -> pagerankWeightedSql,
     "q_latest_by_key"   -> latestByKeySql,

@@ -238,6 +238,23 @@ class GraphSignalsSpec extends AnyFunSuite {
     assert(out(9L) == 1L)
   }
 
+  test("bfsDistances: hop labels are exact min distances; hop budget " +
+      "truncates; isolated seeds keep dist 0") {
+    // path 1-2-3-4-5, seed {1}; node 9 is an isolated seed.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    def run(hops: Int, seeds: Seq[Long]) =
+      Graphs.bfsDistances(path, "a", "b",
+          seeds.toDF("node_id"), "node_id", maxHops = hops)
+        .as[(Long, Long)].collect().toMap
+    assert(run(4, Seq(1L)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    assert(run(2, Seq(1L)) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two seeds: distance is the min over sources
+    assert(run(4, Seq(1L, 5L)) ==
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    assert(run(1, Seq(9L)) == Map(9L -> 0L))
+  }
+
   test("kCore: pendant chain peels away, the clique core survives with " +
       "its in-core degrees; lens-reachable") {
     import graft.engine.Pipeline
