@@ -152,6 +152,76 @@ object AnomalyQueries extends QueryProvider {
       |  greatest(least(v.v, b.hi_v), b.lo_v) AS value_clipped
       |FROM v JOIN b USING (event_type)""".stripMargin
 
+  /**
+   * 7-day trailing moving average of daily event volume per type — the
+   * time-series smoothing every ops dashboard draws, integer-exact
+   * (`sum·1000 DIV count` over the trailing RANGE frame, non-negative
+   * so Spark DIV ≡ DuckDB //). 100 TB shape: the log collapses to
+   * (type, day) counts FIRST, so the per-type window ranks
+   * types × days rows — never event volume — and the frame is a range
+   * over integer day keys, identical semantics in both engines.
+   */
+  private def rolling7dQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = T(s, dir, "events")
+      .select(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    d.withColumn("sum7", sum(col("n")).over(w))
+      .withColumn("cnt7", count(lit(1)).over(w))
+      .select(col("event_type"), col("day"), col("n"),
+        expr("CAST(sum7 * 1000 DIV cnt7 AS BIGINT)").as("avg7_milli"))
+  }
+
+  private val rolling7dSql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type, day, n,
+      |  CAST(sum(n) OVER w * 1000 // count(*) OVER w AS BIGINT) AS avg7_milli
+      |FROM d
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /**
+   * Calendar-gap detection — HOURS with zero events per type inside the
+   * type's own [first, last] hour span: the data-completeness monitor
+   * that catches a silently-dead ingest feed (volume spikes flag
+   * too-much; this flags missing-entirely). Hour granularity because the
+   * synthetic log has no day-level gaps (215 hour gaps at sf0.01 — the
+   * verdict is populated). 100 TB shape: the log collapses to DISTINCT
+   * (type, hour) first; the calendar explode is span-bounded
+   * (types × hours), and the anti-join moves only those slim rows.
+   */
+  private def missingDaysQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "events")
+      .select(col("event_type"), expr("ts div 1000 div 3600000000").as("hr"))
+      .distinct()
+    val span = d.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("d0"), max(col("hr")).as("d1"))
+    span.select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("hr"))
+      .join(d, Seq("event_type", "hr"), "left_anti")
+  }
+
+  private val missingDaysSql =
+    """WITH d AS (
+      |  SELECT DISTINCT event_type,
+      |    epoch_us(ts) // 3600000000 AS hr
+      |  FROM events
+      |), s AS (
+      |  SELECT event_type, min(hr) AS d0, max(hr) AS d1 FROM d GROUP BY 1
+      |), a AS (
+      |  SELECT event_type, unnest(range(d0, d1 + 1)) AS hr FROM s
+      |)
+      |SELECT a.event_type, a.hr
+      |FROM a LEFT JOIN d ON a.event_type = d.event_type AND a.hr = d.hr
+      |WHERE d.hr IS NULL""".stripMargin
+
   /** Exact per-type P50/P95/P99 of `value` in milli units — the latency-
    *  report shape, order statistics replayed row-for-row by the oracle. */
   private def percentilesQ(s: SparkSession, dir: String): DataFrame =
@@ -181,7 +251,9 @@ object AnomalyQueries extends QueryProvider {
     "q_daily_spikes"   -> (dailySpikes _),
     "q_ewma"           -> (ewmaQ _),
     "q_winsorize"      -> (winsorizeQ _),
-    "q_percentiles"    -> (percentilesQ _)
+    "q_percentiles"    -> (percentilesQ _),
+    "q_rolling_7d"     -> (rolling7dQ _),
+    "q_missing_hours"  -> (missingDaysQ _)
   )
 
   override val oracles: Map[String, String] = Map(
@@ -190,6 +262,8 @@ object AnomalyQueries extends QueryProvider {
     "q_daily_spikes"   -> dailySpikesSql,
     "q_ewma"           -> ewmaSql,
     "q_winsorize"      -> winsorizeSql,
-    "q_percentiles"    -> percentilesSql
+    "q_percentiles"    -> percentilesSql,
+    "q_rolling_7d"     -> rolling7dSql,
+    "q_missing_hours"  -> missingDaysSql
   )
 }
