@@ -97,7 +97,11 @@ object Graphs {
    * moves; the degree table is |V| rows.
    */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = canonicalEdges(edges, aCol, bCol)
+    // und is referenced three times (degrees, orientation, closure) —
+    // checkpoint so an expensive edge-construction lineage (e.g. the
+    // cooccurrenceEdges self-join) executes once, not per reference
+    // (the Clusters.addEdges lesson; measured 8 s of a 12 s query).
+    val und = canonicalEdges(edges, aCol, bCol).localCheckpoint()
     val deg = und.select(col("u").as("x"))
       .union(und.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -225,7 +229,9 @@ object Graphs {
    */
   def linkPrediction(edges: DataFrame, uCol: String, vCol: String,
       k: Int = 100): DataFrame = {
-    val und = canonicalEdges(edges, uCol, vCol)
+    // referenced four times (both wedge sides, degrees, the anti-join) —
+    // same checkpoint rationale as [[triangleCounts]].
+    val und = canonicalEdges(edges, uCol, vCol).localCheckpoint()
     val adj = und.select(col("u").as("x"), col("v").as("n"))
       .union(und.select(col("v").as("x"), col("u").as("n")))
     val a1 = adj.select(col("n").as("c"), col("x").as("a"))
