@@ -192,6 +192,41 @@ object StorageQueries extends QueryProvider {
       |  CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM documents WHERE lang = 'de' GROUP BY source""".stripMargin
 
+  /**
+   * Exact join-size prediction WITHOUT running the join — the
+   * planning-side companion of `q_key_skew`: |A ⨝ B| on a key equals
+   * Σ_k n_A(k)·n_B(k) over the two per-key count tables, so the
+   * estimate costs two partial-aggregated counts plus a count-table
+   * join (key-cardinality rows, never fact volume). The number a
+   * capacity plan needs before committing executors to a fact-fact
+   * shuffle; emitted alongside both input sizes so the blow-up factor
+   * reads off directly. DECIMAL(38,0) accumulation, BIGINT out.
+   */
+  private def joinSizeQ(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("na"))
+    val l = T(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("nb"))
+    o.join(l, "k")
+      .agg(sum((col("na").cast("decimal(38,0)") * col("nb")))
+        .cast("long").as("join_rows"),
+        sum(col("na")).as("left_keyed_rows"),
+        sum(col("nb")).as("right_keyed_rows"))
+  }
+
+  private val joinSizeSql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na
+      |  FROM orders GROUP BY 1
+      |), b AS (
+      |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT CAST(sum(na::HUGEINT * nb) AS BIGINT) AS join_rows,
+      |  CAST(sum(na) AS BIGINT) AS left_keyed_rows,
+      |  CAST(sum(nb) AS BIGINT) AS right_keyed_rows
+      |FROM a JOIN b USING (k)""".stripMargin
+
   /** Key-skew profile of the event log's user_id — top-20 keys + global
    *  concentration (Sampling.keySkew), the pre-join audit that decides
    *  between AQE skew-split and an explicit salt. */
@@ -215,6 +250,7 @@ object StorageQueries extends QueryProvider {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_partitioned_scan" -> (partitionedScan _),
     "q_key_skew"         -> (keySkewQ _),
+    "q_join_size"        -> (joinSizeQ _),
     "io_bucketed_join"   -> (bucketedJoin _),
     "q_sample_per_group" -> (samplePerGroup _),
     "q_split_assign"     -> (splitAssign _),
@@ -225,6 +261,7 @@ object StorageQueries extends QueryProvider {
   override val oracles: Map[String, String] = Map(
     "io_partitioned_scan" -> partitionedScanSql,
     "q_key_skew"         -> keySkewSql,
+    "q_join_size"        -> joinSizeSql,
     "io_bucketed_join"   -> bucketedJoinSql,
     "q_sample_per_group" -> samplePerGroupSql,
     "q_split_assign"     -> splitAssignSql,
