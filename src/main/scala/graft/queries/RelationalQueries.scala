@@ -1120,8 +1120,95 @@ object RelationalQueries extends QueryProvider {
        |FROM non JOIN deg da ON a = da.x JOIN deg db ON b = db.x
        |ORDER BY cn DESC, pa DESC, a, b LIMIT 100""".stripMargin
 
+  /**
+   * Graph-signal FEATURE ASSEMBLY flagship: the three structural
+   * signals a quality model consumes — weighted PageRank (global
+   * influence), triangle count (local clustering), k-core degree
+   * (backbone membership) — computed over the same co-activity graph
+   * and left-joined into one per-node feature row (absent signals 0).
+   * This is the feature-engineering join every entity-quality model
+   * runs before training; the oracle recomputes all three signals from
+   * the raw log inside one WITH (disjoint CTE namespaces) and replays
+   * the join, so the hash certifies the ASSEMBLY, not just the parts.
+   * 100 TB shape: three slim signal tables keyed by node id, one
+   * node-keyed join — the signals' own costs dominate; assembly adds
+   * two hash joins over |V| rows.
+   */
+  private def graphFeaturesQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = coActivityEdges(s, dir).localCheckpoint()
+    val adj = edges.union(
+      edges.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val pr = graft.operators.Pagerank.runWeighted(adj, "u", "v", "w",
+      iters = prIters)
+    val tri = graft.operators.Graphs.triangleCounts(edges, "u", "v")
+    val core = graft.operators.Graphs.kCore(edges, "u", "v",
+      k = kCoreK, rounds = kCoreRounds)
+    pr
+      .join(tri, Seq("node_id"), "left")
+      .join(core.select(col("node_id"), col("deg").as("core_deg")),
+        Seq("node_id"), "left")
+      .select(col("node_id"), col("pr_nano"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+  }
+
+  private val graphFeaturesSql: String = {
+    val prCtes = (1 to prIters).map { i =>
+      val p = i - 1
+      s"""gd$i AS MATERIALIZED (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+         |  FROM gr$p LEFT JOIN outw ON node_id = src WHERE wsum IS NULL),
+         |gf$i AS MATERIALIZED (SELECT we.dst,
+         |    CAST(sum((pr * we.w) // wsum) AS BIGINT) AS inflow
+         |  FROM gr$p JOIN outw ON node_id = outw.src
+         |  JOIN we ON we.src = outw.src
+         |  GROUP BY we.dst),
+         |gr$i AS MATERIALIZED (SELECT node_id,
+         |  CAST((15 * (1000000000 // n)) // 100
+         |    + (85 * (coalesce(inflow, 0) + (dang // n))) // 100 AS BIGINT) AS pr
+         |  FROM gnodes CROSS JOIN gnn CROSS JOIN gd$i
+         |  LEFT JOIN gf$i ON node_id = dst)""".stripMargin
+    }.mkString(",\n")
+    val coreCtes = (1 to kCoreRounds).map { i =>
+      val p = i - 1
+      s"""kn$i AS MATERIALIZED (SELECT x FROM (
+         |    SELECT u AS x FROM ke$p UNION ALL SELECT v FROM ke$p)
+         |  GROUP BY x HAVING count(*) >= $kCoreK),
+         |ke$i AS MATERIALIZED (SELECT ke$p.u, ke$p.v FROM ke$p
+         |  JOIN kn$i a ON ke$p.u = a.x JOIN kn$i b ON ke$p.v = b.x)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $coActSql,
+       |we AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM e
+       |  UNION ALL SELECT v, u, w FROM e),
+       |gnodes AS (SELECT src AS node_id FROM we
+       |  UNION SELECT dst AS node_id FROM we),
+       |gnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gnodes),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum
+       |  FROM we GROUP BY src),
+       |gr0 AS (SELECT node_id, CAST(1000000000 // n AS BIGINT) AS pr
+       |  FROM gnodes CROSS JOIN gnn),
+       |$prCtes,
+       |tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+       |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |tcount AS (SELECT x AS node_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) GROUP BY x),
+       |ke0 AS (SELECT u, v FROM e),
+       |$coreCtes,
+       |kdeg AS (SELECT x AS node_id, CAST(count(*) AS BIGINT) AS core_deg
+       |  FROM (SELECT u AS x FROM ke$kCoreRounds
+       |    UNION ALL SELECT v FROM ke$kCoreRounds) GROUP BY x)
+       |SELECT gr$prIters.node_id, pr AS pr_nano,
+       |  coalesce(n_triangles, 0) AS n_triangles,
+       |  coalesce(core_deg, 0) AS core_deg
+       |FROM gr$prIters
+       |LEFT JOIN tcount ON gr$prIters.node_id = tcount.node_id
+       |LEFT JOIN kdeg ON gr$prIters.node_id = kdeg.node_id""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"        -> (pagerankQ _),
+    "pipeline_graph_features" -> (graphFeaturesQ _),
     "q_triangles"       -> (trianglesQ _),
     "q_label_prop"      -> (labelPropQ _),
     "q_link_predict"    -> (linkPredictQ _),
@@ -1168,6 +1255,7 @@ object RelationalQueries extends QueryProvider {
 
   override val oracles: Map[String, String] = Map(
     "q_pagerank"        -> pagerankSql,
+    "pipeline_graph_features" -> graphFeaturesSql,
     "q_triangles"       -> trianglesSql,
     "q_label_prop"      -> labelPropSql,
     "q_link_predict"    -> linkPredictSql,
