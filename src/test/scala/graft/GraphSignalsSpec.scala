@@ -255,6 +255,18 @@ class GraphSignalsSpec extends AnyFunSuite {
     assert(run(1, Seq(9L)) == Map(9L -> 0L))
   }
 
+  test("lens file drives bfs end-to-end (builtin:bfs, seed catalog view)") {
+    import graft.engine.Pipeline
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    Seq(1L).toDF("node_id").createOrReplaceTempView("graft_bfs_seeds")
+    val out = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:bfs",
+        |  "arguments":{"seed_table":"graft_bfs_seeds","max_hops":"2"}}]}"""
+        .stripMargin)
+      .forward(path).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("kCore: pendant chain peels away, the clique core survives with " +
       "its in-core degrees; lens-reachable") {
     import graft.engine.Pipeline

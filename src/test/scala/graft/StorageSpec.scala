@@ -54,6 +54,22 @@ class StorageSpec extends AnyFunSuite {
     assert(r.getAs[Long]("hhi") == 25L + 9L + 1L + 1L)
   }
 
+  test("join-size prediction identity: sum of count products equals the " +
+      "actual join cardinality on a skewed key") {
+    import spark.implicits._
+    val a = (Seq.fill(4)(1L) ++ Seq(2L, 3L)).toDF("k")          // 1x4, 2, 3
+    val b = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++ Seq(9L)).toDF("k")
+    val predicted = {
+      val ca = a.groupBy("k").count().withColumnRenamed("count", "na")
+      val cb = b.groupBy("k").count().withColumnRenamed("count", "nb")
+      ca.join(cb, "k")
+        .agg(sum(col("na").cast("decimal(38,0)") * col("nb")).cast("long"))
+        .head().getLong(0)
+    }
+    val actual = a.join(b, "k").count()
+    assert(predicted == actual && actual == 4L * 3 + 1L * 2)
+  }
+
   test("partitioned layout: the lang slice reads via PartitionFilters, " +
       "not a data filter over every file") {
     val dir = "/root/testdata/sf0.001"
