@@ -58,20 +58,53 @@ object Graphs {
    * (cost drops from event volume to |entities×active cells|), then the
    * pair join is keyed on the cell — per-cell fanout is C(k,2) for k
    * entities in the cell, the same bounded-block structure the dedup
-   * family uses. A pathological hot cell (one hour where everyone is
-   * active) is the [[SkewJoin]] salted-triangle case — cap or salt cells
-   * upstream if entity-per-cell counts are unbounded. The weight
-   * aggregate and threshold shuffle only (u, v) pairs.
+   * family uses. Two enforced skew defenses (not just documented):
+   * `maxCellEntities` DROPS pathological cells outright (one hour where
+   * everyone is active carries no pairwise signal — the graph analogue
+   * of stopword removal; mirror the cap in any SQL oracle), and the
+   * remaining per-cell C(k,2) enumeration runs as the [[SkewJoin]]
+   * salted triangle — each cell's pair space splits into S(S+1)/2
+   * (sa, sb) sub-cells keyed by a per-entity hash salt, so even the
+   * largest surviving cell spreads across the cluster instead of
+   * serializing its pair loop on one task. `saltBuckets = 1`
+   * degenerates to the plain per-cell join (exactness spec'd both
+   * ways). The weight aggregate and threshold shuffle only (u, v) pairs.
    */
   def cooccurrenceEdges(df: DataFrame, idCol: String,
-      cellCols: Seq[String], minWeight: Long = 1L): DataFrame = {
+      cellCols: Seq[String], minWeight: Long = 1L,
+      maxCellEntities: Long = Long.MaxValue,
+      saltBuckets: Int = 8): DataFrame = {
     require(cellCols.nonEmpty, "need at least one cell column")
-    val d = df.select(col(idCol) +: cellCols.map(col): _*).distinct()
-    val a = d.as("a"); val b = d.as("b")
-    val cellEq = cellCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _)
-    a.join(b, cellEq && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("u"), col(s"b.$idCol").as("v"))
+    require(maxCellEntities >= 2, "a cell needs >= 2 entities to pair")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val d0 = df.select(col(idCol) +: cellCols.map(col): _*).distinct()
+    val d =
+      if (maxCellEntities == Long.MaxValue) d0
+      else d0.join(
+        d0.groupBy(cellCols.map(col): _*)
+          .agg(count(lit(1)).as("__k"))
+          .where(col("__k") <= maxCellEntities)
+          .select(cellCols.map(col): _*),
+        cellCols, "left_semi")
+    // Salted-triangle pair enumeration (the Dedup.embeddingCosine
+    // decomposition): left carries (salt, sb >= salt), right
+    // (sa <= salt, salt); each unordered pair meets in exactly one
+    // (cell, sa, sb) sub-cell, diagonals deduped by the id filter.
+    val base = d.withColumn("__salt",
+      pmod(xxhash64(col(idCol)), lit(saltBuckets)).cast("int"))
+    val left = base
+      .withColumn("__sb", explode(expr(s"sequence(__salt, ${saltBuckets - 1})")))
+      .select(col(idCol).as("__ida") +: cellCols.map(col) :+
+        col("__salt").as("__sa") :+ col("__sb"): _*)
+    val right = base
+      .withColumn("__sa", explode(expr("sequence(0, __salt)")))
+      .select(col(idCol).as("__idb") +: cellCols.map(col) :+
+        col("__sa") :+ col("__salt").as("__sb"): _*)
+    left.join(right, cellCols ++ Seq("__sa", "__sb"))
+      .where(col("__sa") < col("__sb") || col("__ida") < col("__idb"))
+      .select(least(col("__ida"), col("__idb")).as("u"),
+        greatest(col("__ida"), col("__idb")).as("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= minWeight)
   }
@@ -222,27 +255,59 @@ object Graphs {
    * 100 TB shape: candidate generation is the wedge join keyed on the
    * shared neighbor — Σ deg(c)² over centers, the same envelope as
    * unoriented wedge counting (orientation can't apply: BOTH endpoints
-   * of a candidate must surface). On power-law graphs cap or salt hub
-   * centers upstream (the [[SkewJoin]] discipline); every shuffle moves
-   * slim id pairs, the degree table is |V| rows, and the final cut is a
-   * per-partition heap (TakeOrdered), never a global sort.
+   * of a candidate must surface). Two enforced hub defenses:
+   * `maxCenterDegree` drops centers above the cap from wedge
+   * ENUMERATION (capped common-neighbor counts — the standard
+   * power-law approximation; a celebrity node's C(deg,2) wedges carry
+   * ~no per-pair signal anyway. `pa` still uses TRUE degrees; mirror
+   * the cap in any SQL oracle), and surviving centers enumerate their
+   * wedges through the [[SkewJoin]] salted triangle — each center's
+   * pair space splits into S(S+1)/2 (sa, sb) sub-cells keyed by a
+   * per-leaf hash salt, so the largest surviving hub spreads across
+   * the cluster instead of serializing on one task (`saltBuckets = 1`
+   * degenerates to the plain wedge join; exactness spec'd both ways).
+   * Every shuffle moves slim id pairs, the degree table is |V| rows,
+   * and the final cut is a per-partition heap (TakeOrdered), never a
+   * global sort.
    */
   def linkPrediction(edges: DataFrame, uCol: String, vCol: String,
-      k: Int = 100): DataFrame = {
+      k: Int = 100, maxCenterDegree: Long = Long.MaxValue,
+      saltBuckets: Int = 8): DataFrame = {
+    require(maxCenterDegree >= 2, "a center needs degree >= 2 to wedge")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     // referenced four times (both wedge sides, degrees, the anti-join) —
     // same checkpoint rationale as [[triangleCounts]].
     val und = canonicalEdges(edges, uCol, vCol).localCheckpoint()
     val adj = und.select(col("u").as("x"), col("v").as("n"))
       .union(und.select(col("v").as("x"), col("u").as("n")))
-    val a1 = adj.select(col("n").as("c"), col("x").as("a"))
-    val a2 = adj.select(col("n").as("c"), col("x").as("b"))
-    val cand = a1.join(a2, Seq("c"))
-      .where(col("a") < col("b"))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val wedgeAdj =
+      if (maxCenterDegree == Long.MaxValue) adj
+      else adj.join(
+        deg.where(col("d") <= maxCenterDegree).select(col("x").as("n")),
+        Seq("n"), "left_semi")
+    // Salted-triangle wedge enumeration keyed on the center (same
+    // decomposition as [[cooccurrenceEdges]]): salt hashes the LEAF so
+    // one hub center's neighbor list scatters over the sub-cells.
+    val base = wedgeAdj.select(col("n").as("c"), col("x").as("leaf"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("leaf")), lit(saltBuckets)).cast("int"))
+    val l = base
+      .withColumn("__sb", explode(expr(s"sequence(__salt, ${saltBuckets - 1})")))
+      .select(col("c"), col("leaf").as("la"),
+        col("__salt").as("__sa"), col("__sb"))
+    val r = base
+      .withColumn("__sa", explode(expr("sequence(0, __salt)")))
+      .select(col("c"), col("leaf").as("lb"),
+        col("__sa"), col("__salt").as("__sb"))
+    val cand = l.join(r, Seq("c", "__sa", "__sb"))
+      .where(col("__sa") < col("__sb") || col("la") < col("lb"))
+      .select(least(col("la"), col("lb")).as("a"),
+        greatest(col("la"), col("lb")).as("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"))
     val non = cand.join(und,
         cand("a") === und("u") && cand("b") === und("v"), "left_anti")
-    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
     non
       .join(deg.select(col("x").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("x").as("b"), col("d").as("db")), Seq("b"))

@@ -629,13 +629,18 @@ object BuiltinOps {
     },
 
     // Link prediction (Graphs.linkPrediction): top-k non-adjacent pairs
-    // by (common neighbors, preferential attachment).
+    // by (common neighbors, preferential attachment); hub centers above
+    // max_center_degree are dropped from wedge enumeration, the rest
+    // enumerate through salt-bucketed sub-cells.
     "link_predict" -> { a =>
       val u = a.strOpt("a").orElse(a.strOpt("u")).getOrElse("u")
       val v = a.strOpt("b").orElse(a.strOpt("v")).getOrElse("v")
       val k = a.intOpt("k").getOrElse(100)
+      val maxC = a.intOpt("max_center_degree").map(_.toLong)
+        .getOrElse(Long.MaxValue)
+      val salt = a.intOpt("salt").getOrElse(8)
       LensOp.setLevel(s"link_predict($u-$v, k=$k)",
-        df => graft.operators.Graphs.linkPrediction(df, u, v, k))
+        df => graft.operators.Graphs.linkPrediction(df, u, v, k, maxC, salt))
     },
 
     // Deterministic sync label propagation (Graphs.labelPropagation):
@@ -651,13 +656,19 @@ object BuiltinOps {
     },
 
     // Co-occurrence graph projection (Graphs.cooccurrenceEdges): entities
-    // sharing >= min_weight distinct cells become a weighted edge.
+    // sharing >= min_weight distinct cells become a weighted edge; cells
+    // with > max_cell entities are dropped, the rest pair through
+    // salt-bucketed sub-cells.
     "cooccur_edges" -> { a =>
       val id = a.str("id")
       val cells = a.strList("cells")
       val minW = a.intOpt("min_weight").getOrElse(1).toLong
+      val maxCell = a.intOpt("max_cell").map(_.toLong)
+        .getOrElse(Long.MaxValue)
+      val salt = a.intOpt("salt").getOrElse(8)
       LensOp.setLevel(s"cooccur_edges($id by ${cells.mkString(",")})",
-        df => graft.operators.Graphs.cooccurrenceEdges(df, id, cells, minW))
+        df => graft.operators.Graphs.cooccurrenceEdges(df, id, cells, minW,
+          maxCell, salt))
     },
 
     // Exact per-group winsorization (Anomaly.winsorize): clip values into

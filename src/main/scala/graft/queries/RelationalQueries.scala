@@ -895,26 +895,36 @@ object RelationalQueries extends QueryProvider {
   // User co-activity graph (Graphs.cooccurrenceEdges): users sharing >= 3
   // distinct (event_type, hour) activity cells become a weighted edge —
   // ~12% density at sf0.01, so triangles and communities are both
-  // populated and non-degenerate. Shared by q_triangles / q_label_prop;
-  // the SQL fragment below is the bit-exact oracle twin.
+  // populated and non-degenerate. The hot-cell cap is ACTIVE (cells with
+  // > coActMaxCell distinct users carry no pairwise signal and are the
+  // 100 TB fanout risk — at sf0.01 it drops the busiest ~1% of cells,
+  // proving the capped operator and its oracle twin agree). Shared by
+  // q_triangles / q_label_prop; the SQL fragment below is the bit-exact
+  // oracle twin (the cap is mirrored in the `cells` CTE).
+  private val coActMaxCell = 8L
   private def coActivityEdges(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graphs.cooccurrenceEdges(
       T(s, dir, "events").select(col("user_id"), col("event_type"),
         expr("ts div 1000 div 3600000000").as("hr")),
-      "user_id", Seq("event_type", "hr"), minWeight = 3L)
+      "user_id", Seq("event_type", "hr"), minWeight = 3L,
+      maxCellEntities = coActMaxCell)
 
-  // d and e are AS MATERIALIZED: DuckDB 1.0 inlines CTEs per reference
+  // d0/d/e are AS MATERIALIZED: DuckDB 1.0 inlines CTEs per reference
   // (CLAUDE.md q_hits pitfall), and the co-occurrence self-join in e is
   // the heaviest part of every graph oracle — the LPA/PageRank unrolls
   // reference it once per round.
   private val coActSql =
-    """d AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
-      |    epoch_us(ts) // 3600000000 AS hr FROM events),
-      |e AS MATERIALIZED (SELECT a.user_id AS u, b.user_id AS v,
-      |    CAST(count(*) AS BIGINT) AS w
-      |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.hr = b.hr
-      |    AND a.user_id < b.user_id
-      |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+    s"""d0 AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
+       |    epoch_us(ts) // 3600000000 AS hr FROM events),
+       |d AS MATERIALIZED (SELECT d0.* FROM d0 JOIN (
+       |    SELECT event_type, hr FROM d0
+       |    GROUP BY 1, 2 HAVING count(*) <= $coActMaxCell) cells
+       |  USING (event_type, hr)),
+       |e AS MATERIALIZED (SELECT a.user_id AS u, b.user_id AS v,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.hr = b.hr
+       |    AND a.user_id < b.user_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
 
   /** Exact per-node triangle counts over the co-activity graph
    *  (degree-oriented wedge closure — see Graphs.triangleCounts). */
@@ -1087,35 +1097,43 @@ object RelationalQueries extends QueryProvider {
     val iterCtes = (1 to bfsHops).map { i =>
       val p = i - 1
       s"""f$i AS MATERIALIZED (SELECT DISTINCT adj.v AS node_id
-         |  FROM adj JOIN d$p ON adj.u = d$p.node_id WHERE d$p.dist = ${p}),
-         |d$i AS MATERIALIZED (SELECT node_id, dist FROM d$p
+         |  FROM adj JOIN bd$p ON adj.u = bd$p.node_id WHERE bd$p.dist = ${p}),
+         |bd$i AS MATERIALIZED (SELECT node_id, dist FROM bd$p
          |  UNION ALL SELECT f$i.node_id, CAST($i AS BIGINT) AS dist
-         |  FROM f$i LEFT JOIN d$p ON f$i.node_id = d$p.node_id
-         |  WHERE d$p.node_id IS NULL)""".stripMargin
+         |  FROM f$i LEFT JOIN bd$p ON f$i.node_id = bd$p.node_id
+         |  WHERE bd$p.node_id IS NULL)""".stripMargin
     }.mkString(",\n")
     s"""WITH $coActSql,
        |adj AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-       |d0 AS (SELECT DISTINCT user_id AS node_id, CAST(0 AS BIGINT) AS dist
+       |bd0 AS (SELECT DISTINCT user_id AS node_id, CAST(0 AS BIGINT) AS dist
        |  FROM events WHERE event_type = 'purchase'),
        |$iterCtes
-       |SELECT node_id, dist FROM d$bfsHops""".stripMargin
+       |SELECT node_id, dist FROM bd$bfsHops""".stripMargin
   }
 
   /** Top-100 non-adjacent pairs by (common neighbors, preferential
-   *  attachment) over the co-activity graph (Graphs.linkPrediction). */
+   *  attachment) over the co-activity graph (Graphs.linkPrediction). The
+   *  hub cap is ACTIVE (maxCenterDegree drops the top ~3% degree nodes
+   *  from wedge enumeration at sf0.01 — capped common-neighbor counts,
+   *  mirrored in the oracle's `dc.d <=` predicate; `pa` keeps TRUE
+   *  degrees on both sides). */
+  private val linkPredictMaxCenter = 30L
   private def linkPredictQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graphs.linkPrediction(coActivityEdges(s, dir), "u", "v",
-      k = 100)
+      k = 100, maxCenterDegree = linkPredictMaxCenter)
 
   private val linkPredictSql =
     s"""WITH $coActSql,
-       |adj AS (SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e),
+       |adj AS MATERIALIZED (SELECT u AS x, v AS n FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |deg AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS d
+       |  FROM adj GROUP BY 1),
        |cand AS (SELECT a1.x AS a, a2.x AS b, CAST(count(*) AS BIGINT) AS cn
        |  FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
+       |  JOIN deg dc ON a1.n = dc.x AND dc.d <= $linkPredictMaxCenter
        |  GROUP BY 1, 2),
        |non AS (SELECT cand.a, cand.b, cand.cn FROM cand
-       |  LEFT JOIN e ON cand.a = e.u AND cand.b = e.v WHERE e.u IS NULL),
-       |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1)
+       |  LEFT JOIN e ON cand.a = e.u AND cand.b = e.v WHERE e.u IS NULL)
        |SELECT a, b, cn, da.d * db.d AS pa
        |FROM non JOIN deg da ON a = da.x JOIN deg db ON b = db.x
        |ORDER BY cn DESC, pa DESC, a, b LIMIT 100""".stripMargin

@@ -347,4 +347,68 @@ class GraphSignalsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(strong == Set((1L, 2L, 3L)))
   }
+
+  // ---- skew defenses: hot-cell / hub caps + salted enumeration ----------
+
+  test("cooccurrenceEdges: salted triangle equals the plain join and " +
+      "maxCellEntities drops exactly the hot cells") {
+    // one hot cell with 40 entities, one small cell reusing 3 of them
+    val rows = (1L to 40L).map(i => (i, "hot")) ++
+      Seq((1L, "small"), (2L, "small"), (3L, "small"))
+    val df = rows.toDF("id", "cell")
+    val plain = Graphs.cooccurrenceEdges(df, "id", Seq("cell"), 1L,
+      saltBuckets = 1).as[(Long, Long, Long)].collect().toSet
+    val salted = Graphs.cooccurrenceEdges(df, "id", Seq("cell"), 1L,
+      saltBuckets = 8).as[(Long, Long, Long)].collect().toSet
+    assert(salted == plain, "salted enumeration diverged from plain join")
+    assert(plain.size == 40 * 39 / 2, "expected all hot-cell pairs")
+    // cap below the hot cell's 40 entities: only the small cell pairs
+    val capped = Graphs.cooccurrenceEdges(df, "id", Seq("cell"), 1L,
+      maxCellEntities = 8L).as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("cooccurrenceEdges: a hot cell's C(k,2) pair loop spreads across " +
+      "salt sub-cells instead of one task") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val s = 8
+    val n = 64L
+    val df = (1L to n).map(i => (i, "hot")).toDF("id", "cell")
+    // replicate the operator's salt assignment and measure the per
+    // (sa, sb) sub-cell pair load the triangle join produces
+    val salts = df.select(col("id"),
+        pmod(xxhash64(col("id")), lit(s)).cast("int").as("salt"))
+      .as[(Long, Int)].collect().toMap
+    val loads = (1L to n).flatMap(a => (a + 1 to n).map { b =>
+      (math.min(salts(a), salts(b)), math.max(salts(a), salts(b)))
+    }).groupBy(identity).map(_._2.size)
+    val total = (n * (n - 1) / 2).toInt
+    assert(loads.sum == total, "every pair must land in exactly one cell")
+    assert(loads.size >= s * (s + 1) / 2 - 4,
+      s"only ${loads.size} of ${s * (s + 1) / 2} sub-cells occupied")
+    assert(loads.max <= total / 6,
+      s"one sub-cell owns ${loads.max} of $total pairs — not spread")
+  }
+
+  test("linkPrediction: salted wedge equals plain; maxCenterDegree drops " +
+      "hub centers while pa keeps TRUE degrees") {
+    // path 1-2-3 plus hub 100 over {1,4,5,6}: hub degree 4
+    val edges = Seq((1L, 2L), (2L, 3L), (100L, 1L), (100L, 4L),
+      (100L, 5L), (100L, 6L)).toDF("a", "b")
+    val plain = Graphs.linkPrediction(edges, "a", "b", k = 100,
+      saltBuckets = 1).as[(Long, Long, Long, Long)].collect().toSet
+    val salted = Graphs.linkPrediction(edges, "a", "b", k = 100)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(salted == plain, "salted wedge diverged from plain join")
+    // cap 3 < deg(100)=4: the hub's 6 leaf-pair wedges vanish; the two
+    // surviving candidates come from centers 1 and 2, and their pa still
+    // uses TRUE degrees — deg(1)=2 includes the hub edge, deg(100)=4.
+    val capped = Graphs.linkPrediction(edges, "a", "b", k = 100,
+        maxCenterDegree = 3L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 3L, 1L, 2L), (2L, 100L, 1L, 8L)))
+    assert(plain.map(p => (p._1, p._2)).contains((4L, 5L)) &&
+      !capped.map(p => (p._1, p._2)).contains((4L, 5L)),
+      "cap failed to drop hub-centered wedges")
+  }
 }
