@@ -210,8 +210,14 @@ object Anomaly {
       scale: Long = 1000L): DataFrame = {
     require(pLoPpm >= 0 && pHiPpm <= 1000000L && pLoPpm <= pHiPpm,
       "need 0 <= pLoPpm <= pHiPpm <= 1e6")
-    val q = df.select(col(idCol), col(groupCol),
-      floor(col(valueCol).cast("double") * scale).cast("long").as("v"))
+    // null values are excluded up front: Spark's struct ordering ranks a
+    // null v FIRST while SQL engines' ORDER BY ranks it LAST, so a null
+    // row would shift every per-group quantile index cross-engine (and
+    // its own clip would be null anyway). Mirror with WHERE v IS NOT
+    // NULL in any oracle.
+    val q = df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("v"))
     val ranked = GlobalSequence.withSequentialId(q,
       struct(col(groupCol), col("v"), col(idCol)), "rn")
     val stats = ranked.groupBy(col(groupCol))
@@ -252,8 +258,11 @@ object Anomaly {
     def label(p: Long) = if (p % 10000L == 0L) s"p${p / 10000}" else s"p${p}ppm"
     require(ppms.map(label).distinct.size == ppms.size,
       s"duplicate quantile labels in ${ppms.mkString(",")}")
-    val q = df.select(col(idCol), col(groupCol),
-      floor(col(valueCol).cast("double") * scale).cast("long").as("v"))
+    // null exclusion: same rationale as [[winsorize]] (null-ordering
+    // divergence would shift every quantile index).
+    val q = df.where(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        floor(col(valueCol).cast("double") * scale).cast("long").as("v"))
     val ranked = GlobalSequence.withSequentialId(q,
       struct(col(groupCol), col("v"), col(idCol)), "rn")
     val stats = ranked.groupBy(col(groupCol))

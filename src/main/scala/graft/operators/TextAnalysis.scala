@@ -266,8 +266,12 @@ object TextAnalysis {
    * the scan projection — the token stream never shuffles as singles);
    * everything after the first DISTINCT is vocab-bounded: the word-id
    * table, the edge set, and every PageRank iteration move |vocab|- and
-   * |vocab-edge|-sized slim rows only. The vocab map joins back by
-   * broadcast. The corpus is touched exactly once.
+   * |vocab-edge|-sized slim rows only. The vocab joins are NOT
+   * broadcast-hinted: a web-scale corpus vocabulary is unbounded
+   * ("vocab-bounded" is not "broadcast-sized"), so AQE picks broadcast
+   * when the vocab is actually small and a shuffled hash join when it
+   * isn't — both are |vocab|-sized either way. The corpus is touched
+   * exactly once.
    */
   def textrankKeywords(df: DataFrame, textCol: String, idCol: String,
       iters: Int = 5, k: Int = 50): DataFrame = {
@@ -283,12 +287,11 @@ object TextAnalysis {
     val vocab = GlobalSequence.withSequentialId(
       df.select(explode(ws).as("tok")).distinct(), col("tok"), "wid")
     val edges = und
-      .join(broadcast(vocab.select(col("tok").as("a"), col("wid").as("src"))), "a")
-      .join(broadcast(vocab.select(col("tok").as("b"), col("wid").as("dst"))), "b")
+      .join(vocab.select(col("tok").as("a"), col("wid").as("src")), "a")
+      .join(vocab.select(col("tok").as("b"), col("wid").as("dst")), "b")
       .select(col("src"), col("dst"))
     Pagerank.run(edges, "src", "dst", iters = iters)
-      .join(broadcast(vocab.select(col("wid").as("node_id"), col("tok"))),
-        "node_id")
+      .join(vocab.select(col("wid").as("node_id"), col("tok")), "node_id")
       .select(col("tok").as("token"), col("pr_nano"))
       .orderBy(col("pr_nano").desc, col("token")).limit(k)
   }

@@ -136,7 +136,7 @@ object AnomalyQueries extends QueryProvider {
     """WITH v AS (
       |  SELECT event_id, event_type,
       |    CAST(floor(value * 1000) AS BIGINT) AS v
-      |  FROM events
+      |  FROM events WHERE value IS NOT NULL
       |), r AS (
       |  SELECT *,
       |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS r,
@@ -232,7 +232,7 @@ object AnomalyQueries extends QueryProvider {
     """WITH v AS (
       |  SELECT event_id, event_type,
       |    CAST(floor(value * 1000) AS BIGINT) AS v
-      |  FROM events
+      |  FROM events WHERE value IS NOT NULL
       |), r AS (
       |  SELECT *,
       |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS r,

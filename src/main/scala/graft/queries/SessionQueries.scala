@@ -168,7 +168,7 @@ object SessionQueries extends QueryProvider {
       |), r AS (
       |  SELECT *, row_number() OVER (PARTITION BY leg ORDER BY v, user_id) AS r,
       |    count(*) OVER (PARTITION BY leg) AS n
-      |  FROM legs
+      |  FROM legs WHERE v IS NOT NULL
       |)
       |SELECT leg,
       |  min(CASE WHEN r = (n - 1) * 500000 // 1000000 + 1 THEN v END) AS p50,

@@ -55,11 +55,14 @@ object GraftFunctions {
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
 
-  /** Register into a live session (idempotent). */
+  /** Register into a live session (idempotent — a name already present
+   *  is left alone, so session rebuilds don't trigger the registry's
+   *  "replaced a previously registered function" WARN). */
   def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
     registerOptimizations(spark)
   }
