@@ -34,21 +34,27 @@ object TextQueries extends QueryProvider {
       |    AS avg_token_len
       |FROM w""".stripMargin
 
-  // BPE merge training (Bpe.train): the merge list is fully deterministic
-  // (total-order tie-break) but the iterative argmax is not expressible in
-  // oracle SQL — rows-only here; BpeSpec pins merge-by-merge equality with
-  // an in-memory reference implementation.
+  // BPE merge training (Bpe.train): fully deterministic (total-order
+  // tie-break), and — round-7 verdict ask — the iterative argmax IS
+  // SQL-expressible: the oracle below unrolls all 10 rounds as
+  // MATERIALIZED CTEs (pair count → (freq desc, pair asc) argmax →
+  // merge application) and hash-matches the trainer; BpeSpec
+  // additionally pins merge-by-merge equality with an in-memory
+  // reference implementation.
+  private val bpeRounds = 10
+  private val bpeMinFreq = 2
   private def bpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.train(T(s, dir, "documents"), "text",
-      merges = 10, minFreq = 2)
+      merges = bpeRounds, minFreq = bpeMinFreq.toLong)
 
   // Tokenizer application: encode the corpus under the merges trained on
   // it (train + encode = the full tokenizer lifecycle in one query).
   // Training is memoized per (session, sf dir) — tokenizer training is
   // ingest-time work, the same cluster-once/filter-many split
   // ensureClusterMap documents — so this query measures ENCODING.
-  // Rows-only like the trainer; BpeSpec pins the encoder against an
-  // in-memory reference implementation.
+  // Oracle-checked like the trainer (the encode SQL replays the full
+  // train-then-encode chain); BpeSpec additionally pins the encoder
+  // against an in-memory reference implementation.
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
@@ -56,12 +62,93 @@ object TextQueries extends QueryProvider {
     mergeCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir",
       _ => graft.operators.Bpe
-        .train(T(s, dir, "documents"), "text", merges = 10, minFreq = 2)
+        .train(T(s, dir, "documents"), "text", merges = bpeRounds,
+          minFreq = bpeMinFreq.toLong)
         .orderBy("step").select("pair").collect().map(_.getString(0)).toSeq)
 
   private def bpeEncode(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.encode(T(s, dir, "documents"), "text", "doc_id",
       trainedMerges(s, dir))
+
+  // ---- BPE oracle SQL ----------------------------------------------------
+  // The key observation that makes the trainer SQL-replayable: a BPE merge
+  // application (left-to-right scan, non-overlapping, skip-after-merge) IS
+  // the semantics of SQL `replace` — provided symbols are framed so a pair
+  // pattern can never match inside a longer symbol. Each dictionary word is
+  // kept as a separator-framed string (every symbol wrapped US||sym||US,
+  // US = chr(31), absent from the corpus), so the pair (a, b) becomes the
+  // pattern USaUSUSbUS and its merge the literal USabUS. Per round:
+  // re-split symbols -> weighted adjacent-pair counts -> (freq desc, pair
+  // asc) argmax (DuckDB's binary collation = Spark's UTF8 byte order) ->
+  // one replace() over the dictionary. coalesce(..., chr(30)) turns an
+  // early-stopped round (no pair >= minFreq) into a no-op pattern instead
+  // of a NULL poison. All CTEs MATERIALIZED (DuckDB 1.0 inlines per
+  // reference — the CLAUDE.md q_hits rule; every e{r} is referenced twice).
+  // Built by concatenation, not stripMargin: several lines contain `||`
+  // (the CLAUDE.md stripMargin/|| pitfall).
+  private def bpePat(m: String): String =
+    s"(SELECT chr(31) || split_part(pair, ' ', 1) || chr(31) || chr(31) || " +
+      s"split_part(pair, ' ', 2) || chr(31) FROM $m)"
+  private def bpeRep(m: String): String =
+    s"(SELECT chr(31) || replace(pair, ' ', '') || chr(31) FROM $m)"
+  // a word exploded to framed code-point symbols (DuckDB string indexing
+  // is code-point based — the same alphabet as Spark's split(word, ''))
+  private val bpeSymbolsExpr =
+    "chr(31) || array_to_string(list_transform(range(1, length(word) + 1), " +
+      "i -> word[i]), chr(31) || chr(31)) || chr(31)"
+
+  private val bpeTrainCtes: String = {
+    val head = Seq(
+      "wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n " +
+        "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "WHERE length(word) > 0 GROUP BY 1)",
+      s"e0 AS MATERIALIZED (SELECT $bpeSymbolsExpr AS enc, n FROM wc)")
+    val rounds = (1 to bpeRounds).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"s$r AS MATERIALIZED (SELECT list_filter(string_split(enc, chr(31)), " +
+          s"x -> x <> '') AS s, n FROM e$p)",
+        s"p$r AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS freq " +
+          s"FROM (SELECT unnest(list_transform(range(1, len(s)), " +
+          s"i -> s[i] || ' ' || s[i+1])) AS pair, n FROM s$r) " +
+          s"GROUP BY 1 HAVING sum(n) >= $bpeMinFreq)",
+        s"m$r AS MATERIALIZED (SELECT pair, freq FROM p$r " +
+          "ORDER BY freq DESC, pair LIMIT 1)",
+        s"e$r AS MATERIALIZED (SELECT replace(enc, " +
+          s"coalesce(${bpePat(s"m$r")}, chr(30)), " +
+          s"coalesce(${bpeRep(s"m$r")}, chr(30))) AS enc, n FROM e$p)")
+    }
+    (head ++ rounds).mkString(",\n")
+  }
+
+  private val bpeMergesSql: String = {
+    val union = (1 to bpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS step, pair, freq FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $bpeTrainCtes\n$union"
+  }
+
+  // Encode replay: rank-greedy BPE == applying the merges in rank order,
+  // one replace() scan each — a merge can only create pairs whose every
+  // multi-char endpoint was produced by an EARLIER rank, so no pass can
+  // resurrect a lower-rank pair (and two symbols never become adjacent by
+  // a merge between them). Per DISTINCT word, 10 nested replaces; per doc,
+  // the per-word subword counts join back and sum.
+  private val bpeEncodeSql: String = {
+    val enc = (1 to bpeRounds).foldLeft(bpeSymbolsExpr) { (e, r) =>
+      s"replace($e, coalesce(${bpePat(s"m$r")}, chr(30)), " +
+        s"coalesce(${bpeRep(s"m$r")}, chr(30)))"
+    }
+    s"WITH $bpeTrainCtes,\n" +
+      "enc AS MATERIALIZED (SELECT word, CAST(len(list_filter(" +
+      s"string_split($enc, chr(31)), x -> x <> '')) AS BIGINT) AS k " +
+      "FROM (SELECT DISTINCT word FROM wc) t(word)),\n" +
+      "agg AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_subwords " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word " +
+      "FROM documents) w JOIN enc USING (word) GROUP BY 1)\n" +
+      "SELECT d.doc_id, CAST(coalesce(agg.n_subwords, 0) AS BIGINT) " +
+      "AS n_subwords FROM documents d LEFT JOIN agg USING (doc_id)"
+  }
 
   private def gopher(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherRules(T(s, dir, "documents"), "text", "doc_id")
@@ -1764,6 +1851,8 @@ object TextQueries extends QueryProvider {
     "text_profile"     -> profileSql,
     "text_repetition"  -> repetitionSql,
     "text_contamination" -> contaminationSql,
+    "text_bpe_merges"  -> bpeMergesSql,
+    "text_bpe_encode"  -> bpeEncodeSql,
     "pipeline_prep_corpus" -> prepCorpusSql
   )
 }
