@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
  * edges partitioned by dst (hub half) — the edge table is cached TWICE,
  * once per orientation, trading 2× edge storage for zero edge shuffle
  * per round; shuffles carry only (8-byte id, 8-byte score) pairs. The
- * normalizing sums are one-row broadcast aggregates. Scores are
+ * normalizing sums are micro-jobs over the half-step's checkpointed raw
+ * aggregate, landing as driver literals (no per-round broadcast
+ * exchange, no double execution of the join+agg). Scores are
  * localCheckpoint'ed per half-step so lineage stays one round deep.
  * (Σ h over the graph overflows a BIGINT only past ~9·10⁹ nodes; at
  * that scale, lower ONE to 10⁶.)
@@ -71,13 +73,20 @@ object Hits {
     // with the same coalesce-to-0 the oracle applies every round —
     // bit-identical results.
     def renorm(raw: DataFrame, keyCol: String, out: String): DataFrame = {
-      val s = raw.agg(greatest(coalesce(sum(col("raw")), lit(0L)), lit(1L))
-        .as("s"))
-      raw.crossJoin(broadcast(s))
-        .select(col(keyCol).as("node_id"),
-          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $ONE)" +
-            s" DIV s AS BIGINT)").as(out))
-        .localCheckpoint()
+      // Checkpoint the |V|-bounded raw aggregate ONCE; the normalizing
+      // sum is then a micro-job over the checkpoint and lands as a
+      // driver literal — previously the broadcast of the 1-row sum
+      // re-executed the whole join+agg a second time per half-step and
+      // built a broadcast exchange (pure fixed cost per round). The
+      // projection over the checkpoint is narrow, so both consumers
+      // (next half-step join, final output) reuse the cached blocks,
+      // and unpersistCheckpoint still finds the LogicalRDD under it.
+      val r = raw.localCheckpoint()
+      val s = math.max(
+        r.agg(coalesce(sum(col("raw")), lit(0L))).head().getLong(0), 1L)
+      r.select(col(keyCol).as("node_id"),
+        expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $ONE)" +
+          s" DIV $s AS BIGINT)").as(out))
     }
 
     // Initial hubs: ONE on every node, but only src hubs are ever read.

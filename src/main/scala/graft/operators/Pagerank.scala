@@ -24,12 +24,20 @@ import org.apache.spark.sql.functions._
  * 100 TB shape: the canonical Pregel cost — per iteration, one join of
  * the slim (node, pr, outdeg) rank table with the edge table partitioned
  * by src, and one re-aggregation partitioned by dst; shuffles carry
- * (8-byte id, 8-byte rank) pairs, never payloads. The dangling sum and
- * N are one-row broadcast aggregates. Ranks are `localCheckpoint`ed per
- * round (previous round's blocks freed), so lineage stays one round deep
- * no matter how many iterations run. Iteration count is fixed and small
- * (the web-graph standard is O(10) rounds to ranking stability) — cost
- * is iters × (|E| join + |E| agg), embarrassingly scalable.
+ * (8-byte id, 8-byte rank) pairs, never payloads. Per-round FIXED cost
+ * is kept to two jobs (the round-8 scheduler-overhead fix — at small
+ * graph sizes fixed cost dominates, at web scale it's free headroom):
+ * N is a driver literal computed once before the loop, and the dangling
+ * sum rides the SAME aggregation pass as the inflow (dangling nodes
+ * contribute their rank under a NULL dst sentinel), so the rank⋈outdeg
+ * join executes once per round, the |V|-row aggregate is
+ * localCheckpoint'ed, and the dang scalar is a micro-job over that
+ * checkpoint — no per-round broadcast exchanges at all. Ranks are
+ * `localCheckpoint`ed per round (previous round's blocks freed), so
+ * lineage stays one round deep no matter how many iterations run.
+ * Iteration count is fixed and small (the web-graph standard is O(10)
+ * rounds to ranking stability) — cost is iters × (|E| join + |E| agg),
+ * embarrassingly scalable.
  */
 object Pagerank {
 
@@ -65,31 +73,48 @@ object Pagerank {
       .distinct().persist()
     val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).persist()
-    val nRow = nodes.agg(count(lit(1)).as("n"))
+    // n is a one-time driver literal: a per-round broadcast of the same
+    // 1-row aggregate was pure fixed cost. Same integer math (ONE DIV n).
+    val n = nodes.count()
+    if (n == 0L) {
+      e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+      return nodes.select(col("node_id"), lit(0L).as("pr_nano"))
+    }
+    val base = ((100L - dampingPct) * (ONE / n)) / 100L
 
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node_id"), expr(s"CAST($ONE DIV n AS BIGINT)").as("pr"))
+    var ranks = nodes
+      .select(col("node_id"), lit(ONE / n).as("pr"))
       .localCheckpoint()
     try {
       for (_ <- 1 to iters) {
+        // ONE pass over rank⋈outdeg: per-edge contributions keyed by dst,
+        // dangling rank parked under a NULL dst sentinel — the fused
+        // aggregate is |V|+1 rows, checkpointed, and both consumers (the
+        // dang scalar and the rank update join) read the checkpoint.
         val withDeg = ranks
           .join(outdeg, ranks("node_id") === outdeg("src"), "left")
-        val dang = withDeg.where(col("outdeg").isNull)
-          .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
-        val inflow = withDeg.where(col("outdeg").isNotNull)
+        val contrib = withDeg.where(col("outdeg").isNotNull)
           .select(col("node_id"), expr("CAST(pr DIV outdeg AS BIGINT)").as("c"))
           .join(e, col("node_id") === e("src"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+          .select(col("dst"), col("c"))
+          .union(withDeg.where(col("outdeg").isNull)
+            .select(lit(null).cast("long").as("dst"), col("pr").as("c")))
+        val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+          .localCheckpoint()
+        val dang = agg.where(col("dst").isNull)
+          .select(col("inflow")).collect().headOption
+          .map(_.getLong(0)).getOrElse(0L)
+        val dangShare = dang / n
         val prev = ranks
         ranks = nodes
-          .join(inflow, nodes("node_id") === inflow("dst"), "left")
-          .crossJoin(broadcast(nRow)).crossJoin(broadcast(dang))
+          .join(agg.where(col("dst").isNotNull),
+            nodes("node_id") === col("dst"), "left")
           .select(nodes("node_id"),
-            expr(s"CAST((${100 - dampingPct} * ($ONE DIV n)) DIV 100 + " +
-              s"($dampingPct * (coalesce(inflow, 0) + (dang DIV n))) DIV 100" +
-              " AS BIGINT)").as("pr"))
+            expr(s"CAST($base + ($dampingPct * (coalesce(inflow, 0) + " +
+              s"$dangShare)) DIV 100 AS BIGINT)").as("pr"))
           .localCheckpoint()
         unpersistCheckpoint(prev)
+        unpersistCheckpoint(agg)
       }
     } finally {
       e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
@@ -141,35 +166,51 @@ object Pagerank {
       .persist()
     val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).persist()
-    val sRow = nodes.agg(sum(col("is_seed")).as("s"))
+    // |seed ∩ nodes| as a one-time driver literal (same rationale and
+    // identical integer math as [[run]]'s n).
+    val s = nodes.agg(coalesce(sum(col("is_seed")), lit(0L)))
+      .head().getLong(0)
+    if (s == 0L) {
+      e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
+      return nodes.select(col("node_id"), lit(0L).as("pr_nano"))
+    }
+    val seedBase = ((100L - dampingPct) * (ONE / s)) / 100L
 
-    var ranks = nodes.crossJoin(broadcast(sRow))
+    var ranks = nodes
       .select(col("node_id"), col("is_seed"),
-        expr(s"CAST(CASE WHEN is_seed = 1 THEN $ONE DIV s ELSE 0 END" +
+        expr(s"CAST(CASE WHEN is_seed = 1 THEN ${ONE / s} ELSE 0 END" +
           " AS BIGINT)").as("pr"))
       .localCheckpoint()
     try {
       for (_ <- 1 to iters) {
+        // Same fused single-pass shape as [[run]]: dangling rank rides
+        // the inflow aggregate under a NULL dst sentinel.
         val withDeg = ranks
           .join(outdeg, ranks("node_id") === outdeg("src"), "left")
-        val dang = withDeg.where(col("outdeg").isNull)
-          .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
-        val inflow = withDeg.where(col("outdeg").isNotNull)
+        val contrib = withDeg.where(col("outdeg").isNotNull)
           .select(col("node_id"), expr("CAST(pr DIV outdeg AS BIGINT)").as("c"))
           .join(e, col("node_id") === e("src"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+          .select(col("dst"), col("c"))
+          .union(withDeg.where(col("outdeg").isNull)
+            .select(lit(null).cast("long").as("dst"), col("pr").as("c")))
+        val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+          .localCheckpoint()
+        val dang = agg.where(col("dst").isNull)
+          .select(col("inflow")).collect().headOption
+          .map(_.getLong(0)).getOrElse(0L)
+        val dangShare = dang / s
         val prev = ranks
         ranks = nodes
-          .join(inflow, nodes("node_id") === inflow("dst"), "left")
-          .crossJoin(broadcast(sRow)).crossJoin(broadcast(dang))
+          .join(agg.where(col("dst").isNotNull),
+            nodes("node_id") === col("dst"), "left")
           .select(nodes("node_id"), nodes("is_seed"),
-            expr(s"CAST((${100 - dampingPct} * " +
-              s"(CASE WHEN is_seed = 1 THEN $ONE DIV s ELSE 0 END)) DIV 100" +
+            expr(s"CAST(CASE WHEN is_seed = 1 THEN $seedBase ELSE 0 END" +
               s" + ($dampingPct * (coalesce(inflow, 0) + " +
-              "(CASE WHEN is_seed = 1 THEN dang DIV s ELSE 0 END)))" +
+              s"CASE WHEN is_seed = 1 THEN $dangShare ELSE 0 END))" +
               " DIV 100 AS BIGINT)").as("pr"))
           .localCheckpoint()
         unpersistCheckpoint(prev)
+        unpersistCheckpoint(agg)
       }
     } finally {
       e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
@@ -215,33 +256,44 @@ object Pagerank {
       .distinct().persist()
     val outw = e.groupBy(col("src"))
       .agg(sum(col("w")).as("wsum")).persist()
-    val nRow = nodes.agg(count(lit(1)).as("n"))
+    // One-time driver literal + fused dangling pass — see [[run]].
+    val n = nodes.count()
+    if (n == 0L) {
+      e.unpersist(false); nodes.unpersist(false); outw.unpersist(false)
+      return nodes.select(col("node_id"), lit(0L).as("pr_nano"))
+    }
+    val base = ((100L - dampingPct) * (ONE / n)) / 100L
 
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node_id"), expr(s"CAST($ONE DIV n AS BIGINT)").as("pr"))
+    var ranks = nodes
+      .select(col("node_id"), lit(ONE / n).as("pr"))
       .localCheckpoint()
     try {
       for (_ <- 1 to iters) {
         val withW = ranks
           .join(outw, ranks("node_id") === outw("src"), "left")
-        val dang = withW.where(col("wsum").isNull)
-          .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
-        val inflow = withW.where(col("wsum").isNotNull)
+        val contrib = withW.where(col("wsum").isNotNull)
           .select(col("node_id"), col("pr"), col("wsum"))
           .join(e, col("node_id") === e("src"))
           .select(col("dst"),
             expr("CAST((pr * w) DIV wsum AS BIGINT)").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+          .union(withW.where(col("wsum").isNull)
+            .select(lit(null).cast("long").as("dst"), col("pr").as("c")))
+        val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+          .localCheckpoint()
+        val dang = agg.where(col("dst").isNull)
+          .select(col("inflow")).collect().headOption
+          .map(_.getLong(0)).getOrElse(0L)
+        val dangShare = dang / n
         val prev = ranks
         ranks = nodes
-          .join(inflow, nodes("node_id") === inflow("dst"), "left")
-          .crossJoin(broadcast(nRow)).crossJoin(broadcast(dang))
+          .join(agg.where(col("dst").isNotNull),
+            nodes("node_id") === col("dst"), "left")
           .select(nodes("node_id"),
-            expr(s"CAST((${100 - dampingPct} * ($ONE DIV n)) DIV 100 + " +
-              s"($dampingPct * (coalesce(inflow, 0) + (dang DIV n))) DIV 100" +
-              " AS BIGINT)").as("pr"))
+            expr(s"CAST($base + ($dampingPct * (coalesce(inflow, 0) + " +
+              s"$dangShare)) DIV 100 AS BIGINT)").as("pr"))
           .localCheckpoint()
         unpersistCheckpoint(prev)
+        unpersistCheckpoint(agg)
       }
     } finally {
       e.unpersist(false); nodes.unpersist(false); outw.unpersist(false)
