@@ -290,8 +290,13 @@ object LensGuestModules {
 
   // ---------- guest: shift (T2/T3 arithmetic ± inverse, set_param) ----------
 
-  /** Adds `delta` to integer field `field`; `inverse` subtracts. */
-  def shiftGuest(field: String): Array[Byte] = {
+  /** Adds `delta` to integer field `field`; `inverse` subtracts.
+   *  `viaSatConversions = true` routes the shifted value through the
+   *  post-MVP conversion matrix — f64.convert_i64_s → i64.trunc_sat_f64_s
+   *  (0xFC 6) → i64.extend32_s (0xC4) — an identity on i32-range values,
+   *  so the SAME fixture data must come out unchanged: the conformance
+   *  probe for the opcodes modern LLVM/Rust toolchains emit by default. */
+  def shiftGuest(field: String, viaSatConversions: Boolean = false): Array[Byte] = {
     val d = new DataPacker
     val pat = d.add("\"" + field + "\":")
     val deltaPat = d.add("\"delta\":")
@@ -310,7 +315,10 @@ object LensGuestModules {
         pat = pat, noField = noField, noParam = Some(noParam)) ++
       Vector[Instr](
         GlobalGet(PARSE_END), LocalSet(6),
-        LocalGet(9), GlobalGet(PARAM), LocalGet(0), mulL, addL, LocalSet(9),
+        LocalGet(9), GlobalGet(PARAM), LocalGet(0), mulL, addL, LocalSet(9)) ++
+      (if (!viaSatConversions) Vector.empty[Instr] else Vector[Instr](
+        LocalGet(9), Num(0xB9), TruncSat(6), Num(0xC4), LocalSet(9))) ++
+      Vector[Instr](
         // out frame: worst case len + 21 digits
         ic(26), LocalGet(2), addI, Call(ALLOC), LocalSet(7),
         LocalGet(7), ic(5), addI, LocalSet(8),

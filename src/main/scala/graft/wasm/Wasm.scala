@@ -72,6 +72,10 @@ final case class F32Const(bits: Int) extends Instr
 final case class F64Const(bits: Long) extends Instr
 /** Every no-immediate numeric opcode (0x45–0xC4), dispatched by byte. */
 final case class Num(op: Int) extends Instr
+/** Saturating float→int truncation (0xFC subopcodes 0–7 — post-MVP,
+ *  emitted by default by modern LLVM/Rust toolchains): NaN → 0,
+ *  out-of-range clamps to the type bounds instead of trapping. */
+final case class TruncSat(sub: Int) extends Instr
 
 object ValType {
   val I32: Byte = 0x7F
@@ -344,6 +348,7 @@ object WasmBinary {
           out += F64Const(bits)
         case 0xFC =>
           r.u32() match {
+            case sat if sat >= 0 && sat <= 7 => out += TruncSat(sat)
             case 10 => r.u8(); r.u8(); out += MemoryCopy
             case 11 => r.u8(); out += MemoryFill
             case sub => throw new WasmDecodeError(s"unsupported 0xFC subopcode $sub")
@@ -505,6 +510,7 @@ object WasmBinary {
       case MemStore(op, a, o) => w.u8(op); w.u32(a); w.u32(o)
       case MemorySize => w.u8(0x3F); w.u8(0x00)
       case MemoryGrow => w.u8(0x40); w.u8(0x00)
+      case TruncSat(sub) => w.u8(0xFC); w.u32(sub)
       case MemoryCopy => w.u8(0xFC); w.u32(10); w.u8(0x00); w.u8(0x00)
       case MemoryFill => w.u8(0xFC); w.u32(11); w.u8(0x00)
       case I32Const(v) => w.u8(0x41); w.s32(v)

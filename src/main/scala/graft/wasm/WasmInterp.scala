@@ -238,6 +238,7 @@ object WasmInterp {
           case F32Const(bits) => stack.push(bits.toLong & 0xFFFFFFFFL)
           case F64Const(bits) => stack.push(bits)
           case Num(op) => numeric(op, stack)
+          case TruncSat(sub) => truncSatOp(sub, stack)
         }
         i += 1
       }
@@ -336,6 +337,50 @@ object WasmInterp {
       if (t < 0.0 || t > hi) throw new WasmTrap("integer overflow")
       if (t <= Long.MaxValue.toDouble) t.toLong
       else (t - 9.223372036854776e18).toLong | Long.MinValue
+    }
+
+    /** Signed SATURATING truncation (spec §4.3.2 trunc_sat_s): NaN → 0,
+     *  out-of-range clamps to [lo, hi] instead of trapping. */
+    private def truncSatS(d: Double, lo: Long, hi: Long): Long = {
+      if (d.isNaN) 0L
+      else {
+        val t = if (d < 0) math.ceil(d) else math.floor(d)
+        if (t <= lo.toDouble) lo
+        else if (t >= hi.toDouble) hi
+        else t.toLong
+      }
+    }
+
+    /** Unsigned SATURATING truncation: NaN → 0, negative → 0, above the
+     *  type's max (`hi`, as a double) → `max` (the max as raw bits). */
+    private def truncSatU(d: Double, hi: Double, max: Long): Long = {
+      if (d.isNaN) 0L
+      else {
+        val t = if (d < 0) math.ceil(d) else math.floor(d)
+        if (t <= 0.0) 0L
+        else if (t >= hi) max
+        else if (t <= Long.MaxValue.toDouble) t.toLong
+        else (t - 9.223372036854776e18).toLong | Long.MinValue
+      }
+    }
+
+    /** 0xFC 0–7: the saturating conversion matrix. i32 results are pushed
+     *  sign-extended (the stack's i32 representation, matching 0xA8–0xAB);
+     *  i64 unsigned results are the raw 64 bits. */
+    private def truncSatOp(sub: Int, s: OperandStack): Unit = {
+      @inline def f64 = java.lang.Double.longBitsToDouble(s.pop())
+      @inline def f32 = java.lang.Float.intBitsToFloat(s.pop().toInt).toDouble
+      sub match {
+        case 0 => s.push(truncSatS(f32, Int.MinValue, Int.MaxValue).toInt.toLong) // i32.trunc_sat_f32_s
+        case 1 => s.push(truncSatU(f32, 4294967296.0, 0xFFFFFFFFL).toInt.toLong) // i32.trunc_sat_f32_u
+        case 2 => s.push(truncSatS(f64, Int.MinValue, Int.MaxValue).toInt.toLong) // i32.trunc_sat_f64_s
+        case 3 => s.push(truncSatU(f64, 4294967296.0, 0xFFFFFFFFL).toInt.toLong) // i32.trunc_sat_f64_u
+        case 4 => s.push(truncSatS(f32, Long.MinValue, Long.MaxValue)) // i64.trunc_sat_f32_s
+        case 5 => s.push(truncSatU(f32, 1.8446744073709552e19, -1L)) // i64.trunc_sat_f32_u
+        case 6 => s.push(truncSatS(f64, Long.MinValue, Long.MaxValue)) // i64.trunc_sat_f64_s
+        case 7 => s.push(truncSatU(f64, 1.8446744073709552e19, -1L)) // i64.trunc_sat_f64_u
+        case other => throw new WasmTrap(s"unsupported trunc_sat subopcode $other")
+      }
     }
 
     private def numeric(op: Int, s: OperandStack): Unit = {

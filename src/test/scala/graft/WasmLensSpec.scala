@@ -30,6 +30,25 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
     out shouldBe Seq(("Ada", 41L), ("John", 37L))
   }
 
+  test("a guest built with post-MVP opcodes (trunc_sat + sign-ext) runs " +
+      "through the lens path unchanged") {
+    // same shift guest, but its value path routes through
+    // f64.convert_i64_s -> i64.trunc_sat_f64_s (0xFC 6) -> i64.extend32_s
+    // (0xC4) — the opcodes modern LLVM/Rust toolchains emit by default;
+    // identity on i32-range values, so output must equal the MVP guest's.
+    val satUrl = dataUrl(LensGuestModules.shiftGuest("Age",
+      viaSatConversions = true))
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L)).toDF("Name", "Age")
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val sat = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$satUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    sat shouldBe mvp
+    sat shouldBe Set(("John", 37L), ("Ada", 41L), ("Neg", -2L))
+  }
+
   test("the module's inverse export drives `\"inverse\": true` stages") {
     val fwd = Pipeline.fromJson(
       s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")

@@ -195,6 +195,57 @@ class WasmSpec extends AnyFunSuite with Matchers {
     run1(m64, "f", 0xFFFFFFFFL) shouldBe -1L
   }
 
+  test("saturating truncation matrix (0xFC 0-7): NaN -> 0, clamps, no traps") {
+    // each sub-op as f(bits) -> int; f64 input variants take raw f64 bits,
+    // f32 variants take raw f32 bits in the low word
+    def sat64(sub: Int, d: Double): Long = run1(
+      func(Vector(ValType.F64), Vector(
+        if (sub >= 4) ValType.I64 else ValType.I32), Vector(),
+        LocalGet(0), TruncSat(sub)),
+      "f", java.lang.Double.doubleToRawLongBits(d))
+    def sat32(sub: Int, fl: Float): Long = run1(
+      func(Vector(ValType.F32), Vector(
+        if (sub >= 4) ValType.I64 else ValType.I32), Vector(),
+        LocalGet(0), TruncSat(sub)),
+      "f", java.lang.Float.floatToRawIntBits(fl).toLong & 0xFFFFFFFFL)
+
+    // i32.trunc_sat_f64_s (2): in-range, truncation toward zero, clamps, NaN
+    sat64(2, 41.9) shouldBe 41L
+    sat64(2, -41.9) shouldBe -41L
+    sat64(2, 1e12) shouldBe Int.MaxValue.toLong
+    sat64(2, -1e12) shouldBe Int.MinValue.toLong
+    sat64(2, Double.PositiveInfinity) shouldBe Int.MaxValue.toLong
+    sat64(2, Double.NegativeInfinity) shouldBe Int.MinValue.toLong
+    sat64(2, Double.NaN) shouldBe 0L
+    // i32.trunc_sat_f64_u (3): negative -> 0, above 2^32-1 clamps (the
+    // stack's i32 slot is sign-extended, so 0xFFFFFFFF reads back as -1)
+    sat64(3, -5.0) shouldBe 0L
+    sat64(3, 3e9) shouldBe 3000000000L.toInt.toLong
+    sat64(3, 1e12) shouldBe -1L
+    sat64(3, Double.NaN) shouldBe 0L
+    // i64.trunc_sat_f64_s (6): clamps at the i64 bounds
+    sat64(6, 1e30) shouldBe Long.MaxValue
+    sat64(6, -1e30) shouldBe Long.MinValue
+    sat64(6, -41.9) shouldBe -41L
+    sat64(6, Double.NaN) shouldBe 0L
+    // i64.trunc_sat_f64_u (7): full-width unsigned, raw bits on the stack
+    sat64(7, -1.0) shouldBe 0L
+    sat64(7, 1e19) shouldBe java.lang.Long.parseUnsignedLong("10000000000000000000")
+    sat64(7, 1e30) shouldBe -1L // 0xFFFFFFFFFFFFFFFF
+    // f32-sourced variants (0, 1, 4, 5)
+    sat32(0, 41.9f) shouldBe 41L
+    sat32(0, Float.NegativeInfinity) shouldBe Int.MinValue.toLong
+    sat32(1, -1.0f) shouldBe 0L
+    sat32(1, 1e12f) shouldBe -1L
+    sat32(4, 1e30f) shouldBe Long.MaxValue
+    sat32(5, Float.NaN) shouldBe 0L
+    sat32(5, 1e30f) shouldBe -1L
+    // binary round-trip: the decoder reads 0xFC subops back as TruncSat
+    val m = func(Vector(ValType.F64), Vector(ValType.I64), Vector(),
+      LocalGet(0), TruncSat(6))
+    WasmBinary.decode(WasmBinary.encode(m)) shouldBe m
+  }
+
   test("float matrix: rounding modes, copysign, conversions, trunc traps") {
     def f64op(ops: Instr*): Double = java.lang.Double.longBitsToDouble(
       run1(func(Vector(ValType.F64), Vector(ValType.F64), Vector(),
