@@ -1,0 +1,171 @@
+package graft.engine
+
+import graft.model.{PipelineConfig, StageConfig}
+
+import java.security.MessageDigest
+
+/**
+ * CIDv1/IPLD-compatible content ids for lens configs — the reference's
+ * block layout reproduced byte-for-byte so a config authored here hashes
+ * to the SAME CID a reference node would assign it (and vice versa):
+ *
+ *   - link prototype: CIDv1, dag-cbor (0x71), sha2-256/32
+ *     (reference: host-go/store/store.go:275-282);
+ *   - blocks: DAG-CBOR of the IPLD schema structs, map keys in schema
+ *     declaration order (go-ipld-prime bindnode serializes struct fields
+ *     in declaration order, not sorted) — configBlock {modules [Link]},
+ *     moduleBlock {inverse, arguments [{key, value}], lens}, lensBlock
+ *     keyed-union {"wasmBytes": Bytes} | {"chunks": [Link]}
+ *     (reference: host-go/store/block.go:84-234);
+ *   - module arguments sorted by key with JSON-serialized values
+ *     (reference: host-go/store/block.go:323-338 — our StageConfig
+ *     already holds exactly that shape);
+ *   - wasm payloads above `maxBlockSize` (default 3 MiB —
+ *     host-go/store/store.go:27) chunk into leaf lens blocks under a
+ *     chunks root (reference: host-go/store/block.go:135-172);
+ *   - links serialize as CBOR tag 42 over the identity-prefixed CID
+ *     bytes; the string form is multibase base32-lower ('b' + RFC 4648
+ *     unpadded), go-cid's default for v1.
+ *
+ * Interop boundary, documented: reference configs reference wasm modules
+ * only — for a stage whose path is engine-internal (`builtin:`,
+ * `sha256:`) there IS no wasm binary, so the path's UTF-8 bytes stand in
+ * as the lens payload (stable and collision-free, but such configs are
+ * not addressable by a reference node — nothing engine-internal can be).
+ * Key sorting uses Java string order = byte order for ASCII keys (Go
+ * sorts bytewise; non-BMP argument keys would diverge, same caveat as
+ * Bpe.utf8Less documents for tokenizer tie-breaks).
+ */
+object Cid {
+
+  val DefaultMaxBlockSize: Int = 3 * 1024 * 1024
+
+  // ---- minimal DAG-CBOR writer (the subset the block layout needs) ----
+  private final class W {
+    private val out = new java.io.ByteArrayOutputStream()
+    private def byte(b: Int): Unit = out.write(b)
+    private def head(major: Int, n: Long): Unit = {
+      val m = major << 5
+      if (n < 24) byte(m | n.toInt)
+      else if (n < 256) { byte(m | 24); byte(n.toInt) }
+      else if (n < 65536) { byte(m | 25); byte((n >> 8).toInt); byte(n.toInt) }
+      else {
+        byte(m | 26); byte((n >> 24).toInt); byte((n >> 16).toInt)
+        byte((n >> 8).toInt); byte(n.toInt)
+      }
+    }
+    def text(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); head(3, b.length.toLong); out.write(b, 0, b.length)
+    }
+    def bin(b: Array[Byte]): Unit = {
+      head(2, b.length.toLong); out.write(b, 0, b.length)
+    }
+    def mapHead(n: Int): Unit = head(5, n.toLong)
+    def arrHead(n: Int): Unit = head(4, n.toLong)
+    def bool(v: Boolean): Unit = byte(if (v) 0xF5 else 0xF4)
+    /** CBOR tag 42 over the identity-multibase-prefixed CID bytes. */
+    def link(cid: Array[Byte]): Unit = {
+      byte(0xD8); byte(42); head(2, cid.length + 1L); byte(0x00)
+      out.write(cid, 0, cid.length)
+    }
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(b)
+
+  /** Raw CIDv1 bytes of a dag-cbor block: varint(1) ++ varint(0x71) ++
+   *  multihash(0x12, 32, digest) — 36 bytes. */
+  def cidOfBlock(block: Array[Byte]): Array[Byte] =
+    Array[Byte](0x01, 0x71, 0x12, 0x20) ++ sha256(block)
+
+  private val B32 = "abcdefghijklmnopqrstuvwxyz234567"
+
+  /** Multibase base32-lower string form ('b' prefix, no padding). */
+  def cidString(cid: Array[Byte]): String = {
+    val sb = new StringBuilder("b")
+    var acc = 0L; var nbits = 0
+    cid.foreach { b =>
+      acc = (acc << 8) | (b & 0xFFL); nbits += 8
+      while (nbits >= 5) {
+        nbits -= 5; sb += B32(((acc >> nbits) & 31L).toInt)
+      }
+    }
+    if (nbits > 0) sb += B32(((acc << (5 - nbits)) & 31L).toInt)
+    sb.result()
+  }
+
+  /** True for a plausible base32-lower CIDv1 string (the shape `resolve`
+   *  accepts alongside `sha256:` ids). */
+  def looksLikeCid(s: String): Boolean = s.matches("b[a-z2-7]{10,}")
+
+  /** Lens block(s) for a wasm payload: one `wasmBytes` leaf if it fits
+   *  `maxBlockSize`, else leaf blocks under a `chunks` root (zero chunks
+   *  for an empty payload — mirroring Go's slices.Chunk). Returns the
+   *  root link's raw CID bytes plus every (cidString, blockBytes). */
+  def lensBlocks(payload: Array[Byte],
+      maxBlockSize: Int = DefaultMaxBlockSize): (Array[Byte], Vector[(String, Array[Byte])]) = {
+    def leaf(chunk: Array[Byte]): Array[Byte] = {
+      val w = new W; w.mapHead(1); w.text("wasmBytes"); w.bin(chunk); w.result
+    }
+    val chunks =
+      if (payload.isEmpty) Vector.empty
+      else payload.grouped(maxBlockSize).toVector
+    if (chunks.length == 1) {
+      val b = leaf(chunks.head); val c = cidOfBlock(b)
+      (c, Vector((cidString(c), b)))
+    } else {
+      val leaves = chunks.map { ch => val b = leaf(ch); (cidOfBlock(b), b) }
+      val w = new W; w.mapHead(1); w.text("chunks"); w.arrHead(leaves.length)
+      leaves.foreach { case (c, _) => w.link(c) }
+      val root = w.result; val c = cidOfBlock(root)
+      (c, leaves.map { case (cc, b) => (cidString(cc), b) } :+ (cidString(c), root))
+    }
+  }
+
+  /** Module block: {inverse, arguments (sorted KeyValue), lens link}. */
+  def moduleBlock(stage: StageConfig, lensLink: Array[Byte]): Array[Byte] = {
+    val w = new W
+    w.mapHead(3)
+    w.text("inverse"); w.bool(stage.inverse)
+    w.text("arguments"); w.arrHead(stage.arguments.size)
+    stage.arguments.foreach { case (k, v) => // SortedMap — already key-sorted
+      w.mapHead(2); w.text("key"); w.text(k); w.text("value"); w.text(v)
+    }
+    w.text("lens"); w.link(lensLink)
+    w.result
+  }
+
+  /**
+   * The full config DAG: per stage a lens block (chunked as needed) and a
+   * module block, then the config block linking the modules in order.
+   * Returns (config CID string, every (cidString, blockBytes) in
+   * store order — leaves before parents, the reference's write order).
+   */
+  def configBlocks(cfg: PipelineConfig, wasmBytesOf: String => Array[Byte],
+      maxBlockSize: Int = DefaultMaxBlockSize): (String, Vector[(String, Array[Byte])]) = {
+    val all = Vector.newBuilder[(String, Array[Byte])]
+    val moduleLinks = cfg.lenses.map { stage =>
+      val (lensLink, blocks) = lensBlocks(wasmBytesOf(stage.path), maxBlockSize)
+      all ++= blocks
+      val mb = moduleBlock(stage, lensLink)
+      val mc = cidOfBlock(mb)
+      all += ((cidString(mc), mb))
+      mc
+    }
+    val w = new W
+    w.mapHead(1); w.text("modules"); w.arrHead(moduleLinks.length)
+    moduleLinks.foreach(w.link)
+    val cb = w.result
+    val cc = cidOfBlock(cb)
+    all += ((cidString(cc), cb))
+    (cidString(cc), all.result())
+  }
+
+  /** The stand-in payload rule for a stage path (see the interop-boundary
+   *  note above): fetchable refs yield the real module bytes, engine-
+   *  internal paths their UTF-8 bytes. */
+  def payloadOf(path: String): Array[Byte] =
+    if (ModuleFetch.supports(path)) ModuleFetch.fetchBytes(path)
+    else path.getBytes("UTF-8")
+}

@@ -31,6 +31,12 @@ final class LensEngine(persistDir: Option[Path] = None) {
 
   private val configs = TrieMap.empty[String, PipelineConfig]
   private val pipelines = TrieMap.empty[String, Pipeline]
+  // CIDv1 aliases (see [[Cid]]): cid -> primary sha256 id and back. The
+  // reference keys its whole store by this CID (store.go:131-155); here
+  // it rides alongside the engine's sha256-of-canonical-JSON id so BOTH
+  // address the same pipeline.
+  private val cidToId = TrieMap.empty[String, String]
+  private val idToCid = TrieMap.empty[String, String]
 
   /** Stage paths like `sha256:<id>` resolve against this engine's registry,
    *  so stored pipelines can reference each other (reference fetch
@@ -58,6 +64,20 @@ final class LensEngine(persistDir: Option[Path] = None) {
 
   def list: Seq[(String, PipelineConfig)] = configs.toSeq.sortBy(_._1)
 
+  /** Stored configs keyed by their CIDv1 — the reference's `list` shape
+   *  (store.go:157-192 keys by configLink.String()). Configs whose CID
+   *  could not be computed (unfetchable stage path at add time) are
+   *  absent here but still listed by [[list]]. */
+  def listCids: Seq[(String, PipelineConfig)] =
+    cidToId.toSeq.sortBy(_._1).flatMap { case (cid, id) =>
+      configs.get(id).map(cid -> _)
+    }
+
+  /** The CIDv1(sha2-256, dag-cbor) of a stored pipeline, per the
+   *  reference's block layout — the id a reference node would assign the
+   *  same config (see [[Cid]] for the interop boundary). */
+  def cidOf(id: String): Option[String] = idToCid.get(id)
+
   /** Unknown-but-well-formed id ⇒ identity pass-through, matching the
    *  reference's repository behavior
    *  (reference: host-go/repository/repository.go:244-254, test
@@ -75,8 +95,10 @@ final class LensEngine(persistDir: Option[Path] = None) {
   }
 
   private def resolve(id: String): Option[Pipeline] = {
-    require(id.matches("sha256:[0-9a-f]{64}"), s"malformed pipeline id: '$id'")
+    require(id.matches("sha256:[0-9a-f]{64}") || Cid.looksLikeCid(id),
+      s"malformed pipeline id: '$id'")
     pipelines.get(id)
+      .orElse(cidToId.get(id).flatMap(pipelines.get))
   }
 
   /**
@@ -117,6 +139,15 @@ final class LensEngine(persistDir: Option[Path] = None) {
     entries.foreach { case (id, cfg, pipe) =>
       configs.putIfAbsent(id, cfg)
       pipelines.putIfAbsent(id, pipe)
+      // CID alias, best effort: an unfetchable stage path (e.g. an http
+      // ref that has since vanished) must not fail the add — the sha256
+      // id stands alone then. Deterministic, so putIfAbsent suffices.
+      if (!idToCid.contains(id)) {
+        scala.util.Try(Cid.configBlocks(cfg, Cid.payloadOf)._1).foreach { cid =>
+          idToCid.putIfAbsent(id, cid)
+          cidToId.putIfAbsent(cid, id)
+        }
+      }
     }
   }
 

@@ -500,4 +500,82 @@ class LensEngineSpec extends AnyFunSuite {
       local.syncLens("not-a-cid", Seq.empty)
     }
   }
+
+  // ---- CIDv1/IPLD content ids (reference: host-go/store/block.go,
+  // store.go:275-282) ----------------------------------------------------
+
+  test("CID golden fixture: block bytes and CIDs match the reference's " +
+      "dag-cbor layout (independently derived)") {
+    import graft.engine.Cid
+    import graft.model.StageConfig
+    import scala.collection.immutable.SortedMap
+    // Expected bytes/CIDs hand-derived from the reference block layout
+    // (CIDv1, dag-cbor 0x71, sha2-256; bindnode field order; tag-42
+    // identity-prefixed links) with an independent Python CBOR encoder —
+    // NOT computed by the code under test.
+    val cfg = PipelineConfig(Seq(
+      StageConfig("p", inverse = false, SortedMap("delta" -> "5"))))
+    val (cid, blocks) = Cid.configBlocks(cfg, _ => Array[Byte](1, 2, 3, 4))
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val byCid = blocks.toMap
+    assert(cid == "bafyreihhpyydr3wbzx2uqyetpyngmzx2a7xjmj5qw5azx5od6ar4skjofu")
+    assert(blocks.map(_._1) == Vector(
+      "bafyreidzajkv6mh4gbvqn33gdq3sua2hdafo3cic7s4vewyylxlsttdihy", // lens
+      "bafyreicvmhus6j562vtrolldheqq2cryq7vdnyl6sbomhjaimmfzpaxnte", // module
+      cid)) // config — leaves stored before parents, the reference order
+    assert(hex(byCid("bafyreidzajkv6mh4gbvqn33gdq3sua2hdafo3cic7s4vewyylxlsttdihy"))
+      == "a1697761736d42797465734401020304")
+    assert(hex(byCid("bafyreicvmhus6j562vtrolldheqq2cryq7vdnyl6sbomhjaimmfzpaxnte"))
+      == "a367696e7665727365f469617267756d656e747381a2636b65796564656c746165" +
+         "76616c75656135646c656e73d82a582500017112207902555f30fc306b06ef661c" +
+         "372a0347180aed8902fcb9525b185dd729cc683e")
+    assert(hex(byCid(cid))
+      == "a1676d6f64756c657381d82a582500017112205561e92f27bed567172d6339210d" +
+         "0a3887ea36e17e905cc3a408630b9782ed99")
+  }
+
+  test("CID chunking: payloads above maxBlockSize split into leaf blocks " +
+      "under a chunks root (reference: block.go:135-172)") {
+    import graft.engine.Cid
+    val (rootLink, blocks) =
+      Cid.lensBlocks(Array[Byte](1, 2, 3, 4, 5, 6, 7), maxBlockSize = 3)
+    assert(blocks.length == 4) // 3 leaves + chunks root
+    assert(Cid.cidString(rootLink) ==
+      "bafyreie4k7apadn4pufa2z7zhmkjy5kned6a3uqoslaj3cmvojtdevrfs4")
+    assert(blocks.head._1 ==
+      "bafyreiausz7filbjpwkzoemfto5z4m5q2djkqj4f4cf3rszcglyagsvjze")
+    // single-chunk payloads inline the bytes — no chunks indirection
+    val (_, single) = Cid.lensBlocks(Array[Byte](1, 2, 3), maxBlockSize = 3)
+    assert(single.length == 1)
+  }
+
+  test("CID round-trips through the engine: add + listCids + transform/" +
+      "inverse by CID address the same pipeline") {
+    import graft.wasm.LensGuestModules
+    val url = "data:application/wasm;base64," +
+      java.util.Base64.getEncoder.encodeToString(LensGuestModules.shiftGuest("Age"))
+    val engine = LensEngine()
+    val id = engine.add(
+      s"""{"lenses":[{"path":"$url","arguments":{"delta":4}}]}""")
+    val cid = engine.cidOf(id).getOrElse(fail("no CID computed for a wasm config"))
+    assert(cid.startsWith("bafyrei"), s"not a CIDv1(dag-cbor, sha2-256): $cid")
+    // list by CID — the reference's list shape (store.go:157-192)
+    assert(engine.listCids.map(_._1) == Seq(cid))
+    assert(engine.listCids.head._2 == engine.list.head._2)
+    // transform and inverse by CID ≡ by sha256 id
+    val byId = engine.transform(people, id).as[(String, Long)].collect().toSet
+    val byCid = engine.transform(people, cid).as[(String, Long)].collect().toSet
+    assert(byCid == byId && byCid == Set(("John", 7L), ("Fred", 9L), ("Orpheus", 11L)))
+    assert(engine.inverse(people, cid).as[(String, Long)].collect().toSet ==
+      Set(("John", -1L), ("Fred", 1L), ("Orpheus", 3L)))
+    // determinism: same config in a fresh engine -> same CID (content id)
+    val engine2 = LensEngine()
+    val id2 = engine2.add(
+      s"""{"lenses":[{"path":"$url","arguments":{"delta":4}}]}""")
+    assert(engine2.cidOf(id2).contains(cid))
+    // unknown-but-well-formed CID -> identity pass-through, like sha256 ids
+    val ghost = "b" + "a" * 58
+    assert(engine.transform(people, ghost).as[(String, Long)].collect().toSet ==
+      people.as[(String, Long)].collect().toSet)
+  }
 }
