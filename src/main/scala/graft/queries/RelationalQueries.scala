@@ -895,19 +895,62 @@ object RelationalQueries extends QueryProvider {
   // User co-activity graph (Graphs.cooccurrenceEdges): users sharing >= 3
   // distinct (event_type, hour) activity cells become a weighted edge —
   // ~12% density at sf0.01, so triangles and communities are both
-  // populated and non-degenerate. The hot-cell cap is ACTIVE (cells with
-  // > coActMaxCell distinct users carry no pairwise signal and are the
-  // 100 TB fanout risk — at sf0.01 it drops the busiest ~1% of cells,
-  // proving the capped operator and its oracle twin agree). Shared by
-  // q_triangles / q_label_prop; the SQL fragment below is the bit-exact
-  // oracle twin (the cap is mirrored in the `cells` CTE).
-  private val coActMaxCell = 8L
+  // populated and non-degenerate. The hot-cell cap is ACTIVE and
+  // SCALE-ROBUST: an absolute constant that bites at sf0.01 guts the
+  // graph at sf0.1 (cells are ~10× denser there — measured: cap 8 left
+  // ZERO cells at sf0.1), so the cap is the exact P99 ORDER STATISTIC
+  // of cell sizes, computed independently by both engines with the
+  // winsorize rank formula `(n−1)·ppm div 10⁶ + 1` — drops the busiest
+  // ~1% of cells at every sf (22 cells at sf0.01, 27 at sf0.1, none at
+  // sf0.001 where the distribution is flat). The quantile pass is
+  // cells-table bounded (types × hours — never event volume); for cell
+  // definitions with unbounded cell COUNTS swap the TakeOrdered cut for
+  // GlobalSequence ranks. Shared by q_triangles / q_label_prop /
+  // q_kcore / q_bfs / the flagships; the SQL fragment below is the
+  // bit-exact oracle twin (cap CTE = the same rank formula).
+  private val coActCellPpm = 990000L
+  private val coActCapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Exact order statistic: the value at 1-based rank
+   *  `(n−1)·ppm div 10⁶ + 1` of `valueCol` ascending — winsorize's
+   *  quantile index, non-negative operands so Spark DIV ≡ DuckDB //. */
+  private def exactQuantile(df: DataFrame, valueCol: String,
+      ppm: Long): Long = {
+    val n = df.count()
+    if (n == 0L) Long.MaxValue
+    else {
+      val idx = ((n - 1L) * ppm) / 1000000L + 1L
+      df.select(col(valueCol)).orderBy(col(valueCol)).limit(idx.toInt)
+        .agg(max(col(valueCol))).head().getLong(0)
+    }
+  }
+
+  private def coActDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts div 1000 div 3600000000").as("hr"))
+
+  private def coActCellCap(s: SparkSession, dir: String): Long =
+    coActCapCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir",
+      _ => exactQuantile(
+        coActDistinct(s, dir).distinct()
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("k")),
+        "k", coActCellPpm))
+
+  // saltBuckets = 1: the P99 cap already bounds per-cell work to
+  // C(cap, 2) slim pairs — salting ON TOP would replicate the exploded
+  // (entity, cell) table ~S/2+1× through the shuffle for protection the
+  // cap provides (measured 2-3× wall-clock at sf0.1 for zero candidate
+  // change). Cap and salt are ALTERNATIVE hot-cell defenses: cap when
+  // dropping pathological cells is acceptable, salt when exactness
+  // demands enumerating them (the operator default).
   private def coActivityEdges(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graphs.cooccurrenceEdges(
-      T(s, dir, "events").select(col("user_id"), col("event_type"),
-        expr("ts div 1000 div 3600000000").as("hr")),
+      coActDistinct(s, dir),
       "user_id", Seq("event_type", "hr"), minWeight = 3L,
-      maxCellEntities = coActMaxCell)
+      maxCellEntities = coActCellCap(s, dir), saltBuckets = 1)
 
   // d0/d/e are AS MATERIALIZED: DuckDB 1.0 inlines CTEs per reference
   // (CLAUDE.md q_hits pitfall), and the co-occurrence self-join in e is
@@ -916,9 +959,14 @@ object RelationalQueries extends QueryProvider {
   private val coActSql =
     s"""d0 AS MATERIALIZED (SELECT DISTINCT user_id, event_type,
        |    epoch_us(ts) // 3600000000 AS hr FROM events),
+       |cc AS MATERIALIZED (SELECT event_type, hr,
+       |    CAST(count(*) AS BIGINT) AS k
+       |  FROM d0 GROUP BY 1, 2),
+       |ccap AS MATERIALIZED (SELECT max(k) AS cap FROM (
+       |  SELECT k FROM cc ORDER BY k
+       |  LIMIT (SELECT (count(*) - 1) * $coActCellPpm // 1000000 + 1 FROM cc))),
        |d AS MATERIALIZED (SELECT d0.* FROM d0 JOIN (
-       |    SELECT event_type, hr FROM d0
-       |    GROUP BY 1, 2 HAVING count(*) <= $coActMaxCell) cells
+       |    SELECT event_type, hr FROM cc, ccap WHERE k <= cap) cells
        |  USING (event_type, hr)),
        |e AS MATERIALIZED (SELECT a.user_id AS u, b.user_id AS v,
        |    CAST(count(*) AS BIGINT) AS w
@@ -1113,14 +1161,34 @@ object RelationalQueries extends QueryProvider {
 
   /** Top-100 non-adjacent pairs by (common neighbors, preferential
    *  attachment) over the co-activity graph (Graphs.linkPrediction). The
-   *  hub cap is ACTIVE (maxCenterDegree drops the top ~3% degree nodes
-   *  from wedge enumeration at sf0.01 — capped common-neighbor counts,
-   *  mirrored in the oracle's `dc.d <=` predicate; `pa` keeps TRUE
-   *  degrees on both sides). */
-  private val linkPredictMaxCenter = 30L
+   *  hub cap is ACTIVE and SCALE-ROBUST like the cell cap: the exact P97
+   *  ORDER STATISTIC of node degrees (= 30 at sf0.01 — drops the top
+   *  ~3% hubs from wedge enumeration; 281 at sf0.1 where degrees are an
+   *  order of magnitude higher). Capped common-neighbor counts, mirrored
+   *  in the oracle's `dc.d <=` predicate; `pa` keeps TRUE degrees on
+   *  both sides. The degree-quantile pass is |V|-bounded. */
+  private val linkPredictCenterPpm = 970000L
+  private val linkPredictCapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def linkPredictCenterCap(s: SparkSession, dir: String): Long =
+    linkPredictCapCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir",
+      _ => {
+        val e = coActivityEdges(s, dir)
+        val adj = e.select(col("u").as("x"))
+          .union(e.select(col("v").as("x")))
+        exactQuantile(
+          adj.groupBy(col("x")).agg(count(lit(1)).as("d")),
+          "d", linkPredictCenterPpm)
+      })
+
+  // saltBuckets = 1 for the same cap-vs-salt reason as coActivityEdges:
+  // the P97 center cap bounds per-center wedge blocks to C(cap, 2).
   private def linkPredictQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graphs.linkPrediction(coActivityEdges(s, dir), "u", "v",
-      k = 100, maxCenterDegree = linkPredictMaxCenter)
+      k = 100, maxCenterDegree = linkPredictCenterCap(s, dir),
+      saltBuckets = 1)
 
   private val linkPredictSql =
     s"""WITH $coActSql,
@@ -1128,9 +1196,14 @@ object RelationalQueries extends QueryProvider {
        |  UNION ALL SELECT v, u FROM e),
        |deg AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS d
        |  FROM adj GROUP BY 1),
+       |dcap AS MATERIALIZED (SELECT max(d) AS cap FROM (
+       |  SELECT d FROM deg ORDER BY d
+       |  LIMIT (SELECT (count(*) - 1) * $linkPredictCenterPpm // 1000000 + 1
+       |    FROM deg))),
        |cand AS (SELECT a1.x AS a, a2.x AS b, CAST(count(*) AS BIGINT) AS cn
        |  FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
-       |  JOIN deg dc ON a1.n = dc.x AND dc.d <= $linkPredictMaxCenter
+       |  JOIN deg dc ON a1.n = dc.x
+       |  CROSS JOIN dcap WHERE dc.d <= dcap.cap
        |  GROUP BY 1, 2),
        |non AS (SELECT cand.a, cand.b, cand.cn FROM cand
        |  LEFT JOIN e ON cand.a = e.u AND cand.b = e.v WHERE e.u IS NULL)
