@@ -95,9 +95,34 @@ object Cid {
     sb.result()
   }
 
-  /** True for a plausible base32-lower CIDv1 string (the shape `resolve`
-   *  accepts alongside `sha256:` ids). */
-  def looksLikeCid(s: String): Boolean = s.matches("b[a-z2-7]{10,}")
+  /** True only for a WELL-FORMED CIDv1(dag-cbor, sha2-256) string: 'b'
+   *  multibase prefix, exactly 58 base32 chars decoding to 36 bytes with
+   *  the 0x01 0x71 0x12 0x20 header. A reference node's CID parser
+   *  rejects anything looser, and `resolve`'s contract is malformed id
+   *  ⇒ error / unknown-but-well-formed ⇒ identity — a typo'd CID must
+   *  surface, not silently pass data through. */
+  def looksLikeCid(s: String): Boolean =
+    s.length == 59 && s.charAt(0) == 'b' && {
+      var acc = 0L; var nbits = 0; var i = 1
+      val out = new Array[Byte](36); var n = 0; var ok = true
+      while (ok && i < s.length) {
+        val v = B32.indexOf(s.charAt(i))
+        if (v < 0) ok = false
+        else {
+          acc = (acc << 5) | v.toLong; nbits += 5
+          if (nbits >= 8) {
+            nbits -= 8
+            if (n < 36) { out(n) = ((acc >> nbits) & 0xFF).toByte; n += 1 }
+            else ok = false
+          }
+        }
+        i += 1
+      }
+      // trailing partial bits must be zero padding
+      ok && n == 36 && (acc & ((1L << nbits) - 1L)) == 0L &&
+        out(0) == 0x01.toByte && out(1) == 0x71.toByte &&
+        out(2) == 0x12.toByte && out(3) == 0x20.toByte
+    }
 
   /** Lens block(s) for a wasm payload: one `wasmBytes` leaf if it fits
    *  `maxBlockSize`, else leaf blocks under a `chunks` root (zero chunks

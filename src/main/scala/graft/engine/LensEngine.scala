@@ -126,24 +126,33 @@ final class LensEngine(persistDir: Option[Path] = None) {
   }
 
   private[engine] def publishAll(
-      entries: Seq[(String, PipelineConfig, Pipeline)]): Unit = synchronized {
-    // Durability first: if any file write fails, the in-memory registry is
-    // untouched and the whole publish (txn or single add) aborts clean.
-    persistDir.foreach { dir =>
-      Files.createDirectories(dir)
-      entries.foreach { case (id, cfg, _) =>
-        val file = dir.resolve(id.replace(":", "_") + ".json")
-        if (!Files.exists(file)) Files.writeString(file, cfg.canonicalJson)
+      entries: Seq[(String, PipelineConfig, Pipeline)]): Unit = {
+    // CID derivation re-fetches stage module bytes (possibly remote), so
+    // it runs OUTSIDE the publish lock — a slow or hung http ref must
+    // not stall every other add/txn/reload. Best effort: an unfetchable
+    // stage path must not fail the add (the sha256 id stands alone
+    // then), and for a MUTABLE http ref the CID describes the bytes at
+    // derivation time — content addressing is only as stable as the
+    // refs it hashes.
+    val cids = entries.map { case (id, cfg, _) =>
+      id -> (if (idToCid.contains(id)) None
+      else scala.util.Try(Cid.configBlocks(cfg, Cid.payloadOf)._1).toOption)
+    }.toMap
+    synchronized {
+      // Durability first: if any file write fails, the in-memory registry
+      // is untouched and the whole publish (txn or single add) aborts
+      // clean.
+      persistDir.foreach { dir =>
+        Files.createDirectories(dir)
+        entries.foreach { case (id, cfg, _) =>
+          val file = dir.resolve(id.replace(":", "_") + ".json")
+          if (!Files.exists(file)) Files.writeString(file, cfg.canonicalJson)
+        }
       }
-    }
-    entries.foreach { case (id, cfg, pipe) =>
-      configs.putIfAbsent(id, cfg)
-      pipelines.putIfAbsent(id, pipe)
-      // CID alias, best effort: an unfetchable stage path (e.g. an http
-      // ref that has since vanished) must not fail the add — the sha256
-      // id stands alone then. Deterministic, so putIfAbsent suffices.
-      if (!idToCid.contains(id)) {
-        scala.util.Try(Cid.configBlocks(cfg, Cid.payloadOf)._1).foreach { cid =>
+      entries.foreach { case (id, cfg, pipe) =>
+        configs.putIfAbsent(id, cfg)
+        pipelines.putIfAbsent(id, pipe)
+        cids.get(id).flatten.foreach { cid =>
           idToCid.putIfAbsent(id, cid)
           cidToId.putIfAbsent(cid, id)
         }

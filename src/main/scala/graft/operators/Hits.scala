@@ -54,6 +54,10 @@ object Hits {
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
+      // NULL endpoints are not nodes (a null id row would ride the node
+      // table into the output with zero scores) — same exclusion as
+      // Pagerank.run.
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
     val eBySrc = e0.repartition(col("src")).persist()
     // Derive the dst orientation and node set FROM the cached src copy so

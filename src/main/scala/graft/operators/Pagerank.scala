@@ -67,6 +67,12 @@ object Pagerank {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
+      // NULL endpoints (e.g. a non-numeric id that cast to null) are not
+      // nodes: drop them up front. Without this, a null-dst edge's
+      // contribution would land in the fused aggregate's NULL-dst
+      // sentinel and be misread as DANGLING mass (the oracle computes
+      // dang from rank rows only, so results would silently diverge).
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst").as("node_id")))
@@ -153,6 +159,12 @@ object Pagerank {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
+      // NULL endpoints (e.g. a non-numeric id that cast to null) are not
+      // nodes: drop them up front. Without this, a null-dst edge's
+      // contribution would land in the fused aggregate's NULL-dst
+      // sentinel and be misread as DANGLING mass (the oracle computes
+      // dang from rank rows only, so results would silently diverge).
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().repartition(col("src")).persist()
     val seedIds = seeds.select(col(seedCol).cast("long").as("node_id"))
       .distinct()
@@ -248,7 +260,8 @@ object Pagerank {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
-      .where(col("w") > 0)
+      // same NULL-endpoint exclusion as [[run]] — see the note there
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node_id"))

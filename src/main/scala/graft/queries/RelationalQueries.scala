@@ -921,6 +921,12 @@ object RelationalQueries extends QueryProvider {
     if (n == 0L) Long.MaxValue
     else {
       val idx = ((n - 1L) * ppm) / 1000000L + 1L
+      // limit() is Int-bounded — fail loudly instead of wrapping the
+      // rank for tables beyond ~2.1e9 rows (swap in GlobalSequence
+      // ranks for that regime, as the cap Scaladocs note).
+      require(idx <= Int.MaxValue.toLong,
+        s"order-statistic rank $idx exceeds the TakeOrdered cut — " +
+          "use GlobalSequence ranks for tables this large")
       df.select(col(valueCol)).orderBy(col(valueCol)).limit(idx.toInt)
         .agg(max(col(valueCol))).head().getLong(0)
     }

@@ -330,12 +330,16 @@ object WasmInterp {
       t.toLong
     }
 
-    /** Unsigned float→int truncation (result returned as the raw bits). */
+    /** Unsigned float→int truncation (result returned as the raw bits).
+     *  The high-path comparison is STRICT: Long.MaxValue.toDouble rounds
+     *  up to exactly 2^63, so `t <= that` would send t == 2^63 through
+     *  Double.toLong (which saturates to 2^63−1) instead of producing
+     *  the correct raw bits 0x8000000000000000. */
     private def truncTrapU(d: Double, hi: Double): Long = {
       if (d.isNaN) throw new WasmTrap("invalid conversion to integer")
       val t = if (d < 0) math.ceil(d) else math.floor(d)
       if (t < 0.0 || t > hi) throw new WasmTrap("integer overflow")
-      if (t <= Long.MaxValue.toDouble) t.toLong
+      if (t < 9.223372036854776e18) t.toLong
       else (t - 9.223372036854776e18).toLong | Long.MinValue
     }
 
@@ -352,14 +356,16 @@ object WasmInterp {
     }
 
     /** Unsigned SATURATING truncation: NaN → 0, negative → 0, above the
-     *  type's max (`hi`, as a double) → `max` (the max as raw bits). */
+     *  type's max (`hi`, as a double) → `max` (the max as raw bits).
+     *  Strict `<` on the high-path split for the same 2^63 boundary
+     *  reason as [[truncTrapU]]. */
     private def truncSatU(d: Double, hi: Double, max: Long): Long = {
       if (d.isNaN) 0L
       else {
         val t = if (d < 0) math.ceil(d) else math.floor(d)
         if (t <= 0.0) 0L
         else if (t >= hi) max
-        else if (t <= Long.MaxValue.toDouble) t.toLong
+        else if (t < 9.223372036854776e18) t.toLong
         else (t - 9.223372036854776e18).toLong | Long.MinValue
       }
     }

@@ -57,7 +57,12 @@ object GraftFunctions {
 
   /** Register into a live session (idempotent — a name already present
    *  is left alone, so session rebuilds don't trigger the registry's
-   *  "replaced a previously registered function" WARN). */
+   *  "replaced a previously registered function" WARN). Contract: graft
+   *  function names are treated as graft-owned — if a session already
+   *  binds one of them, the existing binding is assumed to BE graft's
+   *  (cloned-session inheritance, a prior register call). A session
+   *  that deliberately bound a foreign function under a graft name
+   *  keeps it; use `createOrReplaceTempFunction` directly to clobber. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, _, builder) =>

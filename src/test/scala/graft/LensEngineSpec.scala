@@ -573,9 +573,16 @@ class LensEngineSpec extends AnyFunSuite {
     val id2 = engine2.add(
       s"""{"lenses":[{"path":"$url","arguments":{"delta":4}}]}""")
     assert(engine2.cidOf(id2).contains(cid))
-    // unknown-but-well-formed CID -> identity pass-through, like sha256 ids
-    val ghost = "b" + "a" * 58
+    // unknown-but-WELL-FORMED CID -> identity pass-through, like sha256
+    // ids (the golden fixture CID is a valid CIDv1 not in this engine)
+    val ghost = "bafyreihhpyydr3wbzx2uqyetpyngmzx2a7xjmj5qw5azx5od6ar4skjofu"
     assert(engine.transform(people, ghost).as[(String, Long)].collect().toSet ==
       people.as[(String, Long)].collect().toSet)
+    // malformed CID-ish strings ERROR (reference CID-parse semantics):
+    // right length but wrong multicodec header, wrong length, bad chars
+    for (bad <- Seq("b" + "a" * 58, "bananabanana", cid.dropRight(1),
+        cid.init + "A")) {
+      intercept[IllegalArgumentException] { engine.transform(people, bad) }
+    }
   }
 }

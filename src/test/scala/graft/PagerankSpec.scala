@@ -65,6 +65,21 @@ class PagerankSpec extends AnyFunSuite {
     assert(ranks(edges) == ranks(edges))
   }
 
+  test("NULL endpoints are not nodes: a null-dst edge neither dangles " +
+      "nor counts toward outdegree") {
+    import org.apache.spark.sql.functions.{col, when}
+    val clean = Seq((1L, 2L), (2L, 1L), (1L, 3L))
+    val expected = ranks(clean)
+    // same edges plus a (1, null) row — the fused dangling sentinel must
+    // not absorb its contribution, and node 1's outdegree must stay 2
+    val dirty = (clean :+ (1L, -1L)).toDF("src", "dst")
+      .select(col("src"),
+        when(col("dst") === -1L, null).otherwise(col("dst")).as("dst"))
+    val got = Pagerank.run(dirty, "src", "dst", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "null-dst edge leaked into the rank math")
+  }
+
   private def wranks(edges: Seq[(Long, Long, Long)],
       iters: Int = 5): Map[Long, Long] =
     Pagerank.runWeighted(edges.toDF("src", "dst", "w"), "src", "dst", "w",

@@ -232,6 +232,13 @@ class WasmSpec extends AnyFunSuite with Matchers {
     sat64(7, -1.0) shouldBe 0L
     sat64(7, 1e19) shouldBe java.lang.Long.parseUnsignedLong("10000000000000000000")
     sat64(7, 1e30) shouldBe -1L // 0xFFFFFFFFFFFFFFFF
+    // the 2^63 boundary: Double.toLong would saturate to 2^63-1; the
+    // spec result is exactly 2^63 = raw bits 0x8000000000000000
+    sat64(7, 9.223372036854775808e18) shouldBe Long.MinValue
+    run1(func(Vector(ValType.F64), Vector(ValType.I64), Vector(),
+      LocalGet(0), Num(0xB1)), // trapping i64.trunc_f64_u, same boundary
+      "f", java.lang.Double.doubleToRawLongBits(9.223372036854775808e18)
+    ) shouldBe Long.MinValue
     // f32-sourced variants (0, 1, 4, 5)
     sat32(0, 41.9f) shouldBe 41L
     sat32(0, Float.NegativeInfinity) shouldBe Int.MinValue.toLong
