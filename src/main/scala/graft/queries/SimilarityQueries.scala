@@ -367,6 +367,101 @@ object SimilarityQueries extends QueryProvider {
        |  FROM scored)
        |WHERE rk <= 5""".stripMargin
 
+  /**
+   * Composition flagship over the round-8 ANN tier: residual-PQ-assisted
+   * near-duplicate CLUSTERING — the scale path of embedding dedup. The
+   * funnel: IVF-cell blocking (candidates = same coarse cell, the
+   * blocking the corpus index already provides) → residual-ADC prefilter
+   * (one exact vector against the other side's m-int codes, codegen'd
+   * per pair — no second float vector touched) → exact-cosine verify on
+   * the prefilter's survivors only → connected components → canonical
+   * min-id survivor per cluster. SemDeDup's shape with the compressed
+   * tier doing the quadratic part: at 100 TB the in-cell pair space
+   * scores against 16-byte codes, and full vectors are re-read only for
+   * the prefiltered sliver. Thresholds sit in measured distribution
+   * gaps (ADC 0.35: gap ≥ 1.1e-3; exact 0.402: the dedup_embedding gap)
+   * so the >= comparisons are FP-safe cross-engine. The oracle replays
+   * the WHOLE funnel — reconstruction from the materialized codebook/
+   * centroid/index tables, both cosine stages, and the transitive
+   * closure as a recursive CTE — so the hash certifies the composition.
+   */
+  private val annDedupAdcTau = 0.35
+  private val annDedupExactTau = 0.402
+  private def annDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftPq
+    val cents = rpqCentroids(s, dir)
+    val cbs = rpqCodebooks(s, dir)
+    val emb = T(s, dir, "embeddings")
+    Scratch.materialize(s, dir, "rpq_codebooks",
+      graft.operators.Pq.codebooksDf(s, cbs))
+    Scratch.materialize(s, dir, "rpq_centroids",
+      graft.operators.Pq.centroidsDf(s, cents))
+    val idxPath = Scratch.materialize(s, dir, "rpq_index",
+      graft.operators.Pq.encodeResidual(emb, "embedding", "vec_id", cents, cbs)
+        .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes")))
+    val idx = s.read.parquet(idxPath)
+    val a = idx.select(col("cell"), col("neighbor_id").as("a"))
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+    val b = idx.select(col("cell"), col("neighbor_id").as("b"),
+      col("codes").as("codes_b"))
+    val verified = a.join(b, "cell")
+      .where(col("a") < col("b"))
+      .where(GraftPq.pqResidualAdcCosine(col("va"), col("cell"),
+        col("codes_b"), cents, cbs) >= annDedupAdcTau)
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+      .where(graft.functions.TextHash.cosine("va", "vb") >= annDedupExactTau)
+      .select(col("a"), col("b"))
+    graft.operators.Clusters.connectedComponents(verified, "a", "b")
+      .select(col("node").cast("long").as("vec_id"),
+        col("cluster").cast("long").as("survivor_id"))
+  }
+
+  private val annDedupSql =
+    s"""WITH RECURSIVE cb AS MATERIALIZED (SELECT sub, code, vals
+       |  FROM read_parquet('${Scratch.oraclePath("rpq_codebooks")}/*.parquet')),
+       |cents AS MATERIALIZED (SELECT cell, vals
+       |  FROM read_parquet('${Scratch.oraclePath("rpq_centroids")}/*.parquet')),
+       |idx AS MATERIALIZED (SELECT neighbor_id, cell, codes
+       |  FROM read_parquet('${Scratch.oraclePath("rpq_index")}/*.parquet')),
+       |ic AS (SELECT neighbor_id, CAST(i1 - 1 AS INT) AS sub, c AS code FROM (
+       |    SELECT neighbor_id,
+       |      unnest(list_transform(codes, (x, i) -> i)) AS i1,
+       |      unnest(codes) AS c FROM idx)),
+       |rsub AS (SELECT ic.neighbor_id, flatten(list(cb.vals ORDER BY ic.sub)) AS rs
+       |  FROM ic JOIN cb ON cb.sub = ic.sub AND cb.code = ic.code
+       |  GROUP BY ic.neighbor_id),
+       |recon AS MATERIALIZED (SELECT idx.neighbor_id,
+       |    list_transform(range(1, 65), i -> cents.vals[i] + rsub.rs[i]) AS r
+       |  FROM idx JOIN cents ON idx.cell = cents.cell
+       |  JOIN rsub ON rsub.neighbor_id = idx.neighbor_id),
+       |rn AS MATERIALIZED (SELECT neighbor_id, r,
+       |    sqrt(list_sum(list_transform(r, x -> x * x))) AS nr FROM recon),
+       |n AS MATERIALIZED (SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |cand AS (SELECT ia.neighbor_id AS a, ib.neighbor_id AS b FROM idx ia
+       |  JOIN idx ib ON ia.cell = ib.cell AND ia.neighbor_id < ib.neighbor_id),
+       |pre AS (SELECT cand.a, cand.b FROM cand
+       |  JOIN n qa ON qa.vec_id = cand.a
+       |  JOIN rn rb ON rb.neighbor_id = cand.b
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |      i -> CAST(qa.embedding[i] AS DOUBLE) * rb.r[i])) / (qa.nrm * rb.nr)
+       |    >= $annDedupAdcTau),
+       |ver AS MATERIALIZED (SELECT pre.a, pre.b FROM pre
+       |  JOIN n na ON na.vec_id = pre.a JOIN n nb ON nb.vec_id = pre.b
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |      i -> CAST(na.embedding[i] AS DOUBLE) * CAST(nb.embedding[i] AS DOUBLE)))
+       |    / (na.nrm * nb.nrm) >= $annDedupExactTau),
+       |e AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver),
+       |reach(node, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+       |)
+       |SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS survivor_id
+       |FROM reach GROUP BY node""".stripMargin
+
   // Cross-engine certification of the SRP candidate/verify math: bucket
   // ids are engine-internal (sim_ann_srp stays rows-only), but GIVEN the
   // materialized corpus buckets and query probe lists the candidate set
@@ -626,6 +721,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_pq_adc_verify" -> (pqAdcVerify _),
     "sim_ivfpq_verify" -> (ivfPqVerify _),
     "sim_rpq_adc_verify" -> (rpqAdcVerify _),
+    "pipeline_ann_dedup" -> (annDedupQ _),
     "sim_srp_verify"  -> (srpVerify _),
     "sim_kmeans_verify" -> (kmeansVerify _)
   )
@@ -655,6 +751,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_pq_adc_verify" -> pqAdcVerifySql,
     "sim_ivfpq_verify"  -> ivfPqVerifySql,
     "sim_rpq_adc_verify" -> rpqAdcVerifySql,
+    "pipeline_ann_dedup" -> annDedupSql,
     "sim_srp_verify"    -> srpVerifySql,
     "sim_kmeans_verify" -> kmeansVerifySql
     // sim_ann_srp: approximate (LSH) — rows-only; recall bound covered in
