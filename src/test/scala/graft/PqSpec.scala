@@ -165,5 +165,15 @@ class PqSpec extends AnyFunSuite {
     info(f"residual PQ-ADC recall@5 (256 cells, m=16, ksub=16): $recall%.3f")
     assert(recall >= 0.5, s"recall $recall — residual PQ below the 0.5 floor")
     assert(approx.forall { case (q, n) => q != n })
+    // the PROBED production shape (sim_rpq_topk: nprobe=32 of 256 cells
+    // = 12.5% of the corpus scanned) must retain most of the exhaustive
+    // tier's recall — the coarse quantizer ranks the right cells
+    val probed = Pq.residualIvfTopK(emb01, queries, "embedding", "vec_id",
+        cents, cb, k = 5, nprobe = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val probedRecall = (exact & probed).size.toDouble / exact.size
+    info(f"probed (nprobe=32/256) recall@5: $probedRecall%.3f")
+    assert(probedRecall >= 0.4,
+      s"probed recall $probedRecall — cell pruning lost the neighbors")
   }
 }
