@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.graft.GraftPq
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -27,10 +26,12 @@ import org.apache.spark.sql.DataFrame
  *    (that asymmetry is why ADC beats symmetric code-vs-code distance).
  *
  * 100 TB shape: scoring scans the slim code table (m ints + id per row,
- * broadcast queries, map-side per-partition ranking before the |q|·k
- * shuffle); compose with the IVF cell column to prune the scan the same
- * way `ivfProbedTopK` does — PQ compresses WITHIN the cell layout, IVF
- * prunes ACROSS cells; the two multiply.
+ * broadcast queries) and cuts top-k via [[Similarity.cutTopK]]'s map-side
+ * partial aggregate — the exchange carries ≤ k·16 B per (partition ×
+ * query), never the scored candidate set. Compose with the IVF cell
+ * column to prune the scan the same way `ivfProbedTopK` does — PQ
+ * compresses WITHIN the cell layout, IVF prunes ACROSS cells; the two
+ * multiply.
  */
 object Pq {
 
@@ -95,14 +96,12 @@ object Pq {
       vecCol: String, idCol: String,
       codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    index.crossJoin(broadcast(q))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", GraftPq.pqAdcCosine(col("q_vec"), col("codes"), codebooks))
-      .withColumn("rk", rank().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    Similarity.cutTopK(
+      index.crossJoin(broadcast(q))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos",
+          GraftPq.pqAdcCosine(col("q_vec"), col("codes"), codebooks)),
+      k)
   }
 
   /** The trained codebooks as a DataFrame — (sub, code, vals): sub-space
@@ -185,15 +184,12 @@ object Pq {
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    index.crossJoin(broadcast(q))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", GraftPq.pqResidualAdcCosine(
-        col("q_vec"), col("cell"), col("codes"), centroids, codebooks))
-      .withColumn("rk", rank().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    Similarity.cutTopK(
+      index.crossJoin(broadcast(q))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", GraftPq.pqResidualAdcCosine(
+          col("q_vec"), col("cell"), col("codes"), centroids, codebooks)),
+      k)
   }
 
   /** Exhaustive residual-ADC top-k: encode-then-search over the corpus. */
@@ -225,15 +221,12 @@ object Pq {
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         explode(GraftKmeans.nearestCentroids(col(vecCol), centroids, nprobe))
           .as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, "cell")
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", GraftPq.pqResidualAdcCosine(
-        col("q_vec"), col("cell"), col("codes"), centroids, codebooks))
-      .withColumn("rk", rank().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    Similarity.cutTopK(
+      q.join(c, "cell")
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", GraftPq.pqResidualAdcCosine(
+          col("q_vec"), col("cell"), col("codes"), centroids, codebooks)),
+      k)
   }
 
   /** IVF×PQ — the production ANN layout (FAISS's IVFPQ): the corpus index
@@ -259,13 +252,11 @@ object Pq {
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         explode(GraftKmeans.nearestCentroids(col(vecCol), centroids, nprobe))
           .as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, "cell")
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", GraftPq.pqAdcCosine(col("q_vec"), col("codes"), codebooks))
-      .withColumn("rk", rank().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    Similarity.cutTopK(
+      q.join(c, "cell")
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos",
+          GraftPq.pqAdcCosine(col("q_vec"), col("codes"), codebooks)),
+      k)
   }
 }

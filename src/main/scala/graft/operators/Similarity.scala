@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.functions.TextHash
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -27,6 +26,28 @@ import scala.util.Random
  */
 object Similarity {
 
+  /**
+   * (query_id, neighbor_id, rk) from scored candidate rows
+   * (query_id, neighbor_id, cos) — the shared cut behind every similarity
+   * search. A map-side partial top-k ([[org.apache.spark.sql.graft
+   * .TopKByValue]]): each task keeps at most k (cos, id) pairs per query
+   * it sees, so the exchange carries ≤ k·16 B per (partition × query)
+   * instead of the FULL scored candidate set that a `rank()` window
+   * would funnel to |queries| reduce tasks (WindowExec has no map-side
+   * partial — at 100 TB the window formulation is the bottleneck; this
+   * one is flat). Ordering is total — cos desc, neighbor_id asc — so the
+   * output is bit-identical to the window formulation and DuckDB
+   * oracles replay it unchanged.
+   */
+  def cutTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.GraftTopK
+        .topKByValue(col("cos"), col("neighbor_id"), k).as("ids"))
+      .select(col("query_id"),
+        posexplode(col("ids")).as(Seq("p", "neighbor_id")))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("p") + 1).cast("long").as("rk"))
+
   /** Exact top-k neighbors for each query row (query set must be
    *  broadcast-small; neighbors exclude the query itself). Tie-break on
    *  neighbor id keeps ranking deterministic. */
@@ -36,14 +57,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = Par.spread(corpus, col(idCol))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.crossJoin(broadcast(q))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", TextHash.cosine("q_vec", "c_vec"))
-      .withColumn("rk", rank().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    cutTopK(
+      c.crossJoin(broadcast(q))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", TextHash.cosine("q_vec", "c_vec")),
+      k)
   }
 
   /** IVF-shaped search: score only rows in the query's coarse cluster
@@ -56,14 +74,11 @@ object Similarity {
       col(vecCol).as("q_vec"))
     val c = spreadCorpus.select(col(idCol).as("neighbor_id"), col(clusterCol).as("cluster"),
       col(vecCol).as("c_vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, "cluster")
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", TextHash.cosine("q_vec", "c_vec"))
-      .withColumn("rk", rank().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    cutTopK(
+      q.join(c, "cluster")
+        .where(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", TextHash.cosine("q_vec", "c_vec")),
+      k)
   }
 
   /**
@@ -104,15 +119,11 @@ object Similarity {
   def ivfProbedTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String,
-      centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    ivfProbedCandidates(corpus, queries, vecCol, idCol, centroids, nprobe)
-      .withColumn("cos", TextHash.cosine("q_vec", "c_vec"))
-      .withColumn("rk", rank().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
-  }
+      centroids: Array[Array[Double]], k: Int, nprobe: Int): DataFrame =
+    cutTopK(
+      ivfProbedCandidates(corpus, queries, vecCol, idCol, centroids, nprobe)
+        .withColumn("cos", TextHash.cosine("q_vec", "c_vec")),
+      k)
 
   /** Deterministic per-table hyperplanes (fixed seed; distinct per table)
    *  shared by the corpus-side bucket and the query-side probe list. */
@@ -202,13 +213,9 @@ object Similarity {
       probes: Int = 1): DataFrame = {
     val candidates = srpCandidates(corpus, queries, vecCol, idCol,
       nPlanes, tables, probes, dim)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    candidates
-      .withColumn("cos", TextHash.cosine("q_vec", "c_vec"))
-      .withColumn("rk", rank().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    cutTopK(
+      candidates.withColumn("cos", TextHash.cosine("q_vec", "c_vec")),
+      k)
   }
 
   /**

@@ -218,16 +218,17 @@ object SimilarityQueries extends QueryProvider {
             .as("cell")))
     val q = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    s.read.parquet(probePath)
-      .join(s.read.parquet(idxPath), "cell")
-      .where(col("neighbor_id") =!= col("query_id"))
-      .join(q, "query_id")
-      .withColumn("cos", GraftPq.pqAdcCosine(col("q_vec"), col("codes"), cbs))
-      .withColumn("rk", rank().over(w).cast("long"))
-      .where(col("rk") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    // The cut goes through the same map-side partial top-k the production
+    // searches use (Similarity.cutTopK) — so the hash check certifies the
+    // aggregate's (cos desc, neighbor_id) order against DuckDB's rank().
+    graft.operators.Similarity.cutTopK(
+      s.read.parquet(probePath)
+        .join(s.read.parquet(idxPath), "cell")
+        .where(col("neighbor_id") =!= col("query_id"))
+        .join(q, "query_id")
+        .withColumn("cos",
+          GraftPq.pqAdcCosine(col("q_vec"), col("codes"), cbs)),
+      5)
   }
 
   private val ivfPqVerifySql =

@@ -90,6 +90,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salt column missing from the join keys")
   }
 
+  test("similarity searches cut top-k map-side: no WindowExec in any search plan") {
+    // WindowExec has no map-side partial — a rank()-window top-k ships the
+    // FULL scored candidate set to |queries| reduce tasks. Every search must
+    // plan the TopKByValue partial aggregate (partial_topk_by_value before
+    // the exchange) instead.
+    for (q <- Seq("sim_topk_brute", "sim_ivf_topk", "sim_ann_srp",
+      "sim_pq_topk", "sim_rpq_topk", "sim_ivfpq_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q funnels candidates through a window")
+      assert(p.contains("partial_topk_by_value"),
+        s"$q lost the map-side partial top-k aggregate")
+    }
+  }
+
   test("sim_ivfpq_topk: equi-join on the cell id, native PQ expressions in-plan") {
     val p = plan("sim_ivfpq_topk")
     assert(!p.contains("CartesianProduct"),
