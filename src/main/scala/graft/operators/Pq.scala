@@ -229,6 +229,68 @@ object Pq {
       k)
   }
 
+  /**
+   * ANN-assisted near-duplicate pairs over a residual-PQ index — the
+   * quadratic stage of the `pipeline_ann_dedup` funnel as a first-class
+   * operator: within each coarse cell, every unordered pair {x, y} (x < y)
+   * is prefiltered by the 16-byte residual-ADC estimate
+   * `cos(v_x, reconstruct(codes_y)) >= adcTau`, and only the surviving
+   * sliver is verified by the exact double-accumulated cosine. Emits the
+   * verified (a, b) pairs, a < b.
+   *
+   * Skew shape: the in-cell pair space routes through the same salted
+   * triangle as [[Dedup.embeddingCosine]] — a hot IVF cell spreads its
+   * C(n,2) ADC loop over S(S+1)/2 salt cells instead of serializing on
+   * one task. The ADC estimate is DIRECTIONAL (exact vector on one side,
+   * codes on the other), and the triangle orients pairs by salt, not id —
+   * so both payloads ride both sides and the estimate is canonicalized by
+   * id (`ADC(v_min, codes_max)` always, branch-selected per row). That
+   * keeps output independent of salting (saltBuckets = 1 ≡ any S,
+   * PqSpec-pinned) and lets a cross-engine oracle replay the funnel with
+   * a plain `a < b` join. Cost: vectors replicate ~S/2+1× through one
+   * linear shuffle (the [[Dedup.embeddingCosine]] trade — and it buys
+   * back the post-prefilter vector re-join: the exact verify reads
+   * vectors already in-row); the quadratic per-pair work still touches
+   * only the m-byte codes.
+   *
+   * `index` must carry (`idCol`, cell, codes) as produced by
+   * [[encodeResidual]]; `vectors` carries (`idCol`, `vecCol`).
+   */
+  def residualNearDupPairs(index: DataFrame, vectors: DataFrame,
+      vecCol: String, idCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      adcTau: Double, exactTau: Double, saltBuckets: Int = 4): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val base = index.select(col(idCol).as("id"), col("cell"), col("codes"))
+      .join(vectors.select(col(idCol).as("id"), col(vecCol).as("v")), "id")
+      .withColumn("salt",
+        pmod(xxhash64(col("id")), lit(saltBuckets)).cast("int"))
+    // Same cell enumeration as Dedup.embeddingCosine: left covers
+    // (salt, sb >= salt), right (sa <= salt, salt) — each unordered
+    // salt-pair cell joins once; diagonal duplicates fall to the id filter.
+    val left = base
+      .withColumn("sb", explode(expr(s"sequence(salt, ${saltBuckets - 1})")))
+      .select(col("id").as("id_a"), col("cell"), col("v").as("v_a"),
+        col("codes").as("codes_a"), col("salt").as("sa"), col("sb"))
+    val right = base
+      .withColumn("sa", explode(expr("sequence(0, salt)")))
+      .select(col("id").as("id_b"), col("cell"), col("v").as("v_b"),
+        col("codes").as("codes_b"), col("sa"), col("salt").as("sb"))
+    val adcCanonical = when(col("id_a") < col("id_b"),
+        GraftPq.pqResidualAdcCosine(col("v_a"), col("cell"),
+          col("codes_b"), centroids, codebooks))
+      .otherwise(
+        GraftPq.pqResidualAdcCosine(col("v_b"), col("cell"),
+          col("codes_a"), centroids, codebooks))
+    left.join(right, Seq("cell", "sa", "sb"))
+      .where(col("sa") < col("sb") || col("id_a") < col("id_b"))
+      .where(adcCanonical >= adcTau)
+      .where(graft.functions.TextHash.cosine("v_a", "v_b") >= exactTau)
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+  }
+
   /** IVF×PQ — the production ANN layout (FAISS's IVFPQ): the corpus index
    *  is (cell, codes) — one coarse cell + m small ints per row — queries
    *  explode their `nprobe` nearest cells

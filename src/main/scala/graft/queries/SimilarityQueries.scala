@@ -400,18 +400,15 @@ object SimilarityQueries extends QueryProvider {
     val idxPath = Scratch.materialize(s, dir, "rpq_index",
       graft.operators.Pq.encodeResidual(emb, "embedding", "vec_id", cents, cbs)
         .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes")))
-    val idx = s.read.parquet(idxPath)
-    val a = idx.select(col("cell"), col("neighbor_id").as("a"))
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
-    val b = idx.select(col("cell"), col("neighbor_id").as("b"),
-      col("codes").as("codes_b"))
-    val verified = a.join(b, "cell")
-      .where(col("a") < col("b"))
-      .where(GraftPq.pqResidualAdcCosine(col("va"), col("cell"),
-        col("codes_b"), cents, cbs) >= annDedupAdcTau)
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
-      .where(graft.functions.TextHash.cosine("va", "vb") >= annDedupExactTau)
-      .select(col("a"), col("b"))
+    // The quadratic stage routes through the salted triangle (a hot IVF
+    // cell spreads over S(S+1)/2 salt cells); output is salt-independent
+    // (id-canonical ADC direction), so the oracle's plain a < b join
+    // replays it unchanged.
+    val verified = graft.operators.Pq.residualNearDupPairs(
+      s.read.parquet(idxPath)
+        .select(col("neighbor_id").as("vec_id"), col("cell"), col("codes")),
+      emb, "embedding", "vec_id", cents, cbs,
+      annDedupAdcTau, annDedupExactTau, saltBuckets = 4)
     graft.operators.Clusters.connectedComponents(verified, "a", "b")
       .select(col("node").cast("long").as("vec_id"),
         col("cluster").cast("long").as("survivor_id"))

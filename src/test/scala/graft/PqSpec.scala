@@ -176,4 +176,25 @@ class PqSpec extends AnyFunSuite {
     assert(probedRecall >= 0.4,
       s"probed recall $probedRecall — cell pruning lost the neighbors")
   }
+
+  test("residual near-dup pairs: salted triangle ≡ plain join on sf0.01") {
+    import graft.operators.Kmeans
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // Small model — the property under test is the salt decomposition,
+    // not recall: every unordered in-cell pair must be enumerated exactly
+    // once with the id-canonical ADC direction, for ANY saltBuckets.
+    val cents = Kmeans.train(emb01, "embedding", "vec_id", k = 16, iters = 2)
+    val cb = Pq.trainResidual(emb01, "embedding", "vec_id", cents,
+      m = 8, ksub = 8, iters = 2)
+    val idx = Pq.encodeResidual(emb01, "embedding", "vec_id", cents, cb)
+    def pairs(s: Int) = Pq.residualNearDupPairs(idx, emb01,
+        "embedding", "vec_id", cents, cb,
+        adcTau = 0.2, exactTau = 0.3, saltBuckets = s)
+      .as[(Long, Long)].collect().toSet
+    val plain = pairs(1)
+    assert(plain.nonEmpty, "degenerate corpus: no verified pairs at tau=0.3")
+    assert(plain.forall { case (a, b) => a < b }, "pairs not canonicalized")
+    assert(pairs(4) == plain, "saltBuckets=4 changed the verified pair set")
+    assert(pairs(7) == plain, "saltBuckets=7 changed the verified pair set")
+  }
 }
