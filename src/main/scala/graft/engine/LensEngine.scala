@@ -57,8 +57,11 @@ final class LensEngine(persistDir: Option[Path] = None) {
     val cfg = PipelineConfig.fromJson(json)
     val id = cfg.contentId
     // Validate at add time, like the reference warming its pools on Add.
-    val pipe = Pipeline.fromConfig(cfg, resolver)
-    publishAll(Seq((id, cfg, pipe)))
+    // The compile's module-byte fetches are captured so CID derivation
+    // hashes the exact bytes this pipeline executes, fetch-free.
+    val fetched = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val pipe = Pipeline.fromConfig(cfg, resolver, fetched)
+    publishAll(Seq((id, cfg, pipe)), fetched)
     id
   }
 
@@ -83,7 +86,18 @@ final class LensEngine(persistDir: Option[Path] = None) {
    *  (reference: host-go/repository/repository.go:244-254, test
    *  tests/integration/node/transform_test.go:69-101); malformed id ⇒
    *  error, matching CID-parse failures
-   *  (reference: tests/integration/node/transform_test.go:16-67). */
+   *  (reference: tests/integration/node/transform_test.go:16-67).
+   *
+   *  Accepted-id profile (an interop boundary, deliberately narrower
+   *  than a reference node's CID parser): `sha256:<64 hex>` or graft's
+   *  own CID form — CIDv1, dag-cbor, sha2-256, multibase base32-lower
+   *  ('b…', the only form this engine ever MINTS, see [[Cid]]). A CID
+   *  that is valid elsewhere but outside this profile (CIDv0, base36,
+   *  another codec) is rejected as malformed rather than treated as
+   *  unknown-but-well-formed: this engine cannot have stored anything
+   *  under such an id, and a silently-identity pass-through would mask
+   *  what is almost certainly a caller bug. Re-encode foreign CIDs to
+   *  the profile form before calling. */
   def transform(df: DataFrame, id: String): DataFrame = resolve(id) match {
     case Some(p) => p.forward(df)
     case None    => df
@@ -126,17 +140,23 @@ final class LensEngine(persistDir: Option[Path] = None) {
   }
 
   private[engine] def publishAll(
-      entries: Seq[(String, PipelineConfig, Pipeline)]): Unit = {
-    // CID derivation re-fetches stage module bytes (possibly remote), so
-    // it runs OUTSIDE the publish lock — a slow or hung http ref must
-    // not stall every other add/txn/reload. Best effort: an unfetchable
-    // stage path must not fail the add (the sha256 id stands alone
-    // then), and for a MUTABLE http ref the CID describes the bytes at
-    // derivation time — content addressing is only as stable as the
-    // refs it hashes.
+      entries: Seq[(String, PipelineConfig, Pipeline)],
+      fetched: collection.Map[String, Array[Byte]] = Map.empty): Unit = {
+    // CID derivation prefers the bytes the pipeline compile JUST fetched
+    // (`fetched`, from Pipeline.fromConfig's sink) — no second fetch per
+    // add, and for a MUTABLE http ref the CID describes the exact bytes
+    // the pipeline executes, not whatever a re-fetch returns a moment
+    // later. Paths outside the sink (engine-internal stand-ins; a config
+    // republished by reload with no compile fetch) fall back to
+    // Cid.payloadOf, which may fetch — so derivation stays OUTSIDE the
+    // publish lock: a slow or hung ref must not stall other adds. Best
+    // effort: an unfetchable stage path must not fail the add (the
+    // sha256 id stands alone then).
+    def payload(path: String): Array[Byte] =
+      fetched.getOrElse(path, Cid.payloadOf(path))
     val cids = entries.map { case (id, cfg, _) =>
       id -> (if (idToCid.contains(id)) None
-      else scala.util.Try(Cid.configBlocks(cfg, Cid.payloadOf)._1).toOption)
+      else scala.util.Try(Cid.configBlocks(cfg, payload)._1).toOption)
     }.toMap
     synchronized {
       // Durability first: if any file write fails, the in-memory registry
@@ -215,6 +235,39 @@ final class LensEngine(persistDir: Option[Path] = None) {
     pull(id)
   }
 
+  /**
+   * Serialize a stored lens as a CARv1 archive of its DAG-CBOR block DAG
+   * (see [[Car]]) — the block-exchange face of [[syncLens]]: the bytes a
+   * reference node's blockstore would hold for the same config, framed in
+   * the standard IPLD transport. `id` may be either the engine's
+   * `sha256:` id or the CIDv1. Fails if the config's CID was never
+   * computable (an unfetchable stage ref at add time — there is no block
+   * DAG to export then).
+   */
+  def exportCar(id: String): Array[Byte] = {
+    val primary = if (id.startsWith("sha256:")) id
+      else cidToId.getOrElse(id,
+        throw new NoSuchElementException(s"no stored lens with CID $id"))
+    val cfg = configs.getOrElse(primary,
+      throw new NoSuchElementException(s"no stored lens $id"))
+    require(idToCid.contains(primary),
+      s"lens $id has no CID (a stage ref was unfetchable at add time)")
+    Car.writeConfig(cfg)
+  }
+
+  /**
+   * Import a CARv1 lens archive: blocks are hash-verified, the config is
+   * reconstructed (wasm payloads become self-contained `data:` stages —
+   * see [[Car]]'s stand-in rule), its re-derived CID must equal the CAR
+   * root, and the result publishes through the normal [[add]] path
+   * (durable if this engine persists). Returns the `sha256:` id; the CAR
+   * root CID addresses the same pipeline via [[transform]]/[[inverse]].
+   */
+  def importCar(bytes: Array[Byte]): String = {
+    val (_, cfg) = Car.readConfig(bytes)
+    add(cfg.canonicalJson)
+  }
+
   /** Re-hydrate persisted lens files from `persistDir`. Files may contain
    *  `sha256:` references to each other and directory order is arbitrary,
    *  so adds retry until a fixpoint: each pass admits every file whose
@@ -255,6 +308,7 @@ object LensEngine {
 final class LensTxn private[engine] (engine: LensEngine) {
   private val staged =
     scala.collection.mutable.LinkedHashMap.empty[String, (PipelineConfig, Pipeline)]
+  private val fetched = scala.collection.mutable.Map.empty[String, Array[Byte]]
 
   /** Stage a lens file: validated now (build fails the txn), visible to
    *  later same-txn `sha256:` references, published only on commit. */
@@ -265,11 +319,12 @@ final class LensTxn private[engine] (engine: LensEngine) {
       override def byId(refId: String): Option[Pipeline] =
         staged.get(refId).map(_._2).orElse(engine.lookup(refId))
     }
-    val pipe = Pipeline.fromConfig(cfg, resolver)
+    val pipe = Pipeline.fromConfig(cfg, resolver, fetched)
     staged.getOrElseUpdate(id, (cfg, pipe))
     id
   }
 
   private[engine] def publish(): Unit =
-    engine.publishAll(staged.map { case (id, (cfg, pipe)) => (id, cfg, pipe) }.toSeq)
+    engine.publishAll(
+      staged.map { case (id, (cfg, pipe)) => (id, cfg, pipe) }.toSeq, fetched)
 }

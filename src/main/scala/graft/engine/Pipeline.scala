@@ -96,7 +96,16 @@ object Pipeline {
   def fromConfig(cfg: PipelineConfig): Pipeline = fromConfig(cfg, NoResolver)
 
   def fromConfig(cfg: PipelineConfig, resolver: Resolver): Pipeline =
-    build(cfg, resolver, Set.empty)
+    build(cfg, resolver, Set.empty, None)
+
+  /** As [[fromConfig]], additionally recording every module-byte fetch the
+   *  compile performs into `fetchedSink` (keyed by stage path). Lets the
+   *  caller derive content ids from the EXACT bytes this pipeline
+   *  executes, without a second fetch — for a mutable `http:` ref the two
+   *  fetches could even disagree (see LensEngine.publishAll). */
+  def fromConfig(cfg: PipelineConfig, resolver: Resolver,
+      fetchedSink: scala.collection.mutable.Map[String, Array[Byte]]): Pipeline =
+    build(cfg, resolver, Set.empty, Some(fetchedSink))
 
   def fromJson(json: String): Pipeline = fromConfig(PipelineConfig.fromJson(json))
 
@@ -104,9 +113,10 @@ object Pipeline {
     fromConfig(PipelineConfig.fromJson(json), resolver)
 
   private def build(
-      cfg: PipelineConfig, resolver: Resolver, visiting: Set[String]): Pipeline =
+      cfg: PipelineConfig, resolver: Resolver, visiting: Set[String],
+      fetchedSink: Option[scala.collection.mutable.Map[String, Array[Byte]]]): Pipeline =
     Pipeline(fuse(cfg.lenses).map { case (s, times) =>
-      stage(s, times, resolver, visiting)
+      stage(s, times, resolver, visiting, fetchedSink)
     })
 
   /** Collapse a run of consecutive `builtin:opaque` — or `.wasm`-module —
@@ -126,7 +136,8 @@ object Pipeline {
 
   private def stage(
       s: StageConfig, times: Int, resolver: Resolver,
-      visiting: Set[String]): LensOp = {
+      visiting: Set[String],
+      fetchedSink: Option[scala.collection.mutable.Map[String, Array[Byte]]]): LensOp = {
     val args = Args(s.arguments)
     val op: LensOp =
       if (s.path == "builtin:opaque") {
@@ -153,13 +164,14 @@ object Pipeline {
         require(!visiting.contains(key),
           s"cyclic lens reference: '${s.path}'")
         val bytes = ModuleFetch.fetchBytes(s.path)
+        fetchedSink.foreach(_.update(s.path, bytes))
         if (graft.wasm.WasmBinary.isWasm(bytes)) wasmStage(s, bytes, times)
         else {
           require(times == 1,
             s"'instance' fusion applies to guest modules, not lens files: '${s.path}'")
           val sub = build(
             PipelineConfig.fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)),
-            resolver, visiting + key)
+            resolver, visiting + key, fetchedSink)
           subPipelineOp(s.path, sub)
         }
       } else if (s.path.startsWith("sha256:")) {

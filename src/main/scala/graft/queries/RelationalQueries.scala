@@ -936,14 +936,19 @@ object RelationalQueries extends QueryProvider {
     T(s, dir, "events").select(col("user_id"), col("event_type"),
       expr("ts div 1000 div 3600000000").as("hr"))
 
+  // max(_, 2): a P99 of 1 on degenerate/sparse data would trip the
+  // operator's maxCellEntities >= 2 require over a parameter the query
+  // derived, not the caller chose — clamped identically in the oracle
+  // (greatest(…, 2)), where it is equally vacuous on real data (cells
+  // of size <= 2 carry at most one pair either way).
   private def coActCellCap(s: SparkSession, dir: String): Long =
     coActCapCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir",
-      _ => exactQuantile(
+      _ => math.max(2L, exactQuantile(
         coActDistinct(s, dir).distinct()
           .groupBy(col("event_type"), col("hr"))
           .agg(count(lit(1)).as("k")),
-        "k", coActCellPpm))
+        "k", coActCellPpm)))
 
   // saltBuckets = 1: the P99 cap already bounds per-cell work to
   // C(cap, 2) slim pairs — salting ON TOP would replicate the exploded
@@ -968,7 +973,7 @@ object RelationalQueries extends QueryProvider {
        |cc AS MATERIALIZED (SELECT event_type, hr,
        |    CAST(count(*) AS BIGINT) AS k
        |  FROM d0 GROUP BY 1, 2),
-       |ccap AS MATERIALIZED (SELECT max(k) AS cap FROM (
+       |ccap AS MATERIALIZED (SELECT greatest(max(k), 2) AS cap FROM (
        |  SELECT k FROM cc ORDER BY k
        |  LIMIT (SELECT (count(*) - 1) * $coActCellPpm // 1000000 + 1 FROM cc))),
        |d AS MATERIALIZED (SELECT d0.* FROM d0 JOIN (
@@ -1184,9 +1189,11 @@ object RelationalQueries extends QueryProvider {
         val e = coActivityEdges(s, dir)
         val adj = e.select(col("u").as("x"))
           .union(e.select(col("v").as("x")))
-        exactQuantile(
+        // max(_, 2) for the same derived-cap degeneracy guard as
+        // coActCellCap, mirrored by greatest(…, 2) in the oracle.
+        math.max(2L, exactQuantile(
           adj.groupBy(col("x")).agg(count(lit(1)).as("d")),
-          "d", linkPredictCenterPpm)
+          "d", linkPredictCenterPpm))
       })
 
   // saltBuckets = 1 for the same cap-vs-salt reason as coActivityEdges:
@@ -1202,7 +1209,7 @@ object RelationalQueries extends QueryProvider {
        |  UNION ALL SELECT v, u FROM e),
        |deg AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS d
        |  FROM adj GROUP BY 1),
-       |dcap AS MATERIALIZED (SELECT max(d) AS cap FROM (
+       |dcap AS MATERIALIZED (SELECT greatest(max(d), 2) AS cap FROM (
        |  SELECT d FROM deg ORDER BY d
        |  LIMIT (SELECT (count(*) - 1) * $linkPredictCenterPpm // 1000000 + 1
        |    FROM deg))),

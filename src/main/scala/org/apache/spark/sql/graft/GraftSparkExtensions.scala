@@ -68,6 +68,14 @@ object GraftFunctions {
     all.foreach { case (name, _, builder) =>
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
+      else
+        // Make silent shadowing diagnosable: if the existing binding is
+        // NOT graft's (a foreign temp function, or a future Spark builtin
+        // colliding with a graft name), queries run with its semantics
+        // and this line is the only trace.
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"graft function '$name' already bound in this session; " +
+            "keeping the existing binding (assumed graft-owned)")
     }
     registerOptimizations(spark)
   }

@@ -1,0 +1,120 @@
+package graft
+
+import graft.engine.{Car, Cid, LensEngine}
+import graft.model.PipelineConfig
+import graft.wasm.LensGuestModules
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CARv1 block export/import over the CID layer (see [[graft.engine.Car]]):
+ *  the interop transport a reference node's blockstore contents travel in.
+ *  Golden bytes are pinned so a framing drift (header CBOR, varint
+ *  sections, block order) is caught against fixed expectations, not a
+ *  round-trip that would mask a symmetric bug. */
+class CarSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def wasmConfigJson: String = {
+    val url = "data:application/wasm;base64," +
+      java.util.Base64.getEncoder.encodeToString(LensGuestModules.shiftGuest("Age"))
+    s"""{"lenses":[{"path":"$url","arguments":{"delta":2}}]}"""
+  }
+
+  test("golden CAR framing: header bytes + section layout pinned") {
+    val cfg = PipelineConfig.fromJson(
+      """{"lenses":[{"path":"builtin:identity"}]}""")
+    val car = Car.writeConfig(cfg)
+    val hex = car.map("%02x".format(_)).mkString
+    // varint(0x3a = 58-byte header) ++ A2 (map/2) ++ 65 "roots" ++
+    // 81 (array/1) ++ D8 2A (tag 42) ++ 58 25 (bytes/37) ++ 00 (identity
+    // multibase) ++ 01 71 12 20 (CIDv1 dag-cbor sha2-256/32) ++ digest…
+    assert(hex.startsWith("3aa265726f6f747381d82a582500017112"),
+      s"CAR header framing drifted: ${hex.take(40)}")
+    // …and "version": 1 closes the header 58 bytes in.
+    assert(hex.slice(100, 118) == "6776657273696f6e01",
+      s"CAR header version field drifted: ${hex.slice(100, 118)}")
+    // Full-archive pin: 3 blocks (lens leaf 28 B, module 67 B, config
+    // 51 B), each framed by a 1-byte varint + 36-byte CID.
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(car).map("%02x".format(_)).mkString
+    assert(car.length == 59 + (1 + 36 + 28) + (1 + 36 + 67) + (1 + 36 + 51),
+      s"CAR length drifted: ${car.length}")
+    // Pinned value independently re-derived with a from-scratch Python
+    // CBOR/CAR construction (same 316 bytes, same digest).
+    assert(digest == "6438ee39c3e6c12e1435fa4f29fbeb352de8780816685caef41476e868b6bf0f",
+      s"CAR bytes drifted: sha256 $digest")
+  }
+
+  test("wasm lens round-trips: same CID on import, transform by CID both ways") {
+    import spark.implicits._
+    val a = LensEngine()
+    val idA = a.add(wasmConfigJson)
+    val cidA = a.cidOf(idA).getOrElse(fail("no CID on the exporting engine"))
+    val car = a.exportCar(idA)
+
+    val b = LensEngine()
+    val idB = b.importCar(car)
+    assert(b.cidOf(idB).contains(cidA),
+      "imported lens re-derived a different CID than the exported root")
+
+    val people = Seq(("John", 5L), ("Fred", 7L)).toDF("Name", "Age")
+    val viaA = a.transform(people, cidA).as[(String, Long)].collect().toSet
+    val viaB = b.transform(people, cidA).as[(String, Long)].collect().toSet
+    assert(viaA == Set(("John", 7L), ("Fred", 9L)) && viaB == viaA)
+    assert(b.inverse(viaB.toSeq.toDF("Name", "Age"), cidA)
+      .as[(String, Long)].collect().toSet == Set(("John", 5L), ("Fred", 7L)))
+  }
+
+  test("export by CID equals export by sha256 id; builtin configs round-trip") {
+    val e = LensEngine()
+    val id = e.add("""{"lenses":[{"path":"builtin:rename",
+      "arguments":{"src":"a","dst":"b"}}]}""")
+    val cid = e.cidOf(id).get
+    assert(java.util.Arrays.equals(e.exportCar(id), e.exportCar(cid)))
+    val e2 = LensEngine()
+    val id2 = e2.importCar(e.exportCar(id))
+    // builtin payloads are UTF-8 path stand-ins: the reconstruction is the
+    // ORIGINAL path, so even the sha256 id round-trips exactly.
+    assert(id2 == id && e2.cidOf(id2).contains(cid))
+  }
+
+  test("a corrupt block is rejected, not imported") {
+    val e = LensEngine()
+    val car = e.exportCar(e.add("""{"lenses":[{"path":"builtin:identity"}]}"""))
+    // flip one bit inside the first section's block bytes (past the
+    // 59-byte header and the 36-byte CID)
+    val bad = car.clone(); bad(59 + 2 + 36 + 3) = (bad(59 + 2 + 36 + 3) ^ 1).toByte
+    val ex = intercept[IllegalArgumentException](Car.readConfig(bad))
+    assert(ex.getMessage.contains("corrupt CAR block"))
+  }
+
+  test("a foreign section order (parents before leaves, duplicates) imports fine") {
+    val cfg = PipelineConfig.fromJson(wasmConfigJson)
+    val (cidStr, blocks) = Cid.configBlocks(cfg, Cid.payloadOf)
+    // simulate another writer: reversed order + a duplicated leaf
+    val reordered = Car.writeBlocks(blocks.last._2,
+      blocks.reverse.map(_._2) :+ blocks.head._2)
+    val (root, parsed) = Car.readConfig(reordered)
+    assert(root == cidStr && parsed == cfg)
+  }
+
+  test("a CAR with a missing linked block fails with the block named") {
+    val cfg = PipelineConfig.fromJson(wasmConfigJson)
+    val (_, blocks) = Cid.configBlocks(cfg, Cid.payloadOf)
+    // drop the lens leaf (first block) but keep module + config
+    val partial = Car.writeBlocks(blocks.last._2, blocks.drop(1).map(_._2))
+    val ex = intercept[IllegalArgumentException](Car.readConfig(partial))
+    assert(ex.getMessage.contains("CAR missing linked block"))
+  }
+
+  test("chunked wasm payloads reassemble: multi-leaf lens round-trips") {
+    // 7-byte payload with \0asm magic, 3-byte chunks => 3 leaves + root.
+    val payload = Array[Byte](0x00, 0x61, 0x73, 0x6D, 1, 0, 0)
+    val cfg = PipelineConfig(Seq(graft.model.StageConfig(
+      "data:application/wasm;base64," +
+        java.util.Base64.getEncoder.encodeToString(payload))))
+    val car = Car.writeConfig(cfg, maxBlockSize = 3)
+    val (root, parsed) = Car.readConfig(car, maxBlockSize = 3)
+    assert(parsed == cfg)
+    assert(root == Cid.configBlocks(cfg, Cid.payloadOf, maxBlockSize = 3)._1)
+  }
+}
