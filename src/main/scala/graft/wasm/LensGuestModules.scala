@@ -295,27 +295,56 @@ object LensGuestModules {
    *  post-MVP conversion matrix — f64.convert_i64_s → i64.trunc_sat_f64_s
    *  (0xFC 6) → i64.extend32_s (0xC4) — an identity on i32-range values,
    *  so the SAME fixture data must come out unchanged: the conformance
-   *  probe for the opcodes modern LLVM/Rust toolchains emit by default. */
-  def shiftGuest(field: String, viaSatConversions: Boolean = false): Array[Byte] = {
+   *  probe for the opcodes modern LLVM/Rust toolchains emit by default.
+   *  `viaMultiValueBulk = true` is the companion probe for the other two
+   *  post-MVP families LLVM enables by default: the (v, signed-delta)
+   *  pair rides a MULTI-VALUE block (func-type blocktype, params carried
+   *  through a br) before the add, and each transform runs a
+   *  memory.init + data.drop round against a passive data segment —
+   *  both identities, so output must again equal the MVP guest's. */
+  def shiftGuest(field: String, viaSatConversions: Boolean = false,
+      viaMultiValueBulk: Boolean = false): Array[Byte] = {
     val d = new DataPacker
     val pat = d.add("\"" + field + "\":")
     val deltaPat = d.add("\"delta\":")
     val noParam = d.add(NoParamsMsg)
     val noField = d.add(s"field '$field' not found")
     val badParam = d.add("parameter 'delta' missing")
+    val TPair = types.size // (i64, i64) -> (i64, i64), multi-value probe
+    val passiveSegIdx = 5 // after the 5 active DataPacker segments
 
     // doShift(sign: i64)->i32
     // locals: 0=sign, 1=ptr, 2=len, 3=pay, 4=idx, 5=numStart, 6=numEnd,
-    //         7=out, 8=q, 9=v(i64)
-    val doShift = FuncBody(Vector(I32, I32, I32, I32, I32, I32, I32, I32, I64),
+    //         7=out, 8=q, 9=v(i64), [10=bulk scratch]
+    val doShift = FuncBody(
+      Vector[Byte](I32, I32, I32, I32, I32, I32, I32, I32, I64) ++
+        (if (viaMultiValueBulk) Vector[Byte](I32) else Vector.empty[Byte]),
       Vector[Instr](
         ic(d.heapBase), GlobalSet(HEAP), // previous frames consumed: reset
         Call(NEXT), LocalSet(1)) ++
+      (if (!viaMultiValueBulk) Vector.empty[Instr] else Vector[Instr](
+        // bulk-memory probe (first transform only — a dropped segment
+        // traps for len > 0 inits): copy the 4-byte marker from the
+        // passive segment into fresh scratch, then release the segment.
+        // The scratch is never read — a semantic no-op executing the
+        // real 0xFC 8/9 path. PEND (unused by this guest) is the
+        // ran-once latch.
+        GlobalGet(PEND), Num(0x45) /* i32.eqz */,
+        If(Empty, Vector(
+          ic(4), Call(ALLOC), LocalSet(10),
+          LocalGet(10), ic(0), ic(4), MemoryInit(passiveSegIdx),
+          DataDrop(passiveSegIdx),
+          ic(1), GlobalSet(PEND)), Vector.empty))) ++
       parseFieldSeq(ptr = 1, len = 2, pay = 3, idx = 4, numStart = 5, v = 9,
         pat = pat, noField = noField, noParam = Some(noParam)) ++
       Vector[Instr](
         GlobalGet(PARSE_END), LocalSet(6),
-        LocalGet(9), GlobalGet(PARAM), LocalGet(0), mulL, addL, LocalSet(9)) ++
+        LocalGet(9), GlobalGet(PARAM), LocalGet(0), mulL) ++
+      // multi-value probe: (v, delta*sign) enter a func-type block as
+      // PARAMS and leave it through a br carrying both — identity.
+      (if (!viaMultiValueBulk) Vector.empty[Instr] else Vector[Instr](
+        Block(-1 - TPair, Vector(Br(0))))) ++
+      Vector[Instr](addL, LocalSet(9)) ++
       (if (!viaSatConversions) Vector.empty[Instr] else Vector[Instr](
         LocalGet(9), Num(0xB9), TruncSat(6), Num(0xC4), LocalSet(9))) ++
       Vector[Instr](
@@ -341,20 +370,24 @@ object LensGuestModules {
     val inverse = FuncBody(Vector(), Vector(lc(-1L), Call(F6)))
 
     WasmBinary.encode(WasmModule(
-      types = types,
+      types = if (viaMultiValueBulk)
+        types :+ FuncType(Vector(I64, I64), Vector(I64, I64))
+      else types,
       imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
       funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr, // 1..5
         TShift, TNoArgPtr, TNoArgPtr, TPtrPtr), // 6=doShift 7=transform 8=inverse 9=set_param
       memMinPages = 2,
       memMaxPages = None,
-      globals = withHeapInit(globals(4), d.heapBase),
+      globals = withHeapInit(globals(if (viaMultiValueBulk) 5 else 4), d.heapBase),
       exports = commonExports ++ Vector(
         WasmExport("transform", 0, F6 + 1),
         WasmExport("inverse", 0, F6 + 2),
         WasmExport("set_param", 0, F6 + 3)),
       codes = Vector(allocBody, findBody, parseBody, writeBody, mkErrBody,
         doShift, transform, inverse, setParamBody(deltaPat, badParam)),
-      datas = d.segments,
+      datas = if (viaMultiValueBulk)
+        d.segments :+ DataSeg(-1, "mvb!".getBytes(UTF_8).toVector, passive = true)
+      else d.segments,
       start = None))
   }
 

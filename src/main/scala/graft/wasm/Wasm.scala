@@ -34,7 +34,11 @@ sealed trait Instr
 // ---- control ----
 case object Unreachable extends Instr
 case object Nop extends Instr
-/** blockType: -0x40 (0x40 byte) = empty, else a valtype byte (single result). */
+/** blockType: 0x40 = empty; a valtype byte (0x7C–0x7F) = one result; a
+ *  NEGATIVE value encodes a function-type index as `-1 - typeIdx`
+ *  (multi-value blocks — spec §5.4.1 s33 blocktype: non-negative s33 =
+ *  type index, mapped to negatives here so the common byte forms keep
+ *  their MVP Int representation). */
 final case class Block(blockType: Int, body: Vector[Instr]) extends Instr
 final case class Loop(blockType: Int, body: Vector[Instr]) extends Instr
 final case class If(blockType: Int, thn: Vector[Instr], els: Vector[Instr]) extends Instr
@@ -64,6 +68,9 @@ case object MemorySize extends Instr
 case object MemoryGrow extends Instr
 case object MemoryCopy extends Instr
 case object MemoryFill extends Instr
+/** 0xFC 8/9 (bulk-memory): copy from / release a passive data segment. */
+final case class MemoryInit(segIdx: Int) extends Instr
+final case class DataDrop(segIdx: Int) extends Instr
 
 // ---- numeric ----
 final case class I32Const(v: Int) extends Instr
@@ -94,7 +101,10 @@ final case class WasmGlobal(valType: Byte, mutable: Boolean, init: Vector[Instr]
 /** kind: 0 = func, 2 = memory (the two the lens ABI exports). */
 final case class WasmExport(name: String, kind: Int, idx: Int)
 final case class FuncBody(locals: Vector[Byte], body: Vector[Instr])
-final case class DataSeg(offset: Int, bytes: Vector[Byte])
+/** `passive = true` (bulk-memory): no offset expr — the segment sits
+ *  inert until `memory.init` copies from it / `data.drop` releases it. */
+final case class DataSeg(offset: Int, bytes: Vector[Byte],
+    passive: Boolean = false)
 /** Active funcref element segment for table 0. */
 final case class ElemSeg(offset: Int, funcIdxs: Vector[Int])
 
@@ -151,6 +161,13 @@ object WasmBinary {
       result
     }
     def s32(): Int = s64().toInt
+    /** blocktype (spec §5.4.1, an s33): 0x40/valtype single bytes keep
+     *  their byte value; a non-negative s33 (function-type index, the
+     *  multi-value form) maps to `-1 - idx`. */
+    def blocktype(): Int = {
+      val v = s64()
+      if (v >= 0) -1 - v.toInt else (v.toInt & 0x7F)
+    }
     def bytes(n: Int): Array[Byte] = {
       val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
     }
@@ -256,14 +273,18 @@ object WasmBinary {
           }
         case 11 => // data
           datas = Vector.fill(r.u32()) {
-            val flag = r.u32()
-            if (flag != 0) throw new WasmDecodeError(
-              s"only active data segments for memory 0 supported (flag $flag)")
-            val off = decodeExpr(r) match {
-              case Vector(I32Const(v)) => v
-              case other => throw new WasmDecodeError(s"bad data offset expr $other")
+            r.u32() match {
+              case 0 => // active, memory 0
+                val off = decodeExpr(r) match {
+                  case Vector(I32Const(v)) => v
+                  case other => throw new WasmDecodeError(s"bad data offset expr $other")
+                }
+                DataSeg(off, r.bytes(r.u32()).toVector)
+              case 1 => // passive (bulk-memory): no offset expr
+                DataSeg(-1, r.bytes(r.u32()).toVector, passive = true)
+              case flag => throw new WasmDecodeError(
+                s"only active-mem-0 and passive data segments supported (flag $flag)")
             }
-            DataSeg(off, r.bytes(r.u32()).toVector)
           }
         case _ => // custom / table / elem / datacount: skip
       }
@@ -290,17 +311,17 @@ object WasmBinary {
         case 0x00 => out += Unreachable
         case 0x01 => out += Nop
         case 0x02 =>
-          val bt = r.u8()
+          val bt = r.blocktype()
           val (body, t) = decodeSeq(r)
           if (t != 0x0B) throw new WasmDecodeError("block: expected end")
           out += Block(bt, body)
         case 0x03 =>
-          val bt = r.u8()
+          val bt = r.blocktype()
           val (body, t) = decodeSeq(r)
           if (t != 0x0B) throw new WasmDecodeError("loop: expected end")
           out += Loop(bt, body)
         case 0x04 =>
-          val bt = r.u8()
+          val bt = r.blocktype()
           val (thn, t) = decodeSeq(r)
           val els =
             if (t == 0x05) {
@@ -349,6 +370,9 @@ object WasmBinary {
         case 0xFC =>
           r.u32() match {
             case sat if sat >= 0 && sat <= 7 => out += TruncSat(sat)
+            case 8 =>
+              val seg = r.u32(); r.u8(); out += MemoryInit(seg)
+            case 9 => out += DataDrop(r.u32())
             case 10 => r.u8(); r.u8(); out += MemoryCopy
             case 11 => r.u8(); out += MemoryFill
             case sub => throw new WasmDecodeError(s"unsupported 0xFC subopcode $sub")
@@ -453,6 +477,10 @@ object WasmBinary {
         s.u32(e.funcIdxs.size); e.funcIdxs.foreach(s.u32)
       }
     }
+    // DataCount (id 12) must precede code when memory.init/data.drop
+    // reference passive segments (spec §5.5.16 — validators need the
+    // count before bodies).
+    if (m.datas.exists(_.passive)) section(12)(_.u32(m.datas.size))
     if (m.codes.nonEmpty) section(10) { s =>
       s.u32(m.codes.size)
       m.codes.foreach { c =>
@@ -474,22 +502,31 @@ object WasmBinary {
     if (m.datas.nonEmpty) section(11) { s =>
       s.u32(m.datas.size)
       m.datas.foreach { d =>
-        s.u32(0)
-        s.u8(0x41); s.s32(d.offset); s.u8(0x0B)
+        if (d.passive) s.u32(1)
+        else {
+          s.u32(0)
+          s.u8(0x41); s.s32(d.offset); s.u8(0x0B)
+        }
         s.u32(d.bytes.size); s.raw(d.bytes.toArray)
       }
     }
     w.bytes
   }
 
+  /** blocktype is an s33: the single-byte forms (0x40 empty, valtype
+   *  bytes) ARE their own s33 encodings; a func-type index (stored as
+   *  `-1 - idx`) encodes as a non-negative signed LEB. */
+  private def blocktype(w: Writer, bt: Int): Unit =
+    if (bt >= 0) w.u8(bt) else w.s64((-1L - bt))
+
   private def encodeSeq(w: Writer, body: Vector[Instr]): Unit =
     body.foreach {
       case Unreachable => w.u8(0x00)
       case Nop => w.u8(0x01)
-      case Block(bt, b) => w.u8(0x02); w.u8(bt); encodeSeq(w, b); w.u8(0x0B)
-      case Loop(bt, b) => w.u8(0x03); w.u8(bt); encodeSeq(w, b); w.u8(0x0B)
+      case Block(bt, b) => w.u8(0x02); blocktype(w, bt); encodeSeq(w, b); w.u8(0x0B)
+      case Loop(bt, b) => w.u8(0x03); blocktype(w, bt); encodeSeq(w, b); w.u8(0x0B)
       case If(bt, t, e) =>
-        w.u8(0x04); w.u8(bt); encodeSeq(w, t)
+        w.u8(0x04); blocktype(w, bt); encodeSeq(w, t)
         if (e.nonEmpty) { w.u8(0x05); encodeSeq(w, e) }
         w.u8(0x0B)
       case Br(d) => w.u8(0x0C); w.u32(d)
@@ -511,6 +548,8 @@ object WasmBinary {
       case MemorySize => w.u8(0x3F); w.u8(0x00)
       case MemoryGrow => w.u8(0x40); w.u8(0x00)
       case TruncSat(sub) => w.u8(0xFC); w.u32(sub)
+      case MemoryInit(seg) => w.u8(0xFC); w.u32(8); w.u32(seg); w.u8(0x00)
+      case DataDrop(seg) => w.u8(0xFC); w.u32(9); w.u32(seg)
       case MemoryCopy => w.u8(0xFC); w.u32(10); w.u8(0x00); w.u8(0x00)
       case MemoryFill => w.u8(0xFC); w.u32(11); w.u8(0x00)
       case I32Const(v) => w.u8(0x41); w.s32(v)

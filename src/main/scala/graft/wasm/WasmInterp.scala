@@ -65,12 +65,18 @@ object WasmInterp {
           s"missing import ${imp.module}.${imp.name}"))
       }
 
-    // data segments
-    module.datas.foreach { d =>
-      val arr = d.bytes.toArray
-      if (d.offset < 0 || d.offset + arr.length > memory.length)
-        throw new WasmTrap("data segment out of bounds")
-      System.arraycopy(arr, 0, memory, d.offset, arr.length)
+    // data segments: active ones copy in at instantiation; passive ones
+    // sit inert until memory.init / data.drop (a dropped segment behaves
+    // as empty thereafter, spec §4.5.9).
+    private val droppedData = new Array[Boolean](module.datas.size)
+    module.datas.zipWithIndex.foreach { case (d, di) =>
+      if (!d.passive) {
+        val arr = d.bytes.toArray
+        if (d.offset < 0 || d.offset + arr.length > memory.length)
+          throw new WasmTrap("data segment out of bounds")
+        System.arraycopy(arr, 0, memory, d.offset, arr.length)
+        droppedData(di) = true // active segments drop after instantiation
+      }
     }
 
     // funcref table + element segments
@@ -140,33 +146,43 @@ object WasmInterp {
         body(i) match {
           case Unreachable => throw new WasmTrap("unreachable executed")
           case Nop =>
+          // Branch discipline: only the TARGET label unwinds (keeping its
+          // own arity from the top) — an intermediate label crossed by an
+          // outward br must leave the stack alone, or it would truncate
+          // to ITS arity and drop the values the target keeps (an
+          // arity-0 block between a value-carrying br and its arity-1
+          // target). The target's truncate-to-entry-height removes any
+          // junk intermediate frames left above it.
           case Block(bt, inner) =>
-            val h = stack.size
+            val h = stack.size - paramArity(bt)
             evalSeq(inner, locals, stack) match {
               case FALL => // values already in place
               case RET => return RET
-              case 0 => unwind(stack, h, arity(bt))
-              case d => unwind(stack, h, arity(bt)); return d - 1
+              case 0 => unwind(stack, h, resultArity(bt))
+              case d => return d - 1
             }
-          case Loop(_, inner) =>
-            val h = stack.size
+          case Loop(bt, inner) =>
+            // A br to a loop label re-enters the loop start carrying the
+            // loop's PARAMS (multi-value; zero for MVP blocktypes).
+            val p = paramArity(bt)
+            val h = stack.size - p
             var looping = true
             while (looping) {
               evalSeq(inner, locals, stack) match {
                 case FALL => looping = false
                 case RET => return RET
-                case 0 => stack.truncate(h) // br to loop start: MVP loops take no params
-                case d => stack.truncate(h); return d - 1
+                case 0 => unwind(stack, h, p)
+                case d => return d - 1
               }
             }
           case If(bt, thn, els) =>
             val cond = stack.pop() != 0L
-            val h = stack.size
+            val h = stack.size - paramArity(bt)
             evalSeq(if (cond) thn else els, locals, stack) match {
               case FALL =>
               case RET => return RET
-              case 0 => unwind(stack, h, arity(bt))
-              case d => unwind(stack, h, arity(bt)); return d - 1
+              case 0 => unwind(stack, h, resultArity(bt))
+              case d => return d - 1
             }
           case Br(d) => return d
           case BrIf(d) => if (stack.pop() != 0L) return d
@@ -233,6 +249,25 @@ object WasmInterp {
             val dst = stack.pop().toInt
             checkBounds(dst.toLong, len.toLong)
             java.util.Arrays.fill(memory, dst, dst + len, v)
+          case MemoryInit(segIdx) =>
+            val len = stack.pop().toInt; val src = stack.pop().toInt
+            val dst = stack.pop().toInt
+            if (segIdx >= module.datas.size)
+              throw new WasmTrap(s"memory.init: no data segment $segIdx")
+            // a dropped segment behaves as size 0 (spec §4.5.9)
+            val seg =
+              if (droppedData(segIdx)) Vector.empty[Byte]
+              else module.datas(segIdx).bytes
+            if (src < 0 || len < 0 || src.toLong + len > seg.size)
+              throw new WasmTrap(
+                s"memory.init: segment range $src+$len of ${seg.size}")
+            checkBounds(dst.toLong, len.toLong)
+            var k = 0
+            while (k < len) { memory(dst + k) = seg(src + k); k += 1 }
+          case DataDrop(segIdx) =>
+            if (segIdx >= module.datas.size)
+              throw new WasmTrap(s"data.drop: no data segment $segIdx")
+            droppedData(segIdx) = true
           case I32Const(v) => stack.push(v.toLong)
           case I64Const(v) => stack.push(v)
           case F32Const(bits) => stack.push(bits.toLong & 0xFFFFFFFFL)
@@ -245,8 +280,16 @@ object WasmInterp {
       FALL
     }
 
-    private def arity(blockType: Int): Int =
-      if (blockType == ValType.Empty) 0 else 1
+    /** Result count of a label: 0x40 empty, valtype byte = 1, negative =
+     *  `-1 - typeIdx` multi-value func type (see Wasm.Block). */
+    private def resultArity(blockType: Int): Int =
+      if (blockType == ValType.Empty) 0
+      else if (blockType < 0) module.types(-1 - blockType).results.size
+      else 1
+
+    /** Param count of a label (only func-type blocktypes take params). */
+    private def paramArity(blockType: Int): Int =
+      if (blockType < 0) module.types(-1 - blockType).params.size else 0
 
     /** On exiting a block via br: keep the label's arity from the top,
      *  truncate to entry height, push the kept values back. */

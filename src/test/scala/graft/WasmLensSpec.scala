@@ -49,6 +49,35 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
     sat shouldBe Set(("John", 37L), ("Ada", 41L), ("Neg", -2L))
   }
 
+  test("a guest built with multi-value blocks + bulk memory (passive " +
+      "segment, memory.init/data.drop) runs through the lens path unchanged") {
+    // same shift guest, but (v, signed-delta) rides a func-type block
+    // (params carried through a br) and each instance runs one
+    // memory.init + data.drop round against a passive segment — the
+    // other post-MVP families LLVM enables by default. Both are
+    // identities, so output must equal the MVP guest's. Multiple rows
+    // per partition also prove data.drop doesn't poison later
+    // transforms (a dropped segment traps on len > 0 re-init).
+    val mvbUrl = dataUrl(LensGuestModules.shiftGuest("Age",
+      viaMultiValueBulk = true))
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L), ("Zed", 0L))
+      .toDF("Name", "Age").coalesce(1) // one partition => one shared instance
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val mvb = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$mvbUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    mvb shouldBe mvp
+    mvb shouldBe Set(("John", 37L), ("Ada", 41L), ("Neg", -2L), ("Zed", 5L))
+    // and the inverse export still derives the round-trip (P11)
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$mvbUrl","arguments":{"delta":5}}]}""")
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe Set(("John", 32L), ("Ada", 36L),
+        ("Neg", -7L), ("Zed", 0L))
+  }
+
   test("the module's inverse export drives `\"inverse\": true` stages") {
     val fwd = Pipeline.fromJson(
       s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")

@@ -47,6 +47,8 @@ class WasmSpec extends AnyFunSuite with Matchers {
       Gen.choose(0x45, 0xC4).map(Num.apply),
       Gen.oneOf(Seq[Instr](Nop, Drop, Select, Return, Unreachable,
         MemorySize, MemoryGrow, MemoryCopy, MemoryFill)),
+      Gen.choose(0, 5).map(MemoryInit.apply),
+      Gen.choose(0, 5).map(DataDrop.apply),
       Gen.listOfN(3, Gen.choose(0, 3)).map(ts => BrTable(ts.toVector, 0)))
     def instr(depth: Int): Gen[Instr] =
       if (depth == 0) leaf
@@ -54,6 +56,11 @@ class WasmSpec extends AnyFunSuite with Matchers {
         6 -> leaf,
         1 -> Gen.listOfN(3, instr(depth - 1)).map(b => Block(0x40, b.toVector)),
         1 -> Gen.listOfN(3, instr(depth - 1)).map(b => Loop(0x7F, b.toVector)),
+        // multi-value blocktype (func-type index, stored -1 - idx; index
+        // 70 forces the multi-byte s33 encoding)
+        1 -> (for { b <- Gen.listOfN(2, instr(depth - 1));
+                    ti <- Gen.oneOf(0, 1, 63, 64, 70) }
+              yield Block(-1 - ti, b.toVector)),
         1 -> (for { t <- Gen.listOfN(2, instr(depth - 1));
                     e <- Gen.listOfN(2, instr(depth - 1)) }
               yield If(0x40, t.toVector, e.toVector)),
@@ -74,7 +81,8 @@ class WasmSpec extends AnyFunSuite with Matchers {
       exports = Vector(WasmExport("f", 0, 1), WasmExport("memory", 2, 0)),
       codes = Vector(FuncBody(locals.toVector, body.toVector)),
       datas = if (data.isEmpty) Vector.empty
-        else Vector(DataSeg(64, data.toVector)),
+        else Vector(DataSeg(64, data.toVector),
+          DataSeg(-1, data.toVector, passive = true)),
       start = None,
       tableMin = tbl,
       elems = if (tbl == 0) Vector.empty
@@ -130,6 +138,136 @@ class WasmSpec extends AnyFunSuite with Matchers {
       I32Const(1), Num(0x6A)) // +1 => 43
     run1(m, "f") shouldBe 43L
   }
+
+  test("branch arity: an arity-0 block between a value-carrying br and its " +
+      "arity-1 target must not swallow the value") {
+    // Regression: intermediate labels crossed by an outward br must leave
+    // the stack alone — only the TARGET unwinds to its own arity. An
+    // implementation that truncates at each crossed label with ITS arity
+    // drops the 42 here.
+    val m = func(Vector(), Vector(ValType.I32), Vector(),
+      Block(ValType.I32, Vector(
+        Block(ValType.Empty, Vector(
+          I32Const(42),
+          Br(1))), // carries 42 out of the OUTER (arity-1) block
+        I32Const(7)))) // only on fall-through, which br skips
+    run1(m, "f") shouldBe 42L
+  }
+
+  // ---------- multi-value (blocktype = function-type index) ----------
+
+  test("multi-value block: two results flow out and fold") {
+    // types: 0 = f's ()->i32; 1 = the block's ()->(i32,i32)
+    val m = WasmModule(
+      types = Vector(
+        FuncType(Vector(), Vector(ValType.I32)),
+        FuncType(Vector(), Vector(ValType.I32, ValType.I32))),
+      imports = Vector.empty, funcTypeIdxs = Vector(0),
+      memMinPages = 0, memMaxPages = None, globals = Vector.empty,
+      exports = Vector(WasmExport("f", 0, 0)),
+      codes = Vector(FuncBody(Vector(), Vector(
+        Block(-1 - 1, Vector(I32Const(30), I32Const(12))),
+        Num(0x6A)))), // i32.add -> 42
+      datas = Vector.empty, start = None)
+    val decoded = WasmBinary.decode(WasmBinary.encode(m))
+    decoded shouldBe m
+    run1(decoded, "f") shouldBe 42L
+  }
+
+  test("multi-value block params: the block consumes operands from the stack") {
+    // block type (i32, i32) -> (i32): i32.sub inside consumes the params
+    val m = WasmModule(
+      types = Vector(
+        FuncType(Vector(), Vector(ValType.I32)),
+        FuncType(Vector(ValType.I32, ValType.I32), Vector(ValType.I32))),
+      imports = Vector.empty, funcTypeIdxs = Vector(0),
+      memMinPages = 0, memMaxPages = None, globals = Vector.empty,
+      exports = Vector(WasmExport("f", 0, 0)),
+      codes = Vector(FuncBody(Vector(), Vector(
+        I32Const(50), I32Const(8),
+        Block(-1 - 1, Vector(Num(0x6B)))))), // i32.sub -> 42
+      datas = Vector.empty, start = None)
+    run1(m, "f") shouldBe 42L
+  }
+
+  test("multi-value loop params: br to the loop label re-enters with carried values") {
+    // f(n) = sum 1..n, state (acc, i) carried as LOOP PARAMS through br:
+    // locals 0=n (param), 1=i scratch, 2=acc scratch
+    val lt = 1 // (i32, i32) -> (i32)
+    val m = WasmModule(
+      types = Vector(
+        FuncType(Vector(ValType.I32), Vector(ValType.I32)),
+        FuncType(Vector(ValType.I32, ValType.I32), Vector(ValType.I32))),
+      imports = Vector.empty, funcTypeIdxs = Vector(0),
+      memMinPages = 0, memMaxPages = None, globals = Vector.empty,
+      exports = Vector(WasmExport("f", 0, 0)),
+      codes = Vector(FuncBody(Vector(ValType.I32, ValType.I32), Vector(
+        I32Const(0), LocalGet(0), // acc = 0, i = n
+        Block(-1 - lt, Vector(
+          Loop(-1 - lt, Vector(
+            LocalSet(1), // i
+            LocalSet(2), // acc
+            LocalGet(1), Num(0x45), // i == 0 ?
+            If(ValType.I32, Vector(
+              LocalGet(2)), // done: loop result = acc
+              Vector(
+                LocalGet(2), LocalGet(1), Num(0x6A), // acc + i
+                LocalGet(1), I32Const(1), Num(0x6B), // i - 1
+                Br(1)))))))))), // re-enter the LOOP (label 1 from inside the If) with (acc', i')
+      datas = Vector.empty, start = None)
+    run1(m, "f", 10L) shouldBe 55L
+    run1(m, "f", 0L) shouldBe 0L
+    run1(m, "f", 1L) shouldBe 1L
+  }
+
+  test("multi-value function results: invoke returns them all, in order") {
+    val m = WasmModule(
+      types = Vector(FuncType(Vector(ValType.I32), Vector(ValType.I32, ValType.I32))),
+      imports = Vector.empty, funcTypeIdxs = Vector(0),
+      memMinPages = 0, memMaxPages = None, globals = Vector.empty,
+      exports = Vector(WasmExport("divmod7", 0, 0)),
+      codes = Vector(FuncBody(Vector(), Vector(
+        LocalGet(0), I32Const(7), Num(0x6D), // i32.div_s
+        LocalGet(0), I32Const(7), Num(0x6F)))), // i32.rem_s
+      datas = Vector.empty, start = None)
+    new WasmInterp.Instance(m, Map.empty)
+      .invoke("divmod7", 45L) shouldBe Vector(6L, 3L)
+  }
+
+  // ---------- bulk memory: passive segments ----------
+
+  test("memory.init copies from a passive segment; data.drop empties it") {
+    // passive segment "graft!"; f: init mem[100..104) from seg[1..5),
+    // read back as i32 ("raft" LE), then drop and re-init len 0 (ok).
+    val seg = "graft!".getBytes(UTF_8).toVector
+    def mk(afterDrop: Vector[Instr]) = WasmModule(
+      types = Vector(FuncType(Vector(), Vector(ValType.I32))),
+      imports = Vector.empty, funcTypeIdxs = Vector(0),
+      memMinPages = 1, memMaxPages = None, globals = Vector.empty,
+      exports = Vector(WasmExport("f", 0, 0)),
+      codes = Vector(FuncBody(Vector(), Vector(
+        I32Const(100), I32Const(1), I32Const(4), MemoryInit(0),
+        DataDrop(0)) ++ afterDrop ++ Vector(
+        I32Const(100), MemLoad(0x28, 2, 0)))),
+      datas = Vector(DataSeg(-1, seg, passive = true)), start = None)
+    // round-trips through the binary format (flag-1 segment + datacount)
+    val ok = WasmBinary.decode(WasmBinary.encode(
+      mk(Vector(I32Const(0), I32Const(0), I32Const(0), MemoryInit(0)))))
+    val expected = ByteBufferLE("raft".getBytes(UTF_8))
+    run1(ok, "f") shouldBe expected
+    // a dropped segment behaves as size 0: len > 0 traps, len 0 succeeds
+    val trap = mk(Vector(I32Const(0), I32Const(0), I32Const(1), MemoryInit(0)))
+    a[WasmTrap] should be thrownBy run1(trap, "f")
+    // source range beyond the live segment traps too
+    val oob = func(Vector(), Vector(ValType.I32), Vector(),
+      I32Const(0), I32Const(0), I32Const(99), MemoryInit(0), I32Const(1))
+      .copy(datas = Vector(DataSeg(-1, seg, passive = true)))
+    a[WasmTrap] should be thrownBy run1(oob, "f")
+  }
+
+  private def ByteBufferLE(b: Array[Byte]): Long =
+    ((b(0) & 0xFFL)) | ((b(1) & 0xFFL) << 8) | ((b(2) & 0xFFL) << 16) |
+      ((b(3) & 0xFFL) << 24)
 
   test("memory load/store widths, sign extension, grow, copy, fill") {
     val m = WasmModule(
