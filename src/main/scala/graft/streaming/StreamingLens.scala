@@ -211,6 +211,86 @@ object StreamingLens {
   }
 
   /**
+   * Streaming EMBEDDING near-dedup gate — the continuous face of the
+   * `pipeline_ann_dedup` batch funnel: per micro-batch, drop every row
+   * semantically near (residual-ADC prefilter at `adcTau`, exact-cosine
+   * verify at `exactTau`) anything already kept, using the same
+   * residual-PQ machinery ([[graft.operators.Pq.encodeResidual]] /
+   * [[graft.operators.Pq.residualNearDupPairs]]) the batch pipeline runs.
+   *
+   * Persistent state is the production index layout, deliberately NOT
+   * watermarked keyed state: `indexDir` holds the kept corpus's
+   * (doc, cell, codes) — m small ints + a cell id per row, the bytes a
+   * 100 TB corpus actually affords to keep hot — and `outDir` holds the
+   * kept rows themselves. Per batch: (1) encode the batch (corrupt rows
+   * drop — a vector that cannot be encoded cannot be probed, and the
+   * gate never admits unverified rows); (2) in-batch conservative cut —
+   * drop every row whose verified pair has a smaller id, same greedy
+   * discipline as [[nearDedupGate]] step 2; (3) probe survivors against
+   * the index: same-cell candidates ADC-prefilter against the COMPRESSED
+   * codes, and only the surviving sliver re-reads full vectors (joined
+   * back from `outDir` by id) for the exact verify; (4) append kept rows
+   * to `outDir` and their codes to `indexDir`.
+   *
+   * Arrival-order greedy vs the batch funnel's CC keep-min: identical on
+   * id-ordered chains (spec-pinned on a split log); they differ only on
+   * multi-hop duplicate shapes crossing micro-batches in non-id order —
+   * the same documented gap as the SimHash gate. Replay caveat as
+   * [[nearDedupGate]]: survivors of a replayed batch dedup against their
+   * own indexed signatures, so idempotent sinks key appends by batchId.
+   *
+   * Use with `stream.writeStream.foreachBatch(embeddingDedupGate(...))
+   * .start()`.
+   */
+  def embeddingDedupGate(
+      vecCol: String,
+      idCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      indexDir: String,
+      outDir: String,
+      adcTau: Double,
+      exactTau: Double,
+      saltBuckets: Int = 4): (DataFrame, Long) => Unit = (batch, _) => {
+    import graft.operators.Pq
+    import org.apache.spark.sql.graft.GraftPq
+    val spark = batch.sparkSession
+    val enc = Pq.encodeResidual(batch, vecCol, idCol, centroids, codebooks)
+      .localCheckpoint() // in-batch pairs, probe, and index append reuse it
+    // (2) in-batch pass: the batch funnel's own pair miner; drop the
+    // larger id of every verified pair (conservative greedy cut).
+    val inBatchDropped = Pq.residualNearDupPairs(enc, batch, vecCol, idCol,
+        centroids, codebooks, adcTau, exactTau, saltBuckets)
+      .select(col("b").as(idCol)).distinct()
+    val afterBatch = enc.join(inBatchDropped, Seq(idCol), "left_anti")
+    // (3) probe the persistent compressed index; exact-verify the sliver
+    // against vectors re-read from the kept corpus.
+    val kept =
+      if (new java.io.File(indexDir).exists) {
+        val indexed = spark.read.parquet(indexDir)
+        val probes = afterBatch
+          .join(batch.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
+          .select(col(idCol), col("cell"), col("__v"))
+        val sliver = probes.join(indexed.withColumnRenamed("doc", "__kept"),
+            Seq("cell"))
+          .where(GraftPq.pqResidualAdcCosine(col("__v"), col("cell"),
+            col("codes"), centroids, codebooks) >= adcTau)
+          .select(col(idCol), col("__kept"), col("__v"))
+        val keptVecs = spark.read.parquet(outDir)
+          .select(col(idCol).as("__kept"), col(vecCol).as("__kv"))
+        val dropped = sliver.join(keptVecs, Seq("__kept"))
+          .where(graft.functions.TextHash.cosine("__v", "__kv") >= exactTau)
+          .select(col(idCol)).distinct()
+        afterBatch.join(dropped, Seq(idCol), "left_anti").localCheckpoint()
+      } else afterBatch.localCheckpoint()
+    // (4) admit: rows to the corpus, codes to the index
+    batch.join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+      .write.mode("append").parquet(outDir)
+    kept.select(col(idCol).as("doc"), col("cell"), col("codes"))
+      .write.mode("append").parquet(indexDir)
+  }
+
+  /**
    * Streaming ingest-volume monitor — the continuous face of
    * [[graft.operators.Anomaly.volumeSpikes]]: per micro-batch, fold the
    * batch's (group, bucket) event counts into a persistent count history

@@ -290,9 +290,16 @@ case class PqResidualAdcCosine(first: Expression, second: Expression,
       val ctr = ctx.freshName("ctr"); val i = ctx.freshName("i")
       val qv = ctx.freshName("qv"); val rv = ctx.freshName("rv")
       val cc = ctx.freshName("cc"); val cent = ctx.freshName("cent")
+      // NOTE: no generated line may BEGIN with `||` — Spark embeds this
+      // snippet into its own stripMargin templates (Expression
+      // .reduceCodeSize's split function, BroadcastHashJoin's condition
+      // function), and an outer stripMargin eats the first pipe of a
+      // leading `||`, leaving invalid Java that silently falls back to
+      // interpreted eval (the CLAUDE.md `||`-margin rule, in codegen
+      // form). Keep boolean operators at line ENDS.
       s"""
-         |boolean $bad = $q.numElements() != $dim || $codes.numElements() != $m
-         |  || $cell < 0 || $cell >= $nCells;
+         |boolean $bad = $q.numElements() != $dim || $codes.numElements() != $m ||
+         |  $cell < 0 || $cell >= $nCells;
          |if (!$bad) {
          |  for (int $j = 0; $j < $dim; $j++) {
          |    if ($q.isNullAt($j)) { $bad = true; break; }

@@ -328,6 +328,98 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---- embedding near-dedup gate (residual-PQ index) ----
+
+  /** 8-d fixture: three orthogonal anchors + near-dup variants, plus the
+   *  small model (2 cells, m=4/ksub=4) trained on the full log — the
+   *  production discipline: the quantizer is trained on the corpus the
+   *  gate protects, then shared by every batch. */
+  private object EmbFixture {
+    val vA = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val vB = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val vC = Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    val vA2 = Seq(0.995f, 0.005f, 0f, 0f, 0f, 0f, 0f, 0.005f) // near A
+    val vC2 = Seq(0f, 0.004f, 0.996f, 0f, 0.004f, 0f, 0f, 0f) // near C
+    val log = Seq((1L, vA), (2L, vB), (3L, vA2), (4L, vC), (5L, vC2))
+    def model(spark: org.apache.spark.sql.SparkSession)
+        : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      import spark.implicits._
+      val train = log.toDF("vec_id", "embedding")
+      val cents = graft.operators.Kmeans.train(train, "embedding", "vec_id",
+        k = 2, iters = 2)
+      (cents, graft.operators.Pq.trainResidual(train, "embedding", "vec_id",
+        cents, m = 4, ksub = 4, iters = 2))
+    }
+    val adcTau = 0.3
+    val exactTau = 0.9
+  }
+
+  test("embedding near-dedup gate: in-batch and cross-batch semantic dups " +
+      "dropped against the residual-PQ index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import EmbFixture._
+    val (cents, cbs) = model(spark)
+    val root = java.nio.file.Files.createTempDirectory("embdedup").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF.toDF("vec_id", "embedding").writeStream
+      .foreachBatch(StreamingLens.embeddingDedupGate("embedding", "vec_id",
+        cents, cbs, idx, out, adcTau, exactTau))
+      .start()
+    try {
+      in.addData((1L, vA), (2L, vB))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("vec_id").as[Long].collect().toSet
+        == Set(1L, 2L))
+      // batch 2: 3 ~ indexed 1 (cross-batch drop); 4 new; 5 ~ 4 (in-batch
+      // drop — its verified pair has the smaller id in the SAME batch)
+      in.addData((3L, vA2), (4L, vC), (5L, vC2))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("vec_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L), s"gate kept $kept")
+      // the index carries exactly the kept codes, in the production layout
+      val indexed = spark.read.parquet(idx)
+      assert(indexed.columns.toSet == Set("doc", "cell", "codes"))
+      assert(indexed.select("doc").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("embedding gate ≡ batch ann-dedup funnel on an id-ordered split log") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import EmbFixture._
+    val (cents, cbs) = model(spark)
+    // batch funnel over the FULL log: pair miner -> CC -> min-id survivors
+    val full = log.toDF("vec_id", "embedding")
+    val idxFull = graft.operators.Pq.encodeResidual(full, "embedding",
+      "vec_id", cents, cbs)
+    val pairs = graft.operators.Pq.residualNearDupPairs(idxFull, full,
+      "embedding", "vec_id", cents, cbs, adcTau, exactTau)
+    val cc = graft.operators.Clusters.connectedComponents(pairs, "a", "b")
+    val batchDropped = cc.where(col("node") =!= col("cluster"))
+      .select(col("node").cast("long")).as[Long].collect().toSet
+    val batchSurvivors = log.map(_._1).toSet -- batchDropped
+    // gate over the same log split into two micro-batches (id order, so
+    // arrival-order greedy and CC keep-min agree)
+    val root = java.nio.file.Files.createTempDirectory("embparity").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF.toDF("vec_id", "embedding").writeStream
+      .foreachBatch(StreamingLens.embeddingDedupGate("embedding", "vec_id",
+        cents, cbs, idx, out, adcTau, exactTau))
+      .start()
+    try {
+      in.addData(log.take(2): _*); q.processAllAvailable()
+      in.addData(log.drop(2): _*); q.processAllAvailable()
+      val gateKept = spark.read.parquet(out).select("vec_id").as[Long]
+        .collect().toSet
+      assert(gateKept == batchSurvivors,
+        s"gate $gateKept != batch funnel $batchSurvivors")
+      assert(batchDropped.nonEmpty, "fixture drifted: funnel found no dups")
+    } finally q.stop()
+  }
+
   test("banded near-dedup gate: hamming<=3 variants dropped across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
