@@ -138,24 +138,39 @@ object Car {
       wasmBytesOf: String => Array[Byte] = Cid.payloadOf,
       maxBlockSize: Int = Cid.DefaultMaxBlockSize): Array[Byte] = {
     val (_, blocks) = Cid.configBlocks(cfg, wasmBytesOf, maxBlockSize)
-    writeBlocks(blocks.last._2, blocks.map(_._2)) // config block stored last
+    writeBlocks(Seq(blocks.last._2), blocks.map(_._2)) // config block last
   }
 
-  /** Frame arbitrary blocks as a single-root CARv1 (each section's CID is
-   *  computed from the block bytes; duplicates elided, order preserved).
-   *  Public so interop specs can simulate a FOREIGN writer's section
-   *  order — a reader must accept any. */
-  def writeBlocks(rootBlock: Array[Byte],
+  /** A multi-root CAR of several configs' DAGs — the whole-registry
+   *  export: one root per config (input order preserved), the block
+   *  union deduped across configs (two lenses sharing a wasm module
+   *  store its leaf once, exactly like a shared blockstore would). */
+  def writeConfigs(cfgs: Seq[PipelineConfig],
+      wasmBytesOf: String => Array[Byte] = Cid.payloadOf,
+      maxBlockSize: Int = Cid.DefaultMaxBlockSize): Array[Byte] = {
+    val perCfg = cfgs.map(c => Cid.configBlocks(c, wasmBytesOf, maxBlockSize)._2)
+    writeBlocks(perCfg.map(_.last._2), perCfg.flatten.map(_._2))
+  }
+
+  /** Frame arbitrary blocks as a CARv1 with the given roots (each
+   *  section's CID is computed from the block bytes; duplicates elided,
+   *  order preserved). Public so interop specs can simulate a FOREIGN
+   *  writer's section order — a reader must accept any. */
+  def writeBlocks(rootBlocks: Seq[Array[Byte]],
       blocks: Seq[Array[Byte]]): Array[Byte] = {
-    val rootCid = Cid.cidOfBlock(rootBlock)
+    require(rootBlocks.nonEmpty, "a CAR needs at least one root")
     val out = new ByteArrayOutputStream()
-    // header: {"roots": [&root], "version": 1}
+    // header: {"roots": [&root, ...], "version": 1}
     val h = new ByteArrayOutputStream()
     h.write(0xA2)
     h.write(0x65); h.write("roots".getBytes("UTF-8"))
-    h.write(0x81) // 1-element array
-    h.write(0xD8); h.write(42); h.write(0x58); h.write(rootCid.length + 1)
-    h.write(0x00); h.write(rootCid, 0, rootCid.length)
+    if (rootBlocks.size < 24) h.write(0x80 | rootBlocks.size)
+    else { h.write(0x98); h.write(rootBlocks.size) } // array, 1-byte length
+    rootBlocks.foreach { rb =>
+      val rootCid = Cid.cidOfBlock(rb)
+      h.write(0xD8); h.write(42); h.write(0x58); h.write(rootCid.length + 1)
+      h.write(0x00); h.write(rootCid, 0, rootCid.length)
+    }
     h.write(0x67); h.write("version".getBytes("UTF-8"))
     h.write(0x01)
     val header = h.toByteArray
@@ -299,5 +314,19 @@ object Car {
     require(rederived == roots.head,
       s"CAR reconstruction drifted: root ${roots.head}, re-derived $rederived")
     (roots.head, cfg)
+  }
+
+  /** Multi-root form of [[readConfig]]: every root reconstructs and
+   *  verifies independently, in root order. */
+  def readConfigs(bytes: Array[Byte],
+      maxBlockSize: Int = Cid.DefaultMaxBlockSize): Seq[(String, PipelineConfig)] = {
+    val (roots, blocks) = read(bytes)
+    roots.map { root =>
+      val cfg = configFromBlocks(root, blocks)
+      val (rederived, _) = Cid.configBlocks(cfg, Cid.payloadOf, maxBlockSize)
+      require(rederived == root,
+        s"CAR reconstruction drifted: root $root, re-derived $rederived")
+      (root, cfg)
+    }
   }
 }

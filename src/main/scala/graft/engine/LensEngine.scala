@@ -255,6 +255,24 @@ final class LensEngine(persistDir: Option[Path] = None) {
     Car.writeConfig(cfg)
   }
 
+  /** The whole registry as one multi-root CARv1 — every stored lens
+   *  whose CID is known, roots in CID order (deterministic), shared
+   *  blocks stored once. The full-store sync/backup payload. */
+  def exportAllCar(): Array[Byte] = {
+    val cfgs = listCids.map(_._2)
+    require(cfgs.nonEmpty, "no CID-addressable lenses to export")
+    Car.writeConfigs(cfgs)
+  }
+
+  /** Import every root of a (possibly multi-root) lens CAR; returns the
+   *  `sha256:` ids in root order. All-or-nothing per root: a root whose
+   *  blocks fail verification aborts the whole import before anything
+   *  publishes. */
+  def importAllCar(bytes: Array[Byte]): Seq[String] = {
+    val cfgs = Car.readConfigs(bytes) // verifies every root up front
+    cfgs.map { case (_, cfg) => add(cfg.canonicalJson) }
+  }
+
   /**
    * Import a CARv1 lens archive: blocks are hash-verified, the config is
    * reconstructed (wasm payloads become self-contained `data:` stages —

@@ -91,7 +91,7 @@ class CarSpec extends AnyFunSuite {
     val cfg = PipelineConfig.fromJson(wasmConfigJson)
     val (cidStr, blocks) = Cid.configBlocks(cfg, Cid.payloadOf)
     // simulate another writer: reversed order + a duplicated leaf
-    val reordered = Car.writeBlocks(blocks.last._2,
+    val reordered = Car.writeBlocks(Seq(blocks.last._2),
       blocks.reverse.map(_._2) :+ blocks.head._2)
     val (root, parsed) = Car.readConfig(reordered)
     assert(root == cidStr && parsed == cfg)
@@ -101,9 +101,37 @@ class CarSpec extends AnyFunSuite {
     val cfg = PipelineConfig.fromJson(wasmConfigJson)
     val (_, blocks) = Cid.configBlocks(cfg, Cid.payloadOf)
     // drop the lens leaf (first block) but keep module + config
-    val partial = Car.writeBlocks(blocks.last._2, blocks.drop(1).map(_._2))
+    val partial = Car.writeBlocks(Seq(blocks.last._2), blocks.drop(1).map(_._2))
     val ex = intercept[IllegalArgumentException](Car.readConfig(partial))
     assert(ex.getMessage.contains("CAR missing linked block"))
+  }
+
+  test("whole-registry multi-root CAR: shared blocks stored once, " +
+      "every lens re-addressable after import") {
+    import spark.implicits._
+    val a = LensEngine()
+    // two wasm lenses SHARING a module (different args) + one builtin
+    val url = "data:application/wasm;base64," + java.util.Base64.getEncoder
+      .encodeToString(LensGuestModules.shiftGuest("Age"))
+    val id1 = a.add(s"""{"lenses":[{"path":"$url","arguments":{"delta":2}}]}""")
+    val id2 = a.add(s"""{"lenses":[{"path":"$url","arguments":{"delta":7}}]}""")
+    val id3 = a.add("""{"lenses":[{"path":"builtin:identity"}]}""")
+    val car = a.exportAllCar()
+    // deterministic bytes (roots in CID order)
+    assert(java.util.Arrays.equals(car, a.exportAllCar()))
+    // the shared wasm leaf is stored once: 3 configs + 3 modules + 2
+    // distinct lens payloads (shared wasm + builtin stand-in) = 8 blocks
+    val (roots, blocks) = Car.read(car)
+    assert(roots.size == 3 && blocks.size == 8,
+      s"got ${roots.size} roots, ${blocks.size} blocks")
+    val b = LensEngine()
+    val ids = b.importAllCar(car)
+    assert(ids.toSet == Set(id1, id2, id3))
+    val people = Seq(("P", 10L)).toDF("Name", "Age")
+    assert(b.transform(people, a.cidOf(id2).get)
+      .as[(String, Long)].collect().toSet == Set(("P", 17L)))
+    assert(b.transform(people, id1)
+      .as[(String, Long)].collect().toSet == Set(("P", 12L)))
   }
 
   test("chunked wasm payloads reassemble: multi-leaf lens round-trips") {
