@@ -37,7 +37,12 @@ object Similarity {
    * partial — at 100 TB the window formulation is the bottleneck; this
    * one is flat). Ordering is total — cos desc, neighbor_id asc — so the
    * output is bit-identical to the window formulation and DuckDB
-   * oracles replay it unchanged.
+   * oracles replay it unchanged (SimilaritySpec pins the equivalence
+   * differentially, deliberate score ties included). One deliberate
+   * edge delta: null/NaN-scored candidates NEVER rank (a window with
+   * `desc` ordering would surface them last, admitting them when a
+   * query has fewer than k real-scored candidates) — a neighbor with
+   * no meaningful score is not a neighbor.
    */
   def cutTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))

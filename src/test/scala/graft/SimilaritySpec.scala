@@ -24,6 +24,39 @@ class SimilaritySpec extends AnyFunSuite {
     byQuery.values.foreach(rows => assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L)))
   }
 
+  test("cutTopK ≡ rank()-window cut, deliberate score ties included") {
+    // The map-side partial aggregate replaced the window in every search
+    // (round 9); this differential pin proves the swap is bit-identical
+    // on the one axis that could drift: tie-breaking. Duplicated vectors
+    // produce EXACTLY equal cosines, so (cos desc, neighbor_id asc) must
+    // decide, and rank() over a total order == posexplode position.
+    import org.apache.spark.sql.expressions.Window
+    // corpus with exact duplicates: every sf0.001 vector twice (ids offset)
+    val dup = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.select(col("vec_id") + 100000L, col("embedding")))
+    val q = dup.where(col("vec_id") < 5)
+    val scored = dup.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.TextHash.cosine("q_vec", "c_vec"))
+      .select("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val viaWindow = scored
+      .withColumn("rk", rank().over(w).cast("long"))
+      .where(col("rk") <= 7)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaAgg = Similarity.cutTopK(scored, 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow, "aggregate cut diverged from the window cut")
+    // the duplicate construction really did create ties: each query's
+    // top-7 must contain its own duplicate (cos == 1.0) at rank 1
+    val top1 = viaAgg.filter(_._3 == 1L)
+    assert(top1.size == 5 &&
+      top1.forall { case (q0, n, _) => n == q0 + 100000L || n == q0 - 100000L })
+  }
+
   test("SRP ANN recall >= 0.4 vs brute force (4 planes x 8 tables)") {
     // This synthetic corpus is near-random (top cosines ~0.4), the
     // adversarial case for LSH: single-table recall is ~2%. Multi-table
