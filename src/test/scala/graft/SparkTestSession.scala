@@ -11,6 +11,11 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A whole-stage-codegen compile failure normally falls back to
+      // interpreted eval SILENTLY (green results, 10×+ slower hot
+      // loops — the round-9 `||`-margin bug shipped a round this way).
+      // Under the test surface, make any such failure LOUD.
+      .config("spark.sql.codegen.fallback", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
