@@ -104,6 +104,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("probed searches broadcast the query probe list: the corpus index never shuffles") {
+    // Two legitimate shapes exist: slim-query search (probe list is
+    // |queries|·nprobe rows — broadcast it, the corpus-side index is
+    // scanned in place) and corpus-scale self-search (sim_ivf_kmeans —
+    // a shuffle join is required and cell count must scale with the
+    // corpus). These three are the slim-query shape; losing the
+    // broadcast would re-shuffle the WHOLE index by a low-cardinality
+    // cell key at 100 TB.
+    for (q <- Seq("sim_ivfpq_topk", "sim_rpq_topk", "sim_ann_srp")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q stopped broadcasting the probe list (corpus now shuffles)")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q plans a sort-merge join — the index is being shuffled")
+    }
+  }
+
   test("sim_ivfpq_topk: equi-join on the cell id, native PQ expressions in-plan") {
     val p = plan("sim_ivfpq_topk")
     assert(!p.contains("CartesianProduct"),
