@@ -125,6 +125,77 @@ object Bm25 {
   }
 
   /**
+   * Multi-query inverted-index retrieval: [[searchTopK]] for a BATCH of
+   * queries — (query_id, doc_id, rk) with each query's top `k` docs by
+   * the identical BM25 score ([[score]]-bit-identical per returned doc).
+   * The retrieval face a hybrid-search pipeline fans out before rank
+   * fusion (see [[Hybrid.rrf]]).
+   *
+   * 100 TB shape: the postings discipline of [[searchTopK]], shared
+   * across queries — tokens explode inside the scan and the UNION of all
+   * query vocabularies filters them before the one postings aggregate,
+   * so corpus text never shuffles and adding a query costs only its
+   * matched-postings replication (the broadcast (query_id, term) join
+   * multiplies matched postings by the number of queries sharing the
+   * term, never by |queries|). The per-query cut is the
+   * [[Similarity.cutTopK]] map-side partial top-k: ≤ k·16 B per
+   * (partition × query) through the exchange, no window, no global sort
+   * — [[searchTopK]]'s TakeOrdered cut generalized to the multi-query
+   * axis. Queries are driver-side literals by construction (a query
+   * workload, not data).
+   */
+  def searchAllTopK(df: DataFrame, textCol: String, idCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_._1) == queries.map(_._1).distinct,
+      "query ids must be distinct")
+    queries.foreach { case (q, ts) =>
+      require(ts.nonEmpty && ts == ts.distinct,
+        s"query $q: terms must be non-empty and distinct")
+    }
+    require(k >= 1, "need k >= 1")
+    val allTerms = queries.flatMap(_._2).distinct
+    val ws = TextAnalysis.wsTokens(col(textCol))
+    val dl = size(ws).cast("long")
+
+    val corpus = df.agg(count(lit(1)).as("n_docs"), sum(dl).as("sum_dl"))
+    val postings = df
+      .select(col(idCol).as("id"), dl.as("dl"), explode(ws).as("w"))
+      .where(col("w").isInCollection(allTerms))
+      .groupBy(col("id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = postings.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+    val queryTerms = df.sparkSession.createDataFrame(
+      queries.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("query_id", "w")
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / avgdl)
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+    val scored = postings
+      .join(broadcast(docFreq), Seq("w"))
+      .join(broadcast(queryTerms), Seq("w"))
+      .crossJoin(broadcast(corpus))
+      .select(col("query_id"), col("id"),
+        floor(lit(1e6) * idf * (tf * lit(k1 + 1.0)) / (tf + norm))
+          .cast("long").as("contrib_micro"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("contrib_micro")).as("score_micro"))
+    // integer micro scores are exact in double far below 2^53, so the
+    // shared (value desc, id asc) top-k cut applies unchanged
+    Similarity.cutTopK(
+      scored.select(col("query_id"), col("id").as("neighbor_id"),
+        col("score_micro").cast("double").as("cos")), k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
+  }
+
+  /**
    * Conjunctive (boolean-AND) retrieval: documents containing EVERY query
    * term — the filter-shaped companion to [[searchTopK]]'s ranked OR
    * (search engines run the conjunctive pass first and rank inside it).

@@ -707,7 +707,104 @@ object SimilarityQueries extends QueryProvider {
       |SELECT label, clabel AS pred, CAST(count(*) AS BIGINT) AS n
       |FROM r WHERE rk = 1 GROUP BY label, clabel""".stripMargin
 
+  /**
+   * HYBRID-RETRIEVAL flagship (round 9): the standard two-leg hybrid
+   * search — BM25 lexical retrieval ⊕ exact embedding-cosine retrieval,
+   * fused by reciprocal-rank fusion — run as one query. Three queries,
+   * each a (term list, probe vector) pair over doc/vec id alignment:
+   * the lexical leg is [[graft.operators.Bm25.searchAllTopK]] (postings
+   * discipline, integer micro-unit scores, map-side partial cut), the
+   * semantic leg is [[Similarity.bruteForceTopK]] (the recall ceiling —
+   * swap in the residual-IVFPQ tier at corpus scale; it excludes the
+   * probe doc itself, whose cosine of 1 is noise for retrieval), and
+   * [[graft.operators.Hybrid.rrf]] sums `1000000 DIV (60 + rank)` per
+   * leg. Everything after the legs is integer, so the oracle replays
+   * BOTH retrievals rank-for-rank AND the fusion arithmetic — the hash
+   * certifies the composition end to end.
+   */
+  private val rrfTermQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join", "window"),
+    1L -> Seq("hash", "scan", "filter"),
+    2L -> Seq("vector", "stream", "batch"))
+  private val rrfLegK = 20
+  private val rrfK0 = 60
+  private val rrfK = 10
+  private val rrfBm25K1 = 1.2
+  private val rrfBm25B = 0.75
+
+  private def hybridRrfQ(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.operators.Bm25.searchAllTopK(T(s, dir, "documents"),
+      "text", "doc_id", rrfTermQueries, k = rrfLegK,
+      k1 = rrfBm25K1, b = rrfBm25B)
+    val emb = T(s, dir, "embeddings")
+    val sem = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < rrfTermQueries.size),
+        "embedding", "vec_id", k = rrfLegK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
+    graft.operators.Hybrid.rrf(Seq(lex, sem), k0 = rrfK0, k = rrfK)
+  }
+
+  private def hybridRrfSql: String = {
+    val qtRows = rrfTermQueries.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t')")
+    }.mkString(", ")
+    val allTerms = rrfTermQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    // the BM25 contribution mirrors Bm25.searchAllTopK's expression
+    // SHAPE exactly (same literals, same op order) — the same discipline
+    // text_bm25's oracle follows
+    val contrib =
+      s"""CAST(floor(1000000.0
+         |      * ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |          / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * ${rrfBm25K1 + 1.0})
+         |      / (CAST(tf AS DOUBLE) + $rrfBm25K1 * (${1.0 - rrfBm25B}
+         |          + $rrfBm25B * CAST(dl AS DOUBLE)
+         |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |      AS BIGINT)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |qt AS (SELECT CAST(c0 AS BIGINT) AS query_id, c1 AS w
+       |  FROM (VALUES $qtRows) t(c0, c1)),
+       |post AS (SELECT d.doc_id, d.dl, t.w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM d, unnest(d.ws) AS t(w)
+       |  WHERE t.w IN ($allTerms)
+       |  GROUP BY 1, 2, 3),
+       |docfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+       |  FROM post GROUP BY 1),
+       |lexscore AS (SELECT qt.query_id, post.doc_id,
+       |    CAST(sum($contrib) AS BIGINT) AS score
+       |  FROM post JOIN docfreq USING (w) JOIN qt USING (w)
+       |  CROSS JOIN corpus
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id, rk FROM (
+       |    SELECT query_id, doc_id, CAST(rank() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM lexscore)
+       |  WHERE rk <= $rrfLegK),
+       |n AS ($NORMED),
+       |sem AS (SELECT query_id, doc_id, rk FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |      CAST(rank() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $COS DESC, c.vec_id) AS BIGINT) AS rk
+       |    FROM n q JOIN n c
+       |      ON q.vec_id < ${rrfTermQueries.size} AND c.vec_id <> q.vec_id)
+       |  WHERE rk <= $rrfLegK),
+       |legs AS (SELECT query_id, doc_id, 1000000 // ($rrfK0 + rk) AS c FROM lex
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1000000 // ($rrfK0 + rk) FROM sem),
+       |fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+       |  FROM legs GROUP BY 1, 2)
+       |SELECT query_id, doc_id, rrf_micro, rk FROM (
+       |  SELECT query_id, doc_id, rrf_micro,
+       |    CAST(rank() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rk FROM fused)
+       |WHERE rk <= $rrfK""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_hybrid_rrf" -> (hybridRrfQ _),
     "sim_label_confusion" -> (labelConfusionQ _),
     "sim_negatives" -> (negativesQ _),
     "sim_cluster_balance" -> (clusterBalanceQ _),
@@ -738,6 +835,7 @@ object SimilarityQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "pipeline_hybrid_rrf" -> hybridRrfSql,
     "sim_label_confusion" -> labelConfusionSql,
     "sim_negatives" -> negativesSql,
     "sim_cluster_balance" -> clusterBalanceSql,
