@@ -273,6 +273,16 @@ final class LensEngine(persistDir: Option[Path] = None) {
     cfgs.map { case (_, cfg) => add(cfg.canonicalJson) }
   }
 
+  /** [[importCar]] by scheme-dispatched reference (`file:`, `data:`,
+   *  `http(s):` — the same dispatcher lens refs use): fetch the CAR
+   *  bytes, then the normal verified import. With [[exportCar]] served
+   *  over any HTTP endpoint this IS the wire-level lens exchange — the
+   *  hash verification inside [[Car.read]] makes the transport
+   *  untrusted by construction, exactly what content addressing buys
+   *  the reference's libp2p block exchange. */
+  def importCarRef(ref: String): String =
+    importCar(ModuleFetch.fetchBytes(ref))
+
   /**
    * Import a CARv1 lens archive: blocks are hash-verified, the config is
    * reconstructed (wasm payloads become self-contained `data:` stages —

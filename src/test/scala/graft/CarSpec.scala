@@ -134,6 +134,67 @@ class CarSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet == Set(("P", 12L)))
   }
 
+  test("wire-level lens exchange: CAR served over HTTP, imported by ref, " +
+      "tampered bytes rejected") {
+    import spark.implicits._
+    val a = LensEngine()
+    val id = a.add(wasmConfigJson)
+    val cid = a.cidOf(id).get
+    val car = a.exportCar(id)
+    val tampered = car.clone()
+    tampered(car.length - 3) = (tampered(car.length - 3) ^ 1).toByte
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      def serve(path: String, bytes: Array[Byte]): Unit =
+        server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        })
+      serve("/lens.car", car)
+      serve("/evil.car", tampered)
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val b = LensEngine()
+      val idB = b.importCarRef(s"$base/lens.car")
+      assert(b.cidOf(idB).contains(cid))
+      val people = Seq(("P", 1L)).toDF("Name", "Age")
+      assert(b.transform(people, cid).as[(String, Long)].collect().toSet
+        == Set(("P", 3L)))
+      // a peer serving altered bytes is rejected — the content-addressed
+      // integrity the reference's block exchange relies on, enforced at
+      // the transport seam
+      val ex = intercept[IllegalArgumentException](
+        b.importCarRef(s"$base/evil.car"))
+      assert(ex.getMessage.contains("corrupt CAR block"))
+    } finally server.stop(0)
+  }
+
+  test("truncated or garbled CARs fail cleanly (IllegalArgumentException, " +
+      "never a crash or a partial import)") {
+    val e = LensEngine()
+    val car = e.exportCar(e.add(wasmConfigJson))
+    // every strict prefix either parses to the SAME config (truncation
+    // after the last needed block) or fails with a clean parse error
+    var cleanFailures = 0
+    (0 until car.length by 7).foreach { n =>
+      try Car.readConfig(java.util.Arrays.copyOf(car, n))
+      catch {
+        case _: IllegalArgumentException => cleanFailures += 1
+        case other: Throwable =>
+          fail(s"prefix of $n bytes died with ${other.getClass.getName}: " +
+            other.getMessage)
+      }
+    }
+    assert(cleanFailures > 0)
+    // garbled: flip every 13th byte of a copy — clean failure, not a crash
+    val garbled = car.clone()
+    (0 until garbled.length by 13).foreach(i =>
+      garbled(i) = (garbled(i) ^ 0x5A).toByte)
+    intercept[IllegalArgumentException](Car.readConfig(garbled))
+  }
+
   test("chunked wasm payloads reassemble: multi-leaf lens round-trips") {
     // 7-byte payload with \0asm magic, 3-byte chunks => 3 leaves + root.
     val payload = Array[Byte](0x00, 0x61, 0x73, 0x6D, 1, 0, 0)
