@@ -803,6 +803,28 @@ object SimilarityQueries extends QueryProvider {
        |WHERE rk <= $rrfK""".stripMargin
   }
 
+  /** The PRODUCTION hybrid: same fusion, but the semantic leg runs
+   *  through the residual-IVFPQ tier (probed cells + 16-byte codes —
+   *  what a 100 TB corpus actually scans) instead of brute force.
+   *  Trained-model internals keep it bench-only; `pipeline_hybrid_rrf`
+   *  above is the hash-certified composition and the recall ceiling,
+   *  and the probed tier's own math is certified by
+   *  `sim_rpq_adc_verify`. Same nprobe=32/256 operating point as
+   *  `sim_rpq_topk` (keeps 0.672 of the exhaustive tier's 0.692
+   *  recall@5). */
+  private def hybridRrfAnnQ(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.operators.Bm25.searchAllTopK(T(s, dir, "documents"),
+      "text", "doc_id", rrfTermQueries, k = rrfLegK,
+      k1 = rrfBm25K1, b = rrfBm25B)
+    val emb = T(s, dir, "embeddings")
+    val sem = graft.operators.Pq.residualIvfTopK(emb,
+        emb.where(col("vec_id") < rrfTermQueries.size), "embedding", "vec_id",
+        rpqCentroids(s, dir), rpqCodebooks(s, dir),
+        k = rrfLegK, nprobe = 32)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
+    graft.operators.Hybrid.rrf(Seq(lex, sem), k0 = rrfK0, k = rrfK)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_hybrid_rrf" -> (hybridRrfQ _),
     "sim_label_confusion" -> (labelConfusionQ _),
@@ -827,6 +849,7 @@ object SimilarityQueries extends QueryProvider {
    *  the raw shapes oracle-inexpressible, so the verify row is the
    *  correctness entry and these stay benchmark-only. */
   override val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hybrid_ann" -> (hybridRrfAnnQ _),
     "sim_ivf_kmeans" -> (kmeansIvf _),
     "sim_ann_srp"    -> (srpAnn _),
     "sim_pq_topk"    -> (pqTopk _),

@@ -47,6 +47,23 @@ class HybridSpec extends AnyFunSuite {
     assert(all == single, "multi-query retrieval diverged from per-query")
   }
 
+  test("ANN-leg hybrid (sim_hybrid_ann) tracks the brute-leg flagship's fusion") {
+    // identical lexical leg; the semantic leg swaps brute force for the
+    // probed residual-IVFPQ tier (recall ~0.67 at nprobe=32/256), so the
+    // fused top-10 sets must agree on well over half their members.
+    // Training is deterministic — this is a stable measurement, the
+    // floor only guards against testdata regeneration.
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("pipeline_hybrid_rrf")(spark, dir)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    val ann = SparkEntry.benchQueries("sim_hybrid_ann")(spark, dir)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    val overlap = (exact & ann).size.toDouble / exact.size
+    info(f"fused-set overlap (ann vs brute leg): $overlap%.3f")
+    assert(overlap >= 0.5, s"overlap $overlap — the ANN leg lost the fusion")
+    assert(ann.groupBy(_._1).keySet == Set(0L, 1L, 2L))
+  }
+
   test("hybrid flagship legs: fused docs come only from the legs, ranks 1..k") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
