@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftScreen
 
 /**
  * Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.6):
@@ -248,6 +249,47 @@ object TextAnalysis {
       size(array_intersect(wsTokens(col(textCol)), blocked)).cast("long")
         .as("n_blocked_terms"))
       .withColumn("kept", col("n_blocked_terms") === 0L)
+  }
+
+  /**
+   * Substring (phrase-aware) blocklist screen — the C4 bad-words rule at
+   * its PUBLISHED semantics: the "List of Dirty, Naughty …" blocklist is
+   * full of multi-word phrases, and Raffel et al. 2020 §2.2 drop a page
+   * when any entry APPEARS in it, which is substring containment, not
+   * the whole-token match of [[blocklistScreen]] (kept as the
+   * Scunthorpe-safe conservative variant). Emits the count of DISTINCT
+   * patterns present plus the keep verdict.
+   *
+   * One byte-level Aho–Corasick pass per document regardless of pattern
+   * count (vs |patterns| full `contains` scans in the naive spelling) —
+   * see [[org.apache.spark.sql.graft.AcAutomaton]].
+   *
+   * 100 TB shape: one narrow scan projection, zero exchanges — the
+   * automaton is built from the literal pattern list on each executor;
+   * nothing is joined or broadcast. For 100k+-entry lists (URL/domain
+   * blocklists) use the broadcast token-join shapes instead.
+   */
+  def substringScreen(df: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[String]): DataFrame =
+    df.select(col(idCol),
+      size(GraftScreen.substringHits(col(textCol), patterns)).cast("long")
+        .as("n_patterns_hit"))
+      .withColumn("kept", col("n_patterns_hit") === 0L)
+
+  /**
+   * The audit face of [[substringScreen]]: one row per (document,
+   * matched pattern), carrying the pattern id and text — what fired,
+   * per document, before a curation run commits to the drop. Same
+   * single-pass automaton; the explode emits only actual hits, so
+   * output volume is match-bounded, never |docs|×|patterns|.
+   */
+  def substringHits(df: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val pats = array(patterns.map(lit): _*)
+    df.select(col(idCol),
+        explode(GraftScreen.substringHits(col(textCol), patterns)).as("pid"))
+      .select(col(idCol), col("pid").cast("long").as("pat_id"),
+        element_at(pats, col("pid") + 1).as("pattern"))
   }
 
   /**

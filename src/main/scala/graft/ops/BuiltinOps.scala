@@ -707,6 +707,17 @@ object BuiltinOps {
         df => graft.operators.TextAnalysis.blocklistScreen(df, t, id, terms))
     },
 
+    // Substring (phrase-aware) blocklist screen
+    // (TextAnalysis.substringScreen): the C4 rule at its published
+    // substring semantics — one Aho–Corasick pass per document.
+    "substring_screen" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      val pats = a.strList("patterns")
+      LensOp(s"substring_screen(${pats.size} patterns)",
+        df => graft.operators.TextAnalysis.substringScreen(df, t, id, pats))
+    },
+
     // JL ±1 random projection (Similarity.randomProject): dimension cut
     // to d_out integer components, mixer-derived signs, long format.
     "random_proj" -> { a =>

@@ -172,6 +172,92 @@ object TextQueries extends QueryProvider {
        |FROM w""".stripMargin
   }
 
+  /** Substring (phrase-aware) blocklist screen: the C4 rule at its
+   *  published substring semantics via one Aho–Corasick pass. Patterns
+   *  mix dense token-internal substrings, two-word phrases, and a
+   *  word-boundary-crossing fragment so both verdicts are populated and
+   *  the whole-token screen provably differs. */
+  private val subPatterns = Seq("ust", "batch batch", "slow join",
+    "window window", "merge slo", "spark tab", "agg the", "vector")
+
+  private def substringScreenQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.substringScreen(T(s, dir, "documents"), "text", "doc_id",
+      subPatterns)
+
+  private val substringScreenSql = {
+    val hits = subPatterns
+      .map(p => s"(CASE WHEN contains(text, '$p') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id,
+       |  CAST($hits AS BIGINT) AS n_patterns_hit,
+       |  ($hits) = 0 AS kept
+       |FROM documents""".stripMargin
+  }
+
+  private def substringHitsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.substringHits(T(s, dir, "documents"), "text", "doc_id",
+      subPatterns)
+
+  private val substringHitsSql = {
+    val vals = subPatterns.zipWithIndex
+      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+    s"""WITH pats(pat_id, pattern) AS (VALUES $vals)
+       |SELECT d.doc_id, CAST(p.pat_id AS BIGINT) AS pat_id, p.pattern
+       |FROM documents d JOIN pats p ON contains(d.text, p.pattern)""".stripMargin
+  }
+
+  /** The INGEST GATE flagship (14th composition): the batch face of the
+   *  streaming gates — what a production ingest runs on a new dump
+   *  before admitting rows. Sources src0-4 are the already-ingested
+   *  corpus, the rest the dump; a row is ADMITTED iff it is (1)
+   *  content-new vs the corpus and first-id-unique within the dump
+   *  (`Dedup.incrementalNew`, Bloom-prefiltered scale path), (2) clean
+   *  under the substring blocklist (`ContainsAnyPattern` filter fast
+   *  path — single-reference, so the anti-join lineage executes once),
+   *  and (3) passes the Gopher heuristics. The oracle replays all three
+   *  stages from raw text, so the hash certifies the COMPOSITION.
+   *
+   *  100 TB shape: stage 1 shuffles 8-byte content hashes (Bloom drops
+   *  definitely-new rows from the anti-join); stages 2-3 are narrow
+   *  scan projections over the admitted sliver — no further exchange. */
+  private val gatePatterns = Seq("batch batch", "slow join", "merge slo")
+
+  private def ingestGateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val refs = DedupQueries.RefSources
+    val admitted = graft.operators.Dedup.incrementalNew(
+      batch = docs.where(!col("source").isInCollection(refs)),
+      corpus = docs.where(col("source").isInCollection(refs)),
+      "text", "doc_id", bloomExpectedItems = 4096)
+    val screened = admitted.where(!org.apache.spark.sql.graft.GraftScreen
+      .containsAnyPattern(col("text"), gatePatterns))
+    TextAnalysis.gopherRules(screened, "text", "doc_id",
+        keep = Seq("source", "n_chars"))
+      .where(col("gopher_pass"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_words"))
+  }
+
+  // lazy: composes gopherMetricsSql/gopherPassSql, declared later in
+  // this file — eager init here would interpolate null.
+  private lazy val ingestGateSql = {
+    val refs = DedupQueries.RefSources.map("'" + _ + "'").mkString(", ")
+    val anyPat = gatePatterns.map(p => s"contains(text, '$p')").mkString(" OR ")
+    s"""WITH newb AS (SELECT * FROM documents WHERE source NOT IN ($refs)),
+       |oldc AS (SELECT DISTINCT text FROM documents WHERE source IN ($refs)),
+       |fresh AS (SELECT n.* FROM newb n LEFT JOIN oldc o ON n.text = o.text
+       |  WHERE o.text IS NULL),
+       |keep AS (SELECT text, min(doc_id) AS doc_id FROM fresh GROUP BY text),
+       |adm AS (SELECT f.* FROM fresh f
+       |  JOIN keep k ON f.text = k.text AND f.doc_id = k.doc_id),
+       |scr AS (SELECT * FROM adm WHERE NOT ($anyPat)),
+       |w AS (SELECT doc_id, source, n_chars, text,
+       |  string_split(text, ' ') AS ws FROM scr),
+       |m AS (SELECT doc_id, source, n_chars,
+       |""".stripMargin +
+      gopherMetricsSql + "\nFROM w)\n" +
+      "SELECT doc_id, source, n_chars, n_words FROM m WHERE " + gopherPassSql
+  }
+
   /** Shared Gopher-rule fragments — the metric select-list and the pass
    *  predicate, mirrored EXACTLY by `TextAnalysis.gopherRules`;
    *  `pipeline_clean_corpus` composes the same strings so a threshold
@@ -1754,6 +1840,9 @@ object TextQueries extends QueryProvider {
     "text_quality"     -> (quality _),
     "text_gopher_rules" -> (gopher _),
     "text_blocklist"   -> (blocklist _),
+    "text_substring_screen" -> (substringScreenQ _),
+    "text_substring_hits"   -> (substringHitsQ _),
+    "pipeline_ingest_gate"  -> (ingestGateQ _),
     "text_langid"      -> (langid _),
     "text_fingerprint" -> (fingerprint _),
     "text_profile"     -> (profile _),
@@ -1846,6 +1935,9 @@ object TextQueries extends QueryProvider {
     "text_quality"     -> qualitySql,
     "text_gopher_rules" -> gopherSql,
     "text_blocklist"   -> blocklistSql,
+    "text_substring_screen" -> substringScreenSql,
+    "text_substring_hits"   -> substringHitsSql,
+    "pipeline_ingest_gate"  -> ingestGateSql,
     "text_langid"      -> langidSql,
     "text_fingerprint" -> fingerprintSql,
     "text_profile"     -> profileSql,

@@ -68,6 +68,8 @@ class CodegenGuardSpec extends AnyFunSuite {
     "JaccardThresholded" ->
       JaccardThresholded(longs, longs2, intRef, intRef, 0.5),
     "RollingTokenHash" -> RollingTokenHash(strs),
+    "SubstringHits" -> SubstringHits(str, Seq("ab", "ba c")),
+    "ContainsAnyPattern" -> ContainsAnyPattern(str, Seq("ab", "ba c")),
     "MinShingleMd5" -> MinShingleMd5(strs),
     "AdjacentPairs" -> AdjacentPairs(strs))
 
