@@ -291,6 +291,75 @@ object StreamingLens {
   }
 
   /**
+   * Streaming INGEST gate — the continuous face of the
+   * `pipeline_ingest_gate` batch flagship: per micro-batch a row is
+   * ADMITTED iff it is (1) content-new against the persistent corpus
+   * hash index and first-id-unique within its own batch, (2) clean under
+   * the substring blocklist
+   * ([[org.apache.spark.sql.graft.GraftScreen.containsAnyPattern]] —
+   * one Aho–Corasick pass), and (3) passes the Gopher heuristics
+   * ([[graft.operators.TextAnalysis.gopherRules]]). Admitted rows append
+   * to `outDir`; their 8-byte content hashes append to `indexDir`.
+   *
+   * Persistent state is the production index layout, deliberately NOT
+   * watermarked keyed state: `indexDir` holds ONE xxhash64 per admitted
+   * document (`__h` LongType) — the only state a 100 TB corpus affords
+   * to keep hot, 8 B/doc regardless of document size. Seed it from an
+   * existing corpus with [[ingestIndexOf]]. Per batch: one left-anti
+   * probe of the index on the hash, one slim (hash, min id) in-batch
+   * aggregate, then the screen + Gopher stages run as narrow scan
+   * projections over the surviving sliver — no further exchange.
+   *
+   * Indexing only ADMITTED hashes preserves batch parity: a row whose
+   * earlier twin was rejected is rejected again by the SAME
+   * deterministic-on-text stage (screen/Gopher verdicts replay; a
+   * corpus-dup twin is still a corpus dup), so no admitted-vs-dropped
+   * state beyond the admitted set is needed. Arrival-order min-id vs
+   * the batch flagship's global min-id: identical on id-ordered split
+   * logs (spec-pinned); the same documented gap as [[nearDedupGate]].
+   * Replay caveat likewise: survivors of a replayed batch dedup against
+   * their own indexed hashes — idempotent sinks key appends by batchId.
+   *
+   * Use with `stream.writeStream.foreachBatch(ingestGate(...)).start()`.
+   */
+  def ingestGate(
+      textCol: String,
+      idCol: String,
+      patterns: Seq[String],
+      indexDir: String,
+      outDir: String): (DataFrame, Long) => Unit = (batch, _) => {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.graft.GraftScreen
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("__h", xxhash64(col(textCol)))
+    val indexed =
+      if (new java.io.File(indexDir).exists) spark.read.parquet(indexDir)
+      else spark.emptyDataFrame.select(lit(0L).as("__h")).limit(0)
+    val fresh = hashed.join(indexed, Seq("__h"), "left_anti")
+    // within-batch keep-min: slim (hash, min id) aggregate; the payload
+    // rides a left-semi re-attach, never the aggregate itself
+    val keepers = fresh.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+    val unique = fresh.join(keepers, Seq("__h", idCol), "left_semi")
+    val screened = unique.where(
+      !GraftScreen.containsAnyPattern(col(textCol), patterns))
+    val metricCols = Seq("n_words", "mean_word_len", "symbol_ratio",
+      "alpha_ratio", "n_stop", "gopher_pass")
+    val admitted = TextAnalysis.gopherRules(screened, textCol, idCol,
+        keep = screened.columns.filterNot(_ == idCol).toSeq)
+      .where(col("gopher_pass"))
+      .drop(metricCols: _*)
+      .localCheckpoint() // corpus + index appends reuse it; cut the lineage
+    admitted.drop("__h").write.mode("append").parquet(outDir)
+    admitted.select(col("__h")).write.mode("append").parquet(indexDir)
+  }
+
+  /** Hash-index seed for [[ingestGate]]: the `indexDir` layout (`__h`
+   *  LongType, one xxhash64 per distinct document) for an existing
+   *  corpus. Write it once before starting the gate. */
+  def ingestIndexOf(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(xxhash64(col(textCol)).as("__h")).distinct()
+
+  /**
    * Streaming ingest-volume monitor — the continuous face of
    * [[graft.operators.Anomaly.volumeSpikes]]: per micro-batch, fold the
    * batch's (group, bucket) event counts into a persistent count history

@@ -661,4 +661,88 @@ class StreamingLensSpec extends AnyFunSuite {
       assert(rows == Set((1L, 2L, "banner\nbody"), (2L, 2L, "x\ny")))
     } finally q.stop()
   }
+
+  /** Ingest-gate fixture: texts engineered so every stage fires.
+   *  clean() passes Gopher (13 words, mean len ~4.7, two distinct
+   *  stopwords, zero symbols); blockText would pass Gopher but carries
+   *  a blocklist phrase; shortText fails Gopher only. */
+  object IngestFixture {
+    def clean(tag: String): String =
+      s"the quick brown foxes of yonder jumped over lazy sleeping dogs near $tag"
+    val pats = Seq("slow join")
+    val blockText =
+      "the quick brown foxes of slow join jumped over lazy sleeping dogs today"
+    val shortText = "too short indeed"
+    val corpus: Seq[(Long, String)] = Seq((1L, clean("alpha")))
+    // batch 1: 10 = corpus dup; 11 clean; 12/13 in-batch dup; 14 blocklisted
+    val b1: Seq[(Long, String)] = Seq(
+      (10L, clean("alpha")), (11L, clean("bravo")),
+      (12L, clean("charlie")), (13L, clean("charlie")), (14L, blockText))
+    // batch 2: 15 = cross-batch dup of 11; 16 Gopher-fail; 17 clean
+    val b2: Seq[(Long, String)] = Seq(
+      (15L, clean("bravo")), (16L, shortText), (17L, clean("delta")))
+  }
+
+  test("ingest gate: corpus/in-batch/cross-batch dups, blocklist hits and " +
+      "Gopher failures all rejected; index carries admitted hashes only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import IngestFixture._
+    val root = java.nio.file.Files.createTempDirectory("ingestgate").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    StreamingLens.ingestIndexOf(corpus.toDF("doc_id", "text"), "text")
+      .write.parquet(idx)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingLens.ingestGate("text", "doc_id", pats, idx, out))
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+        == Set(11L, 12L))
+      in.addData(b2: _*); q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("doc_id").as[Long]
+        .collect().toSet
+      assert(kept == Set(11L, 12L, 17L), s"gate kept $kept")
+      // admitted rows keep the full payload; the index is 8 B/doc
+      assert(spark.read.parquet(out).columns.toSet == Set("doc_id", "text"))
+      val indexed = spark.read.parquet(idx)
+      assert(indexed.columns.toSeq == Seq("__h"))
+      assert(indexed.count() == corpus.size + kept.size)
+    } finally q.stop()
+  }
+
+  test("ingest gate ≡ batch flagship composition on an id-ordered split log") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import IngestFixture._
+    import org.apache.spark.sql.graft.GraftScreen
+    val dump = (b1 ++ b2).toDF("doc_id", "text")
+    // the pipeline_ingest_gate batch composition over the FULL dump
+    val fresh = graft.operators.Dedup.incrementalNew(
+      dump, corpus.toDF("doc_id", "text"), "text", "doc_id")
+    val screened = fresh.where(
+      !GraftScreen.containsAnyPattern(col("text"), pats))
+    val batchKept = graft.operators.TextAnalysis
+      .gopherRules(screened, "text", "doc_id")
+      .where(col("gopher_pass"))
+      .select("doc_id").as[Long].collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("ingestparity").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    StreamingLens.ingestIndexOf(corpus.toDF("doc_id", "text"), "text")
+      .write.parquet(idx)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamingLens.ingestGate("text", "doc_id", pats, idx, out))
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val gateKept = spark.read.parquet(out).select("doc_id").as[Long]
+        .collect().toSet
+      assert(gateKept == batchKept, s"gate $gateKept != batch $batchKept")
+      assert(batchKept.nonEmpty && batchKept != (b1 ++ b2).map(_._1).toSet,
+        "fixture drifted: batch composition rejected nothing")
+    } finally q.stop()
+  }
 }
