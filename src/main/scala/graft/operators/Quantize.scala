@@ -45,4 +45,15 @@ object Quantize {
       as: String): DataFrame =
     df.withColumn(as,
       transform(col(qCol), q => q.cast("double") * col(scaleCol) / lit(127.0)))
+
+  /** (id, sig): sign-bit binary quantization — bit i of `sig` set iff
+   *  v_i > 0, dims ≤ 64 in ONE BIGINT (32× smaller than float32; the
+   *  coarsest index tier, probed by Hamming distance =
+   *  `bit_count(a ^ b)`, pure built-in codegen per pair). Dims > 64 or
+   *  null vectors yield null sig — unpackable is unprobeable. See
+   *  [[org.apache.spark.sql.graft.SignBits]]; search face:
+   *  [[Similarity.binaryHammingTopK]]. */
+  def signPack(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      org.apache.spark.sql.graft.GraftQuantize.signBits(col(vecCol)).as("sig"))
 }

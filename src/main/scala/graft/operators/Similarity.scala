@@ -69,6 +69,57 @@ object Similarity {
       k)
   }
 
+  /**
+   * Binary-embedding search (sign-bit tier): Hamming prefilter over the
+   * 8-byte sign signatures ([[Quantize.signPack]]), exact-cosine rerank
+   * on the surviving `rerank` candidates per query. The coarsest rung of
+   * the quantization ladder — the index is ONE BIGINT per vector (32×
+   * smaller than float32), and the prefilter's per-pair work is
+   * `bit_count(q_sig ^ c_sig)`: XOR+POPCNT inside whole-stage codegen,
+   * no array walk at all. Sign-of-raw-dims correlates with cosine for
+   * roughly-centered embeddings (Hamming/64 ≈ angle/π — the Goemans–
+   * Williamson bound SRP relies on, with the identity basis), so a
+   * rerank window of a few × k recovers most exact-rank agreement;
+   * SimilaritySpec pins recall and the rerank=|corpus| ≡ brute-force
+   * identity.
+   *
+   * Both cuts are TOTAL orders — prefilter (hamming asc, neighbor_id
+   * asc) via value = −hamming, rerank (cos desc, neighbor_id asc) — so
+   * output is deterministic and the DuckDB oracle replays BOTH stages
+   * rank-for-rank. Unpackable vectors (dims > 64, null) never rank.
+   *
+   * 100 TB shape: one scan of the slim (id, sig) index with the packed
+   * query set broadcast; the map-side partial top-k cut ships ≤ rerank
+   * ·16 B per (partition × query); only the |q|·rerank candidate sliver
+   * re-reads full vectors (broadcast of the sliver against the corpus
+   * scan). The corpus is scanned twice (sig pass + vector fetch for the
+   * sliver) — at scale the first scan reads the 8 B/row sig index, not
+   * the vectors.
+   */
+  def binaryHammingTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.graft.GraftQuantize
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      GraftQuantize.signBits(col(vecCol)).as("q_sig"))
+    val sigs = Par.spread(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"),
+        GraftQuantize.signBits(col(vecCol)).as("c_sig"))
+    val pre = sigs.crossJoin(broadcast(q.select(col("query_id"), col("q_sig"))))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(0L) - bit_count(col("q_sig").bitwiseXOR(col("c_sig"))))
+          .cast("double").as("cos"))
+    val cand = cutTopK(pre, rerank).drop("rk")
+    val vecs = Par.spread(corpus, col(idCol))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    cutTopK(
+      vecs.join(broadcast(cand), Seq("neighbor_id"))
+        .join(broadcast(q.select(col("query_id"), col("q_vec"))), Seq("query_id"))
+        .withColumn("cos", TextHash.cosine("q_vec", "c_vec")),
+      k)
+  }
+
   /** IVF-shaped search: score only rows in the query's coarse cluster
    *  (`clusterCol`), exact within it. */
   def ivfTopK(

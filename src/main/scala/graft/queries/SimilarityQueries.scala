@@ -41,6 +41,41 @@ object SimilarityQueries extends QueryProvider {
        |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
        |SELECT query_id, neighbor_id, rk FROM ranked WHERE rk <= 5""".stripMargin
 
+  // Binary sign-bit tier: Hamming-prefilter (top-40 of 8-byte signatures)
+  // then exact-cosine rerank to top-5. Both cuts are total orders, so the
+  // oracle replays sign-packing (as per-dimension sign disagreement ≡
+  // bit_count(xor)), the prefilter rank AND the rerank, rank-for-rank —
+  // the hash certifies the whole two-stage funnel.
+  private def binaryTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.binaryHammingTopK(
+      corpus = emb, queries = emb.where(col("vec_id") < 10),
+      vecCol = "embedding", idCol = "vec_id", k = 5, rerank = 40)
+  }
+
+  private val binaryTopkSql =
+    s"""WITH n AS ($NORMED),
+       |h AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    len(list_filter(range(1, 65),
+       |      i -> (q.embedding[i] > 0) <> (c.embedding[i] > 0))) AS hamming
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |pre AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      rank() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, neighbor_id) AS hrk
+       |    FROM h) WHERE hrk <= 40),
+       |ranked AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    CAST(rank() OVER (PARTITION BY p.query_id
+       |      ORDER BY $COS DESC, c.vec_id) AS BIGINT) AS rk
+       |  FROM pre p
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN n c ON c.vec_id = p.neighbor_id)
+       |SELECT query_id, neighbor_id, rk FROM ranked WHERE rk <= 5""".stripMargin
+
   private def thresholdNbrs(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Similarity.thresholdNeighbors(
@@ -831,6 +866,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_negatives" -> (negativesQ _),
     "sim_cluster_balance" -> (clusterBalanceQ _),
     "sim_topk_brute"  -> (topkBrute _),
+    "sim_binary_topk" -> (binaryTopk _),
     "sim_threshold"   -> (thresholdNbrs _),
     "sim_ivf_topk"    -> (ivfTopk _),
     "sim_quantize_int8" -> (quantizeInt8 _),
@@ -863,6 +899,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_negatives" -> negativesSql,
     "sim_cluster_balance" -> clusterBalanceSql,
     "sim_topk_brute" -> topkBruteSql,
+    "sim_binary_topk" -> binaryTopkSql,
     "sim_threshold"  -> thresholdNbrsSql,
     "sim_ivf_topk"   -> ivfTopkSql,
     "sim_quantize_int8" -> quantizeInt8Sql,

@@ -157,6 +157,74 @@ case class QuantizeInt8Codes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Sign-bit binary quantization: bit i of the output word is set iff
+ * `v(i) > 0` — the 32× memory cut of binary-embedding retrieval (one BIT
+ * per float32 dimension), the coarsest tier of the quantization ladder
+ * (sign 1-bit → int8 → PQ). Dimensions ≤ 64 pack into ONE BIGINT, which
+ * keeps the per-PAIR hot op pure built-in codegen (`bit_count(a ^ b)` =
+ * Hamming distance, a two-instruction XOR+POPCNT inside whole-stage
+ * codegen) — a multi-word generalization would move the pair op into an
+ * interpreted zip_with, so dims > 64 deliberately yield NULL (a vector
+ * that cannot be packed cannot be probed; same contract as residual
+ * encode on corrupt rows). A null ELEMENT leaves its bit unset — in the
+ * oracle `NULL > 0` is NULL and the CASE falls through to 0, so both
+ * engines agree. Unlike [[SrpBucket]] (sign of |planes|·dim random
+ * projections), this is the sign of the RAW dimensions: zero multiplies,
+ * exactly replayable in SQL, and the standard binary-embedding layout.
+ *
+ * 100 TB shape: pure scan-projection at ingest; the index is 8 B/vector.
+ */
+case class SignBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits"
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n > 64) return null
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && a.getFloat(i) > 0.0f) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val bits = ctx.freshName("bits")
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${c.isNull}) {
+        final int $n = ${c.value}.numElements();
+        if ($n <= 64) {
+          long $bits = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if (!${c.value}.isNullAt($i) && ${c.value}.getFloat($i) > 0.0f) {
+              $bits |= (1L << $i);
+            }
+          }
+          ${ev.isNull} = false;
+          ${ev.value} = $bits;
+        }
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftQuantize {
   def absMax(v: Column): Column =
     ExpressionUtils.column(AbsMaxDouble(ExpressionUtils.expression(v)))
@@ -164,4 +232,7 @@ object GraftQuantize {
   def int8Codes(v: Column, scale: Column): Column =
     ExpressionUtils.column(QuantizeInt8Codes(
       ExpressionUtils.expression(v), ExpressionUtils.expression(scale)))
+
+  def signBits(v: Column): Column =
+    ExpressionUtils.column(SignBits(ExpressionUtils.expression(v)))
 }

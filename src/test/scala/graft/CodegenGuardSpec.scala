@@ -54,6 +54,7 @@ class CodegenGuardSpec extends AnyFunSuite {
     "PqAdcCosine" -> PqAdcCosine(floats, ints, cbs),
     "PqResidualAdcCosine" -> PqResidualAdcCosine(floats, cellRef, ints, cents, cbs),
     "QuantizeInt8Codes" -> QuantizeInt8Codes(floats, dbl),
+    "SignBits" -> SignBits(floats),
     "RandomProjectSigns" -> RandomProjectSigns(floats, 2, 1000000L),
     "SrpBucket" -> SrpBucket(floats, planes),
     "SrpProbes" -> SrpProbes(floats, planes, 2),
