@@ -130,6 +130,42 @@ object Anomaly {
   }
 
   /**
+   * SEASONAL volume-spike detection — the diurnal/weekly-aware sibling of
+   * [[volumeSpikes]]: same fixed `bucketUs` buckets, but each
+   * (group, bucket) count is tested against the history of its own PHASE
+   * — bucket index mod `periodBuckets` (hour buckets + period 24 =
+   * hour-of-day profile; period 168 = hour-of-week) — for that group.
+   * A 3 am burst that is still far below the daily peak is invisible to
+   * [[volumeSpikes]]'s whole-history stats (the diurnal swing IS the
+   * variance) but stands out against other 3 am buckets; AnomalySpec pins
+   * exactly that masking contrast. Phase arithmetic is `div`/`%` on the
+   * non-negative bucket index, so Spark's truncating DIV and DuckDB's
+   * flooring `//` agree exactly.
+   *
+   * 100 TB shape: identical to [[volumeSpikes]] — rows never shuffle,
+   * only the (group, bucket) count table moves, and the per-(group,
+   * phase) stats table (groups × period rows) broadcasts back.
+   */
+  def seasonalSpikes(
+      df: DataFrame, tsUsCol: String, groupCol: String,
+      bucketUs: Long, periodBuckets: Long,
+      kNum: Long = 5, kDen: Long = 2): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(periodBuckets > 0, "periodBuckets must be positive")
+    val counts = df
+      .withColumn("bucket_us",
+        col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs)))
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("phase", expr(s"(bucket_us div $bucketUs) % $periodBuckets"))
+      .withColumn("__season", concat_ws("#", col(groupCol), col("phase")))
+    zscoreOutliers(counts, "n_events", "__season",
+      kNum = kNum, kDen = kDen, scale = 1L)
+      .select(col(groupCol), col("phase"), col("bucket_us"),
+        col("n_events"), col("is_outlier"))
+  }
+
+  /**
    * Per-key exponentially-weighted moving average over event time — the
    * trend-smoothing companion to the point-in-time monitors above
    * ([[zscoreOutliers]] flags single rows; this tracks each entity's

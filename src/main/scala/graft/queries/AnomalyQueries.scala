@@ -67,6 +67,41 @@ object AnomalyQueries extends QueryProvider {
       |      * (d.n_events::HUGEINT * s.nb - s.sm) * 4
       |      > 25 * (s.nb::HUGEINT * s.sq - s.sm::HUGEINT * s.sm)""".stripMargin
 
+  /** Seasonal ingest monitoring: hour × type counts, each tested at 2.5σ
+   *  against the SAME HOUR-OF-DAY's history for that type — the
+   *  diurnal-aware monitor (a night-hours burst that never reaches the
+   *  daily peak is masked in q_daily_spikes's whole-history variance but
+   *  flagged here). 50 rows at sf0.01. */
+  private def seasonalSpikes(s: SparkSession, dir: String): DataFrame =
+    Anomaly.seasonalSpikes(
+        T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "ts_us", "event_type",
+        bucketUs = 3600000000L, periodBuckets = 24, kNum = 5, kDen = 2)
+      .where(col("is_outlier"))
+      .select(col("event_type"), col("phase"), col("bucket_us"),
+        col("n_events"))
+
+  private val seasonalSpikesSql =
+    """WITH d AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), p AS (
+      |  SELECT event_type, bucket_us, n_events,
+      |    (bucket_us // 3600000000) % 24 AS phase
+      |  FROM d
+      |), s AS (
+      |  SELECT event_type, phase, count(*) AS nb, sum(n_events) AS sm,
+      |         sum(n_events * n_events) AS sq
+      |  FROM p GROUP BY 1, 2
+      |)
+      |SELECT p.event_type, p.phase, p.bucket_us, p.n_events
+      |FROM p JOIN s USING (event_type, phase)
+      |WHERE (p.n_events::HUGEINT * s.nb - s.sm)
+      |      * (p.n_events::HUGEINT * s.nb - s.sm) * 4
+      |      > 25 * (s.nb::HUGEINT * s.sq - s.sm::HUGEINT * s.sm)""".stripMargin
+
   /** Robust outliers: modified z-score at 3.5 over median/MAD order
    *  statistics — integer-exact end to end (medians are data elements). */
   private def eventMad(s: SparkSession, dir: String): DataFrame =
@@ -249,6 +284,7 @@ object AnomalyQueries extends QueryProvider {
     "q_event_outliers" -> (eventOutliers _),
     "q_event_mad"      -> (eventMad _),
     "q_daily_spikes"   -> (dailySpikes _),
+    "q_seasonal_spikes" -> (seasonalSpikes _),
     "q_ewma"           -> (ewmaQ _),
     "q_winsorize"      -> (winsorizeQ _),
     "q_percentiles"    -> (percentilesQ _),
@@ -260,6 +296,7 @@ object AnomalyQueries extends QueryProvider {
     "q_event_outliers" -> eventOutliersSql,
     "q_event_mad"      -> eventMadSql,
     "q_daily_spikes"   -> dailySpikesSql,
+    "q_seasonal_spikes" -> seasonalSpikesSql,
     "q_ewma"           -> ewmaSql,
     "q_winsorize"      -> winsorizeSql,
     "q_percentiles"    -> percentilesSql,

@@ -148,6 +148,32 @@ class AnomalySpec extends AnyFunSuite {
     assert(spikes == Set(("x", 10 * day, 100L)))
   }
 
+  test("seasonalSpikes: a night burst masked by the diurnal swing is " +
+      "flagged against its own phase") {
+    // noon peak of 100/hour for 10 days; 3am baseline 10/hour for 9 days,
+    // then a 40-event 3am burst on day 9. Globally the diurnal swing IS
+    // the variance (σ≈44, the burst sits inside 1σ — volumeSpikes stays
+    // silent); against the 3am phase history (μ=13, σ=9) it is 3σ.
+    val hour = 3600000000L; val day = 24 * hour
+    val events =
+      (for (d <- 0 until 10; i <- 0 until 100)
+        yield ("x", d * day + 12 * hour + i)) ++
+        (for (d <- 0 until 9; i <- 0 until 10)
+          yield ("x", d * day + 3 * hour + i)) ++
+        (for (i <- 0 until 40) yield ("x", 9 * day + 3 * hour + i))
+    val df = events.toDF("g", "ts_us")
+    val global = Anomaly.volumeSpikes(df, "ts_us", "g", bucketUs = hour,
+      kNum = 5, kDen = 2).where(col("is_outlier")).count()
+    assert(global == 0, "fixture drifted: the global test saw the burst")
+    val seasonal = Anomaly.seasonalSpikes(df, "ts_us", "g", bucketUs = hour,
+      periodBuckets = 24, kNum = 5, kDen = 2)
+    assert(seasonal.count() == 20) // 10 noon + 10 3am buckets
+    val flagged = seasonal.where(col("is_outlier"))
+      .select("g", "phase", "bucket_us", "n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(flagged == Set(("x", 3L, 9 * day + 3 * hour, 40L)))
+  }
+
   test("ewmaByKey: hand-computed integer fold, (ts, id) total order") {
     import spark.implicits._
     // key 1 in scrambled arrival order; same-ts tie broken by id
