@@ -175,6 +175,36 @@ object TextAnalysis {
         lit(1.0) - nDistinct.cast("double") / nSh).as("dup_ratio"))
   }
 
+  /**
+   * Top-n-gram character concentration (the second Gopher repetition
+   * rule, complementing [[repetition]]'s distinct-shingle ratio): for
+   * each document, its most frequent word n-gram, the occurrence count,
+   * and the characters that n-gram's occurrences cover — keyword-stuffed
+   * or loop-generated text concentrates a large character fraction in
+   * one gram. Integer outputs only (`covered_chars` = n_occ ×
+   * length(gram); callers divide by `n_chars` for the published ratio),
+   * so the oracle is exact. Ties break (count desc, gram asc in UTF-8
+   * byte order) — total, engine-agreed.
+   *
+   * 100 TB shape: the gram count is a WITHIN-ROW fold
+   * ([[org.apache.spark.sql.graft.TopGram]]) — pure scan projection, no
+   * explode, no (doc, gram) exchange. Docs under n tokens drop (no gram
+   * exists).
+   */
+  def topNgram(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    val top = org.apache.spark.sql.graft.GraftTopGram
+      .topGram(wsTokens(col(textCol)), n)
+    df.select(col(idCol), top.as("__t"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .where(col("__t").isNotNull)
+      .select(col(idCol),
+        col("__t.gram").as("top_gram"),
+        col("__t.n_occ").as("n_occ"),
+        (col("__t.n_occ") * length(col("__t.gram"))).as("covered_chars"),
+        col("n_chars"))
+  }
+
   // ----------------------------------------------------------- fingerprint
 
   /** Rolling polynomial hash parameters (Rabin–Karp over token codes). */

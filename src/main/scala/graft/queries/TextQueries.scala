@@ -427,6 +427,34 @@ object TextQueries extends QueryProvider {
       |  CASE WHEN n >= 3 THEN 1.0 - CAST(nd AS DOUBLE) / (n - 2) END AS dup_ratio
       |FROM s""".stripMargin
 
+  /** The second Gopher repetition rule: per-doc most frequent 2-gram and
+   *  the characters it covers. The Spark side is a within-row native
+   *  fold (no explode, no gram shuffle); the oracle replays it the
+   *  expensive way — unnest + group + rank over (count desc, gram) —
+   *  so the hash certifies gram construction, counting AND the
+   *  byte-order tie-break. */
+  private def topNgramQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgram(T(s, dir, "documents"), "text", "doc_id", n = 2)
+
+  private val topNgramSql =
+    """WITH w AS (SELECT doc_id, length(text) AS n_chars,
+      |    string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, n_chars,
+      |    unnest(list_transform(range(1, len(ws)),
+      |      i -> ws[i] || ' ' || ws[i+1])) AS gram
+      |  FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT doc_id, any_value(n_chars) AS n_chars, gram,
+      |    count(*) AS n_occ
+      |  FROM g GROUP BY doc_id, gram),
+      |r AS (SELECT doc_id, n_chars, gram, n_occ,
+      |    rank() OVER (PARTITION BY doc_id
+      |      ORDER BY n_occ DESC, gram) AS rk
+      |  FROM c)
+      |SELECT doc_id, gram AS top_gram, CAST(n_occ AS BIGINT) AS n_occ,
+      |  CAST(n_occ * length(gram) AS BIGINT) AS covered_chars,
+      |  CAST(n_chars AS BIGINT) AS n_chars
+      |FROM r WHERE rk = 1""".stripMargin
+
   // Benchmark slice = every 10th doc (a stand-in eval set); 8-gram word
   // shingles, any overlap flags the pair. See Contamination scaladoc for
   // the broadcast inverted-index scale shape.
@@ -1847,6 +1875,7 @@ object TextQueries extends QueryProvider {
     "text_fingerprint" -> (fingerprint _),
     "text_profile"     -> (profile _),
     "text_repetition"  -> (repetition _),
+    "text_top_ngram"   -> (topNgramQ _),
     "text_contamination" -> (contamination _),
     "text_cms_verify"  -> (cmsVerify _),
     "pipeline_prep_corpus" -> (prepCorpus _)
@@ -1942,6 +1971,7 @@ object TextQueries extends QueryProvider {
     "text_fingerprint" -> fingerprintSql,
     "text_profile"     -> profileSql,
     "text_repetition"  -> repetitionSql,
+    "text_top_ngram"   -> topNgramSql,
     "text_contamination" -> contaminationSql,
     "text_bpe_merges"  -> bpeMergesSql,
     "text_bpe_encode"  -> bpeEncodeSql,

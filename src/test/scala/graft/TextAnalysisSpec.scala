@@ -14,6 +14,38 @@ class TextAnalysisSpec extends AnyFunSuite {
   private def docs(rows: (Int, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("topNgram: hand-computed top gram, byte-order tie-break, short docs drop") {
+    import graft.operators.TextAnalysis
+    val df = docs(
+      1 -> "go go go stop go go", // "go go" x3 ("go go go" gives two overlapping + "go go" again)
+      2 -> "b c a b c a",         // ties at 1: "a b", "b c" x2? -> "b c" x2 wins
+      3 -> "z y z y z",           // "z y" x2 beats "y z" x2 on byte order
+      4 -> "single")              // < 2 tokens: dropped
+    val out = TextAnalysis.topNgram(df.toDF(), "text", "doc_id", n = 2)
+      .select("doc_id", "top_gram", "n_occ", "covered_chars", "n_chars")
+      .as[(Int, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1 grams: go-go, go-go, go-stop, stop-go, go-go -> "go go" x3
+    assert(out(1) == (("go go", 3L, 15L, 19L)))
+    // doc 2 grams: b-c, c-a, a-b, b-c, c-a -> "b c" and "c a" tie at 2;
+    // byte order picks "b c"
+    assert(out(2) == (("b c", 2L, 6L, 11L)))
+    // doc 3 grams: z-y, y-z, z-y, y-z -> tie at 2; "y z" < "z y"
+    assert(out(3) == (("y z", 2L, 6L, 9L)))
+    assert(!out.contains(4))
+  }
+
+  test("topNgram: n=3 trigram counting and sub-n docs") {
+    import graft.operators.TextAnalysis
+    val df = docs(1 -> "a b c a b c a b", 2 -> "x y")
+    val out = TextAnalysis.topNgram(df.toDF(), "text", "doc_id", n = 3)
+      .select("doc_id", "top_gram", "n_occ")
+      .as[(Int, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // trigrams: abc, bca, cab, abc, bca, cab -> ties at 2, "a b c" least
+    assert(out(1) == (("a b c", 2L)))
+    assert(!out.contains(2)) // 2 tokens < n=3
+  }
+
   test("languageId discriminates real multilingual samples") {
     val df = docs(
       1 -> "the cat sat on the mat and it is a fine day in the park",
