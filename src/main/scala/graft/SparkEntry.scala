@@ -16,6 +16,7 @@ object SparkEntry {
     MultimodalQueries,
     SessionQueries,
     AnomalyQueries,
+    AuditQueries,
     IoQueries,
     StorageQueries
   )

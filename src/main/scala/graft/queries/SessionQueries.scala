@@ -255,7 +255,41 @@ object SessionQueries extends QueryProvider {
       |FROM pb JOIN f ON pb.k = f.k
       |GROUP BY 1, 2""".stripMargin
 
+  /** SCD2 dimension history from the event log: one row per maximal run
+   *  of same-type events per user (in (ts, id) order) with half-open
+   *  [valid_from_us, valid_to_us) validity — the history-keeping sibling
+   *  of q_latest_by_key's CDC upsert. The oracle replays lag →
+   *  running-sum → group → lead move-for-move. */
+  private def scd2Q(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd.intervals(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_type", "event_id")
+
+  private val scd2Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events
+      |), m AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), v AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS ver
+      |  FROM m
+      |), g AS (
+      |  SELECT user_id, ver, min(event_type) AS event_type,
+      |    min(ts_us) AS valid_from_us, count(*) AS n_events
+      |  FROM v GROUP BY 1, 2
+      |)
+      |SELECT user_id, event_type, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
+      |    AS valid_to_us,
+      |  n_events
+      |FROM g""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"            -> (scd2Q _),
     "q_sessionize"      -> (sessionize _),
     "q_session_stats"   -> (sessionStats _),
     "q_session_paths"   -> (sessionSeqs _),
@@ -267,6 +301,7 @@ object SessionQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_scd2"            -> scd2Sql,
     "q_sessionize"      -> sessionizeSql,
     "q_session_stats"   -> sessionStatsSql,
     "q_session_paths"   -> sessionSeqsSql,

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Audit, Scd}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-quality audits + SCD2 interval builder on hand-computable
+ *  fixtures (the registered queries certify the clean-table path; these
+ *  pin the DIRTY paths — orphans, nulls, run boundaries, ts ties). */
+class AuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  test("fkOrphans: counts orphan rows, distinct orphan keys, null FKs") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(7L), Some(7L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Audit.fkOrphans(child, "fk", parent, "pk", "c->p")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // orphans: 7, 7, and the NULL row; distinct orphan keys ignore NULL
+    assert(out == Seq(("c->p", 6L, 3L, 1L)))
+  }
+
+  test("fkOrphans: clean relationship reports zeros") {
+    val child = Seq(1L, 2L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = Audit.fkOrphans(child, "fk", parent, "pk", "ok")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("ok", 3L, 0L, 0L)))
+  }
+
+  test("tableProfile: nulls, distincts and row counts per column") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")),
+      (Some(2L), None), (None, Some("b"))
+    ).toDF("k", "s")
+    val out = Audit.tableProfile(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("k") == ((4L, 1L, 2L))) // values 1,1,2 -> 2 distinct
+    assert(out("s") == ((4L, 1L, 2L))) // values a,b,b -> 2 distinct
+  }
+
+  test("scd2 intervals: run collapse, half-open validity, ts-tie id order") {
+    // u1: A@1, A@2, B@3, A@4 -> three versions; u2 has a ts tie where
+    // event ids decide the order (id 50 'X' before id 51 'Y' at ts 5)
+    val events = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 11L, "A"),
+      (1L, 3L, 12L, "B"), (1L, 4L, 13L, "A"),
+      (2L, 5L, 50L, "X"), (2L, 5L, 51L, "Y")
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Scd.intervals(events, "user_id", "ts_us", "event_type",
+        "event_id")
+      .as[(Long, String, Long, Option[Long], Long)].collect().toSet
+    assert(out == Set(
+      (1L, "A", 1L, Some(3L), 2L),
+      (1L, "B", 3L, Some(4L), 1L),
+      (1L, "A", 4L, None, 1L),
+      (2L, "X", 5L, Some(5L), 1L),
+      (2L, "Y", 5L, None, 1L)))
+  }
+}
