@@ -64,6 +64,41 @@ object EmbeddingQa {
       .agg(count(lit(1)).as("n"))
   }
 
+  /**
+   * Embedding drift monitor: per-label centroid shift between two corpus
+   * snapshots (a re-embedded corpus, a new dump vs the ingested baseline)
+   * — the "did the embedding space move" audit run before trusting an
+   * ANN index built on the old snapshot. Output per label present in
+   * BOTH snapshots: row counts, dims compared, and the squared L2
+   * distance between the snapshots' integer centroids in quantized
+   * units (`drift_l2sq`; callers compare against a budget like
+   * (0.05·scale)²·dims). Same integer discipline as [[labelCentroids]],
+   * so the verdict replays exactly cross-engine.
+   *
+   * 100 TB shape: two (labels × dims) centroid aggregates (partial sums
+   * bounded by L·D) joined on (label, i) and re-aggregated to L rows —
+   * vectors never pairwise-join, snapshots never co-shuffle.
+   */
+  def drift(ref: DataFrame, cur: DataFrame, vecCol: String,
+      labelCol: String, scale: Long = 1000000L): DataFrame = {
+    val rc = labelCentroids(ref, vecCol, labelCol, scale)
+      .withColumnRenamed("c", "c_ref")
+    val cc = labelCentroids(cur, vecCol, labelCol, scale)
+      .withColumnRenamed("c", "c_cur")
+    val d = rc.join(cc, Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum((col("c_ref") - col("c_cur")) * (col("c_ref") - col("c_cur")))
+          .cast("long").as("drift_l2sq"))
+    val nr = ref.groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n_ref"))
+    val nc = cur.groupBy(col(labelCol).cast("long").as("label"))
+      .agg(count(lit(1)).as("n_cur"))
+    d.join(nr, "label").join(nc, "label")
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        col("n_dims"), col("drift_l2sq"))
+  }
+
   private def quantized(df: DataFrame, vecCol: String, idCol: String,
       labelCol: String, scale: Long): DataFrame = {
     val base =

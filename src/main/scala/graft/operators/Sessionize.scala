@@ -103,4 +103,41 @@ object Sessionize {
       .groupBy(col("cohort_bucket"), col("bucket_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * Rolling active users (the WAU/MAU dashboard number): for every
+   * (group, bucket) PRESENT in the log, the count of distinct users
+   * active in the trailing `windowBuckets` buckets ending there — e.g.
+   * day buckets + windowBuckets=7 is classic rolling-7-day actives per
+   * event type. Exact distinct (the certified-sketch swap at corpus
+   * scale is `approx_count_distinct`, the `dedup_approx_verify`
+   * discipline).
+   *
+   * 100 TB shape: the log collapses to DISTINCT (group, bucket, user)
+   * FIRST — everything after is activity volume, never event volume.
+   * Each activity triple then serves its `windowBuckets` target buckets
+   * via a map-side explode of the COLLAPSED table (a generator of long
+   * offsets — no window functions, no range self-join of the log), a
+   * left-semi keep against the present-bucket list, and one
+   * count-distinct aggregate of slim (group, target, user) rows.
+   */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsUsCol: String,
+      groupCol: String, bucketUs: Long, windowBuckets: Int): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    require(windowBuckets >= 1, "windowBuckets must be >= 1")
+    val triples = events.select(col(groupCol),
+        (col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs))).as("bucket_us"),
+        col(userCol).as("__u"))
+      .distinct()
+    val present = triples.select(col(groupCol), col("bucket_us")).distinct()
+      .withColumnRenamed("bucket_us", "target_us")
+    val contrib = triples
+      .withColumn("__t", explode(sequence(lit(0L), lit(windowBuckets - 1L))))
+      .select(col(groupCol),
+        (col("bucket_us") + col("__t") * lit(bucketUs)).as("target_us"),
+        col("__u"))
+    contrib.join(present, Seq(groupCol, "target_us"), "left_semi")
+      .groupBy(col(groupCol), col("target_us"))
+      .agg(count_distinct(col("__u")).as("n_active_users"))
+  }
 }

@@ -288,8 +288,36 @@ object SessionQueries extends QueryProvider {
       |  n_events
       |FROM g""".stripMargin
 
+  /** Rolling 7-day active users per event type — the WAU dashboard
+   *  number, exact. Distinct-collapse first; the 7× explode multiplies
+   *  only the collapsed activity table. */
+  private def rollingWauQ(s: SparkSession, dir: String): DataFrame =
+    Sessionize.rollingActiveUsers(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_type",
+      bucketUs = 86400000000L, windowBuckets = 7)
+
+  private val rollingWauSql =
+    """WITH t AS (
+      |  SELECT DISTINCT event_type,
+      |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us, user_id
+      |  FROM events
+      |), p AS (
+      |  SELECT DISTINCT event_type, bucket_us AS target_us FROM t
+      |), c AS (
+      |  SELECT t.event_type, t.bucket_us + 86400000000 * r.range AS target_us,
+      |    t.user_id
+      |  FROM t, range(7) r
+      |)
+      |SELECT c.event_type, c.target_us,
+      |  count(DISTINCT c.user_id) AS n_active_users
+      |FROM c JOIN p ON c.event_type = p.event_type
+      |  AND c.target_us = p.target_us
+      |GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"            -> (scd2Q _),
+    "q_rolling_wau"     -> (rollingWauQ _),
     "q_sessionize"      -> (sessionize _),
     "q_session_stats"   -> (sessionStats _),
     "q_session_paths"   -> (sessionSeqs _),
@@ -302,6 +330,7 @@ object SessionQueries extends QueryProvider {
 
   override val oracles: Map[String, String] = Map(
     "q_scd2"            -> scd2Sql,
+    "q_rolling_wau"     -> rollingWauSql,
     "q_sessionize"      -> sessionizeSql,
     "q_session_stats"   -> sessionStatsSql,
     "q_session_paths"   -> sessionSeqsSql,

@@ -41,6 +41,47 @@ object SimilarityQueries extends QueryProvider {
        |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
        |SELECT query_id, neighbor_id, rk FROM ranked WHERE rk <= 5""".stripMargin
 
+  // Embedding drift: per-label centroid shift between the even-id
+  // (reference) and odd-id (current) snapshot halves — the pre-reindex
+  // audit. All-integer (shift + floored means, the EmbeddingQa
+  // discipline), so the oracle refits BOTH centroid sets and replays the
+  // squared-distance sum exactly.
+  private def driftQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.EmbeddingQa.drift(
+      ref = emb.where(col("vec_id") % 2 === 0),
+      cur = emb.where(col("vec_id") % 2 === 1),
+      vecCol = "embedding", labelCol = "label", scale = 1000000L)
+  }
+
+  private val driftSql =
+    """WITH q AS (
+      |  SELECT vec_id, label, r.range AS i,
+      |    CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1000000) AS BIGINT)
+      |      + 1000000 AS e
+      |  FROM embeddings, range(1, 65) r
+      |), rc AS (
+      |  SELECT CAST(label AS BIGINT) AS label, i, sum(e) // count(*) AS c_ref
+      |  FROM q WHERE vec_id % 2 = 0 GROUP BY 1, 2
+      |), cc AS (
+      |  SELECT CAST(label AS BIGINT) AS label, i, sum(e) // count(*) AS c_cur
+      |  FROM q WHERE vec_id % 2 = 1 GROUP BY 1, 2
+      |), j AS (
+      |  SELECT rc.label, rc.c_ref, cc.c_cur FROM rc JOIN cc USING (label, i)
+      |), d AS (
+      |  SELECT label, count(*) AS n_dims,
+      |    CAST(sum((c_ref - c_cur) * (c_ref - c_cur)) AS BIGINT) AS drift_l2sq
+      |  FROM j GROUP BY 1
+      |), nr AS (
+      |  SELECT CAST(label AS BIGINT) AS label, count(*) AS n_ref
+      |  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1
+      |), nc AS (
+      |  SELECT CAST(label AS BIGINT) AS label, count(*) AS n_cur
+      |  FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1
+      |)
+      |SELECT d.label, nr.n_ref, nc.n_cur, d.n_dims, d.drift_l2sq
+      |FROM d JOIN nr USING (label) JOIN nc USING (label)""".stripMargin
+
   // Binary sign-bit tier: Hamming-prefilter (top-40 of 8-byte signatures)
   // then exact-cosine rerank to top-5. Both cuts are total orders, so the
   // oracle replays sign-packing (as per-dimension sign disagreement ≡
@@ -867,6 +908,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_cluster_balance" -> (clusterBalanceQ _),
     "sim_topk_brute"  -> (topkBrute _),
     "sim_binary_topk" -> (binaryTopk _),
+    "sim_drift"       -> (driftQ _),
     "sim_threshold"   -> (thresholdNbrs _),
     "sim_ivf_topk"    -> (ivfTopk _),
     "sim_quantize_int8" -> (quantizeInt8 _),
@@ -900,6 +942,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_cluster_balance" -> clusterBalanceSql,
     "sim_topk_brute" -> topkBruteSql,
     "sim_binary_topk" -> binaryTopkSql,
+    "sim_drift"      -> driftSql,
     "sim_threshold"  -> thresholdNbrsSql,
     "sim_ivf_topk"   -> ivfTopkSql,
     "sim_quantize_int8" -> quantizeInt8Sql,

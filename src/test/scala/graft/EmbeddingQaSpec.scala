@@ -71,4 +71,23 @@ class EmbeddingQaSpec extends AnyFunSuite {
       .forward(df).as[(Long, Long, Long)].collect().toSet
     assert(out == Set((0L, 0L, 2L), (1L, 1L, 1L)))
   }
+
+  test("drift: identical snapshots report zero; a shifted label reports " +
+      "exactly its quantized displacement") {
+    val ref = emb(
+      (1L, 0, Seq(0.25f, 0.0f)), (2L, 0, Seq(0.25f, 0.0f)),
+      (3L, 1, Seq(0.0f, 0.5f)))
+    val same = EmbeddingQa.drift(ref, ref, "embedding", "label")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(same == Set((0L, 2L, 2L, 2L, 0L), (1L, 1L, 1L, 2L, 0L)))
+    // current snapshot: label 1 moves +0.5 in dim 1; label 0 unchanged
+    val cur = emb(
+      (4L, 0, Seq(0.25f, 0.0f)), (5L, 0, Seq(0.25f, 0.0f)),
+      (6L, 1, Seq(0.5f, 0.5f)))
+    val moved = EmbeddingQa.drift(ref, cur, "embedding", "label")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // dim-1 centroid moves floor(0.5f*1e6) - 0 = 500000 quantized units
+    val d = math.floor(0.5f.toDouble * 1e6).toLong
+    assert(moved == Set((0L, 2L, 2L, 2L, 0L), (1L, 1L, 1L, 2L, d * d)))
+  }
 }

@@ -139,6 +139,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"))
   }
 
+  test("q_scd2: one key exchange feeds both windows and the version group-by") {
+    val p = plan("q_scd2")
+    // HashPartitioning(user_id) satisfies the (user_id, __ver) group-by
+    // and the lead() window, so the whole interval build is ONE shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"scd2 planned $exchanges exchanges:\n$p")
+  }
+
   test("q_temperature_mix: rates broadcast back — corpus side never shuffle-joins") {
     val p = plan("q_temperature_mix")
     // the corpus joins its per-group rate via broadcast (rates = #groups

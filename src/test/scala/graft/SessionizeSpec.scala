@@ -148,4 +148,21 @@ class SessionizeSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(dup == got)
   }
+
+  test("rollingActiveUsers: trailing-window distincts on present buckets only") {
+    import spark.implicits._
+    val spark2 = spark
+    // bucketUs=10, window=2: bucket 0 users {1,2}; bucket 10 user {2};
+    // bucket 30 user {3}; bucket 20 EMPTY (no output row even though the
+    // [10,20] window has users). Duplicate events must not double-count.
+    val df = Seq(
+      ("x", 1L, 1L), ("x", 2L, 2L), ("x", 3L, 2L), // bucket 0 (dup user 2)
+      ("x", 12L, 2L),                              // bucket 10
+      ("x", 33L, 3L)                               // bucket 30
+    ).toDF("g", "ts_us", "user_id")
+    val got = Sessionize.rollingActiveUsers(df, "user_id", "ts_us", "g",
+        bucketUs = 10L, windowBuckets = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("x", 0L, 2L), ("x", 10L, 2L), ("x", 30L, 1L)))
+  }
 }
