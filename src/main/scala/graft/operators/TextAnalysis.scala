@@ -205,6 +205,23 @@ object TextAnalysis {
         col("n_chars"))
   }
 
+  /**
+   * Unicode-normalization audit: is each document already NFC-canonical,
+   * and what does NFC do to its length? Decomposed sequences (e +
+   * COMBINING ACUTE vs é) hash apart and defeat exact dedup; this audit
+   * (and the [[org.apache.spark.sql.graft.NfcNormalize]] projection
+   * behind it) is the canonicalization gate to run before content
+   * hashing. NFC is a published standard (UAX #15) both engines
+   * implement, so the verdict replays exactly. Pure scan projection.
+   */
+  def nfcAudit(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nfc = org.apache.spark.sql.graft.GraftNfc.nfcNormalize(col(textCol))
+    df.select(col(idCol),
+      (col(textCol) === nfc).as("nfc_equal"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      length(nfc).cast("long").as("n_chars_nfc"))
+  }
+
   // ----------------------------------------------------------- fingerprint
 
   /** Rolling polynomial hash parameters (Rabin–Karp over token codes). */

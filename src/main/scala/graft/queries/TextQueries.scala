@@ -455,6 +455,17 @@ object TextQueries extends QueryProvider {
       |  CAST(n_chars AS BIGINT) AS n_chars
       |FROM r WHERE rk = 1""".stripMargin
 
+  /** NFC canonicalization audit — JDK Normalizer vs DuckDB utf8proc on
+   *  the same UAX #15 standard; code-point lengths both sides. */
+  private def nfcAuditQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.nfcAudit(T(s, dir, "documents"), "text", "doc_id")
+
+  private val nfcAuditSql =
+    """SELECT doc_id, text = nfc_normalize(text) AS nfc_equal,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc
+      |FROM documents""".stripMargin
+
   // Benchmark slice = every 10th doc (a stand-in eval set); 8-gram word
   // shingles, any overlap flags the pair. See Contamination scaladoc for
   // the broadcast inverted-index scale shape.
@@ -1876,6 +1887,7 @@ object TextQueries extends QueryProvider {
     "text_profile"     -> (profile _),
     "text_repetition"  -> (repetition _),
     "text_top_ngram"   -> (topNgramQ _),
+    "text_nfc_audit"   -> (nfcAuditQ _),
     "text_contamination" -> (contamination _),
     "text_cms_verify"  -> (cmsVerify _),
     "pipeline_prep_corpus" -> (prepCorpus _)
@@ -1972,6 +1984,7 @@ object TextQueries extends QueryProvider {
     "text_profile"     -> profileSql,
     "text_repetition"  -> repetitionSql,
     "text_top_ngram"   -> topNgramSql,
+    "text_nfc_audit"   -> nfcAuditSql,
     "text_contamination" -> contaminationSql,
     "text_bpe_merges"  -> bpeMergesSql,
     "text_bpe_encode"  -> bpeEncodeSql,

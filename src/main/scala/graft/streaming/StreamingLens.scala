@@ -409,6 +409,46 @@ object StreamingLens {
   }
 
   /**
+   * Seasonal face of [[volumeSpikeGate]] — the continuous
+   * [[graft.operators.Anomaly.seasonalSpikes]]: identical persistent
+   * count-history fold, but each touched bucket is z-tested against the
+   * history of its own PHASE (bucket index mod `periodBuckets`) for its
+   * group, so a diurnal corpus alerts on "unusual for 3 am" instead of
+   * drowning night-hours bursts in the daily swing. Alert rows carry the
+   * phase. Same replay caveat as [[volumeSpikeGate]].
+   */
+  def seasonalSpikeGate(
+      tsUsCol: String,
+      groupCol: String,
+      bucketUs: Long,
+      periodBuckets: Long,
+      historyDir: String,
+      alertDir: String,
+      kNum: Long = 5,
+      kDen: Long = 2): (DataFrame, Long) => Unit = (batch, _) => {
+    import graft.operators.Anomaly
+    val spark = batch.sparkSession
+    val counts = batch
+      .withColumn("bucket_us", col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs)))
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint() // appended AND probed below; cut the lineage
+    counts.write.mode("append").parquet(historyDir)
+    val history = spark.read.parquet(historyDir)
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(sum("n_events").as("n_events"))
+      .withColumn("phase", expr(s"(bucket_us div $bucketUs) % $periodBuckets"))
+      .withColumn("__season", concat_ws("#", col(groupCol), col("phase")))
+    Anomaly.zscoreOutliers(history, "n_events", "__season", kNum, kDen,
+        scale = 1L)
+      .where(col("is_outlier"))
+      .join(counts.select(col(groupCol), col("bucket_us")),
+        Seq(groupCol, "bucket_us"), "left_semi")
+      .select(col(groupCol), col("phase"), col("bucket_us"), col("n_events"))
+      .write.mode("append").parquet(alertDir)
+  }
+
+  /**
    * Streaming reference decontamination: drop stream rows whose content
    * already appears in a STATIC reference corpus — the ingest-time face of
    * `Dedup.bloomReference`/`dedup_ref_exact` (filter new shards against

@@ -82,3 +82,42 @@ object GraftTopGram {
   def topGram(words: Column, n: Int): Column =
     ExpressionUtils.column(TopGram(ExpressionUtils.expression(words), n))
 }
+
+/**
+ * Unicode NFC normalization (UAX #15 canonical composition) — the
+ * pre-dedup canonicalization step [[graft.operators.TextAnalysis]]'s
+ * lowercase/whitespace `normalize` deliberately does not do: visually
+ * identical strings with different codepoint sequences (composed é vs
+ * e + COMBINING ACUTE) hash apart and defeat exact dedup until both
+ * normalize to the canonical form. NFC is a published standard both
+ * engines implement (JDK `java.text.Normalizer` here, utf8proc's
+ * `nfc_normalize` in DuckDB), so outputs agree byte-for-byte. The
+ * already-normalized fast path (one scan, no allocation — every ASCII
+ * row) returns the input UTF8String untouched.
+ *
+ * 100 TB shape: pure scan projection. CodegenFallback: the per-row
+ * normalization scan dwarfs one virtual call (the [[SrpBucket]] trade).
+ */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GraftNfc {
+  def nfcNormalize(s: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(s)))
+}

@@ -488,6 +488,47 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seasonal spike gate: night burst alerts against its phase; " +
+      "verdict matches the batch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("seaspike").toString
+    val (hist, alerts) = (s"$root/history", s"$root/alerts")
+    val hour = 3600000000L; val day = 24 * hour
+    // the AnomalySpec diurnal fixture, split: days 0-8 baseline, then the
+    // day-9 batch with the noon peak AND the 3am burst (40 vs μ=10 phase
+    // history — invisible to the global test, 3σ against its phase)
+    val baseline =
+      (for (d <- 0 until 9; i <- 0 until 100) yield ("x", d * day + 12 * hour + i)) ++
+        (for (d <- 0 until 9; i <- 0 until 10) yield ("x", d * day + 3 * hour + i))
+    val day9 =
+      (for (i <- 0 until 100) yield ("x", 9 * day + 12 * hour + i)) ++
+        (for (i <- 0 until 40) yield ("x", 9 * day + 3 * hour + i))
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF.toDF("g", "ts_us").writeStream
+      .foreachBatch(StreamingLens.seasonalSpikeGate("ts_us", "g", hour, 24,
+        hist, alerts))
+      .start()
+    try {
+      in.addData(baseline: _*); q.processAllAvailable()
+      assert(!new java.io.File(alerts).exists ||
+        spark.read.parquet(alerts).count() == 0)
+      in.addData(day9: _*); q.processAllAvailable()
+      val got = spark.read.parquet(alerts)
+        .select("g", "phase", "bucket_us", "n_events")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == Set(("x", 3L, 9 * day + 3 * hour, 40L)))
+      // streaming verdict == batch seasonalSpikes over the replayed log
+      val replayed = (baseline ++ day9).toDF("g", "ts_us")
+      val batchSpikes = graft.operators.Anomaly
+        .seasonalSpikes(replayed, "ts_us", "g", hour, 24)
+        .where(col("is_outlier"))
+        .select("g", "phase", "bucket_us", "n_events")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(batchSpikes == got)
+    } finally q.stop()
+  }
+
   test("streaming funnel: in-order replayed log matches the batch funnel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

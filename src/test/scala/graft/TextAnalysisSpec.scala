@@ -35,6 +35,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.contains(4))
   }
 
+  test("nfcAudit: decomposed sequences flagged and recomposed; ASCII " +
+      "passes untouched") {
+    import graft.operators.TextAnalysis
+    val composed = "caf\u00e9"      // e-acute as one codepoint
+    val decomposed = "cafe\u0301" // e + COMBINING ACUTE
+    val df = docs(1 -> "plain ascii", 2 -> composed, 3 -> decomposed)
+    val out = TextAnalysis.nfcAudit(df.toDF(), "text", "doc_id")
+      .as[(Int, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1) == ((true, 11L, 11L)))
+    assert(out(2) == ((true, 4L, 4L)))
+    assert(out(3) == ((false, 5L, 4L))) // 5 codepoints compose to 4
+    // the normalized forms of 2 and 3 hash identically — the dedup payoff
+    import org.apache.spark.sql.functions.{col => c}
+    val norm = df.select(c("doc_id"),
+        org.apache.spark.sql.graft.GraftNfc.nfcNormalize(c("text")).as("t"))
+      .as[(Int, String)].collect().toMap
+    assert(norm(2) == norm(3))
+  }
+
   test("topNgram: n=3 trigram counting and sub-n docs") {
     import graft.operators.TextAnalysis
     val df = docs(1 -> "a b c a b c a b", 2 -> "x y")
