@@ -56,6 +56,38 @@ object Audit {
    * `sum(isNull)` — never `count(col)` subtraction, so the row stays
    * self-explanatory.
    */
+  /**
+   * Equi-width histogram per group — the distribution-shape companion to
+   * the exact quantile report (quantiles give cut points; this gives the
+   * full shape for a dashboard/datasheet). Integer-exact end to end:
+   * values quantize to `⌊x·scale⌋`, per-group [lo, hi] bounds come from
+   * one aggregate, and the bucket index is
+   * `((v − lo) · nBuckets) div (hi − lo + 1)` — all operands
+   * non-negative, so Spark's truncating DIV and DuckDB's flooring `//`
+   * agree; the +1 keeps `v = hi` inside bucket nBuckets−1 with no
+   * FP-edge clamp. Output per (group, bucket): count and the bucket's
+   * observed [lo_milli, hi_milli].
+   *
+   * 100 TB shape: one partial-aggregated bounds pass (#groups × 16 B)
+   * broadcast back; the bucket index is a map-side projection; the
+   * histogram aggregate is partial (shuffle carries groups × nBuckets
+   * rows). Rows never shuffle.
+   */
+  def histogram(df: DataFrame, valueCol: String, groupCol: String,
+      nBuckets: Int, scale: Long = 1000L): DataFrame = {
+    require(nBuckets >= 1, "need at least one bucket")
+    val withV = df.select(col(groupCol),
+      floor(col(valueCol) * lit(scale)).cast("long").as("__v"))
+    val bounds = withV.groupBy(col(groupCol))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    withV.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bucket",
+        expr(s"((__v - __lo) * $nBuckets) div (__hi - __lo + 1)"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("lo_milli"), max(col("__v")).as("hi_milli"))
+  }
+
   def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "need at least one column to profile")
     val aggs = columns.flatMap(c => Seq(

@@ -57,13 +57,37 @@ object AuditQueries extends QueryProvider {
        |FROM orders""".stripMargin
   ).mkString("", "\nUNION ALL\n", "")
 
+  /** Distribution shape of order totals per status: 16 equi-width
+   *  buckets, integer-exact bounds + bucket arithmetic (DIV ≡ // on the
+   *  non-negative operands). */
+  private def histogramQ(s: SparkSession, dir: String): DataFrame =
+    Audit.histogram(T(s, dir, "orders"), "o_totalprice", "o_orderstatus",
+      nBuckets = 16, scale = 1000L)
+
+  private val histogramSql =
+    """WITH v AS (
+      |  SELECT o_orderstatus,
+      |    CAST(floor(o_totalprice * 1000) AS BIGINT) AS vm
+      |  FROM orders
+      |), b AS (
+      |  SELECT o_orderstatus, min(vm) AS lo, max(vm) AS hi
+      |  FROM v GROUP BY 1
+      |)
+      |SELECT v.o_orderstatus,
+      |  ((v.vm - b.lo) * 16) // (b.hi - b.lo + 1) AS bucket,
+      |  count(*) AS n, min(v.vm) AS lo_milli, max(v.vm) AS hi_milli
+      |FROM v JOIN b USING (o_orderstatus)
+      |GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fk_audit"    -> (fkAuditQ _),
-    "q_table_audit" -> (tableAuditQ _)
+    "q_table_audit" -> (tableAuditQ _),
+    "q_histogram"   -> (histogramQ _)
   )
 
   override val oracles: Map[String, String] = Map(
     "q_fk_audit"    -> fkAuditSql,
-    "q_table_audit" -> tableAuditSql
+    "q_table_audit" -> tableAuditSql,
+    "q_histogram"   -> histogramSql
   )
 }

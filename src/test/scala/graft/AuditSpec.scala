@@ -40,6 +40,20 @@ class AuditSpec extends AnyFunSuite {
     assert(out("s") == ((4L, 1L, 2L))) // values a,b,b -> 2 distinct
   }
 
+  test("histogram: hand-computed buckets; extremes land in first/last") {
+    // group g: values 0.0 .. 10.0 -> milli 0..10000, 4 buckets of width
+    // (10000-0+1)/4; v=10.0 must land in bucket 3 (the +1 denominator)
+    val df = Seq(("g", 0.0), ("g", 2.0), ("g", 2.4), ("g", 5.0), ("g", 10.0))
+      .toDF("grp", "v")
+    val out = Audit.histogram(df, "v", "grp", nBuckets = 4)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // bucket = (vm * 4) div 10001: 0->0, 2000->0, 2400->0, 5000->1, 10000->3
+    assert(out == Set(
+      ("g", 0L, 3L, 0L, 2400L),
+      ("g", 1L, 1L, 5000L, 5000L),
+      ("g", 3L, 1L, 10000L, 10000L)))
+  }
+
   test("scd2 intervals: run collapse, half-open validity, ts-tie id order") {
     // u1: A@1, A@2, B@3, A@4 -> three versions; u2 has a ts tie where
     // event ids decide the order (id 50 'X' before id 51 'Y' at ts 5)

@@ -96,7 +96,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // plan the TopKByValue partial aggregate (partial_topk_by_value before
     // the exchange) instead.
     for (q <- Seq("sim_topk_brute", "sim_ivf_topk", "sim_ann_srp",
-      "sim_pq_topk", "sim_rpq_topk", "sim_ivfpq_topk")) {
+      "sim_pq_topk", "sim_rpq_topk", "sim_ivfpq_topk", "sim_binary_topk")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q funnels candidates through a window")
       assert(p.contains("partial_topk_by_value"),
