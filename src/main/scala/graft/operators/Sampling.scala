@@ -324,4 +324,44 @@ object Sampling {
     counts.orderBy(col("n").desc, col("key")).limit(k)
       .crossJoin(broadcast(totals))
   }
+
+  /**
+   * Systematic PPS (probability-proportional-to-size) sampling by token
+   * count — the exact, deterministic way to draw "k docs ∝ their token
+   * mass" for a corpus mix, with NO random state and NO floating point:
+   * lay every document's token count end to end in doc-id order (the
+   * [[Packing.packSequences]] range-spread cumulative sum — never a
+   * single-partition window), then a document is picked once for every
+   * multiple of W/k its token interval covers:
+   *
+   *   n_picks = (cum·k) div W − ((cum − n)·k) div W
+   *
+   * All operands non-negative integers, so Spark DIV ≡ DuckDB // and
+   * the oracle replays pick-for-pick; the sum of n_picks telescopes to
+   * EXACTLY k (spec-pinned). Docs longer than W/k tokens are picked
+   * multiple times (true PPS-with-replacement semantics — the upsampling
+   * a token-budget mix wants).
+   *
+   * 100 TB shape: the cumsum is the packSequences discipline (two passes
+   * over ONE range exchange of slim rows, per-partition offsets via a
+   * tiny driver prefix-sum); the corpus total W is one driver scalar
+   * (the PageRank N-literal discipline). `cum·k` needs
+   * tokens × k < 2⁶³ — at 10¹³ corpus tokens that bounds k at ~9·10⁵,
+   * documented here.
+   */
+  def tokenPps(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = df.select(
+      sum(size(split(col(textCol), " ")).cast("long")).as("w"))
+      .head.getLong(0)
+    require(w > 0, "corpus has no tokens")
+    Packing.packSequences(df.withColumn("__g", lit(0)), textCol, idCol,
+        "__g", budget = Int.MaxValue)
+      .withColumn("n_picks",
+        expr(s"(cum_tokens * $k) div ${w}L - " +
+          s"((cum_tokens - n_tokens) * $k) div ${w}L"))
+      .where(col("n_picks") >= 1)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"), col("n_picks"))
+  }
 }

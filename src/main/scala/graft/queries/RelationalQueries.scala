@@ -269,6 +269,36 @@ object RelationalQueries extends QueryProvider {
     """SELECT c_custkey, c_name FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
+  /** Null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM): both sides
+   *  derive a nullable bucket key, aggregate FIRST (so the join carries
+   *  ≤ 101 slim rows per side), and the NULL groups match each other —
+   *  the semantics a plain `=` join silently drops. EqualNullSafe is a
+   *  first-class hash-join key in Spark, so this plans as an ordinary
+   *  shuffled hash/SMJ join, not a nested loop. */
+  private def joinNullsafe(s: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, c: String, cnt: String) = df
+      .select(when(col(c) % 10 === 0, lit(null)).otherwise(col(c) % 100)
+        .as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as(cnt))
+    val o = keyed(T(s, dir, "orders"), "o_custkey", "n_orders")
+    val c = keyed(T(s, dir, "customer"), "c_custkey", "n_customers")
+    o.join(c, o("k") <=> c("k"))
+      .select(o("k").as("k"), col("n_orders"), col("n_customers"))
+  }
+
+  private val joinNullsafeSql =
+    """WITH o AS (
+      |  SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL
+      |    ELSE o_custkey % 100 END AS k, count(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |), c AS (
+      |  SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+      |    ELSE c_custkey % 100 END AS k, count(*) AS n_customers
+      |  FROM customer GROUP BY 1
+      |)
+      |SELECT o.k, o.n_orders, c.n_customers
+      |FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k""".stripMargin
+
   // Non-equi range join (bucket bounds are a tiny inline table — broadcast
   // nested-loop, the only sane plan).
   private def joinRange(s: SparkSession, dir: String): DataFrame = {
@@ -1337,6 +1367,7 @@ object RelationalQueries extends QueryProvider {
     "q_join_outer"      -> (joinOuter _),
     "q_join_semi"       -> (joinSemi _),
     "q_join_anti"       -> (joinAnti _),
+    "q_join_nullsafe"   -> (joinNullsafe _),
     "q_join_range"      -> (joinRange _),
     "q_join_asof"       -> (joinAsOf _),
     "q_window_rank"     -> (windowRank _),
@@ -1384,6 +1415,7 @@ object RelationalQueries extends QueryProvider {
     "q_join_outer"      -> joinOuterSql,
     "q_join_semi"       -> joinSemiSql,
     "q_join_anti"       -> joinAntiSql,
+    "q_join_nullsafe"   -> joinNullsafeSql,
     "q_join_range"      -> joinRangeSql,
     "q_join_asof"       -> joinAsOfSql,
     "q_window_rank"     -> windowRankSql,

@@ -795,6 +795,32 @@ object TextQueries extends QueryProvider {
     s"(${cases(fl)})\n    + (CASE WHEN bk < (${cases(fr)}) THEN 1 ELSE 0 END)"
   }
 
+  /** Systematic PPS sample: exactly 200 picks ∝ token count, zero
+   *  randomness, replayed pick-for-pick (the window cumsum in DuckDB
+   *  reproduces the range-spread cumsum because doc_id is a total
+   *  order). */
+  private def tokenPpsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.tokenPps(T(s, dir, "documents"),
+      "text", "doc_id", k = 200)
+
+  private val tokenPpsSql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM w
+      |), t AS (SELECT sum(n_tokens) AS tw FROM w)
+      |SELECT c.doc_id, c.n_tokens, c.cum_tokens,
+      |  (c.cum_tokens * 200) // t.tw
+      |    - ((c.cum_tokens - c.n_tokens) * 200) // t.tw AS n_picks
+      |FROM c, t
+      |WHERE (c.cum_tokens * 200) // t.tw
+      |    - ((c.cum_tokens - c.n_tokens) * 200) // t.tw >= 1""".stripMargin
+
   private val upsampleRates = Map("src0" -> 2.5, "src1" -> 0.5)
 
   private def upsampleQ(s: SparkSession, dir: String): DataFrame =
@@ -1861,6 +1887,7 @@ object TextQueries extends QueryProvider {
     "text_chunk"       -> (chunk _),
     "q_corpus_mixture" -> (mixtureQ _),
     "q_corpus_upsample" -> (upsampleQ _),
+    "q_token_pps"      -> (tokenPpsQ _),
     "q_temperature_mix" -> (temperatureQ _),
     "pipeline_clean_corpus" -> (cleanCorpus _),
     "pipeline_decontam_lm" -> (decontamLm _),
@@ -1960,6 +1987,7 @@ object TextQueries extends QueryProvider {
     "text_chunk"       -> chunkSql,
     "q_corpus_mixture" -> mixtureSql,
     "q_corpus_upsample" -> upsampleSql,
+    "q_token_pps"      -> tokenPpsSql,
     "q_temperature_mix" -> temperatureSql,
     "pipeline_clean_corpus" -> cleanCorpusSql,
     "pipeline_decontam_lm" -> decontamLmSql,

@@ -71,6 +71,8 @@ class CodegenGuardSpec extends AnyFunSuite {
     "RollingTokenHash" -> RollingTokenHash(strs),
     "SubstringHits" -> SubstringHits(str, Seq("ab", "ba c")),
     "ContainsAnyPattern" -> ContainsAnyPattern(str, Seq("ab", "ba c")),
+    "TopGram" -> TopGram(strs, 2),
+    "NfcNormalize" -> NfcNormalize(str),
     "MinShingleMd5" -> MinShingleMd5(strs),
     "AdjacentPairs" -> AdjacentPairs(strs))
 

@@ -66,6 +66,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!out.contains(2)) // 2 tokens < n=3
   }
 
+  test("tokenPps: exactly k picks, heavy docs picked multiply, " +
+      "zero-weight-tail docs skipped") {
+    // weights (token counts): doc1=1, doc2=10, doc3=1, doc4=8 -> W=20.
+    // k=5 -> stride 4: thresholds at cum in (0,4],(4,8],(8,12],(12,16],(16,20]
+    val df = docs(
+      1 -> "a",
+      2 -> (1 to 10).map(i => s"w$i").mkString(" "),
+      3 -> "b",
+      4 -> (1 to 8).map(i => s"v$i").mkString(" "))
+    val out = graft.operators.Sampling.tokenPps(df.toDF(), "text", "doc_id", 5)
+      .select("doc_id", "n_picks").as[(Int, Long)].collect().toMap
+    // cums: 1, 11, 12, 20 -> picks: d1: 0; d2: (11*5)div20-(1*5)div20=2-0=2;
+    // d3: (12*5)div20-2=3-2=1; d4: (20*5)div20-3=5-3=2
+    assert(out == Map(2 -> 2L, 3 -> 1L, 4 -> 2L))
+    assert(out.values.sum == 5L, "picks must telescope to exactly k")
+    // invariance on the real corpus slice: sum == k there too
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = graft.operators.Sampling.tokenPps(corpus, "text", "doc_id", 37)
+      .agg(org.apache.spark.sql.functions.sum("n_picks")).head.getLong(0)
+    assert(total == 37L)
+  }
+
   test("languageId discriminates real multilingual samples") {
     val df = docs(
       1 -> "the cat sat on the mat and it is a fine day in the park",
