@@ -130,6 +130,39 @@ object Anomaly {
   }
 
   /**
+   * Exact weighted median per group — the lower weighted median: the
+   * smallest value v with cum_weight(≤ v) · 2 ≥ total_weight. The
+   * estimator for "typical price per unit SOLD" style questions where
+   * every row carries a mass, and the plain median over rows answers
+   * the wrong question. Integer-exact: values floor to `scale` units,
+   * weights floor to integers, and the defining inequality is pure
+   * integer comparison — both engines agree on every group.
+   *
+   * 100 TB shape: rows collapse to (group, value) weight sums FIRST
+   * (partial aggregation; the window then runs over DISTINCT values per
+   * group, not rows), the total-weight table broadcasts back, and the
+   * median pick is a groupBy min. Weights must be non-negative.
+   */
+  def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
+      groupCol: String, scale: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slim = df.select(col(groupCol),
+      floor(col(valueCol) * lit(scale)).cast(LongType).as("__v"),
+      floor(col(weightCol)).cast(LongType).as("__w"))
+    val perV = slim.groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__w")).as("__wv"))
+    val wtot = perV.groupBy(col(groupCol)).agg(sum(col("__wv")).as("w_total"))
+    val cum = perV.withColumn("__cumw",
+      sum(col("__wv")).over(Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(broadcast(wtot), Seq(groupCol))
+      .where(col("__cumw") * 2 >= col("w_total"))
+      .groupBy(col(groupCol), col("w_total"))
+      .agg(min(col("__v")).as("wmedian_units"))
+      .select(col(groupCol), col("w_total"), col("wmedian_units"))
+  }
+
+  /**
    * SEASONAL volume-spike detection — the diurnal/weekly-aware sibling of
    * [[volumeSpikes]]: same fixed `bucketUs` buckets, but each
    * (group, bucket) count is tested against the history of its own PHASE

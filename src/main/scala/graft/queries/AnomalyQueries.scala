@@ -102,6 +102,35 @@ object AnomalyQueries extends QueryProvider {
       |      * (p.n_events::HUGEINT * s.nb - s.sm) * 4
       |      > 25 * (s.nb::HUGEINT * s.sq - s.sm::HUGEINT * s.sm)""".stripMargin
 
+  /** Quantity-weighted median price per return flag — the lower weighted
+   *  median (smallest v with 2·cumw ≥ W), integer-exact; rows collapse
+   *  to per-value weight sums before any window. */
+  private def weightedMedianQ(s: SparkSession, dir: String): DataFrame =
+    Anomaly.weightedMedian(T(s, dir, "lineitem"),
+      "l_extendedprice", "l_quantity", "l_returnflag", scale = 1000L)
+
+  private val weightedMedianSql =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_extendedprice * 1000) AS BIGINT) AS v,
+      |    CAST(floor(l_quantity) AS BIGINT) AS w
+      |  FROM lineitem
+      |), pv AS (
+      |  SELECT l_returnflag, v, sum(w) AS wv FROM s GROUP BY 1, 2
+      |), t AS (
+      |  SELECT l_returnflag, CAST(sum(wv) AS BIGINT) AS w_total
+      |  FROM pv GROUP BY 1
+      |), c AS (
+      |  SELECT l_returnflag, v,
+      |    CAST(sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+      |  FROM pv
+      |)
+      |SELECT c.l_returnflag, t.w_total, min(c.v) AS wmedian_units
+      |FROM c JOIN t USING (l_returnflag)
+      |WHERE c.cumw * 2 >= t.w_total
+      |GROUP BY 1, 2""".stripMargin
+
   /** Robust outliers: modified z-score at 3.5 over median/MAD order
    *  statistics — integer-exact end to end (medians are data elements). */
   private def eventMad(s: SparkSession, dir: String): DataFrame =
@@ -285,6 +314,7 @@ object AnomalyQueries extends QueryProvider {
     "q_event_mad"      -> (eventMad _),
     "q_daily_spikes"   -> (dailySpikes _),
     "q_seasonal_spikes" -> (seasonalSpikes _),
+    "q_weighted_median" -> (weightedMedianQ _),
     "q_ewma"           -> (ewmaQ _),
     "q_winsorize"      -> (winsorizeQ _),
     "q_percentiles"    -> (percentilesQ _),
@@ -297,6 +327,7 @@ object AnomalyQueries extends QueryProvider {
     "q_event_mad"      -> eventMadSql,
     "q_daily_spikes"   -> dailySpikesSql,
     "q_seasonal_spikes" -> seasonalSpikesSql,
+    "q_weighted_median" -> weightedMedianSql,
     "q_ewma"           -> ewmaSql,
     "q_winsorize"      -> winsorizeSql,
     "q_percentiles"    -> percentilesSql,

@@ -269,6 +269,34 @@ object RelationalQueries extends QueryProvider {
     """SELECT c_custkey, c_name FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
+  /** Unpivot/melt (`stack`): wide numeric columns to long
+   *  (metric, value) form — the inverse of q_pivot, the shape feature
+   *  stores and metric pipelines ingest. Values carried as exact centi
+   *  units (BIGINT) so the re-aggregation hashes identically; stack is
+   *  a generator, so the melt is a pure scan projection feeding a
+   *  partial-aggregated groupBy. */
+  private def unpivotQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(expr("""stack(3,
+        'o_orderkey', o_orderkey * 100,
+        'o_custkey', o_custkey * 100,
+        'o_totalprice', CAST(floor(o_totalprice * 100) AS BIGINT))
+        AS (metric, centi)"""))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("centi")).as("sum_centi"))
+
+  private val unpivotSql =
+    """WITH u AS (
+      |  SELECT 'o_orderkey' AS metric, o_orderkey * 100 AS centi FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', o_custkey * 100 FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', CAST(floor(o_totalprice * 100) AS BIGINT)
+      |  FROM orders
+      |)
+      |SELECT metric, count(*) AS n, CAST(sum(centi) AS BIGINT) AS sum_centi
+      |FROM u GROUP BY 1""".stripMargin
+
   /** Null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM): both sides
    *  derive a nullable bucket key, aggregate FIRST (so the join carries
    *  ≤ 101 slim rows per side), and the NULL groups match each other —
@@ -1368,6 +1396,7 @@ object RelationalQueries extends QueryProvider {
     "q_join_semi"       -> (joinSemi _),
     "q_join_anti"       -> (joinAnti _),
     "q_join_nullsafe"   -> (joinNullsafe _),
+    "q_unpivot"         -> (unpivotQ _),
     "q_join_range"      -> (joinRange _),
     "q_join_asof"       -> (joinAsOf _),
     "q_window_rank"     -> (windowRank _),
@@ -1416,6 +1445,7 @@ object RelationalQueries extends QueryProvider {
     "q_join_semi"       -> joinSemiSql,
     "q_join_anti"       -> joinAntiSql,
     "q_join_nullsafe"   -> joinNullsafeSql,
+    "q_unpivot"         -> unpivotSql,
     "q_join_range"      -> joinRangeSql,
     "q_join_asof"       -> joinAsOfSql,
     "q_window_rank"     -> windowRankSql,

@@ -148,6 +148,18 @@ class AnomalySpec extends AnyFunSuite {
     assert(spikes == Set(("x", 10 * day, 100L)))
   }
 
+  test("weightedMedian: lower median honors weights; per-value collapse; " +
+      "even-split picks the lower value") {
+    val df = Seq(
+      ("x", 1.0, 1.0), ("x", 2.0, 2.0), ("x", 3.0, 1.0), // W=4, med at 2.0
+      ("y", 1.0, 1.0), ("y", 2.0, 1.0),                  // even split -> 1.0
+      ("z", 5.0, 1.0), ("z", 5.0, 2.0), ("z", 9.0, 1.0)  // dup values merge
+    ).toDF("g", "v", "w")
+    val out = Anomaly.weightedMedian(df, "v", "w", "g")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("x", 4L, 2000L), ("y", 2L, 1000L), ("z", 4L, 5000L)))
+  }
+
   test("seasonalSpikes: a night burst masked by the diurnal swing is " +
       "flagged against its own phase") {
     // noon peak of 100/hour for 10 days; 3am baseline 10/hour for 9 days,
