@@ -821,6 +821,63 @@ object TextQueries extends QueryProvider {
       |WHERE (c.cum_tokens * 200) // t.tw
       |    - ((c.cum_tokens - c.n_tokens) * 200) // t.tw >= 1""".stripMargin
 
+  /** The 15th composition flagship: token-budget training-mix assembly.
+   *  Systematic PPS picks exactly 200 samples ∝ token mass
+   *  (`Sampling.tokenPps` — heavy docs picked multiply), each pick
+   *  becomes a (doc, copy) epoch row via a map-side generator explode,
+   *  and the mix gets its deterministic md5-keyed global training order
+   *  (`GlobalSequence.withSequentialId` — the range-spread permutation,
+   *  never a single-partition window). The oracle replays the cumsum,
+   *  the pick counting, the copy expansion AND the permutation
+   *  position-for-position, so the hash certifies the whole assembly.
+   *
+   *  100 TB shape: tokenPps's two-pass cumsum + one slim W scan; the
+   *  explode multiplies only the ≤ k picked rows; the order pass
+   *  shuffles (id, copy, md5) triples. */
+  private def ppsScheduleQ(s: SparkSession, dir: String): DataFrame = {
+    val picks = graft.operators.Sampling.tokenPps(
+      T(s, dir, "documents"), "text", "doc_id", k = 200)
+    val copies = picks
+      .withColumn("copy", explode(sequence(lit(1L), col("n_picks"))))
+      .select(col("doc_id"), col("copy"))
+    graft.operators.GlobalSequence.withSequentialId(
+        copies.withColumn("__k",
+          md5(concat_ws("#", col("doc_id"), col("copy")))),
+        col("__k"), "train_pos")
+      .select(col("train_pos"), col("doc_id"), col("copy"))
+  }
+
+  private val ppsScheduleSql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM w
+      |), t AS (SELECT sum(n_tokens) AS tw FROM w),
+      |p AS (
+      |  SELECT c.doc_id,
+      |    (c.cum_tokens * 200) // t.tw
+      |      - ((c.cum_tokens - c.n_tokens) * 200) // t.tw AS n_picks
+      |  FROM c, t
+      |  WHERE (c.cum_tokens * 200) // t.tw
+      |      - ((c.cum_tokens - c.n_tokens) * 200) // t.tw >= 1
+      |), e AS (
+      |  SELECT doc_id,
+      |    CAST(unnest(range(1, CAST(n_picks AS BIGINT) + 1)) AS BIGINT)
+      |      AS copy
+      |  FROM p
+      |)
+      |SELECT
+      |  CAST(row_number() OVER (ORDER BY
+      |    md5(doc_id::VARCHAR || '#' || copy::VARCHAR)) AS BIGINT)
+      |    AS train_pos,
+      |  doc_id, copy
+      |FROM e""".stripMargin
+
   private val upsampleRates = Map("src0" -> 2.5, "src1" -> 0.5)
 
   private def upsampleQ(s: SparkSession, dir: String): DataFrame =
@@ -1888,6 +1945,7 @@ object TextQueries extends QueryProvider {
     "q_corpus_mixture" -> (mixtureQ _),
     "q_corpus_upsample" -> (upsampleQ _),
     "q_token_pps"      -> (tokenPpsQ _),
+    "pipeline_pps_schedule" -> (ppsScheduleQ _),
     "q_temperature_mix" -> (temperatureQ _),
     "pipeline_clean_corpus" -> (cleanCorpus _),
     "pipeline_decontam_lm" -> (decontamLm _),
@@ -1988,6 +2046,7 @@ object TextQueries extends QueryProvider {
     "q_corpus_mixture" -> mixtureSql,
     "q_corpus_upsample" -> upsampleSql,
     "q_token_pps"      -> tokenPpsSql,
+    "pipeline_pps_schedule" -> ppsScheduleSql,
     "q_temperature_mix" -> temperatureSql,
     "pipeline_clean_corpus" -> cleanCorpusSql,
     "pipeline_decontam_lm" -> decontamLmSql,
