@@ -105,6 +105,35 @@ object Sessionize {
   }
 
   /**
+   * User growth curve — the acquisition dashboard: per time bucket, how
+   * many users appeared for the FIRST time, and the running total (the
+   * user-base size). The user-dimension sibling of `text_vocab_growth`'s
+   * first-seen token counts. Cumulative new-user counts are exactly the
+   * distinct-user count of the log's prefix, so the curve doubles as an
+   * exact "users to date" series.
+   *
+   * 100 TB shape: the log collapses to one (user, first_bucket) row per
+   * user in the first aggregate (partial min), then to one row per
+   * bucket; the running-total window runs over the BUCKET table — its
+   * cardinality is the time span in buckets, never users or events, so
+   * the unpartitioned window is a deliberate non-issue (same argument
+   * as `q_rolling_7d`'s day-keyed frame).
+   */
+  def userGrowth(events: DataFrame, userCol: String, tsUsCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = events.select(col(userCol).as("__u"),
+        (col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs))).as("__b"))
+      .groupBy(col("__u")).agg(min(col("__b")).as("bucket_us"))
+    firstSeen.groupBy(col("bucket_us"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .withColumn("n_cum_users",
+        sum(col("n_new_users")).over(Window.orderBy(col("bucket_us"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /**
    * Rolling active users (the WAU/MAU dashboard number): for every
    * (group, bucket) PRESENT in the log, the count of distinct users
    * active in the trailing `windowBuckets` buckets ending there — e.g.

@@ -315,9 +315,29 @@ object SessionQueries extends QueryProvider {
       |  AND c.target_us = p.target_us
       |GROUP BY 1, 2""".stripMargin
 
+  /** Daily user acquisition + running user-base size. */
+  private def userGrowthQ(s: SparkSession, dir: String): DataFrame =
+    Sessionize.userGrowth(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", bucketUs = 86400000000L)
+
+  private val userGrowthSql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts) - epoch_us(ts) % 86400000000) AS bucket_us
+      |  FROM events GROUP BY 1
+      |), p AS (
+      |  SELECT bucket_us, count(*) AS n_new_users FROM f GROUP BY 1
+      |)
+      |SELECT bucket_us, n_new_users,
+      |  CAST(sum(n_new_users) OVER (ORDER BY bucket_us
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum_users
+      |FROM p""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2"            -> (scd2Q _),
     "q_rolling_wau"     -> (rollingWauQ _),
+    "q_user_growth"     -> (userGrowthQ _),
     "q_sessionize"      -> (sessionize _),
     "q_session_stats"   -> (sessionStats _),
     "q_session_paths"   -> (sessionSeqs _),
@@ -331,6 +351,7 @@ object SessionQueries extends QueryProvider {
   override val oracles: Map[String, String] = Map(
     "q_scd2"            -> scd2Sql,
     "q_rolling_wau"     -> rollingWauSql,
+    "q_user_growth"     -> userGrowthSql,
     "q_sessionize"      -> sessionizeSql,
     "q_session_stats"   -> sessionStatsSql,
     "q_session_paths"   -> sessionSeqsSql,

@@ -149,6 +149,18 @@ class SessionizeSpec extends AnyFunSuite {
     assert(dup == got)
   }
 
+  test("userGrowth: first-seen buckets, returning users don't recount, " +
+      "running total is prefix-distinct") {
+    import spark.implicits._
+    // bucket=10: u1,u2 @ b0; u1 returns @ b10 (no recount); u3 @ b20
+    val df = Seq(
+      (1L, 1L), (2L, 3L), (1L, 12L), (3L, 25L), (2L, 27L)
+    ).toDF("user_id", "ts_us")
+    val got = Sessionize.userGrowth(df, "user_id", "ts_us", bucketUs = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L, 2L), (20L, 1L, 3L)))
+  }
+
   test("rollingActiveUsers: trailing-window distincts on present buckets only") {
     import spark.implicits._
     val spark2 = spark
