@@ -490,4 +490,34 @@ class DedupSpec extends AnyFunSuite {
         .stripMargin).forward(batch)
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("fuzzyKeyPairs: substitution, insertion, deletion and equality all " +
+      "found; ed-2 pairs rejected") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha"),  // base
+      (2L, "alpho"),  // substitution of 1
+      (3L, "alphas"), // insertion vs 1
+      (4L, "alph"),   // deletion vs 1
+      (5L, "alpha"),  // exact dup of 1
+      (6L, "omega")   // far from everything
+    ).toDF("id", "k")
+    val got = graft.operators.Dedup.fuzzyKeyPairs(df, "k", "id")
+      .as[(Long, Long)].collect().toSet
+    // every pair within ed<=1: all of {1,2,3,4,5} pairwise? NO — e.g.
+    // (2,3) "alpho"/"alphas" is ed 2. Enumerate: 1-2,1-3,1-4,1-5,2-4(ed2? "alpho"->"alph" del o =1!),
+    // 2-5,3-5(ins),4-5(del),3-4 ed 2, 2-3 ed 2
+    assert(got == Set((1L,2L),(1L,3L),(1L,4L),(1L,5L),(2L,4L),(2L,5L),
+      (3L,5L),(4L,5L)))
+    // blocking completeness on real keys: equals brute force
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val fuzzy = graft.operators.Dedup.fuzzyKeyPairs(cust, "c_name", "c_custkey")
+      .as[(Long, Long)].collect().toSet
+    val a = cust.select(col("c_custkey").as("a"), col("c_name").as("ka"))
+    val b = cust.select(col("c_custkey").as("b"), col("c_name").as("kb"))
+    val brute = a.join(b, col("a") < col("b") &&
+        levenshtein(col("ka"), col("kb")) <= 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(fuzzy == brute && brute.nonEmpty)
+  }
 }
