@@ -900,9 +900,42 @@ object DedupQueries extends QueryProvider {
       |  ON a.c_custkey < b.c_custkey
       |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Entity resolution end-to-end: fuzzy key pairs (ed ≤ 1, deletion-
+   *  neighborhood blocked) → connected components → canonical entity id
+   *  per customer. The oracle brute-forces the pairs AND replays the
+   *  transitive closure as a recursive CTE, so the hash certifies
+   *  blocking completeness and the clustering together. */
+  private def fuzzyClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.fuzzyKeyPairs(
+      T(s, dir, "customer"), "c_name", "c_custkey")
+    graft.operators.Clusters.connectedComponents(pairs, "a", "b")
+      .select(col("node").cast("long").as("c_custkey"),
+        col("cluster").cast("long").as("entity_id"))
+  }
+
+  private val fuzzyClustersSql =
+    """WITH RECURSIVE p AS MATERIALIZED (
+      |  SELECT a.c_custkey AS u, b.c_custkey AS v
+      |  FROM customer a JOIN customer b
+      |    ON a.c_custkey < b.c_custkey
+      |    AND levenshtein(a.c_name, b.c_name) <= 1
+      |), e AS MATERIALIZED (
+      |  SELECT u, v FROM p UNION SELECT v, u FROM p
+      |), reach(node, r) AS (
+      |  SELECT u, u FROM e
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.node
+      |), cc AS (
+      |  SELECT node, min(r) AS cluster FROM reach GROUP BY node
+      |)
+      |SELECT CAST(node AS BIGINT) AS c_custkey,
+      |  CAST(cluster AS BIGINT) AS entity_id
+      |FROM cc""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"          -> (dedupExact _),
     "dedup_fuzzy_key"      -> (fuzzyKeyQ _),
+    "dedup_fuzzy_clusters" -> (fuzzyClustersQ _),
     "dedup_minhash_lsh"    -> (dedupMinhash _),
     "dedup_cross_minhash"  -> (dedupCrossMinhash _),
     "dedup_ngram_jaccard"  -> (dedupNgram _),
@@ -950,6 +983,7 @@ object DedupQueries extends QueryProvider {
   override val oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactSql,
     "dedup_fuzzy_key"     -> fuzzyKeySql,
+    "dedup_fuzzy_clusters" -> fuzzyClustersSql,
     "dedup_minhash_lsh"   -> dedupMinhashSql,
     "dedup_cross_minhash" -> dedupCrossMinhashSql,
     "dedup_ngram_jaccard" -> dedupNgramSql,
