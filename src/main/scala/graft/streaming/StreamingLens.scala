@@ -409,6 +409,62 @@ object StreamingLens {
   }
 
   /**
+   * Streaming FUZZY-KEY gate — the continuous face of
+   * [[graft.operators.Dedup.fuzzyKeyPairs]]'s entity resolution: per
+   * micro-batch, drop every row whose KEY is within edit distance 1 of
+   * an already-admitted key (CDC entity dedupe at ingest — typo'd
+   * names, OCR'd ids). The persistent index is the deletion
+   * neighborhood of the kept corpus: `indexDir` holds (variant, doc)
+   * rows — ~|key|+1 short strings per admitted row, the SymSpell index
+   * layout — and `outDir` the admitted rows. Per batch: (1) in-batch
+   * conservative greedy cut via the batch pair miner (drop the larger
+   * id of every verified pair — the [[embeddingDedupGate]] discipline);
+   * (2) survivors' variants probe the index, and only the candidate
+   * sliver re-reads kept keys (joined from `outDir` by id) for the
+   * `levenshtein ≤ 1` verify — blocking completeness means no fuzzy
+   * match can slip past the probe; (3) admitted rows append to
+   * `outDir`, their variants to `indexDir`.
+   *
+   * Same caveats as the sibling gates: arrival-order greedy ≡ batch
+   * CC-keep-min on id-ordered split logs (spec-pinned); replays key
+   * appends by batchId for idempotence.
+   */
+  def fuzzyKeyGate(
+      keyCol: String,
+      idCol: String,
+      indexDir: String,
+      outDir: String): (DataFrame, Long) => Unit = (batch, _) => {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val variantsExpr = expr(
+      "array_union(array(__k), transform(sequence(1, length(__k)), " +
+        "i -> concat(substring(__k, 1, i - 1), substring(__k, i + 1))))")
+    val inBatch = Dedup.fuzzyKeyPairs(batch, keyCol, idCol)
+      .select(col("b").as(idCol)).distinct()
+    val afterBatch = batch.join(inBatch, Seq(idCol), "left_anti")
+    val kept =
+      if (new java.io.File(indexDir).exists) {
+        val indexed = spark.read.parquet(indexDir)
+        val probes = afterBatch
+          .select(col(idCol).as("__id"), col(keyCol).as("__k"))
+          .withColumn("__v", explode(variantsExpr))
+        val cand = probes.join(indexed, Seq("__v"))
+          .select(col("__id"), col("__k"), col("doc")).distinct()
+        val keptKeys = spark.read.parquet(outDir)
+          .select(col(idCol).as("doc"), col(keyCol).as("__kk"))
+        val dropped = cand.join(keptKeys, Seq("doc"))
+          .where(levenshtein(col("__k"), col("__kk")) <= 1)
+          .select(col("__id").as(idCol)).distinct()
+        afterBatch.join(dropped, Seq(idCol), "left_anti").localCheckpoint()
+      } else afterBatch.localCheckpoint() // corpus + index appends reuse it
+    kept.write.mode("append").parquet(outDir)
+    kept.select(col(idCol).as("doc"), col(keyCol).as("__k"))
+      .withColumn("__v", explode(variantsExpr))
+      .select(col("__v"), col("doc"))
+      .write.mode("append").parquet(indexDir)
+  }
+
+  /**
    * Seasonal face of [[volumeSpikeGate]] — the continuous
    * [[graft.operators.Anomaly.seasonalSpikes]]: identical persistent
    * count-history fold, but each touched bucket is z-tested against the

@@ -488,6 +488,36 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fuzzy-key gate: in-batch and cross-batch ed<=1 keys dropped " +
+      "against the deletion-neighborhood index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("fuzzygate").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("id", "k").writeStream
+      .foreachBatch(StreamingLens.fuzzyKeyGate("k", "id", idx, out))
+      .start()
+    try {
+      // batch 1: 2 is a substitution-twin of 1 (in-batch drop); 10 far
+      in.addData((1L, "alpha"), (2L, "alpho"), (10L, "omega"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("id").as[Long].collect().toSet
+        == Set(1L, 10L))
+      // batch 2: 3 ~ kept "alpha" by insertion (cross-batch drop);
+      // 4 ~ kept "omega" by deletion; 5 genuinely new
+      in.addData((3L, "alphas"), (4L, "omeg"), (5L, "zeta"))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("id").as[Long].collect().toSet
+      assert(kept == Set(1L, 10L, 5L), s"gate kept $kept")
+      // the index is the deletion neighborhood of exactly the kept keys
+      val indexed = spark.read.parquet(idx)
+      assert(indexed.columns.toSet == Set("__v", "doc"))
+      assert(indexed.select("doc").as[Long].collect().toSet
+        == Set(1L, 10L, 5L))
+    } finally q.stop()
+  }
+
   test("seasonal spike gate: night burst alerts against its phase; " +
       "verdict matches the batch operator") {
     import spark.implicits._
