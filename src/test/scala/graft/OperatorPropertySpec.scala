@@ -136,4 +136,55 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(salted == plain, s"saltBuckets=$saltN diverged from plain join")
     }
   }
+
+  test("topNgram == in-memory brute count with the byte-order tie-break " +
+      "on low-alphabet corpora") {
+    samples(corpusGen, 10).zipWithIndex.foreach { case (texts, si) =>
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextAnalysis.topNgram(df, "text", "doc_id", 2)
+        .select("doc_id", "top_gram", "n_occ")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      texts.zipWithIndex.foreach { case (t, j) =>
+        val ws = t.split(" ", -1)
+        if (ws.length < 2) assert(!got.contains(j.toLong))
+        else {
+          val counts = ws.sliding(2).map(_.mkString(" ")).toSeq
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          // (count desc, gram asc in UTF-8 byte order — ASCII here, so
+          // string order coincides)
+          val want = counts.toSeq.minBy { case (g, c) => (-c, g) }
+          assert(got(j.toLong) == ((want._1, want._2)),
+            s"sample $si doc $j: ${got(j.toLong)} != $want")
+        }
+      }
+    }
+  }
+
+  test("fuzzyKeyPairs == brute-force levenshtein<=1 on adversarial " +
+      "random short keys (empty strings included)") {
+    val keyGen: Gen[String] =
+      Gen.listOf(Gen.oneOf('a', 'b')).map(_.take(4).mkString)
+    val setGen: Gen[Seq[String]] = Gen.listOfN(14, keyGen)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    samples(setGen, 8).zipWithIndex.foreach { case (keys, si) =>
+      val df = keys.zipWithIndex.map { case (k, j) => (j.toLong, k) }
+        .toDF("id", "k")
+      val got = graft.operators.Dedup.fuzzyKeyPairs(df, "k", "id")
+        .as[(Long, Long)].collect().toSet
+      val want = (for {
+        i <- keys.indices; j <- keys.indices if i < j
+        if lev(keys(i), keys(j)) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == want, s"sample $si: blocking lost or invented pairs")
+    }
+  }
 }
