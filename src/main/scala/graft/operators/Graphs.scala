@@ -318,6 +318,61 @@ object Graphs {
   }
 
   /**
+   * Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) — the
+   * degree-discounted sibling of [[linkPrediction]]'s raw
+   * common-neighbor count: each shared neighbor z contributes 1/deg(z),
+   * so a promiscuous hub vouches for a pair far less than a selective
+   * mutual friend (RA beats CN on most benchmark graphs). Integer-exact
+   * via the established per-term-floor discipline: each center
+   * contributes `scale div deg(z)` micro-units and the SUM of floored
+   * terms replays exactly cross-engine (the bigram-LM micro-nat trick).
+   * Raw `cn` rides along for the tie-break; order (ra_units desc, cn
+   * desc, a, b) is total.
+   *
+   * 100 TB shape: identical envelope to [[linkPrediction]] — capped
+   * centers, salted-triangle wedge enumeration, TakeOrdered k-cut; the
+   * only addition is one |E|-vs-|V| join attaching the center's
+   * floored weight to the adjacency BEFORE the explode, and the weight
+   * rides the l side only so each wedge contributes once.
+   */
+  def resourceAllocation(edges: DataFrame, uCol: String, vCol: String,
+      k: Int = 100, maxCenterDegree: Long = Long.MaxValue,
+      saltBuckets: Int = 8, scale: Long = 1000000L): DataFrame = {
+    require(maxCenterDegree >= 2, "a center needs degree >= 2 to wedge")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val und = canonicalEdges(edges, uCol, vCol).localCheckpoint()
+    val adj = und.select(col("u").as("x"), col("v").as("n"))
+      .union(und.select(col("v").as("x"), col("u").as("n")))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // ONE join does both jobs: the center cap (inner on the filtered
+    // deg table) and the floored 1/deg weight attach.
+    val baseW = adj.select(col("n").as("c"), col("x").as("leaf"))
+      .join(deg.where(col("d") <= maxCenterDegree)
+        .select(col("x").as("c"), expr(s"$scale div d").as("raw")), Seq("c"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("leaf")), lit(saltBuckets)).cast("int"))
+    val l = baseW
+      .withColumn("__sb", explode(expr(s"sequence(__salt, ${saltBuckets - 1})")))
+      .select(col("c"), col("leaf").as("la"), col("raw"),
+        col("__salt").as("__sa"), col("__sb"))
+    val r = baseW
+      .withColumn("__sa", explode(expr("sequence(0, __salt)")))
+      .select(col("c"), col("leaf").as("lb"),
+        col("__sa"), col("__salt").as("__sb"))
+    val cand = l.join(r, Seq("c", "__sa", "__sb"))
+      .where(col("__sa") < col("__sb") || col("la") < col("lb"))
+      .select(least(col("la"), col("lb")).as("a"),
+        greatest(col("la"), col("lb")).as("b"), col("raw"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("raw")).as("ra_units"))
+    cand.join(und,
+        cand("a") === und("u") && cand("b") === und("v"), "left_anti")
+      .select(col("a"), col("b"), col("cn"), col("ra_units"))
+      .orderBy(col("ra_units").desc, col("cn").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /**
    * Deterministic synchronous label propagation (Raghavan et al. 2007
    * made replayable): labels start as node ids; each round every node
    * adopts the label with the greatest incident edge weight among its

@@ -1282,6 +1282,35 @@ object RelationalQueries extends QueryProvider {
        |FROM non JOIN deg da ON a = da.x JOIN deg db ON b = db.x
        |ORDER BY cn DESC, pa DESC, a, b LIMIT 100""".stripMargin
 
+  /** Resource-Allocation link prediction: the degree-discounted score
+   *  over the same capped co-activity graph — each shared neighbor
+   *  contributes `1e6 div deg` micro-units (per-term floor, so the sum
+   *  replays exactly). Same hub cap and salt settings as q_link_predict. */
+  private def resourceAllocQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graphs.resourceAllocation(coActivityEdges(s, dir),
+      "u", "v", k = 100, maxCenterDegree = linkPredictCenterCap(s, dir),
+      saltBuckets = 1)
+
+  private val resourceAllocSql =
+    s"""WITH $coActSql,
+       |adj AS MATERIALIZED (SELECT u AS x, v AS n FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |deg AS MATERIALIZED (SELECT x, CAST(count(*) AS BIGINT) AS d
+       |  FROM adj GROUP BY 1),
+       |dcap AS MATERIALIZED (SELECT greatest(max(d), 2) AS cap FROM (
+       |  SELECT d FROM deg ORDER BY d
+       |  LIMIT (SELECT (count(*) - 1) * $linkPredictCenterPpm // 1000000 + 1
+       |    FROM deg))),
+       |cand AS (SELECT a1.x AS a, a2.x AS b, CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(1000000 // dc.d) AS BIGINT) AS ra_units
+       |  FROM adj a1 JOIN adj a2 ON a1.n = a2.n AND a1.x < a2.x
+       |  JOIN deg dc ON a1.n = dc.x
+       |  CROSS JOIN dcap WHERE dc.d <= dcap.cap
+       |  GROUP BY 1, 2)
+       |SELECT cand.a, cand.b, cand.cn, cand.ra_units FROM cand
+       |LEFT JOIN e ON cand.a = e.u AND cand.b = e.v WHERE e.u IS NULL
+       |ORDER BY ra_units DESC, cn DESC, a, b LIMIT 100""".stripMargin
+
   /**
    * Graph-signal FEATURE ASSEMBLY flagship: the three structural
    * signals a quality model consumes — weighted PageRank (global
@@ -1374,6 +1403,7 @@ object RelationalQueries extends QueryProvider {
     "q_triangles"       -> (trianglesQ _),
     "q_label_prop"      -> (labelPropQ _),
     "q_link_predict"    -> (linkPredictQ _),
+    "q_resource_alloc"  -> (resourceAllocQ _),
     "q_kcore"           -> (kCoreQ _),
     "q_bfs_distance"    -> (bfsQ _),
     "pipeline_user_segments" -> (userSegmentsQ _),
@@ -1423,6 +1453,7 @@ object RelationalQueries extends QueryProvider {
     "q_triangles"       -> trianglesSql,
     "q_label_prop"      -> labelPropSql,
     "q_link_predict"    -> linkPredictSql,
+    "q_resource_alloc"  -> resourceAllocSql,
     "q_kcore"           -> kCoreSql,
     "q_bfs_distance"    -> bfsSql,
     "pipeline_user_segments" -> userSegmentsSql,

@@ -390,6 +390,29 @@ class GraphSignalsSpec extends AnyFunSuite {
       s"one sub-cell owns ${loads.max} of $total pairs — not spread")
   }
 
+  test("resourceAllocation: hub centers discounted 1/deg, selective " +
+      "centers dominate; salted == plain") {
+    // pair (2,4): shares selective center 3 (deg 2 -> 500000 units).
+    // pair (5,6): shares hub center 1 (deg 4 -> 250000 units). Raw CN
+    // ties at 1; RA ranks (2,4) above (5,6).
+    val edges = Seq((2L, 3L), (3L, 4L), (1L, 5L), (1L, 6L), (1L, 2L),
+      (1L, 4L)).toDF("a", "b")
+    val out = Graphs.resourceAllocation(edges, "a", "b", k = 100,
+        saltBuckets = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // (2,4) shares hub 1 AND selective 3: cn=2, ra = 250000 + 500000
+    assert(byPair((2L, 4L)) == ((2L, 750000L)))
+    assert(byPair((5L, 6L)) == ((1L, 250000L)))
+    // (1,3) shares TWO selective centers (2 and 4, deg 2 each): ra =
+    // 1000000 — RA ranks it above (2,4) even though their cn ties at 2
+    assert(byPair((1L, 3L)) == ((2L, 1000000L)))
+    assert(out.head._1 == 1L && out.head._2 == 3L)
+    val salted = Graphs.resourceAllocation(edges, "a", "b", k = 100)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(salted == out.toSet, "salted RA diverged from plain")
+  }
+
   test("linkPrediction: salted wedge equals plain; maxCenterDegree drops " +
       "hub centers while pa keeps TRUE degrees") {
     // path 1-2-3 plus hub 100 over {1,4,5,6}: hub degree 4
