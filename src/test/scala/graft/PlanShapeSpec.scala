@@ -28,7 +28,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("set-similarity joins never plan a cartesian product") {
     for (q <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_allpairs",
-      "dedup_simhash")) {
+      "dedup_simhash", "dedup_fuzzy_key", "q_resource_alloc")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
