@@ -164,8 +164,15 @@ object Car {
     val h = new ByteArrayOutputStream()
     h.write(0xA2)
     h.write(0x65); h.write("roots".getBytes("UTF-8"))
-    if (rootBlocks.size < 24) h.write(0x80 | rootBlocks.size)
-    else { h.write(0x98); h.write(rootBlocks.size) } // array, 1-byte length
+    val nRoots = rootBlocks.size
+    if (nRoots < 24) h.write(0x80 | nRoots)
+    else if (nRoots < 256) { h.write(0x98); h.write(nRoots) }
+    else if (nRoots < 65536) { // 0x99 + 2-byte big-endian length
+      h.write(0x99); h.write(nRoots >> 8); h.write(nRoots & 0xFF)
+    } else { // 0x9A + 4-byte big-endian length
+      h.write(0x9A); h.write(nRoots >>> 24); h.write((nRoots >> 16) & 0xFF)
+      h.write((nRoots >> 8) & 0xFF); h.write(nRoots & 0xFF)
+    }
     rootBlocks.foreach { rb =>
       val rootCid = Cid.cidOfBlock(rb)
       h.write(0xD8); h.write(42); h.write(0x58); h.write(rootCid.length + 1)

@@ -124,6 +124,105 @@ object Cid {
         out(2) == 0x12.toByte && out(3) == 0x20.toByte
     }
 
+  // ---- foreign-CID acceptance (the resolve() interop boundary) --------
+
+  private val Base58 =
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+  /** Big-integer decode of a base-58btc string (no leading-'1' CIDs
+   *  exist in practice — a CID's first byte is never 0x00). */
+  private def base58Decode(s: String): Option[Array[Byte]] = {
+    var n = java.math.BigInteger.ZERO
+    val fiftyEight = java.math.BigInteger.valueOf(58L)
+    var i = 0
+    while (i < s.length) {
+      val v = Base58.indexOf(s.charAt(i))
+      if (v < 0) return None
+      n = n.multiply(fiftyEight).add(java.math.BigInteger.valueOf(v.toLong))
+      i += 1
+    }
+    val raw = n.toByteArray
+    Some(if (raw.length > 1 && raw(0) == 0) raw.drop(1) else raw)
+  }
+
+  /** RFC 4648 unpadded base32-lower decode of arbitrary length;
+   *  trailing partial bits must be zero padding. */
+  private def base32Decode(s: String): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0; var i = 0
+    while (i < s.length) {
+      val v = B32.indexOf(s.charAt(i))
+      if (v < 0) return None
+      acc = (acc << 5) | v.toLong; nbits += 5
+      if (nbits >= 8) { nbits -= 8; out.write(((acc >> nbits) & 0xFF).toInt) }
+      i += 1
+    }
+    if ((acc & ((1L << nbits) - 1L)) != 0L) None else Some(out.toByteArray)
+  }
+
+  /** Unsigned-varint reader over a byte array; returns (value, next). */
+  private def uvarint(b: Array[Byte], at: Int): Option[(Long, Int)] = {
+    var v = 0L; var shift = 0; var i = at
+    while (i < b.length && shift < 64) {
+      val x = b(i) & 0xFF
+      v |= (x & 0x7FL) << shift
+      if ((x & 0x80) == 0) return Some((v, i + 1))
+      shift += 7; i += 1
+    }
+    None
+  }
+
+  /** Validate raw CIDv1 bytes: varint version 1, any codec varint, then
+   *  a multihash (code varint, length varint, exactly-length digest). */
+  private def validCidV1(b: Array[Byte]): Boolean = (for {
+    (ver, p1) <- uvarint(b, 0) if ver == 1L
+    (_, p2) <- uvarint(b, p1) // codec — any
+    (_, p3) <- uvarint(b, p2) // multihash code — any
+    (len, p4) <- uvarint(b, p3)
+  } yield b.length - p4 == len.toInt).getOrElse(false)
+
+  /** Parse ANY well-formed CID string to raw bytes: CIDv0 (bare 46-char
+   *  base58btc `Qm…` multihash) or CIDv1 under multibase base16 ('f'),
+   *  base32-lower ('b'), base36-lower ('k'), or base58btc ('z') — the
+   *  encodings a reference node's go-cid parser accepts in the wild.
+   *  None ⇔ not a CID at all. This is the gate [[LensEngine]] resolve()
+   *  uses between "malformed id" (error) and "well-formed but foreign"
+   *  (identity pass-through, like the reference's no-pool path —
+   *  reference: host-go/repository/repository.go:244-254). */
+  def parseAnyCid(s: String): Option[Array[Byte]] = {
+    if (s.length == 46 && s.startsWith("Qm"))
+      base58Decode(s).filter(b =>
+        b.length == 34 && b(0) == 0x12.toByte && b(1) == 0x20.toByte)
+    else if (s.length < 2) None
+    else {
+      val body = s.substring(1)
+      val decoded: Option[Array[Byte]] = s.charAt(0) match {
+        case 'b' => base32Decode(body)
+        case 'f' =>
+          if (body.matches("[0-9a-f]*") && body.length % 2 == 0)
+            Some(body.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+          else None
+        case 'k' =>
+          if (body.matches("[0-9a-z]+"))
+            scala.util.Try {
+              val raw = new java.math.BigInteger(body, 36).toByteArray
+              if (raw.length > 1 && raw(0) == 0) raw.drop(1) else raw
+            }.toOption
+          else None
+        case 'z' => base58Decode(body)
+        case _   => None
+      }
+      decoded.filter(validCidV1)
+    }
+  }
+
+  /** Is this raw CID exactly graft's minted profile (CIDv1, dag-cbor,
+   *  sha2-256/32)? Such ids are resolvable regardless of which multibase
+   *  the caller spelled them in. */
+  def isGraftProfile(b: Array[Byte]): Boolean =
+    b.length == 36 && b(0) == 0x01.toByte && b(1) == 0x71.toByte &&
+      b(2) == 0x12.toByte && b(3) == 0x20.toByte
+
   /** Lens block(s) for a wasm payload: one `wasmBytes` leaf if it fits
    *  `maxBlockSize`, else leaf blocks under a `chunks` root (zero chunks
    *  for an empty payload — mirroring Go's slices.Chunk). Returns the

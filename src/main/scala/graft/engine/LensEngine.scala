@@ -88,16 +88,15 @@ final class LensEngine(persistDir: Option[Path] = None) {
    *  error, matching CID-parse failures
    *  (reference: tests/integration/node/transform_test.go:16-67).
    *
-   *  Accepted-id profile (an interop boundary, deliberately narrower
-   *  than a reference node's CID parser): `sha256:<64 hex>` or graft's
-   *  own CID form — CIDv1, dag-cbor, sha2-256, multibase base32-lower
-   *  ('b…', the only form this engine ever MINTS, see [[Cid]]). A CID
-   *  that is valid elsewhere but outside this profile (CIDv0, base36,
-   *  another codec) is rejected as malformed rather than treated as
-   *  unknown-but-well-formed: this engine cannot have stored anything
-   *  under such an id, and a silently-identity pass-through would mask
-   *  what is almost certainly a caller bug. Re-encode foreign CIDs to
-   *  the profile form before calling. */
+   *  Accepted-id contract (matches a reference node's parser,
+   *  host-go/repository/repository.go:244-254): `sha256:<64 hex>`, or
+   *  ANY well-formed CID. A graft-profile CID (CIDv1/dag-cbor/
+   *  sha2-256 — the only kind this engine MINTS) resolves whatever
+   *  multibase it is spelled in (base32/base36/base16/base58btc,
+   *  canonicalized via [[Cid.parseAnyCid]]); a well-formed FOREIGN CID
+   *  (CIDv0, another codec/hash) is unknown-by-construction and passes
+   *  data through as identity, exactly the reference's no-migration
+   *  path; only an unparseable id errors. */
   def transform(df: DataFrame, id: String): DataFrame = resolve(id) match {
     case Some(p) => p.forward(df)
     case None    => df
@@ -109,10 +108,22 @@ final class LensEngine(persistDir: Option[Path] = None) {
   }
 
   private def resolve(id: String): Option[Pipeline] = {
-    require(id.matches("sha256:[0-9a-f]{64}") || Cid.looksLikeCid(id),
-      s"malformed pipeline id: '$id'")
-    pipelines.get(id)
-      .orElse(cidToId.get(id).flatMap(pipelines.get))
+    if (id.matches("sha256:[0-9a-f]{64}") || Cid.looksLikeCid(id))
+      pipelines.get(id).orElse(cidToId.get(id).flatMap(pipelines.get))
+    else Cid.parseAnyCid(id) match {
+      case Some(raw) if Cid.isGraftProfile(raw) =>
+        // Graft-profile CID spelled in a foreign multibase (base36/
+        // base16/base58): canonicalize to the minted base32 form and
+        // resolve — the id names real content this engine may hold.
+        cidToId.get(Cid.cidString(raw)).flatMap(pipelines.get)
+      case Some(_) =>
+        // Well-formed but foreign (CIDv0, another codec/hash): this
+        // engine cannot have minted it ⇒ unknown ⇒ identity, the
+        // reference's no-migration pass-through.
+        None
+      case None =>
+        throw new IllegalArgumentException(s"malformed pipeline id: '$id'")
+    }
   }
 
   /**
@@ -265,12 +276,14 @@ final class LensEngine(persistDir: Option[Path] = None) {
   }
 
   /** Import every root of a (possibly multi-root) lens CAR; returns the
-   *  `sha256:` ids in root order. All-or-nothing per root: a root whose
-   *  blocks fail verification aborts the whole import before anything
-   *  publishes. */
+   *  `sha256:` ids in root order. All-or-nothing across ALL roots: blocks
+   *  are hash-verified up front, and every root's config must also
+   *  COMPILE — the roots stage through one [[withTxn]] overlay, so a
+   *  later root whose payload is hash-valid but uncompilable aborts the
+   *  import before any earlier root publishes durably. */
   def importAllCar(bytes: Array[Byte]): Seq[String] = {
     val cfgs = Car.readConfigs(bytes) // verifies every root up front
-    cfgs.map { case (_, cfg) => add(cfg.canonicalJson) }
+    withTxn { txn => cfgs.map { case (_, cfg) => txn.add(cfg.canonicalJson) } }
   }
 
   /** [[importCar]] by scheme-dispatched reference (`file:`, `data:`,
@@ -282,6 +295,13 @@ final class LensEngine(persistDir: Option[Path] = None) {
    *  the reference's libp2p block exchange. */
   def importCarRef(ref: String): String =
     importCar(ModuleFetch.fetchBytes(ref))
+
+  /** [[importAllCar]] by scheme-dispatched reference: the whole-registry
+   *  sync verb — fetch a peer's [[exportAllCar]] payload and stage every
+   *  root through one transaction. One fetch + one txn IS the reference's
+   *  full-store replication story minus the libp2p session. */
+  def importAllCarRef(ref: String): Seq[String] =
+    importAllCar(ModuleFetch.fetchBytes(ref))
 
   /**
    * Import a CARv1 lens archive: blocks are hash-verified, the config is

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 import org.apache.spark.sql.{Column, DataFrame}
@@ -196,6 +197,61 @@ object Anomaly {
       kNum = kNum, kDen = kDen, scale = 1L)
       .select(col(groupCol), col("phase"), col("bucket_us"),
         col("n_events"), col("is_outlier"))
+  }
+
+  /**
+   * One-sided CUSUM changepoint detection per group — the
+   * sustained-level-shift monitor the point tests above can't be: a z/MAD
+   * outlier flags one extreme bucket, while CUSUM accumulates SMALL
+   * persistent deviations (a 10% volume regression that never trips 2.5σ
+   * alarms within days). Page's recursion `S_t = max(0, S_{t−1} + x_t −
+   * μ − allowance)` is NOT directly window-expressible, but its closed
+   * form is: with deviations `d_t` and prefix sums `C_t = Σ d_i`,
+   * `S_t = C_t − min(0, min_{i≤t} C_i)` — two plain windows (running
+   * sum + running min), no recursion, which is what lets both engines
+   * replay it exactly.
+   *
+   * Integer-exact end to end: bucket sums quantize to `⌊v·scale⌋`,
+   * per-group they shift non-negative by the group min (the EmbeddingQa
+   * discipline — Spark DIV ≡ DuckDB // only on non-negative operands),
+   * the reference level is `μ = total div n_buckets`, the allowance is
+   * `μ·slackPpm div 10⁶` and the alarm threshold `μ·hPpm div 10⁶`.
+   * Output one row per (group, bucket): the quantized shifted level, the
+   * CUSUM statistic, and the alarm flag.
+   *
+   * 100 TB shape: event rows collapse map-side to the (group, bucket)
+   * sum table — bounded by groups × time-span/bucket, never event
+   * volume; the two windows and the per-group stats join all run on that
+   * slim table under one group-hash partitioning. Low-side detection is
+   * the same operator over negated values.
+   */
+  def cusum(
+      df: DataFrame, tsUsCol: String, groupCol: String, valueCol: String,
+      bucketUs: Long, scale: Long = 100L,
+      slackPpm: Long = 100000L, hPpm: Long = 500000L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket_us"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = df
+      .withColumn("bucket_us",
+        col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs)))
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(sum(floor(col(valueCol).cast("double") * scale).cast("long"))
+        .as("__x"))
+    val stats = buckets.groupBy(col(groupCol)).agg(
+      min(col("__x")).as("__lo"),
+      sum(col("__x")).as("__tot"),
+      count(lit(1)).as("__n"))
+    buckets.join(broadcast(stats), Seq(groupCol))
+      .withColumn("x_scaled", col("__x") - col("__lo")) // non-negative
+      .withColumn("__mu", expr("(__tot - __n * __lo) div __n"))
+      .withColumn("__d",
+        col("x_scaled") - col("__mu") - expr(s"(__mu * $slackPpm) div 1000000"))
+      .withColumn("__c", sum(col("__d")).over(run))
+      .withColumn("cusum", col("__c") - least(lit(0L), min(col("__c")).over(run)))
+      .withColumn("is_alarm", col("cusum") > expr(s"(__mu * $hPpm) div 1000000"))
+      .select(col(groupCol), col("bucket_us"), col("x_scaled"),
+        col("cusum"), col("is_alarm"))
   }
 
   /**

@@ -42,21 +42,6 @@ object Audit {
   }
 
   /**
-   * Per-column table profile: one row per column —
-   * `(column_name, n_rows, n_nulls, n_distinct)` — the datasheet a
-   * snapshot publishes (and the base for expectation checks: uniqueness
-   * = n_distinct == n_rows − n_nulls, completeness = n_nulls == 0).
-   *
-   * 100 TB shape: ONE aggregation pass, but k exact `count(distinct)`s
-   * plan through Spark's Expand (k+1× row multiplication before the
-   * partial agg) — exact is right for the oracle-checked audit; at
-   * corpus scale swap `count_distinct` for `approx_count_distinct`
-   * (HLL++, the certified-sketch discipline of `dedup_approx_verify`)
-   * and the pass is single-width again. Null counting is
-   * `sum(isNull)` — never `count(col)` subtraction, so the row stays
-   * self-explanatory.
-   */
-  /**
    * Equi-width histogram per group — the distribution-shape companion to
    * the exact quantile report (quantiles give cut points; this gives the
    * full shape for a dashboard/datasheet). Integer-exact end to end:
@@ -88,6 +73,21 @@ object Audit {
         min(col("__v")).as("lo_milli"), max(col("__v")).as("hi_milli"))
   }
 
+  /**
+   * Per-column table profile: one row per column —
+   * `(column_name, n_rows, n_nulls, n_distinct)` — the datasheet a
+   * snapshot publishes (and the base for expectation checks: uniqueness
+   * = n_distinct == n_rows − n_nulls, completeness = n_nulls == 0).
+   *
+   * 100 TB shape: ONE aggregation pass, but k exact `count(distinct)`s
+   * plan through Spark's Expand (k+1× row multiplication before the
+   * partial agg) — exact is right for the oracle-checked audit; at
+   * corpus scale swap `count_distinct` for `approx_count_distinct`
+   * (HLL++, the certified-sketch discipline of `dedup_approx_verify`)
+   * and the pass is single-width again. Null counting is
+   * `sum(isNull)` — never `count(col)` subtraction, so the row stays
+   * self-explanatory.
+   */
   def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "need at least one column to profile")
     val aggs = columns.flatMap(c => Seq(

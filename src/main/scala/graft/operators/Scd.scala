@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
  * (`valid_to_us` NULL for each key's current version). The dimension
  * table a warehouse joins facts against "as of" a timestamp.
  *
- * Attribute values must be non-null (a NULL attr cannot be
- * run-compared); (ts, id) is a total order so version boundaries are
- * deterministic and a DuckDB oracle replays lag → running-sum →
- * group → lead move-for-move.
+ * NULL attribute values are first-class: run comparison is null-safe
+ * (`<=>`), so a NULL attr opens/continues its OWN version run (emitted
+ * with attr = NULL) rather than merging into a neighbor. (ts, id) is a
+ * total order so version boundaries are deterministic and a DuckDB
+ * oracle replays lag → running-sum → group → lead move-for-move.
  *
  * 100 TB shape: rows slim to (key, ts, id, attr) before the ONE
  * key-hash exchange; the change-flag window, running version sum,
@@ -31,8 +32,15 @@ object Scd {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(idCol))
     val marked = df.select(col(keyCol), col(tsUsCol), col(idCol), col(attrCol))
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      // Null-safe change flag: a NULL attr is a value of its own — it
+      // starts/continues its OWN version run instead of silently merging
+      // into the previous version (`<=>` treats NULL <=> NULL as equal).
+      // A NULL-attr version surfaces with attr = NULL (min over all-NULL).
+      // First row per key: __lagged distinguishes "no previous row" from
+      // "previous attr was NULL", so a leading NULL run still opens at 1.
+      .withColumn("__lagged", lag(lit(1L), 1).over(w))
       .withColumn("__chg",
-        when(col("__prev").isNull || col("__prev") =!= col(attrCol), 1L)
+        when(col("__lagged").isNull || !(col("__prev") <=> col(attrCol)), 1L)
           .otherwise(0L))
       .withColumn("__ver", sum(col("__chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

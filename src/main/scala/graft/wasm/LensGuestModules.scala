@@ -301,9 +301,19 @@ object LensGuestModules {
    *  pair rides a MULTI-VALUE block (func-type blocktype, params carried
    *  through a br) before the add, and each transform runs a
    *  memory.init + data.drop round against a passive data segment —
-   *  both identities, so output must again equal the MVP guest's. */
+   *  both identities, so output must again equal the MVP guest's.
+   *  `viaFloatPath = true` is the third conformance probe — the FLOAT
+   *  tier: the add runs in f64 (`f64.convert_i64_s` both operands,
+   *  `f64.add`) and the result passes an identity gauntlet of the float
+   *  ops a numeric guest would lean on — `f64.neg ∘ f64.neg`,
+   *  `f64.mul` by 1.0, `f64.copysign(f64.abs(x), x)` — before
+   *  `i64.trunc_sat_f64_s` brings it back. Exact for |v + δ| < 2⁵³, so
+   *  the SAME fixture data must come out unchanged vs the MVP guest. */
   def shiftGuest(field: String, viaSatConversions: Boolean = false,
-      viaMultiValueBulk: Boolean = false): Array[Byte] = {
+      viaMultiValueBulk: Boolean = false,
+      viaFloatPath: Boolean = false): Array[Byte] = {
+    require(!(viaFloatPath && viaMultiValueBulk),
+      "combine at most one post-MVP probe with the float path")
     val d = new DataPacker
     val pat = d.add("\"" + field + "\":")
     val deltaPat = d.add("\"delta\":")
@@ -318,7 +328,10 @@ object LensGuestModules {
     //         7=out, 8=q, 9=v(i64), [10=bulk scratch]
     val doShift = FuncBody(
       Vector[Byte](I32, I32, I32, I32, I32, I32, I32, I32, I64) ++
-        (if (viaMultiValueBulk) Vector[Byte](I32) else Vector.empty[Byte]),
+        (if (viaMultiValueBulk) Vector[Byte](I32) else Vector.empty[Byte]) ++
+        // float-path scratch: 10 = delta*sign (i64), 11 = f64 sum
+        (if (viaFloatPath) Vector[Byte](I64, ValType.F64)
+         else Vector.empty[Byte]),
       Vector[Instr](
         ic(d.heapBase), GlobalSet(HEAP), // previous frames consumed: reset
         Call(NEXT), LocalSet(1)) ++
@@ -344,7 +357,21 @@ object LensGuestModules {
       // PARAMS and leave it through a br carrying both — identity.
       (if (!viaMultiValueBulk) Vector.empty[Instr] else Vector[Instr](
         Block(-1 - TPair, Vector(Br(0))))) ++
-      Vector[Instr](addL, LocalSet(9)) ++
+      (if (!viaFloatPath) Vector[Instr](addL, LocalSet(9))
+       else Vector[Instr](
+        // stack: v(i64), delta*sign(i64) — run the add in f64 and pass
+        // the sum through the identity gauntlet before trunc_sat back.
+        LocalSet(10),
+        Num(0xB9), // f64.convert_i64_s(v)
+        LocalGet(10), Num(0xB9), // f64(delta*sign)
+        Num(0xA0), // f64.add
+        Num(0x9A), Num(0x9A), // neg ∘ neg
+        F64Const(java.lang.Double.doubleToRawLongBits(1.0)), Num(0xA2), // ×1.0
+        LocalTee(11),
+        Num(0x99), // f64.abs(sum)
+        LocalGet(11), Num(0xA6), // f64.copysign(abs, sum) == sum
+        TruncSat(6), // i64.trunc_sat_f64_s
+        LocalSet(9))) ++
       (if (!viaSatConversions) Vector.empty[Instr] else Vector[Instr](
         LocalGet(9), Num(0xB9), TruncSat(6), Num(0xC4), LocalSet(9))) ++
       Vector[Instr](

@@ -72,4 +72,24 @@ class AuditSpec extends AnyFunSuite {
       (2L, "X", 5L, Some(5L), 1L),
       (2L, "Y", 5L, None, 1L)))
   }
+
+  test("scd2 intervals: NULL attrs form their OWN version runs (null-safe " +
+      "change flag) — never silently merge into a neighbor") {
+    // u1: A, NULL, NULL, A -> three versions (the NULL run surfaces with
+    // attr = NULL); u2 STARTS with a NULL run -> it still opens a version
+    val events = Seq(
+      (1L, 1L, 10L, Some("A")), (1L, 2L, 11L, None),
+      (1L, 3L, 12L, None), (1L, 4L, 13L, Some("A")),
+      (2L, 5L, 50L, None), (2L, 6L, 51L, Some("B"))
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Scd.intervals(events, "user_id", "ts_us", "event_type",
+        "event_id")
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSet
+    assert(out == Set(
+      (1L, Some("A"), 1L, Some(2L), 1L),
+      (1L, None, 2L, Some(4L), 2L),
+      (1L, Some("A"), 4L, None, 1L),
+      (2L, None, 5L, Some(6L), 1L),
+      (2L, Some("B"), 6L, None, 1L)))
+  }
 }

@@ -195,6 +195,82 @@ class CarSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Car.readConfig(garbled))
   }
 
+  test("two-engine publish -> sync -> execute: B replicates A's WHOLE " +
+      "registry over loopback HTTP and serves every lens by A's CIDs") {
+    import spark.implicits._
+    val a = LensEngine()
+    val shiftUrl = "data:application/wasm;base64," + java.util.Base64
+      .getEncoder.encodeToString(LensGuestModules.shiftGuest("Age"))
+    val id1 = a.add(s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":2}}]}""")
+    val id2 = a.add(s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")
+    val id3 = a.add(
+      """{"lenses":[{"path":"builtin:rename","arguments":{"src":"Name","dst":"FullName"}}]}""")
+    val people = Seq(("P", 10L), ("Q", 20L)).toDF("Name", "Age")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      val car = a.exportAllCar()
+      server.createContext("/registry.car",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.sendResponseHeaders(200, car.length)
+          ex.getResponseBody.write(car)
+          ex.close()
+        })
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val b = LensEngine()
+      // pre-sync: A's CID is well-formed but unknown on B -> identity
+      val cid1 = a.cidOf(id1).get
+      assert(b.transform(people, cid1).as[(String, Long)].collect().toSet
+        == people.as[(String, Long)].collect().toSet)
+      // sync: one fetch, one txn, the whole registry
+      val ids = b.importAllCarRef(s"$base/registry.car")
+      assert(ids.toSet == Set(id1, id2, id3))
+      assert(b.listCids.map(_._1).toSet == a.listCids.map(_._1).toSet)
+      // execute on B by ids MINTED ON A — byte-identical to A's results
+      for (lens <- Seq(cid1, a.cidOf(id2).get, id2, id3)) {
+        assert(b.transform(people, lens).collect().toSet
+          == a.transform(people, lens).collect().toSet,
+          s"B must replay A's transform for $lens")
+      }
+      assert(b.transform(people, cid1).as[(String, Long)].collect().toSet
+        == Set(("P", 12L), ("Q", 22L)))
+      assert(b.transform(people, id3).columns.toSeq == Seq("FullName", "Age"))
+      // and the inverse derives on the replica too (P11 across the wire)
+      assert(b.inverse(people, cid1).as[(String, Long)].collect().toSet
+        == Set(("P", 8L), ("Q", 18L)))
+    } finally server.stop(0)
+  }
+
+  test("multi-root CAR header encodes >255 roots correctly (CBOR " +
+      "multi-byte array length), round-trips through read") {
+    // 300 distinct 2-byte blocks, all of them roots: the header's roots
+    // array needs the 0x99 two-byte-length CBOR form — the old
+    // single-byte write truncated 300 to 44 and emitted a corrupt backup.
+    val blocks = (0 until 300).map(i =>
+      Array[Byte]((i & 0xFF).toByte, (i >> 8).toByte))
+    val car = Car.writeBlocks(blocks, blocks)
+    val (roots, byCid) = Car.read(car)
+    assert(roots.size == 300 && roots.distinct.size == 300)
+    assert(byCid.size == 300)
+    assert(roots.toSet == blocks.map(b => Cid.cidString(Cid.cidOfBlock(b))).toSet)
+  }
+
+  test("importAllCar is all-or-nothing ACROSS roots: a later root that " +
+      "is hash-valid but uncompilable publishes nothing") {
+    val good = PipelineConfig.fromJson("""{"lenses":[{"path":"builtin:identity"}]}""")
+    // hash-valid blocks (the path stand-in re-derives to the same CID)
+    // but the builtin does not exist, so pipeline compilation fails
+    val bad = PipelineConfig(Seq(graft.model.StageConfig("builtin:doesnotexist")))
+    val car = Car.writeConfigs(Seq(good, bad))
+    assert(Car.readConfigs(car).size == 2, "blocks themselves verify fine")
+    val e = LensEngine()
+    intercept[Exception] { e.importAllCar(car) }
+    assert(e.list.isEmpty,
+      "the earlier good root must not publish when a later root fails compile")
+    assert(e.listCids.isEmpty)
+  }
+
   test("chunked wasm payloads reassemble: multi-leaf lens round-trips") {
     // 7-byte payload with \0asm magic, 3-byte chunks => 3 leaves + root.
     val payload = Array[Byte](0x00, 0x61, 0x73, 0x6D, 1, 0, 0)

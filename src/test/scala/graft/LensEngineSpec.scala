@@ -585,4 +585,61 @@ class LensEngineSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] { engine.transform(people, bad) }
     }
   }
+
+  test("resolve() CID acceptance matrix: graft-profile ids resolve in any " +
+      "multibase; well-formed foreign CIDs (CIDv0, other codecs) are " +
+      "identity; only unparseable ids error") {
+    import graft.engine.Cid
+    import graft.wasm.LensGuestModules
+    val url = "data:application/wasm;base64," +
+      java.util.Base64.getEncoder.encodeToString(LensGuestModules.shiftGuest("Age"))
+    val engine = LensEngine()
+    val id = engine.add(
+      s"""{"lenses":[{"path":"$url","arguments":{"delta":4}}]}""")
+    val cid = engine.cidOf(id).getOrElse(fail("no CID"))
+    val raw = Cid.parseAnyCid(cid).getOrElse(fail("minted CID must parse"))
+    assert(Cid.isGraftProfile(raw))
+    val expect = Set(("John", 7L), ("Fred", 9L), ("Orpheus", 11L))
+
+    // the SAME minted CID spelled in foreign multibases resolves
+    val base16 = "f" + raw.map(b => f"${b & 0xFF}%02x").mkString
+    val base36 = "k" + new java.math.BigInteger(1, raw).toString(36)
+    val b58alpha = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    val base58 = {
+      var n = new java.math.BigInteger(1, raw)
+      val sb = new StringBuilder
+      val fe = java.math.BigInteger.valueOf(58L)
+      while (n.signum() > 0) {
+        val Array(q, r) = n.divideAndRemainder(fe); sb += b58alpha(r.intValue); n = q
+      }
+      "z" + sb.result().reverse
+    }
+    for (alias <- Seq(base16, base36, base58)) {
+      assert(Cid.parseAnyCid(alias).exists(_.sameElements(raw)),
+        s"re-encoding $alias must parse back to the same bytes")
+      assert(engine.transform(people, alias).as[(String, Long)].collect().toSet
+        == expect, s"graft-profile CID must resolve via $alias")
+    }
+
+    // well-formed FOREIGN CIDs -> identity pass-through (reference:
+    // host-go/repository/repository.go:244-254 no-migration path)
+    val before = people.as[(String, Long)].collect().toSet
+    val cidV0 = "QmYwAPJzv5CZsnA625s3Xf2nemtYgPpHdWEz79ojWnPbdG"
+    assert(Cid.parseAnyCid(cidV0).exists(b => b.length == 34 && b(0) == 0x12))
+    // CIDv1 raw-codec (0x55) over the same digest: parseable, not graft's
+    val foreign = Cid.cidString(
+      Array[Byte](0x01, 0x55, 0x12, 0x20) ++ raw.drop(4))
+    assert(Cid.parseAnyCid(foreign).isDefined &&
+      !Cid.isGraftProfile(Cid.parseAnyCid(foreign).get))
+    for (f <- Seq(cidV0, foreign)) {
+      assert(engine.transform(people, f).as[(String, Long)].collect().toSet
+        == before, s"foreign well-formed CID $f must be identity")
+    }
+
+    // unparseable still errors: bad multibase prefix, truncated CIDv0,
+    // base36 garbage that decodes but fails the varint layout
+    for (bad <- Seq("x" + cid.tail, cidV0.dropRight(1), "k0", "kzzzz")) {
+      intercept[IllegalArgumentException] { engine.transform(people, bad) }
+    }
+  }
 }

@@ -78,6 +78,30 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
         ("Neg", -7L), ("Zed", 0L))
   }
 
+  test("a guest whose arithmetic runs in f64 (convert + add + neg/mul/" +
+      "abs/copysign gauntlet + trunc_sat) replays the MVP guest " +
+      "byte-identically through the lens path") {
+    val fpUrl = dataUrl(LensGuestModules.shiftGuest("Age",
+      viaFloatPath = true))
+    // values chosen to cross zero and sign boundaries — exact in f64
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L), ("Zed", 0L),
+      ("Big", (1L << 50)), ("Low", -(1L << 50)))
+      .toDF("Name", "Age")
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val fp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$fpUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    fp shouldBe mvp
+    fp should contain(("Big", (1L << 50) + 5L))
+    // inverse derivation still holds through the float path (P11)
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$fpUrl","arguments":{"delta":5}}]}""")
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
+  }
+
   test("the module's inverse export drives `\"inverse\": true` stages") {
     val fwd = Pipeline.fromJson(
       s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")

@@ -424,6 +424,44 @@ class WasmSpec extends AnyFunSuite with Matchers {
       java.lang.Double.doubleToRawLongBits(3e10))
   }
 
+  test("float identity gauntlet edges: NaN, ±0, and nearest-ties survive " +
+      "the shiftGuest float path's op sequence as the spec demands") {
+    // the exact op sequence the viaFloatPath guest runs on its sum:
+    // neg∘neg -> ×1.0 -> copysign(abs(x), x) — identity for every f64
+    // input INCLUDING -0.0 and NaN payload sign
+    def gauntlet(bits: Long): Long = run1(
+      func(Vector(ValType.F64), Vector(ValType.F64), Vector(ValType.F64),
+        LocalGet(0),
+        Num(0x9A), Num(0x9A),
+        F64Const(java.lang.Double.doubleToRawLongBits(1.0)), Num(0xA2),
+        LocalTee(1), Num(0x99), LocalGet(1), Num(0xA6)), "f", bits)
+    val negZero = java.lang.Double.doubleToRawLongBits(-0.0)
+    gauntlet(negZero) shouldBe negZero // -0.0 ×1.0 keeps its sign
+    val pi = java.lang.Double.doubleToRawLongBits(math.Pi)
+    gauntlet(pi) shouldBe pi
+    // NaN: ×1.0 must still be a NaN (exact payload is impl-defined per
+    // spec; the JVM canonicalizes — assert NaN-ness, not bits)
+    java.lang.Double.longBitsToDouble(gauntlet(
+      java.lang.Double.doubleToRawLongBits(Double.NaN))).isNaN shouldBe true
+    // trunc_sat at the gauntlet exit: NaN -> 0, ±huge clamps, -0.0 -> 0
+    def sat(d: Double): Long = run1(
+      func(Vector(ValType.F64), Vector(ValType.I64), Vector(),
+        LocalGet(0), TruncSat(6)), "f",
+      java.lang.Double.doubleToRawLongBits(d))
+    sat(Double.NaN) shouldBe 0L
+    sat(-0.0) shouldBe 0L
+    sat(1e300) shouldBe Long.MaxValue
+    sat(-1e300) shouldBe Long.MinValue
+    sat(2.5) shouldBe 2L // trunc toward zero, not nearest
+    sat(-2.5) shouldBe -2L
+    // f64.convert_i64_s at 2^53 boundary stays exact; 2^53+1 rounds even
+    def conv(v: Long): Double = java.lang.Double.longBitsToDouble(run1(
+      func(Vector(ValType.I64), Vector(ValType.F64), Vector(),
+        LocalGet(0), Num(0xB9)), "f", v))
+    conv(1L << 53) shouldBe 9007199254740992.0
+    conv((1L << 53) + 1L) shouldBe 9007199254740992.0 // ties-to-even
+  }
+
   test("traps: unreachable, division by zero, out-of-bounds access") {
     val unreachable = func(Vector(), Vector(), Vector(), Unreachable)
     a[WasmTrap] should be thrownBy run1(unreachable, "f")
