@@ -255,6 +255,60 @@ object Anomaly {
   }
 
   /**
+   * Calendar gap-fill with last-observation-carried-forward — the repair
+   * verb for the gap AUDIT: materialize every bucket of each group's
+   * [min, max] span (absent buckets included), mark the gaps, and fill
+   * each gap with the most recent observed value. The downstream shape
+   * every dashboard/trainer wants: a dense, regular series per key.
+   *
+   * LOCF without a recursive window, in two plain passes both engines
+   * share: `fill_grp = count(x) OVER (ORDER BY bucket)` increments only
+   * at observed rows, so each observed row and its trailing gap run
+   * share one fill_grp; `x_filled = max(x) OVER (PARTITION BY group,
+   * fill_grp)` then broadcasts the run's single non-null value. The
+   * calendar itself is a per-group integer `sequence` explode — the
+   * element type produced directly (a generator can't nest in a cast).
+   *
+   * Integer-exact: bucket sums quantize to `⌊v·scale⌋`; everything else
+   * is additive integer arithmetic. First bucket of each group is
+   * observed by construction (the span starts at the group's min), so
+   * `fill_grp ≥ 1` and `x_filled` is never NULL.
+   *
+   * 100 TB shape: rows collapse map-side to the (group, bucket) sum
+   * table; the calendar explode multiplies only the per-group BOUNDS
+   * rows (one per group) by span/bucket — bounded by time, not volume;
+   * both windows share the group-hash partitioning. Spans per group are
+   * the caller's sanity check: a 10-year span at 1 s buckets is 3·10⁸
+   * calendar rows PER GROUP — pick `bucketUs` to keep groups × span
+   * shuffle-sized.
+   */
+  def gapFill(
+      df: DataFrame, tsUsCol: String, groupCol: String, valueCol: String,
+      bucketUs: Long, scale: Long = 100L): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val buckets = df
+      .withColumn("bucket_us",
+        col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs)))
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(sum(floor(col(valueCol).cast("double") * scale).cast("long"))
+        .as("__x"))
+    val calendar = buckets.groupBy(col(groupCol))
+      .agg(min(col("bucket_us")).as("__lo"), max(col("bucket_us")).as("__hi"))
+      .withColumn("__step",
+        explode(sequence(lit(0L), expr(s"(__hi - __lo) div $bucketUs"))))
+      .select(col(groupCol),
+        (col("__lo") + col("__step") * bucketUs).as("bucket_us"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(buckets, Seq(groupCol, "bucket_us"), "left")
+      .withColumn("__fg", count(col("__x")).over(w))
+      .withColumn("x_filled",
+        max(col("__x")).over(Window.partitionBy(col(groupCol), col("__fg"))))
+      .withColumn("is_gap", col("__x").isNull)
+      .select(col(groupCol), col("bucket_us"), col("x_filled"), col("is_gap"))
+  }
+
+  /**
    * Per-key exponentially-weighted moving average over event time — the
    * trend-smoothing companion to the point-in-time monitors above
    * ([[zscoreOutliers]] flags single rows; this tracks each entity's

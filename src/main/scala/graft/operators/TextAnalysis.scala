@@ -644,6 +644,56 @@ object TextAnalysis {
   }
 
   /**
+   * PMI collocation mining — the corpus-analysis verb that surfaces
+   * multiword units ("new york", "machine learning") for tokenizer
+   * curation, stopword auditing, and phrase-aware dedup shingling.
+   * Scores every adjacent bigram by pointwise-mutual-information LIFT in
+   * integer ppm: `pmi_ppm = (c₁₂ · N · 10⁶) div (c₁ · c₂)` where c₁/c₂
+   * are the bigram-table marginals (first-/second-position counts) and
+   * N the total bigram count — the exact-integer monotone transform of
+   * PMI (log dropped; ranking and thresholds are order-equivalent).
+   * `minCount` floors c₁₂ (hapax pairs score astronomically and mean
+   * nothing); output is the deterministic global top-k by
+   * (pmi_ppm DESC, w1, w2) — ties resolve in UTF-8 byte order on both
+   * engines.
+   *
+   * 100 TB shape: occurrences partial-aggregate map-side to the DISTINCT
+   * bigram table, which is localCheckpoint'ed — it is referenced four
+   * times (both marginals, N, the probe side) and re-executing the
+   * explode lineage per reference is the multi-reference trap; at corpus
+   * scale the caller materializes the bigram count table once (it IS the
+   * model artifact) and feeds it here. Marginals join on w1/w2 hash
+   * partitioning; the top-k cut is TakeOrderedAndProject (map-side
+   * partial, never a global sort). `c₁₂·N·10⁶` needs the product under
+   * 2⁶³ — at ≥10¹² corpus bigrams swap the expression to DECIMAL(38,0),
+   * same integers.
+   */
+  def pmiCollocations(df: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "need minCount >= 1 and topK >= 1")
+    val toks = df.select(col(idCol).as("doc_id"),
+      wsTokens(col(textCol)).as("ws"))
+    val pairs = toks.where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12"))).head.getLong(0)
+    c12.where(col("c12") >= minCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .withColumn("pmi_ppm", expr(s"(c12 * ${n}L * 1000000) div (c1 * c2)"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /**
    * Intra-document repeated-line removal (the RefinedWeb / MassiveText
    * line-dedup rule: within one page, an exactly repeated line is
    * boilerplate — nav bars, cookie banners, footer links — and only its

@@ -309,7 +309,85 @@ object AnomalyQueries extends QueryProvider {
       |  min(CASE WHEN r = (n - 1) * 990000 // 1000000 + 1 THEN v END) AS p99
       |FROM r GROUP BY 1""".stripMargin
 
+  /** CUSUM level-shift monitor per event type over daily value sums —
+   *  Page's statistic in its two-window closed form (`S_t = C_t −
+   *  min(0, min prefix C)`), integer-exact after the group-min shift, so
+   *  the oracle replays running-sum + running-min window-for-window.
+   *  150 rows (type × day) at sf0.01. */
+  private def cusumQ(s: SparkSession, dir: String): DataFrame =
+    Anomaly.cusum(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "ts_us", "event_type", "value",
+      bucketUs = 86400000000L, scale = 1000L,
+      slackPpm = 100000L, hPpm = 500000L)
+
+  private val cusumSql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS bucket_us,
+      |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT event_type, min(x) AS lo, CAST(sum(x) AS BIGINT) AS tot,
+      |    count(*) AS n
+      |  FROM b GROUP BY 1
+      |), d AS (
+      |  SELECT b.event_type, b.bucket_us, b.x - s.lo AS x_scaled,
+      |    (s.tot - s.n * s.lo) // s.n AS mu
+      |  FROM b JOIN s USING (event_type)
+      |), c AS (
+      |  SELECT *, CAST(sum(x_scaled - mu - (mu * 100000) // 1000000)
+      |      OVER w AS BIGINT) AS cum
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+      |    ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT event_type, bucket_us, x_scaled,
+      |  cum - least(0, min(cum) OVER w) AS cusum,
+      |  cum - least(0, min(cum) OVER w) > (mu * 500000) // 1000000
+      |    AS is_alarm
+      |FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+      |  ROWS UNBOUNDED PRECEDING)""".stripMargin
+
+  /** Dense hourly series per event type with LOCF gap-fill — the repair
+   *  verb for q_missing_hours' audit (215 of 3600 hours are gaps at
+   *  sf0.01). The fill-group trick (count(x) OVER increments only at
+   *  observed rows; max within (group, fill_grp) broadcasts the carried
+   *  value) replays in DuckDB with the same two windows. */
+  private def gapFillQ(s: SparkSession, dir: String): DataFrame =
+    Anomaly.gapFill(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "ts_us", "event_type", "value",
+      bucketUs = 3600000000L, scale = 1000L)
+
+  private val gapFillSql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+      |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |), s AS (
+      |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+      |  FROM b GROUP BY 1
+      |), cal AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+      |  FROM s
+      |), j AS (
+      |  SELECT cal.event_type, cal.bucket_us, b.x
+      |  FROM cal LEFT JOIN b USING (event_type, bucket_us)
+      |), f AS (
+      |  SELECT *, count(x) OVER (PARTITION BY event_type ORDER BY bucket_us
+      |    ROWS UNBOUNDED PRECEDING) AS fg
+      |  FROM j
+      |)
+      |SELECT event_type, bucket_us,
+      |  max(x) OVER (PARTITION BY event_type, fg) AS x_filled,
+      |  x IS NULL AS is_gap
+      |FROM f""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum"          -> (cusumQ _),
+    "q_gap_fill"       -> (gapFillQ _),
     "q_event_outliers" -> (eventOutliers _),
     "q_event_mad"      -> (eventMad _),
     "q_daily_spikes"   -> (dailySpikes _),
@@ -323,6 +401,8 @@ object AnomalyQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_cusum"          -> cusumSql,
+    "q_gap_fill"       -> gapFillSql,
     "q_event_outliers" -> eventOutliersSql,
     "q_event_mad"      -> eventMadSql,
     "q_daily_spikes"   -> dailySpikesSql,

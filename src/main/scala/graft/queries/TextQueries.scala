@@ -1192,6 +1192,35 @@ object TextQueries extends QueryProvider {
   private def bigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(T(s, dir, "documents"), "text", "doc_id")
 
+  /** Top-50 PMI collocations (c₁₂ ≥ 5) — integer-ppm lift from the
+   *  bigram table's own marginals, ties in UTF-8 byte order; the oracle
+   *  replays marginals, the N cross join, and the (lift, w1, w2) cut. */
+  private def pmiQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(T(s, dir, "documents"), "text", "doc_id",
+      minCount = 5L, topK = 50)
+
+  private val pmiSql =
+    """WITH bw AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |), bpairs AS (
+      |  SELECT
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+      |  FROM bw WHERE len(ws) >= 2
+      |), m AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM bpairs GROUP BY 1, 2
+      |), m1 AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM m GROUP BY 1
+      |), m2 AS (
+      |  SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM m GROUP BY 1
+      |), nt AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM m)
+      |SELECT m.w1, m.w2, m.c12, m1.c1, m2.c2,
+      |  (m.c12 * nt.n * 1000000) // (m1.c1 * m2.c2) AS pmi_ppm
+      |FROM m JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nt
+      |WHERE m.c12 >= 5
+      |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 50""".stripMargin
+
   /** Bigram-LM chain over any (doc_id, text) source — CTEs `bw … lm`,
    *  `lm` = (doc_id, n_bigrams, ll_sum_micro, min_bigram_freq). Shared by
    *  `text_bigram_lm` and the decontamination flagship, one source of
@@ -1927,6 +1956,7 @@ object TextQueries extends QueryProvider {
     "pipeline_pretrain_full" -> (pretrainFull _),
     "text_unigram_lm"  -> (unigramLm _),
     "text_bigram_lm"   -> (bigramLm _),
+    "text_pmi"         -> (pmiQ _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_dsir_select" -> (dsirSelect _),
     "text_c4_clean"    -> (c4Clean _),
@@ -2028,6 +2058,7 @@ object TextQueries extends QueryProvider {
     "pipeline_pretrain_full" -> pretrainFullSql,
     "text_unigram_lm"  -> unigramLmSql,
     "text_bigram_lm"   -> bigramLmSql,
+    "text_pmi"         -> pmiSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_dsir_select" -> dsirSelectSql,
     "text_c4_clean"    -> c4CleanSql,

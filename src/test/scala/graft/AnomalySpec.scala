@@ -186,6 +186,81 @@ class AnomalySpec extends AnyFunSuite {
     assert(flagged == Set(("x", 3L, 9 * day + 3 * hour, 40L)))
   }
 
+  test("cusum: closed form equals Page's recursion on a level-shifted " +
+      "series; small persistent drift alarms where the z-test stays quiet") {
+    // group a: 10 buckets at level ~100, then 10 at ~115 — a +15%
+    // sustained shift. Each bucket is one event (sum == value).
+    val vals = Seq.fill(10)(100.0) ++ Seq.fill(10)(115.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong * 86400000000L, v) }.toDF("g", "ts_us", "v")
+    val out = Anomaly.cusum(df, "ts_us", "g", "v",
+        bucketUs = 86400000000L, scale = 1000L,
+        slackPpm = 100000L, hPpm = 500000L)
+      .orderBy("bucket_us")
+      .select("x_scaled", "cusum", "is_alarm")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // reference: Page's recursion with the same integer quantities
+    val xs = vals.map(v => math.floor(v * 1000).toLong)
+    val lo = xs.min
+    val shifted = xs.map(_ - lo)
+    val mu = shifted.sum / shifted.length
+    val slack = mu * 100000L / 1000000L
+    val h = mu * 500000L / 1000000L
+    var s = 0L
+    val expect = shifted.map { x =>
+      s = math.max(0L, s + x - mu - slack)
+      (x, s, s > h)
+    }
+    assert(out == expect)
+    // the shift accumulates into an alarm by the tail...
+    assert(out.last._3, "sustained +15% drift must alarm")
+    // ...but never trips the 2.5σ point test (σ is inflated by the
+    // bimodal split, each point is < 2.5σ from the global mean)
+    val z = Anomaly.zscoreOutliers(df, "v", "g", kNum = 5, kDen = 2,
+        scale = 1000L)
+      .where(col("is_outlier")).count()
+    assert(z == 0L, "the point z-test must be blind to the small shift")
+  }
+
+  test("cusum: negative deviations never go below zero (one-sided reset)") {
+    val vals = Seq(100.0, 100.0, 10.0, 10.0, 100.0, 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong * 1000L, v) }.toDF("g", "ts_us", "v")
+    val out = Anomaly.cusum(df, "ts_us", "g", "v", bucketUs = 1000L,
+        scale = 1L, slackPpm = 0L, hPpm = 1000000L)
+      .orderBy("bucket_us").select("cusum").as[Long].collect().toSeq
+    assert(out.forall(_ >= 0L), s"CUSUM must clamp at zero, got $out")
+    // after the dip the statistic restarts from 0, not from a debt
+    val xs = vals.map(_.toLong); val lo = xs.min
+    val sh = xs.map(_ - lo); val mu = sh.sum / sh.length
+    var s = 0L
+    val expect = sh.map { x => s = math.max(0L, s + x - mu); s }
+    assert(out == expect)
+  }
+
+  test("gapFill: LOCF fills interior gaps, marks them, and never emits " +
+      "a NULL fill (first bucket observed by construction)") {
+    // g: buckets 0,1,4,5 observed; 2,3 are gaps carrying bucket-1's sum.
+    // bucket 1 has TWO events (sums add); h: single bucket, no gaps.
+    val df = Seq(
+      ("g", 0L, 10.0), ("g", 1000L, 3.0), ("g", 1500L, 4.0),
+      ("g", 4000L, 9.0), ("g", 5000L, 2.0),
+      ("h", 7000L, 1.0)
+    ).toDF("g0", "ts_us", "v")
+    val out = Anomaly.gapFill(df, "ts_us", "g0", "v",
+        bucketUs = 1000L, scale = 1L)
+      .select("g0", "bucket_us", "x_filled", "is_gap")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("g", 0L, 10L, false),
+      ("g", 1000L, 7L, false), // 3 + 4 summed within the bucket
+      ("g", 2000L, 7L, true),
+      ("g", 3000L, 7L, true),
+      ("g", 4000L, 9L, false),
+      ("g", 5000L, 2L, false),
+      ("h", 7000L, 1L, false)))
+  }
+
   test("ewmaByKey: hand-computed integer fold, (ts, id) total order") {
     import spark.implicits._
     // key 1 in scrambled arrival order; same-ts tie broken by id

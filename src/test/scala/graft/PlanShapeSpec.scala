@@ -49,6 +49,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "vocab lost map-side partial aggregation")
   }
 
+  test("text_pmi: top-k is a per-partition heap; marginal aggs stay partial") {
+    val p = plan("text_pmi")
+    assert(p.contains("TakeOrderedAndProject"),
+      "PMI cut should plan as TakeOrderedAndProject (per-partition top-k)")
+    assert(!p.contains("CartesianProduct"), "PMI joins must stay keyed")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bigram counting lost map-side partial aggregation")
+  }
+
+  test("q_cusum / q_gap_fill: event rows collapse map-side; windows run " +
+      "over the slim bucket table under one group partitioning") {
+    for (q <- Seq("q_cusum", "q_gap_fill")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q lost the map-side bucket collapse")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
   test("q_pack_sequences: range-spread per-group cumsum, no window at all") {
     // The final plan is the attach pass over the shared shuffle — it must
     // contain NO Window (the one-task-per-group shape this op replaces).

@@ -251,6 +251,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out == Map(1 -> "rare1", 2 -> "rare2", 3 -> "other"))
   }
 
+  test("pmiCollocations: hand-computed lift, minCount floor, " +
+      "deterministic (pmi, w1, w2) order; matches brute force at minCount=1") {
+    val df = docs(
+      1 -> "new york new york city",
+      2 -> "the cat the dog")
+    // bigrams: (new,york)x2 (york,new) (york,city) (the,cat) (cat,the)
+    // (the,dog); N=7. Only (new,york) reaches minCount=2:
+    // pmi_ppm = 2*7*1e6 div (c1(new)=2 * c2(york)=2) = 3_500_000
+    val top = graft.operators.TextAnalysis
+      .pmiCollocations(df.toDF(), "text", "doc_id", minCount = 2L, topK = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(top == Seq(("new", "york", 2L, 2L, 2L, 3500000L)))
+    // brute-force reference over every bigram at minCount=1
+    val texts = Seq("new york new york city", "the cat the dog")
+    val bgs = texts.flatMap(t => t.split(" ").sliding(2).map(a => (a(0), a(1))))
+    val c12 = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c2 = c12.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = bgs.size.toLong
+    val want = c12.map { case ((a, b), c) =>
+      (a, b, c, c1(a), c2(b), c * n * 1000000L / (c1(a) * c2(b))) }.toSet
+    val all = graft.operators.TextAnalysis
+      .pmiCollocations(df.toDF(), "text", "doc_id", minCount = 1L, topK = 100)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(all.toSet == want)
+    // returned order is the deterministic (pmi DESC, w1, w2) total order
+    assert(all.toSeq == all.toSeq.sortBy(r => (-r._6, r._1, r._2)))
+  }
+
   test("packSequences: packs cut at the running-token budget per group") {
     val df = Seq(
       (1, "g", "t t t"),      // 3 tokens, starts at 0  -> pack 0
