@@ -255,6 +255,33 @@ object Anomaly {
   }
 
   /**
+   * Pinned-target CUSUM over a pre-aggregated bucket table — the
+   * production form of [[cusum]]: `target`/`allowance`/`threshold` come
+   * from a calibration window (in the same ⌊v·scale⌋ units as `xCol`)
+   * instead of the series' own mean, which makes the statistic a pure
+   * fold of the observed bucket sums — exactly replayable on any
+   * time-ordered split of the log, the property the streaming gate's
+   * gate ≡ batch contract needs. Same closed form (running sum +
+   * running prefix-min), deviations may be negative (no division
+   * anywhere), alarm rows keep their statistic. Non-temp input columns
+   * ride through untouched (so a gap-filled series keeps its `is_gap`
+   * flag on the alarm row); `xCol` is renamed `x_scaled`.
+   */
+  def cusumWithTarget(buckets: DataFrame, groupCol: String, xCol: String,
+      target: Long, allowance: Long, threshold: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("__d", col(xCol) - lit(target) - lit(allowance))
+      .withColumn("__c", sum(col("__d")).over(w))
+      .withColumn("cusum",
+        col("__c") - least(lit(0L), min(col("__c")).over(w)))
+      .withColumn("is_alarm", col("cusum") > lit(threshold))
+      .drop("__d", "__c")
+      .withColumnRenamed(xCol, "x_scaled")
+  }
+
+  /**
    * Calendar gap-fill with last-observation-carried-forward — the repair
    * verb for the gap AUDIT: materialize every bucket of each group's
    * [min, max] span (absent buckets included), mark the gaps, and fill

@@ -385,9 +385,109 @@ object AnomalyQueries extends QueryProvider {
       |  x IS NULL AS is_gap
       |FROM f""".stripMargin
 
+  /** Pinned-target CUSUM alarms over hourly value sums — the production
+   *  calibrated form (`Anomaly.cusumWithTarget`, the math the streaming
+   *  `cusumGate` replays): target 160000 / allowance 16000 / threshold
+   *  800000 milli-units from an offline window. 204 alarm rows at
+   *  sf0.01. */
+  private def cusumPinnedQ(s: SparkSession, dir: String): DataFrame = {
+    val buckets = T(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("bucket_us", expr("ts_us - pmod(ts_us, 3600000000)"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(sum(floor(col("value") * 1000).cast("long")).as("__x"))
+    Anomaly.cusumWithTarget(buckets, "event_type", "__x",
+        target = 160000L, allowance = 16000L, threshold = 800000L)
+      .where(col("is_alarm"))
+      .select(col("event_type"), col("bucket_us"), col("x_scaled"),
+        col("cusum"))
+  }
+
+  private val cusumPinnedSql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+      |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+      |      AS x_scaled
+      |  FROM events GROUP BY 1, 2
+      |), c AS (
+      |  SELECT *, CAST(sum(x_scaled - 160000 - 16000) OVER w AS BIGINT)
+      |    AS cum
+      |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+      |    ROWS UNBOUNDED PRECEDING)
+      |), s AS (
+      |  SELECT *, cum - least(0, min(cum) OVER w) AS cusum
+      |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+      |    ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT event_type, bucket_us, x_scaled, cusum
+      |FROM s WHERE cusum > 800000""".stripMargin
+
+  /** The 16th composition flagship: the QUALITY-WATCH monitor a
+   *  production ingest runs — gap-fill the hourly value series to a
+   *  dense calendar (LOCF through the 215 missing hours, so the
+   *  statistic never silently skips a dead hour) and run the pinned
+   *  pinned-target CUSUM over the FILLED series; alarm rows keep the
+   *  is_gap flag (an alarm on a carried-forward hour is a "still
+   *  elevated during an outage" signal). Every stage is two plain
+   *  windows — the oracle replays fill-group LOCF and both CUSUM
+   *  windows move-for-move, so the hash certifies the whole
+   *  composition. */
+  private def qualityWatchQ(s: SparkSession, dir: String): DataFrame = {
+    val filled = Anomaly.gapFill(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "ts_us", "event_type", "value",
+      bucketUs = 3600000000L, scale = 1000L)
+    Anomaly.cusumWithTarget(filled, "event_type", "x_filled",
+        target = 160000L, allowance = 16000L, threshold = 800000L)
+      .where(col("is_alarm"))
+      .select(col("event_type"), col("bucket_us"), col("x_scaled"),
+        col("is_gap"), col("cusum"))
+  }
+
+  private val qualityWatchSql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us,
+      |    CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+      |  FROM b GROUP BY 1
+      |), cal AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+      |  FROM bounds
+      |), j AS (
+      |  SELECT cal.event_type, cal.bucket_us, b.x
+      |  FROM cal LEFT JOIN b USING (event_type, bucket_us)
+      |), f AS (
+      |  SELECT *, count(x) OVER (PARTITION BY event_type ORDER BY bucket_us
+      |    ROWS UNBOUNDED PRECEDING) AS fg
+      |  FROM j
+      |), filled AS (
+      |  SELECT event_type, bucket_us,
+      |    max(x) OVER (PARTITION BY event_type, fg) AS x_filled,
+      |    x IS NULL AS is_gap
+      |  FROM f
+      |), c AS (
+      |  SELECT *, CAST(sum(x_filled - 160000 - 16000) OVER w AS BIGINT)
+      |    AS cum
+      |  FROM filled WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+      |    ROWS UNBOUNDED PRECEDING)
+      |), s AS (
+      |  SELECT *, cum - least(0, min(cum) OVER w) AS cusum
+      |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+      |    ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT event_type, bucket_us, x_filled AS x_scaled, is_gap, cusum
+      |FROM s WHERE cusum > 800000""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cusum"          -> (cusumQ _),
+    "q_cusum_pinned"   -> (cusumPinnedQ _),
     "q_gap_fill"       -> (gapFillQ _),
+    "pipeline_quality_watch" -> (qualityWatchQ _),
     "q_event_outliers" -> (eventOutliers _),
     "q_event_mad"      -> (eventMad _),
     "q_daily_spikes"   -> (dailySpikes _),
@@ -402,7 +502,9 @@ object AnomalyQueries extends QueryProvider {
 
   override val oracles: Map[String, String] = Map(
     "q_cusum"          -> cusumSql,
+    "q_cusum_pinned"   -> cusumPinnedSql,
     "q_gap_fill"       -> gapFillSql,
+    "pipeline_quality_watch" -> qualityWatchSql,
     "q_event_outliers" -> eventOutliersSql,
     "q_event_mad"      -> eventMadSql,
     "q_daily_spikes"   -> dailySpikesSql,

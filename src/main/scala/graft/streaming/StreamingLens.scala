@@ -505,6 +505,56 @@ object StreamingLens {
   }
 
   /**
+   * Streaming CUSUM drift monitor — the continuous face of
+   * [[graft.operators.Anomaly.cusumWithTarget]]: fold each micro-batch's
+   * (group, bucket) value sums into the persistent history, recompute the
+   * pinned-target CUSUM statistic over the consolidated series, and alert
+   * on any bucket THIS batch touched whose statistic crosses the
+   * threshold. The pinned calibration (`target`/`allowance`/`threshold`,
+   * in ⌊v·scale⌋ units, from a training window) is what makes the
+   * statistic a pure fold of the observed sums — so the gate's verdicts
+   * equal the batch operator's over the replayed log (spec-pinned), the
+   * property the auto-calibrated [[graft.operators.Anomaly.cusum]] can't
+   * give a stream (its reference mean drifts with every batch).
+   *
+   * This catches what [[volumeSpikeGate]] can't: a sustained small level
+   * shift (a 10% ingest regression) accumulates into an alarm here while
+   * each individual bucket stays inside the z-band. Same external-table
+   * state discipline and replay caveat as [[volumeSpikeGate]].
+   */
+  def cusumGate(
+      tsUsCol: String,
+      groupCol: String,
+      valueCol: String,
+      bucketUs: Long,
+      scale: Long,
+      target: Long,
+      allowance: Long,
+      threshold: Long,
+      historyDir: String,
+      alertDir: String): (DataFrame, Long) => Unit = (batch, _) => {
+    import graft.operators.Anomaly
+    val spark = batch.sparkSession
+    val sums = batch
+      .withColumn("bucket_us", col(tsUsCol) - pmod(col(tsUsCol), lit(bucketUs)))
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(sum(floor(col(valueCol).cast("double") * scale).cast("long"))
+        .as("__x"))
+      .localCheckpoint() // appended AND probed below; cut the lineage
+    sums.write.mode("append").parquet(historyDir)
+    val history = spark.read.parquet(historyDir)
+      .groupBy(col(groupCol), col("bucket_us"))
+      .agg(sum("__x").as("__x"))
+    Anomaly.cusumWithTarget(history, groupCol, "__x",
+        target, allowance, threshold)
+      .where(col("is_alarm"))
+      .join(sums.select(col(groupCol), col("bucket_us")),
+        Seq(groupCol, "bucket_us"), "left_semi")
+      .select(col(groupCol), col("bucket_us"), col("x_scaled"), col("cusum"))
+      .write.mode("append").parquet(alertDir)
+  }
+
+  /**
    * Streaming reference decontamination: drop stream rows whose content
    * already appears in a STATIC reference corpus — the ingest-time face of
    * `Dedup.bloomReference`/`dedup_ref_exact` (filter new shards against

@@ -559,6 +559,56 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusum gate: a sustained small level shift accumulates ACROSS " +
+      "micro-batches into an alarm; verdicts equal the pinned-target " +
+      "batch operator over the replayed log") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("cusumgate").toString
+    val (hist, alerts) = (s"$root/history", s"$root/alerts")
+    val day = 86400000000L
+    // calibration: target 100/day, allowance 10, threshold 50 (scale 1).
+    // days 0-9 at the target level; days 10-19 at 120 (+20%, each day
+    // d = +10): S reaches 50 at day 14 (no alarm, strict >) and alarms
+    // from day 15 on. The shift SPANS batches 2 and 3 — the statistic
+    // must carry.
+    def evs(d0: Int, d1: Int, v: Double) =
+      (d0 until d1).map(d => ("x", d * day, v))
+    val in = MemoryStream[(String, Long, Double)]
+    val q = in.toDF.toDF("g", "ts_us", "v").writeStream
+      .foreachBatch(StreamingLens.cusumGate("ts_us", "g", "v",
+        bucketUs = day, scale = 1L, target = 100L, allowance = 10L,
+        threshold = 50L, historyDir = hist, alertDir = alerts))
+      .start()
+    try {
+      in.addData(evs(0, 10, 100.0): _*); q.processAllAvailable()
+      assert(!new java.io.File(alerts).exists ||
+        spark.read.parquet(alerts).count() == 0)
+      in.addData(evs(10, 15, 120.0): _*); q.processAllAvailable()
+      assert(spark.read.parquet(alerts).count() == 0,
+        "S <= threshold through day 14: no alarm yet")
+      in.addData(evs(15, 20, 120.0): _*); q.processAllAvailable()
+      val got = spark.read.parquet(alerts)
+        .select("g", "bucket_us", "x_scaled", "cusum")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val expect = (15 until 20).map(d =>
+        ("x", d * day, 120L, (d - 9) * 10L)).toSet
+      assert(got == expect, s"gate alerts $got")
+      // gate ≡ batch: pinned-target CUSUM over the consolidated history
+      val replayed = (evs(0, 10, 100.0) ++ evs(10, 20, 120.0))
+        .toDF("g", "ts_us", "v")
+        .groupBy(col("g"), col("ts_us").as("bucket_us"))
+        .agg(org.apache.spark.sql.functions.sum(
+          floor(col("v") * 1L).cast("long")).as("__x"))
+      val batch = graft.operators.Anomaly
+        .cusumWithTarget(replayed, "g", "__x", 100L, 10L, 50L)
+        .where(col("is_alarm"))
+        .select("g", "bucket_us", "x_scaled", "cusum")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming funnel: in-order replayed log matches the batch funnel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
