@@ -99,6 +99,37 @@ object EmbeddingQa {
         col("n_dims"), col("drift_l2sq"))
   }
 
+  /**
+   * Inter-centroid separation matrix: squared L2 between every pair of
+   * label centroids (a < b), in quantized units — the geometry audit
+   * read NEXT TO [[confusion]]: two labels whose centroids sit closer
+   * than their within-class spread will confuse any nearest-centroid
+   * router, and a near-zero pair is the "merge these labels" signal for
+   * curriculum/mixture design. Same integer discipline as [[drift]]
+   * (floored-mean centroids of shifted quantized components), so every
+   * cell replays exactly cross-engine.
+   *
+   * 100 TB shape: ONE (labels × dims) centroid aggregate (partial sums;
+   * vectors never pairwise-join), then an L×L self-join of the L·D
+   * centroid table on the dim index — output L(L−1)/2 rows, cost
+   * bounded by labels², never corpus².
+   */
+  def centroidSeparation(df: DataFrame, vecCol: String, labelCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val cent = labelCentroids(df, vecCol, labelCol, scale)
+      .localCheckpoint() // L·D rows, referenced twice (both join sides)
+    val a = cent.select(col("label").as("label_a"), col("i"),
+      col("c").as("c_a"))
+    val b = cent.select(col("label").as("label_b"), col("i"),
+      col("c").as("c_b"))
+    a.join(b, Seq("i"))
+      .where(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum((col("c_a") - col("c_b")) * (col("c_a") - col("c_b")))
+          .cast("long").as("dist_l2sq"))
+  }
+
   private def quantized(df: DataFrame, vecCol: String, idCol: String,
       labelCol: String, scale: Long): DataFrame = {
     val base =

@@ -134,6 +134,44 @@ object Sessionize {
   }
 
   /**
+   * First-order Markov transition matrix over the event-type sequence —
+   * the behavior model a funnel designer reads before hard-coding stage
+   * lists, and the base table for next-event prediction / anomaly
+   * scoring of session shapes. Per user (in (ts, id) total order) each
+   * consecutive event pair contributes one (from_type, to_type)
+   * transition; output per observed pair: the transition count `n`, the
+   * from-state marginal `n_from`, and the integer-exact probability
+   * `p_ppm = n·10⁶ div n_from` (non-negative operands — Spark DIV ≡
+   * DuckDB //). Σ_to p_ppm ≤ 10⁶ per from-state (truncation, never
+   * rounding up) — the spec pins both the counts and that bound.
+   *
+   * 100 TB shape: rows slim to (user, ts, id, type) before ONE
+   * user-hash exchange; the lag window's state is a single row; pairs
+   * partial-aggregate map-side to the |types|² matrix, and the marginal
+   * re-aggregates FROM the matrix (never a second pass over events).
+   */
+  def transitionMatrix(events: DataFrame, userCol: String, tsUsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsUsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsUsCol), col(idCol),
+        col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |types|² rows, referenced twice: never re-run
+      //                    the event-log window per reference
+    val marginal = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(marginal, Seq("from_type"))
+      .withColumn("p_ppm", expr("(n * 1000000) div n_from"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        col("p_ppm"))
+  }
+
+  /**
    * Rolling active users (the WAU/MAU dashboard number): for every
    * (group, bucket) PRESENT in the log, the count of distinct users
    * active in the trailing `windowBuckets` buckets ending there — e.g.

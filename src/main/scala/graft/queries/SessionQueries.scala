@@ -334,7 +334,36 @@ object SessionQueries extends QueryProvider {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum_users
       |FROM p""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event-type
+   *  sequences — counts, from-state marginals, and truncated-ppm
+   *  probabilities, all integer-exact; the oracle replays the lag
+   *  window and both aggregates. |types|² rows. */
+  private def transitionQ(s: SparkSession, dir: String): DataFrame =
+    Sessionize.transitionMatrix(
+      T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "ts_us", "event_id", "event_type")
+
+  private val transitionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events
+      |), p AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM e
+      |), m AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+      |), g AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM m GROUP BY 1
+      |)
+      |SELECT m.from_type, m.to_type, m.n, g.n_from,
+      |  (m.n * 1000000) // g.n_from AS p_ppm
+      |FROM m JOIN g USING (from_type)""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transition_matrix" -> (transitionQ _),
     "q_scd2"            -> (scd2Q _),
     "q_rolling_wau"     -> (rollingWauQ _),
     "q_user_growth"     -> (userGrowthQ _),
@@ -349,6 +378,7 @@ object SessionQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_transition_matrix" -> transitionSql,
     "q_scd2"            -> scd2Sql,
     "q_rolling_wau"     -> rollingWauSql,
     "q_user_growth"     -> userGrowthSql,

@@ -82,6 +82,29 @@ object SimilarityQueries extends QueryProvider {
       |SELECT d.label, nr.n_ref, nc.n_cur, d.n_dims, d.drift_l2sq
       |FROM d JOIN nr USING (label) JOIN nc USING (label)""".stripMargin
 
+  /** Inter-centroid separation matrix — the geometry audit next to
+   *  sim_confusion: C(10,2)=45 integer squared-L2 cells between label
+   *  centroids, exact cross-engine (same quantization as sim_drift). */
+  private def centroidSepQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingQa.centroidSeparation(
+      T(s, dir, "embeddings"), "embedding", "label", scale = 1000000L)
+
+  private val centroidSepSql =
+    """WITH q AS (
+      |  SELECT label, r.range AS i,
+      |    CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1000000) AS BIGINT)
+      |      + 1000000 AS e
+      |  FROM embeddings, range(1, 65) r
+      |), c AS (
+      |  SELECT CAST(label AS BIGINT) AS label, i, sum(e) // count(*) AS c
+      |  FROM q GROUP BY 1, 2
+      |)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  count(*) AS n_dims,
+      |  CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist_l2sq
+      |FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+      |GROUP BY 1, 2""".stripMargin
+
   // Binary sign-bit tier: Hamming-prefilter (top-40 of 8-byte signatures)
   // then exact-cosine rerank to top-5. Both cuts are total orders, so the
   // oracle replays sign-packing (as per-dimension sign disagreement ≡
@@ -909,6 +932,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_topk_brute"  -> (topkBrute _),
     "sim_binary_topk" -> (binaryTopk _),
     "sim_drift"       -> (driftQ _),
+    "sim_centroid_sep" -> (centroidSepQ _),
     "sim_threshold"   -> (thresholdNbrs _),
     "sim_ivf_topk"    -> (ivfTopk _),
     "sim_quantize_int8" -> (quantizeInt8 _),
@@ -943,6 +967,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_topk_brute" -> topkBruteSql,
     "sim_binary_topk" -> binaryTopkSql,
     "sim_drift"      -> driftSql,
+    "sim_centroid_sep" -> centroidSepSql,
     "sim_threshold"  -> thresholdNbrsSql,
     "sim_ivf_topk"   -> ivfTopkSql,
     "sim_quantize_int8" -> quantizeInt8Sql,

@@ -90,4 +90,25 @@ class EmbeddingQaSpec extends AnyFunSuite {
     val d = math.floor(0.5f.toDouble * 1e6).toLong
     assert(moved == Set((0L, 2L, 2L, 2L, 0L), (1L, 1L, 1L, 2L, d * d)))
   }
+
+  test("centroidSeparation: pairwise integer L2 matches a hand fit; " +
+      "cells agree with drift's math on the same centroids") {
+    // three labels on a line in dim 0: centroids at 0, 0.5, 1.2 (scaled)
+    val df = emb(
+      (1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(0.0f, 0.0f)),
+      (3L, 1, Seq(0.5f, 0.0f)),
+      (4L, 2, Seq(1.2f, 0.0f)))
+    val got = EmbeddingQa.centroidSeparation(df, "embedding", "label",
+        scale = 1000000L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def q(x: Float): Long = math.floor(x.toDouble * 1e6).toLong
+    val (c0, c1, c2) = (q(0.0f), q(0.5f), q(1.2f))
+    assert(got == Map(
+      (0L, 1L) -> ((2L, (c1 - c0) * (c1 - c0))),
+      (0L, 2L) -> ((2L, (c2 - c0) * (c2 - c0))),
+      (1L, 2L) -> ((2L, (c2 - c1) * (c2 - c1)))))
+    // every pair is emitted exactly once, a < b
+    assert(got.keySet.forall { case (a, b) => a < b })
+  }
 }

@@ -161,6 +161,35 @@ class SessionizeSpec extends AnyFunSuite {
     assert(got == Set((0L, 2L, 2L), (20L, 1L, 3L)))
   }
 
+  test("transitionMatrix: per-user lag pairs, ts-tie id order, truncated " +
+      "ppm rows sum to <= 1e6 per from-state") {
+    import spark.implicits._
+    // u1: a->b->a (ties at ts 5 decided by event_id: 50 'b' before 51 'a')
+    // u2: a->a; no cross-user transition between u1's last and u2's first
+    val df = Seq(
+      (1L, 1L, 10L, "a"), (1L, 5L, 50L, "b"), (1L, 5L, 51L, "a"),
+      (2L, 7L, 60L, "a"), (2L, 9L, 61L, "a")
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Sessionize.transitionMatrix(df, "user_id", "ts_us",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // transitions: (a,b) (b,a) (a,a) -> marginals a:2, b:1
+    assert(got == Set(
+      ("a", "b", 1L, 2L, 500000L),
+      ("a", "a", 1L, 2L, 500000L),
+      ("b", "a", 1L, 1L, 1000000L)))
+    // ppm truncation bound on the real log: sum over to-states <= 1e6
+    val real = graft.queries.T(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
+    val sums = Sessionize.transitionMatrix(real, "user_id", "ts_us",
+        "event_id", "event_type")
+      .groupBy("from_type")
+      .agg(org.apache.spark.sql.functions.sum("p_ppm").as("s"))
+      .select("s").as[Long].collect()
+    assert(sums.nonEmpty && sums.forall(s => s <= 1000000L && s > 900000L),
+      s"ppm rows must truncate-sum to (0.9e6, 1e6], got ${sums.toSeq}")
+  }
+
   test("rollingActiveUsers: trailing-window distincts on present buckets only") {
     import spark.implicits._
     val spark2 = spark
