@@ -362,8 +362,53 @@ object SessionQueries extends QueryProvider {
       |  (m.n * 1000000) // g.n_from AS p_ppm
       |FROM m JOIN g USING (from_type)""".stripMargin
 
+  /** Co-presence mining: pairs of (user, session) intervals that overlap
+   *  in time — the interval-overlap join (`IntervalJoin.overlapPairs`,
+   *  6 h chunks, canonical-chunk dedup so no distinct). Sessions are cut
+   *  at a 30 min gap (tighter than GapUs so the pair space is the
+   *  co-activity structure, not one all-day blob); interval ids pack as
+   *  `user·2²⁰ + seq`, replayed arithmetically by the oracle. 1479
+   *  pairs at sf0.01. */
+  private def sessionOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val iv = Sessionize.assign(
+        T(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", 1800000000L, "event_id")
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_us")).as("s_us"),
+        (max(col("ts_us")) + lit(1L)).as("e_us"))
+      .withColumn("iv_id", expr("user_id * 1048576 + session_seq"))
+    graft.operators.IntervalJoin.overlapPairs(iv, "iv_id", "s_us", "e_us",
+      chunkUs = 21600000000L)
+  }
+
+  private val sessionOverlapSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |), m AS (
+      |  SELECT *, lag(us) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS prev
+      |  FROM e
+      |), sq AS (
+      |  SELECT *, CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS seq
+      |  FROM m
+      |), iv AS (
+      |  SELECT user_id * 1048576 + seq AS iv_id,
+      |    min(us) AS s, max(us) + 1 AS e
+      |  FROM sq GROUP BY user_id, seq
+      |)
+      |SELECT a.iv_id AS id_a, b.iv_id AS id_b,
+      |  greatest(a.s, b.s) AS overlap_start_us,
+      |  least(a.e, b.e) AS overlap_end_us,
+      |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+      |FROM iv a JOIN iv b
+      |  ON a.iv_id < b.iv_id AND a.s < b.e AND b.s < a.e""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_transition_matrix" -> (transitionQ _),
+    "q_session_overlap" -> (sessionOverlapQ _),
     "q_scd2"            -> (scd2Q _),
     "q_rolling_wau"     -> (rollingWauQ _),
     "q_user_growth"     -> (userGrowthQ _),
@@ -379,6 +424,7 @@ object SessionQueries extends QueryProvider {
 
   override val oracles: Map[String, String] = Map(
     "q_transition_matrix" -> transitionSql,
+    "q_session_overlap" -> sessionOverlapSql,
     "q_scd2"            -> scd2Sql,
     "q_rolling_wau"     -> rollingWauSql,
     "q_user_growth"     -> userGrowthSql,

@@ -68,6 +68,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_session_overlap: the interval-overlap join is an EQUI-join on " +
+      "the chunk id, never the cartesian the raw range predicate plans") {
+    val p = plan("q_session_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "interval overlap fell back to a non-equi join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected a keyed join on the chunk")
+  }
+
   test("q_pack_sequences: range-spread per-group cumsum, no window at all") {
     // The final plan is the attach pass over the shared shuffle — it must
     // contain NO Window (the one-task-per-group shape this op replaces).
