@@ -458,7 +458,8 @@ object Anomaly {
    * exchange.
    */
   def quantileReport(df: DataFrame, valueCol: String, idCol: String,
-      groupCol: String, ppms: Seq[Long], scale: Long = 1000L): DataFrame = {
+      groupCol: String, ppms: Seq[Long], scale: Long = 1000L,
+      withCount: Boolean = false): DataFrame = {
     require(ppms.nonEmpty && ppms.forall(p => p >= 0 && p <= 1000000L),
       "need ppms in [0, 1e6]")
     def label(p: Long) = if (p % 10000L == 0L) s"p${p / 10000}" else s"p${p}ppm"
@@ -479,6 +480,8 @@ object Anomaly {
       min(when(col("r") === expr(s"(n - 1) * $p div 1000000 + 1"), col("v")))
         .as(label(p))
     }
-    withR.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
+    val aggs =
+      (if (withCount) Seq(count(lit(1)).as("n_values")) else Nil) ++ picks
+    withR.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

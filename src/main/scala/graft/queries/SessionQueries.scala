@@ -406,8 +406,54 @@ object SessionQueries extends QueryProvider {
       |FROM iv a JOIN iv b
       |  ON a.iv_id < b.iv_id AND a.s < b.e AND b.s < a.e""".stripMargin
 
+  /** Per-transition dwell-time report: exact p50/p95 of the gap between
+   *  consecutive events, per (from_type, to_type) — the latency
+   *  companion to q_transition_matrix (which edge stalls users). Rides
+   *  `Anomaly.quantileReport`'s GlobalSequence ranks (range-spread, no
+   *  |types|²-key hot window); the oracle replays the rank formula. */
+  private def transitionLatencyQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gaps = T(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .select(concat_ws("#", col("from_type"), col("to_type")).as("__pair"),
+        (col("ts_us") - col("prev_us")).as("gap_us"), col("event_id"))
+    graft.operators.Anomaly.quantileReport(gaps, "gap_us", "event_id",
+        "__pair", Seq(500000L, 950000L), scale = 1L, withCount = true)
+      .select(substring_index(col("__pair"), "#", 1).as("from_type"),
+        substring_index(col("__pair"), "#", -1).as("to_type"),
+        col("n_values"), col("p50"), col("p95"))
+  }
+
+  private val transitionLatencySql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events
+      |), g AS (
+      |  SELECT lag(event_type) OVER w AS from_type, event_type AS to_type,
+      |    ts_us - lag(ts_us) OVER w AS gap_us, event_id
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), f AS (SELECT * FROM g WHERE from_type IS NOT NULL),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY from_type, to_type
+      |      ORDER BY gap_us, event_id) AS r,
+      |    count(*) OVER (PARTITION BY from_type, to_type) AS n
+      |  FROM f
+      |)
+      |SELECT from_type, to_type, CAST(max(n) AS BIGINT) AS n_values,
+      |  min(CASE WHEN r = (n - 1) * 500000 // 1000000 + 1
+      |    THEN gap_us END) AS p50,
+      |  min(CASE WHEN r = (n - 1) * 950000 // 1000000 + 1
+      |    THEN gap_us END) AS p95
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_transition_matrix" -> (transitionQ _),
+    "q_transition_latency" -> (transitionLatencyQ _),
     "q_session_overlap" -> (sessionOverlapQ _),
     "q_scd2"            -> (scd2Q _),
     "q_rolling_wau"     -> (rollingWauQ _),
@@ -424,6 +470,7 @@ object SessionQueries extends QueryProvider {
 
   override val oracles: Map[String, String] = Map(
     "q_transition_matrix" -> transitionSql,
+    "q_transition_latency" -> transitionLatencySql,
     "q_session_overlap" -> sessionOverlapSql,
     "q_scd2"            -> scd2Sql,
     "q_rolling_wau"     -> rollingWauSql,

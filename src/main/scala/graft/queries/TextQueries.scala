@@ -1192,6 +1192,33 @@ object TextQueries extends QueryProvider {
   private def bigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(T(s, dir, "documents"), "text", "doc_id")
 
+  /** Lexical-diversity datasheet per source: token volume, distinct
+   *  types, docs, and the type-token ratio in truncated ppm — the
+   *  "is this slice template spam" number a mixture designer reads
+   *  before weighting a source up. One exploded aggregate (the two
+   *  exact distincts Expand 3×, the tableProfile-documented trade;
+   *  approx_count_distinct is the corpus-scale swap). */
+  private def sourceDiversityQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_types"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tokens"))
+
+  private val sourceDiversitySql =
+    """WITH t AS (
+      |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  (count(DISTINCT token) * 1000000) // count(*) AS ttr_ppm
+      |FROM t GROUP BY 1""".stripMargin
+
   /** Top-50 PMI collocations (c₁₂ ≥ 5) — integer-ppm lift from the
    *  bigram table's own marginals, ties in UTF-8 byte order; the oracle
    *  replays marginals, the N cross join, and the (lift, w1, w2) cut. */
@@ -1957,6 +1984,7 @@ object TextQueries extends QueryProvider {
     "text_unigram_lm"  -> (unigramLm _),
     "text_bigram_lm"   -> (bigramLm _),
     "text_pmi"         -> (pmiQ _),
+    "text_source_diversity" -> (sourceDiversityQ _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_dsir_select" -> (dsirSelect _),
     "text_c4_clean"    -> (c4Clean _),
@@ -2059,6 +2087,7 @@ object TextQueries extends QueryProvider {
     "text_unigram_lm"  -> unigramLmSql,
     "text_bigram_lm"   -> bigramLmSql,
     "text_pmi"         -> pmiSql,
+    "text_source_diversity" -> sourceDiversitySql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_dsir_select" -> dsirSelectSql,
     "text_c4_clean"    -> c4CleanSql,
