@@ -91,6 +91,163 @@ object Multimodal {
     }
   }
 
+  /**
+   * Real container codecs — NO media libraries required: BMP (24-bit
+   * uncompressed BI_RGB) and WAV (PCM16) are pure byte-layout container
+   * formats, so their decode is integer arithmetic over the payload,
+   * exactly what this container can do honestly. Encoders included so
+   * sinks/specs can round-trip golden payloads. Compressed codecs
+   * (JPEG/PNG/MP3/H.264) stay behind the [[Codec]] seam as the
+   * documented production plug-in.
+   */
+  object Containers {
+
+    private def le16(b: Array[Byte], at: Int): Int =
+      (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], at: Int): Int =
+      (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
+        ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
+    private def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+    }
+    private def w32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+    }
+
+    def isBmp(p: Array[Byte]): Boolean =
+      p != null && p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+    def isWav(p: Array[Byte]): Boolean =
+      p != null && p.length >= 44 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    /** 24-bit BI_RGB BMP from row-major top-down RGB bytes (h·w·3). */
+    def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && rgb.length == w * h * 3,
+        s"need w*h*3 = ${w * h * 3} RGB bytes, got ${rgb.length}")
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val o = new java.io.ByteArrayOutputStream(54 + rowSize * h)
+      o.write('B'); o.write('M'); w32(o, 54 + rowSize * h)
+      w32(o, 0); w32(o, 54) // reserved, pixel offset
+      w32(o, 40); w32(o, w); w32(o, h) // BITMAPINFOHEADER, bottom-up
+      w16(o, 1); w16(o, 24); w32(o, 0) // planes, bpp, BI_RGB
+      w32(o, rowSize * h); w32(o, 2835); w32(o, 2835); w32(o, 0); w32(o, 0)
+      var y = h - 1
+      while (y >= 0) { // bottom-up rows, BGR order, 4-byte padded
+        var x = 0
+        while (x < w) {
+          val i = (y * w + x) * 3
+          o.write(rgb(i + 2)); o.write(rgb(i + 1)); o.write(rgb(i))
+          x += 1
+        }
+        var pad = rowSize - w * 3
+        while (pad > 0) { o.write(0); pad -= 1 }
+        y -= 1
+      }
+      o.toByteArray
+    }
+
+    /** (width, height, 3, "bmp", row-major top-down RGB floats in [0,1]).
+     *  Accepts bottom-up (positive height) and top-down (negative)
+     *  24-bpp uncompressed payloads. */
+    def decodeBmp(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) = {
+      require(isBmp(p), "not a BMP payload")
+      val offBits = le32(p, 10)
+      val w = le32(p, 18)
+      val hRaw = le32(p, 22)
+      val bottomUp = hRaw > 0
+      val h = math.abs(hRaw)
+      require(le16(p, 26) == 1 && le16(p, 28) == 24 && le32(p, 30) == 0,
+        "only 24-bpp uncompressed BI_RGB is supported")
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      require(p.length >= offBits + rowSize * h, "truncated BMP pixel data")
+      val px = new Array[Float](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val src = offBits + (if (bottomUp) h - 1 - y else y) * rowSize
+        var x = 0
+        while (x < w) {
+          val d = (y * w + x) * 3
+          px(d) = (p(src + x * 3 + 2) & 0xFF) / 255.0f
+          px(d + 1) = (p(src + x * 3 + 1) & 0xFF) / 255.0f
+          px(d + 2) = (p(src + x * 3) & 0xFF) / 255.0f
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, 3, "bmp", px)
+    }
+
+    /** Mono PCM16 WAV. */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0, "sampleRate must be positive")
+      val dataLen = samples.length * 2
+      val o = new java.io.ByteArrayOutputStream(44 + dataLen)
+      o.write('R'); o.write('I'); o.write('F'); o.write('F')
+      w32(o, 36 + dataLen)
+      o.write('W'); o.write('A'); o.write('V'); o.write('E')
+      o.write('f'); o.write('m'); o.write('t'); o.write(' ')
+      w32(o, 16); w16(o, 1); w16(o, 1) // PCM, mono
+      w32(o, sampleRate); w32(o, sampleRate * 2); w16(o, 2); w16(o, 16)
+      o.write('d'); o.write('a'); o.write('t'); o.write('a'); w32(o, dataLen)
+      samples.foreach(s => w16(o, s & 0xFFFF))
+      o.toByteArray
+    }
+
+    /** (sampleRate, mono samples in [-1,1]) from a PCM16 WAV of any
+     *  channel count (channels average to mono). Walks the RIFF chunk
+     *  list (even-aligned), so fmt/data order and extra chunks (LIST,
+     *  fact) are a writer's choice. */
+    def decodeWav(p: Array[Byte]): (Int, Array[Float]) = {
+      require(isWav(p), "not a WAV payload")
+      var at = 12
+      var rate = 0; var ch = 0; var ok = false
+      var dataAt = -1; var dataLen = 0
+      while (at + 8 <= p.length) {
+        val id = new String(p, at, 4, "US-ASCII")
+        val size = le32(p, at + 4)
+        if (id == "fmt ") {
+          require(le16(p, at + 8) == 1, "only PCM WAV is supported")
+          ch = le16(p, at + 10); rate = le32(p, at + 12)
+          require(le16(p, at + 22) == 16, "only 16-bit PCM is supported")
+          ok = true
+        } else if (id == "data") { dataAt = at + 8; dataLen = size }
+        at += 8 + size + (size & 1) // RIFF chunks are even-aligned
+      }
+      require(ok && dataAt >= 0 && ch > 0, "WAV missing fmt/data chunk")
+      require(dataAt + dataLen <= p.length, "truncated WAV data chunk")
+      val n = dataLen / (2 * ch)
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        var sum = 0
+        var c = 0
+        while (c < ch) {
+          val at2 = dataAt + (i * ch + c) * 2
+          sum += (le16(p, at2) << 16) >> 16 // sign-extend
+          c += 1
+        }
+        out(i) = sum / (32768.0f * ch)
+        i += 1
+      }
+      (rate, out)
+    }
+  }
+
+  /** Real decode where the payload is a real container, deterministic
+   *  stub otherwise: 'BM' → BMP, 'RIFF…WAVE' → WAV, anything else falls
+   *  to [[FakeCodec]] — the magic-sniff discipline `ModuleFetch` uses
+   *  for wasm, applied at the media seam. */
+  object SniffCodec extends Codec {
+    override def decodeImage(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) =
+      if (Containers.isBmp(p)) Containers.decodeBmp(p)
+      else FakeCodec.decodeImage(p)
+    override def decodeAudio(p: Array[Byte]): (Int, Array[Float]) =
+      if (Containers.isWav(p)) Containers.decodeWav(p)
+      else FakeCodec.decodeAudio(p)
+  }
+
   /** Partition iterator → fixed-size micro-batches → flat output. Keeps
    *  per-task memory at O(BatchSize × payload) and amortizes any per-batch
    *  codec setup, mirroring a vectorized UDF's batch loop. */
@@ -394,4 +551,36 @@ object Multimodal {
   def fakeMediaFromText(df: DataFrame, textCol: String, modality: String): DataFrame =
     df.withColumn("payload", encode(col(textCol), "UTF-8"))
       .withColumn("modality", lit(modality))
+
+  /** Append a REAL w×h 24-bpp BMP `payload` built from a binary column
+   *  of exactly w·h·3 RGB bytes — the writer half of [[Containers]],
+   *  batched like the decoders. Lets round-trip queries synthesize real
+   *  container payloads from table data deterministically. */
+  def withBmpPayload(df: DataFrame, rgbCol: String, w: Int, h: Int): DataFrame =
+    withPayload(df, rgbCol)(bytes => Containers.encodeBmp(w, h, bytes))
+
+  /** Append a REAL mono PCM16 WAV `payload` from a binary column of
+   *  little-endian sample bytes (length must be even). */
+  def withWavPayload(df: DataFrame, pcmCol: String, sampleRate: Int): DataFrame =
+    withPayload(df, pcmCol) { bytes =>
+      require(bytes.length % 2 == 0, "PCM16 byte column must have even length")
+      val samples = Array.tabulate[Short](bytes.length / 2)(i =>
+        (((bytes(2 * i) & 0xFF) | ((bytes(2 * i + 1) & 0xFF) << 8)).toShort))
+      Containers.encodeWav(sampleRate, samples)
+    }
+
+  private def withPayload(df: DataFrame, srcCol: String)(
+      enc: Array[Byte] => Array[Byte]): DataFrame = {
+    val inSchema = df.schema
+    val srcIdx = inSchema.fieldIndex(srcCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField("payload", org.apache.spark.sql.types.BinaryType,
+        nullable = false))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.map { r =>
+        Row.fromSeq(r.toSeq :+ enc(r.getAs[Array[Byte]](srcIdx)))
+      })
+    }(encoder)
+  }
 }

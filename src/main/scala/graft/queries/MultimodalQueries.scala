@@ -140,7 +140,80 @@ object MultimodalQueries extends QueryProvider {
        |FROM sigs a JOIN sigs b ON a.doc < b.doc
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** REAL BMP round-trip, oracle-certified: per doc, 24 RGB bytes from
+   *  md5(text)‖md5(text‖'x') become a real 4×2 24-bpp BMP
+   *  (`withBmpPayload`), the payload decodes through the magic-sniffing
+   *  codec (`SniffCodec` — so the hash also certifies the sniff chose
+   *  the REAL path: format='bmp', not 'fake'), and the pixel tensor
+   *  folds back to the exact byte sum DuckDB recomputes from the hex
+   *  digests. Certifies encoder layout (BGR, bottom-up, row padding),
+   *  decoder, and float quantization round-trip in one hash. */
+  private def bmpRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rgb = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
+        .as("rgb"))
+    Multimodal.decodeImage(
+        Multimodal.withBmpPayload(rgb, "rgb", w = 4, h = 2).drop("rgb"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val bmpRoundtripSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') AS hx FROM documents
+      |), d AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 25) r
+      |)
+      |SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+      |  'bmp' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
+      |FROM d GROUP BY doc_id""".stripMargin
+
+  /** REAL WAV round-trip, same discipline: 16 md5 bytes → 8 LE PCM16
+   *  samples → a real mono WAV → sniffed decode → Σ round(sample·32768)
+   *  equals the signed-16 sum DuckDB recomputes from the hex digest. */
+  private def wavRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val pcm = T(s, dir, "documents").select(col("doc_id"),
+      expr("unhex(md5(text))").as("pcm"))
+    Multimodal.decodeAudio(
+        Multimodal.withWavPayload(pcm, "pcm", sampleRate = 16000).drop("pcm"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"), col("sample_rate"),
+        size(col("samples")).cast("long").as("n_samples"),
+        expr("aggregate(samples, 0L, (acc, x) -> acc + CAST(round(x * 32768) AS BIGINT))")
+          .as("sample_sum"))
+  }
+
+  private val wavRoundtripSql =
+    """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[4 * r.range - 3 : 4 * r.range - 3]) - 1)
+      |    + (strpos('0123456789abcdef', hx[4 * r.range - 2 : 4 * r.range - 2]) - 1)
+      |    + 256 * (16 * (strpos('0123456789abcdef',
+      |        hx[4 * r.range - 1 : 4 * r.range - 1]) - 1)
+      |      + (strpos('0123456789abcdef', hx[4 * r.range : 4 * r.range]) - 1))
+      |      AS u16
+      |  FROM h, range(1, 9) r
+      |)
+      |SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+      |  CAST(8 AS BIGINT) AS n_samples,
+      |  CAST(sum(CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)
+      |    AS BIGINT) AS sample_sum
+      |FROM d GROUP BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_bmp_roundtrip"   -> (bmpRoundtrip _),
+    "mm_wav_roundtrip"   -> (wavRoundtrip _),
     "mm_image_meta"      -> (imageMeta _),
     "mm_image_features"  -> (imageFeatures _),
     "mm_frame_sample"    -> (frameSample _),
@@ -149,6 +222,8 @@ object MultimodalQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "mm_bmp_roundtrip"   -> bmpRoundtripSql,
+    "mm_wav_roundtrip"   -> wavRoundtripSql,
     "mm_image_meta"      -> imageMetaSql,
     "mm_image_features"  -> imageFeaturesSql,
     "mm_frame_sample"    -> frameSampleSql,

@@ -114,4 +114,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rms > 0.0 && rms <= 1.0)
     assert(r.getAs[Long]("zero_crossings") >= 0L)
   }
+
+  test("Containers: BMP 24-bpp round-trip is bit-exact (padding, BGR, " +
+      "bottom-up) and a top-down payload decodes identically") {
+    // 3x2 RGB, distinct bytes everywhere; w=3 -> rowSize 12, 3 pad bytes
+    val rgb = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 7 + 1).toByte)
+    val bmp = Multimodal.Containers.encodeBmp(3, 2, rgb)
+    assert(bmp.length == 54 + 12 * 2)
+    val (w, h, c, fmt, px) = Multimodal.Containers.decodeBmp(bmp)
+    assert((w, h, c, fmt) == ((3, 2, 3, "bmp")))
+    assert(px.toSeq == rgb.map(b => (b & 0xFF) / 255.0f).toSeq)
+    // top-down variant: negate height, reorder the two pixel rows
+    val td = bmp.clone()
+    // h = -2 as LE int32 at offset 22
+    td(22) = 0xFE.toByte; td(23) = 0xFF.toByte
+    td(24) = 0xFF.toByte; td(25) = 0xFF.toByte
+    val row0 = bmp.slice(54, 66); val row1 = bmp.slice(66, 78)
+    System.arraycopy(row1, 0, td, 54, 12)
+    System.arraycopy(row0, 0, td, 66, 12)
+    val (_, h2, _, _, px2) = Multimodal.Containers.decodeBmp(td)
+    assert(h2 == 2 && px2.toSeq == px.toSeq,
+      "top-down payload must decode to the same top-down tensor")
+  }
+
+  test("Containers: WAV PCM16 mono round-trip is exact at the extremes; " +
+      "a foreign stereo payload with an extra odd-size chunk decodes " +
+      "via chunk walking and averages to mono") {
+    val samples = Array[Short](0, 32767, -32768, -1, 1, 12345)
+    val wav = Multimodal.Containers.encodeWav(8000, samples)
+    val (rate, out) = Multimodal.Containers.decodeWav(wav)
+    assert(rate == 8000)
+    assert(out.toSeq == samples.map(_ / 32768.0f).toSeq)
+    // hand-build a stereo WAV with a 3-byte LIST chunk (odd size -> pad
+    // byte) BEFORE fmt/data: chunk order and extras are a writer's choice
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val st = Array[Short](1000, 3000, -2000, 500) // L0 R0 L1 R1
+    val data = st.flatMap(v => le16(v & 0xFFFF))
+    val body = "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(4000) ++
+      le32(16000) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val stereo = "RIFF".getBytes ++ le32(4 + body.length) ++
+      "WAVE".getBytes ++ body
+    val (r2, mono) = Multimodal.Containers.decodeWav(stereo)
+    assert(r2 == 4000)
+    assert(mono.toSeq == Seq((1000 + 3000) / (32768.0f * 2),
+      (-2000 + 500) / (32768.0f * 2)))
+  }
+
+  test("SniffCodec: real containers decode for real, anything else falls " +
+      "to the deterministic stub - through the operator path") {
+    import spark.implicits._
+    val rgb = Array.tabulate[Byte](2 * 2 * 3)(i => (40 + i).toByte)
+    val bmp = Multimodal.Containers.encodeBmp(2, 2, rgb)
+    val txt = "not media".getBytes("UTF-8")
+    val df = Seq((1L, bmp), (2L, txt)).toDF("doc", "payload")
+    val out = Multimodal.decodeImage(df, "payload",
+        codec = Multimodal.SniffCodec)
+      .select(col("doc"), col("meta.format"), col("meta.width"),
+        col("meta.channels"), size(col("pixels")))
+      .as[(Long, String, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == (("bmp", 2, 3, 12)))
+    val (fw, fh, fc) = Multimodal.FakeCodec.imageDims(txt.length)
+    assert(out(2L) == (("fake", fw, fc, fw * fh * fc)))
+    // audio seam: a real WAV payload through decodeAudio
+    val wav = Multimodal.Containers.encodeWav(16000, Array[Short](7, -7))
+    val a = Multimodal.decodeAudio(Seq((1L, wav)).toDF("doc", "payload"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("sample_rate"), size(col("samples")))
+      .as[(Int, Int)].collect().head
+    assert(a == ((16000, 2)))
+  }
 }
