@@ -347,6 +347,26 @@ object TextQueries extends QueryProvider {
       |  END AS lang_pred
       |FROM s""".stripMargin
 
+  /** Language-ID confusion matrix: declared `lang` column × heuristic
+   *  prediction — the label-quality audit run before trusting either
+   *  side of a language filter (a hot off-diagonal cell is either a
+   *  mislabeled slice or a detector blind spot). The oracle nests the
+   *  full scoring chain and replays the group-by. */
+  private def langidConfusionQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(TextAnalysis.languageId(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lang_pred")), Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  private def langidConfusionSql: String =
+    s"""WITH pred AS (
+       |$langidSql
+       |)
+       |SELECT d.lang, pred.lang_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM pred JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   private def fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(T(s, dir, "documents"), "text", "doc_id")
 
@@ -1192,6 +1212,39 @@ object TextQueries extends QueryProvider {
   private def bigramLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bigramLmScore(T(s, dir, "documents"), "text", "doc_id")
 
+  /** Tokenizer fertility per language: BPE subwords per whitespace word
+   *  (truncated ppm) under the corpus-trained merge table — the
+   *  tokenizer-efficiency datasheet (a language with fertility ≫ 1e6
+   *  pays proportionally more sequence length per word; the signal that
+   *  drives vocab rebalancing). Reuses the full trained-BPE encode on
+   *  both engines, so the hash certifies train + encode + the per-lang
+   *  roll-up in one row set. */
+  private def bpeFertilityQ(s: SparkSession, dir: String): DataFrame = {
+    val enc = graft.operators.Bpe.encode(T(s, dir, "documents"),
+      "text", "doc_id", trainedMerges(s, dir))
+    T(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(enc, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_words")).as("n_words"))
+      .withColumn("fertility_ppm",
+        expr("(n_subwords * 1000000) div n_words"))
+  }
+
+  private def bpeFertilitySql: String =
+    s"""WITH enc2 AS (
+       |$bpeEncodeSql
+       |), wcnt AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+       |  FROM documents
+       |)
+       |SELECT lang, CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  (sum(n_subwords) * 1000000) // sum(n_words) AS fertility_ppm
+       |FROM enc2 JOIN wcnt USING (doc_id) GROUP BY 1""".stripMargin
+
   /** Lexical-diversity datasheet per source: token volume, distinct
    *  types, docs, and the type-token ratio in truncated ppm — the
    *  "is this slice template spam" number a mixture designer reads
@@ -2019,6 +2072,7 @@ object TextQueries extends QueryProvider {
     "text_normalize"   -> (normalize _),
     "text_bpe_merges"  -> (bpeMerges _),
     "text_bpe_encode"  -> (bpeEncode _),
+    "text_bpe_fertility" -> (bpeFertilityQ _),
     "text_quality"     -> (quality _),
     "text_gopher_rules" -> (gopher _),
     "text_blocklist"   -> (blocklist _),
@@ -2026,6 +2080,7 @@ object TextQueries extends QueryProvider {
     "text_substring_hits"   -> (substringHitsQ _),
     "pipeline_ingest_gate"  -> (ingestGateQ _),
     "text_langid"      -> (langid _),
+    "text_langid_confusion" -> (langidConfusionQ _),
     "text_fingerprint" -> (fingerprint _),
     "text_profile"     -> (profile _),
     "text_repetition"  -> (repetition _),
@@ -2127,6 +2182,7 @@ object TextQueries extends QueryProvider {
     "text_substring_hits"   -> substringHitsSql,
     "pipeline_ingest_gate"  -> ingestGateSql,
     "text_langid"      -> langidSql,
+    "text_langid_confusion" -> langidConfusionSql,
     "text_fingerprint" -> fingerprintSql,
     "text_profile"     -> profileSql,
     "text_repetition"  -> repetitionSql,
@@ -2135,6 +2191,7 @@ object TextQueries extends QueryProvider {
     "text_contamination" -> contaminationSql,
     "text_bpe_merges"  -> bpeMergesSql,
     "text_bpe_encode"  -> bpeEncodeSql,
+    "text_bpe_fertility" -> bpeFertilitySql,
     "pipeline_prep_corpus" -> prepCorpusSql
   )
 }
