@@ -37,6 +37,12 @@ object AsOfJoin {
    *                  column names.
    * @param strict    true ⇒ right rows at exactly the left row's time do
    *                  NOT match (tie broken by tag ordering in the sort).
+   * @param forward   false (default) ⇒ classic backward as-of: the
+   *                  LATEST right row before the left row. true ⇒ the
+   *                  EARLIEST right row after it (next-event
+   *                  attribution: "first purchase after this view").
+   *                  Same single-shuffle plan — only the scan direction
+   *                  of the running-last window flips.
    */
   def asOf(
       left: DataFrame,
@@ -44,7 +50,8 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightCols: Seq[String],
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      forward: Boolean = false): DataFrame = {
 
     val leftCols = left.columns.toSeq
     require(rightCols.intersect(leftCols).isEmpty,
@@ -75,8 +82,13 @@ object AsOfJoin {
                              else lit(null).cast(left.schema(c).dataType).as(c))
             :+ col(TAG) :+ col(PAYLOAD)): _*))
 
+    // forward = the same scan run in reverse time order: "preceding"
+    // rows are then the LATER rights, and the running last() is the
+    // nearest one. Tag tie semantics are unchanged (strict keeps the
+    // left before equal-time rights in scan order either way).
+    val timeOrd = if (forward) col(leftTime).desc else col(leftTime).asc
     val w = Window.partitionBy(col(leftKey))
-      .orderBy(col(leftTime), col(TAG))
+      .orderBy(timeOrd, col(TAG))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned

@@ -368,6 +368,32 @@ object RelationalQueries extends QueryProvider {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       |  ON e.user_id = p.user_id AND e.ts > p.ts""".stripMargin
 
+  /** FORWARD as-of: first purchase strictly after each event — the
+   *  next-event-attribution direction DuckDB's ASOF JOIN doesn't have
+   *  (the oracle is a correlated LIMIT-1 subquery DuckDB decorrelates).
+   *  Same single-shuffle union+window plan, scan direction flipped. */
+  private def joinAsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("next_purchase_id"))
+    AsOfJoin.asOf(
+      e, purchases,
+      leftKey = "user_id", rightKey = "p_user",
+      leftTime = "ts", rightTime = "p_ts",
+      rightCols = Seq("next_purchase_id"),
+      strict = true, forward = true)
+      .select(col("event_id"), col("next_purchase_id"))
+  }
+
+  private val joinAsOfForwardSql =
+    """SELECT e.event_id,
+      |  (SELECT p.event_id FROM events p
+      |   WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+      |     AND p.ts > e.ts
+      |   ORDER BY p.ts, p.event_id LIMIT 1) AS next_purchase_id
+      |FROM events e""".stripMargin
+
   // ---- Windows ---------------------------------------------------------
 
   // Rank within group (tie-safe: rank(), not row_number, over non-unique
@@ -1429,6 +1455,7 @@ object RelationalQueries extends QueryProvider {
     "q_unpivot"         -> (unpivotQ _),
     "q_join_range"      -> (joinRange _),
     "q_join_asof"       -> (joinAsOf _),
+    "q_join_asof_fwd"   -> (joinAsOfForward _),
     "q_window_rank"     -> (windowRank _),
     "q_window_running"  -> (windowRunning _),
     "q_window_range"    -> (windowRange _),
@@ -1479,6 +1506,7 @@ object RelationalQueries extends QueryProvider {
     "q_unpivot"         -> unpivotSql,
     "q_join_range"      -> joinRangeSql,
     "q_join_asof"       -> joinAsOfSql,
+    "q_join_asof_fwd"   -> joinAsOfForwardSql,
     "q_window_rank"     -> windowRankSql,
     "q_window_running"  -> windowRunningSql,
     "q_window_range"    -> windowRangeSql,
