@@ -235,6 +235,154 @@ object Multimodal {
     }
   }
 
+  /** AVI extensions to [[Containers]]: uncompressed-DIB video — the
+   *  third real container (image=BMP, audio=WAV, video=AVI), still pure
+   *  byte arithmetic. Frames are stored exactly like BMP pixel data
+   *  (bottom-up, BGR, 4-byte row padding) inside `00db` chunks of the
+   *  `movi` LIST; dimensions/frame-count live in the `avih` header. */
+  object Avi {
+    private def le32(b: Array[Byte], at: Int): Int =
+      (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
+        ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
+
+    def isAvi(p: Array[Byte]): Boolean =
+      p != null && p.length >= 24 &&
+        p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+    /** Minimal-but-real AVI-with-DIB writer: RIFF('AVI ') { LIST(hdrl)
+     *  { avih, LIST(strl){strh,strf} }, LIST(movi){ 00db×frames } }.
+     *  Each frame is row-major top-down RGB (w·h·3 bytes). */
+    def encodeAvi(w: Int, h: Int, fps: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0 && fps > 0 && frames.nonEmpty, "empty video")
+      frames.foreach(f => require(f.length == w * h * 3,
+        s"each frame needs w*h*3 = ${w * h * 3} RGB bytes"))
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      def dib(rgb: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream(rowSize * h)
+        var y = h - 1
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            o.write(rgb(i + 2)); o.write(rgb(i + 1)); o.write(rgb(i))
+            x += 1
+          }
+          var pad = rowSize - w * 3
+          while (pad > 0) { o.write(0); pad -= 1 }
+          y -= 1
+        }
+        o.toByteArray
+      }
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream(8 + body.length + 1)
+        id.getBytes("US-ASCII").foreach(o.write(_))
+        o.write(body.length & 0xFF); o.write((body.length >> 8) & 0xFF)
+        o.write((body.length >> 16) & 0xFF); o.write((body.length >> 24) & 0xFF)
+        o.write(body, 0, body.length)
+        if ((body.length & 1) == 1) o.write(0) // even alignment
+        o.toByteArray
+      }
+      def list(subtype: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", subtype.getBytes("US-ASCII") ++ body)
+      def i32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      val avih = chunk("avih",
+        i32(1000000 / fps) ++ i32(0) ++ i32(0) ++ i32(0) ++
+          i32(frames.length) ++ i32(0) ++ i32(1) ++ i32(0) ++
+          i32(w) ++ i32(h) ++ i32(0) ++ i32(0) ++ i32(0) ++ i32(0))
+      val strh = chunk("strh",
+        "vids".getBytes ++ "DIB ".getBytes ++ i32(0) ++ i32(0) ++ i32(0) ++
+          i32(1) ++ i32(fps) ++ i32(0) ++ i32(frames.length) ++
+          i32(rowSize * h) ++ i32(-1) ++ i32(0) ++ i32(0) ++ i32(0))
+      val strf = chunk("strf", // BITMAPINFOHEADER
+        i32(40) ++ i32(w) ++ i32(h) ++ Array[Byte](1, 0, 24, 0) ++ i32(0) ++
+          i32(rowSize * h) ++ i32(2835) ++ i32(2835) ++ i32(0) ++ i32(0))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi",
+        frames.flatMap(f => chunk("00db", dib(f))).toArray)
+      val body = "AVI ".getBytes ++ hdrl ++ movi
+      val o = new java.io.ByteArrayOutputStream(body.length + 8)
+      "RIFF".getBytes.foreach(o.write(_))
+      o.write(body.length & 0xFF); o.write((body.length >> 8) & 0xFF)
+      o.write((body.length >> 16) & 0xFF); o.write((body.length >> 24) & 0xFF)
+      o.write(body, 0, body.length)
+      o.toByteArray
+    }
+
+    /** (width, height, frames as row-major top-down RGB floats). Walks
+     *  the RIFF tree (chunk order / extra chunks are a writer's choice);
+     *  accepts `00db`/`00dc` frame chunks of uncompressed 24-bpp DIBs. */
+    def decodeAvi(p: Array[Byte]): (Int, Int, Seq[Array[Float]]) = {
+      require(isAvi(p), "not an AVI payload")
+      var w = 0; var h = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(at0: Int, end: Int): Unit = {
+        var at = at0
+        while (at + 8 <= end) {
+          val id = new String(p, at, 4, "US-ASCII")
+          val size = le32(p, at + 4)
+          if (id == "LIST") walk(at + 12, at + 8 + size)
+          else if (id == "avih") { w = le32(p, at + 40); h = le32(p, at + 44) }
+          else if (id == "00db" || id == "00dc")
+            frames += java.util.Arrays.copyOfRange(p, at + 8, at + 8 + size)
+          at += 8 + size + (size & 1)
+        }
+      }
+      walk(12, p.length)
+      require(w > 0 && h > 0 && frames.nonEmpty, "AVI missing avih/frames")
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val out = frames.map { dib =>
+        require(dib.length >= rowSize * h, "truncated DIB frame")
+        val px = new Array[Float](w * h * 3)
+        var y = 0
+        while (y < h) {
+          val src = (h - 1 - y) * rowSize
+          var x = 0
+          while (x < w) {
+            val d = (y * w + x) * 3
+            px(d) = (dib(src + x * 3 + 2) & 0xFF) / 255.0f
+            px(d + 1) = (dib(src + x * 3 + 1) & 0xFF) / 255.0f
+            px(d + 2) = (dib(src + x * 3) & 0xFF) / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+        px
+      }
+      (w, h, out.toSeq)
+    }
+  }
+
+  /** Decode an AVI payload column into one row per frame —
+   *  (frame_idx, meta, pixels) — the REAL-container face of
+   *  [[sampleFrames]]'s byte-slicing stub: a partition-local 1:N
+   *  explode, payload dropped so frames (small) shuffle, blobs never. */
+  def decodeVideoFrames(df: DataFrame, payloadCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val kept = inSchema.fields.zipWithIndex.filter(_._2 != payloadIdx)
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("meta", ImageMetaType, nullable = false),
+      StructField("pixels", ArrayType(FloatType, containsNull = false))))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.flatMap { r =>
+        val (w, h, frames) =
+          Avi.decodeAvi(r.getAs[Array[Byte]](payloadIdx))
+        (0 until frames.length by stride).map { f =>
+          Row.fromSeq(keptIdx.toSeq.map(r.get) ++
+            Seq(f, Row(w, h, 3, "avi"), frames(f).toSeq))
+        }
+      })
+    }(encoder)
+  }
+
   /** Real decode where the payload is a real container, deterministic
    *  stub otherwise: 'BM' → BMP, 'RIFF…WAVE' → WAV, anything else falls
    *  to [[FakeCodec]] — the magic-sniff discipline `ModuleFetch` uses
@@ -567,6 +715,17 @@ object Multimodal {
       val samples = Array.tabulate[Short](bytes.length / 2)(i =>
         (((bytes(2 * i) & 0xFF) | ((bytes(2 * i + 1) & 0xFF) << 8)).toShort))
       Containers.encodeWav(sampleRate, samples)
+    }
+
+  /** Append a REAL AVI `payload` from a binary column of exactly
+   *  nFrames·w·h·3 row-major RGB bytes (frames concatenated). */
+  def withAviPayload(df: DataFrame, rgbCol: String, w: Int, h: Int,
+      nFrames: Int, fps: Int = 25): DataFrame =
+    withPayload(df, rgbCol) { bytes =>
+      require(bytes.length == nFrames * w * h * 3,
+        s"need nFrames*w*h*3 = ${nFrames * w * h * 3} bytes, got ${bytes.length}")
+      Avi.encodeAvi(w, h, fps, (0 until nFrames).map(f =>
+        java.util.Arrays.copyOfRange(bytes, f * w * h * 3, (f + 1) * w * h * 3)))
     }
 
   private def withPayload(df: DataFrame, srcCol: String)(

@@ -211,7 +211,47 @@ object MultimodalQueries extends QueryProvider {
       |    AS BIGINT) AS sample_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** REAL AVI round-trip: 36 md5-derived RGB bytes become three 2×2
+   *  frames in a real RIFF/AVI container (`withAviPayload`), the
+   *  payload decodes through `decodeVideoFrames` (RIFF tree walk,
+   *  avih dims, DIB frame unpacking), and each frame's pixel tensor
+   *  folds back to the byte sum DuckDB recomputes per frame index
+   *  from the hex digests. */
+  private def aviFrames(s: SparkSession, dir: String): DataFrame = {
+    val rgb = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')), " +
+        "md5(concat(text, 'y')))), 1, 36)").as("rgb"))
+    Multimodal.decodeVideoFrames(
+        Multimodal.withAviPayload(rgb, "rgb", w = 2, h = 2, nFrames = 3)
+          .drop("rgb"),
+        "payload")
+      .select(col("doc_id"), col("frame_idx"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val aviFramesSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') || md5(text || 'y')
+      |    AS hx
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, CAST((r.range - 1) // 12 AS INTEGER) AS frame_idx,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 37) r
+      |)
+      |SELECT doc_id, frame_idx, CAST(2 AS INTEGER) AS width,
+      |  CAST(2 AS INTEGER) AS height, 'avi' AS format,
+      |  CAST(sum(byte) AS BIGINT) AS pix_byte_sum
+      |FROM d GROUP BY 1, 2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_avi_frames"      -> (aviFrames _),
     "mm_bmp_roundtrip"   -> (bmpRoundtrip _),
     "mm_wav_roundtrip"   -> (wavRoundtrip _),
     "mm_image_meta"      -> (imageMeta _),
@@ -222,6 +262,7 @@ object MultimodalQueries extends QueryProvider {
   )
 
   override val oracles: Map[String, String] = Map(
+    "mm_avi_frames"      -> aviFramesSql,
     "mm_bmp_roundtrip"   -> bmpRoundtripSql,
     "mm_wav_roundtrip"   -> wavRoundtripSql,
     "mm_image_meta"      -> imageMetaSql,

@@ -164,6 +164,28 @@ class MultimodalSpec extends AnyFunSuite {
       (-2000 + 500) / (32768.0f * 2)))
   }
 
+  test("Avi: encode/decode round-trip is bit-exact per frame; " +
+      "decodeVideoFrames explodes 1:N with stride") {
+    import spark.implicits._
+    val frames = (0 until 4).map(f =>
+      Array.tabulate[Byte](3 * 2 * 3)(i => (f * 50 + i).toByte))
+    val avi = Multimodal.Avi.encodeAvi(3, 2, 25, frames)
+    assert(Multimodal.Avi.isAvi(avi))
+    val (w, h, decoded) = Multimodal.Avi.decodeAvi(avi)
+    assert(w == 3 && h == 2 && decoded.length == 4)
+    for (f <- 0 until 4) {
+      assert(decoded(f).toSeq ==
+        frames(f).map(b => (b & 0xFF) / 255.0f).toSeq, s"frame $f drifted")
+    }
+    // operator path with stride 2: frames 0 and 2 only, meta carried
+    val df = Seq((7L, avi)).toDF("doc", "payload")
+    val out = Multimodal.decodeVideoFrames(df, "payload", stride = 2)
+      .select(col("doc"), col("frame_idx"), col("meta.format"),
+        size(col("pixels")))
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(out == Set((7L, 0, "avi", 18), (7L, 2, "avi", 18)))
+  }
+
   test("SniffCodec: real containers decode for real, anything else falls " +
       "to the deterministic stub - through the operator path") {
     import spark.implicits._
