@@ -349,6 +349,40 @@ object Sampling {
    * tokens × k < 2⁶³ — at 10¹³ corpus tokens that bounds k at ~9·10⁵,
    * documented here.
    */
+  /**
+   * Largest-remainder (Hare-quota) budget allocation: split an integer
+   * budget `k` across groups exactly proportionally to an integer weight
+   * — the apportionment primitive behind every corpus-mix schedule
+   * ("give each source tokens ∝ its mass, and make the totals add up to
+   * EXACTLY the budget"). Each group gets `⌊w·k/W⌋`; the `k − Σ floors`
+   * leftover units go to the largest remainders (`w·k mod W`), ties to
+   * the smaller group key — a total order, so the allocation is unique
+   * and the oracle replays it rank-for-rank. All non-negative integers
+   * (Spark DIV ≡ DuckDB //); `w·k` must stay under 2⁶³ — same bound as
+   * [[tokenPps]], documented there.
+   *
+   * 100 TB shape: whatever feeds this collapses to ONE row per group
+   * first (the caller's aggregate); everything here runs on the
+   * groups-cardinality table — two tiny windows (total + remainder
+   * rank), no data-volume work at all.
+   */
+  def largestRemainder(groups: DataFrame, groupCol: String,
+      weightCol: String, k: Long): DataFrame = {
+    require(k >= 0, "budget must be non-negative")
+    val wTot = Window.partitionBy()
+    val wRank = Window.orderBy(col("__rem").desc, col(groupCol))
+    groups
+      .select(col(groupCol), col(weightCol).cast("long").as("__w"))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+      .withColumn("__base", expr(s"(__w * ${k}L) div __tot"))
+      .withColumn("__rem", expr(s"(__w * ${k}L) % __tot"))
+      .withColumn("__left", lit(k) - sum(col("__base")).over(wTot))
+      .withColumn("__rk", row_number().over(wRank))
+      .select(col(groupCol), col("__w").as("weight"),
+        (col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L)).as("quota"))
+  }
+
   def tokenPps(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")

@@ -1245,6 +1245,38 @@ object TextQueries extends QueryProvider {
        |  (sum(n_subwords) * 1000000) // sum(n_words) AS fertility_ppm
        |FROM enc2 JOIN wcnt USING (doc_id) GROUP BY 1""".stripMargin
 
+  /** Largest-remainder token-budget apportionment: one million budget
+   *  units split across sources exactly ∝ token mass (Σ quota ≡ budget
+   *  by construction) — `Sampling.largestRemainder`, the schedule a mix
+   *  planner hands the samplers; the oracle replays floors, remainders,
+   *  and the (rem DESC, source) leftover ranking. */
+  private def quotaAllocQ(s: SparkSession, dir: String): DataFrame = {
+    val masses = T(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+    graft.operators.Sampling.largestRemainder(masses, "source", "tokens",
+      k = 1000000L)
+  }
+
+  private val quotaAllocSql =
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1
+      |), t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM m),
+      |b AS (
+      |  SELECT source, w, (w * 1000000) // t.tot AS base,
+      |    (w * 1000000) % t.tot AS rem
+      |  FROM m, t
+      |), l AS (SELECT 1000000 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b
+      |)
+      |SELECT r.source, r.w AS weight,
+      |  CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS quota
+      |FROM r, l""".stripMargin
+
   /** Lexical-diversity datasheet per source: token volume, distinct
    *  types, docs, and the type-token ratio in truncated ppm — the
    *  "is this slice template spam" number a mixture designer reads
@@ -2038,6 +2070,7 @@ object TextQueries extends QueryProvider {
     "text_bigram_lm"   -> (bigramLm _),
     "text_pmi"         -> (pmiQ _),
     "text_source_diversity" -> (sourceDiversityQ _),
+    "q_quota_alloc"    -> (quotaAllocQ _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_dsir_select" -> (dsirSelect _),
     "text_c4_clean"    -> (c4Clean _),
@@ -2143,6 +2176,7 @@ object TextQueries extends QueryProvider {
     "text_bigram_lm"   -> bigramLmSql,
     "text_pmi"         -> pmiSql,
     "text_source_diversity" -> sourceDiversitySql,
+    "q_quota_alloc"    -> quotaAllocSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_dsir_select" -> dsirSelectSql,
     "text_c4_clean"    -> c4CleanSql,

@@ -88,6 +88,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(total == 37L)
   }
 
+  test("largestRemainder: quotas sum to EXACTLY k, floors respected, " +
+      "leftover goes to largest remainders with group-key tie-break") {
+    // weights 3,3,1 with k=5: exact shares 15/7,15/7,5/7 -> floors 2,2,0,
+    // remainders 1/7,1/7,5/7 -> leftover 1 -> 'c' (rem 5) gets it
+    val df = Seq(("a", 3L), ("b", 3L), ("c", 1L)).toDF("g", "w")
+    val got = graft.operators.Sampling.largestRemainder(df, "g", "w", 5L)
+      .as[(String, Long, Long)].collect().map { case (g, _, q) => g -> q }.toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    // tie case: equal remainders resolve by group key ascending
+    val tie = Seq(("x", 1L), ("y", 1L)).toDF("g", "w")
+    val gotTie = graft.operators.Sampling.largestRemainder(tie, "g", "w", 3L)
+      .as[(String, Long, Long)].collect().map { case (g, _, q) => g -> q }.toMap
+    assert(gotTie == Map("x" -> 2L, "y" -> 1L))
+    // property: Σ quota == k and |quota - w·k/W| < 1 on seeded weights
+    val rnd = new scala.util.Random(13)
+    val ws = (1 to 40).map(i => (s"g$i", 1L + rnd.nextInt(1000).toLong))
+    for (k <- Seq(0L, 1L, 7L, 999L, 123456L)) {
+      val rows = graft.operators.Sampling
+        .largestRemainder(ws.toDF("g", "w"), "g", "w", k)
+        .as[(String, Long, Long)].collect()
+      assert(rows.map(_._3).sum == k, s"quotas must telescope to k=$k")
+      val wTot = ws.map(_._2).sum
+      rows.foreach { case (g, w, q) =>
+        val lo = w * k / wTot
+        assert(q == lo || q == lo + 1, s"$g: quota $q outside [$lo, ${lo + 1}]")
+      }
+    }
+  }
+
   test("packSequences/tokenPps determinism: identical frames across " +
       "shuffle-partition counts {1,4,7,200} and across repeated runs") {
     // CORRECTNESS_r09's one red row (q_token_pps) did not reproduce in
