@@ -694,6 +694,49 @@ object TextAnalysis {
   }
 
   /**
+   * Pairwise source-vocabulary overlap — the corpus redundancy map: for
+   * every pair of sources, the exact shared-type count and Jaccard
+   * similarity of their vocabularies in truncated ppm. Two sources with
+   * high vocabulary Jaccard are near-substitutes in a mix (dedup and
+   * mixture weights should treat them jointly); a low-overlap source is
+   * genuinely additive. Integer-exact: distinct (source, token) first,
+   * then per-pair intersections via a token-keyed self-join and the
+   * union by inclusion–exclusion. Pairs with ZERO shared types are
+   * absent from the output (the inner join's natural sparse encoding —
+   * read a missing pair as jaccard 0).
+   *
+   * 100 TB shape: the corpus collapses to the DISTINCT (source, token)
+   * table map-side — vocab-bounded, never token volume — and is
+   * localCheckpoint'ed (three references: both join sides + sizes). The
+   * self-join is token-keyed; a token present in s sources contributes
+   * C(s,2) pair rows, so the exchange is bounded by vocab × C(|sources|,2)
+   * worst-case — |sources| is a mix-schedule cardinality (tens), not a
+   * data cardinality. Output is C(|sources|,2) rows.
+   */
+  def sourceVocabOverlap(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val vocab = df.select(col(groupCol).as("__g"),
+        explode(wsTokens(col(textCol))).as("__t"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = vocab.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val a = vocab.select(col("__g").as("src_a"), col("__t"))
+    val b = vocab.select(col("__g").as("src_b"), col("__t"))
+    a.join(b, Seq("__t"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("__g").as("src_a"), col("__n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("__g").as("src_b"), col("__n").as("n_b")),
+        Seq("src_b"))
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000) div (n_a + n_b - n_common)"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"),
+        col("n_b"), col("jaccard_ppm"))
+  }
+
+  /**
    * Intra-document repeated-line removal (the RefinedWeb / MassiveText
    * line-dedup rule: within one page, an exactly repeated line is
    * boilerplate — nav bars, cookie banners, footer links — and only its

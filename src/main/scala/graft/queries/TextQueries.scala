@@ -1245,6 +1245,29 @@ object TextQueries extends QueryProvider {
        |  (sum(n_subwords) * 1000000) // sum(n_words) AS fertility_ppm
        |FROM enc2 JOIN wcnt USING (doc_id) GROUP BY 1""".stripMargin
 
+  /** Pairwise source-vocabulary Jaccard (exact, truncated ppm) — the
+   *  redundancy map next to text_source_diversity's per-source
+   *  datasheet; C(20,2)=190 rows at sf0.01. */
+  private def sourceOverlapQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceVocabOverlap(T(s, dir, "documents"), "text", "source")
+
+  private val sourceOverlapSql =
+    """WITH v AS (
+      |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |), s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1
+      |), c AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(count(*) AS BIGINT) AS n_common
+      |  FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT c.src_a, c.src_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
+      |  (c.n_common * 1000000) // (sa.n + sb.n - c.n_common) AS jaccard_ppm
+      |FROM c JOIN s sa ON sa.source = c.src_a
+      |JOIN s sb ON sb.source = c.src_b""".stripMargin
+
   /** Largest-remainder token-budget apportionment: one million budget
    *  units split across sources exactly ∝ token mass (Σ quota ≡ budget
    *  by construction) — `Sampling.largestRemainder`, the schedule a mix
@@ -2071,6 +2094,7 @@ object TextQueries extends QueryProvider {
     "text_pmi"         -> (pmiQ _),
     "text_source_diversity" -> (sourceDiversityQ _),
     "q_quota_alloc"    -> (quotaAllocQ _),
+    "text_source_overlap" -> (sourceOverlapQ _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_dsir_select" -> (dsirSelect _),
     "text_c4_clean"    -> (c4Clean _),
@@ -2177,6 +2201,7 @@ object TextQueries extends QueryProvider {
     "text_pmi"         -> pmiSql,
     "text_source_diversity" -> sourceDiversitySql,
     "q_quota_alloc"    -> quotaAllocSql,
+    "text_source_overlap" -> sourceOverlapSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_dsir_select" -> dsirSelectSql,
     "text_c4_clean"    -> c4CleanSql,

@@ -88,6 +88,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(total == 37L)
   }
 
+  test("sourceVocabOverlap: exact shared types and Jaccard ppm; " +
+      "zero-overlap pairs are absent; duplicate tokens don't inflate") {
+    val df = Seq(
+      (1, "s1", "a b c a a"), (2, "s2", "b c d"), (3, "s3", "x x"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis
+      .sourceVocabOverlap(df, "text", "source")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    // s1 vocab {a,b,c}, s2 {b,c,d}: common 2, union 4 -> 500000 ppm;
+    // s3 {x} overlaps nothing -> no rows for it
+    assert(got == Set(("s1", "s2", 2L, 3L, 3L, 500000L)))
+  }
+
   test("largestRemainder: quotas sum to EXACTLY k, floors respected, " +
       "leftover goes to largest remainders with group-key tie-break") {
     // weights 3,3,1 with k=5: exact shares 15/7,15/7,5/7 -> floors 2,2,0,
