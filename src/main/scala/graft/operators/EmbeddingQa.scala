@@ -130,6 +130,46 @@ object EmbeddingQa {
           .cast("long").as("dist_l2sq"))
   }
 
+  /**
+   * Cluster-separation audit — the silhouette's integer-exact core: per
+   * label, how tight the cluster is against its own centroid
+   * (`sum_own_d2`), how far the nearest FOREIGN centroid sits
+   * (`sum_other_d2`, min over other labels per vector), and how many
+   * vectors are strictly better explained by their own centroid
+   * (`n_separated`). `n_separated ≈ n_vecs` and `sum_other ≫ sum_own`
+   * is a healthy labeling; the inverse is the "merge or relabel" signal
+   * [[centroidSeparation]] localizes to a pair. Same quantized-integer
+   * discipline as [[confusion]], so every cell replays cross-engine.
+   *
+   * 100 TB shape: one centroid aggregate broadcast back; the per-(vector
+   * × label) distance table is n·L slim rows (L = label cardinality,
+   * tens) partial-aggregated from the dim join — confusion's exact
+   * envelope, localCheckpoint'ed once for its two consumers.
+   */
+  def separationAudit(df: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, scale: Long = 1000000L): DataFrame = {
+    val e = quantized(df, vecCol, idCol, labelCol, scale)
+    val cent = e.groupBy(col("label"), col("i"))
+      .agg(expr("CAST(sum(e) DIV count(1) AS BIGINT)").as("c"))
+      .select(col("label").as("clabel"), col("i"), col("c"))
+    val dists = e.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vid"), col("label"), col("clabel"))
+      .agg(sum((col("e") - col("c")) * (col("e") - col("c"))).as("d2"))
+      .localCheckpoint() // own + min-other both read it
+    val own = dists.where(col("label") === col("clabel"))
+      .select(col("vid"), col("label"), col("d2").as("own_d2"))
+    val other = dists.where(col("label") =!= col("clabel"))
+      .groupBy(col("vid"), col("label"))
+      .agg(min(col("d2")).as("min_other_d2"))
+    own.join(other, Seq("vid", "label"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("own_d2")).cast("long").as("sum_own_d2"),
+        sum(col("min_other_d2")).cast("long").as("sum_other_d2"),
+        sum(when(col("min_other_d2") > col("own_d2"), 1L).otherwise(0L))
+          .as("n_separated"))
+  }
+
   private def quantized(df: DataFrame, vecCol: String, idCol: String,
       labelCol: String, scale: Long): DataFrame = {
     val base =

@@ -105,6 +105,41 @@ object SimilarityQueries extends QueryProvider {
       |FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
       |GROUP BY 1, 2""".stripMargin
 
+  /** Cluster-separation audit: per label, tightness vs own centroid,
+   *  distance to the nearest foreign centroid, and the strictly-
+   *  separated vector count — integer-exact, the oracle refits
+   *  centroids and replays every distance. */
+  private def separationQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingQa.separationAudit(
+      T(s, dir, "embeddings"), "embedding", "vec_id", "label",
+      scale = 1000000L)
+
+  private val separationSql =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, r.range AS i,
+      |    CAST(floor(CAST(embedding[r.range] AS DOUBLE) * 1000000) AS BIGINT)
+      |      + 1000000 AS e
+      |  FROM embeddings, range(1, 65) r
+      |), c AS (
+      |  SELECT label AS clabel, i, sum(e) // count(*) AS c
+      |  FROM q GROUP BY 1, 2
+      |), d AS (
+      |  SELECT q.vec_id, q.label, c.clabel,
+      |    CAST(sum((q.e - c.c) * (q.e - c.c)) AS BIGINT) AS d2
+      |  FROM q JOIN c ON q.i = c.i GROUP BY 1, 2, 3
+      |), own AS (
+      |  SELECT vec_id, label, d2 AS own_d2 FROM d WHERE label = clabel
+      |), oth AS (
+      |  SELECT vec_id, label, min(d2) AS min_other_d2
+      |  FROM d WHERE label <> clabel GROUP BY 1, 2
+      |)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(own_d2) AS BIGINT) AS sum_own_d2,
+      |  CAST(sum(min_other_d2) AS BIGINT) AS sum_other_d2,
+      |  CAST(count(*) FILTER (WHERE min_other_d2 > own_d2) AS BIGINT)
+      |    AS n_separated
+      |FROM own JOIN oth USING (vec_id, label) GROUP BY 1""".stripMargin
+
   // Binary sign-bit tier: Hamming-prefilter (top-40 of 8-byte signatures)
   // then exact-cosine rerank to top-5. Both cuts are total orders, so the
   // oracle replays sign-packing (as per-dimension sign disagreement ≡
@@ -933,6 +968,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_binary_topk" -> (binaryTopk _),
     "sim_drift"       -> (driftQ _),
     "sim_centroid_sep" -> (centroidSepQ _),
+    "sim_separation"  -> (separationQ _),
     "sim_threshold"   -> (thresholdNbrs _),
     "sim_ivf_topk"    -> (ivfTopk _),
     "sim_quantize_int8" -> (quantizeInt8 _),
@@ -968,6 +1004,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_binary_topk" -> binaryTopkSql,
     "sim_drift"      -> driftSql,
     "sim_centroid_sep" -> centroidSepSql,
+    "sim_separation" -> separationSql,
     "sim_threshold"  -> thresholdNbrsSql,
     "sim_ivf_topk"   -> ivfTopkSql,
     "sim_quantize_int8" -> quantizeInt8Sql,
