@@ -451,9 +451,34 @@ object SessionQueries extends QueryProvider {
       |    THEN gap_us END) AS p95
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** The 17th composition flagship: the user-behavior MODEL — one table
+   *  per (from, to) transition edge carrying structure (count,
+   *  from-marginal, truncated-ppm probability) AND timing (exact
+   *  p50/p95 dwell) — what a funnel designer, a next-event predictor,
+   *  or a session-shape anomaly monitor actually consumes. Composes
+   *  `Sessionize.transitionMatrix` ⨝ the quantileReport dwell table;
+   *  the oracle replays both chains and the join, so the hash
+   *  certifies the assembled model. */
+  private def behaviorModelQ(s: SparkSession, dir: String): DataFrame =
+    transitionQ(s, dir).join(
+      transitionLatencyQ(s, dir).select(col("from_type"), col("to_type"),
+        col("p50").as("p50_gap_us"), col("p95").as("p95_gap_us")),
+      Seq("from_type", "to_type"))
+
+  private val behaviorModelSql =
+    s"""WITH edges AS (
+       |$transitionSql
+       |), dwell AS (
+       |$transitionLatencySql
+       |)
+       |SELECT e.from_type, e.to_type, e.n, e.n_from, e.p_ppm,
+       |  d.p50 AS p50_gap_us, d.p95 AS p95_gap_us
+       |FROM edges e JOIN dwell d USING (from_type, to_type)""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_transition_matrix" -> (transitionQ _),
     "q_transition_latency" -> (transitionLatencyQ _),
+    "pipeline_behavior_model" -> (behaviorModelQ _),
     "q_session_overlap" -> (sessionOverlapQ _),
     "q_scd2"            -> (scd2Q _),
     "q_rolling_wau"     -> (rollingWauQ _),
@@ -471,6 +496,7 @@ object SessionQueries extends QueryProvider {
   override val oracles: Map[String, String] = Map(
     "q_transition_matrix" -> transitionSql,
     "q_transition_latency" -> transitionLatencySql,
+    "pipeline_behavior_model" -> behaviorModelSql,
     "q_session_overlap" -> sessionOverlapSql,
     "q_scd2"            -> scd2Sql,
     "q_rolling_wau"     -> rollingWauSql,
