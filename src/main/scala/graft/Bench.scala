@@ -91,7 +91,10 @@ object Bench {
     // (the r9 judge's "bench-harness variance" ask). Sub-second queries
     // stay at `runs` samples; their swing is ambient and cheap.
     val tailRounds = sys.env.getOrElse("SPARK_GRAFT_TAIL_RUNS", "2").toInt
-    val tail = names.filter(n => timings(n).min > 5.0)
+    // healthy queries only: a slow FAILURE records >5 s samples too, and
+    // re-running a known-broken query buys nothing but wasted budget
+    val tail = names.filter(n =>
+      timings(n).min > 5.0 && !errors.contains(n))
     for (_ <- 1 to tailRounds; if tail.nonEmpty) {
       roundStarts += java.time.Instant.now().toString
       tail.foreach(timeOne)

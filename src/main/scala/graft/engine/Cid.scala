@@ -179,7 +179,9 @@ object Cid {
     (_, p2) <- uvarint(b, p1) // codec — any
     (_, p3) <- uvarint(b, p2) // multihash code — any
     (len, p4) <- uvarint(b, p3)
-  } yield b.length - p4 == len.toInt).getOrElse(false)
+    // compare in Long: a crafted 64-bit length whose LOW 32 bits match
+    // the digest size must not validate (.toInt would truncate it)
+  } yield (b.length - p4).toLong == len).getOrElse(false)
 
   /** Parse ANY well-formed CID string to raw bytes: CIDv0 (bare 46-char
    *  base58btc `Qm…` multihash) or CIDv1 under multibase base16 ('f'),

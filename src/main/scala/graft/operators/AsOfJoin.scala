@@ -86,9 +86,16 @@ object AsOfJoin {
     // rows are then the LATER rights, and the running last() is the
     // nearest one. Tag tie semantics are unchanged (strict keeps the
     // left before equal-time rights in scan order either way).
+    // PAYLOAD is the final sort key so ties among EQUAL-TIME right rows
+    // are deterministic (the r9 q_token_pps lesson: hash-green +
+    // nondeterministic is a driver-red waiting to happen): the scan's
+    // running last() picks the struct-order GREATEST payload backward
+    // and LEAST forward (payload desc under the reversed scan) — the
+    // deterministic analogue of "latest/next right row".
     val timeOrd = if (forward) col(leftTime).desc else col(leftTime).asc
+    val payloadOrd = if (forward) col(PAYLOAD).desc else col(PAYLOAD).asc
     val w = Window.partitionBy(col(leftKey))
-      .orderBy(timeOrd, col(TAG))
+      .orderBy(timeOrd, col(TAG), payloadOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned

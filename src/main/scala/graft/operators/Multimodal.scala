@@ -102,9 +102,9 @@ object Multimodal {
    */
   object Containers {
 
-    private def le16(b: Array[Byte], at: Int): Int =
+    private[Multimodal] def le16(b: Array[Byte], at: Int): Int =
       (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8)
-    private def le32(b: Array[Byte], at: Int): Int =
+    private[Multimodal] def le32(b: Array[Byte], at: Int): Int =
       (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
         ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
     private def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
@@ -113,6 +113,48 @@ object Multimodal {
     private def w32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
       o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
       o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+    }
+
+    /** Write h·w·3 top-down RGB bytes as DIB pixel rows: bottom-up,
+     *  BGR, 4-byte padded — the ONE copy of the layout both the BMP
+     *  encoder and the AVI frame writer share. */
+    private[Multimodal] def packDibRows(w: Int, h: Int, rgb: Array[Byte],
+        o: java.io.ByteArrayOutputStream): Unit = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val i = (y * w + x) * 3
+          o.write(rgb(i + 2)); o.write(rgb(i + 1)); o.write(rgb(i))
+          x += 1
+        }
+        var pad = rowSize - w * 3
+        while (pad > 0) { o.write(0); pad -= 1 }
+        y -= 1
+      }
+    }
+
+    /** Read DIB pixel rows back to row-major top-down RGB floats —
+     *  the shared inverse of [[packDibRows]]. */
+    private[Multimodal] def unpackDibRows(p: Array[Byte], off: Int,
+        w: Int, h: Int, bottomUp: Boolean): Array[Float] = {
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val px = new Array[Float](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val src = off + (if (bottomUp) h - 1 - y else y) * rowSize
+        var x = 0
+        while (x < w) {
+          val d = (y * w + x) * 3
+          px(d) = (p(src + x * 3 + 2) & 0xFF) / 255.0f
+          px(d + 1) = (p(src + x * 3 + 1) & 0xFF) / 255.0f
+          px(d + 2) = (p(src + x * 3) & 0xFF) / 255.0f
+          x += 1
+        }
+        y += 1
+      }
+      px
     }
 
     def isBmp(p: Array[Byte]): Boolean =
@@ -133,18 +175,7 @@ object Multimodal {
       w32(o, 40); w32(o, w); w32(o, h) // BITMAPINFOHEADER, bottom-up
       w16(o, 1); w16(o, 24); w32(o, 0) // planes, bpp, BI_RGB
       w32(o, rowSize * h); w32(o, 2835); w32(o, 2835); w32(o, 0); w32(o, 0)
-      var y = h - 1
-      while (y >= 0) { // bottom-up rows, BGR order, 4-byte padded
-        var x = 0
-        while (x < w) {
-          val i = (y * w + x) * 3
-          o.write(rgb(i + 2)); o.write(rgb(i + 1)); o.write(rgb(i))
-          x += 1
-        }
-        var pad = rowSize - w * 3
-        while (pad > 0) { o.write(0); pad -= 1 }
-        y -= 1
-      }
+      packDibRows(w, h, rgb, o)
       o.toByteArray
     }
 
@@ -158,24 +189,20 @@ object Multimodal {
       val hRaw = le32(p, 22)
       val bottomUp = hRaw > 0
       val h = math.abs(hRaw)
+      // dims validated BEFORE any size arithmetic: a negative/huge header
+      // value must fail loudly here, not overflow the Int bounds check
+      // into a deep NegativeArraySize crash (same discipline as the
+      // WAV/AVI chunk walks)
+      require(w > 0 && h > 0 && hRaw != Int.MinValue,
+        s"bad BMP dimensions ${w}x$hRaw")
       require(le16(p, 26) == 1 && le16(p, 28) == 24 && le32(p, 30) == 0,
         "only 24-bpp uncompressed BI_RGB is supported")
-      val rowSize = ((w * 3 + 3) / 4) * 4
-      require(p.length >= offBits + rowSize * h, "truncated BMP pixel data")
-      val px = new Array[Float](w * h * 3)
-      var y = 0
-      while (y < h) {
-        val src = offBits + (if (bottomUp) h - 1 - y else y) * rowSize
-        var x = 0
-        while (x < w) {
-          val d = (y * w + x) * 3
-          px(d) = (p(src + x * 3 + 2) & 0xFF) / 255.0f
-          px(d + 1) = (p(src + x * 3 + 1) & 0xFF) / 255.0f
-          px(d + 2) = (p(src + x * 3) & 0xFF) / 255.0f
-          x += 1
-        }
-        y += 1
-      }
+      val rowSize = ((w.toLong * 3 + 3) / 4) * 4
+      require(offBits >= 54 &&
+        offBits.toLong + rowSize * h <= p.length.toLong,
+        "truncated BMP pixel data")
+      require(w.toLong * h * 3 <= Int.MaxValue, "BMP too large to decode")
+      val px = unpackDibRows(p, offBits, w, h, bottomUp)
       (w, h, 3, "bmp", px)
     }
 
@@ -207,7 +234,10 @@ object Multimodal {
       while (at + 8 <= p.length) {
         val id = new String(p, at, 4, "US-ASCII")
         val size = le32(p, at + 4)
+        require(size >= 0 && at + 8 + size <= p.length,
+          s"truncated WAV chunk '$id' at $at (size $size)")
         if (id == "fmt ") {
+          require(size >= 16, s"fmt chunk too short: $size")
           require(le16(p, at + 8) == 1, "only PCM WAV is supported")
           ch = le16(p, at + 10); rate = le32(p, at + 12)
           require(le16(p, at + 22) == 16, "only 16-bit PCM is supported")
@@ -241,9 +271,7 @@ object Multimodal {
    *  (bottom-up, BGR, 4-byte row padding) inside `00db` chunks of the
    *  `movi` LIST; dimensions/frame-count live in the `avih` header. */
   object Avi {
-    private def le32(b: Array[Byte], at: Int): Int =
-      (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
-        ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
+    import Containers.le32
 
     def isAvi(p: Array[Byte]): Boolean =
       p != null && p.length >= 24 &&
@@ -261,18 +289,7 @@ object Multimodal {
       val rowSize = ((w * 3 + 3) / 4) * 4
       def dib(rgb: Array[Byte]): Array[Byte] = {
         val o = new java.io.ByteArrayOutputStream(rowSize * h)
-        var y = h - 1
-        while (y >= 0) {
-          var x = 0
-          while (x < w) {
-            val i = (y * w + x) * 3
-            o.write(rgb(i + 2)); o.write(rgb(i + 1)); o.write(rgb(i))
-            x += 1
-          }
-          var pad = rowSize - w * 3
-          while (pad > 0) { o.write(0); pad -= 1 }
-          y -= 1
-        }
+        Containers.packDibRows(w, h, rgb, o) // ONE copy of the DIB layout
         o.toByteArray
       }
       def chunk(id: String, body: Array[Byte]): Array[Byte] = {
@@ -323,6 +340,10 @@ object Multimodal {
         while (at + 8 <= end) {
           val id = new String(p, at, 4, "US-ASCII")
           val size = le32(p, at + 4)
+          // loud on truncation: copyOfRange would silently zero-pad a
+          // chunk whose declared size runs past the payload
+          require(size >= 0 && at + 8 + size <= end,
+            s"truncated AVI chunk '$id' at $at (size $size, end $end)")
           if (id == "LIST") walk(at + 12, at + 8 + size)
           else if (id == "avih") { w = le32(p, at + 40); h = le32(p, at + 44) }
           else if (id == "00db" || id == "00dc")
@@ -335,21 +356,7 @@ object Multimodal {
       val rowSize = ((w * 3 + 3) / 4) * 4
       val out = frames.map { dib =>
         require(dib.length >= rowSize * h, "truncated DIB frame")
-        val px = new Array[Float](w * h * 3)
-        var y = 0
-        while (y < h) {
-          val src = (h - 1 - y) * rowSize
-          var x = 0
-          while (x < w) {
-            val d = (y * w + x) * 3
-            px(d) = (dib(src + x * 3 + 2) & 0xFF) / 255.0f
-            px(d + 1) = (dib(src + x * 3 + 1) & 0xFF) / 255.0f
-            px(d + 2) = (dib(src + x * 3) & 0xFF) / 255.0f
-            x += 1
-          }
-          y += 1
-        }
-        px
+        Containers.unpackDibRows(dib, 0, w, h, bottomUp = true)
       }
       (w, h, out.toSeq)
     }

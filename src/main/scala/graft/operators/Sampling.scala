@@ -369,6 +369,14 @@ object Sampling {
   def largestRemainder(groups: DataFrame, groupCol: String,
       weightCol: String, k: Long): DataFrame = {
     require(k >= 0, "budget must be non-negative")
+    // Loud preconditions on the (tiny) groups table — the documented
+    // "Σ quota ≡ k" contract dies silently otherwise: tot = 0 makes
+    // every DIV NULL, a negative weight breaks DIV ≡ // floor parity.
+    val chk = groups.agg(
+      min(col(weightCol).cast("long")), sum(col(weightCol).cast("long"))).head
+    require(!chk.isNullAt(0) && chk.getLong(0) >= 0,
+      "weights must be non-negative (and at least one group present)")
+    require(chk.getLong(1) > 0, "total weight must be positive")
     val wTot = Window.partitionBy()
     val wRank = Window.orderBy(col("__rem").desc, col(groupCol))
     groups

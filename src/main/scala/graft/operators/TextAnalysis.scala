@@ -683,7 +683,11 @@ object TextAnalysis {
       .localCheckpoint()
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
-    val n = c12.agg(sum(col("c12"))).head.getLong(0)
+    // driver scalar (the tokenPps W discipline); loud on a corpus with
+    // no adjacent pairs instead of a NULL-propagating getLong
+    val nRow = c12.agg(sum(col("c12"))).head
+    require(!nRow.isNullAt(0), "corpus has no bigrams (every doc < 2 tokens)")
+    val n = nRow.getLong(0)
     c12.where(col("c12") >= minCount)
       .join(c1, Seq("w1")).join(c2, Seq("w2"))
       .withColumn("pmi_ppm", expr(s"(c12 * ${n}L * 1000000) div (c1 * c2)"))

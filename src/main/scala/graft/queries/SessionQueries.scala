@@ -270,8 +270,13 @@ object SessionQueries extends QueryProvider {
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
       |  FROM events
       |), m AS (
-      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
-      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  -- IS DISTINCT FROM mirrors the operator's null-safe <=> change
+      |  -- flag: a NULL attr is a value of its own (run boundaries are
+      |  -- identical even though the first row's flag differs — the
+      |  -- cumulative version ids shift by a constant per key, and only
+      |  -- the GROUPING uses them)
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM
+      |      event_type THEN 1 ELSE 0 END AS chg
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |), v AS (
       |  SELECT *, sum(chg) OVER (PARTITION BY user_id
@@ -420,12 +425,14 @@ object SessionQueries extends QueryProvider {
       .withColumn("from_type", lag(col("to_type"), 1).over(w))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .where(col("from_type").isNotNull)
-      .select(concat_ws("#", col("from_type"), col("to_type")).as("__pair"),
+      // struct group key, not a delimited string: an event_type
+      // containing the delimiter must not mis-split the edge
+      .select(struct(col("from_type"), col("to_type")).as("__pair"),
         (col("ts_us") - col("prev_us")).as("gap_us"), col("event_id"))
     graft.operators.Anomaly.quantileReport(gaps, "gap_us", "event_id",
         "__pair", Seq(500000L, 950000L), scale = 1L, withCount = true)
-      .select(substring_index(col("__pair"), "#", 1).as("from_type"),
-        substring_index(col("__pair"), "#", -1).as("to_type"),
+      .select(col("__pair.from_type").as("from_type"),
+        col("__pair.to_type").as("to_type"),
         col("n_values"), col("p50"), col("p95"))
   }
 

@@ -35,4 +35,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(run(strict = false, forward = true) ==
       Map("e1" -> Some(100L), "e2" -> Some(300L), "e3" -> None))
   }
+
+  test("equal-TIME right rows resolve deterministically: greatest payload " +
+      "backward, least payload forward") {
+    val l = Seq((1L, 20L, "e")).toDF("k", "t", "ev")
+    val r = Seq((1L, 10L, 111L), (1L, 10L, 222L), // tie at t=10
+                (1L, 30L, 333L), (1L, 30L, 444L)) // tie at t=30
+      .toDF("rk", "rt", "rid")
+    def go(forward: Boolean): Option[Long] =
+      AsOfJoin.asOf(l, r, "k", "rk", "t", "rt", Seq("rid"),
+          strict = true, forward = forward)
+        .select("rid").as[Option[Long]].collect().head
+    assert(go(forward = false) == Some(222L),
+      "backward tie must pick the struct-order greatest payload")
+    assert(go(forward = true) == Some(333L),
+      "forward tie must pick the struct-order least payload")
+  }
 }

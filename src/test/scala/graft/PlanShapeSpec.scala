@@ -73,9 +73,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_star_join")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
-      "GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate"),
-      "date range must push to the orders scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date range must push to the orders scan as a PushedFilter")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "region predicate must push to the region scan")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 3, // li, orders(+cust fact side) + final agg
       s"star join shuffles too much: $exchanges hash exchanges\n$p")
