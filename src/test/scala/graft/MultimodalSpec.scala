@@ -186,6 +186,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out == Set((7L, 0, "avi", 18), (7L, 2, "avi", 18)))
   }
 
+  test("malformed real containers fail LOUDLY: crafted dims, truncated " +
+      "chunks, oversized declared sizes - never a deep crash or silent " +
+      "zero-padding") {
+    val rgb = Array.tabulate[Byte](2 * 2 * 3)(_.toByte)
+    val bmp = Multimodal.Containers.encodeBmp(2, 2, rgb)
+    // negative width in the header
+    val badW = bmp.clone(); badW(21) = 0xFF.toByte
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.Containers.decodeBmp(badW))
+    assert(e1.getMessage.contains("bad BMP dimensions"))
+    // huge width whose rowSize*h overflows Int if computed naively
+    val hugeW = bmp.clone()
+    hugeW(18) = 0xFF.toByte; hugeW(19) = 0xFF.toByte
+    hugeW(20) = 0xFF.toByte; hugeW(21) = 0x7F.toByte
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.Containers.decodeBmp(hugeW))
+    assert(e2.getMessage.contains("truncated BMP"))
+    // WAV with a data chunk whose declared size runs past the payload
+    val wav = Multimodal.Containers.encodeWav(8000, Array[Short](1, 2, 3))
+    val badWav = java.util.Arrays.copyOf(wav, wav.length - 2)
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.Containers.decodeWav(badWav))
+    assert(e3.getMessage.contains("truncated WAV chunk"))
+    // AVI truncated mid-frame
+    val avi = Multimodal.Avi.encodeAvi(2, 2, 25,
+      Seq(rgb, rgb.map(b => (b + 1).toByte)))
+    val badAvi = java.util.Arrays.copyOf(avi, avi.length - 3)
+    val e4 = intercept[IllegalArgumentException](
+      Multimodal.Avi.decodeAvi(badAvi))
+    assert(e4.getMessage.contains("truncated AVI chunk"))
+  }
+
   test("SniffCodec: real containers decode for real, anything else falls " +
       "to the deterministic stub - through the operator path") {
     import spark.implicits._
