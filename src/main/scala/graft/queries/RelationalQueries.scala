@@ -1123,6 +1123,38 @@ object RelationalQueries extends QueryProvider {
        |    AND a.user_id < b.user_id
        |  GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
 
+  /** Degree-distribution histogram of the co-activity graph — the
+   *  shape audit read before picking hub caps and salt factors (a heavy
+   *  right tail is what the P97/P99 order-statistic caps exist for).
+   *  Composes the shared edge chain with `Audit.histogram`'s
+   *  integer-exact equi-width buckets; the edge set is
+   *  localCheckpoint'ed — BOTH endpoint projections read it, and
+   *  re-running the pair mining per reference is the multi-reference
+   *  trap. 10 rows. */
+  private def degreeHistQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = coActivityEdges(s, dir).localCheckpoint()
+    val deg = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .withColumn("__g", lit("all"))
+    graft.operators.Audit.histogram(deg, "d", "__g", nBuckets = 10,
+        scale = 1L)
+      .select(col("bucket"), col("n"),
+        col("lo_milli").as("lo_deg"), col("hi_milli").as("hi_deg"))
+  }
+
+  private val degreeHistSql =
+    s"""WITH $coActSql,
+       |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+       |  SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) t
+       |  GROUP BY 1),
+       |b AS (SELECT min(d) AS lo, max(d) AS hi FROM deg)
+       |SELECT ((deg.d - b.lo) * 10) // (b.hi - b.lo + 1) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(deg.d) AS BIGINT) AS lo_deg,
+       |  CAST(max(deg.d) AS BIGINT) AS hi_deg
+       |FROM deg, b GROUP BY 1""".stripMargin
+
   /** Exact per-node triangle counts over the co-activity graph
    *  (degree-oriented wedge closure — see Graphs.triangleCounts). */
   private def trianglesQ(s: SparkSession, dir: String): DataFrame =
@@ -1481,6 +1513,7 @@ object RelationalQueries extends QueryProvider {
     "q_pagerank"        -> (pagerankQ _),
     "pipeline_graph_features" -> (graphFeaturesQ _),
     "q_triangles"       -> (trianglesQ _),
+    "q_degree_hist"     -> (degreeHistQ _),
     "q_label_prop"      -> (labelPropQ _),
     "q_link_predict"    -> (linkPredictQ _),
     "q_resource_alloc"  -> (resourceAllocQ _),
@@ -1533,6 +1566,7 @@ object RelationalQueries extends QueryProvider {
     "q_pagerank"        -> pagerankSql,
     "pipeline_graph_features" -> graphFeaturesSql,
     "q_triangles"       -> trianglesSql,
+    "q_degree_hist"     -> degreeHistSql,
     "q_label_prop"      -> labelPropSql,
     "q_link_predict"    -> linkPredictSql,
     "q_resource_alloc"  -> resourceAllocSql,
