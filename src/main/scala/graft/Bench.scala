@@ -125,8 +125,15 @@ object Bench {
         .map(t => (math.rint(t * 1000) / 1000).toString).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val roundsJson = roundStarts.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Explicit per-query sample count: tail rounds give >5 s queries 5
+    // samples while sub-second ones keep `runs`, so a median here is
+    // median-of-5 vs BENCH_ISOLATED's median-of-3 — readers comparing
+    // medians across rounds need the statistic named per row (mins are
+    // unaffected; ADVICE r10).
+    val countsJson = names.map(n =>
+      "\"" + n + "\":" + timings(n).length).mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs,"samples":$samplesJson,"round_starts":$roundsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs,"sample_counts":$countsJson,"samples":$samplesJson,"round_starts":$roundsJson}"""
     println(json)
     // Also write to a file: the driver's stdout tail-capture truncated 4
     // of 70 entries in r3; the file is the complete, parseable record.

@@ -41,10 +41,17 @@ object IntervalJoin {
   def overlapPairs(df: DataFrame, idCol: String, startCol: String,
       endCol: String, chunkUs: Long): DataFrame = {
     require(chunkUs > 0, "chunkUs must be positive")
+    // Contract violation fails LOUDLY: a silent `__s >= 0` filter would
+    // let negative-time upstream data diverge from the plain quadratic
+    // oracle instead of naming the bad row. The guard rides the __s
+    // projection itself so column pruning can't elide it.
     val iv = df.select(col(idCol).cast("long").as("__id"),
-        col(startCol).cast("long").as("__s"),
+        when(col(startCol).cast("long") < 0,
+          raise_error(concat(lit("overlapPairs: negative start time for id "),
+            col(idCol).cast("string"))))
+          .otherwise(col(startCol).cast("long")).as("__s"),
         col(endCol).cast("long").as("__e"))
-      .where(col("__e") > col("__s") && col("__s") >= 0)
+      .where(col("__e") > col("__s"))
     val chunked = iv.withColumn("__c",
       explode(sequence(expr(s"__s div $chunkUs"),
         expr(s"(__e - 1) div $chunkUs"))))

@@ -177,6 +177,44 @@ object MultimodalQueries extends QueryProvider {
       |  'bmp' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** REAL PNG round-trip — the same certification as [[bmpRoundtrip]]
+   *  but through a COMPRESSED codec: the 24 md5-derived RGB bytes
+   *  become a real zlib-deflated 4×2 truecolor PNG (`withPngPayload`),
+   *  the magic-sniffing codec picks the real PNG path (format='png'
+   *  certifies the sniff), and the decoded tensor — after chunk-CRC
+   *  verification, Inflater decompression and filter reconstruction —
+   *  folds back to the exact byte sum DuckDB recomputes from the hex
+   *  digests. One hash certifies encoder, zlib round-trip, filter
+   *  logic, and float quantization. */
+  private def pngRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rgb = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
+        .as("rgb"))
+    Multimodal.decodeImage(
+        Multimodal.withPngPayload(rgb, "rgb", w = 4, h = 2).drop("rgb"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val pngRoundtripSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') AS hx FROM documents
+      |), d AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 25) r
+      |)
+      |SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+      |  'png' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
+      |FROM d GROUP BY doc_id""".stripMargin
+
   /** REAL WAV round-trip, same discipline: 16 md5 bytes → 8 LE PCM16
    *  samples → a real mono WAV → sniffed decode → Σ round(sample·32768)
    *  equals the signed-16 sum DuckDB recomputes from the hex digest. */
@@ -253,6 +291,7 @@ object MultimodalQueries extends QueryProvider {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_avi_frames"      -> (aviFrames _),
     "mm_bmp_roundtrip"   -> (bmpRoundtrip _),
+    "mm_png_roundtrip"   -> (pngRoundtrip _),
     "mm_wav_roundtrip"   -> (wavRoundtrip _),
     "mm_image_meta"      -> (imageMeta _),
     "mm_image_features"  -> (imageFeatures _),
@@ -264,6 +303,7 @@ object MultimodalQueries extends QueryProvider {
   override val oracles: Map[String, String] = Map(
     "mm_avi_frames"      -> aviFramesSql,
     "mm_bmp_roundtrip"   -> bmpRoundtripSql,
+    "mm_png_roundtrip"   -> pngRoundtripSql,
     "mm_wav_roundtrip"   -> wavRoundtripSql,
     "mm_image_meta"      -> imageMetaSql,
     "mm_image_features"  -> imageFeaturesSql,

@@ -834,9 +834,11 @@ object TextQueries extends QueryProvider {
       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
       |  FROM w
       |), t AS (SELECT sum(n_tokens) AS tw FROM w)
-      |SELECT c.doc_id, c.n_tokens, c.cum_tokens,
-      |  (c.cum_tokens * 200) // t.tw
-      |    - ((c.cum_tokens - c.n_tokens) * 200) // t.tw AS n_picks
+      |SELECT c.doc_id, c.n_tokens,
+      |  CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST((c.cum_tokens * 200) // t.tw
+      |    - ((c.cum_tokens - c.n_tokens) * 200) // t.tw AS BIGINT)
+      |    AS n_picks
       |FROM c, t
       |WHERE (c.cum_tokens * 200) // t.tw
       |    - ((c.cum_tokens - c.n_tokens) * 200) // t.tw >= 1""".stripMargin
@@ -1242,7 +1244,8 @@ object TextQueries extends QueryProvider {
        |)
        |SELECT lang, CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
        |  CAST(sum(n_words) AS BIGINT) AS n_words,
-       |  (sum(n_subwords) * 1000000) // sum(n_words) AS fertility_ppm
+       |  CAST((sum(n_subwords) * 1000000) // sum(n_words) AS BIGINT)
+       |    AS fertility_ppm
        |FROM enc2 JOIN wcnt USING (doc_id) GROUP BY 1""".stripMargin
 
   /** Pairwise source-vocabulary Jaccard (exact, truncated ppm) — the

@@ -218,13 +218,157 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("truncated AVI chunk"))
   }
 
+  test("Png: truecolor round-trip is bit-exact, cross-checked both ways " +
+      "against the JDK's own ImageIO decoder/encoder (whose adaptive " +
+      "filtering exercises the Sub/Up/Average/Paeth reconstruction paths)") {
+    val w = 5; val h = 4
+    // structured bytes (gradients + edges) so adaptive filtering picks
+    // non-zero filters when ImageIO encodes
+    val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+      val px = i / 3; val c = i % 3
+      (((px % w) * 40 + (px / w) * 13 + c * 77) & 0xFF).toByte
+    }
+    val png = Multimodal.Png.encodePng(w, h, rgb)
+    assert(Multimodal.Png.isPng(png))
+    val (dw, dh, dc, fmt, px) = Multimodal.Png.decodePng(png)
+    assert((dw, dh, dc, fmt) == ((w, h, 3, "png")))
+    assert(px.toSeq == rgb.map(b => (b & 0xFF) / 255.0f).toSeq)
+    // independent decode of OUR bytes: ImageIO must see the same pixels
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val i = (y * w + x) * 3
+      assert(((argb >> 16) & 0xFF) == (rgb(i) & 0xFF) &&
+        ((argb >> 8) & 0xFF) == (rgb(i + 1) & 0xFF) &&
+        (argb & 0xFF) == (rgb(i + 2) & 0xFF), s"ImageIO pixel ($x,$y) drifted")
+    }
+    // OUR decode of ImageIO's bytes (adaptive row filters, real zlib)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      bi.setRGB(x, y, ((rgb(i) & 0xFF) << 16) |
+        ((rgb(i + 1) & 0xFF) << 8) | (rgb(i + 2) & 0xFF))
+    }
+    val o = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", o))
+    val (w2, h2, c2, _, px2) = Multimodal.Png.decodePng(o.toByteArray)
+    assert(w2 == w && h2 == h && c2 == 3)
+    assert(px2.toSeq == px.toSeq, "decode of ImageIO-filtered PNG drifted")
+  }
+
+  test("Png: 8-bit grayscale (type 0) and RGBA (type 6) payloads from a " +
+      "foreign encoder decode with the right channel count and values") {
+    val w = 4; val h = 3
+    // grayscale
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 60 + y * 25) & 0xFF
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    val og = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "png", og))
+    val (gw, gh, gc, gf, gpx) = Multimodal.Png.decodePng(og.toByteArray)
+    assert((gw, gh, gc, gf) == ((w, h, 1, "png")))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.round(gpx(y * w + x) * 255) == ((x * 60 + y * 25) & 0xFF))
+    // RGBA
+    val rgba = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)
+    for (y <- 0 until h; x <- 0 until w)
+      rgba.setRGB(x, y, ((x * 50 + 10) << 24) | ((y * 70 + 5) << 16) |
+        (x * 30 << 8) | (y * 45))
+    val oa = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgba, "png", oa))
+    val (aw, ah, ac, _, apx) = Multimodal.Png.decodePng(oa.toByteArray)
+    assert(aw == w && ah == h && ac == 4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 4
+      assert(math.round(apx(i) * 255) == y * 70 + 5)       // R
+      assert(math.round(apx(i + 1) * 255) == x * 30)       // G
+      assert(math.round(apx(i + 2) * 255) == y * 45)       // B
+      assert(math.round(apx(i + 3) * 255) == x * 50 + 10)  // A
+    }
+  }
+
+  test("Png: malformed/unsupported payloads fail LOUDLY with NAMED " +
+      "errors - truncation, chunk CRC, corrupt/short zlib, Adam7, " +
+      "palette, 16-bit") {
+    val rgb = Array.tabulate[Byte](4 * 2 * 3)(i => (i * 11 + 3).toByte)
+    val png = Multimodal.Png.encodePng(4, 2, rgb)
+    // truncated payload (IEND gone)
+    val cut = java.util.Arrays.copyOf(png, png.length - 15)
+    val e1 = intercept[IllegalArgumentException](Multimodal.Png.decodePng(cut))
+    assert(e1.getMessage.contains("truncated PNG chunk"))
+    // flipped IDAT byte -> chunk CRC names the corruption
+    // (sig 8 + IHDR chunk 25 = 33; IDAT data starts at 41)
+    val flip = png.clone(); flip(42) = (flip(42) ^ 0x55).toByte
+    val e2 = intercept[IllegalArgumentException](Multimodal.Png.decodePng(flip))
+    assert(e2.getMessage.contains("fails CRC"))
+    // corrupt zlib with a RECOMPUTED valid CRC -> inflate names it.
+    // rebuild: IHDR intact, IDAT data zeroed mid-stream, CRC fixed.
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]) = {
+      val body = typ.getBytes("US-ASCII") ++ data
+      val c = new java.util.zip.CRC32(); c.update(body)
+      be32(data.length) ++ body ++ be32(c.getValue.toInt)
+    }
+    val ihdrData = java.util.Arrays.copyOfRange(png, 16, 29)
+    val idatLen = ((png(33) & 0xFF) << 24) | ((png(34) & 0xFF) << 16) |
+      ((png(35) & 0xFF) << 8) | (png(36) & 0xFF)
+    val idatData = java.util.Arrays.copyOfRange(png, 41, 41 + idatLen)
+    val sig = java.util.Arrays.copyOf(png, 8)
+    // flip the zlib CMF/FLG header bytes -> Inflater's header check fails
+    val badZ = idatData.clone()
+    badZ(0) = (badZ(0) ^ 0xFF).toByte; badZ(1) = (badZ(1) ^ 0xFF).toByte
+    val corrupt = sig ++ chunk("IHDR", ihdrData) ++ chunk("IDAT", badZ) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePng(corrupt))
+    assert(e3.getMessage.contains("PNG IDAT"), e3.getMessage)
+    // short-but-valid zlib prefix -> truncated stream named
+    val shortZ = java.util.Arrays.copyOf(idatData, idatData.length / 2)
+    val shortPng = sig ++ chunk("IHDR", ihdrData) ++ chunk("IDAT", shortZ) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e4 = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePng(shortPng))
+    assert(e4.getMessage.contains("truncated PNG IDAT") ||
+      e4.getMessage.contains("inflated to"), e4.getMessage)
+    // Adam7 interlace byte -> named unsupported tier
+    val inter = ihdrData.clone(); inter(12) = 1
+    val interPng = sig ++ chunk("IHDR", inter) ++ chunk("IDAT", idatData) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e5 = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePng(interPng))
+    assert(e5.getMessage.contains("Adam7"), e5.getMessage)
+    // palette color type -> named
+    val pal = ihdrData.clone(); pal(9) = 3
+    val palPng = sig ++ chunk("IHDR", pal) ++ chunk("IDAT", idatData) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e6 = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePng(palPng))
+    assert(e6.getMessage.contains("palette"), e6.getMessage)
+    // 16-bit depth -> named
+    val deep = ihdrData.clone(); deep(8) = 16
+    val deepPng = sig ++ chunk("IHDR", deep) ++ chunk("IDAT", idatData) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e7 = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePng(deepPng))
+    assert(e7.getMessage.contains("bit depth"), e7.getMessage)
+  }
+
   test("SniffCodec: real containers decode for real, anything else falls " +
       "to the deterministic stub - through the operator path") {
     import spark.implicits._
     val rgb = Array.tabulate[Byte](2 * 2 * 3)(i => (40 + i).toByte)
     val bmp = Multimodal.Containers.encodeBmp(2, 2, rgb)
     val txt = "not media".getBytes("UTF-8")
-    val df = Seq((1L, bmp), (2L, txt)).toDF("doc", "payload")
+    val png = Multimodal.Png.encodePng(2, 2, rgb)
+    val df = Seq((1L, bmp), (2L, txt), (3L, png)).toDF("doc", "payload")
     val out = Multimodal.decodeImage(df, "payload",
         codec = Multimodal.SniffCodec)
       .select(col("doc"), col("meta.format"), col("meta.width"),
@@ -234,6 +378,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) == (("bmp", 2, 3, 12)))
     val (fw, fh, fc) = Multimodal.FakeCodec.imageDims(txt.length)
     assert(out(2L) == (("fake", fw, fc, fw * fh * fc)))
+    assert(out(3L) == (("png", 2, 3, 12)))
     // audio seam: a real WAV payload through decodeAudio
     val wav = Multimodal.Containers.encodeWav(16000, Array[Short](7, -7))
     val a = Multimodal.decodeAudio(Seq((1L, wav)).toDF("doc", "payload"),

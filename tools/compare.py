@@ -10,6 +10,7 @@ rows by all columns. Prints PASS/FAIL per query.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -34,6 +35,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_clash(g: pd.Series, w: pd.Series):
+    """Int-vs-float dtype asymmetry with no nulls to excuse it.
+
+    DuckDB types sum()/'//' results HUGEINT and pandas materializes
+    HUGEINT as float64, so an uncast oracle column shows 149.0 where
+    Spark writes int64 149. Numeric == hides that; the driver's hasher
+    does not (r9/r10 q_token_pps + text_bpe_fertility). A float column
+    WITH NaNs may just be pandas' null-upcast of a nullable int, so only
+    the no-null case is a hard clash.
+    """
+    kinds = {g.dtype.kind, w.dtype.kind}
+    if kinds & {"i", "u"} and "f" in kinds:
+        f = g if g.dtype.kind == "f" else w
+        if not f.isna().any():
+            return f"spark={g.dtype} duckdb={w.dtype}"
+    return None
+
+
 def eq(a, b) -> bool:
     if a is b:
         return True
@@ -51,6 +70,10 @@ def main(sf_dir: str, out_dir: str) -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -62,6 +85,17 @@ def main(sf_dir: str, out_dir: str) -> None:
                 continue
             if len(got) != len(want):
                 print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+                n_fail += 1
+                continue
+            clash = None
+            for c in got.columns:
+                msg = dtype_clash(got[c], want[c])
+                if msg:
+                    clash = (c, msg)
+                    break
+            if clash:
+                c, msg = clash
+                print(f"FAIL {name}: col {c} dtype clash: {msg}")
                 n_fail += 1
                 continue
             bad = None
