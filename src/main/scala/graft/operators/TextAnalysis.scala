@@ -996,6 +996,12 @@ object TextAnalysis {
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         col("wa"), col("wb"))
+      // pair-keyed repartition before the dot-product aggregate: term-
+      // partitioned partial aggregation builds near-|pairs|-sized maps
+      // per task; pair-partitioned both agg maps stay small and on the
+      // codegen fast path (measured 6.0 s → 3.8 s warm at sf0.1 — the
+      // resourceAllocation wedge finding, same shape)
+      .repartition(col("doc_a"), col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_terms"),
         sum(expr(s"CAST(wa AS $dec) * wb")).as("dot"))

@@ -203,8 +203,8 @@ object WasmBinary {
           types = Vector.fill(r.u32()) {
             val tag = r.u8()
             if (tag != 0x60) throw new WasmDecodeError(s"bad functype tag $tag")
-            val params = Vector.fill(r.u32())(r.u8().toByte)
-            val results = Vector.fill(r.u32())(r.u8().toByte)
+            val params = Vector.fill(r.u32())(checkedValtype(r))
+            val results = Vector.fill(r.u32())(checkedValtype(r))
             FuncType(params, results)
           }
         case 2 => // import
@@ -263,7 +263,7 @@ object WasmBinary {
             val bodySize = r.u32()
             val bodyEnd = r.pos + bodySize
             val locals = Vector.fill(r.u32()) {
-              val count = r.u32(); val vt = r.u8().toByte
+              val count = r.u32(); val vt = checkedValtype(r)
               Vector.fill(count)(vt)
             }.flatten
             val body = decodeExpr(r)
@@ -292,6 +292,24 @@ object WasmBinary {
     }
     WasmModule(types, imports, funcTypeIdxs, memMin, memMax, globals,
       exports, codes, datas, start, tableMin, elems)
+  }
+
+  /** Value type with a NAMED rejection for post-MVP tiers this
+   *  interpreter doesn't execute: a guest built with `-msimd128` or
+   *  reference types must fail as "unsupported feature tier", not as a
+   *  byte-offset panic three sections later (the reference's real
+   *  runtimes — wasmtime/wazero/wasmer under host-go/runtimes — accept
+   *  any valid module, so the error message is the compat surface). */
+  private def checkedValtype(r: Reader): Byte = (r.u8() & 0xFF) match {
+    case vt if vt >= 0x7C && vt <= 0x7F => vt.toByte // i32 i64 f32 f64
+    case 0x7B => throw new WasmDecodeError(
+      "module uses v128 values — unsupported feature tier: simd128 " +
+        "(rebuild the guest without -msimd128)")
+    case 0x70 | 0x6F => throw new WasmDecodeError(
+      "module uses funcref/externref values — unsupported feature " +
+        "tier: reference-types")
+    case other => throw new WasmDecodeError(
+      f"bad value type 0x$other%02X")
   }
 
   /** Decode an instruction sequence up to (and consuming) `end` (0x0B).
@@ -375,9 +393,29 @@ object WasmBinary {
             case 9 => out += DataDrop(r.u32())
             case 10 => r.u8(); r.u8(); out += MemoryCopy
             case 11 => r.u8(); out += MemoryFill
+            case sub if sub >= 12 && sub <= 17 => throw new WasmDecodeError(
+              "module uses table.init/copy/grow/size/fill — unsupported " +
+                "feature tier: reference-types")
             case sub => throw new WasmDecodeError(s"unsupported 0xFC subopcode $sub")
           }
         case num if num >= 0x45 && num <= 0xC4 => out += Num(num)
+        // named feature-tier rejections (see checkedValtype): the real
+        // runtimes the reference embeds run these; we name what's missing
+        case 0xFD => throw new WasmDecodeError(
+          "module uses simd128 instructions (0xFD prefix) — unsupported " +
+            "feature tier: simd128 (rebuild the guest without -msimd128)")
+        case 0xFE => throw new WasmDecodeError(
+          "module uses atomic instructions (0xFE prefix) — unsupported " +
+            "feature tier: threads")
+        case 0xD0 | 0xD1 | 0xD2 => throw new WasmDecodeError(
+          "module uses ref.null/ref.is_null/ref.func — unsupported " +
+            "feature tier: reference-types")
+        case 0x25 | 0x26 => throw new WasmDecodeError(
+          "module uses table.get/table.set — unsupported feature tier: " +
+            "reference-types")
+        case 0x1C => throw new WasmDecodeError(
+          "module uses typed select — unsupported feature tier: " +
+            "reference-types")
         case other => throw new WasmDecodeError(
           f"unsupported opcode 0x$other%02X at offset ${r.pos - 1}")
       }

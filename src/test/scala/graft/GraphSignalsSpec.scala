@@ -413,6 +413,35 @@ class GraphSignalsSpec extends AnyFunSuite {
     assert(salted == out.toSet, "salted RA diverged from plain")
   }
 
+  test("resourceAllocation: exact top-k early-prune is LOSSLESS on a " +
+      "sparse graph where theta actually drops leaves - pruned output " +
+      "is bit-identical to the unpruned pass, including theta-ties") {
+    // a hub-community graph: 12 'core' nodes all share 4 selective
+    // centers (high RA), plus 60 'fringe' stars whose leaves share only
+    // one hub center each (low RA) - the fringe leaves' potentials sit
+    // far below the k-th core score, so the prune must drop them.
+    val core = for (c <- 100L to 103L; x <- 1L to 12L) yield (c, x)
+    val fringe = for (h <- 200L until 260L; x <- 0L until 3L)
+      yield (h, 1000L + h * 10 + x)
+    val edges = (core ++ fringe).toDF("a", "b")
+    val k = 20
+    val unpruned = Graphs.resourceAllocation(edges, "a", "b", k = k,
+      saltBuckets = 1, pruneSeed = 0)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val pruned = Graphs.resourceAllocation(edges, "a", "b", k = k,
+      saltBuckets = 1, pruneSeed = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(pruned == unpruned,
+      "theta prune changed the top-k (must be bit-identical, same order)")
+    assert(unpruned.size == k)
+    // prune with a seed too small to find k valid pairs falls back to
+    // the full pass (theta = 0), still identical
+    val tiny = Graphs.resourceAllocation(edges, "a", "b", k = k,
+      saltBuckets = 1, pruneSeed = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(tiny == unpruned, "tiny-seed fallback diverged")
+  }
+
   test("linkPrediction: salted wedge equals plain; maxCenterDegree drops " +
       "hub centers while pa keeps TRUE degrees") {
     // path 1-2-3 plus hub 100 over {1,4,5,6}: hub degree 4

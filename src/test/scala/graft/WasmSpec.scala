@@ -323,6 +323,49 @@ class WasmSpec extends AnyFunSuite with Matchers {
     a[WasmTrap] should be thrownBy inst.invoke("f", 5L, 1L, 1L) // OOB slot
   }
 
+  test("post-MVP tiers this interpreter doesn't run are rejected with " +
+      "NAMED feature errors, not byte-offset panics - simd128, " +
+      "reference-types, threads (raw-bytes fixtures, as a real " +
+      "-msimd128 guest would arrive)") {
+    val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
+    def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 128)
+      Array(id.toByte, payload.length.toByte) ++ payload
+    }
+    def named(bytes: Array[Byte], needle: String): Unit = {
+      val e = intercept[WasmDecodeError](WasmBinary.decode(bytes))
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    // v128 param type in the type section
+    named(header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x7B, 0x00)),
+      "simd128")
+    // funcref param type
+    named(header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x70, 0x00)),
+      "reference-types")
+    val voidType = sec(1, Array[Byte](0x01, 0x60, 0x00, 0x00))
+    val oneFunc = sec(3, Array[Byte](0x01, 0x00))
+    def withBody(body: Array[Byte]): Array[Byte] = {
+      val code = Array[Byte](0x01, (body.length + 1).toByte, 0x00) ++ body
+      header ++ voidType ++ oneFunc ++ sec(10, code)
+    }
+    // 0xFD prefix (simd instruction)
+    named(withBody(Array[Byte](0xFD.toByte, 0x0B)), "simd128")
+    // 0xFE prefix (atomics)
+    named(withBody(Array[Byte](0xFE.toByte, 0x0B)), "threads")
+    // ref.null funcref
+    named(withBody(Array[Byte](0xD0.toByte, 0x70, 0x0B)), "reference-types")
+    // table.get 0
+    named(withBody(Array[Byte](0x25, 0x00, 0x0B)), "reference-types")
+    // v128 local declaration
+    val codeV128Local = Array[Byte](0x01, 0x04, 0x01, 0x01, 0x7B, 0x0B)
+    named(header ++ voidType ++ oneFunc ++ sec(10, codeV128Local), "simd128")
+    // a genuinely invalid opcode still reports offset, not a tier
+    val e = intercept[WasmDecodeError](
+      WasmBinary.decode(withBody(Array[Byte](0xF5.toByte, 0x0B))))
+    assert(e.getMessage.contains("unsupported opcode"))
+  }
+
   test("sign-extension operators (emitted by LLVM by default)") {
     val m = func(Vector(ValType.I32), Vector(ValType.I32), Vector(),
       LocalGet(0), Num(0xC0)) // i32.extend8_s
