@@ -205,6 +205,57 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keyed state survives the state-store provider swap: dedup and " +
+      "per-key sequencing behave identically under RocksDBStateStoreProvider " +
+      "(the 100 TB streaming-state tier) and the HDFS-backed default") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def dedupRun(qn: String): Seq[Long] = {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamingLens.streamingDedup(
+        in.toDF.toDF("ts", "id", "payload"), "ts", "1 minute", Seq("id"))
+      val q = out.writeStream.format("memory").queryName(qn).start()
+      try {
+        in.addData((ts(1), 1L, "x"), (ts(2), 2L, "y"))
+        q.processAllAvailable()
+        in.addData((ts(9), 1L, "x2"), (ts(3), 3L, "z")) // cross-batch dup
+        q.processAllAvailable()
+        spark.sql(s"select id from $qn").as[Long].collect().sorted.toSeq
+      } finally q.stop()
+    }
+    def seqRun(qn: String): Set[(String, Long, Long)] = {
+      val in = MemoryStream[(String, Long)]
+      val out = StreamingLens.sequencedByKey(in.toDF.toDF("k", "ord"), "k", "ord")
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      try {
+        in.addData(("a", 10L), ("a", 5L), ("b", 1L))
+        q.processAllAvailable()
+        in.addData(("a", 20L), ("b", 2L)) // state must carry the counters
+        q.processAllAvailable()
+        spark.sql(s"select k, ord, seq from $qn")
+          .as[(String, Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val prev = spark.conf.getOption(key)
+    val (dedupHdfs, seqHdfs) = (dedupRun("ss_hdfs_d"), seqRun("ss_hdfs_s"))
+    try {
+      spark.conf.set(key, rocks)
+      val (dedupRocks, seqRocks) = (dedupRun("ss_rocks_d"), seqRun("ss_rocks_s"))
+      assert(dedupRocks == dedupHdfs,
+        s"dedup state diverged under RocksDB: $dedupRocks vs $dedupHdfs")
+      assert(seqRocks == seqHdfs,
+        s"per-key sequence state diverged under RocksDB: $seqRocks vs $seqHdfs")
+      assert(dedupHdfs == Seq(1L, 2L, 3L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("referenceKeys handle: caller builds once, binds, and unpersists exactly it") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
