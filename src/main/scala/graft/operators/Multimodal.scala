@@ -96,9 +96,10 @@ object Multimodal {
    * uncompressed BI_RGB) and WAV (PCM16) are pure byte-layout container
    * formats, so their decode is integer arithmetic over the payload,
    * exactly what this container can do honestly. Encoders included so
-   * sinks/specs can round-trip golden payloads. Compressed codecs
-   * (JPEG/PNG/MP3/H.264) stay behind the [[Codec]] seam as the
-   * documented production plug-in.
+   * sinks/specs can round-trip golden payloads. Compressed formats with
+   * REAL codecs now too: [[Png]] (JDK zlib + filter reconstruction) and
+   * [[Jpeg]] (baseline huffman+DCT, decoder and encoder). MP3/H.264
+   * stay behind the [[Codec]] seam as the documented production plug-in.
    */
   object Containers {
 
@@ -594,6 +595,7 @@ object Multimodal {
     override def decodeImage(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) =
       if (Containers.isBmp(p)) Containers.decodeBmp(p)
       else if (Png.isPng(p)) Png.decodePng(p)
+      else if (Jpeg.isJpeg(p)) Jpeg.decodeJpeg(p)
       else FakeCodec.decodeImage(p)
     override def decodeAudio(p: Array[Byte]): (Int, Array[Float]) =
       if (Containers.isWav(p)) Containers.decodeWav(p)
@@ -915,6 +917,38 @@ object Multimodal {
    *  filter-0 rows) from a binary column of exactly w·h·3 RGB bytes. */
   def withPngPayload(df: DataFrame, rgbCol: String, w: Int, h: Int): DataFrame =
     withPayload(df, rgbCol)(bytes => Png.encodePng(w, h, bytes))
+
+  /** Append a REAL baseline grayscale JPEG `payload` (huffman + DCT
+   *  entropy coding, [[Jpeg.encodeGray]]) from a binary column of
+   *  exactly w·h 8-bit samples. With `unitQuant` and solid 8×8 tiles
+   *  the round-trip is EXACT (DC-only blocks — see [[Jpeg]]). */
+  def withJpegPayload(df: DataFrame, grayCol: String, w: Int, h: Int,
+      unitQuant: Boolean = false, restartMcus: Int = 0): DataFrame =
+    withPayload(df, grayCol)(bytes => Jpeg.encodeGray(w, h, bytes,
+      if (unitQuant) Jpeg.UnitQuant else Jpeg.StdLumaQuant, restartMcus))
+
+  /** [[withJpegPayload]] variant for the EXACT-round-trip oracle shape:
+   *  each of the `tiles`×`tiles` seed bytes becomes a solid
+   *  `tileSize`×`tileSize` gray tile (tileSize = 8 makes every JPEG
+   *  block DC-only, which survives unit-quant coding exactly). */
+  def withTiledJpegPayload(df: DataFrame, seedCol: String, tiles: Int,
+      tileSize: Int = 8, restartMcus: Int = 0): DataFrame =
+    withPayload(df, seedCol) { seed =>
+      require(seed.length == tiles * tiles,
+        s"need tiles*tiles = ${tiles * tiles} seed bytes, got ${seed.length}")
+      val w = tiles * tileSize
+      val gray = new Array[Byte](w * w)
+      var y = 0
+      while (y < w) {
+        var x = 0
+        while (x < w) {
+          gray(y * w + x) = seed((y / tileSize) * tiles + (x / tileSize))
+          x += 1
+        }
+        y += 1
+      }
+      Jpeg.encodeGray(w, w, gray, Jpeg.UnitQuant, restartMcus)
+    }
 
   /** Append a REAL mono PCM16 WAV `payload` from a binary column of
    *  little-endian sample bytes (length must be even). */

@@ -215,6 +215,46 @@ object MultimodalQueries extends QueryProvider {
       |  'png' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** REAL JPEG round-trip — the first DCT-COMPRESSED codec with a
+   *  hash-green oracle: 16 md5 bytes become solid 8×8 tiles of a 32×32
+   *  grayscale image, encoded through the real baseline JPEG path
+   *  (FDCT → unit quant → huffman entropy coding with RESTART MARKERS
+   *  every 5 MCUs) and decoded back through the magic-sniffing codec
+   *  (format='jpeg' certifies the sniff). Solid tiles are DC-only
+   *  blocks, which survive unit-quant JPEG exactly (see [[
+   *  graft.operators.Jpeg]]), so DuckDB replays the decoded byte sum
+   *  from the hex digest — the hash certifies huffman tables, bit
+   *  stuffing, DC prediction, RST resync and the IDCT in one row set.
+   *  General AC/color behavior is spec-pinned against ImageIO. */
+  private def jpegRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val seed = T(s, dir, "documents").select(col("doc_id"),
+      expr("unhex(md5(text))").as("seed"))
+    Multimodal.decodeImage(
+        Multimodal.withTiledJpegPayload(seed, "seed", tiles = 4,
+          restartMcus = 5).drop("seed"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val jpegRoundtripSql =
+    """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 17) r
+      |)
+      |SELECT doc_id, CAST(32 AS INTEGER) AS width,
+      |  CAST(32 AS INTEGER) AS height, 'jpeg' AS format,
+      |  CAST(sum(byte) * 64 AS BIGINT) AS pix_byte_sum
+      |FROM d GROUP BY doc_id""".stripMargin
+
   /** REAL WAV round-trip, same discipline: 16 md5 bytes → 8 LE PCM16
    *  samples → a real mono WAV → sniffed decode → Σ round(sample·32768)
    *  equals the signed-16 sum DuckDB recomputes from the hex digest. */
@@ -292,6 +332,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_avi_frames"      -> (aviFrames _),
     "mm_bmp_roundtrip"   -> (bmpRoundtrip _),
     "mm_png_roundtrip"   -> (pngRoundtrip _),
+    "mm_jpeg_roundtrip"  -> (jpegRoundtrip _),
     "mm_wav_roundtrip"   -> (wavRoundtrip _),
     "mm_image_meta"      -> (imageMeta _),
     "mm_image_features"  -> (imageFeatures _),
@@ -304,6 +345,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_avi_frames"      -> aviFramesSql,
     "mm_bmp_roundtrip"   -> bmpRoundtripSql,
     "mm_png_roundtrip"   -> pngRoundtripSql,
+    "mm_jpeg_roundtrip"  -> jpegRoundtripSql,
     "mm_wav_roundtrip"   -> wavRoundtripSql,
     "mm_image_meta"      -> imageMetaSql,
     "mm_image_features"  -> imageFeaturesSql,

@@ -361,6 +361,149 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e7.getMessage.contains("bit depth"), e7.getMessage)
   }
 
+  test("Jpeg: DC-only blocks (solid 8x8 tiles, unit quant) round-trip " +
+      "EXACTLY through the real huffman+DCT path, with and without " +
+      "restart markers; ImageIO independently decodes our bytes to the " +
+      "same pixels") {
+    // 3x2 tiles of 8x8 -> 24x16 gray image; extreme + mid values
+    val tiles = Array[Int](0, 255, 128, 1, 254, 77)
+    val w = 24; val h = 16
+    val gray = Array.tabulate[Byte](w * h) { i =>
+      val y = i / w; val x = i % w
+      tiles((y / 8) * 3 + (x / 8)).toByte
+    }
+    for (rst <- Seq(0, 2)) {
+      val jpg = graft.operators.Jpeg.encodeGray(w, h, gray,
+        graft.operators.Jpeg.UnitQuant, restartMcus = rst)
+      assert(graft.operators.Jpeg.isJpeg(jpg))
+      val (dw, dh, dc, fmt, px) = graft.operators.Jpeg.decodeJpeg(jpg)
+      assert((dw, dh, dc, fmt) == ((w, h, 1, "jpeg")), s"rst=$rst")
+      assert(px.toSeq == gray.map(b => (b & 0xFF) / 255.0f).toSeq,
+        s"DC-only round-trip not exact (rst=$rst)")
+      // independent decoder agreement on the same bytes. Read the RAW
+      // raster: getRGB on a grayscale JPEG routes through Java2D's
+      // CS_GRAY->sRGB colorspace conversion (128 comes back 188).
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == (gray(y * w + x) & 0xFF),
+          s"ImageIO disagrees at ($x,$y) rst=$rst")
+    }
+  }
+
+  test("Jpeg: general gray content through standard quant tables decodes " +
+      "within +-1 of ImageIO's decode of the SAME bytes (independent " +
+      "IDCT implementations)") {
+    val w = 40; val h = 24
+    val gray = Array.tabulate[Byte](w * h) { i =>
+      val y = i / w; val x = i % w
+      ((math.sin(x * 0.3) * 60 + math.cos(y * 0.5) * 50 + 128).toInt
+        .max(0).min(255)).toByte
+    }
+    val jpg = graft.operators.Jpeg.encodeGray(w, h, gray)
+    val (_, _, _, _, px) = graft.operators.Jpeg.decodeJpeg(jpg)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var maxDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = math.round(px(y * w + x) * 255)
+      val theirs = img.getRaster.getSample(x, y, 0) // raw, no sRGB remap
+      maxDiff = math.max(maxDiff, math.abs(ours - theirs))
+    }
+    assert(maxDiff <= 1, s"decoders diverge by $maxDiff (>1) on shared bytes")
+  }
+
+  test("Jpeg: our decoder reads ImageIO-ENCODED color JPEGs (4:2:0 " +
+      "subsampling, its huffman tables) within tolerance; our color " +
+      "encoder round-trips through ImageIO") {
+    val w = 32; val h = 16
+    // smooth gradients: chroma-subsampling differences stay small
+    val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+      val px = i / 3; val c = i % 3
+      val x = px % w; val y = px / w
+      ((x * 4 + y * 3 + c * 20) & 0xFF).toByte
+    }
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      bi.setRGB(x, y, ((rgb(i) & 0xFF) << 16) | ((rgb(i + 1) & 0xFF) << 8) |
+        (rgb(i + 2) & 0xFF))
+    }
+    val o = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", o))
+    val theirs = o.toByteArray
+    val (dw, dh, dc, fmt, px) = graft.operators.Jpeg.decodeJpeg(theirs)
+    assert((dw, dh, dc, fmt) == ((w, h, 3, "jpeg")))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(theirs))
+    var sumDiff = 0L; var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = ref.getRGB(x, y)
+      val i = (y * w + x) * 3
+      val ds = Seq(
+        math.abs(math.round(px(i) * 255) - ((argb >> 16) & 0xFF)),
+        math.abs(math.round(px(i + 1) * 255) - ((argb >> 8) & 0xFF)),
+        math.abs(math.round(px(i + 2) * 255) - (argb & 0xFF)))
+      sumDiff += ds.sum; maxDiff = math.max(maxDiff, ds.max.toInt)
+    }
+    // upsampling strategies differ (replication vs fancy): interior
+    // pixels agree closely; allow a small mean and a bounded max
+    assert(sumDiff.toDouble / (w * h * 3) <= 2.0,
+      s"mean diff ${sumDiff.toDouble / (w * h * 3)} vs ImageIO decode")
+    assert(maxDiff <= 32, s"max diff $maxDiff vs ImageIO decode")
+    // reverse direction: OUR 4:4:4 encoder, their decoder
+    val ours = graft.operators.Jpeg.encodeRgb(w, h, rgb, quality = 95)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(back.getWidth == w && back.getHeight == h)
+    var sum2 = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = back.getRGB(x, y)
+      val i = (y * w + x) * 3
+      sum2 += math.abs(((argb >> 16) & 0xFF) - (rgb(i) & 0xFF)) +
+        math.abs(((argb >> 8) & 0xFF) - (rgb(i + 1) & 0xFF)) +
+        math.abs((argb & 0xFF) - (rgb(i + 2) & 0xFF))
+    }
+    assert(sum2.toDouble / (w * h * 3) <= 3.0,
+      s"ImageIO decode of our q95 bytes drifts ${sum2.toDouble / (w * h * 3)} per sample")
+  }
+
+  test("Jpeg: out-of-tier and corrupt payloads fail LOUDLY with NAMED " +
+      "errors - progressive, arithmetic, 12-bit, truncated entropy data") {
+    val gray = Array.tabulate[Byte](64)(i => (i * 4).toByte)
+    val jpg = graft.operators.Jpeg.encodeGray(8, 8, gray)
+    // progressive: flip SOF0 (0xC0) to SOF2 (0xC2)
+    def flipMarker(from: Int, to: Int): Array[Byte] = {
+      val b = jpg.clone()
+      var i = 0
+      var done = false
+      while (i < b.length - 1 && !done) {
+        if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == from) {
+          b(i + 1) = to.toByte; done = true
+        }
+        i += 1
+      }
+      assert(done); b
+    }
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.Jpeg.decodeJpeg(flipMarker(0xC0, 0xC2)))
+    assert(e1.getMessage.contains("progressive"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Jpeg.decodeJpeg(flipMarker(0xC0, 0xC9)))
+    assert(e2.getMessage.contains("arithmetic"), e2.getMessage)
+    // 12-bit precision: patch the SOF precision byte and re-decode
+    val deep = jpg.clone()
+    var i = 0
+    while (!((deep(i) & 0xFF) == 0xFF && (deep(i + 1) & 0xFF) == 0xC0)) i += 1
+    deep(i + 4) = 12
+    val e3 = intercept[IllegalArgumentException](
+      graft.operators.Jpeg.decodeJpeg(deep))
+    assert(e3.getMessage.contains("12-bit"), e3.getMessage)
+    // truncated entropy data
+    val cut = java.util.Arrays.copyOf(jpg, jpg.length - 6)
+    val e4 = intercept[IllegalArgumentException](
+      graft.operators.Jpeg.decodeJpeg(cut))
+    assert(e4.getMessage.contains("truncated"), e4.getMessage)
+  }
+
   test("SniffCodec: real containers decode for real, anything else falls " +
       "to the deterministic stub - through the operator path") {
     import spark.implicits._
