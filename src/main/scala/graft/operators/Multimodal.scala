@@ -596,6 +596,7 @@ object Multimodal {
       if (Containers.isBmp(p)) Containers.decodeBmp(p)
       else if (Png.isPng(p)) Png.decodePng(p)
       else if (Jpeg.isJpeg(p)) Jpeg.decodeJpeg(p)
+      else if (Gif.isGif(p)) Gif.decodeGif(p)
       else FakeCodec.decodeImage(p)
     override def decodeAudio(p: Array[Byte]): (Int, Array[Float]) =
       if (Containers.isWav(p)) Containers.decodeWav(p)
@@ -927,6 +928,19 @@ object Multimodal {
     withPayload(df, grayCol)(bytes => Jpeg.encodeGray(w, h, bytes,
       if (unitQuant) Jpeg.UnitQuant else Jpeg.StdLumaQuant, restartMcus))
 
+  /** Append a REAL GIF87a `payload` ([[Gif.encodeGif]] — real LZW) from
+   *  a binary column holding palette||indices: the first 3·k bytes are
+   *  the k-color palette (k a power of two), the rest w·h indices. */
+  def withGifPayload(df: DataFrame, srcCol: String, w: Int, h: Int,
+      colors: Int): DataFrame =
+    withPayload(df, srcCol) { bytes =>
+      require(bytes.length == 3 * colors + w * h,
+        s"need 3*colors + w*h = ${3 * colors + w * h} bytes, got ${bytes.length}")
+      Gif.encodeGif(w, h,
+        java.util.Arrays.copyOfRange(bytes, 3 * colors, bytes.length),
+        java.util.Arrays.copyOf(bytes, 3 * colors))
+    }
+
   /** [[withJpegPayload]] variant for the EXACT-round-trip oracle shape:
    *  each of the `tiles`×`tiles` seed bytes becomes a solid
    *  `tileSize`×`tileSize` gray tile (tileSize = 8 makes every JPEG
@@ -970,6 +984,46 @@ object Multimodal {
       Avi.encodeAvi(w, h, fps, (0 until nFrames).map(f =>
         java.util.Arrays.copyOfRange(bytes, f * w * h * 3, (f + 1) * w * h * 3)))
     }
+
+  /** Heterogeneous-corpus builder: ONE binary `payload` column whose
+   *  format varies per row — `kindCol` 0 → BMP 4×2, 1 → PNG 4×2 (both
+   *  from the first 24 seed bytes), 2 → unit-quant tiled JPEG 32×32
+   *  (first 16 seed bytes, restart markers). The realistic input shape
+   *  for [[SniffCodec]]: a single decode pass must dispatch per row. */
+  def withMixedImagePayload(df: DataFrame, seedCol: String,
+      kindCol: String): DataFrame = {
+    val inSchema = df.schema
+    val seedIdx = inSchema.fieldIndex(seedCol)
+    val kindIdx = inSchema.fieldIndex(kindCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField("payload", org.apache.spark.sql.types.BinaryType,
+        nullable = false))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.map { r =>
+        val seed = r.getAs[Array[Byte]](seedIdx)
+        require(seed.length >= 24, s"need >= 24 seed bytes, got ${seed.length}")
+        val payload = r.getAs[Number](kindIdx).longValue() match {
+          case 0L => Containers.encodeBmp(4, 2, java.util.Arrays.copyOf(seed, 24))
+          case 1L => Png.encodePng(4, 2, java.util.Arrays.copyOf(seed, 24))
+          case 2L =>
+            val tiles = java.util.Arrays.copyOf(seed, 16)
+            val gray = new Array[Byte](32 * 32)
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) {
+                gray(y * 32 + x) = tiles((y / 8) * 4 + (x / 8)); x += 1
+              }
+              y += 1
+            }
+            Jpeg.encodeGray(32, 32, gray, Jpeg.UnitQuant, restartMcus = 5)
+          case k => throw new IllegalArgumentException(s"bad media kind $k")
+        }
+        Row.fromSeq(r.toSeq :+ payload)
+      })
+    }(encoder)
+  }
 
   private def withPayload(df: DataFrame, srcCol: String)(
       enc: Array[Byte] => Array[Byte]): DataFrame = {

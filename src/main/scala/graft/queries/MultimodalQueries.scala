@@ -255,6 +255,89 @@ object MultimodalQueries extends QueryProvider {
       |  CAST(sum(byte) * 64 AS BIGINT) AS pix_byte_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** REAL GIF round-trip through real LZW compression: 24 md5 bytes
+   *  become an 8-color palette, the 4×2 frame indexes colors 0..7 in
+   *  order, the payload round-trips through `Gif.encodeGif`'s
+   *  variable-width LZW and the sniffing decode — GIF is lossless for
+   *  paletted data, so the decoded tensor folds back to the exact byte
+   *  sum DuckDB recomputes from the hex digests (format='gif' certifies
+   *  the sniff picked the real LZW path). */
+  private def gifRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = T(s, dir, "documents").select(col("doc_id"),
+      expr("concat(substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24), " +
+        "unhex('0001020304050607'))").as("src"))
+    Multimodal.decodeImage(
+        Multimodal.withGifPayload(src, "src", w = 4, h = 2, colors = 8)
+          .drop("src"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val gifRoundtripSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') AS hx FROM documents
+      |), d AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 25) r
+      |)
+      |SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+      |  'gif' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
+      |FROM d GROUP BY doc_id""".stripMargin
+
+  /** Heterogeneous-corpus decode — the production shape of the real
+   *  codecs: ONE binary column whose per-row format cycles BMP/PNG/JPEG
+   *  (`withMixedImagePayload`), ONE `decodeImage(SniffCodec)` pass that
+   *  must magic-dispatch per row. The oracle replays format, dims and
+   *  byte sum per arm from the hex digests, so the hash certifies the
+   *  dispatch AND all three decode paths in a single row set — a wrong
+   *  sniff shows up as a wrong format string or a fake-codec byte sum. */
+  private def mixedCodecs(s: SparkSession, dir: String): DataFrame = {
+    val seeded = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
+        .as("seed"),
+      pmod(col("doc_id"), lit(3)).as("kind"))
+    Multimodal.decodeImage(
+        Multimodal.withMixedImagePayload(seeded, "seed", "kind")
+          .drop("seed"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"), col("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val mixedCodecsSql =
+    """WITH h AS (
+      |  SELECT doc_id, doc_id % 3 AS kind,
+      |    md5(text) || md5(text || 'x') AS hx
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, kind,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte, r.range AS pos
+      |  FROM h, range(1, 25) r
+      |)
+      |SELECT doc_id, kind,
+      |  CAST(CASE WHEN kind = 2 THEN 32 ELSE 4 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN kind = 2 THEN 32 ELSE 2 END AS INTEGER) AS height,
+      |  CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'jpeg' END
+      |    AS format,
+      |  CAST(CASE WHEN kind = 2
+      |    THEN 64 * sum(CASE WHEN pos <= 16 THEN byte ELSE 0 END)
+      |    ELSE sum(byte) END AS BIGINT) AS pix_byte_sum
+      |FROM d GROUP BY doc_id, kind""".stripMargin
+
   /** REAL WAV round-trip, same discipline: 16 md5 bytes → 8 LE PCM16
    *  samples → a real mono WAV → sniffed decode → Σ round(sample·32768)
    *  equals the signed-16 sum DuckDB recomputes from the hex digest. */
@@ -333,6 +416,8 @@ object MultimodalQueries extends QueryProvider {
     "mm_bmp_roundtrip"   -> (bmpRoundtrip _),
     "mm_png_roundtrip"   -> (pngRoundtrip _),
     "mm_jpeg_roundtrip"  -> (jpegRoundtrip _),
+    "mm_mixed_codecs"    -> (mixedCodecs _),
+    "mm_gif_roundtrip"   -> (gifRoundtrip _),
     "mm_wav_roundtrip"   -> (wavRoundtrip _),
     "mm_image_meta"      -> (imageMeta _),
     "mm_image_features"  -> (imageFeatures _),
@@ -346,6 +431,8 @@ object MultimodalQueries extends QueryProvider {
     "mm_bmp_roundtrip"   -> bmpRoundtripSql,
     "mm_png_roundtrip"   -> pngRoundtripSql,
     "mm_jpeg_roundtrip"  -> jpegRoundtripSql,
+    "mm_mixed_codecs"    -> mixedCodecsSql,
+    "mm_gif_roundtrip"   -> gifRoundtripSql,
     "mm_wav_roundtrip"   -> wavRoundtripSql,
     "mm_image_meta"      -> imageMetaSql,
     "mm_image_features"  -> imageFeaturesSql,

@@ -504,6 +504,81 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("truncated"), e4.getMessage)
   }
 
+  test("Gif: paletted round-trip through real variable-width LZW is " +
+      "bit-exact (dict growth across width bumps, KwKwK, dict-full " +
+      "reset); ImageIO cross-checks both directions") {
+    import graft.operators.Gif
+    // big enough to force several code-width bumps and repeated runs
+    // (the KwKwK pattern comes from aaa... runs)
+    val w = 64; val h = 48
+    val palette = Array.tabulate[Byte](16 * 3)(i => (i * 5 + 3).toByte)
+    val indices = Array.tabulate[Byte](w * h) { i =>
+      val y = i / w; val x = i % w
+      (if (x < 16) x % 16 // distinct run
+       else if (x < 32) 7 // long constant run -> KwKwK codes
+       else (x * y) % 16).toByte
+    }
+    val gif = Gif.encodeGif(w, h, indices, palette)
+    assert(Gif.isGif(gif))
+    val (dw, dh, dc, fmt, px) = Gif.decodeGif(gif)
+    assert((dw, dh, dc, fmt) == ((w, h, 3, "gif")))
+    for (i <- 0 until w * h; c <- 0 until 3) {
+      val want = palette((indices(i) & 0xFF) * 3 + c) & 0xFF
+      assert(math.round(px(i * 3 + c) * 255) == want,
+        s"pixel $i channel $c: ${math.round(px(i * 3 + c) * 255)} != $want")
+    }
+    // ImageIO reads our bytes to the same pixels
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val i = (y * w + x) * 3
+      assert(((argb >> 16) & 0xFF) == math.round(px(i) * 255) &&
+        ((argb >> 8) & 0xFF) == math.round(px(i + 1) * 255) &&
+        (argb & 0xFF) == math.round(px(i + 2) * 255),
+        s"ImageIO disagrees at ($x,$y)")
+    }
+    // our decoder reads ImageIO's GIF encoder output (its own LZW,
+    // its own palette assignment) pixel-exactly
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      bi.setRGB(x, y, (math.round(px(i) * 255).toInt << 16) |
+        (math.round(px(i + 1) * 255).toInt << 8) |
+        math.round(px(i + 2) * 255).toInt)
+    }
+    val o = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", o))
+    val (w2, h2, _, _, px2) = Gif.decodeGif(o.toByteArray)
+    assert(w2 == w && h2 == h)
+    assert(px2.toSeq == px.toSeq, "decode of ImageIO-encoded GIF drifted")
+  }
+
+  test("Gif: malformed payloads fail LOUDLY - truncated LZW, missing " +
+      "color table, overrun frame, unknown block") {
+    import graft.operators.Gif
+    val palette = Array.tabulate[Byte](4 * 3)(i => (i * 9).toByte)
+    val indices = Array.tabulate[Byte](8 * 4)(i => (i % 4).toByte)
+    val gif = Gif.encodeGif(8, 4, indices, palette)
+    // truncated mid-LZW
+    val cut = java.util.Arrays.copyOf(gif, gif.length - 4)
+    val e1 = intercept[IllegalArgumentException](Gif.decodeGif(cut))
+    assert(e1.getMessage.contains("truncated GIF"), e1.getMessage)
+    // no global color table and no local one: flip the GCT flag off
+    val noPal = gif.clone(); noPal(10) = (noPal(10) & 0x7F).toByte
+    val e2 = intercept[IllegalArgumentException](Gif.decodeGif(noPal))
+    // (dropping the flag shifts all offsets, so ANY named require may
+    // fire - the point is a loud IllegalArgumentException, not a crash)
+    assert(e2.getMessage.nonEmpty)
+    // unknown block type where the image descriptor should be
+    val badBlock = gif.clone()
+    badBlock(13 + 12) = 0x55 // first byte after the 4-color table
+    val e3 = intercept[IllegalArgumentException](Gif.decodeGif(badBlock))
+    assert(e3.getMessage.contains("unknown GIF block") ||
+      e3.getMessage.contains("truncated GIF"), e3.getMessage)
+  }
+
   test("SniffCodec: real containers decode for real, anything else falls " +
       "to the deterministic stub - through the operator path") {
     import spark.implicits._
