@@ -1,0 +1,207 @@
+package graft.operators
+
+/**
+ * Real IMA ADPCM codec (WAV format tag 0x0011) — the first COMPRESSED
+ * audio format next to [[Multimodal.Containers]]' PCM16 WAV, in pure
+ * integer arithmetic (the step/index tables and 4-bit quantizer of the
+ * IMA spec). 4:1 compression, block-structured: each block header
+ * carries the first sample VERBATIM (int16) plus the step index, then
+ * packs one 4-bit nibble per remaining sample.
+ *
+ * Exactness note for oracles: the codec is lossy in general, but a
+ * block holding a CONSTANT signal round-trips EXACTLY — the header
+ * stores sample 0 verbatim, every following delta quantizes to nibble
+ * 0, and with step index 0 the step stays 7 whose `step >> 3`
+ * reconstruction term is 0, so the predictor never moves
+ * (`mm_adpcm_roundtrip` hash-certifies the real block/nibble path on
+ * that shape; general waveforms are spec-bounded: |error| <= step).
+ *
+ * 100 TB shape: partition-local per payload inside
+ * [[Multimodal.decodeAudio]]'s batched loop; state is one predictor +
+ * step index per block, blobs never move.
+ */
+object Adpcm {
+
+  private val StepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val IndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def clampS16(v: Int): Int =
+    if (v < -32768) -32768 else if (v > 32767) 32767 else v
+  private def clampIdx(v: Int): Int =
+    if (v < 0) 0 else if (v > 88) 88 else v
+
+  /** One quantize step: (nibble, new predictor, new step index). The
+   *  predictor update REPLAYS the decoder's reconstruction so encoder
+   *  and decoder state never drift. */
+  private def quantize(sample: Int, pred: Int, idx: Int): (Int, Int, Int) = {
+    val step = StepTable(idx)
+    var diff = sample - pred
+    var nibble = 0
+    if (diff < 0) { nibble = 8; diff = -diff }
+    var vpdiff = step >> 3
+    if (diff >= step) { nibble |= 4; diff -= step; vpdiff += step }
+    if (diff >= (step >> 1)) { nibble |= 2; diff -= step >> 1; vpdiff += step >> 1 }
+    if (diff >= (step >> 2)) { nibble |= 1; vpdiff += step >> 2 }
+    val newPred = clampS16(if ((nibble & 8) != 0) pred - vpdiff else pred + vpdiff)
+    (nibble, newPred, clampIdx(idx + IndexTable(nibble)))
+  }
+
+  private def reconstruct(nibble: Int, pred: Int, idx: Int): (Int, Int) = {
+    val step = StepTable(idx)
+    var vpdiff = step >> 3
+    if ((nibble & 4) != 0) vpdiff += step
+    if ((nibble & 2) != 0) vpdiff += step >> 1
+    if ((nibble & 1) != 0) vpdiff += step >> 2
+    val newPred = clampS16(if ((nibble & 8) != 0) pred - vpdiff else pred + vpdiff)
+    (newPred, clampIdx(idx + IndexTable(nibble)))
+  }
+
+  /** Is this WAV payload IMA-ADPCM coded (format tag 0x0011)? */
+  def isAdpcmWav(p: Array[Byte]): Boolean =
+    Multimodal.Containers.isWav(p) && wavFormatTag(p) == 0x11
+
+  /** The fmt-chunk format tag of a WAV payload (-1 if unreadable). */
+  def wavFormatTag(p: Array[Byte]): Int = {
+    if (!Multimodal.Containers.isWav(p)) return -1
+    var at = 12
+    while (at + 8 <= p.length) {
+      val id = new String(p, at, 4, "US-ASCII")
+      val size = le32(p, at + 4)
+      if (size < 0 || at + 8 + size.toLong > p.length) return -1
+      if (id == "fmt " && size >= 2) return le16(p, at + 8)
+      at += 8 + size + (size & 1)
+    }
+    -1
+  }
+
+  private def le16(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
+      ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
+
+  /** Mono IMA-ADPCM WAV from PCM16 samples. `blockAlign` bytes per
+   *  block (>= 8): 4-byte header + 2 samples/byte, so
+   *  samplesPerBlock = (blockAlign - 4) * 2 + 1. The final partial
+   *  block is padded by repeating the last sample (decoders see the
+   *  declared `fact` sample count and truncate). */
+  def encodeAdpcmWav(sampleRate: Int, samples: Array[Short],
+      blockAlign: Int = 256): Array[Byte] = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    require(blockAlign >= 8 && blockAlign % 4 == 0,
+      s"blockAlign must be >= 8 and a multiple of 4, got $blockAlign")
+    require(samples.nonEmpty, "need at least one sample")
+    val spb = (blockAlign - 4) * 2 + 1
+    val nBlocks = (samples.length + spb - 1) / spb
+    val dataLen = nBlocks * blockAlign
+    val o = new java.io.ByteArrayOutputStream(60 + dataLen)
+    def w16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    def tag(s: String): Unit = s.getBytes("US-ASCII").foreach(o.write(_))
+    tag("RIFF"); w32(4 + 8 + 20 + 8 + 4 + 8 + dataLen); tag("WAVE")
+    tag("fmt "); w32(20)
+    w16(0x11); w16(1); w32(sampleRate)
+    w32(sampleRate * blockAlign / spb) // approx byte rate
+    w16(blockAlign); w16(4) // bits per sample
+    w16(2); w16(spb) // cbSize, samplesPerBlock
+    tag("fact"); w32(4); w32(samples.length)
+    tag("data"); w32(dataLen)
+    var b = 0
+    // step index carries ACROSS blocks (each header records the running
+    // index) — resetting to 0 per block slew-limits fast content at
+    // every boundary (measured 0.145 FS error on a sine; carried, the
+    // only ramp-up is at t = 0). Constant blocks stay exact: their
+    // zero-nibbles never raise the index.
+    var idx = 0
+    while (b < nBlocks) {
+      val base = b * spb
+      def sampleAt(i: Int): Int =
+        samples(math.min(base + i, samples.length - 1)).toInt
+      var pred = sampleAt(0)
+      w16(pred & 0xFFFF); o.write(idx); o.write(0)
+      var i = 1
+      var lowNibble = -1
+      while (i < spb) {
+        val (n, p2, i2) = quantize(sampleAt(i), pred, idx)
+        pred = p2; idx = i2
+        if (lowNibble < 0) lowNibble = n
+        else { o.write(lowNibble | (n << 4)); lowNibble = -1 }
+        i += 1
+      }
+      require(lowNibble < 0, "samplesPerBlock bookkeeping broke") // spb-1 even
+      b += 1
+    }
+    o.toByteArray
+  }
+
+  /** (sampleRate, mono samples in [-1,1]) from a mono IMA-ADPCM WAV.
+   *  Walks the RIFF chunk list like [[Multimodal.Containers.decodeWav]];
+   *  honors the `fact` chunk's true sample count. */
+  def decodeAdpcmWav(p: Array[Byte]): (Int, Array[Float]) = {
+    require(isAdpcmWav(p), "not an IMA-ADPCM WAV payload")
+    var at = 12
+    var rate = 0; var blockAlign = 0; var spb = 0; var ok = false
+    var dataAt = -1; var dataLen = 0; var factSamples = -1
+    while (at + 8 <= p.length) {
+      val id = new String(p, at, 4, "US-ASCII")
+      val size = le32(p, at + 4)
+      require(size >= 0 && at + 8 + size.toLong <= p.length,
+        s"truncated WAV chunk '$id' at $at (size $size)")
+      if (id == "fmt ") {
+        require(size >= 20, s"ADPCM fmt chunk too short: $size")
+        require(le16(p, at + 8) == 0x11, "not IMA-ADPCM")
+        require(le16(p, at + 10) == 1, "only mono IMA-ADPCM is supported")
+        rate = le32(p, at + 12)
+        blockAlign = le16(p, at + 20)
+        require(le16(p, at + 22) == 4, "only 4-bit IMA-ADPCM is supported")
+        spb = le16(p, at + 26)
+        require(blockAlign >= 8 && spb == (blockAlign - 4) * 2 + 1,
+          s"inconsistent ADPCM block layout (align $blockAlign, spb $spb)")
+        ok = true
+      } else if (id == "fact") {
+        require(size >= 4, "fact chunk too short")
+        factSamples = le32(p, at + 8)
+      } else if (id == "data") { dataAt = at + 8; dataLen = size }
+      at += 8 + size + (size & 1)
+    }
+    require(ok && dataAt >= 0, "ADPCM WAV missing fmt/data chunk")
+    require(dataLen % blockAlign == 0,
+      s"ADPCM data length $dataLen not a whole number of $blockAlign-byte blocks")
+    val nBlocks = dataLen / blockAlign
+    val total = nBlocks * spb
+    val n = if (factSamples >= 0) math.min(factSamples, total) else total
+    val out = new Array[Float](n)
+    var b = 0
+    var w = 0
+    while (b < nBlocks && w < n) {
+      val base = dataAt + b * blockAlign
+      var pred = (le16(p, base) << 16) >> 16 // sign-extend
+      var idx = p(base + 2) & 0xFF
+      require(idx <= 88, s"bad ADPCM step index $idx")
+      out(w) = pred / 32768.0f
+      w += 1
+      var i = 0
+      val nibbles = (blockAlign - 4) * 2
+      while (i < nibbles && w < n) {
+        val byte = p(base + 4 + (i >> 1)) & 0xFF
+        val nib = if ((i & 1) == 0) byte & 0x0F else byte >> 4
+        val (p2, i2) = reconstruct(nib, pred, idx)
+        pred = p2; idx = i2
+        out(w) = pred / 32768.0f
+        w += 1
+        i += 1
+      }
+      b += 1
+    }
+    (rate, out)
+  }
+}

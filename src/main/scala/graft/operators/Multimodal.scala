@@ -599,7 +599,8 @@ object Multimodal {
       else if (Gif.isGif(p)) Gif.decodeGif(p)
       else FakeCodec.decodeImage(p)
     override def decodeAudio(p: Array[Byte]): (Int, Array[Float]) =
-      if (Containers.isWav(p)) Containers.decodeWav(p)
+      if (Adpcm.isAdpcmWav(p)) Adpcm.decodeAdpcmWav(p)
+      else if (Containers.isWav(p)) Containers.decodeWav(p)
       else FakeCodec.decodeAudio(p)
   }
 
@@ -927,6 +928,37 @@ object Multimodal {
       unitQuant: Boolean = false, restartMcus: Int = 0): DataFrame =
     withPayload(df, grayCol)(bytes => Jpeg.encodeGray(w, h, bytes,
       if (unitQuant) Jpeg.UnitQuant else Jpeg.StdLumaQuant, restartMcus))
+
+  /** Append a REAL mono IMA-ADPCM WAV `payload` from a binary column of
+   *  little-endian PCM16 bytes (general lossy path). */
+  def withAdpcmPayload(df: DataFrame, pcmCol: String, sampleRate: Int,
+      blockAlign: Int = 256): DataFrame =
+    withPayload(df, pcmCol) { bytes =>
+      require(bytes.length % 2 == 0, "PCM16 byte column must have even length")
+      val samples = Array.tabulate[Short](bytes.length / 2)(i =>
+        (((bytes(2 * i) & 0xFF) | ((bytes(2 * i + 1) & 0xFF) << 8)).toShort))
+      Adpcm.encodeAdpcmWav(sampleRate, samples, blockAlign)
+    }
+
+  /** [[withAdpcmPayload]] variant for the EXACT-round-trip oracle shape:
+   *  each LE int16 in the seed becomes one CONSTANT ADPCM block (the
+   *  header stores it verbatim and zero-nibbles keep the predictor
+   *  still — see [[Adpcm]]), so the lossy codec round-trips exactly. */
+  def withConstantBlockAdpcmPayload(df: DataFrame, seedCol: String,
+      sampleRate: Int, blockAlign: Int = 8): DataFrame =
+    withPayload(df, seedCol) { seed =>
+      require(seed.length % 2 == 0, "seed must be an even byte count")
+      val spb = (blockAlign - 4) * 2 + 1
+      val samples = new Array[Short](seed.length / 2 * spb)
+      var b = 0
+      while (b < seed.length / 2) {
+        val v = (((seed(2 * b) & 0xFF) | ((seed(2 * b + 1) & 0xFF) << 8)).toShort)
+        var i = 0
+        while (i < spb) { samples(b * spb + i) = v; i += 1 }
+        b += 1
+      }
+      Adpcm.encodeAdpcmWav(sampleRate, samples, blockAlign)
+    }
 
   /** Append a REAL GIF87a `payload` ([[Gif.encodeGif]] — real LZW) from
    *  a binary column holding palette||indices: the first 3·k bytes are

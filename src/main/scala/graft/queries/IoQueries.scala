@@ -62,6 +62,24 @@ object IoQueries extends QueryProvider {
 
   private val textSql = "SELECT text AS value FROM documents"
 
+  /** Documents through GZIP-compressed JSON lines — the shape a raw web
+   *  corpus actually arrives in (WET/JSONL.gz dumps). Write-side codec
+   *  is explicit; read-side decompression is extension-dispatched by
+   *  Spark's datasource layer. 100 TB note: .gz is NOT splittable — one
+   *  file = one task — so ingest jobs shard the corpus into many
+   *  files (here: the write's natural partitioning) and re-frame to
+   *  parquet/zstd immediately; this query certifies the ingest hop. */
+  private def gzipJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.dir(dir, "documents_jsonl_gz")
+    T(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      .write.mode(SaveMode.Overwrite).option("compression", "gzip")
+      .json(path)
+    s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(path)
+      .select("doc_id", "lang", "text")
+  }
+
+  private val gzipJsonSql = "SELECT doc_id, lang, text FROM documents"
+
   /**
    * Schema evolution across ingest batches: an early batch without a
    * column and a later batch with it land in the same dataset;
@@ -97,6 +115,7 @@ object IoQueries extends QueryProvider {
     "io_csv_roundtrip"  -> (csvRoundtrip _),
     "io_json_roundtrip" -> (jsonRoundtrip _),
     "io_orc_roundtrip"  -> (orcRoundtrip _),
+    "io_gzip_jsonl"     -> (gzipJsonRoundtrip _),
     "io_text_roundtrip" -> (textRoundtrip _)
   )
 
@@ -105,6 +124,7 @@ object IoQueries extends QueryProvider {
     "io_csv_roundtrip"  -> csvSql,
     "io_json_roundtrip" -> jsonSql,
     "io_orc_roundtrip"  -> orcSql,
+    "io_gzip_jsonl"     -> gzipJsonSql,
     "io_text_roundtrip" -> textSql
   )
 }

@@ -372,6 +372,45 @@ object MultimodalQueries extends QueryProvider {
       |    AS BIGINT) AS sample_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** REAL compressed-audio round-trip through IMA ADPCM: 16 md5 bytes
+   *  become 8 LE int16 values, each a CONSTANT 9-sample ADPCM block —
+   *  the shape the lossy codec reproduces EXACTLY (block headers carry
+   *  the value verbatim, zero-nibbles hold the predictor still) — so
+   *  DuckDB replays Σ round(sample·32768) = 9 × Σ signed16 from the
+   *  hex digest. The hash certifies block layout, nibble packing and
+   *  the step/index reconstruction; general waveforms are spec-bounded. */
+  private def adpcmRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val seed = T(s, dir, "documents").select(col("doc_id"),
+      expr("unhex(md5(text))").as("seed"))
+    Multimodal.decodeAudio(
+        Multimodal.withConstantBlockAdpcmPayload(seed, "seed",
+          sampleRate = 16000).drop("seed"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"), col("sample_rate"),
+        size(col("samples")).cast("long").as("n_samples"),
+        expr("aggregate(samples, 0L, (acc, x) -> acc + CAST(round(x * 32768) AS BIGINT))")
+          .as("sample_sum"))
+  }
+
+  private val adpcmRoundtripSql =
+    """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[4 * r.range - 3 : 4 * r.range - 3]) - 1)
+      |    + (strpos('0123456789abcdef', hx[4 * r.range - 2 : 4 * r.range - 2]) - 1)
+      |    + 256 * (16 * (strpos('0123456789abcdef',
+      |        hx[4 * r.range - 1 : 4 * r.range - 1]) - 1)
+      |      + (strpos('0123456789abcdef', hx[4 * r.range : 4 * r.range]) - 1))
+      |      AS u16
+      |  FROM h, range(1, 9) r
+      |)
+      |SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+      |  CAST(72 AS BIGINT) AS n_samples,
+      |  CAST(9 * sum(CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END)
+      |    AS BIGINT) AS sample_sum
+      |FROM d GROUP BY doc_id""".stripMargin
+
   /** REAL AVI round-trip: 36 md5-derived RGB bytes become three 2×2
    *  frames in a real RIFF/AVI container (`withAviPayload`), the
    *  payload decodes through `decodeVideoFrames` (RIFF tree walk,
@@ -418,6 +457,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_jpeg_roundtrip"  -> (jpegRoundtrip _),
     "mm_mixed_codecs"    -> (mixedCodecs _),
     "mm_gif_roundtrip"   -> (gifRoundtrip _),
+    "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
     "mm_wav_roundtrip"   -> (wavRoundtrip _),
     "mm_image_meta"      -> (imageMeta _),
     "mm_image_features"  -> (imageFeatures _),
@@ -433,6 +473,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_jpeg_roundtrip"  -> jpegRoundtripSql,
     "mm_mixed_codecs"    -> mixedCodecsSql,
     "mm_gif_roundtrip"   -> gifRoundtripSql,
+    "mm_adpcm_roundtrip" -> adpcmRoundtripSql,
     "mm_wav_roundtrip"   -> wavRoundtripSql,
     "mm_image_meta"      -> imageMetaSql,
     "mm_image_features"  -> imageFeaturesSql,

@@ -579,6 +579,49 @@ class MultimodalSpec extends AnyFunSuite {
       e3.getMessage.contains("truncated GIF"), e3.getMessage)
   }
 
+  test("Adpcm: constant blocks round-trip EXACTLY through the real " +
+      "nibble/step path; a sine wave decodes within the step bound; " +
+      "the fact chunk truncates padding; malformed payloads fail loudly") {
+    import graft.operators.Adpcm
+    // constant blocks, extreme values included
+    val vals = Array[Short](0, 32767, -32768, -1, 1, 12345, -20000, 255)
+    val spb = (8 - 4) * 2 + 1 // blockAlign 8 -> 9 samples per block
+    val const = vals.flatMap(v => Array.fill(spb)(v))
+    val wav = Adpcm.encodeAdpcmWav(16000, const, blockAlign = 8)
+    assert(Adpcm.isAdpcmWav(wav) && Adpcm.wavFormatTag(wav) == 0x11)
+    val (rate, out) = Adpcm.decodeAdpcmWav(wav)
+    assert(rate == 16000 && out.length == const.length)
+    assert(out.toSeq == const.map(_ / 32768.0f).toSeq,
+      "constant-block ADPCM round-trip not exact")
+    // general waveform: |error| bounded by the local step size; a sine
+    // sweep stays well inside 1/8 full scale everywhere after warm-up
+    val sine = Array.tabulate[Short](2048)(i =>
+      (math.sin(i * 0.05) * 20000).toShort)
+    val wav2 = Adpcm.encodeAdpcmWav(8000, sine, blockAlign = 256)
+    val (r2, out2) = Adpcm.decodeAdpcmWav(wav2)
+    assert(r2 == 8000 && out2.length == sine.length)
+    // skip the documented t=0 ramp-up: the step starts at 7 and must
+    // grow geometrically to track a ~1000/sample slope
+    var maxErr = 0.0
+    for (i <- 64 until sine.length)
+      maxErr = math.max(maxErr, math.abs(out2(i) - sine(i) / 32768.0f))
+    assert(maxErr <= 0.125, s"ADPCM error $maxErr exceeds 1/8 full scale")
+    // fact chunk truncates the final padded block
+    val odd = Array.tabulate[Short](spb + 3)(i => (i * 100).toShort)
+    val wav3 = Adpcm.encodeAdpcmWav(16000, odd, blockAlign = 8)
+    assert(Adpcm.decodeAdpcmWav(wav3)._2.length == odd.length,
+      "fact-chunk sample count not honored")
+    // truncated payload fails loudly
+    val cut = java.util.Arrays.copyOf(wav, wav.length - 3)
+    val e1 = intercept[IllegalArgumentException](Adpcm.decodeAdpcmWav(cut))
+    assert(e1.getMessage.contains("truncated"), e1.getMessage)
+    // PCM16 WAVs keep routing to the PCM decoder through the sniff seam
+    val pcm = Multimodal.Containers.encodeWav(8000, Array[Short](5, -5))
+    assert(!Adpcm.isAdpcmWav(pcm))
+    assert(Multimodal.SniffCodec.decodeAudio(pcm)._2.length == 2)
+    assert(Multimodal.SniffCodec.decodeAudio(wav)._2.length == const.length)
+  }
+
   test("SniffCodec: real containers decode for real, anything else falls " +
       "to the deterministic stub - through the operator path") {
     import spark.implicits._
