@@ -255,6 +255,44 @@ object MultimodalQueries extends QueryProvider {
       |  CAST(sum(byte) * 64 AS BIGINT) AS pix_byte_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** The 18th composition flagship: REAL codecs feeding the near-dup
+   *  machinery end-to-end. A heterogeneous corpus (per-row BMP/PNG/JPEG,
+   *  `withMixedImagePayload`) decodes through the sniffing codec, every
+   *  decoded tensor collapses to an aHash signature
+   *  (`imagePhash(SniffCodec)` — REAL pixels now, not the stub), the
+   *  signature table materializes (the stored-index production shape),
+   *  and the text pipeline's 4×16-bit pigeonhole blocking mines
+   *  hamming ≤ 3 near-dups from it verbatim. DuckDB brute-forces
+   *  all-pairs hamming over the same materialized table, so the hash
+   *  certifies decode → signature → blocking recall in one row set.
+   *
+   *  100 TB shape: payloads never shuffle (phash is one batched
+   *  mapPartitions collapsing each blob to 8 bytes); the pair join runs
+   *  on 16-bit band keys over the slim signature table. */
+  private def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val seeded = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
+        .as("seed"),
+      pmod(col("doc_id"), lit(3)).as("kind"))
+    val media = Multimodal.withMixedImagePayload(seeded, "seed", "kind")
+      .drop("seed", "kind")
+    Scratch.materialize(s, dir, "media_phash_sigs",
+      Multimodal.imagePhash(media, "payload", "doc_id",
+        codec = Multimodal.SniffCodec))
+    graft.operators.Dedup.simHashFromSignatures(
+      s.read.parquet(Scratch.dir(dir, "media_phash_sigs")), maxHamming = 3)
+  }
+
+  private val mediaDedupSql =
+    s"""WITH sigs AS (
+       |  SELECT doc, simhash
+       |  FROM read_parquet('${Scratch.oraclePath("media_phash_sigs")}/*.parquet')
+       |)
+       |SELECT a.doc AS doc_a, b.doc AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc < b.doc
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   /** REAL GIF round-trip through real LZW compression: 24 md5 bytes
    *  become an 8-color palette, the 4×2 frame indexes colors 0..7 in
    *  order, the payload round-trips through `Gif.encodeGif`'s
@@ -458,6 +496,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mixed_codecs"    -> (mixedCodecs _),
     "mm_gif_roundtrip"   -> (gifRoundtrip _),
     "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
+    "pipeline_media_dedup" -> (mediaDedup _),
     "mm_wav_roundtrip"   -> (wavRoundtrip _),
     "mm_image_meta"      -> (imageMeta _),
     "mm_image_features"  -> (imageFeatures _),
@@ -474,6 +513,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mixed_codecs"    -> mixedCodecsSql,
     "mm_gif_roundtrip"   -> gifRoundtripSql,
     "mm_adpcm_roundtrip" -> adpcmRoundtripSql,
+    "pipeline_media_dedup" -> mediaDedupSql,
     "mm_wav_roundtrip"   -> wavRoundtripSql,
     "mm_image_meta"      -> imageMetaSql,
     "mm_image_features"  -> imageFeaturesSql,
