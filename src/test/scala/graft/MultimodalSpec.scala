@@ -622,6 +622,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.SniffCodec.decodeAudio(wav)._2.length == const.length)
   }
 
+  test("codec property sweep: random images round-trip PNG and GIF " +
+      "bit-exactly, JPEG DC-only tiles exactly, ADPCM constants exactly, " +
+      "and ImageIO agrees on every PNG/GIF byte stream (40 seeds each)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.{Gif, Jpeg, Adpcm}
+    val dims = for {
+      w <- Gen.choose(1, 23)
+      h <- Gen.choose(1, 17)
+    } yield (w, h)
+    for (seed <- 1 to 40) {
+      val (w, h) = dims.apply(Gen.Parameters.default, Seed(seed.toLong)).get
+      val rnd = new scala.util.Random(seed * 7919)
+      // PNG: arbitrary RGB bytes
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val png = Multimodal.Png.encodePng(w, h, rgb)
+      val (pw, ph, _, _, ppx) = Multimodal.Png.decodePng(png)
+      assert(pw == w && ph == h &&
+        ppx.toSeq == rgb.map(b => (b & 0xFF) / 255.0f).toSeq, s"PNG seed $seed")
+      val pimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = pimg.getRGB(x, y); val i = (y * w + x) * 3
+        assert(((argb >> 16) & 0xFF) == (rgb(i) & 0xFF) &&
+          ((argb >> 8) & 0xFF) == (rgb(i + 1) & 0xFF) &&
+          (argb & 0xFF) == (rgb(i + 2) & 0xFF), s"PNG/ImageIO seed $seed ($x,$y)")
+      }
+      // GIF: random power-of-two palette + indices
+      val kBits = 1 + rnd.nextInt(8)
+      val k = 1 << kBits
+      val pal = Array.fill[Byte](k * 3)(rnd.nextInt(256).toByte)
+      val idxs = Array.fill[Byte](w * h)(rnd.nextInt(k).toByte)
+      val gif = Gif.encodeGif(w, h, idxs, pal)
+      val (gw, gh, _, _, gpx) = Gif.decodeGif(gif)
+      assert(gw == w && gh == h, s"GIF dims seed $seed")
+      for (i <- 0 until w * h; c <- 0 until 3)
+        assert(math.round(gpx(i * 3 + c) * 255) ==
+          (pal((idxs(i) & 0xFF) * 3 + c) & 0xFF), s"GIF seed $seed px $i.$c")
+      val gimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = gimg.getRGB(x, y); val i = (y * w + x) * 3
+        assert(((argb >> 16) & 0xFF) == math.round(gpx(i) * 255) &&
+          ((argb >> 8) & 0xFF) == math.round(gpx(i + 1) * 255) &&
+          (argb & 0xFF) == math.round(gpx(i + 2) * 255),
+          s"GIF/ImageIO seed $seed ($x,$y)")
+      }
+      // JPEG: random solid 8x8 tiles through unit quant, random restart
+      val tw = 1 + rnd.nextInt(5); val th = 1 + rnd.nextInt(4)
+      val tiles = Array.fill(tw * th)(rnd.nextInt(256))
+      val gray = Array.tabulate[Byte](tw * 8 * th * 8) { i =>
+        val y = i / (tw * 8); val x = i % (tw * 8)
+        tiles((y / 8) * tw + (x / 8)).toByte
+      }
+      val rst = rnd.nextInt(4) // 0 = none
+      val jpg = Jpeg.encodeGray(tw * 8, th * 8, gray, Jpeg.UnitQuant, rst)
+      val (_, _, _, _, jpx) = Jpeg.decodeJpeg(jpg)
+      assert(jpx.toSeq == gray.map(b => (b & 0xFF) / 255.0f).toSeq,
+        s"JPEG seed $seed (rst $rst)")
+      // ADPCM: random constant blocks
+      val spb = (8 - 4) * 2 + 1
+      val vals = Array.fill[Short](1 + rnd.nextInt(12))(rnd.nextInt(65536).toShort)
+      val wav = Adpcm.encodeAdpcmWav(16000,
+        vals.flatMap(v => Array.fill(spb)(v)), blockAlign = 8)
+      val (_, aout) = Adpcm.decodeAdpcmWav(wav)
+      assert(aout.toSeq == vals.flatMap(v => Array.fill(spb)(v / 32768.0f)).toSeq,
+        s"ADPCM seed $seed")
+    }
+  }
+
   test("SniffCodec: real containers decode for real, anything else falls " +
       "to the deterministic stub - through the operator path") {
     import spark.implicits._
