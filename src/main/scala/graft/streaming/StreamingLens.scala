@@ -188,10 +188,48 @@ object StreamingLens {
       idCol: String,
       indexDir: String,
       outDir: String,
-      maxHamming: Int = 3): (DataFrame, Long) => Unit = (batch, _) => {
+      maxHamming: Int = 3): (DataFrame, Long) => Unit = (batch, _) =>
+    signatureGateBody(batch,
+      graft.operators.Dedup.simHashSignatures(batch, textCol, idCol),
+      idCol, indexDir, outDir, maxHamming)
+
+  /**
+   * Streaming MEDIA near-dedup gate — the continuous face of the
+   * `pipeline_media_dedup` batch flagship: per micro-batch, every real
+   * media payload (BMP/PNG/JPEG/GIF, [[graft.operators.Multimodal.SniffCodec]]
+   * magic dispatch per row) collapses to an aHash signature INSIDE the
+   * batch — blobs never enter keyed state or the persistent index —
+   * and the signature then rides the text gate's machinery verbatim:
+   * in-batch pigeonhole near-dups drop, survivors probe the persistent
+   * signature index, kept rows append to `outDir` and their signatures
+   * to `indexDir`. Same arrival-order-greedy semantics and replay
+   * caveat as [[nearDedupGate]].
+   *
+   * 100 TB shape: per-batch cost is one batched mapPartitions decode
+   * (payload → 8 bytes) plus slim 16-bit-band joins; the index holds
+   * 16 B/row regardless of media size.
+   */
+  def mediaDedupGate(
+      payloadCol: String,
+      idCol: String,
+      indexDir: String,
+      outDir: String,
+      maxHamming: Int = 3): (DataFrame, Long) => Unit = (batch, _) =>
+    signatureGateBody(batch,
+      graft.operators.Multimodal.imagePhash(
+        batch.select(col(idCol), col(payloadCol)), payloadCol, idCol,
+        codec = graft.operators.Multimodal.SniffCodec),
+      idCol, indexDir, outDir, maxHamming)
+
+  /** Shared body of the signature-keyed dedup gates: in-batch pigeonhole
+   *  drop, probe against the persistent (doc, simhash) index, append
+   *  kept rows + signatures. */
+  private def signatureGateBody(batch: DataFrame, sigs0: DataFrame,
+      idCol: String, indexDir: String, outDir: String,
+      maxHamming: Int): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
-    val sigs = Dedup.simHashSignatures(batch, textCol, idCol)
+    val sigs = sigs0
       .localCheckpoint() // probe + two appends reuse it; cut the lineage
     val inBatchDropped = Dedup.simHashFromSignatures(sigs, maxHamming)
       .select(col("doc_b").as("doc"))

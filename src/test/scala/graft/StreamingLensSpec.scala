@@ -504,6 +504,46 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("media near-dedup gate: REAL codec payloads (BMP/PNG) collapse " +
+      "to signatures in-batch and near-dup images drop across " +
+      "micro-batches and across FORMATS (same pixels, different codec)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Multimodal
+    val root = java.nio.file.Files.createTempDirectory("mediadedup").toString
+    val (idx, out) = (s"$root/index", s"$root/out")
+    // 8x8 images with structurally DISTINCT bright/dark patterns (aHash
+    // thresholds against the mean, so only the binary structure counts)
+    def rgbOf(bright: (Int, Int) => Boolean): Array[Byte] =
+      Array.tabulate[Byte](8 * 8 * 3) { i =>
+        val px = i / 3
+        (if (bright(px % 8, px / 8)) 230 else 10).toByte
+      }
+    val vSplit = rgbOf((x, _) => x < 4)
+    val bmp1 = Multimodal.Containers.encodeBmp(8, 8, vSplit)
+    val png1 = Multimodal.Png.encodePng(8, 8, vSplit) // same pixels!
+    val bmp2 = Multimodal.Containers.encodeBmp(8, 8, rgbOf((_, y) => y < 4))
+    val png3 = Multimodal.Png.encodePng(8, 8, rgbOf((x, y) => (x + y) % 2 == 0))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = in.toDF.toDF("doc_id", "payload").writeStream
+      .foreachBatch(StreamingLens.mediaDedupGate("payload", "doc_id", idx, out))
+      .start()
+    try {
+      in.addData((1L, bmp1), (2L, bmp2))
+      q.processAllAvailable()
+      // doc 3: the SAME pixels as doc 1 but PNG-encoded — the decode
+      // path differs, the signature must not (cross-format near-dup);
+      // doc 4 is genuinely new
+      in.addData((3L, png1), (4L, png3))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L),
+        s"cross-format media dup not dropped: $kept")
+      val indexed = spark.read.parquet(idx).select("doc").as[Long].collect().toSet
+      assert(indexed == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("volume-spike gate: burst bucket alerts; verdict matches the batch operator") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
