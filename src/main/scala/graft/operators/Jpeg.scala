@@ -235,7 +235,13 @@ object Jpeg {
       var td: Int = 0, var ta: Int = 0)
 
   /** (width, height, channels, "jpeg", row-major top-down floats in
-   *  [0,1]) — channels 1 for grayscale, 3 for YCbCr (converted to RGB). */
+   *  [0,1]) — channels 1 for grayscale, 3 for YCbCr (converted to RGB).
+   *  Handles baseline (SOF0), extended sequential (SOF1) AND progressive
+   *  (SOF2) streams: all scans route through per-component quantized
+   *  coefficient buffers (spectral selection + successive approximation:
+   *  DC/AC first and refinement passes, EOB runs, restart resync), and
+   *  the IDCT runs once at EOI — the libjpeg whole-image-buffer
+   *  strategy, which also unifies the baseline path. */
   def decodeJpeg(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) = {
     require(isJpeg(p), "not a JPEG payload")
     val quant = new Array[Array[Int]](4) // natural order
@@ -243,28 +249,221 @@ object Jpeg {
     val acTabs = new Array[HuffTable](4)
     var w = 0; var h = 0
     var comps: Array[Comp] = null
+    var progressive = false
     var restartInterval = 0
     var at = 2
-    var sosAt = -1
+    var done = false
+    // per-component quantized-coefficient buffers: natural order inside
+    // each block, blocks MCU-padded (interleaved scans address the
+    // padded grid; single-component scans the ceil(compDim/8) prefix)
+    var coefs: Array[Array[Int]] = null
+    var bwPad: Array[Int] = null
+    var bhPad: Array[Int] = null
+    var compBw: Array[Int] = null
+    var compBh: Array[Int] = null
+    var sawDc: Array[Boolean] = null
+    var hmax = 0; var vmax = 0; var mcusX = 0; var mcusY = 0
 
     def u16(i: Int): Int = {
       require(i + 1 < p.length, "truncated JPEG segment length")
       ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
     }
 
-    while (sosAt < 0) {
-      require(at + 1 < p.length, "truncated JPEG before SOS")
+    /** One entropy-coded scan starting right after its SOS segment;
+     *  returns the offset of the next marker's 0xFF. */
+    def decodeScan(q0: Int, dataAt: Int): Int = {
+      require(comps != null, "JPEG SOS before SOF")
+      val ns = p(q0) & 0xFF
+      require(ns >= 1 && ns <= comps.length, s"bad scan component count $ns")
+      val scanComps = new Array[Int](ns)
+      var i = 0
+      while (i < ns) {
+        val cs = p(q0 + 1 + 2 * i) & 0xFF
+        val tt = p(q0 + 2 + 2 * i) & 0xFF
+        val ci = comps.indexWhere(_.id == cs)
+        require(ci >= 0, s"SOS names unknown component $cs")
+        comps(ci).td = tt >> 4
+        comps(ci).ta = tt & 0x0F
+        scanComps(i) = ci
+        i += 1
+      }
+      val ss = p(q0 + 1 + 2 * ns) & 0xFF
+      val se = p(q0 + 2 + 2 * ns) & 0xFF
+      val a = p(q0 + 3 + 2 * ns) & 0xFF
+      val ah = a >> 4
+      val al = a & 0x0F
+      if (progressive) {
+        require(ss <= 63 && se <= 63 && ss <= se, s"bad spectral band $ss..$se")
+        if (ss == 0) require(se == 0, "progressive DC scan must have Se=0")
+        else require(ns == 1, "progressive AC scan must be single-component")
+        require(al <= 13 && (ah == 0 || ah == al + 1),
+          s"bad successive approximation $ah/$al")
+      } else {
+        require(ss == 0 && se == 63 && ah == 0 && al == 0,
+          s"sequential scan with progressive params $ss/$se/$ah/$al")
+      }
+      scanComps.foreach { ci =>
+        val c = comps(ci)
+        if (ss == 0 && ah == 0)
+          require(dcTabs(c.td) != null,
+            s"component ${c.id} uses undefined DC huffman table ${c.td}")
+        if (se >= 1 && (ss > 0 || !progressive))
+          require(acTabs(c.ta) != null,
+            s"component ${c.id} uses undefined AC huffman table ${c.ta}")
+        sawDc(ci) |= ss == 0
+      }
+      val reader = new BitReader(p, dataAt)
+      val dcPred = new Array[Int](ns)
+      var eobrun = 0
+      val interleaved = ns > 1
+      val unitsX = if (interleaved) mcusX else compBw(scanComps(0))
+      val unitsY = if (interleaved) mcusY else compBh(scanComps(0))
+      val totalUnits = unitsX * unitsY
+      var unit = 0
+      var rstN = 0
+      val bandStart = math.max(ss, 1)
+      while (unit < totalUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          reader.restart(rstN)
+          rstN = (rstN + 1) & 7
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+        val uy = unit / unitsX
+        val ux = unit % unitsX
+        var si = 0
+        while (si < ns) {
+          val ci = scanComps(si)
+          val c = comps(ci)
+          val buf = coefs(ci)
+          val nbx = if (interleaved) c.h else 1
+          val nby = if (interleaved) c.v else 1
+          var by = 0
+          while (by < nby) {
+            var bx = 0
+            while (bx < nbx) {
+              val blkX = if (interleaved) ux * c.h + bx else ux
+              val blkY = if (interleaved) uy * c.v + by else uy
+              val off = (blkY * bwPad(ci) + blkX) * 64
+              if (ss == 0) {
+                if (ah == 0) { // DC first / baseline DC
+                  val t = reader.decode(dcTabs(c.td))
+                  require(t <= 15, s"bad DC category $t")
+                  dcPred(si) += reader.receiveExtend(t)
+                  buf(off) = dcPred(si) << al
+                } else { // DC refine: one appended magnitude bit
+                  if (reader.bit() == 1) buf(off) |= (1 << al)
+                }
+              }
+              if (se >= 1 && (ss > 0 || !progressive)) {
+                if (ah == 0) { // AC first / baseline AC
+                  if (eobrun > 0) eobrun -= 1
+                  else {
+                    var k = bandStart
+                    var stop = false
+                    while (k <= se && !stop) {
+                      val rs = reader.decode(acTabs(c.ta))
+                      val r = rs >> 4
+                      val s = rs & 0x0F
+                      if (s == 0) {
+                        if (r == 15) k += 16 // ZRL
+                        else {
+                          eobrun = (1 << r) - 1
+                          if (r > 0) eobrun += reader.bits(r)
+                          stop = true
+                        }
+                      } else {
+                        k += r
+                        require(k <= se, "JPEG AC run past band end")
+                        buf(off + Zigzag(k)) = reader.receiveExtend(s) << al
+                        k += 1
+                      }
+                    }
+                  }
+                } else { // AC refine (spec G.1.2.3)
+                  val p1 = 1 << al
+                  val m1 = -(1 << al)
+                  var k = bandStart
+                  if (eobrun == 0) {
+                    var stop = false
+                    while (k <= se && !stop) {
+                      val rs = reader.decode(acTabs(c.ta))
+                      var r = rs >> 4
+                      val s = rs & 0x0F
+                      var newVal = 0
+                      if (s != 0) {
+                        require(s == 1, s"bad AC refinement size $s")
+                        newVal = if (reader.bit() == 1) p1 else m1
+                      } else if (r != 15) {
+                        // FULL count here (unlike AC-first): the CURRENT
+                        // block still consumes correction bits for its
+                        // remaining band below, then decrements — an
+                        // EOB0 with the -1 form skipped those bits and
+                        // desynced the stream
+                        eobrun = 1 << r
+                        if (r > 0) eobrun += reader.bits(r)
+                        stop = true
+                      }
+                      if (!stop) {
+                        // advance past r zero-HISTORY positions, applying
+                        // correction bits to every nonzero passed
+                        var found = false
+                        while (!found) {
+                          require(k <= se, "AC refinement ran past band end")
+                          val cv = buf(off + Zigzag(k))
+                          if (cv != 0) {
+                            if (reader.bit() == 1 && (cv & p1) == 0)
+                              buf(off + Zigzag(k)) =
+                                if (cv >= 0) cv + p1 else cv + m1
+                            k += 1
+                          } else if (r == 0) found = true
+                          else { r -= 1; k += 1 }
+                        }
+                        if (newVal != 0) buf(off + Zigzag(k)) = newVal
+                        k += 1
+                      }
+                    }
+                  }
+                  if (eobrun > 0) {
+                    while (k <= se) {
+                      val cv = buf(off + Zigzag(k))
+                      if (cv != 0 && reader.bit() == 1 && (cv & p1) == 0)
+                        buf(off + Zigzag(k)) =
+                          if (cv >= 0) cv + p1 else cv + m1
+                      k += 1
+                    }
+                    eobrun -= 1
+                  }
+                }
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        unit += 1
+      }
+      // next marker: skip to the first 0xFF not followed by a stuffed 0x00
+      var np = reader.pos
+      while (np + 1 < p.length &&
+          !((p(np) & 0xFF) == 0xFF && (p(np + 1) & 0xFF) != 0x00)) np += 1
+      require(np + 1 < p.length, "truncated JPEG after scan")
+      np
+    }
+
+    while (!done) {
+      require(at + 1 < p.length, "truncated JPEG before EOI")
       require((p(at) & 0xFF) == 0xFF,
         f"expected marker at $at, found 0x${p(at) & 0xFF}%02X")
       val m = p(at + 1) & 0xFF
       at += 2
       m match {
         case 0xD8 | 0x01 => () // SOI / TEM: no payload
-        case 0xD9 => throw new IllegalArgumentException(
-          "JPEG hit EOI before SOS — no image data")
-        case 0xC2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) — unsupported tier: baseline/extended " +
-            "sequential huffman only")
+        case 0xD9 =>
+          require(sawDc != null && sawDc.forall(identity),
+            "JPEG hit EOI without a DC scan for every component")
+          done = true
         case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xCB | 0xCD | 0xCE | 0xCF =>
           throw new IllegalArgumentException(
             f"JPEG coding process SOF 0x$m%02X — unsupported tier")
@@ -294,7 +493,9 @@ object Jpeg {
                 }
                 quant(tq) = t
               }
-            case 0xC0 | 0xC1 => // SOF0/1: baseline / extended sequential
+            case 0xC0 | 0xC1 | 0xC2 => // baseline / ext. sequential / progressive
+              require(comps == null, "duplicate SOF")
+              progressive = m == 0xC2
               val precision = p(q) & 0xFF
               require(precision == 8,
                 s"$precision-bit JPEG — unsupported tier: 8-bit only")
@@ -311,6 +512,19 @@ object Jpeg {
                   s"sampling factors ${c.h}x${c.v} — unsupported tier: 1-2")
                 c
               }
+              hmax = comps.map(_.h).max
+              vmax = comps.map(_.v).max
+              mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+              mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+              require(w.toLong * h * nc * 4 <= Int.MaxValue,
+                "JPEG too large to decode")
+              bwPad = comps.map(c => mcusX * c.h)
+              bhPad = comps.map(c => mcusY * c.v)
+              compBw = comps.map(c => ((w * c.h + hmax - 1) / hmax + 7) / 8)
+              compBh = comps.map(c => ((h * c.v + vmax - 1) / vmax + 7) / 8)
+              coefs = comps.indices
+                .map(i => new Array[Int](bwPad(i) * bhPad(i) * 64)).toArray
+              sawDc = new Array[Boolean](nc)
             case 0xC4 => // DHT
               while (q < end) {
                 val tc = (p(q) & 0xFF) >> 4
@@ -330,110 +544,51 @@ object Jpeg {
                 if (tc == 0) dcTabs(th) = t else acTabs(th) = t
               }
             case 0xDD => restartInterval = u16(q)
-            case 0xDA => // SOS
-              require(comps != null, "JPEG SOS before SOF")
-              val ns = p(q) & 0xFF
-              require(ns == comps.length,
-                s"JPEG scan covers $ns of ${comps.length} components — " +
-                  "unsupported tier: single interleaved scan")
-              var i = 0
-              while (i < ns) {
-                val cs = p(q + 1 + 2 * i) & 0xFF
-                val tt = p(q + 2 + 2 * i) & 0xFF
-                val c = comps.find(_.id == cs).getOrElse(
-                  throw new IllegalArgumentException(s"SOS names unknown component $cs"))
-                c.td = tt >> 4; c.ta = tt & 0x0F
-                i += 1
-              }
-              sosAt = end // entropy data starts after the SOS segment
+            case 0xDA => at = decodeScan(q, end)
             case _ => () // APPn, COM, others: skip
           }
-          at = end
+          if (m != 0xDA) at = end
       }
     }
 
-    // entropy decode into padded per-component planes
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    val planeW = comps.map(c => mcusX * c.h * 8)
-    val planeH = comps.map(c => mcusY * c.v * 8)
-    val planes = comps.indices.map(i =>
-      new Array[Byte](planeW(i) * planeH(i))).toArray
+    // all scans consumed: dequantize + IDCT every block into planes
     comps.foreach { c =>
-      require(quant(c.tq) != null, s"component ${c.id} uses undefined quant table ${c.tq}")
-      require(dcTabs(c.td) != null && acTabs(c.ta) != null,
-        s"component ${c.id} uses undefined huffman table")
+      require(quant(c.tq) != null,
+        s"component ${c.id} uses undefined quant table ${c.tq}")
     }
-
-    val reader = new BitReader(p, sosAt)
-    val dcPred = new Array[Int](comps.length)
+    val planeW = comps.indices.map(i => bwPad(i) * 8).toArray
+    val planes = comps.indices.map(i =>
+      new Array[Byte](bwPad(i) * 8 * bhPad(i) * 8)).toArray
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
-    var mcu = 0
-    var rstN = 0
-    val totalMcus = mcusX * mcusY
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        reader.restart(rstN)
-        rstN = (rstN + 1) & 7
-        java.util.Arrays.fill(dcPred, 0)
-      }
-      val my = mcu / mcusX
-      val mx = mcu % mcusX
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        val qt = quant(c.tq)
-        var by = 0
-        while (by < c.v) {
-          var bx = 0
-          while (bx < c.h) {
-            java.util.Arrays.fill(coef, 0)
-            val t = reader.decode(dcTabs(c.td))
-            require(t <= 11, s"bad DC category $t")
-            val diff = reader.receiveExtend(t)
-            dcPred(ci) += diff
-            coef(0) = dcPred(ci) * qt(0)
-            var k = 1
-            var eob = false
-            while (k < 64 && !eob) {
-              val rs = reader.decode(acTabs(c.ta))
-              val r = rs >> 4
-              val s = rs & 0x0F
-              if (s == 0) {
-                if (r == 15) k += 16 // ZRL
-                else eob = true
-              } else {
-                k += r
-                require(k < 64, "JPEG AC run past block end")
-                coef(Zigzag(k)) = reader.receiveExtend(s) * qt(Zigzag(k))
-                k += 1
-              }
+    var ci = 0
+    while (ci < comps.length) {
+      val qt = quant(comps(ci).tq)
+      val buf = coefs(ci)
+      val pw = planeW(ci)
+      var blkY = 0
+      while (blkY < bhPad(ci)) {
+        var blkX = 0
+        while (blkX < bwPad(ci)) {
+          val off = (blkY * bwPad(ci) + blkX) * 64
+          var i = 0
+          while (i < 64) { coef(i) = buf(off + i) * qt(i); i += 1 }
+          idct(coef, block)
+          var y = 0
+          while (y < 8) {
+            val rowOff = (blkY * 8 + y) * pw + blkX * 8
+            var x = 0
+            while (x < 8) {
+              planes(ci)(rowOff + x) = block(y * 8 + x).toByte
+              x += 1
             }
-            idct(coef, block)
-            // write the 8x8 block into the component plane
-            val px0 = (mx * c.h + bx) * 8
-            val py0 = (my * c.v + by) * 8
-            val pw = planeW(ci)
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              val rowOff = (py0 + y) * pw + px0
-              while (x < 8) {
-                planes(ci)(rowOff + x) = block(y * 8 + x).toByte
-                x += 1
-              }
-              y += 1
-            }
-            bx += 1
+            y += 1
           }
-          by += 1
+          blkX += 1
         }
-        ci += 1
+        blkY += 1
       }
-      mcu += 1
+      ci += 1
     }
 
     // color conversion + crop to w×h

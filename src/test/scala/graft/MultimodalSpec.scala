@@ -467,10 +467,9 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("Jpeg: out-of-tier and corrupt payloads fail LOUDLY with NAMED " +
-      "errors - progressive, arithmetic, 12-bit, truncated entropy data") {
+      "errors - arithmetic, lossless SOF, 12-bit, truncated entropy data") {
     val gray = Array.tabulate[Byte](64)(i => (i * 4).toByte)
     val jpg = graft.operators.Jpeg.encodeGray(8, 8, gray)
-    // progressive: flip SOF0 (0xC0) to SOF2 (0xC2)
     def flipMarker(from: Int, to: Int): Array[Byte] = {
       val b = jpg.clone()
       var i = 0
@@ -483,12 +482,17 @@ class MultimodalSpec extends AnyFunSuite {
       }
       assert(done); b
     }
+    // a SOF2-flagged stream whose scan still carries baseline params
+    // must be rejected as inconsistent, not mis-decoded
     val e1 = intercept[IllegalArgumentException](
       graft.operators.Jpeg.decodeJpeg(flipMarker(0xC0, 0xC2)))
     assert(e1.getMessage.contains("progressive"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](
       graft.operators.Jpeg.decodeJpeg(flipMarker(0xC0, 0xC9)))
     assert(e2.getMessage.contains("arithmetic"), e2.getMessage)
+    val e2b = intercept[IllegalArgumentException](
+      graft.operators.Jpeg.decodeJpeg(flipMarker(0xC0, 0xC3)))
+    assert(e2b.getMessage.contains("unsupported tier"), e2b.getMessage)
     // 12-bit precision: patch the SOF precision byte and re-decode
     val deep = jpg.clone()
     var i = 0
@@ -502,6 +506,85 @@ class MultimodalSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](
       graft.operators.Jpeg.decodeJpeg(cut))
     assert(e4.getMessage.contains("truncated"), e4.getMessage)
+  }
+
+  test("Jpeg: PROGRESSIVE streams (SOF2 - spectral selection, successive " +
+      "approximation, DC/AC refinement scans, EOB runs) decode to the " +
+      "same pixels as ImageIO's decode of the same bytes - gray exact, " +
+      "color within tolerance") {
+    import javax.imageio._
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    def writeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val wtr = ImageIO.getImageWritersByFormatName("jpg").next()
+      val prm = wtr.getDefaultWriteParam
+      prm.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val bo = new java.io.ByteArrayOutputStream()
+      wtr.setOutput(new MemoryCacheImageOutputStream(bo))
+      wtr.write(null, new IIOImage(img, null, null), prm)
+      wtr.dispose()
+      bo.toByteArray
+    }
+    // grayscale: rich content exercising AC refinement passes
+    val w = 40; val h = 24
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0,
+        ((math.sin(x * 0.4) * 70 + math.cos(y * 0.6) * 60 + 128).toInt
+          .max(0).min(255)))
+    val pj = writeProgressive(gray)
+    // confirm the fixture really is progressive (SOF2, multiple scans)
+    assert((0 until pj.length - 1).exists(i =>
+      (pj(i) & 0xFF) == 0xFF && (pj(i + 1) & 0xFF) == 0xC2),
+      "ImageIO fixture is not SOF2")
+    assert((0 until pj.length - 1).count(i =>
+      (pj(i) & 0xFF) == 0xFF && (pj(i + 1) & 0xFF) == 0xDA) > 1,
+      "ImageIO fixture has only one scan")
+    val (dw, dh, dc, fmt, px) = graft.operators.Jpeg.decodeJpeg(pj)
+    assert((dw, dh, dc, fmt) == ((w, h, 1, "jpeg")))
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(pj))
+    var maxDiff = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff, math.abs(
+        math.round(px(y * w + x) * 255) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 1, s"progressive gray diverges by $maxDiff from ImageIO")
+    // color 4:2:0 progressive
+    val rgbImg = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 32)
+      rgbImg.setRGB(x, y, ((x * 6 + 20) << 16) | ((y * 9 + 40) << 8) |
+        ((x * 3 + y * 4) & 0xFF))
+    val pc = writeProgressive(rgbImg)
+    val (cw, ch, cc, _, cpx) = graft.operators.Jpeg.decodeJpeg(pc)
+    assert(cw == 32 && ch == 16 && cc == 3)
+    val cref = ImageIO.read(new java.io.ByteArrayInputStream(pc))
+    var sumDiff = 0L; var cMax = 0L
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val argb = cref.getRGB(x, y)
+      val i = (y * 32 + x) * 3
+      val ds = Seq(
+        math.abs(math.round(cpx(i) * 255) - ((argb >> 16) & 0xFF)),
+        math.abs(math.round(cpx(i + 1) * 255) - ((argb >> 8) & 0xFF)),
+        math.abs(math.round(cpx(i + 2) * 255) - (argb & 0xFF)))
+      sumDiff += ds.sum; cMax = math.max(cMax, ds.max)
+    }
+    assert(sumDiff.toDouble / (32 * 16 * 3) <= 2.0,
+      s"progressive color mean diff ${sumDiff.toDouble / (32 * 16 * 3)}")
+    assert(cMax <= 32, s"progressive color max diff $cMax")
+    // a truncated progressive stream (missing later scans + EOI) is loud
+    val cutAt = {
+      var n = 0; var i = 0; var pos = -1
+      while (i < pj.length - 1 && pos < 0) {
+        if ((pj(i) & 0xFF) == 0xFF && (pj(i + 1) & 0xFF) == 0xDA) {
+          n += 1; if (n == 2) pos = i
+        }
+        i += 1
+      }
+      pos
+    }
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Jpeg.decodeJpeg(java.util.Arrays.copyOf(pj, cutAt + 6)))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
   }
 
   test("Gif: paletted round-trip through real variable-width LZW is " +
