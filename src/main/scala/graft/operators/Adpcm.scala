@@ -84,10 +84,9 @@ object Adpcm {
   }
 
   private def le16(b: Array[Byte], at: Int): Int =
-    (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8)
+    Multimodal.Containers.le16(b, at)
   private def le32(b: Array[Byte], at: Int): Int =
-    (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
-      ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
+    Multimodal.Containers.le32(b, at)
 
   /** Mono IMA-ADPCM WAV from PCM16 samples. `blockAlign` bytes per
    *  block (>= 8): 4-byte header + 2 samples/byte, so

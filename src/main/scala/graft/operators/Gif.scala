@@ -27,7 +27,7 @@ object Gif {
       (p(4) == '7' || p(4) == '9') && p(5) == 'a'
 
   private def le16(p: Array[Byte], at: Int): Int =
-    (p(at) & 0xFF) | ((p(at + 1) & 0xFF) << 8)
+    Multimodal.Containers.le16(p, at)
 
   // --------------------------------------------------------------- decode
 
@@ -211,7 +211,11 @@ object Gif {
         outAt += 1
         prev = code
       } else {
-        require(code <= dictSize, s"corrupt GIF LZW code $code > $dictSize")
+        // KwKwK (code == dictSize) is only legal while the dict can still
+        // grow: at 4096 prev may BE 4096-adjacent garbage and prefix(4096)
+        // would AIOOBE instead of the promised named failure
+        require(code < dictSize || (code == dictSize && dictSize < 4096),
+          s"corrupt GIF LZW code $code (dict size $dictSize)")
         val first =
           if (code < dictSize) expand(code)
           else { // KwKwK case: code == dictSize -> prev's string + its head

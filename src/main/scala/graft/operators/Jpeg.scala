@@ -8,12 +8,14 @@ package graft.operators
  * headless JVMs). A real multimodal corpus is overwhelmingly JPEG, which
  * made this the widest remaining codec gap.
  *
- * Supported tier: baseline + extended sequential huffman DCT (SOF0/SOF1),
- * 8-bit precision, grayscale or 3-component YCbCr with sampling factors
- * 1–2 (4:4:4, 4:2:2, 4:4:0, 4:2:0), restart markers (DRI/RSTn). Out of
+ * Supported tier: baseline + extended sequential (SOF0/SOF1) AND
+ * progressive (SOF2 — spectral selection, successive approximation,
+ * DC/AC refinement scans, EOB runs) huffman DCT, 8-bit precision,
+ * grayscale or 3-component YCbCr with sampling factors 1–2 (4:4:4,
+ * 4:2:2, 4:4:0, 4:2:0), restart markers (DRI/RSTn), fill bytes. Out of
  * tier — rejected with NAMED errors, never a byte-offset panic:
- * progressive (SOF2), lossless/differential SOFs, arithmetic coding
- * (SOF9+/DAC), 12-bit precision, >2 sampling factors.
+ * lossless/differential SOFs, arithmetic coding (SOF9+/DAC), 12-bit
+ * precision, >2 sampling factors.
  *
  * Exactness note for oracles: JPEG is lossy, but an image made of SOLID
  * 8×8 tiles encoded with an all-ones luma quant table survives the full
@@ -460,6 +462,8 @@ object Jpeg {
       at += 2
       m match {
         case 0xD8 | 0x01 => () // SOI / TEM: no payload
+        case 0xFF => at -= 1 // fill byte before a marker (B.1.1.2)
+        case r if r >= 0xD0 && r <= 0xD7 => () // stray RSTn: standalone
         case 0xD9 =>
           require(sawDc != null && sawDc.forall(identity),
             "JPEG hit EOI without a DC scan for every component")

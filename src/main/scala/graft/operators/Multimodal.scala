@@ -103,9 +103,11 @@ object Multimodal {
    */
   object Containers {
 
-    private[Multimodal] def le16(b: Array[Byte], at: Int): Int =
+    // private[operators]: Gif and Adpcm share these (one copy of the
+    // byte-order helpers, no drift surface)
+    private[operators] def le16(b: Array[Byte], at: Int): Int =
       (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8)
-    private[Multimodal] def le32(b: Array[Byte], at: Int): Int =
+    private[operators] def le32(b: Array[Byte], at: Int): Int =
       (b(at) & 0xFF) | ((b(at + 1) & 0xFF) << 8) |
         ((b(at + 2) & 0xFF) << 16) | ((b(at + 3) & 0xFF) << 24)
     private def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
@@ -509,6 +511,12 @@ object Multimodal {
       try {
         while (got < raw.length && !inf.finished()) {
           val n = inf.inflate(raw, got, raw.length - got)
+          if (n == 0 && inf.needsDictionary())
+            // zlib FDICT: inflate() returns 0 with needsInput() FALSE
+            // forever — without this check a hostile payload (CRC
+            // recomputed) would spin the task instead of failing loudly
+            throw new IllegalArgumentException(
+              "PNG IDAT requests a zlib preset dictionary — invalid for PNG")
           if (n == 0 && inf.needsInput())
             throw new IllegalArgumentException("truncated PNG IDAT stream")
           got += n

@@ -416,15 +416,19 @@ class GraphSignalsSpec extends AnyFunSuite {
   test("resourceAllocation: exact top-k early-prune is LOSSLESS on a " +
       "sparse graph where theta actually drops leaves - pruned output " +
       "is bit-identical to the unpruned pass, including theta-ties") {
-    // a hub-community graph: 12 'core' nodes all share 4 selective
-    // centers (high RA), plus 60 'fringe' stars whose leaves share only
-    // one hub center each (low RA) - the fringe leaves' potentials sit
-    // far below the k-th core score, so the prune must drop them.
-    val core = for (c <- 100L to 103L; x <- 1L to 12L) yield (c, x)
+    // a complete-bipartite core (8 centers x 8 leaves: every core pair
+    // shares 8 deg-8 counterparts -> 2*C(8,2)=56 valid seed pairs, all
+    // scoring 8*(1e6 div 8) = 1e6) plus 60 'fringe' stars whose deg-1
+    // leaves have potential 1e6 div 3 = 333k << theta=1e6 - so the
+    // seed pass finds >= k pairs, theta lands at 1e6, and the keep
+    // filter ACTUALLY drops the 180 fringe leaves (the r11 review found
+    // the previous fixture produced only 6 seed pairs < k, theta=0, and
+    // both runs took the identical no-prune fallback - vacuous).
+    val core = for (c <- 100L to 107L; x <- 1L to 8L) yield (c, x)
     val fringe = for (h <- 200L until 260L; x <- 0L until 3L)
       yield (h, 1000L + h * 10 + x)
     val edges = (core ++ fringe).toDF("a", "b")
-    val k = 20
+    val k = 10
     val unpruned = Graphs.resourceAllocation(edges, "a", "b", k = k,
       saltBuckets = 1, pruneSeed = 0)
       .as[(Long, Long, Long, Long)].collect().toSeq

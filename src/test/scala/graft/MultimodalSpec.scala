@@ -338,6 +338,20 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.Png.decodePng(shortPng))
     assert(e4.getMessage.contains("truncated PNG IDAT") ||
       e4.getMessage.contains("inflated to"), e4.getMessage)
+    // zlib FDICT bit set (CRC recomputed): must fail LOUDLY, not spin
+    // the Inflater loop forever (inflate()=0 with needsInput() false)
+    val dictZ = idatData.clone()
+    dictZ(1) = (dictZ(1) | 0x20).toByte
+    // fix FCHECK so (CMF*256 + FLG) % 31 == 0 (a valid-looking header)
+    val cmf = dictZ(0) & 0xFF
+    val flgBase = dictZ(1) & 0xE0
+    val fcheck = (0 until 32).find(f => ((cmf << 8) | flgBase | f) % 31 == 0).get
+    dictZ(1) = (flgBase | fcheck).toByte
+    val dictPng = sig ++ chunk("IHDR", ihdrData) ++ chunk("IDAT", dictZ) ++
+      chunk("IEND", Array.emptyByteArray)
+    val eD = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePng(dictPng))
+    assert(eD.getMessage.contains("preset dictionary"), eD.getMessage)
     // Adam7 interlace byte -> named unsupported tier
     val inter = ihdrData.clone(); inter(12) = 1
     val interPng = sig ++ chunk("IHDR", inter) ++ chunk("IDAT", idatData) ++
@@ -506,6 +520,14 @@ class MultimodalSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](
       graft.operators.Jpeg.decodeJpeg(cut))
     assert(e4.getMessage.contains("truncated"), e4.getMessage)
+    // spec-legal 0xFF fill bytes before a marker must be ACCEPTED
+    // (B.1.1.2), not misread as a segment length
+    val filled = jpg.dropRight(2) ++
+      Array[Byte](0xFF.toByte, 0xFF.toByte) ++ jpg.takeRight(2)
+    val (fw2, fh2, _, _, fpx) = graft.operators.Jpeg.decodeJpeg(filled)
+    assert(fw2 == 8 && fh2 == 8 &&
+      fpx.toSeq == graft.operators.Jpeg.decodeJpeg(jpg)._5.toSeq,
+      "fill bytes before EOI changed the decode")
   }
 
   test("Jpeg: PROGRESSIVE streams (SOF2 - spectral selection, successive " +
@@ -636,6 +658,33 @@ class MultimodalSpec extends AnyFunSuite {
     val (w2, h2, _, _, px2) = Gif.decodeGif(o.toByteArray)
     assert(w2 == w && h2 == h)
     assert(px2.toSeq == px.toSeq, "decode of ImageIO-encoded GIF drifted")
+  }
+
+  test("Gif: an image past 4096 LZW dict entries exercises the dict-full " +
+      "clear/reset protocol and still round-trips bit-exactly; ImageIO " +
+      "agrees on the post-reset stream") {
+    import graft.operators.Gif
+    // 128x64 = 8192 pixels of high-entropy 256-color indices: nearly
+    // every pixel adds a dict entry, so the encoder must emit a clear
+    // code and both sides must resync mid-stream
+    val w = 128; val h = 64
+    val rnd = new scala.util.Random(424242)
+    val pal = Array.tabulate[Byte](256 * 3)(i => (i * 37 + 11).toByte)
+    val idxs = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+    val gif = Gif.encodeGif(w, h, idxs, pal)
+    val (dw, dh, _, _, px) = Gif.decodeGif(gif)
+    assert(dw == w && dh == h)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(math.round(px(i * 3 + c) * 255) ==
+        (pal((idxs(i) & 0xFF) * 3 + c) & 0xFF),
+        s"post-reset pixel $i.$c drifted")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    for (y <- 0 until h by 7; x <- 0 until w by 5) {
+      val argb = img.getRGB(x, y); val i = (y * w + x) * 3
+      assert(((argb >> 16) & 0xFF) == math.round(px(i) * 255) &&
+        (argb & 0xFF) == math.round(px(i + 2) * 255),
+        s"ImageIO disagrees post-reset at ($x,$y)")
+    }
   }
 
   test("Gif: malformed payloads fail LOUDLY - truncated LZW, missing " +
