@@ -605,6 +605,7 @@ object Multimodal {
       else if (Png.isPng(p)) Png.decodePng(p)
       else if (Jpeg.isJpeg(p)) Jpeg.decodeJpeg(p)
       else if (Gif.isGif(p)) Gif.decodeGif(p)
+      else if (Tiff.isTiff(p)) Tiff.decodeTiff(p)
       else FakeCodec.decodeImage(p)
     override def decodeAudio(p: Array[Byte]): (Int, Array[Float]) =
       if (Adpcm.isAdpcmWav(p)) Adpcm.decodeAdpcmWav(p)
@@ -967,6 +968,14 @@ object Multimodal {
       }
       Adpcm.encodeAdpcmWav(sampleRate, samples, blockAlign)
     }
+
+  /** Append a REAL uncompressed TIFF `payload` ([[Tiff.encodeTiff]])
+   *  from a binary column of w·h·3 RGB bytes; `bigEndian` picks the MM
+   *  byte order so oracle queries can exercise both header families. */
+  def withTiffPayload(df: DataFrame, rgbCol: String, w: Int, h: Int,
+      bigEndian: Boolean = false): DataFrame =
+    withPayload(df, rgbCol)(bytes =>
+      Tiff.encodeTiff(w, h, bytes, channels = 3, bigEndian = bigEndian))
 
   /** Append a REAL GIF87a `payload` ([[Gif.encodeGif]] — real LZW) from
    *  a binary column holding palette||indices: the first 3·k bytes are

@@ -293,6 +293,45 @@ object MultimodalQueries extends QueryProvider {
        |FROM sigs a JOIN sigs b ON a.doc < b.doc
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** REAL TIFF round-trip exercising BOTH byte orders on the oracle
+   *  path: even docs encode II (little-endian), odd docs MM
+   *  (big-endian); both decode through the sniffing codec to the same
+   *  pixel bytes, so one hash certifies header/IFD parsing under either
+   *  endianness plus the strip assembly (format='tiff' certifies the
+   *  sniff). TIFF is lossless — same md5 byte-sum oracle as BMP/PNG. */
+  private def tiffRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rgb = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
+        .as("rgb"))
+    val le = Multimodal.withTiffPayload(
+      rgb.where(pmod(col("doc_id"), lit(2)) === 0), "rgb", w = 4, h = 2)
+    val be = Multimodal.withTiffPayload(
+      rgb.where(pmod(col("doc_id"), lit(2)) === 1), "rgb", w = 4, h = 2,
+      bigEndian = true)
+    Multimodal.decodeImage(le.union(be).drop("rgb"), "payload",
+        codec = Multimodal.SniffCodec)
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val tiffRoundtripSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') AS hx FROM documents
+      |), d AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 25) r
+      |)
+      |SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+      |  'tiff' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
+      |FROM d GROUP BY doc_id""".stripMargin
+
   /** REAL GIF round-trip through real LZW compression: 24 md5 bytes
    *  become an 8-color palette, the 4×2 frame indexes colors 0..7 in
    *  order, the payload round-trips through `Gif.encodeGif`'s
@@ -495,6 +534,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_jpeg_roundtrip"  -> (jpegRoundtrip _),
     "mm_mixed_codecs"    -> (mixedCodecs _),
     "mm_gif_roundtrip"   -> (gifRoundtrip _),
+    "mm_tiff_roundtrip"  -> (tiffRoundtrip _),
     "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
     "pipeline_media_dedup" -> (mediaDedup _),
     "mm_wav_roundtrip"   -> (wavRoundtrip _),
@@ -512,6 +552,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_jpeg_roundtrip"  -> jpegRoundtripSql,
     "mm_mixed_codecs"    -> mixedCodecsSql,
     "mm_gif_roundtrip"   -> gifRoundtripSql,
+    "mm_tiff_roundtrip"  -> tiffRoundtripSql,
     "mm_adpcm_roundtrip" -> adpcmRoundtripSql,
     "pipeline_media_dedup" -> mediaDedupSql,
     "mm_wav_roundtrip"   -> wavRoundtripSql,

@@ -754,6 +754,100 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.SniffCodec.decodeAudio(wav)._2.length == const.length)
   }
 
+  test("Tiff: II and MM byte orders round-trip bit-exactly; ImageIO " +
+      "cross-checks both directions (its writer uses multi-strip " +
+      "layouts); gray MinIsWhite inverts; out-of-tier payloads fail " +
+      "with NAMED errors") {
+    import graft.operators.Tiff
+    val w = 9; val h = 5
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => (i * 13 + 7).toByte)
+    for (be <- Seq(false, true)) {
+      val t = Tiff.encodeTiff(w, h, rgb, channels = 3, bigEndian = be)
+      assert(Tiff.isTiff(t))
+      val (dw, dh, dc, fmt, px) = Tiff.decodeTiff(t)
+      assert((dw, dh, dc, fmt) == ((w, h, 3, "tiff")), s"be=$be")
+      assert(px.toSeq == rgb.map(b => (b & 0xFF) / 255.0f).toSeq, s"be=$be")
+      // ImageIO reads our bytes identically
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t))
+      assert(img != null && img.getWidth == w && img.getHeight == h, s"be=$be")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y); val i = (y * w + x) * 3
+        assert(((argb >> 16) & 0xFF) == (rgb(i) & 0xFF) &&
+          ((argb >> 8) & 0xFF) == (rgb(i + 1) & 0xFF) &&
+          (argb & 0xFF) == (rgb(i + 2) & 0xFF), s"ImageIO be=$be ($x,$y)")
+      }
+    }
+    // our decoder reads ImageIO's TIFF writer output (its own IFD
+    // layout, strip split, byte order choice)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      bi.setRGB(x, y, ((rgb(i) & 0xFF) << 16) | ((rgb(i + 1) & 0xFF) << 8) |
+        (rgb(i + 2) & 0xFF))
+    }
+    val o = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "tiff", o))
+    val (iw, ih, ic, _, ipx) = Tiff.decodeTiff(o.toByteArray)
+    assert(iw == w && ih == h && ic == 3)
+    assert(ipx.toSeq == rgb.map(b => (b & 0xFF) / 255.0f).toSeq,
+      "decode of ImageIO-written TIFF drifted")
+    // grayscale through ImageIO (TYPE_BYTE_GRAY -> photometric 1)
+    val gi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gi.getRaster.setSample(x, y, 0, (x * 25 + y * 11) & 0xFF)
+    val og = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gi, "tiff", og))
+    val (gw, gh, gc, _, gpx) = Tiff.decodeTiff(og.toByteArray)
+    assert(gw == w && gh == h && gc == 1)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(math.round(gpx(y * w + x) * 255) == ((x * 25 + y * 11) & 0xFF))
+    // MinIsWhite (photometric 0) inverts: patch our gray encoding
+    val grayOurs = Tiff.encodeTiff(w, h,
+      Array.tabulate[Byte](w * h)(i => (i * 3).toByte), channels = 1)
+    // photometric entry value: find tag 262 (LE: tag bytes 6,1) and flip
+    // its SHORT value 1 -> 0
+    var patched: Array[Byte] = grayOurs.clone()
+    var found = false
+    for (i <- 8 until patched.length - 12 by 1 if !found) {
+      if ((patched(i) & 0xFF) == 0x06 && (patched(i + 1) & 0xFF) == 0x01 &&
+          (patched(i + 2) & 0xFF) == 0x03) {
+        patched(i + 8) = 0; found = true
+      }
+    }
+    assert(found)
+    val (_, _, _, _, inv) = Tiff.decodeTiff(patched)
+    for (i <- 0 until w * h)
+      assert(math.round(inv(i) * 255) == 255 - ((i * 3) & 0xFF),
+        s"MinIsWhite not inverted at $i")
+    // named rejections: LZW compression, tiled, palette
+    def patchShortEntry(src: Array[Byte], tagLo: Int, tagHi: Int,
+        v: Int): Array[Byte] = {
+      val b = src.clone()
+      var done = false
+      for (i <- 8 until b.length - 12 by 1 if !done) {
+        if ((b(i) & 0xFF) == tagLo && (b(i + 1) & 0xFF) == tagHi &&
+            (b(i + 2) & 0xFF) == 0x03) {
+          b(i + 8) = (v & 0xFF).toByte; b(i + 9) = ((v >> 8) & 0xFF).toByte
+          done = true
+        }
+      }
+      assert(done); b
+    }
+    val e1 = intercept[IllegalArgumentException](
+      Tiff.decodeTiff(patchShortEntry(grayOurs, 0x03, 0x01, 5))) // 259=LZW
+    assert(e1.getMessage.contains("LZW"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Tiff.decodeTiff(patchShortEntry(grayOurs, 0x06, 0x01, 3))) // 262=palette
+    assert(e2.getMessage.contains("palette") ||
+      e2.getMessage.contains("photometric"), e2.getMessage)
+    // truncated strip
+    val cut = java.util.Arrays.copyOf(grayOurs, grayOurs.length - 4)
+    val e3 = intercept[IllegalArgumentException](Tiff.decodeTiff(cut))
+    assert(e3.getMessage.contains("truncated"), e3.getMessage)
+  }
+
   test("codec property sweep: random images round-trip PNG and GIF " +
       "bit-exactly, JPEG DC-only tiles exactly, ADPCM constants exactly, " +
       "and ImageIO agrees on every PNG/GIF byte stream (40 seeds each)") {
