@@ -847,10 +847,13 @@ object Jpeg {
     o.toByteArray
   }
 
-  /** Color baseline JPEG (YCbCr 4:4:4) from row-major top-down RGB bytes
-   *  (h·w·3), standard Annex K tables scaled by `quality` (1–100, 50 =
-   *  the tables as printed; libjpeg's scaling law). */
-  def encodeRgb(w: Int, h: Int, rgb: Array[Byte], quality: Int = 90): Array[Byte] = {
+  /** Color baseline JPEG from row-major top-down RGB bytes (h·w·3),
+   *  standard Annex K tables scaled by `quality` (1–100, 50 = the
+   *  tables as printed; libjpeg's scaling law). `subsample420` emits
+   *  the 4:2:0 layout real pipelines use (2×2 luma blocks + one
+   *  2×2-averaged Cb and Cr block per MCU); false keeps 4:4:4. */
+  def encodeRgb(w: Int, h: Int, rgb: Array[Byte], quality: Int = 90,
+      subsample420: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && rgb.length == w * h * 3,
       s"need w*h*3 = ${w * h * 3} RGB bytes, got ${rgb.length}")
     require(quality >= 1 && quality <= 100, "quality must be in [1, 100]")
@@ -859,50 +862,95 @@ object Jpeg {
       t.map(q => math.min(255, math.max(1, (q * scale + 50) / 100)))
     val qLuma = scaled(StdLumaQuant)
     val qChroma = scaled(StdChromaQuant)
+    val lumaHv = if (subsample420) 0x22 else 0x11
     val o = new java.io.ByteArrayOutputStream(rgb.length / 3 + 1024)
     o.write(0xFF); o.write(0xD8)
     writeSeg(o, 0xDB, quantSeg(0, qLuma))
     writeSeg(o, 0xDB, quantSeg(1, qChroma))
     writeSeg(o, 0xC0, Array(8, (h >> 8) & 0xFF, h & 0xFF,
       (w >> 8) & 0xFF, w & 0xFF, 3,
-      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+      1, lumaHv, 0, 2, 0x11, 1, 3, 0x11, 1))
     writeSeg(o, 0xC4, dhtSeg(0, 0, DcLumaBits, DcLumaVals))
     writeSeg(o, 0xC4, dhtSeg(1, 0, AcLumaBits, AcLumaVals))
     writeSeg(o, 0xC4, dhtSeg(0, 1, DcChromaBits, DcChromaVals))
     writeSeg(o, 0xC4, dhtSeg(1, 1, AcChromaBits, AcChromaVals))
     writeSeg(o, 0xDA, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
     val bw = new BitWriter(o)
-    val mcusX = (w + 7) / 8
-    val mcusY = (h + 7) / 8
-    val yB = new Array[Int](64)
-    val cbB = new Array[Int](64)
-    val crB = new Array[Int](64)
+    // full-image YCbCr planes with edge replication up to the MCU grid
+    val mcu = if (subsample420) 16 else 8
+    val pw = (w + mcu - 1) / mcu * mcu
+    val ph = (h + mcu - 1) / mcu * mcu
+    val yP = new Array[Int](pw * ph)
+    val cbP = new Array[Int](pw * ph)
+    val crP = new Array[Int](pw * ph)
+    var yy = 0
+    while (yy < ph) {
+      var xx = 0
+      while (xx < pw) {
+        val i = (math.min(yy, h - 1) * w + math.min(xx, w - 1)) * 3
+        val r = rgb(i) & 0xFF
+        val g = rgb(i + 1) & 0xFF
+        val b = rgb(i + 2) & 0xFF
+        val j = yy * pw + xx
+        yP(j) = clamp255(math.round(0.299 * r + 0.587 * g + 0.114 * b))
+        cbP(j) = clamp255(math.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+        crP(j) = clamp255(math.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+        xx += 1
+      }
+      yy += 1
+    }
+    val blk = new Array[Int](64)
     var dcY = 0; var dcCb = 0; var dcCr = 0
+    def lumaBlock(px0: Int, py0: Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          blk(y * 8 + x) = yP((py0 + y) * pw + px0 + x)
+          x += 1
+        }
+        y += 1
+      }
+      dcY = encodeBlock(bw, blk, qLuma, DcLuma, AcLuma, dcY)
+    }
+    def chromaBlock(plane: Array[Int], px0: Int, py0: Int,
+        avg: Boolean, pred: Int): Int = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          blk(y * 8 + x) =
+            if (!avg) plane((py0 + y) * pw + px0 + x)
+            else { // 2x2 mean, rounded
+              val sy = py0 + 2 * y
+              val sx = px0 + 2 * x
+              (plane(sy * pw + sx) + plane(sy * pw + sx + 1) +
+                plane((sy + 1) * pw + sx) + plane((sy + 1) * pw + sx + 1) + 2) / 4
+            }
+          x += 1
+        }
+        y += 1
+      }
+      encodeBlock(bw, blk, qChroma, DcChroma, AcChroma, pred)
+    }
+    val mcusX = pw / mcu
+    val mcusY = ph / mcu
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val sy = math.min(my * 8 + y, h - 1)
-            val sx = math.min(mx * 8 + x, w - 1)
-            val i = (sy * w + sx) * 3
-            val r = rgb(i) & 0xFF
-            val g = rgb(i + 1) & 0xFF
-            val b = rgb(i + 2) & 0xFF
-            val j = y * 8 + x
-            yB(j) = clamp255(math.round(0.299 * r + 0.587 * g + 0.114 * b))
-            cbB(j) = clamp255(math.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b))
-            crB(j) = clamp255(math.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b))
-            x += 1
-          }
-          y += 1
+        if (subsample420) {
+          lumaBlock(mx * 16, my * 16)
+          lumaBlock(mx * 16 + 8, my * 16)
+          lumaBlock(mx * 16, my * 16 + 8)
+          lumaBlock(mx * 16 + 8, my * 16 + 8)
+          dcCb = chromaBlock(cbP, mx * 16, my * 16, avg = true, dcCb)
+          dcCr = chromaBlock(crP, mx * 16, my * 16, avg = true, dcCr)
+        } else {
+          lumaBlock(mx * 8, my * 8)
+          dcCb = chromaBlock(cbP, mx * 8, my * 8, avg = false, dcCb)
+          dcCr = chromaBlock(crP, mx * 8, my * 8, avg = false, dcCr)
         }
-        dcY = encodeBlock(bw, yB, qLuma, DcLuma, AcLuma, dcY)
-        dcCb = encodeBlock(bw, cbB, qChroma, DcChroma, AcChroma, dcCb)
-        dcCr = encodeBlock(bw, crB, qChroma, DcChroma, AcChroma, dcCr)
         mx += 1
       }
       my += 1

@@ -478,6 +478,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(sum2.toDouble / (w * h * 3) <= 3.0,
       s"ImageIO decode of our q95 bytes drifts ${sum2.toDouble / (w * h * 3)} per sample")
+    // OUR 4:2:0 encoder (odd dims -> MCU padding + 2x2 chroma
+    // averaging): both our decoder and ImageIO read it back near the
+    // source on smooth content
+    val w4 = 33; val h4 = 17
+    val smooth = Array.tabulate[Byte](w4 * h4 * 3) { i =>
+      val px = i / 3; val c = i % 3
+      ((px % w4) * 3 + (px / w4) * 4 + c * 15 + 30).toByte
+    }
+    val sub = graft.operators.Jpeg.encodeRgb(w4, h4, smooth, quality = 95,
+      subsample420 = true)
+    val (sw, sh, sc, _, spx) = graft.operators.Jpeg.decodeJpeg(sub)
+    assert(sw == w4 && sh == h4 && sc == 3)
+    var sum3 = 0L
+    for (i <- 0 until w4 * h4 * 3)
+      sum3 += math.abs(math.round(spx(i) * 255) - (smooth(i) & 0xFF))
+    assert(sum3.toDouble / (w4 * h4 * 3) <= 3.0,
+      s"our 4:2:0 round-trip drifts ${sum3.toDouble / (w4 * h4 * 3)} per sample")
+    val iio = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sub))
+    assert(iio.getWidth == w4 && iio.getHeight == h4)
+    var sum4 = 0L
+    for (y <- 0 until h4; x <- 0 until w4) {
+      val argb = iio.getRGB(x, y); val i = (y * w4 + x) * 3
+      sum4 += math.abs(((argb >> 16) & 0xFF) - math.round(spx(i) * 255)) +
+        math.abs(((argb >> 8) & 0xFF) - math.round(spx(i + 1) * 255)) +
+        math.abs((argb & 0xFF) - math.round(spx(i + 2) * 255))
+    }
+    assert(sum4.toDouble / (w4 * h4 * 3) <= 2.0,
+      s"ImageIO disagrees with our decode of our 4:2:0 bytes by ${sum4.toDouble / (w4 * h4 * 3)}")
   }
 
   test("Jpeg: out-of-tier and corrupt payloads fail LOUDLY with NAMED " +
