@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
  */
 object Graphs {
 
+  /**
+   * Test-only introspection: the θ chosen by the last
+   * [[resourceAllocation]] call on this JVM (0 = no-prune fallback,
+   * -1 = never ran). Lets specs assert the keep-filter path actually
+   * engaged instead of silently regressing to the fallback.
+   */
+  @volatile private[graft] var lastRaTheta: Long = -1L
+
   /** Free the blocks behind a localCheckpoint'ed round (same hygiene as
    *  [[Pagerank]] — lineage is one round deep, previous rounds' blocks
    *  must not accumulate across iterations). */
@@ -381,8 +389,14 @@ object Graphs {
     // when the prune is on: potential, seed and main passes then all
     // reference it, and its lineage (edges + degree shuffle) must not
     // re-execute per reference; unpruned it is referenced once.
+    // deg >= 2: a degree-1 center can never form a wedge (its only
+    // leaf has no partner in the self-join), so dropping it here is
+    // output-identical. It also tightens the prune potential P(x) —
+    // on star-heavy power-law graphs degree-1 centers otherwise
+    // inflate hub potentials and drive θ to 0 — and trims dead rows
+    // from the wedge self-join shuffle.
     val capped0 = adj.select(col("n").as("c"), col("x").as("leaf"))
-      .join(deg.where(col("d") <= maxCenterDegree)
+      .join(deg.where(col("d") >= 2 && col("d") <= maxCenterDegree)
         .select(col("x").as("c"), expr(s"$scale div d").as("raw")), Seq("c"))
     val capped = if (pruneSeed > 0) capped0.localCheckpoint() else capped0
     // |V|-bounded; checkpointed because the θ pass and the keep filter
@@ -407,6 +421,7 @@ object Graphs {
         .collect()(0)
       if (seedValid.getLong(0) >= k) seedValid.getLong(1) else 0L
     }
+    lastRaTheta = theta // test introspection: proves the prune engaged
     val baseW = (if (theta > 0L) {
       val keep = pot.where(col("p") >= theta).select(col("leaf"))
       capped.join(keep, Seq("leaf"), "left_semi")

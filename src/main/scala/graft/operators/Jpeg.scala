@@ -798,8 +798,11 @@ object Jpeg {
       restartMcus: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && gray.length == w * h,
       s"need w*h = ${w * h} gray bytes, got ${gray.length}")
-    require(quantTable.length == 64 && quantTable.forall(q => q >= 1 && q <= 65535),
-      "quant table must be 64 entries in [1, 65535]")
+    // <= 255, not the spec's 65535: quantSeg always declares Pq=0
+    // (8-bit entries), so a 256..65535 value would quantize blocks
+    // with q but declare q & 0xFF — a silently corrupted round-trip.
+    require(quantTable.length == 64 && quantTable.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in [1, 255] (8-bit DQT emitted)")
     val o = new java.io.ByteArrayOutputStream(gray.length / 2 + 512)
     o.write(0xFF); o.write(0xD8) // SOI
     writeSeg(o, 0xDB, quantSeg(0, quantTable))

@@ -418,12 +418,16 @@ class GraphSignalsSpec extends AnyFunSuite {
       "is bit-identical to the unpruned pass, including theta-ties") {
     // a complete-bipartite core (8 centers x 8 leaves: every core pair
     // shares 8 deg-8 counterparts -> 2*C(8,2)=56 valid seed pairs, all
-    // scoring 8*(1e6 div 8) = 1e6) plus 60 'fringe' stars whose deg-1
-    // leaves have potential 1e6 div 3 = 333k << theta=1e6 - so the
-    // seed pass finds >= k pairs, theta lands at 1e6, and the keep
-    // filter ACTUALLY drops the 180 fringe leaves (the r11 review found
-    // the previous fixture produced only 6 seed pairs < k, theta=0, and
-    // both runs took the identical no-prune fallback - vacuous).
+    // scoring 8*(1e6 div 8) = 1e6) plus 60 'fringe' stars. With the
+    // deg>=2 center filter (r11 advice) fringe hubs have potential 0
+    // (their only centers are deg-1 leaves, excluded) and fringe
+    // leaves have 1e6 div 3 = 333k << theta=1e6 - so topm(16) is
+    // exactly the 16 core nodes, the seed pass finds 56 >= k pairs,
+    // theta lands at 1e6, and the keep filter ACTUALLY drops all 240
+    // fringe nodes. (Two prior fixtures were vacuous: r11's produced
+    // 6 seed pairs < k, and the first rewrite let deg-1 leaves inflate
+    // fringe-hub potentials to 3e6, crowding the seed with 16 disjoint
+    // stars -> 0 seed pairs. lastRaTheta now pins engagement.)
     val core = for (c <- 100L to 107L; x <- 1L to 8L) yield (c, x)
     val fringe = for (h <- 200L until 260L; x <- 0L until 3L)
       yield (h, 1000L + h * 10 + x)
@@ -432,9 +436,13 @@ class GraphSignalsSpec extends AnyFunSuite {
     val unpruned = Graphs.resourceAllocation(edges, "a", "b", k = k,
       saltBuckets = 1, pruneSeed = 0)
       .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(Graphs.lastRaTheta == 0L, "pruneSeed=0 must skip the prune")
     val pruned = Graphs.resourceAllocation(edges, "a", "b", k = k,
       saltBuckets = 1, pruneSeed = 16)
       .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(Graphs.lastRaTheta == 1000000L,
+      s"prune did not engage: theta=${Graphs.lastRaTheta} (expected " +
+        "1e6 from 56 all-1e6 core seed pairs; 0 = vacuous fallback)")
     assert(pruned == unpruned,
       "theta prune changed the top-k (must be bit-identical, same order)")
     assert(unpruned.size == k)
@@ -443,6 +451,8 @@ class GraphSignalsSpec extends AnyFunSuite {
     val tiny = Graphs.resourceAllocation(edges, "a", "b", k = k,
       saltBuckets = 1, pruneSeed = 2)
       .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(Graphs.lastRaTheta == 0L,
+      "2-node seed yields 1 valid pair < k; theta must fall back to 0")
     assert(tiny == unpruned, "tiny-seed fallback diverged")
   }
 
