@@ -13,6 +13,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
+    WebQueries,
     MultimodalQueries,
     SessionQueries,
     AnomalyQueries,

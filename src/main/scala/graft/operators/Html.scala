@@ -1,0 +1,232 @@
+package graft.operators
+
+import scala.collection.mutable
+
+/**
+ * HTML → text extraction — the stage every published web-curation recipe
+ * (C4 §2.2's input, RefinedWeb, FineWeb) runs BEFORE line-level cleaning.
+ * SURVEY.md §2.6 north-star addition; not in the reference (its transforms
+ * are opaque WASM guests — reference: host-go/engine/engine.go:1 has no
+ * text surface at all). Downstream stages are the repo's existing
+ * [[C4Clean]] line rules and [[TextAnalysis.gopherRules]].
+ *
+ * The rule set is DETERMINISTIC and small enough that an oracle can
+ * replay it (or, for synthetic wrappers, predict the exact output):
+ *
+ *  - `<script>`/`<style>` elements are dropped whole (raw-text mode: the
+ *    body is skipped verbatim until the matching case-insensitive close
+ *    tag, so `'<p>'` inside a JS string never leaks).
+ *  - Comments `<!-- … -->`, CDATA sections `<![CDATA[ … ]]>`, other
+ *    `<!…>` declarations (DOCTYPE) and `<?…>` processing instructions
+ *    are dropped.
+ *  - Tags are scanned with quote-aware attribute parsing (a `>` inside a
+ *    quoted attribute value does not close the tag). BLOCK-level tags
+ *    (open or close: p, div, br, li, h1–h6, table/tr/td/…, blockquote,
+ *    pre, section, article, …) become line breaks; inline tags (b, i,
+ *    span, a, …) contribute nothing — `a<b>b</b>` → `ab`, matching how
+ *    a browser lays the text out.
+ *  - A `<` not opening a tag/declaration is literal text.
+ *  - Entities decode: the common named set (`&amp; &lt; &gt; &quot;
+ *    &apos; &nbsp; …`) plus numeric `&#NNN;` / `&#xHH;` code points;
+ *    unknown or malformed entities stay literal. `&nbsp;` decodes to a
+ *    plain space (it exists for layout, not content).
+ *  - Whitespace normalizes like a renderer: within each line, runs of
+ *    whitespace (including raw newlines in the source — HTML collapses
+ *    them) become one space; lines are trimmed; empty lines drop; lines
+ *    join with `\n`. (`<pre>` content is normalized too — a deliberate
+ *    C4-style simplification, documented here so the oracle can rely on
+ *    it.)
+ *
+ * 100 TB shape: a pure per-row function (one linear scan per document,
+ * zero shuffle) exposed as the native expression
+ * [[org.apache.spark.sql.graft.HtmlExtract]]; it pipelines inside the
+ * scan stage before any downstream shuffle, so extraction adds no
+ * exchange to a curation plan.
+ */
+object Html {
+
+  /** Tags that break the text flow — open OR close emits a newline. */
+  val BlockTags: Set[String] = Set(
+    "address", "article", "aside", "blockquote", "body", "br", "caption",
+    "dd", "details", "dialog", "div", "dl", "dt", "fieldset", "figcaption",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "head",
+    "header", "hr", "html", "legend", "li", "main", "menu", "nav", "ol",
+    "option", "p", "pre", "section", "select", "summary", "table", "tbody",
+    "td", "tfoot", "th", "thead", "title", "tr", "ul")
+
+  /** The named entities that decode; everything else stays literal. */
+  val NamedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "\u00a9", "reg" -> "\u00ae",
+    "trade" -> "\u2122", "hellip" -> "\u2026", "mdash" -> "\u2014",
+    "ndash" -> "\u2013", "lsquo" -> "\u2018", "rsquo" -> "\u2019",
+    "ldquo" -> "\u201c", "rdquo" -> "\u201d", "middot" -> "\u00b7",
+    "bull" -> "\u2022", "laquo" -> "\u00ab", "raquo" -> "\u00bb",
+    "deg" -> "\u00b0", "sect" -> "\u00a7", "para" -> "\u00b6",
+    "times" -> "\u00d7", "divide" -> "\u00f7", "plusmn" -> "\u00b1",
+    "frac12" -> "\u00bd", "frac14" -> "\u00bc", "euro" -> "\u20ac",
+    "pound" -> "\u00a3", "cent" -> "\u00a2", "yen" -> "\u00a5")
+
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** Case-insensitive search for `needle` (ASCII, lowercase) in `s` from
+   *  `from`; -1 if absent. */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val n = needle.length
+    var i = math.max(from, 0)
+    val last = s.length - n
+    while (i <= last) {
+      var j = 0
+      while (j < n && Character.toLowerCase(s.charAt(i + j)) == needle.charAt(j)) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Skip a tag body from the char AFTER the name to PAST the closing
+   *  `>`, honoring quoted attribute values; returns the index after `>`
+   *  (or `s.length` for an unterminated tag). */
+  private def skipTag(s: String, start: Int): Int = {
+    var i = start
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    s.length
+  }
+
+  /** Decode the entity starting at `i` (which points at `&`). Returns
+   *  (decoded text, index after the entity) or null if the run is not a
+   *  well-formed known entity (caller emits a literal `&`). */
+  private def decodeEntity(s: String, i: Int): (String, Int) = {
+    if (i + 1 >= s.length) return null
+    if (s.charAt(i + 1) == '#') {
+      var j = i + 2
+      var hex = false
+      if (j < s.length && (s.charAt(j) == 'x' || s.charAt(j) == 'X')) { hex = true; j += 1 }
+      val digitsStart = j
+      var cp = 0L
+      while (j < s.length && j - digitsStart < 7 && {
+        val c = s.charAt(j)
+        if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+        else c >= '0' && c <= '9'
+      }) {
+        val c = s.charAt(j)
+        val d = if (c <= '9') c - '0'
+          else if (c <= 'F') c - 'A' + 10 else c - 'a' + 10
+        cp = cp * (if (hex) 16 else 10) + d
+        j += 1
+      }
+      if (j == digitsStart || j >= s.length || s.charAt(j) != ';') return null
+      if (cp < 1 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) return null
+      (new String(Character.toChars(cp.toInt)), j + 1)
+    } else {
+      var j = i + 1
+      while (j < s.length && j - i <= 10 && isNameChar(s.charAt(j))) j += 1
+      if (j >= s.length || s.charAt(j) != ';' || j == i + 1) return null
+      NamedEntities.get(s.substring(i + 1, j)) match {
+        case Some(text) => (text, j + 1)
+        case None => null
+      }
+    }
+  }
+
+  /** Extract renderable text from an HTML document per the rule set in
+   *  the object Scaladoc. Null-safe at the expression layer, not here. */
+  def extractText(html: String): String = {
+    val s = html
+    val out = new java.lang.StringBuilder(s.length / 2 + 16)
+    // '\n' in `out` means BLOCK BREAK only: raw source whitespace (incl.
+    // newlines and NBSP, and whitespace produced by entity decode) is
+    // appended as plain spaces so it collapses instead of breaking lines
+    def appendText(t: String): Unit = {
+      var m = 0
+      while (m < t.length) {
+        val tc = t.charAt(m)
+        out.append(if (Character.isWhitespace(tc) || tc == ' ') ' ' else tc)
+        m += 1
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (i + 1 >= s.length) { out.append('<'); i += 1 }
+        else {
+          val c1 = s.charAt(i + 1)
+          if (c1 == '!') {
+            if (s.startsWith("<!--", i)) {
+              val end = s.indexOf("-->", i + 4)
+              i = if (end < 0) s.length else end + 3
+            } else if (s.startsWith("<![CDATA[", i)) {
+              val end = s.indexOf("]]>", i + 9)
+              i = if (end < 0) s.length else end + 3
+            } else {
+              val end = s.indexOf('>', i + 2)
+              i = if (end < 0) s.length else end + 1
+            }
+          } else if (c1 == '?') {
+            val end = s.indexOf('>', i + 2)
+            i = if (end < 0) s.length else end + 1
+          } else if (c1 == '/' || isNameChar(c1)) {
+            val nameStart = if (c1 == '/') i + 2 else i + 1
+            var j = nameStart
+            while (j < s.length && isNameChar(s.charAt(j))) j += 1
+            if (j == nameStart) {
+              // "</>" or "< x" — not a tag name; treat as a malformed
+              // tag and drop through the quote-aware skipper
+              i = skipTag(s, nameStart)
+            } else {
+              val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+              val afterTag = skipTag(s, j)
+              if (c1 != '/' && (name == "script" || name == "style")) {
+                val close = indexOfIgnoreCase(s, "</" + name, afterTag)
+                i = if (close < 0) s.length else skipTag(s, close + 2 + name.length)
+              } else {
+                if (BlockTags.contains(name)) out.append('\n')
+                i = afterTag
+              }
+            }
+          } else { out.append('<'); i += 1 }
+        }
+      } else if (c == '&') {
+        val dec = decodeEntity(s, i)
+        if (dec == null) { out.append('&'); i += 1 }
+        else { appendText(dec._1); i = dec._2 }
+      } else {
+        out.append(if (Character.isWhitespace(c) || c == '\u00a0') ' ' else c)
+        i += 1
+      }
+    }
+    // renderer-style whitespace normalization: block breaks are the ONLY
+    // line structure; all other whitespace (incl. raw newlines and NBSP)
+    // collapses to single spaces within a line
+    val lines = mutable.ArrayBuffer.empty[String]
+    val line = new java.lang.StringBuilder(128)
+    var pendingSpace = false
+    def flushLine(): Unit = {
+      if (line.length > 0) { lines += line.toString; line.setLength(0) }
+      pendingSpace = false
+    }
+    var k = 0
+    while (k < out.length) {
+      val c = out.charAt(k)
+      if (c == '\n') flushLine()
+      else if (Character.isWhitespace(c) || c == '\u00a0') {
+        if (line.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { line.append(' '); pendingSpace = false }
+        line.append(c)
+      }
+      k += 1
+    }
+    flushLine()
+    lines.mkString("\n")
+  }
+}

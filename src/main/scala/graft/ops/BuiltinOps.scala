@@ -260,6 +260,16 @@ object BuiltinOps {
     // ---- Text-analysis lens ops (SURVEY.md §2.6 north-star additions).
     // Pure Column expressions — stay inside whole-stage codegen; lossy
     // projections ⇒ no inverse (like a module without an `inverse` export).
+    // HTML -> text extraction, the stage-zero of every published web
+    // curation recipe (rule set: graft.operators.Html Scaladoc). Row-
+    // level, zero shuffle.
+    "html_extract" -> { a =>
+      val in = a.strOpt("col").getOrElse("html")
+      val out = a.strOpt("out").getOrElse("text")
+      LensOp(s"html_extract($in)", df => df.withColumn(out,
+        org.apache.spark.sql.graft.HtmlText.extract(col(in))))
+    },
+
     "token_count" -> { a =>
       val (t, id) = (a.strOpt("text").getOrElse("text"),
         a.strOpt("id").getOrElse("doc_id"))

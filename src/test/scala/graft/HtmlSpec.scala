@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.Html
+import org.apache.spark.sql.graft.HtmlText
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rule-by-rule pins for the HTML->text extractor — every branch of the
+ *  tokenizer (raw-text modes, quote-aware tags, entity forms, block vs
+ *  inline, whitespace renderer semantics) on hand-computed outputs. */
+class HtmlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def x(html: String): String = Html.extractText(html)
+
+  test("basic blocks: block tags break lines, inline tags vanish") {
+    assert(x("<p>one</p><p>two</p>") == "one\ntwo")
+    assert(x("a<b>b</b>c") == "abc")
+    assert(x("a<span> b </span>c") == "a b c")
+    assert(x("x<br>y<br/>z") == "x\ny\nz")
+    assert(x("<ul><li>i1</li><li>i2</li></ul>") == "i1\ni2")
+    assert(x("<h1>T</h1>body") == "T\nbody")
+  }
+
+  test("script/style raw-text mode: bodies drop whole, fake tags inside never leak") {
+    assert(x("a<script>var p = '<p>no</p>';</script>b") == "ab")
+    assert(x("a<SCRIPT TYPE=\"text/javascript\">x<y</ScRiPt>b") == "ab")
+    assert(x("a<style>p { color: red; } /* <div> */</style>b") == "ab")
+    // unterminated script swallows the rest (renderers do the same)
+    assert(x("a<script>never closed") == "a")
+    // a close tag with attributes/space still ends the raw-text run
+    assert(x("a<script>s</script >b") == "ab")
+  }
+
+  test("comments, CDATA, doctype, processing instructions drop") {
+    assert(x("a<!-- <p>hidden</p> -->b") == "ab")
+    assert(x("<!DOCTYPE html><p>t</p>") == "t")
+    // CDATA drops to the FIRST "]]>"; later "]]>" is plain text
+    assert(x("a<![CDATA[ raw ]]> stuff ]]>b") == "a stuff ]]>b")
+    assert(x("a<?php echo 1; ?>b") == "ab")
+    assert(x("a<!-- unterminated") == "a")
+  }
+
+  test("quote-aware tag scan: '>' inside a quoted attribute does not close the tag") {
+    assert(x("""<p title="a > b">t</p>""") == "t")
+    assert(x("<a href='x>y'>link</a>") == "link")
+  }
+
+  test("literal '<' and '&' that are not markup stay text") {
+    assert(x("1 < 2 and 2 > 1") == "1 < 2 and 2 > 1")
+    assert(x("fish & chips") == "fish & chips")
+    assert(x("&unknown; &amp &;") == "&unknown; &amp &;")
+    assert(x("tail<") == "tail<")
+  }
+
+  test("entities: named, decimal, hex, nbsp-as-space, malformed kept literal") {
+    assert(x("&amp;&lt;&gt;&quot;&apos;") == "&<>\"'")
+    assert(x("a&nbsp;b") == "a b")
+    assert(x("&#65;&#x42;&#X43;") == "ABC")
+    assert(x("&#128512;") == new String(Character.toChars(128512)))
+    assert(x("&#;") == "&#;")
+    assert(x("&#xD800;") == "&#xD800;") // surrogate cp rejected
+    assert(x("&copy; 2026") == "\u00a9 2026")
+  }
+
+  test("renderer whitespace: raw newlines collapse, lines trim, empties drop") {
+    assert(x("<p>  a\n\n  b\tc  </p>\n\n<p> </p><p>d</p>") == "a b c\nd")
+    assert(x("   ") == "")
+    assert(x("") == "")
+    // pre content normalizes too (documented C4-style choice)
+    assert(x("<pre>  keep\n  structure  </pre>") == "keep structure")
+  }
+
+  test("full document shape: head title kept, script/style/comment dropped, structure linear") {
+    val html =
+      "<!DOCTYPE html><html><head><title>Doc 7</title>" +
+        "<script>var x = '<p>not text</p>';</script>" +
+        "<style>p{color:red}</style></head>" +
+        "<body data-src=\"s>1\"><!-- note -->" +
+        "<h1 class=\"t\">Title &amp; more</h1>" +
+        "<p>hello <b>world</b>&nbsp;again</p>" +
+        "<ul><li>one</li><li>two</li></ul>" +
+        "<div>tail</div></body></html>"
+    assert(x(html) ==
+      "Doc 7\nTitle & more\nhello world again\none\ntwo\ntail")
+  }
+
+  test("builtin:html_extract lens reaches the extractor through a pipeline") {
+    val df = Seq((1L, "<h1>t</h1><p>hello &amp; world</p>")).toDF("doc_id", "html")
+    val pipe = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:html_extract",
+        |  "arguments":{"col":"html","out":"text"}}]}""".stripMargin)
+    val out = pipe.forward(df).select("text").as[String].collect()
+    assert(out.toSeq == Seq("t\nhello & world"))
+  }
+
+  test("column face matches the Scala function and is null-safe") {
+    val df = Seq(
+      (1L, "<p>a</p><p>b</p>"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "x &lt;tag&gt; y")).toDF("id", "html")
+    val got = df.select(col("id"), HtmlText.extract(col("html")).as("t"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("a\nb"))
+    assert(got(2L).isEmpty)
+    assert(got(3L).contains("x <tag> y"))
+  }
+}
