@@ -1013,6 +1013,40 @@ object Multimodal {
       Jpeg.encodeGray(w, w, gray, Jpeg.UnitQuant, restartMcus)
     }
 
+  /** Append a REAL color 4:2:0 baseline JPEG `payload`: seed bytes
+   *  become solid 16x16 RGB MCUs (MCU m = seed triple 3m..3m+2) of a
+   *  (mcus*16)-square image encoded through [[Jpeg.encodeRgb]] with
+   *  chroma subsampling ON. At quality=100 the scaled tables collapse
+   *  to unit quant, constant MCUs make every luma/chroma block DC-only
+   *  (and the 2x2 chroma mean of a constant is that constant exactly),
+   *  so the decode is bit-exact modulo the two documented integer
+   *  color-space conversions — which an oracle replays with
+   *  floor(x+0.5) arithmetic. Exercises the full color path: RGB->YCbCr,
+   *  4-luma+2-chroma MCU interleave, three DC predictors, chroma
+   *  huffman tables, nearest-neighbor upsampling, YCbCr->RGB. */
+  def withMcuColorJpegPayload(df: DataFrame, seedCol: String, mcus: Int,
+      quality: Int = 100): DataFrame =
+    withPayload(df, seedCol) { seed =>
+      require(seed.length == mcus * mcus * 3,
+        s"need mcus*mcus*3 = ${mcus * mcus * 3} seed bytes, got ${seed.length}")
+      val w = mcus * 16
+      val rgb = new Array[Byte](w * w * 3)
+      var y = 0
+      while (y < w) {
+        var x = 0
+        while (x < w) {
+          val m = (y / 16) * mcus + (x / 16)
+          val d = (y * w + x) * 3
+          rgb(d) = seed(3 * m)
+          rgb(d + 1) = seed(3 * m + 1)
+          rgb(d + 2) = seed(3 * m + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Jpeg.encodeRgb(w, w, rgb, quality, subsample420 = true)
+    }
+
   /** Append a REAL mono PCM16 WAV `payload` from a binary column of
    *  little-endian sample bytes (length must be even). */
   def withWavPayload(df: DataFrame, pcmCol: String, sampleRate: Int): DataFrame =

@@ -255,6 +255,66 @@ object MultimodalQueries extends QueryProvider {
       |  CAST(sum(byte) * 64 AS BIGINT) AS pix_byte_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** REAL color 4:2:0 JPEG round-trip — closes the r11 gap where
+   *  `Jpeg.encodeRgb`/`subsample420` had spec cover but no oracle row.
+   *  12 md5 bytes become 4 solid 16x16 color MCUs of a 32x32 image
+   *  encoded at quality=100 (unit quant) WITH chroma subsampling; the
+   *  solid-MCU carve-out survives the 2x2 chroma mean exactly, so the
+   *  only lossy steps are the two documented integer color conversions,
+   *  which DuckDB replays verbatim (floor(x+0.5) = Java math.round,
+   *  clamp to [0,255]). One hash certifies RGB->YCbCr, the 4:2:0 MCU
+   *  interleave, three DC predictor chains, both chroma huffman
+   *  tables, upsampling and YCbCr->RGB. */
+  private def jpeg420Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val seed = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(md5(text)), 1, 12)").as("seed"))
+    Multimodal.decodeImage(
+        Multimodal.withMcuColorJpegPayload(seed, "seed", mcus = 2)
+          .drop("seed"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val jpeg420RoundtripSql =
+    """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+      |d AS (
+      |  SELECT doc_id, (r.range - 1) // 3 AS mcu, (r.range - 1) % 3 AS ch,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 13) r
+      |), c AS (
+      |  -- DOUBLE casts matter: a bare 0.299 literal is DECIMAL in DuckDB
+      |  -- (exact base-10) and diverges from the engine's IEEE doubles at
+      |  -- half boundaries; every product below must be double-typed
+      |  SELECT doc_id, mcu,
+      |    CAST(max(CASE WHEN ch = 0 THEN byte END) AS DOUBLE) AS r,
+      |    CAST(max(CASE WHEN ch = 1 THEN byte END) AS DOUBLE) AS g,
+      |    CAST(max(CASE WHEN ch = 2 THEN byte END) AS DOUBLE) AS b
+      |  FROM d GROUP BY doc_id, mcu
+      |), yc AS (
+      |  SELECT doc_id,
+      |    GREATEST(0, LEAST(255, CAST(floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5) AS BIGINT))) AS yy,
+      |    GREATEST(0, LEAST(255, CAST(floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5) AS BIGINT))) AS cb,
+      |    GREATEST(0, LEAST(255, CAST(floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5) AS BIGINT))) AS cr
+      |  FROM c
+      |), p AS (
+      |  SELECT doc_id,
+      |    GREATEST(0, LEAST(255, CAST(floor(yy + 1.402 * CAST(cr - 128 AS DOUBLE) + 0.5) AS BIGINT)))
+      |    + GREATEST(0, LEAST(255, CAST(floor(yy - 0.344136 * CAST(cb - 128 AS DOUBLE) - 0.714136 * CAST(cr - 128 AS DOUBLE) + 0.5) AS BIGINT)))
+      |    + GREATEST(0, LEAST(255, CAST(floor(yy + 1.772 * CAST(cb - 128 AS DOUBLE) + 0.5) AS BIGINT))) AS rgbsum
+      |  FROM yc
+      |)
+      |SELECT doc_id, CAST(32 AS INTEGER) AS width,
+      |  CAST(32 AS INTEGER) AS height, 'jpeg' AS format,
+      |  CAST(sum(rgbsum) * 256 AS BIGINT) AS pix_byte_sum
+      |FROM p GROUP BY doc_id""".stripMargin
+
   /** The 18th composition flagship: REAL codecs feeding the near-dup
    *  machinery end-to-end. A heterogeneous corpus (per-row BMP/PNG/JPEG,
    *  `withMixedImagePayload`) decodes through the sniffing codec, every
@@ -532,6 +592,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_bmp_roundtrip"   -> (bmpRoundtrip _),
     "mm_png_roundtrip"   -> (pngRoundtrip _),
     "mm_jpeg_roundtrip"  -> (jpegRoundtrip _),
+    "mm_jpeg420_roundtrip" -> (jpeg420Roundtrip _),
     "mm_mixed_codecs"    -> (mixedCodecs _),
     "mm_gif_roundtrip"   -> (gifRoundtrip _),
     "mm_tiff_roundtrip"  -> (tiffRoundtrip _),
@@ -550,6 +611,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_bmp_roundtrip"   -> bmpRoundtripSql,
     "mm_png_roundtrip"   -> pngRoundtripSql,
     "mm_jpeg_roundtrip"  -> jpegRoundtripSql,
+    "mm_jpeg420_roundtrip" -> jpeg420RoundtripSql,
     "mm_mixed_codecs"    -> mixedCodecsSql,
     "mm_gif_roundtrip"   -> gifRoundtripSql,
     "mm_tiff_roundtrip"  -> tiffRoundtripSql,
