@@ -373,12 +373,14 @@ object Multimodal {
    *  path (BMP/WAV/AVI are pure byte layouts): zlib ships in the JDK
    *  (`java.util.zip.Inflater`/`Deflater`), so IDAT decompression plus
    *  the PNG filter reconstruction (None/Sub/Up/Average/Paeth, RFC 2083
-   *  §6) is implementable offline with no media library. Supports
-   *  non-interlaced 8-bit grayscale (color type 0), truecolor (2) and
-   *  truecolor+alpha (6); palette/16-bit/Adam7 are rejected with NAMED
-   *  errors (the WASM `UnsupportedFeature` discipline), and every chunk
-   *  CRC is verified so corrupt payloads fail loudly at the chunk that
-   *  broke, never as garbage pixels.
+   *  §6) is implementable offline with no media library. Supports 8-bit
+   *  grayscale (color type 0), truecolor (2), truecolor+alpha (6), and
+   *  PALETTE (3) at bit depth 1/2/4/8 (PLTE lookup, optional tRNS →
+   *  RGBA) — each in BOTH interlace methods (none and Adam7 seven-pass).
+   *  16-bit and gray+alpha are rejected with NAMED errors (the WASM
+   *  `UnsupportedFeature` discipline), and every chunk CRC is verified
+   *  so corrupt payloads fail loudly at the chunk that broke, never as
+   *  garbage pixels.
    *
    *  100 TB shape: decode is partition-local per payload (the
    *  [[decodeImage]] mapPartitions batch loop); memory is one inflated
@@ -405,25 +407,21 @@ object Multimodal {
       c.getValue.toInt
     }
 
-    /** 8-bit truecolor (color type 2) non-interlaced PNG from row-major
-     *  top-down RGB bytes (h·w·3) — one zlib stream, filter 0 rows. */
-    def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
-      require(w > 0 && h > 0 && rgb.length == w * h * 3,
-        s"need w*h*3 = ${w * h * 3} RGB bytes, got ${rgb.length}")
-      val stride = w * 3
-      val raw = new Array[Byte](h * (stride + 1)) // filter byte 0 + row
-      var y = 0
-      while (y < h) {
-        System.arraycopy(rgb, y * stride, raw, y * (stride + 1) + 1, stride)
-        y += 1
-      }
+    private def deflateRaw(raw: Array[Byte]): Array[Byte] = {
       val defl = new java.util.zip.Deflater()
       defl.setInput(raw); defl.finish()
       val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
       val tmp = new Array[Byte](8192)
       while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
       defl.end()
-      val o = new java.io.ByteArrayOutputStream(zBuf.size() + 64)
+      zBuf.toByteArray
+    }
+
+    /** Sig + IHDR + extra chunks + IDAT + IEND, CRCs computed. */
+    private def assemblePng(w: Int, h: Int, bitDepth: Int, colorType: Int,
+        interlace: Int, extra: Seq[(String, Array[Byte])],
+        idatz: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(idatz.length + 128)
       o.write(Sig, 0, 8)
       def chunk(typ: String, data: Array[Byte]): Unit = {
         def b32(v: Int): Unit = {
@@ -439,22 +437,110 @@ object Multimodal {
       ihdr(2) = ((w >> 8) & 0xFF).toByte; ihdr(3) = (w & 0xFF).toByte
       ihdr(4) = ((h >> 24) & 0xFF).toByte; ihdr(5) = ((h >> 16) & 0xFF).toByte
       ihdr(6) = ((h >> 8) & 0xFF).toByte; ihdr(7) = (h & 0xFF).toByte
-      ihdr(8) = 8; ihdr(9) = 2 // bit depth, truecolor
+      ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
+      ihdr(12) = interlace.toByte
       chunk("IHDR", ihdr)
-      chunk("IDAT", zBuf.toByteArray)
+      extra.foreach { case (typ, data) => chunk(typ, data) }
+      chunk("IDAT", idatz)
       chunk("IEND", Array.emptyByteArray)
       o.toByteArray
     }
 
+    /** 8-bit truecolor (color type 2) non-interlaced PNG from row-major
+     *  top-down RGB bytes (h·w·3) — one zlib stream, filter 0 rows. */
+    def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && rgb.length == w * h * 3,
+        s"need w*h*3 = ${w * h * 3} RGB bytes, got ${rgb.length}")
+      val stride = w * 3
+      val raw = new Array[Byte](h * (stride + 1)) // filter byte 0 + row
+      var y = 0
+      while (y < h) {
+        System.arraycopy(rgb, y * stride, raw, y * (stride + 1) + 1, stride)
+        y += 1
+      }
+      assemblePng(w, h, 8, 2, 0, Nil, deflateRaw(raw))
+    }
+
+    /** Palette (color type 3) non-interlaced PNG at bit depth 1/2/4/8:
+     *  PLTE from 3·k RGB bytes, per-pixel indices packed big-endian
+     *  within each row byte, optional tRNS alpha table. */
+    def encodePalettePng(w: Int, h: Int, palette: Array[Byte],
+        indices: Array[Byte], bitDepth: Int = 8,
+        trns: Array[Byte] = null): Array[Byte] = {
+      require(w > 0 && h > 0 && indices.length == w * h,
+        s"need w*h = ${w * h} index bytes, got ${indices.length}")
+      require(palette.length > 0 && palette.length % 3 == 0 &&
+        palette.length <= 768, s"bad palette length ${palette.length}")
+      require(bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8,
+        s"palette bit depth must be 1/2/4/8, got $bitDepth")
+      val k = palette.length / 3
+      require(k <= (1 << bitDepth), s"$k palette entries exceed 2^$bitDepth")
+      require(indices.forall(i => (i & 0xFF) < k),
+        "pixel index out of palette range")
+      if (trns != null) require(trns.length <= k, "tRNS longer than palette")
+      val rowBytes = (w * bitDepth + 7) / 8
+      val raw = new Array[Byte](h * (rowBytes + 1))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val bitPos = x * bitDepth
+          val at = y * (rowBytes + 1) + 1 + (bitPos >> 3)
+          raw(at) = (raw(at) |
+            ((indices(y * w + x) & 0xFF) << (8 - bitDepth - (bitPos & 7)))).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val extra = ("PLTE", palette) ::
+        (if (trns != null) List(("tRNS", trns)) else Nil)
+      assemblePng(w, h, bitDepth, 3, 0, extra, deflateRaw(raw))
+    }
+
+    /** Adam7-INTERLACED 8-bit truecolor PNG: the seven passes written as
+     *  independently filtered (filter 0) sub-images in spec order. */
+    def encodeAdam7Png(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && rgb.length == w * h * 3,
+        s"need w*h*3 = ${w * h * 3} RGB bytes, got ${rgb.length}")
+      val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      val o = new java.io.ByteArrayOutputStream(rgb.length + rgb.length / 8 + 64)
+      passes.foreach { case (x0, y0, dx, dy) =>
+        val pw = if (x0 >= w) 0 else (w - x0 + dx - 1) / dx
+        val ph = if (y0 >= h) 0 else (h - y0 + dy - 1) / dy
+        if (pw > 0 && ph > 0) {
+          var j = 0
+          while (j < ph) {
+            o.write(0) // filter: none
+            var i = 0
+            while (i < pw) {
+              val s = ((y0 + j * dy) * w + (x0 + i * dx)) * 3
+              o.write(rgb(s)); o.write(rgb(s + 1)); o.write(rgb(s + 2))
+              i += 1
+            }
+            j += 1
+          }
+        }
+      }
+      assemblePng(w, h, 8, 2, 1, Nil, deflateRaw(o.toByteArray))
+    }
+
     /** (width, height, channels, "png", row-major top-down floats in
-     *  [0,1]) — channels 1/3/4 for gray/RGB/RGBA. Walks the chunk list
-     *  with per-chunk CRC verification, concatenates IDAT, inflates,
-     *  reverses the row filters. */
+     *  [0,1]) — channels 1/3/4. Walks the chunk list with per-chunk CRC
+     *  verification, concatenates IDAT, inflates, reverses the per-PASS
+     *  row filters. Supported tiers: 8-bit gray (0) / truecolor (2) /
+     *  truecolor+alpha (6); palette (3) at bit depth 1/2/4/8 — PLTE
+     *  lookup to RGB, optional tRNS widens to RGBA; and BOTH interlace
+     *  methods (none / Adam7 seven-pass, each pass an independently
+     *  filtered sub-image). 16-bit and gray+alpha stay NAMED
+     *  rejections. */
     def decodePng(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) = {
       require(isPng(p), "not a PNG payload")
       var at = 8
-      var w = 0; var h = 0; var channels = 0; var sawIhdr = false
-      var sawIend = false
+      var w = 0; var h = 0; var sawIhdr = false; var sawIend = false
+      var bitDepth = 0; var colorType = 0; var interlace = 0
+      var palette: Array[Byte] = null
+      var trns: Array[Byte] = null
       val idat = new java.io.ByteArrayOutputStream()
       while (at < p.length && !sawIend) {
         require(at + 8 <= p.length, s"truncated PNG chunk header at $at")
@@ -470,16 +556,15 @@ object Multimodal {
             require(len == 13, s"IHDR length $len != 13")
             w = be32(p, at + 8); h = be32(p, at + 12)
             require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
-            val bitDepth = p(at + 16) & 0xFF
-            val colorType = p(at + 17) & 0xFF
-            require(bitDepth == 8,
-              s"PNG uses bit depth $bitDepth — unsupported tier (8 only)")
-            channels = colorType match {
-              case 0 => 1
-              case 2 => 3
-              case 6 => 4
-              case 3 => throw new IllegalArgumentException(
-                "PNG uses palette color (type 3) — unsupported tier")
+            bitDepth = p(at + 16) & 0xFF
+            colorType = p(at + 17) & 0xFF
+            colorType match {
+              case 0 | 2 | 6 => require(bitDepth == 8,
+                s"PNG color type $colorType at bit depth $bitDepth — " +
+                  "unsupported tier (8-bit only)")
+              case 3 => require(bitDepth == 1 || bitDepth == 2 ||
+                  bitDepth == 4 || bitDepth == 8,
+                s"PNG palette bit depth $bitDepth — unsupported tier (1/2/4/8)")
               case 4 => throw new IllegalArgumentException(
                 "PNG uses gray+alpha (type 4) — unsupported tier")
               case ct => throw new IllegalArgumentException(
@@ -487,11 +572,21 @@ object Multimodal {
             }
             require((p(at + 18) & 0xFF) == 0, "bad PNG compression method")
             require((p(at + 19) & 0xFF) == 0, "bad PNG filter method")
-            require((p(at + 20) & 0xFF) == 0,
-              "PNG is Adam7-interlaced — unsupported tier (non-interlaced only)")
-            require(w.toLong * h * channels <= Int.MaxValue,
-              "PNG too large to decode")
+            interlace = p(at + 20) & 0xFF
+            require(interlace <= 1, s"bad PNG interlace method $interlace")
             sawIhdr = true
+          case "PLTE" =>
+            require(sawIhdr, "PLTE before IHDR")
+            require(palette == null, "duplicate PLTE")
+            require(len > 0 && len % 3 == 0 && len <= 768,
+              s"bad PLTE length $len")
+            palette = java.util.Arrays.copyOfRange(p, at + 8, at + 8 + len)
+          case "tRNS" =>
+            require(colorType == 3,
+              s"tRNS on color type $colorType — unsupported tier (palette only)")
+            require(palette != null, "tRNS before PLTE")
+            require(len <= palette.length / 3, s"tRNS longer than palette")
+            trns = java.util.Arrays.copyOfRange(p, at + 8, at + 8 + len)
           case "IDAT" =>
             require(sawIhdr, "IDAT before IHDR")
             idat.write(p, at + 8, len)
@@ -503,8 +598,36 @@ object Multimodal {
       require(sawIhdr, "PNG missing IHDR")
       require(sawIend, "PNG missing IEND — truncated payload")
       require(idat.size() > 0, "PNG missing IDAT")
-      val stride = w * channels
-      val raw = new Array[Byte](h * (stride + 1))
+      if (colorType == 3) require(palette != null, "palette PNG missing PLTE")
+      val rawChannels = if (colorType == 2) 3 else if (colorType == 6) 4 else 1
+      val outChannels = colorType match {
+        case 0 => 1
+        case 2 => 3
+        case 6 => 4
+        case _ => if (trns != null) 4 else 3 // palette
+      }
+      require(w.toLong * h * outChannels <= Int.MaxValue,
+        "PNG too large to decode")
+      val sampleBits = bitDepth * rawChannels
+      // Adam7: seven (x0, y0, dx, dy) sub-grids, each an independently
+      // filtered sub-image; a pass with zero width or height contributes
+      // NO bytes (not even filter bytes) per the spec
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 0, 1, 1))
+        else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      def passW(x0: Int, dx: Int): Int =
+        if (x0 >= w) 0 else (w - x0 + dx - 1) / dx
+      def passH(y0: Int, dy: Int): Int =
+        if (y0 >= h) 0 else (h - y0 + dy - 1) / dy
+      var rawLen = 0L
+      passes.foreach { case (x0, y0, dx, dy) =>
+        val pw = passW(x0, dx); val ph = passH(y0, dy)
+        if (pw > 0 && ph > 0)
+          rawLen += ph.toLong * (1 + (pw.toLong * sampleBits + 7) / 8)
+      }
+      require(rawLen <= Int.MaxValue, "PNG too large to decode")
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var got = 0
@@ -528,41 +651,78 @@ object Multimodal {
       } finally inf.end()
       require(got == raw.length,
         s"PNG IDAT inflated to $got bytes, expected ${raw.length}")
-      // filter reconstruction (RFC 2083 §6.6): a = left, b = up, c = up-left
-      val out = new Array[Byte](h * stride)
-      val bpp = channels // 8-bit samples: bytes-per-pixel == channels
-      var y = 0
-      while (y < h) {
-        val f = raw(y * (stride + 1)) & 0xFF
-        require(f <= 4, s"bad PNG filter type $f on row $y")
-        val src = y * (stride + 1) + 1
-        val dst = y * stride
-        var x = 0
-        while (x < stride) {
-          val rv = raw(src + x) & 0xFF
-          val a = if (x >= bpp) out(dst + x - bpp) & 0xFF else 0
-          val b = if (y > 0) out(dst - stride + x) & 0xFF else 0
-          val c = if (x >= bpp && y > 0) out(dst - stride + x - bpp) & 0xFF else 0
-          val v = f match {
-            case 0 => rv
-            case 1 => rv + a
-            case 2 => rv + b
-            case 3 => rv + ((a + b) >> 1)
-            case 4 =>
-              val pa = math.abs(b - c)
-              val pb = math.abs(a - c)
-              val pc = math.abs(a + b - 2 * c)
-              rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+      // per-pass filter reconstruction (RFC 2083 §6.6) + pixel placement
+      val out = new Array[Byte](h * w * outChannels)
+      val bpp = math.max(1, sampleBits / 8)
+      var rawOff = 0
+      passes.foreach { case (x0, y0, dx, dy) =>
+        val pw = passW(x0, dx); val ph = passH(y0, dy)
+        if (pw > 0 && ph > 0) {
+          val rowBytes = ((pw.toLong * sampleBits + 7) / 8).toInt
+          val buf = new Array[Byte](ph * rowBytes)
+          var y = 0
+          while (y < ph) {
+            val f = raw(rawOff + y * (rowBytes + 1)) & 0xFF
+            require(f <= 4, s"bad PNG filter type $f on pass row $y")
+            val src = rawOff + y * (rowBytes + 1) + 1
+            val dst = y * rowBytes
+            var x = 0
+            while (x < rowBytes) {
+              val rv = raw(src + x) & 0xFF
+              val a = if (x >= bpp) buf(dst + x - bpp) & 0xFF else 0
+              val b = if (y > 0) buf(dst - rowBytes + x) & 0xFF else 0
+              val c = if (x >= bpp && y > 0) buf(dst - rowBytes + x - bpp) & 0xFF else 0
+              val v = f match {
+                case 0 => rv
+                case 1 => rv + a
+                case 2 => rv + b
+                case 3 => rv + ((a + b) >> 1)
+                case 4 =>
+                  val pa = math.abs(b - c)
+                  val pb = math.abs(a - c)
+                  val pc = math.abs(a + b - 2 * c)
+                  rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+              }
+              buf(dst + x) = (v & 0xFF).toByte
+              x += 1
+            }
+            y += 1
           }
-          out(dst + x) = (v & 0xFF).toByte
-          x += 1
+          var j = 0
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              val d = ((y0 + j * dy) * w + (x0 + i * dx)) * outChannels
+              if (colorType == 3) {
+                val bitPos = i * bitDepth
+                val idx = ((buf(j * rowBytes + (bitPos >> 3)) & 0xFF) >>
+                  (8 - bitDepth - (bitPos & 7))) & ((1 << bitDepth) - 1)
+                require(idx * 3 + 2 < palette.length,
+                  s"palette index $idx out of range (${palette.length / 3} entries)")
+                out(d) = palette(3 * idx)
+                out(d + 1) = palette(3 * idx + 1)
+                out(d + 2) = palette(3 * idx + 2)
+                if (outChannels == 4)
+                  out(d + 3) =
+                    if (idx < trns.length) trns(idx) else 0xFF.toByte
+              } else {
+                var ch = 0
+                while (ch < rawChannels) {
+                  out(d + ch) = buf(j * rowBytes + i * rawChannels + ch)
+                  ch += 1
+                }
+              }
+              i += 1
+            }
+            j += 1
+          }
+          rawOff += ph * (rowBytes + 1)
         }
-        y += 1
       }
-      val px = new Array[Float](h * stride)
+      val px = new Array[Float](out.length)
       var i = 0
       while (i < px.length) { px(i) = (out(i) & 0xFF) / 255.0f; i += 1 }
-      (w, h, channels, "png", px)
+      (w, h, outChannels, "png", px)
     }
   }
 
@@ -1071,8 +1231,12 @@ object Multimodal {
   /** Heterogeneous-corpus builder: ONE binary `payload` column whose
    *  format varies per row — `kindCol` 0 → BMP 4×2, 1 → PNG 4×2 (both
    *  from the first 24 seed bytes), 2 → unit-quant tiled JPEG 32×32
-   *  (first 16 seed bytes, restart markers). The realistic input shape
-   *  for [[SniffCodec]]: a single decode pass must dispatch per row. */
+   *  (first 16 seed bytes, restart markers), 3 → PALETTE PNG 4×2
+   *  (bit depth 4: the 24 seed bytes are the 8-entry PLTE, pixel i
+   *  indexes entry seed(i) mod 8), 4 → Adam7-INTERLACED truecolor PNG
+   *  4×2 (same 24 bytes, seven-pass layout incl. empty passes). The
+   *  realistic input shape for [[SniffCodec]]: a single decode pass
+   *  must dispatch per row. */
   def withMixedImagePayload(df: DataFrame, seedCol: String,
       kindCol: String): DataFrame = {
     val inSchema = df.schema
@@ -1101,6 +1265,11 @@ object Multimodal {
               y += 1
             }
             Jpeg.encodeGray(32, 32, gray, Jpeg.UnitQuant, restartMcus = 5)
+          case 3L =>
+            val idx = Array.tabulate[Byte](8)(i => ((seed(i) & 0xFF) % 8).toByte)
+            Png.encodePalettePng(4, 2, java.util.Arrays.copyOf(seed, 24),
+              idx, bitDepth = 4)
+          case 4L => Png.encodeAdam7Png(4, 2, java.util.Arrays.copyOf(seed, 24))
           case k => throw new IllegalArgumentException(s"bad media kind $k")
         }
         Row.fromSeq(r.toSeq :+ payload)

@@ -430,17 +430,20 @@ object MultimodalQueries extends QueryProvider {
       |FROM d GROUP BY doc_id""".stripMargin
 
   /** Heterogeneous-corpus decode — the production shape of the real
-   *  codecs: ONE binary column whose per-row format cycles BMP/PNG/JPEG
-   *  (`withMixedImagePayload`), ONE `decodeImage(SniffCodec)` pass that
-   *  must magic-dispatch per row. The oracle replays format, dims and
-   *  byte sum per arm from the hex digests, so the hash certifies the
-   *  dispatch AND all three decode paths in a single row set — a wrong
-   *  sniff shows up as a wrong format string or a fake-codec byte sum. */
+   *  codecs: ONE binary column whose per-row format cycles
+   *  BMP / truecolor PNG / JPEG / PALETTE PNG (bit-depth-4 PLTE lookup)
+   *  / Adam7-INTERLACED PNG (`withMixedImagePayload`), ONE
+   *  `decodeImage(SniffCodec)` pass that must magic-dispatch per row.
+   *  The oracle replays format, dims and byte sum per arm from the hex
+   *  digests (the palette arm joins pixel indices back to PLTE bytes),
+   *  so the hash certifies the dispatch AND all five decode paths in a
+   *  single row set — a wrong sniff shows up as a wrong format string
+   *  or a fake-codec byte sum, a de-interlace slip as a wrong sum. */
   private def mixedCodecs(s: SparkSession, dir: String): DataFrame = {
     val seeded = T(s, dir, "documents").select(col("doc_id"),
       expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
         .as("seed"),
-      pmod(col("doc_id"), lit(3)).as("kind"))
+      pmod(col("doc_id"), lit(5)).as("kind"))
     Multimodal.decodeImage(
         Multimodal.withMixedImagePayload(seeded, "seed", "kind")
           .drop("seed"),
@@ -454,7 +457,7 @@ object MultimodalQueries extends QueryProvider {
 
   private val mixedCodecsSql =
     """WITH h AS (
-      |  SELECT doc_id, doc_id % 3 AS kind,
+      |  SELECT doc_id, doc_id % 5 AS kind,
       |    md5(text) || md5(text || 'x') AS hx
       |  FROM documents
       |), d AS (
@@ -464,16 +467,31 @@ object MultimodalQueries extends QueryProvider {
       |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
       |      AS byte, r.range AS pos
       |  FROM h, range(1, 25) r
+      |), base AS (
+      |  SELECT doc_id, kind,
+      |    CAST(sum(byte) AS BIGINT) AS all24,
+      |    CAST(sum(CASE WHEN pos <= 16 THEN byte ELSE 0 END) AS BIGINT)
+      |      AS first16
+      |  FROM d GROUP BY doc_id, kind
+      |), pal AS (
+      |  -- palette arm: pixel i (pos <= 8) selects PLTE entry byte % 8,
+      |  -- whose RGB bytes sit at positions 3*(byte%8)+1 .. +3
+      |  SELECT px.doc_id, CAST(sum(e.byte) AS BIGINT) AS psum
+      |  FROM d px JOIN d e ON e.doc_id = px.doc_id
+      |    AND e.pos >= 3 * (px.byte % 8) + 1
+      |    AND e.pos <= 3 * (px.byte % 8) + 3
+      |  WHERE px.pos <= 8
+      |  GROUP BY px.doc_id
       |)
-      |SELECT doc_id, kind,
-      |  CAST(CASE WHEN kind = 2 THEN 32 ELSE 4 END AS INTEGER) AS width,
-      |  CAST(CASE WHEN kind = 2 THEN 32 ELSE 2 END AS INTEGER) AS height,
-      |  CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'jpeg' END
+      |SELECT b.doc_id, b.kind,
+      |  CAST(CASE WHEN b.kind = 2 THEN 32 ELSE 4 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN b.kind = 2 THEN 32 ELSE 2 END AS INTEGER) AS height,
+      |  CASE b.kind WHEN 0 THEN 'bmp' WHEN 2 THEN 'jpeg' ELSE 'png' END
       |    AS format,
-      |  CAST(CASE WHEN kind = 2
-      |    THEN 64 * sum(CASE WHEN pos <= 16 THEN byte ELSE 0 END)
-      |    ELSE sum(byte) END AS BIGINT) AS pix_byte_sum
-      |FROM d GROUP BY doc_id, kind""".stripMargin
+      |  CAST(CASE b.kind WHEN 2 THEN 64 * b.first16
+      |    WHEN 3 THEN pal.psum
+      |    ELSE b.all24 END AS BIGINT) AS pix_byte_sum
+      |FROM base b LEFT JOIN pal ON pal.doc_id = b.doc_id""".stripMargin
 
   /** REAL WAV round-trip, same discipline: 16 md5 bytes → 8 LE PCM16
    *  samples → a real mono WAV → sniffed decode → Σ round(sample·32768)

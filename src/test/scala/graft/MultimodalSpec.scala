@@ -295,8 +295,8 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("Png: malformed/unsupported payloads fail LOUDLY with NAMED " +
-      "errors - truncation, chunk CRC, corrupt/short zlib, Adam7, " +
-      "palette, 16-bit") {
+      "errors - truncation, chunk CRC, corrupt/short zlib, bad " +
+      "interlace, PLTE-less palette, 16-bit") {
     val rgb = Array.tabulate[Byte](4 * 2 * 3)(i => (i * 11 + 3).toByte)
     val png = Multimodal.Png.encodePng(4, 2, rgb)
     // truncated payload (IEND gone)
@@ -352,20 +352,37 @@ class MultimodalSpec extends AnyFunSuite {
     val eD = intercept[IllegalArgumentException](
       Multimodal.Png.decodePng(dictPng))
     assert(eD.getMessage.contains("preset dictionary"), eD.getMessage)
-    // Adam7 interlace byte -> named unsupported tier
-    val inter = ihdrData.clone(); inter(12) = 1
+    // invalid interlace method (Adam7=1 now DECODES; 2 is out of spec)
+    val inter = ihdrData.clone(); inter(12) = 2
     val interPng = sig ++ chunk("IHDR", inter) ++ chunk("IDAT", idatData) ++
       chunk("IEND", Array.emptyByteArray)
     val e5 = intercept[IllegalArgumentException](
       Multimodal.Png.decodePng(interPng))
-    assert(e5.getMessage.contains("Adam7"), e5.getMessage)
-    // palette color type -> named
-    val pal = ihdrData.clone(); pal(9) = 3
+    assert(e5.getMessage.contains("bad PNG interlace"), e5.getMessage)
+    // interlace=1 with non-interlaced-sized IDAT: the Adam7 pass layout
+    // needs MORE bytes (per-pass filter bytes) -> truncation named, so
+    // a mislabeled stream cannot decode to silent garbage
+    val adam = ihdrData.clone(); adam(12) = 1
+    val adamPng = sig ++ chunk("IHDR", adam) ++ chunk("IDAT", idatData) ++
+      chunk("IEND", Array.emptyByteArray)
+    val eA = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePng(adamPng))
+    assert(eA.getMessage.contains("truncated PNG IDAT") ||
+      eA.getMessage.contains("inflated to"), eA.getMessage)
+    // palette color type WITHOUT a PLTE chunk -> named
+    val pal = ihdrData.clone(); pal(9) = 3; pal(8) = 8
     val palPng = sig ++ chunk("IHDR", pal) ++ chunk("IDAT", idatData) ++
       chunk("IEND", Array.emptyByteArray)
     val e6 = intercept[IllegalArgumentException](
       Multimodal.Png.decodePng(palPng))
-    assert(e6.getMessage.contains("palette"), e6.getMessage)
+    assert(e6.getMessage.contains("missing PLTE"), e6.getMessage)
+    // gray+alpha (type 4) stays a named rejection
+    val ga = ihdrData.clone(); ga(9) = 4
+    val gaPng = sig ++ chunk("IHDR", ga) ++ chunk("IDAT", idatData) ++
+      chunk("IEND", Array.emptyByteArray)
+    val eG = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePng(gaPng))
+    assert(eG.getMessage.contains("gray+alpha"), eG.getMessage)
     // 16-bit depth -> named
     val deep = ihdrData.clone(); deep(8) = 16
     val deepPng = sig ++ chunk("IHDR", deep) ++ chunk("IDAT", idatData) ++
@@ -373,6 +390,86 @@ class MultimodalSpec extends AnyFunSuite {
     val e7 = intercept[IllegalArgumentException](
       Multimodal.Png.decodePng(deepPng))
     assert(e7.getMessage.contains("bit depth"), e7.getMessage)
+  }
+
+  test("Png: palette (type 3) decode at bit depths 1/2/4/8 - PLTE lookup, " +
+      "packed sub-byte indices, tRNS widens to RGBA; ImageIO agrees") {
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90,
+      100, 110, 120, -56, -46, -36) // 5 entries; last = (200,210,220)
+    val idx8 = Array[Byte](0, 1, 2, 3, 4, 0, 2, 2, 1)
+    val png8 = Multimodal.Png.encodePalettePng(3, 3, pal, idx8, bitDepth = 8)
+    val (w8, h8, c8, f8, px8) = Multimodal.Png.decodePng(png8)
+    assert((w8, h8, c8, f8) == ((3, 3, 3, "png")))
+    for (i <- 0 until 9; ch <- 0 until 3)
+      assert(math.round(px8(i * 3 + ch) * 255) ==
+        (pal(3 * (idx8(i) & 0xFF) + ch) & 0xFF))
+    val img8 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png8))
+    for (y <- 0 until 3; x <- 0 until 3) {
+      val rgb = img8.getRGB(x, y)
+      val e = 3 * (idx8(y * 3 + x) & 0xFF)
+      assert(((rgb >> 16) & 0xFF) == (pal(e) & 0xFF) &&
+        ((rgb >> 8) & 0xFF) == (pal(e + 1) & 0xFF) &&
+        (rgb & 0xFF) == (pal(e + 2) & 0xFF), s"ImageIO d8 ($x,$y)")
+    }
+    // sub-byte depths on a width that forces row-end padding bits
+    for (d <- Seq(1, 2, 4)) {
+      val k = 1 << d
+      val palD = Array.tabulate[Byte](3 * k)(i => (i * 17 + 5).toByte)
+      val w = 5; val h = 3
+      val idx = Array.tabulate[Byte](w * h)(i => (i % k).toByte)
+      val png = Multimodal.Png.encodePalettePng(w, h, palD, idx, bitDepth = d)
+      val (dw, dh, dc, _, px) = Multimodal.Png.decodePng(png)
+      assert((dw, dh, dc) == ((w, h, 3)))
+      for (i <- 0 until w * h; ch <- 0 until 3)
+        assert(math.round(px(i * 3 + ch) * 255) ==
+          (palD(3 * (idx(i) & 0xFF) + ch) & 0xFF), s"depth $d pixel $i ch $ch")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val e = 3 * (idx(y * w + x) & 0xFF)
+        assert(((rgb >> 16) & 0xFF) == (palD(e) & 0xFF) &&
+          ((rgb >> 8) & 0xFF) == (palD(e + 1) & 0xFF) &&
+          (rgb & 0xFF) == (palD(e + 2) & 0xFF), s"ImageIO depth $d ($x,$y)")
+      }
+    }
+    // tRNS: alpha table shorter than the palette pads with opaque 255
+    val trns = Array[Byte](0, -128)
+    val pngA = Multimodal.Png.encodePalettePng(3, 3, pal, idx8, bitDepth = 8,
+      trns = trns)
+    val (aw, ah, ac, _, pxA) = Multimodal.Png.decodePng(pngA)
+    assert((aw, ah, ac) == ((3, 3, 4)))
+    for (i <- 0 until 9) {
+      val id = idx8(i) & 0xFF
+      val expA = if (id < trns.length) trns(id) & 0xFF else 255
+      assert(math.round(pxA(i * 4 + 3) * 255) == expA, s"alpha pixel $i")
+      for (ch <- 0 until 3)
+        assert(math.round(pxA(i * 4 + ch) * 255) == (pal(3 * id + ch) & 0xFF))
+    }
+  }
+
+  test("Png: Adam7-interlaced truecolor decodes to the exact same pixels " +
+      "as the straight encoding, incl. empty-pass geometries; ImageIO " +
+      "agrees on our interlaced bytes") {
+    for ((w, h) <- Seq((1, 1), (4, 2), (5, 3), (8, 8), (9, 5), (16, 16),
+        (3, 11))) {
+      val rgb = Array.tabulate[Byte](w * h * 3)(i =>
+        ((i * 37 + w * 11 + h) % 251).toByte)
+      val inter = Multimodal.Png.encodeAdam7Png(w, h, rgb)
+      val (dw, dh, dc, fmt, px) = Multimodal.Png.decodePng(inter)
+      assert((dw, dh, dc, fmt) == ((w, h, 3, "png")), s"${w}x$h")
+      val (_, _, _, _, ref) =
+        Multimodal.Png.decodePng(Multimodal.Png.encodePng(w, h, rgb))
+      assert(px.toSeq == ref.toSeq, s"${w}x$h interlaced != straight")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(inter))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        assert(((p >> 16) & 0xFF) == (rgb(i) & 0xFF) &&
+          ((p >> 8) & 0xFF) == (rgb(i + 1) & 0xFF) &&
+          (p & 0xFF) == (rgb(i + 2) & 0xFF), s"ImageIO ${w}x$h ($x,$y)")
+      }
+    }
   }
 
   test("Jpeg: DC-only blocks (solid 8x8 tiles, unit quant) round-trip " +
