@@ -270,6 +270,15 @@ object BuiltinOps {
         org.apache.spark.sql.graft.HtmlText.extract(col(in))))
     },
 
+    // URL canonicalization (rule set: graft.operators.Urls Scaladoc) —
+    // the identity key for crawl dedup / host quotas. Row-level.
+    "url_canon" -> { a =>
+      val in = a.strOpt("col").getOrElse("url")
+      val out = a.strOpt("out").getOrElse(in)
+      LensOp(s"url_canon($in)", df => df.withColumn(out,
+        org.apache.spark.sql.graft.Url.canonicalize(col(in))))
+    },
+
     "token_count" -> { a =>
       val (t, id) = (a.strOpt("text").getOrElse("text"),
         a.strOpt("id").getOrElse("doc_id"))

@@ -833,8 +833,12 @@ object RelationalQueries extends QueryProvider {
     graft.operators.Pagerank.run(edges, "src", "dst", iters = prIters)
   }
 
-  private val pagerankSql: String = {
-    val iterCtes = (1 to prIters).map { i =>
+  /** The unrolled Pagerank.run power-iteration CTE chain — shared with
+   *  WebQueries.pipeline_host_rank so the replay arithmetic cannot
+   *  drift between graphs. Expects CTEs e(src,dst), nodes(node_id),
+   *  nn(n), odeg(src,outdeg), r0(node_id,pr) in scope. */
+  private[queries] def pagerankIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
       val p = i - 1
       s"""d$i AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
          |  FROM r$p LEFT JOIN odeg ON node_id = src WHERE outdeg IS NULL),
@@ -848,6 +852,9 @@ object RelationalQueries extends QueryProvider {
          |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
          |  LEFT JOIN f$i ON node_id = dst)""".stripMargin
     }.mkString(",\n")
+
+  private val pagerankSql: String = {
+    val iterCtes = pagerankIterCtes(prIters)
     s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
        |  l_suppkey + 1000000 AS dst
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

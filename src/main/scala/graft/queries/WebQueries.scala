@@ -117,13 +117,112 @@ object WebQueries extends QueryProvider {
       |  ${TextQueries.gopherPassSql} AS gopher_pass
       |FROM m""".stripMargin
 
+  // -------------------------------------------------------------- URLs
+
+  /** documents dressed as crawl records: a messy source URL (mixed-case
+   *  scheme/host, default port, dot-segments, tracking params, fragment)
+   *  and a messy link target on a per-language wiki host. Every
+   *  canonicalization rule fires on driver data. */
+  private def crawlUrls(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"), col("source"), col("lang"),
+      concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://WWW."), col("source"), lit(".Example.COM"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(":80")).otherwise(lit(":443")),
+        lit("/a/./"), col("lang"), lit("/../"), col("lang"), lit("/page"),
+        lit("?utm_source=feed&id="), col("doc_id"),
+        lit("&fbclid=xyz&q="), col("lang"),
+        lit("#sec"), col("doc_id")).as("src_url"),
+      concat(lit("HTTPS://"), col("lang"), lit(".WIKI.org:443/wiki/./"),
+        col("source"), lit("/../Main#x")).as("dst_url"))
+
+  private val hostRe = "^[a-z0-9+.-]+://([^/?#]+)"
+
+  private def urlCanon(s: SparkSession, dir: String): DataFrame =
+    crawlUrls(s, dir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.Url.canonicalize(col("src_url"))
+          .as("canon_url"))
+      .select(col("doc_id"), col("canon_url"),
+        org.apache.spark.sql.graft.Url.registeredDomain(
+          regexp_extract(col("canon_url"), hostRe, 1)).as("reg_domain"))
+
+  private val urlCanonSql =
+    """SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) ||
+      |  '://www.' || source || '.example.com/a/' || lang || '/page?id=' ||
+      |  CAST(doc_id AS VARCHAR) || '&q=' || lang AS canon_url,
+      |  'example.com' AS reg_domain
+      |FROM documents""".stripMargin
+
+  /** Flagship: the Common Crawl host-rank shape — canonicalize crawl
+   *  URLs, extract hosts, build the host link graph, run the existing
+   *  [[graft.operators.Pagerank]] power iteration over it. Source hosts
+   *  (one per `source`) link to per-language wiki hosts, which are all
+   *  dangling — the dangling-mass path is live.
+   *
+   *  100 TB shape: canonicalization fuses into the scan; the host
+   *  dimension after distinct is tiny (|sources|+|langs|), so the id
+   *  mapping is a broadcast join and the single-partition row_number
+   *  window is over that dimension, never the corpus; PageRank then
+   *  shuffles slim (id, rank) pairs per round. */
+  private val hostRankIters = 5
+  private def hostRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = crawlUrls(s, dir).select(
+      regexp_extract(org.apache.spark.sql.graft.Url.canonicalize(col("src_url")),
+        hostRe, 1).as("shost"),
+      regexp_extract(org.apache.spark.sql.graft.Url.canonicalize(col("dst_url")),
+        hostRe, 1).as("dhost"))
+    val hosts = canon.select(col("shost").as("host"))
+      .union(canon.select(col("dhost").as("host"))).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("host")).cast("long"))
+    val e = canon
+      .join(broadcast(hosts.select(col("host").as("shost"), col("id").as("sid"))),
+        Seq("shost"))
+      .join(broadcast(hosts.select(col("host").as("dhost"), col("id").as("did"))),
+        Seq("dhost"))
+      .select(col("sid"), col("did"))
+    val pr = graft.operators.Pagerank.run(e, "sid", "did", iters = hostRankIters)
+    pr.join(broadcast(hosts), pr("node_id") === hosts("id"))
+      .select(col("host"), col("pr_nano"))
+  }
+
+  private val hostRankSql =
+    s"""WITH u AS (
+      |  SELECT 'www.' || source || '.example.com' AS shost,
+      |         lang || '.wiki.org' AS dhost
+      |  FROM documents
+      |),
+      |hosts AS (
+      |  SELECT host, CAST(row_number() OVER (ORDER BY host) AS BIGINT) AS id
+      |  FROM (SELECT DISTINCT shost AS host FROM u
+      |        UNION SELECT DISTINCT dhost FROM u) t
+      |),
+      |e AS (SELECT DISTINCT s.id AS src, d.id AS dst
+      |      FROM u JOIN hosts s ON s.host = u.shost
+      |             JOIN hosts d ON d.host = u.dhost),
+      |nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      |odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+      |  FROM e GROUP BY src),
+      |r0 AS (SELECT node_id, CAST(1000000000 // n AS BIGINT) AS pr
+      |  FROM nodes CROSS JOIN nn),
+      |${RelationalQueries.pagerankIterCtes(hostRankIters)}
+      |SELECT h.host, pr AS pr_nano
+      |FROM r$hostRankIters JOIN hosts h ON node_id = h.id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_html_extract" -> (htmlExtract _),
-    "pipeline_web_extract" -> (webExtract _)
+    "pipeline_web_extract" -> (webExtract _),
+    "text_url_canon" -> (urlCanon _),
+    "pipeline_host_rank" -> (hostRank _)
   )
 
   override def oracles: Map[String, String] = Map(
     "text_html_extract" -> htmlExtractSql,
-    "pipeline_web_extract" -> webExtractSql
+    "pipeline_web_extract" -> webExtractSql,
+    "text_url_canon" -> urlCanonSql,
+    "pipeline_host_rank" -> hostRankSql
   )
 }
