@@ -754,6 +754,37 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Decode an animated-GIF payload column into one row per COMPOSITED
+   *  frame — (frame_idx, meta, pixels) — the GIF sibling of
+   *  [[decodeVideoFrames]]: each row is the full logical screen after
+   *  the frame draws, with GIF89a disposal (leave / restore-background
+   *  / restore-previous) and transparency applied between frames
+   *  ([[Gif.decodeGifFrames]]). Partition-local 1:N explode, payload
+   *  dropped so frames shuffle, blobs never. */
+  def decodeGifFrames(df: DataFrame, payloadCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val kept = inSchema.fields.zipWithIndex.filter(_._2 != payloadIdx)
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("meta", ImageMetaType, nullable = false),
+      StructField("pixels", ArrayType(FloatType, containsNull = false))))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.flatMap { r =>
+        val (w, h, frames) =
+          Gif.decodeGifFrames(r.getAs[Array[Byte]](payloadIdx))
+        (0 until frames.length by stride).map { f =>
+          Row.fromSeq(keptIdx.toSeq.map(r.get) ++
+            Seq(f, Row(w, h, 3, "gif"), frames(f).toSeq))
+        }
+      })
+    }(encoder)
+  }
+
   /** Real decode where the payload is a real container, deterministic
    *  stub otherwise: 'BM' → BMP, PNG signature → PNG (real inflate),
    *  'RIFF…WAVE' → WAV, anything else falls to [[FakeCodec]] — the
@@ -1148,6 +1179,26 @@ object Multimodal {
       Gif.encodeGif(w, h,
         java.util.Arrays.copyOfRange(bytes, 3 * colors, bytes.length),
         java.util.Arrays.copyOf(bytes, 3 * colors))
+    }
+
+  /** Append a REAL 4-frame animated GIF89a `payload` exercising the
+   *  full disposal/transparency matrix from a binary column of 24
+   *  palette bytes (8 colors c0..c7) on a 4×2 screen, bg = c0:
+   *  frame 0 full-screen indices 0..7 (disposal leave); frame 1 a 2×1
+   *  patch at (1,0) = [c0, transparent] with transparent index 7 and
+   *  disposal restore-previous; frame 2 a 1×1 patch at (3,1) = c4 with
+   *  disposal restore-background; frame 3 a 1×1 patch at (0,0) = c5.
+   *  Composited byte sums are therefore linear in the palette-color
+   *  sums (all24; all24−c1+c0; all24−c7+c4; all24−c7+c5), which a SQL
+   *  oracle replays exactly from the hex digests. */
+  def withAnimatedGifPayload(df: DataFrame, paletteCol: String): DataFrame =
+    withPayload(df, paletteCol) { pal =>
+      require(pal.length == 24, s"need 24 palette bytes, got ${pal.length}")
+      Gif.encodeAnimatedGif(4, 2, pal, bgIndex = 0, Seq(
+        Gif.Frame(0, 0, 4, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)),
+        Gif.Frame(1, 0, 2, 1, Array[Byte](0, 7), disposal = 3, transparentIdx = 7),
+        Gif.Frame(3, 1, 1, 1, Array[Byte](4), disposal = 2),
+        Gif.Frame(0, 0, 1, 1, Array[Byte](5))))
     }
 
   /** [[withJpegPayload]] variant for the EXACT-round-trip oracle shape:

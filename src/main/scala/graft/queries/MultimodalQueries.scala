@@ -429,6 +429,57 @@ object MultimodalQueries extends QueryProvider {
       |  'gif' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** ANIMATED GIF 1:N frame explode — the GIF sibling of
+   *  `mm_avi_frames`: 24 md5 bytes become an 8-color global palette,
+   *  `withAnimatedGifPayload` writes a real 4-frame GIF89a whose frames
+   *  exercise transparency plus all three disposal methods, and
+   *  `decodeGifFrames` composites each frame on the logical screen.
+   *  Because the fixture's geometry is fixed, every composited frame's
+   *  byte sum is a linear combination of per-color palette sums that
+   *  DuckDB replays exactly from the hex digests — a disposal or
+   *  transparency slip shows up as a wrong frame sum. */
+  private def gifFrames(s: SparkSession, dir: String): DataFrame = {
+    val src = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
+        .as("pal"))
+    Multimodal.decodeGifFrames(
+        Multimodal.withAnimatedGifPayload(src, "pal").drop("pal"),
+        "payload")
+      .select(col("doc_id"), col("frame_idx"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val gifFramesSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') AS hx FROM documents
+      |), d AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte, (r.range - 1) // 3 AS color
+      |  FROM h, range(1, 25) r
+      |), c AS (
+      |  SELECT doc_id, sum(byte) AS all24,
+      |    sum(CASE WHEN color = 0 THEN byte ELSE 0 END) AS c0,
+      |    sum(CASE WHEN color = 1 THEN byte ELSE 0 END) AS c1,
+      |    sum(CASE WHEN color = 4 THEN byte ELSE 0 END) AS c4,
+      |    sum(CASE WHEN color = 5 THEN byte ELSE 0 END) AS c5,
+      |    sum(CASE WHEN color = 7 THEN byte ELSE 0 END) AS c7
+      |  FROM d GROUP BY doc_id
+      |)
+      |SELECT doc_id, CAST(f.fi AS INTEGER) AS frame_idx,
+      |  CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+      |  'gif' AS format,
+      |  CAST(CASE f.fi WHEN 0 THEN all24
+      |                 WHEN 1 THEN all24 - c1 + c0
+      |                 WHEN 2 THEN all24 - c7 + c4
+      |                 ELSE all24 - c7 + c5 END AS BIGINT) AS pix_byte_sum
+      |FROM c, (VALUES (0), (1), (2), (3)) f(fi)""".stripMargin
+
   /** Heterogeneous-corpus decode — the production shape of the real
    *  codecs: ONE binary column whose per-row format cycles
    *  BMP / truecolor PNG / JPEG / PALETTE PNG (bit-depth-4 PLTE lookup)
@@ -613,6 +664,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_jpeg420_roundtrip" -> (jpeg420Roundtrip _),
     "mm_mixed_codecs"    -> (mixedCodecs _),
     "mm_gif_roundtrip"   -> (gifRoundtrip _),
+    "mm_gif_frames"      -> (gifFrames _),
     "mm_tiff_roundtrip"  -> (tiffRoundtrip _),
     "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
     "pipeline_media_dedup" -> (mediaDedup _),
@@ -632,6 +684,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_jpeg420_roundtrip" -> jpeg420RoundtripSql,
     "mm_mixed_codecs"    -> mixedCodecsSql,
     "mm_gif_roundtrip"   -> gifRoundtripSql,
+    "mm_gif_frames"      -> gifFramesSql,
     "mm_tiff_roundtrip"  -> tiffRoundtripSql,
     "mm_adpcm_roundtrip" -> adpcmRoundtripSql,
     "pipeline_media_dedup" -> mediaDedupSql,

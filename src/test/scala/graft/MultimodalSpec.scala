@@ -785,6 +785,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(px2.toSeq == px.toSeq, "decode of ImageIO-encoded GIF drifted")
   }
 
+  test("Gif: animated decode composites transparency and all three " +
+      "disposal methods; still-image decodeGif stays the frame-0 view") {
+    import graft.operators.Gif
+    val pal = Array.tabulate[Byte](8 * 3)(i => (i * 9 + 2).toByte)
+    def c(i: Int): Seq[Int] =
+      Seq(pal(3 * i) & 0xFF, pal(3 * i + 1) & 0xFF, pal(3 * i + 2) & 0xFF)
+    val gif = Gif.encodeAnimatedGif(4, 2, pal, bgIndex = 0, Seq(
+      Gif.Frame(0, 0, 4, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)),
+      Gif.Frame(1, 0, 2, 1, Array[Byte](0, 7), disposal = 3, transparentIdx = 7),
+      Gif.Frame(3, 1, 1, 1, Array[Byte](4), disposal = 2),
+      Gif.Frame(0, 0, 1, 1, Array[Byte](5))))
+    assert(Gif.isGif(gif))
+    val (sw, sh, frames) = Gif.decodeGifFrames(gif)
+    assert(sw == 4 && sh == 2 && frames.length == 4)
+    // expected composited palette index per pixel, per frame
+    val want = Seq(
+      Seq(0, 1, 2, 3, 4, 5, 6, 7),       // full first frame
+      Seq(0, 0, 2, 3, 4, 5, 6, 7),       // (1,0)<-c0, (2,0) transparent
+      Seq(0, 1, 2, 3, 4, 5, 6, 4),       // restore-previous, then (3,1)<-c4
+      Seq(5, 1, 2, 3, 4, 5, 6, 0))       // (3,1) restored to bg c0, (0,0)<-c5
+    for (f <- 0 until 4; p <- 0 until 8; ch <- 0 until 3)
+      assert(math.round(frames(f)(p * 3 + ch) * 255) == c(want(f)(p))(ch),
+        s"frame $f pixel $p channel $ch drifted")
+    // the still-image contract on the same payload = frame 0 without
+    // transparency (frame 0 declares none, so identical here)
+    val (w0, h0, _, fmt0, px0) = Gif.decodeGif(gif)
+    assert(w0 == 4 && h0 == 2 && fmt0 == "gif")
+    assert(px0.toSeq == frames(0).toSeq)
+    // ImageIO reads the same 4 raw frames (it does NOT composite, so
+    // compare frame 0, which is full-screen)
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif)))
+    assert(rdr.getNumImages(true) == 4)
+    val img0 = rdr.read(0)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val argb = img0.getRGB(x, y); val i = (y * 4 + x) * 3
+      assert(((argb >> 16) & 0xFF) == math.round(frames(0)(i) * 255) &&
+        ((argb >> 8) & 0xFF) == math.round(frames(0)(i + 1) * 255) &&
+        (argb & 0xFF) == math.round(frames(0)(i + 2) * 255),
+        s"ImageIO disagrees on frame 0 at ($x,$y)")
+    }
+  }
+
   test("Gif: an image past 4096 LZW dict entries exercises the dict-full " +
       "clear/reset protocol and still round-trips bit-exactly; ImageIO " +
       "agrees on the post-reset stream") {
