@@ -841,6 +841,38 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Walk an MP3 payload column into a flat metadata row — the
+   *  audio-corpus triage face of [[Mp3.mp3Meta]]: version / samplerate /
+   *  channels / exact frame, sample and byte accounting / VBR-header
+   *  frame count / ID3 prefix size. Narrow (no shuffle), payload
+   *  dropped so triage rows shuffle, blobs never; O(frames) time and
+   *  O(1) memory per payload. */
+  def mp3Meta(df: DataFrame, payloadCol: String): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val kept = inSchema.fields.zipWithIndex.filter(_._2 != payloadIdx)
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("mpeg_version", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("samples", LongType, nullable = false),
+      StructField("stream_bytes", LongType, nullable = false),
+      StructField("bitrate_sum_kbps", LongType, nullable = false),
+      StructField("xing_frames", IntegerType, nullable = false),
+      StructField("id3_size", IntegerType, nullable = false)))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.map { r =>
+        val m = Mp3.mp3Meta(r.getAs[Array[Byte]](payloadIdx))
+        Row.fromSeq(keptIdx.toSeq.map(r.get) ++
+          Seq[Any](m.version, m.sampleRate, m.channels, m.nFrames, m.samples,
+            m.totalBytes, m.bitrateSumKbps, m.xingFrames, m.id3Size))
+      })
+    }(encoder)
+  }
+
   /**
    * Average-pool resize of a decoded `pixels` array to `outW`×`outH`.
    * Real math over the (fake-)decoded tensor; same batched mapPartitions
@@ -1179,6 +1211,21 @@ object Multimodal {
       Gif.encodeGif(w, h,
         java.util.Arrays.copyOfRange(bytes, 3 * colors, bytes.length),
         java.util.Arrays.copyOf(bytes, 3 * colors))
+    }
+
+  /** Append a structurally-real MP3 `payload` from a binary column of
+   *  9 seed bytes: byte 0 sizes the ID3v2 prefix (b0 mod 64 content
+   *  bytes), bytes 1..8 pick one legal MPEG-1 Layer III bitrate each
+   *  (index 1 + b mod 14) for 8 VBR frames behind a fixed 128 kbps
+   *  Xing frame declaring the 9-frame total ([[Mp3.encodeMp3Structural]]).
+   *  Every derived quantity (frame lengths, bitrate sum, samples) is
+   *  integer-exact from the seed bytes, so a SQL oracle replays the
+   *  whole walk. */
+  def withMp3Payload(df: DataFrame, seedCol: String): DataFrame =
+    withPayload(df, seedCol) { seed =>
+      require(seed.length == 9, s"need 9 seed bytes, got ${seed.length}")
+      Mp3.encodeMp3Structural((seed(0) & 0xFF) % 64,
+        (1 to 8).map(i => Mp3.kbpsForSeed(seed(i))))
     }
 
   /** Append a REAL 4-frame animated GIF89a `payload` exercising the

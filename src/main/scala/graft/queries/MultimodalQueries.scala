@@ -429,6 +429,59 @@ object MultimodalQueries extends QueryProvider {
       |  'gif' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** MP3 METADATA WALK — audio-corpus triage over structurally-real
+   *  MP3 streams: 9 md5 bytes per document size an ID3v2 prefix and
+   *  pick 8 VBR bitrates behind a Xing frame (`withMp3Payload`), and
+   *  `Multimodal.mp3Meta` walks every frame header (bitrate/samplerate
+   *  tables, exact frame-length arithmetic, Xing extraction, ID3
+   *  syncsafe skip). All outputs are integer-exact functions of the
+   *  seed bytes, so DuckDB replays the walk — a wrong bitrate table
+   *  entry or frame-length formula desyncs the stream or flips the
+   *  sums. Full Layer-III audio decode stays a named seam
+   *  (`Mp3.decodeMp3Audio`). */
+  private def mp3Meta(s: SparkSession, dir: String): DataFrame = {
+    val src = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(md5(text)), 1, 9)").as("seed"))
+    Multimodal.mp3Meta(
+        Multimodal.withMp3Payload(src, "seed").drop("seed"),
+        "payload")
+  }
+
+  private val mp3MetaSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) AS hx FROM documents
+      |), d AS (
+      |  SELECT doc_id, r.range AS pos,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 10) r
+      |), k AS (
+      |  SELECT doc_id, pos, byte,
+      |    CASE 1 + byte % 14
+      |      WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+      |      WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+      |      WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+      |      WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps
+      |  FROM d
+      |)
+      |SELECT doc_id,
+      |  CAST(1 AS INTEGER) AS mpeg_version,
+      |  CAST(44100 AS INTEGER) AS sample_rate,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(9 AS INTEGER) AS n_frames,
+      |  CAST(9 * 1152 AS BIGINT) AS samples,
+      |  CAST((144000 * 128) // 44100
+      |    + sum(CASE WHEN pos >= 2 THEN (144000 * kbps) // 44100 ELSE 0 END)
+      |    AS BIGINT) AS stream_bytes,
+      |  CAST(128 + sum(CASE WHEN pos >= 2 THEN kbps ELSE 0 END) AS BIGINT)
+      |    AS bitrate_sum_kbps,
+      |  CAST(9 AS INTEGER) AS xing_frames,
+      |  CAST(10 + min(CASE WHEN pos = 1 THEN byte % 64 END) AS INTEGER)
+      |    AS id3_size
+      |FROM k GROUP BY doc_id""".stripMargin
+
   /** ANIMATED GIF 1:N frame explode — the GIF sibling of
    *  `mm_avi_frames`: 24 md5 bytes become an 8-color global palette,
    *  `withAnimatedGifPayload` writes a real 4-frame GIF89a whose frames
@@ -665,6 +718,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mixed_codecs"    -> (mixedCodecs _),
     "mm_gif_roundtrip"   -> (gifRoundtrip _),
     "mm_gif_frames"      -> (gifFrames _),
+    "mm_mp3_meta"        -> (mp3Meta _),
     "mm_tiff_roundtrip"  -> (tiffRoundtrip _),
     "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
     "pipeline_media_dedup" -> (mediaDedup _),
@@ -685,6 +739,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mixed_codecs"    -> mixedCodecsSql,
     "mm_gif_roundtrip"   -> gifRoundtripSql,
     "mm_gif_frames"      -> gifFramesSql,
+    "mm_mp3_meta"        -> mp3MetaSql,
     "mm_tiff_roundtrip"  -> tiffRoundtripSql,
     "mm_adpcm_roundtrip" -> adpcmRoundtripSql,
     "pipeline_media_dedup" -> mediaDedupSql,

@@ -785,6 +785,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(px2.toSeq == px.toSeq, "decode of ImageIO-encoded GIF drifted")
   }
 
+  test("Mp3: metadata walk accounts every frame exactly (ID3 syncsafe " +
+      "skip, bitrate table, frame-length arithmetic, Xing/VBRI), with " +
+      "named rejections for Layer II, free-format and truncation") {
+    import graft.operators.Mp3
+    val vbr = Seq(32, 320, 128, 112, 64)
+    val p = Mp3.encodeMp3Structural(id3Content = 37, vbrKbps = vbr)
+    assert(Mp3.isMp3(p))
+    val m = Mp3.mp3Meta(p)
+    assert(m.version == 1 && m.sampleRate == 44100 && m.channels == 1)
+    assert(m.nFrames == 6 && m.xingFrames == 6 && m.id3Size == 47)
+    assert(m.samples == 6L * 1152)
+    assert(m.bitrateSumKbps == 128L + vbr.sum)
+    val wantBytes = (128 +: vbr).map(k => 144000L * k / 44100).sum
+    assert(m.totalBytes == wantBytes, s"${m.totalBytes} != $wantBytes")
+    // no-ID3 stream still syncs from byte 0
+    val bare = java.util.Arrays.copyOfRange(p, 47, p.length)
+    assert(Mp3.mp3Meta(bare).id3Size == 0)
+    assert(Mp3.mp3Meta(bare).nFrames == 6)
+    // VBRI variant: blank the Xing tag, plant VBRI at the fixed 36-byte
+    // offset with a different declared count
+    val v = bare.clone()
+    v(21) = 0; v(22) = 0; v(23) = 0; v(24) = 0
+    v(36) = 'V'; v(37) = 'B'; v(38) = 'R'; v(39) = 'I'
+    v(36 + 14) = 0; v(36 + 15) = 0; v(36 + 16) = 0; v(36 + 17) = 99.toByte
+    assert(Mp3.mp3Meta(v).xingFrames == 99)
+    // Layer II header (layer bits 10) is a NAMED rejection
+    val l2 = bare.clone(); l2(1) = 0xFD.toByte
+    val eL = intercept[IllegalArgumentException](Mp3.mp3Meta(l2))
+    assert(eL.getMessage.contains("Layer"), eL.getMessage)
+    // free-format bitrate (index 0) is a NAMED rejection
+    val ff = bare.clone(); ff(2) = (ff(2) & 0x0F).toByte
+    val eF = intercept[IllegalArgumentException](Mp3.mp3Meta(ff))
+    assert(eF.getMessage.contains("free-format"), eF.getMessage)
+    // truncation mid-frame is a NAMED rejection
+    val eT = intercept[IllegalArgumentException](
+      Mp3.mp3Meta(java.util.Arrays.copyOf(bare, bare.length - 3)))
+    assert(eT.getMessage.contains("truncated") ||
+      eT.getMessage.contains("trailing"), eT.getMessage)
+    // audio decode is a documented seam, not a silent stub
+    val eD = intercept[UnsupportedOperationException](
+      Mp3.decodeMp3Audio(bare))
+    assert(eD.getMessage.contains("metadata walk only"), eD.getMessage)
+  }
+
   test("Gif: animated decode composites transparency and all three " +
       "disposal methods; still-image decodeGif stays the frame-0 view") {
     import graft.operators.Gif
