@@ -256,6 +256,64 @@ class StreamingLensSpec extends AnyFunSuite {
     }
   }
 
+  test("crash recovery: a stateful dedup gate stopped between micro-batches " +
+      "and restarted from the SAME checkpoint admits exactly the " +
+      "uninterrupted run's set (exactly-once across restart), under both " +
+      "the HDFS-backed and RocksDB state-store providers") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val batch1 = Seq((ts(1), 1L, "x"), (ts(2), 2L, "y"))
+    // batch 2 re-offers ids 1 and 2 (cross-RESTART dups: the keyed state
+    // that rejects them lives in the recovered checkpoint) plus fresh id 3
+    val batch2 = Seq((ts(9), 1L, "x2"), (ts(3), 3L, "z"), (ts(4), 2L, "y2"))
+    def restartRun(tag: String): Seq[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_recov_$tag")
+      val ckpt = dir.resolve("ckpt").toString
+      val outp = dir.resolve("out").toString
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamingLens.streamingDedup(
+        in.toDF.toDF("ts", "id", "payload"), "ts", "1 minute", Seq("id"))
+      def start() = out.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outp).start()
+      val q1 = start()
+      try { in.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+      // the gate is DOWN here (stopped between micro-batches); restart
+      // must rebuild the dedup state from the checkpoint, not from scratch
+      val q2 = start()
+      try { in.addData(batch2: _*); q2.processAllAvailable() } finally q2.stop()
+      spark.read.parquet(outp).select("id").as[Long].collect().sorted.toSeq
+    }
+    def uninterruptedRun(qn: String): Seq[Long] = {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val out = StreamingLens.streamingDedup(
+        in.toDF.toDF("ts", "id", "payload"), "ts", "1 minute", Seq("id"))
+      val q = out.writeStream.format("memory").queryName(qn).start()
+      try {
+        in.addData(batch1: _*); q.processAllAvailable()
+        in.addData(batch2: _*); q.processAllAvailable()
+        spark.sql(s"select id from $qn").as[Long].collect().sorted.toSeq
+      } finally q.stop()
+    }
+    val prev = spark.conf.getOption(key)
+    try {
+      val wantHdfs = uninterruptedRun("recov_ref_hdfs")
+      val gotHdfs = restartRun("hdfs")
+      assert(gotHdfs == wantHdfs,
+        s"restart changed the admitted set (HDFS provider): $gotHdfs vs $wantHdfs")
+      assert(gotHdfs == Seq(1L, 2L, 3L)) // no dup admitted twice, none lost
+      spark.conf.set(key, rocks)
+      val gotRocks = restartRun("rocks")
+      assert(gotRocks == wantHdfs,
+        s"restart changed the admitted set (RocksDB provider): $gotRocks vs $wantHdfs")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("referenceKeys handle: caller builds once, binds, and unpersists exactly it") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
