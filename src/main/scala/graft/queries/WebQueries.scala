@@ -117,6 +117,46 @@ object WebQueries extends QueryProvider {
       |  ${TextQueries.gopherPassSql} AS gopher_pass
       |FROM m""".stripMargin
 
+  /** CRAWL-BYTES INGEST — the true stage zero: each page is wrapped in
+   *  a real .warc.gz (Common Crawl layout: warcinfo/request/response
+   *  records, one gzip member each — `Warc.withWarcGzPayload`), then
+   *  `Warc.records` walks the archive (multi-member gunzip, WARC header
+   *  + Content-Length framing, HTTP response split) and the response
+   *  body feeds the SAME `HtmlText.extract` as `text_html_extract`.
+   *  The oracle predicts record inventory, HTTP metadata and the exact
+   *  extraction output from first principles — a framing slip loses or
+   *  corrupts a record, an HTTP-split slip shifts the body. */
+  private def warcExtract(s: SparkSession, dir: String): DataFrame = {
+    val pages = htmlDocs(s, dir).select(col("doc_id"), col("html"),
+      concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"))
+    graft.operators.Warc.records(
+        graft.operators.Warc.withWarcGzPayload(pages, "html", "uri")
+          .drop("html", "uri"),
+        "payload")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        array_join(sort_array(collect_list(col("warc_type"))), ",")
+          .as("record_types"),
+        max(when(col("warc_type") === "response", col("target_uri")))
+          .as("target_uri"),
+        max(when(col("warc_type") === "response", col("http_status")))
+          .as("http_status"),
+        max(when(col("warc_type") === "response", col("content_type")))
+          .as("content_type"),
+        max(when(col("warc_type") === "response",
+          HtmlText.extract(col("body")))).as("extracted"))
+  }
+
+  private val warcExtractSql =
+    s"""SELECT doc_id, CAST(3 AS BIGINT) AS n_records,
+      |  'request,response,warcinfo' AS record_types,
+      |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  CAST(200 AS INTEGER) AS http_status,
+      |  'text/html; charset=UTF-8' AS content_type,
+      |  $expectedExtractSql AS extracted
+      |FROM documents""".stripMargin
+
   // -------------------------------------------------------------- URLs
 
   /** documents dressed as crawl records: a messy source URL (mixed-case
@@ -215,6 +255,7 @@ object WebQueries extends QueryProvider {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_html_extract" -> (htmlExtract _),
     "pipeline_web_extract" -> (webExtract _),
+    "io_warc_extract" -> (warcExtract _),
     "text_url_canon" -> (urlCanon _),
     "pipeline_host_rank" -> (hostRank _)
   )
@@ -222,6 +263,7 @@ object WebQueries extends QueryProvider {
   override def oracles: Map[String, String] = Map(
     "text_html_extract" -> htmlExtractSql,
     "pipeline_web_extract" -> webExtractSql,
+    "io_warc_extract" -> warcExtractSql,
     "text_url_canon" -> urlCanonSql,
     "pipeline_host_rank" -> hostRankSql
   )
