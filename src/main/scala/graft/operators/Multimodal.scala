@@ -373,12 +373,12 @@ object Multimodal {
    *  path (BMP/WAV/AVI are pure byte layouts): zlib ships in the JDK
    *  (`java.util.zip.Inflater`/`Deflater`), so IDAT decompression plus
    *  the PNG filter reconstruction (None/Sub/Up/Average/Paeth, RFC 2083
-   *  §6) is implementable offline with no media library. Supports 8-bit
-   *  grayscale (color type 0), truecolor (2), truecolor+alpha (6), and
-   *  PALETTE (3) at bit depth 1/2/4/8 (PLTE lookup, optional tRNS →
-   *  RGBA) — each in BOTH interlace methods (none and Adam7 seven-pass).
-   *  16-bit and gray+alpha are rejected with NAMED errors (the WASM
-   *  `UnsupportedFeature` discipline), and every chunk CRC is verified
+   *  §6) is implementable offline with no media library. Supports
+   *  grayscale (color type 0), truecolor (2), gray+alpha (4, expanded
+   *  to RGBA) and truecolor+alpha (6) at bit depth 8 AND 16 (big-endian
+   *  samples normalized v/65535), and PALETTE (3) at bit depth 1/2/4/8
+   *  (PLTE lookup, optional tRNS → RGBA) — each in BOTH interlace
+   *  methods (none and Adam7 seven-pass). Every chunk CRC is verified
    *  so corrupt payloads fail loudly at the chunk that broke, never as
    *  garbage pixels.
    *
@@ -461,6 +461,45 @@ object Multimodal {
       assemblePng(w, h, 8, 2, 0, Nil, deflateRaw(raw))
     }
 
+    /** 16-bit truecolor (color type 2, depth 16) non-interlaced PNG
+     *  from row-major big-endian u16 RGB samples (h·w·3 values in
+     *  0..65535) — the high-dynamic-range tier (scans, medical,
+     *  photography masters). Filter 0 rows. */
+    def encodePng16(w: Int, h: Int, rgb16: Array[Int]): Array[Byte] = {
+      require(w > 0 && h > 0 && rgb16.length == w * h * 3,
+        s"need w*h*3 = ${w * h * 3} u16 samples, got ${rgb16.length}")
+      require(rgb16.forall(v => v >= 0 && v <= 65535), "sample outside u16")
+      val stride = w * 6
+      val raw = new Array[Byte](h * (stride + 1))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w * 3) {
+          val v = rgb16(y * w * 3 + x)
+          raw(y * (stride + 1) + 1 + 2 * x) = ((v >> 8) & 0xFF).toByte
+          raw(y * (stride + 1) + 2 + 2 * x) = (v & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      assemblePng(w, h, 16, 2, 0, Nil, deflateRaw(raw))
+    }
+
+    /** 8-bit gray+alpha (color type 4) non-interlaced PNG from
+     *  row-major (g, a) byte pairs (h·w·2). Filter 0 rows. */
+    def encodeGrayAlphaPng(w: Int, h: Int, ga: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0 && ga.length == w * h * 2,
+        s"need w*h*2 = ${w * h * 2} gray+alpha bytes, got ${ga.length}")
+      val stride = w * 2
+      val raw = new Array[Byte](h * (stride + 1))
+      var y = 0
+      while (y < h) {
+        System.arraycopy(ga, y * stride, raw, y * (stride + 1) + 1, stride)
+        y += 1
+      }
+      assemblePng(w, h, 8, 4, 0, Nil, deflateRaw(raw))
+    }
+
     /** Palette (color type 3) non-interlaced PNG at bit depth 1/2/4/8:
      *  PLTE from 3·k RGB bytes, per-pixel indices packed big-endian
      *  within each row byte, optional tRNS alpha table. */
@@ -528,12 +567,14 @@ object Multimodal {
     /** (width, height, channels, "png", row-major top-down floats in
      *  [0,1]) — channels 1/3/4. Walks the chunk list with per-chunk CRC
      *  verification, concatenates IDAT, inflates, reverses the per-PASS
-     *  row filters. Supported tiers: 8-bit gray (0) / truecolor (2) /
-     *  truecolor+alpha (6); palette (3) at bit depth 1/2/4/8 — PLTE
-     *  lookup to RGB, optional tRNS widens to RGBA; and BOTH interlace
-     *  methods (none / Adam7 seven-pass, each pass an independently
-     *  filtered sub-image). 16-bit and gray+alpha stay NAMED
-     *  rejections. */
+     *  row filters. Supported tiers: gray (0) / truecolor (2) /
+     *  gray+alpha (4, expanded to (g,g,g,a) RGBA) / truecolor+alpha (6)
+     *  at depth 8 or 16 (16-bit = big-endian samples, v/65535 floats —
+     *  the filter pass is byte-level and depth-agnostic, bpp spans the
+     *  whole pixel); palette (3) at bit depth 1/2/4/8 — PLTE lookup to
+     *  RGB, optional tRNS widens to RGBA; and BOTH interlace methods
+     *  (none / Adam7 seven-pass, each pass an independently filtered
+     *  sub-image). */
     def decodePng(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) = {
       require(isPng(p), "not a PNG payload")
       var at = 8
@@ -559,14 +600,12 @@ object Multimodal {
             bitDepth = p(at + 16) & 0xFF
             colorType = p(at + 17) & 0xFF
             colorType match {
-              case 0 | 2 | 6 => require(bitDepth == 8,
+              case 0 | 2 | 4 | 6 => require(bitDepth == 8 || bitDepth == 16,
                 s"PNG color type $colorType at bit depth $bitDepth — " +
-                  "unsupported tier (8-bit only)")
+                  "unsupported tier (8/16-bit only)")
               case 3 => require(bitDepth == 1 || bitDepth == 2 ||
                   bitDepth == 4 || bitDepth == 8,
                 s"PNG palette bit depth $bitDepth — unsupported tier (1/2/4/8)")
-              case 4 => throw new IllegalArgumentException(
-                "PNG uses gray+alpha (type 4) — unsupported tier")
               case ct => throw new IllegalArgumentException(
                 s"PNG color type $ct is invalid")
             }
@@ -599,10 +638,16 @@ object Multimodal {
       require(sawIend, "PNG missing IEND — truncated payload")
       require(idat.size() > 0, "PNG missing IDAT")
       if (colorType == 3) require(palette != null, "palette PNG missing PLTE")
-      val rawChannels = if (colorType == 2) 3 else if (colorType == 6) 4 else 1
+      val rawChannels = colorType match {
+        case 2 => 3
+        case 4 => 2
+        case 6 => 4
+        case _ => 1
+      }
       val outChannels = colorType match {
         case 0 => 1
         case 2 => 3
+        case 4 => 4 // gray+alpha expands to (g,g,g,a)
         case 6 => 4
         case _ => if (trns != null) 4 else 3 // palette
       }
@@ -652,7 +697,10 @@ object Multimodal {
       require(got == raw.length,
         s"PNG IDAT inflated to $got bytes, expected ${raw.length}")
       // per-pass filter reconstruction (RFC 2083 §6.6) + pixel placement
-      val out = new Array[Byte](h * w * outChannels)
+      // (placed directly as normalized floats: v/255 for 8-bit samples,
+      // big-endian v/65535 for 16-bit — the byte-level filters above are
+      // depth-agnostic, bpp already spans the whole 2/4/6/8-byte pixel)
+      val px = new Array[Float](h * w * outChannels)
       val bpp = math.max(1, sampleBits / 8)
       var rawOff = 0
       passes.foreach { case (x0, y0, dx, dy) =>
@@ -699,16 +747,24 @@ object Multimodal {
                   (8 - bitDepth - (bitPos & 7))) & ((1 << bitDepth) - 1)
                 require(idx * 3 + 2 < palette.length,
                   s"palette index $idx out of range (${palette.length / 3} entries)")
-                out(d) = palette(3 * idx)
-                out(d + 1) = palette(3 * idx + 1)
-                out(d + 2) = palette(3 * idx + 2)
+                px(d) = (palette(3 * idx) & 0xFF) / 255.0f
+                px(d + 1) = (palette(3 * idx + 1) & 0xFF) / 255.0f
+                px(d + 2) = (palette(3 * idx + 2) & 0xFF) / 255.0f
                 if (outChannels == 4)
-                  out(d + 3) =
-                    if (idx < trns.length) trns(idx) else 0xFF.toByte
+                  px(d + 3) =
+                    (if (idx < trns.length) trns(idx) & 0xFF else 0xFF) / 255.0f
               } else {
+                val base = j * rowBytes + i * rawChannels * (bitDepth / 8)
                 var ch = 0
                 while (ch < rawChannels) {
-                  out(d + ch) = buf(j * rowBytes + i * rawChannels + ch)
+                  val v =
+                    if (bitDepth == 8) (buf(base + ch) & 0xFF) / 255.0f
+                    else (((buf(base + 2 * ch) & 0xFF) << 8) |
+                      (buf(base + 2 * ch + 1) & 0xFF)) / 65535.0f
+                  if (colorType == 4) { // (g, a) -> (g, g, g, a)
+                    if (ch == 0) { px(d) = v; px(d + 1) = v; px(d + 2) = v }
+                    else px(d + 3) = v
+                  } else px(d + ch) = v
                   ch += 1
                 }
               }
@@ -719,9 +775,6 @@ object Multimodal {
           rawOff += ph * (rowBytes + 1)
         }
       }
-      val px = new Array[Float](out.length)
-      var i = 0
-      while (i < px.length) { px(i) = (out(i) & 0xFF) / 255.0f; i += 1 }
       (w, h, outChannels, "png", px)
     }
   }
@@ -1211,6 +1264,26 @@ object Multimodal {
       Gif.encodeGif(w, h,
         java.util.Arrays.copyOfRange(bytes, 3 * colors, bytes.length),
         java.util.Arrays.copyOf(bytes, 3 * colors))
+    }
+
+  /** Append a REAL 16-bit truecolor PNG `payload` from a binary column
+   *  of 2·w·h·3 big-endian sample bytes ([[Png.encodePng16]]). */
+  def withPng16Payload(df: DataFrame, srcCol: String, w: Int, h: Int): DataFrame =
+    withPayload(df, srcCol) { bytes =>
+      require(bytes.length == 2 * w * h * 3,
+        s"need 2*w*h*3 = ${2 * w * h * 3} bytes, got ${bytes.length}")
+      Png.encodePng16(w, h, Array.tabulate(w * h * 3)(i =>
+        ((bytes(2 * i) & 0xFF) << 8) | (bytes(2 * i + 1) & 0xFF)))
+    }
+
+  /** Append a REAL 8-bit gray+alpha PNG `payload` from a binary column
+   *  of w·h·2 (g, a) bytes ([[Png.encodeGrayAlphaPng]]). */
+  def withGrayAlphaPngPayload(df: DataFrame, srcCol: String, w: Int,
+      h: Int): DataFrame =
+    withPayload(df, srcCol) { bytes =>
+      require(bytes.length == w * h * 2,
+        s"need w*h*2 = ${w * h * 2} bytes, got ${bytes.length}")
+      Png.encodeGrayAlphaPng(w, h, bytes)
     }
 
   /** Append a structurally-real MP3 `payload` from a binary column of

@@ -429,6 +429,69 @@ object MultimodalQueries extends QueryProvider {
       |  'gif' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** 16-BIT + GRAY+ALPHA PNG tiers (the last two PNG color/depth
+   *  families, previously NAMED rejections): arm 'png16' round-trips
+   *  12 big-endian u16 samples (24 md5 bytes) through a 2×2 depth-16
+   *  truecolor PNG — the decode normalizes v/65535, and
+   *  floor(x·65535 + 0.5) recovers every u16 exactly (float32 relative
+   *  error ≪ half a unit), so the quantized sum equals the BE-pair sum
+   *  DuckDB computes from the hex digests; arm 'graya' round-trips 8
+   *  (g, a) pairs through a 4×2 color-type-4 PNG whose decode expands
+   *  to (g,g,g,a) RGBA, so the byte sum is Σ(3g + a). Both arms ride
+   *  `SniffCodec`, certifying dispatch + both new decode paths. */
+  private def pngTiers(s: SparkSession, dir: String): DataFrame = {
+    val hiSrc = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
+        .as("src"))
+    val hi = Multimodal.decodeImage(
+        Multimodal.withPng16Payload(hiSrc, "src", w = 2, h = 2).drop("src"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"), lit("png16").as("arm"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"), col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(floor(x * 65535D + 0.5D) AS BIGINT))")
+          .as("pix_q_sum"))
+    val gaSrc = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(md5(text)), 1, 16)").as("src"))
+    val ga = Multimodal.decodeImage(
+        Multimodal.withGrayAlphaPngPayload(gaSrc, "src", w = 4, h = 2)
+          .drop("src"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"), lit("graya").as("arm"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"), col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_q_sum"))
+    hi.unionAll(ga)
+  }
+
+  private val pngTiersSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') AS hx FROM documents
+      |), d AS (
+      |  SELECT doc_id, r.range AS pos,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 25) r
+      |), hi AS (
+      |  SELECT doc_id, 'png16' AS arm, CAST(2 AS INTEGER) AS width,
+      |    CAST(2 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+      |    'png' AS format,
+      |    CAST(sum(CASE WHEN pos % 2 = 1 THEN 256 * byte ELSE byte END)
+      |      AS BIGINT) AS pix_q_sum
+      |  FROM d GROUP BY doc_id
+      |), ga AS (
+      |  SELECT doc_id, 'graya' AS arm, CAST(4 AS INTEGER) AS width,
+      |    CAST(2 AS INTEGER) AS height, CAST(4 AS INTEGER) AS channels,
+      |    'png' AS format,
+      |    CAST(sum(CASE WHEN pos % 2 = 1 THEN 3 * byte ELSE byte END)
+      |      AS BIGINT) AS pix_q_sum
+      |  FROM d WHERE pos <= 16 GROUP BY doc_id
+      |)
+      |SELECT * FROM hi UNION ALL SELECT * FROM ga""".stripMargin
+
   /** MP3 METADATA WALK — audio-corpus triage over structurally-real
    *  MP3 streams: 9 md5 bytes per document size an ID3v2 prefix and
    *  pick 8 VBR bitrates behind a Xing frame (`withMp3Payload`), and
@@ -719,6 +782,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_roundtrip"   -> (gifRoundtrip _),
     "mm_gif_frames"      -> (gifFrames _),
     "mm_mp3_meta"        -> (mp3Meta _),
+    "mm_png_tiers"       -> (pngTiers _),
     "mm_tiff_roundtrip"  -> (tiffRoundtrip _),
     "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
     "pipeline_media_dedup" -> (mediaDedup _),
@@ -740,6 +804,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_roundtrip"   -> gifRoundtripSql,
     "mm_gif_frames"      -> gifFramesSql,
     "mm_mp3_meta"        -> mp3MetaSql,
+    "mm_png_tiers"       -> pngTiersSql,
     "mm_tiff_roundtrip"  -> tiffRoundtripSql,
     "mm_adpcm_roundtrip" -> adpcmRoundtripSql,
     "pipeline_media_dedup" -> mediaDedupSql,

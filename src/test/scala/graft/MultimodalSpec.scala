@@ -376,20 +376,86 @@ class MultimodalSpec extends AnyFunSuite {
     val e6 = intercept[IllegalArgumentException](
       Multimodal.Png.decodePng(palPng))
     assert(e6.getMessage.contains("missing PLTE"), e6.getMessage)
-    // gray+alpha (type 4) stays a named rejection
+    // a stream MISLABELED gray+alpha (type 4 now decodes; this IDAT is
+    // RGB-sized) must fail as a size mismatch, never silent garbage
     val ga = ihdrData.clone(); ga(9) = 4
     val gaPng = sig ++ chunk("IHDR", ga) ++ chunk("IDAT", idatData) ++
       chunk("IEND", Array.emptyByteArray)
     val eG = intercept[IllegalArgumentException](
       Multimodal.Png.decodePng(gaPng))
-    assert(eG.getMessage.contains("gray+alpha"), eG.getMessage)
-    // 16-bit depth -> named
+    assert(eG.getMessage.contains("truncated PNG IDAT") ||
+      eG.getMessage.contains("inflated to") ||
+      eG.getMessage.contains("bad PNG filter type"), eG.getMessage)
+    // same for a stream mislabeled 16-bit (depth 16 now decodes)
     val deep = ihdrData.clone(); deep(8) = 16
     val deepPng = sig ++ chunk("IHDR", deep) ++ chunk("IDAT", idatData) ++
       chunk("IEND", Array.emptyByteArray)
     val e7 = intercept[IllegalArgumentException](
       Multimodal.Png.decodePng(deepPng))
-    assert(e7.getMessage.contains("bit depth"), e7.getMessage)
+    assert(e7.getMessage.contains("truncated PNG IDAT") ||
+      e7.getMessage.contains("inflated to"), e7.getMessage)
+    // bit depth 12 is invalid for every color type -> named
+    val odd = ihdrData.clone(); odd(8) = 12
+    val oddPng = sig ++ chunk("IHDR", odd) ++ chunk("IDAT", idatData) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e8 = intercept[IllegalArgumentException](
+      Multimodal.Png.decodePng(oddPng))
+    assert(e8.getMessage.contains("bit depth") ||
+      e8.getMessage.contains("unsupported tier"), e8.getMessage)
+  }
+
+  test("Png: 16-bit truecolor and gray+alpha decode exactly (BE u16 " +
+      "normalization, (g,g,g,a) expansion); ImageIO cross-checks both, " +
+      "including its own filtered 16-bit encoder output") {
+    // 16-bit truecolor round-trip: extreme + mid samples survive exactly
+    val samples = Array(0, 65535, 32768, 257, 1, 65534,
+      12345, 54321, 256, 511, 65280, 2)
+    val png16 = Multimodal.Png.encodePng16(2, 2, samples)
+    val (w16, h16, c16, fmt16, px16) = Multimodal.Png.decodePng(png16)
+    assert((w16, h16, c16, fmt16) == ((2, 2, 3, "png")))
+    for (i <- samples.indices)
+      assert(math.floor(px16(i) * 65535 + 0.5).toInt == samples(i),
+        s"16-bit sample $i: ${px16(i)} !~ ${samples(i)}")
+    // ImageIO agrees on the 16-bit raster (raw samples, no color mgmt)
+    val img16 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png16))
+    val raster = img16.getRaster
+    for (y <- 0 until 2; x <- 0 until 2; b <- 0 until 3)
+      assert(raster.getSample(x, y, b) == samples((y * 2 + x) * 3 + b),
+        s"ImageIO disagrees at ($x,$y,$b)")
+    // our decoder reads ImageIO's OWN 16-bit gray encode (its filters)
+    val big = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 7; x <- 0 until 9)
+      big.getRaster.setSample(x, y, 0, (x * 7919 + y * 104729) % 65536)
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(big, "png", bo))
+    val (gw, gh, gc, _, gpx) = Multimodal.Png.decodePng(bo.toByteArray)
+    assert(gw == 9 && gh == 7 && gc == 1)
+    for (y <- 0 until 7; x <- 0 until 9)
+      assert(math.floor(gpx(y * 9 + x) * 65535 + 0.5).toInt ==
+        (x * 7919 + y * 104729) % 65536, s"16-bit gray drift at ($x,$y)")
+    // gray+alpha: (g, a) expands to (g, g, g, a)
+    val ga = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val gaPng = Multimodal.Png.encodeGrayAlphaPng(2, 2, ga)
+    val (gaw, gah, gac, _, gapx) = Multimodal.Png.decodePng(gaPng)
+    assert(gaw == 2 && gah == 2 && gac == 4)
+    for (p <- 0 until 4) {
+      val g = ga(2 * p) & 0xFF; val a = ga(2 * p + 1) & 0xFF
+      assert(math.round(gapx(4 * p) * 255) == g &&
+        math.round(gapx(4 * p + 1) * 255) == g &&
+        math.round(gapx(4 * p + 2) * 255) == g &&
+        math.round(gapx(4 * p + 3) * 255) == a, s"gray+alpha pixel $p")
+    }
+    // ImageIO sees the same gray+alpha samples
+    val gaImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gaPng))
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val p = y * 2 + x
+      assert(gaImg.getRaster.getSample(x, y, 0) == (ga(2 * p) & 0xFF) &&
+        gaImg.getRaster.getSample(x, y, 1) == (ga(2 * p + 1) & 0xFF),
+        s"ImageIO gray+alpha disagrees at ($x,$y)")
+    }
   }
 
   test("Png: palette (type 3) decode at bit depths 1/2/4/8 - PLTE lookup, " +
