@@ -850,6 +850,7 @@ object Multimodal {
       else if (Jpeg.isJpeg(p)) Jpeg.decodeJpeg(p)
       else if (Gif.isGif(p)) Gif.decodeGif(p)
       else if (Tiff.isTiff(p)) Tiff.decodeTiff(p)
+      else if (Webp.isWebp(p)) Webp.decodeWebp(p)
       else FakeCodec.decodeImage(p)
     override def decodeAudio(p: Array[Byte]): (Int, Array[Float]) =
       if (Adpcm.isAdpcmWav(p)) Adpcm.decodeAdpcmWav(p)
@@ -1284,6 +1285,30 @@ object Multimodal {
       require(bytes.length == w * h * 2,
         s"need w*h*2 = ${w * h * 2} bytes, got ${bytes.length}")
       Png.encodeGrayAlphaPng(w, h, bytes)
+    }
+
+  /** Append a REAL lossless WebP (VP8L) `payload` from a binary column
+   *  of 24 RGB bytes (a 4×2 frame, alpha 255). `arm` picks the
+   *  bitstream features so one oracle certifies several decoder paths
+   *  on identical pixels: "rgb" literal coding, "green" subtract-green
+   *  transform, "pred" whole-image predictor mode 7, "pal" an 8-color
+   *  color-indexing transform with sub-byte bundling. */
+  def withWebpPayload(df: DataFrame, srcCol: String, arm: String): DataFrame =
+    withPayload(df, srcCol) { bytes =>
+      require(bytes.length == 24, s"need 24 RGB bytes, got ${bytes.length}")
+      val px = Array.tabulate(8)(i => 0xFF000000 |
+        ((bytes(3 * i) & 0xFF) << 16) | ((bytes(3 * i + 1) & 0xFF) << 8) |
+        (bytes(3 * i + 2) & 0xFF))
+      arm match {
+        case "rgb" => Webp.encodeWebpLossless(4, 2, px)
+        case "green" => Webp.encodeWebpLossless(4, 2, px,
+          Webp.EncodeOpts(subtractGreen = true))
+        case "pred" => Webp.encodeWebpLossless(4, 2, px,
+          Webp.EncodeOpts(predictorMode = 7))
+        case "pal" => Webp.encodeWebpPalette(4, 2, px,
+          Array.tabulate[Byte](8)(_.toByte))
+        case other => throw new IllegalArgumentException(s"bad WebP arm $other")
+      }
     }
 
   /** Append a structurally-real MP3 `payload` from a binary column of

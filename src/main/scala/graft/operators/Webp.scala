@@ -1,0 +1,954 @@
+package graft.operators
+
+/**
+ * Real WebP LOSSLESS codec (VP8L, RFC 9649) in pure integer/bit
+ * arithmetic — the last of the big web image formats next to PNG /
+ * JPEG / GIF / TIFF. Decode supports the full VP8L tier: all four
+ * transforms (predictor with all 14 modes, cross-color, subtract-green,
+ * color-indexing incl. sub-byte pixel bundling), color cache, LZ77
+ * backward references over the ARGB plane (2D distance map + direct
+ * distances), spatially-varying meta prefix-code groups, and both
+ * simple and normal (code-length-coded) canonical prefix codes.
+ * Encode is fixture-grade but emits REAL spec streams: literal coding
+ * under explicit 8-bit canonical codes, optional subtract-green,
+ * optional palette (bundled and unbundled), optional whole-image
+ * predictor mode, optional color cache, and an RLE LZ77 mode — enough
+ * to exercise every decoder path from round-trip specs and oracles.
+ *
+ * Lossy WebP (VP8 intra-frame coding) and animation (ANIM/ANMF) are
+ * NAMED rejections — the same documented `Codec` seam as H.264
+ * (reference keeps codecs behind opaque guests:
+ * reference: host-go/engine/engine.go:1).
+ *
+ * Conformance note: bit-exactness against libwebp cannot be verified
+ * in this sandbox (no independent WebP decoder exists here, unlike
+ * ImageIO for PNG/JPEG/GIF); round-trips are self-consistent by
+ * construction and the bitstream layout follows the public RFC 9649
+ * text. The mode-11 (Select) tie-break and the 120-entry distance map
+ * are transcribed from the spec.
+ *
+ * 100 TB shape: decode/encode are partition-local per payload inside
+ * [[Multimodal.decodeImage]]'s batched loop — no shuffle; memory is
+ * the output frame + one prefix-code group set; blobs never move.
+ */
+object Webp {
+
+  def isWebp(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P'
+
+  // ------------------------------------------------------------- bit I/O
+
+  /** LSB-first bit reader (RFC 9649 §3: values little-endian, prefix
+   *  codes consumed bit by bit). */
+  private final class Br(val p: Array[Byte], var byteAt: Int, val end: Int) {
+    var bitAt: Int = 0
+    def readBit(): Int = {
+      require(byteAt < end, "truncated VP8L bitstream")
+      val b = (p(byteAt) >> bitAt) & 1
+      bitAt += 1
+      if (bitAt == 8) { bitAt = 0; byteAt += 1 }
+      b
+    }
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= readBit() << i; i += 1 }
+      v
+    }
+  }
+
+  /** LSB-first bit writer; prefix codes written MSB-of-code first
+   *  (the DEFLATE convention VP8L shares). */
+  private final class Bw {
+    private val out = new java.io.ByteArrayOutputStream(256)
+    private var acc = 0
+    private var nbits = 0
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        acc |= ((v >> i) & 1) << nbits
+        nbits += 1
+        if (nbits == 8) { out.write(acc); acc = 0; nbits = 0 }
+        i += 1
+      }
+    }
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { writeBits((code >> i) & 1, 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (nbits > 0) { out.write(acc); acc = 0; nbits = 0 }
+      out.toByteArray
+    }
+  }
+
+  // ------------------------------------------------------------- huffman
+
+  /** Canonical prefix code decoder (puff-style walk: one bit at a time,
+   *  counting codes per length — DEFLATE canonical assignment). A code
+   *  with exactly one symbol reads ZERO bits (the spec's degenerate
+   *  single-symbol case). */
+  private final class Huff(lengths: Array[Int],
+      simple2: Array[Int] = null) {
+    val maxLen: Int = if (lengths.isEmpty) 0 else lengths.max
+    private val count = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    private val nSymbols = count.sum
+    val single: Int =
+      if (nSymbols == 1) lengths.indexWhere(_ > 0) else -1
+    // symbols sorted by (length, symbol index)
+    private val offs = new Array[Int](maxLen + 2)
+    for (l <- 1 to maxLen) offs(l + 1) = offs(l) + count(l)
+    private val syms = new Array[Int](nSymbols)
+    private val fill = offs.clone()
+    for (s <- lengths.indices; l = lengths(s) if l > 0) {
+      syms(fill(l)) = s; fill(l) += 1
+    }
+    // completeness (Kraft): required for multi-symbol codes
+    if (nSymbols > 1) {
+      var left = 1L
+      for (l <- 1 to maxLen) { left <<= 1; left -= count(l) }
+      require(left == 0, s"invalid VP8L prefix code (Kraft residue $left)")
+    }
+    def decode(br: Br): Int = {
+      if (single >= 0) return single
+      // simple 2-symbol codes assign code 0 to the FIRST-LISTED symbol,
+      // which may not be the numerically smaller one
+      if (simple2 != null) return simple2(br.readBit())
+      var code = 0
+      var first = 0
+      var index = 0
+      var len = 1
+      while (len <= maxLen) {
+        code |= br.readBit()
+        val c = count(len)
+        if (code - first < c) return syms(index + (code - first))
+        index += c
+        first = (first + c) << 1
+        code <<= 1
+        len += 1
+      }
+      throw new IllegalArgumentException("corrupt VP8L prefix-coded stream")
+    }
+  }
+
+  /** Canonical code values per symbol (encoder side, same assignment). */
+  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    val maxLen = if (lengths.isEmpty) 0 else lengths.max
+    val count = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    val nextCode = new Array[Int](maxLen + 1)
+    var code = 0
+    for (l <- 1 to maxLen) { code = (code + count(l - 1)) << 1; nextCode(l) = code }
+    val codes = new Array[Int](lengths.length)
+    for (s <- lengths.indices; l = lengths(s) if l > 0) {
+      codes(s) = nextCode(l); nextCode(l) += 1
+    }
+    codes
+  }
+
+  /** Code-length-code symbol order (RFC 9649). */
+  private val ClOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** 2D offsets for distance codes 1..120 (RFC 9649 distance mapping),
+   *  (dx, dy) ordered by proximity. */
+  private val PlaneCodes: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+  require(PlaneCodes.length == 120)
+
+  private def subSize(size: Int, bits: Int): Int =
+    (size + (1 << bits) - 1) >> bits
+
+  // ARGB lane helpers (pixels held as Int 0xAARRGGBB)
+  @inline private def a(v: Int) = (v >>> 24) & 0xFF
+  @inline private def r(v: Int) = (v >>> 16) & 0xFF
+  @inline private def g(v: Int) = (v >>> 8) & 0xFF
+  @inline private def b(v: Int) = v & 0xFF
+  @inline private def argb(a: Int, r: Int, g: Int, b: Int): Int =
+    ((a & 0xFF) << 24) | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+
+  // -------------------------------------------------------------- decode
+
+  private final case class Transform(kind: Int, bits: Int,
+      data: Array[Int], xsizeAtRead: Int, numColors: Int)
+
+  /** Decode one VP8L image stream. `level0` streams may carry
+   *  transforms and a meta prefix-code image; auxiliary streams
+   *  (transform data, meta image, palette) may still use a color
+   *  cache per the spec. Returns (pixels ARGB, final width). */
+  private def decodeImageStream(br: Br, w0: Int, h0: Int,
+      level0: Boolean): (Array[Int], Int, Seq[Transform]) = {
+    var w = w0
+    val h = h0
+    val transforms = Seq.newBuilder[Transform]
+    var seen = Set.empty[Int]
+    if (level0) {
+      while (br.readBits(1) == 1) {
+        val kind = br.readBits(2)
+        require(!seen.contains(kind), s"duplicate VP8L transform $kind")
+        seen += kind
+        kind match {
+          case 0 | 1 => // predictor / cross-color: tile image
+            val bits = br.readBits(3) + 2
+            val (img, _, _) = decodeImageStream(br,
+              subSize(w, bits), subSize(h, bits), level0 = false)
+            transforms += Transform(kind, bits, img, w, 0)
+          case 2 => // subtract-green
+            transforms += Transform(2, 0, null, w, 0)
+          case 3 => // color indexing
+            val numColors = br.readBits(8) + 1
+            val (pal0, _, _) =
+              decodeImageStream(br, numColors, 1, level0 = false)
+            // palette entries are delta-coded componentwise
+            val pal = new Array[Int](numColors)
+            var prev = 0
+            var i = 0
+            while (i < numColors) {
+              val d = pal0(i)
+              prev = argb(a(prev) + a(d), r(prev) + r(d),
+                g(prev) + g(d), b(prev) + b(d))
+              pal(i) = prev
+              i += 1
+            }
+            val xbits =
+              if (numColors <= 2) 3
+              else if (numColors <= 4) 2
+              else if (numColors <= 16) 1
+              else 0
+            transforms += Transform(3, xbits, pal, w, numColors)
+            w = subSize(w, xbits)
+        }
+      }
+    }
+    // color cache
+    var cacheBits = 0
+    if (br.readBits(1) == 1) {
+      cacheBits = br.readBits(4)
+      require(cacheBits >= 1 && cacheBits <= 11,
+        s"bad VP8L color-cache bits $cacheBits")
+    }
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    // meta prefix-code image (level0 only)
+    var metaBits = 0
+    var metaImg: Array[Int] = null
+    var numGroups = 1
+    if (level0 && br.readBits(1) == 1) {
+      metaBits = br.readBits(3) + 2
+      val (img, _, _) = decodeImageStream(br,
+        subSize(w, metaBits), subSize(h, metaBits), level0 = false)
+      metaImg = img
+      var mx = 0
+      img.foreach(px => mx = math.max(mx, (px >> 8) & 0xFFFF))
+      numGroups = mx + 1
+    }
+    // prefix-code groups: 5 codes each
+    val alphabets = Array(256 + 24 + cacheSize, 256, 256, 256, 40)
+    val groups = Array.fill(numGroups) {
+      alphabets.map(n => readPrefixCode(br, n))
+    }
+    // main LZ77 loop
+    val n = w * h
+    val px = new Array[Int](n)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    @inline def cacheInsert(v: Int): Unit =
+      if (cache != null) cache((0x1E35A7BD * v) >>> (32 - cacheBits)) = v
+    var pos = 0
+    while (pos < n) {
+      val x = pos % w
+      val y = pos / w
+      val grp =
+        if (metaImg == null) groups(0)
+        else {
+          val mw = subSize(w, metaBits)
+          val m = metaImg((y >> metaBits) * mw + (x >> metaBits))
+          groups((m >> 8) & 0xFFFF)
+        }
+      val s = grp(0).decode(br)
+      if (s < 256) { // literal: green, then red, blue, alpha
+        val red = grp(1).decode(br)
+        val blue = grp(2).decode(br)
+        val alpha = grp(3).decode(br)
+        val v = argb(alpha, red, s, blue)
+        px(pos) = v
+        cacheInsert(v)
+        pos += 1
+      } else if (s < 256 + 24) { // LZ77 backward reference
+        val len = prefixValue(s - 256, br)
+        val distCode = prefixValue(grp(4).decode(br), br)
+        val dist0 =
+          if (distCode > 120) distCode - 120
+          else {
+            val (dx, dy) = PlaneCodes(distCode - 1)
+            val d = dy * w + dx
+            if (d < 1) 1 else d
+          }
+        require(dist0 <= pos, s"VP8L backward reference before image start " +
+          s"(dist $dist0 at pixel $pos)")
+        require(pos + len <= n,
+          s"VP8L backward reference overruns the image (len $len at $pos)")
+        var i = 0
+        while (i < len) {
+          val v = px(pos - dist0)
+          px(pos) = v
+          cacheInsert(v)
+          pos += 1
+          i += 1
+        }
+      } else { // color-cache hit
+        val idx = s - 256 - 24
+        require(cache != null, "VP8L cache symbol without a color cache")
+        val v = cache(idx)
+        px(pos) = v
+        cacheInsert(v)
+        pos += 1
+      }
+    }
+    (px, w, transforms.result())
+  }
+
+  private def prefixValue(code: Int, br: Br): Int = {
+    require(code >= 0 && code < 24, s"bad VP8L prefix-value code $code")
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.readBits(extra) + 1
+    }
+  }
+
+  /** Read one prefix code (simple or normal form). */
+  private def readPrefixCode(br: Br, alphabetSize: Int): Huff = {
+    val lengths = new Array[Int](alphabetSize)
+    if (br.readBits(1) == 1) { // simple: 1 or 2 symbols
+      val numSymbols = br.readBits(1) + 1
+      val first8 = br.readBits(1)
+      val s0 = br.readBits(if (first8 == 1) 8 else 1)
+      require(s0 < alphabetSize, s"VP8L simple-code symbol $s0 out of range")
+      if (numSymbols == 1) lengths(s0) = 1 // degenerate: decodes 0 bits
+      else {
+        val s1 = br.readBits(8)
+        require(s1 < alphabetSize && s1 != s0,
+          s"VP8L simple-code symbol $s1 invalid")
+        lengths(s0) = 1; lengths(s1) = 1
+        return new Huff(lengths, simple2 = Array(s0, s1))
+      }
+      new Huff(lengths)
+    } else { // normal: code-length-coded lengths
+      val numCl = 4 + br.readBits(4)
+      val clLengths = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLengths(ClOrder(i)) = br.readBits(3); i += 1 }
+      val clHuff = new Huff(clLengths)
+      var maxSymbol =
+        if (br.readBits(1) == 1) {
+          val nbits = 2 + 2 * br.readBits(3)
+          2 + br.readBits(nbits)
+        } else alphabetSize
+      var symbol = 0
+      var prevLen = 8
+      while (symbol < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clHuff.decode(br)
+        if (cl < 16) {
+          lengths(symbol) = cl; symbol += 1
+          if (cl != 0) prevLen = cl
+        } else {
+          val (repeat, useLen) = cl match {
+            case 16 => (br.readBits(2) + 3, prevLen)
+            case 17 => (br.readBits(3) + 3, 0)
+            case 18 => (br.readBits(7) + 11, 0)
+            case other => throw new IllegalArgumentException(
+              s"bad VP8L code-length symbol $other")
+          }
+          require(symbol + repeat <= alphabetSize,
+            "VP8L code-length repeat overruns the alphabet")
+          var j = 0
+          while (j < repeat) { lengths(symbol) = useLen; symbol += 1; j += 1 }
+        }
+      }
+      new Huff(lengths)
+    }
+  }
+
+  /** Decode a WebP payload to (width, height, 4, "webp", row-major
+   *  top-down RGBA floats in [0,1]). VP8L (lossless) only — lossy VP8
+   *  and animated WebP are NAMED rejections. */
+  def decodeWebp(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) = {
+    require(isWebp(p), "not a WebP payload")
+    // RIFF chunk walk to the VP8L payload
+    var at = 12
+    var vp8lStart = -1
+    var vp8lEnd = -1
+    while (at + 8 <= p.length && vp8lStart < 0) {
+      val tag = new String(p, at, 4, "US-ASCII")
+      val size = le32(p, at + 4)
+      require(size >= 0 && at + 8 + size <= p.length,
+        s"truncated WebP chunk '$tag'")
+      tag match {
+        case "VP8L" => vp8lStart = at + 8; vp8lEnd = at + 8 + size
+        case "VP8 " => throw new IllegalArgumentException(
+          "WebP uses lossy VP8 coding — unsupported tier (lossless VP8L only; " +
+            "VP8 intra-frame decode is a documented Codec seam like H.264)")
+        case "ANIM" | "ANMF" => throw new IllegalArgumentException(
+          "animated WebP (ANIM/ANMF) — unsupported tier")
+        case "VP8X" | "ICCP" | "EXIF" | "XMP " | "ALPH" => () // walk on
+        case other => throw new IllegalArgumentException(
+          s"unknown WebP chunk '$other'")
+      }
+      at += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    require(vp8lStart >= 0, "WebP payload has no VP8L chunk")
+    val br = new Br(p, vp8lStart, vp8lEnd)
+    require(br.readBits(8) == 0x2F, "bad VP8L signature byte")
+    val w = br.readBits(14) + 1
+    val h = br.readBits(14) + 1
+    br.readBits(1) // alpha hint
+    val version = br.readBits(3)
+    require(version == 0, s"bad VP8L version $version")
+    require(w.toLong * h * 4 <= Int.MaxValue, "WebP too large to decode")
+    val (px0, _, transforms) = decodeImageStream(br, w, h, level0 = true)
+    // inverse transforms in reverse read order
+    var px = px0
+    transforms.reverse.foreach { t =>
+      px = t.kind match {
+        case 0 => inversePredictor(px, t.xsizeAtRead, h, t.bits, t.data)
+        case 1 => inverseColor(px, t.xsizeAtRead, h, t.bits, t.data)
+        case 2 => px.map(v => argb(a(v), r(v) + g(v), g(v), b(v) + g(v)))
+        case 3 => inverseColorIndex(px, t.xsizeAtRead, h, t.bits, t.data,
+          t.numColors)
+      }
+    }
+    require(px.length == w * h, "VP8L transform chain size mismatch")
+    val out = new Array[Float](w * h * 4)
+    var i = 0
+    while (i < px.length) {
+      val v = px(i)
+      out(4 * i) = r(v) / 255.0f
+      out(4 * i + 1) = g(v) / 255.0f
+      out(4 * i + 2) = b(v) / 255.0f
+      out(4 * i + 3) = a(v) / 255.0f
+      i += 1
+    }
+    (w, h, 4, "webp", out)
+  }
+
+  private def le32(p: Array[Byte], at: Int): Int =
+    (p(at) & 0xFF) | ((p(at + 1) & 0xFF) << 8) |
+      ((p(at + 2) & 0xFF) << 16) | ((p(at + 3) & 0xFF) << 24)
+
+  // ---------------------------------------------------- inverse transforms
+
+  @inline private def avg2(x: Int, y: Int): Int =
+    argb((a(x) + a(y)) >> 1, (r(x) + r(y)) >> 1,
+      (g(x) + g(y)) >> 1, (b(x) + b(y)) >> 1)
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Predictor mode `m` estimate from already-reconstructed neighbors. */
+  private def predict(m: Int, l: Int, t: Int, tl: Int, tr: Int): Int = m match {
+    case 0 => 0xFF000000
+    case 1 => l
+    case 2 => t
+    case 3 => tr
+    case 4 => tl
+    case 5 => avg2(avg2(l, tr), t)
+    case 6 => avg2(l, tl)
+    case 7 => avg2(l, t)
+    case 8 => avg2(tl, t)
+    case 9 => avg2(t, tr)
+    case 10 => avg2(avg2(l, tl), avg2(t, tr))
+    case 11 => // Select: Manhattan-nearer of L and T to the gradient
+      val pA = a(l) + a(t) - a(tl); val pR = r(l) + r(t) - r(tl)
+      val pG = g(l) + g(t) - g(tl); val pB = b(l) + b(t) - b(tl)
+      val pL = math.abs(pA - a(l)) + math.abs(pR - r(l)) +
+        math.abs(pG - g(l)) + math.abs(pB - b(l))
+      val pT = math.abs(pA - a(t)) + math.abs(pR - r(t)) +
+        math.abs(pG - g(t)) + math.abs(pB - b(t))
+      if (pL <= pT) l else t
+    case 12 => // ClampAddSubtractFull
+      argb(clamp255(a(l) + a(t) - a(tl)), clamp255(r(l) + r(t) - r(tl)),
+        clamp255(g(l) + g(t) - g(tl)), clamp255(b(l) + b(t) - b(tl)))
+    case 13 => // ClampAddSubtractHalf
+      val av = avg2(l, t)
+      argb(clamp255(a(av) + (a(av) - a(tl)) / 2),
+        clamp255(r(av) + (r(av) - r(tl)) / 2),
+        clamp255(g(av) + (g(av) - g(tl)) / 2),
+        clamp255(b(av) + (b(av) - b(tl)) / 2))
+    case other => throw new IllegalArgumentException(
+      s"bad VP8L predictor mode $other")
+  }
+
+  private def inversePredictor(px: Array[Int], w: Int, h: Int, bits: Int,
+      tiles: Array[Int]): Array[Int] = {
+    require(px.length == w * h, "predictor transform size mismatch")
+    val tw = subSize(w, bits)
+    val out = px.clone()
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0xFF000000
+          else if (y == 0) out(pos - 1) // top row: Left
+          else if (x == 0) out(pos - w) // left column: Top
+          else {
+            val mode = g(tiles((y >> bits) * tw + (x >> bits)))
+            val tr = if (x + 1 < w) out(pos - w + 1) else out(pos - w)
+            predict(mode, out(pos - 1), out(pos - w), out(pos - w - 1), tr)
+          }
+        val d = out(pos)
+        out(pos) = argb(a(d) + a(pred), r(d) + r(pred),
+          g(d) + g(pred), b(d) + b(pred))
+        pos += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  @inline private def ctDelta(t: Int, c: Int): Int =
+    (t.toByte.toInt * c.toByte.toInt) >> 5
+
+  private def inverseColor(px: Array[Int], w: Int, h: Int, bits: Int,
+      tiles: Array[Int]): Array[Int] = {
+    require(px.length == w * h, "color transform size mismatch")
+    val tw = subSize(w, bits)
+    val out = new Array[Int](px.length)
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cte = tiles((y >> bits) * tw + (x >> bits))
+        val g2r = b(cte); val g2b = g(cte); val r2b = r(cte)
+        val v = px(pos)
+        var red = r(v); var blue = b(v)
+        red += ctDelta(g2r, g(v))
+        blue += ctDelta(g2b, g(v))
+        blue += ctDelta(r2b, red & 0xFF)
+        out(pos) = argb(a(v), red & 0xFF, g(v), blue & 0xFF)
+        pos += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def inverseColorIndex(px: Array[Int], w: Int, h: Int, xbits: Int,
+      palette: Array[Int], numColors: Int): Array[Int] = {
+    val packedW = subSize(w, xbits)
+    require(px.length == packedW * h, "color-index transform size mismatch")
+    val out = new Array[Int](w * h)
+    val bpp = 8 >> xbits // bits per packed sub-pixel
+    val mask = (1 << bpp) - 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val packed = g(px(y * packedW + (x >> xbits)))
+        val idx =
+          if (xbits == 0) packed
+          else (packed >> ((x & ((1 << xbits) - 1)) * bpp)) & mask
+        require(idx < numColors,
+          s"VP8L palette index $idx outside $numColors colors")
+        out(y * w + x) = palette(idx)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // -------------------------------------------------------------- encode
+
+  /** Encoder options — each flag turns on a real bitstream feature so
+   *  round-trip fixtures can exercise the matching decoder path. */
+  final case class EncodeOpts(
+      subtractGreen: Boolean = false,
+      predictorMode: Int = -1, // -1 off; 0..13 = whole-image mode
+      colorCte: Int = 0, // 0 off; else 0x00RRGGBB cross-color element
+      cacheBits: Int = 0, // 0 off; 1..11 color cache
+      rle: Boolean = false) // emit dist-1 LZ77 runs for repeats
+
+  /** Real VP8L lossless encode of ARGB pixels. */
+  def encodeWebpLossless(w: Int, h: Int, px0: Array[Int],
+      opts: EncodeOpts = EncodeOpts()): Array[Byte] = {
+    require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384,
+      s"VP8L dimensions out of range: ${w}x$h")
+    require(px0.length == w * h, s"need w*h = ${w * h} pixels, got ${px0.length}")
+    require(opts.cacheBits >= 0 && opts.cacheBits <= 11, "bad cache bits")
+    val bw = new Bw()
+    writeHeader(bw, w, h)
+    var px = px0
+    // forward transforms in write order (decoder inverts in reverse)
+    if (opts.subtractGreen) {
+      bw.writeBits(1, 1); bw.writeBits(2, 2)
+      px = px.map(v => argb(a(v), r(v) - g(v), g(v), b(v) - g(v)))
+    }
+    if (opts.colorCte != 0) {
+      bw.writeBits(1, 1); bw.writeBits(1, 2)
+      writeOneTileImage(bw, w, h, 0xFF000000 | (opts.colorCte & 0xFFFFFF))
+      val cte = opts.colorCte
+      val g2r = b(cte); val g2b = g(cte); val r2b = r(cte)
+      px = px.map { v =>
+        val newRed = r(v) - ctDelta(g2r, g(v))
+        val newBlue = b(v) - ctDelta(g2b, g(v)) - ctDelta(r2b, r(v))
+        argb(a(v), newRed & 0xFF, g(v), newBlue & 0xFF)
+      }
+    }
+    if (opts.predictorMode >= 0) {
+      require(opts.predictorMode <= 13, s"bad predictor mode ${opts.predictorMode}")
+      bw.writeBits(1, 1); bw.writeBits(0, 2)
+      writeOneTileImage(bw, w, h,
+        argb(0xFF, 0, opts.predictorMode, 0))
+      px = forwardPredict(px, w, h, opts.predictorMode)
+    }
+    bw.writeBits(0, 1) // end of transforms
+    writeImageStream(bw, px, w, level0 = true, opts.cacheBits, opts.rle)
+    riffWrap(bw.toBytes)
+  }
+
+  /** Real VP8L palette (color-indexing) encode: `palette` ARGB entries
+   *  (2..256), `indices` one byte per pixel; sub-byte bundling kicks in
+   *  automatically for <= 16 colors, exactly as the spec mandates. */
+  def encodeWebpPalette(w: Int, h: Int, palette: Array[Int],
+      indices: Array[Byte]): Array[Byte] = {
+    require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384,
+      s"VP8L dimensions out of range: ${w}x$h")
+    val k = palette.length
+    require(k >= 2 && k <= 256, s"palette must hold 2..256 colors, got $k")
+    require(indices.length == w * h,
+      s"need w*h = ${w * h} indices, got ${indices.length}")
+    require(indices.forall(i => (i & 0xFF) < k), "palette index out of range")
+    val bw = new Bw()
+    writeHeader(bw, w, h)
+    bw.writeBits(1, 1); bw.writeBits(3, 2) // color-indexing transform
+    bw.writeBits(k - 1, 8)
+    // delta-coded palette as its own image stream
+    val deltas = new Array[Int](k)
+    var prev = 0
+    for (i <- 0 until k) {
+      deltas(i) = argb(a(palette(i)) - a(prev), r(palette(i)) - r(prev),
+        g(palette(i)) - g(prev), b(palette(i)) - b(prev))
+      prev = palette(i)
+    }
+    writeImageStream(bw, deltas, k, level0 = false, cacheBits = 0, rle = false)
+    bw.writeBits(0, 1) // end of transforms
+    val xbits = if (k <= 2) 3 else if (k <= 4) 2 else if (k <= 16) 1 else 0
+    val packedW = subSize(w, xbits)
+    val packed = new Array[Int](packedW * h)
+    val bpp = 8 >> xbits
+    for (y <- 0 until h; x <- 0 until w) {
+      val shift = (x & ((1 << xbits) - 1)) * bpp
+      val at = y * packedW + (x >> xbits)
+      packed(at) |= ((indices(y * w + x) & 0xFF) << shift) << 8 // green lane
+    }
+    writeImageStream(bw, packed, packedW, level0 = true, cacheBits = 0,
+      rle = false)
+    riffWrap(bw.toBytes)
+  }
+
+  private def writeHeader(bw: Bw, w: Int, h: Int): Unit = {
+    bw.writeBits(0x2F, 8)
+    bw.writeBits(w - 1, 14)
+    bw.writeBits(h - 1, 14)
+    bw.writeBits(0, 1) // alpha hint
+    bw.writeBits(0, 3) // version
+  }
+
+  /** A transform-data image that is ONE tile covering the whole frame:
+   *  tile bits 9 (512x512), a single-pixel stream whose five codes are
+   *  all 1-symbol simple codes (zero data bits). */
+  private def writeOneTileImage(bw: Bw, w: Int, h: Int, pixel: Int): Unit = {
+    require(w <= 512 && h <= 512,
+      "one-tile transform image needs w,h <= 512 (fixture-grade encoder)")
+    bw.writeBits(9 - 2, 3)
+    writeImageStream(bw, Array(pixel), 1, level0 = false, cacheBits = 0,
+      rle = false)
+  }
+
+  private def riffWrap(payload: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(payload.length + 24)
+    def tag(s: String): Unit = s.foreach(c => o.write(c))
+    def le(v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+    }
+    val padded = payload.length + (payload.length & 1)
+    tag("RIFF"); le(4 + 8 + padded); tag("WEBP")
+    tag("VP8L"); le(payload.length)
+    o.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) o.write(0)
+    o.toByteArray
+  }
+
+  /** Forward predictor residuals for a single whole-image mode —
+   *  mirrors [[inversePredictor]] exactly (first pixel black, top row
+   *  Left, left column Top). */
+  private def forwardPredict(px: Array[Int], w: Int, h: Int,
+      mode: Int): Array[Int] = {
+    val out = new Array[Int](px.length)
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0xFF000000
+          else if (y == 0) px(pos - 1)
+          else if (x == 0) px(pos - w)
+          else {
+            val tr = if (x + 1 < w) px(pos - w + 1) else px(pos - w)
+            predict(mode, px(pos - 1), px(pos - w), px(pos - w - 1), tr)
+          }
+        val v = px(pos)
+        out(pos) = argb(a(v) - a(pred), r(v) - r(pred),
+          g(v) - g(pred), b(v) - b(pred))
+        pos += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // token plan shared by the frequency and emission passes
+  private sealed trait Tok
+  private final case class TLit(v: Int) extends Tok
+  private final case class TRun(len: Int) extends Tok
+  private final case class TCache(idx: Int) extends Tok
+
+  private def planTokens(px: Array[Int], cacheBits: Int,
+      rle: Boolean): Seq[Tok] = {
+    val toks = Seq.newBuilder[Tok]
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    val cacheUsed =
+      if (cacheBits > 0) new Array[Boolean](1 << cacheBits) else null
+    @inline def insert(v: Int): Unit = if (cache != null) {
+      val k = (0x1E35A7BD * v) >>> (32 - cacheBits)
+      cache(k) = v; cacheUsed(k) = true
+    }
+    var pos = 0
+    while (pos < px.length) {
+      val v = px(pos)
+      if (rle && pos > 0 && v == px(pos - 1)) {
+        var len = 0
+        while (pos + len < px.length && px(pos + len) == v &&
+          len < 4096) len += 1 // 4096 = max LZ77 prefix-coded length
+        toks += TRun(len)
+        var i = 0
+        while (i < len) { insert(v); i += 1 }
+        pos += len
+      } else {
+        val key = if (cache != null) (0x1E35A7BD * v) >>> (32 - cacheBits) else 0
+        if (cache != null && cacheUsed(key) && cache(key) == v) {
+          toks += TCache(key)
+        } else {
+          toks += TLit(v)
+        }
+        insert(v)
+        pos += 1
+      }
+    }
+    toks.result()
+  }
+
+  /** value >= 1 -> (prefix code, extra-bit count, extra-bit value). */
+  private def prefixEncode(value: Int): (Int, Int, Int) = {
+    require(value >= 1, s"prefix value $value < 1")
+    if (value <= 4) (value - 1, 0, 0)
+    else {
+      var c = 4
+      while (c < 24) {
+        val extra = (c - 2) >> 1
+        val offset = (2 + (c & 1)) << extra
+        val rest = value - 1 - offset
+        if (rest >= 0 && rest < (1 << extra)) return (c, extra, rest)
+        c += 1
+      }
+      throw new IllegalArgumentException(s"prefix value $value too large")
+    }
+  }
+
+  /** Depth-limited (15) Huffman lengths from symbol frequencies. */
+  private def huffmanLengths(freq: Array[Long], alphabet: Int): Array[Int] = {
+    val lengths = new Array[Int](alphabet)
+    val used = (0 until alphabet).filter(freq(_) > 0)
+    if (used.isEmpty) return lengths
+    if (used.size == 1) { lengths(used.head) = 1; return lengths }
+    // plain Huffman: merge two lightest nodes until one remains
+    final case class Node(w: Long, syms: List[Int], depth: Int)
+    val pq = scala.collection.mutable.PriorityQueue.empty[Node](
+      Ordering.by[Node, (Long, Int)](n => (n.w, n.syms.min)).reverse)
+    used.foreach(s => pq.enqueue(Node(freq(s), List(s), 0)))
+    val depth = new Array[Int](alphabet)
+    while (pq.size > 1) {
+      val x = pq.dequeue(); val y = pq.dequeue()
+      (x.syms ++ y.syms).foreach(s => depth(s) += 1)
+      pq.enqueue(Node(x.w + y.w, x.syms ++ y.syms,
+        math.max(x.depth, y.depth) + 1))
+    }
+    used.foreach { s =>
+      require(depth(s) <= 15,
+        "fixture-grade VP8L encoder hit a >15-bit Huffman code")
+      lengths(s) = depth(s)
+    }
+    lengths
+  }
+
+  /** Write one prefix code: simple form for <= 2 symbols, else the
+   *  code-length-coded normal form with the max_symbol shortcut. */
+  private def writePrefixCode(bw: Bw, lengths: Array[Int]): Unit = {
+    val used = lengths.indices.filter(lengths(_) > 0)
+    require(used.nonEmpty, "cannot write an empty prefix code")
+    if (used.size <= 2 && used.forall(_ <= 255)) {
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(used.size - 1, 1)
+      if (used.head > 1) { bw.writeBits(1, 1); bw.writeBits(used.head, 8) }
+      else { bw.writeBits(0, 1); bw.writeBits(used.head, 1) }
+      if (used.size == 2) bw.writeBits(used(1), 8)
+      return
+    }
+    bw.writeBits(0, 1) // normal
+    val numSymbols = used.max + 1
+    // CL token stream over lengths[0..numSymbols): literals + 16/17/18
+    val clToks = Seq.newBuilder[(Int, Int, Int)] // (clSym, extraBits, extraVal)
+    var i = 0
+    var prevLen = 8
+    while (i < numSymbols) {
+      val l = lengths(i)
+      var run = 1
+      while (i + run < numSymbols && lengths(i + run) == l) run += 1
+      if (l == 0) {
+        var left = run
+        while (left >= 11) {
+          val take = math.min(left, 138); clToks += ((18, 7, take - 11)); left -= take
+        }
+        while (left >= 3) {
+          val take = math.min(left, 6); clToks += ((17, 3, take - 3)); left -= take
+        }
+        while (left > 0) { clToks += ((0, 0, 0)); left -= 1 }
+      } else {
+        clToks += ((l, 0, 0))
+        prevLen = l
+        var left = run - 1
+        while (left >= 3) {
+          val take = math.min(left, 6); clToks += ((16, 2, take - 3)); left -= take
+        }
+        while (left > 0) { clToks += ((l, 0, 0)); left -= 1 }
+      }
+      i += run
+    }
+    val toks = clToks.result()
+    val clFreq = new Array[Long](19)
+    toks.foreach(t => clFreq(t._1) += 1)
+    val clLengths = huffmanLengths(clFreq, 19)
+    require(clLengths.forall(_ <= 7), "CL code length > 7")
+    // transmit CL lengths in ClOrder up to the last nonzero
+    var numCl = 19
+    while (numCl > 4 && clLengths(ClOrder(numCl - 1)) == 0) numCl -= 1
+    bw.writeBits(numCl - 4, 4)
+    var j = 0
+    while (j < numCl) { bw.writeBits(clLengths(ClOrder(j)), 3); j += 1 }
+    // max_symbol shortcut: stop the reader after exactly toks.size reads
+    val maxSymbol = toks.size
+    var nbits = 2
+    while ((1L << nbits) <= (maxSymbol - 2).max(0) && nbits < 16) nbits += 2
+    bw.writeBits(1, 1)
+    bw.writeBits((nbits - 2) / 2, 3)
+    bw.writeBits(maxSymbol - 2, nbits)
+    val clCodes = canonicalCodes(clLengths)
+    toks.foreach { case (sym, eb, ev) =>
+      bw.writeCode(clCodes(sym), clLengths(sym))
+      if (eb > 0) bw.writeBits(ev, eb)
+    }
+  }
+
+  /** Write one image stream: [cache][meta=0 if level0][5 prefix codes]
+   *  [token data]. */
+  private def writeImageStream(bw: Bw, px: Array[Int], w: Int,
+      level0: Boolean, cacheBits: Int, rle: Boolean): Unit = {
+    if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) }
+    else bw.writeBits(0, 1)
+    if (level0) bw.writeBits(0, 1) // no meta prefix-code image
+    val toks = planTokens(px, cacheBits, rle)
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val greenFreq = new Array[Long](256 + 24 + cacheSize)
+    val redFreq = new Array[Long](256)
+    val blueFreq = new Array[Long](256)
+    val alphaFreq = new Array[Long](256)
+    val distFreq = new Array[Long](40)
+    toks.foreach {
+      case TLit(v) =>
+        greenFreq(g(v)) += 1; redFreq(r(v)) += 1
+        blueFreq(b(v)) += 1; alphaFreq(a(v)) += 1
+      case TRun(len) =>
+        greenFreq(256 + prefixEncode(len)._1) += 1
+        // distance 1 = plane code 2 ((1,0)) = prefix code 1
+        distFreq(1) += 1
+      case TCache(idx) => greenFreq(256 + 24 + idx) += 1
+    }
+    // every code must be non-empty; pad unused planes with symbol 0
+    if (greenFreq.forall(_ == 0)) greenFreq(0) = 1
+    if (redFreq.forall(_ == 0)) redFreq(0) = 1
+    if (blueFreq.forall(_ == 0)) blueFreq(0) = 1
+    if (alphaFreq.forall(_ == 0)) alphaFreq(0) = 1
+    if (distFreq.forall(_ == 0)) distFreq(0) = 1
+    val greenLen = huffmanLengths(greenFreq, greenFreq.length)
+    val redLen = huffmanLengths(redFreq, 256)
+    val blueLen = huffmanLengths(blueFreq, 256)
+    val alphaLen = huffmanLengths(alphaFreq, 256)
+    val distLen = huffmanLengths(distFreq, 40)
+    Seq(greenLen, redLen, blueLen, alphaLen, distLen)
+      .foreach(writePrefixCode(bw, _))
+    // a single-symbol code reads ZERO bits on the decoder side — emit
+    // nothing for such planes (writeCode with length 0 is a no-op)
+    def emitLens(lengths: Array[Int]): Array[Int] =
+      if (lengths.count(_ > 0) == 1) new Array[Int](lengths.length)
+      else lengths
+    val greenEmit = emitLens(greenLen)
+    val redEmit = emitLens(redLen)
+    val blueEmit = emitLens(blueLen)
+    val alphaEmit = emitLens(alphaLen)
+    val distEmit = emitLens(distLen)
+    val greenCodes = canonicalCodes(greenLen)
+    val redCodes = canonicalCodes(redLen)
+    val blueCodes = canonicalCodes(blueLen)
+    val alphaCodes = canonicalCodes(alphaLen)
+    val distCodes = canonicalCodes(distLen)
+    toks.foreach {
+      case TLit(v) =>
+        bw.writeCode(greenCodes(g(v)), greenEmit(g(v)))
+        bw.writeCode(redCodes(r(v)), redEmit(r(v)))
+        bw.writeCode(blueCodes(b(v)), blueEmit(b(v)))
+        bw.writeCode(alphaCodes(a(v)), alphaEmit(a(v)))
+      case TRun(len) =>
+        val (lc, leb, lev) = prefixEncode(len)
+        bw.writeCode(greenCodes(256 + lc), greenEmit(256 + lc))
+        if (leb > 0) bw.writeBits(lev, leb)
+        bw.writeCode(distCodes(1), distEmit(1)) // prefix value 2 -> plane (1,0)
+      case TCache(idx) =>
+        bw.writeCode(greenCodes(256 + 24 + idx), greenEmit(256 + 24 + idx))
+    }
+  }
+}

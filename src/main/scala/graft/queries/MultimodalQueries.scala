@@ -429,6 +429,50 @@ object MultimodalQueries extends QueryProvider {
       |  'gif' AS format, CAST(sum(byte) AS BIGINT) AS pix_byte_sum
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** REAL LOSSLESS WEBP (VP8L) round-trip — four arms over IDENTICAL
+   *  4×2 pixels (24 md5 bytes, alpha 255), each exercising a different
+   *  bitstream feature through `SniffCodec`: literal coding,
+   *  subtract-green transform, predictor transform (mode 7), and an
+   *  8-color color-indexing transform with sub-byte bundling. VP8L is
+   *  lossless, so all four arms must fold to the SAME byte sum DuckDB
+   *  recomputes from the hex digests — a slip in any transform inverse,
+   *  the prefix-code machinery, or the palette unbundling flips exactly
+   *  that arm's sum. Lossy VP8 and animated WebP stay NAMED seams. */
+  private def webpRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
+        .as("src"))
+    val arms = Seq("rgb", "green", "pred", "pal").map { arm =>
+      Multimodal.decodeImage(
+          Multimodal.withWebpPayload(src, "src", arm).drop("src"),
+          "payload", codec = Multimodal.SniffCodec)
+        .select(col("doc_id"), lit(arm).as("arm"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format"),
+          expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+            .as("pix_byte_sum"))
+    }
+    arms.reduce(_ unionAll _)
+  }
+
+  private val webpRoundtripSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') AS hx FROM documents
+      |), d AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 25) r
+      |), s AS (
+      |  SELECT doc_id, CAST(sum(byte) + 8 * 255 AS BIGINT) AS pix_byte_sum
+      |  FROM d GROUP BY doc_id
+      |)
+      |SELECT doc_id, a.arm, CAST(4 AS INTEGER) AS width,
+      |  CAST(2 AS INTEGER) AS height, 'webp' AS format, pix_byte_sum
+      |FROM s, (VALUES ('rgb'), ('green'), ('pred'), ('pal')) a(arm)""".stripMargin
+
   /** 16-BIT + GRAY+ALPHA PNG tiers (the last two PNG color/depth
    *  families, previously NAMED rejections): arm 'png16' round-trips
    *  12 big-endian u16 samples (24 md5 bytes) through a 2×2 depth-16
@@ -783,6 +827,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_frames"      -> (gifFrames _),
     "mm_mp3_meta"        -> (mp3Meta _),
     "mm_png_tiers"       -> (pngTiers _),
+    "mm_webp_roundtrip"  -> (webpRoundtrip _),
     "mm_tiff_roundtrip"  -> (tiffRoundtrip _),
     "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
     "pipeline_media_dedup" -> (mediaDedup _),
@@ -805,6 +850,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_frames"      -> gifFramesSql,
     "mm_mp3_meta"        -> mp3MetaSql,
     "mm_png_tiers"       -> pngTiersSql,
+    "mm_webp_roundtrip"  -> webpRoundtripSql,
     "mm_tiff_roundtrip"  -> tiffRoundtripSql,
     "mm_adpcm_roundtrip" -> adpcmRoundtripSql,
     "pipeline_media_dedup" -> mediaDedupSql,
