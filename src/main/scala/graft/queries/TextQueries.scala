@@ -1111,6 +1111,51 @@ object TextQueries extends QueryProvider {
       |    '\+\d{1,2} \d{3} \d{4}', '[PHONE]', 'g') AS text_redacted
       |FROM a""".stripMargin
 
+  // Luhn-validated card redaction: both sides append the SAME
+  // deterministic 16-digit candidate (space groups on even ids, dash on
+  // odd), the oracle recomputes the checksum from first principles, and
+  // redaction fires ONLY on Luhn-valid candidates — so the hash
+  // certifies detection, validation arithmetic, and the survive-invalid
+  // contract together. (The synthetic texts carry no digit runs —
+  // verified — so the appended candidate is the only match.)
+  private def cardRedact(s: SparkSession, dir: String): DataFrame = {
+    val d16 = concat(
+      lpad((col("doc_id") % 100000000L).cast("string"), 8, "0"),
+      lpad(((col("doc_id") * 7919L) % 100000000L).cast("string"), 8, "0"))
+    val sep = when(pmod(col("doc_id"), lit(2)) === 0, lit(" ")).otherwise(lit("-"))
+    val card = concat(substring(d16, 1, 4), sep, substring(d16, 5, 4), sep,
+      substring(d16, 9, 4), sep, substring(d16, 13, 4))
+    val aug = concat(col("text"), lit(" pay "), card, lit(" now"))
+    TextAnalysis.redactCards(
+      T(s, dir, "documents").select(col("doc_id"), aug.as("text")),
+      "text", "doc_id")
+  }
+
+  private val cardRedactSql =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') ||
+      |    lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0') AS d16,
+      |    CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '-' END AS sep
+      |  FROM documents
+      |), l AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN r.range % 2 = 1
+      |      THEN CASE WHEN 2 * CAST(d16[r.range : r.range] AS INT) > 9
+      |        THEN 2 * CAST(d16[r.range : r.range] AS INT) - 9
+      |        ELSE 2 * CAST(d16[r.range : r.range] AS INT) END
+      |      ELSE CAST(d16[r.range : r.range] AS INT) END) % 10 = 0 AS valid
+      |  FROM c, range(1, 17) r GROUP BY doc_id, d16
+      |)
+      |SELECT c.doc_id,
+      |  CAST(1 AS BIGINT) AS n_card_candidates,
+      |  CAST(CASE WHEN valid THEN 1 ELSE 0 END AS BIGINT) AS n_cards_valid,
+      |  text || ' pay ' ||
+      |    CASE WHEN valid THEN '[CARD]'
+      |    ELSE d16[1:4] || sep || d16[5:8] || sep || d16[9:12] || sep || d16[13:16]
+      |    END || ' now' AS text_redacted
+      |FROM c JOIN l ON c.doc_id = l.doc_id""".stripMargin
+
   // Decile assignment by quality score — rank formula written out on both
   // sides (see Sampling.quantileBuckets for why not ntile); the quality
   // doubles are bit-identical cross-engine (proven by text_quality), so
@@ -2111,6 +2156,7 @@ object TextQueries extends QueryProvider {
     "text_ccnet_paragraphs" -> (ccnetParagraphs _),
     "q_ccnet_partition" -> (ccnetPartition _),
     "text_pii_redact"  -> (piiRedact _),
+    "text_card_redact" -> (cardRedact _),
     "q_quality_buckets" -> (qualityBuckets _),
     "text_chunk"       -> (chunk _),
     "q_corpus_mixture" -> (mixtureQ _),
@@ -2218,6 +2264,7 @@ object TextQueries extends QueryProvider {
     "text_ccnet_paragraphs" -> ccnetParagraphsSql,
     "q_ccnet_partition" -> ccnetPartitionSql,
     "text_pii_redact"  -> piiRedactSql,
+    "text_card_redact" -> cardRedactSql,
     "q_quality_buckets" -> qualityBucketsSql,
     "text_chunk"       -> chunkSql,
     "q_corpus_mixture" -> mixtureSql,

@@ -464,6 +464,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5) == ((5, 1L, 1L, 1L, "mix: [EMAIL] on [IP] dial [PHONE] ok")))
   }
 
+  test("redactCards: Luhn-valid 16-digit runs are redacted, invalid ones " +
+      "SURVIVE (order ids are not cards), all three separator styles match") {
+    // 4111111111111111 is the canonical Luhn-valid test PAN;
+    // 4111111111111112 fails the checksum by one
+    val df = docs(
+      1 -> "pay 4111 1111 1111 1111 today",
+      2 -> "order 4111-1111-1111-1112 shipped",
+      3 -> "both 4111111111111111 and 1234 5678 9012 3456 here",
+      4 -> "short 1234 5678 run and no card")
+    val out = TextAnalysis.redactCards(df, "text", "doc_id")
+      .as[(Int, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1) == ((1, 1L, 1L, "pay [CARD] today")))
+    assert(out(2) == ((2, 1L, 0L, "order 4111-1111-1111-1112 shipped")))
+    // 1234 5678 9012 3456: luhn sum ends in 0? digits doubled at odd
+    // positions: it is NOT valid -> only the bare valid PAN goes
+    assert(out(3) == ((3, 2L, 1L,
+      "both [CARD] and 1234 5678 9012 3456 here")))
+    assert(out(4) == ((4, 0L, 0L, "short 1234 5678 run and no card")))
+  }
+
   test("unigramLmScore: corpus-frequency totals and rarest-token signal") {
     // corpus unigram counts: the:4, cat:1, sat:2, dog:1
     val df = docs(
