@@ -854,6 +854,12 @@ object BuiltinOps {
       LensOp(s"redact_pii($t)", df => TextAnalysis.redactPii(df, t, id))
     },
 
+    "redact_cards" -> { a =>
+      val (t, id) = (a.strOpt("text").getOrElse("text"),
+        a.strOpt("id").getOrElse("doc_id"))
+      LensOp(s"redact_cards($t)", df => TextAnalysis.redactCards(df, t, id))
+    },
+
     // Cross-corpus MinHash decontamination (Dedup.minHashLshAgainst):
     // two-input — the reference (eval/benchmark) corpus resolves from the
     // session catalog by name, like strip_contam. Emits the contaminated

@@ -369,6 +369,13 @@ class LensEngineSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().toSeq
     assert(redacted == Seq((9L, 1L, "mail me [EMAIL] now")))
 
+    val cards = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:redact_cards","arguments":{}}]}""")
+      .forward(Seq((9L, "pan 4111 1111 1111 1111 ok")).toDF("doc_id", "text"))
+      .select("doc_id", "n_cards_valid", "text_redacted")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(cards == Seq((9L, 1L, "pan [CARD] ok")))
+
     val segDedup = Pipeline.fromJson(
       """{"lenses":[{"path":"builtin:segment_dedup","arguments":
         |{"seg_tokens":5,"max_doc_freq":1}}]}""".stripMargin)
