@@ -838,6 +838,36 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Decode an animated-WebP payload column into one row per COMPOSITED
+   *  frame — (frame_idx, meta, pixels) — the WebP sibling of
+   *  [[decodeGifFrames]]: each row is the full canvas after the frame
+   *  blends/replaces its rect, with dispose-to-background applied
+   *  between frames ([[Webp.decodeWebpFrames]]). Partition-local 1:N
+   *  explode; blobs never shuffle. */
+  def decodeWebpFrames(df: DataFrame, payloadCol: String,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val kept = inSchema.fields.zipWithIndex.filter(_._2 != payloadIdx)
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("meta", ImageMetaType, nullable = false),
+      StructField("pixels", ArrayType(FloatType, containsNull = false))))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      batched[Row, Row](rows, batch => batch.flatMap { r =>
+        val (w, h, frames) =
+          Webp.decodeWebpFrames(r.getAs[Array[Byte]](payloadIdx))
+        (0 until frames.length by stride).map { f =>
+          Row.fromSeq(keptIdx.toSeq.map(r.get) ++
+            Seq(f, Row(w, h, 4, "webp"), frames(f).toSeq))
+        }
+      })
+    }(encoder)
+  }
+
   /** Real decode where the payload is a real container, deterministic
    *  stub otherwise: 'BM' → BMP, PNG signature → PNG (real inflate),
    *  'RIFF…WAVE' → WAV, anything else falls to [[FakeCodec]] — the
@@ -1309,6 +1339,25 @@ object Multimodal {
           Array.tabulate[Byte](8)(_.toByte))
         case other => throw new IllegalArgumentException(s"bad WebP arm $other")
       }
+    }
+
+  /** Append a REAL 3-frame animated WebP `payload` (VP8X/ANIM/ANMF +
+   *  per-frame VP8L) from a binary column of 24 RGB bytes on a 4×2
+   *  canvas with a transparent background: frame 0 full-canvas (pixels
+   *  p0..p7 from byte triples), frame 1 a 2×1 replace patch at (2,0)
+   *  re-using p0..p1 with dispose-to-background, frame 2 a 1×1 patch
+   *  at (0,0) from the last byte triple after the dispose cleared
+   *  (2,0)-(3,0). Composited sums stay linear in the byte sums, so a
+   *  SQL oracle replays every frame exactly. */
+  def withAnimatedWebpPayload(df: DataFrame, srcCol: String): DataFrame =
+    withPayload(df, srcCol) { bytes =>
+      require(bytes.length == 24, s"need 24 RGB bytes, got ${bytes.length}")
+      def px(i: Int): Int = 0xFF000000 | ((bytes(3 * i) & 0xFF) << 16) |
+        ((bytes(3 * i + 1) & 0xFF) << 8) | (bytes(3 * i + 2) & 0xFF)
+      Webp.encodeAnimatedWebp(4, 2, Seq(
+        Webp.Frame(0, 0, 4, 2, Array.tabulate(8)(px)),
+        Webp.Frame(2, 0, 2, 1, Array(px(0), px(1)), disposeBg = true),
+        Webp.Frame(0, 0, 1, 1, Array(px(7)))))
     }
 
   /** Append a structurally-real MP3 `payload` from a binary column of

@@ -15,8 +15,12 @@ package graft.operators
  * predictor mode, optional color cache, and an RLE LZ77 mode — enough
  * to exercise every decoder path from round-trip specs and oracles.
  *
- * Lossy WebP (VP8 intra-frame coding) and animation (ANIM/ANMF) are
- * NAMED rejections — the same documented `Codec` seam as H.264
+ * Animated WebP is REAL too: [[encodeAnimatedWebp]] /
+ * [[decodeWebpFrames]] handle the VP8X/ANIM/ANMF container with
+ * per-frame VP8L payloads, alpha-blend vs replace, and
+ * dispose-to-background compositing (the WebP sibling of
+ * [[Gif.decodeGifFrames]]). Lossy WebP (VP8 intra-frame coding) stays
+ * a NAMED rejection — the same documented `Codec` seam as H.264
  * (reference keeps codecs behind opaque guests:
  * reference: host-go/engine/engine.go:1).
  *
@@ -577,6 +581,203 @@ object Webp {
       y += 1
     }
     out
+  }
+
+  // ----------------------------------------------------------- animation
+
+  /** One animated-WebP frame: a lossless VP8L sub-frame placed at
+   *  (`x`,`y`) (both even — the container stores them halved) on the
+   *  canvas. `blend` alpha-composites the frame over the canvas
+   *  (src-over); `!blend` replaces the rect. `disposeBg` restores the
+   *  rect to the background color AFTER the frame shows. */
+  final case class Frame(x: Int, y: Int, w: Int, h: Int, px: Array[Int],
+      blend: Boolean = false, disposeBg: Boolean = false)
+
+  /** Animated WebP: VP8X (animation flag) + ANIM + one ANMF-wrapped
+   *  VP8L chunk per frame. `bgColor` is the ANIM background color
+   *  (0xAARRGGBB) used for the initial canvas and dispose-to-background
+   *  fills. */
+  def encodeAnimatedWebp(cw: Int, ch: Int, frames: Seq[Frame],
+      bgColor: Int = 0): Array[Byte] = {
+    require(cw >= 1 && cw <= (1 << 24) && ch >= 1 && ch <= (1 << 24),
+      s"bad canvas ${cw}x$ch")
+    require(frames.nonEmpty, "animated WebP needs at least one frame")
+    // VP8X: flags (bit 1 = animation, per spec byte 0 bit 0x02), canvas
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x02 // animation flag
+    vp8x(4) = ((cw - 1) & 0xFF).toByte
+    vp8x(5) = (((cw - 1) >> 8) & 0xFF).toByte
+    vp8x(6) = (((cw - 1) >> 16) & 0xFF).toByte
+    vp8x(7) = ((ch - 1) & 0xFF).toByte
+    vp8x(8) = (((ch - 1) >> 8) & 0xFF).toByte
+    vp8x(9) = (((ch - 1) >> 16) & 0xFF).toByte
+    // assemble chunks into body (without RIFF header)
+    val chunks = new java.io.ByteArrayOutputStream(512)
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      t.foreach(c => chunks.write(c))
+      chunks.write(data.length & 0xFF); chunks.write((data.length >> 8) & 0xFF)
+      chunks.write((data.length >> 16) & 0xFF); chunks.write((data.length >> 24) & 0xFF)
+      chunks.write(data, 0, data.length)
+      if ((data.length & 1) == 1) chunks.write(0)
+    }
+    chunk("VP8X", vp8x)
+    // ANIM: background color in [B, G, R, A] byte order + loop count 0
+    chunk("ANIM", Array[Byte](
+      (bgColor & 0xFF).toByte, ((bgColor >> 8) & 0xFF).toByte,
+      ((bgColor >> 16) & 0xFF).toByte, ((bgColor >> 24) & 0xFF).toByte,
+      0, 0))
+    frames.foreach { f =>
+      require((f.x & 1) == 0 && (f.y & 1) == 0,
+        s"ANMF frame offsets must be even, got (${f.x},${f.y})")
+      require(f.x >= 0 && f.y >= 0 && f.x + f.w <= cw && f.y + f.h <= ch,
+        s"frame ${f.w}x${f.h} at (${f.x},${f.y}) outside ${cw}x$ch canvas")
+      // extract the VP8L chunk from a still encode (RIFF header = 12 B)
+      val still = encodeWebpLossless(f.w, f.h, f.px)
+      val vp8l = java.util.Arrays.copyOfRange(still, 12, still.length)
+      val hdr = new java.io.ByteArrayOutputStream(16)
+      def h24(v: Int): Unit = {
+        hdr.write(v & 0xFF); hdr.write((v >> 8) & 0xFF); hdr.write((v >> 16) & 0xFF)
+      }
+      h24(f.x / 2); h24(f.y / 2); h24(f.w - 1); h24(f.h - 1)
+      h24(4) // duration ms
+      // flags: bit 1 = dispose to background, bit 0 = 1 means DO NOT blend
+      hdr.write((if (f.disposeBg) 2 else 0) | (if (f.blend) 0 else 1))
+      chunk("ANMF", hdr.toByteArray ++ vp8l)
+    }
+    riffWrapRaw(chunks.toByteArray)
+  }
+
+  /** Decode ALL frames of an animated WebP, composited per the
+   *  container spec: canvas starts as the ANIM background color, each
+   *  frame alpha-blends (or replaces) its rect, each emitted frame is
+   *  the full canvas, and dispose-to-background restores the rect
+   *  before the next frame. Returns (canvasW, canvasH, RGBA float
+   *  frames). The still-image [[decodeWebp]] keeps its NAMED rejection
+   *  for animated payloads — this is the 1:N face. */
+  def decodeWebpFrames(p: Array[Byte]): (Int, Int, Seq[Array[Float]]) = {
+    require(isWebp(p), "not a WebP payload")
+    var at = 12
+    var cw = -1; var ch = -1
+    var bg = 0
+    var sawAnim = false
+    val frames = Seq.newBuilder[Array[Float]]
+    var canvas: Array[Int] = null
+    var nFrames = 0
+    while (at + 8 <= p.length) {
+      val tag = new String(p, at, 4, "US-ASCII")
+      val size = le32(p, at + 4)
+      require(size >= 0 && at + 8 + size <= p.length,
+        s"truncated WebP chunk '$tag'")
+      val d = at + 8
+      tag match {
+        case "VP8X" =>
+          require(size == 10, s"bad VP8X size $size")
+          require((p(d) & 0x02) != 0,
+            "WebP VP8X without the animation flag — use decodeWebp for stills")
+          cw = 1 + ((p(d + 4) & 0xFF) | ((p(d + 5) & 0xFF) << 8) |
+            ((p(d + 6) & 0xFF) << 16))
+          ch = 1 + ((p(d + 7) & 0xFF) | ((p(d + 8) & 0xFF) << 8) |
+            ((p(d + 9) & 0xFF) << 16))
+          require(cw.toLong * ch * 4 <= Int.MaxValue, "WebP canvas too large")
+          canvas = new Array[Int](cw * ch)
+        case "ANIM" =>
+          require(size >= 6, s"bad ANIM size $size")
+          require(canvas != null, "ANIM before VP8X")
+          // background color arrives [B, G, R, A]
+          bg = argb(p(d + 3) & 0xFF, p(d + 2) & 0xFF, p(d + 1) & 0xFF,
+            p(d) & 0xFF)
+          java.util.Arrays.fill(canvas, bg)
+          sawAnim = true
+        case "ANMF" =>
+          require(sawAnim, "ANMF before ANIM")
+          require(size >= 16, s"bad ANMF size $size")
+          val fx = 2 * ((p(d) & 0xFF) | ((p(d + 1) & 0xFF) << 8) |
+            ((p(d + 2) & 0xFF) << 16))
+          val fy = 2 * ((p(d + 3) & 0xFF) | ((p(d + 4) & 0xFF) << 8) |
+            ((p(d + 5) & 0xFF) << 16))
+          val fw = 1 + ((p(d + 6) & 0xFF) | ((p(d + 7) & 0xFF) << 8) |
+            ((p(d + 8) & 0xFF) << 16))
+          val fh = 1 + ((p(d + 9) & 0xFF) | ((p(d + 10) & 0xFF) << 8) |
+            ((p(d + 11) & 0xFF) << 16))
+          val flags = p(d + 15) & 0xFF
+          val noBlend = (flags & 1) != 0
+          val disposeBg = (flags & 2) != 0
+          require(fx + fw <= cw && fy + fh <= ch,
+            s"ANMF frame ${fw}x$fh at ($fx,$fy) outside ${cw}x$ch canvas")
+          // frame data: sub-chunks; wrap as a standalone WebP and reuse
+          // the still decoder (ALPH would precede VP8 — lossy, rejected
+          // there with its named error)
+          val sub = java.util.Arrays.copyOfRange(p, d + 16, d + size)
+          val still = riffWrapRaw(sub)
+          val (dw, dh, _, _, fpx) = decodeWebp(still)
+          require(dw == fw && dh == fh,
+            s"ANMF declares ${fw}x$fh but VP8L carries ${dw}x$dh")
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val i = (y * fw + x) * 4
+              val sr = math.round(fpx(i) * 255)
+              val sg = math.round(fpx(i + 1) * 255)
+              val sb = math.round(fpx(i + 2) * 255)
+              val sa = math.round(fpx(i + 3) * 255)
+              val at2 = (fy + y) * cw + fx + x
+              canvas(at2) =
+                if (noBlend || sa == 255) argb(sa, sr, sg, sb)
+                else if (sa == 0) canvas(at2)
+                else { // fractional src-over (container spec formula)
+                  val dst = canvas(at2)
+                  val da = a(dst)
+                  val oa = sa + da * (255 - sa) / 255.0
+                  def lane(s: Int, dc: Int): Int =
+                    if (oa == 0) 0
+                    else math.round(
+                      (s * sa + dc * da * (255 - sa) / 255.0) / oa).toInt
+                  argb(math.round(oa).toInt, lane(sr, r(dst)),
+                    lane(sg, g(dst)), lane(sb, b(dst)))
+                }
+              x += 1
+            }
+            y += 1
+          }
+          val snap = new Array[Float](canvas.length * 4)
+          var si = 0
+          while (si < canvas.length) {
+            val v = canvas(si)
+            snap(4 * si) = r(v) / 255.0f
+            snap(4 * si + 1) = g(v) / 255.0f
+            snap(4 * si + 2) = b(v) / 255.0f
+            snap(4 * si + 3) = a(v) / 255.0f
+            si += 1
+          }
+          frames += snap
+          nFrames += 1
+          if (disposeBg) {
+            var yy = fy
+            while (yy < fy + fh) {
+              var xx = fx
+              while (xx < fx + fw) { canvas(yy * cw + xx) = bg; xx += 1 }
+              yy += 1
+            }
+          }
+        case _ => ()
+      }
+      at += 8 + size + (size & 1)
+    }
+    require(nFrames > 0,
+      "WebP payload has no ANMF frames — use decodeWebp for stills")
+    (cw, ch, frames.result())
+  }
+
+  private def riffWrapRaw(chunks: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(chunks.length + 12)
+    "RIFF".foreach(c => o.write(c))
+    val sz = 4 + chunks.length
+    o.write(sz & 0xFF); o.write((sz >> 8) & 0xFF)
+    o.write((sz >> 16) & 0xFF); o.write((sz >> 24) & 0xFF)
+    "WEBP".foreach(c => o.write(c))
+    o.write(chunks, 0, chunks.length)
+    o.toByteArray
   }
 
   // -------------------------------------------------------------- encode

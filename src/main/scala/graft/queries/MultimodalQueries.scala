@@ -473,6 +473,57 @@ object MultimodalQueries extends QueryProvider {
       |  CAST(2 AS INTEGER) AS height, 'webp' AS format, pix_byte_sum
       |FROM s, (VALUES ('rgb'), ('green'), ('pred'), ('pal')) a(arm)""".stripMargin
 
+  /** ANIMATED WEBP 1:N frame explode — the WebP sibling of
+   *  `mm_gif_frames`: 24 md5 bytes become a 3-frame VP8X/ANIM/ANMF
+   *  animation (`withAnimatedWebpPayload`) whose frames exercise
+   *  sub-canvas placement, replace compositing and
+   *  dispose-to-background; `decodeWebpFrames` composites each frame
+   *  on the 4×2 canvas. Fixed geometry keeps every composited frame's
+   *  RGBA byte sum linear in per-position byte sums, replayed exactly
+   *  by DuckDB — a placement, dispose, or per-frame VP8L slip flips a
+   *  frame's sum. */
+  private def webpFrames(s: SparkSession, dir: String): DataFrame = {
+    val src = T(s, dir, "documents").select(col("doc_id"),
+      expr("substring(unhex(concat(md5(text), md5(concat(text, 'x')))), 1, 24)")
+        .as("src"))
+    Multimodal.decodeWebpFrames(
+        Multimodal.withAnimatedWebpPayload(src, "src").drop("src"),
+        "payload")
+      .select(col("doc_id"), col("frame_idx"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val webpFramesSql =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') AS hx FROM documents
+      |), d AS (
+      |  SELECT doc_id, r.range AS pos,
+      |    16 * (strpos('0123456789abcdef',
+      |      hx[2 * r.range - 1 : 2 * r.range - 1]) - 1)
+      |    + (strpos('0123456789abcdef', hx[2 * r.range : 2 * r.range]) - 1)
+      |      AS byte
+      |  FROM h, range(1, 25) r
+      |), c AS (
+      |  SELECT doc_id, sum(byte) AS all24,
+      |    sum(CASE WHEN pos <= 3 THEN byte ELSE 0 END) AS s1_3,
+      |    sum(CASE WHEN pos <= 6 THEN byte ELSE 0 END) AS s1_6,
+      |    sum(CASE WHEN pos BETWEEN 7 AND 12 THEN byte ELSE 0 END) AS s7_12,
+      |    sum(CASE WHEN pos >= 22 THEN byte ELSE 0 END) AS s22_24
+      |  FROM d GROUP BY doc_id
+      |)
+      |SELECT doc_id, CAST(f.fi AS INTEGER) AS frame_idx,
+      |  CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+      |  'webp' AS format,
+      |  CAST(CASE f.fi
+      |    WHEN 0 THEN all24 + 2040
+      |    WHEN 1 THEN all24 + 2040 - s7_12 + s1_6
+      |    ELSE all24 + 1530 - s1_3 - s7_12 + s22_24
+      |  END AS BIGINT) AS pix_byte_sum
+      |FROM c, (VALUES (0), (1), (2)) f(fi)""".stripMargin
+
   /** 16-BIT + GRAY+ALPHA PNG tiers (the last two PNG color/depth
    *  families, previously NAMED rejections): arm 'png16' round-trips
    *  12 big-endian u16 samples (24 md5 bytes) through a 2×2 depth-16
@@ -828,6 +879,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_meta"        -> (mp3Meta _),
     "mm_png_tiers"       -> (pngTiers _),
     "mm_webp_roundtrip"  -> (webpRoundtrip _),
+    "mm_webp_frames"     -> (webpFrames _),
     "mm_tiff_roundtrip"  -> (tiffRoundtrip _),
     "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
     "pipeline_media_dedup" -> (mediaDedup _),
@@ -851,6 +903,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_meta"        -> mp3MetaSql,
     "mm_png_tiers"       -> pngTiersSql,
     "mm_webp_roundtrip"  -> webpRoundtripSql,
+    "mm_webp_frames"     -> webpFramesSql,
     "mm_tiff_roundtrip"  -> tiffRoundtripSql,
     "mm_adpcm_roundtrip" -> adpcmRoundtripSql,
     "pipeline_media_dedup" -> mediaDedupSql,

@@ -112,6 +112,51 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("animated WebP: VP8X/ANIM/ANMF decode composites replace frames, " +
+      "dispose-to-background, and alpha blending; the still decoder " +
+      "keeps rejecting animations by name") {
+    val p = Array.tabulate(8)(i => 0xFF000000 | (i * 0x050301 + 0x101010))
+    val anim = Webp.encodeAnimatedWebp(4, 2, Seq(
+      Webp.Frame(0, 0, 4, 2, p),
+      Webp.Frame(2, 0, 2, 1, Array(p(0), p(1)), disposeBg = true),
+      Webp.Frame(0, 0, 1, 1, Array(p(7)))))
+    val (cw, chh, frames) = Webp.decodeWebpFrames(anim)
+    assert(cw == 4 && chh == 2 && frames.length == 3)
+    def px(f: Int, i: Int): Int =
+      (math.round(frames(f)(4 * i + 3) * 255).toInt << 24) |
+        (math.round(frames(f)(4 * i) * 255).toInt << 16) |
+        (math.round(frames(f)(4 * i + 1) * 255).toInt << 8) |
+        math.round(frames(f)(4 * i + 2) * 255).toInt
+    for (i <- 0 until 8) assert(px(0, i) == p(i), s"frame0 pixel $i")
+    // frame 1: (2,0)<-p0, (3,0)<-p1, rest unchanged
+    assert(px(1, 2) == p(0) && px(1, 3) == p(1) && px(1, 0) == p(0) &&
+      px(1, 4) == p(4))
+    // frame 2: dispose cleared (2,0)/(3,0) to transparent bg; (0,0)<-p7
+    assert(px(2, 2) == 0 && px(2, 3) == 0, "dispose-to-background missed")
+    assert(px(2, 0) == p(7) && px(2, 1) == p(1) && px(2, 7) == p(7))
+    // alpha blending: a half-transparent red frame over opaque blue —
+    // expectations computed from the container-spec src-over formula
+    val blue = Array.fill(4)(0xFF0000FF)
+    val red = Array.fill(4)(0x80FF0000)
+    val blended = Webp.decodeWebpFrames(Webp.encodeAnimatedWebp(2, 2, Seq(
+      Webp.Frame(0, 0, 2, 2, blue),
+      Webp.Frame(0, 0, 2, 2, red, blend = true))))._3(1)
+    val sa = 0x80; val oa = sa + 255 * (255 - sa) / 255.0
+    val wantR = math.round(255.0 * sa / oa).toInt
+    val wantB = math.round(255 * 255 * ((255 - sa) / 255.0) / oa).toInt
+    val gotA = math.round(blended(3) * 255).toInt
+    assert(gotA == math.round(oa).toInt, s"blend alpha $gotA")
+    assert(math.round(blended(0) * 255).toInt == wantR &&
+      math.round(blended(2) * 255).toInt == wantB, "blend rgb drifted")
+    // the still-image API stays a named rejection on animations
+    val eA = intercept[IllegalArgumentException](Webp.decodeWebp(anim))
+    assert(eA.getMessage.contains("animated"), eA.getMessage)
+    // odd frame offsets are unrepresentable in the container
+    val eO = intercept[IllegalArgumentException](Webp.encodeAnimatedWebp(
+      4, 2, Seq(Webp.Frame(1, 0, 1, 1, Array(p(0))))))
+    assert(eO.getMessage.contains("even"), eO.getMessage)
+  }
+
   test("named failures: lossy VP8, animation, bad signature/version, " +
       "truncation") {
     val good = Webp.encodeWebpLossless(3, 3, randomArgb(3, 3, 9))
