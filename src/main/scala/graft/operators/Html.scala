@@ -229,4 +229,165 @@ object Html {
     flushLine()
     lines.mkString("\n")
   }
+
+  // ------------------------------------------------------------- tables
+
+  /**
+   * Structured TABLE extraction — the other half of web mining: while
+   * [[extractText]] linearizes a page, `extractTables` recovers
+   * `<table>` content as tables -> rows -> cells (each cell text
+   * extracted under the same entity/inline-tag/whitespace rules).
+   * Deterministic simplifications, documented for the oracle: `<td>` /
+   * `<th>` are equivalent; an unclosed cell closes at the next cell /
+   * row / table boundary (the browser's implicit-close rule);
+   * `colspan` / `rowspan` are ignored (cells land at their source
+   * position); a NESTED table becomes its own entry in the result list
+   * and contributes no text to the outer cell; rows with zero cells
+   * drop. Tables are listed in document order of their `</table>`
+   * (inner-first for nested).
+   *
+   * 100 TB shape: per-row linear scan like [[extractText]], exploded
+   * to (table, row) rows partition-locally — no shuffle in extraction.
+   */
+  def extractTables(html: String): Seq[Seq[Seq[String]]] = {
+    val s = html
+    val done = mutable.ArrayBuffer.empty[Seq[Seq[String]]]
+    // stack of open tables: each is (rows, currentRow, currentCell|null)
+    final class T {
+      val rows = mutable.ArrayBuffer.empty[Seq[String]]
+      var row: mutable.ArrayBuffer[String] = null
+      var cell: java.lang.StringBuilder = null
+    }
+    val stack = mutable.ArrayBuffer.empty[T]
+    def top: T = stack.last
+    def closeCell(): Unit = if (stack.nonEmpty && top.cell != null) {
+      // renderer-style collapse inside the cell
+      val raw = top.cell.toString
+      val b = new java.lang.StringBuilder(raw.length)
+      var pend = false
+      var m = 0
+      while (m < raw.length) {
+        val c = raw.charAt(m)
+        if (Character.isWhitespace(c) || c == '\u00a0') {
+          if (b.length > 0) pend = true
+        } else {
+          if (pend) { b.append(' '); pend = false }
+          b.append(c)
+        }
+        m += 1
+      }
+      if (top.row == null) top.row = mutable.ArrayBuffer.empty[String]
+      top.row += b.toString
+      top.cell = null
+    }
+    def closeRow(): Unit = if (stack.nonEmpty) {
+      closeCell()
+      if (top.row != null && top.row.nonEmpty) top.rows += top.row.toSeq
+      top.row = null
+    }
+    def text(t: String): Unit =
+      if (stack.nonEmpty && top.cell != null) top.cell.append(t)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (i + 1 >= s.length) { text("<"); i += 1 }
+        else {
+          val c1 = s.charAt(i + 1)
+          if (c1 == '!') {
+            if (s.startsWith("<!--", i)) {
+              val end = s.indexOf("-->", i + 4)
+              i = if (end < 0) s.length else end + 3
+            } else if (s.startsWith("<![CDATA[", i)) {
+              val end = s.indexOf("]]>", i + 9)
+              i = if (end < 0) s.length else end + 3
+            } else {
+              val end = s.indexOf('>', i + 2)
+              i = if (end < 0) s.length else end + 1
+            }
+          } else if (c1 == '?') {
+            val end = s.indexOf('>', i + 2)
+            i = if (end < 0) s.length else end + 1
+          } else if (c1 == '/' || isNameChar(c1)) {
+            val nameStart = if (c1 == '/') i + 2 else i + 1
+            var j = nameStart
+            while (j < s.length && isNameChar(s.charAt(j))) j += 1
+            if (j == nameStart) i = skipTag(s, nameStart)
+            else {
+              val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+              val afterTag = skipTag(s, j)
+              if (c1 != '/' && (name == "script" || name == "style")) {
+                val close = indexOfIgnoreCase(s, "</" + name, afterTag)
+                i = if (close < 0) s.length
+                    else skipTag(s, close + 2 + name.length)
+              } else {
+                (c1 == '/', name) match {
+                  case (false, "table") => stack += new T
+                  case (true, "table") => if (stack.nonEmpty) {
+                    closeRow()
+                    done += top.rows.toSeq
+                    stack.remove(stack.length - 1)
+                  }
+                  case (false, "tr") => closeRow()
+                  case (true, "tr") => closeRow()
+                  case (false, "td" | "th") => if (stack.nonEmpty) {
+                    closeCell()
+                    if (top.row == null) top.row = mutable.ArrayBuffer.empty[String]
+                    top.cell = new java.lang.StringBuilder(32)
+                  }
+                  case (true, "td" | "th") => closeCell()
+                  case _ =>
+                    if (BlockTags.contains(name)) text(" ")
+                }
+                i = afterTag
+              }
+            }
+          } else { text("<"); i += 1 }
+        }
+      } else if (c == '&') {
+        val dec = decodeEntity(s, i)
+        if (dec == null) { text("&"); i += 1 }
+        else { text(dec._1); i = dec._2 }
+      } else {
+        text(String.valueOf(c))
+        i += 1
+      }
+    }
+    // unterminated tables still flush (truncated crawls are normal)
+    while (stack.nonEmpty) {
+      closeRow()
+      done += top.rows.toSeq
+      stack.remove(stack.length - 1)
+    }
+    done.toSeq
+  }
+
+  /** Explode an HTML column into one output row per TABLE ROW:
+   *  (kept cols..., table_idx, row_idx, n_cells, cells). Partition-local
+   *  1:N; pages without tables contribute nothing. */
+  def tables(df: org.apache.spark.sql.DataFrame,
+      htmlCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val htmlIdx = inSchema.fieldIndex(htmlCol)
+    val kept = inSchema.fields.zipWithIndex.filter(_._2 != htmlIdx)
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("table_idx", IntegerType, nullable = false),
+      StructField("row_idx", IntegerType, nullable = false),
+      StructField("n_cells", LongType, nullable = false),
+      StructField("cells", ArrayType(StringType, containsNull = false))))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        extractTables(r.getString(htmlIdx)).zipWithIndex.flatMap {
+          case (tbl, ti) => tbl.zipWithIndex.map { case (cells, ri) =>
+            Row.fromSeq(keptIdx.toSeq.map(r.get) ++
+              Seq[Any](ti, ri, cells.length.toLong, cells))
+          }
+        }
+      }
+    }(encoder)
+  }
 }

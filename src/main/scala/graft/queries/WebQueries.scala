@@ -117,6 +117,34 @@ object WebQueries extends QueryProvider {
       |  ${TextQueries.gopherPassSql} AS gopher_pass
       |FROM m""".stripMargin
 
+  /** STRUCTURED TABLE MINING — the complement of linear extraction:
+   *  each document carries a 3-row header+data `<table>` built from its
+   *  columns (with an entity and an inline tag inside cells, a th/td
+   *  mix, and a trailing unclosed cell exercising the implicit-close
+   *  rule), and `Html.tables` explodes it to (table, row, cells) rows
+   *  the oracle predicts cell-for-cell. */
+  private def htmlTables(s: SparkSession, dir: String): DataFrame = {
+    val pages = T(s, dir, "documents").withColumn("html", concat(
+      lit("<html><body><h1>doc</h1><table><tr><th>k</th><th>v</th></tr>"),
+      lit("<tr><td><b>lang</b></td><td>"), col("lang"), lit("</td></tr>"),
+      lit("<tr><td>src &amp; "), col("doc_id"),
+      lit("</td><td>"), col("source"), lit("</table></body></html>")))
+      .select(col("doc_id"), col("html"))
+    graft.operators.Html.tables(pages, "html")
+      .select(col("doc_id"), col("table_idx"), col("row_idx"),
+        col("n_cells"), array_join(col("cells"), "|").as("cells"))
+  }
+
+  private val htmlTablesSql =
+    """SELECT doc_id, CAST(0 AS INTEGER) AS table_idx,
+      |  CAST(r.fi AS INTEGER) AS row_idx, CAST(2 AS BIGINT) AS n_cells,
+      |  CASE r.fi
+      |    WHEN 0 THEN 'k|v'
+      |    WHEN 1 THEN 'lang|' || lang
+      |    ELSE 'src & ' || CAST(doc_id AS VARCHAR) || '|' || source
+      |  END AS cells
+      |FROM documents, (VALUES (0), (1), (2)) r(fi)""".stripMargin
+
   /** CRAWL-BYTES INGEST — the true stage zero: each page is wrapped in
    *  a real .warc.gz (Common Crawl layout: warcinfo/request/response
    *  records, one gzip member each — `Warc.withWarcGzPayload`), then
@@ -256,6 +284,7 @@ object WebQueries extends QueryProvider {
     "text_html_extract" -> (htmlExtract _),
     "pipeline_web_extract" -> (webExtract _),
     "io_warc_extract" -> (warcExtract _),
+    "text_html_tables" -> (htmlTables _),
     "text_url_canon" -> (urlCanon _),
     "pipeline_host_rank" -> (hostRank _)
   )
@@ -264,6 +293,7 @@ object WebQueries extends QueryProvider {
     "text_html_extract" -> htmlExtractSql,
     "pipeline_web_extract" -> webExtractSql,
     "io_warc_extract" -> warcExtractSql,
+    "text_html_tables" -> htmlTablesSql,
     "text_url_canon" -> urlCanonSql,
     "pipeline_host_rank" -> hostRankSql
   )

@@ -95,6 +95,45 @@ class HtmlSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("t\nhello & world"))
   }
 
+  test("extractTables: rows/cells with entities and inline tags, th==td, " +
+      "implicit cell close, nested table split out, script dropped, " +
+      "unterminated table flushed") {
+    import graft.operators.Html
+    val t1 = Html.extractTables(
+      """<p>pre</p><table><tr><th>K</th><th>V &amp; W</th></tr>
+        |<tr><td>a <b>bold</b></td><td>1<script>x="<td>no</td>"</script>2
+        |</td></tr></table><p>post</p>""".stripMargin)
+    assert(t1 == Seq(Seq(Seq("K", "V & W"), Seq("a bold", "12"))))
+    // implicit close: no </td>, next <td>/<tr> closes the cell
+    val t2 = Html.extractTables(
+      "<table><tr><td>x<td>y<tr><td>z</table>")
+    assert(t2 == Seq(Seq(Seq("x", "y"), Seq("z"))))
+    // nested table: inner is its own entry (inner-first), outer cell
+    // keeps only its own text
+    val t3 = Html.extractTables(
+      "<table><tr><td>out<table><tr><td>in</td></tr></table></td>" +
+        "<td>o2</td></tr></table>")
+    assert(t3 == Seq(Seq(Seq("in")), Seq(Seq("out", "o2"))))
+    // truncated crawl: unterminated table still flushes
+    val t4 = Html.extractTables("<table><tr><td>cut")
+    assert(t4 == Seq(Seq(Seq("cut"))))
+    // no tables -> empty
+    assert(Html.extractTables("<p>plain</p>").isEmpty)
+  }
+
+  test("tables(): Spark 1:N explode keeps keys and indexes rows") {
+    import graft.operators.Html
+    val df = Seq(
+      (1L, "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>"),
+      (2L, "<p>no table</p>")).toDF("doc_id", "html")
+    val got = Html.tables(df, "html")
+      .select("doc_id", "table_idx", "row_idx", "n_cells", "cells")
+      .as[(Long, Int, Int, Long, Seq[String])].collect().sortBy(r => (r._1, r._3))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 2L, Seq("a", "b")),
+      (1L, 0, 1, 1L, Seq("c"))))
+  }
+
   test("column face matches the Scala function and is null-safe") {
     val df = Seq(
       (1L, "<p>a</p><p>b</p>"),
