@@ -1,0 +1,183 @@
+package graft.operators
+
+import scala.collection.mutable
+
+/**
+ * robots.txt parsing + access decisions (RFC 9309, the Robots Exclusion
+ * Protocol) — crawl-politeness triage: before a crawl's bytes enter a
+ * corpus, pipelines audit which URLs were fetchable for which agent and
+ * at what crawl delay. Grammar per the RFC: `field: value` lines,
+ * `#` comments, case-insensitive field names, one or more `User-agent`
+ * lines opening a group, `Allow`/`Disallow` rules until the next group,
+ * `*` product-token wildcard group as fallback. Decision per the RFC's
+ * longest-match rule: the most specific (longest) matching pattern
+ * wins; Allow wins ties; no match ⇒ allowed. Patterns support the
+ * RFC's `*` (any sequence) and `$` (end anchor). `Crawl-delay`
+ * (de-facto extension) and `Sitemap` lines are surfaced for audit.
+ *
+ * 100 TB shape: parse + decide are per-row scans (a robots file is a
+ * few KB); the Spark face is a pure projection over (robots, agent,
+ * path) columns — no shuffle. At crawl scale the robots table is tiny
+ * next to the page table, so the natural join is a broadcast.
+ */
+object Robots {
+
+  /** One group's rules: (isAllow, pattern), in file order. */
+  final case class Group(agents: Seq[String], rules: Seq[(Boolean, String)],
+      crawlDelay: Option[Double])
+
+  final case class RobotsFile(groups: Seq[Group], sitemaps: Seq[String])
+
+  def parse(content: String): RobotsFile = {
+    val groups = mutable.ArrayBuffer.empty[Group]
+    val sitemaps = mutable.ArrayBuffer.empty[String]
+    var agents = mutable.ArrayBuffer.empty[String]
+    var rules = mutable.ArrayBuffer.empty[(Boolean, String)]
+    var delay: Option[Double] = None
+    var inGroupHeader = false // consecutive User-agent lines stack
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq, delay)
+      agents = mutable.ArrayBuffer.empty[String]
+      rules = mutable.ArrayBuffer.empty[(Boolean, String)]
+      delay = None
+    }
+    content.split("\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) { // lines without a colon are ignored per the RFC
+          val field = line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          field match {
+            case "user-agent" =>
+              if (!inGroupHeader) flush()
+              agents += value.toLowerCase(java.util.Locale.ROOT)
+              inGroupHeader = true
+            case "allow" =>
+              inGroupHeader = false
+              if (agents.nonEmpty && value.nonEmpty) rules += ((true, value))
+            case "disallow" =>
+              inGroupHeader = false
+              // empty Disallow means "allow all" — contributes no rule
+              if (agents.nonEmpty && value.nonEmpty) rules += ((false, value))
+            case "crawl-delay" =>
+              inGroupHeader = false
+              if (agents.nonEmpty)
+                delay = scala.util.Try(value.toDouble).toOption.orElse(delay)
+            case "sitemap" =>
+              // sitemap lines are global, not group members
+              if (value.nonEmpty) sitemaps += value
+            case _ => inGroupHeader = false // unknown fields ignored
+          }
+        }
+      }
+    }
+    flush()
+    RobotsFile(groups.toSeq, sitemaps.toSeq)
+  }
+
+  /** RFC 9309 path-pattern match: `*` = any char sequence, trailing `$`
+   *  anchors the end; otherwise prefix semantics. */
+  private[operators] def matches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    // backtracking over '*' segments (patterns are short)
+    def m(pi: Int, si: Int): Boolean = {
+      var i = pi
+      var j = si
+      while (i < p.length) {
+        val c = p.charAt(i)
+        if (c == '*') {
+          var k = j
+          while (k <= path.length) {
+            if (m(i + 1, k)) return true
+            k += 1
+          }
+          return false
+        }
+        if (j >= path.length || path.charAt(j) != c) return false
+        i += 1; j += 1
+      }
+      if (anchored) j == path.length else true // prefix match
+    }
+    m(0, 0)
+  }
+
+  /** The group governing `agent`: longest agent-token substring match,
+   *  `*` group as fallback, none ⇒ null. Agent comparison is
+   *  case-insensitive on the product token prefix, per the RFC. */
+  def groupFor(f: RobotsFile, agent: String): Group = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    var best: Group = null
+    var bestLen = -1
+    f.groups.foreach { g =>
+      g.agents.foreach { ga =>
+        if (ga != "*" && a.contains(ga) && ga.length > bestLen) {
+          best = g; bestLen = ga.length
+        }
+      }
+    }
+    if (best != null) best
+    else f.groups.find(_.agents.contains("*")).orNull
+  }
+
+  /** (allowed, winning pattern or "" when no rule matched). Longest
+   *  pattern wins; Allow wins ties; no group or no match ⇒ allowed. */
+  def decide(f: RobotsFile, agent: String, path: String): (Boolean, String) = {
+    val g = groupFor(f, agent)
+    if (g == null) return (true, "")
+    var bestLen = -1
+    var bestAllow = true
+    var bestPat = ""
+    g.rules.foreach { case (isAllow, pat) =>
+      if (matches(pat, path)) {
+        val l = pat.length
+        if (l > bestLen || (l == bestLen && isAllow && !bestAllow)) {
+          bestLen = l; bestAllow = isAllow; bestPat = pat
+        }
+      }
+    }
+    if (bestLen < 0) (true, "") else (bestAllow, bestPat)
+  }
+
+  /** Crawl delay for `agent` (NaN when unset), for politeness budgets. */
+  def crawlDelay(f: RobotsFile, agent: String): Double = {
+    val g = groupFor(f, agent)
+    if (g == null) Double.NaN else g.crawlDelay.getOrElse(Double.NaN)
+  }
+
+  /** Spark face: append (allowed, matched_rule, crawl_delay_ms,
+   *  n_sitemaps) for each (robots, agent, path) row — a pure per-row
+   *  projection, no shuffle. Delay lands as integer MILLIS so oracles
+   *  compare exactly. */
+  def decisions(df: org.apache.spark.sql.DataFrame, robotsCol: String,
+      agentCol: String, pathCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val rIdx = inSchema.fieldIndex(robotsCol)
+    val aIdx = inSchema.fieldIndex(agentCol)
+    val pIdx = inSchema.fieldIndex(pathCol)
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("allowed", BooleanType, nullable = false),
+      StructField("matched_rule", StringType, nullable = false),
+      StructField("crawl_delay_ms", LongType, nullable = false),
+      StructField("n_sitemaps", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val f = parse(r.getString(rIdx))
+        val (ok, pat) = decide(f, r.getString(aIdx), r.getString(pIdx))
+        val d = crawlDelay(f, r.getString(aIdx))
+        val delayMs = if (d.isNaN) -1L else math.round(d * 1000)
+        Row.fromSeq(r.toSeq ++
+          Seq[Any](ok, pat, delayMs, f.sitemaps.length.toLong))
+      }
+    }(encoder)
+  }
+}

@@ -185,6 +185,45 @@ object WebQueries extends QueryProvider {
       |  $expectedExtractSql AS extracted
       |FROM documents""".stripMargin
 
+  /** CRAWL POLITENESS — RFC 9309 robots.txt decisions: each document
+   *  carries a two-group robots file built from its columns (a `*`
+   *  group with a disallow-prefix + longer allow-override + crawl
+   *  delay, and a named bot group), a per-parity agent and path, and
+   *  `Robots.decisions` appends the verdict. The oracle replays the
+   *  longest-match rule as CASE arithmetic over the parities. */
+  private def robotsDecide(s: SparkSession, dir: String): DataFrame = {
+    val rows = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+      concat(
+        lit("# synthetic\nUser-agent: *\nDisallow: /"), col("lang"),
+        lit("/\nAllow: /"), col("lang"),
+        lit("/pub*\nCrawl-delay: "), (col("doc_id") % 5).cast("string"),
+        lit("\n\nUser-agent: graftbot\nDisallow: /private$\n\nSitemap: https://x.test/"),
+        col("lang"), lit(".xml\n")).as("robots"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("GraftBot/1.0"))
+        .otherwise(lit("webcrawler/2")).as("agent"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("/"), col("lang"), lit("/pub/data")))
+        .otherwise(concat(lit("/"), col("lang"), lit("/page"))).as("path"))
+    graft.operators.Robots.decisions(rows, "robots", "agent", "path")
+      .select(col("doc_id"), col("agent"), col("path"), col("allowed"),
+        col("matched_rule"), col("crawl_delay_ms"), col("n_sitemaps"))
+  }
+
+  private val robotsDecideSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'GraftBot/1.0'
+      |       ELSE 'webcrawler/2' END AS agent,
+      |  '/' || lang || CASE WHEN doc_id % 2 = 0 THEN '/pub/data'
+      |                      ELSE '/page' END AS path,
+      |  (doc_id % 3 = 0 OR doc_id % 2 = 0) AS allowed,
+      |  CASE WHEN doc_id % 3 = 0 THEN ''
+      |       WHEN doc_id % 2 = 0 THEN '/' || lang || '/pub*'
+      |       ELSE '/' || lang || '/' END AS matched_rule,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN -1
+      |            ELSE (doc_id % 5) * 1000 END AS BIGINT) AS crawl_delay_ms,
+      |  CAST(1 AS BIGINT) AS n_sitemaps
+      |FROM documents""".stripMargin
+
   // -------------------------------------------------------------- URLs
 
   /** documents dressed as crawl records: a messy source URL (mixed-case
@@ -285,6 +324,7 @@ object WebQueries extends QueryProvider {
     "pipeline_web_extract" -> (webExtract _),
     "io_warc_extract" -> (warcExtract _),
     "text_html_tables" -> (htmlTables _),
+    "text_robots" -> (robotsDecide _),
     "text_url_canon" -> (urlCanon _),
     "pipeline_host_rank" -> (hostRank _)
   )
@@ -294,6 +334,7 @@ object WebQueries extends QueryProvider {
     "pipeline_web_extract" -> webExtractSql,
     "io_warc_extract" -> warcExtractSql,
     "text_html_tables" -> htmlTablesSql,
+    "text_robots" -> robotsDecideSql,
     "text_url_canon" -> urlCanonSql,
     "pipeline_host_rank" -> hostRankSql
   )
