@@ -224,6 +224,39 @@ object WebQueries extends QueryProvider {
       |  CAST(1 AS BIGINT) AS n_sitemaps
       |FROM documents""".stripMargin
 
+  /** SITEMAP DISCOVERY — the fetch-side complement of `text_robots`
+   *  (whose Sitemap: lines point here): each document carries a 2-entry
+   *  urlset built from its columns (entity in the loc, lastmod,
+   *  priority, changefreq), exploded by `Sitemap.entries`; the oracle
+   *  predicts each entry field-for-field. */
+  private def sitemapEntries(s: SparkSession, dir: String): DataFrame = {
+    val rows = T(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset>\n<url><loc>https://"),
+        col("source"), lit(".example.com/"), col("lang"),
+        lit("/a&amp;b</loc><lastmod>2026-01-0"),
+        (col("doc_id") % 9 + 1).cast("string"),
+        lit("</lastmod><priority>0."), (col("doc_id") % 10).cast("string"),
+        lit("</priority></url>\n<url><loc>https://"), col("source"),
+        lit(".example.com/"), col("lang"),
+        lit("/p2</loc><changefreq>daily</changefreq></url>\n</urlset>"))
+        .as("xml"))
+    graft.operators.Sitemap.entries(rows, "xml")
+      .select(col("doc_id"), col("entry_idx"), col("kind"), col("loc"),
+        col("lastmod"), col("changefreq"), col("priority_milli"))
+  }
+
+  private val sitemapSql =
+    """SELECT doc_id, CAST(e.ei AS INTEGER) AS entry_idx, 'url' AS kind,
+      |  'https://' || source || '.example.com/' || lang ||
+      |    CASE e.ei WHEN 0 THEN '/a&b' ELSE '/p2' END AS loc,
+      |  CASE e.ei WHEN 0 THEN '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+      |            ELSE '' END AS lastmod,
+      |  CASE e.ei WHEN 0 THEN '' ELSE 'daily' END AS changefreq,
+      |  CAST(CASE e.ei WHEN 0 THEN (doc_id % 10) * 100 ELSE -1 END
+      |    AS BIGINT) AS priority_milli
+      |FROM documents, (VALUES (0), (1)) e(ei)""".stripMargin
+
   // -------------------------------------------------------------- URLs
 
   /** documents dressed as crawl records: a messy source URL (mixed-case
@@ -325,6 +358,7 @@ object WebQueries extends QueryProvider {
     "io_warc_extract" -> (warcExtract _),
     "text_html_tables" -> (htmlTables _),
     "text_robots" -> (robotsDecide _),
+    "text_sitemap" -> (sitemapEntries _),
     "text_url_canon" -> (urlCanon _),
     "pipeline_host_rank" -> (hostRank _)
   )
@@ -335,6 +369,7 @@ object WebQueries extends QueryProvider {
     "io_warc_extract" -> warcExtractSql,
     "text_html_tables" -> htmlTablesSql,
     "text_robots" -> robotsDecideSql,
+    "text_sitemap" -> sitemapSql,
     "text_url_canon" -> urlCanonSql,
     "pipeline_host_rank" -> hostRankSql
   )
