@@ -224,6 +224,67 @@ object WebQueries extends QueryProvider {
       |  CAST(1 AS BIGINT) AS n_sitemaps
       |FROM documents""".stripMargin
 
+  /** CRAWL→CORPUS FLAGSHIP — the full stage-zero chain on REAL crawl
+   *  bytes: .warc.gz archives → record walk → HTTP response bodies →
+   *  HTML extraction → C4 line rules → per-language corpus accounting
+   *  (pages, passing pages, token volume). Every stage is one the board
+   *  already certifies in isolation (`io_warc_extract`,
+   *  `text_html_extract`, `pipeline_web_extract`); this row certifies
+   *  the COMPOSITION — the handoff types, the pass-through of doc keys
+   *  across the 1:N record explode, and the aggregate shapes.
+   *  100 TB shape: everything up to the final groupBy is per-row
+   *  (archives never shuffle — records do); the aggregate shuffles one
+   *  slim row per page onto |langs| keys with map-side partials. */
+  private def crawlCorpus(s: SparkSession, dir: String): DataFrame = {
+    val pages = htmlDocs(s, dir).select(col("doc_id"), col("lang"), col("html"),
+      concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"))
+    val texts = graft.operators.Warc.records(
+        graft.operators.Warc.withWarcGzPayload(pages, "html", "uri")
+          .drop("html", "uri"),
+        "payload")
+      .where(col("warc_type") === "response")
+      .select(col("doc_id"), col("lang"),
+        HtmlText.extract(col("body")).as("text"))
+    val cleaned = C4Clean.clean(texts, "text", "doc_id",
+        minLineWords = 3, minKeptLines = 3, requireTerminalPunct = false,
+        keep = Seq("lang"))
+      .select(col("lang"), col("c4_pass"),
+        when(col("c4_pass"),
+          size(split(translate(col("clean_text"), "\n", " "), " ")).cast("long"))
+          .otherwise(0L).as("tokens"))
+    cleaned.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_pages"),
+      sum(when(col("c4_pass"), 1L).otherwise(0L)).as("n_pass"),
+      sum(col("tokens")).as("corpus_tokens"))
+  }
+
+  private val crawlCorpusSql =
+    s"""WITH ext AS (
+      |  SELECT doc_id, lang,
+      |  $expectedExtractSql AS text
+      |  FROM documents
+      |), ln AS (
+      |  SELECT doc_id, lang, text, string_split(text, chr(10)) AS lines FROM ext
+      |), k AS (
+      |  SELECT doc_id, lang, lines,
+      |    list_filter(lines, l -> len(string_split(trim(l), ' ')) >= 3
+      |      AND trim(l) <> '' AND NOT contains(lower(l), 'javascript')) AS kept,
+      |    (NOT contains(lower(text), 'lorem ipsum')
+      |      AND NOT contains(text, '{')) AS page_ok
+      |  FROM ln
+      |), c AS (
+      |  SELECT doc_id, lang,
+      |    (len(kept) >= 3 AND page_ok) AS c4_pass,
+      |    CASE WHEN len(kept) >= 3 AND page_ok THEN len(string_split(
+      |      replace(array_to_string(kept, chr(10)), chr(10), ' '), ' '))
+      |    ELSE 0 END AS tokens
+      |  FROM k
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+      |  CAST(sum(CASE WHEN c4_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(sum(tokens) AS BIGINT) AS corpus_tokens
+      |FROM c GROUP BY lang""".stripMargin
+
   /** SITEMAP DISCOVERY — the fetch-side complement of `text_robots`
    *  (whose Sitemap: lines point here): each document carries a 2-entry
    *  urlset built from its columns (entity in the loc, lastmod,
@@ -359,6 +420,7 @@ object WebQueries extends QueryProvider {
     "text_html_tables" -> (htmlTables _),
     "text_robots" -> (robotsDecide _),
     "text_sitemap" -> (sitemapEntries _),
+    "pipeline_crawl_corpus" -> (crawlCorpus _),
     "text_url_canon" -> (urlCanon _),
     "pipeline_host_rank" -> (hostRank _)
   )
@@ -370,6 +432,7 @@ object WebQueries extends QueryProvider {
     "text_html_tables" -> htmlTablesSql,
     "text_robots" -> robotsDecideSql,
     "text_sitemap" -> sitemapSql,
+    "pipeline_crawl_corpus" -> crawlCorpusSql,
     "text_url_canon" -> urlCanonSql,
     "pipeline_host_rank" -> hostRankSql
   )
