@@ -256,6 +256,34 @@ class StreamingLensSpec extends AnyFunSuite {
     }
   }
 
+  test("crawl ingest binds free to a stream: warc.gz record explode -> " +
+      "HTML extraction runs unchanged per micro-batch (stateless " +
+      "mapPartitions chain, no watermark needed)") {
+    import graft.operators.Warc
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def warcOf(id: Long, html: String): Array[Byte] =
+      Warc.encodeWarcGz(Seq(
+        (Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"https://x.test/$id"),
+          Warc.httpResponse(html.getBytes("UTF-8")))))
+    val in = MemoryStream[(Long, Array[Byte])]
+    val out = Warc.records(in.toDF.toDF("doc_id", "payload"), "payload")
+      .where(col("warc_type") === "response")
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.HtmlText.extract(col("body")).as("text"))
+    val q = out.writeStream.format("memory").queryName("s_crawl").start()
+    try {
+      in.addData((1L, warcOf(1, "<p>first page</p>")))
+      q.processAllAvailable()
+      in.addData((2L, warcOf(2, "<h1>t</h1><p>second &amp; third</p>")))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, text from s_crawl")
+        .as[(Long, String)].collect().toMap
+      assert(rows == Map(1L -> "first page", 2L -> "t\nsecond & third"))
+    } finally q.stop()
+  }
+
   test("crash recovery: a stateful dedup gate stopped between micro-batches " +
       "and restarted from the SAME checkpoint admits exactly the " +
       "uninterrupted run's set (exactly-once across restart), under both " +
