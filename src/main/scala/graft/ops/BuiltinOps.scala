@@ -860,6 +860,40 @@ object BuiltinOps {
       LensOp(s"redact_cards($t)", df => TextAnalysis.redactCards(df, t, id))
     },
 
+    // Structured-table mining: html column -> one row per table row
+    // (table_idx, row_idx, n_cells, cells) — the 1:N face of
+    // Html.extractTables.
+    "html_tables" -> { a =>
+      val in = a.strOpt("col").getOrElse("html")
+      LensOp(s"html_tables($in)",
+        df => graft.operators.Html.tables(df, in))
+    },
+
+    // RFC 9309 robots decisions: (robots, agent, path) columns ->
+    // appended allowed/matched_rule/crawl_delay_ms/n_sitemaps.
+    "robots_decide" -> { a =>
+      val (r, ag, p) = (a.strOpt("robots").getOrElse("robots"),
+        a.strOpt("agent").getOrElse("agent"),
+        a.strOpt("path").getOrElse("path"))
+      LensOp(s"robots_decide($r,$ag,$p)",
+        df => graft.operators.Robots.decisions(df, r, ag, p))
+    },
+
+    // sitemaps.org walk: xml column -> one row per url/sitemap entry.
+    "sitemap_entries" -> { a =>
+      val in = a.strOpt("col").getOrElse("xml")
+      LensOp(s"sitemap_entries($in)",
+        df => graft.operators.Sitemap.entries(df, in))
+    },
+
+    // WARC record explode: binary .warc(.gz) column -> one row per
+    // record with HTTP response split.
+    "warc_records" -> { a =>
+      val in = a.strOpt("col").getOrElse("payload")
+      LensOp(s"warc_records($in)",
+        df => graft.operators.Warc.records(df, in))
+    },
+
     // Cross-corpus MinHash decontamination (Dedup.minHashLshAgainst):
     // two-input — the reference (eval/benchmark) corpus resolves from the
     // session catalog by name, like strip_contam. Emits the contaminated

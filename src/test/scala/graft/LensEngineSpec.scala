@@ -376,6 +376,38 @@ class LensEngineSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().toSeq
     assert(cards == Seq((9L, 1L, "pan [CARD] ok")))
 
+    val tableRows = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:html_tables","arguments":{}}]}""")
+      .forward(Seq((3L, "<table><tr><td>a</td><td>b</td></tr></table>"))
+        .toDF("doc_id", "html"))
+      .select("doc_id", "row_idx", "n_cells")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(tableRows == Seq((3L, 0, 2L)))
+
+    val robot = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:robots_decide","arguments":{}}]}""")
+      .forward(Seq((4L, "User-agent: *\nDisallow: /no\n", "bot", "/no/x"))
+        .toDF("doc_id", "robots", "agent", "path"))
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toSeq
+    assert(robot == Seq((4L, false)))
+
+    val smEntries = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:sitemap_entries","arguments":{}}]}""")
+      .forward(Seq((5L, "<urlset><url><loc>u</loc></url></urlset>"))
+        .toDF("doc_id", "xml"))
+      .select("doc_id", "loc").as[(Long, String)].collect().toSeq
+    assert(smEntries == Seq((5L, "u")))
+
+    val warcRows = Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:warc_records","arguments":{}}]}""")
+      .forward(Seq((6L, graft.operators.Warc.encodeWarcGz(Seq(
+        (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "u6"),
+          graft.operators.Warc.httpResponse("<p>w</p>".getBytes("UTF-8")))))))
+        .toDF("doc_id", "payload"))
+      .select("doc_id", "warc_type", "http_status")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(warcRows == Seq((6L, "response", 200)))
+
     val segDedup = Pipeline.fromJson(
       """{"lenses":[{"path":"builtin:segment_dedup","arguments":
         |{"seg_tokens":5,"max_doc_freq":1}}]}""".stripMargin)
