@@ -483,6 +483,8 @@ object Gif {
           if (label == 0xF9) { // graphic control: disposal + transparency
             require(at < p.length && (p(at) & 0xFF) == 4,
               "bad GIF graphic control extension size")
+            require(at + 5 < p.length,
+              "truncated GIF graphic control extension")
             val packed = p(at + 1) & 0xFF
             disposal = (packed >> 2) & 7
             transparentIdx = if ((packed & 1) != 0) p(at + 4) & 0xFF else -1

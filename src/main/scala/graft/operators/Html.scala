@@ -70,6 +70,28 @@ object Html {
   private def isNameChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
+  /** HTML opens a tag only when '<' is followed by an ASCII LETTER
+   *  (or '/'); '<3' and '1<2' are literal text in every browser. */
+  private def isNameStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Find the real close tag of a raw-text element (script/style) from
+   *  `from`: the tag NAME must be followed by '>', '/', whitespace, or
+   *  EOF — `</styleguide>` must not close `</style>`. -1 if absent. */
+  private def rawTextClose(s: String, name: String, from: Int): Int = {
+    var at = from
+    while (true) {
+      val hit = indexOfIgnoreCase(s, "</" + name, at)
+      if (hit < 0) return -1
+      val after = hit + 2 + name.length
+      if (after >= s.length) return hit
+      val c = s.charAt(after)
+      if (c == '>' || c == '/' || Character.isWhitespace(c)) return hit
+      at = hit + 1
+    }
+    -1
+  }
+
   /** Case-insensitive search for `needle` (ASCII, lowercase) in `s` from
    *  `from`; -1 if absent. */
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
@@ -174,7 +196,7 @@ object Html {
           } else if (c1 == '?') {
             val end = s.indexOf('>', i + 2)
             i = if (end < 0) s.length else end + 1
-          } else if (c1 == '/' || isNameChar(c1)) {
+          } else if (c1 == '/' || isNameStart(c1)) {
             val nameStart = if (c1 == '/') i + 2 else i + 1
             var j = nameStart
             while (j < s.length && isNameChar(s.charAt(j))) j += 1
@@ -186,7 +208,7 @@ object Html {
               val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
               val afterTag = skipTag(s, j)
               if (c1 != '/' && (name == "script" || name == "style")) {
-                val close = indexOfIgnoreCase(s, "</" + name, afterTag)
+                val close = rawTextClose(s, name, afterTag)
                 i = if (close < 0) s.length else skipTag(s, close + 2 + name.length)
               } else {
                 if (BlockTags.contains(name)) out.append('\n')
@@ -308,7 +330,7 @@ object Html {
           } else if (c1 == '?') {
             val end = s.indexOf('>', i + 2)
             i = if (end < 0) s.length else end + 1
-          } else if (c1 == '/' || isNameChar(c1)) {
+          } else if (c1 == '/' || isNameStart(c1)) {
             val nameStart = if (c1 == '/') i + 2 else i + 1
             var j = nameStart
             while (j < s.length && isNameChar(s.charAt(j))) j += 1
@@ -317,7 +339,7 @@ object Html {
               val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
               val afterTag = skipTag(s, j)
               if (c1 != '/' && (name == "script" || name == "style")) {
-                val close = indexOfIgnoreCase(s, "</" + name, afterTag)
+                val close = rawTextClose(s, name, afterTag)
                 i = if (close < 0) s.length
                     else skipTag(s, close + 2 + name.length)
               } else {
@@ -381,6 +403,8 @@ object Html {
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
+        require(!r.isNullAt(htmlIdx),
+          s"null $htmlCol value — filter nulls before table extraction")
         extractTables(r.getString(htmlIdx)).zipWithIndex.flatMap {
           case (tbl, ti) => tbl.zipWithIndex.map { case (cells, ri) =>
             Row.fromSeq(keptIdx.toSeq.map(r.get) ++

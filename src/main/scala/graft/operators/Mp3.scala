@@ -173,14 +173,14 @@ object Mp3 {
   def encodeMp3Structural(id3Content: Int, vbrKbps: Seq[Int]): Array[Byte] = {
     require(id3Content >= 0 && id3Content < (1 << 28), "bad ID3 content size")
     val o = new java.io.ByteArrayOutputStream(512)
-    if (id3Content >= 0) {
-      o.write('I'); o.write('D'); o.write('3')
-      o.write(4); o.write(0); o.write(0) // v2.4.0, no flags
-      o.write((id3Content >> 21) & 0x7F); o.write((id3Content >> 14) & 0x7F)
-      o.write((id3Content >> 7) & 0x7F); o.write(id3Content & 0x7F)
-      var i = 0
-      while (i < id3Content) { o.write(0); i += 1 }
-    }
+    // ID3v2 prefix is always present (header + id3Content zero bytes);
+    // pass 0 for the minimal 10-byte tag
+    o.write('I'); o.write('D'); o.write('3')
+    o.write(4); o.write(0); o.write(0) // v2.4.0, no flags
+    o.write((id3Content >> 21) & 0x7F); o.write((id3Content >> 14) & 0x7F)
+    o.write((id3Content >> 7) & 0x7F); o.write(id3Content & 0x7F)
+    var pad = 0
+    while (pad < id3Content) { o.write(0); pad += 1 }
     val nFrames = 1 + vbrKbps.length
     def writeFrame(kbps: Int, xing: Boolean): Unit = {
       val brIdx = BitrateV1.indexOf(kbps)

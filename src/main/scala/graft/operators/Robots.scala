@@ -82,30 +82,33 @@ object Robots {
   }
 
   /** RFC 9309 path-pattern match: `*` = any char sequence, trailing `$`
-   *  anchors the end; otherwise prefix semantics. */
+   *  anchors the end; otherwise prefix semantics (= an implicit
+   *  trailing `*`). Greedy last-star two-pointer walk — O(|pattern| ×
+   *  |path|) worst case, never exponential, so junk-data rules with
+   *  many `*`s cannot stall a task. */
   private[operators] def matches(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
-    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
-    // backtracking over '*' segments (patterns are short)
-    def m(pi: Int, si: Int): Boolean = {
-      var i = pi
-      var j = si
-      while (i < p.length) {
-        val c = p.charAt(i)
-        if (c == '*') {
-          var k = j
-          while (k <= path.length) {
-            if (m(i + 1, k)) return true
-            k += 1
-          }
-          return false
-        }
-        if (j >= path.length || path.charAt(j) != c) return false
-        i += 1; j += 1
-      }
-      if (anchored) j == path.length else true // prefix match
+    // non-anchored = prefix match = full match of pattern + '*'
+    val p = (if (anchored) pattern.substring(0, pattern.length - 1)
+             else pattern + "*")
+    var pi = 0
+    var si = 0
+    var starPi = -1
+    var starSi = 0
+    while (si < path.length) {
+      if (pi < p.length && (p.charAt(pi) == path.charAt(si))) {
+        pi += 1; si += 1
+      } else if (pi < p.length && p.charAt(pi) == '*') {
+        starPi = pi; starSi = si
+        pi += 1
+      } else if (starPi >= 0) { // backtrack: let the last '*' eat one more
+        starSi += 1
+        pi = starPi + 1
+        si = starSi
+      } else return false
     }
-    m(0, 0)
+    while (pi < p.length && p.charAt(pi) == '*') pi += 1
+    pi == p.length
   }
 
   /** The group governing `agent`: longest agent-token substring match,
@@ -171,6 +174,9 @@ object Robots {
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
+        require(!r.isNullAt(rIdx) && !r.isNullAt(aIdx) && !r.isNullAt(pIdx),
+          s"null $robotsCol/$agentCol/$pathCol value — filter nulls before " +
+            "robots decisions")
         val f = parse(r.getString(rIdx))
         val (ok, pat) = decide(f, r.getString(aIdx), r.getString(pIdx))
         val d = crawlDelay(f, r.getString(aIdx))

@@ -66,8 +66,13 @@ object Sitemap {
     def childText(closeTag: String, from: Int): (String, Int) = {
       val end = s.indexOf("</" + closeTag, from)
       if (end < 0) (decodeXml(s.substring(from).trim), s.length)
-      else (decodeXml(s.substring(from, end).trim),
-        math.min(s.length, s.indexOf('>', end) + 1))
+      else {
+        val gt = s.indexOf('>', end)
+        // gt < 0 = truncated inside the close tag: resume at EOF, never
+        // backwards (indexOf(-1)+1 = 0 would rescan from the start)
+        (decodeXml(s.substring(from, end).trim),
+          if (gt < 0) s.length else gt + 1)
+      }
     }
     while (i < s.length) {
       val lt = s.indexOf('<', i)
@@ -131,6 +136,8 @@ object Sitemap {
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
+        require(!r.isNullAt(xIdx),
+          s"null $xmlCol value — filter nulls before the sitemap walk")
         parse(r.getString(xIdx)).zipWithIndex.map { case (e, ei) =>
           Row.fromSeq(keptIdx.toSeq.map(r.get) ++
             Seq[Any](ei, e.kind, e.loc, e.lastmod, e.changefreq,

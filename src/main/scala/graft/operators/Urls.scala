@@ -86,7 +86,11 @@ object Urls {
         case ".." =>
           if (out.nonEmpty) out.remove(out.length - 1)
           if (last) trailingSlash = true
-        case "" => () // collapse duplicate slashes; final "" = trailing /
+        case "" =>
+          // RFC 3986 remove_dot_segments PRESERVES empty segments —
+          // '/a//b' and '/a/b' are distinct resources; only the final
+          // "" (the trailing slash) is structural
+          if (!last) out += ""
         case seg =>
           out += seg
       }

@@ -167,7 +167,9 @@ object Warc {
       def line(s: String): Unit = { r.write(s.getBytes(UTF_8)); r.write('\r'); r.write('\n') }
       line("WARC/1.0")
       hdrs.foreach { case (k, v) =>
-        require(!k.contains(':') || k.indexOf(':') > 0, s"bad header name '$k'")
+        // a colon inside the name would re-parse split at the wrong spot
+        require(!k.contains(':') && !k.contains('\r') && !k.contains('\n'),
+          s"bad WARC header name '$k'")
         line(s"$k: $v")
       }
       line(s"Content-Length: ${payload.length}")

@@ -28,8 +28,11 @@ package graft.operators
  * in this sandbox (no independent WebP decoder exists here, unlike
  * ImageIO for PNG/JPEG/GIF); round-trips are self-consistent by
  * construction and the bitstream layout follows the public RFC 9649
- * text. The mode-11 (Select) tie-break and the 120-entry distance map
- * are transcribed from the spec.
+ * text. The mode-11 Select tie-break (tie → T, i.e. libwebp's
+ * `pa_minus_pb <= 0 → top`) and the rightmost-column TR rule (the
+ * contiguous-memory neighbor, current row's first pixel) were derived
+ * from the published reference formulas; the 120-entry distance map is
+ * transcribed from the spec.
  *
  * 100 TB shape: decode/encode are partition-local per payload inside
  * [[Multimodal.decodeImage]]'s batched loop — no shuffle; memory is
@@ -485,7 +488,7 @@ object Webp {
         math.abs(pG - g(l)) + math.abs(pB - b(l))
       val pT = math.abs(pA - a(t)) + math.abs(pR - r(t)) +
         math.abs(pG - g(t)) + math.abs(pB - b(t))
-      if (pL <= pT) l else t
+      if (pL < pT) l else t // tie goes to T (libwebp's pa_minus_pb <= 0)
     case 12 => // ClampAddSubtractFull
       argb(clamp255(a(l) + a(t) - a(tl)), clamp255(r(l) + r(t) - r(tl)),
         clamp255(g(l) + g(t) - g(tl)), clamp255(b(l) + b(t) - b(tl)))
@@ -515,8 +518,10 @@ object Webp {
           else if (x == 0) out(pos - w) // left column: Top
           else {
             val mode = g(tiles((y >> bits) * tw + (x >> bits)))
-            val tr = if (x + 1 < w) out(pos - w + 1) else out(pos - w)
-            predict(mode, out(pos - 1), out(pos - w), out(pos - w - 1), tr)
+            // TR at the rightmost column is the CONTIGUOUS-MEMORY
+            // neighbor (current row's first pixel), per spec/libwebp
+            predict(mode, out(pos - 1), out(pos - w), out(pos - w - 1),
+              out(pos - w + 1))
           }
         val d = out(pos)
         out(pos) = argb(a(d) + a(pred), r(d) + r(pred),
@@ -919,8 +924,9 @@ object Webp {
           else if (y == 0) px(pos - 1)
           else if (x == 0) px(pos - w)
           else {
-            val tr = if (x + 1 < w) px(pos - w + 1) else px(pos - w)
-            predict(mode, px(pos - 1), px(pos - w), px(pos - w - 1), tr)
+            // same contiguous-memory TR rule as the decoder
+            predict(mode, px(pos - 1), px(pos - w), px(pos - w - 1),
+              px(pos - w + 1))
           }
         val v = px(pos)
         out(pos) = argb(a(v) - a(pred), r(v) - r(pred),

@@ -134,6 +134,27 @@ class HtmlSpec extends AnyFunSuite {
       (1L, 0, 1, 1L, Seq("c"))))
   }
 
+  test("review fixes: '<' before a digit is literal text, a longer tag " +
+      "name does not close a raw-text element, truncated sitemap close " +
+      "tag terminates, '//' paths stay distinct") {
+    import graft.operators.{Html, Sitemap, Urls}
+    // '<3' / '1<2' are text in every browser, not tag opens
+    assert(Html.extractText("I <3 Spark, 1<2 is true") ==
+      "I <3 Spark, 1<2 is true")
+    // </styleguide> must NOT close <style>
+    assert(Html.extractText(
+      "<style>a{} </styleguide> b{} </style>text") == "text")
+    assert(Html.extractText(
+      "<script>x</scripty>y</script>z") == "z")
+    // sitemap truncated inside a close tag: terminates with the partial
+    // entry, never loops
+    val es = Sitemap.parse("<urlset><url><loc>http://x</loc")
+    assert(es.map(_.loc) == Seq("http://x"))
+    // RFC 3986 remove_dot_segments preserves empty segments
+    assert(Urls.canonicalizeUrl("https://h.test/a//b") == "https://h.test/a//b")
+    assert(Urls.canonicalizeUrl("https://h.test/a//../b") == "https://h.test/a/b")
+  }
+
   test("column face matches the Scala function and is null-safe") {
     val df = Seq(
       (1L, "<p>a</p><p>b</p>"),

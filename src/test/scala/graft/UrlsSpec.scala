@@ -28,7 +28,10 @@ class UrlsSpec extends AnyFunSuite {
     assert(c("http://h.co/../../x") == "http://h.co/x")
     assert(c("http://h.co/a/b/..") == "http://h.co/a/")
     assert(c("http://h.co/a/.") == "http://h.co/a/")
-    assert(c("http://h.co/a//b///c") == "http://h.co/a/b/c")
+    // RFC 3986 remove_dot_segments PRESERVES empty segments: '/a//b'
+    // and '/a/b' are distinct resources (key-merging them would conflate
+    // crawl-dedup keys, the same risk that forbids percent-decoding)
+    assert(c("http://h.co/a//b///c") == "http://h.co/a//b///c")
     assert(c("http://h.co/a/") == "http://h.co/a/")
     assert(c("http://h.co/..") == "http://h.co/")
   }
