@@ -111,22 +111,36 @@ object Robots {
     pi == p.length
   }
 
-  /** The group governing `agent`: longest agent-token substring match,
-   *  `*` group as fallback, none ⇒ null. Agent comparison is
-   *  case-insensitive on the product token prefix, per the RFC. */
+  /** The crawler's product token per RFC 9309 §2.2.1: the leading run
+   *  of token characters (`a-z A-Z 0-9 _ -`) of the user-agent string,
+   *  lowercased — "GraftBot/1.0" ⇒ "graftbot". */
+  private[operators] def productToken(agent: String): String = {
+    var i = 0
+    while (i < agent.length && {
+      val c = agent.charAt(i)
+      c.isLetterOrDigit && c < 128 || c == '_' || c == '-'
+    }) i += 1
+    agent.substring(0, i).toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** The effective group governing `agent` per RFC 9309 §2.2.1: the
+   *  group token must match the agent's leading product token exactly
+   *  (case-insensitive — a `graftbot` group does NOT govern agent
+   *  `notgraftbotx`), rules from ALL groups naming that token are
+   *  merged in file order, the merged `*` groups are the fallback,
+   *  none ⇒ null. First defined crawl-delay wins within the merge. */
   def groupFor(f: RobotsFile, agent: String): Group = {
-    val a = agent.toLowerCase(java.util.Locale.ROOT)
-    var best: Group = null
-    var bestLen = -1
-    f.groups.foreach { g =>
-      g.agents.foreach { ga =>
-        if (ga != "*" && a.contains(ga) && ga.length > bestLen) {
-          best = g; bestLen = ga.length
-        }
-      }
-    }
-    if (best != null) best
-    else f.groups.find(_.agents.contains("*")).orNull
+    val tok = productToken(agent)
+    def merged(gs: Seq[Group]): Group =
+      if (gs.isEmpty) null
+      else if (gs.lengthCompare(1) == 0) gs.head
+      else Group(gs.flatMap(_.agents).distinct, gs.flatMap(_.rules),
+        gs.flatMap(_.crawlDelay).headOption)
+    val named =
+      if (tok.isEmpty) Seq.empty
+      else f.groups.filter(_.agents.exists(ga => ga != "*" && ga == tok))
+    if (named.nonEmpty) merged(named)
+    else merged(f.groups.filter(_.agents.contains("*")))
   }
 
   /** (allowed, winning pattern or "" when no rule matched). Longest

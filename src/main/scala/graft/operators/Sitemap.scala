@@ -102,7 +102,12 @@ object Sitemap {
             val (t, n) = childText("changefreq", after); changefreq = t; i = n
           case "priority" if kind != null =>
             val (t, n) = childText("priority", after)
-            prio = scala.util.Try(math.round(t.toDouble * 1000)).getOrElse(-1L)
+            // valid priority is a finite double in [0,1] — junk that
+            // still parses ('NaN'→0, 'Infinity'→MaxValue, '9e9') must
+            // fall back to the -1 absent sentinel, not a garbage milli
+            prio = scala.util.Try(t.toDouble).toOption
+              .filter(d => !d.isNaN && d >= 0.0 && d <= 1.0)
+              .map(d => math.round(d * 1000)).getOrElse(-1L)
             i = n
           case _ => i = after
         } else {

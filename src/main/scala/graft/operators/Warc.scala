@@ -63,7 +63,10 @@ object Warc {
     else {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(p))
-      val o = new ByteArrayOutputStream(p.length * 4)
+      // size HINT only — clamp, since p.length * 4 overflows Int for
+      // >=512 MiB shards (production .warc.gz is commonly ~1 GiB)
+      val o = new ByteArrayOutputStream(
+        math.min(p.length.toLong * 4, Int.MaxValue - 8L).toInt)
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
@@ -183,14 +186,32 @@ object Warc {
     o.toByteArray
   }
 
+  /** Content types whose bodies are safe to surface as UTF-8 text.
+   *  Empty / missing Content-Type counts as text (WARC metadata
+   *  records and header-less HTTP bodies are text in practice). */
+  private def isTextContentType(ct: String): Boolean = {
+    val c = ct.toLowerCase(java.util.Locale.ROOT)
+    c.isEmpty || c.startsWith("text/") || c.contains("json") ||
+      c.contains("xml") || c.contains("javascript") ||
+      c.contains("x-www-form-urlencoded")
+  }
+
   // ------------------------------------------------------------------ op
 
   /** Explode a .warc(.gz) payload column into one row per record:
    *  (warc_seq, warc_type, target_uri, http_status, content_type,
    *  body). HTTP framing is split for response records
-   *  (http_status = -1 and raw payload text otherwise). Partition-local
-   *  1:N explode — payload dropped so record rows shuffle, archive
-   *  blobs never; lazy over the partition iterator. */
+   *  (http_status = -1 and raw payload text otherwise).
+   *
+   *  TEXT-ONLY body contract: `body` is a StringType column for the
+   *  text-extraction chain. Response bodies whose Content-Type is not
+   *  text-like (a "text/" prefix, json, xml, javascript) arrive as an EMPTY
+   *  string rather than a lossy UTF-8 transcode of binary bytes —
+   *  image/gzip payloads keep their type + status metadata only. Route
+   *  binary payloads through the multimodal codecs instead.
+   *
+   *  Partition-local 1:N explode — payload dropped so record rows
+   *  shuffle, archive blobs never; lazy over the partition iterator. */
   def records(df: org.apache.spark.sql.DataFrame,
       payloadCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
@@ -215,7 +236,9 @@ object Warc {
             val (status, ctype, body) =
               if (isHttp) {
                 val h = parseHttp(rec.payload)
-                (h.status, h.contentType, new String(h.body, UTF_8))
+                val text = if (isTextContentType(h.contentType))
+                  new String(h.body, UTF_8) else ""
+                (h.status, h.contentType, text)
               } else (-1, "", new String(rec.payload, UTF_8))
             Row.fromSeq(keptIdx.toSeq.map(r.get) ++
               Seq[Any](i, rec.warcType, rec.targetUri, status, ctype, body))

@@ -945,6 +945,68 @@ object Webp {
   private final case class TRun(len: Int) extends Tok
   private final case class TCache(idx: Int) extends Tok
 
+  /** Fixture-grade encoder variant emitting a META PREFIX-CODE image:
+   *  the level0 stream carries one 5-code prefix group per distinct
+   *  value in `groupOfTile` (raster order over the subSize(w,metaBits)
+   *  × subSize(h,metaBits) tile grid), and every pixel is a literal
+   *  token coded with its tile's group. No transforms / cache / LZ77,
+   *  so spatially-varying group selection is the only machinery in
+   *  play — exists solely to pin the decoder's metaImg branch in
+   *  WebpSpec (the default fixture encoder always writes meta=0). */
+  private[graft] def encodeWebpLosslessMeta(w: Int, h: Int,
+      px: Array[Int], metaBits: Int, groupOfTile: Array[Int]): Array[Byte] = {
+    require(metaBits >= 2 && metaBits <= 9, s"bad meta bits $metaBits")
+    require(px.length == w * h)
+    val mw = subSize(w, metaBits)
+    val mh = subSize(h, metaBits)
+    require(groupOfTile.length == mw * mh,
+      s"need $mw*$mh tile groups, got ${groupOfTile.length}")
+    val numGroups = groupOfTile.max + 1
+    val bw = new Bw()
+    writeHeader(bw, w, h)
+    bw.writeBits(0, 1) // no transforms
+    bw.writeBits(0, 1) // no color cache
+    bw.writeBits(1, 1) // meta prefix-code image present
+    bw.writeBits(metaBits - 2, 3)
+    // group index rides (red<<8)|green of the meta pixel, per spec
+    val metaPx = groupOfTile.map(m =>
+      argb(0xFF, (m >> 8) & 0xFF, m & 0xFF, 0))
+    writeImageStream(bw, metaPx, mw, level0 = false, cacheBits = 0,
+      rle = false)
+    @inline def grpAt(pos: Int): Int = {
+      val x = pos % w; val y = pos / w
+      groupOfTile((y >> metaBits) * mw + (x >> metaBits))
+    }
+    // per-group plane frequencies (literal tokens only)
+    val alphabets = Array(256 + 24, 256, 256, 256, 40)
+    val freq = Array.fill(numGroups)(alphabets.map(new Array[Long](_)))
+    var pos = 0
+    while (pos < px.length) {
+      val f = freq(grpAt(pos)); val v = px(pos)
+      f(0)(g(v)) += 1; f(1)(r(v)) += 1; f(2)(b(v)) += 1; f(3)(a(v)) += 1
+      pos += 1
+    }
+    val lens = freq.map(_.zipWithIndex.map { case (fr, i) =>
+      if (fr.forall(_ == 0)) fr(0) = 1 // unused plane: 1-symbol code
+      huffmanLengths(fr, alphabets(i))
+    })
+    lens.foreach(_.foreach(writePrefixCode(bw, _)))
+    val codes = lens.map(_.map(canonicalCodes))
+    // single-symbol codes decode with ZERO bits — emit nothing for them
+    val emit = lens.map(_.map(l =>
+      if (l.count(_ > 0) == 1) new Array[Int](l.length) else l))
+    pos = 0
+    while (pos < px.length) {
+      val gi = grpAt(pos); val v = px(pos)
+      bw.writeCode(codes(gi)(0)(g(v)), emit(gi)(0)(g(v)))
+      bw.writeCode(codes(gi)(1)(r(v)), emit(gi)(1)(r(v)))
+      bw.writeCode(codes(gi)(2)(b(v)), emit(gi)(2)(b(v)))
+      bw.writeCode(codes(gi)(3)(a(v)), emit(gi)(3)(a(v)))
+      pos += 1
+    }
+    riffWrap(bw.toBytes)
+  }
+
   private def planTokens(px: Array[Int], cacheBits: Int,
       rle: Boolean): Seq[Tok] = {
     val toks = Seq.newBuilder[Tok]

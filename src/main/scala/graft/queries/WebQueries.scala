@@ -362,22 +362,24 @@ object WebQueries extends QueryProvider {
    *  (one per `source`) link to per-language wiki hosts, which are all
    *  dangling — the dangling-mass path is live.
    *
-   *  100 TB shape: canonicalization fuses into the scan; the host
-   *  dimension after distinct is tiny (|sources|+|langs|), so the id
-   *  mapping is a broadcast join and the single-partition row_number
-   *  window is over that dimension, never the corpus; PageRank then
+   *  100 TB shape: canonicalization fuses into the scan; host-id
+   *  assignment goes through [[graft.operators.GlobalSequence]]
+   *  (range-partition + zipWithIndex — no single-partition window), so
+   *  the plan survives a Common-Crawl-sized host dimension (~1e8 hosts);
+   *  the id mapping back onto edges is a broadcast join at test scale
+   *  (shuffle join at 100 TB — Spark picks per stats); PageRank then
    *  shuffles slim (id, rank) pairs per round. */
   private val hostRankIters = 5
   private def hostRank(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val canon = crawlUrls(s, dir).select(
       regexp_extract(org.apache.spark.sql.graft.Url.canonicalize(col("src_url")),
         hostRe, 1).as("shost"),
       regexp_extract(org.apache.spark.sql.graft.Url.canonicalize(col("dst_url")),
         hostRe, 1).as("dhost"))
-    val hosts = canon.select(col("shost").as("host"))
-      .union(canon.select(col("dhost").as("host"))).distinct()
-      .withColumn("id", row_number().over(Window.orderBy("host")).cast("long"))
+    val hosts = graft.operators.GlobalSequence.withSequentialId(
+      canon.select(col("shost").as("host"))
+        .union(canon.select(col("dhost").as("host"))).distinct(),
+      col("host"), "id")
     val e = canon
       .join(broadcast(hosts.select(col("host").as("shost"), col("id").as("sid"))),
         Seq("shost"))

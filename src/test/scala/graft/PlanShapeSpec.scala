@@ -132,6 +132,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salt column missing from the join keys")
   }
 
+  test("pipeline_host_rank: host-id assignment never plans a single-partition window") {
+    // r12 verdict's one weak row: row_number().over(Window.orderBy(host))
+    // funnels the full host dimension (~1e8 at Common Crawl scale) through
+    // one partition. GlobalSequence replaces it; assert the window stays gone.
+    val p = plan("pipeline_host_rank")
+    assert(!p.contains("Window"), "host-rank reintroduced a global window")
+  }
+
   test("similarity searches cut top-k map-side: no WindowExec in any search plan") {
     // WindowExec has no map-side partial — a rank()-window top-k ships the
     // FULL scored candidate set to |queries| reduce tasks. Every search must

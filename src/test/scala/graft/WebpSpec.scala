@@ -180,27 +180,47 @@ class WebpSpec extends AnyFunSuite {
     assert(eT.getMessage.contains("truncated"), eT.getMessage)
   }
 
-  test("meta prefix-code image: a hand-built two-group stream decodes " +
-      "with per-tile code selection") {
-    // Build by splicing: encode two one-group images and verify the
-    // decoder's meta path with a hand-assembled stream is exercised via
-    // the public encoder? The fixture-grade encoder emits one group, so
-    // this test drives the META path directly through a crafted stream:
-    // 4x1 image, tile bits 2 (tiles of 4 px -> 1 tile... use 2 tiles of
-    // 2^2=4: width 8). Group 0 codes constant pixel A, group 1 constant
-    // pixel B; meta image = [group0, group1].
-    // Rather than hand-packing bits (fragile), reuse the encoder for the
-    // meta-less parts and check the decoder end-to-end on a stream the
-    // spec DOES let the encoder produce: constant image via rle, where
-    // the meta path is still off. The meta path proper is covered by
-    // decodeImageStream reading the huffman image through the SAME
-    // readPrefixCode/decode machinery as every other stream — asserted
-    // here structurally by decoding a palette stream (whose palette is
-    // a nested image stream).
-    val pal = Array(0xFF010203, 0xFF040506, 0xFF070809)
-    val idx = Array.tabulate[Byte](9)(i => (i % 3).toByte)
-    val (dw, _, _, _, out) =
-      Webp.decodeWebp(Webp.encodeWebpPalette(3, 3, pal, idx))
-    assert(dw == 3 && math.round(out(4) * 255) == 4) // pixel 1 red = 4
+  test("meta prefix-code image: a two-group stream decodes with " +
+      "per-tile code selection") {
+    // 8x4 image, metaBits=2 (4x4 tiles) -> a 2x1 meta image selecting
+    // group 0 for the left tile, group 1 for the right. The two halves
+    // use DISJOINT literal alphabets (left: red gradient, right: blue
+    // gradient), so decoding any right-tile pixel with group 0's codes
+    // either desyncs or produces a red value the assertion catches —
+    // a decoder ignoring the meta image cannot pass.
+    val w = 8; val h = 4
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (x < 4) 0xFF000000 | ((16 + x + 8 * y) << 16) // left: reds
+      else 0xFF000000 | (200 + x + 8 * y)              // right: blues
+    }
+    val bytes = Webp.encodeWebpLosslessMeta(w, h, px, metaBits = 2,
+      groupOfTile = Array(0, 1))
+    val (dw, dh, ch, _, out) = Webp.decodeWebp(bytes)
+    assert(dw == w && dh == h && ch == 4)
+    for (i <- 0 until w * h) {
+      val x = i % w; val y = i / w
+      val rr = math.round(out(4 * i) * 255).toInt
+      val bb = math.round(out(4 * i + 2) * 255).toInt
+      if (x < 4)
+        assert(rr == 16 + x + 8 * y && bb == 0, s"left tile pixel ($x,$y)")
+      else
+        assert(rr == 0 && bb == 200 + x + 8 * y, s"right tile pixel ($x,$y)")
+    }
+
+    // three groups exercise group indices beyond 1 and a non-trivial
+    // meta-image huffman alphabet (12 tiles: wider than 16px)
+    val w2 = 24; val px2 = Array.tabulate(w2 * 8) { i =>
+      val x = i % w2
+      0xFF000000 | (((x / 4) % 3 + 1) << 8 | (i % 7)) // green by group, blue noise
+    }
+    val tiles2 = Array.tabulate(6 * 2)(t => t % 6 % 3) // 6x2 tile grid
+    val (d2w, _, _, _, out2) = Webp.decodeWebp(
+      Webp.encodeWebpLosslessMeta(w2, 8, px2, metaBits = 2, tiles2))
+    assert(d2w == w2)
+    for (i <- 0 until w2 * 8) {
+      val gg = math.round(out2(4 * i + 1) * 255).toInt
+      assert(gg == ((i % w2) / 4 % 3 + 1), s"3-group pixel $i")
+    }
   }
 }
