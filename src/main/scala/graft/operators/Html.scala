@@ -252,6 +252,201 @@ object Html {
     lines.mkString("\n")
   }
 
+  // ------------------------------------------------------- main content
+
+  /** Containers whose whole SUBTREE is page chrome, not content — the
+   *  pruning trafilatura applies before scoring. `head` additionally
+   *  auto-closes at `<body>` (the browser's implicit-close rule), so a
+   *  page without `</head>` still yields its body. */
+  val PruneTags: Seq[String] = Seq("head", "header", "nav", "aside", "footer")
+
+  /** One scored text block of [[mainContent]]'s segmentation. Char
+   *  counts are NON-WHITESPACE chars (whitespace collapse can't change
+   *  them, so an oracle can count them on the source text). */
+  final case class MainBlock(text: String, nWords: Int, nChars: Int,
+      linkChars: Int, isHeading: Boolean, kept: Boolean)
+
+  /** Main-content extraction — the boilerplate-aware tier published
+   *  recipes run where a bare tag-strip keeps nav/footer junk
+   *  (RefinedWeb: trafilatura; FineWeb likewise; jusText is the classic
+   *  block-scoring formulation). Deterministic simplification of those
+   *  recipes, documented so an oracle can replay it:
+   *
+   *   1. SUBTREE PRUNING: text inside [[PruneTags]] containers
+   *      (head/header/nav/aside/footer, nesting-aware) is dropped whole.
+   *   2. BLOCK SEGMENTATION: remaining text splits at [[BlockTags]]
+   *      boundaries exactly like [[extractText]] lines; a block opened
+   *      by `h1`–`h6` is a HEADING block.
+   *   3. LINK DENSITY: per block, non-whitespace chars contributed
+   *      inside `<a>` elements vs total; a block with
+   *      `linkChars * 1e6 > maxLinkPpm * nChars` is boilerplate
+   *      (nav-like). Integer ppm — no FP in the decision.
+   *   4. LENGTH: a surviving block is GOOD iff `nWords >= minWords`;
+   *      a shorter HEADING block is promoted iff the next non-empty
+   *      block is GOOD (jusText's heading rescue); other short blocks
+   *      drop.
+   *
+   *  Returns kept blocks joined with `\n`. 100 TB shape: identical to
+   *  [[extractText]] — one linear scan per row fused into the scan
+   *  stage via [[org.apache.spark.sql.graft.HtmlMainExtract]], zero
+   *  shuffle. */
+  def mainContent(html: String, minWords: Int = 10,
+      maxLinkPpm: Int = 330000): String =
+    mainBlocks(html, minWords, maxLinkPpm)
+      .iterator.filter(_.kept).map(_.text).mkString("\n")
+
+  /** The scored block list behind [[mainContent]] — the audit face
+   *  (spec-level introspection of rule decisions). */
+  def mainBlocks(html: String, minWords: Int = 10,
+      maxLinkPpm: Int = 330000): Seq[MainBlock] = {
+    val s = html
+    // raw per-block accumulation: text with source whitespace mapped to
+    // ' ' (collapsed at block finalization), plus non-ws char counters
+    final class Acc(val isHeading: Boolean) {
+      val sb = new java.lang.StringBuilder(64)
+      var nChars = 0
+      var linkChars = 0
+    }
+    val accs = mutable.ArrayBuffer.empty[Acc]
+    var cur = new Acc(false)
+    def cut(heading: Boolean): Unit = {
+      accs += cur
+      cur = new Acc(heading)
+    }
+    val pruneDepth = new Array[Int](PruneTags.length)
+    def pruned: Boolean = {
+      var i = 0
+      while (i < pruneDepth.length) {
+        if (pruneDepth(i) > 0) return true
+        i += 1
+      }
+      false
+    }
+    var aDepth = 0
+    def appendText(t: String): Unit = if (!pruned) {
+      var m = 0
+      while (m < t.length) {
+        val tc = t.charAt(m)
+        if (Character.isWhitespace(tc) || tc == ' ') cur.sb.append(' ')
+        else {
+          cur.sb.append(tc)
+          cur.nChars += 1
+          if (aDepth > 0) cur.linkChars += 1
+        }
+        m += 1
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (i + 1 >= s.length) { appendText("<"); i += 1 }
+        else {
+          val c1 = s.charAt(i + 1)
+          if (c1 == '!') {
+            if (s.startsWith("<!--", i)) {
+              val end = s.indexOf("-->", i + 4)
+              i = if (end < 0) s.length else end + 3
+            } else if (s.startsWith("<![CDATA[", i)) {
+              val end = s.indexOf("]]>", i + 9)
+              i = if (end < 0) s.length else end + 3
+            } else {
+              val end = s.indexOf('>', i + 2)
+              i = if (end < 0) s.length else end + 1
+            }
+          } else if (c1 == '?') {
+            val end = s.indexOf('>', i + 2)
+            i = if (end < 0) s.length else end + 1
+          } else if (c1 == '/' || isNameStart(c1)) {
+            val isClose = c1 == '/'
+            val nameStart = if (isClose) i + 2 else i + 1
+            var j = nameStart
+            while (j < s.length && isNameChar(s.charAt(j))) j += 1
+            if (j == nameStart) i = skipTag(s, nameStart)
+            else {
+              val name =
+                s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+              val afterTag = skipTag(s, j)
+              if (!isClose && (name == "script" || name == "style")) {
+                val close = rawTextClose(s, name, afterTag)
+                i = if (close < 0) s.length
+                    else skipTag(s, close + 2 + name.length)
+              } else {
+                val pi = PruneTags.indexOf(name)
+                if (pi >= 0) {
+                  if (isClose) {
+                    if (pruneDepth(pi) > 0) pruneDepth(pi) -= 1
+                  } else pruneDepth(pi) += 1
+                }
+                // browsers auto-close <head> when <body> opens
+                if (!isClose && name == "body") pruneDepth(0) = 0
+                if (name == "a") {
+                  if (isClose) { if (aDepth > 0) aDepth -= 1 }
+                  else aDepth += 1
+                }
+                if (BlockTags.contains(name))
+                  cut(!isClose && name.length == 2 && name.charAt(0) == 'h' &&
+                    name.charAt(1) >= '1' && name.charAt(1) <= '6')
+                i = afterTag
+              }
+            }
+          } else { appendText("<"); i += 1 }
+        }
+      } else if (c == '&') {
+        val dec = decodeEntity(s, i)
+        if (dec == null) { appendText("&"); i += 1 }
+        else { appendText(dec._1); i = dec._2 }
+      } else {
+        appendText(String.valueOf(c))
+        i += 1
+      }
+    }
+    cut(false)
+    // collapse whitespace per block, then classify
+    val blocks = accs.map { acc =>
+      val raw = acc.sb
+      val line = new java.lang.StringBuilder(raw.length)
+      var pendingSpace = false
+      var k = 0
+      while (k < raw.length) {
+        val ch = raw.charAt(k)
+        if (ch == ' ') { if (line.length > 0) pendingSpace = true }
+        else {
+          if (pendingSpace) { line.append(' '); pendingSpace = false }
+          line.append(ch)
+        }
+        k += 1
+      }
+      val text = line.toString
+      val nWords = if (text.isEmpty) 0 else {
+        var w = 1; var m = 0
+        while (m < text.length) { if (text.charAt(m) == ' ') w += 1; m += 1 }
+        w
+      }
+      (text, nWords, acc.nChars, acc.linkChars, acc.isHeading)
+    }
+    def linkOk(nChars: Int, linkChars: Int): Boolean =
+      nChars > 0 && linkChars * 1000000L <= maxLinkPpm.toLong * nChars
+    def good(b: (String, Int, Int, Int, Boolean)): Boolean =
+      linkOk(b._3, b._4) && b._2 >= minWords
+    val out = Seq.newBuilder[MainBlock]
+    var bi = 0
+    while (bi < blocks.length) {
+      val b = blocks(bi)
+      val kept =
+        if (good(b)) true
+        else if (b._5 && linkOk(b._3, b._4) && b._2 >= 1) {
+          // heading rescue: next non-empty block must be GOOD
+          var ni = bi + 1
+          while (ni < blocks.length && blocks(ni)._3 == 0) ni += 1
+          ni < blocks.length && good(blocks(ni))
+        } else false
+      if (b._3 > 0) out += MainBlock(b._1, b._2, b._3, b._4, b._5, kept)
+      bi += 1
+    }
+    out.result()
+  }
+
   // ------------------------------------------------------------- tables
 
   /**

@@ -270,6 +270,19 @@ object BuiltinOps {
         org.apache.spark.sql.graft.HtmlText.extract(col(in))))
     },
 
+    // Main-content (boilerplate-aware) extraction — the tier RefinedWeb/
+    // FineWeb run instead of a bare tag-strip (rule set:
+    // graft.operators.Html.mainContent Scaladoc). Row-level, zero shuffle.
+    "html_main" -> { a =>
+      val in = a.strOpt("col").getOrElse("html")
+      val out = a.strOpt("out").getOrElse("text")
+      val minWords = a.intOpt("min_words").getOrElse(10)
+      val linkPpm = a.intOpt("max_link_ppm").getOrElse(330000)
+      LensOp(s"html_main($in)", df => df.withColumn(out,
+        org.apache.spark.sql.graft.HtmlText.mainContent(col(in), minWords,
+          linkPpm)))
+    },
+
     // URL canonicalization (rule set: graft.operators.Urls Scaladoc) —
     // the identity key for crawl dedup / host quotas. Row-level.
     "url_canon" -> { a =>

@@ -285,6 +285,119 @@ object WebQueries extends QueryProvider {
       |  CAST(sum(tokens) AS BIGINT) AS corpus_tokens
       |FROM c GROUP BY lang""".stripMargin
 
+  /** documents wrapped in a page with REAL boilerplate around the
+   *  content: header tagline, nav link bar, a link-dense teaser div
+   *  outside any pruned container, a short heading, the content
+   *  paragraph, a short promo line, an aside and a footer. Exercises
+   *  every [[Html.mainContent]] rule: subtree pruning (header / nav /
+   *  aside / footer / head), link density (the teaser div), heading
+   *  rescue (h2 kept only when the body is good), and the length rule
+   *  (minWords=30 splits the 10–99-word corpus both ways). */
+  private def htmlMainDocs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").withColumn("html", concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>nav { color: blue; }</style></head><body>"),
+      lit("<header><p>Site "), col("source"),
+      lit(" tagline with plenty of words to pass any plain length rule here</p></header>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>"),
+      lit(" <a href=\"/c\">Contact</a></nav>"),
+      lit("<div><a href=\"/x\">read this</a> <a href=\"/y\">more pages</a> links "),
+      col("lang"), lit("</div>"),
+      lit("<h2>Doc "), col("doc_id"), lit(" overview</h2><p>"),
+      expr("replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"),
+      lit("</p><p>subscribe now</p>"),
+      lit("<aside>a long sidebar block with easily enough words to pass the"),
+      lit(" plain length rule on its own merits</aside>"),
+      lit("<footer>copyright "), col("source"),
+      lit(" all rights reserved</footer></body></html>")))
+
+  private val htmlMainMinWords = 30
+
+  /** MAIN-CONTENT EXTRACTION — boilerplate-aware block scoring
+   *  ([[Html.mainContent]]): kept text is heading + content paragraph
+   *  when the content clears the word floor, empty otherwise; all the
+   *  chrome (header/nav/aside/footer, link-dense teaser, short promo)
+   *  drops. The oracle predicts the exact output from the fixture
+   *  construction + a replay of the word-count rule. */
+  private def htmlMain(s: SparkSession, dir: String): DataFrame =
+    htmlMainDocs(s, dir).select(col("doc_id"),
+      HtmlText.mainContent(col("html"), minWords = htmlMainMinWords)
+        .as("main_text"))
+      .withColumn("n_kept",
+        expr("size(filter(split(main_text, '\n'), x -> x <> ''))")
+          .cast("long"))
+
+  private val expectedMainSql =
+    s"""CASE WHEN len(string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')) >= $htmlMainMinWords
+      |    THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' overview' || chr(10) ||
+      |         regexp_replace(trim(text), ' +', ' ', 'g')
+      |    ELSE '' END""".stripMargin
+
+  private val htmlMainSql =
+    s"""SELECT doc_id,
+      |  $expectedMainSql AS main_text,
+      |  CAST(CASE WHEN len(string_split(regexp_replace(trim(text), ' +', ' ', 'g'), ' ')) >= $htmlMainMinWords
+      |       THEN 2 ELSE 0 END AS BIGINT) AS n_kept
+      |FROM documents""".stripMargin
+
+  /** CRAWL→MAIN-CONTENT FLAGSHIP — `pipeline_crawl_corpus`'s sibling
+   *  with the extraction tier real recipes use: .warc.gz bytes →
+   *  record walk → response bodies → MAIN-CONTENT extraction (chrome
+   *  dropped before line rules ever run) → C4 line rules →
+   *  per-language accounting. 100 TB shape: identical to
+   *  `pipeline_crawl_corpus` — per-row until the final slim groupBy. */
+  private def crawlMain(s: SparkSession, dir: String): DataFrame = {
+    val pages = htmlMainDocs(s, dir).select(col("doc_id"), col("lang"),
+      col("html"),
+      concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"))
+    val texts = graft.operators.Warc.records(
+        graft.operators.Warc.withWarcGzPayload(pages, "html", "uri")
+          .drop("html", "uri"),
+        "payload")
+      .where(col("warc_type") === "response")
+      .select(col("doc_id"), col("lang"),
+        HtmlText.mainContent(col("body"), minWords = htmlMainMinWords)
+          .as("text"))
+    val cleaned = C4Clean.clean(texts, "text", "doc_id",
+        minLineWords = 3, minKeptLines = 2, requireTerminalPunct = false,
+        keep = Seq("lang"))
+      .select(col("lang"), col("c4_pass"),
+        when(col("c4_pass"),
+          size(split(translate(col("clean_text"), "\n", " "), " ")).cast("long"))
+          .otherwise(0L).as("tokens"))
+    cleaned.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_pages"),
+      sum(when(col("c4_pass"), 1L).otherwise(0L)).as("n_pass"),
+      sum(col("tokens")).as("corpus_tokens"))
+  }
+
+  private val crawlMainSql =
+    s"""WITH ext AS (
+      |  SELECT doc_id, lang,
+      |  $expectedMainSql AS text
+      |  FROM documents
+      |), ln AS (
+      |  SELECT doc_id, lang, text, string_split(text, chr(10)) AS lines FROM ext
+      |), k AS (
+      |  SELECT doc_id, lang, lines,
+      |    list_filter(lines, l -> len(string_split(trim(l), ' ')) >= 3
+      |      AND trim(l) <> '' AND NOT contains(lower(l), 'javascript')) AS kept,
+      |    (NOT contains(lower(text), 'lorem ipsum')
+      |      AND NOT contains(text, '{')) AS page_ok
+      |  FROM ln
+      |), c AS (
+      |  SELECT doc_id, lang,
+      |    (len(kept) >= 2 AND page_ok) AS c4_pass,
+      |    CASE WHEN len(kept) >= 2 AND page_ok THEN len(string_split(
+      |      replace(array_to_string(kept, chr(10)), chr(10), ' '), ' '))
+      |    ELSE 0 END AS tokens
+      |  FROM k
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_pages,
+      |  CAST(sum(CASE WHEN c4_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(sum(tokens) AS BIGINT) AS corpus_tokens
+      |FROM c GROUP BY lang""".stripMargin
+
   /** SITEMAP DISCOVERY — the fetch-side complement of `text_robots`
    *  (whose Sitemap: lines point here): each document carries a 2-entry
    *  urlset built from its columns (entity in the loc, lastmod,
@@ -424,7 +537,9 @@ object WebQueries extends QueryProvider {
     "text_sitemap" -> (sitemapEntries _),
     "pipeline_crawl_corpus" -> (crawlCorpus _),
     "text_url_canon" -> (urlCanon _),
-    "pipeline_host_rank" -> (hostRank _)
+    "pipeline_host_rank" -> (hostRank _),
+    "text_html_main" -> (htmlMain _),
+    "pipeline_crawl_main" -> (crawlMain _)
   )
 
   override def oracles: Map[String, String] = Map(
@@ -436,6 +551,8 @@ object WebQueries extends QueryProvider {
     "text_sitemap" -> sitemapSql,
     "pipeline_crawl_corpus" -> crawlCorpusSql,
     "text_url_canon" -> urlCanonSql,
-    "pipeline_host_rank" -> hostRankSql
+    "pipeline_host_rank" -> hostRankSql,
+    "text_html_main" -> htmlMainSql,
+    "pipeline_crawl_main" -> crawlMainSql
   )
 }

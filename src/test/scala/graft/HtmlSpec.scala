@@ -95,6 +95,18 @@ class HtmlSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("t\nhello & world"))
   }
 
+  test("builtin:html_main lens reaches the main-content extractor with args") {
+    val long = (1 to 6).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L,
+      s"<nav><a href=/>Home</a></nav><h2>head line</h2><p>$long</p>" +
+        "<footer>junk</footer>")).toDF("doc_id", "html")
+    val pipe = graft.engine.Pipeline.fromJson(
+      """{"lenses":[{"path":"builtin:html_main",
+        |  "arguments":{"col":"html","out":"text","min_words":5}}]}""".stripMargin)
+    val out = pipe.forward(df).select("text").as[String].collect()
+    assert(out.toSeq == Seq(s"head line\n$long"))
+  }
+
   test("extractTables: rows/cells with entities and inline tags, th==td, " +
       "implicit cell close, nested table split out, script dropped, " +
       "unterminated table flushed") {
@@ -153,6 +165,59 @@ class HtmlSpec extends AnyFunSuite {
     // RFC 3986 remove_dot_segments preserves empty segments
     assert(Urls.canonicalizeUrl("https://h.test/a//b") == "https://h.test/a//b")
     assert(Urls.canonicalizeUrl("https://h.test/a//../b") == "https://h.test/a/b")
+  }
+
+  test("mainContent: prunes chrome subtrees, drops link-dense and short " +
+      "blocks, rescues headings before good blocks") {
+    val body = (1 to 12).map(i => s"word$i").mkString(" ") // 12 words
+    val page =
+      "<html><head><title>Meta Title</title></head><body>" +
+        "<header><p>site tagline with lots and lots and lots of words</p></header>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+        // link-dense but LONG: only the link-density rule can drop it
+        "<div>" + (1 to 11).map(i => s"<a href=/$i>link$i</a>").mkString(" ") +
+        " x</div>" +
+        "<h2>Story heading</h2>" +
+        s"<p>$body</p>" +
+        "<p>subscribe now</p>" +
+        "<h3>Dangling heading</h3>" + // next non-empty block is bad -> drops
+        "<p>short promo</p>" +
+        "<aside>sidebar junk with easily enough words to pass length</aside>" +
+        "<footer>copyright</footer></body></html>"
+    assert(Html.mainContent(page) == s"Story heading\n$body")
+
+    val blocks = Html.mainBlocks(page)
+    // the link-dense div: 11 words of links + 'x' => 12 words (>= default
+    // minWords), dropped ONLY by link density
+    val dense = blocks.find(_.text.startsWith("link1")).get
+    assert(dense.nWords == 12 && !dense.kept)
+    assert(dense.linkChars * 1000000L > 330000L * dense.nChars)
+    val heading = blocks.find(_.text == "Story heading").get
+    assert(heading.isHeading && heading.kept)
+    assert(!blocks.find(_.text == "Dangling heading").get.kept)
+    assert(!blocks.exists(_.text.contains("tagline")))  // header pruned
+    assert(!blocks.exists(_.text.contains("sidebar")))  // aside pruned
+    assert(!blocks.exists(_.text.contains("Meta Title"))) // head pruned
+
+    // head auto-closes at <body> even without </head>
+    val noClose = "<html><head><title>t</title><body><p>" + body + "</p>"
+    assert(Html.mainContent(noClose) == body)
+
+    // nested prune containers: outer close only after inner
+    val nested = "<body><nav>a<nav>b</nav>c</nav><p>" + body + "</p></body>"
+    assert(Html.mainContent(nested) == body)
+  }
+
+  test("mainContent column face matches the Scala function and is null-safe") {
+    val long = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"<nav><a href=/>x</a></nav><p>$long</p>"),
+      (2L, null.asInstanceOf[String])).toDF("id", "html")
+    val got = df.select(col("id"),
+        HtmlText.mainContent(col("html")).as("t"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains(long))
+    assert(got(2L).isEmpty)
   }
 
   test("column face matches the Scala function and is null-safe") {
