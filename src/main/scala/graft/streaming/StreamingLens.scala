@@ -397,6 +397,85 @@ object StreamingLens {
   def ingestIndexOf(corpus: DataFrame, textCol: String): DataFrame =
     corpus.select(xxhash64(col(textCol)).as("__h")).distinct()
 
+  private val CrawlHostRe = "^[a-z0-9+.-]+://([^/?#]+)"
+  private val CrawlPathRe = "^[a-z0-9+.-]+://[^/?#]+([^#]*)"
+
+  /** The per-batch decision body of [[crawlGate]], usable directly in
+   *  batch (gate ≡ batch parity is spec-pinned on this function):
+   *  canonicalize `urlCol`, extract host + path(+query), left-join the
+   *  (host, robots) table, and append [[graft.operators.Robots]]'
+   *  RFC 9309 verdict columns (allowed, matched_rule, crawl_delay_ms,
+   *  n_sitemaps) plus `canon_url`/`host`. A host absent from the robots
+   *  table is fully allowed with delay -1 (the RFC's no-robots default).
+   *
+   *  100 TB shape: canonicalization + path split fuse into the scan;
+   *  the robots dimension is per-HOST (tiny next to the URL stream), so
+   *  the join broadcasts; the decision is a per-row scan — no shuffle
+   *  anywhere in the admit path. */
+  def crawlDecide(batch: DataFrame, urlCol: String, agent: String,
+      robots: DataFrame): DataFrame = {
+    val canon = batch
+      .withColumn("canon_url",
+        org.apache.spark.sql.graft.Url.canonicalize(col(urlCol)))
+      .withColumn("host", regexp_extract(col("canon_url"), CrawlHostRe, 1))
+      .withColumn("__path", {
+        val p = regexp_extract(col("canon_url"), CrawlPathRe, 1)
+        when(p === "", "/").otherwise(p)
+      })
+    val joined = canon
+      .join(broadcast(robots.select(col("host"),
+        col("robots").as("__robots"))), Seq("host"), "left")
+      .withColumn("__robots", coalesce(col("__robots"), lit("")))
+      .withColumn("__agent", lit(agent))
+    graft.operators.Robots
+      .decisions(joined, "__robots", "__agent", "__path")
+      .drop("__robots", "__agent", "__path")
+  }
+
+  /**
+   * Streaming crawl-politeness gate — the continuous face of the
+   * web-ingest batch operators ([[graft.operators.Robots]] +
+   * [[org.apache.spark.sql.graft.Url]] canonicalization): per
+   * micro-batch of fetch-candidate URLs, [[crawlDecide]] probes the
+   * persistent per-host robots table at `robotsDir` and only URLs the
+   * host's robots file allows for `agent` append to `outDir`; every
+   * batch also appends a per-host politeness audit row to `auditDir`
+   * (`host, n_candidates, n_admitted, crawl_delay_ms, batch_id`) so a
+   * fetch scheduler can budget against Crawl-delay without rescanning
+   * the stream. Sitemap discovery rides along: `n_sitemaps` counts the
+   * robots file's Sitemap lines (explode them with
+   * [[graft.operators.Sitemap.entries]] downstream).
+   *
+   * State is the robots TABLE, not keyed stream state: robots files
+   * change out-of-band (a refresh job overwrites `robotsDir`), and the
+   * table is per-host — broadcast-sized next to any URL stream. Replay
+   * caveat as every foreachBatch sink here: appends are re-run on
+   * recovery, so idempotent deployments key writes by `batch_id`.
+   *
+   * Use with `stream.writeStream.foreachBatch(crawlGate(...)).start()`.
+   */
+  def crawlGate(urlCol: String, agent: String, robotsDir: String,
+      outDir: String, auditDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val robots =
+        if (new java.io.File(robotsDir).exists) spark.read.parquet(robotsDir)
+        else {
+          import spark.implicits._
+          Seq.empty[(String, String)].toDF("host", "robots")
+        }
+      // two consumers (admit + audit): cut the batch-bounded lineage once
+      val decided = crawlDecide(batch, urlCol, agent, robots).localCheckpoint()
+      decided.where(col("allowed"))
+        .write.mode("append").parquet(outDir)
+      decided.groupBy(col("host")).agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_admitted"),
+          max(col("crawl_delay_ms")).as("crawl_delay_ms"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(auditDir)
+    }
+
   /**
    * Streaming ingest-volume monitor — the continuous face of
    * [[graft.operators.Anomaly.volumeSpikes]]: per micro-batch, fold the

@@ -1010,6 +1010,89 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Crawl-gate fixture: three hosts — a.test has a graftbot group with
+   *  a disallow + crawl delay, b.test rules everyone via '*' and
+   *  advertises a sitemap, c.test has NO robots row (RFC default:
+   *  fully allowed). URL 6 needs canonicalization (scheme/host case,
+   *  default port, dot segments) before its host/path resolve. */
+  object CrawlFixture {
+    val agent = "GraftBot/1.0"
+    val robots: Seq[(String, String)] = Seq(
+      ("a.test", "User-agent: *\nDisallow: /\n\n" +
+        "User-agent: graftbot\nDisallow: /private/\nCrawl-delay: 2\n"),
+      ("b.test", "User-agent: *\nDisallow: /block\n" +
+        "Sitemap: https://b.test/s.xml\n"))
+    val b1: Seq[(Long, String)] = Seq(
+      (1L, "https://a.test/pub/page"),
+      (2L, "https://a.test/private/x"),
+      (3L, "https://b.test/ok"))
+    val b2: Seq[(Long, String)] = Seq(
+      (4L, "https://b.test/block/z"),
+      (5L, "https://c.test/whatever"),
+      (6L, "HTTPS://A.TEST:443/pub/../pub/page2"))
+  }
+
+  test("crawl gate: robots-denied URLs drop, unlisted hosts pass, " +
+      "canonicalization feeds the host probe, audit carries the delay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import CrawlFixture._
+    val root = java.nio.file.Files.createTempDirectory("crawlgate").toString
+    val (rdir, out, audit) = (s"$root/robots", s"$root/out", s"$root/audit")
+    robots.toDF("host", "robots").write.parquet(rdir)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("url_id", "url").writeStream
+      .foreachBatch(StreamingLens.crawlGate("url", agent, rdir, out, audit))
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(spark.read.parquet(out).select("url_id").as[Long].collect().toSet
+        == Set(1L, 3L))
+      in.addData(b2: _*); q.processAllAvailable()
+      val kept = spark.read.parquet(out)
+        .select("url_id", "canon_url").as[(Long, String)].collect().toMap
+      assert(kept.keySet == Set(1L, 3L, 5L, 6L), s"gate kept $kept")
+      assert(kept(6L) == "https://a.test/pub/page2") // canon before probe
+      val aud = spark.read.parquet(audit)
+        .select("host", "n_candidates", "n_admitted", "crawl_delay_ms")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(aud == Set(
+        ("a.test", 2L, 1L, 2000L), ("b.test", 1L, 1L, -1L),   // batch 1
+        ("a.test", 1L, 1L, 2000L), ("b.test", 1L, 0L, -1L),   // batch 2
+        ("c.test", 1L, 1L, -1L)), s"audit $aud")
+      // sitemap discovery rides the verdict columns
+      val sm = spark.read.parquet(out).where(col("host") === "b.test")
+        .select("n_sitemaps").as[Long].head()
+      assert(sm == 1L)
+    } finally q.stop()
+  }
+
+  test("crawl gate ≡ batch crawlDecide composition on the full dump") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import CrawlFixture._
+    val root = java.nio.file.Files.createTempDirectory("crawlparity").toString
+    val (rdir, out, audit) = (s"$root/robots", s"$root/out", s"$root/audit")
+    robots.toDF("host", "robots").write.parquet(rdir)
+    val batchKept = StreamingLens.crawlDecide(
+        (b1 ++ b2).toDF("url_id", "url"), "url", agent,
+        robots.toDF("host", "robots"))
+      .where(col("allowed")).select("url_id").as[Long].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("url_id", "url").writeStream
+      .foreachBatch(StreamingLens.crawlGate("url", agent, rdir, out, audit))
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val gateKept = spark.read.parquet(out).select("url_id").as[Long]
+        .collect().toSet
+      assert(gateKept == batchKept, s"gate $gateKept != batch $batchKept")
+      assert(batchKept.nonEmpty && batchKept != (b1 ++ b2).map(_._1).toSet,
+        "fixture drifted: batch composition rejected nothing")
+    } finally q.stop()
+  }
+
   test("ingest gate ≡ batch flagship composition on an id-ordered split log") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
