@@ -1341,6 +1341,19 @@ object Multimodal {
       }
     }
 
+  /** Append a REAL lossy VP8 key-frame WebP `payload`: a 32×16 solid
+   *  frame whose Y2 / chroma DC coefficients and quantizer index come
+   *  from a 4-byte binary column (wY+128, wU+128, wV+128, qi) — the
+   *  [[Vp8]] closed-form shape (`solidY`/`solidUv`) a SQL oracle
+   *  replays exactly through the dequant→iWHT→iDCT→DC-pred chain. */
+  def withVp8SolidPayload(df: DataFrame, srcCol: String): DataFrame =
+    withPayload(df, srcCol) { bytes =>
+      require(bytes.length == 4, s"need 4 coeff bytes, got ${bytes.length}")
+      Vp8.webpWrap(Vp8.encodeSolid(32, 16,
+        (bytes(0) & 0xFF) - 128, (bytes(1) & 0xFF) - 128,
+        (bytes(2) & 0xFF) - 128, bytes(3) & 0xFF))
+    }
+
   /** Append a REAL 3-frame animated WebP `payload` (VP8X/ANIM/ANMF +
    *  per-frame VP8L) from a binary column of 24 RGB bytes on a 4×2
    *  canvas with a transparent background: frame 0 full-canvas (pixels

@@ -410,9 +410,9 @@ object Webp {
         s"truncated WebP chunk '$tag'")
       tag match {
         case "VP8L" => vp8lStart = at + 8; vp8lEnd = at + 8 + size
-        case "VP8 " => throw new IllegalArgumentException(
-          "WebP uses lossy VP8 coding — unsupported tier (lossless VP8L only; " +
-            "VP8 intra-frame decode is a documented Codec seam like H.264)")
+        case "VP8 " => // lossy tier: key-frame decode (see Vp8 Scaladoc)
+          return Vp8.decodeToYuv(
+            java.util.Arrays.copyOfRange(p, at + 8, at + 8 + size))
         case "ANIM" | "ANMF" => throw new IllegalArgumentException(
           "animated WebP (ANIM/ANMF) — unsupported tier")
         case "VP8X" | "ICCP" | "EXIF" | "XMP " | "ALPH" => () // walk on

@@ -473,6 +473,69 @@ object MultimodalQueries extends QueryProvider {
       |  CAST(2 AS INTEGER) AS height, 'webp' AS format, pix_byte_sum
       |FROM s, (VALUES ('rgb'), ('green'), ('pred'), ('pal')) a(arm)""".stripMargin
 
+  /** REAL LOSSY VP8 WEBP — the other WebP coding tier, through the
+   *  full key-frame pipeline (bool decode of header/modes/tokens,
+   *  dequant, iWHT, iDCT, DC intra prediction, skip propagation): a
+   *  32×16 solid frame per document whose Y2/chroma DC coefficients
+   *  (spanning every DCT token and all six extra-bit categories, both
+   *  signs) and quantizer index derive from doc columns. VP8 decode is
+   *  DETERMINISTIC integer math, so DuckDB replays the exact
+   *  dequant→iWHT→iDCT→predict chain in closed form (floor shifts via
+   *  the shift-non-negative // trick) and the whole-plane sum certifies
+   *  constancy —
+   *  i.e. skip-coded DC prediction propagated to every macroblock.
+   *  Probability-table conformance stays the NAMED seam ([[Vp8]]). */
+  private def webpLossy(s: SparkSession, dir: String): DataFrame = {
+    val src = T(s, dir, "documents").select(col("doc_id"),
+      expr("unhex(concat(lpad(hex((doc_id % 141) + 58), 2, '0')," +
+        "lpad(hex((n_chars % 25) + 116), 2, '0')," +
+        "lpad(hex((doc_id % 9) + 124), 2, '0')," +
+        "lpad(hex(doc_id % 128), 2, '0')))").as("src"))
+    Multimodal.decodeImage(
+        Multimodal.withVp8SolidPayload(src, "src").drop("src"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("CAST(round(pixels[0] * 255) AS BIGINT)").as("y0"),
+        expr("CAST(round(pixels[1] * 255) AS BIGINT)").as("u0"),
+        expr("CAST(round(pixels[2] * 255) AS BIGINT)").as("v0"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val webpLossySql = {
+    val dcq = graft.operators.Vp8.Vp8Tables.DcQLookup.mkString("[", ", ", "]")
+    s"""WITH p AS (
+      |  SELECT doc_id,
+      |    (doc_id % 141) - 70 AS wy,
+      |    (n_chars % 25) - 12 AS wu,
+      |    (doc_id % 9) - 4 AS wv,
+      |    CAST(doc_id % 128 AS INTEGER) AS qi
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id, wy, wu, wv, ($dcq)[qi + 1] AS dcq FROM p
+      |), v AS (
+      |  -- Scala >> floors; DuckDB // truncates toward zero. Shift every
+      |  -- dividend non-negative (+32768, a multiple of 8) so they agree.
+      |  SELECT doc_id,
+      |    LEAST(255, GREATEST(0,
+      |      128 + ((((wy * (dcq * 2) + 3 + 32768) // 8 - 4096)
+      |              + 4 + 32768) // 8 - 4096))) AS y0,
+      |    LEAST(255, GREATEST(0,
+      |      128 + ((wu * LEAST(132, dcq) + 4 + 32768) // 8 - 4096))) AS u0,
+      |    LEAST(255, GREATEST(0,
+      |      128 + ((wv * LEAST(132, dcq) + 4 + 32768) // 8 - 4096))) AS v0
+      |  FROM q
+      |)
+      |SELECT doc_id, CAST(32 AS INTEGER) AS width,
+      |  CAST(16 AS INTEGER) AS height, 'yuv420' AS format,
+      |  CAST(y0 AS BIGINT) AS y0, CAST(u0 AS BIGINT) AS u0,
+      |  CAST(v0 AS BIGINT) AS v0,
+      |  CAST(512 * (y0 + u0 + v0) AS BIGINT) AS pix_byte_sum
+      |FROM v""".stripMargin
+  }
+
   /** ANIMATED WEBP 1:N frame explode — the WebP sibling of
    *  `mm_gif_frames`: 24 md5 bytes become a 3-frame VP8X/ANIM/ANMF
    *  animation (`withAnimatedWebpPayload`) whose frames exercise
@@ -879,6 +942,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_meta"        -> (mp3Meta _),
     "mm_png_tiers"       -> (pngTiers _),
     "mm_webp_roundtrip"  -> (webpRoundtrip _),
+    "mm_webp_lossy"      -> (webpLossy _),
     "mm_webp_frames"     -> (webpFrames _),
     "mm_tiff_roundtrip"  -> (tiffRoundtrip _),
     "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
@@ -903,6 +967,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_meta"        -> mp3MetaSql,
     "mm_png_tiers"       -> pngTiersSql,
     "mm_webp_roundtrip"  -> webpRoundtripSql,
+    "mm_webp_lossy"      -> webpLossySql,
     "mm_webp_frames"     -> webpFramesSql,
     "mm_tiff_roundtrip"  -> tiffRoundtripSql,
     "mm_adpcm_roundtrip" -> adpcmRoundtripSql,

@@ -160,11 +160,12 @@ class WebpSpec extends AnyFunSuite {
   test("named failures: lossy VP8, animation, bad signature/version, " +
       "truncation") {
     val good = Webp.encodeWebpLossless(3, 3, randomArgb(3, 3, 9))
-    // lossy: relabel the chunk VP8L -> 'VP8 '
+    // relabel the chunk VP8L -> 'VP8 ': now ROUTES to the Vp8 key-frame
+    // decoder, which rejects the garbage payload with a named error
     val lossy = good.clone()
     lossy(15) = ' '
     val eL = intercept[IllegalArgumentException](Webp.decodeWebp(lossy))
-    assert(eL.getMessage.contains("lossy"), eL.getMessage)
+    assert(eL.getMessage.contains("VP8"), eL.getMessage)
     // animation chunk
     val anim = good.clone()
     anim(12) = 'A'; anim(13) = 'N'; anim(14) = 'I'; anim(15) = 'M'
