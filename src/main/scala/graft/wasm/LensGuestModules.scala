@@ -308,12 +308,20 @@ object LensGuestModules {
    *  ops a numeric guest would lean on — `f64.neg ∘ f64.neg`,
    *  `f64.mul` by 1.0, `f64.copysign(f64.abs(x), x)` — before
    *  `i64.trunc_sat_f64_s` brings it back. Exact for |v + δ| < 2⁵³, so
-   *  the SAME fixture data must come out unchanged vs the MVP guest. */
+   *  the SAME fixture data must come out unchanged vs the MVP guest.
+   *  `viaSimdPath = true` is the fourth conformance probe — the SIMD
+   *  tier a `-msimd128` build lands in: the add runs as
+   *  `i64x2.splat` × 2 → `i64x2.add`, the sum vector parks in a REAL
+   *  v128 LOCAL, round-trips linear memory through `v128.store` /
+   *  `v128.load`, and `i64x2.extract_lane 0` brings it back — all
+   *  identities, so output must equal the MVP guest's byte-for-byte. */
   def shiftGuest(field: String, viaSatConversions: Boolean = false,
       viaMultiValueBulk: Boolean = false,
-      viaFloatPath: Boolean = false): Array[Byte] = {
-    require(!(viaFloatPath && viaMultiValueBulk),
-      "combine at most one post-MVP probe with the float path")
+      viaFloatPath: Boolean = false,
+      viaSimdPath: Boolean = false): Array[Byte] = {
+    require(Seq(viaFloatPath, viaMultiValueBulk, viaSimdPath)
+      .count(identity) <= 1,
+      "combine at most one value-path probe")
     val d = new DataPacker
     val pat = d.add("\"" + field + "\":")
     val deltaPat = d.add("\"delta\":")
@@ -331,6 +339,10 @@ object LensGuestModules {
         (if (viaMultiValueBulk) Vector[Byte](I32) else Vector.empty[Byte]) ++
         // float-path scratch: 10 = delta*sign (i64), 11 = f64 sum
         (if (viaFloatPath) Vector[Byte](I64, ValType.F64)
+         else Vector.empty[Byte]) ++
+        // simd-path scratch: 10 = delta*sign (i64), 11 = scratch ptr
+        // (i32), 12 = the sum vector (a real v128 local)
+        (if (viaSimdPath) Vector[Byte](I64, I32, ValType.V128)
          else Vector.empty[Byte]),
       Vector[Instr](
         ic(d.heapBase), GlobalSet(HEAP), // previous frames consumed: reset
@@ -357,7 +369,20 @@ object LensGuestModules {
       // PARAMS and leave it through a br carrying both — identity.
       (if (!viaMultiValueBulk) Vector.empty[Instr] else Vector[Instr](
         Block(-1 - TPair, Vector(Br(0))))) ++
-      (if (!viaFloatPath) Vector[Instr](addL, LocalSet(9))
+      (if (viaSimdPath) Vector[Instr](
+        // stack: v(i64), delta*sign(i64) — the add runs in i64x2 lanes,
+        // parks in a v128 local, and round-trips linear memory.
+        LocalSet(10),
+        SimdOp(18), // i64x2.splat(v)
+        LocalGet(10), SimdOp(18), // i64x2.splat(delta*sign)
+        SimdOp(206), // i64x2.add
+        LocalSet(12),
+        ic(16), Call(ALLOC), LocalTee(11),
+        LocalGet(12), SimdMem(11, 0, 0), // v128.store
+        LocalGet(11), SimdMem(0, 0, 0), // v128.load
+        SimdLane(29, 0), // i64x2.extract_lane 0
+        LocalSet(9))
+      else if (!viaFloatPath) Vector[Instr](addL, LocalSet(9))
        else Vector[Instr](
         // stack: v(i64), delta*sign(i64) — run the add in f64 and pass
         // the sum through the identity gauntlet before trunc_sat back.

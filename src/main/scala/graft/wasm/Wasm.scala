@@ -84,11 +84,27 @@ final case class Num(op: Int) extends Instr
  *  out-of-range clamps to the type bounds instead of trapping. */
 final case class TruncSat(sub: Int) extends Instr
 
+// ---- simd128 (0xFD prefix; fixed-width 128-bit vectors) ----
+/** No-immediate SIMD op, dispatched by subopcode. */
+final case class SimdOp(sub: Int) extends Instr
+/** SIMD memory op (loads 0–10, store 11, load_zero 92–93). */
+final case class SimdMem(sub: Int, align: Int, offset: Int) extends Instr
+/** v128.const: 16 little-endian bytes. */
+final case class SimdConst(bytes: Vector[Byte]) extends Instr
+/** i8x16.shuffle: 16 lane indices (0–31). */
+final case class SimdShuffle(lanes: Vector[Int]) extends Instr
+/** Lane-immediate op (extract/replace, subs 21–34). */
+final case class SimdLane(sub: Int, lane: Int) extends Instr
+/** Lane memory op (subs 84–91). */
+final case class SimdMemLane(sub: Int, align: Int, offset: Int,
+    lane: Int) extends Instr
+
 object ValType {
   val I32: Byte = 0x7F
   val I64: Byte = 0x7E
   val F32: Byte = 0x7D
   val F64: Byte = 0x7C
+  val V128: Byte = 0x7B
   /** blockType byte for "no result". */
   val Empty: Int = 0x40
 }
@@ -295,16 +311,15 @@ object WasmBinary {
   }
 
   /** Value type with a NAMED rejection for post-MVP tiers this
-   *  interpreter doesn't execute: a guest built with `-msimd128` or
-   *  reference types must fail as "unsupported feature tier", not as a
-   *  byte-offset panic three sections later (the reference's real
-   *  runtimes — wasmtime/wazero/wasmer under host-go/runtimes — accept
-   *  any valid module, so the error message is the compat surface). */
+   *  interpreter doesn't execute: a guest built with reference types
+   *  must fail as "unsupported feature tier", not as a byte-offset
+   *  panic three sections later (the reference's real runtimes —
+   *  wasmtime/wazero/wasmer under host-go/runtimes — accept any valid
+   *  module, so the error message is the compat surface). v128 (0x7B)
+   *  is accepted: the simd128 tier decodes and runs
+   *  ([[WasmInterp]] `simdOp`). */
   private def checkedValtype(r: Reader): Byte = (r.u8() & 0xFF) match {
-    case vt if vt >= 0x7C && vt <= 0x7F => vt.toByte // i32 i64 f32 f64
-    case 0x7B => throw new WasmDecodeError(
-      "module uses v128 values — unsupported feature tier: simd128 " +
-        "(rebuild the guest without -msimd128)")
+    case vt if vt >= 0x7B && vt <= 0x7F => vt.toByte // i32 i64 f32 f64 v128
     case 0x70 | 0x6F => throw new WasmDecodeError(
       "module uses funcref/externref values — unsupported feature " +
         "tier: reference-types")
@@ -399,11 +414,25 @@ object WasmBinary {
             case sub => throw new WasmDecodeError(s"unsupported 0xFC subopcode $sub")
           }
         case num if num >= 0x45 && num <= 0xC4 => out += Num(num)
-        // named feature-tier rejections (see checkedValtype): the real
-        // runtimes the reference embeds run these; we name what's missing
-        case 0xFD => throw new WasmDecodeError(
-          "module uses simd128 instructions (0xFD prefix) — unsupported " +
-            "feature tier: simd128 (rebuild the guest without -msimd128)")
+        case 0xFD => // simd128 tier (executed by WasmInterp.evalSimd)
+          r.u32() match {
+            case mem if mem >= 0 && mem <= 11 =>
+              out += SimdMem(mem, r.u32(), r.u32())
+            case 12 => out += SimdConst(r.bytes(16).toVector)
+            case 13 =>
+              out += SimdShuffle(Vector.fill(16)(r.u8() & 0xFF))
+            case ln if ln >= 21 && ln <= 34 =>
+              out += SimdLane(ln, r.u8() & 0xFF)
+            case ml if ml >= 84 && ml <= 91 =>
+              val a = r.u32(); val o = r.u32()
+              out += SimdMemLane(ml, a, o, r.u8() & 0xFF)
+            case mz if mz == 92 || mz == 93 =>
+              out += SimdMem(mz, r.u32(), r.u32())
+            case plain if plain <= 255 => out += SimdOp(plain)
+            case relaxed => throw new WasmDecodeError(
+              s"simd128 subopcode $relaxed — unsupported feature tier: " +
+                "relaxed-simd")
+          }
         case 0xFE => throw new WasmDecodeError(
           "module uses atomic instructions (0xFE prefix) — unsupported " +
             "feature tier: threads")
@@ -600,5 +629,13 @@ object WasmBinary {
         var i = 0
         while (i < 8) { w.u8((bits >>> (8 * i)).toInt); i += 1 }
       case Num(op) => w.u8(op)
+      case SimdOp(sub) => w.u8(0xFD); w.u32(sub)
+      case SimdMem(sub, a, o) => w.u8(0xFD); w.u32(sub); w.u32(a); w.u32(o)
+      case SimdConst(b) => w.u8(0xFD); w.u32(12); b.foreach(x => w.u8(x & 0xFF))
+      case SimdShuffle(lanes) =>
+        w.u8(0xFD); w.u32(13); lanes.foreach(w.u8)
+      case SimdLane(sub, lane) => w.u8(0xFD); w.u32(sub); w.u8(lane)
+      case SimdMemLane(sub, a, o, lane) =>
+        w.u8(0xFD); w.u32(sub); w.u32(a); w.u32(o); w.u8(lane)
     }
 }

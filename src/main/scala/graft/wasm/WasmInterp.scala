@@ -127,11 +127,28 @@ object WasmInterp {
       var i = 0
       while (i < args.size) { locals(i) = args(i); i += 1 }
       val stack = new OperandStack
-      evalSeq(body.body, locals, stack) match {
-        case _ => // Fall, Branch(spent) or Ret all leave results on the stack top
+      v128Depth += 1
+      try {
+        evalSeq(body.body, locals, stack) match {
+          case _ => // Fall, Branch(spent) or Ret all leave results on the stack top
+        }
+        Vector.fill(ftype.results.size)(stack.pop()).reverse
+      } finally {
+        v128Depth -= 1
+        // v128 handles never outlive the entry invocation (no v128
+        // globals; memory holds bytes, not handles) — reclaim the pool
+        // when the outermost frame exits. Slot 0 stays the zero vector
+        // (the default value of uninitialized v128 locals).
+        if (v128Depth == 0 && v128Pool.size > 1)
+          v128Pool.remove(1, v128Pool.size - 1)
       }
-      Vector.fill(ftype.results.size)(stack.pop()).reverse
     }
+
+    /** v128 values live in this side pool; a stack/local slot holds the
+     *  pool index. See the reclamation note in [[invokeByIndex]]. */
+    private val v128Pool =
+      scala.collection.mutable.ArrayBuffer[Array[Byte]](new Array[Byte](16))
+    private var v128Depth = 0
 
     /** Branch signal: -1 = fell through, -2 = function return,
      *  n >= 0 = branch crossing n MORE labels outward. */
@@ -274,6 +291,22 @@ object WasmInterp {
           case F64Const(bits) => stack.push(bits)
           case Num(op) => numeric(op, stack)
           case TruncSat(sub) => truncSatOp(sub, stack)
+          case SimdConst(b) => stack.push(newV(b.toArray))
+          case SimdShuffle(lanes) =>
+            val b = getV(stack.pop()); val a = getV(stack.pop())
+            val out = new Array[Byte](16)
+            var k = 0
+            while (k < 16) {
+              val l = lanes(k)
+              out(k) = if (l < 16) a(l) else b(l - 16)
+              k += 1
+            }
+            stack.push(newV(out))
+          case SimdMem(sub, _, offset) => simdMem(sub, offset, stack)
+          case SimdLane(sub, lane) => simdLane(sub, lane, stack)
+          case SimdMemLane(sub, _, offset, lane) =>
+            simdMemLane(sub, offset, lane, stack)
+          case SimdOp(sub) => simdOp(sub, stack)
         }
         i += 1
       }
@@ -327,6 +360,597 @@ object WasmInterp {
     private def st(a: Int, w: Int, v: Long): Unit = {
       var i = 0
       while (i < w) { memory(a + i) = (v >>> (8 * i)).toByte; i += 1 }
+    }
+
+    // ---------- simd128 ----------
+    // v128 values are 16 little-endian bytes in v128Pool; a stack slot
+    // holds the pool index. Lane order and semantics per the simd128
+    // proposal merged into WebAssembly 2.0.
+
+    private def newV(b: Array[Byte]): Long = {
+      v128Pool += b
+      (v128Pool.size - 1).toLong
+    }
+
+    private def getV(handle: Long): Array[Byte] = {
+      val i = handle.toInt
+      if (i < 0 || i >= v128Pool.size)
+        throw new WasmTrap(s"bad v128 handle $i (validation gap)")
+      v128Pool(i)
+    }
+
+    @inline private def vLd(b: Array[Byte], at: Int, w: Int): Long = {
+      var v = 0L
+      var i = w - 1
+      while (i >= 0) { v = (v << 8) | (b(at + i) & 0xFFL); i -= 1 }
+      v
+    }
+
+    @inline private def vSt(b: Array[Byte], at: Int, w: Int, v: Long): Unit = {
+      var i = 0
+      while (i < w) { b(at + i) = (v >>> (8 * i)).toByte; i += 1 }
+    }
+
+    /** Lane-wise binary over `lanes` lanes of width `w` bytes; `f` sees
+     *  sign-extended lane values and returns the new lane (truncated on
+     *  store). */
+    private def lanewise2(s: OperandStack, w: Int)(f: (Long, Long) => Long): Unit = {
+      val b = getV(s.pop()); val a = getV(s.pop())
+      val out = new Array[Byte](16)
+      val bits = w * 8
+      var i = 0
+      while (i < 16) {
+        val x = (vLd(a, i, w) << (64 - bits)) >> (64 - bits)
+        val y = (vLd(b, i, w) << (64 - bits)) >> (64 - bits)
+        vSt(out, i, w, f(x, y))
+        i += w
+      }
+      s.push(newV(out))
+    }
+
+    private def lanewise1(s: OperandStack, w: Int)(f: Long => Long): Unit = {
+      val a = getV(s.pop())
+      val out = new Array[Byte](16)
+      val bits = w * 8
+      var i = 0
+      while (i < 16) {
+        vSt(out, i, w, f((vLd(a, i, w) << (64 - bits)) >> (64 - bits)))
+        i += w
+      }
+      s.push(newV(out))
+    }
+
+    /** Lane-wise shift: vector, scalar count (mod lane bits). */
+    private def laneShift(s: OperandStack, w: Int)(f: (Long, Int) => Long): Unit = {
+      val count = (s.pop().toInt) & (w * 8 - 1)
+      val a = getV(s.pop())
+      val out = new Array[Byte](16)
+      val bits = w * 8
+      var i = 0
+      while (i < 16) {
+        vSt(out, i, w, f((vLd(a, i, w) << (64 - bits)) >> (64 - bits), count))
+        i += w
+      }
+      s.push(newV(out))
+    }
+
+    @inline private def mask(b: Boolean): Long = if (b) -1L else 0L
+    @inline private def uns(x: Long, w: Int): Long =
+      if (w == 8) x else x & ((1L << (w * 8)) - 1)
+    @inline private def satS(v: Long, w: Int): Long = {
+      val max = (1L << (w * 8 - 1)) - 1; val min = -(1L << (w * 8 - 1))
+      if (v > max) max else if (v < min) min else v
+    }
+    @inline private def satU(v: Long, w: Int): Long = {
+      val max = (1L << (w * 8)) - 1
+      if (v > max) max else if (v < 0) 0 else v
+    }
+
+    private def f32All(a: Array[Byte]): Array[Float] =
+      Array.tabulate(4)(i => java.lang.Float.intBitsToFloat(vLd(a, i * 4, 4).toInt))
+    private def f64All(a: Array[Byte]): Array[Double] =
+      Array.tabulate(2)(i => java.lang.Double.longBitsToDouble(vLd(a, i * 8, 8)))
+    private def packF32(v: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte](16)
+      var i = 0
+      while (i < 4) {
+        vSt(out, i * 4, 4, java.lang.Float.floatToRawIntBits(v(i)).toLong)
+        i += 1
+      }
+      out
+    }
+    private def packF64(v: Array[Double]): Array[Byte] = {
+      val out = new Array[Byte](16)
+      vSt(out, 0, 8, java.lang.Double.doubleToRawLongBits(v(0)))
+      vSt(out, 8, 8, java.lang.Double.doubleToRawLongBits(v(1)))
+      out
+    }
+    private def fbin32(s: OperandStack)(f: (Float, Float) => Float): Unit = {
+      val b = f32All(getV(s.pop())); val a = f32All(getV(s.pop()))
+      s.push(newV(packF32(Array.tabulate(4)(i => f(a(i), b(i))))))
+    }
+    private def fbin64(s: OperandStack)(f: (Double, Double) => Double): Unit = {
+      val b = f64All(getV(s.pop())); val a = f64All(getV(s.pop()))
+      s.push(newV(packF64(Array.tabulate(2)(i => f(a(i), b(i))))))
+    }
+    private def fun32(s: OperandStack)(f: Float => Float): Unit = {
+      val a = f32All(getV(s.pop()))
+      s.push(newV(packF32(a.map(f))))
+    }
+    private def fun64(s: OperandStack)(f: Double => Double): Unit = {
+      val a = f64All(getV(s.pop()))
+      s.push(newV(packF64(a.map(f))))
+    }
+    private def fcmp32(s: OperandStack)(f: (Float, Float) => Boolean): Unit = {
+      val b = f32All(getV(s.pop())); val a = f32All(getV(s.pop()))
+      val out = new Array[Byte](16)
+      var i = 0
+      while (i < 4) { vSt(out, i * 4, 4, mask(f(a(i), b(i)))); i += 1 }
+      s.push(newV(out))
+    }
+    private def fcmp64(s: OperandStack)(f: (Double, Double) => Boolean): Unit = {
+      val b = f64All(getV(s.pop())); val a = f64All(getV(s.pop()))
+      val out = new Array[Byte](16)
+      vSt(out, 0, 8, mask(f(a(0), b(0)))); vSt(out, 8, 8, mask(f(a(1), b(1))))
+      s.push(newV(out))
+    }
+
+    private def allTrue(s: OperandStack, w: Int): Unit = {
+      val a = getV(s.pop())
+      var ok = true
+      var i = 0
+      while (i < 16) { if (vLd(a, i, w) == 0) ok = false; i += w }
+      s.push(if (ok) 1L else 0L)
+    }
+
+    private def bitmaskOp(s: OperandStack, w: Int): Unit = {
+      val a = getV(s.pop())
+      var m = 0L
+      var lane = 0
+      var i = 0
+      while (i < 16) {
+        if ((a(i + w - 1) & 0x80) != 0) m |= (1L << lane)
+        lane += 1; i += w
+      }
+      s.push(m)
+    }
+
+    /** extend low/high halves: src lane width w → 2w. sub offsets
+     *  0/1/2/3 = low_s / high_s / low_u / high_u. */
+    private def extend(s: OperandStack, w: Int, variant: Int): Unit = {
+      val a = getV(s.pop())
+      val out = new Array[Byte](16)
+      val signed = variant < 2
+      val high = (variant & 1) == 1
+      val base = if (high) 8 else 0
+      val bits = w * 8
+      var i = 0
+      while (i < 8 / w) {
+        val raw = vLd(a, base + i * w, w)
+        val v = if (signed) (raw << (64 - bits)) >> (64 - bits) else raw
+        vSt(out, i * 2 * w, 2 * w, v)
+        i += 1
+      }
+      s.push(newV(out))
+    }
+
+    /** narrow 2w-lane vectors a ++ b to w lanes with saturation. */
+    private def narrow(s: OperandStack, w: Int, signed: Boolean): Unit = {
+      val b = getV(s.pop()); val a = getV(s.pop())
+      val out = new Array[Byte](16)
+      val srcW = 2 * w
+      val bits = srcW * 8
+      var lane = 0
+      while (lane < 16 / w) {
+        val src = if (lane < 8 / w) a else b
+        val idx = if (lane < 8 / w) lane else lane - 8 / w
+        val raw = (vLd(src, idx * srcW, srcW) << (64 - bits)) >> (64 - bits)
+        vSt(out, lane * w, w, if (signed) satS(raw, w) else satU(raw, w))
+        lane += 1
+      }
+      s.push(newV(out))
+    }
+
+    private def simdMem(sub: Int, offset: Int, stack: OperandStack): Unit =
+      sub match {
+        case 0 => // v128.load
+          val a = addr(offset, stack, 16)
+          stack.push(newV(java.util.Arrays.copyOfRange(memory, a, a + 16)))
+        case 11 => // v128.store
+          val v = getV(stack.pop())
+          val a = addr(offset, stack, 16)
+          System.arraycopy(v, 0, memory, a, 16)
+        case ext if ext >= 1 && ext <= 6 => // load 8x8/16x4/32x2 s/u
+          val w = 1 << ((ext - 1) >> 1) // src lane bytes: 1, 2, 4
+          val signed = ((ext - 1) & 1) == 0
+          val a = addr(offset, stack, 8)
+          val out = new Array[Byte](16)
+          val bits = w * 8
+          var i = 0
+          while (i < 8 / w) {
+            val raw = ld(a + i * w, w)
+            val v = if (signed) (raw << (64 - bits)) >> (64 - bits) else raw
+            vSt(out, i * 2 * w, 2 * w, v)
+            i += 1
+          }
+          stack.push(newV(out))
+        case spl if spl >= 7 && spl <= 10 => // load8/16/32/64_splat
+          val w = 1 << (spl - 7)
+          val a = addr(offset, stack, w)
+          val v = ld(a, w)
+          val out = new Array[Byte](16)
+          var i = 0
+          while (i < 16) { vSt(out, i, w, v); i += w }
+          stack.push(newV(out))
+        case 92 | 93 => // load32_zero / load64_zero
+          val w = if (sub == 92) 4 else 8
+          val a = addr(offset, stack, w)
+          val out = new Array[Byte](16)
+          vSt(out, 0, w, ld(a, w))
+          stack.push(newV(out))
+        case other => throw new WasmTrap(s"simd mem subopcode $other")
+      }
+
+    private def simdMemLane(sub: Int, offset: Int, lane: Int,
+        stack: OperandStack): Unit = {
+      val w = 1 << ((sub - 84) & 3)
+      val isLoad = sub <= 87
+      val v = getV(stack.pop())
+      val a = addr(offset, stack, w)
+      if (isLoad) {
+        val out = v.clone()
+        vSt(out, lane * w, w, ld(a, w))
+        stack.push(newV(out))
+      } else st(a, w, vLd(v, lane * w, w))
+    }
+
+    private def simdLane(sub: Int, lane: Int, stack: OperandStack): Unit =
+      sub match {
+        case 21 => // i8x16.extract_lane_s
+          stack.push(getV(stack.pop())(lane).toLong)
+        case 22 =>
+          stack.push((getV(stack.pop())(lane) & 0xFF).toLong)
+        case 23 =>
+          val x = stack.pop(); val out = getV(stack.pop()).clone()
+          out(lane) = x.toByte; stack.push(newV(out))
+        case 24 =>
+          stack.push((vLd(getV(stack.pop()), lane * 2, 2) << 48) >> 48)
+        case 25 =>
+          stack.push(vLd(getV(stack.pop()), lane * 2, 2))
+        case 26 =>
+          val x = stack.pop(); val out = getV(stack.pop()).clone()
+          vSt(out, lane * 2, 2, x); stack.push(newV(out))
+        case 27 => // i32x4.extract_lane (sign-extended into the slot)
+          stack.push((vLd(getV(stack.pop()), lane * 4, 4) << 32) >> 32)
+        case 28 =>
+          val x = stack.pop(); val out = getV(stack.pop()).clone()
+          vSt(out, lane * 4, 4, x); stack.push(newV(out))
+        case 29 =>
+          stack.push(vLd(getV(stack.pop()), lane * 8, 8))
+        case 30 =>
+          val x = stack.pop(); val out = getV(stack.pop()).clone()
+          vSt(out, lane * 8, 8, x); stack.push(newV(out))
+        case 31 => // f32x4.extract_lane (f32 bits ride the low word)
+          stack.push(vLd(getV(stack.pop()), lane * 4, 4))
+        case 32 =>
+          val x = stack.pop(); val out = getV(stack.pop()).clone()
+          vSt(out, lane * 4, 4, x & 0xFFFFFFFFL); stack.push(newV(out))
+        case 33 =>
+          stack.push(vLd(getV(stack.pop()), lane * 8, 8))
+        case 34 =>
+          val x = stack.pop(); val out = getV(stack.pop()).clone()
+          vSt(out, lane * 8, 8, x); stack.push(newV(out))
+        case other => throw new WasmTrap(s"simd lane subopcode $other")
+      }
+
+    private def simdOp(sub: Int, s: OperandStack): Unit = sub match {
+      case 14 => // i8x16.swizzle
+        val idx = getV(s.pop()); val a = getV(s.pop())
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 16) {
+          val j = idx(i) & 0xFF
+          out(i) = if (j < 16) a(j) else 0
+          i += 1
+        }
+        s.push(newV(out))
+      case 15 | 16 | 17 | 18 => // integer splats
+        val w = 1 << (sub - 15)
+        val x = s.pop()
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 16) { vSt(out, i, w, x); i += w }
+        s.push(newV(out))
+      case 19 => // f32x4.splat (f32 bits in the low word)
+        val x = s.pop() & 0xFFFFFFFFL
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 16) { vSt(out, i, 4, x); i += 4 }
+        s.push(newV(out))
+      case 20 =>
+        val x = s.pop()
+        val out = new Array[Byte](16)
+        vSt(out, 0, 8, x); vSt(out, 8, 8, x)
+        s.push(newV(out))
+
+      // integer comparisons: i8x16 35–44, i16x8 45–54, i32x4 55–64
+      case c if c >= 35 && c <= 64 =>
+        val w = 1 << ((c - 35) / 10)
+        val k = (c - 35) % 10
+        lanewise2(s, w) { (x, y) =>
+          val ux = uns(x, w); val uy = uns(y, w)
+          k match {
+            case 0 => mask(x == y)
+            case 1 => mask(x != y)
+            case 2 => mask(x < y)
+            case 3 => mask(ux < uy)
+            case 4 => mask(x > y)
+            case 5 => mask(ux > uy)
+            case 6 => mask(x <= y)
+            case 7 => mask(ux <= uy)
+            case 8 => mask(x >= y)
+            case 9 => mask(ux >= uy)
+          }
+        }
+      case c if c >= 65 && c <= 70 => // f32x4 cmp
+        val k = c - 65
+        fcmp32(s)((a, b) => k match {
+          case 0 => a == b
+          case 1 => a != b
+          case 2 => a < b
+          case 3 => a > b
+          case 4 => a <= b
+          case 5 => a >= b
+        })
+      case c if c >= 71 && c <= 76 => // f64x2 cmp
+        val k = c - 71
+        fcmp64(s)((a, b) => k match {
+          case 0 => a == b
+          case 1 => a != b
+          case 2 => a < b
+          case 3 => a > b
+          case 4 => a <= b
+          case 5 => a >= b
+        })
+
+      case 77 => // v128.not
+        val a = getV(s.pop())
+        s.push(newV(a.map(b => (~b).toByte)))
+      case 78 | 79 | 80 | 81 => // and andnot or xor
+        val b = getV(s.pop()); val a = getV(s.pop())
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 16) {
+          out(i) = (sub match {
+            case 78 => a(i) & b(i)
+            case 79 => a(i) & ~b(i)
+            case 80 => a(i) | b(i)
+            case 81 => a(i) ^ b(i)
+          }).toByte
+          i += 1
+        }
+        s.push(newV(out))
+      case 82 => // bitselect
+        val c = getV(s.pop()); val b = getV(s.pop()); val a = getV(s.pop())
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 16) {
+          out(i) = ((a(i) & c(i)) | (b(i) & ~c(i))).toByte
+          i += 1
+        }
+        s.push(newV(out))
+      case 83 => // v128.any_true
+        val a = getV(s.pop())
+        s.push(if (a.exists(_ != 0)) 1L else 0L)
+
+      case 94 => // f32x4.demote_f64x2_zero
+        val a = f64All(getV(s.pop()))
+        s.push(newV(packF32(Array(a(0).toFloat, a(1).toFloat, 0f, 0f))))
+      case 95 => // f64x2.promote_low_f32x4
+        val a = f32All(getV(s.pop()))
+        s.push(newV(packF64(Array(a(0).toDouble, a(1).toDouble))))
+
+      // ---- i8x16 block ----
+      case 96 => lanewise1(s, 1)(x => math.abs(x))
+      case 97 => lanewise1(s, 1)(x => -x)
+      case 98 => lanewise1(s, 1)(x => java.lang.Long.bitCount(x & 0xFF).toLong)
+      case 99 => allTrue(s, 1)
+      case 100 => bitmaskOp(s, 1)
+      case 101 => narrow(s, 1, signed = true)
+      case 102 => narrow(s, 1, signed = false)
+      case 103 => fun32(s)(x => math.ceil(x.toDouble).toFloat)
+      case 104 => fun32(s)(x => math.floor(x.toDouble).toFloat)
+      case 105 => fun32(s)(x =>
+        (if (x < 0) math.ceil(x.toDouble) else math.floor(x.toDouble)).toFloat)
+      case 106 => fun32(s)(x => math.rint(x.toDouble).toFloat)
+      case 107 => laneShift(s, 1)((x, n) => x << n)
+      case 108 => laneShift(s, 1)((x, n) => x >> n)
+      case 109 => laneShift(s, 1)((x, n) => (x & 0xFF) >>> n)
+      case 110 => lanewise2(s, 1)(_ + _)
+      case 111 => lanewise2(s, 1)((x, y) => satS(x + y, 1))
+      case 112 => lanewise2(s, 1)((x, y) => satU(uns(x, 1) + uns(y, 1), 1))
+      case 113 => lanewise2(s, 1)(_ - _)
+      case 114 => lanewise2(s, 1)((x, y) => satS(x - y, 1))
+      case 115 => lanewise2(s, 1)((x, y) => satU(uns(x, 1) - uns(y, 1), 1))
+      case 116 => fun64(s)(math.ceil)
+      case 117 => fun64(s)(math.floor)
+      case 118 => lanewise2(s, 1)(math.min)
+      case 119 => lanewise2(s, 1)((x, y) => math.min(uns(x, 1), uns(y, 1)))
+      case 120 => lanewise2(s, 1)(math.max)
+      case 121 => lanewise2(s, 1)((x, y) => math.max(uns(x, 1), uns(y, 1)))
+      case 122 => fun64(s)(x => if (x < 0) math.ceil(x) else math.floor(x))
+      case 123 => lanewise2(s, 1)((x, y) => (uns(x, 1) + uns(y, 1) + 1) >> 1)
+
+      // ---- i16x8 block ----
+      case 128 => lanewise1(s, 2)(math.abs)
+      case 129 => lanewise1(s, 2)(x => -x)
+      case 131 => allTrue(s, 2)
+      case 132 => bitmaskOp(s, 2)
+      case 133 => narrow(s, 2, signed = true)
+      case 134 => narrow(s, 2, signed = false)
+      case e if e >= 135 && e <= 138 => extend(s, 1, e - 135)
+      case 139 => laneShift(s, 2)((x, n) => x << n)
+      case 140 => laneShift(s, 2)((x, n) => x >> n)
+      case 141 => laneShift(s, 2)((x, n) => (x & 0xFFFF) >>> n)
+      case 142 => lanewise2(s, 2)(_ + _)
+      case 143 => lanewise2(s, 2)((x, y) => satS(x + y, 2))
+      case 144 => lanewise2(s, 2)((x, y) => satU(uns(x, 2) + uns(y, 2), 2))
+      case 145 => lanewise2(s, 2)(_ - _)
+      case 146 => lanewise2(s, 2)((x, y) => satS(x - y, 2))
+      case 147 => lanewise2(s, 2)((x, y) => satU(uns(x, 2) - uns(y, 2), 2))
+      case 148 => fun64(s)(math.rint)
+      case 149 => lanewise2(s, 2)(_ * _)
+      case 150 => lanewise2(s, 2)(math.min)
+      case 151 => lanewise2(s, 2)((x, y) => math.min(uns(x, 2), uns(y, 2)))
+      case 152 => lanewise2(s, 2)(math.max)
+      case 153 => lanewise2(s, 2)((x, y) => math.max(uns(x, 2), uns(y, 2)))
+      case 155 => lanewise2(s, 2)((x, y) => (uns(x, 2) + uns(y, 2) + 1) >> 1)
+
+      // ---- i32x4 block ----
+      case 160 => lanewise1(s, 4)(math.abs)
+      case 161 => lanewise1(s, 4)(x => -x)
+      case 163 => allTrue(s, 4)
+      case 164 => bitmaskOp(s, 4)
+      case e if e >= 167 && e <= 170 => extend(s, 2, e - 167)
+      case 171 => laneShift(s, 4)((x, n) => x << n)
+      case 172 => laneShift(s, 4)((x, n) => x >> n)
+      case 173 => laneShift(s, 4)((x, n) => (x & 0xFFFFFFFFL) >>> n)
+      case 174 => lanewise2(s, 4)(_ + _)
+      case 177 => lanewise2(s, 4)(_ - _)
+      case 181 => lanewise2(s, 4)(_ * _)
+      case 182 => lanewise2(s, 4)(math.min)
+      case 183 => lanewise2(s, 4)((x, y) => math.min(uns(x, 4), uns(y, 4)))
+      case 184 => lanewise2(s, 4)(math.max)
+      case 185 => lanewise2(s, 4)((x, y) => math.max(uns(x, 4), uns(y, 4)))
+      case 186 => // i32x4.dot_i16x8_s
+        val b = getV(s.pop()); val a = getV(s.pop())
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 4) {
+          val x0 = (vLd(a, i * 4, 2) << 48) >> 48
+          val y0 = (vLd(b, i * 4, 2) << 48) >> 48
+          val x1 = (vLd(a, i * 4 + 2, 2) << 48) >> 48
+          val y1 = (vLd(b, i * 4 + 2, 2) << 48) >> 48
+          vSt(out, i * 4, 4, x0 * y0 + x1 * y1)
+          i += 1
+        }
+        s.push(newV(out))
+
+      // ---- i64x2 block ----
+      case 192 => lanewise1(s, 8)(math.abs)
+      case 193 => lanewise1(s, 8)(x => -x)
+      case 195 => allTrue(s, 8)
+      case 196 => bitmaskOp(s, 8)
+      case e if e >= 199 && e <= 202 => extend(s, 4, e - 199)
+      case 203 => laneShift(s, 8)((x, n) => x << n)
+      case 204 => laneShift(s, 8)((x, n) => x >> n)
+      case 205 => laneShift(s, 8)((x, n) => x >>> n)
+      case 206 => lanewise2(s, 8)(_ + _)
+      case 209 => lanewise2(s, 8)(_ - _)
+      case 213 => lanewise2(s, 8)(_ * _)
+      case c if c >= 214 && c <= 219 => // i64x2 signed comparisons
+        val k = c - 214
+        lanewise2(s, 8)((x, y) => k match {
+          case 0 => mask(x == y)
+          case 1 => mask(x != y)
+          case 2 => mask(x < y)
+          case 3 => mask(x > y)
+          case 4 => mask(x <= y)
+          case 5 => mask(x >= y)
+        })
+
+      // ---- f32x4 / f64x2 arithmetic ----
+      case 224 => fun32(s)(math.abs)
+      case 225 => fun32(s)(x => -x)
+      case 227 => fun32(s)(x => math.sqrt(x.toDouble).toFloat)
+      case 228 => fbin32(s)(_ + _)
+      case 229 => fbin32(s)(_ - _)
+      case 230 => fbin32(s)(_ * _)
+      case 231 => fbin32(s)(_ / _)
+      case 232 => fbin32(s)((a, b) => // min (NaN-propagating per spec)
+        if (a.isNaN || b.isNaN) Float.NaN else math.min(a, b))
+      case 233 => fbin32(s)((a, b) =>
+        if (a.isNaN || b.isNaN) Float.NaN else math.max(a, b))
+      case 234 => fbin32(s)((a, b) => if (b < a) b else a) // pmin
+      case 235 => fbin32(s)((a, b) => if (a < b) b else a) // pmax
+      case 236 => fun64(s)(math.abs)
+      case 237 => fun64(s)(x => -x)
+      case 239 => fun64(s)(math.sqrt)
+      case 240 => fbin64(s)(_ + _)
+      case 241 => fbin64(s)(_ - _)
+      case 242 => fbin64(s)(_ * _)
+      case 243 => fbin64(s)(_ / _)
+      case 244 => fbin64(s)((a, b) =>
+        if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b))
+      case 245 => fbin64(s)((a, b) =>
+        if (a.isNaN || b.isNaN) Double.NaN else math.max(a, b))
+      case 246 => fbin64(s)((a, b) => if (b < a) b else a)
+      case 247 => fbin64(s)((a, b) => if (a < b) b else a)
+
+      // ---- conversions ----
+      case 248 => // i32x4.trunc_sat_f32x4_s
+        val a = f32All(getV(s.pop()))
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 4) {
+          val v = if (a(i).isNaN) 0L
+            else math.max(Int.MinValue.toLong,
+              math.min(Int.MaxValue.toLong, a(i).toDouble.toLong))
+          vSt(out, i * 4, 4, v)
+          i += 1
+        }
+        s.push(newV(out))
+      case 249 => // i32x4.trunc_sat_f32x4_u
+        val a = f32All(getV(s.pop()))
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 4) {
+          val v = if (a(i).isNaN) 0L
+            else math.max(0L, math.min(0xFFFFFFFFL, a(i).toDouble.toLong))
+          vSt(out, i * 4, 4, v)
+          i += 1
+        }
+        s.push(newV(out))
+      case 250 => // f32x4.convert_i32x4_s
+        val a = getV(s.pop())
+        s.push(newV(packF32(Array.tabulate(4)(i =>
+          ((vLd(a, i * 4, 4) << 32) >> 32).toFloat))))
+      case 251 => // f32x4.convert_i32x4_u
+        val a = getV(s.pop())
+        s.push(newV(packF32(Array.tabulate(4)(i => vLd(a, i * 4, 4).toFloat))))
+      case 252 | 253 => // i32x4.trunc_sat_f64x2_s/_u_zero
+        val a = f64All(getV(s.pop()))
+        val signed = sub == 252
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 2) {
+          val v =
+            if (a(i).isNaN) 0L
+            else if (signed) math.max(Int.MinValue.toLong,
+              math.min(Int.MaxValue.toLong, a(i).toLong))
+            else math.max(0L, math.min(0xFFFFFFFFL, a(i).toLong))
+          vSt(out, i * 4, 4, v)
+          i += 1
+        }
+        s.push(newV(out))
+      case 254 => // f64x2.convert_low_i32x4_s
+        val a = getV(s.pop())
+        s.push(newV(packF64(Array.tabulate(2)(i =>
+          ((vLd(a, i * 4, 4) << 32) >> 32).toDouble))))
+      case 255 => // f64x2.convert_low_i32x4_u
+        val a = getV(s.pop())
+        s.push(newV(packF64(Array.tabulate(2)(i => vLd(a, i * 4, 4).toDouble))))
+
+      // named sub-tier rejections: the fused/widening family LLVM only
+      // emits for specific idioms — loud, like every other feature tier
+      case 130 => throw new WasmTrap(
+        "i16x8.q15mulr_sat_s — unsupported simd128 sub-tier (fixed-point)")
+      case e if e >= 124 && e <= 127 => throw new WasmTrap(
+        "extadd_pairwise — unsupported simd128 sub-tier (widening)")
+      case e if (e >= 156 && e <= 159) || (e >= 188 && e <= 191) ||
+          (e >= 220 && e <= 223) => throw new WasmTrap(
+        "extmul — unsupported simd128 sub-tier (widening)")
+      case other => throw new WasmTrap(s"simd128 subopcode $other unassigned")
     }
 
     private def memLoad(op: Int, offset: Int, stack: OperandStack): Unit = op match {

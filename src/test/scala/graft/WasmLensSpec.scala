@@ -102,6 +102,28 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
   }
 
+  test("a guest built with simd128 (v128 local, i64x2 splat/add, " +
+      "v128.store/load round-trip) replays the MVP guest byte-identically " +
+      "through the lens path") {
+    val simdUrl = dataUrl(LensGuestModules.shiftGuest("Age",
+      viaSimdPath = true))
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L), ("Zed", 0L),
+      ("Big", Long.MaxValue - 2L)).toDF("Name", "Age").coalesce(1)
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val simd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$simdUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    simd shouldBe mvp
+    simd should contain(("Big", Long.MinValue + 2L)) // i64 lane wrap == scalar
+    // inverse derivation still holds through the simd path (P11)
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$simdUrl","arguments":{"delta":5}}]}""")
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
+  }
+
   test("the module's inverse export drives `\"inverse\": true` stages") {
     val fwd = Pipeline.fromJson(
       s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")

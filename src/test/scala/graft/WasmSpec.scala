@@ -324,9 +324,8 @@ class WasmSpec extends AnyFunSuite with Matchers {
   }
 
   test("post-MVP tiers this interpreter doesn't run are rejected with " +
-      "NAMED feature errors, not byte-offset panics - simd128, " +
-      "reference-types, threads (raw-bytes fixtures, as a real " +
-      "-msimd128 guest would arrive)") {
+      "NAMED feature errors, not byte-offset panics - reference-types, " +
+      "threads, relaxed-simd (simd128 itself now DECODES and runs)") {
     val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
     def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
       require(payload.length < 128)
@@ -337,9 +336,10 @@ class WasmSpec extends AnyFunSuite with Matchers {
       assert(e.getMessage.contains(needle),
         s"expected '$needle' in: ${e.getMessage}")
     }
-    // v128 param type in the type section
-    named(header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x7B, 0x00)),
-      "simd128")
+    // v128 param type in the type section: ACCEPTED since the simd tier
+    val v128Type = WasmBinary.decode(
+      header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x7B, 0x00)))
+    assert(v128Type.types.head.params == Vector(ValType.V128))
     // funcref param type
     named(header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x70, 0x00)),
       "reference-types")
@@ -349,21 +349,137 @@ class WasmSpec extends AnyFunSuite with Matchers {
       val code = Array[Byte](0x01, (body.length + 1).toByte, 0x00) ++ body
       header ++ voidType ++ oneFunc ++ sec(10, code)
     }
-    // 0xFD prefix (simd instruction)
-    named(withBody(Array[Byte](0xFD.toByte, 0x0B)), "simd128")
+    // relaxed-simd subopcodes (0xFD >= 256) stay a named tier
+    named(withBody(Array[Byte](0xFD.toByte, 0x80.toByte, 0x02, 0x0B)),
+      "relaxed-simd")
     // 0xFE prefix (atomics)
     named(withBody(Array[Byte](0xFE.toByte, 0x0B)), "threads")
     // ref.null funcref
     named(withBody(Array[Byte](0xD0.toByte, 0x70, 0x0B)), "reference-types")
     // table.get 0
     named(withBody(Array[Byte](0x25, 0x00, 0x0B)), "reference-types")
-    // v128 local declaration
+    // v128 local declaration: accepted
     val codeV128Local = Array[Byte](0x01, 0x04, 0x01, 0x01, 0x7B, 0x0B)
-    named(header ++ voidType ++ oneFunc ++ sec(10, codeV128Local), "simd128")
+    assert(WasmBinary.decode(header ++ voidType ++ oneFunc ++
+      sec(10, codeV128Local)).codes.head.locals == Vector(ValType.V128))
     // a genuinely invalid opcode still reports offset, not a tier
     val e = intercept[WasmDecodeError](
       WasmBinary.decode(withBody(Array[Byte](0xF5.toByte, 0x0B))))
     assert(e.getMessage.contains("unsupported opcode"))
+  }
+
+  test("simd128 tier: lane arithmetic, comparisons, bitmask, shifts, " +
+      "saturation, shuffle/swizzle, memory and lane ops, float lanes, " +
+      "conversions - each checked against scalar-computed lanes") {
+    import WasmInterp.Instance
+    // f() -> i64 harness: build vectors from memory, compute, extract
+    def run(locals: Vector[Byte], body: Instr*): Long = {
+      val m = func(Vector(), Vector(ValType.I64), locals, body: _*)
+      new Instance(WasmBinary.decode(WasmBinary.encode(m)), Map.empty)
+        .invoke("f").head
+    }
+    def constV(bytes: Int*): Instr = SimdConst(bytes.map(_.toByte).toVector)
+    val oneToSixteen = constV(1 to 16: _*)
+
+    // i8x16.add with saturating sibling: 250 + 10 wraps vs saturates
+    val bigBytes = constV(Seq.fill(16)(250): _*)
+    val tens = constV(Seq.fill(16)(10): _*)
+    run(Vector(), bigBytes, tens, SimdOp(110), SimdLane(22, 0)) shouldBe 4L
+    run(Vector(), bigBytes, tens, SimdOp(112), SimdLane(22, 0)) shouldBe 255L
+    // i8x16 signed saturation: 120 + 100 -> 127
+    val p120 = constV(Seq.fill(16)(120): _*)
+    val p100 = constV(Seq.fill(16)(100): _*)
+    run(Vector(), p120, p100, SimdOp(111), SimdLane(21, 3)) shouldBe 127L
+
+    // i32x4: splat, mul, extract
+    run(Vector(), I32Const(7), SimdOp(17), I32Const(-3), SimdOp(17),
+      SimdOp(181), SimdLane(27, 2)) shouldBe -21L
+    // i64x2: splat, add, extract lane 1
+    run(Vector(), I64Const(1L << 40), SimdOp(18), I64Const(5), SimdOp(18),
+      SimdOp(206), SimdLane(29, 1)) shouldBe (1L << 40) + 5L
+
+    // comparisons produce all-ones lanes; bitmask collects sign bits
+    run(Vector(), oneToSixteen, constV(Seq.fill(16)(8): _*),
+      SimdOp(39) /* i8x16.gt_s */, SimdOp(100) /* bitmask */) shouldBe
+      0xFF00L // lanes 8..15 hold 9..16 > 8
+    // all_true / any_true
+    run(Vector(), oneToSixteen, SimdOp(99)) shouldBe 1L
+    run(Vector(), constV(Seq.fill(16)(0): _*), SimdOp(83)) shouldBe 0L
+
+    // shifts: i16x8.shl by 3 then shr_u back
+    run(Vector(), I32Const(5), SimdOp(16), I32Const(3), SimdOp(139),
+      I32Const(3), SimdOp(141), SimdLane(25, 7)) shouldBe 5L
+    // i32x4.shr_s keeps the sign
+    run(Vector(), I32Const(-64), SimdOp(17), I32Const(4), SimdOp(172),
+      SimdLane(27, 0)) shouldBe -4L
+
+    // shuffle reverses; swizzle indexes (OOB lane -> 0)
+    run(Vector(), oneToSixteen, oneToSixteen,
+      SimdShuffle((15 to 0 by -1).toVector), SimdLane(22, 0)) shouldBe 16L
+    run(Vector(), oneToSixteen, constV(1, 0, 255, 3, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0), SimdOp(14), SimdLane(22, 2)) shouldBe 0L
+
+    // not/and/or/xor/andnot/bitselect
+    run(Vector(), constV(Seq.fill(16)(0xF0): _*), SimdOp(77),
+      SimdLane(22, 5)) shouldBe 0x0FL
+    run(Vector(), constV(Seq.fill(16)(0xCC): _*),
+      constV(Seq.fill(16)(0xAA): _*), SimdOp(81) /* v128.xor */,
+      SimdLane(22, 0)) shouldBe (0xCC ^ 0xAA).toLong
+    run(Vector(), constV(Seq.fill(16)(0xCC): _*),
+      constV(Seq.fill(16)(0xAA): _*), SimdOp(79) /* v128.andnot */,
+      SimdLane(22, 0)) shouldBe (0xCC & ~0xAA & 0xFF).toLong
+    run(Vector(), constV(Seq.fill(16)(0b1100): _*),
+      constV(Seq.fill(16)(0b1010): _*), constV(Seq.fill(16)(0b0110): _*),
+      SimdOp(82), SimdLane(22, 0)) shouldBe 0b1100L // (a&c)|(b&~c) = 4|8
+
+    // v128.load / store round-trip through linear memory
+    run(Vector(ValType.V128),
+      oneToSixteen, LocalSet(0),
+      I32Const(128), LocalGet(0), SimdMem(11, 0, 0), // store
+      I32Const(128), SimdMem(0, 0, 0), // load
+      SimdLane(22, 9)) shouldBe 10L
+    // load32_splat + load64_zero + lane load
+    run(Vector(),
+      I32Const(64), I32Const(0x01020304), MemStore(0x36, 0, 0), // i32.store
+      I32Const(64), SimdMem(9, 0, 0), SimdLane(27, 3)) shouldBe 0x01020304L
+    run(Vector(),
+      I32Const(64), I64Const(-1L), MemStore(0x37, 0, 0),
+      I32Const(64), SimdMem(93, 0, 0), SimdLane(29, 1)) shouldBe 0L
+    run(Vector(ValType.V128),
+      oneToSixteen, LocalSet(0),
+      I32Const(64), I32Const(0x55), MemStore(0x3A, 0, 0), // i32.store8
+      I32Const(64), LocalGet(0), SimdMemLane(84, 0, 0, 4),
+      SimdLane(22, 4)) shouldBe 0x55L
+
+    // extend / narrow / dot
+    run(Vector(), constV((1 to 16).map(_ => 200): _*),
+      SimdOp(137) /* i16x8.extend_low_i8x16_u */,
+      SimdLane(25, 0)) shouldBe 200L
+    run(Vector(), I32Const(70000), SimdOp(17), I32Const(70000), SimdOp(17),
+      SimdOp(133) /* i16x8.narrow_i32x4_s saturates */,
+      SimdLane(24, 0)) shouldBe 32767L
+    run(Vector(), I32Const(3), SimdOp(16), I32Const(4), SimdOp(16),
+      SimdOp(186) /* dot: 3*4 + 3*4 per i32 lane */,
+      SimdLane(27, 1)) shouldBe 24L
+
+    // float lanes: f32x4 arithmetic + trunc_sat + convert
+    val f2_5 = java.lang.Float.floatToRawIntBits(2.5f).toLong & 0xFFFFFFFFL
+    run(Vector(), I32Const(f2_5.toInt), SimdOp(19), // f32x4.splat(2.5)
+      I32Const(f2_5.toInt), SimdOp(19), SimdOp(230), // mul -> 6.25
+      SimdOp(248), SimdLane(27, 0)) shouldBe 6L // trunc_sat_s
+    run(Vector(), I32Const(-7), SimdOp(17), SimdOp(250), // convert_i32x4_s
+      SimdOp(224), // f32x4.abs
+      SimdOp(248), SimdLane(27, 2)) shouldBe 7L
+    // f64x2: splat via convert_low, add, extract bits
+    val d = run(Vector(), I32Const(3), SimdOp(17), SimdOp(254), // f64x2 (3.0, 3.0)
+      I32Const(4), SimdOp(17), SimdOp(254), SimdOp(240), // + (4,4)
+      SimdLane(33, 1))
+    java.lang.Double.longBitsToDouble(d) shouldBe 7.0
+
+    // named sub-tier rejections surface as traps with the tier name
+    val eT = intercept[WasmTrap](run(Vector(), oneToSixteen, oneToSixteen,
+      SimdOp(156)))
+    assert(eT.getMessage.contains("extmul"))
   }
 
   test("sign-extension operators (emitted by LLVM by default)") {
