@@ -15,11 +15,18 @@ package graft.operators
  * streams, ID3v2.x prefix (syncsafe size), Xing/Info and VBRI headers.
  * Loud NAMED failures: Layer I/II (different frame-length formula —
  * out of the MP3 contract), free-format bitrate, reserved
- * version/samplerate indices, bad sync, truncated frames. Full
- * Layer-III AUDIO decode (huffman + IMDCT + synthesis filterbank)
- * stays a documented [[Multimodal.Codec]] seam — [[decodeMp3Audio]]
- * throws a named rejection, mirroring the MP3/H.264/WebP note at
- * `Multimodal.scala` (reference keeps codecs behind opaque guests:
+ * version/samplerate indices, bad sync, truncated frames.
+ *
+ * AUDIO decode ([[decodeMp3]]) runs at the SILENCE-EXACT tier: the
+ * frame walk, bit reservoir (main_data_begin back-pointers), side-info
+ * parse, scfsi handling and MPEG-1 long-block scalefactor decode are
+ * real and oracle-certified (`mm_mp3_decode`); empty-spectrum granules
+ * reconstruct to exact silence through the whole chain. NAMED seams:
+ * the Annex-B huffman code tables (any non-empty spectrum), the
+ * Annex-B.3 synthesis window (any nonzero PCM), short-block
+ * scalefactors, LSF scalefactors — spec appendix data unavailable in
+ * this offline environment, mirroring the Vp8 probability-table seam.
+ * (reference keeps codecs behind opaque guests:
  * reference: host-go/engine/engine.go:1).
  *
  * 100 TB shape: the walk is partition-local per payload (a few bytes
@@ -58,13 +65,22 @@ object Mp3 {
       ((p(0) == 'I' && p(1) == 'D' && p(2) == '3') ||
        (p.length >= 2 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xE0) == 0xE0))
 
-  /** Named seam: Layer-III audio decode is NOT implemented — metadata
-   *  triage only. Mirrors the reference's opaque-codec stance. */
-  def decodeMp3Audio(p: Array[Byte]): (Int, Array[Float]) =
-    throw new UnsupportedOperationException(
-      "MP3 Layer-III audio decode not implemented: metadata walk only " +
-        "(Mp3.mp3Meta / mm_mp3_meta); decode is a documented Codec seam " +
-        "like H.264/WebP")
+  /** Layer-III audio decode, SILENCE-EXACT TIER (the ADPCM
+   *  constant-block precedent): real frame walk, bit reservoir
+   *  (main_data_begin back-pointers into previous frames' main data),
+   *  side-info parse, and long-block scalefactor decode — then an
+   *  exact all-zero reconstruction for granules whose spectrum is
+   *  empty (big_values = 0 and no count1 bits): zero spectrum →
+   *  zero requant → zero IMDCT/overlap → zero polyphase output, every
+   *  stage of which is exact without the spec's appendix data. NAMED
+   *  seams (loud, enumerated in [[decodeMp3]]): the Annex-B huffman
+   *  tables (any non-empty spectrum), the Annex-B.3 synthesis window
+   *  (any nonzero PCM), short-block scalefactors, MPEG-2 LSF
+   *  scalefactors. Returns (sampleRate, mono-mixed PCM). */
+  def decodeMp3Audio(p: Array[Byte]): (Int, Array[Float]) = {
+    val d = decodeMp3(p)
+    (d.sampleRate, d.pcm)
+  }
 
   /** Walk the whole stream and account every frame. */
   def mp3Meta(p: Array[Byte]): Mp3Meta = {
@@ -209,4 +225,238 @@ object Mp3 {
 
   /** Legal MPEG-1 Layer III bitrate for a seed byte: index 1 + b mod 14. */
   def kbpsForSeed(b: Int): Int = BitrateV1(1 + ((b & 0xFF) % 14))
+
+  // -------------------------------------------------- Layer III decode
+
+  /** MPEG-1 scalefac_compress → (slen1, slen2) (spec table B.5 — tiny,
+   *  published in the normative text, not appendix data). */
+  private val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+  private val Slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+
+  private final class BitReader(b: Array[Byte]) {
+    var pos = 0 // bit position
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+  }
+
+  private final case class GranuleSide(part23: Int, bigValues: Int,
+      globalGain: Int, scalefacCompress: Int, windowSwitching: Boolean,
+      blockType: Int, preflag: Int, scalefacScale: Int, count1Table: Int)
+
+  final case class Mp3Decoded(sampleRate: Int, channels: Int,
+      pcm: Array[Float], scalefacSum: Long)
+
+  /** Decode an MPEG-1 Layer III stream at the silence-exact tier (see
+   *  [[decodeMp3Audio]]). `scalefacSum` is the sum of every decoded
+   *  scalefactor — the oracle-checkable witness that the side-info /
+   *  reservoir / scalefactor machinery read the right bits. */
+  def decodeMp3(p: Array[Byte]): Mp3Decoded = {
+    val meta = mp3Meta(p) // validates sync/params; names Layer/version tiers
+    require(meta.version == 1,
+      "MPEG-2/2.5 (LSF) scalefactor decode — named seam (different " +
+        "scalefac_compress partitioning); MPEG-1 Layer III only")
+    val ch = meta.channels
+    var at = meta.id3Size
+    val reservoir = new java.io.ByteArrayOutputStream(p.length)
+    var scalefacSum = 0L
+    var frame = 0
+    // per-channel granule-0 scalefactors of the CURRENT frame (for scfsi)
+    val gr0Scf = Array.fill(ch)(new Array[Int](21))
+    while (at + 4 <= p.length) {
+      val b2 = p(at + 2) & 0xFF
+      val brIdx = (b2 >> 4) & 0xF
+      val padding = (b2 >> 1) & 1
+      val kbps = BitrateV1(brIdx)
+      val len = (144000L * kbps / meta.sampleRate).toInt + padding
+      val sideLen = if (ch == 1) 17 else 32
+      val side = new BitReader(
+        java.util.Arrays.copyOfRange(p, at + 4, at + 4 + sideLen))
+      val mainDataBegin = side.bits(9)
+      side.bits(if (ch == 1) 5 else 3) // private bits
+      val scfsi = Array.fill(ch)(Array.fill(4)(side.bits(1) == 1))
+      val grs = Array.fill(2, ch) {
+        val part23 = side.bits(12)
+        val bigValues = side.bits(9)
+        val globalGain = side.bits(8)
+        val sc = side.bits(4)
+        val ws = side.bits(1) == 1
+        var blockType = 0
+        if (ws) {
+          blockType = side.bits(2)
+          side.bits(1) // mixed_block_flag
+          side.bits(5); side.bits(5) // 2 table selects
+          side.bits(3); side.bits(3); side.bits(3) // subblock gains
+        } else {
+          side.bits(5); side.bits(5); side.bits(5) // 3 table selects
+          side.bits(4); side.bits(3) // region0/1 counts
+        }
+        val pre = side.bits(1)
+        val sfScale = side.bits(1)
+        val c1t = side.bits(1)
+        GranuleSide(part23, bigValues, globalGain, sc, ws, blockType,
+          pre, sfScale, c1t)
+      }
+      // main data joins the reservoir; this frame's granules start
+      // mainDataBegin BYTES back from its own first main-data byte
+      val frameMainStart = reservoir.size
+      reservoir.write(p, at + 4 + sideLen, len - 4 - sideLen)
+      require(mainDataBegin <= frameMainStart,
+        s"frame $frame main_data_begin $mainDataBegin reaches before " +
+          "the reservoir start")
+      val main = new BitReader(reservoir.toByteArray)
+      main.pos = (frameMainStart - mainDataBegin) * 8
+      var gr = 0
+      while (gr < 2) {
+        var c = 0
+        while (c < ch) {
+          val g = grs(gr)(c)
+          val start = main.pos
+          require(!(g.windowSwitching && g.blockType == 2),
+            "short-block scalefactor layout — named seam (long blocks only)")
+          val s1 = Slen1(g.scalefacCompress)
+          val s2 = Slen2(g.scalefacCompress)
+          val scf = new Array[Int](21)
+          // scfsi groups (long blocks): bands 0-5, 6-10, 11-15, 16-20;
+          // a set bit means granule 1 reuses granule 0's values
+          val groups = Array((0, 6), (6, 11), (11, 16), (16, 21))
+          var gi = 0
+          while (gi < 4) {
+            val (lo, hi) = groups(gi)
+            val reuse = gr == 1 && scfsi(c)(gi)
+            var i = lo
+            while (i < hi) {
+              val slen = if (i <= 10) s1 else s2
+              scf(i) =
+                if (reuse) gr0Scf(c)(i)
+                else if (slen == 0) 0
+                else main.bits(slen)
+              if (!reuse) scalefacSum += scf(i)
+              i += 1
+            }
+            gi += 1
+          }
+          if (gr == 0) System.arraycopy(scf, 0, gr0Scf(c), 0, 21)
+          val used = main.pos - start
+          require(used <= g.part23,
+            s"scalefactors ($used bits) overran part2_3_length ${g.part23}")
+          if (g.part23 > used) {
+            // the remaining bits are huffman spectrum (big_values pairs +
+            // count1 quadruples) — the Annex-B code tables are the seam
+            throw new UnsupportedOperationException(
+              s"frame $frame gr $gr: ${g.part23 - used} bits of huffman " +
+                "spectrum — named seam: MPEG-1 Annex-B huffman tables " +
+                "(and the B.3 synthesis window) unavailable offline; " +
+                "empty-spectrum (silent) granules decode exactly")
+          }
+          // empty spectrum: requant(0) = 0, stereo/alias no-ops on zero,
+          // IMDCT of zeros is zeros, overlap-add state stays zero, and
+          // the polyphase synthesis of a zero V vector is zero for ANY
+          // window — the one tier exact without Annex B.3.
+          c += 1
+        }
+        gr += 1
+      }
+      frame += 1
+      at += len
+    }
+    Mp3Decoded(meta.sampleRate, ch,
+      new Array[Float](frame * 1152), scalefacSum)
+  }
+
+  /** Fixture-grade SILENT MPEG-1 Layer III encoder: `nFrames` mono
+   *  frames at 128 kbps / 32 kHz (exact 576-byte frames, no padding).
+   *  Every granule codes big_values = 0 and part2_3_length = exactly
+   *  its scalefactor bits, with scalefactor values
+   *  `(seed + 7·granuleIdx + band) mod 2^slen` — so the decode output
+   *  is silence and [[decodeMp3]]'s `scalefacSum` is a closed form an
+   *  oracle replays. Frames after the first park their scalefactor
+   *  bits at the END of the PREVIOUS frame's main data and point back
+   *  via main_data_begin — the bit-reservoir path runs for real. */
+  def encodeMp3Silence(seed: Long, scalefacCompress: Int,
+      nFrames: Int = 2, scfsiAll: Boolean = false): Array[Byte] = {
+    require(scalefacCompress >= 0 && scalefacCompress < 16)
+    require(nFrames >= 1)
+    val s1 = Slen1(scalefacCompress)
+    val s2 = Slen2(scalefacCompress)
+    val grBits = 11 * s1 + 10 * s2
+    val frameLen = 576 // 144000*128/32000, no padding
+    val mainLen = frameLen - 4 - 17
+    // with scfsi all-set, granule 1 reuses granule 0's values: no bits
+    val codedGranules = if (scfsiAll) 1 else 2
+    val resvBytes = (codedGranules * grBits + 7) / 8 // one frame's data
+
+    final class BitWriter(n: Int) {
+      val b = new Array[Byte](n)
+      var pos = 0
+      def bits(v: Int, k: Int): Unit = {
+        var i = k - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) != 0) b(pos >> 3) = (b(pos >> 3) |
+            (1 << (7 - (pos & 7)))).toByte
+          pos += 1
+          i -= 1
+        }
+      }
+    }
+
+    def scfBits(w: BitWriter, frameIdx: Int): Unit = {
+      var gr = 0
+      while (gr < codedGranules) {
+        val g = frameIdx * 2 + gr
+        var i = 0
+        while (i < 21) {
+          val slen = if (i <= 10) s1 else s2
+          if (slen > 0)
+            w.bits(((seed + 7 * g + i) % (1L << slen)).toInt, slen)
+          i += 1
+        }
+        gr += 1
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream(nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xFF); out.write(0xFB) // MPEG-1 Layer III, no CRC
+      out.write((0x09 << 4) | (2 << 2)) // 128 kbps (idx 9), 32 kHz (idx 2)
+      out.write(0xC0) // mono
+      val side = new BitWriter(17)
+      side.bits(if (f == 0) 0 else resvBytes, 9) // main_data_begin
+      side.bits(0, 5) // private
+      side.bits(if (scfsiAll) 0xF else 0, 4) // scfsi
+      var gr = 0
+      while (gr < 2) {
+        // granule 1 under all-set scfsi reuses granule 0: zero bits
+        side.bits(if (gr == 1 && scfsiAll) 0 else grBits, 12)
+        side.bits(0, 9) // big_values
+        side.bits(210, 8) // global_gain (unused on empty spectrum)
+        side.bits(scalefacCompress, 4)
+        side.bits(0, 1) // window_switching = 0 (long block)
+        side.bits(0, 5); side.bits(0, 5); side.bits(0, 5) // table selects
+        side.bits(0, 4); side.bits(0, 3) // region counts
+        side.bits(0, 1); side.bits(0, 1); side.bits(0, 1) // pre/scale/c1t
+        gr += 1
+      }
+      out.write(side.b, 0, 17)
+      val main = new BitWriter(mainLen)
+      if (f == 0) scfBits(main, 0) // frame 0's own granules, inline
+      if (f + 1 < nFrames) {
+        // park the NEXT frame's granule bits at the end of this main data
+        val tail = new BitWriter(resvBytes)
+        scfBits(tail, f + 1)
+        System.arraycopy(tail.b, 0, main.b, mainLen - resvBytes, resvBytes)
+      }
+      out.write(main.b, 0, mainLen)
+      f += 1
+    }
+    out.toByteArray
+  }
 }

@@ -885,6 +885,7 @@ object Multimodal {
     override def decodeAudio(p: Array[Byte]): (Int, Array[Float]) =
       if (Adpcm.isAdpcmWav(p)) Adpcm.decodeAdpcmWav(p)
       else if (Containers.isWav(p)) Containers.decodeWav(p)
+      else if (Mp3.isMp3(p)) Mp3.decodeMp3Audio(p) // silence-exact tier
       else FakeCodec.decodeAudio(p)
   }
 

@@ -703,6 +703,55 @@ object MultimodalQueries extends QueryProvider {
       |    AS id3_size
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** MP3 LAYER-III DECODE, silence-exact tier — real MPEG-1 frames
+   *  (side info, bit reservoir with main_data_begin back-pointers into
+   *  the previous frame's main data, long-block scalefactor coding
+   *  spanning all 16 scalefac_compress slen pairs) decoded through
+   *  [[Mp3.decodeMp3]]: empty-spectrum granules reconstruct to exact
+   *  silence, and the decoded-scalefactor sum is the oracle-checkable
+   *  witness that the reservoir/side-info/scalefactor machinery read
+   *  exactly the right bits. Huffman spectrum + the synthesis window
+   *  stay NAMED seams ([[Mp3]] Scaladoc). */
+  private def mp3Decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 16).cast("int").as("sc"))
+      .as[(Long, Int)]
+      .map { case (id, sc) =>
+        val d = graft.operators.Mp3.decodeMp3(
+          graft.operators.Mp3.encodeMp3Silence(id, sc))
+        val maxAbs =
+          if (d.pcm.isEmpty) 0L
+          else math.round(d.pcm.map(math.abs).max * 255f).toLong
+        (id, d.sampleRate.toLong, d.channels.toLong, d.pcm.length.toLong,
+          maxAbs, d.scalefacSum)
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_samples",
+        "max_abs_pcm", "scalefac_sum")
+  }
+
+  private val mp3DecodeSql =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS sc FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    ([1,1,1,1,8,2,2,2,4,4,4,8,8,8,16,16])[sc + 1] AS m1,
+      |    ([1,2,4,8,1,2,4,8,2,4,8,2,4,8,4,8])[sc + 1] AS m2
+      |  FROM p
+      |), v AS (
+      |  SELECT doc_id,
+      |    (doc_id + 7 * g.range + b.range)
+      |      % (CASE WHEN b.range <= 10 THEN m1 ELSE m2 END) AS scf
+      |  FROM s, range(0, 4) g, range(0, 21) b
+      |)
+      |SELECT doc_id,
+      |  CAST(32000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(2304 AS BIGINT) AS n_samples,
+      |  CAST(0 AS BIGINT) AS max_abs_pcm,
+      |  CAST(sum(scf) AS BIGINT) AS scalefac_sum
+      |FROM v GROUP BY doc_id""".stripMargin
+
   /** ANIMATED GIF 1:N frame explode — the GIF sibling of
    *  `mm_avi_frames`: 24 md5 bytes become an 8-color global palette,
    *  `withAnimatedGifPayload` writes a real 4-frame GIF89a whose frames
@@ -940,6 +989,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_roundtrip"   -> (gifRoundtrip _),
     "mm_gif_frames"      -> (gifFrames _),
     "mm_mp3_meta"        -> (mp3Meta _),
+    "mm_mp3_decode"      -> (mp3Decode _),
     "mm_png_tiers"       -> (pngTiers _),
     "mm_webp_roundtrip"  -> (webpRoundtrip _),
     "mm_webp_lossy"      -> (webpLossy _),
@@ -965,6 +1015,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_roundtrip"   -> gifRoundtripSql,
     "mm_gif_frames"      -> gifFramesSql,
     "mm_mp3_meta"        -> mp3MetaSql,
+    "mm_mp3_decode"      -> mp3DecodeSql,
     "mm_png_tiers"       -> pngTiersSql,
     "mm_webp_roundtrip"  -> webpRoundtripSql,
     "mm_webp_lossy"      -> webpLossySql,

@@ -889,10 +889,67 @@ class MultimodalSpec extends AnyFunSuite {
       Mp3.mp3Meta(java.util.Arrays.copyOf(bare, bare.length - 3)))
     assert(eT.getMessage.contains("truncated") ||
       eT.getMessage.contains("trailing"), eT.getMessage)
-    // audio decode is a documented seam, not a silent stub
-    val eD = intercept[UnsupportedOperationException](
-      Mp3.decodeMp3Audio(bare))
-    assert(eD.getMessage.contains("metadata walk only"), eD.getMessage)
+    // zeroed side info = empty spectrum: the silence tier decodes it
+    val (srD, pcmD) = Mp3.decodeMp3Audio(bare)
+    assert(srD == 44100 && pcmD.length == 6 * 1152 && pcmD.forall(_ == 0f))
+  }
+
+  test("Mp3: silence-tier Layer III decode — bit reservoir, scfsi reuse, " +
+      "scalefactor sums, SniffCodec dispatch, and named seams for " +
+      "huffman spectrum / short blocks / LSF") {
+    import graft.operators.{Mp3, Multimodal}
+    // 3 frames: frame 1 and 2's scalefactor bits live in the PREVIOUS
+    // frame's main data (main_data_begin reservoir path)
+    val p = Mp3.encodeMp3Silence(seed = 42L, scalefacCompress = 9, nFrames = 3)
+    val d = Mp3.decodeMp3(p)
+    assert(d.sampleRate == 32000 && d.channels == 1)
+    assert(d.pcm.length == 3 * 1152 && d.pcm.forall(_ == 0f))
+    // expected sum: granules g = 0..5, bands 0..10 slen1=2, 11..20 slen2=2
+    val want = (0 until 6).flatMap(g => (0 until 21).map(i =>
+      (42L + 7 * g + i) % 4)).sum
+    assert(d.scalefacSum == want, s"${d.scalefacSum} != $want")
+    // scfsi all-set: granule 1 of each frame reuses granule 0's values
+    val ps = Mp3.encodeMp3Silence(42L, 9, nFrames = 2, scfsiAll = true)
+    val ds = Mp3.decodeMp3(ps)
+    val wantS = Seq(0, 2).flatMap(g => (0 until 21).map(i =>
+      (42L + 7 * g + i) % 4)).sum
+    assert(ds.scalefacSum == wantS, s"${ds.scalefacSum} != $wantS")
+    assert(ds.pcm.length == 2 * 1152 && ds.pcm.forall(_ == 0f))
+    // slen=0 compress index: zero scalefactor bits end-to-end
+    assert(Mp3.decodeMp3(Mp3.encodeMp3Silence(7L, 0)).scalefacSum == 0L)
+    // SniffCodec routes MP3 bytes to the silence tier
+    val (sr, pcm) = Multimodal.SniffCodec.decodeAudio(p)
+    assert(sr == 32000 && pcm.length == 3 * 1152)
+    // huffman spectrum is a NAMED seam: flip granule 0's
+    // scalefac_compress from 9 (2,2 -> 42 scf bits) to 8 (2,1 -> 32),
+    // leaving part2_3_length at 42 — the 10 leftover bits read as
+    // huffman spectrum. The field sits at side-info bit offset
+    // 18 + 12 + 9 + 8 = 47 (main_data_begin 9 + private 5 + scfsi 4,
+    // then part2_3_length/big_values/global_gain).
+    val hp = Mp3.encodeMp3Silence(42L, 9, nFrames = 1)
+    val sideStart = 4
+    def flipScTo8(b: Array[Byte]): Array[Byte] = {
+      val out = b.clone()
+      var acc = 0L
+      for (k <- 0 until 8) acc = (acc << 8) | (out(sideStart + k) & 0xFFL)
+      val shift = 64 - 47 - 4
+      assert(((acc >> shift) & 0xF) == 9, "scalefac_compress field moved")
+      val upd = (acc & ~(0xFL << shift)) | (8L << shift)
+      for (k <- 0 until 8)
+        out(sideStart + k) = ((upd >> (8 * (7 - k))) & 0xFF).toByte
+      out
+    }
+    val eH = intercept[UnsupportedOperationException](
+      Mp3.decodeMp3(flipScTo8(hp)))
+    assert(eH.getMessage.contains("huffman"), eH.getMessage)
+    assert(eH.getMessage.contains("named seam"), eH.getMessage)
+    // LSF (MPEG-2) decode is a named seam (or the stream fails the
+    // frame walk first — either way a named error, never garbage PCM)
+    val lsf = hp.clone(); lsf(1) = 0xF3.toByte // version bits -> MPEG-2
+    val eLsf = intercept[Exception](Mp3.decodeMp3(lsf))
+    assert(eLsf.getMessage.contains("LSF") ||
+      eLsf.getMessage.contains("frame") ||
+      eLsf.getMessage.contains("trailing"), eLsf.getMessage)
   }
 
   test("Gif: animated decode composites transparency and all three " +
