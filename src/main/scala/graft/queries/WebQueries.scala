@@ -398,6 +398,62 @@ object WebQueries extends QueryProvider {
       |  CAST(sum(tokens) AS BIGINT) AS corpus_tokens
       |FROM c GROUP BY lang""".stripMargin
 
+  /** CRAWL-GATE BATCH FACE — the decision body the streaming
+   *  politeness gate runs per micro-batch
+   *  ([[graft.streaming.StreamingLens.crawlDecide]]), certified against
+   *  DuckDB: fetch-candidate URLs (some needing canonicalization —
+   *  uppercase scheme/host, explicit default port) probe a per-host
+   *  robots table (one host per `source`; /private/ disallowed with a
+   *  crawl delay derived from the source name; every third host absent
+   *  → RFC no-robots default). The oracle predicts canonical URL, host,
+   *  verdict, matched rule, delay and sitemap count from the columns.
+   *  100 TB shape: see crawlDecide — broadcast host-dim join, per-row
+   *  decision, no shuffle. */
+  private def crawlGateBatch(s: SparkSession, dir: String): DataFrame = {
+    val urls = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("HTTPS://"))
+          .otherwise(lit("https://")),
+        when(pmod(col("doc_id"), lit(5)) === 0, upper(col("source")))
+          .otherwise(col("source")),
+        lit(".example.com"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(":443")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("/private/doc"), col("doc_id")))
+          .otherwise(concat(lit("/pub/doc"), col("doc_id")))).as("url"))
+    // robots dimension: sources ending in 2/5/8 have NO robots row
+    val robots = T(s, dir, "documents").select(col("source")).distinct()
+      .where(!substring(col("source"), -1, 1).isin("2", "5", "8"))
+      .select(concat(col("source"), lit(".example.com")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
+          (ascii(substring(col("source"), -1, 1)) % 5).cast("string"),
+          lit("\nSitemap: https://x.test/map.xml\n")).as("robots"))
+    graft.streaming.StreamingLens
+      .crawlDecide(urls, "url", "graftbot/1.0", robots)
+      .select(col("doc_id"), col("canon_url"), col("host"), col("allowed"),
+        col("matched_rule"), col("crawl_delay_ms"), col("n_sitemaps"))
+  }
+
+  private val crawlGateBatchSql =
+    """WITH u AS (
+      |  SELECT doc_id, source,
+      |    source[-1] IN ('2', '5', '8') AS norobots
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  'https://' || source || '.example.com' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '/private/doc' ELSE '/pub/doc' END ||
+      |    CAST(doc_id AS VARCHAR) AS canon_url,
+      |  source || '.example.com' AS host,
+      |  (norobots OR doc_id % 2 = 1) AS allowed,
+      |  CASE WHEN NOT norobots AND doc_id % 2 = 0 THEN '/private/'
+      |       ELSE '' END AS matched_rule,
+      |  CAST(CASE WHEN norobots THEN -1
+      |            ELSE (ascii(source[-1]) % 5) * 1000 END AS BIGINT)
+      |    AS crawl_delay_ms,
+      |  CAST(CASE WHEN norobots THEN 0 ELSE 1 END AS BIGINT) AS n_sitemaps
+      |FROM u""".stripMargin
+
   /** SITEMAP DISCOVERY — the fetch-side complement of `text_robots`
    *  (whose Sitemap: lines point here): each document carries a 2-entry
    *  urlset built from its columns (entity in the loc, lastmod,
@@ -539,7 +595,8 @@ object WebQueries extends QueryProvider {
     "text_url_canon" -> (urlCanon _),
     "pipeline_host_rank" -> (hostRank _),
     "text_html_main" -> (htmlMain _),
-    "pipeline_crawl_main" -> (crawlMain _)
+    "pipeline_crawl_main" -> (crawlMain _),
+    "pipeline_crawl_gate" -> (crawlGateBatch _)
   )
 
   override def oracles: Map[String, String] = Map(
@@ -553,6 +610,7 @@ object WebQueries extends QueryProvider {
     "text_url_canon" -> urlCanonSql,
     "pipeline_host_rank" -> hostRankSql,
     "text_html_main" -> htmlMainSql,
-    "pipeline_crawl_main" -> crawlMainSql
+    "pipeline_crawl_main" -> crawlMainSql,
+    "pipeline_crawl_gate" -> crawlGateBatchSql
   )
 }
