@@ -1093,6 +1093,126 @@ object Vp8 {
     out.toByteArray
   }
 
+  /** Fixture: a single-MB (16×16) key frame whose FIRST luma block
+   *  carries arbitrary quantized coefficient LEVELS in zigzag-scan
+   *  order (index = scan position c; position 0 is ignored — the DC
+   *  rides the empty Y2 block and is 0). Exercises the token paths the
+   *  solid fixture can't: zero runs (the no-EOB-after-zero tree
+   *  offset), band progression, context transitions 0→1→2, category
+   *  extra bits mid-block, and the full-block no-trailing-EOB case.
+   *  Everything else (Y2, other Y blocks, chroma) codes empty. */
+  def encodeCoeffBlock(levels: Array[Int], qIndex: Int = 0): Array[Byte] = {
+    require(levels.length == 16)
+    val bd = new BoolEnc
+    bd.literal(0, 1); bd.literal(0, 1) // color space, clamping
+    bd.bool(0, 128) // segmentation off
+    bd.literal(0, 1); bd.literal(0, 6); bd.literal(0, 3) // filter off
+    bd.bool(0, 128) // lf adj off
+    bd.literal(0, 2) // 1 token partition
+    bd.literal(qIndex, 7)
+    var i = 0
+    while (i < 5) { bd.bool(0, 128); i += 1 }
+    bd.bool(0, 128) // refresh entropy probs
+    var pl = 0
+    while (pl < 4) {
+      var band = 0
+      while (band < 8) {
+        var ctx = 0
+        while (ctx < 3) {
+          var n = 0
+          while (n < 11) {
+            bd.bool(0, CoeffUpdateProbs(pl)(band)(ctx)(n)); n += 1
+          }
+          ctx += 1
+        }
+        band += 1
+      }
+      pl += 1
+    }
+    bd.bool(0, 128) // mb_no_skip_coeff OFF: every MB carries tokens
+    bd.tree(KfYModeTree, KfYModeProbs, DC_PRED)
+    bd.tree(UvModeTree, KfUvModeProbs, DC_PRED)
+    val part1 = bd.toBytes
+
+    val te = new BoolEnc
+    val probs = DefaultCoeffProbs
+    /** Write one block's token stream mirroring the decoder's context
+     *  walk exactly. `levels(c)` is the level at scan position c. */
+    def writeBlock(plane: Int, first: Int, lv: Array[Int],
+        ctx0: Int): Boolean = {
+      var lastNz = 15
+      while (lastNz >= first && lv(lastNz) == 0) lastNz -= 1
+      var ctx = ctx0
+      var skipEob = false
+      var c = first
+      if (lastNz < first) {
+        te.tree(CoeffTree, probs(plane)(CoeffBands(first))(ctx0), EOB)
+        return false
+      }
+      while (c <= lastNz) {
+        val band = CoeffBands(c)
+        val v = lv(c)
+        if (v == 0) {
+          te.tree(CoeffTree, probs(plane)(band)(ctx), DCT_0,
+            if (skipEob) 2 else 0)
+          ctx = 0; skipEob = true
+        } else {
+          val mag = math.abs(v)
+          var ci = 0
+          val tok =
+            if (mag <= 4) mag
+            else {
+              while (ci < 5 && mag >= CatBases(ci + 1)) ci += 1
+              CAT1 + ci
+            }
+          te.tree(CoeffTree, probs(plane)(band)(ctx), tok,
+            if (skipEob) 2 else 0)
+          if (tok >= CAT1) {
+            val cp = CatProbs(ci)
+            val extra = mag - CatBases(ci)
+            var k = 0
+            while (k < cp.length) {
+              te.bool((extra >> (cp.length - 1 - k)) & 1, cp(k)); k += 1
+            }
+          }
+          te.bool(if (v < 0) 1 else 0, 128)
+          ctx = if (mag > 1) 2 else 1
+          skipEob = false
+        }
+        c += 1
+      }
+      if (c < 16) // a full block (lastNz == 15) carries no trailing EOB
+        te.tree(CoeffTree, probs(plane)(CoeffBands(c))(ctx), EOB)
+      true
+    }
+    val empty = new Array[Int](16)
+    writeBlock(1, 0, empty, 0) // Y2: empty
+    val nz0 = writeBlock(0, 1, levels, 0) // Y block 0 carries the levels
+    // blocks 1..15: empty; contexts follow the decoder's above/left walk
+    var sb = 1
+    while (sb < 16) {
+      val bx = sb & 3; val by = sb >> 2
+      // above/left nonzero inside this MB: only block 0 can be nonzero
+      val ctx = (if (by > 0 && (sb - 4) == 0 && nz0) 1 else 0) +
+        (if (bx > 0 && (sb - 1) == 0 && nz0) 1 else 0)
+      writeBlock(0, 1, empty, ctx)
+      sb += 1
+    }
+    var cb = 0
+    while (cb < 8) { writeBlock(2, 0, empty, 0); cb += 1 }
+    val part2 = te.toBytes
+
+    val out = new java.io.ByteArrayOutputStream(part1.length + part2.length + 16)
+    val tag = (part1.length << 5) | (1 << 4)
+    out.write(tag & 0xFF); out.write((tag >> 8) & 0xFF)
+    out.write((tag >> 16) & 0xFF)
+    out.write(0x9D); out.write(0x01); out.write(0x2A)
+    out.write(16); out.write(0); out.write(16); out.write(0)
+    out.write(part1, 0, part1.length)
+    out.write(part2, 0, part2.length)
+    out.toByteArray
+  }
+
   /** Closed-form solid-frame luma the oracle replays:
    *  Y = clamp(128 + (((w·q_y2dc + 3) >> 3) + 4) >> 3) — dequant, the
    *  DC-only iWHT, the DC-only iDCT, DC prediction from nothing. */

@@ -941,15 +941,46 @@ object WasmInterp {
         val a = getV(s.pop())
         s.push(newV(packF64(Array.tabulate(2)(i => vLd(a, i * 4, 4).toDouble))))
 
-      // named sub-tier rejections: the fused/widening family LLVM only
-      // emits for specific idioms — loud, like every other feature tier
-      case 130 => throw new WasmTrap(
-        "i16x8.q15mulr_sat_s — unsupported simd128 sub-tier (fixed-point)")
-      case e if e >= 124 && e <= 127 => throw new WasmTrap(
-        "extadd_pairwise — unsupported simd128 sub-tier (widening)")
+      // ---- widening / fixed-point family ----
+      case 130 => // i16x8.q15mulr_sat_s
+        lanewise2(s, 2)((x, y) => satS((x * y + 0x4000) >> 15, 2))
+      case e if e >= 124 && e <= 127 => // extadd_pairwise
+        val srcW = if (e <= 125) 1 else 2
+        val signed = (e & 1) == 0
+        val a = getV(s.pop())
+        val out = new Array[Byte](16)
+        val bits = srcW * 8
+        var j = 0
+        while (j < 8 / srcW) {
+          def ext(at: Int): Long = {
+            val raw = vLd(a, at, srcW)
+            if (signed) (raw << (64 - bits)) >> (64 - bits) else raw
+          }
+          vSt(out, j * 2 * srcW, 2 * srcW,
+            ext(j * 2 * srcW) + ext(j * 2 * srcW + srcW))
+          j += 1
+        }
+        s.push(newV(out))
       case e if (e >= 156 && e <= 159) || (e >= 188 && e <= 191) ||
-          (e >= 220 && e <= 223) => throw new WasmTrap(
-        "extmul — unsupported simd128 sub-tier (widening)")
+          (e >= 220 && e <= 223) => // extmul low/high s/u
+        val srcW = if (e <= 159) 1 else if (e <= 191) 2 else 4
+        val variant = (e - (if (e <= 159) 156 else if (e <= 191) 188 else 220))
+        val signed = variant < 2
+        val high = (variant & 1) == 1
+        val b = getV(s.pop()); val a = getV(s.pop())
+        val out = new Array[Byte](16)
+        val base = if (high) 8 else 0
+        val bits = srcW * 8
+        var j = 0
+        while (j < 8 / srcW) {
+          def ext(v: Array[Byte]): Long = {
+            val raw = vLd(v, base + j * srcW, srcW)
+            if (signed) (raw << (64 - bits)) >> (64 - bits) else raw
+          }
+          vSt(out, j * 2 * srcW, 2 * srcW, ext(a) * ext(b))
+          j += 1
+        }
+        s.push(newV(out))
       case other => throw new WasmTrap(s"simd128 subopcode $other unassigned")
     }
 

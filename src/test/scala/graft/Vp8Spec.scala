@@ -135,6 +135,40 @@ class Vp8Spec extends AnyFunSuite {
     assert(h8.forall(_ == 129))
   }
 
+  test("coefficient-block tokens: zero runs (no-EOB-after-zero offset), " +
+      "band progression, context transitions, category extras mid-block, " +
+      "zigzag placement and the full-block no-trailing-EOB case") {
+    val q = 0 // y1ac quantizer = AcQLookup(0) = 4
+    def decodeBlock0(levels: Array[Int]): Array[Int] = {
+      val f = Vp8.decodeFrame(Vp8.encodeCoeffBlock(levels, q))
+      Array.tabulate(16) { i =>
+        f.y((i >> 2) * f.yStride + (i & 3))
+      }
+    }
+    def expected(levels: Array[Int]): Array[Int] = {
+      val deq = new Array[Int](16)
+      for (c <- 1 until 16) deq(Zigzag(c)) = levels(c) * 4
+      Vp8.idct4x4(deq).map(r => math.min(255, math.max(0, 128 + r)))
+    }
+    // leading zero run then a small token (skipEob across bands),
+    // a negative, a CAT2 value, zeros, tail value at c=15 (full block)
+    val a = Array(0, 0, 0, 2, 0, 0, -1, 9, 0, 0, 0, 0, 0, 0, 0, 3)
+    assert(decodeBlock0(a).toSeq == expected(a).toSeq)
+    // single big CAT6 value deep in the scan, EOB after it
+    val b = new Array[Int](16); b(10) = 900
+    assert(decodeBlock0(b).toSeq == expected(b).toSeq)
+    // alternating signs across every scan position (no zeros, no EOB)
+    val c = Array.tabulate(16)(i => if (i == 0) 0 else if (i % 2 == 0) 5 else -6)
+    assert(decodeBlock0(c).toSeq == expected(c).toSeq)
+    // all-empty block: pure DC prediction, everything 128
+    val z = new Array[Int](16)
+    assert(decodeBlock0(z).forall(_ == 128))
+    // the rest of the macroblock stays flat 128 (context walk intact)
+    val f = Vp8.decodeFrame(Vp8.encodeCoeffBlock(a, q))
+    for (y <- 0 until 16; x <- 0 until 16 if x >= 4 || y >= 4)
+      assert(f.y(y * f.yStride + x) == 128, s"spill at ($x,$y)")
+  }
+
   test("named failures: interframe, nonzero loop filter, truncation, " +
       "bad start code") {
     val good = Vp8.encodeSolid(16, 16, 1, 0, 0, 0)

@@ -476,10 +476,33 @@ class WasmSpec extends AnyFunSuite with Matchers {
       SimdLane(33, 1))
     java.lang.Double.longBitsToDouble(d) shouldBe 7.0
 
-    // named sub-tier rejections surface as traps with the tier name
-    val eT = intercept[WasmTrap](run(Vector(), oneToSixteen, oneToSixteen,
-      SimdOp(156)))
-    assert(eT.getMessage.contains("extmul"))
+    // widening family: extmul low/high s/u, extadd_pairwise, q15mulr
+    // i16x8.extmul_low_i8x16_s: lane 0 = 1*1 = 1; lane 7 = 8*8 = 64
+    run(Vector(), oneToSixteen, oneToSixteen, SimdOp(156),
+      SimdLane(24, 7)) shouldBe 64L
+    // extmul_high_i8x16_u of 200s: 200*200 = 40000 (unsigned, no wrap)
+    val twoHundreds = constV(Seq.fill(16)(200): _*)
+    run(Vector(), twoHundreds, twoHundreds, SimdOp(159),
+      SimdLane(25, 0)) shouldBe 40000L
+    // extmul_high_i8x16_s: (-56) * (-56) = 3136
+    run(Vector(), twoHundreds, twoHundreds, SimdOp(157),
+      SimdLane(24, 3)) shouldBe 3136L
+    // i64x2.extmul_low_i32x4_s: (-70000)^2 overflows i32, exact in i64
+    run(Vector(), I32Const(-70000), SimdOp(17), I32Const(-70000), SimdOp(17),
+      SimdOp(220), SimdLane(29, 1)) shouldBe 4900000000L
+    // i16x8.extadd_pairwise_i8x16_s over 1..16: lane 0 = 1+2 = 3
+    run(Vector(), oneToSixteen, SimdOp(124), SimdLane(24, 0)) shouldBe 3L
+    // _u over 200s: 400 per lane
+    run(Vector(), twoHundreds, SimdOp(125), SimdLane(25, 7)) shouldBe 400L
+    // i32x4.extadd_pairwise_i16x8_u: two 40000s -> 80000
+    run(Vector(), twoHundreds, twoHundreds, SimdOp(159), SimdOp(127),
+      SimdLane(27, 0)) shouldBe 80000L
+    // q15mulr_sat_s: 16384 (0.5 in Q15) squared -> 8192 (0.25);
+    // -32768 * -32768 saturates to 32767
+    run(Vector(), I32Const(16384), SimdOp(16), I32Const(16384), SimdOp(16),
+      SimdOp(130), SimdLane(24, 2)) shouldBe 8192L
+    run(Vector(), I32Const(-32768), SimdOp(16), I32Const(-32768), SimdOp(16),
+      SimdOp(130), SimdLane(24, 0)) shouldBe 32767L
   }
 
   test("sign-extension operators (emitted by LLVM by default)") {
