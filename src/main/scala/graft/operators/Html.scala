@@ -381,8 +381,11 @@ object Html {
                 // browsers auto-close <head> when <body> opens
                 if (!isClose && name == "body") pruneDepth(0) = 0
                 if (name == "a") {
-                  if (isClose) { if (aDepth > 0) aDepth -= 1 }
-                  else aDepth += 1
+                  // HTML5: a new <a> start tag implicitly closes any
+                  // active anchor (anchors never nest), so an unclosed
+                  // <a> cannot inflate the depth and poison every later
+                  // block's link-density verdict
+                  if (isClose) aDepth = 0 else aDepth = 1
                 }
                 if (BlockTags.contains(name))
                   cut(!isClose && name.length == 2 && name.charAt(0) == 'h' &&

@@ -265,7 +265,8 @@ object Mp3 {
         "scalefac_compress partitioning); MPEG-1 Layer III only")
     val ch = meta.channels
     var at = meta.id3Size
-    val reservoir = new java.io.ByteArrayOutputStream(p.length)
+    var resBuf = new Array[Byte](math.max(4096, p.length))
+    var resLen = 0
     var scalefacSum = 0L
     var frame = 0
     // per-channel granule-0 scalefactors of the CURRENT frame (for scfsi)
@@ -276,9 +277,13 @@ object Mp3 {
       val padding = (b2 >> 1) & 1
       val kbps = BitrateV1(brIdx)
       val len = (144000L * kbps / meta.sampleRate).toInt + padding
+      // protection_bit = 0 means a 16-bit CRC sits between the header
+      // and the side info
+      val crcLen = if ((p(at + 1) & 1) == 0) 2 else 0
       val sideLen = if (ch == 1) 17 else 32
+      val sideAt = at + 4 + crcLen
       val side = new BitReader(
-        java.util.Arrays.copyOfRange(p, at + 4, at + 4 + sideLen))
+        java.util.Arrays.copyOfRange(p, sideAt, sideAt + sideLen))
       val mainDataBegin = side.bits(9)
       side.bits(if (ch == 1) 5 else 3) // private bits
       val scfsi = Array.fill(ch)(Array.fill(4)(side.bits(1) == 1))
@@ -305,13 +310,22 @@ object Mp3 {
           pre, sfScale, c1t)
       }
       // main data joins the reservoir; this frame's granules start
-      // mainDataBegin BYTES back from its own first main-data byte
-      val frameMainStart = reservoir.size
-      reservoir.write(p, at + 4 + sideLen, len - 4 - sideLen)
+      // mainDataBegin BYTES back from its own first main-data byte.
+      // The reservoir is an amortized-growth array read in place — a
+      // per-frame toByteArray copy would be O(frames²) on long streams.
+      val frameMainStart = resLen
+      val mainBytes = len - 4 - crcLen - sideLen
+      if (resLen + mainBytes > resBuf.length) {
+        var cap = resBuf.length
+        while (cap < resLen + mainBytes) cap *= 2
+        resBuf = java.util.Arrays.copyOf(resBuf, cap)
+      }
+      System.arraycopy(p, sideAt + sideLen, resBuf, resLen, mainBytes)
+      resLen += mainBytes
       require(mainDataBegin <= frameMainStart,
         s"frame $frame main_data_begin $mainDataBegin reaches before " +
           "the reservoir start")
-      val main = new BitReader(reservoir.toByteArray)
+      val main = new BitReader(resBuf)
       main.pos = (frameMainStart - mainDataBegin) * 8
       var gr = 0
       while (gr < 2) {

@@ -312,7 +312,8 @@ object Vp8 {
    *  dequantized coefficients; output residual (caller adds
    *  prediction). */
   def idct4x4(in: Array[Int]): Array[Int] = {
-    val c1 = 85627 // (sqrt(2)*cos(pi/8) - 1) * 2^16
+    val c1 = 20091 // (sqrt(2)*cos(pi/8) - 1) * 2^16 — the MINUS-ONE form:
+    // the multiply sites compute x + ((x*c1) >> 16) = x*sqrt(2)cos(pi/8)
     val s1 = 35468 // sqrt(2)*sin(pi/8) * 2^15
     val tmp = new Array[Int](16)
     var i = 0
@@ -554,11 +555,15 @@ object Vp8 {
     if (nPartitions == 1) parts(0) = new BoolDec(p, headerEnd, p.length)
     else {
       var at = headerEnd + 3 * (nPartitions - 1)
+      require(at <= p.length,
+        s"truncated VP8 partition size table ($nPartitions partitions)")
       var i = 0
       while (i < nPartitions - 1) {
         val o = headerEnd + 3 * i
         val sz = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
           ((p(o + 2) & 0xFF) << 16)
+        require(at.toLong + sz <= p.length,
+          s"truncated VP8 token partition $i ($sz B at $at of ${p.length})")
         parts(i) = new BoolDec(p, at, at + sz)
         at += sz
         i += 1

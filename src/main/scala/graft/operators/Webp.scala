@@ -403,6 +403,7 @@ object Webp {
     var at = 12
     var vp8lStart = -1
     var vp8lEnd = -1
+    var sawAlph = false
     while (at + 8 <= p.length && vp8lStart < 0) {
       val tag = new String(p, at, 4, "US-ASCII")
       val size = le32(p, at + 4)
@@ -411,11 +412,16 @@ object Webp {
       tag match {
         case "VP8L" => vp8lStart = at + 8; vp8lEnd = at + 8 + size
         case "VP8 " => // lossy tier: key-frame decode (see Vp8 Scaladoc)
+          // an ALPH chunk carries the frame's transparency — dropping
+          // it silently would violate the loud-seams contract
+          require(!sawAlph, "WebP lossy + ALPH (transparent lossy) — " +
+            "unsupported tier: the alpha plane would be silently dropped")
           return Vp8.decodeToYuv(
             java.util.Arrays.copyOfRange(p, at + 8, at + 8 + size))
         case "ANIM" | "ANMF" => throw new IllegalArgumentException(
           "animated WebP (ANIM/ANMF) — unsupported tier")
-        case "VP8X" | "ICCP" | "EXIF" | "XMP " | "ALPH" => () // walk on
+        case "ALPH" => sawAlph = true // only meaningful before 'VP8 '
+        case "VP8X" | "ICCP" | "EXIF" | "XMP " => () // walk on
         case other => throw new IllegalArgumentException(
           s"unknown WebP chunk '$other'")
       }

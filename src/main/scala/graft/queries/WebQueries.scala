@@ -534,10 +534,11 @@ object WebQueries extends QueryProvider {
    *  100 TB shape: canonicalization fuses into the scan; host-id
    *  assignment goes through [[graft.operators.GlobalSequence]]
    *  (range-partition + zipWithIndex — no single-partition window), so
-   *  the plan survives a Common-Crawl-sized host dimension (~1e8 hosts);
-   *  the id mapping back onto edges is a broadcast join at test scale
-   *  (shuffle join at 100 TB — Spark picks per stats); PageRank then
-   *  shuffles slim (id, rank) pairs per round. */
+   *  the plan survives a Common-Crawl-sized host dimension (~1e8
+   *  hosts); the id mapping back onto edges is a SHUFFLE join on host
+   *  (no broadcast hint — a 1e8-row dim can't broadcast; AQE converts
+   *  locally when the dim is actually small); PageRank then shuffles
+   *  slim (id, rank) pairs per round. */
   private val hostRankIters = 5
   private def hostRank(s: SparkSession, dir: String): DataFrame = {
     val canon = crawlUrls(s, dir).select(
@@ -545,18 +546,23 @@ object WebQueries extends QueryProvider {
         hostRe, 1).as("shost"),
       regexp_extract(org.apache.spark.sql.graft.Url.canonicalize(col("dst_url")),
         hostRe, 1).as("dhost"))
+    // referenced three times below — checkpoint so the range exchange +
+    // zipWithIndex lineage runs once, and DROP the broadcast hints: at
+    // the Common Crawl scale this flagship names (~1e8 hosts) a forced
+    // broadcast of the host dimension OOMs; the honest plan is a
+    // shuffle join on host (AQE may still convert locally when small)
     val hosts = graft.operators.GlobalSequence.withSequentialId(
       canon.select(col("shost").as("host"))
         .union(canon.select(col("dhost").as("host"))).distinct(),
-      col("host"), "id")
+      col("host"), "id").localCheckpoint()
     val e = canon
-      .join(broadcast(hosts.select(col("host").as("shost"), col("id").as("sid"))),
+      .join(hosts.select(col("host").as("shost"), col("id").as("sid")),
         Seq("shost"))
-      .join(broadcast(hosts.select(col("host").as("dhost"), col("id").as("did"))),
+      .join(hosts.select(col("host").as("dhost"), col("id").as("did")),
         Seq("dhost"))
       .select(col("sid"), col("did"))
     val pr = graft.operators.Pagerank.run(e, "sid", "did", iters = hostRankIters)
-    pr.join(broadcast(hosts), pr("node_id") === hosts("id"))
+    pr.join(hosts, pr("node_id") === hosts("id"))
       .select(col("host"), col("pr_nano"))
   }
 

@@ -127,28 +127,48 @@ object WasmInterp {
       var i = 0
       while (i < args.size) { locals(i) = args(i); i += 1 }
       val stack = new OperandStack
-      v128Depth += 1
+      // v128 pool discipline: handles cannot escape a call except
+      // through its RESULTS (locals die with the frame, memory holds
+      // bytes not handles, v128 globals are rejected at instantiation),
+      // so each call truncates the pool back to its entry watermark and
+      // compacts any v128 results down to it — a SIMD hot loop's
+      // allocations are reclaimed per call, not per entry invocation.
+      val watermark = v128Pool.size
+      var ok = false
       try {
         evalSeq(body.body, locals, stack) match {
           case _ => // Fall, Branch(spent) or Ret all leave results on the stack top
         }
-        Vector.fill(ftype.results.size)(stack.pop()).reverse
+        val res = Vector.fill(ftype.results.size)(stack.pop()).reverse
+        val out =
+          if (v128Pool.size > watermark) {
+            // compact v128 results into the watermark region, in order
+            var next = watermark
+            val compacted = res.zip(ftype.results).map {
+              case (h, t) if t == ValType.V128 && h >= watermark =>
+                v128Pool(next) = v128Pool(h.toInt)
+                val nh = next.toLong
+                next += 1
+                nh
+              case (h, _) => h
+            }
+            v128Pool.remove(next, v128Pool.size - next)
+            compacted
+          } else res
+        ok = true
+        out
       } finally {
-        v128Depth -= 1
-        // v128 handles never outlive the entry invocation (no v128
-        // globals; memory holds bytes, not handles) — reclaim the pool
-        // when the outermost frame exits. Slot 0 stays the zero vector
-        // (the default value of uninitialized v128 locals).
-        if (v128Depth == 0 && v128Pool.size > 1)
-          v128Pool.remove(1, v128Pool.size - 1)
+        // a trap unwinds the whole invocation chain: nothing escapes
+        if (!ok && v128Pool.size > watermark)
+          v128Pool.remove(watermark, v128Pool.size - watermark)
       }
     }
 
     /** v128 values live in this side pool; a stack/local slot holds the
-     *  pool index. See the reclamation note in [[invokeByIndex]]. */
+     *  pool index. Slot 0 stays the zero vector (the default value of
+     *  uninitialized v128 locals). Reclamation: [[invokeByIndex]]. */
     private val v128Pool =
       scala.collection.mutable.ArrayBuffer[Array[Byte]](new Array[Byte](16))
-    private var v128Depth = 0
 
     /** Branch signal: -1 = fell through, -2 = function return,
      *  n >= 0 = branch crossing n MORE labels outward. */

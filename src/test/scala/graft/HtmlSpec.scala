@@ -206,6 +206,23 @@ class HtmlSpec extends AnyFunSuite {
     // nested prune containers: outer close only after inner
     val nested = "<body><nav>a<nav>b</nav>c</nav><p>" + body + "</p></body>"
     assert(Html.mainContent(nested) == body)
+
+    // NBSP (entity or raw char) is whitespace: it splits words for the
+    // length rule instead of fusing the paragraph into one giant token
+    val nb = "<p>" + (1 to 12).map(i => s"n$i").mkString("&nbsp;") + "</p>"
+    val nbBlock = Html.mainBlocks(nb).head
+    assert(nbBlock.nWords == 12 && nbBlock.kept, s"nbsp words ${nbBlock.nWords}")
+    val rawNb = "<p>" + (1 to 12).map(i => s"m$i").mkString(" ") + "</p>"
+    assert(Html.mainBlocks(rawNb).head.nWords == 12)
+
+    // an unclosed <a> must not poison later blocks' link density:
+    // HTML5 implicitly closes the active anchor at the next <a>
+    val unclosed = "<div><a href=/x>one<a href=/y>two</a> free text</div>" +
+      s"<p>$body</p>"
+    val ub = Html.mainBlocks(unclosed)
+    val content = ub.find(_.text.contains("word1")).get
+    assert(content.linkChars == 0 && content.kept,
+      s"anchor leak: linkChars=${content.linkChars}")
   }
 
   test("mainContent column face matches the Scala function and is null-safe") {

@@ -950,6 +950,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(eLsf.getMessage.contains("LSF") ||
       eLsf.getMessage.contains("frame") ||
       eLsf.getMessage.contains("trailing"), eLsf.getMessage)
+    // CRC-protected frame (protection_bit = 0): 16-bit CRC sits between
+    // header and side info; the decoder must skip it, not parse it as
+    // main_data_begin. Splice a CRC into the 1-frame stream: same
+    // header w/ bit0 cleared, 2 CRC bytes, side info, main data minus
+    // its last 2 padding bytes (frame length is unchanged).
+    val crc = new Array[Byte](hp.length)
+    crc(0) = hp(0); crc(1) = (hp(1) & 0xFE).toByte
+    crc(2) = hp(2); crc(3) = hp(3)
+    crc(4) = 0xAB.toByte; crc(5) = 0xCD.toByte // arbitrary CRC bytes
+    System.arraycopy(hp, 4, crc, 6, hp.length - 6)
+    val dc = Mp3.decodeMp3(crc)
+    val wantC = (0 until 2).flatMap(g => (0 until 21).map(i =>
+      (42L + 7 * g + i) % 4)).sum
+    assert(dc.scalefacSum == wantC, s"CRC frame: ${dc.scalefacSum} != $wantC")
+    assert(dc.pcm.forall(_ == 0f))
   }
 
   test("Gif: animated decode composites transparency and all three " +

@@ -58,6 +58,39 @@ class Vp8Spec extends AnyFunSuite {
     assert(ac.distinct.length > 1)
   }
 
+  test("idct4x4 matches an INDEPENDENT float butterfly reference within " +
+      "rounding (guards the fixed-point constants — a transposed " +
+      "multiplier cannot pass, unlike the self-referential checks)") {
+    val alpha = math.sqrt(2) * math.cos(math.Pi / 8) // 1.30656...
+    val beta = math.sqrt(2) * math.sin(math.Pi / 8) // 0.54120...
+    def ref(in: Array[Int]): Array[Double] = {
+      def pass(v: Array[Double], stride: Int, base: Int => Int): Unit = {
+        for (i <- 0 until 4) {
+          val i0 = v(base(i)); val i1 = v(base(i) + stride)
+          val i2 = v(base(i) + 2 * stride); val i3 = v(base(i) + 3 * stride)
+          val a1 = i0 + i2; val b1 = i0 - i2
+          val c1 = i1 * beta - i3 * alpha
+          val d1 = i1 * alpha + i3 * beta
+          v(base(i)) = a1 + d1; v(base(i) + stride) = b1 + c1
+          v(base(i) + 2 * stride) = b1 - c1; v(base(i) + 3 * stride) = a1 - d1
+        }
+      }
+      val v = in.map(_.toDouble)
+      pass(v, 4, i => i) // columns
+      pass(v, 1, i => i * 4) // rows
+      v.map(_ / 8.0)
+    }
+    val rnd = new scala.util.Random(0x1DC7)
+    for (_ <- 0 until 50) {
+      val in = Array.fill(16)(rnd.nextInt(801) - 400)
+      val got = Vp8.idct4x4(in)
+      val want = ref(in)
+      for (i <- 0 until 16)
+        assert(math.abs(got(i) - want(i)) <= 2.0,
+          s"idct drift at $i: ${got(i)} vs ${want(i)} for ${in.toSeq}")
+    }
+  }
+
   test("solid key frame: every pixel matches the closed form across " +
       "coefficient magnitudes (incl. cat tokens), signs and quantizers") {
     for {
@@ -103,6 +136,22 @@ class Vp8Spec extends AnyFunSuite {
     val (w, h, ch, fmt, px) = graft.operators.Webp.decodeWebp(webp)
     assert((w, h, ch, fmt) == (16, 16, 3, "yuv420"))
     assert(math.round(px(0) * 255) == Vp8.solidY(4, 0))
+    // lossy + ALPH is a NAMED tier: the alpha plane must never be
+    // silently dropped. Splice an ALPH chunk before the VP8 chunk.
+    val frame = Vp8.encodeSolid(16, 16, 4, 0, 0, 0)
+    val alph = Array[Byte]('A', 'L', 'P', 'H', 2, 0, 0, 0, 0, 0)
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + alph.length + 8 + frame.length + (frame.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(4 + alph.length + 8 + frame.length + (frame.length & 1))
+      .put("WEBP".getBytes("US-ASCII"))
+      .put(alph)
+      .put("VP8 ".getBytes("US-ASCII")).putInt(frame.length).put(frame)
+    if ((frame.length & 1) == 1) bb.put(0.toByte)
+    val eA = intercept[IllegalArgumentException](
+      graft.operators.Webp.decodeWebp(bb.array()))
+    assert(eA.getMessage.contains("ALPH"), eA.getMessage)
   }
 
   test("B_PRED sub-block predictors: hand-computed edge-default pixels") {
