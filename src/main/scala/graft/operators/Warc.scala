@@ -60,7 +60,7 @@ object Warc {
    *  Common Crawl record-per-member layout reads as one stream. */
   private def gunzipAll(p: Array[Byte]): Array[Byte] =
     if (!isWarcGz(p)) p
-    else {
+    else try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(p))
       // size HINT only — clamp, since p.length * 4 overflows Int for
@@ -71,6 +71,11 @@ object Warc {
       var n = in.read(buf)
       while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
       o.toByteArray
+    } catch {
+      // crawl shards carry bit rot: name it instead of leaking a raw
+      // ZipException/EOFException out of a task
+      case e: java.io.IOException => throw new IllegalArgumentException(
+        s"corrupt gzip member in WARC payload: ${e.getMessage}", e)
     }
 
   /** Walk every record of a .warc / .warc.gz payload. */

@@ -156,7 +156,11 @@ object WasmBinary {
   // ---------- decoding ----------
 
   private final class Reader(val b: Array[Byte], var pos: Int) {
-    def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
+    def u8(): Int = {
+      if (pos >= b.length) throw new WasmDecodeError(
+        s"truncated module: read past end at byte $pos")
+      val v = b(pos) & 0xFF; pos += 1; v
+    }
     def u32(): Int = {
       var result = 0L; var shift = 0; var byte = 0
       do {
@@ -185,6 +189,8 @@ object WasmBinary {
       if (v >= 0) -1 - v.toInt else (v.toInt & 0x7F)
     }
     def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n.toLong > b.length) throw new WasmDecodeError(
+        s"truncated module: $n bytes requested at $pos of ${b.length}")
       val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
     }
     def name(): String = new String(bytes(u32()), java.nio.charset.StandardCharsets.UTF_8)
@@ -213,6 +219,10 @@ object WasmBinary {
     while (r.hasMore) {
       val id = r.u8()
       val size = r.u32()
+      if (size < 0 || r.pos.toLong + size > moduleBytes.length)
+        throw new WasmDecodeError(
+          s"truncated module: section $id claims $size bytes at ${r.pos} " +
+            s"of ${moduleBytes.length}")
       val end = r.pos + size
       id match {
         case 1 => // type

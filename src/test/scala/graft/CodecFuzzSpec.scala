@@ -1,0 +1,157 @@
+package graft
+
+import graft.operators._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Garbage-tolerance contract for every byte-level decoder: a crawl-scale
+ * corpus WILL contain truncated, bit-flipped and adversarial payloads,
+ * and a 1000-executor job must fail them with the codecs' NAMED errors
+ * (IllegalArgumentException / UnsupportedOperationException), never with
+ * raw AIOOBE/NPE/negative-size crashes or hangs that kill tasks with
+ * undiagnosable stack traces. Two attack shapes per decoder: random
+ * bytes behind a valid magic prefix, and valid payloads with a few
+ * random byte mutations (the realistic bit-rot/truncation shape).
+ */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val Trials = 200 // an 800-trial pass ran clean at authoring time
+
+  /** Run one decode attempt; only named errors (or success) allowed. */
+  private def attempt(tag: String, seed: Long)(body: => Any): Unit =
+    try { body; () } catch {
+      case _: IllegalArgumentException => () // named rejection
+      case _: UnsupportedOperationException => () // named seam
+      case e: Throwable =>
+        fail(s"$tag seed $seed: un-named ${e.getClass.getSimpleName}: " +
+          s"${String.valueOf(e.getMessage).take(120)}")
+    }
+
+  private def mutate(valid: Array[Byte], rnd: scala.util.Random,
+      nFlips: Int): Array[Byte] = {
+    val p = valid.clone()
+    var i = 0
+    while (i < nFlips) {
+      p(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte
+      i += 1
+    }
+    if (rnd.nextBoolean() && p.length > 8)
+      java.util.Arrays.copyOf(p, 8 + rnd.nextInt(p.length - 8))
+    else p
+  }
+
+  test("Vp8.decodeFrame: random and mutated key frames fail NAMED") {
+    val rnd = new scala.util.Random(0xF0221)
+    val valid = Vp8.encodeSolid(32, 32, 9, 3, -3, 0)
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(6))
+        else {
+          val r = new Array[Byte](10 + rnd.nextInt(200))
+          rnd.nextBytes(r)
+          // valid tag + start code so the fuzz reaches the bool stream
+          r(0) = (r(0) & 0xFE).toByte
+          r(3) = 0x9D.toByte; r(4) = 0x01; r(5) = 0x2A
+          r
+        }
+      attempt("vp8", t)(Vp8.decodeFrame(p))
+    }
+  }
+
+  test("Webp.decodeWebp: random and mutated containers fail NAMED") {
+    val rnd = new scala.util.Random(0xF0222)
+    val valid = Webp.encodeWebpLossless(4, 3, Array.fill(12)(0xFF336699))
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(5))
+        else {
+          val r = new Array[Byte](20 + rnd.nextInt(300))
+          rnd.nextBytes(r)
+          System.arraycopy("RIFF".getBytes, 0, r, 0, 4)
+          System.arraycopy("WEBP".getBytes, 0, r, 8, 4)
+          r
+        }
+      attempt("webp", t)(Webp.decodeWebp(p))
+    }
+  }
+
+  test("Mp3: meta walk and decode on random/mutated streams fail NAMED") {
+    val rnd = new scala.util.Random(0xF0223)
+    val valid = Mp3.encodeMp3Silence(7L, 9, nFrames = 2)
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(5))
+        else {
+          val r = new Array[Byte](8 + rnd.nextInt(400))
+          rnd.nextBytes(r)
+          r(0) = 0xFF.toByte; r(1) = (r(1) | 0xE0).toByte // frame sync
+          r
+        }
+      attempt("mp3meta", t)(Mp3.mp3Meta(p))
+      attempt("mp3dec", t)(Mp3.decodeMp3(p))
+    }
+  }
+
+  test("Warc.parseWarc: random and mutated archives fail NAMED") {
+    val rnd = new scala.util.Random(0xF0224)
+    val html = "<p>fuzz fixture body</p>"
+    val valid = {
+      import org.apache.spark.sql.functions._
+      // build one real warc.gz via the same writer the queries use
+      val spark = SparkTestSession.get
+      import spark.implicits._
+      Warc.withWarcGzPayload(
+          Seq((1L, html, "https://x.test/1")).toDF("id", "html", "uri"),
+          "html", "uri")
+        .select("payload").as[Array[Byte]].head()
+    }
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(4))
+        else {
+          val r = new Array[Byte](12 + rnd.nextInt(300))
+          rnd.nextBytes(r)
+          System.arraycopy("WARC/1.0\r\n".getBytes, 0, r, 0, 10)
+          r
+        }
+      attempt("warc", t)(Warc.parseWarc(p))
+    }
+  }
+
+  test("text parsers (Html extract/main/tables, Robots, Sitemap, Urls): " +
+      "random text never throws at all") {
+    val rnd = new scala.util.Random(0xF0225)
+    val alphabet = "<>&;/=\"' abcdefATUDPSnr-:#?%0123 😀!"
+    for (t <- 0 until Trials) {
+      val s = Array.fill(rnd.nextInt(400))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      // total functions: garbage text is still text
+      Html.extractText(s); Html.mainContent(s); Html.extractTables(s)
+      Robots.decide(Robots.parse(s), "anybot", "/" + s.take(40))
+      Sitemap.parse(s)
+      Urls.canonicalizeUrl(s.take(100))
+    }
+  }
+
+  test("WasmBinary.decode: random and mutated modules fail NAMED") {
+    val rnd = new scala.util.Random(0xF0226)
+    val valid = graft.wasm.LensGuestModules.shiftGuest("n")
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(4))
+        else {
+          val r = new Array[Byte](8 + rnd.nextInt(300))
+          rnd.nextBytes(r)
+          r(0) = 0; r(1) = 'a'; r(2) = 's'; r(3) = 'm'
+          r(4) = 1; r(5) = 0; r(6) = 0; r(7) = 0
+          r
+        }
+      try { graft.wasm.WasmBinary.decode(p); () } catch {
+        case _: graft.wasm.WasmDecodeError => ()
+        case e: Throwable =>
+          fail(s"wasm seed $t: un-named ${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+  }
+}
