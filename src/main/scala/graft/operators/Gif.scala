@@ -43,7 +43,10 @@ object Gif {
     val sw = le16(p, 6)
     val sh = le16(p, 8)
     require(sw > 0 && sh > 0, s"bad GIF dimensions ${sw}x$sh")
-    require(sw.toLong * sh * 3 <= Int.MaxValue, "GIF too large to decode")
+    // hard pixel cap: a corrupt 16-bit dim pair (65535 x 65535) would
+    // otherwise allocate gigabytes and OOM the task instead of failing
+    require(sw.toLong * sh <= (1L << 26),
+      s"implausible GIF dimensions ${sw}x$sh (cap 2^26 pixels)")
     val flags = p(10) & 0xFF
     val bgIndex = p(11) & 0xFF
     var at = 13
@@ -444,7 +447,10 @@ object Gif {
     val sw = le16(p, 6)
     val sh = le16(p, 8)
     require(sw > 0 && sh > 0, s"bad GIF dimensions ${sw}x$sh")
-    require(sw.toLong * sh * 3 <= Int.MaxValue, "GIF too large to decode")
+    // hard pixel cap: a corrupt 16-bit dim pair (65535 x 65535) would
+    // otherwise allocate gigabytes and OOM the task instead of failing
+    require(sw.toLong * sh <= (1L << 26),
+      s"implausible GIF dimensions ${sw}x$sh (cap 2^26 pixels)")
     val flags = p(10) & 0xFF
     val bgIndex = p(11) & 0xFF
     var at = 13

@@ -286,6 +286,8 @@ object Jpeg {
         require(ci >= 0, s"SOS names unknown component $cs")
         comps(ci).td = tt >> 4
         comps(ci).ta = tt & 0x0F
+        require(comps(ci).td < 4 && comps(ci).ta < 4,
+          s"bad huffman table ids ${comps(ci).td}/${comps(ci).ta} in SOS")
         scanComps(i) = ci
         i += 1
       }
@@ -478,6 +480,9 @@ object Jpeg {
           require(len >= 2 && at + len <= p.length,
             f"truncated JPEG segment 0xFF$m%02X (len $len)")
           val end = at + len
+          require(end <= p.length,
+            f"truncated JPEG: segment 0xFF$m%02X claims $len B at $at " +
+              s"of ${p.length}")
           var q = at + 2
           m match {
             case 0xDB => // DQT
@@ -505,6 +510,8 @@ object Jpeg {
                 s"$precision-bit JPEG — unsupported tier: 8-bit only")
               h = u16(q + 1); w = u16(q + 3)
               require(w > 0 && h > 0, s"bad JPEG dimensions ${w}x$h")
+              require(w.toLong * h <= (1L << 26),
+                s"implausible JPEG dimensions ${w}x$h (cap 2^26 pixels)")
               val nc = p(q + 5) & 0xFF
               require(nc == 1 || nc == 3,
                 s"$nc-component JPEG — unsupported tier: gray or YCbCr")
@@ -514,6 +521,7 @@ object Jpeg {
                 val c = Comp(p(o) & 0xFF, hv >> 4, hv & 0x0F, p(o + 2) & 0xFF)
                 require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
                   s"sampling factors ${c.h}x${c.v} — unsupported tier: 1-2")
+                require(c.tq < 4, s"bad quant table id ${c.tq}")
                 c
               }
               hmax = comps.map(_.h).max
@@ -535,6 +543,7 @@ object Jpeg {
                 val th = p(q) & 0x0F
                 require(tc <= 1 && th < 4, s"bad huffman table id $tc/$th")
                 q += 1
+                require(q + 16 <= end, "truncated JPEG DHT length table")
                 val bits = new Array[Int](17)
                 var total = 0
                 var l = 1
@@ -542,6 +551,9 @@ object Jpeg {
                   bits(l) = p(q + l - 1) & 0xFF; total += bits(l); l += 1
                 }
                 q += 16
+                require(q + total <= end,
+                  s"truncated JPEG DHT: $total values claimed, " +
+                    s"${end - q} bytes left in segment")
                 val vals = Array.tabulate(total)(i => p(q + i) & 0xFF)
                 q += total
                 val t = new HuffTable(bits, vals)

@@ -198,6 +198,8 @@ object Multimodal {
       // WAV/AVI chunk walks)
       require(w > 0 && h > 0 && hRaw != Int.MinValue,
         s"bad BMP dimensions ${w}x$hRaw")
+      require(w.toLong * h <= (1L << 26),
+        s"implausible BMP dimensions ${w}x$h (cap 2^26 pixels)")
       require(le16(p, 26) == 1 && le16(p, 28) == 24 && le32(p, 30) == 0,
         "only 24-bpp uncompressed BI_RGB is supported")
       val rowSize = ((w.toLong * 3 + 3) / 4) * 4
@@ -597,6 +599,8 @@ object Multimodal {
             require(len == 13, s"IHDR length $len != 13")
             w = be32(p, at + 8); h = be32(p, at + 12)
             require(w > 0 && h > 0, s"bad PNG dimensions ${w}x$h")
+            require(w.toLong * h <= (1L << 26),
+              s"implausible PNG dimensions ${w}x$h (cap 2^26 pixels)")
             bitDepth = p(at + 16) & 0xFF
             colorType = p(at + 17) & 0xFF
             colorType match {

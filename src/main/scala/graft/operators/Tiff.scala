@@ -101,6 +101,8 @@ object Tiff {
       }
       i += 1
     }
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+      s"implausible TIFF dimensions ${w}x$h (cap 2^26 pixels)")
     require(compression == 1, compression match {
       case 5 => "LZW-compressed TIFF — unsupported tier: uncompressed only"
       case 32773 => "PackBits TIFF — unsupported tier: uncompressed only"

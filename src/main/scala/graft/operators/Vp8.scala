@@ -418,6 +418,8 @@ object Vp8 {
     val width = ((p(6) & 0xFF) | ((p(7) & 0xFF) << 8)) & 0x3FFF
     val height = ((p(8) & 0xFF) | ((p(9) & 0xFF) << 8)) & 0x3FFF
     require(width > 0 && height > 0, "bad VP8 dimensions")
+    require(width.toLong * height <= (1L << 26),
+      s"implausible VP8 dimensions ${width}x$height (cap 2^26 pixels)")
     val mbCols = (width + 15) >> 4
     val mbRows = (height + 15) >> 4
     val headerEnd = 10 + firstPartSize

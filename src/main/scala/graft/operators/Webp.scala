@@ -19,8 +19,10 @@ package graft.operators
  * [[decodeWebpFrames]] handle the VP8X/ANIM/ANMF container with
  * per-frame VP8L payloads, alpha-blend vs replace, and
  * dispose-to-background compositing (the WebP sibling of
- * [[Gif.decodeGifFrames]]). Lossy WebP (VP8 intra-frame coding) stays
- * a NAMED rejection — the same documented `Codec` seam as H.264
+ * [[Gif.decodeGifFrames]]). Lossy WebP (`VP8 ` chunks) routes to the
+ * round-13 [[Vp8]] key-frame decoder (yuv420 output; probability-table
+ * conformance is ITS named seam); lossy-with-alpha (ALPH + VP8) stays
+ * a NAMED rejection so a transparency plane is never silently dropped
  * (reference keeps codecs behind opaque guests:
  * reference: host-go/engine/engine.go:1).
  *
@@ -432,6 +434,8 @@ object Webp {
     require(br.readBits(8) == 0x2F, "bad VP8L signature byte")
     val w = br.readBits(14) + 1
     val h = br.readBits(14) + 1
+    require(w.toLong * h <= (1L << 26),
+      s"implausible VP8L dimensions ${w}x$h (cap 2^26 pixels)")
     br.readBits(1) // alpha hint
     val version = br.readBits(3)
     require(version == 0, s"bad VP8L version $version")

@@ -133,6 +133,46 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy image codecs (PNG/JPEG/GIF/TIFF/BMP): random and mutated " +
+      "payloads fail NAMED through SniffCodec") {
+    val rnd = new scala.util.Random(0xF0227)
+    val rgb = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 17 + 3).toByte)
+    val valids = Seq[(String, Array[Byte])](
+      ("png", Multimodal.Png.encodePng(4, 3, rgb)),
+      ("jpeg", Jpeg.encodeRgb(4, 3, rgb)),
+      ("gif", Gif.encodeGif(2, 2, Array[Byte](0, 1, 2, 3),
+        Array.tabulate[Byte](12)(i => (i * 9).toByte))),
+      ("tiff", Tiff.encodeTiff(4, 3, rgb, channels = 3)),
+      ("bmp", Multimodal.Containers.encodeBmp(4, 3, rgb)))
+    for ((tag, valid) <- valids; t <- 0 until Trials) {
+      attempt(tag, t)(
+        Multimodal.SniffCodec.decodeImage(mutate(valid, rnd,
+          1 + rnd.nextInt(5))))
+      // random tails behind the real magic
+      val r = new Array[Byte](16 + rnd.nextInt(200))
+      rnd.nextBytes(r)
+      System.arraycopy(valid, 0, r, 0, math.min(8, valid.length))
+      attempt(tag + "-rand", t)(Multimodal.SniffCodec.decodeImage(r))
+    }
+  }
+
+  test("audio codecs (WAV/ADPCM): random and mutated payloads fail NAMED") {
+    val rnd = new scala.util.Random(0xF0228)
+    val samples = Array.tabulate[Short](64)(i => (i * 331 - 9000).toShort)
+    val valids = Seq[(String, Array[Byte])](
+      ("wav", Multimodal.Containers.encodeWav(8000, samples)),
+      ("adpcm", Adpcm.encodeAdpcmWav(8000, samples)))
+    for ((tag, valid) <- valids; t <- 0 until Trials) {
+      attempt(tag, t)(
+        Multimodal.SniffCodec.decodeAudio(mutate(valid, rnd,
+          1 + rnd.nextInt(4))))
+      val r = new Array[Byte](16 + rnd.nextInt(200))
+      rnd.nextBytes(r)
+      System.arraycopy(valid, 0, r, 0, 12) // RIFF....WAVE
+      attempt(tag + "-rand", t)(Multimodal.SniffCodec.decodeAudio(r))
+    }
+  }
+
   test("WasmBinary.decode: random and mutated modules fail NAMED") {
     val rnd = new scala.util.Random(0xF0226)
     val valid = graft.wasm.LensGuestModules.shiftGuest("n")
