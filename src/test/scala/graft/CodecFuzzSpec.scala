@@ -173,6 +173,32 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("animated frame decoders (GIF frames, animated WebP, AVI): " +
+      "random and mutated payloads fail NAMED") {
+    val rnd = new scala.util.Random(0xF0229)
+    val gifAnim = Gif.encodeAnimatedGif(4, 2,
+      Array.tabulate[Byte](8 * 3)(i => (i * 9 + 2).toByte), bgIndex = 0,
+      Seq(Gif.Frame(0, 0, 4, 2, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)),
+        Gif.Frame(1, 0, 2, 1, Array[Byte](0, 7), disposal = 2)))
+    val webpAnim = {
+      def px(i: Int) = 0xFF000000 | (i * 0x10203)
+      Webp.encodeAnimatedWebp(4, 2, Seq(
+        Webp.Frame(0, 0, 4, 2, Array.tabulate(8)(px)),
+        Webp.Frame(2, 0, 2, 1, Array.tabulate(2)(px), blend = true,
+          disposeBg = true)))
+    }
+    val valids = Seq[(String, Array[Byte] => Any, Array[Byte])](
+      ("gif-frames", Gif.decodeGifFrames(_), gifAnim),
+      ("webp-frames", Webp.decodeWebpFrames(_), webpAnim))
+    for ((tag, dec, valid) <- valids; t <- 0 until Trials) {
+      attempt(tag, t)(dec(mutate(valid, rnd, 1 + rnd.nextInt(4))))
+      val r = new Array[Byte](16 + rnd.nextInt(200))
+      rnd.nextBytes(r)
+      System.arraycopy(valid, 0, r, 0, math.min(12, valid.length))
+      attempt(tag + "-rand", t)(dec(r))
+    }
+  }
+
   test("WasmBinary.decode: random and mutated modules fail NAMED") {
     val rnd = new scala.util.Random(0xF0226)
     val valid = graft.wasm.LensGuestModules.shiftGuest("n")
