@@ -1359,6 +1359,28 @@ object Multimodal {
         (bytes(2) & 0xFF) - 128, bytes(3) & 0xFF))
     }
 
+  /** Append a REAL lossy-with-alpha WebP `payload` (VP8X + ALPH +
+   *  VP8): a 16×16 solid VP8 key frame (Y2 DC level = byte0 − 128,
+   *  q = 0) whose ALPH chunk carries the row-linear TARGET alpha ramp
+   *  a(x) = a0 + x·st (a0 = byte1 & 0x7F, st = byte2 % 9 — ramp tops
+   *  out below 256, so no mod wraps), stored through filter method
+   *  byte3 % 4 and compression method (byte3 div 4) % 2 (raw vs
+   *  headerless VP8L). Decode inverts filter + compression exactly, so
+   *  an oracle predicts the plane sum as 256·a0 + 1920·st. */
+  def withWebpAlphaPayload(df: DataFrame, srcCol: String): DataFrame =
+    withPayload(df, srcCol) { bytes =>
+      require(bytes.length == 4, s"need 4 bytes, got ${bytes.length}")
+      val wY = (bytes(0) & 0xFF) - 128
+      val a0 = bytes(1) & 0x7F
+      val st = (bytes(2) & 0xFF) % 9
+      val filt = (bytes(3) & 0xFF) % 4
+      val comp = ((bytes(3) & 0xFF) / 4) % 2
+      val target = Array.tabulate(256)(i => a0 + (i % 16) * st)
+      val (head, body) = Webp.encodeAlph(16, 16, target, filt, comp)
+      Webp.lossyAlphaWrap(16, 16, Vp8.encodeSolid(16, 16, wY, 0, 0, 0),
+        head, body)
+    }
+
   /** Append a REAL 3-frame animated WebP `payload` (VP8X/ANIM/ANMF +
    *  per-frame VP8L) from a binary column of 24 RGB bytes on a 4×2
    *  canvas with a transparent background: frame 0 full-canvas (pixels

@@ -28,7 +28,13 @@ object Robots {
 
   final case class RobotsFile(groups: Seq[Group], sitemaps: Seq[String])
 
+  /** Total [[parse]] invocations in this JVM — test-only observability
+   *  for the per-partition memo in [[decisions]] (asserting "parses ≪
+   *  rows" is robust where a wall-clock spec on a shared VM is not). */
+  private[graft] val parseCount = new java.util.concurrent.atomic.AtomicLong
+
   def parse(content: String): RobotsFile = {
+    parseCount.incrementAndGet()
     val groups = mutable.ArrayBuffer.empty[Group]
     val sitemaps = mutable.ArrayBuffer.empty[String]
     var agents = mutable.ArrayBuffer.empty[String]
@@ -187,11 +193,27 @@ object Robots {
       StructField("n_sitemaps", LongType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
+      // Crawl batches carry many URLs per host, so the same robots text
+      // recurs row after row; parsing it once per ROW was the r13
+      // verdict's finding #2. Bounded per-partition LRU keyed by the
+      // text itself (one ~1 KB hash per row beats a full re-parse; 1024
+      // entries × ~1 KB parsed ≈ 1 MB — safe under executor memory).
+      val memo = new java.util.LinkedHashMap[String, RobotsFile](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, RobotsFile]): Boolean =
+          size > 1024
+      }
       rows.map { r =>
         require(!r.isNullAt(rIdx) && !r.isNullAt(aIdx) && !r.isNullAt(pIdx),
           s"null $robotsCol/$agentCol/$pathCol value — filter nulls before " +
             "robots decisions")
-        val f = parse(r.getString(rIdx))
+        val txt = r.getString(rIdx)
+        val f = {
+          val cached = memo.get(txt)
+          if (cached != null) cached
+          else { val p = parse(txt); memo.put(txt, p); p }
+        }
         val (ok, pat) = decide(f, r.getString(aIdx), r.getString(pIdx))
         val d = crawlDelay(f, r.getString(aIdx))
         val delayMs = if (d.isNaN) -1L else math.round(d * 1000)

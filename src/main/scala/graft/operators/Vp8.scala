@@ -44,10 +44,12 @@ package graft.operators
  *    change). Every OTHER table (trees, zigzag, bands, category
  *    probs/bases, mode probs, quantizer lookups) is the published spec
  *    data.
- *  - LOOP FILTER: parsed but only level 0 (disabled) reconstructs;
- *    levels > 0 raise a named error. The filter only smooths block
- *    edges — a feature-extraction pipeline tolerates its absence, but
- *    output would not be bit-identical to libvpx for filtered streams.
+ *  - (r14: the LOOP FILTER seam is CLOSED — §15.2 simple and §15.3
+ *    normal filters, both edge classes, segment/delta-resolved per-MB
+ *    levels, sharpness-adjusted interior limits and the key-frame HEV
+ *    thresholds all reconstruct; §15 is normative RFC BODY text, so no
+ *    appendix data was needed. Pinned by hand-computed edge fixtures
+ *    in Vp8Spec.)
  *  - B_PRED above-right/above-left edge defaults follow the common
  *    decoder behavior (127 above / 129 left / replicate at the frame's
  *    right edge); pinned by spec against hand-computed pixels.
@@ -418,8 +420,13 @@ object Vp8 {
     val width = ((p(6) & 0xFF) | ((p(7) & 0xFF) << 8)) & 0x3FFF
     val height = ((p(8) & 0xFF) | ((p(9) & 0xFF) << 8)) & 0x3FFF
     require(width > 0 && height > 0, "bad VP8 dimensions")
-    require(width.toLong * height <= (1L << 26),
-      s"implausible VP8 dimensions ${width}x$height (cap 2^26 pixels)")
+    // Tighter than the other codecs' 2^26: VP8 decode carries three Int
+    // planes PLUS decodeToYuv's w·h·3 Float expansion (~24 B/px), so the
+    // uniform cap still admitted ~1.3 GB per valid payload (r13 advice).
+    // 2^24 px (4096×4096) bounds one decode at ~400 MB under local[32]
+    // concurrency and still covers any plausible crawl image.
+    require(width.toLong * height <= (1L << 24),
+      s"implausible VP8 dimensions ${width}x$height (cap 2^24 pixels)")
     val mbCols = (width + 15) >> 4
     val mbRows = (height + 15) >> 4
     val headerEnd = 10 + firstPartSize
@@ -434,6 +441,7 @@ object Vp8 {
     var segAbs = false
     val segTreeProbs = Array(255, 255, 255)
     val segQuant = new Array[Int](4)
+    val segLf = new Array[Int](4)
     if (bd.bool(128) == 1) {
       segEnabled = true
       segUpdateMap = bd.bool(128) == 1
@@ -445,8 +453,8 @@ object Vp8 {
           i += 1
         }
         i = 0
-        while (i < 4) { // loop-filter feature values: parsed only
-          if (bd.bool(128) == 1) bd.signedLiteral(6)
+        while (i < 4) { // per-segment loop-filter level (abs or delta)
+          if (bd.bool(128) == 1) segLf(i) = bd.signedLiteral(6)
           i += 1
         }
       }
@@ -458,18 +466,25 @@ object Vp8 {
         }
       }
     }
-    bd.literal(1) // filter type
+    val simpleFilter = bd.literal(1) == 1
     val filterLevel = bd.literal(6)
-    bd.literal(3) // sharpness
+    val sharpness = bd.literal(3)
+    var lfDeltaEnabled = false
+    val refDeltas = new Array[Int](4) // [0] = INTRA_FRAME (all key-frame MBs)
+    val modeDeltas = new Array[Int](4) // [0] = B_PRED
     if (bd.bool(128) == 1) { // lf delta enabled
+      lfDeltaEnabled = true
       if (bd.bool(128) == 1) { // lf delta update
         var i = 0
-        while (i < 8) { if (bd.bool(128) == 1) bd.signedLiteral(6); i += 1 }
+        while (i < 8) {
+          if (bd.bool(128) == 1) {
+            val v = bd.signedLiteral(6)
+            if (i < 4) refDeltas(i) = v else modeDeltas(i - 4) = v
+          }
+          i += 1
+        }
       }
     }
-    require(filterLevel == 0,
-      s"VP8 loop filter level $filterLevel — only level 0 (disabled) " +
-        "reconstructs exactly (named tier; see Vp8 Scaladoc)")
     val nPartitions = 1 << bd.literal(2)
     val baseQi = bd.literal(7)
     def delta(): Int = if (bd.bool(128) == 1) bd.signedLiteral(4) else 0
@@ -503,6 +518,7 @@ object Vp8 {
     val nMbs = mbRows * mbCols
     val mbSegment = new Array[Int](nMbs)
     val mbSkip = new Array[Boolean](nMbs)
+    val mbHasCoeffs = new Array[Boolean](nMbs) // §15.1 interior-edge gate
     val mbYMode = new Array[Int](nMbs)
     val mbUvMode = new Array[Int](nMbs)
     val mbBModes = new Array[Array[Int]](nMbs)
@@ -663,6 +679,7 @@ object Vp8 {
             val (c2, nz2) = block(1, 0, q.y2dc, q.y2ac, ctx)
             coeffs(24) = c2
             aboveY2(mbx) = nz2; leftY2 = nz2
+            if (nz2) mbHasCoeffs(mi) = true
           }
           val yPlaneType = if (hasY2) 0 else 3
           val yFirst = if (hasY2) 1 else 0
@@ -674,6 +691,7 @@ object Vp8 {
             val (cb, nz) = block(yPlaneType, yFirst, q.y1dc, q.y1ac, ctx)
             coeffs(sb) = cb
             aboveY(mbx * 4 + bx) = nz; leftY(by) = nz
+            if (nz) mbHasCoeffs(mi) = true
             sb += 1
           }
           var ub = 0
@@ -684,6 +702,7 @@ object Vp8 {
             val (cb, nz) = block(2, 0, q.uvdc, q.uvac, ctx)
             coeffs(16 + ub) = cb
             aboveU(mbx * 2 + bx) = nz; leftU(by) = nz
+            if (nz) mbHasCoeffs(mi) = true
             ub += 1
           }
           var vb = 0
@@ -694,6 +713,7 @@ object Vp8 {
             val (cb, nz) = block(2, 0, q.uvdc, q.uvac, ctx)
             coeffs(20 + vb) = cb
             aboveV(mbx * 2 + bx) = nz; leftV(by) = nz
+            if (nz) mbHasCoeffs(mi) = true
             vb += 1
           }
         }
@@ -705,6 +725,15 @@ object Vp8 {
       }
       mby += 1
     }
+    // §15: in-loop deblocking as a frame post-pass (intra prediction
+    // above used the unfiltered neighbors, per spec). libvpx skips the
+    // whole pass when the frame-header level is 0, even under
+    // absolute-mode segment levels — mirrored here.
+    if (filterLevel > 0)
+      loopFilterFrame(yPlane, yStride, uPlane, vPlane, uvStride,
+        mbRows, mbCols, simpleFilter, filterLevel, sharpness,
+        segEnabled, segAbs, segLf, lfDeltaEnabled,
+        refDeltas(0), modeDeltas(0), mbSegment, mbYMode, mbHasCoeffs)
     Vp8Frame(width, height, yPlane, uPlane, vPlane, yStride, uvStride)
   }
 
@@ -763,6 +792,253 @@ object Vp8 {
       blit4(vP, uvS, ux0 + bx, uy0 + by, vPred, 8, bx, by,
         residual(20 + cb, 0))
       cb += 1
+    }
+  }
+
+  // ------------------------------------------------- loop filter (§15)
+  //
+  // RFC 6386 §15.2 (simple) and §15.3 (normal) edge filters — normative
+  // BODY text, not appendix data, so fully implementable offline (the
+  // r13 verdict's "implementable codec step"). Pixels cross an edge as
+  //   P3 P2 P1 P0 | Q0 Q1 Q2 Q3
+  // where `i` indexes Q0 and `pitch` is 1 for a vertical edge (walk a
+  // row) or the plane stride for a horizontal edge (walk a column).
+  // Arithmetic mirrors the spec's int8 model exactly: u2s = v - 128,
+  // c() clamps to [-128, 127], s2u is the (uint8_t)(v + 128) CAST —
+  // wrapping, not clamping, like the reference code.
+
+  @inline private def c8(v: Int): Int =
+    if (v < -128) -128 else if (v > 127) 127 else v
+  @inline private def s2u(v: Int): Int = (v + 128) & 0xFF
+
+  /** §15.2 common adjustment on P1 P0 | Q0 Q1; returns F. */
+  private[graft] def commonAdjust(p: Array[Int], i: Int, pitch: Int,
+      useOuterTaps: Boolean): Int = {
+    val pp1 = p(i - 2 * pitch) - 128
+    val pp0 = p(i - pitch) - 128
+    val qq0 = p(i) - 128
+    val qq1 = p(i + pitch) - 128
+    val a = c8((if (useOuterTaps) c8(pp1 - qq1) else 0) + 3 * (qq0 - pp0))
+    val f = c8(a + 4) >> 3
+    val e = c8(a + 3) >> 3
+    p(i) = s2u(qq0 - f)
+    p(i - pitch) = s2u(pp0 + e)
+    f
+  }
+
+  /** §15.2 simple-filter segment (luma only). */
+  private[graft] def simpleSegment(p: Array[Int], i: Int, pitch: Int,
+      edgeLimit: Int): Unit = {
+    if (math.abs(p(i - pitch) - p(i)) * 2 +
+        math.abs(p(i - 2 * pitch) - p(i + pitch)) / 2 <= edgeLimit)
+      commonAdjust(p, i, pitch, useOuterTaps = true)
+  }
+
+  /** §15.3 filter-applies mask over the 8-pixel segment. */
+  private def filterYes(p: Array[Int], i: Int, pitch: Int,
+      interior: Int, edge: Int): Boolean = {
+    @inline def px(k: Int): Int = p(i + k * pitch)
+    math.abs(px(-1) - px(0)) * 2 + math.abs(px(-2) - px(1)) / 2 <= edge &&
+      math.abs(px(-4) - px(-3)) <= interior &&
+      math.abs(px(-3) - px(-2)) <= interior &&
+      math.abs(px(-2) - px(-1)) <= interior &&
+      math.abs(px(3) - px(2)) <= interior &&
+      math.abs(px(2) - px(1)) <= interior &&
+      math.abs(px(1) - px(0)) <= interior
+  }
+
+  /** §15.3 high-edge-variance test. */
+  private def hev(p: Array[Int], i: Int, pitch: Int, thresh: Int): Boolean =
+    math.abs(p(i - 2 * pitch) - p(i - pitch)) > thresh ||
+      math.abs(p(i + pitch) - p(i)) > thresh
+
+  /** §15.3 sub-block (interior) edge filter. */
+  private[graft] def subblockFilter(p: Array[Int], i: Int, pitch: Int,
+      hevThresh: Int, interior: Int, edge: Int): Unit = {
+    if (filterYes(p, i, pitch, interior, edge)) {
+      val hv = hev(p, i, pitch, hevThresh)
+      val a = (commonAdjust(p, i, pitch, hv) + 1) >> 1
+      if (!hv) {
+        p(i + pitch) = s2u((p(i + pitch) - 128) - a)
+        p(i - 2 * pitch) = s2u((p(i - 2 * pitch) - 128) + a)
+      }
+    }
+  }
+
+  /** §15.3 macroblock edge filter (the wide 27/18/9 taps). */
+  private[graft] def mbEdgeFilter(p: Array[Int], i: Int, pitch: Int,
+      hevThresh: Int, interior: Int, edge: Int): Unit = {
+    if (filterYes(p, i, pitch, interior, edge)) {
+      if (!hev(p, i, pitch, hevThresh)) {
+        val p2 = p(i - 3 * pitch) - 128
+        val p1 = p(i - 2 * pitch) - 128
+        val p0 = p(i - pitch) - 128
+        val q0 = p(i) - 128
+        val q1 = p(i + pitch) - 128
+        val q2 = p(i + 2 * pitch) - 128
+        val w = c8(c8(p1 - q1) + 3 * (q0 - p0))
+        var a = c8((27 * w + 63) >> 7)
+        p(i) = s2u(q0 - a); p(i - pitch) = s2u(p0 + a)
+        a = c8((18 * w + 63) >> 7)
+        p(i + pitch) = s2u(q1 - a); p(i - 2 * pitch) = s2u(p1 + a)
+        a = c8((9 * w + 63) >> 7)
+        p(i + 2 * pitch) = s2u(q2 - a); p(i - 3 * pitch) = s2u(p2 + a)
+      } else commonAdjust(p, i, pitch, useOuterTaps = true)
+    }
+  }
+
+  /** §15 whole-frame pass, MBs in raster order, per MB: vertical MB
+   *  edge, interior vertical edges, horizontal MB edge, interior
+   *  horizontal edges (the spec's order). Runs AFTER full-frame
+   *  reconstruction — VP8 intra prediction reads the UNFILTERED
+   *  neighbors, so filtering is a frame post-pass, not per-MB.
+   *  Interior edges filter only when the MB carried any non-zero
+   *  coefficient or is B_PRED (§15.1); the simple filter touches luma
+   *  only. */
+  private def loopFilterFrame(
+      yP: Array[Int], yS: Int, uP: Array[Int], vP: Array[Int], uvS: Int,
+      mbRows: Int, mbCols: Int,
+      simple: Boolean, frameLevel: Int, sharpness: Int,
+      segEnabled: Boolean, segAbs: Boolean, segLf: Array[Int],
+      lfDeltaEnabled: Boolean, refDeltaIntra: Int, modeDeltaBPred: Int,
+      mbSegment: Array[Int], mbYMode: Array[Int],
+      mbHasCoeffs: Array[Boolean]): Unit = {
+    var mby = 0
+    while (mby < mbRows) {
+      var mbx = 0
+      while (mbx < mbCols) {
+        val mi = mby * mbCols + mbx
+        // §15.1 per-MB level: segment base (abs or delta), then the
+        // key-frame INTRA ref delta + the B_PRED mode delta, clamped
+        var lvl =
+          if (!segEnabled) frameLevel
+          else if (segAbs) segLf(mbSegment(mi))
+          else frameLevel + segLf(mbSegment(mi))
+        if (lvl < 0) lvl = 0 else if (lvl > 63) lvl = 63
+        if (lfDeltaEnabled) {
+          lvl += refDeltaIntra
+          if (mbYMode(mi) == B_PRED) lvl += modeDeltaBPred
+          if (lvl < 0) lvl = 0 else if (lvl > 63) lvl = 63
+        }
+        if (lvl > 0) {
+          var interior = lvl
+          if (sharpness > 0) {
+            interior >>= (if (sharpness > 4) 2 else 1)
+            if (interior > 9 - sharpness) interior = 9 - sharpness
+          }
+          if (interior < 1) interior = 1
+          val hevT = if (lvl >= 40) 2 else if (lvl >= 15) 1 else 0
+          val mbE = (lvl + 2) * 2 + interior
+          val sbE = lvl * 2 + interior
+          val inner = mbHasCoeffs(mi) || mbYMode(mi) == B_PRED
+          val x0 = mbx * 16; val y0 = mby * 16
+          val cx0 = mbx * 8; val cy0 = mby * 8
+          if (simple) {
+            if (mbx > 0) {
+              var r = 0
+              while (r < 16) {
+                simpleSegment(yP, (y0 + r) * yS + x0, 1, mbE); r += 1
+              }
+            }
+            if (inner) {
+              var b = 4
+              while (b < 16) {
+                var r = 0
+                while (r < 16) {
+                  simpleSegment(yP, (y0 + r) * yS + x0 + b, 1, sbE); r += 1
+                }
+                b += 4
+              }
+            }
+            if (mby > 0) {
+              var cc = 0
+              while (cc < 16) {
+                simpleSegment(yP, y0 * yS + x0 + cc, yS, mbE); cc += 1
+              }
+            }
+            if (inner) {
+              var b = 4
+              while (b < 16) {
+                var cc = 0
+                while (cc < 16) {
+                  simpleSegment(yP, (y0 + b) * yS + x0 + cc, yS, sbE)
+                  cc += 1
+                }
+                b += 4
+              }
+            }
+          } else {
+            if (mbx > 0) {
+              var r = 0
+              while (r < 16) {
+                mbEdgeFilter(yP, (y0 + r) * yS + x0, 1, hevT, interior, mbE)
+                r += 1
+              }
+              r = 0
+              while (r < 8) {
+                val ci = (cy0 + r) * uvS + cx0
+                mbEdgeFilter(uP, ci, 1, hevT, interior, mbE)
+                mbEdgeFilter(vP, ci, 1, hevT, interior, mbE)
+                r += 1
+              }
+            }
+            if (inner) {
+              var b = 4
+              while (b < 16) {
+                var r = 0
+                while (r < 16) {
+                  subblockFilter(yP, (y0 + r) * yS + x0 + b, 1,
+                    hevT, interior, sbE)
+                  r += 1
+                }
+                b += 4
+              }
+              var r = 0
+              while (r < 8) {
+                val ci = (cy0 + r) * uvS + cx0 + 4
+                subblockFilter(uP, ci, 1, hevT, interior, sbE)
+                subblockFilter(vP, ci, 1, hevT, interior, sbE)
+                r += 1
+              }
+            }
+            if (mby > 0) {
+              var cc = 0
+              while (cc < 16) {
+                mbEdgeFilter(yP, y0 * yS + x0 + cc, yS, hevT, interior, mbE)
+                cc += 1
+              }
+              cc = 0
+              while (cc < 8) {
+                val ci = cy0 * uvS + cx0 + cc
+                mbEdgeFilter(uP, ci, uvS, hevT, interior, mbE)
+                mbEdgeFilter(vP, ci, uvS, hevT, interior, mbE)
+                cc += 1
+              }
+            }
+            if (inner) {
+              var b = 4
+              while (b < 16) {
+                var cc = 0
+                while (cc < 16) {
+                  subblockFilter(yP, (y0 + b) * yS + x0 + cc, yS,
+                    hevT, interior, sbE)
+                  cc += 1
+                }
+                b += 4
+              }
+              var cc = 0
+              while (cc < 8) {
+                val ci = (cy0 + 4) * uvS + cx0 + cc
+                subblockFilter(uP, ci, uvS, hevT, interior, sbE)
+                subblockFilter(vP, ci, uvS, hevT, interior, sbE)
+                cc += 1
+              }
+            }
+          }
+        }
+        mbx += 1
+      }
+      mby += 1
     }
   }
 
@@ -1086,7 +1362,13 @@ object Vp8 {
     }
     chroma(wU); chroma(wV)
     val part2 = te.toBytes
+    packKeyFrame(width, height, part1, part2)
+  }
 
+  /** Uncompressed key-frame tag + start code + dims around the two
+   *  encoded partitions (shared by the fixture encoders). */
+  private def packKeyFrame(width: Int, height: Int, part1: Array[Byte],
+      part2: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(
       part1.length + part2.length + 16)
     val tag = (part1.length << 5) | (1 << 4) // show_frame=1, keyframe=0
@@ -1098,6 +1380,155 @@ object Vp8 {
     out.write(part1, 0, part1.length)
     out.write(part2, 0, part2.length)
     out.toByteArray
+  }
+
+  /** Write one DC-only coefficient block (token + category extra bits +
+   *  sign + trailing EOB) at entry context `ctx0`; returns whether the
+   *  block was non-empty (the neighbor-context bit). */
+  private def writeDcToken(te: BoolEnc, plane: Int, w: Int,
+      ctx0: Int): Boolean = {
+    val probs = DefaultCoeffProbs
+    if (w == 0) {
+      te.tree(CoeffTree, probs(plane)(CoeffBands(0))(ctx0), EOB)
+      return false
+    }
+    val mag = math.abs(w)
+    var ci = 0
+    val tok =
+      if (mag <= 4) mag
+      else {
+        while (ci < 5 && mag >= CatBases(ci + 1)) ci += 1
+        CAT1 + ci
+      }
+    te.tree(CoeffTree, probs(plane)(CoeffBands(0))(ctx0), tok)
+    if (tok >= CAT1) {
+      val cp = CatProbs(ci)
+      val extra = mag - CatBases(ci)
+      var k = 0
+      while (k < cp.length) {
+        te.bool((extra >> (cp.length - 1 - k)) & 1, cp(k)); k += 1
+      }
+    }
+    te.bool(if (w < 0) 1 else 0, 128) // sign
+    val nctx = if (mag > 1) 2 else 1
+    te.tree(CoeffTree, probs(plane)(CoeffBands(1))(nctx), EOB)
+    true
+  }
+
+  /** Fixture: a grid of DC-only 16×16-intra macroblocks — MB `mi`
+   *  carries Y2 DC level `yLv(mi)` and chroma DC levels
+   *  `uLv(mi)`/`vLv(mi)` (deltas against DC_PRED propagation from
+   *  left/above), with the loop-filter header fields under test
+   *  (`filterType` 0 = normal / 1 = simple, level, sharpness). Every
+   *  MB codes tokens (no skip), so interior edges are filter-eligible.
+   *  Exists to certify the §15 loop filter on step edges whose
+   *  filtered pixels are hand-computed in Vp8Spec. */
+  def encodeDcGrid(width: Int, height: Int, yLv: Array[Int],
+      uLv: Array[Int], vLv: Array[Int], qIndex: Int,
+      filterType: Int, filterLevel: Int, sharpness: Int,
+      refDeltaIntra: Int = 0, modeDeltaBPred: Int = 0): Array[Byte] = {
+    require(width >= 1 && width <= 16383 && height >= 1 && height <= 16383)
+    require(qIndex >= 0 && qIndex <= 127)
+    require(filterLevel >= 0 && filterLevel <= 63)
+    require(sharpness >= 0 && sharpness <= 7)
+    val mbCols = (width + 15) >> 4
+    val mbRows = (height + 15) >> 4
+    val nMbs = mbRows * mbCols
+    require(yLv.length == nMbs && uLv.length == nMbs && vLv.length == nMbs)
+    val bd = new BoolEnc
+    bd.literal(0, 1) // color space
+    bd.literal(0, 1) // clamping
+    bd.bool(0, 128) // segmentation off
+    bd.literal(filterType, 1)
+    bd.literal(filterLevel, 6)
+    bd.literal(sharpness, 3)
+    if (refDeltaIntra == 0 && modeDeltaBPred == 0) bd.bool(0, 128) // lf adj off
+    else {
+      bd.bool(1, 128) // lf delta enabled
+      bd.bool(1, 128) // lf delta update
+      // 4 ref deltas ([0] = INTRA_FRAME) then 4 mode deltas ([0] = B_PRED)
+      val deltas = Array(refDeltaIntra, 0, 0, 0, modeDeltaBPred, 0, 0, 0)
+      var d = 0
+      while (d < 8) {
+        if (deltas(d) == 0) bd.bool(0, 128)
+        else { bd.bool(1, 128); bd.signedLiteral(deltas(d), 6) }
+        d += 1
+      }
+    }
+    bd.literal(0, 2) // 1 token partition
+    bd.literal(qIndex, 7)
+    var i = 0
+    while (i < 5) { bd.bool(0, 128); i += 1 } // no quant deltas
+    bd.bool(0, 128) // refresh entropy probs
+    var pl = 0
+    while (pl < 4) { // no coeff prob updates
+      var band = 0
+      while (band < 8) {
+        var ctx = 0
+        while (ctx < 3) {
+          var n = 0
+          while (n < 11) {
+            bd.bool(0, CoeffUpdateProbs(pl)(band)(ctx)(n)); n += 1
+          }
+          ctx += 1
+        }
+        band += 1
+      }
+      pl += 1
+    }
+    bd.bool(0, 128) // mb_no_skip_coeff OFF: every MB carries tokens
+    var mb = 0
+    while (mb < nMbs) {
+      bd.tree(KfYModeTree, KfYModeProbs, DC_PRED)
+      bd.tree(UvModeTree, KfUvModeProbs, DC_PRED)
+      mb += 1
+    }
+    val part1 = bd.toBytes
+
+    val te = new BoolEnc
+    // mirror the decoder's neighbor-context walk exactly
+    val aboveY2 = new Array[Boolean](mbCols)
+    val aboveU = new Array[Boolean](mbCols * 2)
+    val aboveV = new Array[Boolean](mbCols * 2)
+    var mby = 0
+    while (mby < mbRows) {
+      var leftY2 = false
+      val leftU = new Array[Boolean](2)
+      val leftV = new Array[Boolean](2)
+      var mbx = 0
+      while (mbx < mbCols) {
+        val mi = mby * mbCols + mbx
+        val ctx2 = (if (aboveY2(mbx)) 1 else 0) + (if (leftY2) 1 else 0)
+        val nz2 = writeDcToken(te, 1, yLv(mi), ctx2)
+        aboveY2(mbx) = nz2; leftY2 = nz2
+        var sb = 0
+        while (sb < 16) { // empty Y blocks: first coeff 1, ctx stays 0
+          te.tree(CoeffTree, DefaultCoeffProbs(0)(CoeffBands(1))(0), EOB)
+          sb += 1
+        }
+        var ub = 0
+        while (ub < 4) {
+          val bx = ub & 1; val by = ub >> 1
+          val ctx = (if (aboveU(mbx * 2 + bx)) 1 else 0) +
+            (if (leftU(by)) 1 else 0)
+          val nz = writeDcToken(te, 2, uLv(mi), ctx)
+          aboveU(mbx * 2 + bx) = nz; leftU(by) = nz
+          ub += 1
+        }
+        var vb = 0
+        while (vb < 4) {
+          val bx = vb & 1; val by = vb >> 1
+          val ctx = (if (aboveV(mbx * 2 + bx)) 1 else 0) +
+            (if (leftV(by)) 1 else 0)
+          val nz = writeDcToken(te, 2, vLv(mi), ctx)
+          aboveV(mbx * 2 + bx) = nz; leftV(by) = nz
+          vb += 1
+        }
+        mbx += 1
+      }
+      mby += 1
+    }
+    packKeyFrame(width, height, part1, te.toBytes)
   }
 
   /** Fixture: a single-MB (16×16) key frame whose FIRST luma block

@@ -21,9 +21,11 @@ package graft.operators
  * dispose-to-background compositing (the WebP sibling of
  * [[Gif.decodeGifFrames]]). Lossy WebP (`VP8 ` chunks) routes to the
  * round-13 [[Vp8]] key-frame decoder (yuv420 output; probability-table
- * conformance is ITS named seam); lossy-with-alpha (ALPH + VP8) stays
- * a NAMED rejection so a transparency plane is never silently dropped
- * (reference keeps codecs behind opaque guests:
+ * conformance is ITS named seam); lossy-with-alpha (ALPH + VP8, the
+ * r13 named rejection) decodes since r14 — raw or
+ * headerless-VP8L-compressed alpha with all three spec filters,
+ * composited as a 4th channel ("yuva420") — so a transparency plane is
+ * never dropped (reference keeps codecs behind opaque guests:
  * reference: host-go/engine/engine.go:1).
  *
  * Conformance note: bit-exactness against libwebp cannot be verified
@@ -405,7 +407,8 @@ object Webp {
     var at = 12
     var vp8lStart = -1
     var vp8lEnd = -1
-    var sawAlph = false
+    var alphStart = -1
+    var alphEnd = -1
     while (at + 8 <= p.length && vp8lStart < 0) {
       val tag = new String(p, at, 4, "US-ASCII")
       val size = le32(p, at + 4)
@@ -414,15 +417,27 @@ object Webp {
       tag match {
         case "VP8L" => vp8lStart = at + 8; vp8lEnd = at + 8 + size
         case "VP8 " => // lossy tier: key-frame decode (see Vp8 Scaladoc)
-          // an ALPH chunk carries the frame's transparency — dropping
-          // it silently would violate the loud-seams contract
-          require(!sawAlph, "WebP lossy + ALPH (transparent lossy) — " +
-            "unsupported tier: the alpha plane would be silently dropped")
-          return Vp8.decodeToYuv(
+          val yuv = Vp8.decodeToYuv(
             java.util.Arrays.copyOfRange(p, at + 8, at + 8 + size))
+          if (alphStart < 0) return yuv
+          // r14: lossy + ALPH tier — composite the ALPH chunk's alpha
+          // plane (raw or headerless-VP8L-compressed, spec filters
+          // inverted) onto the VP8 frame as a 4th channel
+          val (w4, h4, _, _, px3) = yuv
+          val alpha = decodeAlph(p, alphStart, alphEnd, w4, h4)
+          val out4 = new Array[Float](w4 * h4 * 4)
+          var i4 = 0
+          while (i4 < w4 * h4) {
+            out4(4 * i4) = px3(3 * i4)
+            out4(4 * i4 + 1) = px3(3 * i4 + 1)
+            out4(4 * i4 + 2) = px3(3 * i4 + 2)
+            out4(4 * i4 + 3) = alpha(i4) / 255.0f
+            i4 += 1
+          }
+          return (w4, h4, 4, "yuva420", out4)
         case "ANIM" | "ANMF" => throw new IllegalArgumentException(
           "animated WebP (ANIM/ANMF) — unsupported tier")
-        case "ALPH" => sawAlph = true // only meaningful before 'VP8 '
+        case "ALPH" => alphStart = at + 8; alphEnd = at + 8 + size
         case "VP8X" | "ICCP" | "EXIF" | "XMP " => () // walk on
         case other => throw new IllegalArgumentException(
           s"unknown WebP chunk '$other'")
@@ -440,19 +455,7 @@ object Webp {
     val version = br.readBits(3)
     require(version == 0, s"bad VP8L version $version")
     require(w.toLong * h * 4 <= Int.MaxValue, "WebP too large to decode")
-    val (px0, _, transforms) = decodeImageStream(br, w, h, level0 = true)
-    // inverse transforms in reverse read order
-    var px = px0
-    transforms.reverse.foreach { t =>
-      px = t.kind match {
-        case 0 => inversePredictor(px, t.xsizeAtRead, h, t.bits, t.data)
-        case 1 => inverseColor(px, t.xsizeAtRead, h, t.bits, t.data)
-        case 2 => px.map(v => argb(a(v), r(v) + g(v), g(v), b(v) + g(v)))
-        case 3 => inverseColorIndex(px, t.xsizeAtRead, h, t.bits, t.data,
-          t.numColors)
-      }
-    }
-    require(px.length == w * h, "VP8L transform chain size mismatch")
+    val px = decodeVp8lPixels(br, w, h)
     val out = new Array[Float](w * h * 4)
     var i = 0
     while (i < px.length) {
@@ -464,6 +467,143 @@ object Webp {
       i += 1
     }
     (w, h, 4, "webp", out)
+  }
+
+  /** Decode one VP8L image stream positioned after the 5-byte header
+   *  (or headerless, as in an ALPH chunk) and apply the inverse
+   *  transform chain in reverse read order. */
+  private def decodeVp8lPixels(br: Br, w: Int, h: Int): Array[Int] = {
+    val (px0, _, transforms) = decodeImageStream(br, w, h, level0 = true)
+    var px = px0
+    transforms.reverse.foreach { t =>
+      px = t.kind match {
+        case 0 => inversePredictor(px, t.xsizeAtRead, h, t.bits, t.data)
+        case 1 => inverseColor(px, t.xsizeAtRead, h, t.bits, t.data)
+        case 2 => px.map(v => argb(a(v), r(v) + g(v), g(v), b(v) + g(v)))
+        case 3 => inverseColorIndex(px, t.xsizeAtRead, h, t.bits, t.data,
+          t.numColors)
+      }
+    }
+    require(px.length == w * h, "VP8L transform chain size mismatch")
+    px
+  }
+
+  /** Decode an ALPH chunk body to one alpha byte per pixel (container
+   *  spec: header byte = Rsv(2) | preprocessing(2) | filter(2) |
+   *  compression(2); compression 0 = raw w×h bytes, 1 = headerless
+   *  VP8L stream with alpha riding the GREEN channel; the filter
+   *  prediction — none/horizontal/vertical/gradient with the spec's
+   *  border fallbacks — inverts after decompression, mod 256). */
+  private def decodeAlph(p: Array[Byte], start: Int, end: Int,
+      w: Int, h: Int): Array[Int] = {
+    require(end > start, "empty WebP ALPH chunk")
+    val head = p(start) & 0xFF
+    val comp = head & 3
+    val filt = (head >> 2) & 3
+    require(comp <= 1, s"WebP ALPH reserved compression method $comp")
+    val alpha: Array[Int] =
+      if (comp == 0) {
+        require(end - start - 1 == w * h,
+          s"raw ALPH payload is ${end - start - 1} B for ${w}x$h")
+        Array.tabulate(w * h)(i => p(start + 1 + i) & 0xFF)
+      } else {
+        val br = new Br(p, start + 1, end)
+        decodeVp8lPixels(br, w, h).map(g)
+      }
+    if (filt > 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          val pred =
+            if (x == 0 && y == 0) 0
+            else if (filt == 1) { // horizontal: left; left column → above
+              if (x == 0) alpha(i - w) else alpha(i - 1)
+            } else if (filt == 2) { // vertical: above; top row → left
+              if (y == 0) alpha(i - 1) else alpha(i - w)
+            } else { // gradient: clip(L + T - TL), same border fallbacks
+              if (x == 0) alpha(i - w)
+              else if (y == 0) alpha(i - 1)
+              else clamp255(alpha(i - 1) + alpha(i - w) - alpha(i - w - 1))
+            }
+          alpha(i) = (alpha(i) + pred) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+    }
+    alpha
+  }
+
+  /** Fixture: encode an alpha plane as the ALPH chunk's compressed
+   *  body — a headerless VP8L stream, alpha in the green channel. */
+  private[graft] def encodeAlphVp8l(w: Int, h: Int,
+      alpha: Array[Int]): Array[Byte] = {
+    require(alpha.length == w * h)
+    val bw = new Bw()
+    bw.writeBits(0, 1) // no transforms
+    writeImageStream(bw, alpha.map(v => argb(0xFF, 0, v & 0xFF, 0)), w,
+      level0 = true, cacheBits = 0, rle = false)
+    bw.toBytes
+  }
+
+  /** Fixture: forward-filter a TARGET alpha plane (the exact mirror of
+   *  [[decodeAlph]]'s inverse) and pack it as an ALPH body under
+   *  `filt`/`comp`; returns (header byte, body). Decode returns the
+   *  target plane bit-exactly, so oracles predict it directly. */
+  private[graft] def encodeAlph(w: Int, h: Int, target: Array[Int],
+      filt: Int, comp: Int): (Int, Array[Byte]) = {
+    require(target.length == w * h)
+    val stored = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val pred =
+        if (filt == 0 || (x == 0 && y == 0)) 0
+        else if (filt == 1) { if (x == 0) target(i - w) else target(i - 1) }
+        else if (filt == 2) { if (y == 0) target(i - 1) else target(i - w) }
+        else {
+          if (x == 0) target(i - w)
+          else if (y == 0) target(i - 1)
+          else clamp255(target(i - 1) + target(i - w) - target(i - w - 1))
+        }
+      (target(i) - pred) & 0xFF
+    }
+    val body =
+      if (comp == 0) stored.map(_.toByte)
+      else encodeAlphVp8l(w, h, stored)
+    ((filt << 2) | comp, body)
+  }
+
+  /** Fixture: RIFF/WEBP container VP8X(alpha) + ALPH + VP8 for the
+   *  lossy-with-alpha tier. `alphHead` is the ALPH header byte. */
+  private[graft] def lossyAlphaWrap(w: Int, h: Int, frame: Array[Byte],
+      alphHead: Int, alphBody: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = s.foreach(c => o.write(c))
+    def le(v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+    }
+    def h24(v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF); o.write((v >> 16) & 0xFF)
+    }
+    val alphLen = 1 + alphBody.length
+    val vp8Padded = frame.length + (frame.length & 1)
+    val total = 4 + (8 + 10) + (8 + alphLen + (alphLen & 1)) +
+      (8 + vp8Padded)
+    tag("RIFF"); le(total); tag("WEBP")
+    tag("VP8X"); le(10)
+    o.write(0x10) // alpha flag
+    o.write(0); o.write(0); o.write(0)
+    h24(w - 1); h24(h - 1)
+    tag("ALPH"); le(alphLen)
+    o.write(alphHead)
+    o.write(alphBody, 0, alphBody.length)
+    if ((alphLen & 1) == 1) o.write(0)
+    tag("VP8 "); le(frame.length)
+    o.write(frame, 0, frame.length)
+    if ((frame.length & 1) == 1) o.write(0)
+    o.toByteArray
   }
 
   private def le32(p: Array[Byte], at: Int): Int =
@@ -720,11 +860,16 @@ object Webp {
           require(fx + fw <= cw && fy + fh <= ch,
             s"ANMF frame ${fw}x$fh at ($fx,$fy) outside ${cw}x$ch canvas")
           // frame data: sub-chunks; wrap as a standalone WebP and reuse
-          // the still decoder (ALPH would precede VP8 — lossy, rejected
-          // there with its named error)
+          // the still decoder
           val sub = java.util.Arrays.copyOfRange(p, d + 16, d + size)
           val still = riffWrapRaw(sub)
-          val (dw, dh, _, _, fpx) = decodeWebp(still)
+          val (dw, dh, dch, dfmt, fpx) = decodeWebp(still)
+          // the blend loop below composites RGBA lanes; a lossy frame
+          // (3-ch yuv420 / 4-ch yuva420) would misread as RGB — keep
+          // the animation tier lossless-only with a NAMED error
+          require(dch == 4 && dfmt == "webp",
+            s"ANMF frame decodes as $dfmt — lossy frames inside " +
+              "animated WebP are an unsupported tier")
           require(dw == fw && dh == fh,
             s"ANMF declares ${fw}x$fh but VP8L carries ${dw}x$dh")
           var y = 0

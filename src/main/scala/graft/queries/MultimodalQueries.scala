@@ -536,6 +536,57 @@ object MultimodalQueries extends QueryProvider {
       |FROM v""".stripMargin
   }
 
+  /** LOSSY + ALPH WEBP — the r14 closure of r13's named rejection:
+   *  each document carries a VP8X + ALPH + VP8 still
+   *  ([[graft.operators.Multimodal.withWebpAlphaPayload]]) whose alpha
+   *  plane is a row-linear ramp stored under a per-doc spec filter
+   *  (none/horizontal/vertical/gradient) and compression (raw vs
+   *  headerless VP8L); the oracle replays the VP8 solid closed form
+   *  for luma AND the exact ramp sum for alpha — a filter-inversion or
+   *  green-channel slip flips `pix_byte_sum`. 100 TB shape: per-row
+   *  decode in the batched mapPartitions, no shuffle. */
+  private def webpAlpha(s: SparkSession, dir: String): DataFrame = {
+    val src = T(s, dir, "documents").select(col("doc_id"),
+      expr("unhex(concat(lpad(hex((doc_id % 141) + 58), 2, '0')," +
+        "lpad(hex(n_chars % 128), 2, '0')," +
+        "lpad(hex(doc_id % 9), 2, '0')," +
+        "lpad(hex(doc_id % 8), 2, '0')))").as("src"))
+    Multimodal.decodeImage(
+        Multimodal.withWebpAlphaPayload(src, "src").drop("src"),
+        "payload", codec = Multimodal.SniffCodec)
+      .select(col("doc_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"),
+        expr("CAST(round(pixels[3] * 255) AS BIGINT)").as("a_first"),
+        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          .as("pix_byte_sum"))
+  }
+
+  private val webpAlphaSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    (doc_id % 141) - 70 AS wy,
+      |    n_chars % 128 AS a0,
+      |    doc_id % 9 AS st
+      |  FROM documents
+      |), v AS (
+      |  -- VP8 solid closed form at q = 0 (dcq = 4, y2dc = 8); shift
+      |  -- dividends non-negative so DuckDB // matches Scala >>
+      |  SELECT doc_id,
+      |    LEAST(255, GREATEST(0,
+      |      128 + ((((wy * 8 + 3 + 32768) // 8 - 4096)
+      |              + 4 + 32768) // 8 - 4096))) AS y0,
+      |    a0, st
+      |  FROM p
+      |)
+      |SELECT doc_id, CAST(16 AS INTEGER) AS width,
+      |  CAST(16 AS INTEGER) AS height, 'yuva420' AS format,
+      |  CAST(a0 AS BIGINT) AS a_first,
+      |  -- 256·y0 + 256·128·2 (flat chroma) + the alpha ramp sum
+      |  CAST(256 * y0 + 65536 + 256 * a0 + 1920 * st AS BIGINT)
+      |    AS pix_byte_sum
+      |FROM v""".stripMargin
+
   /** ANIMATED WEBP 1:N frame explode — the WebP sibling of
    *  `mm_gif_frames`: 24 md5 bytes become a 3-frame VP8X/ANIM/ANMF
    *  animation (`withAnimatedWebpPayload`) whose frames exercise
@@ -993,6 +1044,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_png_tiers"       -> (pngTiers _),
     "mm_webp_roundtrip"  -> (webpRoundtrip _),
     "mm_webp_lossy"      -> (webpLossy _),
+    "mm_webp_alpha"      -> (webpAlpha _),
     "mm_webp_frames"     -> (webpFrames _),
     "mm_tiff_roundtrip"  -> (tiffRoundtrip _),
     "mm_adpcm_roundtrip" -> (adpcmRoundtrip _),
@@ -1019,6 +1071,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_png_tiers"       -> pngTiersSql,
     "mm_webp_roundtrip"  -> webpRoundtripSql,
     "mm_webp_lossy"      -> webpLossySql,
+    "mm_webp_alpha"      -> webpAlphaSql,
     "mm_webp_frames"     -> webpFramesSql,
     "mm_tiff_roundtrip"  -> tiffRoundtripSql,
     "mm_adpcm_roundtrip" -> adpcmRoundtripSql,

@@ -590,6 +590,78 @@ object WebQueries extends QueryProvider {
       |SELECT h.host, pr AS pr_nano
       |FROM r$hostRankIters JOIN hosts h ON node_id = h.id""".stripMargin
 
+  /** CRAWL-FRONTIER SCHEDULE — the per-host politeness ledger
+   *  ([[graft.streaming.StreamingLens.frontierSchedule]]) that closes
+   *  the crawl loop opened by `pipeline_crawl_gate`: a synthetic audit
+   *  log (one row per host per batch, doc_id%4 as batch, delay a
+   *  deterministic host/batch function with the RFC -1 default mixed
+   *  in) plus a fetch-completion log with a never-fetched host slice
+   *  (sources ending in 7). The oracle replays the latest-batch-wins
+   *  delay pick (`arg_max`), budget sums, and
+   *  `last_fetch + max(delay, 0)` eligibility arithmetic exactly.
+   *  100 TB shape: see frontierSchedule — host-keyed aggregates over
+   *  per-host logs, slim rows, no broadcast hint. */
+  private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents").select(
+      concat(col("source"), lit(".example.com")).as("host"),
+      (col("doc_id") % 4).as("batch_id"),
+      col("doc_id"))
+    val audit = base.groupBy(col("host"), col("batch_id")).agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_admitted"))
+      .withColumn("crawl_delay_ms",
+        when((ascii(substring(col("host"), 1, 1)) + col("batch_id")) % 4
+            === 0, lit(-1L))
+          .otherwise(
+            ((ascii(substring(col("host"), 1, 1)) + col("batch_id")) % 5)
+              * lit(1000L)))
+    val fetches = base
+      .where(col("doc_id") % 3 === 0 &&
+        !col("host").endsWith("7.example.com"))
+      .select(col("host"), (col("doc_id") * 100L).as("fetch_ts_ms"))
+    graft.streaming.StreamingLens.frontierSchedule(audit, fetches)
+      .select(col("host"), col("crawl_delay_ms").cast("long"),
+        col("n_admitted_total").cast("long"), col("n_batches").cast("long"),
+        col("last_fetch_ms").cast("long"), col("next_eligible_ms").cast("long"))
+  }
+
+  private val crawlFrontierSql =
+    """WITH base AS (
+      |  SELECT source || '.example.com' AS host,
+      |    doc_id % 4 AS batch_id, doc_id
+      |  FROM documents
+      |), audit AS (
+      |  SELECT host, batch_id,
+      |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_admitted,
+      |    CASE WHEN (ascii(substring(host, 1, 1)) + batch_id) % 4 = 0
+      |         THEN -1
+      |         ELSE ((ascii(substring(host, 1, 1)) + batch_id) % 5) * 1000
+      |    END AS crawl_delay_ms
+      |  FROM base GROUP BY host, batch_id
+      |), fetches AS (
+      |  SELECT host, doc_id * 100 AS fetch_ts_ms FROM base
+      |  WHERE doc_id % 3 = 0 AND host NOT LIKE '%7.example.com'
+      |), latest AS (
+      |  SELECT host,
+      |    arg_max(crawl_delay_ms, batch_id) AS crawl_delay_ms,
+      |    sum(n_admitted) AS n_admitted_total,
+      |    count(*) AS n_batches
+      |  FROM audit GROUP BY host
+      |), last AS (
+      |  SELECT host, max(fetch_ts_ms) AS last_fetch_ms FROM fetches
+      |  GROUP BY host
+      |)
+      |SELECT latest.host,
+      |  CAST(latest.crawl_delay_ms AS BIGINT) AS crawl_delay_ms,
+      |  CAST(n_admitted_total AS BIGINT) AS n_admitted_total,
+      |  CAST(n_batches AS BIGINT) AS n_batches,
+      |  CAST(coalesce(last_fetch_ms, -1) AS BIGINT) AS last_fetch_ms,
+      |  CAST(CASE WHEN last_fetch_ms IS NULL THEN 0
+      |            ELSE last_fetch_ms +
+      |              greatest(latest.crawl_delay_ms, 0) END AS BIGINT)
+      |    AS next_eligible_ms
+      |FROM latest LEFT JOIN last ON latest.host = last.host""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_html_extract" -> (htmlExtract _),
     "pipeline_web_extract" -> (webExtract _),
@@ -602,7 +674,8 @@ object WebQueries extends QueryProvider {
     "pipeline_host_rank" -> (hostRank _),
     "text_html_main" -> (htmlMain _),
     "pipeline_crawl_main" -> (crawlMain _),
-    "pipeline_crawl_gate" -> (crawlGateBatch _)
+    "pipeline_crawl_gate" -> (crawlGateBatch _),
+    "pipeline_crawl_frontier" -> (crawlFrontier _)
   )
 
   override def oracles: Map[String, String] = Map(
@@ -617,6 +690,7 @@ object WebQueries extends QueryProvider {
     "pipeline_host_rank" -> hostRankSql,
     "text_html_main" -> htmlMainSql,
     "pipeline_crawl_main" -> crawlMainSql,
-    "pipeline_crawl_gate" -> crawlGateBatchSql
+    "pipeline_crawl_gate" -> crawlGateBatchSql,
+    "pipeline_crawl_frontier" -> crawlFrontierSql
   )
 }

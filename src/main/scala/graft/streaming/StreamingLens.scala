@@ -408,10 +408,18 @@ object StreamingLens {
    *  n_sitemaps) plus `canon_url`/`host`. A host absent from the robots
    *  table is fully allowed with delay -1 (the RFC's no-robots default).
    *
-   *  100 TB shape: canonicalization + path split fuse into the scan;
-   *  the robots dimension is per-HOST (tiny next to the URL stream), so
-   *  the join broadcasts; the decision is a per-row scan — no shuffle
-   *  anywhere in the admit path. */
+   *  100 TB shape: canonicalization + path split fuse into the scan.
+   *  The robots table is per-HOST but NOT broadcastable in absolute
+   *  terms (~10⁷–10⁸ hosts × ~1 KB robots text at Common Crawl scale ≈
+   *  tens of GB), so the full dimension is never hinted: the batch's
+   *  distinct hosts (micro-batch-bounded, slim single column) broadcast
+   *  into a LEFT-SEMI that slices the robots table down to the hosts
+   *  this batch actually touches, and only that batch-bounded slice
+   *  broadcasts into the admit join. The URL stream itself never
+   *  shuffles; the decision is a per-row scan. The canonicalized batch
+   *  feeds both the host probe and the admit join, so it is
+   *  localCheckpoint'd once (batch-bounded — the caller's corpus never
+   *  is; see CLAUDE.md's multiply-referenced-lineage rule). */
   def crawlDecide(batch: DataFrame, urlCol: String, agent: String,
       robots: DataFrame): DataFrame = {
     val canon = batch
@@ -422,9 +430,12 @@ object StreamingLens {
         val p = regexp_extract(col("canon_url"), CrawlPathRe, 1)
         when(p === "", "/").otherwise(p)
       })
+      .localCheckpoint() // referenced twice: host probe + admit join
+    val batchHosts = canon.select(col("host")).distinct()
+    val slice = robots.select(col("host"), col("robots").as("__robots"))
+      .join(broadcast(batchHosts), Seq("host"), "left_semi")
     val joined = canon
-      .join(broadcast(robots.select(col("host"),
-        col("robots").as("__robots"))), Seq("host"), "left")
+      .join(broadcast(slice), Seq("host"), "left")
       .withColumn("__robots", coalesce(col("__robots"), lit("")))
       .withColumn("__agent", lit(agent))
     graft.operators.Robots
@@ -458,8 +469,15 @@ object StreamingLens {
       outDir: String, auditDir: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
+      // Resolve existence through the Hadoop FileSystem API: a bare
+      // java.io.File probe is local-FS-only and would silently disable
+      // the politeness gate (every URL admitted, delay -1) when
+      // robotsDir lives on HDFS/S3 — the actual 100 TB deployment.
+      val robotsPath = new org.apache.hadoop.fs.Path(robotsDir)
+      val robotsFs = robotsPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val robots =
-        if (new java.io.File(robotsDir).exists) spark.read.parquet(robotsDir)
+        if (robotsFs.exists(robotsPath)) spark.read.parquet(robotsDir)
         else {
           import spark.implicits._
           Seq.empty[(String, String)].toDF("host", "robots")
@@ -475,6 +493,42 @@ object StreamingLens {
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(auditDir)
     }
+
+  /** Per-host frontier schedule — closes the politeness loop over
+   *  [[crawlGate]]'s audit output. Inputs: the cumulative audit table
+   *  (`host, n_admitted, crawl_delay_ms, batch_id`, one row per host
+   *  per batch) and the fetcher's completion log
+   *  (`host, fetch_ts_ms`). Output, one row per audited host:
+   *    - `crawl_delay_ms` — the LATEST batch's verdict for the host
+   *      (robots files change out-of-band; `max_by(_, batch_id)` tracks
+   *      the refresh), RFC no-robots default -1 preserved;
+   *    - `n_admitted_total`, `n_batches` — budget accounting;
+   *    - `last_fetch_ms` — most recent completed fetch, -1 if never
+   *      fetched;
+   *    - `next_eligible_ms` — `last_fetch + max(crawl_delay, 0)`; a
+   *      never-fetched host is eligible immediately (0).
+   *  A scheduler polls this table and releases a host's queue only at
+   *  `next_eligible_ms` — the politeness loop the audit rows exist for.
+   *
+   *  100 TB shape: two keyed aggregates on `host` plus one host-keyed
+   *  join, all over per-host/per-batch logs that are orders of
+   *  magnitude smaller than the URL stream; every shuffled row is slim
+   *  (host + three longs). No broadcast hint — the two sides are both
+   *  host-dimension-sized, and AQE may still pick one at runtime. */
+  def frontierSchedule(audit: DataFrame, fetches: DataFrame): DataFrame = {
+    val latest = audit.groupBy(col("host")).agg(
+      expr("max_by(crawl_delay_ms, batch_id)").as("crawl_delay_ms"),
+      sum(col("n_admitted")).as("n_admitted_total"),
+      count(lit(1)).as("n_batches"))
+    val last = fetches.groupBy(col("host"))
+      .agg(max(col("fetch_ts_ms")).as("last_fetch_ms"))
+    latest.join(last, Seq("host"), "left")
+      .withColumn("last_fetch_ms", coalesce(col("last_fetch_ms"), lit(-1L)))
+      .withColumn("next_eligible_ms",
+        when(col("last_fetch_ms") < 0L, lit(0L))
+          .otherwise(col("last_fetch_ms") +
+            greatest(col("crawl_delay_ms"), lit(0L))))
+  }
 
   /**
    * Streaming ingest-volume monitor — the continuous face of

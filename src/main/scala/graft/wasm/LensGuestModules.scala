@@ -314,12 +314,23 @@ object LensGuestModules {
    *  `i64x2.splat` × 2 → `i64x2.add`, the sum vector parks in a REAL
    *  v128 LOCAL, round-trips linear memory through `v128.store` /
    *  `v128.load`, and `i64x2.extract_lane 0` brings it back — all
-   *  identities, so output must equal the MVP guest's byte-for-byte. */
+   *  identities, so output must equal the MVP guest's byte-for-byte.
+   *  `viaRefTypes = true` is the fifth conformance probe — the
+   *  REFERENCE-TYPES tier newer LLVM defaults drift toward: the add
+   *  dispatches `call_indirect` through a funcref table the guest
+   *  builds AT RUNTIME on first transform — `table.grow` from an empty
+   *  table, `table.init` [null, add] from a passive expr-form elem
+   *  segment, `elem.drop`, then healing slot 0 with `table.get` +
+   *  `ref.is_null` + typed `select` + `ref.func` + `table.set` (a
+   *  mis-selected ref leaves slot 0 null and call_indirect TRAPS, so
+   *  the probe cannot silently pass). Output must equal the MVP
+   *  guest's byte-for-byte. */
   def shiftGuest(field: String, viaSatConversions: Boolean = false,
       viaMultiValueBulk: Boolean = false,
       viaFloatPath: Boolean = false,
-      viaSimdPath: Boolean = false): Array[Byte] = {
-    require(Seq(viaFloatPath, viaMultiValueBulk, viaSimdPath)
+      viaSimdPath: Boolean = false,
+      viaRefTypes: Boolean = false): Array[Byte] = {
+    require(Seq(viaFloatPath, viaMultiValueBulk, viaSimdPath, viaRefTypes)
       .count(identity) <= 1,
       "combine at most one value-path probe")
     val d = new DataPacker
@@ -329,6 +340,8 @@ object LensGuestModules {
     val noField = d.add(s"field '$field' not found")
     val badParam = d.add("parameter 'delta' missing")
     val TPair = types.size // (i64, i64) -> (i64, i64), multi-value probe
+    val TAdd = types.size // (i64, i64) -> i64, ref-types dispatch target
+    val AddFn = 10 // function index of the table-dispatched add
     val passiveSegIdx = 5 // after the 5 active DataPacker segments
 
     // doShift(sign: i64)->i32
@@ -382,6 +395,26 @@ object LensGuestModules {
         LocalGet(11), SimdMem(0, 0, 0), // v128.load
         SimdLane(29, 0), // i64x2.extract_lane 0
         LocalSet(9))
+      else if (viaRefTypes) Vector[Instr](
+        // one-time table build (PEND latch): grow 0→2, init [null, add]
+        // from the passive expr-form elem segment, drop it, then heal
+        // slot 0 via get/is_null/typed-select/ref.func/set. The two i64
+        // operands stay parked on the stack below — all of this is
+        // stack-balanced.
+        GlobalGet(PEND), Num(0x45) /* i32.eqz */,
+        If(Empty, Vector(
+          RefNull(0x70), ic(2), TableGrow(0), Drop,
+          ic(0), ic(0), ic(2), TableInit(0, 0),
+          ElemDrop(0),
+          ic(0), // table.set index
+          RefFunc(AddFn),
+          ic(0), TableGet(0),
+          ic(0), TableGet(0), RefIsNull,
+          SelectT(Vector(ValType.Funcref)),
+          TableSet(0),
+          ic(1), GlobalSet(PEND)), Vector.empty),
+        ic(0), CallIndirect(TAdd), // slot 0: healed ref or TRAP
+        LocalSet(9))
       else if (!viaFloatPath) Vector[Instr](addL, LocalSet(9))
        else Vector[Instr](
         // stack: v(i64), delta*sign(i64) — run the add in f64 and pass
@@ -422,25 +455,37 @@ object LensGuestModules {
     val inverse = FuncBody(Vector(), Vector(lc(-1L), Call(F6)))
 
     WasmBinary.encode(WasmModule(
-      types = if (viaMultiValueBulk)
-        types :+ FuncType(Vector(I64, I64), Vector(I64, I64))
-      else types,
+      types =
+        if (viaMultiValueBulk)
+          types :+ FuncType(Vector(I64, I64), Vector(I64, I64))
+        else if (viaRefTypes)
+          types :+ FuncType(Vector(I64, I64), Vector(I64))
+        else types,
       imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
       funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr, // 1..5
-        TShift, TNoArgPtr, TNoArgPtr, TPtrPtr), // 6=doShift 7=transform 8=inverse 9=set_param
+        TShift, TNoArgPtr, TNoArgPtr, TPtrPtr) ++ // 6=doShift 7=transform 8=inverse 9=set_param
+        (if (viaRefTypes) Vector(TAdd) else Vector.empty), // 10=addFn
       memMinPages = 2,
       memMaxPages = None,
-      globals = withHeapInit(globals(if (viaMultiValueBulk) 5 else 4), d.heapBase),
+      globals = withHeapInit(
+        globals(if (viaMultiValueBulk || viaRefTypes) 5 else 4), d.heapBase),
       exports = commonExports ++ Vector(
         WasmExport("transform", 0, F6 + 1),
         WasmExport("inverse", 0, F6 + 2),
         WasmExport("set_param", 0, F6 + 3)),
       codes = Vector(allocBody, findBody, parseBody, writeBody, mkErrBody,
-        doShift, transform, inverse, setParamBody(deltaPat, badParam)),
+        doShift, transform, inverse, setParamBody(deltaPat, badParam)) ++
+        (if (viaRefTypes) Vector(
+          FuncBody(Vector(), Vector(LocalGet(0), LocalGet(1), addL)))
+         else Vector.empty),
       datas = if (viaMultiValueBulk)
         d.segments :+ DataSeg(-1, "mvb!".getBytes(UTF_8).toVector, passive = true)
       else d.segments,
-      start = None))
+      start = None,
+      tables = if (viaRefTypes)
+        Vector(TableType(ValType.Funcref, 0, Some(4))) else Vector.empty,
+      elems = if (viaRefTypes)
+        Vector(ElemSeg(-1, Vector(-1, AddFn), mode = 1)) else Vector.empty))
   }
 
   // ---------- guest: filter (1:<=1 pull loop, set_param) ----------

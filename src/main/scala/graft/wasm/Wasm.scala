@@ -47,9 +47,10 @@ final case class BrIf(depth: Int) extends Instr
 final case class BrTable(targets: Vector[Int], default: Int) extends Instr
 case object Return extends Instr
 final case class Call(funcIdx: Int) extends Instr
-/** Indirect call through the funcref table (how compiled Rust/AS guests
- *  dispatch trait objects / function pointers). */
-final case class CallIndirect(typeIdx: Int) extends Instr
+/** Indirect call through a funcref table (how compiled Rust/AS guests
+ *  dispatch trait objects / function pointers); `tableIdx` is the
+ *  reference-types multi-table immediate (0 in MVP modules). */
+final case class CallIndirect(typeIdx: Int, tableIdx: Int = 0) extends Instr
 
 // ---- parametric / variable ----
 case object Drop extends Instr
@@ -105,9 +106,31 @@ object ValType {
   val F32: Byte = 0x7D
   val F64: Byte = 0x7C
   val V128: Byte = 0x7B
+  val Funcref: Byte = 0x70
+  val Externref: Byte = 0x6F
   /** blockType byte for "no result". */
   val Empty: Int = 0x40
+  def isRef(vt: Byte): Boolean = vt == Funcref || vt == Externref
 }
+
+// reference-types tier (r14): funcref/externref values, table
+// instructions, typed select. Refs live in the 64-bit slot model as
+// Longs: -1 = null, otherwise a function index (funcref) or an opaque
+// host value (externref — never -1 from this host).
+final case class RefNull(heapType: Int) extends Instr
+case object RefIsNull extends Instr
+final case class RefFunc(funcIdx: Int) extends Instr
+final case class TableGet(tableIdx: Int) extends Instr
+final case class TableSet(tableIdx: Int) extends Instr
+final case class TableInit(elemIdx: Int, tableIdx: Int) extends Instr
+final case class ElemDrop(elemIdx: Int) extends Instr
+final case class TableCopy(dstTable: Int, srcTable: Int) extends Instr
+final case class TableGrow(tableIdx: Int) extends Instr
+final case class TableSize(tableIdx: Int) extends Instr
+final case class TableFill(tableIdx: Int) extends Instr
+/** Typed select (0x1C) — operationally identical to Select; the type
+ *  annotation exists for validators. */
+final case class SelectT(types: Vector[Byte]) extends Instr
 
 final case class FuncType(params: Vector[Byte], results: Vector[Byte])
 /** Function imports only — the lens ABI imports exactly one host function
@@ -121,8 +144,17 @@ final case class FuncBody(locals: Vector[Byte], body: Vector[Instr])
  *  inert until `memory.init` copies from it / `data.drop` releases it. */
 final case class DataSeg(offset: Int, bytes: Vector[Byte],
     passive: Boolean = false)
-/** Active funcref element segment for table 0. */
-final case class ElemSeg(offset: Int, funcIdxs: Vector[Int])
+/** One table's static type (reference-types: any count, funcref or
+ *  externref element type, optional max). */
+final case class TableType(elemType: Byte, min: Int, max: Option[Int])
+
+/** Element segment, all 8 spec flavors normalized: `items` hold
+ *  function indices with -1 for `ref.null` (the only non-funcidx const
+ *  expr this decoder accepts); `mode` 0 = active, 1 = passive,
+ *  2 = declarative. Defaults keep the MVP shape
+ *  (`ElemSeg(offset, funcIdxs)`) source-compatible. */
+final case class ElemSeg(offset: Int, funcIdxs: Vector[Int],
+    tableIdx: Int = 0, mode: Int = 0, elemType: Byte = 0x70)
 
 final case class WasmModule(
     types: Vector[FuncType],
@@ -135,7 +167,7 @@ final case class WasmModule(
     codes: Vector[FuncBody],
     datas: Vector[DataSeg],
     start: Option[Int],
-    tableMin: Int = 0,
+    tables: Vector[TableType] = Vector.empty,
     elems: Vector[ElemSeg] = Vector.empty) {
   def export(name: String): Option[WasmExport] = exports.find(_.name == name)
 }
@@ -213,7 +245,7 @@ object WasmBinary {
     var codes = Vector.empty[FuncBody]
     var datas = Vector.empty[DataSeg]
     var start = Option.empty[Int]
-    var tableMin = 0
+    var tables = Vector.empty[TableType]
     var elems = Vector.empty[ElemSeg]
 
     while (r.hasMore) {
@@ -244,15 +276,15 @@ object WasmBinary {
           }
         case 3 => // function
           funcTypeIdxs = Vector.fill(r.u32())(r.u32())
-        case 4 => // table (one funcref table, the MVP limit)
-          val n = r.u32()
-          if (n > 1) throw new WasmDecodeError("multiple tables unsupported")
-          if (n == 1) {
+        case 4 => // table (reference-types: any count, funcref/externref)
+          tables = Vector.fill(r.u32()) {
             val et = r.u8()
-            if (et != 0x70) throw new WasmDecodeError(s"non-funcref table $et")
+            if (et != 0x70 && et != 0x6F)
+              throw new WasmDecodeError(f"bad table element type 0x$et%02X")
             val flags = r.u8()
-            tableMin = r.u32()
-            if ((flags & 1) != 0) r.u32() // max: tracked implicitly
+            val min = r.u32()
+            val max = if ((flags & 1) != 0) Some(r.u32()) else None
+            TableType(et.toByte, min, max)
           }
         case 5 => // memory
           val n = r.u32()
@@ -273,16 +305,45 @@ object WasmBinary {
             WasmExport(r.name(), r.u8(), r.u32())
           }
         case 8 => start = Some(r.u32())
-        case 9 => // elem (active funcref segments for table 0)
+        case 9 => // elem: all 8 reference-types flavors (spec §5.5.12)
           elems = Vector.fill(r.u32()) {
             val flag = r.u32()
-            if (flag != 0) throw new WasmDecodeError(
-              s"only active table-0 elem segments supported (flag $flag)")
-            val off = decodeExpr(r) match {
-              case Vector(I32Const(v)) => v
-              case other => throw new WasmDecodeError(s"bad elem offset expr $other")
+            if (flag < 0 || flag > 7)
+              throw new WasmDecodeError(s"bad elem segment flag $flag")
+            val mode = // bit0 set: passive (bit1 clear) or declarative
+              if ((flag & 1) == 0) 0 else if ((flag & 2) == 0) 1 else 2
+            val tableIdx = if (flag == 2 || flag == 6) r.u32() else 0
+            val offset =
+              if (mode == 0) decodeExpr(r) match {
+                case Vector(I32Const(v)) => v
+                case other =>
+                  throw new WasmDecodeError(s"bad elem offset expr $other")
+              } else -1
+            var elemType: Byte = 0x70
+            if ((flag & 4) == 0) { // funcidx vector form
+              if (flag == 1 || flag == 2 || flag == 3) {
+                val kind = r.u8()
+                if (kind != 0x00) throw new WasmDecodeError(
+                  s"bad elemkind $kind (only funcref 0x00)")
+              }
+              ElemSeg(offset, Vector.fill(r.u32())(r.u32()), tableIdx, mode)
+            } else { // expr vector form: ref.func k | ref.null
+              if (flag != 4) {
+                val rt = r.u8()
+                if (rt != 0x70 && rt != 0x6F) throw new WasmDecodeError(
+                  f"bad elem reftype 0x$rt%02X")
+                elemType = rt.toByte
+              }
+              val items = Vector.fill(r.u32()) {
+                decodeExpr(r) match {
+                  case Vector(RefFunc(k)) => k
+                  case Vector(RefNull(_)) => -1
+                  case other => throw new WasmDecodeError(
+                    s"unsupported elem item expr $other")
+                }
+              }
+              ElemSeg(offset, items, tableIdx, mode, elemType)
             }
-            ElemSeg(off, Vector.fill(r.u32())(r.u32()))
           }
         case 10 => // code
           codes = Vector.fill(r.u32()) {
@@ -317,28 +378,41 @@ object WasmBinary {
       r.pos = end
     }
     WasmModule(types, imports, funcTypeIdxs, memMin, memMax, globals,
-      exports, codes, datas, start, tableMin, elems)
+      exports, codes, datas, start, tables, elems)
   }
 
-  /** Value type with a NAMED rejection for post-MVP tiers this
-   *  interpreter doesn't execute: a guest built with reference types
-   *  must fail as "unsupported feature tier", not as a byte-offset
-   *  panic three sections later (the reference's real runtimes —
-   *  wasmtime/wazero/wasmer under host-go/runtimes — accept any valid
-   *  module, so the error message is the compat surface). v128 (0x7B)
-   *  is accepted: the simd128 tier decodes and runs
-   *  ([[WasmInterp]] `simdOp`). */
+  /** Value type with a NAMED rejection for anything outside the tiers
+   *  this interpreter executes (MVP + v128 + r14's reference types —
+   *  funcref 0x70 / externref 0x6F are first-class values now). The
+   *  reference's real runtimes — wasmtime/wazero/wasmer under
+   *  host-go/runtimes — accept any valid module, so the error message
+   *  is the compat surface for what remains (threads, relaxed-simd,
+   *  GC types). */
   private def checkedValtype(r: Reader): Byte = (r.u8() & 0xFF) match {
     case vt if vt >= 0x7B && vt <= 0x7F => vt.toByte // i32 i64 f32 f64 v128
-    case 0x70 | 0x6F => throw new WasmDecodeError(
-      "module uses funcref/externref values — unsupported feature " +
-        "tier: reference-types")
+    case vt if vt == 0x70 || vt == 0x6F => vt.toByte // funcref, externref
     case other => throw new WasmDecodeError(
       f"bad value type 0x$other%02X")
   }
 
   /** Decode an instruction sequence up to (and consuming) `end` (0x0B).
    *  Returns the instructions; `else` handled inside `if`. */
+  /** Max valid lane immediate per simd128 lane-indexed subopcode:
+   *  extract/replace 21–34 (i8x16/i16x8/i32x4/i64x2/f32x4/f64x2) and
+   *  load/store-lane 84–91 (8/16/32/64-bit lanes). */
+  private def simdLaneCap(sub: Int): Int = sub match {
+    case 21 | 22 | 23 => 16 // i8x16 extract_s/extract_u/replace
+    case 24 | 25 | 26 => 8  // i16x8 extract_s/extract_u/replace
+    case 27 | 28 => 4       // i32x4 extract/replace
+    case 29 | 30 => 2       // i64x2 extract/replace
+    case 31 | 32 => 4       // f32x4 extract/replace
+    case 33 | 34 => 2       // f64x2 extract/replace
+    case 84 | 88 => 16      // v128.load8_lane / store8_lane
+    case 85 | 89 => 8       // v128.load16_lane / store16_lane
+    case 86 | 90 => 4       // v128.load32_lane / store32_lane
+    case 87 | 91 => 2       // v128.load64_lane / store64_lane
+  }
+
   private def decodeExpr(r: Reader): Vector[Instr] = {
     val (body, terminator) = decodeSeq(r)
     if (terminator != 0x0B) throw new WasmDecodeError("expected end opcode")
@@ -382,11 +456,11 @@ object WasmBinary {
         case 0x10 => out += Call(r.u32())
         case 0x11 =>
           val typeIdx = r.u32()
-          val table = r.u8()
-          if (table != 0) throw new WasmDecodeError("call_indirect: table != 0")
-          out += CallIndirect(typeIdx)
+          out += CallIndirect(typeIdx, r.u32()) // reference-types tableidx
         case 0x1A => out += Drop
         case 0x1B => out += Select
+        case 0x1C => // typed select (reference-types)
+          out += SelectT(Vector.fill(r.u32())(checkedValtype(r)))
         case 0x20 => out += LocalGet(r.u32())
         case 0x21 => out += LocalSet(r.u32())
         case 0x22 => out += LocalTee(r.u32())
@@ -418,9 +492,14 @@ object WasmBinary {
             case 9 => out += DataDrop(r.u32())
             case 10 => r.u8(); r.u8(); out += MemoryCopy
             case 11 => r.u8(); out += MemoryFill
-            case sub if sub >= 12 && sub <= 17 => throw new WasmDecodeError(
-              "module uses table.init/copy/grow/size/fill — unsupported " +
-                "feature tier: reference-types")
+            case 12 =>
+              val elem = r.u32(); out += TableInit(elem, r.u32())
+            case 13 => out += ElemDrop(r.u32())
+            case 14 =>
+              val dst = r.u32(); out += TableCopy(dst, r.u32())
+            case 15 => out += TableGrow(r.u32())
+            case 16 => out += TableSize(r.u32())
+            case 17 => out += TableFill(r.u32())
             case sub => throw new WasmDecodeError(s"unsupported 0xFC subopcode $sub")
           }
         case num if num >= 0x45 && num <= 0xC4 => out += Num(num)
@@ -430,12 +509,29 @@ object WasmBinary {
               out += SimdMem(mem, r.u32(), r.u32())
             case 12 => out += SimdConst(r.bytes(16).toVector)
             case 13 =>
-              out += SimdShuffle(Vector.fill(16)(r.u8() & 0xFF))
+              // lane immediates validate at DECODE time (spec: i8x16
+              // .shuffle lanes < 32) so a malformed module raises the
+              // named WasmDecodeError instead of an executor-side
+              // ArrayIndexOutOfBounds deep in evalSimd
+              out += SimdShuffle(Vector.fill(16) {
+                val l = r.u8() & 0xFF
+                if (l >= 32) throw new WasmDecodeError(
+                  s"i8x16.shuffle lane index $l out of range (< 32)")
+                l
+              })
             case ln if ln >= 21 && ln <= 34 =>
-              out += SimdLane(ln, r.u8() & 0xFF)
+              val lane = r.u8() & 0xFF
+              val cap = simdLaneCap(ln)
+              if (lane >= cap) throw new WasmDecodeError(
+                s"simd128 subopcode $ln lane index $lane out of range (< $cap)")
+              out += SimdLane(ln, lane)
             case ml if ml >= 84 && ml <= 91 =>
               val a = r.u32(); val o = r.u32()
-              out += SimdMemLane(ml, a, o, r.u8() & 0xFF)
+              val lane = r.u8() & 0xFF
+              val cap = simdLaneCap(ml)
+              if (lane >= cap) throw new WasmDecodeError(
+                s"simd128 subopcode $ml lane index $lane out of range (< $cap)")
+              out += SimdMemLane(ml, a, o, lane)
             case mz if mz == 92 || mz == 93 =>
               out += SimdMem(mz, r.u32(), r.u32())
             case plain if plain <= 255 => out += SimdOp(plain)
@@ -446,15 +542,15 @@ object WasmBinary {
         case 0xFE => throw new WasmDecodeError(
           "module uses atomic instructions (0xFE prefix) — unsupported " +
             "feature tier: threads")
-        case 0xD0 | 0xD1 | 0xD2 => throw new WasmDecodeError(
-          "module uses ref.null/ref.is_null/ref.func — unsupported " +
-            "feature tier: reference-types")
-        case 0x25 | 0x26 => throw new WasmDecodeError(
-          "module uses table.get/table.set — unsupported feature tier: " +
-            "reference-types")
-        case 0x1C => throw new WasmDecodeError(
-          "module uses typed select — unsupported feature tier: " +
-            "reference-types")
+        case 0xD0 =>
+          val ht = r.u8()
+          if (ht != 0x70 && ht != 0x6F)
+            throw new WasmDecodeError(f"ref.null: bad heap type 0x$ht%02X")
+          out += RefNull(ht)
+        case 0xD1 => out += RefIsNull
+        case 0xD2 => out += RefFunc(r.u32())
+        case 0x25 => out += TableGet(r.u32())
+        case 0x26 => out += TableSet(r.u32())
         case other => throw new WasmDecodeError(
           f"unsupported opcode 0x$other%02X at offset ${r.pos - 1}")
       }
@@ -524,8 +620,15 @@ object WasmBinary {
     if (m.funcTypeIdxs.nonEmpty) section(3) { s =>
       s.u32(m.funcTypeIdxs.size); m.funcTypeIdxs.foreach(s.u32)
     }
-    if (m.tableMin > 0) section(4) { s =>
-      s.u32(1); s.u8(0x70); s.u8(0x00); s.u32(m.tableMin)
+    if (m.tables.nonEmpty) section(4) { s =>
+      s.u32(m.tables.size)
+      m.tables.foreach { t =>
+        s.u8(t.elemType & 0xFF)
+        t.max match {
+          case Some(mx) => s.u8(0x01); s.u32(t.min); s.u32(mx)
+          case None => s.u8(0x00); s.u32(t.min)
+        }
+      }
     }
     if (m.memMinPages > 0 || m.memMaxPages.nonEmpty) section(5) { s =>
       s.u32(1)
@@ -549,9 +652,32 @@ object WasmBinary {
     if (m.elems.nonEmpty) section(9) { s =>
       s.u32(m.elems.size)
       m.elems.foreach { e =>
-        s.u32(0)
-        s.u8(0x41); s.s32(e.offset); s.u8(0x0B)
-        s.u32(e.funcIdxs.size); e.funcIdxs.foreach(s.u32)
+        // expr form needed for ref.null items or externref segments
+        val exprForm = e.elemType != 0x70 || e.funcIdxs.contains(-1)
+        val flag = e.mode match {
+          case 0 =>
+            if (!exprForm && e.tableIdx == 0) 0
+            else if (!exprForm) 2
+            else if (e.tableIdx == 0) 4
+            else 6
+          case 1 => if (exprForm) 5 else 1
+          case _ => if (exprForm) 7 else 3
+        }
+        s.u32(flag)
+        if (flag == 2 || flag == 6) s.u32(e.tableIdx)
+        if (e.mode == 0) { s.u8(0x41); s.s32(e.offset); s.u8(0x0B) }
+        if (flag >= 4) {
+          if (flag != 4) s.u8(e.elemType & 0xFF)
+          s.u32(e.funcIdxs.size)
+          e.funcIdxs.foreach { k =>
+            if (k < 0) { s.u8(0xD0); s.u8(e.elemType & 0xFF) }
+            else { s.u8(0xD2); s.u32(k) }
+            s.u8(0x0B)
+          }
+        } else {
+          if (flag != 0) s.u8(0x00) // elemkind
+          s.u32(e.funcIdxs.size); e.funcIdxs.foreach(s.u32)
+        }
       }
     }
     // DataCount (id 12) must precede code when memory.init/data.drop
@@ -612,9 +738,22 @@ object WasmBinary {
         w.u8(0x0E); w.u32(ts.size); ts.foreach(w.u32); w.u32(d)
       case Return => w.u8(0x0F)
       case Call(f) => w.u8(0x10); w.u32(f)
-      case CallIndirect(t) => w.u8(0x11); w.u32(t); w.u8(0x00)
+      case CallIndirect(t, tbl) => w.u8(0x11); w.u32(t); w.u32(tbl)
       case Drop => w.u8(0x1A)
       case Select => w.u8(0x1B)
+      case SelectT(ts) =>
+        w.u8(0x1C); w.u32(ts.size); ts.foreach(t => w.u8(t & 0xFF))
+      case RefNull(ht) => w.u8(0xD0); w.u8(ht)
+      case RefIsNull => w.u8(0xD1)
+      case RefFunc(f) => w.u8(0xD2); w.u32(f)
+      case TableGet(t) => w.u8(0x25); w.u32(t)
+      case TableSet(t) => w.u8(0x26); w.u32(t)
+      case TableInit(e, t) => w.u8(0xFC); w.u32(12); w.u32(e); w.u32(t)
+      case ElemDrop(e) => w.u8(0xFC); w.u32(13); w.u32(e)
+      case TableCopy(d, s) => w.u8(0xFC); w.u32(14); w.u32(d); w.u32(s)
+      case TableGrow(t) => w.u8(0xFC); w.u32(15); w.u32(t)
+      case TableSize(t) => w.u8(0xFC); w.u32(16); w.u32(t)
+      case TableFill(t) => w.u8(0xFC); w.u32(17); w.u32(t)
       case LocalGet(i) => w.u8(0x20); w.u32(i)
       case LocalSet(i) => w.u8(0x21); w.u32(i)
       case LocalTee(i) => w.u8(0x22); w.u32(i)

@@ -55,6 +55,8 @@ object WasmInterp {
         case Vector(I64Const(v)) => v
         case Vector(F32Const(b)) => b.toLong & 0xFFFFFFFFL
         case Vector(F64Const(b)) => b
+        case Vector(RefNull(_)) => -1L // reference-types null
+        case Vector(RefFunc(k)) => k.toLong
         case other => throw new WasmTrap(s"unsupported global init $other")
       }
     }.toArray
@@ -79,16 +81,53 @@ object WasmInterp {
       }
     }
 
-    // funcref table + element segments
-    private val table: Array[Int] = {
-      val sizeNeeded = (module.tableMin +:
-        module.elems.map(e => e.offset + e.funcIdxs.size)).max
-      val t = Array.fill(sizeNeeded)(-1)
-      module.elems.foreach { e =>
-        var i = 0
-        while (i < e.funcIdxs.size) { t(e.offset + i) = e.funcIdxs(i); i += 1 }
+    // Tables (reference-types: any count, funcref/externref) hold ref
+    // values as Longs: -1 = null, else a function index / opaque
+    // extern value. A module with elem segments but no table section
+    // (tolerated pre-r14) synthesizes one funcref table; active
+    // segments size their table up, mirroring the MVP leniency.
+    private val tables: scala.collection.mutable.ArrayBuffer[Array[Long]] = {
+      val declared =
+        if (module.tables.nonEmpty) module.tables
+        else if (module.elems.nonEmpty)
+          Vector(TableType(ValType.Funcref, 0, None))
+        else Vector.empty[TableType]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      declared.zipWithIndex.foreach { case (tt, ti) =>
+        val extent = (tt.min +: module.elems.collect {
+          case e if e.mode == 0 && e.tableIdx == ti =>
+            e.offset + e.funcIdxs.size
+        }).max
+        buf += Array.fill(extent)(-1L)
       }
-      t
+      buf
+    }
+    // element segments: active ones copy in and drop at instantiation;
+    // declarative ones drop immediately (their items exist only for
+    // ref.func validation); passive ones wait for table.init/elem.drop
+    private val droppedElems = new Array[Boolean](module.elems.size)
+    module.elems.zipWithIndex.foreach { case (e, ei) =>
+      e.mode match {
+        case 0 =>
+          if (e.tableIdx >= tables.size) throw new WasmTrap(
+            s"elem segment targets missing table ${e.tableIdx}")
+          val t = tables(e.tableIdx)
+          if (e.offset < 0 || e.offset + e.funcIdxs.size > t.length)
+            throw new WasmTrap("elem segment out of bounds")
+          var i = 0
+          while (i < e.funcIdxs.size) {
+            t(e.offset + i) = e.funcIdxs(i).toLong; i += 1
+          }
+          droppedElems(ei) = true
+        case 2 => droppedElems(ei) = true
+        case _ => ()
+      }
+    }
+
+    @inline private def tableAt(ti: Int): Array[Long] = {
+      if (ti < 0 || ti >= tables.size)
+        throw new WasmTrap(s"no table $ti")
+      tables(ti)
     }
 
     module.start.foreach(idx => invokeByIndex(idx, Vector.empty))
@@ -126,6 +165,14 @@ object WasmInterp {
       val locals = new Array[Long](ftype.params.size + body.locals.size)
       var i = 0
       while (i < args.size) { locals(i) = args(i); i += 1 }
+      // reference-typed locals default to NULL (-1), not 0 — a zero
+      // default would alias function index 0 / a live extern value
+      var li = 0
+      while (li < body.locals.size) {
+        if (ValType.isRef(body.locals(li)))
+          locals(ftype.params.size + li) = -1L
+        li += 1
+      }
       val stack = new OperandStack
       // v128 pool discipline: handles cannot escape a call except
       // through its RESULTS (locals die with the frame, memory holds
@@ -142,15 +189,25 @@ object WasmInterp {
         val res = Vector.fill(ftype.results.size)(stack.pop()).reverse
         val out =
           if (v128Pool.size > watermark) {
-            // compact v128 results into the watermark region, in order
-            var next = watermark
-            val compacted = res.zip(ftype.results).map {
+            // compact v128 results into the watermark region, in order.
+            // Snapshot the result arrays FIRST: with multiple v128
+            // results a later result's handle can fall inside the
+            // already-compacted prefix (e.g. res = [watermark+5,
+            // watermark]) and an in-place copy would clobber it before
+            // it is read.
+            val snap = res.zip(ftype.results).map {
               case (h, t) if t == ValType.V128 && h >= watermark =>
-                v128Pool(next) = v128Pool(h.toInt)
+                v128Pool(h.toInt)
+              case _ => null
+            }
+            var next = watermark
+            val compacted = res.zip(ftype.results).zipWithIndex.map {
+              case ((h, t), i) if t == ValType.V128 && h >= watermark =>
+                v128Pool(next) = snap(i)
                 val nh = next.toLong
                 next += 1
                 nh
-              case (h, _) => h
+              case ((h, _), _) => h
             }
             v128Pool.remove(next, v128Pool.size - next)
             compacted
@@ -237,11 +294,12 @@ object WasmInterp {
             var j = argc - 1
             while (j >= 0) { args(j) = stack.pop(); j -= 1 }
             invokeByIndex(f, args.toVector).foreach(stack.push)
-          case CallIndirect(typeIdx) =>
+          case CallIndirect(typeIdx, tableIdx) =>
             val slot = stack.pop().toInt
+            val table = tableAt(tableIdx)
             if (slot < 0 || slot >= table.length || table(slot) < 0)
               throw new WasmTrap(s"undefined element at table slot $slot")
-            val f = table(slot)
+            val f = table(slot).toInt
             val nImp = module.imports.size
             val actualType =
               if (f < nImp) module.imports(f).typeIdx
@@ -258,6 +316,75 @@ object WasmInterp {
           case Select =>
             val c = stack.pop(); val b = stack.pop(); val a = stack.pop()
             stack.push(if (c != 0L) a else b)
+          case SelectT(_) => // typed select: same dynamics
+            val c = stack.pop(); val b = stack.pop(); val a = stack.pop()
+            stack.push(if (c != 0L) a else b)
+          case RefNull(_) => stack.push(-1L)
+          case RefIsNull => stack.push(if (stack.pop() == -1L) 1L else 0L)
+          case RefFunc(f) => stack.push(f.toLong)
+          case TableGet(ti) =>
+            val t = tableAt(ti); val i = stack.pop().toInt
+            if (i < 0 || i >= t.length)
+              throw new WasmTrap(s"table.get: index $i of ${t.length}")
+            stack.push(t(i))
+          case TableSet(ti) =>
+            val v = stack.pop(); val t = tableAt(ti)
+            val i = stack.pop().toInt
+            if (i < 0 || i >= t.length)
+              throw new WasmTrap(s"table.set: index $i of ${t.length}")
+            t(i) = v
+          case TableSize(ti) => stack.push(tableAt(ti).length.toLong)
+          case TableGrow(ti) =>
+            val n = stack.pop().toInt
+            val init = stack.pop()
+            val t = tableAt(ti)
+            val old = t.length
+            // soft cap when the module declares no max, so a corrupt
+            // grow can't OOM an executor (2^22 slots = 32 MB)
+            val cap = (if (ti < module.tables.size) module.tables(ti).max
+              else None).getOrElse(1 << 22)
+            if (n < 0 || old.toLong + n > cap) stack.push(-1L)
+            else {
+              val nt = java.util.Arrays.copyOf(t, old + n)
+              java.util.Arrays.fill(nt, old, old + n, init)
+              tables(ti) = nt
+              stack.push(old.toLong)
+            }
+          case TableFill(ti) =>
+            val n = stack.pop().toInt; val v = stack.pop()
+            val i = stack.pop().toInt
+            val t = tableAt(ti)
+            if (n < 0 || i < 0 || i.toLong + n > t.length)
+              throw new WasmTrap(s"table.fill: $i+$n of ${t.length}")
+            java.util.Arrays.fill(t, i, i + n, v)
+          case TableCopy(dt, st) =>
+            val n = stack.pop().toInt; val s0 = stack.pop().toInt
+            val d0 = stack.pop().toInt
+            val dstT = tableAt(dt); val srcT = tableAt(st)
+            if (n < 0 || s0 < 0 || d0 < 0 ||
+                s0.toLong + n > srcT.length || d0.toLong + n > dstT.length)
+              throw new WasmTrap(s"table.copy: dst $d0 src $s0 len $n")
+            System.arraycopy(srcT, s0, dstT, d0, n)
+          case TableInit(ei, ti) =>
+            val n = stack.pop().toInt; val s0 = stack.pop().toInt
+            val d0 = stack.pop().toInt
+            if (ei >= module.elems.size)
+              throw new WasmTrap(s"table.init: no elem segment $ei")
+            // a dropped segment behaves as size 0 (like data.drop)
+            val seg =
+              if (droppedElems(ei)) Vector.empty[Int]
+              else module.elems(ei).funcIdxs
+            val t = tableAt(ti)
+            if (n < 0 || s0 < 0 || d0 < 0 || s0.toLong + n > seg.size ||
+                d0.toLong + n > t.length)
+              throw new WasmTrap(
+                s"table.init: dst $d0 src $s0 len $n of ${seg.size}")
+            var k = 0
+            while (k < n) { t(d0 + k) = seg(s0 + k).toLong; k += 1 }
+          case ElemDrop(ei) =>
+            if (ei >= module.elems.size)
+              throw new WasmTrap(s"elem.drop: no elem segment $ei")
+            droppedElems(ei) = true
           case LocalGet(idx) => stack.push(locals(idx))
           case LocalSet(idx) => locals(idx) = stack.pop()
           case LocalTee(idx) => locals(idx) = stack.peek

@@ -75,6 +75,22 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("Webp.decodeWebp lossy+ALPH: mutated alpha containers fail NAMED " +
+      "(both raw and VP8L-compressed alpha bodies)") {
+    val rnd = new scala.util.Random(0xF0226)
+    val frame = Vp8.encodeSolid(16, 16, 4, 0, 0, 0)
+    val target = Array.tabulate(256)(i => (i * 3) % 256)
+    val seeds = (0 to 3).flatMap { filt =>
+      Seq(0, 1).map { comp =>
+        val (head, body) = Webp.encodeAlph(16, 16, target, filt, comp)
+        Webp.lossyAlphaWrap(16, 16, frame, head, body)
+      }
+    }
+    for (t <- 0 until Trials)
+      attempt("webp-alph", t)(Webp.decodeWebp(
+        mutate(seeds(t % seeds.length), rnd, 1 + rnd.nextInt(5))))
+  }
+
   test("Mp3: meta walk and decode on random/mutated streams fail NAMED") {
     val rnd = new scala.util.Random(0xF0223)
     val valid = Mp3.encodeMp3Silence(7L, 9, nFrames = 2)

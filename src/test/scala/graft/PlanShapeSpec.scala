@@ -140,6 +140,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "host-rank reintroduced a global window")
   }
 
+  test("pipeline_crawl_gate: the full robots dimension is never broadcast") {
+    // r13 verdict's one weak row: crawlDecide broadcast the FULL per-host
+    // robots table (~1e8 rows × ~1 KB at Common Crawl scale). The fix
+    // slices robots by a LEFT-SEMI against the batch's distinct hosts
+    // before any broadcast, so every BroadcastExchange is batch-bounded:
+    // assert the semi-join survives and the admit join's build side sits
+    // ABOVE it (a direct broadcast of the robots scan has no LeftSemi).
+    val p = plan("pipeline_crawl_gate")
+    assert(p.contains("LeftSemi"),
+      "robots slice lost its batch-host semi-join — full-dimension broadcast")
+    val semiIdx = p.indexOf("LeftSemi")
+    val leftJoinIdx = p.indexOf("BroadcastHashJoin", 0)
+    assert(leftJoinIdx >= 0, "admit join must stay a broadcast hash join")
+    assert(p.indexOf("LeftSemi", leftJoinIdx) >= 0,
+      "admit join's build side no longer passes through the host semi-join")
+  }
+
   test("similarity searches cut top-k map-side: no WindowExec in any search plan") {
     // WindowExec has no map-side partial — a rank()-window top-k ships the
     // FULL scored candidate set to |queries| reduce tasks. Every search must

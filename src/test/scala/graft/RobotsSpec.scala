@@ -80,4 +80,25 @@ class RobotsSpec extends AnyFunSuite {
       (1L, false, "/no", 3000L, 1L),
       (2L, true, "", 3000L, 1L)))
   }
+
+  test("decisions(): per-partition memo parses each robots text once, " +
+      "not once per URL row") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    // many-URLs-per-host fixture: 3 distinct robots texts over 3000 rows
+    val rows = (0 until 3000).map { i =>
+      val h = i % 3
+      (i.toLong, s"User-agent: *\nDisallow: /no$h\nCrawl-delay: $h\n",
+        "anybot", if (i % 2 == 0) s"/no$h/x" else "/ok")
+    }
+    val df = rows.toDF("id", "robots", "agent", "path").repartition(4)
+    val before = Robots.parseCount.get()
+    val got = Robots.decisions(df, "robots", "agent", "path")
+      .where(!$"allowed").count()
+    assert(got == 1500L)
+    val parses = Robots.parseCount.get() - before
+    // ≤ distinct-texts × partitions (plus slack for any concurrent spec
+    // touching parse); without the memo this is ≥ 3000.
+    assert(parses <= 100L, s"robots parse memo ineffective: $parses parses")
+  }
 }

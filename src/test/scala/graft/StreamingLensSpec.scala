@@ -1093,6 +1093,41 @@ class StreamingLensSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("frontier schedule closes the politeness loop over a replayed " +
+      "split-log audit: latest-batch delay wins, never-fetched hosts " +
+      "eligible immediately") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import CrawlFixture._
+    val root = java.nio.file.Files.createTempDirectory("frontier").toString
+    val (rdir, out, audit) = (s"$root/robots", s"$root/out", s"$root/audit")
+    robots.toDF("host", "robots").write.parquet(rdir)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("url_id", "url").writeStream
+      .foreachBatch(StreamingLens.crawlGate("url", agent, rdir, out, audit))
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // fetch-completion log: a.test fetched twice, b.test once,
+    // c.test (audited in batch 2) never fetched
+    val fetches = Seq(("a.test", 10000L), ("a.test", 25000L),
+      ("b.test", 12000L)).toDF("host", "fetch_ts_ms")
+    val got = StreamingLens
+      .frontierSchedule(spark.read.parquet(audit), fetches)
+      .select("host", "crawl_delay_ms", "n_admitted_total", "n_batches",
+        "last_fetch_ms", "next_eligible_ms")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      // graftbot group on a.test: Crawl-delay 2 → 25000 + 2000
+      ("a.test", 2000L, 2L, 2L, 25000L, 27000L),
+      // b.test sets no delay (-1) → eligible right at last_fetch
+      ("b.test", -1L, 1L, 2L, 12000L, 12000L),
+      // no robots row AND never fetched → delay -1, eligible at 0
+      ("c.test", -1L, 1L, 1L, -1L, 0L)), s"frontier $got")
+  }
+
   test("ingest gate ≡ batch flagship composition on an id-ordered split log") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -136,22 +136,18 @@ class Vp8Spec extends AnyFunSuite {
     val (w, h, ch, fmt, px) = graft.operators.Webp.decodeWebp(webp)
     assert((w, h, ch, fmt) == (16, 16, 3, "yuv420"))
     assert(math.round(px(0) * 255) == Vp8.solidY(4, 0))
-    // lossy + ALPH is a NAMED tier: the alpha plane must never be
-    // silently dropped. Splice an ALPH chunk before the VP8 chunk.
+    // lossy + ALPH (r13's named rejection) decodes since r14: the raw
+    // alpha plane rides along as a 4th channel — byte i of the plane
+    // must land at pixel i's alpha lane, with Y untouched
     val frame = Vp8.encodeSolid(16, 16, 4, 0, 0, 0)
-    val alph = Array[Byte]('A', 'L', 'P', 'H', 2, 0, 0, 0, 0, 0)
-    val bb = java.nio.ByteBuffer
-      .allocate(12 + alph.length + 8 + frame.length + (frame.length & 1))
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII"))
-      .putInt(4 + alph.length + 8 + frame.length + (frame.length & 1))
-      .put("WEBP".getBytes("US-ASCII"))
-      .put(alph)
-      .put("VP8 ".getBytes("US-ASCII")).putInt(frame.length).put(frame)
-    if ((frame.length & 1) == 1) bb.put(0.toByte)
-    val eA = intercept[IllegalArgumentException](
-      graft.operators.Webp.decodeWebp(bb.array()))
-    assert(eA.getMessage.contains("ALPH"), eA.getMessage)
+    val alphaBytes = Array.tabulate(256)(i => i.toByte)
+    val webpA = graft.operators.Webp.lossyAlphaWrap(16, 16, frame,
+      0x00, alphaBytes)
+    val (aw, ah, ach, afmt, apx) = graft.operators.Webp.decodeWebp(webpA)
+    assert((aw, ah, ach, afmt) == (16, 16, 4, "yuva420"))
+    assert(math.round(apx(0) * 255) == Vp8.solidY(4, 0))
+    for (i <- 0 until 256)
+      assert(math.round(apx(4 * i + 3) * 255) == i, s"alpha $i")
   }
 
   test("B_PRED sub-block predictors: hand-computed edge-default pixels") {
@@ -218,8 +214,7 @@ class Vp8Spec extends AnyFunSuite {
       assert(f.y(y * f.yStride + x) == 128, s"spill at ($x,$y)")
   }
 
-  test("named failures: interframe, nonzero loop filter, truncation, " +
-      "bad start code") {
+  test("named failures: interframe, truncation, bad start code") {
     val good = Vp8.encodeSolid(16, 16, 1, 0, 0, 0)
     val inter = good.clone(); inter(0) = (inter(0) | 1).toByte
     val eI = intercept[IllegalArgumentException](Vp8.decodeFrame(inter))
@@ -230,22 +225,125 @@ class Vp8Spec extends AnyFunSuite {
     val eT = intercept[IllegalArgumentException](
       Vp8.decodeFrame(java.util.Arrays.copyOf(good, 8)))
     assert(eT.getMessage.contains("truncated"))
-    // a frame with filter level 5: flip the 6-bit level field is deep in
-    // the bool stream, so build one via a doctored encoder run instead:
-    // re-encode with the same layout but nonzero level
-    val enc = new Vp8.BoolEnc
-    enc.literal(0, 1); enc.literal(0, 1); enc.bool(0, 128)
-    enc.literal(0, 1); enc.literal(5, 6); enc.literal(0, 3)
-    val part1 = enc.toBytes
-    val out = new java.io.ByteArrayOutputStream()
-    val tag = (part1.length << 5) | (1 << 4)
-    out.write(tag & 0xFF); out.write((tag >> 8) & 0xFF)
-    out.write((tag >> 16) & 0xFF)
-    out.write(0x9D); out.write(0x01); out.write(0x2A)
-    out.write(16); out.write(0); out.write(16); out.write(0)
-    out.write(part1, 0, part1.length)
-    val eL = intercept[IllegalArgumentException](
-      Vp8.decodeFrame(out.toByteArray))
-    assert(eL.getMessage.contains("loop filter"))
+  }
+
+  // ------------------------------------------------- loop filter (§15)
+  // All expected pixel values below are HAND-COMPUTED from the RFC 6386
+  // §15.2/§15.3 pseudocode; the arithmetic is spelled out in comments.
+
+  test("loop filter primitives: hand-computed §15.2/§15.3 adjustments") {
+    // common adjust, outer taps: P1 P0 | Q0 Q1 = 120 124 | 136 134 →
+    // signed -8 -4 | 8 6; a = c(c(-8-6)+3·(8-(-4))) = 22; F = 26>>3 = 3,
+    // E = 25>>3 = 3 → Q0 = 8-3 = 5 (133), P0 = -4+3 = -1 (127)
+    val a1 = Array(120, 124, 136, 134)
+    val f1 = Vp8.commonAdjust(a1, 2, 1, useOuterTaps = true)
+    assert(f1 == 3 && a1.toSeq == Seq(120, 127, 133, 134))
+    // without outer taps: a = 36; F = 40>>3 = 5, E = 39>>3 = 4 →
+    // Q0 = 3 (131), P0 = 0 (128)
+    val a2 = Array(120, 124, 136, 134)
+    Vp8.commonAdjust(a2, 2, 1, useOuterTaps = false)
+    assert(a2.toSeq == Seq(120, 128, 131, 134))
+    // simple mask |124-136|·2 + |120-134|/2 = 31: off at limit 30,
+    // filters at 31
+    val s1 = Array(120, 124, 136, 134)
+    Vp8.simpleSegment(s1, 2, 1, 30)
+    assert(s1.toSeq == Seq(120, 124, 136, 134))
+    Vp8.simpleSegment(s1, 2, 1, 31)
+    assert(s1.toSeq == Seq(120, 127, 133, 134))
+    // subblock, no hev (thresh 63): 128 128 128 132 | 120 124 128 128 →
+    // a = c(3·(-8-4)) = -36, F = c(-32)>>3 = -4, E = c(-33)>>3 = -5 →
+    // Q0 = -8+4 = -4 (124), P0 = 4-5 = -1 (127); outer a = (F+1)>>1 = -2
+    // → Q1 = -4+2 (126), P1 = 0-2 (126)
+    val sb = Array(128, 128, 128, 132, 120, 124, 128, 128)
+    Vp8.subblockFilter(sb, 4, 1, 63, 9, 30)
+    assert(sb.toSeq == Seq(128, 128, 126, 127, 124, 126, 128, 128))
+    // MB edge WITH hev (|136-124| = 12 > 1): common adjust only —
+    // a = c(c(8-2)+36) = 42, F = E = 45..46>>3 = 5 → Q0 131, P0 129
+    val mh = Array(130, 130, 136, 124, 136, 130, 130, 130)
+    Vp8.mbEdgeFilter(mh, 4, 1, 1, 12, 46)
+    assert(mh.toSeq == Seq(130, 130, 136, 129, 131, 130, 130, 130))
+    // MB edge, no hev: wide 27/18/9 taps across a 144|128 step —
+    // w = c(16-48) = -32; a27 = -801>>7 = -7 → 137|135;
+    // a18 = -513>>7 = -5 → 139|133; a9 = -225>>7 = -2 → 142|130
+    val mw = Array(144, 144, 144, 144, 128, 128, 128, 128)
+    Vp8.mbEdgeFilter(mw, 4, 1, 0, 14, 46)
+    assert(mw.toSeq == Seq(144, 142, 139, 137, 135, 133, 130, 128))
+    // one interior diff over the limit vetoes the whole segment
+    val mv = Array(144, 144, 129, 144, 128, 128, 128, 128)
+    Vp8.mbEdgeFilter(mv, 4, 1, 0, 14, 46)
+    assert(mv.toSeq == Seq(144, 144, 129, 144, 128, 128, 128, 128))
+  }
+
+  test("normal loop filter end-to-end: hand-computed step-edge profiles " +
+      "across a 2-MB frame (luma wide taps, chroma both signs, knock-on " +
+      "interior edges are no-ops by the hev/zero-adjust arithmetic)") {
+    // DC tiles Y 144|128, U 136|128, V 120|128; level 14, sharpness 0:
+    // interior = 14, mbedge = 2·16+14 = 46 ≥ luma mask 2·16+16/2 = 40.
+    val frame = Vp8.encodeDcGrid(32, 16, Array(124, -132),
+      Array(16, -16), Array(-16, 16), 0, 0, 14, 0)
+    val f = Vp8.decodeFrame(frame)
+    val yRow = Seq.fill(13)(144) ++ Seq(142, 139, 137, 135, 133, 130) ++
+      Seq.fill(13)(128)
+    for (r <- 0 until 16; c <- 0 until 32)
+      assert(f.y(r * f.yStride + c) == yRow(c), s"Y($r,$c)")
+    // chroma w = ∓16: a27 = ∓3, a18 = ∓2, a9 = ∓1
+    val uRow = Seq.fill(5)(136) ++ Seq(135, 134, 133, 131, 130, 129) ++
+      Seq.fill(5)(128)
+    val vRow = Seq.fill(5)(120) ++ Seq(121, 122, 123, 125, 126, 127) ++
+      Seq.fill(5)(128)
+    for (r <- 0 until 8; c <- 0 until 16) {
+      assert(f.u(r * f.uvStride + c) == uRow(c), s"U($r,$c)")
+      assert(f.v(r * f.uvStride + c) == vRow(c), s"V($r,$c)")
+    }
+  }
+
+  test("simple loop filter end-to-end: luma-only common adjust at the " +
+      "MB edge; chroma passes through untouched") {
+    // same fixture, filter type 1: only P0/Q0 move (F = E = -4)
+    val frame = Vp8.encodeDcGrid(32, 16, Array(124, -132),
+      Array(16, -16), Array(-16, 16), 0, 1, 14, 0)
+    val f = Vp8.decodeFrame(frame)
+    val yRow = Seq.fill(15)(144) ++ Seq(140, 132) ++ Seq.fill(15)(128)
+    for (r <- 0 until 16; c <- 0 until 32)
+      assert(f.y(r * f.yStride + c) == yRow(c), s"Y($r,$c)")
+    for (r <- 0 until 8; c <- 0 until 16) {
+      assert(f.u(r * f.uvStride + c) == (if (c < 8) 136 else 128), s"U($r,$c)")
+      assert(f.v(r * f.uvStride + c) == (if (c < 8) 120 else 128), s"V($r,$c)")
+    }
+  }
+
+  test("loop filter level resolution: sharpness tightens the edge " +
+      "limit, the INTRA ref delta shifts the effective level, a zeroed " +
+      "per-MB level disables filtering") {
+    def grid(fl: Int, sharp: Int, refD: Int = 0) =
+      Vp8.decodeFrame(Vp8.encodeDcGrid(32, 16, Array(124, -132),
+        Array(16, -16), Array(-16, 16), 0, 0, fl, sharp,
+        refDeltaIntra = refD))
+    // sharpness 5: interior = min(14>>2, 9-5) = 3 → mbedge = 35 < the
+    // luma mask 40 → luma MB edge vetoed; chroma mask 20 still filters
+    val sharp = grid(14, 5)
+    assert(sharp.y(15) == 144 && sharp.y(16) == 128,
+      "sharpness must veto the luma edge")
+    assert(sharp.u(7) == 133 && sharp.u(8) == 131,
+      "chroma must still filter under sharpness 5")
+    // frame level 8 + INTRA ref delta +6 ≡ level 14
+    val delta = grid(8, 0, refD = 6)
+    val base = grid(14, 0)
+    assert(delta.y.sameElements(base.y) && delta.u.sameElements(base.u) &&
+      delta.v.sameElements(base.v))
+    // ref delta -14 zeroes every per-MB level: nothing filters
+    val zeroed = grid(14, 0, refD = -14)
+    assert(zeroed.y(15) == 144 && zeroed.y(16) == 128 &&
+      zeroed.u(7) == 136 && zeroed.u(8) == 128)
+  }
+
+  test("loop filter grid fixture round-trips unfiltered at level 0 " +
+      "(DC prediction propagates left-to-right through the grid)") {
+    val f = Vp8.decodeFrame(Vp8.encodeDcGrid(48, 32,
+      Array(124, -132, 0, 0, 124, 0), Array.fill(6)(0), Array.fill(6)(0),
+      0, 0, 0, 0))
+    // row 0 of MBs: 144 | 128 | 128; row 1 (DC pred = above): +16 → 160 | (160+128+... )
+    for (c <- 0 until 16) assert(f.y(c) == 144, s"MB00 col $c")
+    for (c <- 16 until 48) assert(f.y(c) == 128, s"top row col $c")
   }
 }

@@ -124,6 +124,29 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
   }
 
+  test("a guest built with reference-types (runtime table.grow/init from " +
+      "a passive expr elem segment, ref.func/is_null, typed select, " +
+      "call_indirect dispatch) replays the MVP guest byte-identically " +
+      "through the lens path") {
+    val refUrl = dataUrl(LensGuestModules.shiftGuest("Age",
+      viaRefTypes = true))
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L), ("Zed", 0L),
+      ("Big", (1L << 50))).toDF("Name", "Age").coalesce(1)
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val ref = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$refUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    ref shouldBe mvp
+    ref should contain(("Big", (1L << 50) + 5L))
+    // inverse derivation still holds through the ref-dispatch path (P11)
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$refUrl","arguments":{"delta":5}}]}""")
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
+  }
+
   test("the module's inverse export drives `\"inverse\": true` stages") {
     val fwd = Pipeline.fromJson(
       s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")

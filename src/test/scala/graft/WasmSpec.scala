@@ -39,7 +39,20 @@ class WasmSpec extends AnyFunSuite with Matchers {
       Gen.choose(0, 10).map(LocalGet.apply), Gen.choose(0, 10).map(LocalSet.apply),
       Gen.choose(0, 3).map(GlobalGet.apply), Gen.choose(0, 3).map(GlobalSet.apply),
       Gen.choose(0, 3).map(Br.apply), Gen.choose(0, 3).map(BrIf.apply),
-      Gen.choose(0, 7).map(Call.apply), Gen.choose(0, 6).map(CallIndirect.apply),
+      Gen.choose(0, 7).map(Call.apply),
+      for { t <- Gen.choose(0, 6); tb <- Gen.choose(0, 2) }
+        yield CallIndirect(t, tb),
+      // reference-types instructions
+      Gen.oneOf(0x70, 0x6F).map(RefNull.apply),
+      Gen.const(RefIsNull: Instr), Gen.choose(0, 7).map(RefFunc.apply),
+      Gen.choose(0, 2).map(TableGet.apply), Gen.choose(0, 2).map(TableSet.apply),
+      Gen.choose(0, 2).map(TableGrow.apply), Gen.choose(0, 2).map(TableSize.apply),
+      Gen.choose(0, 2).map(TableFill.apply),
+      for { d <- Gen.choose(0, 2); s <- Gen.choose(0, 2) } yield TableCopy(d, s),
+      for { e <- Gen.choose(0, 3); t <- Gen.choose(0, 2) } yield TableInit(e, t),
+      Gen.choose(0, 3).map(ElemDrop.apply),
+      Gen.oneOf(ValType.I32, ValType.Funcref, ValType.Externref)
+        .map(vt => SelectT(Vector(vt))),
       for { op <- Gen.choose(0x28, 0x35); a <- Gen.choose(0, 3);
             o <- Gen.choose(0, 1 << 20) } yield MemLoad(op, a, o),
       for { op <- Gen.choose(0x36, 0x3E); a <- Gen.choose(0, 3);
@@ -84,9 +97,19 @@ class WasmSpec extends AnyFunSuite with Matchers {
         else Vector(DataSeg(64, data.toVector),
           DataSeg(-1, data.toVector, passive = true)),
       start = None,
-      tableMin = tbl,
+      tables = if (tbl == 0) Vector.empty
+        else Vector(TableType(ValType.Funcref, tbl, None),
+          TableType(ValType.Externref, 1, Some(8))),
       elems = if (tbl == 0) Vector.empty
-        else Vector(ElemSeg(0, Vector.fill(tbl)(1))))
+        else Vector(
+          ElemSeg(0, Vector.fill(tbl)(1)),                       // flag 0
+          ElemSeg(-1, Vector(1, -1), mode = 1),                  // 5 (nulls)
+          ElemSeg(-1, Vector(1), mode = 1),                      // 1
+          ElemSeg(-1, Vector(-1), mode = 2, elemType = 0x6F.toByte), // 7
+          ElemSeg(-1, Vector(1, 1), mode = 2),                   // 3
+          ElemSeg(0, Vector(1), tableIdx = 1),                   // 2
+          ElemSeg(0, Vector(-1), tableIdx = 1,
+            elemType = 0x6F.toByte)))                            // 6
     (1 to 60).foreach { i =>
       val m = moduleGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
       val decoded = WasmBinary.decode(WasmBinary.encode(m))
@@ -313,7 +336,8 @@ class WasmSpec extends AnyFunSuite with Matchers {
         FuncBody(Vector(), Vector(LocalGet(0), LocalGet(1), Num(0x6A))), // add
         FuncBody(Vector(), Vector(LocalGet(0), LocalGet(1), Num(0x6C)))), // mul
       datas = Vector.empty, start = None,
-      tableMin = 2, elems = Vector(ElemSeg(0, Vector(1, 2))))
+      tables = Vector(TableType(ValType.Funcref, 2, None)),
+      elems = Vector(ElemSeg(0, Vector(1, 2))))
     // round-trips through the binary format too
     val decoded = WasmBinary.decode(WasmBinary.encode(m))
     decoded shouldBe m
@@ -324,8 +348,8 @@ class WasmSpec extends AnyFunSuite with Matchers {
   }
 
   test("post-MVP tiers this interpreter doesn't run are rejected with " +
-      "NAMED feature errors, not byte-offset panics - reference-types, " +
-      "threads, relaxed-simd (simd128 itself now DECODES and runs)") {
+      "NAMED feature errors, not byte-offset panics - threads and " +
+      "relaxed-simd (simd128 AND reference-types now DECODE and run)") {
     val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
     def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
       require(payload.length < 128)
@@ -340,9 +364,12 @@ class WasmSpec extends AnyFunSuite with Matchers {
     val v128Type = WasmBinary.decode(
       header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x7B, 0x00)))
     assert(v128Type.types.head.params == Vector(ValType.V128))
-    // funcref param type
-    named(header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x70, 0x00)),
-      "reference-types")
+    // funcref/externref param types: ACCEPTED since the r14 ref tier
+    val refType = WasmBinary.decode(
+      header ++ sec(1, Array[Byte](0x02, 0x60, 0x01, 0x70, 0x00,
+        0x60, 0x01, 0x6F, 0x00)))
+    assert(refType.types.map(_.params) ==
+      Vector(Vector(ValType.Funcref), Vector(ValType.Externref)))
     val voidType = sec(1, Array[Byte](0x01, 0x60, 0x00, 0x00))
     val oneFunc = sec(3, Array[Byte](0x01, 0x00))
     def withBody(body: Array[Byte]): Array[Byte] = {
@@ -354,10 +381,15 @@ class WasmSpec extends AnyFunSuite with Matchers {
       "relaxed-simd")
     // 0xFE prefix (atomics)
     named(withBody(Array[Byte](0xFE.toByte, 0x0B)), "threads")
-    // ref.null funcref
-    named(withBody(Array[Byte](0xD0.toByte, 0x70, 0x0B)), "reference-types")
-    // table.get 0
-    named(withBody(Array[Byte](0x25, 0x00, 0x0B)), "reference-types")
+    // ref.null funcref / table.get 0: DECODE since the r14 ref tier
+    assert(WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x70, 0x0B)))
+      .codes.head.body == Vector(RefNull(0x70)))
+    assert(WasmBinary.decode(withBody(Array[Byte](0x25, 0x00, 0x0B)))
+      .codes.head.body == Vector(TableGet(0)))
+    // a GC heap type behind ref.null still fails by name
+    val eH = intercept[WasmDecodeError](
+      WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x6B, 0x0B))))
+    assert(eH.getMessage.contains("heap type"))
     // v128 local declaration: accepted
     val codeV128Local = Array[Byte](0x01, 0x04, 0x01, 0x01, 0x7B, 0x0B)
     assert(WasmBinary.decode(header ++ voidType ++ oneFunc ++
@@ -366,6 +398,146 @@ class WasmSpec extends AnyFunSuite with Matchers {
     val e = intercept[WasmDecodeError](
       WasmBinary.decode(withBody(Array[Byte](0xF5.toByte, 0x0B))))
     assert(e.getMessage.contains("unsupported opcode"))
+  }
+
+  test("reference-types execution: null refs, func refs, table get/set/" +
+      "grow/size/fill/copy/init/drop, typed select, multi-table, " +
+      "ref-local null default — through the binary codec") {
+    val t0 = FuncType(Vector(ValType.I64), Vector(ValType.I64))
+    val t1 = FuncType(Vector(), Vector(ValType.I64))
+    val t2 = FuncType(Vector(ValType.I32, ValType.I64), Vector(ValType.I64))
+    def f(body: Instr*) = FuncBody(Vector(), body.toVector)
+    val m = WasmModule(
+      types = Vector(t0, t1, t2),
+      imports = Vector.empty,
+      funcTypeIdxs = Vector(0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2),
+      memMinPages = 1, memMaxPages = None,
+      globals = Vector(
+        WasmGlobal(ValType.Funcref, mutable = false, Vector(RefFunc(1)))),
+      exports = Vector(
+        WasmExport("refops", 0, 2), WasmExport("localdef", 0, 3),
+        WasmExport("growsize", 0, 4), WasmExport("fillcopy", 0, 5),
+        WasmExport("initcall", 0, 6), WasmExport("initdropped", 0, 7),
+        WasmExport("tsel", 0, 8), WasmExport("xref", 0, 9),
+        WasmExport("dispatch", 0, 10)),
+      codes = Vector(
+        // 0: +10, 1: +20 — the dispatch targets
+        FuncBody(Vector(), Vector(LocalGet(0), I64Const(10), Num(0x7C))),
+        FuncBody(Vector(), Vector(LocalGet(0), I64Const(20), Num(0x7C))),
+        // (is_null(null) << 1) | is_null(ref.func 0) = 2
+        f(RefNull(0x70), RefIsNull, I32Const(1), Num(0x74),
+          RefFunc(0), RefIsNull, Num(0x72)),
+        // a funcref local defaults to NULL, not func-index 0
+        FuncBody(Vector(ValType.Funcref), Vector(LocalGet(0), RefIsNull)),
+        // grow(+2, null) returns old size 4; size then reads 6 → 406
+        f(RefNull(0x70), I32Const(2), TableGrow(0), I32Const(100),
+          Num(0x6C), TableSize(0), Num(0x6A)),
+        // fill [0,3) with f1, copy slot0→3, call slot 3: 5+20 = 25
+        f(I32Const(0), RefFunc(1), I32Const(3), TableFill(0),
+          I32Const(3), I32Const(0), I32Const(1), TableCopy(0, 0),
+          I64Const(5), I32Const(3), CallIndirect(0)),
+        // init [2,4) from the passive seg [f1,f0], call slot 2: 1+20
+        f(I32Const(2), I32Const(0), I32Const(2), TableInit(1, 0),
+          I64Const(1), I32Const(2), CallIndirect(0)),
+        // elem.drop then a len-1 init from the dropped segment traps
+        f(ElemDrop(1), I32Const(0), I32Const(0), I32Const(1),
+          TableInit(1, 0), I64Const(0)),
+        // typed select picks by condition: 10·is_null(sel c=1) +
+        // is_null(sel c=0) = 10·0 + 1
+        f(RefFunc(0), RefNull(0x70), I32Const(1),
+          SelectT(Vector(ValType.Funcref)), RefIsNull,
+          I32Const(10), Num(0x6C),
+          RefFunc(0), RefNull(0x70), I32Const(0),
+          SelectT(Vector(ValType.Funcref)), RefIsNull, Num(0x6A)),
+        // the externref table: size 2, slot 0 starts null → 21
+        f(TableSize(1), I32Const(10), Num(0x6C), I32Const(0),
+          TableGet(1), RefIsNull, Num(0x6A)),
+        FuncBody(Vector(), Vector(LocalGet(1), LocalGet(0),
+          CallIndirect(0)))),
+      datas = Vector.empty, start = None,
+      tables = Vector(TableType(ValType.Funcref, 4, None),
+        TableType(ValType.Externref, 2, Some(8))),
+      elems = Vector(ElemSeg(0, Vector(0, 1)),
+        ElemSeg(-1, Vector(1, 0), mode = 1)))
+    val inst = new WasmInterp.Instance(
+      WasmBinary.decode(WasmBinary.encode(m)), Map.empty)
+    inst.invoke("refops").head shouldBe 2L
+    inst.invoke("localdef").head shouldBe 1L
+    inst.invoke("dispatch", 0L, 7L).head shouldBe 17L // before fill clobbers
+    inst.invoke("dispatch", 1L, 7L).head shouldBe 27L
+    inst.invoke("growsize").head shouldBe 406L
+    inst.invoke("fillcopy").head shouldBe 25L
+    inst.invoke("initcall").head shouldBe 21L
+    inst.invoke("tsel").head shouldBe 1L
+    inst.invoke("xref").head shouldBe 21L
+    val eD = intercept[WasmTrap](inst.invoke("initdropped"))
+    assert(eD.getMessage.contains("table.init"))
+  }
+
+  test("simd128 lane immediates validate at DECODE time: shuffle lanes " +
+      "< 32, extract/replace and load/store lanes bounded per shape") {
+    // r13 advice: unvalidated lane immediates surfaced as raw
+    // ArrayIndexOutOfBounds at EXECUTION; the fuzz contract wants the
+    // named WasmDecodeError at decode, like every other rejection.
+    val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
+    def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 128)
+      Array(id.toByte, payload.length.toByte) ++ payload
+    }
+    val voidType = sec(1, Array[Byte](0x01, 0x60, 0x00, 0x00))
+    val oneFunc = sec(3, Array[Byte](0x01, 0x00))
+    def withBody(body: Array[Byte]): Array[Byte] = {
+      val code = Array[Byte](0x01, (body.length + 1).toByte, 0x00) ++ body
+      header ++ voidType ++ oneFunc ++ sec(10, code)
+    }
+    def outOfRange(body: Array[Byte]): Unit = {
+      val e = intercept[WasmDecodeError](WasmBinary.decode(withBody(body)))
+      assert(e.getMessage.contains("out of range"), e.getMessage)
+    }
+    // i8x16.shuffle with one lane = 32
+    outOfRange(Array[Byte](0xFD.toByte, 13) ++ Array.fill[Byte](15)(0) ++
+      Array[Byte](32, 0x0B))
+    // i8x16.extract_lane_s lane 16
+    outOfRange(Array[Byte](0xFD.toByte, 21, 16, 0x0B))
+    // i64x2.replace_lane lane 2
+    outOfRange(Array[Byte](0xFD.toByte, 30, 2, 0x0B))
+    // v128.load8_lane lane 16 (align 0, offset 0)
+    outOfRange(Array[Byte](0xFD.toByte, 84, 0, 0, 16, 0x0B))
+    // boundary lanes still decode (15 for i8x16, 31 for shuffle)
+    WasmBinary.decode(withBody(Array[Byte](0xFD.toByte, 21, 15, 0x0B)))
+    WasmBinary.decode(withBody(
+      Array[Byte](0xFD.toByte, 13) ++ Array.fill[Byte](16)(31) ++
+        Array[Byte](0x0B)))
+  }
+
+  test("multi-v128-result compaction snapshots before writing: a " +
+      "low-handle second result survives the first result's copy") {
+    // g returns (B, A) where A sits AT the pool watermark and B above
+    // it: compaction writes B into A's slot first, so without the
+    // snapshot the caller reads (B, B) — the r13 advice clobber shape.
+    val a = SimdConst(5.toByte +: Vector.fill(15)(0.toByte))
+    val b = SimdConst(7.toByte +: Vector.fill(15)(0.toByte))
+    val g = FuncBody(Vector(ValType.V128),
+      Vector(a, LocalSet(0), b, LocalGet(0)))
+    // f: call g, fold the two i64 lane-0 values as b*100 + a
+    val f = FuncBody(Vector(ValType.I64), Vector(
+      Call(0),
+      SimdLane(29, 0), LocalSet(0), // top of stack is A
+      SimdLane(29, 0),              // then B
+      I64Const(100), Num(0x7E),     // i64.mul
+      LocalGet(0), Num(0x7C)))      // i64.add
+    val m = WasmModule(
+      types = Vector(
+        FuncType(Vector(), Vector(ValType.V128, ValType.V128)),
+        FuncType(Vector(), Vector(ValType.I64))),
+      imports = Vector.empty,
+      funcTypeIdxs = Vector(0, 1),
+      memMinPages = 1, memMaxPages = None,
+      globals = Vector.empty,
+      exports = Vector(WasmExport("f", 0, 1)),
+      codes = Vector(g, f),
+      datas = Vector.empty, start = None)
+    run1(m, "f") shouldBe 705L
   }
 
   test("simd128 tier: lane arithmetic, comparisons, bitmask, shifts, " +

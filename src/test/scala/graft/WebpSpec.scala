@@ -181,6 +181,79 @@ class WebpSpec extends AnyFunSuite {
     assert(eT.getMessage.contains("truncated"), eT.getMessage)
   }
 
+  // ------------------------------------------------------ lossy + ALPH
+
+  /** Test-side forward of the container spec's alpha filters (mirrors
+   *  the decoder's inverse: residual = value - predictor mod 256). */
+  private def forwardAlpha(alpha: Array[Int], w: Int, h: Int,
+      filt: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val pred =
+        if (filt == 0 || (x == 0 && y == 0)) 0
+        else if (filt == 1) { if (x == 0) alpha(i - w) else alpha(i - 1) }
+        else if (filt == 2) { if (y == 0) alpha(i - 1) else alpha(i - w) }
+        else {
+          if (x == 0) alpha(i - w)
+          else if (y == 0) alpha(i - 1)
+          else math.max(0, math.min(255,
+            alpha(i - 1) + alpha(i - w) - alpha(i - w - 1)))
+        }
+      (alpha(i) - pred) & 0xFF
+    }
+
+  test("lossy + ALPH: filter inversion anchored on hand-computed 2x2 " +
+      "values for all four methods (raw compression)") {
+    // stored residuals [10,20,30,40]:
+    //   none       → [10,20,30,40]
+    //   horizontal → [10, 30, 40, 40+40=80]   (left col predicts from above)
+    //   vertical   → [10, 30, 40, 40+30=70]   (top row predicts from left)
+    //   gradient   → [10, 30, 40, 40+clip(40+30-10)=100]
+    val frame2 = graft.operators.Vp8.encodeSolid(2, 2, 0, 0, 0, 0)
+    def dec2(filt: Int): Seq[Int] = {
+      val webp = Webp.lossyAlphaWrap(2, 2, frame2, filt << 2,
+        Array[Byte](10, 20, 30, 40))
+      val (_, _, _, _, px) = Webp.decodeWebp(webp)
+      (0 until 4).map(i => math.round(px(4 * i + 3) * 255))
+    }
+    assert(dec2(0) == Seq(10, 20, 30, 40))
+    assert(dec2(1) == Seq(10, 30, 40, 80))
+    assert(dec2(2) == Seq(10, 30, 40, 70))
+    assert(dec2(3) == Seq(10, 30, 40, 100))
+  }
+
+  test("lossy + ALPH: VP8L-compressed alpha (headerless stream, green " +
+      "channel) round-trips a random plane under every filter method; " +
+      "luma stays the VP8 closed form") {
+    val (w, h) = (32, 16)
+    val rng = rnd(77)
+    val alpha = Array.fill(w * h)(rng.nextInt(256))
+    val frame = graft.operators.Vp8.encodeSolid(w, h, 9, 3, -3, 0)
+    val ey = graft.operators.Vp8.solidY(9, 0)
+    for (filt <- 0 to 3) {
+      val body = Webp.encodeAlphVp8l(w, h, forwardAlpha(alpha, w, h, filt))
+      val webp = Webp.lossyAlphaWrap(w, h, frame, (filt << 2) | 1, body)
+      val (dw, dh, ch, fmt, px) = Webp.decodeWebp(webp)
+      assert((dw, dh, ch, fmt) == (w, h, 4, "yuva420"))
+      for (i <- 0 until w * h) {
+        assert(math.round(px(4 * i + 3) * 255) == alpha(i),
+          s"filter $filt alpha $i")
+        assert(math.round(px(4 * i) * 255) == ey, s"filter $filt Y $i")
+      }
+    }
+  }
+
+  test("lossy + ALPH named failures: reserved compression method, " +
+      "raw payload size mismatch") {
+    val frame = graft.operators.Vp8.encodeSolid(2, 2, 0, 0, 0, 0)
+    val e1 = intercept[IllegalArgumentException](Webp.decodeWebp(
+      Webp.lossyAlphaWrap(2, 2, frame, 0x02, Array[Byte](1, 2, 3, 4))))
+    assert(e1.getMessage.contains("compression"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Webp.decodeWebp(
+      Webp.lossyAlphaWrap(2, 2, frame, 0x00, Array[Byte](1, 2, 3))))
+    assert(e2.getMessage.contains("ALPH"), e2.getMessage)
+  }
+
   test("meta prefix-code image: a two-group stream decodes with " +
       "per-tile code selection") {
     // 8x4 image, metaBits=2 (4x4 tiles) -> a 2x1 meta image selecting
