@@ -132,6 +132,15 @@ final case class TableFill(tableIdx: Int) extends Instr
  *  annotation exists for validators. */
 final case class SelectT(types: Vector[Byte]) extends Instr
 
+// threads tier (r14, single-agent semantics): 0xFE-prefixed atomic
+// memory accesses execute sequentially — exact for a single-instance
+// engine, where no concurrent agent exists by construction. `sub` is
+// the 0xFE subopcode (notify 0x00, wait32/64 0x01/0x02, loads
+// 0x10–0x16, stores 0x17–0x1D, rmw 0x1E–0x47, cmpxchg 0x48–0x4E).
+final case class AtomicOp(sub: Int, align: Int, offset: Int) extends Instr
+/** atomic.fence (0xFE 0x03) — a no-op under single-agent execution. */
+case object AtomicFence extends Instr
+
 final case class FuncType(params: Vector[Byte], results: Vector[Byte])
 /** Function imports only — the lens ABI imports exactly one host function
  *  (`lens.next`, reference: host-go/runtimes/wasmtime/runtime.go:87-91). */
@@ -291,6 +300,11 @@ object WasmBinary {
           if (n > 1) throw new WasmDecodeError("multiple memories unsupported")
           if (n == 1) {
             val flags = r.u8()
+            if (flags > 3) throw new WasmDecodeError(
+              s"bad memory limits flags $flags")
+            // flags bit 1 = SHARED (threads tier): accepted and treated
+            // as a plain memory — single-agent execution makes the
+            // distinction unobservable in this engine
             memMin = r.u32()
             memMax = if ((flags & 1) != 0) Some(r.u32()) else None
           }
@@ -535,13 +549,26 @@ object WasmBinary {
             case mz if mz == 92 || mz == 93 =>
               out += SimdMem(mz, r.u32(), r.u32())
             case plain if plain <= 255 => out += SimdOp(plain)
-            case relaxed => throw new WasmDecodeError(
-              s"simd128 subopcode $relaxed — unsupported feature tier: " +
-                "relaxed-simd")
+            // relaxed-simd (0x100–0x113): DECODES since r14 — executed
+            // under the deterministic profile (each op behaves as its
+            // strict sibling; see WasmInterp's relaxed block)
+            case rel if rel >= 0x100 && rel <= 0x113 => out += SimdOp(rel)
+            case other => throw new WasmDecodeError(
+              s"unassigned simd128 subopcode $other")
           }
-        case 0xFE => throw new WasmDecodeError(
-          "module uses atomic instructions (0xFE prefix) — unsupported " +
-            "feature tier: threads")
+        case 0xFE => // threads tier: atomics, single-agent execution
+          r.u32() match {
+            case 3 =>
+              val flag = r.u8()
+              if (flag != 0) throw new WasmDecodeError(
+                s"atomic.fence: bad flag $flag")
+              out += AtomicFence
+            case sub if sub <= 2 || (sub >= 0x10 && sub <= 0x4E) =>
+              val a = r.u32()
+              out += AtomicOp(sub, a, r.u32())
+            case sub => throw new WasmDecodeError(
+              f"unassigned atomic subopcode 0x$sub%02X")
+          }
         case 0xD0 =>
           val ht = r.u8()
           if (ht != 0x70 && ht != 0x6F)
@@ -754,6 +781,8 @@ object WasmBinary {
       case TableGrow(t) => w.u8(0xFC); w.u32(15); w.u32(t)
       case TableSize(t) => w.u8(0xFC); w.u32(16); w.u32(t)
       case TableFill(t) => w.u8(0xFC); w.u32(17); w.u32(t)
+      case AtomicOp(sub, a, o) => w.u8(0xFE); w.u32(sub); w.u32(a); w.u32(o)
+      case AtomicFence => w.u8(0xFE); w.u32(3); w.u8(0x00)
       case LocalGet(i) => w.u8(0x20); w.u32(i)
       case LocalSet(i) => w.u8(0x21); w.u32(i)
       case LocalTee(i) => w.u8(0x22); w.u32(i)

@@ -44,10 +44,29 @@ object WasmInterp {
    *  thread-safe (mirrors the reference's single-threaded store). */
   final class Instance(
       val module: WasmModule,
-      imports: Map[(String, String), Vector[Long] => Vector[Long]]) {
+      imports: Map[(String, String), Vector[Long] => Vector[Long]],
+      stepBudget: Long = 1L << 26) {
 
     private[wasm] var memory: Array[Byte] =
       new Array[Byte](module.memMinPages * PageSize)
+
+    // Execution fuel (r14): loop back-edges + function calls decrement
+    // a per-outermost-invocation budget, so a corrupt or hostile
+    // module's infinite loop surfaces as a NAMED WasmTrap instead of a
+    // hung executor task — the execution-side face of the codec fuzz
+    // contract. The default (2^26 back-edges/calls) is ~5 orders of
+    // magnitude above what any lens guest spends per item; counting
+    // only back-edges and calls keeps the straight-line hot path free
+    // of the check. Re-entrant host imports (the lens `next` ABI) share
+    // the outermost budget — depth tracking prevents a reset mid-run.
+    private var fuelLeft: Long = stepBudget
+    private var activeDepth: Int = 0
+    @inline private def burn(): Unit = {
+      fuelLeft -= 1
+      if (fuelLeft < 0) throw new WasmTrap(
+        s"step budget exhausted ($stepBudget loop back-edges/calls) — " +
+          "runaway guest loop")
+    }
 
     private val globals: Array[Long] = module.globals.map { g =>
       g.init match {
@@ -157,6 +176,20 @@ object WasmInterp {
     // ---------- evaluation ----------
 
     private def invokeByIndex(funcIdx: Int, args: Vector[Long]): Vector[Long] = {
+      if (activeDepth == 0) fuelLeft = stepBudget
+      activeDepth += 1
+      try invokeByIndex0(funcIdx, args)
+      catch {
+        // unbounded recursion exhausts the JVM stack before fuel can —
+        // convert to the named trap at the OUTERMOST frame, where the
+        // stack has already unwound (wasmtime's stack-exhaustion trap)
+        case _: StackOverflowError if activeDepth == 1 =>
+          throw new WasmTrap("call stack exhausted — runaway guest recursion")
+      } finally activeDepth -= 1
+    }
+
+    private def invokeByIndex0(funcIdx: Int, args: Vector[Long]): Vector[Long] = {
+      burn()
       val nImports = module.imports.size
       if (funcIdx < nImports) return importedFns(funcIdx)(args)
       val localIdx = funcIdx - nImports
@@ -262,6 +295,7 @@ object WasmInterp {
             val h = stack.size - p
             var looping = true
             while (looping) {
+              burn() // fuel: every loop (re-)entry is one step
               evalSeq(inner, locals, stack) match {
                 case FALL => looping = false
                 case RET => return RET
@@ -454,6 +488,8 @@ object WasmInterp {
           case SimdMemLane(sub, _, offset, lane) =>
             simdMemLane(sub, offset, lane, stack)
           case SimdOp(sub) => simdOp(sub, stack)
+          case AtomicOp(sub, _, offset) => atomicOp(sub, offset, stack)
+          case AtomicFence => () // single agent: nothing to order
         }
         i += 1
       }
@@ -1128,7 +1164,149 @@ object WasmInterp {
           j += 1
         }
         s.push(newV(out))
+      // ---- relaxed-simd (0x100–0x113), DETERMINISTIC PROFILE ----
+      // Each relaxed op is spec-licensed to pick any behavior from its
+      // allowed set; this engine always picks the STRICT sibling's
+      // (swizzle OOB→0, trunc saturates with NaN→0, madd unfused,
+      // laneselect ≡ bitselect, min/max NaN-propagating, q15mulr
+      // saturating, dot treats the i7x16 operand as signed i8 with i16
+      // intermediate saturation) — fixed and reproducible across runs.
+      case 256 => simdOp(14, s) // i8x16.relaxed_swizzle
+      case 257 => simdOp(248, s) // i32x4.relaxed_trunc_f32x4_s
+      case 258 => simdOp(249, s) // i32x4.relaxed_trunc_f32x4_u
+      case 259 => simdOp(252, s) // i32x4.relaxed_trunc_f64x2_s_zero
+      case 260 => simdOp(253, s) // i32x4.relaxed_trunc_f64x2_u_zero
+      case 261 | 262 => // f32x4.relaxed_madd / nmadd (unfused)
+        val c = f32All(getV(s.pop()))
+        val b = f32All(getV(s.pop()))
+        val a = f32All(getV(s.pop()))
+        s.push(newV(packF32(Array.tabulate(4) { i =>
+          (if (sub == 262) -(a(i) * b(i)) else a(i) * b(i)) + c(i)
+        })))
+      case 263 | 264 => // f64x2.relaxed_madd / nmadd (unfused)
+        val c = f64All(getV(s.pop()))
+        val b = f64All(getV(s.pop()))
+        val a = f64All(getV(s.pop()))
+        s.push(newV(packF64(Array.tabulate(2) { i =>
+          (if (sub == 264) -(a(i) * b(i)) else a(i) * b(i)) + c(i)
+        })))
+      case c if c >= 265 && c <= 268 => simdOp(82, s) // relaxed_laneselect
+      case 269 => simdOp(232, s) // f32x4.relaxed_min
+      case 270 => simdOp(233, s) // f32x4.relaxed_max
+      case 271 => simdOp(244, s) // f64x2.relaxed_min
+      case 272 => simdOp(245, s) // f64x2.relaxed_max
+      case 273 => simdOp(130, s) // i16x8.relaxed_q15mulr_s
+      case 274 => // i16x8.relaxed_dot_i8x16_i7x16_s
+        val b = getV(s.pop()); val a = getV(s.pop())
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 8) {
+          val p = a(2 * i).toLong * b(2 * i) + a(2 * i + 1).toLong * b(2 * i + 1)
+          vSt(out, i * 2, 2, satS(p, 2))
+          i += 1
+        }
+        s.push(newV(out))
+      case 275 => // i32x4.relaxed_dot_i8x16_i7x16_add_s
+        val c = getV(s.pop()); val b = getV(s.pop()); val a = getV(s.pop())
+        val out = new Array[Byte](16)
+        var i = 0
+        while (i < 4) {
+          val lo = satS(a(4 * i).toLong * b(4 * i) +
+            a(4 * i + 1).toLong * b(4 * i + 1), 2)
+          val hi = satS(a(4 * i + 2).toLong * b(4 * i + 2) +
+            a(4 * i + 3).toLong * b(4 * i + 3), 2)
+          vSt(out, i * 4, 4, (lo + hi + vLd(c, i * 4, 4).toInt).toInt.toLong)
+          i += 1
+        }
+        s.push(newV(out))
       case other => throw new WasmTrap(s"simd128 subopcode $other unassigned")
+    }
+
+    // ---------- atomics (threads tier, single-agent semantics) ----------
+    // Sequential execution IS the exact semantics when only one agent
+    // exists: every rmw is trivially indivisible. The observable
+    // differences the spec keeps even then are honored — natural
+    // ALIGNMENT traps, wait/notify return codes, and an infinite wait
+    // (which no second agent could ever notify) trapping loudly rather
+    // than hanging an executor.
+
+    /** Width by position-in-family k: i32, i64, 32_8u, 32_16u, 64_8u,
+     *  64_16u, 64_32u. */
+    private def atomicWidth(k: Int): Int = k match {
+      case 0 | 6 => 4
+      case 1 => 8
+      case 2 | 4 => 1
+      case _ => 2
+    }
+
+    private def atomicOp(sub: Int, offset: Int, stack: OperandStack): Unit = {
+      @inline def ea(w: Int): Int = {
+        val a = addr(offset, stack, w)
+        if (a % w != 0)
+          throw new WasmTrap(s"unaligned atomic access at $a (width $w)")
+        a
+      }
+      // i32-family results re-enter the slot model sign-extended (like
+      // i32.load); narrow _u forms and i64 stay zero-extended/full
+      @inline def pushOld(k: Int, old: Long): Unit =
+        stack.push(if (k == 0) old.toInt.toLong else old)
+      sub match {
+        case 0x00 => // memory.atomic.notify: no waiters can exist
+          stack.pop() // count
+          ea(4)
+          stack.push(0L)
+        case 0x01 | 0x02 => // memory.atomic.wait32 / wait64
+          val w = if (sub == 0x01) 4 else 8
+          val timeout = stack.pop()
+          val expected = stack.pop()
+          val cur = ld(ea(w), w)
+          val exp = if (w == 4) expected & 0xFFFFFFFFL else expected
+          if (cur != exp) stack.push(1L) // "not-equal"
+          else if (timeout >= 0) stack.push(2L) // elapses: none can notify
+          else throw new WasmTrap(
+            "memory.atomic.wait with infinite timeout would deadlock " +
+              "(single-agent engine)")
+        case l if l >= 0x10 && l <= 0x16 => // atomic loads (narrow = _u)
+          val k = l - 0x10; val w = atomicWidth(k)
+          pushOld(k, ld(ea(w), w))
+        case st_ if st_ >= 0x17 && st_ <= 0x1D => // atomic stores
+          val k = st_ - 0x17; val w = atomicWidth(k)
+          val v = stack.pop()
+          st(ea(w), w, v)
+        case rmw if rmw >= 0x1E && rmw <= 0x47 => // add sub and or xor xchg
+          val fam = (rmw - 0x1E) / 7
+          val k = (rmw - 0x1E) % 7
+          val w = atomicWidth(k)
+          val v = stack.pop()
+          val a = ea(w)
+          val old = ld(a, w)
+          st(a, w, fam match {
+            case 0 => old + v
+            case 1 => old - v
+            case 2 => old & v
+            case 3 => old | v
+            case 4 => old ^ v
+            case _ => v // xchg
+          })
+          pushOld(k, old)
+        case cx if cx >= 0x48 && cx <= 0x4E => // cmpxchg
+          val k = cx - 0x48
+          val w = atomicWidth(k)
+          val repl = stack.pop()
+          val expected = stack.pop()
+          val a = ea(w)
+          val old = ld(a, w)
+          val expT = w match {
+            case 1 => expected & 0xFFL
+            case 2 => expected & 0xFFFFL
+            case 4 => expected & 0xFFFFFFFFL
+            case _ => expected
+          }
+          if (old == expT) st(a, w, repl)
+          pushOld(k, old)
+        case other => throw new WasmTrap(
+          f"atomic subopcode 0x$other%02X unassigned")
+      }
     }
 
     private def memLoad(op: Int, offset: Int, stack: OperandStack): Unit = op match {

@@ -347,9 +347,9 @@ class WasmSpec extends AnyFunSuite with Matchers {
     a[WasmTrap] should be thrownBy inst.invoke("f", 5L, 1L, 1L) // OOB slot
   }
 
-  test("post-MVP tiers this interpreter doesn't run are rejected with " +
-      "NAMED feature errors, not byte-offset panics - threads and " +
-      "relaxed-simd (simd128 AND reference-types now DECODE and run)") {
+  test("post-MVP decode surface: simd128, reference-types, relaxed-simd " +
+      "and single-agent atomics all DECODE since r14; genuinely " +
+      "unassigned opcodes and GC types still fail with NAMED errors") {
     val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
     def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
       require(payload.length < 128)
@@ -376,11 +376,19 @@ class WasmSpec extends AnyFunSuite with Matchers {
       val code = Array[Byte](0x01, (body.length + 1).toByte, 0x00) ++ body
       header ++ voidType ++ oneFunc ++ sec(10, code)
     }
-    // relaxed-simd subopcodes (0xFD >= 256) stay a named tier
-    named(withBody(Array[Byte](0xFD.toByte, 0x80.toByte, 0x02, 0x0B)),
-      "relaxed-simd")
-    // 0xFE prefix (atomics)
-    named(withBody(Array[Byte](0xFE.toByte, 0x0B)), "threads")
+    // relaxed-simd (0xFD 0x100–0x113) decodes since r14
+    assert(WasmBinary.decode(
+      withBody(Array[Byte](0xFD.toByte, 0x80.toByte, 0x02, 0x0B)))
+      .codes.head.body == Vector(SimdOp(256)))
+    // ...but a subopcode past the relaxed family fails by name
+    named(withBody(Array[Byte](0xFD.toByte, 0x94.toByte, 0x02, 0x0B)),
+      "unassigned")
+    // 0xFE atomics decode since r14 (i32.atomic.load align 2 offset 0)
+    assert(WasmBinary.decode(
+      withBody(Array[Byte](0xFE.toByte, 0x10, 0x02, 0x00, 0x0B)))
+      .codes.head.body == Vector(AtomicOp(0x10, 2, 0)))
+    // the 0x04–0x0F atomic gap fails by name
+    named(withBody(Array[Byte](0xFE.toByte, 0x0B, 0x0B)), "unassigned")
     // ref.null funcref / table.get 0: DECODE since the r14 ref tier
     assert(WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x70, 0x0B)))
       .codes.head.body == Vector(RefNull(0x70)))
@@ -398,6 +406,130 @@ class WasmSpec extends AnyFunSuite with Matchers {
     val e = intercept[WasmDecodeError](
       WasmBinary.decode(withBody(Array[Byte](0xF5.toByte, 0x0B))))
     assert(e.getMessage.contains("unsupported opcode"))
+  }
+
+  test("execution fuel: an infinite loop traps with the named " +
+      "step-budget error, unbounded recursion traps as stack " +
+      "exhaustion, and the budget resets per outermost invocation") {
+    val spin = WasmModule(
+      types = Vector(FuncType(Vector(), Vector(ValType.I64))),
+      imports = Vector.empty, funcTypeIdxs = Vector(0),
+      memMinPages = 1, memMaxPages = None, globals = Vector.empty,
+      exports = Vector(WasmExport("f", 0, 0)),
+      codes = Vector(FuncBody(Vector(),
+        Vector(Loop(0x40, Vector(Br(0))), I64Const(1)))),
+      datas = Vector.empty, start = None)
+    val eF = intercept[WasmTrap](new WasmInterp.Instance(
+      WasmBinary.decode(WasmBinary.encode(spin)), Map.empty,
+      stepBudget = 10000).invoke("f"))
+    assert(eF.getMessage.contains("step budget"), eF.getMessage)
+    // f() = f(): the JVM stack exhausts before default fuel — named trap
+    val rec = spin.copy(codes = Vector(FuncBody(Vector(), Vector(Call(0)))))
+    val eR = intercept[WasmTrap](new WasmInterp.Instance(
+      WasmBinary.decode(WasmBinary.encode(rec)), Map.empty).invoke("f"))
+    assert(eR.getMessage.contains("call stack exhausted"), eR.getMessage)
+    // 1500 bounded iterations under a 2000-step budget, invoked twice:
+    // only a per-outermost-invocation reset lets the second call pass
+    val count = spin.copy(codes = Vector(FuncBody(Vector(ValType.I32),
+      Vector(
+        I32Const(1500), LocalSet(0),
+        Block(0x40, Vector(
+          Loop(0x40, Vector(
+            LocalGet(0), Num(0x45), BrIf(1),
+            LocalGet(0), I32Const(1), Num(0x6B), LocalSet(0),
+            Br(0))))),
+        I64Const(7)))))
+    val inst = new WasmInterp.Instance(
+      WasmBinary.decode(WasmBinary.encode(count)), Map.empty,
+      stepBudget = 2000)
+    inst.invoke("f").head shouldBe 7L
+    inst.invoke("f").head shouldBe 7L
+  }
+
+  test("atomics execute with single-agent semantics: loads/stores/rmw " +
+      "families, cmpxchg hit and miss, narrow widths wrap, alignment " +
+      "traps, wait/notify return codes, infinite wait traps loudly") {
+    def run(instrs: Instr*): Long = run1(WasmBinary.decode(WasmBinary.encode(
+      func(Vector(), Vector(ValType.I64), Vector(), instrs: _*))), "f")
+    // rmw add returns the OLD value and updates memory
+    run(I32Const(16), I32Const(5), AtomicOp(0x1E, 2, 0), Drop,
+      I32Const(16), I32Const(7), AtomicOp(0x1E, 2, 0)) shouldBe 5L
+    // i64 store + xchg
+    run(I32Const(8), I64Const(11), AtomicOp(0x18, 3, 0),
+      I32Const(8), I64Const(22), AtomicOp(0x42, 3, 0)) shouldBe 11L
+    // cmpxchg hit: expected matches -> replacement lands
+    run(I32Const(4), I32Const(9), AtomicOp(0x17, 2, 0),
+      I32Const(4), I32Const(9), I32Const(33), AtomicOp(0x48, 2, 0), Drop,
+      I32Const(4), AtomicOp(0x10, 2, 0)) shouldBe 33L
+    // cmpxchg miss: old returned, memory untouched
+    run(I32Const(4), I32Const(9), AtomicOp(0x17, 2, 0),
+      I32Const(4), I32Const(1), I32Const(33), AtomicOp(0x48, 2, 0), Drop,
+      I32Const(4), AtomicOp(0x10, 2, 0)) shouldBe 9L
+    // narrow rmw8.add_u wraps at the byte
+    run(I32Const(3), I32Const(250), AtomicOp(0x19, 0, 0),
+      I32Const(3), I32Const(10), AtomicOp(0x20, 0, 0), Drop,
+      I32Const(3), AtomicOp(0x12, 0, 0)) shouldBe 4L
+    // and / or / xor / sub families, i32 width
+    run(I32Const(0), I32Const(0xF0), AtomicOp(0x17, 2, 0),
+      I32Const(0), I32Const(0x3C), AtomicOp(0x2C, 2, 0), Drop, // and
+      I32Const(0), I32Const(0x03), AtomicOp(0x33, 2, 0), Drop, // or
+      I32Const(0), I32Const(0xFF), AtomicOp(0x3A, 2, 0), Drop, // xor
+      I32Const(0), I32Const(2), AtomicOp(0x25, 2, 0), Drop, // sub
+      I32Const(0), AtomicOp(0x10, 2, 0)) shouldBe
+      (((0xF0 & 0x3C) | 0x03) ^ 0xFF) - 2L
+    // alignment trap (i32 load at address 2)
+    val eA = intercept[WasmTrap](run(I32Const(2), AtomicOp(0x10, 2, 0)))
+    assert(eA.getMessage.contains("unaligned atomic"))
+    // wait32: value mismatch -> 1 ("not-equal")
+    run(I32Const(0), I32Const(1), I64Const(-1),
+      AtomicOp(0x01, 2, 0)) shouldBe 1L
+    // wait32: match with finite timeout -> 2 ("timed-out")
+    run(I32Const(0), I32Const(0), I64Const(0),
+      AtomicOp(0x01, 2, 0)) shouldBe 2L
+    // wait32: match with infinite timeout -> loud deadlock trap
+    val eW = intercept[WasmTrap](run(I32Const(0), I32Const(0),
+      I64Const(-1), AtomicOp(0x01, 2, 0)))
+    assert(eW.getMessage.contains("deadlock"))
+    // notify: no waiters can exist -> 0; fence is a no-op
+    run(I32Const(0), I32Const(5), AtomicOp(0x00, 2, 0)) shouldBe 0L
+    run(AtomicFence, I64Const(42)) shouldBe 42L
+  }
+
+  test("relaxed-simd executes under the deterministic profile: every op " +
+      "behaves as its strict sibling") {
+    def run(instrs: Instr*): Long = run1(WasmBinary.decode(WasmBinary.encode(
+      func(Vector(), Vector(ValType.I64), Vector(), instrs: _*))), "f")
+    def constV(bytes: Int*): Instr = SimdConst(bytes.map(_.toByte).toVector)
+    def f32s(v: Float): Vector[Instr] =
+      Vector(F32Const(java.lang.Float.floatToIntBits(v)), SimdOp(19))
+    def bits32(v: Float): Long =
+      java.lang.Float.floatToIntBits(v).toLong & 0xFFFFFFFFL
+    // relaxed_madd / nmadd: unfused (2·3)+4 = 10, -(2·3)+4 = -2
+    run(f32s(2f) ++ f32s(3f) ++ f32s(4f) ++
+      Vector(SimdOp(261), SimdLane(31, 0)): _*) shouldBe bits32(10f)
+    run(f32s(2f) ++ f32s(3f) ++ f32s(4f) ++
+      Vector(SimdOp(262), SimdLane(31, 0)): _*) shouldBe bits32(-2f)
+    // relaxed_laneselect ≡ bitselect: (AA & F0) | (55 & ~F0) = A5
+    run(constV(Seq.fill(16)(0xAA): _*), constV(Seq.fill(16)(0x55): _*),
+      constV(Seq.fill(16)(0xF0): _*), SimdOp(266),
+      SimdLane(22, 0)) shouldBe 0xA5L
+    // relaxed_trunc_f32x4_s: saturating, NaN -> 0
+    run(f32s(5.7f) ++ Vector(SimdOp(257), SimdLane(27, 1)): _*) shouldBe 5L
+    run(f32s(Float.NaN) ++ Vector(SimdOp(257), SimdLane(27, 0)): _*) shouldBe 0L
+    // relaxed_swizzle: OOB index selects 0
+    run(constV(1 to 16: _*),
+      constV(Seq(200) ++ Seq.fill(15)(0): _*), SimdOp(256),
+      SimdLane(22, 0)) shouldBe 0L
+    // relaxed_q15mulr_s: rounding fixed-point, 16384² -> 8192
+    run(I32Const(16384), SimdOp(16), I32Const(16384), SimdOp(16),
+      SimdOp(273), SimdLane(24, 0)) shouldBe 8192L
+    // relaxed_dot (signed i8 pairs, sat i16): 3·5 + 3·5 = 30
+    run(constV(Seq.fill(16)(3): _*), constV(Seq.fill(16)(5): _*),
+      SimdOp(274), SimdLane(24, 0)) shouldBe 30L
+    // relaxed_dot_add: 30 + 30 + c(100) = 160 per i32 lane
+    run(constV(Seq.fill(16)(3): _*), constV(Seq.fill(16)(5): _*),
+      I32Const(100), SimdOp(17), SimdOp(275),
+      SimdLane(27, 3)) shouldBe 160L
   }
 
   test("reference-types execution: null refs, func refs, table get/set/" +
