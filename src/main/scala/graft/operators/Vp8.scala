@@ -887,6 +887,27 @@ object Vp8 {
     }
   }
 
+  /** §15.1 per-MB loop-filter level: segment base (abs or delta,
+   *  clamped), then the key-frame INTRA ref delta plus the B_PRED mode
+   *  delta, clamped again. Pure — exposed for spec coverage of the
+   *  branches the DC-grid fixture can't reach (segment levels, the
+   *  B_PRED mode delta). */
+  private[graft] def mbFilterLevel(frameLevel: Int, segEnabled: Boolean,
+      segAbs: Boolean, segLfValue: Int, lfDeltaEnabled: Boolean,
+      refDeltaIntra: Int, modeDeltaBPred: Int, isBPred: Boolean): Int = {
+    var lvl =
+      if (!segEnabled) frameLevel
+      else if (segAbs) segLfValue
+      else frameLevel + segLfValue
+    if (lvl < 0) lvl = 0 else if (lvl > 63) lvl = 63
+    if (lfDeltaEnabled) {
+      lvl += refDeltaIntra
+      if (isBPred) lvl += modeDeltaBPred
+      if (lvl < 0) lvl = 0 else if (lvl > 63) lvl = 63
+    }
+    lvl
+  }
+
   /** §15 whole-frame pass, MBs in raster order, per MB: vertical MB
    *  edge, interior vertical edges, horizontal MB edge, interior
    *  horizontal edges (the spec's order). Runs AFTER full-frame
@@ -908,18 +929,9 @@ object Vp8 {
       var mbx = 0
       while (mbx < mbCols) {
         val mi = mby * mbCols + mbx
-        // §15.1 per-MB level: segment base (abs or delta), then the
-        // key-frame INTRA ref delta + the B_PRED mode delta, clamped
-        var lvl =
-          if (!segEnabled) frameLevel
-          else if (segAbs) segLf(mbSegment(mi))
-          else frameLevel + segLf(mbSegment(mi))
-        if (lvl < 0) lvl = 0 else if (lvl > 63) lvl = 63
-        if (lfDeltaEnabled) {
-          lvl += refDeltaIntra
-          if (mbYMode(mi) == B_PRED) lvl += modeDeltaBPred
-          if (lvl < 0) lvl = 0 else if (lvl > 63) lvl = 63
-        }
+        val lvl = mbFilterLevel(frameLevel, segEnabled, segAbs,
+          segLf(mbSegment(mi)), lfDeltaEnabled, refDeltaIntra,
+          modeDeltaBPred, mbYMode(mi) == B_PRED)
         if (lvl > 0) {
           var interior = lvl
           if (sharpness > 0) {
@@ -1423,10 +1435,17 @@ object Vp8 {
    *  MB codes tokens (no skip), so interior edges are filter-eligible.
    *  Exists to certify the §15 loop filter on step edges whose
    *  filtered pixels are hand-computed in Vp8Spec. */
+  /** With `segLfAbs` non-null, the frame enables SEGMENTATION in
+   *  absolute mode: per-segment quantizer = `qIndex` (so pixel math is
+   *  unchanged), per-segment loop-filter level = `segLfAbs(s)`, segment
+   *  map coded per MB from `segIds` through real tree probs (128) —
+   *  fixture coverage for the seg-parse branches no other encoder
+   *  reaches. */
   def encodeDcGrid(width: Int, height: Int, yLv: Array[Int],
       uLv: Array[Int], vLv: Array[Int], qIndex: Int,
       filterType: Int, filterLevel: Int, sharpness: Int,
-      refDeltaIntra: Int = 0, modeDeltaBPred: Int = 0): Array[Byte] = {
+      refDeltaIntra: Int = 0, modeDeltaBPred: Int = 0,
+      segLfAbs: Array[Int] = null, segIds: Array[Int] = null): Array[Byte] = {
     require(width >= 1 && width <= 16383 && height >= 1 && height <= 16383)
     require(qIndex >= 0 && qIndex <= 127)
     require(filterLevel >= 0 && filterLevel <= 63)
@@ -1435,10 +1454,33 @@ object Vp8 {
     val mbRows = (height + 15) >> 4
     val nMbs = mbRows * mbCols
     require(yLv.length == nMbs && uLv.length == nMbs && vLv.length == nMbs)
+    require((segLfAbs == null) == (segIds == null))
+    if (segIds != null) {
+      require(segIds.length == nMbs && segLfAbs.length == 4)
+      require(segIds.forall(id => id >= 0 && id < 4))
+    }
     val bd = new BoolEnc
     bd.literal(0, 1) // color space
     bd.literal(0, 1) // clamping
-    bd.bool(0, 128) // segmentation off
+    if (segLfAbs == null) bd.bool(0, 128) // segmentation off
+    else {
+      bd.bool(1, 128) // segmentation enabled
+      bd.bool(1, 128) // update map
+      bd.bool(1, 128) // update feature data
+      bd.bool(1, 128) // ABSOLUTE value mode
+      var i = 0
+      while (i < 4) { // per-segment abs quantizer = qIndex (no-op shift)
+        bd.bool(1, 128); bd.signedLiteral(qIndex, 7); i += 1
+      }
+      i = 0
+      while (i < 4) { // per-segment abs loop-filter level
+        bd.bool(1, 128); bd.signedLiteral(segLfAbs(i), 6); i += 1
+      }
+      i = 0
+      while (i < 3) { // segment-map tree probs: flat 128
+        bd.bool(1, 128); bd.literal(128, 8); i += 1
+      }
+    }
     bd.literal(filterType, 1)
     bd.literal(filterLevel, 6)
     bd.literal(sharpness, 3)
@@ -1479,6 +1521,11 @@ object Vp8 {
     bd.bool(0, 128) // mb_no_skip_coeff OFF: every MB carries tokens
     var mb = 0
     while (mb < nMbs) {
+      if (segIds != null) { // segment id: (id >= 2, id & 1) on the tree
+        val id = segIds(mb)
+        bd.bool(if (id >= 2) 1 else 0, 128)
+        bd.bool(id & 1, 128)
+      }
       bd.tree(KfYModeTree, KfYModeProbs, DC_PRED)
       bd.tree(UvModeTree, KfUvModeProbs, DC_PRED)
       mb += 1
@@ -1539,12 +1586,15 @@ object Vp8 {
    *  offset), band progression, context transitions 0→1→2, category
    *  extra bits mid-block, and the full-block no-trailing-EOB case.
    *  Everything else (Y2, other Y blocks, chroma) codes empty. */
-  def encodeCoeffBlock(levels: Array[Int], qIndex: Int = 0): Array[Byte] = {
+  def encodeCoeffBlock(levels: Array[Int], qIndex: Int = 0,
+      filterType: Int = 0, filterLevel: Int = 0,
+      sharpness: Int = 0): Array[Byte] = {
     require(levels.length == 16)
     val bd = new BoolEnc
     bd.literal(0, 1); bd.literal(0, 1) // color space, clamping
     bd.bool(0, 128) // segmentation off
-    bd.literal(0, 1); bd.literal(0, 6); bd.literal(0, 3) // filter off
+    bd.literal(filterType, 1); bd.literal(filterLevel, 6)
+    bd.literal(sharpness, 3)
     bd.bool(0, 128) // lf adj off
     bd.literal(0, 2) // 1 token partition
     bd.literal(qIndex, 7)

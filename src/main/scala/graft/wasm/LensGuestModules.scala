@@ -324,14 +324,27 @@ object LensGuestModules {
    *  `ref.is_null` + typed `select` + `ref.func` + `table.set` (a
    *  mis-selected ref leaves slot 0 null and call_indirect TRAPS, so
    *  the probe cannot silently pass). Output must equal the MVP
-   *  guest's byte-for-byte. */
+   *  guest's byte-for-byte.
+   *  `viaAtomics = true` is the sixth probe — the THREADS tier a
+   *  `-pthread` build lands in, run single-agent: the add round-trips
+   *  scratch memory as `i64.atomic.store` → `i64.atomic.rmw.add`
+   *  (whose OLD value must equal the stored operand or the sum is
+   *  wrong) → `atomic.fence` → `i64.atomic.load`. Identity on the
+   *  value path, so output must equal the MVP guest's.
+   *  `viaRelaxedSimd = true` is the seventh probe — relaxed-simd under
+   *  the deterministic profile: the add runs as
+   *  `f64x2.relaxed_madd(splat(v), splat(1.0), splat(δ·sign))` with
+   *  `i64.trunc_sat_f64_s` bringing lane 0 back — exact for
+   *  |v + δ| < 2⁵³, so the fixture data must come out unchanged. */
   def shiftGuest(field: String, viaSatConversions: Boolean = false,
       viaMultiValueBulk: Boolean = false,
       viaFloatPath: Boolean = false,
       viaSimdPath: Boolean = false,
-      viaRefTypes: Boolean = false): Array[Byte] = {
-    require(Seq(viaFloatPath, viaMultiValueBulk, viaSimdPath, viaRefTypes)
-      .count(identity) <= 1,
+      viaRefTypes: Boolean = false,
+      viaAtomics: Boolean = false,
+      viaRelaxedSimd: Boolean = false): Array[Byte] = {
+    require(Seq(viaFloatPath, viaMultiValueBulk, viaSimdPath, viaRefTypes,
+      viaAtomics, viaRelaxedSimd).count(identity) <= 1,
       "combine at most one value-path probe")
     val d = new DataPacker
     val pat = d.add("\"" + field + "\":")
@@ -356,7 +369,11 @@ object LensGuestModules {
         // simd-path scratch: 10 = delta*sign (i64), 11 = scratch ptr
         // (i32), 12 = the sum vector (a real v128 local)
         (if (viaSimdPath) Vector[Byte](I64, I32, ValType.V128)
-         else Vector.empty[Byte]),
+         else Vector.empty[Byte]) ++
+        // atomics scratch: 10 = delta*sign, 11 = v (both i64)
+        (if (viaAtomics) Vector[Byte](I64, I64) else Vector.empty[Byte]) ++
+        // relaxed-simd scratch: 10 = delta*sign (i64)
+        (if (viaRelaxedSimd) Vector[Byte](I64) else Vector.empty[Byte]),
       Vector[Instr](
         ic(d.heapBase), GlobalSet(HEAP), // previous frames consumed: reset
         Call(NEXT), LocalSet(1)) ++
@@ -394,6 +411,30 @@ object LensGuestModules {
         LocalGet(12), SimdMem(11, 0, 0), // v128.store
         LocalGet(11), SimdMem(0, 0, 0), // v128.load
         SimdLane(29, 0), // i64x2.extract_lane 0
+        LocalSet(9))
+      else if (viaAtomics) Vector[Instr](
+        // stack: v, delta*sign — the add runs as an atomic rmw round
+        // trip through scratch bytes [0, 8) (below DataPacker's 16):
+        // store v, rmw.add(d) must return OLD == v, fence, load back
+        LocalSet(10), LocalSet(11),
+        ic(0), LocalGet(11), AtomicOp(0x18, 3, 0), // i64.atomic.store
+        ic(0), LocalGet(10), AtomicOp(0x1F, 3, 0), // i64.atomic.rmw.add
+        LocalGet(11), Num(0x51) /* i64.eq: old == v? */,
+        If(Empty, Vector.empty, Vector(Unreachable)),
+        AtomicFence,
+        ic(0), AtomicOp(0x11, 3, 0), // i64.atomic.load -> v + d
+        LocalSet(9))
+      else if (viaRelaxedSimd) Vector[Instr](
+        // stack: v, delta*sign — f64x2.relaxed_madd(splat(v), splat(1),
+        // splat(d)) under the deterministic profile, lane 0 back via
+        // trunc_sat (exact for |v + d| < 2^53)
+        LocalSet(10),
+        Num(0xB9), SimdOp(20), // f64x2.splat(f64(v))
+        F64Const(java.lang.Double.doubleToRawLongBits(1.0)), SimdOp(20),
+        LocalGet(10), Num(0xB9), SimdOp(20),
+        SimdOp(263), // f64x2.relaxed_madd
+        SimdLane(33, 0), // f64x2.extract_lane 0
+        TruncSat(6), // i64.trunc_sat_f64_s
         LocalSet(9))
       else if (viaRefTypes) Vector[Instr](
         // one-time table build (PEND latch): grow 0→2, init [null, add]

@@ -337,6 +337,86 @@ class Vp8Spec extends AnyFunSuite {
       zeroed.u(7) == 136 && zeroed.u(8) == 128)
   }
 
+  test("loop filter interior edges on NON-FLAT content: the frame pass " +
+      "equals a manual primitive walk in the spec's edge order (single " +
+      "MB, no MB edges, luma + chroma interior edges, hev threshold 1)") {
+    // block 0 carries mid-size AC levels at q0 -> real pixel structure
+    // crossing the x=4 interior edge; level 20 => I=20, sbE=60, hevT=1
+    val levels = Array(0, 14, -9, 7, 5, -6, 4, 3, -2, 2, 1, -1, 1, 1, -1, 1)
+    val flat = Vp8.decodeFrame(Vp8.encodeCoeffBlock(levels, 0))
+    val filt = Vp8.decodeFrame(
+      Vp8.encodeCoeffBlock(levels, 0, filterType = 0, filterLevel = 20))
+    assert(!flat.y.sameElements(filt.y), "fixture drifted: filter no-oped")
+    // manual §15 walk over the unfiltered planes, same order as the
+    // frame pass: luma interior VERTICAL b=4,8,12 (each all 16 rows),
+    // chroma vertical x=4; luma interior HORIZONTAL b=4,8,12; chroma
+    // horizontal y=4. Primitives are the hand-pinned ones.
+    val y = flat.y.clone(); val u = flat.u.clone(); val v = flat.v.clone()
+    val (hevT, interior, sbE) = (1, 20, 60)
+    for (b <- Seq(4, 8, 12); r <- 0 until 16)
+      Vp8.subblockFilter(y, r * flat.yStride + b, 1, hevT, interior, sbE)
+    for (r <- 0 until 8) {
+      Vp8.subblockFilter(u, r * flat.uvStride + 4, 1, hevT, interior, sbE)
+      Vp8.subblockFilter(v, r * flat.uvStride + 4, 1, hevT, interior, sbE)
+    }
+    for (b <- Seq(4, 8, 12); c <- 0 until 16)
+      Vp8.subblockFilter(y, (b) * flat.yStride + c, flat.yStride,
+        hevT, interior, sbE)
+    for (c <- 0 until 8) {
+      Vp8.subblockFilter(u, 4 * flat.uvStride + c, flat.uvStride,
+        hevT, interior, sbE)
+      Vp8.subblockFilter(v, 4 * flat.uvStride + c, flat.uvStride,
+        hevT, interior, sbE)
+    }
+    assert(y.sameElements(filt.y), "luma interior-edge walk diverged")
+    assert(u.sameElements(filt.u) && v.sameElements(filt.v),
+      "chroma interior-edge walk diverged")
+  }
+
+  test("loop filter §15.1 level resolution branches: segment abs vs " +
+      "delta, both clamps, INTRA ref delta, B_PRED mode delta") {
+    def lvl(frame: Int, seg: Boolean = false, abs: Boolean = false,
+        segV: Int = 0, lfd: Boolean = false, refD: Int = 0,
+        modeD: Int = 0, bpred: Boolean = false): Int =
+      Vp8.mbFilterLevel(frame, seg, abs, segV, lfd, refD, modeD, bpred)
+    assert(lvl(20) == 20)
+    // segment ABSOLUTE replaces the frame level; DELTA adds to it
+    assert(lvl(20, seg = true, abs = true, segV = 5) == 5)
+    assert(lvl(20, seg = true, segV = 5) == 25)
+    // clamps at both stages
+    assert(lvl(60, seg = true, segV = 10) == 63)
+    assert(lvl(10, seg = true, segV = -30) == 0)
+    assert(lvl(60, lfd = true, refD = 10) == 63)
+    assert(lvl(10, lfd = true, refD = -30) == 0)
+    // the INTRA ref delta applies to every key-frame MB; the mode
+    // delta ONLY to B_PRED macroblocks
+    assert(lvl(20, lfd = true, refD = 6) == 26)
+    assert(lvl(20, lfd = true, refD = 6, modeD = 4) == 26)
+    assert(lvl(20, lfd = true, refD = 6, modeD = 4, bpred = true) == 30)
+    // deltas stack on the CLAMPED segment base (63 - 10 = 53)
+    assert(lvl(60, seg = true, segV = 10, lfd = true, refD = -10) == 53)
+  }
+
+  test("segmentation end-to-end: the real segment-map decode feeds " +
+      "per-segment ABSOLUTE loop-filter levels — a level-0 segment " +
+      "vetoes its MB's edges, a level-14 segment reproduces the " +
+      "hand-computed profile") {
+    // frame-level 5 only opens the pass; ABS segment levels decide
+    def grid(ids: Array[Int]) = Vp8.decodeFrame(Vp8.encodeDcGrid(32, 16,
+      Array(124, -132), Array(0, 0), Array(0, 0), 0, 0, 5, 0,
+      segLfAbs = Array(0, 14, 0, 0), segIds = ids))
+    // MB1 (the MB that owns the step edge) in segment 0 (lf 0): raw step
+    val vetoed = grid(Array(1, 0))
+    assert(vetoed.y(15) == 144 && vetoed.y(16) == 128,
+      "segment-0 veto failed: the edge was filtered")
+    // MB1 in segment 1 (lf 14): exactly the level-14 wide-tap profile
+    val filtered = grid(Array(0, 1))
+    val yRow = Seq.fill(13)(144) ++ Seq(142, 139, 137, 135, 133, 130) ++
+      Seq.fill(13)(128)
+    for (r <- 0 until 16; c <- 0 until 32)
+      assert(filtered.y(r * filtered.yStride + c) == yRow(c), s"Y($r,$c)")
+  }
+
   test("loop filter grid fixture round-trips unfiltered at level 0 " +
       "(DC prediction propagates left-to-right through the grid)") {
     val f = Vp8.decodeFrame(Vp8.encodeDcGrid(48, 32,

@@ -147,6 +147,48 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
   }
 
+  test("a guest built with atomics (-pthread shape: atomic store + " +
+      "rmw.add with an old-value cross-check + fence + atomic load) " +
+      "replays the MVP guest byte-identically through the lens path") {
+    val atUrl = dataUrl(LensGuestModules.shiftGuest("Age",
+      viaAtomics = true))
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L), ("Zed", 0L),
+      ("Big", Long.MaxValue - 2L)).toDF("Name", "Age").coalesce(1)
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val at = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$atUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    at shouldBe mvp
+    at should contain(("Big", Long.MinValue + 2L)) // i64 wrap == scalar add
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$atUrl","arguments":{"delta":5}}]}""")
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
+  }
+
+  test("a guest built with relaxed-simd (f64x2.relaxed_madd under the " +
+      "deterministic profile + trunc_sat) replays the MVP guest " +
+      "byte-identically through the lens path") {
+    val rsUrl = dataUrl(LensGuestModules.shiftGuest("Age",
+      viaRelaxedSimd = true))
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L), ("Zed", 0L),
+      ("Big", (1L << 50))).toDF("Name", "Age").coalesce(1)
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val rs = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$rsUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    rs shouldBe mvp
+    rs should contain(("Big", (1L << 50) + 5L))
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$rsUrl","arguments":{"delta":5}}]}""")
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
+  }
+
   test("the module's inverse export drives `\"inverse\": true` stages") {
     val fwd = Pipeline.fromJson(
       s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")
