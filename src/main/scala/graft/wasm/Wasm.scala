@@ -275,14 +275,32 @@ object WasmBinary {
             FuncType(params, results)
           }
         case 2 => // import
-          imports = Vector.fill(r.u32()) {
+          val nImp = r.u32()
+          val impBuf = Vector.newBuilder[WasmImport]
+          var ii = 0
+          while (ii < nImp) {
             val mod = r.name(); val nm = r.name()
             r.u8() match {
-              case 0x00 => WasmImport(mod, nm, r.u32())
+              case 0x00 => impBuf += WasmImport(mod, nm, r.u32())
+              case 0x02 =>
+                // memory IMPORT — the shape a `-pthread` build emits
+                // (env.memory, shared). In a single-instance engine the
+                // instance owns a fresh memory with the imported limits:
+                // no second agent exists to share with, so this is the
+                // exact single-agent semantics. Only FUNCTION imports
+                // join the func index space.
+                val flags = r.u8()
+                if (flags > 3) throw new WasmDecodeError(
+                  s"bad memory limits flags $flags")
+                memMin = r.u32()
+                memMax = if ((flags & 1) != 0) Some(r.u32()) else None
               case k => throw new WasmDecodeError(
-                s"unsupported import kind $k for $mod.$nm (only functions)")
+                s"unsupported import kind $k for $mod.$nm " +
+                  "(functions and memory)")
             }
+            ii += 1
           }
+          imports = impBuf.result()
         case 3 => // function
           funcTypeIdxs = Vector.fill(r.u32())(r.u32())
         case 4 => // table (reference-types: any count, funcref/externref)

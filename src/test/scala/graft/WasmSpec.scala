@@ -408,6 +408,30 @@ class WasmSpec extends AnyFunSuite with Matchers {
     assert(e.getMessage.contains("unsupported opcode"))
   }
 
+  test("imported SHARED memory (the -pthread module shape) instantiates " +
+      "with the imported limits and runs atomics on it") {
+    val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
+    def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 128)
+      Array(id.toByte, payload.length.toByte) ++ payload
+    }
+    val bytes = header ++
+      sec(1, Array[Byte](0x01, 0x60, 0x00, 0x01, 0x7E)) ++ // () -> i64
+      sec(2, Array[Byte](0x01, // import env.memory shared 1..2 pages
+        0x03, 'e', 'n', 'v', 0x06, 'm', 'e', 'm', 'o', 'r', 'y',
+        0x02, 0x03, 0x01, 0x02)) ++
+      sec(3, Array[Byte](0x01, 0x00)) ++
+      sec(7, Array[Byte](0x01, 0x01, 'f', 0x00, 0x00)) ++
+      sec(10, Array[Byte](0x01, 0x08, 0x00, // one body, no locals
+        0x41, 0x00, // i32.const 0
+        0xFE.toByte, 0x11, 0x03, 0x00, // i64.atomic.load align 3 off 0
+        0x0B))
+    val m = WasmBinary.decode(bytes)
+    assert(m.memMinPages == 1 && m.memMaxPages.contains(2))
+    assert(m.imports.isEmpty, "memory import must not join the func space")
+    run1(m, "f") shouldBe 0L
+  }
+
   test("execution fuel: an infinite loop traps with the named " +
       "step-budget error, unbounded recursion traps as stack " +
       "exhaustion, and the budget resets per outermost invocation") {
