@@ -407,8 +407,9 @@ object WebQueries extends QueryProvider {
    *  crawl delay derived from the source name; every third host absent
    *  → RFC no-robots default). The oracle predicts canonical URL, host,
    *  verdict, matched rule, delay and sitemap count from the columns.
-   *  100 TB shape: see crawlDecide — broadcast host-dim join, per-row
-   *  decision, no shuffle. */
+   *  100 TB shape: see crawlDecide — batch-host semi-join slices the
+   *  robots dimension before any broadcast, per-row decision, the URL
+   *  side never shuffles. */
   private def crawlGateBatch(s: SparkSession, dir: String): DataFrame = {
     val urls = T(s, dir, "documents").select(col("doc_id"), col("source"),
       concat(
@@ -429,7 +430,10 @@ object WebQueries extends QueryProvider {
           (ascii(substring(col("source"), -1, 1)) % 5).cast("string"),
           lit("\nSitemap: https://x.test/map.xml\n")).as("robots"))
     graft.streaming.StreamingLens
-      .crawlDecide(urls, "url", "graftbot/1.0", robots)
+      // batch face: corpus-scale input — canon re-scans instead of
+      // materializing (see crawlDecide's checkpointCanon contract)
+      .crawlDecide(urls, "url", "graftbot/1.0", robots,
+        checkpointCanon = false)
       .select(col("doc_id"), col("canon_url"), col("host"), col("allowed"),
         col("matched_rule"), col("crawl_delay_ms"), col("n_sitemaps"))
   }

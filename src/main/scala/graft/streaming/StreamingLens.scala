@@ -416,13 +416,18 @@ object StreamingLens {
    *  into a LEFT-SEMI that slices the robots table down to the hosts
    *  this batch actually touches, and only that batch-bounded slice
    *  broadcasts into the admit join. The URL stream itself never
-   *  shuffles; the decision is a per-row scan. The canonicalized batch
-   *  feeds both the host probe and the admit join, so it is
-   *  localCheckpoint'd once (batch-bounded — the caller's corpus never
-   *  is; see CLAUDE.md's multiply-referenced-lineage rule). */
+   *  shuffles; the decision is a per-row scan. The canonicalized input
+   *  feeds both the host probe and the admit join;
+   *  `checkpointCanon = true` (what [[crawlGate]] passes — its input
+   *  is one micro-batch, bounded by construction) localCheckpoints it
+   *  once instead of re-running the canonicalize lineage twice.
+   *  CORPUS-scale batch callers must pass `false`: materializing a
+   *  100 TB URL table into executor block storage to save one extra
+   *  scan is the wrong trade, and per CLAUDE.md's rule corpus-scale
+   *  inputs are the CALLER's to materialize. */
   def crawlDecide(batch: DataFrame, urlCol: String, agent: String,
-      robots: DataFrame): DataFrame = {
-    val canon = batch
+      robots: DataFrame, checkpointCanon: Boolean = true): DataFrame = {
+    val canon0 = batch
       .withColumn("canon_url",
         org.apache.spark.sql.graft.Url.canonicalize(col(urlCol)))
       .withColumn("host", regexp_extract(col("canon_url"), CrawlHostRe, 1))
@@ -430,7 +435,7 @@ object StreamingLens {
         val p = regexp_extract(col("canon_url"), CrawlPathRe, 1)
         when(p === "", "/").otherwise(p)
       })
-      .localCheckpoint() // referenced twice: host probe + admit join
+    val canon = if (checkpointCanon) canon0.localCheckpoint() else canon0
     val batchHosts = canon.select(col("host")).distinct()
     val slice = robots.select(col("host"), col("robots").as("__robots"))
       .join(broadcast(batchHosts), Seq("host"), "left_semi")

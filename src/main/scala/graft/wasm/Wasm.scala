@@ -292,7 +292,7 @@ object WasmBinary {
                 val flags = r.u8()
                 if (flags > 3) throw new WasmDecodeError(
                   s"bad memory limits flags $flags")
-                memMin = r.u32()
+                memMin = checkedMemPages(r.u32())
                 memMax = if ((flags & 1) != 0) Some(r.u32()) else None
               case k => throw new WasmDecodeError(
                 s"unsupported import kind $k for $mod.$nm " +
@@ -310,7 +310,15 @@ object WasmBinary {
               throw new WasmDecodeError(f"bad table element type 0x$et%02X")
             val flags = r.u8()
             val min = r.u32()
+            // attacker-controlled size feeds Array.fill at instantiation:
+            // reject implausible (or LEB-wrapped-negative) mins by NAME
+            if (min < 0 || min > (1 << 22)) throw new WasmDecodeError(
+              s"table min $min exceeds this engine's 2^22-slot cap")
             val max = if ((flags & 1) != 0) Some(r.u32()) else None
+            max.foreach { m =>
+              if (m < 0 || m < min) throw new WasmDecodeError(
+                s"bad table limits: max $m < min $min")
+            }
             TableType(et.toByte, min, max)
           }
         case 5 => // memory
@@ -323,7 +331,7 @@ object WasmBinary {
             // flags bit 1 = SHARED (threads tier): accepted and treated
             // as a plain memory — single-agent execution makes the
             // distinction unobservable in this engine
-            memMin = r.u32()
+            memMin = checkedMemPages(r.u32())
             memMax = if ((flags & 1) != 0) Some(r.u32()) else None
           }
         case 6 => // global
@@ -429,6 +437,18 @@ object WasmBinary {
 
   /** Decode an instruction sequence up to (and consuming) `end` (0x0B).
    *  Returns the instructions; `else` handled inside `if`. */
+  /** Static memory min-pages bound: `min * 64Ki` feeds one JVM byte
+   *  array at instantiation, so an attacker-controlled min must not
+   *  overflow Int (32768 pages = 2 GiB does) or allocate executor-
+   *  killing sizes. 16384 pages = 1 GiB — far above any real guest;
+   *  larger declared mins fail by NAME at decode. Growth past the
+   *  static min stays governed by memory.grow's own cap. */
+  private def checkedMemPages(min: Int): Int = {
+    if (min < 0 || min > 16384) throw new WasmDecodeError(
+      s"memory min $min pages exceeds this engine's 16384-page (1 GiB) cap")
+    min
+  }
+
   /** Max valid lane immediate per simd128 lane-indexed subopcode:
    *  extract/replace 21–34 (i8x16/i16x8/i32x4/i64x2/f32x4/f64x2) and
    *  load/store-lane 84–91 (8/16/32/64-bit lanes). */

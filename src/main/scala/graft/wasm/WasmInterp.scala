@@ -113,11 +113,17 @@ object WasmInterp {
         else Vector.empty[TableType]
       val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
       declared.zipWithIndex.foreach { case (tt, ti) =>
-        val extent = (tt.min +: module.elems.collect {
+        // Long arithmetic + a named cap: offsets/sizes are attacker
+        // bytes, and `offset + size` must neither overflow Int nor
+        // size an executor-killing allocation (decode already caps
+        // declared mins; the segment-stretched extent needs the same)
+        val extent = (tt.min.toLong +: module.elems.collect {
           case e if e.mode == 0 && e.tableIdx == ti =>
-            e.offset + e.funcIdxs.size
+            e.offset.toLong + e.funcIdxs.size
         }).max
-        buf += Array.fill(extent)(-1L)
+        if (extent < 0 || extent > (1L << 22)) throw new WasmTrap(
+          s"table $ti extent $extent exceeds this engine's 2^22-slot cap")
+        buf += Array.fill(extent.toInt)(-1L)
       }
       buf
     }
@@ -131,7 +137,7 @@ object WasmInterp {
           if (e.tableIdx >= tables.size) throw new WasmTrap(
             s"elem segment targets missing table ${e.tableIdx}")
           val t = tables(e.tableIdx)
-          if (e.offset < 0 || e.offset + e.funcIdxs.size > t.length)
+          if (e.offset < 0 || e.offset.toLong + e.funcIdxs.size > t.length)
             throw new WasmTrap("elem segment out of bounds")
           var i = 0
           while (i < e.funcIdxs.size) {
@@ -373,10 +379,13 @@ object WasmInterp {
             val init = stack.pop()
             val t = tableAt(ti)
             val old = t.length
-            // soft cap when the module declares no max, so a corrupt
-            // grow can't OOM an executor (2^22 slots = 32 MB)
-            val cap = (if (ti < module.tables.size) module.tables(ti).max
-              else None).getOrElse(1 << 22)
+            // hard 2^22-slot engine cap (32 MB of Longs): a declared max
+            // is ATTACKER bytes too, so it can only tighten the cap,
+            // never widen it — growth past either fails softly with -1,
+            // which the spec licenses for any grow
+            val declaredMax = (if (ti < module.tables.size)
+              module.tables(ti).max else None).getOrElse(1 << 22)
+            val cap = math.min(declaredMax, 1 << 22)
             if (n < 0 || old.toLong + n > cap) stack.push(-1L)
             else {
               val nt = java.util.Arrays.copyOf(t, old + n)
@@ -431,7 +440,10 @@ object WasmInterp {
             val delta = stack.pop().toInt
             val oldPages = memory.length / PageSize
             val newPages = oldPages.toLong + delta
-            val maxPages = module.memMaxPages.getOrElse(65536)
+            // engine cap 16384 pages (1 GiB): 32768+ pages would
+            // overflow the Int byte-array size below, and a declared
+            // max is attacker bytes — it only tightens, never widens
+            val maxPages = math.min(module.memMaxPages.getOrElse(16384), 16384)
             if (delta < 0 || newPages > maxPages) stack.push(-1L)
             else {
               memory = java.util.Arrays.copyOf(memory, (newPages * PageSize).toInt)

@@ -150,7 +150,6 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("pipeline_crawl_gate")
     assert(p.contains("LeftSemi"),
       "robots slice lost its batch-host semi-join — full-dimension broadcast")
-    val semiIdx = p.indexOf("LeftSemi")
     val leftJoinIdx = p.indexOf("BroadcastHashJoin", 0)
     assert(leftJoinIdx >= 0, "admit join must stay a broadcast hash join")
     assert(p.indexOf("LeftSemi", leftJoinIdx) >= 0,

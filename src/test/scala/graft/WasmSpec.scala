@@ -406,6 +406,16 @@ class WasmSpec extends AnyFunSuite with Matchers {
     val e = intercept[WasmDecodeError](
       WasmBinary.decode(withBody(Array[Byte](0xF5.toByte, 0x0B))))
     assert(e.getMessage.contains("unsupported opcode"))
+    // attacker-sized limits fail by NAME at decode, before any
+    // allocation: table min past 2^22 slots, memory min past 1 GiB
+    val eTab = intercept[WasmDecodeError](WasmBinary.decode(header ++
+      sec(4, Array[Byte](0x01, 0x70, 0x00,
+        0x80.toByte, 0x80.toByte, 0x80.toByte, 0x04)))) // min = 2^23
+    assert(eTab.getMessage.contains("2^22-slot cap"), eTab.getMessage)
+    val eMem = intercept[WasmDecodeError](WasmBinary.decode(header ++
+      sec(5, Array[Byte](0x01, 0x00,
+        0xC0.toByte, 0xB8.toByte, 0x02)))) // min = 40000 pages
+    assert(eMem.getMessage.contains("16384-page"), eMem.getMessage)
   }
 
   test("imported SHARED memory (the -pthread module shape) instantiates " +
