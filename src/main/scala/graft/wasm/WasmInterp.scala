@@ -191,6 +191,16 @@ object WasmInterp {
         // stack has already unwound (wasmtime's stack-exhaustion trap)
         case _: StackOverflowError if activeDepth == 1 =>
           throw new WasmTrap("call stack exhausted — runaway guest recursion")
+        // no validator runs before execution (the lens host executes
+        // whatever decodes), so a type-discipline violation in a
+        // corrupt module surfaces as a raw index error somewhere in
+        // the evaluator — rename it ONCE, at the outermost frame, so
+        // hostile bytes always fail with the engine's named trap (the
+        // execution-side fuzz contract); the original message rides
+        // along for diagnosis
+        case e: IndexOutOfBoundsException if activeDepth == 1 =>
+          throw new WasmTrap(s"malformed module execution: index " +
+            s"violation (${String.valueOf(e.getMessage)})")
       } finally activeDepth -= 1
     }
 

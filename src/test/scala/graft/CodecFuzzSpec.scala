@@ -236,4 +236,32 @@ class CodecFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("WasmInterp: mutated modules that DECODE also EXECUTE with named " +
+      "outcomes only — fuel bounds runaway loops, the outermost frame " +
+      "renames raw index violations (no validator runs before execution)") {
+    val rnd = new scala.util.Random(0xF0228)
+    val valid = graft.wasm.LensGuestModules.shiftGuest("n")
+    val next = Map(("lens", "next") ->
+      ((_: Vector[Long]) => Vector(0L)))
+    var executed = 0
+    for (t <- 0 until Trials) {
+      val p = mutate(valid, rnd, 1 + rnd.nextInt(6))
+      try {
+        val m = graft.wasm.WasmBinary.decode(p)
+        val inst = new graft.wasm.WasmInterp.Instance(m, next,
+          stepBudget = 50000)
+        if (inst.hasExport("transform")) { inst.invoke("transform"); () }
+        executed += 1
+      } catch {
+        case _: graft.wasm.WasmDecodeError => ()
+        case _: graft.wasm.WasmTrap => executed += 1
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"wasm-exec seed $t: un-named ${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    assert(executed > 0, "fixture drifted: no mutant reached execution")
+  }
 }
