@@ -53,6 +53,14 @@ class WasmSpec extends AnyFunSuite with Matchers {
       Gen.choose(0, 3).map(ElemDrop.apply),
       Gen.oneOf(ValType.I32, ValType.Funcref, ValType.Externref)
         .map(vt => SelectT(Vector(vt))),
+      // atomics (threads tier): every subopcode family + fence
+      for {
+        sub <- Gen.oneOf(Gen.choose(0, 2), Gen.choose(0x10, 0x4E))
+        a <- Gen.choose(0, 3); o <- Gen.choose(0, 1 << 20)
+      } yield AtomicOp(sub, a, o),
+      Gen.const(AtomicFence: Instr),
+      // relaxed-simd subopcodes ride SimdOp's >255 LEB encoding
+      Gen.choose(0x100, 0x113).map(SimdOp.apply),
       for { op <- Gen.choose(0x28, 0x35); a <- Gen.choose(0, 3);
             o <- Gen.choose(0, 1 << 20) } yield MemLoad(op, a, o),
       for { op <- Gen.choose(0x36, 0x3E); a <- Gen.choose(0, 3);
