@@ -431,9 +431,12 @@ object WebQueries extends QueryProvider {
           lit("\nSitemap: https://x.test/map.xml\n")).as("robots"))
     graft.streaming.StreamingLens
       // batch face: corpus-scale input — canon re-scans instead of
-      // materializing (see crawlDecide's checkpointCanon contract)
+      // materializing, and NO forced broadcast hints (the batch's
+      // distinct hosts are the host universe, so the robots slice is
+      // full-dimension-sized; AQE decides from measured sizes — see
+      // crawlDecide's checkpointCanon/broadcastBounded contract)
       .crawlDecide(urls, "url", "graftbot/1.0", robots,
-        checkpointCanon = false)
+        checkpointCanon = false, broadcastBounded = false)
       .select(col("doc_id"), col("canon_url"), col("host"), col("allowed"),
         col("matched_rule"), col("crawl_delay_ms"), col("n_sitemaps"))
   }

@@ -412,21 +412,33 @@ object StreamingLens {
    *  The robots table is per-HOST but NOT broadcastable in absolute
    *  terms (~10⁷–10⁸ hosts × ~1 KB robots text at Common Crawl scale ≈
    *  tens of GB), so the full dimension is never hinted: the batch's
-   *  distinct hosts (micro-batch-bounded, slim single column) broadcast
-   *  into a LEFT-SEMI that slices the robots table down to the hosts
-   *  this batch actually touches, and only that batch-bounded slice
-   *  broadcasts into the admit join. The URL stream itself never
-   *  shuffles; the decision is a per-row scan. The canonicalized input
-   *  feeds both the host probe and the admit join;
+   *  distinct hosts (slim single column) feed a LEFT-SEMI that slices
+   *  the robots table down to the hosts this batch actually touches,
+   *  and only that batch-bounded slice joins into the admit join. The
+   *  canonicalized input feeds both the host probe and the admit join;
    *  `checkpointCanon = true` (what [[crawlGate]] passes — its input
    *  is one micro-batch, bounded by construction) localCheckpoints it
    *  once instead of re-running the canonicalize lineage twice.
    *  CORPUS-scale batch callers must pass `false`: materializing a
    *  100 TB URL table into executor block storage to save one extra
    *  scan is the wrong trade, and per CLAUDE.md's rule corpus-scale
-   *  inputs are the CALLER's to materialize. */
+   *  inputs are the CALLER's to materialize.
+   *
+   *  `broadcastBounded` gates the two explicit `broadcast()` hints on
+   *  the host probe and the robots slice. `true` (what [[crawlGate]]
+   *  passes) is honest ONLY when the input is bounded by construction —
+   *  a micro-batch's distinct hosts are a few thousand rows, so forcing
+   *  the broadcast skips a shuffle of the slice AND keeps the URL side
+   *  un-shuffled regardless of what the stats estimator guesses about a
+   *  just-checkpointed frame. A corpus-scale batch caller must pass
+   *  `false`: its distinct hosts ARE the host universe, the slice ≈ the
+   *  full robots table, and an explicit hint would force a broadcast
+   *  AQE could no longer refuse — unhinted, Catalyst/AQE broadcast the
+   *  slice only when its measured size is genuinely under threshold and
+   *  otherwise fall back to a shuffle join on `host`. */
   def crawlDecide(batch: DataFrame, urlCol: String, agent: String,
-      robots: DataFrame, checkpointCanon: Boolean = true): DataFrame = {
+      robots: DataFrame, checkpointCanon: Boolean = true,
+      broadcastBounded: Boolean = true): DataFrame = {
     val canon0 = batch
       .withColumn("canon_url",
         org.apache.spark.sql.graft.Url.canonicalize(col(urlCol)))
@@ -436,11 +448,12 @@ object StreamingLens {
         when(p === "", "/").otherwise(p)
       })
     val canon = if (checkpointCanon) canon0.localCheckpoint() else canon0
+    def bounded(df: DataFrame) = if (broadcastBounded) broadcast(df) else df
     val batchHosts = canon.select(col("host")).distinct()
     val slice = robots.select(col("host"), col("robots").as("__robots"))
-      .join(broadcast(batchHosts), Seq("host"), "left_semi")
+      .join(bounded(batchHosts), Seq("host"), "left_semi")
     val joined = canon
-      .join(broadcast(slice), Seq("host"), "left")
+      .join(bounded(slice), Seq("host"), "left")
       .withColumn("__robots", coalesce(col("__robots"), lit("")))
       .withColumn("__agent", lit(agent))
     graft.operators.Robots

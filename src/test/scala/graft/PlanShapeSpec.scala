@@ -140,19 +140,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "host-rank reintroduced a global window")
   }
 
-  test("pipeline_crawl_gate: the full robots dimension is never broadcast") {
-    // r13 verdict's one weak row: crawlDecide broadcast the FULL per-host
-    // robots table (~1e8 rows × ~1 KB at Common Crawl scale). The fix
-    // slices robots by a LEFT-SEMI against the batch's distinct hosts
-    // before any broadcast, so every BroadcastExchange is batch-bounded:
-    // assert the semi-join survives and the admit join's build side sits
-    // ABOVE it (a direct broadcast of the robots scan has no LeftSemi).
-    val p = plan("pipeline_crawl_gate")
+  test("pipeline_crawl_gate: the batch face never FORCES a broadcast " +
+      "of the robots slice (corpus-scale hosts ≈ the full dimension)") {
+    // r13's weak row broadcast the FULL per-host robots table; r14 sliced
+    // it by a LEFT-SEMI on the batch's distinct hosts but force-hinted
+    // BOTH sides — bounded for a micro-batch, unrefusable for a corpus
+    // batch whose distinct hosts ARE the host universe. r15: the batch
+    // face passes broadcastBounded=false, so the ONLY broadcast decisions
+    // left are Catalyst/AQE's own size-based ones. Assert the semi-join
+    // slice survives and no broadcast HINT remains in the logical plan.
+    val df = SparkEntry.benchQueries("pipeline_crawl_gate")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"),
-      "robots slice lost its batch-host semi-join — full-dimension broadcast")
-    val leftJoinIdx = p.indexOf("BroadcastHashJoin", 0)
-    assert(leftJoinIdx >= 0, "admit join must stay a broadcast hash join")
-    assert(p.indexOf("LeftSemi", leftJoinIdx) >= 0,
+      "robots slice lost its batch-host semi-join — full-dimension join")
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("strategy=broadcast"),
+      "batch face still carries a forced broadcast hint AQE cannot refuse")
+  }
+
+  test("crawlDecide gate face: a bounded micro-batch still broadcasts " +
+      "the batch-host probe and the sliced robots build side") {
+    // The streaming gate passes broadcastBounded=true (micro-batches are
+    // bounded by construction): the URL side must never shuffle, so the
+    // admit join must be a BroadcastHashJoin whose build side passes
+    // through the host semi-join.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val urls = Seq(1, 2, 3).map(i => s"https://h$i.test/p$i").toDF("url")
+    val robots = Seq(("h1.test", "User-agent: *\nDisallow: /p\n"))
+      .toDF("host", "robots")
+    val p = graft.streaming.StreamingLens
+      .crawlDecide(urls, "url", "bot/1.0", robots)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "gate face shuffled the micro-batch URL side")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, "gate-face admit join must stay a broadcast hash join")
+    assert(p.indexOf("LeftSemi", joinIdx) >= 0,
       "admit join's build side no longer passes through the host semi-join")
   }
 
