@@ -28,13 +28,15 @@ object Robots {
 
   final case class RobotsFile(groups: Seq[Group], sitemaps: Seq[String])
 
-  /** Total [[parse]] invocations in this JVM — test-only observability
-   *  for the per-partition memo in [[decisions]] (asserting "parses ≪
-   *  rows" is robust where a wall-clock spec on a shared VM is not). */
+  /** Memo-MISS count in [[decisions]] — test-only observability for the
+   *  per-partition memo (asserting "parses ≪ rows" is robust where a
+   *  wall-clock spec on a shared VM is not). Incremented at the miss
+   *  site, not in [[parse]], so the parser itself carries no
+   *  instrumentation; only meaningful in single-JVM (local) execution —
+   *  on a cluster each executor counts its own misses. */
   private[graft] val parseCount = new java.util.concurrent.atomic.AtomicLong
 
   def parse(content: String): RobotsFile = {
-    parseCount.incrementAndGet()
     val groups = mutable.ArrayBuffer.empty[Group]
     val sitemaps = mutable.ArrayBuffer.empty[String]
     var agents = mutable.ArrayBuffer.empty[String]
@@ -212,7 +214,10 @@ object Robots {
         val f = {
           val cached = memo.get(txt)
           if (cached != null) cached
-          else { val p = parse(txt); memo.put(txt, p); p }
+          else {
+            parseCount.incrementAndGet() // memo-miss counter (test-only)
+            val p = parse(txt); memo.put(txt, p); p
+          }
         }
         val (ok, pat) = decide(f, r.getString(aIdx), r.getString(pIdx))
         val d = crawlDelay(f, r.getString(aIdx))

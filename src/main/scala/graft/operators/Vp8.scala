@@ -162,30 +162,78 @@ object Vp8 {
       185, 189, 193, 197, 201, 205, 209, 213, 217, 221, 225, 229, 234,
       239, 245, 249, 254, 259, 264, 269, 274, 279, 284)
 
-    /** PLACEHOLDER (named conformance seam — see [[Vp8]] Scaladoc):
-     *  default coefficient probabilities [plane][band][ctx][node].
-     *  Deterministic structured values shared by encoder and decoder;
-     *  replace with RFC 6386 §13.5 appendix data for third-party
-     *  streams. The shape and every use site are spec-exact. */
-    val DefaultCoeffProbs: Array[Array[Array[Array[Int]]]] =
+    /** The three RFC 6386 appendix probability tables, carried as ONE
+     *  swappable unit (the named conformance seam — see [[Vp8]]
+     *  Scaladoc): default coefficient probabilities §13.5
+     *  [plane][band][ctx][node], coefficient-probability update
+     *  probabilities §13.4 (same shape), and key-frame B-mode
+     *  probabilities §11.2 [above mode][left mode][node]. */
+    final case class CoeffTables(
+        defaultCoeffProbs: Array[Array[Array[Array[Int]]]],
+        coeffUpdateProbs: Array[Array[Array[Array[Int]]]],
+        kfBModeProbs: Array[Array[Array[Int]]])
+
+    /** PLACEHOLDER table set (named conformance seam): deterministic
+     *  structured values shared by encoder and decoder — every
+     *  implemented behavior round-trips and oracle-certifies under
+     *  them, but a third-party stream encoded under the real appendix
+     *  data desyncs at the first coefficient token until
+     *  [[loadCoeffTables]] swaps the data in. Values vary with every
+     *  index so a transposed lookup cannot silently round-trip; the
+     *  update-probability placeholder mirrors the appendix's
+     *  overwhelmingly-255 shape. */
+    val PlaceholderTables: CoeffTables = CoeffTables(
       Array.tabulate(4, 8, 3, 11) { (plane, band, ctx, node) =>
-        // all in [1, 254]; varies with every index so a transposed
-        // lookup cannot silently round-trip
         1 + ((160 + 13 * plane + 7 * band + 29 * ctx + 17 * node) % 254)
-      }
-
-    /** PLACEHOLDER (same seam): coefficient-probability UPDATE
-     *  probabilities [plane][band][ctx][node]; the RFC 6386 §13.4
-     *  appendix data is overwhelmingly 255-valued. */
-    val CoeffUpdateProbs: Array[Array[Array[Array[Int]]]] =
-      Array.fill(4, 8, 3, 11)(255)
-
-    /** PLACEHOLDER (same seam): key-frame B-mode probabilities
-     *  [above mode][left mode][node]. */
-    val KfBModeProbs: Array[Array[Array[Int]]] =
+      },
+      Array.fill(4, 8, 3, 11)(255),
       Array.tabulate(10, 10, 9) { (a, l, n) =>
         1 + ((120 + 11 * a + 23 * l + 31 * n) % 254)
+      })
+
+    @volatile private var activeTables: CoeffTables = PlaceholderTables
+
+    /** The live table set — every decode/encode use site reads through
+     *  here, so the conformance swap is ONE data load, zero code. */
+    def coeffTables: CoeffTables = activeTables
+
+    /** Swap in an alternative table set (e.g. the RFC 6386 appendix
+     *  data parsed from a resource file). Shape- and range-checked by
+     *  NAME so a transposed or truncated data file fails at load, not
+     *  as a silent desync. JVM-wide: on a cluster, call from a static
+     *  initializer (jar resource) so every executor loads the same
+     *  data before any task decodes. */
+    def loadCoeffTables(t: CoeffTables): Unit = {
+      def check4(a: Array[Array[Array[Array[Int]]]], what: String): Unit = {
+        require(a.length == 4 && a.forall(_.length == 8) &&
+          a.forall(_.forall(_.length == 3)) &&
+          a.forall(_.forall(_.forall(_.length == 11))),
+          s"$what must be [4][8][3][11]")
+        require(a.forall(_.forall(_.forall(_.forall(v => v >= 1 && v <= 255)))),
+          s"$what probabilities must be in [1, 255]")
       }
+      check4(t.defaultCoeffProbs, "defaultCoeffProbs")
+      check4(t.coeffUpdateProbs, "coeffUpdateProbs")
+      require(t.kfBModeProbs.length == 10 &&
+        t.kfBModeProbs.forall(_.length == 10) &&
+        t.kfBModeProbs.forall(_.forall(_.length == 9)),
+        "kfBModeProbs must be [10][10][9]")
+      require(t.kfBModeProbs.forall(_.forall(_.forall(v => v >= 1 && v <= 255))),
+        "kfBModeProbs probabilities must be in [1, 255]")
+      activeTables = t
+    }
+
+    /** Restore the placeholder set (test hygiene). */
+    def resetCoeffTables(): Unit = activeTables = PlaceholderTables
+
+    // Use-site names read through the live set (volatile read + field
+    // access — hot loops already hoist `val probs = DefaultCoeffProbs`).
+    def DefaultCoeffProbs: Array[Array[Array[Array[Int]]]] =
+      activeTables.defaultCoeffProbs
+    def CoeffUpdateProbs: Array[Array[Array[Array[Int]]]] =
+      activeTables.coeffUpdateProbs
+    def KfBModeProbs: Array[Array[Array[Int]]] =
+      activeTables.kfBModeProbs
   }
 
   import Vp8Tables._

@@ -252,6 +252,75 @@ object Warc {
     }(encoder)
   }
 
+  // ------------------------------------------------------- WET/WAT profiles
+
+  /** WET profile (Common Crawl extracted-text sidecars): one row per
+   *  `conversion` record — (kept input columns..., wet_seq, target_uri,
+   *  text). Real corpus users consume WET, not raw WARC: the conversion
+   *  record's payload IS the page text (no HTTP framing), so this is
+   *  the record walk + the profile's type filter and the text contract
+   *  made explicit. 100 TB shape: identical to [[records]] — the
+   *  archive blob never shuffles, slim text rows do. */
+  def wetText(df: org.apache.spark.sql.DataFrame,
+      payloadCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    records(df, payloadCol)
+      .where(col("warc_type") === "conversion")
+      .withColumnRenamed("warc_seq", "wet_seq")
+      .withColumnRenamed("body", "text")
+      .drop("http_status", "content_type")
+  }
+
+  /** WAT profile (Common Crawl metadata sidecars): one row per
+   *  `metadata` record — (kept input columns..., wat_seq, target_uri,
+   *  json). The payload is the Envelope JSON; callers pull fields with
+   *  `get_json_object` (bracket paths for the hyphenated Common Crawl
+   *  keys: `$$['Envelope']['WARC-Header-Metadata']...`), keeping the
+   *  JSON walk inside Catalyst instead of a custom parser. */
+  def watJson(df: org.apache.spark.sql.DataFrame,
+      payloadCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    records(df, payloadCol)
+      .where(col("warc_type") === "metadata")
+      .withColumnRenamed("warc_seq", "wat_seq")
+      .withColumnRenamed("body", "json")
+      .drop("http_status", "content_type")
+  }
+
+  /** Append a .warc.gz `payload` carrying a warcinfo leader plus ONE
+   *  record of `warcType` whose block is `bodyCol`'s bytes — the
+   *  WET (`conversion`, text/plain) and WAT (`metadata`,
+   *  application/json) sidecar layouts. Deterministic like
+   *  [[withWarcGzPayload]] so oracles replay the content. */
+  def withSidecarGzPayload(df: org.apache.spark.sql.DataFrame,
+      bodyCol: String, uriCol: String, warcType: String,
+      contentType: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val bodyIdx = inSchema.fieldIndex(bodyCol)
+    val uriIdx = inSchema.fieldIndex(uriCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val date = "2026-01-01T00:00:00Z"
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val uri = r.getString(uriIdx)
+        val body = r.getString(bodyIdx).getBytes(UTF_8)
+        val gz = encodeWarcGz(Seq(
+          (Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> date),
+            "software: graft\r\nformat: WARC File Format 1.0\r\n"
+              .getBytes(UTF_8)),
+          (Seq("WARC-Type" -> warcType, "WARC-Target-URI" -> uri,
+            "WARC-Date" -> date, "WARC-Refers-To" -> s"<urn:graft:$uri>",
+            "Content-Type" -> contentType),
+            body)))
+        Row.fromSeq(r.toSeq :+ gz)
+      }
+    }(encoder)
+  }
+
   /** An HTTP/1.1 200 response payload with a text/html body. */
   def httpResponse(body: Array[Byte],
       contentType: String = "text/html; charset=UTF-8"): Array[Byte] = {

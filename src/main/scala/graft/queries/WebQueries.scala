@@ -669,7 +669,213 @@ object WebQueries extends QueryProvider {
       |    AS next_eligible_ms
       |FROM latest LEFT JOIN last ON latest.host = last.host""".stripMargin
 
+  /** WET INGEST FLAGSHIP — the sidecar profile real corpus users
+   *  consume (Common Crawl WET = extracted-text `conversion` records,
+   *  no HTTP framing): a deterministic 3-line WET body per document
+   *  (collapsed text, an always-kept summary line, a 2-word byline the
+   *  C4 line rule drops) rides a real .warc.gz conversion record
+   *  through [[graft.operators.Warc.wetText]], then the SAME C4 line
+   *  rules + per-language accounting as `pipeline_crawl_corpus` — the
+   *  oracle replays every stage from document columns.
+   *  100 TB shape: per-row until the final slim groupBy; archive blobs
+   *  never shuffle. */
+  private def wetIngest(s: SparkSession, dir: String): DataFrame = {
+    val pages = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+      concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+      concat(
+        regexp_replace(trim(col("text")), " +", " "), lit("\n"),
+        lit("summary for doc "), col("doc_id"), lit(" in "), col("lang"),
+        lit(" language today\nby "), col("source")).as("wet"))
+    val texts = graft.operators.Warc.wetText(
+        graft.operators.Warc.withSidecarGzPayload(pages, "wet", "uri",
+          "conversion", "text/plain").drop("wet", "uri"),
+        "payload")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val cleaned = C4Clean.clean(texts, "text", "doc_id",
+        minLineWords = 3, minKeptLines = 2, requireTerminalPunct = false,
+        keep = Seq("lang"))
+      .select(col("lang"), col("c4_pass"),
+        when(col("c4_pass"),
+          size(split(translate(col("clean_text"), "\n", " "), " ")).cast("long"))
+          .otherwise(0L).as("tokens"))
+    cleaned.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("c4_pass"), 1L).otherwise(0L)).as("n_pass"),
+      sum(col("tokens")).as("corpus_tokens"))
+  }
+
+  private val wetIngestSql =
+    """WITH ext AS (
+      |  SELECT doc_id, lang,
+      |    regexp_replace(trim(text), ' +', ' ', 'g') || chr(10) ||
+      |    'summary for doc ' || CAST(doc_id AS VARCHAR) || ' in ' || lang ||
+      |    ' language today' || chr(10) || 'by ' || source AS text
+      |  FROM documents
+      |), ln AS (
+      |  SELECT doc_id, lang, text, string_split(text, chr(10)) AS lines FROM ext
+      |), k AS (
+      |  SELECT doc_id, lang, lines,
+      |    list_filter(lines, l -> len(string_split(trim(l), ' ')) >= 3
+      |      AND trim(l) <> '' AND NOT contains(lower(l), 'javascript')) AS kept,
+      |    (NOT contains(lower(text), 'lorem ipsum')
+      |      AND NOT contains(text, '{')) AS page_ok
+      |  FROM ln
+      |), c AS (
+      |  SELECT doc_id, lang,
+      |    (len(kept) >= 2 AND page_ok) AS c4_pass,
+      |    CASE WHEN len(kept) >= 2 AND page_ok THEN len(string_split(
+      |      replace(array_to_string(kept, chr(10)), chr(10), ' '), ' '))
+      |    ELSE 0 END AS tokens
+      |  FROM k
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN c4_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(sum(tokens) AS BIGINT) AS corpus_tokens
+      |FROM c GROUP BY lang""".stripMargin
+
+  /** WAT EXTRACT — the metadata sidecar profile (Common Crawl WAT =
+   *  Envelope JSON in `metadata` records): a deterministic envelope
+   *  (header URI, HTTP status, page title, a variable-length Links
+   *  array) rides a real .warc.gz metadata record through
+   *  [[graft.operators.Warc.watJson]]; field extraction stays inside
+   *  Catalyst (`get_json_object` bracket paths for the hyphenated
+   *  Common Crawl keys + `json_array_length`) — no custom JSON walker.
+   *  The oracle predicts every field from document columns. */
+  private def watExtract(s: SparkSession, dir: String): DataFrame = {
+    val rows = T(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+      concat(
+        lit("{\"Envelope\":{\"WARC-Header-Metadata\":{\"WARC-Type\":\"response\"," +
+          "\"WARC-Target-URI\":\"https://example.com/doc/"), col("doc_id"),
+        lit("\"},\"Payload-Metadata\":{\"HTTP-Response-Metadata\":{" +
+          "\"Response-Message\":{\"Status\":\""),
+        (lit(200) + pmod(col("doc_id"), lit(2)) * 104).cast("string"),
+        lit("\"},\"HTML-Metadata\":{\"Head\":{\"Title\":\"Doc "), col("doc_id"),
+        lit("\"},\"Links\":["),
+        array_join(transform(
+          sequence(lit(1), (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+          i => concat(lit("{\"url\":\"/l"), i, lit("\"}"))), ","),
+        lit("]}}}}}")).as("wat"))
+    graft.operators.Warc.watJson(
+        graft.operators.Warc.withSidecarGzPayload(rows, "wat", "uri",
+          "metadata", "application/json").drop("wat", "uri"),
+        "payload")
+      .select(col("doc_id"), col("target_uri"),
+        get_json_object(col("json"),
+          "$['Envelope']['WARC-Header-Metadata']['WARC-Target-URI']")
+          .as("wat_uri"),
+        get_json_object(col("json"),
+          "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['Response-Message']['Status']").cast("long").as("status"),
+        get_json_object(col("json"),
+          "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['HTML-Metadata']['Head']['Title']").as("title"),
+        json_array_length(get_json_object(col("json"),
+          "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['HTML-Metadata']['Links']")).cast("long").as("n_links"))
+  }
+
+  private val watExtractSql =
+    """SELECT doc_id,
+      |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS wat_uri,
+      |  CAST(200 + (doc_id % 2) * 104 AS BIGINT) AS status,
+      |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_links
+      |FROM documents""".stripMargin
+
+  /** FRONTIER ENFORCEMENT — the batch face of
+   *  [[graft.streaming.StreamingLens.frontierAdmit]], consuming the
+   *  `pipeline_crawl_frontier` ledger: candidates (one per document,
+   *  unique desired-fetch ts, every fifth on a FRESH host absent from
+   *  the ledger) join the per-host `next_eligible_ms` and each host
+   *  releases exactly its earliest eligible candidate; the oracle
+   *  replays the ledger CTEs plus the eligibility filter and the
+   *  min-ts winner pick. 100 TB shape: see frontierAdmit. */
+  private def frontierAdmit(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents").select(
+      concat(col("source"), lit(".example.com")).as("host"),
+      (col("doc_id") % 4).as("batch_id"),
+      col("doc_id"))
+    val audit = base.groupBy(col("host"), col("batch_id")).agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_admitted"))
+      .withColumn("crawl_delay_ms",
+        when((ascii(substring(col("host"), 1, 1)) + col("batch_id")) % 4
+            === 0, lit(-1L))
+          .otherwise(
+            ((ascii(substring(col("host"), 1, 1)) + col("batch_id")) % 5)
+              * lit(1000L)))
+    val fetches = base
+      .where(col("doc_id") % 3 === 0 &&
+        !col("host").endsWith("7.example.com"))
+      .select(col("host"), (col("doc_id") * 100L).as("fetch_ts_ms"))
+    val ledger = graft.streaming.StreamingLens
+      .frontierSchedule(audit, fetches)
+    val candidates = T(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("fresh-"), col("source"))).otherwise(col("source")),
+        lit(".example.com/doc/"), col("doc_id")).as("url"),
+      (col("doc_id") * 150L).as("ts_ms"))
+    graft.streaming.StreamingLens
+      .frontierAdmit(candidates, "url", "ts_ms", ledger)
+      .select(col("doc_id"), col("host"), col("ts_ms"),
+        col("next_eligible_ms").cast("long"), col("admitted"))
+  }
+
+  private val frontierAdmitSql =
+    """WITH base AS (
+      |  SELECT source || '.example.com' AS host,
+      |    doc_id % 4 AS batch_id, doc_id
+      |  FROM documents
+      |), audit AS (
+      |  SELECT host, batch_id,
+      |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_admitted,
+      |    CASE WHEN (ascii(substring(host, 1, 1)) + batch_id) % 4 = 0
+      |         THEN -1
+      |         ELSE ((ascii(substring(host, 1, 1)) + batch_id) % 5) * 1000
+      |    END AS crawl_delay_ms
+      |  FROM base GROUP BY host, batch_id
+      |), fetches AS (
+      |  SELECT host, doc_id * 100 AS fetch_ts_ms FROM base
+      |  WHERE doc_id % 3 = 0 AND host NOT LIKE '%7.example.com'
+      |), latest AS (
+      |  SELECT host, arg_max(crawl_delay_ms, batch_id) AS crawl_delay_ms
+      |  FROM audit GROUP BY host
+      |), last AS (
+      |  SELECT host, max(fetch_ts_ms) AS last_fetch_ms FROM fetches
+      |  GROUP BY host
+      |), ledger AS (
+      |  SELECT latest.host,
+      |    CASE WHEN last_fetch_ms IS NULL THEN 0
+      |         ELSE last_fetch_ms + greatest(latest.crawl_delay_ms, 0) END
+      |      AS next_eligible_ms
+      |  FROM latest LEFT JOIN last ON latest.host = last.host
+      |), cand AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'fresh-' || source
+      |         ELSE source END || '.example.com' AS host,
+      |    doc_id * 150 AS ts_ms
+      |  FROM documents
+      |), j AS (
+      |  SELECT c.doc_id, c.host, c.ts_ms,
+      |    coalesce(l.next_eligible_ms, -1) AS next_eligible_ms,
+      |    (c.ts_ms >= greatest(coalesce(l.next_eligible_ms, -1), 0))
+      |      AS eligible
+      |  FROM cand c LEFT JOIN ledger l ON c.host = l.host
+      |), w AS (
+      |  SELECT host, min(ts_ms) AS wts FROM j WHERE eligible GROUP BY host
+      |)
+      |SELECT j.doc_id, j.host, CAST(j.ts_ms AS BIGINT) AS ts_ms,
+      |  CAST(j.next_eligible_ms AS BIGINT) AS next_eligible_ms,
+      |  coalesce(j.eligible AND j.ts_ms = w.wts, false) AS admitted
+      |FROM j LEFT JOIN w ON j.host = w.host""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_wet_ingest" -> (wetIngest _),
+    "io_wat_extract" -> (watExtract _),
+    "pipeline_frontier_admit" -> (frontierAdmit _),
     "text_html_extract" -> (htmlExtract _),
     "pipeline_web_extract" -> (webExtract _),
     "io_warc_extract" -> (warcExtract _),
@@ -686,6 +892,9 @@ object WebQueries extends QueryProvider {
   )
 
   override def oracles: Map[String, String] = Map(
+    "pipeline_wet_ingest" -> wetIngestSql,
+    "io_wat_extract" -> watExtractSql,
+    "pipeline_frontier_admit" -> frontierAdmitSql,
     "text_html_extract" -> htmlExtractSql,
     "pipeline_web_extract" -> webExtractSql,
     "io_warc_extract" -> warcExtractSql,

@@ -548,6 +548,86 @@ object StreamingLens {
             greatest(col("crawl_delay_ms"), lit(0L))))
   }
 
+  /** Frontier ENFORCEMENT — the consumer of [[frontierSchedule]]'s
+   *  ledger, closing the politeness loop operationally: candidate URLs
+   *  (already robots-admitted by [[crawlGate]]) carry a desired fetch
+   *  time `tsMsCol`; each host releases AT MOST ONE candidate per batch
+   *  — the earliest (smallest ts, doc-key tiebreak via urlCol) whose
+   *  time has reached the host's `next_eligible_ms` — and everything
+   *  else defers. Output = input columns + `host` +
+   *  `next_eligible_ms` (-1 for a host absent from the ledger = no
+   *  politeness debt) + `admitted`.
+   *
+   *  100 TB shape: one host-keyed join against the ledger (both sides
+   *  host-dimension-bounded or stream-batch-bounded; no broadcast hint
+   *  — AQE decides, same contract as [[crawlDecide]]'s batch face) and
+   *  one host-keyed min_by aggregate over the ELIGIBLE slice only (the
+   *  per-batch candidate set), rejoined by (host, url). The URL stream
+   *  shuffles once on host — unavoidable: one-fetch-per-host is a
+   *  per-host decision. */
+  def frontierAdmit(candidates: DataFrame, urlCol: String, tsMsCol: String,
+      ledger: DataFrame): DataFrame = {
+    val hosted = candidates
+      .withColumn("host", regexp_extract(col(urlCol), CrawlHostRe, 1))
+    val joined = hosted.join(
+        ledger.select(col("host"), col("next_eligible_ms").as("__next")),
+        Seq("host"), "left")
+      .withColumn("next_eligible_ms", coalesce(col("__next"), lit(-1L)))
+      .drop("__next")
+      .withColumn("__eligible",
+        col(tsMsCol) >= greatest(col("next_eligible_ms"), lit(0L)))
+    // earliest eligible candidate per host wins the batch's fetch slot;
+    // ties break on the url so replays stay deterministic
+    val winners = joined.where(col("__eligible"))
+      .groupBy(col("host"))
+      .agg(expr(s"min_by(struct($tsMsCol, $urlCol), " +
+        s"struct($tsMsCol, $urlCol))").as("__w"))
+      .select(col("host"), col("__w").getField(tsMsCol).as("__wts"),
+        col("__w").getField(urlCol).as("__wurl"))
+    joined.join(winners, Seq("host"), "left")
+      .withColumn("admitted",
+        col("__eligible") && col("__wurl").isNotNull &&
+          col(urlCol) === col("__wurl") && col(tsMsCol) === col("__wts"))
+      .drop("__eligible", "__wts", "__wurl")
+  }
+
+  /**
+   * Streaming frontier gate — [[frontierAdmit]] run per micro-batch
+   * against the persistent ledger at `ledgerDir` (written by a
+   * [[frontierSchedule]] maintenance job): admitted candidates append
+   * to `admitDir` AND to the fetch log at `fetchLogDir`
+   * (`host, fetch_ts_ms`) — the completion feedback frontierSchedule
+   * folds into the next ledger — while deferred candidates append to
+   * `deferDir` for requeue. Ledger absent = everything eligible (a
+   * cold crawl has no politeness debt). Same replay caveat as every
+   * foreachBatch sink here: key writes by `batch_id` for idempotence.
+   *
+   * Use with `stream.writeStream.foreachBatch(frontierGate(...)).start()`.
+   */
+  def frontierGate(urlCol: String, tsMsCol: String, ledgerDir: String,
+      admitDir: String, deferDir: String, fetchLogDir: String)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val ledgerPath = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger =
+      if (fs.exists(ledgerPath)) spark.read.parquet(ledgerDir)
+      else {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("host", "next_eligible_ms")
+      }
+    // admit + defer + fetch-log consume it: cut the batch-bounded lineage
+    val decided = frontierAdmit(batch, urlCol, tsMsCol, ledger)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint()
+    val admitted = decided.where(col("admitted")).drop("admitted")
+    admitted.write.mode("append").parquet(admitDir)
+    admitted.select(col("host"), col(tsMsCol).as("fetch_ts_ms"))
+      .write.mode("append").parquet(fetchLogDir)
+    decided.where(!col("admitted")).drop("admitted")
+      .write.mode("append").parquet(deferDir)
+  }
+
   /**
    * Streaming ingest-volume monitor — the continuous face of
    * [[graft.operators.Anomaly.volumeSpikes]]: per micro-batch, fold the

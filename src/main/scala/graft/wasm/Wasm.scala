@@ -19,10 +19,13 @@ import java.io.ByteArrayOutputStream
  * truncations and ties-to-even rounding, structured control flow, calls
  * (direct, host imports, and call_indirect through funcref tables),
  * mutable globals, linear memory with grow + bulk copy/fill, data and
- * element segments, and the post-MVP sign-extension operators LLVM
- * emits by default. Not implemented (trap with a clear message if
- * encountered): SIMD, reference types, threads, multi-value blocks —
- * none appear in the reference's guest SDKs (sdk-rust/src/lib.rs,
+ * element segments, plus the post-MVP tiers LLVM output reaches:
+ * sign-extension, saturating truncation, bulk memory, multi-value,
+ * simd128, reference types, relaxed-simd (deterministic profile) and
+ * single-agent atomics. [[WasmValidate]] runs the spec's validation
+ * before execution. Not implemented, rejected by FEATURE name at
+ * decode: wasm-gc heap/composite types, multiple memories — neither
+ * appears in the reference's guest SDKs (sdk-rust/src/lib.rs,
  * sdk-assemblyscript).
  *
  * 100 TB shape: a module is a few KB of bytes broadcast with the closure;
@@ -181,7 +184,12 @@ final case class WasmModule(
   def export(name: String): Option[WasmExport] = exports.find(_.name == name)
 }
 
-final class WasmDecodeError(msg: String) extends RuntimeException(msg)
+class WasmDecodeError(msg: String) extends RuntimeException(msg)
+/** Validation rejection ([[WasmValidate]]) — a subclass of
+ *  [[WasmDecodeError]] so every module-load guard catches both: the
+ *  bytes decoded, but the module breaks the spec's type/index
+ *  discipline and must not execute. */
+final class WasmValidateError(msg: String) extends WasmDecodeError(msg)
 final class WasmTrap(msg: String) extends RuntimeException(msg)
 
 /** Binary-format decoder (WebAssembly spec §5). Stateless; pure function
@@ -256,6 +264,34 @@ object WasmBinary {
     var start = Option.empty[Int]
     var tables = Vector.empty[TableType]
     var elems = Vector.empty[ElemSeg]
+    // spec: at most one memory across the import and memory sections —
+    // without this, section 5 would silently overwrite imported limits
+    var seenMemory = false
+
+    def readMemLimits(r: Reader): Unit = {
+      if (seenMemory) throw new WasmDecodeError(
+        "duplicate memory: a module may declare or import at most one")
+      seenMemory = true
+      val flags = r.u8()
+      if (flags > 3) throw new WasmDecodeError(
+        s"bad memory limits flags $flags")
+      // threads spec: a SHARED memory (flags bit 1) must declare a max
+      if (flags == 2) throw new WasmDecodeError(
+        "shared memory without a declared max (threads spec requires one)")
+      memMin = checkedMemPages(r.u32())
+      memMax = if ((flags & 1) != 0) Some(r.u32()) else None
+      memMax.foreach { mx =>
+        if (mx < memMin) throw new WasmDecodeError(
+          s"bad memory limits: max $mx < min $memMin")
+        // reject above-cap declared maxima at DECODE by name: silently
+        // clamping at memory.grow would diverge from wasmtime/wazero
+        // (a guest probing the grow result would see -1 where the
+        // reference runtimes succeed) without any signal
+        if (mx > 16384) throw new WasmDecodeError(
+          s"memory max $mx pages exceeds this engine's 16384-page " +
+            "(1 GiB) cap")
+      }
+    }
 
     while (r.hasMore) {
       val id = r.u8()
@@ -269,6 +305,22 @@ object WasmBinary {
         case 1 => // type
           types = Vector.fill(r.u32()) {
             val tag = r.u8()
+            // wasm-gc composite/recursive type forms reject by FEATURE
+            // name (decode-and-reject tier: precise surface, no
+            // execution) — LLVM's wasm-gc output starts with these tags
+            tag match {
+              case 0x4E => throw new WasmDecodeError(
+                "wasm-gc recursive type group (rec, 0x4E) not supported " +
+                  "by this engine")
+              case 0x4F | 0x50 => throw new WasmDecodeError(
+                f"wasm-gc subtype (sub${if (tag == 0x4F) " final" else ""}, " +
+                  f"0x$tag%02X) not supported by this engine")
+              case 0x5E => throw new WasmDecodeError(
+                "wasm-gc array type (0x5E) not supported by this engine")
+              case 0x5F => throw new WasmDecodeError(
+                "wasm-gc struct type (0x5F) not supported by this engine")
+              case _ => ()
+            }
             if (tag != 0x60) throw new WasmDecodeError(s"bad functype tag $tag")
             val params = Vector.fill(r.u32())(checkedValtype(r))
             val results = Vector.fill(r.u32())(checkedValtype(r))
@@ -289,11 +341,7 @@ object WasmBinary {
                 // no second agent exists to share with, so this is the
                 // exact single-agent semantics. Only FUNCTION imports
                 // join the func index space.
-                val flags = r.u8()
-                if (flags > 3) throw new WasmDecodeError(
-                  s"bad memory limits flags $flags")
-                memMin = checkedMemPages(r.u32())
-                memMax = if ((flags & 1) != 0) Some(r.u32()) else None
+                readMemLimits(r)
               case k => throw new WasmDecodeError(
                 s"unsupported import kind $k for $mod.$nm " +
                   "(functions and memory)")
@@ -318,22 +366,21 @@ object WasmBinary {
             max.foreach { m =>
               if (m < 0 || m < min) throw new WasmDecodeError(
                 s"bad table limits: max $m < min $min")
+              // reject above-cap declared maxima at DECODE by name —
+              // same contract as the memory cap: no silent table.grow
+              // divergence from the reference runtimes
+              if (m > (1 << 22)) throw new WasmDecodeError(
+                s"table max $m exceeds this engine's 2^22-slot cap")
             }
             TableType(et.toByte, min, max)
           }
         case 5 => // memory
           val n = r.u32()
           if (n > 1) throw new WasmDecodeError("multiple memories unsupported")
-          if (n == 1) {
-            val flags = r.u8()
-            if (flags > 3) throw new WasmDecodeError(
-              s"bad memory limits flags $flags")
-            // flags bit 1 = SHARED (threads tier): accepted and treated
-            // as a plain memory — single-agent execution makes the
-            // distinction unobservable in this engine
-            memMin = checkedMemPages(r.u32())
-            memMax = if ((flags & 1) != 0) Some(r.u32()) else None
-          }
+          // flags bit 1 = SHARED (threads tier): accepted (with the
+          // spec-required max) and treated as a plain memory —
+          // single-agent execution makes the distinction unobservable
+          if (n == 1) readMemLimits(r)
         case 6 => // global
           globals = Vector.fill(r.u32()) {
             val vt = r.u8().toByte
@@ -431,8 +478,29 @@ object WasmBinary {
   private def checkedValtype(r: Reader): Byte = (r.u8() & 0xFF) match {
     case vt if vt >= 0x7B && vt <= 0x7F => vt.toByte // i32 i64 f32 f64 v128
     case vt if vt == 0x70 || vt == 0x6F => vt.toByte // funcref, externref
+    case vt if vt == 0x63 || vt == 0x64 => throw new WasmDecodeError(
+      f"wasm-gc typed reference (ref${if (vt == 0x63) " null" else ""} ht, " +
+        f"0x$vt%02X) not supported by this engine")
+    case vt if gcHeapTypeName(vt) != null => throw new WasmDecodeError(
+      f"wasm-gc heap type ${gcHeapTypeName(vt)} (0x$vt%02X) not supported " +
+        "by this engine")
     case other => throw new WasmDecodeError(
       f"bad value type 0x$other%02X")
+  }
+
+  /** wasm-gc abstract heap type names (GC spec §5.3.2 absheaptype) —
+   *  recognized so a GC-typed module rejects by FEATURE name rather
+   *  than a generic bad-byte error; null for non-GC bytes. */
+  private def gcHeapTypeName(b: Int): String = b match {
+    case 0x6A => "array"
+    case 0x6B => "struct"
+    case 0x6C => "i31"
+    case 0x6D => "eq"
+    case 0x6E => "any"
+    case 0x71 => "none"
+    case 0x72 => "noextern"
+    case 0x73 => "nofunc"
+    case _ => null
   }
 
   /** Decode an instruction sequence up to (and consuming) `end` (0x0B).
@@ -609,11 +677,19 @@ object WasmBinary {
           }
         case 0xD0 =>
           val ht = r.u8()
-          if (ht != 0x70 && ht != 0x6F)
+          if (ht != 0x70 && ht != 0x6F) {
+            val gc = gcHeapTypeName(ht)
+            if (gc != null) throw new WasmDecodeError(
+              f"ref.null: wasm-gc heap type $gc (0x$ht%02X) not supported " +
+                "by this engine")
             throw new WasmDecodeError(f"ref.null: bad heap type 0x$ht%02X")
+          }
           out += RefNull(ht)
         case 0xD1 => out += RefIsNull
         case 0xD2 => out += RefFunc(r.u32())
+        case 0xFB => throw new WasmDecodeError(
+          f"wasm-gc instruction prefix 0xFB (subopcode ${r.u32()}) not " +
+            "supported by this engine")
         case 0x25 => out += TableGet(r.u32())
         case 0x26 => out += TableSet(r.u32())
         case other => throw new WasmDecodeError(

@@ -47,6 +47,13 @@ object WasmInterp {
       imports: Map[(String, String), Vector[Long] => Vector[Long]],
       stepBudget: Long = 1L << 26) {
 
+    // Validate BEFORE any allocation or execution (spec §3; the
+    // reference's embedded runtimes validate at instantiation —
+    // host-go/runtimes/wasmtime/runtime.go:164-227): a type-broken
+    // module fails here by name, and the evaluator below may assume
+    // type discipline holds.
+    WasmValidate.validate(module)
+
     private[wasm] var memory: Array[Byte] =
       new Array[Byte](module.memMinPages * PageSize)
 
@@ -188,19 +195,15 @@ object WasmInterp {
       catch {
         // unbounded recursion exhausts the JVM stack before fuel can —
         // convert to the named trap at the OUTERMOST frame, where the
-        // stack has already unwound (wasmtime's stack-exhaustion trap)
+        // stack has already unwound (wasmtime's stack-exhaustion trap).
+        // No rename for IndexOutOfBoundsException here: [[WasmValidate]]
+        // runs before execution, so an evaluator index error on a
+        // validated module is an ENGINE bug and must propagate raw —
+        // the execution fuzz's named-outcome contract is how such a
+        // regression fails loudly (r14's blanket rename would have
+        // masked it as guest malformation).
         case _: StackOverflowError if activeDepth == 1 =>
           throw new WasmTrap("call stack exhausted — runaway guest recursion")
-        // no validator runs before execution (the lens host executes
-        // whatever decodes), so a type-discipline violation in a
-        // corrupt module surfaces as a raw index error somewhere in
-        // the evaluator — rename it ONCE, at the outermost frame, so
-        // hostile bytes always fail with the engine's named trap (the
-        // execution-side fuzz contract); the original message rides
-        // along for diagnosis
-        case e: IndexOutOfBoundsException if activeDepth == 1 =>
-          throw new WasmTrap(s"malformed module execution: index " +
-            s"violation (${String.valueOf(e.getMessage)})")
       } finally activeDepth -= 1
     }
 

@@ -237,9 +237,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("WasmInterp: mutated modules that DECODE also EXECUTE with named " +
-      "outcomes only — fuel bounds runaway loops, the outermost frame " +
-      "renames raw index violations (no validator runs before execution)") {
+  test("WasmInterp: mutated modules that DECODE also load/EXECUTE with " +
+      "named outcomes only — WasmValidate rejects type-broken mutants at " +
+      "instantiation (a WasmValidateError IS a WasmDecodeError), fuel " +
+      "bounds runaway loops; a raw index error from a validated module " +
+      "now fails this contract as an ENGINE bug instead of being renamed") {
     val rnd = new scala.util.Random(0xF0228)
     val valid = graft.wasm.LensGuestModules.shiftGuest("n")
     val next = Map(("lens", "next") ->

@@ -1128,6 +1128,56 @@ class StreamingLensSpec extends AnyFunSuite {
       ("c.test", -1L, 1L, 1L, -1L, 0L)), s"frontier $got")
   }
 
+  test("frontier gate ENFORCES the ledger per batch: one fetch per host, " +
+      "ineligible candidates defer, the fetch log records admissions — " +
+      "and gate ≡ batch frontierAdmit on the replayed split log") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("frontiergate").toString
+    val (ldir, admit, defer, flog) =
+      (s"$root/ledger", s"$root/admit", s"$root/defer", s"$root/flog")
+    // ledger: a.test polite until 20000; b.test never fetched (0);
+    // c.test ABSENT (no politeness debt)
+    val ledger = Seq(("a.test", 20000L), ("b.test", 0L))
+      .toDF("host", "next_eligible_ms")
+    ledger.write.parquet(ldir)
+    val b1: Seq[(Long, String, Long)] = Seq(
+      (1L, "https://a.test/x", 15000L), // before a.test's window
+      (2L, "https://a.test/y", 25000L), // eligible, earliest -> wins
+      (3L, "https://a.test/z", 30000L), // eligible, loses the slot
+      (4L, "https://b.test/k", 5000L),
+      (5L, "https://c.test/w", 1000L))  // fresh host, admitted
+    val b2: Seq[(Long, String, Long)] = Seq(
+      (6L, "https://a.test/q", 40000L),
+      (7L, "https://b.test/m", 6000L))
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF.toDF("url_id", "url", "ts_ms").writeStream
+      .foreachBatch(StreamingLens.frontierGate("url", "ts_ms", ldir,
+        admit, defer, flog))
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(admit).select("url_id").as[Long]
+      .collect().toSet
+    assert(admitted == Set(2L, 4L, 5L, 6L, 7L), s"admitted $admitted")
+    val deferred = spark.read.parquet(defer).select("url_id").as[Long]
+      .collect().toSet
+    assert(deferred == Set(1L, 3L), s"deferred $deferred")
+    // the fetch log carries (host, admit ts) — frontierSchedule's input
+    val log = spark.read.parquet(flog).as[(String, Long)].collect().toSet
+    assert(log == Set(("a.test", 25000L), ("b.test", 5000L),
+      ("c.test", 1000L), ("a.test", 40000L), ("b.test", 6000L)), s"log $log")
+    // gate ≡ batch: frontierAdmit over each batch separately
+    val batchAdmitted = Seq(b1, b2).flatMap { b =>
+      StreamingLens.frontierAdmit(
+          b.toDF("url_id", "url", "ts_ms"), "url", "ts_ms", ledger)
+        .where(col("admitted")).select("url_id").as[Long].collect()
+    }.toSet
+    assert(batchAdmitted == admitted, s"batch $batchAdmitted != gate")
+  }
+
   test("ingest gate ≡ batch flagship composition on an id-ordered split log") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -131,6 +131,46 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("conformance table seam is drop-in: an alternative table set " +
+      "loads through loadCoeffTables, the decoder CONSUMES it (a fixture " +
+      "encoded under the placeholder set stops decoding), the encoder " +
+      "reads through the same seam, and reset restores the placeholder — " +
+      "the RFC 6386 appendix swap is one data load, zero code") {
+    import graft.operators.Vp8.Vp8Tables
+    val ey = Vp8.solidY(12, 0)
+    val frame = Vp8.encodeSolid(32, 32, 12, 20, 40, 0) // CAT3+ tokens: deep tree reads
+    assert(Vp8.decodeFrame(frame).y.forall(_ == ey))
+    val p = Vp8Tables.PlaceholderTables
+    val perturbed = Vp8Tables.CoeffTables(
+      p.defaultCoeffProbs.map(_.map(_.map(_.map(v => 256 - v)))),
+      p.coeffUpdateProbs, p.kfBModeProbs)
+    try {
+      Vp8Tables.loadCoeffTables(perturbed)
+      // the placeholder-encoded fixture must NOT survive the swap: a
+      // decoder that ignored the seam would still read ey everywhere
+      val diverged =
+        try !Vp8.decodeFrame(frame).y.forall(_ == ey)
+        catch { case _: Exception => true } // desync traps are fine too
+      assert(diverged, "decoder ignored the swapped table set")
+      // the seam is symmetric: a fixture encoded UNDER the swapped set
+      // round-trips under it
+      assert(Vp8.decodeFrame(Vp8.encodeSolid(32, 32, 12, 20, 40, 0))
+        .y.forall(_ == ey))
+    } finally Vp8Tables.resetCoeffTables()
+    // placeholder restored: the original fixture decodes again
+    assert(Vp8.decodeFrame(frame).y.forall(_ == ey))
+    // a transposed/truncated data file fails at LOAD, by name
+    val bad = intercept[IllegalArgumentException](Vp8Tables.loadCoeffTables(
+      Vp8Tables.CoeffTables(p.defaultCoeffProbs.take(3),
+        p.coeffUpdateProbs, p.kfBModeProbs)))
+    assert(bad.getMessage.contains("[4][8][3][11]"))
+    val badRange = intercept[IllegalArgumentException](
+      Vp8Tables.loadCoeffTables(Vp8Tables.CoeffTables(
+        p.defaultCoeffProbs.map(_.map(_.map(_.map(_ => 0)))),
+        p.coeffUpdateProbs, p.kfBModeProbs)))
+    assert(badRange.getMessage.contains("[1, 255]"))
+  }
+
   test("webp container round-trip routes the lossy chunk through Vp8") {
     val webp = Vp8.webpWrap(Vp8.encodeSolid(16, 16, 4, 0, 0, 0))
     val (w, h, ch, fmt, px) = graft.operators.Webp.decodeWebp(webp)

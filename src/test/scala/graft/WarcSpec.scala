@@ -99,4 +99,62 @@ class WarcSpec extends AnyFunSuite {
       info8._6.startsWith("software: graft"))
     assert(rows.filter(_._1 == 7L).map(_._2).sorted.toSeq == Seq(0, 1, 2))
   }
+
+  test("WET profile: conversion records surface the page text verbatim " +
+      "(no HTTP framing), warcinfo leader dropped, refers-to header kept") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val text = "Line one of doc nine.\nLine two — ünïcode & <brackets>.\nby x"
+    val pages = Seq((9L, text), (10L, "short"))
+      .toDF("doc_id", "text")
+      .withColumn("uri", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("https://x.test/"),
+        org.apache.spark.sql.functions.col("doc_id")))
+    val gz = Warc.withSidecarGzPayload(pages, "text", "uri",
+      "conversion", "text/plain").drop("text", "uri")
+    // container level: warcinfo + conversion, refers-to present
+    val raw = Warc.parseWarc(
+      gz.where($"doc_id" === 9L).select("payload").as[Array[Byte]].head())
+    assert(raw.map(_.warcType) == Seq("warcinfo", "conversion"))
+    assert(raw(1).header("WARC-Refers-To")
+      .contains("<urn:graft:https://x.test/9>"))
+    assert(raw(1).header("Content-Type").contains("text/plain"))
+    // profile level: one row per conversion record, text byte-exact
+    val rows = Warc.wetText(gz, "payload")
+      .select("doc_id", "wet_seq", "target_uri", "text")
+      .as[(Long, Int, String, String)].collect().sortBy(_._1)
+    assert(rows.length == 2, "warcinfo rows must not surface")
+    assert(rows(0) == ((9L, 1, "https://x.test/9", text)))
+    assert(rows(1)._4 == "short")
+  }
+
+  test("WAT profile: metadata records surface the envelope JSON for " +
+      "Catalyst-side field extraction (get_json_object bracket paths)") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val json = """{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":""" +
+      """"https://x.test/11"},"Payload-Metadata":{"HTTP-Response-Metadata":""" +
+      """{"Response-Message":{"Status":"200"},"HTML-Metadata":""" +
+      """{"Head":{"Title":"T11"},"Links":[{"url":"/a"},{"url":"/b"}]}}}}}"""
+    val rows = Seq((11L, json)).toDF("doc_id", "wat")
+      .withColumn("uri", lit("https://x.test/11"))
+    val got = Warc.watJson(
+        Warc.withSidecarGzPayload(rows, "wat", "uri",
+          "metadata", "application/json").drop("wat", "uri"),
+        "payload")
+      .select(col("doc_id"), col("target_uri"),
+        get_json_object(col("json"),
+          "$['Envelope']['WARC-Header-Metadata']['WARC-Target-URI']")
+          .as("wuri"),
+        get_json_object(col("json"),
+          "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['HTML-Metadata']['Head']['Title']").as("title"),
+        json_array_length(get_json_object(col("json"),
+          "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['HTML-Metadata']['Links']")).as("n_links"))
+      .as[(Long, String, String, String, Int)].head()
+    assert(got == ((11L, "https://x.test/11", "https://x.test/11",
+      "T11", 2)))
+  }
 }

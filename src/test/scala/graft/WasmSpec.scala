@@ -426,6 +426,130 @@ class WasmSpec extends AnyFunSuite with Matchers {
     assert(eMem.getMessage.contains("16384-page"), eMem.getMessage)
   }
 
+  test("validation (spec §3): type-broken modules reject by NAME at " +
+      "instantiation, before a single instruction executes") {
+    def reject(expect: String)(m: WasmModule): Unit = {
+      val e = intercept[WasmValidateError](
+        run1(WasmBinary.decode(WasmBinary.encode(m)), "f"))
+      assert(e.getMessage.contains(expect), e.getMessage)
+    }
+    // operand type mismatch: i32.add over i64 operands
+    reject("expected i32")(func(Vector(), Vector(ValType.I32), Vector(),
+      I64Const(1), I64Const(2), Num(0x6A)))
+    // declared result type not produced
+    reject("expected i64")(func(Vector(), Vector(ValType.I64), Vector(),
+      I32Const(1)))
+    // operand stack underflow
+    reject("underflow")(func(Vector(), Vector(ValType.I32), Vector(),
+      Num(0x6A)))
+    // extra operands left at block end
+    reject("extra operand")(func(Vector(), Vector(ValType.I32), Vector(),
+      I32Const(1), I32Const(2)))
+    // branch depth past the label stack
+    reject("branch depth")(func(Vector(), Vector(), Vector(), Br(5)))
+    // local / call / global index bounds
+    reject("local.get")(func(Vector(), Vector(ValType.I32), Vector(),
+      LocalGet(3)))
+    reject("call: function index")(func(Vector(), Vector(), Vector(),
+      Call(7)))
+    // global.set of an immutable global
+    val gm = func(Vector(), Vector(), Vector(), I32Const(1), GlobalSet(0))
+      .copy(globals = Vector(
+        WasmGlobal(ValType.I32, mutable = false, Vector(I32Const(0)))))
+    reject("immutable global")(gm)
+    // if with a result but no else
+    reject("if without else")(func(Vector(), Vector(ValType.I32), Vector(),
+      I32Const(1), If(ValType.I32, Vector(I32Const(2)), Vector.empty)))
+    // function/code section count mismatch (a classic fuzz shape)
+    reject("code section")(func(Vector(), Vector(), Vector(), Nop)
+      .copy(funcTypeIdxs = Vector(0, 0)))
+    // ...while unreachable POLYMORPHISM stays accepted: dead code may
+    // conjure any types (spec's bottom type), so these validate and
+    // trap only when executed
+    for (m <- Seq(
+      func(Vector(), Vector(ValType.I64), Vector(), Unreachable),
+      // i64.add in dead code conjures its operands from the bottom type
+      func(Vector(), Vector(ValType.I64), Vector(), Unreachable, Num(0x7C)))) {
+      val decoded = WasmBinary.decode(WasmBinary.encode(m))
+      intercept[WasmTrap](run1(decoded, "f")) // validates; traps when RUN
+    }
+    // ...but dead code is still TYPED: an i32.add after unreachable
+    // leaves an i32 where the i64 result belongs — invalid (spec
+    // appendix: pushes in dead code are concrete, only pops are bottom)
+    reject("expected i64")(func(Vector(), Vector(ValType.I64), Vector(),
+      Unreachable, Num(0x6A)))
+    // a br-terminated block validates and RUNS, yielding its value
+    run1(WasmBinary.decode(WasmBinary.encode(
+      func(Vector(), Vector(ValType.I32), Vector(),
+        Block(ValType.I32, Vector(I32Const(7), Br(0)))))),
+      "f") shouldBe 7L
+  }
+
+  test("wasm-gc forms reject by FEATURE name at decode " +
+      "(decode-and-reject tier: precise surface, no execution)") {
+    val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
+    def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 128)
+      Array(id.toByte, payload.length.toByte) ++ payload
+    }
+    def gcNamed(bytes: Array[Byte], expect: String): Unit = {
+      val e = intercept[WasmDecodeError](WasmBinary.decode(bytes))
+      assert(e.getMessage.contains("wasm-gc") &&
+        e.getMessage.contains(expect), e.getMessage)
+    }
+    // struct / array composite types in the type section
+    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x5F, 0x00)), "struct")
+    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x5E, 0x78, 0x00)), "array")
+    // recursion group and subtype forms
+    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x4E, 0x00)), "recursive")
+    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x50, 0x00, 0x5F, 0x00)),
+      "subtype")
+    // GC value types inside a functype: (ref null ht) and abs heap types
+    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x63, 0x6E, 0x00)),
+      "typed reference")
+    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x6E, 0x00)),
+      "any")
+    // the 0xFB instruction prefix (struct.new etc.)
+    val voidType = sec(1, Array[Byte](0x01, 0x60, 0x00, 0x00))
+    val oneFunc = sec(3, Array[Byte](0x01, 0x00))
+    val body = Array[Byte](0x01, 0x04, 0x00, 0xFB.toByte, 0x00, 0x0B)
+    gcNamed(header ++ voidType ++ oneFunc ++ sec(10, body), "0xFB")
+    // ref.null with a GC heap type names the feature, not a bad byte
+    val rn = Array[Byte](0x01, 0x04, 0x00, 0xD0.toByte, 0x6B, 0x0B)
+    gcNamed(header ++ voidType ++ oneFunc ++ sec(10, rn), "struct")
+  }
+
+  test("memory limit hygiene at decode: duplicate memory, shared " +
+      "without max, above-cap declared maxima") {
+    val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
+    def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 128)
+      Array(id.toByte, payload.length.toByte) ++ payload
+    }
+    def named(bytes: Array[Byte], expect: String): Unit = {
+      val e = intercept[WasmDecodeError](WasmBinary.decode(bytes))
+      assert(e.getMessage.contains(expect), e.getMessage)
+    }
+    val importMem = sec(2, Array[Byte](0x01,
+      0x03, 'e', 'n', 'v', 0x06, 'm', 'e', 'm', 'o', 'r', 'y',
+      0x02, 0x00, 0x01))
+    // import + section 5 double declaration (spec: at most one memory)
+    named(header ++ importMem ++ sec(5, Array[Byte](0x01, 0x00, 0x01)),
+      "duplicate memory")
+    // shared (flags bit 1) without a declared max
+    named(header ++ sec(5, Array[Byte](0x01, 0x02, 0x01)),
+      "shared memory without a declared max")
+    // declared max above the 16384-page engine cap
+    named(header ++ sec(5, Array[Byte](0x01, 0x01, 0x01,
+      0xC0.toByte, 0xB8.toByte, 0x02)), "16384-page") // max = 40000
+    // max < min
+    named(header ++ sec(5, Array[Byte](0x01, 0x01, 0x05, 0x02)),
+      "max 2 < min 5")
+    // table declared max above the 2^22-slot cap
+    named(header ++ sec(4, Array[Byte](0x01, 0x70, 0x01, 0x00,
+      0x80.toByte, 0x80.toByte, 0x80.toByte, 0x04)), "2^22")
+  }
+
   test("imported SHARED memory (the -pthread module shape) instantiates " +
       "with the imported limits and runs atomics on it") {
     val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
@@ -491,8 +615,24 @@ class WasmSpec extends AnyFunSuite with Matchers {
   test("atomics execute with single-agent semantics: loads/stores/rmw " +
       "families, cmpxchg hit and miss, narrow widths wrap, alignment " +
       "traps, wait/notify return codes, infinite wait traps loudly") {
-    def run(instrs: Instr*): Long = run1(WasmBinary.decode(WasmBinary.encode(
-      func(Vector(), Vector(ValType.I64), Vector(), instrs: _*))), "f")
+    // result type follows the LAST instruction (validation is real now:
+    // the declared result must match what the body actually produces)
+    def run(instrs: Instr*): Long = {
+      val rt = instrs.last match {
+        case AtomicOp(sub, _, _) =>
+          val k =
+            if (sub <= 2) 0
+            else if (sub <= 0x16) sub - 0x10
+            else if (sub <= 0x1D) sub - 0x17
+            else if (sub <= 0x47) (sub - 0x1E) % 7
+            else sub - 0x48
+          if (sub <= 2 || k == 0 || k == 2 || k == 3) ValType.I32
+          else ValType.I64
+        case _ => ValType.I64
+      }
+      run1(WasmBinary.decode(WasmBinary.encode(
+        func(Vector(), Vector(rt), Vector(), instrs: _*))), "f")
+    }
     // rmw add returns the OLD value and updates memory
     run(I32Const(16), I32Const(5), AtomicOp(0x1E, 2, 0), Drop,
       I32Const(16), I32Const(7), AtomicOp(0x1E, 2, 0)) shouldBe 5L
@@ -539,8 +679,17 @@ class WasmSpec extends AnyFunSuite with Matchers {
 
   test("relaxed-simd executes under the deterministic profile: every op " +
       "behaves as its strict sibling") {
-    def run(instrs: Instr*): Long = run1(WasmBinary.decode(WasmBinary.encode(
-      func(Vector(), Vector(ValType.I64), Vector(), instrs: _*))), "f")
+    def run(instrs: Instr*): Long = {
+      val rt = instrs.last match {
+        case SimdLane(29, _) => ValType.I64
+        case SimdLane(31, _) => ValType.F32
+        case SimdLane(33, _) => ValType.F64
+        case _: SimdLane => ValType.I32
+        case _ => ValType.I64
+      }
+      run1(WasmBinary.decode(WasmBinary.encode(
+        func(Vector(), Vector(rt), Vector(), instrs: _*))), "f")
+    }
     def constV(bytes: Int*): Instr = SimdConst(bytes.map(_.toByte).toVector)
     def f32s(v: Float): Vector[Instr] =
       Vector(F32Const(java.lang.Float.floatToIntBits(v)), SimdOp(19))
@@ -580,11 +729,12 @@ class WasmSpec extends AnyFunSuite with Matchers {
     val t0 = FuncType(Vector(ValType.I64), Vector(ValType.I64))
     val t1 = FuncType(Vector(), Vector(ValType.I64))
     val t2 = FuncType(Vector(ValType.I32, ValType.I64), Vector(ValType.I64))
+    val t3 = FuncType(Vector(), Vector(ValType.I32)) // i32-producing bodies
     def f(body: Instr*) = FuncBody(Vector(), body.toVector)
     val m = WasmModule(
-      types = Vector(t0, t1, t2),
+      types = Vector(t0, t1, t2, t3),
       imports = Vector.empty,
-      funcTypeIdxs = Vector(0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2),
+      funcTypeIdxs = Vector(0, 0, 3, 3, 3, 1, 1, 1, 3, 3, 2),
       memMinPages = 1, memMaxPages = None,
       globals = Vector(
         WasmGlobal(ValType.Funcref, mutable = false, Vector(RefFunc(1)))),
@@ -718,9 +868,18 @@ class WasmSpec extends AnyFunSuite with Matchers {
       "saturation, shuffle/swizzle, memory and lane ops, float lanes, " +
       "conversions - each checked against scalar-computed lanes") {
     import WasmInterp.Instance
-    // f() -> i64 harness: build vectors from memory, compute, extract
+    // harness: build vectors, compute, extract — the declared result
+    // type follows the final instruction (validation is real now)
     def run(locals: Vector[Byte], body: Instr*): Long = {
-      val m = func(Vector(), Vector(ValType.I64), locals, body: _*)
+      val rt = body.last match {
+        case SimdLane(29, _) => ValType.I64
+        case SimdLane(31, _) => ValType.F32
+        case SimdLane(33, _) => ValType.F64
+        case _: SimdLane => ValType.I32
+        case SimdOp(83) | SimdOp(99) | SimdOp(100) => ValType.I32
+        case _ => ValType.I64
+      }
+      val m = func(Vector(), Vector(rt), locals, body: _*)
       new Instance(WasmBinary.decode(WasmBinary.encode(m)), Map.empty)
         .invoke("f").head
     }
@@ -809,9 +968,9 @@ class WasmSpec extends AnyFunSuite with Matchers {
       SimdLane(27, 1)) shouldBe 24L
 
     // float lanes: f32x4 arithmetic + trunc_sat + convert
-    val f2_5 = java.lang.Float.floatToRawIntBits(2.5f).toLong & 0xFFFFFFFFL
-    run(Vector(), I32Const(f2_5.toInt), SimdOp(19), // f32x4.splat(2.5)
-      I32Const(f2_5.toInt), SimdOp(19), SimdOp(230), // mul -> 6.25
+    val f2_5 = java.lang.Float.floatToRawIntBits(2.5f)
+    run(Vector(), F32Const(f2_5), SimdOp(19), // f32x4.splat(2.5)
+      F32Const(f2_5), SimdOp(19), SimdOp(230), // mul -> 6.25
       SimdOp(248), SimdLane(27, 0)) shouldBe 6L // trunc_sat_s
     run(Vector(), I32Const(-7), SimdOp(17), SimdOp(250), // convert_i32x4_s
       SimdOp(224), // f32x4.abs
