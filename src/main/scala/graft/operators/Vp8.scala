@@ -457,6 +457,28 @@ object Vp8 {
       yStride: Int, uvStride: Int)
 
   /** Decode one VP8 key frame (the payload of a WebP `VP8 ` chunk). */
+  @volatile private var maxPixelsCap: Long = math.min(math.max(
+    java.lang.Long.getLong("graft.vp8.maxPixels", 1L << 24), 1L << 16),
+    1L << 28)
+
+  /** Decode pixel budget: frames with more than this many pixels reject
+   *  by name at decode (attacker bytes must not size executor-killing
+   *  allocations — the decode footprint is ~24 B/px). Default 2^24
+   *  (4096×4096); deployments ingesting large legitimate stills raise
+   *  it via `-Dgraft.vp8.maxPixels=...` on every executor (or
+   *  [[setMaxPixels]] from a static initializer), clamped to
+   *  [2^16, 2^28] — the upper bound is VP8's own 14-bit dimension
+   *  limit squared, where a decode costs ~6.4 GB and needs a
+   *  correspondingly sized executor. */
+  def maxPixels: Long = maxPixelsCap
+
+  /** Set the decode pixel budget (JVM-wide; clamp-checked by name). */
+  def setMaxPixels(px: Long): Unit = {
+    require(px >= (1L << 16) && px <= (1L << 28),
+      s"VP8 pixel budget $px outside [2^16, 2^28]")
+    maxPixelsCap = px
+  }
+
   def decodeFrame(p: Array[Byte]): Vp8Frame = {
     require(p.length >= 10, "truncated VP8 payload")
     val tag = (p(0) & 0xFF) | ((p(1) & 0xFF) << 8) | ((p(2) & 0xFF) << 16)
@@ -468,13 +490,18 @@ object Vp8 {
     val width = ((p(6) & 0xFF) | ((p(7) & 0xFF) << 8)) & 0x3FFF
     val height = ((p(8) & 0xFF) | ((p(9) & 0xFF) << 8)) & 0x3FFF
     require(width > 0 && height > 0, "bad VP8 dimensions")
-    // Tighter than the other codecs' 2^26: VP8 decode carries three Int
-    // planes PLUS decodeToYuv's w·h·3 Float expansion (~24 B/px), so the
-    // uniform cap still admitted ~1.3 GB per valid payload (r13 advice).
-    // 2^24 px (4096×4096) bounds one decode at ~400 MB under local[32]
-    // concurrency and still covers any plausible crawl image.
-    require(width.toLong * height <= (1L << 24),
-      s"implausible VP8 dimensions ${width}x$height (cap 2^24 pixels)")
+    // Tighter than the other codecs' 2^26 by default: VP8 decode
+    // carries three Int planes PLUS decodeToYuv's w·h·3 Float expansion
+    // (~24 B/px), so the uniform cap still admitted ~1.3 GB per valid
+    // payload (r13 advice). 2^24 px (4096×4096) bounds one decode at
+    // ~400 MB under local[32] concurrency and covers typical crawl
+    // images — but large legitimate stills exist (modern photos run
+    // 12–108 MP), so the cap is CONFIGURABLE (r14 advice): see
+    // [[Vp8.maxPixels]].
+    require(width.toLong * height <= maxPixels,
+      s"VP8 dimensions ${width}x$height exceed the decode pixel budget " +
+        s"($maxPixels px — raise via Vp8.setMaxPixels / " +
+        "-Dgraft.vp8.maxPixels for large-still deployments)")
     val mbCols = (width + 15) >> 4
     val mbRows = (height + 15) >> 4
     val headerEnd = 10 + firstPartSize

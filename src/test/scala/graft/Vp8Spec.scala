@@ -131,6 +131,21 @@ class Vp8Spec extends AnyFunSuite {
     }
   }
 
+  test("decode pixel budget is configurable: a frame over the budget " +
+      "rejects by name, raising the budget admits it, reset restores") {
+    val frame = Vp8.encodeSolid(512, 512, 3, 0, 0, 0) // 2^18 px
+    assert(Vp8.decodeFrame(frame).width == 512) // under the 2^24 default
+    try {
+      Vp8.setMaxPixels(1L << 16)
+      val e = intercept[IllegalArgumentException](Vp8.decodeFrame(frame))
+      assert(e.getMessage.contains("pixel budget"), e.getMessage)
+      Vp8.setMaxPixels(1L << 26) // the large-still deployment shape
+      assert(Vp8.decodeFrame(frame).width == 512)
+    } finally Vp8.setMaxPixels(1L << 24)
+    val bad = intercept[IllegalArgumentException](Vp8.setMaxPixels(1L << 40))
+    assert(bad.getMessage.contains("[2^16, 2^28]"))
+  }
+
   test("conformance table seam is drop-in: an alternative table set " +
       "loads through loadCoeffTables, the decoder CONSUMES it (a fixture " +
       "encoded under the placeholder set stops decoding), the encoder " +
