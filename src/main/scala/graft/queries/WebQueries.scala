@@ -784,6 +784,68 @@ object WebQueries extends QueryProvider {
       |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_links
       |FROM documents""".stripMargin
 
+  /** WAT LINK GRAPH — the production reason WAT sidecars exist: outlink
+   *  extraction WITHOUT fetching page bodies. Each document's envelope
+   *  carries a variable-length Links array of absolute URLs (targets a
+   *  deterministic host function of doc_id and link index); the chain
+   *  is watJson → `from_json` the Links array (typed, Catalyst-side) →
+   *  explode → host extraction on both ends → per-target-host inlink
+   *  accounting (edge volume + distinct source hosts), the input shape
+   *  `pipeline_host_rank` consumes. The oracle unrolls the link index
+   *  with generate_series and replays the host arithmetic.
+   *  100 TB shape: per-row until the slim (dst_host) groupBy; the
+   *  distinct-source count shuffles (dst, src) pairs — host-dimension
+   *  bounded, with map-side partial aggregation. */
+  private def watLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val rows = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id")).as("uri"),
+      concat(
+        lit("{\"Envelope\":{\"WARC-Header-Metadata\":{\"WARC-Target-URI\":" +
+          "\"https://"), col("source"), lit(".example.com/doc/"),
+        col("doc_id"),
+        lit("\"},\"Payload-Metadata\":{\"HTTP-Response-Metadata\":{" +
+          "\"HTML-Metadata\":{\"Links\":["),
+        array_join(transform(
+          sequence(lit(1), (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+          i => concat(lit("{\"url\":\"https://t"),
+            pmod(col("doc_id") + i, lit(7)), lit(".example.com/p"), i,
+            lit("\"}"))), ","),
+        lit("]}}}}}")).as("wat"))
+    val links = graft.operators.Warc.watJson(
+        graft.operators.Warc.withSidecarGzPayload(rows, "wat", "uri",
+          "metadata", "application/json").drop("wat", "uri"),
+        "payload")
+      .select(
+        regexp_extract(col("target_uri"), "^[a-z0-9+.-]+://([^/?#]+)", 1)
+          .as("src_host"),
+        explode(from_json(get_json_object(col("json"),
+          "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['HTML-Metadata']['Links']"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("url",
+                org.apache.spark.sql.types.StringType)))))).as("link"))
+      .select(col("src_host"),
+        regexp_extract(col("link").getField("url"),
+          "^[a-z0-9+.-]+://([^/?#]+)", 1).as("dst_host"))
+    links.groupBy(col("dst_host")).agg(
+      count(lit(1)).as("n_inlinks"),
+      countDistinct(col("src_host")).as("n_src_hosts"))
+  }
+
+  private val watLinkGraphSql =
+    """WITH l AS (
+      |  SELECT doc_id, source || '.example.com' AS src_host,
+      |    unnest(generate_series(1, CAST(doc_id % 4 + 1 AS INT))) AS i
+      |  FROM documents
+      |)
+      |SELECT 't' || CAST((doc_id + i) % 7 AS VARCHAR) || '.example.com'
+      |    AS dst_host,
+      |  CAST(count(*) AS BIGINT) AS n_inlinks,
+      |  CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+      |FROM l GROUP BY 1""".stripMargin
+
   /** FRONTIER ENFORCEMENT — the batch face of
    *  [[graft.streaming.StreamingLens.frontierAdmit]], consuming the
    *  `pipeline_crawl_frontier` ledger: candidates (one per document,
@@ -819,7 +881,11 @@ object WebQueries extends QueryProvider {
         lit(".example.com/doc/"), col("doc_id")).as("url"),
       (col("doc_id") * 150L).as("ts_ms"))
     graft.streaming.StreamingLens
-      .frontierAdmit(candidates, "url", "ts_ms", ledger)
+      // batch face: corpus-scale candidates — re-scan instead of
+      // materializing (the crawlDecide/checkpointCanon contract); the
+      // duplicated lineage is a slim scan + host-keyed aggregates
+      .frontierAdmit(candidates, "url", "ts_ms", ledger,
+        checkpointJoined = false)
       .select(col("doc_id"), col("host"), col("ts_ms"),
         col("next_eligible_ms").cast("long"), col("admitted"))
   }
@@ -875,6 +941,7 @@ object WebQueries extends QueryProvider {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_wet_ingest" -> (wetIngest _),
     "io_wat_extract" -> (watExtract _),
+    "pipeline_wat_links" -> (watLinkGraph _),
     "pipeline_frontier_admit" -> (frontierAdmit _),
     "text_html_extract" -> (htmlExtract _),
     "pipeline_web_extract" -> (webExtract _),
@@ -894,6 +961,7 @@ object WebQueries extends QueryProvider {
   override def oracles: Map[String, String] = Map(
     "pipeline_wet_ingest" -> wetIngestSql,
     "io_wat_extract" -> watExtractSql,
+    "pipeline_wat_links" -> watLinkGraphSql,
     "pipeline_frontier_admit" -> frontierAdmitSql,
     "text_html_extract" -> htmlExtractSql,
     "pipeline_web_extract" -> webExtractSql,

@@ -564,18 +564,25 @@ object StreamingLens {
    *  one host-keyed min_by aggregate over the ELIGIBLE slice only (the
    *  per-batch candidate set), rejoined by (host, url). The URL stream
    *  shuffles once on host — unavoidable: one-fetch-per-host is a
-   *  per-host decision. */
+   *  per-host decision. The ledger-joined frame feeds BOTH the winner
+   *  aggregate and the final classification, so `checkpointJoined =
+   *  true` (what [[frontierGate]] passes — its input is one bounded
+   *  micro-batch) localCheckpoints it once instead of re-running the
+   *  candidate scan + ledger join per reference; corpus-scale batch
+   *  callers pass `false` per the crawlDecide/checkpointCanon
+   *  contract (their inputs are theirs to materialize). */
   def frontierAdmit(candidates: DataFrame, urlCol: String, tsMsCol: String,
-      ledger: DataFrame): DataFrame = {
+      ledger: DataFrame, checkpointJoined: Boolean = true): DataFrame = {
     val hosted = candidates
       .withColumn("host", regexp_extract(col(urlCol), CrawlHostRe, 1))
-    val joined = hosted.join(
+    val joined0 = hosted.join(
         ledger.select(col("host"), col("next_eligible_ms").as("__next")),
         Seq("host"), "left")
       .withColumn("next_eligible_ms", coalesce(col("__next"), lit(-1L)))
       .drop("__next")
       .withColumn("__eligible",
         col(tsMsCol) >= greatest(col("next_eligible_ms"), lit(0L)))
+    val joined = if (checkpointJoined) joined0.localCheckpoint() else joined0
     // earliest eligible candidate per host wins the batch's fetch slot;
     // ties break on the url so replays stay deterministic
     val winners = joined.where(col("__eligible"))
