@@ -938,7 +938,96 @@ object WebQueries extends QueryProvider {
       |  coalesce(j.eligible AND j.ts_ms = w.wts, false) AS admitted
       |FROM j LEFT JOIN w ON j.host = w.host""".stripMargin
 
+  /** CRAWL LOOP FLAGSHIP — the WHOLE politeness loop in one chain,
+   *  certifying the composition the individual rows prove in
+   *  isolation: candidate URLs → [[graft.streaming.StreamingLens
+   *  .crawlDecide]] robots verdicts (unhinted batch face) → the
+   *  per-host audit row [[graft.streaming.StreamingLens.crawlGate]]
+   *  appends per batch → a fetch-completion log (every third admitted
+   *  doc) → [[graft.streaming.StreamingLens.frontierSchedule]]'s
+   *  `next_eligible_ms` ledger → [[graft.streaming.StreamingLens
+   *  .frontierAdmit]] enforcing it on the next candidate wave. The
+   *  oracle replays all four stages from document columns. 100 TB
+   *  shape: the decided wave feeds three host-keyed consumers and
+   *  deliberately RE-SCANS (corpus-scale inputs are the caller's to
+   *  materialize — the crawlDecide contract); everything shuffled is
+   *  host-keyed and slim. */
+  private def crawlLoop(s: SparkSession, dir: String): DataFrame = {
+    val urls = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("HTTPS://"))
+          .otherwise(lit("https://")),
+        when(pmod(col("doc_id"), lit(5)) === 0, upper(col("source")))
+          .otherwise(col("source")),
+        lit(".example.com"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(":443")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("/private/doc"), col("doc_id")))
+          .otherwise(concat(lit("/pub/doc"), col("doc_id")))).as("url"))
+    val robots = T(s, dir, "documents").select(col("source")).distinct()
+      .where(!substring(col("source"), -1, 1).isin("2", "5", "8"))
+      .select(concat(col("source"), lit(".example.com")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
+          (ascii(substring(col("source"), -1, 1)) % 5).cast("string"),
+          lit("\nSitemap: https://x.test/map.xml\n")).as("robots"))
+    val decided = graft.streaming.StreamingLens
+      .crawlDecide(urls, "url", "graftbot/1.0", robots,
+        checkpointCanon = false, broadcastBounded = false)
+    // the per-batch audit row crawlGate appends (one batch here)
+    val audit = decided.groupBy(col("host")).agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_admitted"),
+        max(col("crawl_delay_ms")).as("crawl_delay_ms"))
+      .withColumn("batch_id", lit(0L))
+    val fetches = decided
+      .where(col("allowed") && col("doc_id") % 3 === 0)
+      .select(col("host"), (col("doc_id") * 100L).as("fetch_ts_ms"))
+    val ledger = graft.streaming.StreamingLens
+      .frontierSchedule(audit, fetches)
+    val wave2 = decided.select(col("doc_id"), col("allowed"),
+      col("canon_url").as("url"), (col("doc_id") * 150L).as("ts_ms"))
+    graft.streaming.StreamingLens
+      .frontierAdmit(wave2, "url", "ts_ms", ledger,
+        checkpointJoined = false)
+      .select(col("doc_id"), col("host"), col("allowed"), col("ts_ms"),
+        col("next_eligible_ms").cast("long"), col("admitted"))
+  }
+
+  private val crawlLoopSql =
+    """WITH u AS (
+      |  SELECT doc_id, source,
+      |    source || '.example.com' AS host,
+      |    (source[-1] IN ('2', '5', '8') OR doc_id % 2 = 1) AS allowed,
+      |    CASE WHEN source[-1] IN ('2', '5', '8') THEN -1
+      |         ELSE (ascii(source[-1]) % 5) * 1000 END AS crawl_delay_ms
+      |  FROM documents
+      |), audit AS (
+      |  SELECT host, max(crawl_delay_ms) AS crawl_delay_ms FROM u GROUP BY host
+      |), fetches AS (
+      |  SELECT host, max(doc_id * 100) AS last_fetch_ms FROM u
+      |  WHERE allowed AND doc_id % 3 = 0 GROUP BY host
+      |), ledger AS (
+      |  SELECT a.host,
+      |    CASE WHEN f.last_fetch_ms IS NULL THEN 0
+      |         ELSE f.last_fetch_ms + greatest(a.crawl_delay_ms, 0) END
+      |      AS next_eligible_ms
+      |  FROM audit a LEFT JOIN fetches f ON a.host = f.host
+      |), j AS (
+      |  SELECT u.doc_id, u.host, u.allowed, u.doc_id * 150 AS ts_ms,
+      |    coalesce(l.next_eligible_ms, -1) AS next_eligible_ms,
+      |    (u.doc_id * 150 >= greatest(coalesce(l.next_eligible_ms, -1), 0))
+      |      AS eligible
+      |  FROM u LEFT JOIN ledger l ON u.host = l.host
+      |), w AS (
+      |  SELECT host, min(ts_ms) AS wts FROM j WHERE eligible GROUP BY host
+      |)
+      |SELECT j.doc_id, j.host, j.allowed, CAST(j.ts_ms AS BIGINT) AS ts_ms,
+      |  CAST(j.next_eligible_ms AS BIGINT) AS next_eligible_ms,
+      |  coalesce(j.eligible AND j.ts_ms = w.wts, false) AS admitted
+      |FROM j LEFT JOIN w ON j.host = w.host""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_crawl_loop" -> (crawlLoop _),
     "pipeline_wet_ingest" -> (wetIngest _),
     "io_wat_extract" -> (watExtract _),
     "pipeline_wat_links" -> (watLinkGraph _),
@@ -959,6 +1048,7 @@ object WebQueries extends QueryProvider {
   )
 
   override def oracles: Map[String, String] = Map(
+    "pipeline_crawl_loop" -> crawlLoopSql,
     "pipeline_wet_ingest" -> wetIngestSql,
     "io_wat_extract" -> watExtractSql,
     "pipeline_wat_links" -> watLinkGraphSql,
