@@ -214,6 +214,21 @@ object Mp3 {
     o.write((id3Content >> 7) & 0x7F); o.write(id3Content & 0x7F)
     var pad = 0
     while (pad < id3Content) { o.write(0); pad += 1 }
+    writeAudioFrames(o, vbrKbps)
+    o.toByteArray
+  }
+
+  /** Like [[encodeMp3Structural]] but with caller-supplied ID3v2 tag
+   *  bytes (see [[encodeId3v2]]) — the tagged-corpus fixture shape. */
+  def encodeMp3Tagged(id3: Array[Byte], vbrKbps: Seq[Int]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(id3.length + 512)
+    o.write(id3, 0, id3.length)
+    writeAudioFrames(o, vbrKbps)
+    o.toByteArray
+  }
+
+  private def writeAudioFrames(o: java.io.ByteArrayOutputStream,
+      vbrKbps: Seq[Int]): Unit = {
     val nFrames = 1 + vbrKbps.length
     def writeFrame(kbps: Int, xing: Boolean): Unit = {
       val brIdx = BitrateV1.indexOf(kbps)
@@ -237,7 +252,136 @@ object Mp3 {
     }
     writeFrame(128, xing = true)
     vbrKbps.foreach(writeFrame(_, xing = false))
+  }
+
+  // ------------------------------------------------- ID3v2 text frames
+
+  /** Encode an ID3v2.3/2.4 tag of text frames under one text encoding
+   *  (0 = Latin-1; 1 = UTF-16 with BOM; v2.4 only: 2 = UTF-16BE,
+   *  3 = UTF-8), plus `pad` zero bytes of padding — the id3.org
+   *  informal standard, all normative body text. */
+  def encodeId3v2(frames: Seq[(String, String)], version: Int, enc: Int,
+      pad: Int = 0): Array[Byte] = {
+    require(version == 3 || version == 4, "ID3v2.3/2.4 only")
+    require(enc >= 0 && enc <= (if (version == 3) 1 else 3),
+      s"text encoding $enc invalid for ID3v2.$version")
+    require(pad >= 0, "negative padding")
+    val body = new java.io.ByteArrayOutputStream(256)
+    frames.foreach { case (fid, text) =>
+      require(fid.length == 4 && fid.forall(c =>
+        (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
+        s"bad ID3 frame id '$fid'")
+      val payload = enc match {
+        case 0 => 0.toByte +:
+          text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        case 1 => Array[Byte](1, 0xFF.toByte, 0xFE.toByte) ++
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+        case 2 => 2.toByte +:
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        case _ => 3.toByte +:
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+      fid.foreach(c => body.write(c))
+      val sz = payload.length
+      if (version == 4) { // syncsafe frame size
+        body.write((sz >> 21) & 0x7F); body.write((sz >> 14) & 0x7F)
+        body.write((sz >> 7) & 0x7F); body.write(sz & 0x7F)
+      } else { // v2.3: plain 32-bit big-endian
+        body.write((sz >> 24) & 0xFF); body.write((sz >> 16) & 0xFF)
+        body.write((sz >> 8) & 0xFF); body.write(sz & 0xFF)
+      }
+      body.write(0); body.write(0) // frame flags
+      body.write(payload, 0, payload.length)
+    }
+    val content = body.toByteArray
+    val total = content.length + pad
+    require(total < (1 << 28), "ID3 tag too large for a syncsafe size")
+    val o = new java.io.ByteArrayOutputStream(10 + total)
+    o.write('I'); o.write('D'); o.write('3')
+    o.write(version); o.write(0); o.write(0) // v2.x.0, no flags
+    o.write((total >> 21) & 0x7F); o.write((total >> 14) & 0x7F)
+    o.write((total >> 7) & 0x7F); o.write(total & 0x7F)
+    o.write(content, 0, content.length)
+    var i = 0
+    while (i < pad) { o.write(0); i += 1 }
     o.toByteArray
+  }
+
+  /** Walk an ID3v2.3/2.4 tag (standalone or as an MP3 prefix) and
+   *  return every TEXT frame (`T...` ids) as (frame id, decoded text),
+   *  in tag order — the audio-corpus metadata triage tier (title
+   *  TIT2, artist TPE1, album TALB, date TDRC/TYER, ...). All four
+   *  declared text encodings decode; trailing NUL terminators strip;
+   *  padding ends the walk. Loud NAMED failures: ID3v2.2 (3-byte frame
+   *  ids — a different layout, named tier), unknown versions, frames
+   *  overrunning the tag, malformed ids, undeclared text encodings.
+   *
+   *  100 TB shape: per-payload linear walk over the tag bytes only
+   *  (the audio frames are never touched) — pure per-row CPU. */
+  def id3TextFrames(p: Array[Byte]): Seq[(String, String)] = {
+    require(p != null && p.length >= 10 &&
+      p(0) == 'I' && p(1) == 'D' && p(2) == '3', "no ID3v2 tag")
+    val major = p(3) & 0xFF
+    if (major == 2) throw new IllegalArgumentException(
+      "ID3v2.2 (3-byte frame ids) — named tier, not decoded")
+    require(major == 3 || major == 4, s"unknown ID3v2.$major tag")
+    require(((p(6) | p(7) | p(8) | p(9)) & 0x80) == 0,
+      "bad ID3v2 syncsafe size")
+    val size = ((p(6) & 0x7F) << 21) | ((p(7) & 0x7F) << 14) |
+      ((p(8) & 0x7F) << 7) | (p(9) & 0x7F)
+    val end = 10 + size
+    require(end <= p.length, s"ID3v2 tag ($end B) overruns payload")
+    var at = 10
+    if (((p(5) & 0xFF) & 0x40) != 0) { // extended header present
+      require(at + 4 <= end, "truncated ID3v2 extended header")
+      val ext =
+        if (major == 4) // syncsafe, size includes its own 4 bytes
+          ((p(at) & 0x7F) << 21) | ((p(at + 1) & 0x7F) << 14) |
+            ((p(at + 2) & 0x7F) << 7) | (p(at + 3) & 0x7F)
+        else // v2.3: plain size EXCLUDING the 4 size bytes
+          4 + (((p(at) & 0xFF) << 24) | ((p(at + 1) & 0xFF) << 16) |
+            ((p(at + 2) & 0xFF) << 8) | (p(at + 3) & 0xFF))
+      require(ext >= 4 && at + ext <= end, "bad ID3v2 extended header size")
+      at += ext
+    }
+    val out = Seq.newBuilder[(String, String)]
+    var walking = true
+    while (walking && at + 10 <= end && p(at) != 0) {
+      val fid = new String(p, at, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(fid.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
+        s"malformed ID3 frame id '$fid' at byte $at")
+      val sz =
+        if (major == 4) {
+          require(((p(at + 4) | p(at + 5) | p(at + 6) | p(at + 7)) & 0x80) == 0,
+            s"bad syncsafe frame size in '$fid'")
+          ((p(at + 4) & 0x7F) << 21) | ((p(at + 5) & 0x7F) << 14) |
+            ((p(at + 6) & 0x7F) << 7) | (p(at + 7) & 0x7F)
+        } else
+          ((p(at + 4) & 0xFF) << 24) | ((p(at + 5) & 0xFF) << 16) |
+            ((p(at + 6) & 0xFF) << 8) | (p(at + 7) & 0xFF)
+      require(sz >= 0 && at + 10 + sz <= end,
+        s"ID3 frame '$fid' ($sz B) overruns the tag")
+      if (fid.charAt(0) == 'T' && sz >= 1) {
+        val enc = p(at + 10) & 0xFF
+        val cs = enc match {
+          case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+          case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led
+          case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+          case 3 => java.nio.charset.StandardCharsets.UTF_8
+          case other => throw new IllegalArgumentException(
+            s"ID3 frame '$fid': undeclared text encoding $other")
+        }
+        val text = new String(p, at + 11, sz - 1, cs)
+        // strip trailing NUL terminator(s)
+        var cut = text.length
+        while (cut > 0 && text.charAt(cut - 1) == '\u0000') cut -= 1
+        out += ((fid, text.substring(0, cut)))
+      }
+      at += 10 + sz
+      if (at >= end) walking = false
+    }
+    out.result()
   }
 
   /** Legal MPEG-1 Layer III bitrate for a seed byte: index 1 + b mod 14. */

@@ -754,6 +754,51 @@ object MultimodalQueries extends QueryProvider {
       |    AS id3_size
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** ID3v2 TEXT-FRAME EXTRACTION — the tagged-audio triage tier
+   *  (title/artist/album/date without touching a single audio frame):
+   *  each document carries a real MP3 whose ID3v2 tag holds four text
+   *  frames built from its columns, spread across BOTH tag versions
+   *  (v2.3 / v2.4 by doc parity) and ALL FOUR text encodings (Latin-1,
+   *  UTF-16+BOM, UTF-16BE, UTF-8 — v2.3 rows use its two legal ones),
+   *  with per-doc padding. `Mp3.id3TextFrames` walks the tag; the
+   *  oracle predicts the decoded text from the columns — any
+   *  frame-size arithmetic, encoding, or padding bug desyncs the walk
+   *  or corrupts the text. 100 TB shape: per-payload linear tag walk,
+   *  audio bytes untouched. */
+  private def mp3Id3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, source, lang) =>
+        val version = if (id % 2 == 0) 3 else 4
+        val enc = (if (version == 3) id % 2 else id % 4).toInt
+        val tag = graft.operators.Mp3.encodeId3v2(Seq(
+          "TIT2" -> s"Doc $id", "TPE1" -> source, "TALB" -> lang,
+          "TDRC" -> (2020 + id % 5).toString),
+          version, enc, pad = (id % 32).toInt)
+        val mp3 = graft.operators.Mp3.encodeMp3Tagged(tag,
+          Seq(64, 96))
+        val got = graft.operators.Mp3.id3TextFrames(mp3).toMap
+        (id, got.getOrElse("TIT2", ""), got.getOrElse("TPE1", ""),
+          got.getOrElse("TALB", ""), got.getOrElse("TDRC", ""),
+          got.size.toLong,
+          graft.operators.Mp3.mp3Meta(mp3).nFrames.toLong)
+      }
+      .toDF("doc_id", "title", "artist", "album", "rec_date",
+        "n_text_frames", "n_audio_frames")
+  }
+
+  private val mp3Id3Sql =
+    """SELECT doc_id,
+      |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |  source AS artist,
+      |  lang AS album,
+      |  CAST(2020 + doc_id % 5 AS VARCHAR) AS rec_date,
+      |  CAST(4 AS BIGINT) AS n_text_frames,
+      |  CAST(3 AS BIGINT) AS n_audio_frames
+      |FROM documents""".stripMargin
+
   /** MP3 LAYER-III DECODE, silence-exact tier — real MPEG-1 frames
    *  (side info, bit reservoir with main_data_begin back-pointers into
    *  the previous frame's main data, long-block scalefactor coding
@@ -1040,6 +1085,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_roundtrip"   -> (gifRoundtrip _),
     "mm_gif_frames"      -> (gifFrames _),
     "mm_mp3_meta"        -> (mp3Meta _),
+    "mm_mp3_id3"         -> (mp3Id3 _),
     "mm_mp3_decode"      -> (mp3Decode _),
     "mm_png_tiers"       -> (pngTiers _),
     "mm_webp_roundtrip"  -> (webpRoundtrip _),
@@ -1067,6 +1113,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_roundtrip"   -> gifRoundtripSql,
     "mm_gif_frames"      -> gifFramesSql,
     "mm_mp3_meta"        -> mp3MetaSql,
+    "mm_mp3_id3"         -> mp3Id3Sql,
     "mm_mp3_decode"      -> mp3DecodeSql,
     "mm_png_tiers"       -> pngTiersSql,
     "mm_webp_roundtrip"  -> webpRoundtripSql,

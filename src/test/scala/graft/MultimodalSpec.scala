@@ -896,6 +896,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(srD == 44100 && pcmD.length == 6 * 1152 && pcmD.forall(_ == 0f))
   }
 
+  test("Mp3: ID3v2 text frames round-trip across both tag versions and " +
+      "all four encodings; padding/extended-header handled; non-text " +
+      "frames skipped; v2.2 and malformed tags reject by name") {
+    import graft.operators.Mp3
+    val frames = Seq("TIT2" -> "A Title", "TPE1" -> "Someone",
+      "TALB" -> "The Album", "TDRC" -> "2024")
+    for {
+      version <- Seq(3, 4)
+      enc <- 0 to (if (version == 3) 1 else 3)
+      pad <- Seq(0, 13)
+    } {
+      val tag = Mp3.encodeId3v2(frames, version, enc, pad)
+      val got = Mp3.id3TextFrames(tag)
+      assert(got == frames, s"v2.$version enc $enc pad $pad: $got")
+      // the tag as an MP3 prefix: audio walk still accounts frames
+      val mp3 = Mp3.encodeMp3Tagged(tag, Seq(64))
+      assert(Mp3.id3TextFrames(mp3) == frames)
+      assert(Mp3.mp3Meta(mp3).nFrames == 2)
+    }
+    // non-BMP text survives the UTF encodings (and Latin-1 keeps its set)
+    val uni = Seq("TIT2" -> "café 🎵 tune")
+    for (enc <- 1 to 3)
+      assert(Mp3.id3TextFrames(Mp3.encodeId3v2(uni, 4, enc)) == uni)
+    // a non-text frame (binary APIC-ish) is skipped, not mis-decoded
+    val tagT = Mp3.encodeId3v2(frames.take(1), 4, 3)
+    val binFrame = {
+      val o = new java.io.ByteArrayOutputStream()
+      "PRIV".foreach(c => o.write(c))
+      o.write(0); o.write(0); o.write(0); o.write(5) // syncsafe 5
+      o.write(0); o.write(0)
+      o.write(Array[Byte](9, 8, 7, 6, 5), 0, 5)
+      o.toByteArray
+    }
+    val mixed = tagT.clone()
+    // splice: rebuild with extra content via encode (simpler: append a
+    // PRIV frame by enlarging the tag manually)
+    val content = java.util.Arrays.copyOfRange(mixed, 10, mixed.length)
+    val total = content.length + binFrame.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3'); out.write(4)
+    out.write(0); out.write(0)
+    out.write((total >> 21) & 0x7F); out.write((total >> 14) & 0x7F)
+    out.write((total >> 7) & 0x7F); out.write(total & 0x7F)
+    out.write(binFrame); out.write(content)
+    assert(Mp3.id3TextFrames(out.toByteArray) == frames.take(1))
+    // ID3v2.2 rejects by NAME (different frame layout), not garbage
+    val v22 = tagT.clone(); v22(3) = 2
+    val e2 = intercept[IllegalArgumentException](Mp3.id3TextFrames(v22))
+    assert(e2.getMessage.contains("ID3v2.2"), e2.getMessage)
+    // a frame overrunning the tag rejects by name
+    val ov = Mp3.encodeId3v2(frames.take(1), 4, 0)
+    ov(17) = 0x7F // inflate the frame's syncsafe size
+    val eO = intercept[IllegalArgumentException](Mp3.id3TextFrames(ov))
+    assert(eO.getMessage.contains("overruns"), eO.getMessage)
+    // undeclared text encoding rejects by name
+    val be = Mp3.encodeId3v2(frames.take(1), 4, 0)
+    be(20) = 9 // encoding byte of the first frame payload
+    val eE = intercept[IllegalArgumentException](Mp3.id3TextFrames(be))
+    assert(eE.getMessage.contains("encoding"), eE.getMessage)
+  }
+
   test("Mp3: silence-tier Layer III decode — bit reservoir, scfsi reuse, " +
       "scalefactor sums, SniffCodec dispatch, and named seams for " +
       "huffman spectrum / short blocks / LSF") {
