@@ -754,6 +754,49 @@ object MultimodalQueries extends QueryProvider {
       |    AS id3_size
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** EXIF METADATA WALK — the image-triage sibling of the ID3 tier:
+   *  each document's payload is a REAL 8x8 baseline JPEG with an APP1
+   *  Exif segment spliced after SOI (orientation, make/model, original
+   *  timestamp, declared pixel dims; byte order alternates II/MM by doc
+   *  parity). `Exif.exifMeta` walks segments + both IFDs without
+   *  entropy-decoding; `Jpeg.decodeJpeg` then decodes the SAME payload
+   *  to prove the splice preserves the image (img_w column). The
+   *  oracle predicts every field from document columns. */
+  private def jpegExif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .as[(Long, String, String, Long)]
+      .map { case (id, source, lang, nChars) =>
+        val gray = Array.fill(64)(((id * 37 + 100) % 256).toByte)
+        val tagged = graft.operators.Exif.withExif(
+          graft.operators.Jpeg.encodeGray(8, 8, gray),
+          orientation = (id % 8 + 1).toInt,
+          make = "graft-" + source, model = "M-" + lang,
+          dateTime = s"2026:01:0${id % 9 + 1} 12:00:00",
+          pixelX = nChars.toInt, pixelY = (id % 1000).toInt,
+          bigEndian = id % 2 == 0)
+        val m = graft.operators.Exif.exifMeta(tagged)
+        val w = graft.operators.Jpeg.decodeJpeg(tagged)._1
+        (id, m.orientation.toLong, m.make, m.model, m.dateTime,
+          m.pixelX.toLong, m.pixelY.toLong, w.toLong)
+      }
+      .toDF("doc_id", "orientation", "make", "model", "taken_at",
+        "px", "py", "img_w")
+  }
+
+  private val jpegExifSql =
+    """SELECT doc_id,
+      |  CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+      |  'graft-' || source AS make,
+      |  'M-' || lang AS model,
+      |  '2026:01:0' || CAST(doc_id % 9 + 1 AS VARCHAR) || ' 12:00:00'
+      |    AS taken_at,
+      |  CAST(n_chars AS BIGINT) AS px,
+      |  CAST(doc_id % 1000 AS BIGINT) AS py,
+      |  CAST(8 AS BIGINT) AS img_w
+      |FROM documents""".stripMargin
+
   /** ID3v2 TEXT-FRAME EXTRACTION — the tagged-audio triage tier
    *  (title/artist/album/date without touching a single audio frame):
    *  each document carries a real MP3 whose ID3v2 tag holds four text
@@ -1086,6 +1129,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_frames"      -> (gifFrames _),
     "mm_mp3_meta"        -> (mp3Meta _),
     "mm_mp3_id3"         -> (mp3Id3 _),
+    "mm_jpeg_exif"       -> (jpegExif _),
     "mm_mp3_decode"      -> (mp3Decode _),
     "mm_png_tiers"       -> (pngTiers _),
     "mm_webp_roundtrip"  -> (webpRoundtrip _),
@@ -1114,6 +1158,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_gif_frames"      -> gifFramesSql,
     "mm_mp3_meta"        -> mp3MetaSql,
     "mm_mp3_id3"         -> mp3Id3Sql,
+    "mm_jpeg_exif"       -> jpegExifSql,
     "mm_mp3_decode"      -> mp3DecodeSql,
     "mm_png_tiers"       -> pngTiersSql,
     "mm_webp_roundtrip"  -> webpRoundtripSql,

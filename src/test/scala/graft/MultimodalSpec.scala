@@ -896,6 +896,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(srD == 44100 && pcmD.length == 6 * 1152 && pcmD.forall(_ == 0f))
   }
 
+  test("Exif: APP1 walk recovers orientation/make/model/date/dims in " +
+      "both byte orders, inline and offset ASCII placement; absent tag " +
+      "yields the ABSENT meta; malformed blocks reject by name; the " +
+      "splice preserves JPEG decodability") {
+    import graft.operators.{Exif, Jpeg}
+    val gray = Array.tabulate(64)(i => (i * 3).toByte)
+    val jpeg = Jpeg.encodeGray(8, 8, gray)
+    for (be <- Seq(true, false)) {
+      val tagged = Exif.withExif(jpeg, orientation = 6,
+        make = "graft-cam", model = "M-1", // model+NUL = 4 B -> INLINE
+        dateTime = "2026:01:05 12:00:00", pixelX = 4032, pixelY = 3024,
+        bigEndian = be)
+      val m = Exif.exifMeta(tagged)
+      assert(m == Exif.ExifMeta(6, "graft-cam", "M-1",
+        "2026:01:05 12:00:00", 4032, 3024), s"be=$be: $m")
+      // the spliced payload still decodes to the same pixels
+      val (w, h, ch, _, px) = Jpeg.decodeJpeg(tagged)
+      val (w0, h0, ch0, _, px0) = Jpeg.decodeJpeg(jpeg)
+      assert((w, h, ch) == ((w0, h0, ch0)) && px.sameElements(px0))
+    }
+    // no APP1 -> the absent meta, not an exception (triage contract)
+    assert(Exif.exifMeta(jpeg) == Exif.Absent)
+    // malformed TIFF block inside a PRESENT Exif APP1 rejects by name
+    val bad = Exif.withExif(jpeg, 1, "a", "b", "c", 1, 1, bigEndian = true)
+    bad(12) = 'X' // corrupt the byte-order mark
+    val eB = intercept[IllegalArgumentException](Exif.exifMeta(bad))
+    assert(eB.getMessage.contains("byte-order"), eB.getMessage)
+    val bad2 = Exif.withExif(jpeg, 1, "a", "b", "c", 1, 1, bigEndian = true)
+    bad2(15) = 7 // magic 42 -> wrong
+    val eM = intercept[IllegalArgumentException](Exif.exifMeta(bad2))
+    assert(eM.getMessage.contains("42"), eM.getMessage)
+    // truncated segment length rejects by name
+    val bad3 = Exif.withExif(jpeg, 1, "a", "b", "c", 1, 1, bigEndian = true)
+    bad3(4) = 0x7F.toByte // inflate APP1 length past the payload
+    val eT = intercept[IllegalArgumentException](Exif.exifMeta(bad3))
+    assert(eT.getMessage.contains("truncated"), eT.getMessage)
+  }
+
   test("Mp3: ID3v2 text frames round-trip across both tag versions and " +
       "all four encodings; padding/extended-header handled; non-text " +
       "frames skipped; v2.2 and malformed tags reject by name") {
