@@ -108,6 +108,42 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("Mp3.id3TextFrames: random and mutated tags fail NAMED") {
+    val rnd = new scala.util.Random(0xF0229)
+    val valid = Mp3.encodeMp3Tagged(Mp3.encodeId3v2(Seq(
+      "TIT2" -> "A Title", "TPE1" -> "Someone", "TALB" -> "The Album"),
+      version = 4, enc = 1, pad = 11), Seq(64))
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(5))
+        else {
+          val r = new Array[Byte](10 + rnd.nextInt(300))
+          rnd.nextBytes(r)
+          r(0) = 'I'; r(1) = 'D'; r(2) = '3' // tag magic, random guts
+          r
+        }
+      attempt("id3", t)(Mp3.id3TextFrames(p))
+    }
+  }
+
+  test("Exif.exifMeta: random and mutated APP1 blocks fail NAMED") {
+    val rnd = new scala.util.Random(0xF022A)
+    val jpeg = Jpeg.encodeGray(8, 8, Array.tabulate(64)(i => (i * 5).toByte))
+    val valid = Exif.withExif(jpeg, 6, "graft-cam", "M-1",
+      "2026:01:05 12:00:00", 4032, 3024, bigEndian = true)
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(5))
+        else {
+          val r = new Array[Byte](12 + rnd.nextInt(300))
+          rnd.nextBytes(r)
+          r(0) = 0xFF.toByte; r(1) = 0xD8.toByte // SOI, random segments
+          r
+        }
+      attempt("exif", t)(Exif.exifMeta(p))
+    }
+  }
+
   test("Warc.parseWarc: random and mutated archives fail NAMED") {
     val rnd = new scala.util.Random(0xF0224)
     val html = "<p>fuzz fixture body</p>"
