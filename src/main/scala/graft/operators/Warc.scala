@@ -252,6 +252,47 @@ object Warc {
     }(encoder)
   }
 
+  /** BINARY-BODY record walk — the media-ingest profile: one row per
+   *  record like [[records]], but `body` is a BinaryType column holding
+   *  the RAW HTTP body bytes (responses) or the raw payload block
+   *  (other record types), with no Content-Type gating — this is how
+   *  crawl archives feed the multimodal codecs
+   *  ([[Multimodal.imagePhash]], the container decoders behind
+   *  SniffCodec) without a lossy text transcode. Same 100 TB shape as
+   *  [[records]]: partition-local 1:N explode, archive blobs dropped
+   *  before anything shuffles. */
+  def recordsBinary(df: org.apache.spark.sql.DataFrame,
+      payloadCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val kept = inSchema.fields.zipWithIndex.filter(_._2 != payloadIdx)
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("warc_seq", IntegerType, nullable = false),
+      StructField("warc_type", StringType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("http_status", IntegerType, nullable = false),
+      StructField("content_type", StringType, nullable = false),
+      StructField("body", BinaryType, nullable = false)))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseWarc(r.getAs[Array[Byte]](payloadIdx)).zipWithIndex.map {
+          case (rec, i) =>
+            val (status, ctype, body) =
+              if (rec.warcType == "response") {
+                val h = parseHttp(rec.payload)
+                (h.status, h.contentType, h.body)
+              } else (-1, "", rec.payload)
+            Row.fromSeq(keptIdx.toSeq.map(r.get) ++
+              Seq[Any](i, rec.warcType, rec.targetUri, status, ctype, body))
+        }
+      }
+    }(encoder)
+  }
+
   // ------------------------------------------------------- WET/WAT profiles
 
   /** WET profile (Common Crawl extracted-text sidecars): one row per

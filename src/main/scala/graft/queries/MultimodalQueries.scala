@@ -754,6 +754,65 @@ object MultimodalQueries extends QueryProvider {
       |    AS id3_size
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** CRAWL→MEDIA FLAGSHIP — crawl bytes feeding the MULTIMODAL side
+   *  (the binary complement of `pipeline_crawl_corpus`'s text chain):
+   *  each document's .warc.gz wraps an HTTP response whose body is a
+   *  REAL two-tone 16x16 BMP (left/right halves at doc-parity-chosen
+   *  gray levels), [[graft.operators.Warc.recordsBinary]] surfaces the
+   *  RAW body bytes (no text transcode), and
+   *  [[Multimodal.imagePhash]] (SniffCodec dispatch) collapses each to
+   *  its 64-bit aHash. The two-tone construction makes the signature
+   *  an EXACT closed form — each pooled cell equals its half's gray,
+   *  the mean splits them, and the bright half's bit pattern is
+   *  0xF0/0x0F per row byte — so the oracle predicts the hash value
+   *  itself, certifying decode + pooling + threshold + bit packing
+   *  through real crawl framing. 100 TB shape: per-row until the
+   *  single slim projection; blobs never shuffle. */
+  private def crawlMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val archives = T(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val (a, b) = if (id % 2 == 0) (100, 180) else (180, 20)
+        val rgb = new Array[Byte](16 * 16 * 3)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val v = (if (x < 8) a else b).toByte
+            val at = (y * 16 + x) * 3
+            rgb(at) = v; rgb(at + 1) = v; rgb(at + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        val bmp = Multimodal.Containers.encodeBmp(16, 16, rgb)
+        val uri = s"https://img.example.com/$id.bmp"
+        val gz = graft.operators.Warc.encodeWarcGz(Seq(
+          (Seq("WARC-Type" -> "warcinfo",
+            "WARC-Date" -> "2026-01-01T00:00:00Z"),
+            "software: graft\r\n".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)),
+          (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+            "WARC-Date" -> "2026-01-01T00:00:00Z"),
+            graft.operators.Warc.httpResponse(bmp, "image/bmp"))))
+        (id, gz)
+      }.toDF("doc_id", "payload")
+    val images = graft.operators.Warc.recordsBinary(archives, "payload")
+      .where(col("content_type").startsWith("image/") &&
+        col("http_status") === 200)
+      .select(col("doc_id"), col("content_type"), col("body"))
+    Multimodal.imagePhash(images.select(col("doc_id"), col("body")),
+        "body", "doc_id", codec = Multimodal.SniffCodec)
+      .select(col("doc").as("doc_id"), col("simhash"))
+  }
+
+  private val crawlMediaSql =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN -1085102592571150096
+      |            ELSE 1085102592571150095 END AS BIGINT) AS simhash
+      |FROM documents""".stripMargin
+
   /** EXIF METADATA WALK — the image-triage sibling of the ID3 tier:
    *  each document's payload is a REAL 8x8 baseline JPEG with an APP1
    *  Exif segment spliced after SOI (orientation, make/model, original
@@ -1130,6 +1189,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_meta"        -> (mp3Meta _),
     "mm_mp3_id3"         -> (mp3Id3 _),
     "mm_jpeg_exif"       -> (jpegExif _),
+    "pipeline_crawl_media" -> (crawlMedia _),
     "mm_mp3_decode"      -> (mp3Decode _),
     "mm_png_tiers"       -> (pngTiers _),
     "mm_webp_roundtrip"  -> (webpRoundtrip _),
@@ -1159,6 +1219,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_meta"        -> mp3MetaSql,
     "mm_mp3_id3"         -> mp3Id3Sql,
     "mm_jpeg_exif"       -> jpegExifSql,
+    "pipeline_crawl_media" -> crawlMediaSql,
     "mm_mp3_decode"      -> mp3DecodeSql,
     "mm_png_tiers"       -> pngTiersSql,
     "mm_webp_roundtrip"  -> webpRoundtripSql,

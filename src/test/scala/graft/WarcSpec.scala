@@ -100,6 +100,29 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 7L).map(_._2).sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("recordsBinary(): raw HTTP body bytes survive byte-exact (no " +
+      "text transcode), non-response payloads pass through raw") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    // a body that a UTF-8 transcode would destroy (invalid sequences)
+    val bin = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x80.toByte, 0x00,
+      0xC0.toByte, 0x1F, 0xFE.toByte)
+    val gz = Warc.encodeWarcGz(Seq(
+      (Seq("WARC-Type" -> "warcinfo"), "software: g\r\n".getBytes(UTF_8)),
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://x/1"),
+        Warc.httpResponse(bin, "image/jpeg"))))
+    val rows = Warc.recordsBinary(
+        Seq((5L, gz)).toDF("doc_id", "payload"), "payload")
+      .select("doc_id", "warc_type", "http_status", "content_type", "body")
+      .as[(Long, String, Int, String, Array[Byte])].collect()
+    assert(rows.length == 2)
+    val resp = rows.find(_._2 == "response").get
+    assert(resp._3 == 200 && resp._4 == "image/jpeg")
+    assert(resp._5.sameElements(bin), "binary body must be byte-exact")
+    val info = rows.find(_._2 == "warcinfo").get
+    assert(info._3 == -1 && new String(info._5, UTF_8) == "software: g\r\n")
+  }
+
   test("WET profile: conversion records surface the page text verbatim " +
       "(no HTTP framing), warcinfo leader dropped, refers-to header kept") {
     val spark = SparkTestSession.get
