@@ -577,6 +577,138 @@ object Multimodal {
      *  RGB, optional tRNS widens to RGBA; and BOTH interlace methods
      *  (none / Adam7 seven-pass, each pass an independently filtered
      *  sub-image). */
+    /** Encode a truecolor PNG carrying textual metadata chunks before
+     *  IDAT. `texts` entries are (keyword, text, kind) with kind
+     *  0 = tEXt (Latin-1), 1 = zTXt (deflated Latin-1), 2 = iTXt
+     *  uncompressed UTF-8, 3 = iTXt deflated UTF-8 (empty language /
+     *  translated-keyword fields). */
+    def encodePngWithText(w: Int, h: Int, rgb: Array[Byte],
+        texts: Seq[(String, String, Int)]): Array[Byte] = {
+      require(w > 0 && h > 0 && rgb.length == w * h * 3,
+        s"need w*h*3 = ${w * h * 3} RGB bytes, got ${rgb.length}")
+      val extra = texts.map { case (k, v, kind) =>
+        val kb = k.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        require(kb.length >= 1 && kb.length <= 79,
+          s"PNG keyword length ${kb.length} outside 1..79")
+        kind match {
+          case 0 => ("tEXt", kb ++ (0.toByte +:
+            v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+          case 1 => ("zTXt", kb ++ Array[Byte](0, 0) ++
+            deflateRaw(v.getBytes(
+              java.nio.charset.StandardCharsets.ISO_8859_1)))
+          case 2 => ("iTXt", kb ++ Array[Byte](0, 0, 0, 0, 0) ++
+            v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case 3 => ("iTXt", kb ++ Array[Byte](0, 1, 0, 0, 0) ++
+            deflateRaw(v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          case other => throw new IllegalArgumentException(
+            s"PNG text kind $other (0..3)")
+        }
+      }
+      val stride = w * 3
+      val raw = new Array[Byte](h * (stride + 1))
+      var y = 0
+      while (y < h) {
+        System.arraycopy(rgb, y * stride, raw, y * (stride + 1) + 1, stride)
+        y += 1
+      }
+      assemblePng(w, h, 8, 2, 0, extra, deflateRaw(raw))
+    }
+
+    /** Inflate with a hard output cap — text chunks are attacker bytes
+     *  and a deflated kilobyte can declare megabytes. */
+    private def inflateCapped(b: Array[Byte], off: Int, len: Int,
+        cap: Int, what: String): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(b, off, len)
+      val o = new java.io.ByteArrayOutputStream(math.min(len * 4, cap))
+      val tmp = new Array[Byte](4096)
+      try {
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(tmp)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                throw new IllegalArgumentException(
+                  s"$what: corrupt deflate stream (${e.getMessage})")
+            }
+          if (n == 0 && inf.needsInput()) throw new IllegalArgumentException(
+            s"$what: truncated deflate stream")
+          o.write(tmp, 0, n)
+          require(o.size() <= cap, s"$what exceeds the $cap-byte cap")
+        }
+      } finally inf.end()
+      o.toByteArray
+    }
+
+    /** Walk a PNG's textual metadata (PNG spec 11.3.4: tEXt, zTXt,
+     *  iTXt) and return (keyword, text) pairs in chunk order — the
+     *  image-side sibling of ID3/EXIF triage: Title/Author/Software/
+     *  Comment ride these chunks in real corpora. CRC-checked like the
+     *  pixel decoder; deflated text inflates under a 1 MiB cap; loud
+     *  NAMED failures for missing NUL separators, bad compression
+     *  methods and truncated chunks. 100 TB shape: per-payload linear
+     *  chunk walk, IDAT bytes skipped, blobs never shuffle. */
+    def pngTextChunks(p: Array[Byte]): Seq[(String, String)] = {
+      require(isPng(p), "not a PNG payload")
+      val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+      val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+      var at = 8
+      var sawIend = false
+      val out = Seq.newBuilder[(String, String)]
+      def nulAt(from: Int, end: Int, what: String): Int = {
+        var i = from
+        while (i < end && p(i) != 0) i += 1
+        require(i < end, s"$what: missing NUL separator")
+        i
+      }
+      while (at < p.length && !sawIend) {
+        require(at + 8 <= p.length, s"truncated PNG chunk header at $at")
+        val len = be32(p, at)
+        val typ = new String(p, at + 4, 4, "US-ASCII")
+        require(len >= 0 && at + 12 + len.toLong <= p.length,
+          s"truncated PNG chunk '$typ' at $at (len $len)")
+        require(be32(p, at + 8 + len) == crc(p, at + 4, 4 + len),
+          s"PNG chunk '$typ' at $at fails CRC — corrupt payload")
+        val d0 = at + 8
+        val dEnd = d0 + len
+        typ match {
+          case "tEXt" =>
+            val sep = nulAt(d0, dEnd, "tEXt")
+            out += ((new String(p, d0, sep - d0, Latin1),
+              new String(p, sep + 1, dEnd - sep - 1, Latin1)))
+          case "zTXt" =>
+            val sep = nulAt(d0, dEnd, "zTXt")
+            require(sep + 1 < dEnd, "zTXt: missing compression method")
+            require(p(sep + 1) == 0,
+              s"zTXt: unknown compression method ${p(sep + 1)}")
+            val text = inflateCapped(p, sep + 2, dEnd - sep - 2,
+              1 << 20, "zTXt text")
+            out += ((new String(p, d0, sep - d0, Latin1),
+              new String(text, Latin1)))
+          case "iTXt" =>
+            val sep = nulAt(d0, dEnd, "iTXt keyword")
+            require(sep + 2 < dEnd, "iTXt: missing compression fields")
+            val compFlag = p(sep + 1) & 0xFF
+            require(compFlag <= 1, s"iTXt: bad compression flag $compFlag")
+            require(p(sep + 2) == 0,
+              s"iTXt: unknown compression method ${p(sep + 2)}")
+            val langEnd = nulAt(sep + 3, dEnd, "iTXt language")
+            val trEnd = nulAt(langEnd + 1, dEnd, "iTXt translated keyword")
+            val body =
+              if (compFlag == 1) inflateCapped(p, trEnd + 1, dEnd - trEnd - 1,
+                1 << 20, "iTXt text")
+              else java.util.Arrays.copyOfRange(p, trEnd + 1, dEnd)
+            out += ((new String(p, d0, sep - d0, Latin1),
+              new String(body, Utf8)))
+          case "IEND" => sawIend = true
+          case _ => ()
+        }
+        at += 12 + len
+      }
+      require(sawIend, "PNG missing IEND — truncated payload")
+      out.result()
+    }
+
     def decodePng(p: Array[Byte]): (Int, Int, Int, String, Array[Float]) = {
       require(isPng(p), "not a PNG payload")
       var at = 8

@@ -754,6 +754,42 @@ object MultimodalQueries extends QueryProvider {
       |    AS id3_size
       |FROM k GROUP BY doc_id""".stripMargin
 
+  /** PNG TEXTUAL METADATA — the third leg of the metadata-triage trio
+   *  (ID3 audio, EXIF JPEG, PNG text): each document's payload is a
+   *  real 4x4 PNG carrying Title/Author/Software chunks spread across
+   *  ALL FOUR chunk kinds (tEXt, zTXt, iTXt plain, iTXt deflated) by
+   *  doc arithmetic; `pngTextChunks` walks them CRC-checked and
+   *  `decodePng` re-decodes the same payload (img_w) to prove the
+   *  extra chunks don't disturb the pixel path. The oracle predicts
+   *  every field from document columns. */
+  private def pngText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, source, lang) =>
+        val rgb = Array.fill(4 * 4 * 3)(((id * 11 + 7) % 256).toByte)
+        val png = Multimodal.Png.encodePngWithText(4, 4, rgb, Seq(
+          ("Title", s"Doc $id", (id % 4).toInt),
+          ("Author", source, ((id + 1) % 4).toInt),
+          ("Software", "graft " + lang, ((id + 2) % 4).toInt)))
+        val got = Multimodal.Png.pngTextChunks(png).toMap
+        val w = Multimodal.Png.decodePng(png)._1
+        (id, got.getOrElse("Title", ""), got.getOrElse("Author", ""),
+          got.getOrElse("Software", ""), got.size.toLong, w.toLong)
+      }
+      .toDF("doc_id", "title", "author", "software", "n_text", "img_w")
+  }
+
+  private val pngTextSql =
+    """SELECT doc_id,
+      |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |  source AS author,
+      |  'graft ' || lang AS software,
+      |  CAST(3 AS BIGINT) AS n_text,
+      |  CAST(4 AS BIGINT) AS img_w
+      |FROM documents""".stripMargin
+
   /** CRAWL→MEDIA FLAGSHIP — crawl bytes feeding the MULTIMODAL side
    *  (the binary complement of `pipeline_crawl_corpus`'s text chain):
    *  each document's .warc.gz wraps an HTTP response whose body is a
@@ -1190,6 +1226,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_id3"         -> (mp3Id3 _),
     "mm_jpeg_exif"       -> (jpegExif _),
     "pipeline_crawl_media" -> (crawlMedia _),
+    "mm_png_text"        -> (pngText _),
     "mm_mp3_decode"      -> (mp3Decode _),
     "mm_png_tiers"       -> (pngTiers _),
     "mm_webp_roundtrip"  -> (webpRoundtrip _),
@@ -1220,6 +1257,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_id3"         -> mp3Id3Sql,
     "mm_jpeg_exif"       -> jpegExifSql,
     "pipeline_crawl_media" -> crawlMediaSql,
+    "mm_png_text"        -> pngTextSql,
     "mm_mp3_decode"      -> mp3DecodeSql,
     "mm_png_tiers"       -> pngTiersSql,
     "mm_webp_roundtrip"  -> webpRoundtripSql,

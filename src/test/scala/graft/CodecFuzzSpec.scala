@@ -126,6 +126,25 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal.pngTextChunks: random and mutated text chunks fail NAMED") {
+    val rnd = new scala.util.Random(0xF022B)
+    val valid = Multimodal.Png.encodePngWithText(4, 4,
+      Array.tabulate(48)(i => (i * 5).toByte),
+      Seq(("Title", "A Doc", 0), ("Author", "Someone", 1),
+        ("Comment", "note", 3)))
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(5))
+        else {
+          val r = new Array[Byte](12 + rnd.nextInt(300))
+          rnd.nextBytes(r)
+          System.arraycopy(valid, 0, r, 0, 8) // PNG signature
+          r
+        }
+      attempt("pngtext", t)(Multimodal.Png.pngTextChunks(p))
+    }
+  }
+
   test("Exif.exifMeta: random and mutated APP1 blocks fail NAMED") {
     val rnd = new scala.util.Random(0xF022A)
     val jpeg = Jpeg.encodeGray(8, 8, Array.tabulate(64)(i => (i * 5).toByte))

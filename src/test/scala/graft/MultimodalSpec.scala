@@ -896,6 +896,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(srD == 44100 && pcmD.length == 6 * 1152 && pcmD.forall(_ == 0f))
   }
 
+  test("Png text chunks: all four kinds round-trip (tEXt/zTXt/iTXt " +
+      "plain+deflated, unicode through iTXt), pixels undisturbed, " +
+      "malformed chunks reject by name") {
+    import graft.operators.Multimodal.{Containers, Png}
+    val rgb = Array.tabulate(48)(i => (i * 5).toByte)
+    val texts = Seq(("Title", "A Doc", 0), ("Author", "Someone", 1),
+      ("Comment", "café 🎵 note", 2), ("Software", "graft", 3))
+    val png = Png.encodePngWithText(4, 4, rgb, texts)
+    assert(Png.pngTextChunks(png) ==
+      texts.map(t => (t._1, t._2)))
+    // the pixel path ignores the text chunks entirely
+    val (w, h, _, _, px) = Png.decodePng(png)
+    val (_, _, _, _, px0) = Png.decodePng(Png.encodePng(4, 4, rgb))
+    assert((w, h) == ((4, 4)) && px.sameElements(px0))
+    // a plain PNG has no text chunks
+    assert(Png.pngTextChunks(Png.encodePng(4, 4, rgb)).isEmpty)
+    // named failures: CRC corruption, bad zTXt method, corrupt deflate
+    val c1 = png.clone(); c1(40) = (c1(40) ^ 0x55).toByte
+    val eC = intercept[IllegalArgumentException](Png.pngTextChunks(c1))
+    assert(eC.getMessage.contains("CRC"), eC.getMessage)
+    // find the zTXt chunk and break its method byte (re-CRC would be
+    // needed for a targeted test, so assert via a hand-built chunk walk:
+    // encode with kind 1 only, then flip the method byte AND fix CRC)
+    val z = Png.encodePngWithText(4, 4, rgb, Seq(("K", "vv", 1)))
+    // locate "zTXt" type bytes
+    val zi = (0 until z.length - 4).find(i => z(i) == 'z' && z(i + 1) == 'T' &&
+      z(i + 2) == 'X' && z(i + 3) == 't').get
+    val mLen = ((z(zi - 4) & 0xFF) << 24) | ((z(zi - 3) & 0xFF) << 16) |
+      ((z(zi - 2) & 0xFF) << 8) | (z(zi - 1) & 0xFF)
+    z(zi + 4 + 2) = 9 // method byte after "K\0"
+    // recompute the chunk CRC (type + data) with the PNG CRC-32
+    val crc = new java.util.zip.CRC32()
+    crc.update(z, zi, 4 + mLen)
+    val cv = crc.getValue.toInt
+    z(zi + 4 + mLen) = ((cv >> 24) & 0xFF).toByte
+    z(zi + 5 + mLen) = ((cv >> 16) & 0xFF).toByte
+    z(zi + 6 + mLen) = ((cv >> 8) & 0xFF).toByte
+    z(zi + 7 + mLen) = (cv & 0xFF).toByte
+    val eM = intercept[IllegalArgumentException](Png.pngTextChunks(z))
+    assert(eM.getMessage.contains("compression method"), eM.getMessage)
+  }
+
   test("Exif: APP1 walk recovers orientation/make/model/date/dims in " +
       "both byte orders, inline and offset ASCII placement; absent tag " +
       "yields the ABSENT meta; malformed blocks reject by name; the " +

@@ -158,6 +158,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "batch face still carries a forced broadcast hint AQE cannot refuse")
   }
 
+  test("r15 sidecar/media rows keep their 100TB shapes: WAT extraction " +
+      "is a pure scan projection, the media chain never shuffles, the " +
+      "accounting rows keep map-side partials, and no politeness face " +
+      "carries a forced broadcast hint") {
+    // io_wat_extract / pipeline_crawl_media: per-row chains — any
+    // Exchange means a blob or per-row computation started shuffling
+    for (q <- Seq("io_wat_extract", "pipeline_crawl_media")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles a per-row chain")
+    }
+    // accounting flagships: slim keyed groupBys with map-side partials
+    for (q <- Seq("pipeline_wet_ingest", "pipeline_wat_links")) {
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q lost map-side partial aggregation")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // politeness batch faces: AQE must stay free to refuse a broadcast
+    for (q <- Seq("pipeline_frontier_admit", "pipeline_crawl_loop")) {
+      val lp = SparkEntry.benchQueries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!lp.contains("strategy=broadcast"),
+        s"$q carries a forced broadcast hint")
+    }
+  }
+
   test("crawlDecide gate face: a bounded micro-batch still broadcasts " +
       "the batch-host probe and the sliced robots build side") {
     // The streaming gate passes broadcastBounded=true (micro-batches are
