@@ -631,6 +631,9 @@ object Multimodal {
                 throw new IllegalArgumentException(
                   s"$what: corrupt deflate stream (${e.getMessage})")
             }
+          if (n == 0 && inf.needsDictionary())
+            throw new IllegalArgumentException(
+              s"$what: preset-dictionary zlib stream (FDICT) not supported")
           if (n == 0 && inf.needsInput()) throw new IllegalArgumentException(
             s"$what: truncated deflate stream")
           o.write(tmp, 0, n)

@@ -936,6 +936,25 @@ class MultimodalSpec extends AnyFunSuite {
     z(zi + 7 + mLen) = (cv & 0xFF).toByte
     val eM = intercept[IllegalArgumentException](Png.pngTextChunks(z))
     assert(eM.getMessage.contains("compression method"), eM.getMessage)
+    // FDICT-flagged zlib (preset dictionary) must reject by name, not
+    // spin the inflate loop forever (the IDAT loop's same guard)
+    val zd = Png.encodePngWithText(4, 4, rgb, Seq(("K", "vv", 1)))
+    val zj = (0 until zd.length - 4).find(i => zd(i) == 'z' &&
+      zd(i + 1) == 'T' && zd(i + 2) == 'X' && zd(i + 3) == 't').get
+    val dLen = ((zd(zj - 4) & 0xFF) << 24) | ((zd(zj - 3) & 0xFF) << 16) |
+      ((zd(zj - 2) & 0xFF) << 8) | (zd(zj - 1) & 0xFF)
+    zd(zj + 4 + 3) = 0x78 // zlib CMF
+    zd(zj + 4 + 4) = 0x20 // FLG: FDICT set, check bits valid (120*256+32)%31==0
+    val crcD = new java.util.zip.CRC32()
+    crcD.update(zd, zj, 4 + dLen)
+    val cvD = crcD.getValue.toInt
+    zd(zj + 4 + dLen) = ((cvD >> 24) & 0xFF).toByte
+    zd(zj + 5 + dLen) = ((cvD >> 16) & 0xFF).toByte
+    zd(zj + 6 + dLen) = ((cvD >> 8) & 0xFF).toByte
+    zd(zj + 7 + dLen) = (cvD & 0xFF).toByte
+    val eD = intercept[IllegalArgumentException](Png.pngTextChunks(zd))
+    assert(eD.getMessage.contains("preset-dictionary") ||
+      eD.getMessage.contains("truncated"), eD.getMessage)
   }
 
   test("Exif: APP1 walk recovers orientation/make/model/date/dims in " +
