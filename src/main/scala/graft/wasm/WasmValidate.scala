@@ -80,6 +80,9 @@ object WasmValidate {
         s"type ${tyName(g.valType)}")
     }
 
+    m.exports.groupBy(_.name).foreach { case (n, es) =>
+      if (es.size > 1) err(s"duplicate export name `$n`")
+    }
     m.exports.foreach { e =>
       e.kind match {
         case 0 => if (e.idx < 0 || e.idx >= nFuncs)

@@ -463,6 +463,9 @@ class WasmSpec extends AnyFunSuite with Matchers {
     // function/code section count mismatch (a classic fuzz shape)
     reject("code section")(func(Vector(), Vector(), Vector(), Nop)
       .copy(funcTypeIdxs = Vector(0, 0)))
+    // duplicate export names (spec: export names are unique)
+    reject("duplicate export")(func(Vector(), Vector(), Vector(), Nop)
+      .copy(exports = Vector(WasmExport("f", 0, 0), WasmExport("f", 0, 0))))
     // ...while unreachable POLYMORPHISM stays accepted: dead code may
     // conjure any types (spec's bottom type), so these validate and
     // trap only when executed
