@@ -205,6 +205,11 @@ object Exif {
     // --- assemble: SOI, APP1(Exif), rest of the original JPEG ---
     o.write(0xFF); o.write(0xD8)
     o.write(0xFF); o.write(0xE1)
+    // the JPEG segment length is 16-bit; oversize strings would wrap it
+    // and silently emit a corrupt fixture instead of failing by name
+    require(2 + 6 + tiff.length <= 0xFFFF,
+      s"Exif APP1 payload ${tiff.length} B overflows the 16-bit JPEG " +
+        "segment length")
     w16be(2 + 6 + tiff.length)
     o.write('E'); o.write('x'); o.write('i'); o.write('f')
     o.write(0); o.write(0)

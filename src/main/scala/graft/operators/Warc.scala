@@ -127,7 +127,10 @@ object Warc {
   }
 
   /** Split an HTTP/1.x message payload (response or request record
-   *  block) into status + headers + body. */
+   *  block) into status + headers + body. A `Transfer-Encoding:
+   *  chunked` body is DECHUNKED here (raw WARC captures preserve the
+   *  wire framing), so `Http.body` always holds entity bytes — the
+   *  binary media path and the text path both see transfer decoding. */
   def parseHttp(payload: Array[Byte]): Http = {
     val lEnd = crlfAt(payload, 0)
     val statusLine = new String(payload, 0, lEnd, UTF_8)
@@ -151,8 +154,59 @@ object Warc {
       }
       at = e + 2
     }
-    Http(status, hdrs.result(),
-      java.util.Arrays.copyOfRange(payload, at, payload.length))
+    val headers = hdrs.result()
+    val chunked = headers.exists { case (k, v) =>
+      k.equalsIgnoreCase("Transfer-Encoding") &&
+        v.toLowerCase(java.util.Locale.ROOT).contains("chunked")
+    }
+    val body =
+      if (chunked) dechunk(payload, at)
+      else java.util.Arrays.copyOfRange(payload, at, payload.length)
+    Http(status, headers, body)
+  }
+
+  /** RFC 9112 §7.1 chunked transfer decoding: hex size line (chunk
+   *  extensions after ';' ignored), chunk data, CRLF, repeated to the
+   *  zero chunk, then optional trailer fields to a blank line. Loud
+   *  NAMED failures on hostile framing: non-hex or empty size, a size
+   *  line over 8 hex digits (a >4 GiB chunk is bogus in a capture),
+   *  truncated chunk data, missing chunk-terminating CRLF, missing
+   *  zero-chunk/trailer terminator. Total output is bounded by the
+   *  payload length, so no inflation guard is needed. */
+  private def dechunk(p: Array[Byte], from: Int): Array[Byte] = {
+    val o = new ByteArrayOutputStream(math.max(16, p.length - from))
+    var at = from
+    var done = false
+    while (!done) {
+      val e = crlfAt(p, at)
+      val line = new String(p, at, e - at, UTF_8)
+      val semi = line.indexOf(';')
+      val hex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      require(hex.nonEmpty && hex.length <= 8 &&
+        hex.forall(c => Character.digit(c, 16) >= 0),
+        s"bad HTTP chunk-size line '${line.take(40)}'")
+      val n = java.lang.Long.parseLong(hex, 16)
+      at = e + 2
+      if (n == 0L) {
+        // trailer fields (ignored) until the blank line
+        var blank = false
+        while (!blank) {
+          val te = crlfAt(p, at)
+          if (te == at) blank = true
+          at = te + 2
+        }
+        done = true
+      } else {
+        require(at + n <= p.length, s"truncated HTTP chunk ($n B at $at, " +
+          s"${p.length} total)")
+        o.write(p, at, n.toInt)
+        at += n.toInt
+        require(at + 1 < p.length && p(at) == '\r' && p(at + 1) == '\n',
+          s"HTTP chunk missing terminating CRLF at byte $at")
+        at += 2
+      }
+    }
+    o.toByteArray
   }
 
   private def crlfAt(p: Array[Byte], from: Int): Int = {
@@ -201,6 +255,54 @@ object Warc {
       c.contains("x-www-form-urlencoded")
   }
 
+  private val CharsetParamRe = java.util.regex.Pattern.compile(
+    "(?i)charset\\s*=\\s*\"?\\s*([A-Za-z0-9_.:+-]+)")
+  // matches both <meta charset=...> and the http-equiv Content-Type
+  // form (whose content attribute contains charset=... inside the tag)
+  private val MetaCharsetRe = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]*charset\\s*=\\s*['\"]?\\s*([A-Za-z0-9_.:+-]+)")
+
+  /** Map a charset label to a JDK charset. Follows the WHATWG encoding
+   *  mapping where it matters for crawl text: iso-8859-1 / latin1 /
+   *  us-ascii labels decode as windows-1252 (its superset — bytes
+   *  0x80–0x9F are the typographic quotes/euro real "latin-1" pages
+   *  actually carry, not C1 controls). Unknown labels return None (the
+   *  caller falls back to UTF-8) — a typo'd header must not kill a
+   *  100 TB scan. */
+  def charsetFromLabel(label: String): Option[java.nio.charset.Charset] =
+    label.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "" => None
+      case "utf-8" | "utf8" | "unicode-1-1-utf-8" =>
+        Some(UTF_8)
+      case "iso-8859-1" | "iso8859-1" | "iso_8859-1" | "latin1" |
+           "latin-1" | "l1" | "us-ascii" | "ascii" | "windows-1252" |
+           "cp1252" | "x-cp1252" =>
+        Some(java.nio.charset.Charset.forName("windows-1252"))
+      case other =>
+        try Some(java.nio.charset.Charset.forName(other))
+        catch { case _: IllegalArgumentException |
+                     _: java.nio.charset.UnsupportedCharsetException => None }
+    }
+
+  /** Charset for a text response body, in the order real crawl
+   *  consumers resolve it: the Content-Type `charset` parameter, then
+   *  an HTML meta prescan over the first 1024 body bytes (the HTML5
+   *  prescan window, byte-transparently decoded as latin-1), then
+   *  UTF-8. */
+  def bodyCharset(contentType: String,
+      body: Array[Byte]): java.nio.charset.Charset = {
+    val fromHeader = {
+      val m = CharsetParamRe.matcher(contentType)
+      if (m.find()) charsetFromLabel(m.group(1)) else None
+    }
+    fromHeader.orElse {
+      val window = new String(body, 0, math.min(body.length, 1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = MetaCharsetRe.matcher(window)
+      if (m.find()) charsetFromLabel(m.group(1)) else None
+    }.getOrElse(UTF_8)
+  }
+
   // ------------------------------------------------------------------ op
 
   /** Explode a .warc(.gz) payload column into one row per record:
@@ -214,6 +316,14 @@ object Warc {
    *  string rather than a lossy UTF-8 transcode of binary bytes —
    *  image/gzip payloads keep their type + status metadata only. Route
    *  binary payloads through the multimodal codecs instead.
+   *
+   *  CHARSET-AWARE: text bodies transcode via [[bodyCharset]]
+   *  (Content-Type charset parameter → HTML meta prescan → UTF-8;
+   *  latin-1-family labels decode as windows-1252 per the WHATWG
+   *  mapping) — a blind UTF-8 decode would mojibake the ~10–20% of
+   *  real crawl responses labeled ISO-8859-1/windows-1252 and poison
+   *  langid/quality/dedup downstream. Chunked transfer framing is
+   *  removed in [[parseHttp]] before any decode.
    *
    *  Partition-local 1:N explode — payload dropped so record rows
    *  shuffle, archive blobs never; lazy over the partition iterator. */
@@ -242,7 +352,8 @@ object Warc {
               if (isHttp) {
                 val h = parseHttp(rec.payload)
                 val text = if (isTextContentType(h.contentType))
-                  new String(h.body, UTF_8) else ""
+                  new String(h.body, bodyCharset(h.contentType, h.body))
+                else ""
                 (h.status, h.contentType, text)
               } else (-1, "", new String(rec.payload, UTF_8))
             Row.fromSeq(keptIdx.toSeq.map(r.get) ++
@@ -360,6 +471,39 @@ object Warc {
         Row.fromSeq(r.toSeq :+ gz)
       }
     }(encoder)
+  }
+
+  /** An HTTP/1.1 200 response payload with explicit body BYTES and
+   *  optional chunked framing: `chunkSize > 0` splits the body into
+   *  chunks of that many bytes (a chunk extension on the first chunk
+   *  and a trailer field after the zero chunk — shapes a decoder must
+   *  ignore per RFC 9112), `0` uses Content-Length. Deterministic, so
+   *  charset/chunked oracles replay the content. */
+  def httpResponseBytes(body: Array[Byte], contentType: String,
+      chunkSize: Int = 0): Array[Byte] = {
+    val h = new ByteArrayOutputStream(body.length + 160)
+    def w(s: String): Unit = h.write(s.getBytes(UTF_8))
+    w("HTTP/1.1 200 OK\r\n")
+    if (contentType.nonEmpty) w(s"Content-Type: $contentType\r\n")
+    if (chunkSize > 0) {
+      w("Transfer-Encoding: chunked\r\n\r\n")
+      var at = 0
+      var first = true
+      while (at < body.length) {
+        val n = math.min(chunkSize, body.length - at)
+        w(java.lang.Integer.toHexString(n) +
+          (if (first) ";ext=ignored" else "") + "\r\n")
+        h.write(body, at, n)
+        w("\r\n")
+        at += n
+        first = false
+      }
+      w("0\r\nX-Graft-Trailer: t\r\n\r\n")
+    } else {
+      w(s"Content-Length: ${body.length}\r\n\r\n")
+      h.write(body, 0, body.length)
+    }
+    h.toByteArray
   }
 
   /** An HTTP/1.1 200 response payload with a text/html body. */

@@ -910,7 +910,10 @@ object MultimodalQueries extends QueryProvider {
       .as[(Long, String, String)]
       .map { case (id, source, lang) =>
         val version = if (id % 2 == 0) 3 else 4
-        val enc = (if (version == 3) id % 2 else id % 4).toInt
+        // decorrelated from the version parity: v2.4 rows (odd ids) walk
+        // id/2 over 0..3 so UTF-16BE (enc 2) is actually exercised here,
+        // not just in MultimodalSpec
+        val enc = (if (version == 3) (id / 2) % 2 else (id / 2) % 4).toInt
         val tag = graft.operators.Mp3.encodeId3v2(Seq(
           "TIT2" -> s"Doc $id", "TPE1" -> source, "TALB" -> lang,
           "TDRC" -> (2020 + id % 5).toString),

@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import graft.operators.{C4Clean, Html, TextAnalysis}
 import org.apache.spark.sql.graft.HtmlText
 import org.apache.spark.sql.functions._
@@ -183,6 +185,80 @@ object WebQueries extends QueryProvider {
       |  CAST(200 AS INTEGER) AS http_status,
       |  'text/html; charset=UTF-8' AS content_type,
       |  $expectedExtractSql AS extracted
+      |FROM documents""".stripMargin
+
+  /** CHARSET + CHUNKED TRANSFER DECODE — the wire-reality tier of the
+   *  WARC walk: each document rides a real .warc.gz response whose
+   *  HTTP body exercises one of four decode paths by doc parity —
+   *  (0) Content-Length + charset=utf-8 parameter, (1) windows-1252
+   *  BYTES labeled iso-8859-1 in Content-Type (certifying the WHATWG
+   *  latin-1→cp1252 mapping on a euro-sign byte 0x80), (2) cp1252
+   *  declared ONLY via `<meta charset>` in the body prescan window,
+   *  (3) `Transfer-Encoding: chunked` UTF-8 with 7-byte chunks (so
+   *  multi-byte sequences split across chunk boundaries) + an
+   *  http-equiv meta declaration, a chunk extension and a trailer
+   *  field. The oracle predicts the exact transcoded text from
+   *  document columns (chr() code points keep the source ASCII) — a
+   *  dechunk slip shifts bytes, a charset slip mojibakes them.
+   *  100 TB shape: identical to `io_warc_extract` — per-payload
+   *  linear decode, archive blobs never shuffle. */
+  private def warcCharset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cp1252 = "windows-1252"
+    val archives = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, source, lang) =>
+        val mode = (id % 4).toInt
+        val uri = s"https://example.com/doc/$id"
+        val (ctype, bytes, chunk) = mode match {
+          case 0 => ("text/plain; charset=utf-8",
+            s"plain $source doc $id.".getBytes(UTF_8), 0)
+          case 1 => ("text/plain; charset=iso-8859-1",
+            // \u escapes keep the source ASCII: e-acute, euro, a-grave
+            ("Caf\u00e9 \u20ac" + lang + " d\u00e9j\u00e0")
+              .getBytes(cp1252), 0)
+          case 2 => ("text/html",
+            ("<html><head><meta charset=\"windows-1252\"></head><body>" +
+              "\u2122" + source + "\u2122 na\u00efve</body></html>")
+              .getBytes(cp1252), 0)
+          case _ => ("text/html",
+            ("<html><head><meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=utf-8\"></head><body>" +
+              "h\u00e9llo \u2014 " + lang + " #" + id + "</body></html>")
+              .getBytes(UTF_8), 7)
+        }
+        val payload = graft.operators.Warc.encodeWarcGz(Seq((Seq(
+          "WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+          "WARC-Date" -> "2026-01-01T00:00:00Z"),
+          graft.operators.Warc.httpResponseBytes(bytes, ctype, chunk))))
+        (id, mode.toLong, payload)
+      }.toDF("doc_id", "mode", "payload")
+    graft.operators.Warc.records(archives, "payload")
+      .select(col("doc_id"), col("mode"), col("http_status"),
+        col("content_type"), col("body").as("text"))
+  }
+
+  private val warcCharsetSql =
+    """SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS mode,
+      |  CAST(200 AS INTEGER) AS http_status,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'text/plain; charset=utf-8'
+      |    WHEN 1 THEN 'text/plain; charset=iso-8859-1'
+      |    ELSE 'text/html' END AS content_type,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'plain ' || source || ' doc '
+      |      || CAST(doc_id AS VARCHAR) || '.'
+      |    WHEN 1 THEN 'Caf' || chr(233) || ' ' || chr(8364) || lang
+      |      || ' d' || chr(233) || 'j' || chr(224)
+      |    WHEN 2 THEN '<html><head><meta charset="windows-1252"></head><body>'
+      |      || chr(8482) || source || chr(8482) || ' na' || chr(239)
+      |      || 've</body></html>'
+      |    ELSE '<html><head><meta http-equiv="Content-Type" '
+      |      || 'content="text/html; charset=utf-8"></head><body>h'
+      |      || chr(233) || 'llo ' || chr(8212) || ' ' || lang || ' #'
+      |      || CAST(doc_id AS VARCHAR) || '</body></html>'
+      |  END AS text
       |FROM documents""".stripMargin
 
   /** CRAWL POLITENESS — RFC 9309 robots.txt decisions: each document
@@ -922,20 +998,27 @@ object WebQueries extends QueryProvider {
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 5 = 0 THEN 'fresh-' || source
       |         ELSE source END || '.example.com' AS host,
+      |    'https://' || CASE WHEN doc_id % 5 = 0 THEN 'fresh-' || source
+      |         ELSE source END || '.example.com/doc/'
+      |      || CAST(doc_id AS VARCHAR) AS url,
       |    doc_id * 150 AS ts_ms
       |  FROM documents
       |), j AS (
-      |  SELECT c.doc_id, c.host, c.ts_ms,
+      |  SELECT c.doc_id, c.host, c.url, c.ts_ms,
       |    coalesce(l.next_eligible_ms, -1) AS next_eligible_ms,
       |    (c.ts_ms >= greatest(coalesce(l.next_eligible_ms, -1), 0))
       |      AS eligible
       |  FROM cand c LEFT JOIN ledger l ON c.host = l.host
       |), w AS (
-      |  SELECT host, min(ts_ms) AS wts FROM j WHERE eligible GROUP BY host
+      |  SELECT host, doc_id AS win_doc FROM (
+      |    SELECT host, doc_id,
+      |      row_number() OVER (PARTITION BY host ORDER BY ts_ms, url) AS rn
+      |    FROM j WHERE eligible)
+      |  WHERE rn = 1
       |)
       |SELECT j.doc_id, j.host, CAST(j.ts_ms AS BIGINT) AS ts_ms,
       |  CAST(j.next_eligible_ms AS BIGINT) AS next_eligible_ms,
-      |  coalesce(j.eligible AND j.ts_ms = w.wts, false) AS admitted
+      |  coalesce(j.eligible AND j.doc_id = w.win_doc, false) AS admitted
       |FROM j LEFT JOIN w ON j.host = w.host""".stripMargin
 
   /** CRAWL LOOP FLAGSHIP — the WHOLE politeness loop in one chain,
@@ -1014,16 +1097,24 @@ object WebQueries extends QueryProvider {
       |  FROM audit a LEFT JOIN fetches f ON a.host = f.host
       |), j AS (
       |  SELECT u.doc_id, u.host, u.allowed, u.doc_id * 150 AS ts_ms,
+      |    'https://' || u.source || '.example.com'
+      |      || CASE WHEN u.doc_id % 2 = 0 THEN '/private/doc'
+      |              ELSE '/pub/doc' END
+      |      || CAST(u.doc_id AS VARCHAR) AS url,
       |    coalesce(l.next_eligible_ms, -1) AS next_eligible_ms,
       |    (u.doc_id * 150 >= greatest(coalesce(l.next_eligible_ms, -1), 0))
       |      AS eligible
       |  FROM u LEFT JOIN ledger l ON u.host = l.host
       |), w AS (
-      |  SELECT host, min(ts_ms) AS wts FROM j WHERE eligible GROUP BY host
+      |  SELECT host, doc_id AS win_doc FROM (
+      |    SELECT host, doc_id,
+      |      row_number() OVER (PARTITION BY host ORDER BY ts_ms, url) AS rn
+      |    FROM j WHERE eligible)
+      |  WHERE rn = 1
       |)
       |SELECT j.doc_id, j.host, j.allowed, CAST(j.ts_ms AS BIGINT) AS ts_ms,
       |  CAST(j.next_eligible_ms AS BIGINT) AS next_eligible_ms,
-      |  coalesce(j.eligible AND j.ts_ms = w.wts, false) AS admitted
+      |  coalesce(j.eligible AND j.doc_id = w.win_doc, false) AS admitted
       |FROM j LEFT JOIN w ON j.host = w.host""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1035,6 +1126,7 @@ object WebQueries extends QueryProvider {
     "text_html_extract" -> (htmlExtract _),
     "pipeline_web_extract" -> (webExtract _),
     "io_warc_extract" -> (warcExtract _),
+    "io_warc_charset" -> (warcCharset _),
     "text_html_tables" -> (htmlTables _),
     "text_robots" -> (robotsDecide _),
     "text_sitemap" -> (sitemapEntries _),
@@ -1056,6 +1148,7 @@ object WebQueries extends QueryProvider {
     "text_html_extract" -> htmlExtractSql,
     "pipeline_web_extract" -> webExtractSql,
     "io_warc_extract" -> warcExtractSql,
+    "io_warc_charset" -> warcCharsetSql,
     "text_html_tables" -> htmlTablesSql,
     "text_robots" -> robotsDecideSql,
     "text_sitemap" -> sitemapSql,

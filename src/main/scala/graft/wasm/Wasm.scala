@@ -235,7 +235,19 @@ object WasmBinary {
      *  multi-value form) maps to `-1 - idx`. */
     def blocktype(): Int = {
       val v = s64()
-      if (v >= 0) -1 - v.toInt else (v.toInt & 0x7F)
+      if (v >= 0) -1 - v.toInt
+      else (v.toInt & 0x7F) match {
+        // only 0x40 (empty) and the valtype bytes are legal negative
+        // blocktypes — an unvetted byte here would thread an opaque
+        // "type" through validation frames as if legitimate
+        case b if b == 0x40 || (b >= 0x7B && b <= 0x7F) ||
+          b == 0x70 || b == 0x6F => b
+        case b if gcHeapTypeName(b) != null => throw new WasmDecodeError(
+          f"wasm-gc heap type ${gcHeapTypeName(b)} (0x$b%02X) blocktype " +
+            "not supported by this engine")
+        case other => throw new WasmDecodeError(
+          f"bad blocktype value type 0x$other%02X")
+      }
     }
     def bytes(n: Int): Array[Byte] = {
       if (n < 0 || pos + n.toLong > b.length) throw new WasmDecodeError(

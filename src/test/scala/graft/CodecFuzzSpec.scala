@@ -189,6 +189,27 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("Warc.parseHttp: random and mutated CHUNKED responses fail NAMED") {
+    val rnd = new scala.util.Random(0xF0227)
+    val body = Array.tabulate(97)(i => (i * 7 + 1).toByte)
+    val valid = Warc.httpResponseBytes(body, "application/octet-stream",
+      chunkSize = 13)
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(5))
+        else {
+          // random chunk framing behind a real chunked header
+          val head = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            .getBytes
+          val r = new Array[Byte](head.length + rnd.nextInt(200))
+          rnd.nextBytes(r)
+          System.arraycopy(head, 0, r, 0, head.length)
+          r
+        }
+      attempt("chunked", t)(Warc.parseHttp(p))
+    }
+  }
+
   test("text parsers (Html extract/main/tables, Robots, Sitemap, Urls): " +
       "random text never throws at all") {
     val rnd = new scala.util.Random(0xF0225)

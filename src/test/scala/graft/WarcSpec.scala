@@ -75,6 +75,81 @@ class WarcSpec extends AnyFunSuite {
     assert(eH.getMessage.contains("HTTP status line"), eH.getMessage)
   }
 
+  test("chunked transfer decoding: chunk extension + trailer ignored, " +
+      "multi-byte UTF-8 sequences reassemble across chunk boundaries, " +
+      "binary path sees the same entity bytes") {
+    val text = "héllo — wörld € chunked body"
+    val bytes = text.getBytes(UTF_8)
+    val payload = Warc.httpResponseBytes(bytes, "text/plain; charset=utf-8",
+      chunkSize = 7)
+    // the wire form really is chunked: hex sizes + a trailer
+    val wire = new String(payload, UTF_8)
+    assert(wire.contains("Transfer-Encoding: chunked"))
+    assert(wire.contains("7;ext=ignored\r\n"))
+    assert(wire.contains("X-Graft-Trailer"))
+    val http = Warc.parseHttp(payload)
+    assert(http.status == 200)
+    assert(http.body.sameElements(bytes), "dechunked entity must be byte-exact")
+    assert(new String(http.body, UTF_8) == text)
+    // non-chunked form of the same body parses to the same entity
+    val plain = Warc.parseHttp(Warc.httpResponseBytes(bytes,
+      "text/plain; charset=utf-8"))
+    assert(plain.body.sameElements(http.body))
+  }
+
+  test("hostile chunk framing fails NAMED: non-hex size, oversize hex " +
+      "line, truncated chunk, missing chunk CRLF, missing terminator") {
+    def resp(framing: String): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + framing)
+        .getBytes(UTF_8)
+    val eHex = intercept[IllegalArgumentException](
+      Warc.parseHttp(resp("zz\r\nab\r\n0\r\n\r\n")))
+    assert(eHex.getMessage.contains("chunk-size"), eHex.getMessage)
+    val eBig = intercept[IllegalArgumentException](
+      Warc.parseHttp(resp("fffffffff\r\nab\r\n0\r\n\r\n")))
+    assert(eBig.getMessage.contains("chunk-size"), eBig.getMessage)
+    val eTrunc = intercept[IllegalArgumentException](
+      Warc.parseHttp(resp("ff\r\nshort\r\n0\r\n\r\n")))
+    assert(eTrunc.getMessage.contains("truncated"), eTrunc.getMessage)
+    val eCrlf = intercept[IllegalArgumentException](
+      Warc.parseHttp(resp("2\r\nabXX0\r\n\r\n")))
+    assert(eCrlf.getMessage.contains("CRLF"), eCrlf.getMessage)
+    val eEnd = intercept[IllegalArgumentException](
+      Warc.parseHttp(resp("2\r\nab\r\n")))
+    assert(eEnd.getMessage.contains("CRLF"), eEnd.getMessage)
+  }
+
+  test("charset resolution order: Content-Type param beats meta, meta " +
+      "beats the UTF-8 default; latin-1-family labels map to cp1252; " +
+      "unknown labels fall back to UTF-8") {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    // header param wins even when a meta disagrees
+    val metaBody = "<meta charset=\"utf-8\"><p>x</p>".getBytes(cp1252)
+    assert(Warc.bodyCharset("text/html; charset=iso-8859-1", metaBody)
+      == cp1252)
+    // meta charset form
+    assert(Warc.bodyCharset("text/html",
+      "<html><head><meta charset=windows-1252></head>".getBytes(UTF_8))
+      == cp1252)
+    // http-equiv form
+    assert(Warc.bodyCharset("text/html",
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=ISO-8859-1\">").getBytes(UTF_8)) == cp1252)
+    // prescan window: a meta beyond 1024 bytes is NOT honored
+    val far = (" " * 1100) + "<meta charset=windows-1252>"
+    assert(Warc.bodyCharset("text/html", far.getBytes(UTF_8))
+      == java.nio.charset.StandardCharsets.UTF_8)
+    // defaults + unknown label
+    assert(Warc.bodyCharset("text/plain", Array.emptyByteArray)
+      == java.nio.charset.StandardCharsets.UTF_8)
+    assert(Warc.bodyCharset("text/plain; charset=no-such-charset-99",
+      Array.emptyByteArray) == java.nio.charset.StandardCharsets.UTF_8)
+    // a cp1252 euro byte (0x80) survives the mapped decode
+    val euro = Array[Byte](0x80.toByte)
+    assert(new String(euro,
+      Warc.bodyCharset("text/plain; charset=latin1", euro)) == "€")
+  }
+
   test("records(): Spark-side 1:N explode keeps doc keys, splits the " +
       "response, passes non-HTTP records through with status -1") {
     val spark = SparkTestSession.get
