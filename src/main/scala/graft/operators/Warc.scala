@@ -221,10 +221,21 @@ object Warc {
   /** Serialize records as a .warc.gz with ONE GZIP MEMBER PER RECORD
    *  (the Common Crawl layout). Adds Content-Length; everything else is
    *  caller-supplied so fixtures stay deterministic. */
-  def encodeWarcGz(records: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] = {
+  def encodeWarcGz(records: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] =
+    encodeWarcGzIndexed(records)._1
+
+  /** [[encodeWarcGz]] plus the per-member (offset, length) index — the
+   *  byte ranges a CDX sidecar records so consumers can range-read ONE
+   *  record out of a multi-GiB archive. Each member is independently
+   *  gunzippable, which is the whole point of the record-per-member
+   *  layout. */
+  def encodeWarcGzIndexed(records: Seq[(Seq[(String, String)], Array[Byte])])
+      : (Array[Byte], Seq[(Long, Long)]) = {
     require(records.nonEmpty, "WARC archive needs at least one record")
     val o = new ByteArrayOutputStream(512)
+    val idx = Seq.newBuilder[(Long, Long)]
     records.foreach { case (hdrs, payload) =>
+      val before = o.size()
       val r = new ByteArrayOutputStream(payload.length + 128)
       def line(s: String): Unit = { r.write(s.getBytes(UTF_8)); r.write('\r'); r.write('\n') }
       line("WARC/1.0")
@@ -241,8 +252,139 @@ object Warc {
       val gz = new java.util.zip.GZIPOutputStream(o)
       gz.write(r.toByteArray)
       gz.finish()
+      idx += ((before.toLong, (o.size() - before).toLong))
     }
-    o.toByteArray
+    (o.toByteArray, idx.result())
+  }
+
+  // ------------------------------------------------------------- CDX(J)
+
+  /** SURT (Sort-friendly URI Reordering Transform) url key, the CDX
+   *  sort key: scheme dropped, host lowercased, a leading `www.`
+   *  stripped, labels reversed and comma-joined, `)` then the path
+   *  (query kept, fragment dropped) — `https://www.Example.com/A?q=1`
+   *  → `com,example)/a?q=1`. The lowercase-whole-key form matches what
+   *  Common Crawl's cdxj indexes carry. */
+  def surt(url: String): String = {
+    val noScheme = {
+      val i = url.indexOf("://")
+      if (i >= 0) url.substring(i + 3) else url
+    }
+    val hostEnd = noScheme.indexWhere(c => c == '/' || c == '?' || c == '#')
+    val (hostPort, rest) =
+      if (hostEnd < 0) (noScheme, "/")
+      else (noScheme.substring(0, hostEnd), noScheme.substring(hostEnd))
+    val host0 = hostPort.takeWhile(_ != ':').toLowerCase(java.util.Locale.ROOT)
+    val host = if (host0.startsWith("www.")) host0.substring(4) else host0
+    require(host.nonEmpty, s"surt: url '$url' has no host")
+    val path = rest.takeWhile(_ != '#') match {
+      case "" => "/"
+      case p if p.startsWith("?") => "/" + p
+      case p => p
+    }
+    host.split('.').reverse.mkString(",") + ")" +
+      path.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** One CDXJ index line: `surt-key timestamp {json}` with the json
+   *  fields in caller order, values JSON-string-quoted (the Common
+   *  Crawl cdxj value convention — offsets and lengths are strings). */
+  def cdxjLine(url: String, timestamp: String,
+      fields: Seq[(String, String)]): String = {
+    require(timestamp.nonEmpty && timestamp.forall(_.isDigit),
+      s"bad CDX timestamp '$timestamp'")
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    surt(url) + " " + timestamp + " {" +
+      fields.map { case (k, v) => q(k) + ":" + q(v) }.mkString(",") + "}"
+  }
+
+  /** CDX(J) sidecar walk — one row per index line: (kept input
+   *  columns..., cdx_seq, urlkey, cdx_ts, json). Stays entirely inside
+   *  Catalyst (split/explode + regexp field split; callers pull json
+   *  fields with `get_json_object`, the WAT convention). Blank lines
+   *  and `!` comment/metadata lines are dropped. 100 TB shape: per-row
+   *  1:N explode of slim text — an index line is ~200 B against the
+   *  ~500 KB archive record it points at; nothing here shuffles. */
+  def cdxjRecords(df: org.apache.spark.sql.DataFrame,
+      cdxCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(df.columns.map(col) :+
+        posexplode(split(col(cdxCol), "\n")).as(Seq("cdx_seq", "__line")): _*)
+      .where(trim(col("__line")) =!= "" && !col("__line").startsWith("!"))
+      .withColumn("urlkey", regexp_extract(col("__line"),
+        "^(\\S+) (\\d+) (\\{.*\\})$", 1))
+      .withColumn("cdx_ts", regexp_extract(col("__line"),
+        "^(\\S+) (\\d+) (\\{.*\\})$", 2))
+      .withColumn("json", regexp_extract(col("__line"),
+        "^(\\S+) (\\d+) (\\{.*\\})$", 3))
+      .drop("__line", cdxCol)
+  }
+
+  /** OFFSET-SEEK RECORD SLICE — the CDX random-access path: decode
+   *  ONLY the records named by `picksCol` (an array of
+   *  struct<offset:long, length:long> byte ranges into `payloadCol`),
+   *  each range one gzip member, instead of walking the whole archive.
+   *  Output rows match [[records]] (same HTTP split, same
+   *  charset-aware text contract) plus `slice_seq` (the pick's index
+   *  in the array). Loud NAMED failures on a range that leaves the
+   *  blob, lands mid-member, or frames more than one record.
+   *
+   *  100 TB shape: THE reason CDX sidecars exist — a consumer joins
+   *  slim index picks to archives and range-reads selected records
+   *  only; in-plan, the archive blob is scanned once per row and never
+   *  shuffles (picks are aggregated per archive before the join). */
+  def recordsAt(df: org.apache.spark.sql.DataFrame, payloadCol: String,
+      picksCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val picksIdx = inSchema.fieldIndex(picksCol)
+    val kept = inSchema.fields.zipWithIndex
+      .filter { case (_, i) => i != payloadIdx && i != picksIdx }
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("slice_seq", IntegerType, nullable = false),
+      StructField("warc_type", StringType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("http_status", IntegerType, nullable = false),
+      StructField("content_type", StringType, nullable = false),
+      StructField("body", StringType, nullable = false)))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = r.getAs[Array[Byte]](payloadIdx)
+        val picks = r.getSeq[Row](picksIdx)
+        picks.zipWithIndex.map { case (p, i) =>
+          val off = p.getLong(0)
+          val len = p.getLong(1)
+          require(off >= 0 && len > 0 && off + len <= blob.length,
+            s"CDX slice [$off, ${off + len}) leaves the ${blob.length}-byte archive")
+          val slice = java.util.Arrays.copyOfRange(blob, off.toInt,
+            (off + len).toInt)
+          val recs = parseWarc(slice)
+          require(recs.length == 1,
+            s"CDX slice [$off, ${off + len}) frames ${recs.length} records, not 1")
+          val rec = recs.head
+          val (status, ctype, body) =
+            if (rec.warcType == "response") {
+              val h = parseHttp(rec.payload)
+              val text = if (isTextContentType(h.contentType))
+                new String(h.body, bodyCharset(h.contentType, h.body))
+              else ""
+              (h.status, h.contentType, text)
+            } else (-1, "", new String(rec.payload, UTF_8))
+          Row.fromSeq(keptIdx.toSeq.map(r.get) ++
+            Seq[Any](i, rec.warcType, rec.targetUri, status, ctype, body))
+        }
+      }
+    }(encoder)
   }
 
   /** Content types whose bodies are safe to surface as UTF-8 text.

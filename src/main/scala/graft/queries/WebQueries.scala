@@ -261,6 +261,159 @@ object WebQueries extends QueryProvider {
       |  END AS text
       |FROM documents""".stripMargin
 
+  /** CDX(J) SIDECAR WALK — the third Common Crawl sidecar (WET/WAT
+   *  landed in r15): per-record index lines (SURT url key, 14-digit
+   *  timestamp, a JSON block with url/mime/status/digest/offset/
+   *  length/filename). Each document writes a two-line cdxj fixture
+   *  through the real writer ([[graft.operators.Warc.surt]] +
+   *  `cdxjLine` — so SURT lowering, www-strip, label reversal and the
+   *  string-valued JSON convention are all exercised) plus a `!meta`
+   *  comment line the walk must drop; [[graft.operators.Warc
+   *  .cdxjRecords]] re-parses it Catalyst-side and `get_json_object`
+   *  pulls the fields. The oracle predicts every column from document
+   *  columns. 100 TB shape: slim-text 1:N explode, no shuffle. */
+  private def cdxExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sidecars = T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .as[(Long, String)]
+      .map { case (id, lang) =>
+        val url = s"https://www.Example.com/Doc/$id?lang=$lang"
+        val W = graft.operators.Warc
+        val l1 = W.cdxjLine(url, (20260101000000L + id).toString, Seq(
+          "url" -> url,
+          "mime" -> (if (id % 2 == 0) "text/html" else "text/plain"),
+          "status" -> (if (id % 3 == 0) "200" else "404"),
+          "digest" -> s"sha1:G$id",
+          "length" -> (1000 + id).toString,
+          "offset" -> (13 * id).toString,
+          "filename" -> s"crawl-${id % 10}.warc.gz"))
+        val l2 = W.cdxjLine(url, (20260101000000L + id + 1).toString, Seq(
+          "url" -> url, "mime" -> "warc/revisit", "status" -> "-",
+          "digest" -> s"sha1:G$id",
+          "length" -> (1000 + id + 7).toString,
+          "offset" -> (13 * id + 7).toString,
+          "filename" -> s"crawl-${(id + 1) % 10}.warc.gz"))
+        (id, s"!meta: graft cdxj fixture\n$l1\n$l2\n")
+      }.toDF("doc_id", "cdx")
+    graft.operators.Warc.cdxjRecords(sidecars, "cdx")
+      .select(col("doc_id"), col("cdx_seq"), col("urlkey"),
+        col("cdx_ts").cast("long").as("cdx_ts"),
+        get_json_object(col("json"), "$['url']").as("url"),
+        get_json_object(col("json"), "$['mime']").as("mime"),
+        get_json_object(col("json"), "$['status']").as("status"),
+        get_json_object(col("json"), "$['digest']").as("digest"),
+        get_json_object(col("json"), "$['offset']").cast("long")
+          .as("cdx_offset"),
+        get_json_object(col("json"), "$['length']").cast("long")
+          .as("cdx_length"),
+        get_json_object(col("json"), "$['filename']").as("filename"))
+  }
+
+  private val cdxExtractSql =
+    """SELECT doc_id, CAST(r.fi AS INTEGER) AS cdx_seq,
+      |  'com,example)/doc/' || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+      |    AS urlkey,
+      |  CAST(20260101000000 + doc_id + (r.fi - 1) AS BIGINT) AS cdx_ts,
+      |  'https://www.Example.com/Doc/' || CAST(doc_id AS VARCHAR)
+      |    || '?lang=' || lang AS url,
+      |  CASE WHEN r.fi = 2 THEN 'warc/revisit'
+      |       WHEN doc_id % 2 = 0 THEN 'text/html'
+      |       ELSE 'text/plain' END AS mime,
+      |  CASE WHEN r.fi = 2 THEN '-'
+      |       WHEN doc_id % 3 = 0 THEN '200' ELSE '404' END AS status,
+      |  'sha1:G' || CAST(doc_id AS VARCHAR) AS digest,
+      |  CAST(13 * doc_id + CASE WHEN r.fi = 2 THEN 7 ELSE 0 END AS BIGINT)
+      |    AS cdx_offset,
+      |  CAST(1000 + doc_id + CASE WHEN r.fi = 2 THEN 7 ELSE 0 END AS BIGINT)
+      |    AS cdx_length,
+      |  'crawl-' || CAST((doc_id + r.fi - 1) % 10 AS VARCHAR) || '.warc.gz'
+      |    AS filename
+      |FROM documents, (VALUES (1), (2)) r(fi)""".stripMargin
+
+  /** CDX OFFSET-SEEK FETCH FLAGSHIP — the random-access path real
+   *  crawl consumers use instead of full scans: multi-page archives
+   *  (8 docs each: a warcinfo leader + one response member per doc)
+   *  are encoded WITH their per-member byte index
+   *  (`encodeWarcGzIndexed`), the cdxj sidecar carries the REAL
+   *  offsets, and the consumer side then (1) walks the index
+   *  Catalyst-side, (2) filters picks on an index field (mime =
+   *  text/html — even docs), (3) aggregates picks per archive and
+   *  joins them to the archive blobs once, and (4) `recordsAt`
+   *  range-decodes ONLY the selected members. A wrong offset/length
+   *  desyncs gzip or frames the wrong record and the oracle's
+   *  predicted uri/body goes red. 100 TB shape: the pick side is slim
+   *  index text; the blob side is scanned once and never shuffles
+   *  after the single picks join (in production the join becomes a
+   *  range-read per pick against the archive store — same dataflow).
+   *  The grouped fixture frame feeds both the sidecar walk and the
+   *  blob join, so it is localCheckpoint'ed (batch-bounded input,
+   *  the multiply-referenced-lineage contract). */
+  private def cdxFetch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val date = "2026-01-01T00:00:00Z"
+    val grouped = T(s, dir, "documents")
+      .select(expr("doc_id div 8").as("archive_id"), col("doc_id"),
+        col("source"), col("lang"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (arch, it) =>
+        val W = graft.operators.Warc
+        val ds = it.toSeq.sortBy(_._2)
+        val recs = (Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> date) ->
+          "software: graft\r\n".getBytes(UTF_8)) +:
+          ds.map { case (_, id, source, lang) =>
+            Seq("WARC-Type" -> "response",
+              "WARC-Target-URI" -> s"https://example.com/doc/$id",
+              "WARC-Date" -> date) ->
+              W.httpResponseBytes(
+                s"body of doc $id by $source in $lang".getBytes(UTF_8),
+                "text/plain; charset=utf-8")
+          }
+        val (blob, idx) = W.encodeWarcGzIndexed(recs)
+        val cdx = ds.zip(idx.drop(1)).map {
+          case ((_, id, _, _), (off, len)) =>
+            W.cdxjLine(s"https://example.com/doc/$id",
+              (20260101000000L + id).toString, Seq(
+                "url" -> s"https://example.com/doc/$id",
+                "mime" -> (if (id % 2 == 0) "text/html" else "text/plain"),
+                "status" -> "200",
+                "offset" -> off.toString, "length" -> len.toString,
+                "filename" -> s"crawl-$arch.warc.gz"))
+        }.mkString("\n")
+        (arch, blob, cdx)
+      }.toDF("archive_id", "payload", "cdx")
+      .localCheckpoint()
+    val picks = graft.operators.Warc
+      .cdxjRecords(grouped.select("archive_id", "cdx"), "cdx")
+      .select(col("archive_id"),
+        get_json_object(col("json"), "$['offset']").cast("long")
+          .as("offset"),
+        get_json_object(col("json"), "$['length']").cast("long")
+          .as("length"),
+        get_json_object(col("json"), "$['mime']").as("mime"))
+      .where(col("mime") === "text/html")
+      .groupBy(col("archive_id"))
+      .agg(sort_array(collect_list(struct(col("offset"), col("length"))))
+        .as("picks"))
+    graft.operators.Warc.recordsAt(
+        grouped.select("archive_id", "payload")
+          .join(picks, Seq("archive_id")),
+        "payload", "picks")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("target_uri"), col("http_status"), col("body").as("text"))
+  }
+
+  private val cdxFetchSql =
+    """SELECT doc_id,
+      |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  CAST(200 AS INTEGER) AS http_status,
+      |  'body of doc ' || CAST(doc_id AS VARCHAR) || ' by ' || source
+      |    || ' in ' || lang AS text
+      |FROM documents WHERE doc_id % 2 = 0""".stripMargin
+
   /** CRAWL POLITENESS — RFC 9309 robots.txt decisions: each document
    *  carries a two-group robots file built from its columns (a `*`
    *  group with a disallow-prefix + longer allow-override + crawl
@@ -1127,6 +1280,8 @@ object WebQueries extends QueryProvider {
     "pipeline_web_extract" -> (webExtract _),
     "io_warc_extract" -> (warcExtract _),
     "io_warc_charset" -> (warcCharset _),
+    "io_cdx_extract" -> (cdxExtract _),
+    "pipeline_cdx_fetch" -> (cdxFetch _),
     "text_html_tables" -> (htmlTables _),
     "text_robots" -> (robotsDecide _),
     "text_sitemap" -> (sitemapEntries _),
@@ -1149,6 +1304,8 @@ object WebQueries extends QueryProvider {
     "pipeline_web_extract" -> webExtractSql,
     "io_warc_extract" -> warcExtractSql,
     "io_warc_charset" -> warcCharsetSql,
+    "io_cdx_extract" -> cdxExtractSql,
+    "pipeline_cdx_fetch" -> cdxFetchSql,
     "text_html_tables" -> htmlTablesSql,
     "text_robots" -> robotsDecideSql,
     "text_sitemap" -> sitemapSql,

@@ -198,6 +198,83 @@ class WarcSpec extends AnyFunSuite {
     assert(info._3 == -1 && new String(info._5, UTF_8) == "software: g\r\n")
   }
 
+  test("surt url keys: scheme/port dropped, host lowercased + reversed, " +
+      "www stripped, path lowercased, fragment dropped, query kept") {
+    assert(Warc.surt("https://www.Example.com/A/B?Q=1#frag")
+      == "com,example)/a/b?q=1")
+    assert(Warc.surt("http://sub.host.co.uk:8080/") == "uk,co,host,sub)/")
+    assert(Warc.surt("https://example.com") == "com,example)/")
+    assert(Warc.surt("https://example.com?q=2") == "com,example)/?q=2")
+    val e = intercept[IllegalArgumentException](Warc.surt("https:///nohost"))
+    assert(e.getMessage.contains("no host"), e.getMessage)
+  }
+
+  test("cdxj line round-trip: writer output parses back through " +
+      "cdxjRecords with json-escaped values intact; comments dropped") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val line = Warc.cdxjLine("https://www.X.test/p", "20260101000000", Seq(
+      "url" -> "https://www.X.test/p",
+      "digest" -> "quote\"back\\slash",
+      "offset" -> "42"))
+    val rows = Warc.cdxjRecords(
+        Seq((1L, s"!meta comment\n$line\n")).toDF("doc_id", "cdx"), "cdx")
+      .select(col("doc_id"), col("cdx_seq"), col("urlkey"), col("cdx_ts"),
+        get_json_object(col("json"), "$['digest']").as("digest"),
+        get_json_object(col("json"), "$['offset']").cast("long").as("off"))
+      .as[(Long, Int, String, String, String, Long)].collect()
+    assert(rows.length == 1, "the ! comment line must be dropped")
+    assert(rows(0) == ((1L, 1, "test,x)/p", "20260101000000",
+      "quote\"back\\slash", 42L)))
+  }
+
+  test("recordsAt: slices decode exactly the picked members (charset " +
+      "contract included), bad ranges fail NAMED") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cp1252 = "windows-1252"
+    val (blob, idx) = Warc.encodeWarcGzIndexed(Seq(
+      (Seq("WARC-Type" -> "warcinfo"), "software: g\r\n".getBytes(UTF_8)),
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://x/1"),
+        Warc.httpResponseBytes("plain one".getBytes(UTF_8),
+          "text/plain; charset=utf-8")),
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://x/2"),
+        Warc.httpResponseBytes("café €".getBytes(cp1252),
+          "text/plain; charset=iso-8859-1", chunkSize = 3))))
+    assert(idx.length == 3 && idx.map(_._2).sum == blob.length)
+    // pick members 2 and 1 (deliberately not in archive order)
+    def df(picks: Seq[(Long, Long)]) = Seq(("a", blob, picks))
+      .toDF("tag", "payload", "picks")
+      .withColumn("picks", expr(
+        "transform(picks, p -> struct(p._1 as offset, p._2 as length))"))
+    val got = Warc.recordsAt(df(Seq(idx(2), idx(1))), "payload", "picks")
+      .select("tag", "slice_seq", "target_uri", "http_status", "body")
+      .as[(String, Int, String, Int, String)].collect().sortBy(_._2)
+    assert(got.length == 2)
+    assert(got(0) == (("a", 0, "https://x/2", 200, "café €")))
+    assert(got(1) == (("a", 1, "https://x/1", 200, "plain one")))
+    // a range off the end of the blob
+    val eOut = intercept[org.apache.spark.SparkException](
+      Warc.recordsAt(df(Seq((blob.length - 4L, 100L))), "payload", "picks")
+        .collect())
+    assert(eOut.getCause.getMessage.contains("leaves"),
+      eOut.getCause.getMessage)
+    // a range spanning two members frames 2 records
+    val eTwo = intercept[org.apache.spark.SparkException](
+      Warc.recordsAt(df(Seq((idx(0)._1, idx(0)._2 + idx(1)._2))),
+        "payload", "picks").collect())
+    assert(eTwo.getCause.getMessage.contains("records, not 1"),
+      eTwo.getCause.getMessage)
+    // a mid-member range is corrupt gzip
+    val eMid = intercept[org.apache.spark.SparkException](
+      Warc.recordsAt(df(Seq((idx(1)._1 + 3, idx(1)._2))), "payload", "picks")
+        .collect())
+    assert(eMid.getCause.getMessage.contains("gzip"),
+      eMid.getCause.getMessage)
+  }
+
   test("WET profile: conversion records surface the page text verbatim " +
       "(no HTTP framing), warcinfo leader dropped, refers-to header kept") {
     val spark = SparkTestSession.get
