@@ -1174,6 +1174,137 @@ object WebQueries extends QueryProvider {
       |  coalesce(j.eligible AND j.doc_id = w.win_doc, false) AS admitted
       |FROM j LEFT JOIN w ON j.host = w.host""".stripMargin
 
+  /** MULTI-WAVE FRONTIER REPLAY — the fixed-point face
+   *  ([[graft.streaming.StreamingLens.frontierWaves]]): three
+   *  scheduling waves over per-host candidate queues, where wave i's
+   *  admissions append to the fetch log, the ledger REFOLDS, and wave
+   *  i+1 enforces the advanced `next_eligible_ms` — so a second
+   *  candidate on the same host is only released once the host's
+   *  crawl delay has elapsed past wave 1's fetch. Crawl delays are
+   *  tens of seconds against a 30 s wave cadence, so all three
+   *  regimes occur: hosts that admit every wave (delay -1), hosts
+   *  that skip a wave (delay > waveMs), and candidates still deferred
+   *  at the end. The oracle unrolls the three rounds as CTE chains
+   *  marked AS MATERIALIZED (each round's frames are referenced
+   *  twice; DuckDB would otherwise re-inline the whole chain
+   *  ~branch^rounds times). 100 TB shape: see frontierWaves —
+   *  O(waves × pool) with one host shuffle per wave. */
+  private def frontierWaves(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents").select(
+      concat(col("source"), lit(".example.com")).as("host"),
+      col("doc_id"))
+    // delays keyed on the host's LAST digit (the first char is 's' for
+    // every host — zero variance): -1 / 20–100 s against the 30 s wave
+    // cadence, so hosts admit every wave, skip waves, or defer out
+    val audit = base.groupBy(col("host")).agg(
+        count(lit(1)).as("n_admitted"))
+      .withColumn("batch_id", lit(0L))
+      .withColumn("crawl_delay_ms",
+        when(ascii(substring(col("host"), -13, 1)) % 4 === 0, lit(-1L))
+          .otherwise((ascii(substring(col("host"), -13, 1)) % 5 + 1)
+            * lit(20000L)))
+    val fetches = base.where(col("doc_id") % 7 === 0)
+      .select(col("host"), (col("doc_id") * 100L).as("fetch_ts_ms"))
+    val candidates = T(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".example.com/doc/"),
+        col("doc_id")).as("url"),
+      (col("doc_id") * 150L).as("ts_ms"))
+    graft.streaming.StreamingLens
+      .frontierWaves(candidates, "url", "ts_ms", audit, fetches,
+        waves = 3, waveMs = 30000L)
+      .select(col("doc_id"), col("host"), col("ts_ms"),
+        col("admitted_wave"), col("fetch_ts_ms"))
+  }
+
+  private val frontierWavesSql =
+    """WITH base AS MATERIALIZED (
+      |  SELECT doc_id, source || '.example.com' AS host,
+      |    'https://' || source || '.example.com/doc/'
+      |      || CAST(doc_id AS VARCHAR) AS url,
+      |    doc_id * 150 AS ts_ms
+      |  FROM documents
+      |), latest AS MATERIALIZED (
+      |  SELECT host,
+      |    CASE WHEN ascii(substring(host, length(host) - 12, 1)) % 4 = 0
+      |         THEN -1
+      |         ELSE (ascii(substring(host, length(host) - 12, 1)) % 5 + 1)
+      |           * 20000 END
+      |      AS crawl_delay_ms
+      |  FROM (SELECT DISTINCT host FROM base)
+      |), f0 AS MATERIALIZED (
+      |  SELECT host, doc_id * 100 AS fetch_ts_ms FROM base
+      |  WHERE doc_id % 7 = 0
+      |), l0 AS MATERIALIZED (
+      |  SELECT a.host,
+      |    CASE WHEN f.last_ms IS NULL THEN 0
+      |         ELSE f.last_ms + greatest(a.crawl_delay_ms, 0) END AS nel
+      |  FROM latest a LEFT JOIN (
+      |    SELECT host, max(fetch_ts_ms) AS last_ms FROM f0 GROUP BY host
+      |  ) f ON a.host = f.host
+      |), e0 AS MATERIALIZED (
+      |  SELECT b.doc_id, b.host, b.url, b.ts_ms, b.ts_ms + 0 AS wts,
+      |    (b.ts_ms + 0 >= greatest(coalesce(l.nel, -1), 0)) AS elig
+      |  FROM base b LEFT JOIN l0 l ON b.host = l.host
+      |), a0 AS MATERIALIZED (
+      |  SELECT doc_id, host, wts FROM (
+      |    SELECT doc_id, host, wts,
+      |      row_number() OVER (PARTITION BY host ORDER BY wts, url) AS rn
+      |    FROM e0 WHERE elig) WHERE rn = 1
+      |), p1 AS MATERIALIZED (
+      |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM a0)
+      |), f1 AS MATERIALIZED (
+      |  SELECT host, fetch_ts_ms FROM f0
+      |  UNION ALL SELECT host, wts AS fetch_ts_ms FROM a0
+      |), l1 AS MATERIALIZED (
+      |  SELECT a.host,
+      |    CASE WHEN f.last_ms IS NULL THEN 0
+      |         ELSE f.last_ms + greatest(a.crawl_delay_ms, 0) END AS nel
+      |  FROM latest a LEFT JOIN (
+      |    SELECT host, max(fetch_ts_ms) AS last_ms FROM f1 GROUP BY host
+      |  ) f ON a.host = f.host
+      |), e1 AS MATERIALIZED (
+      |  SELECT b.doc_id, b.host, b.url, b.ts_ms, b.ts_ms + 30000 AS wts,
+      |    (b.ts_ms + 30000 >= greatest(coalesce(l.nel, -1), 0)) AS elig
+      |  FROM p1 b LEFT JOIN l1 l ON b.host = l.host
+      |), a1 AS MATERIALIZED (
+      |  SELECT doc_id, host, wts FROM (
+      |    SELECT doc_id, host, wts,
+      |      row_number() OVER (PARTITION BY host ORDER BY wts, url) AS rn
+      |    FROM e1 WHERE elig) WHERE rn = 1
+      |), p2 AS MATERIALIZED (
+      |  SELECT * FROM p1 WHERE doc_id NOT IN (SELECT doc_id FROM a1)
+      |), f2 AS MATERIALIZED (
+      |  SELECT host, fetch_ts_ms FROM f1
+      |  UNION ALL SELECT host, wts AS fetch_ts_ms FROM a1
+      |), l2 AS MATERIALIZED (
+      |  SELECT a.host,
+      |    CASE WHEN f.last_ms IS NULL THEN 0
+      |         ELSE f.last_ms + greatest(a.crawl_delay_ms, 0) END AS nel
+      |  FROM latest a LEFT JOIN (
+      |    SELECT host, max(fetch_ts_ms) AS last_ms FROM f2 GROUP BY host
+      |  ) f ON a.host = f.host
+      |), e2 AS MATERIALIZED (
+      |  SELECT b.doc_id, b.host, b.url, b.ts_ms, b.ts_ms + 60000 AS wts,
+      |    (b.ts_ms + 60000 >= greatest(coalesce(l.nel, -1), 0)) AS elig
+      |  FROM p2 b LEFT JOIN l2 l ON b.host = l.host
+      |), a2 AS MATERIALIZED (
+      |  SELECT doc_id, host, wts FROM (
+      |    SELECT doc_id, host, wts,
+      |      row_number() OVER (PARTITION BY host ORDER BY wts, url) AS rn
+      |    FROM e2 WHERE elig) WHERE rn = 1
+      |), p3 AS MATERIALIZED (
+      |  SELECT * FROM p2 WHERE doc_id NOT IN (SELECT doc_id FROM a2)
+      |)
+      |SELECT b.doc_id, b.host, CAST(b.ts_ms AS BIGINT) AS ts_ms,
+      |  CAST(w.wave AS INTEGER) AS admitted_wave,
+      |  CAST(w.fetch_ts_ms AS BIGINT) AS fetch_ts_ms
+      |FROM base b JOIN (
+      |  SELECT doc_id, 0 AS wave, wts AS fetch_ts_ms FROM a0
+      |  UNION ALL SELECT doc_id, 1 AS wave, wts FROM a1
+      |  UNION ALL SELECT doc_id, 2 AS wave, wts FROM a2
+      |  UNION ALL SELECT doc_id, -1 AS wave, -1 AS fetch_ts_ms FROM p3
+      |) w ON b.doc_id = w.doc_id""".stripMargin
+
   /** CRAWL LOOP FLAGSHIP — the WHOLE politeness loop in one chain,
    *  certifying the composition the individual rows prove in
    *  isolation: candidate URLs → [[graft.streaming.StreamingLens
@@ -1276,6 +1407,7 @@ object WebQueries extends QueryProvider {
     "io_wat_extract" -> (watExtract _),
     "pipeline_wat_links" -> (watLinkGraph _),
     "pipeline_frontier_admit" -> (frontierAdmit _),
+    "pipeline_frontier_waves" -> (frontierWaves _),
     "text_html_extract" -> (htmlExtract _),
     "pipeline_web_extract" -> (webExtract _),
     "io_warc_extract" -> (warcExtract _),
@@ -1300,6 +1432,7 @@ object WebQueries extends QueryProvider {
     "io_wat_extract" -> watExtractSql,
     "pipeline_wat_links" -> watLinkGraphSql,
     "pipeline_frontier_admit" -> frontierAdmitSql,
+    "pipeline_frontier_waves" -> frontierWavesSql,
     "text_html_extract" -> htmlExtractSql,
     "pipeline_web_extract" -> webExtractSql,
     "io_warc_extract" -> warcExtractSql,

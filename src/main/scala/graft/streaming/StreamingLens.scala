@@ -598,6 +598,67 @@ object StreamingLens {
       .drop("__eligible", "__wts", "__wurl")
   }
 
+  /** K-WAVE FRONTIER REPLAY — the batch fixed-point face of the
+   *  politeness loop: [[frontierAdmit]] certifies ONE wave; a real
+   *  frontier re-presents deferred candidates every scheduling tick.
+   *  Wave i (0-based) offers every not-yet-admitted candidate at
+   *  `tsMsCol + i * waveMs`, each host releases at most its earliest
+   *  eligible one, admissions append to the fetch log as completions
+   *  at that offered time, [[frontierSchedule]] REFOLDS the ledger
+   *  (advancing `next_eligible_ms`), and wave i+1 enforces the new
+   *  ledger. Output: the input columns + `host` + `admitted_wave`
+   *  (0-based wave of admission, -1 = still deferred after `waves`)
+   *  + `fetch_ts_ms` (the admitted offer time, -1 if deferred).
+   *
+   *  100 TB shape: per wave, ONE host-keyed shuffle of the shrinking
+   *  pool + the slim ledger refold; `waves` is a small politeness
+   *  constant (bounded at 64), NOT data-driven, so total work is
+   *  O(waves × pool). Each wave's decided frame feeds three consumers
+   *  (admissions, fetch-log append, the next pool) and is
+   *  localCheckpoint'ed — the PageRank-style per-round discipline —
+   *  so lineage stays one wave deep; the audit and seed fetch log are
+   *  checkpointed once up front (refolded every wave). Corpus-scale
+   *  callers materialize `candidates` themselves (the crawlDecide
+   *  contract); each wave's pool here descends from the previous
+   *  round's checkpoint, never from the raw input twice. */
+  def frontierWaves(candidates: DataFrame, urlCol: String, tsMsCol: String,
+      audit: DataFrame, fetches: DataFrame, waves: Int,
+      waveMs: Long): DataFrame = {
+    require(waves >= 1 && waves <= 64,
+      s"frontierWaves: waves must be in [1, 64], got $waves")
+    require(waveMs > 0L, s"frontierWaves: waveMs must be positive, got $waveMs")
+    val auditCk = audit.localCheckpoint()
+    var fetchLog = fetches.localCheckpoint()
+    var pool = candidates
+    var admittedAll: DataFrame = null
+    var i = 0
+    while (i < waves) {
+      val ledger = frontierSchedule(auditCk, fetchLog)
+      val offered = pool.withColumn("__offer_ts",
+        col(tsMsCol) + lit(i.toLong * waveMs))
+      val decided = frontierAdmit(offered, urlCol, "__offer_ts", ledger,
+          checkpointJoined = false)
+        .localCheckpoint()
+      val adm = decided.where(col("admitted"))
+      val admOut = adm
+        .withColumn("admitted_wave", lit(i))
+        .withColumn("fetch_ts_ms", col("__offer_ts"))
+        .drop("admitted", "next_eligible_ms", "__offer_ts")
+      admittedAll =
+        if (admittedAll == null) admOut else admittedAll.unionByName(admOut)
+      fetchLog = fetchLog.unionByName(
+        adm.select(col("host"), col("__offer_ts").as("fetch_ts_ms")))
+      pool = decided.where(!col("admitted"))
+        .drop("admitted", "next_eligible_ms", "host", "__offer_ts")
+      i += 1
+    }
+    val deferred = pool
+      .withColumn("host", regexp_extract(col(urlCol), CrawlHostRe, 1))
+      .withColumn("admitted_wave", lit(-1))
+      .withColumn("fetch_ts_ms", lit(-1L))
+    admittedAll.unionByName(deferred)
+  }
+
   /**
    * Streaming frontier gate — [[frontierAdmit]] run per micro-batch
    * against the persistent ledger at `ledgerDir` (written by a

@@ -1178,6 +1178,38 @@ class StreamingLensSpec extends AnyFunSuite {
     assert(batchAdmitted == admitted, s"batch $batchAdmitted != gate")
   }
 
+  test("frontier waves: admissions advance the ledger wave-over-wave, " +
+      "delayed hosts skip waves, ties break on url, leftovers defer") {
+    import spark.implicits._
+    // a.test: 50 s delay, last fetched at 10000 -> eligible from 60000;
+    // b.test: no delay (-1), never fetched -> eligible immediately
+    val audit = Seq(("a.test", 0L, 2L, 50000L), ("b.test", 0L, 3L, -1L))
+      .toDF("host", "batch_id", "n_admitted", "crawl_delay_ms")
+    val fetches = Seq(("a.test", 10000L)).toDF("host", "fetch_ts_ms")
+    val candidates = Seq(
+      (1L, "https://a.test/x", 0L),
+      (2L, "https://a.test/y", 5000L),
+      (3L, "https://b.test/p", 0L), // wave-0 tie with id 4 -> url wins
+      (4L, "https://b.test/q", 0L),
+      (5L, "https://b.test/r", 100000L))
+      .toDF("url_id", "url", "ts_ms")
+    val got = StreamingLens
+      .frontierWaves(candidates, "url", "ts_ms", audit, fetches,
+        waves = 3, waveMs = 30000L)
+      .select("url_id", "host", "admitted_wave", "fetch_ts_ms")
+      .as[(Long, String, Int, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      // a.test opens at 60000: id 1's wave-2 offer (0 + 60000) just
+      // reaches it and beats id 2; id 2 is still deferred after 3 waves
+      (1L, "a.test", 2, 60000L),
+      (2L, "a.test", -1, -1L),
+      // b.test admits every wave: tie at wts 0 broken by url (/p < /q),
+      // then id 4 at its wave-1 offer, then the late id 5
+      (3L, "b.test", 0, 0L),
+      (4L, "b.test", 1, 30000L),
+      (5L, "b.test", 2, 160000L)), got.toSeq.toString)
+  }
+
   test("ingest gate ≡ batch flagship composition on an id-ordered split log") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
