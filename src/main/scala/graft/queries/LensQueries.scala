@@ -165,6 +165,25 @@ object LensQueries extends QueryProvider {
       .withColumnRenamed("c_custkey", "shifted_key")
   }
 
+  /** The wasm-gc tier through the FULL lens path: same pull-mode shift
+   *  contract as `lens_wasm_shift`, but the guest's value path runs
+   *  through GC objects — the sum is boxed into a struct field, fanned
+   *  into a 2-element array, and guarded by an i31 ref.eq identity and
+   *  an array.len check (a miss traps, so a silently-broken GC engine
+   *  cannot pass). The oracle replays the arithmetic in SQL, certifying
+   *  the executed GC bytecode cross-engine. */
+  private def wasmGcPipe(s: SparkSession, dir: String): DataFrame = {
+    val url = wasmDataUrl(
+      graft.wasm.LensGuestModules.shiftGuest("c_custkey", viaGc = true))
+    Pipeline.fromJson(
+      s"""{"lenses":[
+         |  {"path":"builtin:select","arguments":{"cols":["c_custkey","c_name"]}},
+         |  {"path":"$url","arguments":{"delta":2000000}}
+         |]}""".stripMargin)
+      .forward(T(s, dir, "customer"))
+      .withColumnRenamed("c_custkey", "shifted_key")
+  }
+
   private def wasmFilterPipe(s: SparkSession, dir: String): DataFrame = {
     val url = wasmDataUrl(graft.wasm.LensGuestModules.filterGuest("c_custkey"))
     Pipeline.fromJson(
@@ -187,6 +206,7 @@ object LensQueries extends QueryProvider {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lens_wasm_shift"   -> (wasmShiftPipe _),
+    "lens_wasm_gc"      -> (wasmGcPipe _),
     "lens_wasm_filter"  -> (wasmFilterPipe _),
     "lens_wasm_repeat"  -> (wasmRepeatPipe _),
     "lens_opaque"       -> (opaquePipe _),
@@ -203,6 +223,8 @@ object LensQueries extends QueryProvider {
   override val oracles: Map[String, String] = Map(
     "lens_wasm_shift" ->
       "SELECT c_custkey + 1000000 AS shifted_key, c_name FROM customer",
+    "lens_wasm_gc" ->
+      "SELECT c_custkey + 2000000 AS shifted_key, c_name FROM customer",
     "lens_wasm_filter" ->
       "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey >= 700",
     "lens_wasm_repeat" ->

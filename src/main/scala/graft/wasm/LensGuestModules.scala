@@ -342,9 +342,10 @@ object LensGuestModules {
       viaSimdPath: Boolean = false,
       viaRefTypes: Boolean = false,
       viaAtomics: Boolean = false,
-      viaRelaxedSimd: Boolean = false): Array[Byte] = {
+      viaRelaxedSimd: Boolean = false,
+      viaGc: Boolean = false): Array[Byte] = {
     require(Seq(viaFloatPath, viaMultiValueBulk, viaSimdPath, viaRefTypes,
-      viaAtomics, viaRelaxedSimd).count(identity) <= 1,
+      viaAtomics, viaRelaxedSimd, viaGc).count(identity) <= 1,
       "combine at most one value-path probe")
     val d = new DataPacker
     val pat = d.add("\"" + field + "\":")
@@ -354,6 +355,8 @@ object LensGuestModules {
     val badParam = d.add("parameter 'delta' missing")
     val TPair = types.size // (i64, i64) -> (i64, i64), multi-value probe
     val TAdd = types.size // (i64, i64) -> i64, ref-types dispatch target
+    val TS = types.size // gc probe: struct { mut i64 }
+    val TA = types.size + 1 // gc probe: array of mut i64
     val AddFn = 10 // function index of the table-dispatched add
     val passiveSegIdx = 5 // after the 5 active DataPacker segments
 
@@ -373,7 +376,11 @@ object LensGuestModules {
         // atomics scratch: 10 = delta*sign, 11 = v (both i64)
         (if (viaAtomics) Vector[Byte](I64, I64) else Vector.empty[Byte]) ++
         // relaxed-simd scratch: 10 = delta*sign (i64)
-        (if (viaRelaxedSimd) Vector[Byte](I64) else Vector.empty[Byte]),
+        (if (viaRelaxedSimd) Vector[Byte](I64) else Vector.empty[Byte]) ++
+        // gc scratch: 10 = delta*sign, 11 = the box struct, 12 = the
+        // fan-out array (kind-typed ref locals, null-defaulted)
+        (if (viaGc) Vector[Byte](I64, ValType.Structref, ValType.Arrayref)
+         else Vector.empty[Byte]),
       Vector[Instr](
         ic(d.heapBase), GlobalSet(HEAP), // previous frames consumed: reset
         Call(NEXT), LocalSet(1)) ++
@@ -435,6 +442,26 @@ object LensGuestModules {
         SimdOp(263), // f64x2.relaxed_madd
         SimdLane(33, 0), // f64x2.extract_lane 0
         TruncSat(6), // i64.trunc_sat_f64_s
+        LocalSet(9))
+      else if (viaGc) Vector[Instr](
+        // stack: v, delta*sign — the wasm-gc tier (r16): the value is
+        // BOXED into a struct field, summed there via struct.get/set,
+        // fanned into a 2-element i64 array, and read back from slot 1;
+        // an i31 ref.eq identity and an array.len check guard the path
+        // (a miss TRAPS, so the probe cannot silently pass)
+        LocalSet(10),
+        StructNew(TS), LocalSet(11),
+        LocalGet(11),
+        LocalGet(11), StructGet(TS, 0, 0), LocalGet(10), addL,
+        StructSet(TS, 0),
+        ic(5), RefI31, ic(5), RefI31, RefEq,
+        If(Empty, Vector.empty, Vector(Unreachable)),
+        LocalGet(11), StructGet(TS, 0, 0),
+        LocalGet(11), StructGet(TS, 0, 0),
+        ArrayNewFixed(TA, 2), LocalSet(12),
+        LocalGet(12), ArrayLen, ic(2), Num(0x46) /* i32.eq */,
+        If(Empty, Vector.empty, Vector(Unreachable)),
+        LocalGet(12), ic(1), ArrayGet(TA, 0),
         LocalSet(9))
       else if (viaRefTypes) Vector[Instr](
         // one-time table build (PEND latch): grow 0→2, init [null, add]
@@ -501,6 +528,9 @@ object LensGuestModules {
           types :+ FuncType(Vector(I64, I64), Vector(I64, I64))
         else if (viaRefTypes)
           types :+ FuncType(Vector(I64, I64), Vector(I64))
+        else if (viaGc) // sentinels under the struct/array comp entries
+          types :+ FuncType(Vector.empty, Vector.empty) :+
+            FuncType(Vector.empty, Vector.empty)
         else types,
       imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
       funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr, // 1..5
@@ -526,7 +556,12 @@ object LensGuestModules {
       tables = if (viaRefTypes)
         Vector(TableType(ValType.Funcref, 0, Some(4))) else Vector.empty,
       elems = if (viaRefTypes)
-        Vector(ElemSeg(-1, Vector(-1, AddFn), mode = 1)) else Vector.empty))
+        Vector(ElemSeg(-1, Vector(-1, AddFn), mode = 1)) else Vector.empty,
+      comps = if (viaGc)
+        types.map(t => CFunc(t): CompType) :+
+          CStruct(Vector(FieldType(I64, mutable = true))) :+
+          CArray(FieldType(I64, mutable = true))
+      else Vector.empty))
   }
 
   // ---------- guest: filter (1:<=1 pull loop, set_param) ----------

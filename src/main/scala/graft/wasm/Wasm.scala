@@ -111,9 +111,46 @@ object ValType {
   val V128: Byte = 0x7B
   val Funcref: Byte = 0x70
   val Externref: Byte = 0x6F
+  // wasm-gc tier (r16): the abstract heap-type bytes double as
+  // nullable-reference valtype shorthands (GC spec §5.3.4). This
+  // engine types GC references at KIND level: a concrete
+  // (ref [null] $t) valtype COARSENS at decode to its composite kind
+  // byte (Funcref / Structref / Arrayref) — precise enough to reject
+  // cross-kind misuse, while struct field/array element types stay
+  // fully tracked per concrete type through the instruction
+  // immediates. Documented model, not an accident.
+  val Anyref: Byte = 0x6E
+  val Eqref: Byte = 0x6D
+  val I31ref: Byte = 0x6C
+  val Structref: Byte = 0x6B
+  val Arrayref: Byte = 0x6A
+  val Noneref: Byte = 0x71
+  val NoExternref: Byte = 0x72
+  val NoFuncref: Byte = 0x73
+  /** packed STORAGE types (struct field / array element position only,
+   *  never on the operand stack; unpacked view is I32). */
+  val PackedI8: Byte = 0x78
+  val PackedI16: Byte = 0x77
   /** blockType byte for "no result". */
   val Empty: Int = 0x40
-  def isRef(vt: Byte): Boolean = vt == Funcref || vt == Externref
+  def isRef(vt: Byte): Boolean = vt == Funcref || vt == Externref ||
+    (vt >= Arrayref && vt <= Anyref) || vt == Noneref ||
+    vt == NoExternref || vt == NoFuncref
+  def isPacked(st: Byte): Boolean = st == PackedI8 || st == PackedI16
+  /** a field's operand-stack type (packed i8/i16 load/store as i32). */
+  def unpacked(st: Byte): Byte = if (isPacked(st)) I32 else st
+  /** Kind-level reference subtyping: none <: i31/struct/array <: eq
+   *  <: any; nofunc <: func; noextern <: extern. */
+  def subRef(a: Byte, b: Byte): Boolean = a == b || (b match {
+    case Anyref => a == Eqref || a == I31ref || a == Structref ||
+      a == Arrayref || a == Noneref
+    case Eqref => a == I31ref || a == Structref || a == Arrayref ||
+      a == Noneref
+    case I31ref | Structref | Arrayref => a == Noneref
+    case Funcref => a == NoFuncref
+    case Externref => a == NoExternref
+    case _ => false
+  })
 }
 
 // reference-types tier (r14): funcref/externref values, table
@@ -143,6 +180,41 @@ final case class SelectT(types: Vector[Byte]) extends Instr
 final case class AtomicOp(sub: Int, align: Int, offset: Int) extends Instr
 /** atomic.fence (0xFE 0x03) — a no-op under single-agent execution. */
 case object AtomicFence extends Instr
+
+// wasm-gc tier (r16): the scalar-shaped allocation/access subset —
+// i31 references (unboxed, tag-encoded in the 64-bit slot model),
+// struct and array heap objects (an arena per instance, reclaimed at
+// each outermost invocation — see WasmInterp's gcHeap discipline).
+// `sign`: 0 = plain get, 1 = `_s`, 2 = `_u` (packed fields only).
+final case class StructNew(typeIdx: Int) extends Instr
+final case class StructNewDefault(typeIdx: Int) extends Instr
+final case class StructGet(typeIdx: Int, field: Int, sign: Int) extends Instr
+final case class StructSet(typeIdx: Int, field: Int) extends Instr
+final case class ArrayNew(typeIdx: Int) extends Instr
+final case class ArrayNewDefault(typeIdx: Int) extends Instr
+final case class ArrayNewFixed(typeIdx: Int, n: Int) extends Instr
+final case class ArrayGet(typeIdx: Int, sign: Int) extends Instr
+final case class ArraySet(typeIdx: Int) extends Instr
+case object ArrayLen extends Instr
+final case class ArrayFill(typeIdx: Int) extends Instr
+final case class ArrayCopy(dstTypeIdx: Int, srcTypeIdx: Int) extends Instr
+/** ref.i31 (0xFB 28): i31 refs are UNBOXED — no heap object. */
+case object RefI31 extends Instr
+final case class I31Get(signed: Boolean) extends Instr
+/** ref.eq (0xD3): identity on eqref values (i31 tag bits included). */
+case object RefEq extends Instr
+
+/** GC composite-type field: `storage` is a valtype byte or a packed
+ *  byte (i8 0x78 / i16 0x77); reference storage is kind-coarsened like
+ *  every other valtype in this engine. */
+final case class FieldType(storage: Byte, mutable: Boolean)
+/** GC composite type (one per type index). Func entries mirror
+ *  `WasmModule.types`; struct/array entries carry their fields and
+ *  leave a ()→() sentinel at the same index of `types`. */
+sealed trait CompType
+final case class CFunc(ft: FuncType) extends CompType
+final case class CStruct(fields: Vector[FieldType]) extends CompType
+final case class CArray(elem: FieldType) extends CompType
 
 final case class FuncType(params: Vector[Byte], results: Vector[Byte])
 /** Function imports only — the lens ABI imports exactly one host function
@@ -180,8 +252,13 @@ final case class WasmModule(
     datas: Vector[DataSeg],
     start: Option[Int],
     tables: Vector[TableType] = Vector.empty,
-    elems: Vector[ElemSeg] = Vector.empty) {
+    elems: Vector[ElemSeg] = Vector.empty,
+    comps: Vector[CompType] = Vector.empty) {
   def export(name: String): Option[WasmExport] = exports.find(_.name == name)
+  /** The composite type at index `i`; a module with no GC forms (comps
+   *  empty — every pre-GC construction site) is all-func. */
+  def comp(i: Int): CompType =
+    if (comps.isEmpty) CFunc(types(i)) else comps(i)
 }
 
 class WasmDecodeError(msg: String) extends RuntimeException(msg)
@@ -233,6 +310,11 @@ object WasmBinary {
     /** blocktype (spec §5.4.1, an s33): 0x40/valtype single bytes keep
      *  their byte value; a non-negative s33 (function-type index, the
      *  multi-value form) maps to `-1 - idx`. */
+    /** Comp-type KINDS per type index (0 func / 1 struct / 2 array),
+     *  set once the type section is decoded — concrete heap-type
+     *  indices in later sections resolve through it. Instance state of
+     *  the per-decode Reader, so the decoder object stays stateless. */
+    var typeKinds: Array[Int] = Array.emptyIntArray
     def blocktype(): Int = {
       val v = s64()
       if (v >= 0) -1 - v.toInt
@@ -242,9 +324,10 @@ object WasmBinary {
         // "type" through validation frames as if legitimate
         case b if b == 0x40 || (b >= 0x7B && b <= 0x7F) ||
           b == 0x70 || b == 0x6F => b
-        case b if gcHeapTypeName(b) != null => throw new WasmDecodeError(
-          f"wasm-gc heap type ${gcHeapTypeName(b)} (0x$b%02X) blocktype " +
-            "not supported by this engine")
+        case b if b == 0x6E || b == 0x6D || b == 0x6C || b == 0x6B ||
+          b == 0x6A || b == 0x71 || b == 0x72 || b == 0x73 => b
+        case b if b == 0x63 || b == 0x64 =>
+          heapKindByte(this, s64(), "blocktype") & 0xFF
         case other => throw new WasmDecodeError(
           f"bad blocktype value type 0x$other%02X")
       }
@@ -276,6 +359,7 @@ object WasmBinary {
     var start = Option.empty[Int]
     var tables = Vector.empty[TableType]
     var elems = Vector.empty[ElemSeg]
+    var comps = Vector.empty[CompType]
     // spec: at most one memory across the import and memory sections —
     // without this, section 5 would silently overwrite imported limits
     var seenMemory = false
@@ -314,29 +398,105 @@ object WasmBinary {
             s"of ${moduleBytes.length}")
       val end = r.pos + size
       id match {
-        case 1 => // type
-          types = Vector.fill(r.u32()) {
-            val tag = r.u8()
-            // wasm-gc composite/recursive type forms reject by FEATURE
-            // name (decode-and-reject tier: precise surface, no
-            // execution) — LLVM's wasm-gc output starts with these tags
-            tag match {
-              case 0x4E => throw new WasmDecodeError(
-                "wasm-gc recursive type group (rec, 0x4E) not supported " +
-                  "by this engine")
-              case 0x4F | 0x50 => throw new WasmDecodeError(
-                f"wasm-gc subtype (sub${if (tag == 0x4F) " final" else ""}, " +
-                  f"0x$tag%02X) not supported by this engine")
-              case 0x5E => throw new WasmDecodeError(
-                "wasm-gc array type (0x5E) not supported by this engine")
-              case 0x5F => throw new WasmDecodeError(
-                "wasm-gc struct type (0x5F) not supported by this engine")
-              case _ => ()
+        case 1 => // type: func + wasm-gc composite forms (r16)
+          val sectionStart = r.pos
+          // PASS 1 — comp KINDS per type index (0 func / 1 struct /
+          // 2 array): a concrete (ref $t) inside the section may
+          // forward-reference a type later in its rec group, so kinds
+          // must be known before any reference type resolves
+          locally {
+            val kinds = Vector.newBuilder[Int]
+            def skipValtype(): Unit = {
+              val b = r.u8() & 0xFF
+              if (b == 0x63 || b == 0x64) { r.s64(); () }
             }
-            if (tag != 0x60) throw new WasmDecodeError(s"bad functype tag $tag")
-            val params = Vector.fill(r.u32())(checkedValtype(r))
-            val results = Vector.fill(r.u32())(checkedValtype(r))
-            FuncType(params, results)
+            def skipField(): Unit = { skipValtype(); r.u8(); () }
+            def scanSub(tag0: Int): Unit = {
+              var tag = tag0
+              if (tag == 0x4F || tag == 0x50) {
+                var j = r.u32()
+                while (j > 0) { r.u32(); j -= 1 }
+                tag = r.u8()
+              }
+              tag match {
+                case 0x60 =>
+                  kinds += 0
+                  var j = r.u32(); while (j > 0) { skipValtype(); j -= 1 }
+                  j = r.u32(); while (j > 0) { skipValtype(); j -= 1 }
+                case 0x5F =>
+                  kinds += 1
+                  var j = r.u32(); while (j > 0) { skipField(); j -= 1 }
+                case 0x5E =>
+                  kinds += 2
+                  skipField()
+                case t => throw new WasmDecodeError(
+                  f"bad composite type tag 0x$t%02X")
+              }
+            }
+            var ri = r.u32()
+            while (ri > 0) {
+              val tag = r.u8()
+              if (tag == 0x4E) {
+                var k = r.u32()
+                while (k > 0) { scanSub(r.u8()); k -= 1 }
+              } else scanSub(tag)
+              ri -= 1
+            }
+            r.typeKinds = kinds.result().toArray
+          }
+          // PASS 2 — full decode with concrete heap types resolvable
+          r.pos = sectionStart
+          locally {
+            val tBuf = Vector.newBuilder[FuncType]
+            val cBuf = Vector.newBuilder[CompType]
+            var sawGc = false
+            def decodeSub(tag0: Int): Unit = {
+              var tag = tag0
+              if (tag == 0x4F || tag == 0x50) {
+                sawGc = true
+                // supertype bounds index-checked then DISCARDED:
+                // kind-level typing has no use for declared bounds
+                var j = r.u32()
+                while (j > 0) {
+                  val s = r.u32()
+                  if (s < 0 || s >= r.typeKinds.length)
+                    throw new WasmDecodeError(
+                      s"subtype supertype index $s of ${r.typeKinds.length}")
+                  j -= 1
+                }
+                tag = r.u8()
+              }
+              tag match {
+                case 0x60 =>
+                  val params = Vector.fill(r.u32())(checkedValtype(r))
+                  val results = Vector.fill(r.u32())(checkedValtype(r))
+                  val ft = FuncType(params, results)
+                  tBuf += ft
+                  cBuf += CFunc(ft)
+                case 0x5F =>
+                  sawGc = true
+                  cBuf += CStruct(Vector.fill(r.u32())(fieldType(r)))
+                  tBuf += FuncType(Vector.empty, Vector.empty) // sentinel
+                case 0x5E =>
+                  sawGc = true
+                  cBuf += CArray(fieldType(r))
+                  tBuf += FuncType(Vector.empty, Vector.empty) // sentinel
+                case t => throw new WasmDecodeError(
+                  f"bad composite type tag 0x$t%02X")
+              }
+            }
+            var ri = r.u32()
+            while (ri > 0) {
+              val tag = r.u8()
+              if (tag == 0x4E) {
+                sawGc = true
+                var k = r.u32()
+                while (k > 0) { decodeSub(r.u8()); k -= 1 }
+              } else decodeSub(tag)
+              ri -= 1
+            }
+            types = tBuf.result()
+            comps = if (sawGc) cBuf.result() else Vector.empty
           }
         case 2 => // import
           val nImp = r.u32()
@@ -395,7 +555,7 @@ object WasmBinary {
           if (n == 1) readMemLimits(r)
         case 6 => // global
           globals = Vector.fill(r.u32()) {
-            val vt = r.u8().toByte
+            val vt = checkedValtype(r)
             val mut = r.u8() == 1
             WasmGlobal(vt, mut, decodeExpr(r))
           }
@@ -477,7 +637,7 @@ object WasmBinary {
       r.pos = end
     }
     WasmModule(types, imports, funcTypeIdxs, memMin, memMax, globals,
-      exports, codes, datas, start, tables, elems)
+      exports, codes, datas, start, tables, elems, comps)
   }
 
   /** Value type with a NAMED rejection for anything outside the tiers
@@ -490,14 +650,66 @@ object WasmBinary {
   private def checkedValtype(r: Reader): Byte = (r.u8() & 0xFF) match {
     case vt if vt >= 0x7B && vt <= 0x7F => vt.toByte // i32 i64 f32 f64 v128
     case vt if vt == 0x70 || vt == 0x6F => vt.toByte // funcref, externref
-    case vt if vt == 0x63 || vt == 0x64 => throw new WasmDecodeError(
-      f"wasm-gc typed reference (ref${if (vt == 0x63) " null" else ""} ht, " +
-        f"0x$vt%02X) not supported by this engine")
+    // wasm-gc (r16): abstract heap-type bytes are nullable-ref valtype
+    // shorthands; a concrete (ref [null] $t) coarsens to its composite
+    // KIND byte — the engine's documented kind-level typing model
+    case vt if vt == 0x6E || vt == 0x6D || vt == 0x6C || vt == 0x6B ||
+      vt == 0x6A || vt == 0x71 || vt == 0x72 || vt == 0x73 => vt.toByte
+    case vt if vt == 0x63 || vt == 0x64 =>
+      heapKindByte(r, r.s64(),
+        if (vt == 0x63) "(ref null ht)" else "(ref ht)")
     case vt if gcHeapTypeName(vt) != null => throw new WasmDecodeError(
       f"wasm-gc heap type ${gcHeapTypeName(vt)} (0x$vt%02X) not supported " +
         "by this engine")
     case other => throw new WasmDecodeError(
       f"bad value type 0x$other%02X")
+  }
+
+  /** Resolve a heap-type s33 to the engine's kind-level valtype byte:
+   *  a concrete index takes its composite kind; abstract heap types
+   *  keep their byte. Exception-handling / continuation heap types
+   *  reject by name. */
+  private def heapKindByte(r: Reader, ht: Long, where: String): Byte =
+    if (ht >= 0) {
+      if (ht >= r.typeKinds.length) throw new WasmDecodeError(
+        s"$where: heap type index $ht of ${r.typeKinds.length}")
+      r.typeKinds(ht.toInt) match {
+        case 1 => ValType.Structref
+        case 2 => ValType.Arrayref
+        case _ => ValType.Funcref
+      }
+    } else (ht.toInt & 0x7F) match {
+      case 0x70 => ValType.Funcref
+      case 0x6F => ValType.Externref
+      case 0x6E => ValType.Anyref
+      case 0x6D => ValType.Eqref
+      case 0x6C => ValType.I31ref
+      case 0x6B => ValType.Structref
+      case 0x6A => ValType.Arrayref
+      case 0x71 => ValType.Noneref
+      case 0x72 => ValType.NoExternref
+      case 0x73 => ValType.NoFuncref
+      case 0x69 => throw new WasmDecodeError(
+        s"$where: exception-handling heap type exn (0x69) not supported " +
+          "by this engine")
+      case other => throw new WasmDecodeError(
+        f"$where: unsupported heap type 0x$other%02X")
+    }
+
+  /** GC field type: storage (valtype or packed i8/i16) + mutability. */
+  private def fieldType(r: Reader): FieldType = {
+    if (r.pos >= r.b.length) throw new WasmDecodeError(
+      s"truncated module: field type at ${r.pos}")
+    val peek = r.b(r.pos) & 0xFF
+    val storage: Byte =
+      if (peek == 0x78 || peek == 0x77) { r.u8(); peek.toByte }
+      else checkedValtype(r)
+    val mut = r.u8() match {
+      case 0 => false
+      case 1 => true
+      case m => throw new WasmDecodeError(s"bad field mutability flag $m")
+    }
+    FieldType(storage, mut)
   }
 
   /** wasm-gc abstract heap type names (GC spec §5.3.2 absheaptype) —
@@ -688,20 +900,55 @@ object WasmBinary {
               f"unassigned atomic subopcode 0x$sub%02X")
           }
         case 0xD0 =>
-          val ht = r.u8()
-          if (ht != 0x70 && ht != 0x6F) {
-            val gc = gcHeapTypeName(ht)
-            if (gc != null) throw new WasmDecodeError(
-              f"ref.null: wasm-gc heap type $gc (0x$ht%02X) not supported " +
-                "by this engine")
-            throw new WasmDecodeError(f"ref.null: bad heap type 0x$ht%02X")
-          }
-          out += RefNull(ht)
+          // heap type is an s33 (a concrete index needs multi-byte LEB);
+          // normalized to the engine's kind-level byte at decode
+          out += RefNull(heapKindByte(r, r.s64(), "ref.null") & 0xFF)
         case 0xD1 => out += RefIsNull
         case 0xD2 => out += RefFunc(r.u32())
-        case 0xFB => throw new WasmDecodeError(
-          f"wasm-gc instruction prefix 0xFB (subopcode ${r.u32()}) not " +
-            "supported by this engine")
+        case 0xD3 => out += RefEq
+        case 0xFB => // wasm-gc tier (r16): scalar-shaped subset executes
+          r.u32() match {
+            case 0 => out += StructNew(r.u32())
+            case 1 => out += StructNewDefault(r.u32())
+            case g if g >= 2 && g <= 4 =>
+              val t = r.u32()
+              out += StructGet(t, r.u32(), g - 2)
+            case 5 =>
+              val t = r.u32()
+              out += StructSet(t, r.u32())
+            case 6 => out += ArrayNew(r.u32())
+            case 7 => out += ArrayNewDefault(r.u32())
+            case 8 =>
+              val t = r.u32()
+              val n = r.u32()
+              if (n < 0 || n > (1 << 16)) throw new WasmDecodeError(
+                s"array.new_fixed size $n exceeds this engine's 2^16 cap")
+              out += ArrayNewFixed(t, n)
+            case 9 | 10 => throw new WasmDecodeError(
+              "wasm-gc array.new_data/new_elem (segment-seeded arrays) " +
+                "not supported by this engine")
+            case g if g >= 11 && g <= 13 => out += ArrayGet(r.u32(), g - 11)
+            case 14 => out += ArraySet(r.u32())
+            case 15 => out += ArrayLen
+            case 16 => out += ArrayFill(r.u32())
+            case 17 =>
+              val d = r.u32()
+              out += ArrayCopy(d, r.u32())
+            case 18 | 19 => throw new WasmDecodeError(
+              "wasm-gc array.init_data/init_elem not supported by this engine")
+            case c if c >= 20 && c <= 23 => throw new WasmDecodeError(
+              s"wasm-gc ref.${if (c <= 21) "test" else "cast"} not " +
+                "supported by this engine")
+            case c if c == 24 || c == 25 => throw new WasmDecodeError(
+              "wasm-gc br_on_cast not supported by this engine")
+            case 26 | 27 => throw new WasmDecodeError(
+              "wasm-gc any/extern conversion not supported by this engine")
+            case 28 => out += RefI31
+            case 29 => out += I31Get(signed = true)
+            case 30 => out += I31Get(signed = false)
+            case sub => throw new WasmDecodeError(
+              s"unassigned wasm-gc subopcode $sub")
+          }
         case 0x25 => out += TableGet(r.u32())
         case 0x26 => out += TableSet(r.u32())
         case other => throw new WasmDecodeError(
@@ -758,10 +1005,20 @@ object WasmBinary {
 
     if (m.types.nonEmpty) section(1) { s =>
       s.u32(m.types.size)
-      m.types.foreach { t =>
-        s.u8(0x60)
-        s.u32(t.params.size); t.params.foreach(p => s.u8(p & 0xFF))
-        s.u32(t.results.size); t.results.foreach(p => s.u8(p & 0xFF))
+      def field(f: FieldType): Unit = {
+        s.u8(f.storage & 0xFF); s.u8(if (f.mutable) 1 else 0)
+      }
+      (0 until m.types.size).foreach { i =>
+        m.comp(i) match {
+          case CFunc(t) =>
+            s.u8(0x60)
+            s.u32(t.params.size); t.params.foreach(p => s.u8(p & 0xFF))
+            s.u32(t.results.size); t.results.foreach(p => s.u8(p & 0xFF))
+          case CStruct(fs) =>
+            s.u8(0x5F); s.u32(fs.size); fs.foreach(field)
+          case CArray(e) =>
+            s.u8(0x5E); field(e)
+        }
       }
     }
     if (m.imports.nonEmpty) section(2) { s =>
@@ -899,6 +1156,21 @@ object WasmBinary {
       case RefNull(ht) => w.u8(0xD0); w.u8(ht)
       case RefIsNull => w.u8(0xD1)
       case RefFunc(f) => w.u8(0xD2); w.u32(f)
+      case RefEq => w.u8(0xD3)
+      case StructNew(t) => w.u8(0xFB); w.u32(0); w.u32(t)
+      case StructNewDefault(t) => w.u8(0xFB); w.u32(1); w.u32(t)
+      case StructGet(t, f, sg) => w.u8(0xFB); w.u32(2 + sg); w.u32(t); w.u32(f)
+      case StructSet(t, f) => w.u8(0xFB); w.u32(5); w.u32(t); w.u32(f)
+      case ArrayNew(t) => w.u8(0xFB); w.u32(6); w.u32(t)
+      case ArrayNewDefault(t) => w.u8(0xFB); w.u32(7); w.u32(t)
+      case ArrayNewFixed(t, n) => w.u8(0xFB); w.u32(8); w.u32(t); w.u32(n)
+      case ArrayGet(t, sg) => w.u8(0xFB); w.u32(11 + sg); w.u32(t)
+      case ArraySet(t) => w.u8(0xFB); w.u32(14); w.u32(t)
+      case ArrayLen => w.u8(0xFB); w.u32(15)
+      case ArrayFill(t) => w.u8(0xFB); w.u32(16); w.u32(t)
+      case ArrayCopy(d, s) => w.u8(0xFB); w.u32(17); w.u32(d); w.u32(s)
+      case RefI31 => w.u8(0xFB); w.u32(28)
+      case I31Get(sg) => w.u8(0xFB); w.u32(if (sg) 29 else 30)
       case TableGet(t) => w.u8(0x25); w.u32(t)
       case TableSet(t) => w.u8(0x26); w.u32(t)
       case TableInit(e, t) => w.u8(0xFC); w.u32(12); w.u32(e); w.u32(t)

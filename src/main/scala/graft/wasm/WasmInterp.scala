@@ -26,6 +26,20 @@ package graft.wasm
  */
 object WasmInterp {
 
+  // wasm-gc ref encoding in the 64-bit slot model (r16): heap refs are
+  // GcTag | arena index, i31 refs are I31Tag | 31-bit payload (unboxed),
+  // null stays -1. The tags sit far above any function index or table
+  // size, so a cross-kind confusion is caught by the named guards.
+  private final val GcTag = 0x2000000000000000L
+  private final val I31Tag = 0x4000000000000000L
+  private final val GcHeapCap = 1 << 22
+  private final val GcArrayCap = 1 << 24
+  private sealed trait GcObj
+  private final class GcStruct(val typeIdx: Int,
+      val fields: Array[Long]) extends GcObj
+  private final class GcArray(val typeIdx: Int,
+      val elems: Array[Long]) extends GcObj
+
   /** Pages are 64 KiB (WebAssembly spec §4.2.8). */
   val PageSize: Int = 65536
 
@@ -189,7 +203,12 @@ object WasmInterp {
     // ---------- evaluation ----------
 
     private def invokeByIndex(funcIdx: Int, args: Vector[Long]): Vector[Long] = {
-      if (activeDepth == 0) fuelLeft = stepBudget
+      if (activeDepth == 0) {
+        fuelLeft = stepBudget
+        // gc arena reset per outermost invocation — the per-item
+        // discipline that keeps partition memory bounded (see gcHeap)
+        if (gcHeap.nonEmpty) gcHeap.clear()
+      }
       activeDepth += 1
       try invokeByIndex0(funcIdx, args)
       catch {
@@ -278,6 +297,66 @@ object WasmInterp {
      *  uninitialized v128 locals). Reclamation: [[invokeByIndex]]. */
     private val v128Pool =
       scala.collection.mutable.ArrayBuffer[Array[Byte]](new Array[Byte](16))
+
+    /** wasm-gc tier (r16): struct/array objects live in this ARENA,
+     *  reclaimed wholesale at each OUTERMOST invocation entry. Nothing
+     *  can legally survive one: GC-heap-ref globals are rejected at
+     *  validation, the host cannot dereference a returned ref, and
+     *  tables hold funcref/externref only — so the per-item reset that
+     *  keeps guest linear memory bounded bounds the gc heap the same
+     *  way. Heap refs encode as `GcTag | index`; i31 refs are UNBOXED
+     *  (`I31Tag | payload`, no heap object); null = -1. */
+    private val gcHeap = scala.collection.mutable.ArrayBuffer.empty[GcObj]
+    private def gcAlloc(o: GcObj): Long = {
+      if (gcHeap.size >= GcHeapCap) throw new WasmTrap(
+        s"gc allocation cap ($GcHeapCap live objects) exceeded")
+      gcHeap += o
+      GcTag | (gcHeap.size - 1).toLong
+    }
+    private def gcAt(ref: Long, what: String): GcObj = {
+      if (ref == -1L) throw new WasmTrap(s"$what: null reference")
+      if ((ref & GcTag) == 0L || (ref & I31Tag) != 0L) throw new WasmTrap(
+        s"$what: operand is not a gc heap reference")
+      val i = (ref ^ GcTag).toInt
+      if (i < 0 || i >= gcHeap.size) throw new WasmTrap(
+        s"$what: stale gc reference")
+      gcHeap(i)
+    }
+    private def gcStructAt(ref: Long, what: String): GcStruct =
+      gcAt(ref, what) match {
+        case s: GcStruct => s
+        case _ => throw new WasmTrap(s"$what: reference is not a struct")
+      }
+    private def gcArrayAt(ref: Long, what: String): GcArray =
+      gcAt(ref, what) match {
+        case a: GcArray => a
+        case _ => throw new WasmTrap(s"$what: reference is not an array")
+      }
+    private def structFields(t: Int): Vector[FieldType] =
+      module.comp(t) match {
+        case CStruct(fs) => fs
+        case _ => throw new WasmTrap(s"type $t is not a struct")
+      }
+    private def arrayElem(t: Int): FieldType = module.comp(t) match {
+      case CArray(e) => e
+      case _ => throw new WasmTrap(s"type $t is not an array")
+    }
+    /** packed fields store masked (zero-extended in the slot)... */
+    private def packStore(storage: Byte, v: Long): Long = storage match {
+      case ValType.PackedI8 => v & 0xFFL
+      case ValType.PackedI16 => v & 0xFFFFL
+      case _ => v
+    }
+    /** ...so `_u` reads return the raw slot and `_s` reads sign-extend
+     *  from the packed width (i32 slots are sign-extended Longs). */
+    private def fieldLoad(storage: Byte, v: Long, sign: Int): Long =
+      if (sign != 1) v
+      else if (storage == ValType.PackedI8) (v << 56) >> 56
+      else (v << 48) >> 48
+    private def checkGcArrayLen(n: Int): Unit =
+      if (n < 0 || n > GcArrayCap) throw new WasmTrap(
+        s"array allocation length $n exceeds this engine's " +
+          s"$GcArrayCap-element cap")
 
     /** Branch signal: -1 = fell through, -2 = function return,
      *  n >= 0 = branch crossing n MORE labels outward. */
@@ -375,6 +454,109 @@ object WasmInterp {
           case RefNull(_) => stack.push(-1L)
           case RefIsNull => stack.push(if (stack.pop() == -1L) 1L else 0L)
           case RefFunc(f) => stack.push(f.toLong)
+          case RefEq =>
+            val b = stack.pop(); val a = stack.pop()
+            stack.push(if (a == b) 1L else 0L)
+          case RefI31 =>
+            stack.push(I31Tag | (stack.pop() & 0x7FFFFFFFL))
+          case I31Get(signed) =>
+            val r0 = stack.pop()
+            if (r0 == -1L) throw new WasmTrap("i31.get: null reference")
+            if ((r0 & I31Tag) == 0L)
+              throw new WasmTrap("i31.get: operand is not an i31")
+            val p = r0 & 0x7FFFFFFFL
+            stack.push(if (signed) (p << 33) >> 33 else p)
+          case StructNew(t) =>
+            val fs = structFields(t)
+            val vals = new Array[Long](fs.size)
+            var j = fs.size - 1
+            while (j >= 0) {
+              vals(j) = packStore(fs(j).storage, stack.pop()); j -= 1
+            }
+            stack.push(gcAlloc(new GcStruct(t, vals)))
+          case StructNewDefault(t) =>
+            val fs = structFields(t)
+            val vals = Array.tabulate(fs.size)(j =>
+              if (ValType.isRef(fs(j).storage)) -1L else 0L)
+            stack.push(gcAlloc(new GcStruct(t, vals)))
+          case StructGet(t, f, sign) =>
+            val fs = structFields(t)
+            val obj = gcStructAt(stack.pop(), "struct.get")
+            if (f >= obj.fields.length) throw new WasmTrap(
+              s"struct.get: field $f of ${obj.fields.length}")
+            stack.push(fieldLoad(fs(f).storage, obj.fields(f), sign))
+          case StructSet(t, f) =>
+            val fs = structFields(t)
+            val v = stack.pop()
+            val obj = gcStructAt(stack.pop(), "struct.set")
+            if (f >= obj.fields.length) throw new WasmTrap(
+              s"struct.set: field $f of ${obj.fields.length}")
+            obj.fields(f) = packStore(fs(f).storage, v)
+          case ArrayNew(t) =>
+            val e = arrayElem(t)
+            val n = stack.pop().toInt
+            val v = packStore(e.storage, stack.pop())
+            checkGcArrayLen(n)
+            burn()
+            val arr = new Array[Long](n)
+            if (v != 0L) java.util.Arrays.fill(arr, v)
+            stack.push(gcAlloc(new GcArray(t, arr)))
+          case ArrayNewDefault(t) =>
+            val e = arrayElem(t)
+            val n = stack.pop().toInt
+            checkGcArrayLen(n)
+            burn()
+            val arr = new Array[Long](n)
+            if (ValType.isRef(e.storage)) java.util.Arrays.fill(arr, -1L)
+            stack.push(gcAlloc(new GcArray(t, arr)))
+          case ArrayNewFixed(t, n) =>
+            val e = arrayElem(t)
+            val arr = new Array[Long](n)
+            var j = n - 1
+            while (j >= 0) { arr(j) = packStore(e.storage, stack.pop()); j -= 1 }
+            stack.push(gcAlloc(new GcArray(t, arr)))
+          case ArrayGet(t, sign) =>
+            val e = arrayElem(t)
+            val i0 = stack.pop().toInt
+            val a = gcArrayAt(stack.pop(), "array.get")
+            if (i0 < 0 || i0 >= a.elems.length) throw new WasmTrap(
+              s"array.get: index $i0 of ${a.elems.length}")
+            stack.push(fieldLoad(e.storage, a.elems(i0), sign))
+          case ArraySet(t) =>
+            val e = arrayElem(t)
+            val v = stack.pop()
+            val i0 = stack.pop().toInt
+            val a = gcArrayAt(stack.pop(), "array.set")
+            if (i0 < 0 || i0 >= a.elems.length) throw new WasmTrap(
+              s"array.set: index $i0 of ${a.elems.length}")
+            a.elems(i0) = packStore(e.storage, v)
+          case ArrayLen =>
+            stack.push(gcArrayAt(stack.pop(), "array.len").elems.length.toLong)
+          case ArrayFill(t) =>
+            val e = arrayElem(t)
+            val n = stack.pop().toInt
+            val v = packStore(e.storage, stack.pop())
+            val i0 = stack.pop().toInt
+            val a = gcArrayAt(stack.pop(), "array.fill")
+            if (n < 0 || i0 < 0 || i0.toLong + n > a.elems.length)
+              throw new WasmTrap(s"array.fill: $i0+$n of ${a.elems.length}")
+            burn()
+            java.util.Arrays.fill(a.elems, i0, i0 + n, v)
+          case ArrayCopy(_, _) =>
+            // stack: [dst, dstoff, src, srcoff, n]
+            val n = stack.pop().toInt
+            val si = stack.pop().toInt
+            val sa = gcArrayAt(stack.pop(), "array.copy src")
+            val di = stack.pop().toInt
+            val da = gcArrayAt(stack.pop(), "array.copy dst")
+            if (n < 0 || si < 0 || di < 0 ||
+                si.toLong + n > sa.elems.length ||
+                di.toLong + n > da.elems.length)
+              throw new WasmTrap(
+                s"array.copy: src $si+$n of ${sa.elems.length}, " +
+                  s"dst $di+$n of ${da.elems.length}")
+            burn()
+            System.arraycopy(sa.elems, si, da.elems, di, n)
           case TableGet(ti) =>
             val t = tableAt(ti); val i = stack.pop().toInt
             if (i < 0 || i >= t.length)

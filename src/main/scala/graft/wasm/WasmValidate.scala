@@ -33,6 +33,16 @@ object WasmValidate {
     case V128 => "v128"
     case Funcref => "funcref"
     case Externref => "externref"
+    case Anyref => "anyref"
+    case Eqref => "eqref"
+    case I31ref => "i31ref"
+    case Structref => "structref"
+    case Arrayref => "arrayref"
+    case Noneref => "nullref"
+    case NoExternref => "nullexternref"
+    case NoFuncref => "nullfuncref"
+    case PackedI8 => "i8"
+    case PackedI16 => "i16"
     case Unknown => "unknown"
     case other => f"0x$other%02X"
   }
@@ -42,16 +52,41 @@ object WasmValidate {
       throw new WasmValidateError(s"invalid module: $s")
 
     val nTypes = m.types.size
+    def isFuncComp(t: Int): Boolean = m.comp(t) match {
+      case CFunc(_) => true
+      case _ => false
+    }
     m.imports.zipWithIndex.foreach { case (imp, i) =>
       if (imp.typeIdx < 0 || imp.typeIdx >= nTypes)
         err(s"import #$i (${imp.module}.${imp.name}): type index " +
           s"${imp.typeIdx} of $nTypes")
+      if (!isFuncComp(imp.typeIdx))
+        err(s"import #$i (${imp.module}.${imp.name}): type index " +
+          s"${imp.typeIdx} is not a function type")
+    }
+    // wasm-gc composite hygiene: v128 fields are rejected because the
+    // v128 side pool's per-call compaction cannot track field-held
+    // handles; struct/array-kind globals are rejected because the gc
+    // ARENA is reclaimed per outermost invocation (WasmInterp.gcHeap) —
+    // a surviving global would dangle. Both reject by NAME.
+    m.comps.zipWithIndex.foreach { case (c, i) =>
+      def fieldOk(f: FieldType, what: String): Unit =
+        if (f.storage == V128)
+          err(s"type #$i: v128 $what not supported by this engine " +
+            "(v128 pool handles cannot live in gc fields)")
+      c match {
+        case CStruct(fs) => fs.foreach(fieldOk(_, "struct field"))
+        case CArray(e) => fieldOk(e, "array element")
+        case CFunc(_) => ()
+      }
     }
     if (m.funcTypeIdxs.size != m.codes.size)
       err(s"function section declares ${m.funcTypeIdxs.size} functions " +
         s"but the code section carries ${m.codes.size} bodies")
     m.funcTypeIdxs.zipWithIndex.foreach { case (t, i) =>
       if (t < 0 || t >= nTypes) err(s"function #$i: type index $t of $nTypes")
+      if (!isFuncComp(t)) err(s"function #$i: type index $t is not a " +
+        "function type")
     }
     val nFuncs = m.imports.size + m.funcTypeIdxs.size
     def funcType(f: Int): FuncType =
@@ -66,6 +101,9 @@ object WasmValidate {
       else Vector.empty
 
     m.globals.zipWithIndex.foreach { case (g, i) =>
+      if (isRef(g.valType) && g.valType != Funcref && g.valType != Externref)
+        err(s"global #$i: ${tyName(g.valType)} global not supported by " +
+          "this engine (the gc arena is reclaimed per invocation)")
       val ok = g.init match {
         case Vector(I32Const(_)) => g.valType == I32
         case Vector(I64Const(_)) => g.valType == I64
@@ -179,7 +217,11 @@ object WasmValidate {
     }
     private def popExpect(e: Byte): Byte = {
       val a = pop()
-      if (a != Unknown && e != Unknown && a != e)
+      // reference positions accept kind-level subtypes (wasm-gc r16):
+      // none <: i31/struct/array <: eq <: any, nofunc <: func,
+      // noextern <: extern — everything else stays exact-match
+      if (a != Unknown && e != Unknown && a != e &&
+          !(isRef(a) && isRef(e) && subRef(a, e)))
         err(s"expected ${tyName(e)}, found ${tyName(a)}")
       if (a == Unknown) e else a
     }
@@ -214,7 +256,26 @@ object WasmValidate {
     private def typeAt(idx: Int): FuncType = {
       if (idx < 0 || idx >= m.types.size)
         err(s"type index $idx of ${m.types.size}")
-      m.types(idx)
+      m.comp(idx) match {
+        case CFunc(ft) => ft
+        case _ => err(s"type index $idx is not a function type")
+      }
+    }
+    private def structAt(idx: Int): Vector[FieldType] = {
+      if (idx < 0 || idx >= m.types.size)
+        err(s"type index $idx of ${m.types.size}")
+      m.comp(idx) match {
+        case CStruct(fs) => fs
+        case _ => err(s"type index $idx is not a struct type")
+      }
+    }
+    private def arrayAt(idx: Int): FieldType = {
+      if (idx < 0 || idx >= m.types.size)
+        err(s"type index $idx of ${m.types.size}")
+      m.comp(idx) match {
+        case CArray(e) => e
+        case _ => err(s"type index $idx is not an array type")
+      }
     }
     private def btParams(bt: Int): Vector[Byte] =
       if (bt < 0) typeAt(-1 - bt).params else Vector.empty
@@ -436,6 +497,84 @@ object WasmValidate {
           err(s"atomic subopcode $sub: alignment 2^$align != width $w")
         popVals(ps); pushVals(rs)
       case AtomicFence => ()
+      // wasm-gc tier (r16): kind-level reference typing (see ValType
+      // .subRef); field/element types are tracked per concrete type
+      // through the instruction immediates, so packed-width and
+      // mutability discipline stay exact
+      case RefEq => popExpect(Eqref); popExpect(Eqref); push(I32)
+      case RefI31 => popExpect(I32); push(I31ref)
+      case I31Get(_) => popExpect(I31ref); push(I32)
+      case StructNew(t) =>
+        val fs = structAt(t)
+        popVals(fs.map(f => unpacked(f.storage)))
+        push(Structref)
+      case StructNewDefault(t) =>
+        structAt(t).zipWithIndex.foreach { case (f, fi) =>
+          if (f.storage == F32 || f.storage == F64 || f.storage == I32 ||
+            f.storage == I64 || isPacked(f.storage) || isRef(f.storage)) ()
+          else err(s"struct.new_default: field $fi of type $t has no " +
+            s"default value (${tyName(f.storage)})")
+        }
+        push(Structref)
+      case StructGet(t, f, sign) =>
+        val fs = structAt(t)
+        if (f < 0 || f >= fs.size)
+          err(s"struct.get: field $f of ${fs.size} in type $t")
+        if (isPacked(fs(f).storage) != (sign != 0))
+          err(if (sign != 0)
+            s"struct.get_${if (sign == 1) "s" else "u"} on an unpacked field"
+          else "plain struct.get on a packed field (use _s/_u)")
+        popExpect(Structref)
+        push(unpacked(fs(f).storage))
+      case StructSet(t, f) =>
+        val fs = structAt(t)
+        if (f < 0 || f >= fs.size)
+          err(s"struct.set: field $f of ${fs.size} in type $t")
+        if (!fs(f).mutable) err(s"struct.set on immutable field $f of type $t")
+        popExpect(unpacked(fs(f).storage))
+        popExpect(Structref)
+      case ArrayNew(t) =>
+        val e = arrayAt(t)
+        popExpect(I32); popExpect(unpacked(e.storage))
+        push(Arrayref)
+      case ArrayNewDefault(t) =>
+        val e = arrayAt(t)
+        if (!(e.storage == F32 || e.storage == F64 || e.storage == I32 ||
+          e.storage == I64 || isPacked(e.storage) || isRef(e.storage)))
+          err(s"array.new_default: type $t element has no default value")
+        popExpect(I32)
+        push(Arrayref)
+      case ArrayNewFixed(t, n) =>
+        val e = arrayAt(t)
+        var j = 0
+        while (j < n) { popExpect(unpacked(e.storage)); j += 1 }
+        push(Arrayref)
+      case ArrayGet(t, sign) =>
+        val e = arrayAt(t)
+        if (isPacked(e.storage) != (sign != 0))
+          err(if (sign != 0)
+            s"array.get_${if (sign == 1) "s" else "u"} on an unpacked array"
+          else "plain array.get on a packed array (use _s/_u)")
+        popExpect(I32); popExpect(Arrayref)
+        push(unpacked(e.storage))
+      case ArraySet(t) =>
+        val e = arrayAt(t)
+        if (!e.mutable) err(s"array.set on immutable array type $t")
+        popExpect(unpacked(e.storage)); popExpect(I32); popExpect(Arrayref)
+      case ArrayLen => popExpect(Arrayref); push(I32)
+      case ArrayFill(t) =>
+        val e = arrayAt(t)
+        if (!e.mutable) err(s"array.fill on immutable array type $t")
+        popExpect(I32); popExpect(unpacked(e.storage)); popExpect(I32)
+        popExpect(Arrayref)
+      case ArrayCopy(dt, st) =>
+        val d = arrayAt(dt); val s = arrayAt(st)
+        if (!d.mutable) err(s"array.copy into immutable array type $dt")
+        if (d.storage != s.storage)
+          err(s"array.copy ${tyName(s.storage)} elements into " +
+            s"${tyName(d.storage)} (storage types must match)")
+        popExpect(I32); popExpect(I32); popExpect(Arrayref)
+        popExpect(I32); popExpect(Arrayref)
     }
 
     /** (width, result type) for MemLoad ops 0x28-0x35. */

@@ -189,6 +189,26 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
   }
 
+  test("a guest built with wasm-gc (the sum boxed through a struct " +
+      "field, fanned into an array, i31 ref.eq + array.len guards) " +
+      "replays the MVP guest byte-identically through the lens path") {
+    val gcUrl = dataUrl(LensGuestModules.shiftGuest("Age", viaGc = true))
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L), ("Zed", 0L),
+      ("Big", Long.MaxValue - 2L)).toDF("Name", "Age").coalesce(1)
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val gc = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$gcUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    gc shouldBe mvp
+    gc should contain(("Big", Long.MinValue + 2L)) // i64 wrap preserved
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$gcUrl","arguments":{"delta":5}}]}""")
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
+  }
+
   test("the module's inverse export drives `\"inverse\": true` stages") {
     val fwd = Pipeline.fromJson(
       s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")

@@ -402,10 +402,13 @@ class WasmSpec extends AnyFunSuite with Matchers {
       .codes.head.body == Vector(RefNull(0x70)))
     assert(WasmBinary.decode(withBody(Array[Byte](0x25, 0x00, 0x0B)))
       .codes.head.body == Vector(TableGet(0)))
-    // a GC heap type behind ref.null still fails by name
+    // a GC heap type behind ref.null DECODES since r16 (kind byte);
+    // an exception-handling heap type still fails by name
+    assert(WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x6B, 0x0B)))
+      .codes.head.body == Vector(RefNull(ValType.Structref & 0xFF)))
     val eH = intercept[WasmDecodeError](
-      WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x6B, 0x0B))))
-    assert(eH.getMessage.contains("heap type"))
+      WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x69, 0x0B))))
+    assert(eH.getMessage.contains("exn"), eH.getMessage)
     // v128 local declaration: accepted
     val codeV128Local = Array[Byte](0x01, 0x04, 0x01, 0x01, 0x7B, 0x0B)
     assert(WasmBinary.decode(header ++ voidType ++ oneFunc ++
@@ -488,38 +491,145 @@ class WasmSpec extends AnyFunSuite with Matchers {
       "f") shouldBe 7L
   }
 
-  test("wasm-gc forms reject by FEATURE name at decode " +
-      "(decode-and-reject tier: precise surface, no execution)") {
+  test("wasm-gc DECODE surface (r16): composite types, rec/sub groups " +
+      "and typed references all decode (kind-coarsened); unimplemented " +
+      "GC ops still reject by FEATURE name") {
     val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
     def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
       require(payload.length < 128)
       Array(id.toByte, payload.length.toByte) ++ payload
     }
-    def gcNamed(bytes: Array[Byte], expect: String): Unit = {
-      val e = intercept[WasmDecodeError](WasmBinary.decode(bytes))
+    // struct / array composite types carry their fields in comps
+    val mStruct = WasmBinary.decode(
+      header ++ sec(1, Array[Byte](0x01, 0x5F, 0x02, 0x7F, 0x01, 0x78, 0x00)))
+    assert(mStruct.comps == Vector(CStruct(Vector(
+      FieldType(ValType.I32, mutable = true),
+      FieldType(ValType.PackedI8, mutable = false)))))
+    val mArray = WasmBinary.decode(
+      header ++ sec(1, Array[Byte](0x01, 0x5E, 0x77, 0x01)))
+    assert(mArray.comps == Vector(CArray(
+      FieldType(ValType.PackedI16, mutable = true))))
+    // rec group of two mutually-referencing structs: the FORWARD
+    // (ref null $1) inside $0 resolves through the two-pass kind scan
+    val mRec = WasmBinary.decode(header ++ sec(1, Array[Byte](0x01,
+      0x4E, 0x02,
+      0x5F, 0x01, 0x63, 0x01, 0x01, // struct { mut (ref null $1) }
+      0x5E, 0x63, 0x00, 0x01))) // array of mut (ref null $0)
+    assert(mRec.comps == Vector(
+      CStruct(Vector(FieldType(ValType.Arrayref, mutable = true))),
+      CArray(FieldType(ValType.Structref, mutable = true))))
+    // sub-final with a supertype bound (bound index-checked, discarded)
+    val mSub = WasmBinary.decode(header ++ sec(1, Array[Byte](0x02,
+      0x5F, 0x00,
+      0x4F, 0x01, 0x00, 0x5F, 0x01, 0x7F, 0x00)))
+    assert(mSub.comps(1) == CStruct(Vector(
+      FieldType(ValType.I32, mutable = false))))
+    // typed references in a functype coarsen to kind bytes
+    val mRef = WasmBinary.decode(
+      header ++ sec(1, Array[Byte](0x02, 0x5F, 0x00,
+        0x60, 0x02, 0x63, 0x00, 0x6E, 0x00)))
+    assert(mRef.types(1).params ==
+      Vector(ValType.Structref, ValType.Anyref))
+    // 0xFB struct.new decodes; unimplemented GC ops reject by name
+    val structType = sec(1, Array[Byte](0x02,
+      0x5F, 0x01, 0x7F, 0x00, // $0: struct { i32 }
+      0x60, 0x00, 0x00)) // $1: () -> ()
+    val oneFunc = sec(3, Array[Byte](0x01, 0x01))
+    def withBody(body: Array[Byte]): Array[Byte] = {
+      val code = Array[Byte](0x01, (body.length + 1).toByte, 0x00) ++ body
+      header ++ structType ++ oneFunc ++ sec(10, code)
+    }
+    assert(WasmBinary.decode(withBody(Array[Byte](0x41, 0x05,
+      0xFB.toByte, 0x00, 0x00, 0x1A, 0x0B))).codes.head.body ==
+      Vector(I32Const(5), StructNew(0), Drop))
+    def gcNamed(body: Array[Byte], expect: String): Unit = {
+      val e = intercept[WasmDecodeError](WasmBinary.decode(withBody(body)))
       assert(e.getMessage.contains("wasm-gc") &&
         e.getMessage.contains(expect), e.getMessage)
     }
-    // struct / array composite types in the type section
-    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x5F, 0x00)), "struct")
-    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x5E, 0x78, 0x00)), "array")
-    // recursion group and subtype forms
-    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x4E, 0x00)), "recursive")
-    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x50, 0x00, 0x5F, 0x00)),
-      "subtype")
-    // GC value types inside a functype: (ref null ht) and abs heap types
-    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x63, 0x6E, 0x00)),
-      "typed reference")
-    gcNamed(header ++ sec(1, Array[Byte](0x01, 0x60, 0x01, 0x6E, 0x00)),
-      "any")
-    // the 0xFB instruction prefix (struct.new etc.)
-    val voidType = sec(1, Array[Byte](0x01, 0x60, 0x00, 0x00))
-    val oneFunc = sec(3, Array[Byte](0x01, 0x00))
-    val body = Array[Byte](0x01, 0x04, 0x00, 0xFB.toByte, 0x00, 0x0B)
-    gcNamed(header ++ voidType ++ oneFunc ++ sec(10, body), "0xFB")
-    // ref.null with a GC heap type names the feature, not a bad byte
-    val rn = Array[Byte](0x01, 0x04, 0x00, 0xD0.toByte, 0x6B, 0x0B)
-    gcNamed(header ++ voidType ++ oneFunc ++ sec(10, rn), "struct")
+    gcNamed(Array[Byte](0xFB.toByte, 0x14, 0x6B, 0x0B), "ref.test")
+    gcNamed(Array[Byte](0xFB.toByte, 0x16, 0x6B, 0x0B), "ref.cast")
+    gcNamed(Array[Byte](0xFB.toByte, 0x18, 0x00, 0x00, 0x6B, 0x6B, 0x0B),
+      "br_on_cast")
+    gcNamed(Array[Byte](0xFB.toByte, 0x09, 0x00, 0x00, 0x0B), "new_data")
+    gcNamed(Array[Byte](0xFB.toByte, 0x1A, 0x0B), "conversion")
+  }
+
+  test("wasm-gc EXECUTION (r16): i31 tag round-trips, struct fields " +
+      "(packed included) read back, arrays allocate/fill/copy, the gc " +
+      "arena resets per outermost invocation, misuse traps by name") {
+    import ValType._
+    // $0: struct { mut i32, i8 }  $1: array of mut i16  $2: (i32)->(i32)
+    val comps = Vector(
+      CStruct(Vector(FieldType(I32, mutable = true),
+        FieldType(PackedI8, mutable = false))),
+      CArray(FieldType(PackedI16, mutable = true)),
+      CFunc(FuncType(Vector(I32), Vector(I32))))
+    val sentinel = FuncType(Vector.empty, Vector.empty)
+    def mod(body: Vector[Instr], locals: Vector[Byte] = Vector.empty) =
+      WasmModule(
+        types = Vector(sentinel, sentinel, FuncType(Vector(I32), Vector(I32))),
+        imports = Vector.empty, funcTypeIdxs = Vector(2),
+        memMinPages = 0, memMaxPages = None, globals = Vector.empty,
+        exports = Vector(WasmExport("f", 0, 0)),
+        codes = Vector(FuncBody(locals, body)),
+        datas = Vector.empty, start = None, comps = comps)
+    def run(m: WasmModule, arg: Long): Long =
+      new WasmInterp.Instance(m, Map.empty).invoke("f", arg).head
+    // encode -> decode round-trip preserves comps and GC instrs
+    val rt = WasmBinary.decode(WasmBinary.encode(mod(Vector(
+      LocalGet(0), RefI31, I31Get(signed = true), Return))))
+    assert(rt.comps == comps)
+    // i31: tag round-trip, sign vs zero extension at 31 bits
+    assert(run(rt, -5L) == -5L)
+    val mU = mod(Vector(LocalGet(0), RefI31, I31Get(signed = false), Return))
+    assert(run(mU, -5L) == 0x7FFFFFFBL)
+    // struct: new, field get (plain + packed _s/_u), set on mut field
+    val mS = mod(Vector(
+      LocalGet(0), I32Const(0xAB), StructNew(0), LocalTee(1),
+      I32Const(40), StructSet(0, 0),
+      LocalGet(1), StructGet(0, 0, 0),
+      LocalGet(1), StructGet(0, 1, 2), Num(0x6A), // + get_u = 40 + 0xAB
+      LocalGet(1), StructGet(0, 1, 1), Num(0x6A), // + get_s = .. - 85
+      Return), locals = Vector(Structref))
+    assert(run(mS, 7L) == 40L + 0xABL + (0xAB.toByte).toLong)
+    // array: new_default, fill, set/get packed, len, copy
+    val mA = mod(Vector(
+      I32Const(6), ArrayNewDefault(1), LocalTee(1),
+      I32Const(1), I32Const(0x1FFFF), I32Const(3), ArrayFill(1), // wraps to 0xFFFF
+      LocalGet(1), I32Const(0), LocalGet(1), I32Const(1), I32Const(2),
+      ArrayCopy(1, 1), // overlapping copy [1,2] -> [0,1]
+      LocalGet(1), I32Const(0), ArrayGet(1, 2), // 0xFFFF (_u)
+      LocalGet(1), I32Const(0), ArrayGet(1, 1), Num(0x6A), // + -1 (_s)
+      LocalGet(1), ArrayLen, Num(0x6A), // + 6
+      Return), locals = Vector(Arrayref))
+    assert(run(mA, 0L) == 0xFFFFL - 1L + 6L)
+    // arena resets per outermost invocation: allocate-heavy calls do
+    // not accumulate (would hit the cap otherwise); same instance,
+    // many invokes
+    val inst = new WasmInterp.Instance(mod(Vector(
+      LocalGet(0), I32Const(0), StructNew(0), StructGet(0, 0, 0),
+      Return)), Map.empty)
+    (1 to 3).foreach(i => assert(inst.invoke("f", i.toLong).head == i.toLong))
+    // misuse traps by name: null deref, array OOB, i31 on a struct ref
+    val eNull = intercept[WasmTrap](run(mod(Vector(
+      RefNull(Structref & 0xFF), StructGet(0, 0, 0), Return),
+      locals = Vector.empty), 0L))
+    assert(eNull.getMessage.contains("null"), eNull.getMessage)
+    val eOob = intercept[WasmTrap](run(mod(Vector(
+      I32Const(2), ArrayNewDefault(1), I32Const(9), ArrayGet(1, 2),
+      Return)), 0L))
+    assert(eOob.getMessage.contains("array.get"), eOob.getMessage)
+    // validation: cross-kind misuse rejects by NAME at instantiation
+    val eKind = intercept[WasmValidateError](new WasmInterp.Instance(
+      mod(Vector(LocalGet(0), RefI31, StructGet(0, 0, 0), Return)),
+      Map.empty))
+    assert(eKind.getMessage.contains("expected structref"),
+      eKind.getMessage)
+    val eMut = intercept[WasmValidateError](new WasmInterp.Instance(
+      mod(Vector(LocalGet(0), I32Const(1), StructNew(0),
+        I32Const(9), StructSet(0, 1), LocalGet(0), Return)), Map.empty))
+    assert(eMut.getMessage.contains("immutable"), eMut.getMessage)
   }
 
   test("memory limit hygiene at decode: duplicate memory, shared " +
