@@ -132,13 +132,19 @@ object Bench {
     // unaffected; ADVICE r10).
     val countsJson = names.map(n =>
       "\"" + n + "\":" + timings(n).length).mkString("{", ",", "}")
-    val json =
+    // STDOUT gets the COMPACT line only (metric/medians/mins/errors):
+    // the r15 driver artifact arrived with `"parsed": null` because the
+    // tail-capture truncated the full record mid-JSON — the per-sample
+    // matrix (~270 queries × 3-5 samples) plus round timestamps made
+    // the line tens of KB. Those diagnostics now live ONLY in
+    // bench_out.json, which carries the complete parseable record.
+    val jsonCompact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs}"""
+    val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs,"sample_counts":$countsJson,"samples":$samplesJson,"round_starts":$roundsJson}"""
-    println(json)
-    // Also write to a file: the driver's stdout tail-capture truncated 4
-    // of 70 entries in r3; the file is the complete, parseable record.
+    println(jsonCompact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), jsonFull + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

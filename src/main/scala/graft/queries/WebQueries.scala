@@ -1318,8 +1318,25 @@ object WebQueries extends QueryProvider {
    *  shape: the decided wave feeds three host-keyed consumers and
    *  deliberately RE-SCANS (corpus-scale inputs are the caller's to
    *  materialize — the crawlDecide contract); everything shuffled is
-   *  host-keyed and slim. */
-  private def crawlLoop(s: SparkSession, dir: String): DataFrame = {
+   *  host-keyed and slim.
+   *
+   *  TEMPLATE WARNING: if you copy this composition, localCheckpoint
+   *  (or persist) the `decided` frame first — this registered row
+   *  re-derives three consumers from it and re-runs URL
+   *  canonicalization 3×, which is the documented caller-materializes
+   *  contract, not a recommendation. `crawlLoopMaterialized` is the
+   *  production shape; `PlanShapeSpec` pins that both faces produce
+   *  identical results. */
+  private def crawlLoop(s: SparkSession, dir: String): DataFrame =
+    crawlLoopImpl(s, dir, materialize = false)
+
+  /** The production variant of [[crawlLoop]]: the decided wave is
+   *  localCheckpoint'ed before its three consumers (spec-only). */
+  private[graft] def crawlLoopMaterialized(s: SparkSession,
+      dir: String): DataFrame = crawlLoopImpl(s, dir, materialize = true)
+
+  private def crawlLoopImpl(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val urls = T(s, dir, "documents").select(col("doc_id"), col("source"),
       concat(
         when(pmod(col("doc_id"), lit(5)) === 0, lit("HTTPS://"))
@@ -1337,9 +1354,10 @@ object WebQueries extends QueryProvider {
         concat(lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
           (ascii(substring(col("source"), -1, 1)) % 5).cast("string"),
           lit("\nSitemap: https://x.test/map.xml\n")).as("robots"))
-    val decided = graft.streaming.StreamingLens
+    val decided0 = graft.streaming.StreamingLens
       .crawlDecide(urls, "url", "graftbot/1.0", robots,
         checkpointCanon = false, broadcastBounded = false)
+    val decided = if (materialize) decided0.localCheckpoint() else decided0
     // the per-batch audit row crawlGate appends (one batch here)
     val audit = decided.groupBy(col("host")).agg(
         count(lit(1)).as("n_candidates"),

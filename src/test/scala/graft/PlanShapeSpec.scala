@@ -184,6 +184,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_crawl_loop: the caller-materializes contract — the " +
+      "localCheckpoint'ed production variant produces IDENTICAL rows " +
+      "to the registered re-scanning face") {
+    val reg = SparkEntry.benchQueries("pipeline_crawl_loop")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val mat = graft.queries.WebQueries.crawlLoopMaterialized(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(mat == reg,
+      "materializing the decided wave changed the crawl-loop output")
+  }
+
   test("crawlDecide gate face: a bounded micro-batch still broadcasts " +
       "the batch-host probe and the sliced robots build side") {
     // The streaming gate passes broadcastBounded=true (micro-batches are
