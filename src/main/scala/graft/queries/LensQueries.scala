@@ -184,6 +184,27 @@ object LensQueries extends QueryProvider {
       .withColumnRenamed("c_custkey", "shifted_key")
   }
 
+  /** The r16 GC CAST tier end-to-end: the shift guest's value path runs
+   *  through precise ref.test (concrete targets resolved over the
+   *  declared sub chain), a br_on_cast dispatch, an extern-hierarchy
+   *  round trip with ref.cast home, and two zero-sum corrections read
+   *  from a data-segment-seeded array (array.new_data + init_data) —
+   *  every op load-bearing for the oracle hash. 100 TB shape: identical
+   *  to lens_wasm_gc (per-partition interpretation, no extra exchange).
+   *  reference: host-go/runtimes/wasmtime/runtime.go:164-227 (any valid
+   *  module instantiates; the cast tier is part of "valid"). */
+  private def wasmGcCastPipe(s: SparkSession, dir: String): DataFrame = {
+    val url = wasmDataUrl(
+      graft.wasm.LensGuestModules.shiftGuest("c_custkey", viaGcCast = true))
+    Pipeline.fromJson(
+      s"""{"lenses":[
+         |  {"path":"builtin:select","arguments":{"cols":["c_custkey","c_name"]}},
+         |  {"path":"$url","arguments":{"delta":3000000}}
+         |]}""".stripMargin)
+      .forward(T(s, dir, "customer"))
+      .withColumnRenamed("c_custkey", "shifted_key")
+  }
+
   private def wasmFilterPipe(s: SparkSession, dir: String): DataFrame = {
     val url = wasmDataUrl(graft.wasm.LensGuestModules.filterGuest("c_custkey"))
     Pipeline.fromJson(
@@ -207,6 +228,7 @@ object LensQueries extends QueryProvider {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lens_wasm_shift"   -> (wasmShiftPipe _),
     "lens_wasm_gc"      -> (wasmGcPipe _),
+    "lens_wasm_cast"    -> (wasmGcCastPipe _),
     "lens_wasm_filter"  -> (wasmFilterPipe _),
     "lens_wasm_repeat"  -> (wasmRepeatPipe _),
     "lens_opaque"       -> (opaquePipe _),
@@ -225,6 +247,8 @@ object LensQueries extends QueryProvider {
       "SELECT c_custkey + 1000000 AS shifted_key, c_name FROM customer",
     "lens_wasm_gc" ->
       "SELECT c_custkey + 2000000 AS shifted_key, c_name FROM customer",
+    "lens_wasm_cast" ->
+      "SELECT c_custkey + 3000000 AS shifted_key, c_name FROM customer",
     "lens_wasm_filter" ->
       "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey >= 700",
     "lens_wasm_repeat" ->

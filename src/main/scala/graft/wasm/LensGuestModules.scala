@@ -343,9 +343,10 @@ object LensGuestModules {
       viaRefTypes: Boolean = false,
       viaAtomics: Boolean = false,
       viaRelaxedSimd: Boolean = false,
-      viaGc: Boolean = false): Array[Byte] = {
+      viaGc: Boolean = false,
+      viaGcCast: Boolean = false): Array[Byte] = {
     require(Seq(viaFloatPath, viaMultiValueBulk, viaSimdPath, viaRefTypes,
-      viaAtomics, viaRelaxedSimd, viaGc).count(identity) <= 1,
+      viaAtomics, viaRelaxedSimd, viaGc, viaGcCast).count(identity) <= 1,
       "combine at most one value-path probe")
     val d = new DataPacker
     val pat = d.add("\"" + field + "\":")
@@ -357,8 +358,18 @@ object LensGuestModules {
     val TAdd = types.size // (i64, i64) -> i64, ref-types dispatch target
     val TS = types.size // gc probe: struct { mut i64 }
     val TA = types.size + 1 // gc probe: array of mut i64
+    val TSup = types.size // gc-cast probe: supertype struct { mut i64 }
+    val TSc = types.size + 1 // gc-cast probe: declared sub of TSup
+    val TAc = types.size + 2 // gc-cast probe: array of mut i64
     val AddFn = 10 // function index of the table-dispatched add
     val passiveSegIdx = 5 // after the 5 active DataPacker segments
+    // gc-cast probe's exact abstract heap types (~byte — see RefTest)
+    val HtAny = ~(ValType.Anyref & 0xFF)
+    val HtI31 = ~(ValType.I31ref & 0xFF)
+    val HtStruct = ~(ValType.Structref & 0xFF)
+    def guardEq(expect: Int): Vector[Instr] = Vector(
+      ic(expect), Num(0x46) /* i32.eq */,
+      If(Empty, Vector.empty, Vector(Unreachable)))
 
     // doShift(sign: i64)->i32
     // locals: 0=sign, 1=ptr, 2=len, 3=pay, 4=idx, 5=numStart, 6=numEnd,
@@ -379,7 +390,8 @@ object LensGuestModules {
         (if (viaRelaxedSimd) Vector[Byte](I64) else Vector.empty[Byte]) ++
         // gc scratch: 10 = delta*sign, 11 = the box struct, 12 = the
         // fan-out array (kind-typed ref locals, null-defaulted)
-        (if (viaGc) Vector[Byte](I64, ValType.Structref, ValType.Arrayref)
+        (if (viaGc || viaGcCast)
+           Vector[Byte](I64, ValType.Structref, ValType.Arrayref)
          else Vector.empty[Byte]),
       Vector[Instr](
         ic(d.heapBase), GlobalSet(HEAP), // previous frames consumed: reset
@@ -463,6 +475,52 @@ object LensGuestModules {
         If(Empty, Vector.empty, Vector(Unreachable)),
         LocalGet(12), ic(1), ArrayGet(TA, 0),
         LocalSet(9))
+      else if (viaGcCast) Vector[Instr](
+        // stack: v, delta*sign — the r16 GC CAST tier: the value is
+        // boxed into the declared SUBTYPE struct, interrogated with
+        // precise ref.test (concrete target, declared chain, sibling
+        // miss), dispatched through br_on_cast, bounced through the
+        // extern hierarchy and ref.cast back, then unboxed with two
+        // zero-sum corrections read from a data-SEEDED array
+        // (array.new_data + array.init_data) — every op load-bearing:
+        // a wrong test, failed cast, or wrong segment byte breaks the
+        // oracle hash or traps.
+        LocalSet(10),
+        StructNew(TSc), LocalSet(11)) ++
+        // box is TSc, and TSup via the declared sub chain
+        (Vector[Instr](LocalGet(11), RefTest(TSc, nullable = false)) ++
+          guardEq(1)) ++
+        (Vector[Instr](LocalGet(11), RefTest(TSup, nullable = false)) ++
+          guardEq(1)) ++
+        (Vector[Instr](LocalGet(11), RefTest(HtStruct, nullable = false)) ++
+          guardEq(1)) ++
+        (Vector[Instr](LocalGet(11), RefTest(HtI31, nullable = false)) ++
+          guardEq(0)) ++
+        (Vector[Instr](ic(9), RefI31, RefTest(HtI31, nullable = false)) ++
+          guardEq(1)) ++
+        // a bare TSup instance is NOT a TSc — the downcast is precise
+        (Vector[Instr](StructNewDefault(TSup),
+          RefTest(TSc, nullable = false)) ++ guardEq(0)) ++
+        Vector[Instr](
+          // br_on_cast dispatch: any → TSc branches carrying the box
+          Block(ValType.Structref & 0xFF, Vector(
+            LocalGet(11),
+            BrOnCast(0, HtAny, srcNullable = true, TSc,
+              dstNullable = false, onFail = false),
+            Unreachable)),
+          // extern hierarchy round trip (identity), precise cast home
+          ExternConvertAny, AnyConvertExtern,
+          RefCast(TSc, nullable = false),
+          StructGet(TSc, 0, 0), LocalGet(10), addL,
+          // lookup = array.new_data(seg[0, 2)) → [7, 999], then
+          // array.init_data patches slot 1 from byte 16 → [7, 100];
+          // (lookup[0] - 7) + (lookup[1] - 100) = 0 keeps identity
+          ic(0), ic(2), ArrayNewData(TAc, passiveSegIdx), LocalSet(12),
+          LocalGet(12), ic(1), ic(16), ic(1),
+          ArrayInitData(TAc, passiveSegIdx),
+          LocalGet(12), ic(0), ArrayGet(TAc, 0), lc(7L), subL, addL,
+          LocalGet(12), ic(1), ArrayGet(TAc, 0), lc(100L), subL, addL,
+          LocalSet(9))
       else if (viaRefTypes) Vector[Instr](
         // one-time table build (PEND latch): grow 0→2, init [null, add]
         // from the passive expr-form elem segment, drop it, then heal
@@ -531,6 +589,8 @@ object LensGuestModules {
         else if (viaGc) // sentinels under the struct/array comp entries
           types :+ FuncType(Vector.empty, Vector.empty) :+
             FuncType(Vector.empty, Vector.empty)
+        else if (viaGcCast)
+          types ++ Vector.fill(3)(FuncType(Vector.empty, Vector.empty))
         else types,
       imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
       funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr, // 1..5
@@ -551,7 +611,14 @@ object LensGuestModules {
          else Vector.empty),
       datas = if (viaMultiValueBulk)
         d.segments :+ DataSeg(-1, "mvb!".getBytes(UTF_8).toVector, passive = true)
-      else d.segments,
+      else if (viaGcCast) {
+        // three LE i64 lanes: [7, 999, 100] — new_data reads the first
+        // two, init_data patches slot 1 from byte 16
+        def le64(v: Long): Vector[Byte] =
+          Vector.tabulate(8)(j => ((v >>> (8 * j)) & 0xFF).toByte)
+        d.segments :+ DataSeg(-1, le64(7L) ++ le64(999L) ++ le64(100L),
+          passive = true)
+      } else d.segments,
       start = None,
       tables = if (viaRefTypes)
         Vector(TableType(ValType.Funcref, 0, Some(4))) else Vector.empty,
@@ -561,6 +628,14 @@ object LensGuestModules {
         types.map(t => CFunc(t): CompType) :+
           CStruct(Vector(FieldType(I64, mutable = true))) :+
           CArray(FieldType(I64, mutable = true))
+      else if (viaGcCast)
+        types.map(t => CFunc(t): CompType) :+
+          CStruct(Vector(FieldType(I64, mutable = true))) :+ // TSup
+          CStruct(Vector(FieldType(I64, mutable = true))) :+ // TSc <: TSup
+          CArray(FieldType(I64, mutable = true)) // TAc
+      else Vector.empty,
+      superTypes = if (viaGcCast)
+        Vector.fill(types.size + 3)(-1).updated(TSc, TSup)
       else Vector.empty))
   }
 

@@ -151,6 +151,13 @@ object ValType {
     case Externref => a == NoExternref
     case _ => false
   })
+  /** Hierarchy top of a reference kind byte: any-hierarchy kinds meet
+   *  at anyref, func kinds at funcref, extern kinds at externref. */
+  def hierTop(k: Byte): Byte = k match {
+    case Funcref | NoFuncref => Funcref
+    case Externref | NoExternref => Externref
+    case _ => Anyref
+  }
 }
 
 // reference-types tier (r14): funcref/externref values, table
@@ -204,6 +211,32 @@ final case class I31Get(signed: Boolean) extends Instr
 /** ref.eq (0xD3): identity on eqref values (i31 tag bits included). */
 case object RefEq extends Instr
 
+/** wasm-gc ref.test / ref.cast (0xFB 20–23). `ht` is an EXACT heap
+ *  type: >= 0 a concrete type index (tests are PRECISE — runtime
+ *  objects carry their type index and declared `sub` chains resolve),
+ *  < 0 the bitwise NOT of an abstract heap-type byte. */
+final case class RefTest(ht: Int, nullable: Boolean) extends Instr
+final case class RefCast(ht: Int, nullable: Boolean) extends Instr
+/** br_on_cast (0xFB 24) / br_on_cast_fail (0xFB 25): test the top ref
+ *  against `dstHt` and branch with it on success (failure for
+ *  `onFail`), falling through with it otherwise. */
+final case class BrOnCast(depth: Int, srcHt: Int, srcNullable: Boolean,
+    dstHt: Int, dstNullable: Boolean, onFail: Boolean) extends Instr
+/** any.convert_extern (0xFB 26) / extern.convert_any (0xFB 27):
+ *  identity on this engine's 64-bit slot encoding (null stays null) —
+ *  the ops exist to move a value between the any and extern
+ *  hierarchies, which share one representation here. */
+case object AnyConvertExtern extends Instr
+case object ExternConvertAny extends Instr
+/** Segment-seeded arrays: array.new_data / array.new_elem
+ *  (0xFB 9/10) read [offset, size) of a data / elem segment at
+ *  allocation; array.init_data / array.init_elem (0xFB 18/19) patch a
+ *  slice of an existing array from one. */
+final case class ArrayNewData(typeIdx: Int, dataIdx: Int) extends Instr
+final case class ArrayNewElem(typeIdx: Int, elemIdx: Int) extends Instr
+final case class ArrayInitData(typeIdx: Int, dataIdx: Int) extends Instr
+final case class ArrayInitElem(typeIdx: Int, elemIdx: Int) extends Instr
+
 /** GC composite-type field: `storage` is a valtype byte or a packed
  *  byte (i8 0x78 / i16 0x77); reference storage is kind-coarsened like
  *  every other valtype in this engine. */
@@ -253,12 +286,17 @@ final case class WasmModule(
     start: Option[Int],
     tables: Vector[TableType] = Vector.empty,
     elems: Vector[ElemSeg] = Vector.empty,
-    comps: Vector[CompType] = Vector.empty) {
+    comps: Vector[CompType] = Vector.empty,
+    superTypes: Vector[Int] = Vector.empty) {
   def export(name: String): Option[WasmExport] = exports.find(_.name == name)
   /** The composite type at index `i`; a module with no GC forms (comps
    *  empty — every pre-GC construction site) is all-func. */
   def comp(i: Int): CompType =
     if (comps.isEmpty) CFunc(types(i)) else comps(i)
+  /** Declared supertype of type `i` (`sub` forms, r16), -1 = none.
+   *  Empty vector = no type declares one (the normalized form both
+   *  decode and every pre-GC construction site produce). */
+  def superOf(i: Int): Int = if (superTypes.isEmpty) -1 else superTypes(i)
 }
 
 class WasmDecodeError(msg: String) extends RuntimeException(msg)
@@ -360,6 +398,7 @@ object WasmBinary {
     var tables = Vector.empty[TableType]
     var elems = Vector.empty[ElemSeg]
     var comps = Vector.empty[CompType]
+    var superTypes = Vector.empty[Int]
     // spec: at most one memory across the import and memory sections —
     // without this, section 5 would silently overwrite imported limits
     var seenMemory = false
@@ -449,23 +488,29 @@ object WasmBinary {
           locally {
             val tBuf = Vector.newBuilder[FuncType]
             val cBuf = Vector.newBuilder[CompType]
+            val sBuf = Vector.newBuilder[Int]
             var sawGc = false
             def decodeSub(tag0: Int): Unit = {
               var tag = tag0
+              var sup = -1
               if (tag == 0x4F || tag == 0x50) {
                 sawGc = true
-                // supertype bounds index-checked then DISCARDED:
-                // kind-level typing has no use for declared bounds
-                var j = r.u32()
-                while (j > 0) {
+                // supertype bounds are KEPT (r16): ref.test/ref.cast
+                // resolve declared chains at runtime. The spec caps the
+                // vector at one entry (GC spec §3.4.6).
+                val j = r.u32()
+                if (j > 1) throw new WasmDecodeError(
+                  s"subtype declares $j supertypes (spec limit is 1)")
+                if (j == 1) {
                   val s = r.u32()
                   if (s < 0 || s >= r.typeKinds.length)
                     throw new WasmDecodeError(
                       s"subtype supertype index $s of ${r.typeKinds.length}")
-                  j -= 1
+                  sup = s
                 }
                 tag = r.u8()
               }
+              sBuf += sup
               tag match {
                 case 0x60 =>
                   val params = Vector.fill(r.u32())(checkedValtype(r))
@@ -497,6 +542,9 @@ object WasmBinary {
             }
             types = tBuf.result()
             comps = if (sawGc) cBuf.result() else Vector.empty
+            val supers = sBuf.result()
+            superTypes =
+              if (supers.exists(_ != -1)) supers else Vector.empty
           }
         case 2 => // import
           val nImp = r.u32()
@@ -637,7 +685,7 @@ object WasmBinary {
       r.pos = end
     }
     WasmModule(types, imports, funcTypeIdxs, memMin, memMax, globals,
-      exports, codes, datas, start, tables, elems, comps)
+      exports, codes, datas, start, tables, elems, comps, superTypes)
   }
 
   /** Value type with a NAMED rejection for anything outside the tiers
@@ -663,6 +711,20 @@ object WasmBinary {
         "by this engine")
     case other => throw new WasmDecodeError(
       f"bad value type 0x$other%02X")
+  }
+
+  /** Resolve a heap-type s33 to an EXACT representation for
+   *  ref.test/ref.cast/br_on_cast: a concrete index stays the index
+   *  (>= 0, range-checked — runtime tests on it are precise); an
+   *  abstract heap type becomes the bitwise NOT of its byte (< 0),
+   *  with unknown bytes rejected by name via [[heapKindByte]]. */
+  private def heapTypeExact(r: Reader, where: String): Int = {
+    val ht = r.s64()
+    if (ht >= 0) {
+      if (ht >= r.typeKinds.length) throw new WasmDecodeError(
+        s"$where: heap type index $ht of ${r.typeKinds.length}")
+      ht.toInt
+    } else ~(heapKindByte(r, ht, where) & 0xFF)
   }
 
   /** Resolve a heap-type s33 to the engine's kind-level valtype byte:
@@ -924,9 +986,12 @@ object WasmBinary {
               if (n < 0 || n > (1 << 16)) throw new WasmDecodeError(
                 s"array.new_fixed size $n exceeds this engine's 2^16 cap")
               out += ArrayNewFixed(t, n)
-            case 9 | 10 => throw new WasmDecodeError(
-              "wasm-gc array.new_data/new_elem (segment-seeded arrays) " +
-                "not supported by this engine")
+            case 9 =>
+              val t = r.u32()
+              out += ArrayNewData(t, r.u32())
+            case 10 =>
+              val t = r.u32()
+              out += ArrayNewElem(t, r.u32())
             case g if g >= 11 && g <= 13 => out += ArrayGet(r.u32(), g - 11)
             case 14 => out += ArraySet(r.u32())
             case 15 => out += ArrayLen
@@ -934,15 +999,28 @@ object WasmBinary {
             case 17 =>
               val d = r.u32()
               out += ArrayCopy(d, r.u32())
-            case 18 | 19 => throw new WasmDecodeError(
-              "wasm-gc array.init_data/init_elem not supported by this engine")
-            case c if c >= 20 && c <= 23 => throw new WasmDecodeError(
-              s"wasm-gc ref.${if (c <= 21) "test" else "cast"} not " +
-                "supported by this engine")
-            case c if c == 24 || c == 25 => throw new WasmDecodeError(
-              "wasm-gc br_on_cast not supported by this engine")
-            case 26 | 27 => throw new WasmDecodeError(
-              "wasm-gc any/extern conversion not supported by this engine")
+            case 18 =>
+              val t = r.u32()
+              out += ArrayInitData(t, r.u32())
+            case 19 =>
+              val t = r.u32()
+              out += ArrayInitElem(t, r.u32())
+            case c if c >= 20 && c <= 23 =>
+              val what = if (c <= 21) "ref.test" else "ref.cast"
+              val ht = heapTypeExact(r, what)
+              out += (if (c <= 21) RefTest(ht, c == 21)
+                      else RefCast(ht, c == 23))
+            case c if c == 24 || c == 25 =>
+              val flags = r.u8() & 0xFF
+              if (flags > 3) throw new WasmDecodeError(
+                s"br_on_cast: bad flags byte $flags")
+              val d = r.u32()
+              val src = heapTypeExact(r, "br_on_cast source")
+              val dst = heapTypeExact(r, "br_on_cast target")
+              out += BrOnCast(d, src, (flags & 1) != 0,
+                dst, (flags & 2) != 0, onFail = c == 25)
+            case 26 => out += AnyConvertExtern
+            case 27 => out += ExternConvertAny
             case 28 => out += RefI31
             case 29 => out += I31Get(signed = true)
             case 30 => out += I31Get(signed = false)
@@ -1009,6 +1087,8 @@ object WasmBinary {
         s.u8(f.storage & 0xFF); s.u8(if (f.mutable) 1 else 0)
       }
       (0 until m.types.size).foreach { i =>
+        val sup = m.superOf(i)
+        if (sup >= 0) { s.u8(0x50); s.u32(1); s.u32(sup) }
         m.comp(i) match {
           case CFunc(t) =>
             s.u8(0x60)
@@ -1132,6 +1212,12 @@ object WasmBinary {
   private def blocktype(w: Writer, bt: Int): Unit =
     if (bt >= 0) w.u8(bt) else w.s64((-1L - bt))
 
+  /** Encode an exact heap type (the [[heapTypeExact]] representation):
+   *  concrete index as a positive s33, abstract as its single byte
+   *  (which, bit 6 set, reads back as the negative s33). */
+  private def encodeHeapT(w: Writer, ht: Int): Unit =
+    if (ht >= 0) w.s64(ht.toLong) else w.u8((~ht) & 0xFF)
+
   private def encodeSeq(w: Writer, body: Vector[Instr]): Unit =
     body.foreach {
       case Unreachable => w.u8(0x00)
@@ -1171,6 +1257,20 @@ object WasmBinary {
       case ArrayCopy(d, s) => w.u8(0xFB); w.u32(17); w.u32(d); w.u32(s)
       case RefI31 => w.u8(0xFB); w.u32(28)
       case I31Get(sg) => w.u8(0xFB); w.u32(if (sg) 29 else 30)
+      case ArrayNewData(t, d) => w.u8(0xFB); w.u32(9); w.u32(t); w.u32(d)
+      case ArrayNewElem(t, e) => w.u8(0xFB); w.u32(10); w.u32(t); w.u32(e)
+      case ArrayInitData(t, d) => w.u8(0xFB); w.u32(18); w.u32(t); w.u32(d)
+      case ArrayInitElem(t, e) => w.u8(0xFB); w.u32(19); w.u32(t); w.u32(e)
+      case RefTest(ht, nl) =>
+        w.u8(0xFB); w.u32(if (nl) 21 else 20); encodeHeapT(w, ht)
+      case RefCast(ht, nl) =>
+        w.u8(0xFB); w.u32(if (nl) 23 else 22); encodeHeapT(w, ht)
+      case BrOnCast(d, src, sn, dst, dn, onFail) =>
+        w.u8(0xFB); w.u32(if (onFail) 25 else 24)
+        w.u8((if (sn) 1 else 0) | (if (dn) 2 else 0))
+        w.u32(d); encodeHeapT(w, src); encodeHeapT(w, dst)
+      case AnyConvertExtern => w.u8(0xFB); w.u32(26)
+      case ExternConvertAny => w.u8(0xFB); w.u32(27)
       case TableGet(t) => w.u8(0x25); w.u32(t)
       case TableSet(t) => w.u8(0x26); w.u32(t)
       case TableInit(e, t) => w.u8(0xFC); w.u32(12); w.u32(e); w.u32(t)

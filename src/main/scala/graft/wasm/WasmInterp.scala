@@ -358,6 +358,86 @@ object WasmInterp {
         s"array allocation length $n exceeds this engine's " +
           s"$GcArrayCap-element cap")
 
+    /** Declared-subtype chain walk: runtime type `rt` matches `target`
+     *  iff the `sub` chain from rt reaches it (GC spec runtime casting
+     *  semantics — structural similarity is NOT enough). */
+    private def chainMatches(rt: Int, target: Int): Boolean = {
+      var t = rt
+      var guard = module.types.size + 1
+      while (t >= 0 && guard > 0) {
+        if (t == target) return true
+        t = module.superOf(t)
+        guard -= 1
+      }
+      false
+    }
+    /** Runtime heap-type test shared by ref.test / ref.cast /
+     *  br_on_cast. `ht` is the decoder's exact representation: >= 0 a
+     *  concrete type index (precise via [[chainMatches]]), < 0
+     *  ~abstractByte. Validation already pinned the operand's
+     *  hierarchy, so untagged non-null values are func/extern refs. */
+    private def refMatches(v: Long, ht: Int, nullable: Boolean): Boolean = {
+      def gcIdx: Int = (v ^ GcTag).toInt
+      def isHeapRef: Boolean =
+        (v & GcTag) != 0L && (v & I31Tag) == 0L &&
+          gcIdx >= 0 && gcIdx < gcHeap.size
+      if (v == -1L) nullable
+      else if (ht >= 0) module.comp(ht) match {
+        case _: CFunc =>
+          val f = v.toInt
+          val nImp = module.imports.size
+          v >= 0 && f < nImp + module.funcTypeIdxs.size && chainMatches(
+            if (f < nImp) module.imports(f).typeIdx
+            else module.funcTypeIdxs(f - nImp), ht)
+        case _ =>
+          isHeapRef && chainMatches(gcHeap(gcIdx) match {
+            case s: GcStruct => s.typeIdx
+            case a: GcArray => a.typeIdx
+          }, ht)
+      } else (~ht).toByte match {
+        case ValType.Anyref => true
+        case ValType.Eqref => (v & (GcTag | I31Tag)) != 0L
+        case ValType.I31ref => (v & I31Tag) != 0L
+        case ValType.Structref =>
+          isHeapRef && gcHeap(gcIdx).isInstanceOf[GcStruct]
+        case ValType.Arrayref =>
+          isHeapRef && gcHeap(gcIdx).isInstanceOf[GcArray]
+        case ValType.Funcref | ValType.Externref => true
+        case _ => false // none / nofunc / noextern: only null inhabits
+      }
+    }
+    private def heapTName(ht: Int): String =
+      if (ht >= 0) s"type $ht"
+      else (~ht).toByte match {
+        case ValType.Anyref => "any"
+        case ValType.Eqref => "eq"
+        case ValType.I31ref => "i31"
+        case ValType.Structref => "struct"
+        case ValType.Arrayref => "array"
+        case ValType.Funcref => "func"
+        case ValType.Externref => "extern"
+        case b => f"heap type 0x$b%02X"
+      }
+    /** Byte width of a numeric/packed array storage type (reference
+     *  storages are rejected for data-seeded arrays at validation). */
+    private def storageWidth(st: Byte): Int = st match {
+      case ValType.PackedI8 => 1
+      case ValType.PackedI16 => 2
+      case ValType.I32 | ValType.F32 => 4
+      case _ => 8
+    }
+    /** Little-endian read of one array element from data-segment bytes,
+     *  slot-encoded per storage type (i32 sign-extends, f32 keeps raw
+     *  bits zero-extended, packed widths store raw — the same slot
+     *  conventions packStore/fieldLoad use). */
+    private def readSegLe(bytes: Vector[Byte], off: Int, st: Byte): Long = {
+      val w = storageWidth(st)
+      var acc = 0L
+      var j = w - 1
+      while (j >= 0) { acc = (acc << 8) | (bytes(off + j) & 0xFFL); j -= 1 }
+      if (st == ValType.I32) acc.toInt.toLong else acc
+    }
+
     /** Branch signal: -1 = fell through, -2 = function return,
      *  n >= 0 = branch crossing n MORE labels outward. */
     private val FALL = -1
@@ -557,6 +637,91 @@ object WasmInterp {
                   s"dst $di+$n of ${da.elems.length}")
             burn()
             System.arraycopy(sa.elems, si, da.elems, di, n)
+          case RefTest(ht, nl) =>
+            stack.push(if (refMatches(stack.pop(), ht, nl)) 1L else 0L)
+          case RefCast(ht, nl) =>
+            val v = stack.pop()
+            if (!refMatches(v, ht, nl)) throw new WasmTrap(
+              s"ref.cast: value does not match ${heapTName(ht)}")
+            stack.push(v)
+          case BrOnCast(d, _, _, dstHt, dstNl, onFail) =>
+            // the tested value travels with the branch (and with the
+            // fallthrough) — peek, don't pop
+            if (refMatches(stack.peek, dstHt, dstNl) != onFail) return d
+          case AnyConvertExtern | ExternConvertAny =>
+            () // identity in the shared 64-bit slot encoding; null → null
+          case ArrayNewData(t, di) =>
+            val e = arrayElem(t)
+            val n = stack.pop().toInt
+            val off = stack.pop().toInt
+            checkGcArrayLen(n)
+            val bytes = if (droppedData(di)) Vector.empty[Byte]
+              else module.datas(di).bytes
+            val w = storageWidth(e.storage)
+            if (off < 0 || n < 0 ||
+                off.toLong + n.toLong * w > bytes.length)
+              throw new WasmTrap(
+                s"array.new_data: $off+$n×$w of ${bytes.length}")
+            burn()
+            val arr = new Array[Long](n)
+            var j = 0
+            while (j < n) {
+              arr(j) = readSegLe(bytes, off + j * w, e.storage); j += 1
+            }
+            stack.push(gcAlloc(new GcArray(t, arr)))
+          case ArrayNewElem(t, ei) =>
+            arrayElem(t) // array-kind assert (validated; belt + braces)
+            val n = stack.pop().toInt
+            val off = stack.pop().toInt
+            checkGcArrayLen(n)
+            val items = if (droppedElems(ei)) Vector.empty[Int]
+              else module.elems(ei).funcIdxs
+            if (off < 0 || n < 0 || off.toLong + n > items.length)
+              throw new WasmTrap(
+                s"array.new_elem: $off+$n of ${items.length}")
+            burn()
+            val arr = new Array[Long](n)
+            var j = 0
+            while (j < n) { arr(j) = items(off + j).toLong; j += 1 }
+            stack.push(gcAlloc(new GcArray(t, arr)))
+          case ArrayInitData(t, di) =>
+            val e = arrayElem(t)
+            val n = stack.pop().toInt
+            val src = stack.pop().toInt
+            val dst = stack.pop().toInt
+            val a = gcArrayAt(stack.pop(), "array.init_data")
+            val bytes = if (droppedData(di)) Vector.empty[Byte]
+              else module.datas(di).bytes
+            val w = storageWidth(e.storage)
+            if (n < 0 || dst < 0 || src < 0 ||
+                dst.toLong + n > a.elems.length ||
+                src.toLong + n.toLong * w > bytes.length)
+              throw new WasmTrap(
+                s"array.init_data: dst $dst+$n of ${a.elems.length}, " +
+                  s"src $src+$n×$w of ${bytes.length}")
+            burn()
+            var j = 0
+            while (j < n) {
+              a.elems(dst + j) = readSegLe(bytes, src + j * w, e.storage)
+              j += 1
+            }
+          case ArrayInitElem(t, ei) =>
+            arrayElem(t)
+            val n = stack.pop().toInt
+            val src = stack.pop().toInt
+            val dst = stack.pop().toInt
+            val a = gcArrayAt(stack.pop(), "array.init_elem")
+            val items = if (droppedElems(ei)) Vector.empty[Int]
+              else module.elems(ei).funcIdxs
+            if (n < 0 || dst < 0 || src < 0 ||
+                dst.toLong + n > a.elems.length ||
+                src.toLong + n > items.length)
+              throw new WasmTrap(
+                s"array.init_elem: dst $dst+$n of ${a.elems.length}, " +
+                  s"src $src+$n of ${items.length}")
+            burn()
+            var j = 0
+            while (j < n) { a.elems(dst + j) = items(src + j).toLong; j += 1 }
           case TableGet(ti) =>
             val t = tableAt(ti); val i = stack.pop().toInt
             if (i < 0 || i >= t.length)

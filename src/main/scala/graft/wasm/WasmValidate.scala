@@ -80,6 +80,55 @@ object WasmValidate {
         case CFunc(_) => ()
       }
     }
+    // wasm-gc declared subtyping (r16): ref.test/ref.cast resolve
+    // EXACTLY these chains at runtime, so the declarations must be
+    // legal refinements — mutable fields invariant, immutable fields
+    // covariant (kind-level for references), function types
+    // contravariant in params / covariant in results (GC spec §3.4.7).
+    if (m.superTypes.nonEmpty) {
+      def stOk(sub: Byte, sup: Byte): Boolean =
+        sub == sup || (isRef(sub) && isRef(sup) && subRef(sub, sup))
+      def fieldSub(sub: FieldType, sup: FieldType, what: String): Unit =
+        if (sup.mutable || sub.mutable) {
+          if (!(sup.mutable && sub.mutable && sub.storage == sup.storage))
+            err(s"$what: mutable fields are invariant under declared " +
+              "subtyping")
+        } else if (!stOk(sub.storage, sup.storage))
+          err(s"$what: ${tyName(sub.storage)} does not refine " +
+            tyName(sup.storage))
+      m.superTypes.zipWithIndex.foreach { case (sup, i) =>
+        if (sup >= 0) {
+          if (sup >= i)
+            err(s"type #$i: supertype $sup does not precede it (forward " +
+              "supertype references are not supported by this engine)")
+          (m.comp(i), m.comp(sup)) match {
+            case (CStruct(a), CStruct(b)) =>
+              if (a.size < b.size)
+                err(s"type #$i: struct declares ${a.size} fields but its " +
+                  s"supertype $sup has ${b.size}")
+              b.indices.foreach(j =>
+                fieldSub(a(j), b(j), s"type #$i field $j"))
+            case (CArray(a), CArray(b)) =>
+              fieldSub(a, b, s"type #$i element")
+            case (CFunc(a), CFunc(b)) =>
+              if (a.params.size != b.params.size ||
+                  a.results.size != b.results.size)
+                err(s"type #$i: function arity differs from supertype $sup")
+              a.params.zip(b.params).foreach { case (sp, bp) =>
+                if (!stOk(bp, sp))
+                  err(s"type #$i: param does not contravary supertype $sup")
+              }
+              a.results.zip(b.results).foreach { case (sr, br) =>
+                if (!stOk(sr, br))
+                  err(s"type #$i: result does not covary supertype $sup")
+              }
+            case _ =>
+              err(s"type #$i: declared supertype $sup has a different " +
+                "composite kind")
+          }
+        }
+      }
+    }
     if (m.funcTypeIdxs.size != m.codes.size)
       err(s"function section declares ${m.funcTypeIdxs.size} functions " +
         s"but the code section carries ${m.codes.size} bodies")
@@ -277,6 +326,20 @@ object WasmValidate {
         case _ => err(s"type index $idx is not an array type")
       }
     }
+    /** Kind byte of an exact heap type (ref.test/ref.cast/br_on_cast
+     *  immediates): concrete indices coarsen to their composite kind,
+     *  abstract heap types keep their byte. */
+    private def kindOf(ht: Int): Byte =
+      if (ht < 0) (~ht).toByte
+      else {
+        if (ht >= m.types.size)
+          err(s"heap type index $ht of ${m.types.size}")
+        m.comp(ht) match {
+          case CFunc(_) => Funcref
+          case CStruct(_) => Structref
+          case CArray(_) => Arrayref
+        }
+      }
     private def btParams(bt: Int): Vector[Byte] =
       if (bt < 0) typeAt(-1 - bt).params else Vector.empty
     private def btResults(bt: Int): Vector[Byte] =
@@ -575,6 +638,77 @@ object WasmValidate {
             s"${tyName(d.storage)} (storage types must match)")
         popExpect(I32); popExpect(I32); popExpect(Arrayref)
         popExpect(I32); popExpect(Arrayref)
+      // wasm-gc casts + segment-seeded arrays (r16). Tests and casts
+      // validate at KIND level like every reference position; the
+      // runtime test on a concrete immediate is precise (declared
+      // chains), which only ever REFINES what validation admitted.
+      case RefTest(ht, _) =>
+        popExpect(hierTop(kindOf(ht))); push(I32)
+      case RefCast(ht, _) =>
+        val k = kindOf(ht)
+        popExpect(hierTop(k)); push(k)
+      case BrOnCast(d, srcHt, _, dstHt, _, onFail) =>
+        val srcK = kindOf(srcHt); val dstK = kindOf(dstHt)
+        if (hierTop(srcK) != hierTop(dstK))
+          err("br_on_cast: source and target heap types live in " +
+            "different hierarchies")
+        if (!(dstK == srcK || subRef(dstK, srcK)))
+          err(s"br_on_cast: target ${tyName(dstK)} is not a subtype of " +
+            s"source ${tyName(srcK)}")
+        popExpect(srcK)
+        // taken path: the label receives the (cast or original) value
+        val sent = if (onFail) srcK else dstK
+        push(sent)
+        val lt = labelAt(d)
+        if (lt.isEmpty || !isRef(lt.last))
+          err("br_on_cast: target label does not expect a reference value")
+        popVals(lt); pushVals(lt)
+        pop() // the sent value travels with the branch...
+        push(if (onFail) dstK else srcK) // ...fallthrough keeps the other
+      case AnyConvertExtern => popExpect(Externref); push(Anyref)
+      case ExternConvertAny => popExpect(Anyref); push(Externref)
+      case ArrayNewData(t, d) =>
+        val e = arrayAt(t)
+        if (isRef(e.storage))
+          err(s"array.new_data: array type $t has reference elements " +
+            "(use array.new_elem)")
+        if (d < 0 || d >= m.datas.size)
+          err(s"array.new_data: data segment $d of ${m.datas.size}")
+        popExpect(I32); popExpect(I32); push(Arrayref)
+      case ArrayNewElem(t, ei) =>
+        val e = arrayAt(t)
+        if (!isRef(e.storage))
+          err(s"array.new_elem: array type $t has numeric elements " +
+            "(use array.new_data)")
+        if (ei < 0 || ei >= m.elems.size)
+          err(s"array.new_elem: elem segment $ei of ${m.elems.size}")
+        val st = m.elems(ei).elemType
+        if (!(st == e.storage || subRef(st, e.storage)))
+          err(s"array.new_elem: ${tyName(st)} segment into a " +
+            s"${tyName(e.storage)} array")
+        popExpect(I32); popExpect(I32); push(Arrayref)
+      case ArrayInitData(t, d) =>
+        val e = arrayAt(t)
+        if (!e.mutable) err(s"array.init_data into immutable array type $t")
+        if (isRef(e.storage))
+          err(s"array.init_data: array type $t has reference elements " +
+            "(use array.init_elem)")
+        if (d < 0 || d >= m.datas.size)
+          err(s"array.init_data: data segment $d of ${m.datas.size}")
+        popExpect(I32); popExpect(I32); popExpect(I32); popExpect(Arrayref)
+      case ArrayInitElem(t, ei) =>
+        val e = arrayAt(t)
+        if (!e.mutable) err(s"array.init_elem into immutable array type $t")
+        if (!isRef(e.storage))
+          err(s"array.init_elem: array type $t has numeric elements " +
+            "(use array.init_data)")
+        if (ei < 0 || ei >= m.elems.size)
+          err(s"array.init_elem: elem segment $ei of ${m.elems.size}")
+        val st = m.elems(ei).elemType
+        if (!(st == e.storage || subRef(st, e.storage)))
+          err(s"array.init_elem: ${tyName(st)} segment into a " +
+            s"${tyName(e.storage)} array")
+        popExpect(I32); popExpect(I32); popExpect(I32); popExpect(Arrayref)
     }
 
     /** (width, result type) for MemLoad ops 0x28-0x35. */

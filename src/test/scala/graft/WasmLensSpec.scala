@@ -209,6 +209,26 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
   }
 
+  test("a guest built with the wasm-gc CAST tier (precise ref.test over " +
+      "a declared sub chain, br_on_cast dispatch, extern round trip + " +
+      "ref.cast, data-seeded array corrections) replays the MVP guest " +
+      "byte-identically through the lens path") {
+    val castUrl = dataUrl(LensGuestModules.shiftGuest("Age", viaGcCast = true))
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L), ("Zed", 0L),
+      ("Big", Long.MaxValue - 2L)).toDF("Name", "Age").coalesce(1)
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val gc = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$castUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    gc shouldBe mvp
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$castUrl","arguments":{"delta":5}}]}""")
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
+  }
+
   test("the module's inverse export drives `\"inverse\": true` stages") {
     val fwd = Pipeline.fromJson(
       s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")

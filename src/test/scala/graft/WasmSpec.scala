@@ -518,12 +518,15 @@ class WasmSpec extends AnyFunSuite with Matchers {
     assert(mRec.comps == Vector(
       CStruct(Vector(FieldType(ValType.Arrayref, mutable = true))),
       CArray(FieldType(ValType.Structref, mutable = true))))
-    // sub-final with a supertype bound (bound index-checked, discarded)
+    // sub-final with a supertype bound — the bound is KEPT since the
+    // cast tier landed (ref.test/ref.cast resolve declared chains)
     val mSub = WasmBinary.decode(header ++ sec(1, Array[Byte](0x02,
       0x5F, 0x00,
       0x4F, 0x01, 0x00, 0x5F, 0x01, 0x7F, 0x00)))
     assert(mSub.comps(1) == CStruct(Vector(
       FieldType(ValType.I32, mutable = false))))
+    assert(mSub.superTypes == Vector(-1, 0))
+    assert(mSub.superOf(1) == 0 && mSub.superOf(0) == -1)
     // typed references in a functype coarsen to kind bytes
     val mRef = WasmBinary.decode(
       header ++ sec(1, Array[Byte](0x02, 0x5F, 0x00,
@@ -542,17 +545,32 @@ class WasmSpec extends AnyFunSuite with Matchers {
     assert(WasmBinary.decode(withBody(Array[Byte](0x41, 0x05,
       0xFB.toByte, 0x00, 0x00, 0x1A, 0x0B))).codes.head.body ==
       Vector(I32Const(5), StructNew(0), Drop))
+    // the CAST tier + segment-seeded arrays DECODE since late r16
+    def gcBody(body: Array[Byte]): Vector[Instr] =
+      WasmBinary.decode(withBody(body)).codes.head.body
+    assert(gcBody(Array[Byte](0xFB.toByte, 0x14, 0x6B, 0x0B)) ==
+      Vector(RefTest(~0x6B, nullable = false)))
+    assert(gcBody(Array[Byte](0xFB.toByte, 0x17, 0x00, 0x0B)) ==
+      Vector(RefCast(0, nullable = true))) // concrete index kept exact
+    assert(gcBody(Array[Byte](0xFB.toByte, 0x18, 0x03, 0x00,
+      0x6E, 0x6B, 0x0B)) == Vector(BrOnCast(0, ~0x6E, srcNullable = true,
+      ~0x6B, dstNullable = true, onFail = false)))
+    assert(gcBody(Array[Byte](0xFB.toByte, 0x09, 0x00, 0x00, 0x0B)) ==
+      Vector(ArrayNewData(0, 0)))
+    assert(gcBody(Array[Byte](0xFB.toByte, 0x1A, 0x0B)) ==
+      Vector(AnyConvertExtern))
+    // what remains outside the executed surface still rejects by name
     def gcNamed(body: Array[Byte], expect: String): Unit = {
       val e = intercept[WasmDecodeError](WasmBinary.decode(withBody(body)))
-      assert(e.getMessage.contains("wasm-gc") &&
-        e.getMessage.contains(expect), e.getMessage)
+      assert(e.getMessage.contains(expect), e.getMessage)
     }
-    gcNamed(Array[Byte](0xFB.toByte, 0x14, 0x6B, 0x0B), "ref.test")
-    gcNamed(Array[Byte](0xFB.toByte, 0x16, 0x6B, 0x0B), "ref.cast")
-    gcNamed(Array[Byte](0xFB.toByte, 0x18, 0x00, 0x00, 0x6B, 0x6B, 0x0B),
-      "br_on_cast")
-    gcNamed(Array[Byte](0xFB.toByte, 0x09, 0x00, 0x00, 0x0B), "new_data")
-    gcNamed(Array[Byte](0xFB.toByte, 0x1A, 0x0B), "conversion")
+    gcNamed(Array[Byte](0xFB.toByte, 0x1F, 0x0B),
+      "unassigned wasm-gc subopcode")
+    gcNamed(Array[Byte](0xFB.toByte, 0x18, 0x09, 0x00, 0x6E, 0x6B, 0x0B),
+      "bad flags byte")
+    // a hostile s33 heap type on ref.test rejects by name, not as an
+    // opaque kind byte
+    gcNamed(Array[Byte](0xFB.toByte, 0x14, 0x69, 0x0B), "exn")
   }
 
   test("wasm-gc EXECUTION (r16): i31 tag round-trips, struct fields " +
@@ -630,6 +648,186 @@ class WasmSpec extends AnyFunSuite with Matchers {
       mod(Vector(LocalGet(0), I32Const(1), StructNew(0),
         I32Const(9), StructSet(0, 1), LocalGet(0), Return)), Map.empty))
     assert(eMut.getMessage.contains("immutable"), eMut.getMessage)
+  }
+
+  test("wasm-gc CAST tier (late r16): ref.test is PRECISE over declared " +
+      "sub chains, ref.cast traps on a miss, br_on_cast dispatches, " +
+      "extern conversions are identity, segment-seeded arrays read " +
+      "data/elem segments, and declared-subtype hygiene validates") {
+    import ValType._
+    // $0 TSup: struct { mut i64 }       $1 TSub <: $0 (same shape)
+    // $2 TGrand <: $1 (wider: two i64)  $3: array of mut i16
+    // $4: array of mut funcref          $5: (i64) -> (i64)
+    val comps = Vector(
+      CStruct(Vector(FieldType(I64, mutable = true))),
+      CStruct(Vector(FieldType(I64, mutable = true))),
+      CStruct(Vector(FieldType(I64, mutable = true),
+        FieldType(I64, mutable = true))),
+      CArray(FieldType(PackedI16, mutable = true)),
+      CArray(FieldType(Funcref, mutable = true)),
+      CFunc(FuncType(Vector(I64), Vector(I64))))
+    val supers = Vector(-1, 0, 1, -1, -1, -1)
+    val sentinel = FuncType(Vector.empty, Vector.empty)
+    val HtStruct = ~0x6B
+    val HtArray = ~0x6A
+    val HtI31 = ~0x6C
+    val HtAny = ~0x6E
+    def mod(body: Vector[Instr], locals: Vector[Byte] = Vector.empty,
+        datas: Vector[DataSeg] = Vector.empty,
+        elems: Vector[ElemSeg] = Vector.empty,
+        sup: Vector[Int] = supers) =
+      WasmModule(
+        types = Vector.fill(5)(sentinel) :+ FuncType(Vector(I64), Vector(I64)),
+        imports = Vector.empty, funcTypeIdxs = Vector(5),
+        memMinPages = 0, memMaxPages = None, globals = Vector.empty,
+        exports = Vector(WasmExport("f", 0, 0)),
+        codes = Vector(FuncBody(locals, body)),
+        datas = datas, start = None, elems = elems,
+        comps = comps, superTypes = sup)
+    def run(m: WasmModule, arg: Long): Long =
+      new WasmInterp.Instance(m, Map.empty).invoke("f", arg).head
+    def testsOn(mk: Vector[Instr], probes: (Instr, Long)*): Unit =
+      probes.foreach { case (probe, want) =>
+        assert(run(mod(mk ++ Vector(probe,
+          Num(0xAD) /* i64.extend_i32_u */, Return)), 0L) == want,
+          s"$probe on $mk")
+      }
+    // precision: a $1 instance is $1, $0 (chain), struct — not $2
+    // (reverse), not array, not i31; a $0 instance is NOT $1 (sibling
+    // structural identity does not cast)
+    val mkSub = Vector[Instr](I64Const(41L), StructNew(1))
+    testsOn(mkSub,
+      RefTest(1, nullable = false) -> 1L,
+      RefTest(0, nullable = false) -> 1L,
+      RefTest(2, nullable = false) -> 0L,
+      RefTest(HtStruct, nullable = false) -> 1L,
+      RefTest(HtArray, nullable = false) -> 0L,
+      RefTest(HtI31, nullable = false) -> 0L)
+    testsOn(Vector[Instr](I64Const(1L), StructNew(0)),
+      RefTest(1, nullable = false) -> 0L,
+      RefTest(0, nullable = false) -> 1L)
+    // a $2 instance matches the whole chain
+    testsOn(Vector[Instr](I64Const(1L), I64Const(2L), StructNew(2)),
+      RefTest(1, nullable = false) -> 1L,
+      RefTest(0, nullable = false) -> 1L,
+      RefTest(2, nullable = false) -> 1L)
+    // null: only the nullable variants admit it
+    testsOn(Vector[Instr](RefNull(0x6B)),
+      RefTest(1, nullable = false) -> 0L,
+      RefTest(1, nullable = true) -> 1L,
+      RefTest(HtStruct, nullable = true) -> 1L)
+    // ref.cast: up-cast passes and PRESERVES the value; a miss traps
+    assert(run(mod(Vector(
+      I64Const(41L), StructNew(1), RefCast(0, nullable = false),
+      RefCast(HtStruct, nullable = false),
+      StructGet(1, 0, 0), Return)), 0L) == 41L)
+    val eCast = intercept[WasmTrap](run(mod(Vector(
+      I64Const(1L), StructNew(0), RefCast(1, nullable = false),
+      StructGet(1, 0, 0), Return)), 0L))
+    assert(eCast.getMessage.contains("ref.cast"), eCast.getMessage)
+    // br_on_cast dispatch: even args box a struct (+100), odd args ride
+    // an i31 (+200) — one body, two typed paths
+    val dispatch = mod(Vector(
+      LocalGet(0), I64Const(1L), Num(0x83) /* i64.and */,
+      Num(0x50) /* i64.eqz */,
+      If(0x6E /* anyref */, Vector(LocalGet(0), StructNew(1)),
+        Vector(LocalGet(0), Num(0xA7) /* i32.wrap */, RefI31)),
+      LocalSet(1),
+      Block(0x7E /* i64 */, Vector(
+        Block(0x6B /* structref */, Vector(
+          LocalGet(1),
+          BrOnCast(0, HtAny, srcNullable = true, HtStruct,
+            dstNullable = false, onFail = false),
+          RefCast(HtI31, nullable = false), I31Get(signed = true),
+          Num(0xAC) /* i64.extend_i32_s */, I64Const(200L), Num(0x7C),
+          Br(1))),
+        RefCast(1, nullable = false), StructGet(1, 0, 0),
+        I64Const(100L), Num(0x7C) /* i64.add */)),
+      Return), locals = Vector(Anyref))
+    assert(run(dispatch, 4L) == 104L)
+    assert(run(dispatch, 7L) == 207L)
+    // br_on_cast_fail: the NON-struct leaves; the struct falls through
+    val viaFail = mod(Vector(
+      Block(0x7E, Vector(
+        Block(0x6E /* anyref */, Vector(
+          I64Const(9L), StructNew(1),
+          BrOnCast(0, HtAny, srcNullable = true, HtStruct,
+            dstNullable = false, onFail = true),
+          RefCast(1, nullable = false), StructGet(1, 0, 0), Br(1))),
+        Drop, I64Const(-1L))),
+      Return))
+    assert(run(viaFail, 0L) == 9L)
+    // extern conversions: identity round trip, null stays null
+    assert(run(mod(Vector(
+      I64Const(5L), StructNew(1),
+      ExternConvertAny, AnyConvertExtern,
+      RefCast(1, nullable = false), StructGet(1, 0, 0), Return)), 0L) == 5L)
+    assert(run(mod(Vector(
+      RefNull(0x6E), ExternConvertAny, AnyConvertExtern,
+      RefIsNull, Num(0xAD), Return)), 0L) == 1L)
+    // array.new_data reads LE lanes from a passive segment;
+    // array.init_data patches in place; OOB traps by name
+    val seg = DataSeg(-1, Vector[Byte](0x01, 0x02, 0x03, 0x04),
+      passive = true)
+    assert(run(mod(Vector(
+      I32Const(1), I32Const(1), ArrayNewData(3, 0), LocalTee(1),
+      I32Const(0), ArrayGet(3, 2), Num(0xAD), Return),
+      locals = Vector(Arrayref), datas = Vector(seg)), 0L) == 0x0302L)
+    assert(run(mod(Vector(
+      I32Const(0), I32Const(2), ArrayNewData(3, 0), LocalTee(1),
+      I32Const(0), I32Const(2), I32Const(1), ArrayInitData(3, 0),
+      LocalGet(1), I32Const(0), ArrayGet(3, 2), Num(0xAD), Return),
+      locals = Vector(Arrayref), datas = Vector(seg)), 0L) == 0x0403L)
+    val eOobData = intercept[WasmTrap](run(mod(Vector(
+      I32Const(2), I32Const(2), ArrayNewData(3, 0), Drop,
+      I64Const(0L), Return), datas = Vector(seg)), 0L))
+    assert(eOobData.getMessage.contains("array.new_data"),
+      eOobData.getMessage)
+    // array.new_elem seeds funcrefs (with nulls) from a passive elem
+    // segment; array.init_elem patches
+    val eseg = ElemSeg(-1, Vector(0, -1), mode = 1)
+    assert(run(mod(Vector(
+      I32Const(0), I32Const(2), ArrayNewElem(4, 0), LocalTee(1),
+      I32Const(1), ArrayGet(4, 0), RefIsNull, // slot 1 = null → 1
+      LocalGet(1), I32Const(0), ArrayGet(4, 0), RefIsNull, // slot 0 → 0
+      Num(0x6A) /* i32.add */, Num(0xAD), Return),
+      locals = Vector(Arrayref), elems = Vector(eseg)), 0L) == 1L)
+    assert(run(mod(Vector(
+      I32Const(0), I32Const(2), ArrayNewElem(4, 0), LocalTee(1),
+      I32Const(1), I32Const(0), I32Const(1), ArrayInitElem(4, 0),
+      LocalGet(1), I32Const(1), ArrayGet(4, 0), RefIsNull,
+      Num(0xAD), Return),
+      locals = Vector(Arrayref), elems = Vector(eseg)), 0L) == 0L)
+    // round trip: superTypes + the new instrs survive encode -> decode
+    val rt = WasmBinary.decode(WasmBinary.encode(dispatch))
+    assert(rt == dispatch)
+    assert(run(rt, 4L) == 104L && run(rt, 7L) == 207L)
+    // validation hygiene, all by name:
+    def rejects(m: WasmModule, expect: String): Unit = {
+      val e = intercept[WasmValidateError](
+        new WasmInterp.Instance(m, Map.empty))
+      assert(e.getMessage.contains(expect), e.getMessage)
+    }
+    // cross-hierarchy br_on_cast
+    rejects(mod(Vector(
+      Block(0x6B, Vector(I64Const(1L), StructNew(1),
+        BrOnCast(0, HtAny, srcNullable = true, ~0x70,
+          dstNullable = false, onFail = false), Unreachable)),
+      Drop, I64Const(0L), Return)), "different hierarchies")
+    // array.new_data on a reference-element array
+    rejects(mod(Vector(
+      I32Const(0), I32Const(0), ArrayNewData(4, 0), Drop,
+      I64Const(0L), Return), datas = Vector(seg)), "array.new_data")
+    // declared supertype of a different kind
+    rejects(mod(Vector(I64Const(0L), Return),
+      sup = Vector(-1, 0, 1, 1, -1, -1)), "different composite kind")
+    // mutable-field refinement is invariant: widen $1's field to i32
+    val badComps = comps.updated(1,
+      CStruct(Vector(FieldType(I32, mutable = true))))
+    val eInv = intercept[WasmValidateError](new WasmInterp.Instance(
+      mod(Vector(I64Const(0L), Return)).copy(comps = badComps),
+      Map.empty))
+    assert(eInv.getMessage.contains("invariant"), eInv.getMessage)
   }
 
   test("memory limit hygiene at decode: duplicate memory, shared " +
