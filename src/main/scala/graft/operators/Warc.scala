@@ -691,4 +691,120 @@ object Warc {
       }
     }(encoder)
   }
+
+  // ---------------------------------------------------- revisit profile
+
+  /** WARC-spec labeled payload digest (`algorithm ":" value`, WARC 1.1
+   *  §5.9): md5 hex rather than Common Crawl's sha1:base32, because the
+   *  cross-engine oracle must replay digest VALUES exactly (DuckDB
+   *  `md5()` ≡ Spark `md5()` over the same UTF-8 bytes); the header
+   *  semantics — identical-payload-digest revisit dedup — are
+   *  algorithm-agnostic by design in the spec. */
+  def payloadDigest(body: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(body)
+    val sb = new StringBuilder(36)
+    sb.append("md5:")
+    d.foreach(b => sb.append(f"$b%02x"))
+    sb.toString
+  }
+
+  /** Append a .warc.gz `payload` holding one response capture plus
+   *  `capturesCol - 1` REVISIT records (WARC 1.1 §6.7.2
+   *  identical-payload-digest profile — how real crawls store a
+   *  re-fetch whose payload is byte-identical to a prior capture:
+   *  response headers only, no body, WARC-Payload-Digest +
+   *  WARC-Refers-To-Target-URI/Date naming the original). Bodies are
+   *  text/plain `textCol` bytes so oracles replay digests and lengths
+   *  from table columns. Deterministic: fixed dates, no record ids. */
+  def withRevisitGzPayload(df: org.apache.spark.sql.DataFrame,
+      textCol: String, uriCol: String,
+      capturesCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val textIdx = inSchema.fieldIndex(textCol)
+    val uriIdx = inSchema.fieldIndex(uriCol)
+    val capIdx = inSchema.fieldIndex(capturesCol)
+    val outSchema = StructType(inSchema.fields :+
+      StructField("payload", BinaryType, nullable = false))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val date0 = "2026-01-01T00:00:00Z"
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val uri = r.getString(uriIdx)
+        val body = r.getString(textIdx).getBytes(UTF_8)
+        val captures = r.getInt(capIdx)
+        require(captures >= 1 && captures <= 64,
+          s"withRevisitGzPayload: captures $captures outside [1, 64]")
+        val dg = payloadDigest(body)
+        val headersOnly =
+          "HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n"
+            .getBytes(UTF_8)
+        val recs =
+          Seq((Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> date0),
+            "software: graft\r\nformat: WARC File Format 1.1\r\n"
+              .getBytes(UTF_8)),
+          (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+            "WARC-Date" -> date0, "WARC-Payload-Digest" -> dg),
+            httpResponse(body, "text/plain; charset=UTF-8"))) ++
+          (1 until captures).map { k =>
+            (Seq("WARC-Type" -> "revisit", "WARC-Target-URI" -> uri,
+              "WARC-Date" -> f"2026-01-${k + 1}%02dT00:00:00Z",
+              "WARC-Profile" ->
+                "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+              "WARC-Payload-Digest" -> dg,
+              "WARC-Refers-To-Target-URI" -> uri,
+              "WARC-Refers-To-Date" -> date0),
+              headersOnly)
+          }
+        Row.fromSeq(r.toSeq :+ encodeWarcGz(recs))
+      }
+    }(encoder)
+  }
+
+  /** REVISIT-profile record walk: one row per `response` or `revisit`
+   *  record — (kept input columns..., warc_seq, warc_type, target_uri,
+   *  payload_digest, refers_to_uri, http_status, body_len, body). A
+   *  revisit carries its original's digest and an empty body; joining
+   *  (or grouping) captures on `payload_digest` IS the
+   *  identical-payload-digest dedup relation real crawl consumers use
+   *  to account stored-vs-saved bytes. 100 TB shape: identical to
+   *  [[records]] — per-payload linear decode, archive blobs dropped
+   *  before anything shuffles; digest strings are 36 bytes/row. */
+  def revisitRecords(df: org.apache.spark.sql.DataFrame,
+      payloadCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    val kept = inSchema.fields.zipWithIndex.filter(_._2 != payloadIdx)
+    val outSchema = StructType(kept.map(_._1) ++ Seq(
+      StructField("warc_seq", IntegerType, nullable = false),
+      StructField("warc_type", StringType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("payload_digest", StringType, nullable = false),
+      StructField("refers_to_uri", StringType, nullable = false),
+      StructField("http_status", IntegerType, nullable = false),
+      StructField("body_len", LongType, nullable = false),
+      StructField("body", StringType, nullable = false)))
+    val keptIdx = kept.map(_._2)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseWarc(r.getAs[Array[Byte]](payloadIdx)).zipWithIndex.collect {
+          case (rec, i)
+              if rec.warcType == "response" || rec.warcType == "revisit" =>
+            val h = parseHttp(rec.payload)
+            val text = if (isTextContentType(h.contentType))
+              new String(h.body, bodyCharset(h.contentType, h.body))
+            else ""
+            Row.fromSeq(keptIdx.toSeq.map(r.get) ++ Seq[Any](
+              i, rec.warcType, rec.targetUri,
+              rec.header("WARC-Payload-Digest").getOrElse(""),
+              rec.header("WARC-Refers-To-Target-URI").getOrElse(""),
+              h.status, h.body.length.toLong, text))
+        }
+      }
+    }(encoder)
+  }
 }

@@ -261,6 +261,119 @@ object WebQueries extends QueryProvider {
       |  END AS text
       |FROM documents""".stripMargin
 
+  /** REVISIT-RECORD WALK — the WARC 1.1 identical-payload-digest
+   *  profile (how real crawls store an unchanged re-fetch: headers
+   *  only, digest + refers-to pointing at the original capture). Each
+   *  document rides one archive with a full response plus
+   *  `doc_id % 3` revisit records through the real writer
+   *  ([[graft.operators.Warc.withRevisitGzPayload]]); the walk
+   *  ([[graft.operators.Warc.revisitRecords]]) must keep both record
+   *  types, carry the digest/refers headers, and give revisits empty
+   *  bodies. The oracle recomputes the DIGEST VALUE itself
+   *  (`md5(text)` cross-engine) plus every count and length from
+   *  document columns — a digest slip, a dropped revisit, or body
+   *  bytes leaking into a revisit all hash-fail. 100 TB shape:
+   *  per-payload linear decode, blobs dropped pre-shuffle, one
+   *  doc_id-keyed aggregate. */
+  private def warcRevisit(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(
+      col("doc_id"), col("text"),
+      concat(lit("https://h"), col("doc_id") % 5,
+        lit(".example.com/doc/"), col("doc_id")).as("uri"),
+      (col("doc_id") % 3 + 1).cast("int").as("captures"))
+    val walk = graft.operators.Warc.revisitRecords(
+      graft.operators.Warc.withRevisitGzPayload(
+        docs, "text", "uri", "captures").drop("text", "uri", "captures"),
+      "payload")
+    walk.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_captures"),
+      sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+        .as("n_responses"),
+      sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+        .as("n_revisits"),
+      countDistinct(col("payload_digest")).as("n_digests"),
+      max(col("payload_digest")).as("digest"),
+      coalesce(max(when(col("warc_type") === "revisit",
+        col("refers_to_uri"))), lit("")).as("revisit_refers"),
+      sum(col("body_len")).as("stored_len"),
+      max(when(col("warc_type") === "response", col("body")))
+        .as("body_text"))
+  }
+
+  private val warcRevisitSql =
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS n_captures,
+      |  CAST(1 AS BIGINT) AS n_responses,
+      |  CAST(doc_id % 3 AS BIGINT) AS n_revisits,
+      |  CAST(1 AS BIGINT) AS n_digests,
+      |  'md5:' || md5(text) AS digest,
+      |  CASE WHEN doc_id % 3 > 0
+      |    THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+      |      || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+      |    ELSE '' END AS revisit_refers,
+      |  CAST(strlen(text) AS BIGINT) AS stored_len,
+      |  text AS body_text
+      |FROM documents""".stripMargin
+
+  /** CRAWL STORAGE-DEDUP ACCOUNTING — the flagship consumer of the
+   *  revisit profile: group captures on (host, payload_digest) — the
+   *  digest GROUPING is the identical-payload-digest join, with no
+   *  actual join in the plan — resolve each digest's body length from
+   *  its response capture, then roll up per host: fetches, revisits,
+   *  stored vs saved bytes and the savings rate in integer ppm. This
+   *  is the accounting a crawl operator runs to size dedup wins.
+   *  Cross-HOST duplicate attribution is deliberately out of scope
+   *  here (that is the `Dedup.*Against` family's job — it needs a
+   *  digest-dimension shuffle this single-pass shape avoids).
+   *  100 TB shape: two-level aggregate — map-side partials into a
+   *  (host, digest)-keyed exchange (36-byte digests, no bodies), then
+   *  a host-keyed rollup; nothing corpus-quadratic, no join. */
+  private def crawlRevisit(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(
+      col("doc_id"), col("text"),
+      concat(lit("https://h"), col("doc_id") % 5,
+        lit(".example.com/doc/"), col("doc_id")).as("uri"),
+      (col("doc_id") % 3 + 1).cast("int").as("captures"))
+    val walk = graft.operators.Warc.revisitRecords(
+      graft.operators.Warc.withRevisitGzPayload(
+        docs, "text", "uri", "captures").drop("text", "uri", "captures"),
+      "payload")
+      .select(
+        regexp_extract(col("target_uri"), "https://([^/]+)/", 1).as("host"),
+        col("warc_type"), col("payload_digest"), col("body_len"))
+    val perDigest = walk
+      .groupBy(col("host"), col("payload_digest"))
+      .agg(
+        sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+          .as("n_resp"),
+        sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+          .as("n_rev"),
+        max(when(col("warc_type") === "response", col("body_len")))
+          .as("len"))
+    perDigest.groupBy(col("host")).agg(
+      sum(col("n_resp") + col("n_rev")).as("n_fetches"),
+      sum(col("n_rev")).as("n_revisits"),
+      sum(col("n_resp") * col("len")).as("stored_bytes"),
+      sum(col("n_rev") * col("len")).as("saved_bytes"))
+      .withColumn("saved_ppm",
+        expr("saved_bytes * 1000000L div (stored_bytes + saved_bytes)"))
+  }
+
+  private val crawlRevisitSql =
+    """WITH per_doc AS (
+      |  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+      |    1 + doc_id % 3 AS caps, doc_id % 3 AS revs,
+      |    strlen(text) AS len
+      |  FROM documents)
+      |SELECT host,
+      |  CAST(sum(caps) AS BIGINT) AS n_fetches,
+      |  CAST(sum(revs) AS BIGINT) AS n_revisits,
+      |  CAST(sum(len) AS BIGINT) AS stored_bytes,
+      |  CAST(sum(revs * len) AS BIGINT) AS saved_bytes,
+      |  CAST(sum(revs * len) * 1000000 //
+      |    (sum(len) + sum(revs * len)) AS BIGINT) AS saved_ppm
+      |FROM per_doc GROUP BY host""".stripMargin
+
   /** CDX(J) SIDECAR WALK — the third Common Crawl sidecar (WET/WAT
    *  landed in r15): per-record index lines (SURT url key, 14-digit
    *  timestamp, a JSON block with url/mime/status/digest/offset/
@@ -1430,6 +1543,8 @@ object WebQueries extends QueryProvider {
     "pipeline_web_extract" -> (webExtract _),
     "io_warc_extract" -> (warcExtract _),
     "io_warc_charset" -> (warcCharset _),
+    "io_warc_revisit" -> (warcRevisit _),
+    "pipeline_crawl_revisit" -> (crawlRevisit _),
     "io_cdx_extract" -> (cdxExtract _),
     "pipeline_cdx_fetch" -> (cdxFetch _),
     "text_html_tables" -> (htmlTables _),
@@ -1455,6 +1570,8 @@ object WebQueries extends QueryProvider {
     "pipeline_web_extract" -> webExtractSql,
     "io_warc_extract" -> warcExtractSql,
     "io_warc_charset" -> warcCharsetSql,
+    "io_warc_revisit" -> warcRevisitSql,
+    "pipeline_crawl_revisit" -> crawlRevisitSql,
     "io_cdx_extract" -> cdxExtractSql,
     "pipeline_cdx_fetch" -> cdxFetchSql,
     "text_html_tables" -> htmlTablesSql,

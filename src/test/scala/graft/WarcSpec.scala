@@ -332,4 +332,60 @@ class WarcSpec extends AnyFunSuite {
     assert(got == ((11L, "https://x.test/11", "https://x.test/11",
       "T11", 2)))
   }
+
+  test("revisit profile: writer emits identical-payload-digest records " +
+      "(headers only, digest + refers-to), the walk keeps response + " +
+      "revisit rows and gives revisits empty bodies") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val docs = Seq((1L, "alpha body", "https://h.test/1", 3),
+        (2L, "beta", "https://h.test/2", 1))
+      .toDF("doc_id", "text", "uri", "captures")
+    val arch = Warc.withRevisitGzPayload(docs, "text", "uri", "captures")
+    // raw container shape for doc 1: warcinfo + response + 2 revisits
+    val gz1 = arch.filter($"doc_id" === 1L)
+      .select("payload").as[Array[Byte]].head()
+    val recs = Warc.parseWarc(gz1)
+    assert(recs.map(_.warcType) ==
+      Seq("warcinfo", "response", "revisit", "revisit"))
+    val rev = recs(2)
+    assert(rev.header("WARC-Profile").exists(_.endsWith(
+      "identical-payload-digest")))
+    assert(rev.header("WARC-Payload-Digest") ==
+      recs(1).header("WARC-Payload-Digest"))
+    assert(rev.header("WARC-Refers-To-Target-URI")
+      .contains("https://h.test/1"))
+    assert(rev.header("WARC-Refers-To-Date").contains(
+      recs(1).header("WARC-Date").get))
+    // digest is the WARC-legal labeled form over the PAYLOAD bytes
+    assert(recs(1).header("WARC-Payload-Digest").get ==
+      Warc.payloadDigest("alpha body".getBytes(UTF_8)))
+    // the walk: responses carry body text + len, revisits carry the
+    // digest with an EMPTY body; warcinfo rows are dropped
+    val rows = Warc.revisitRecords(arch.drop("text", "uri", "captures"),
+        "payload")
+      .select("doc_id", "warc_type", "payload_digest", "refers_to_uri",
+        "http_status", "body_len", "body")
+      .as[(Long, String, String, String, Int, Long, String)].collect()
+    assert(rows.length == 4) // 1 resp + 2 rev (doc 1), 1 resp (doc 2)
+    val resp1 = rows.find(r => r._1 == 1L && r._2 == "response").get
+    assert(resp1._5 == 200 && resp1._6 == 10L && resp1._7 == "alpha body")
+    assert(resp1._3.startsWith("md5:") && resp1._4 == "")
+    val revs1 = rows.filter(r => r._1 == 1L && r._2 == "revisit")
+    assert(revs1.length == 2)
+    revs1.foreach { r =>
+      assert(r._3 == resp1._3, "revisit must carry the original's digest")
+      assert(r._4 == "https://h.test/1" && r._6 == 0L && r._7 == "")
+    }
+    assert(rows.count(_._1 == 2L) == 1)
+    // out-of-range capture counts fail by name
+    val bad = Seq((3L, "x", "https://h.test/3", 0))
+      .toDF("doc_id", "text", "uri", "captures")
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.withRevisitGzPayload(bad, "text", "uri", "captures")
+        .select("payload").as[Array[Byte]].head()
+    }
+    assert(e.getCause != null &&
+      e.getCause.getMessage.contains("captures"), String.valueOf(e.getCause))
+  }
 }
