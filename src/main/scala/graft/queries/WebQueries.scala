@@ -374,6 +374,42 @@ object WebQueries extends QueryProvider {
       |    (sum(len) + sum(revs * len)) AS BIGINT) AS saved_ppm
       |FROM per_doc GROUP BY host""".stripMargin
 
+  /** REDIRECT-CHAIN RESOLUTION — collapse a crawl's 3xx Location edges
+   *  to final landing urls with loop detection
+   *  ([[graft.operators.Redirects.resolve]], pointer doubling: 4
+   *  self-join rounds for the 16-hop budget instead of 16). Fixture
+   *  edges derive from doc ids — descending chains of length 1–7 into
+   *  each 8-aligned terminal, with every 64-aligned block's residue-3
+   *  url a SELF-LOOP so residues 3–7 feed a genuine redirect trap —
+   *  which gives the oracle a CLOSED FORM (no recursion): unresolved
+   *  iff doc_id % 64 in 3..7, else final = doc_id - doc_id % 8 with
+   *  hops = doc_id % 8. A doubling slip (hop miscount, premature
+   *  freeze, loop leak) breaks the hash. 100 TB shape: see the
+   *  operator — log-bounded url-keyed self-joins over one slim row per
+   *  redirect source, localCheckpoint per round. */
+  private def redirectResolve(s: SparkSession, dir: String): DataFrame = {
+    val u = (c: org.apache.spark.sql.Column) =>
+      concat(lit("https://r.example.com/u/"), c)
+    val edges = T(s, dir, "documents")
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 8 =!= 0)
+      .select(
+        u(col("doc_id")).as("src"),
+        u(when(col("doc_id") % 64 === 3, col("doc_id"))
+          .otherwise(col("doc_id") - 1)).as("dst"))
+    graft.operators.Redirects.resolve(edges, maxHops = 16)
+  }
+
+  private val redirectResolveSql =
+    """SELECT 'https://r.example.com/u/' || CAST(doc_id AS VARCHAR) AS src,
+      |  CASE WHEN doc_id % 64 IN (3, 4, 5, 6, 7) THEN ''
+      |    ELSE 'https://r.example.com/u/'
+      |      || CAST(doc_id - doc_id % 8 AS VARCHAR) END AS final_url,
+      |  CAST(CASE WHEN doc_id % 64 IN (3, 4, 5, 6, 7) THEN -1
+      |    ELSE doc_id % 8 END AS BIGINT) AS hops,
+      |  doc_id % 64 NOT IN (3, 4, 5, 6, 7) AS resolved
+      |FROM documents WHERE doc_id % 8 <> 0""".stripMargin
+
   /** CDX(J) SIDECAR WALK — the third Common Crawl sidecar (WET/WAT
    *  landed in r15): per-record index lines (SURT url key, 14-digit
    *  timestamp, a JSON block with url/mime/status/digest/offset/
@@ -1545,6 +1581,7 @@ object WebQueries extends QueryProvider {
     "io_warc_charset" -> (warcCharset _),
     "io_warc_revisit" -> (warcRevisit _),
     "pipeline_crawl_revisit" -> (crawlRevisit _),
+    "pipeline_redirect_resolve" -> (redirectResolve _),
     "io_cdx_extract" -> (cdxExtract _),
     "pipeline_cdx_fetch" -> (cdxFetch _),
     "text_html_tables" -> (htmlTables _),
@@ -1572,6 +1609,7 @@ object WebQueries extends QueryProvider {
     "io_warc_charset" -> warcCharsetSql,
     "io_warc_revisit" -> warcRevisitSql,
     "pipeline_crawl_revisit" -> crawlRevisitSql,
+    "pipeline_redirect_resolve" -> redirectResolveSql,
     "io_cdx_extract" -> cdxExtractSql,
     "pipeline_cdx_fetch" -> cdxFetchSql,
     "text_html_tables" -> htmlTablesSql,
