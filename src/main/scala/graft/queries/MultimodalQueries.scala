@@ -790,6 +790,48 @@ object MultimodalQueries extends QueryProvider {
       |  CAST(4 AS BIGINT) AS img_w
       |FROM documents""".stripMargin
 
+  /** PDF TEXT EXTRACTION — the DOCUMENT-triage codec (a real crawl is
+   *  a few percent application/pdf and corpus pipelines text-extract
+   *  those like HTML): each document becomes a real two-page PDF
+   *  through [[graft.operators.Pdf.encodePdf]] (catalog/pages tree,
+   *  per-page FlateDecode content streams on even ids and raw on odd —
+   *  both filter paths exercised — Helvetica, /Info /Title, exact
+   *  xref offsets), and [[graft.operators.Pdf.extractText]] walks it
+   *  back: linear object scan, balanced dicts, capped inflate, BT…ET
+   *  show-operator tokenizer with full literal-string escapes. The
+   *  oracle predicts page count, title, op count and the EXACT
+   *  extracted text from document columns (the ASCII sanitize rule is
+   *  replayed with the same regex on both engines) — an offset, dict,
+   *  inflate or escape slip breaks the hash. 100 TB shape: per-payload
+   *  linear decode, narrow map, nothing but slim text rows downstream. */
+  private def pdfText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text0, source) =>
+        val clean = text0.replaceAll("[^ -~]", "")
+        val p1 = clean.take(40)
+        val p2 = s"Doc $id by $source"
+        val pdf = graft.operators.Pdf.encodePdf(Seq(p1, p2), s"T-$id",
+          compress = id % 2 == 0)
+        val (pages, title, ops, txt) = graft.operators.Pdf.extractText(pdf)
+        (id, pages.toLong, title, ops.toLong, txt,
+          graft.operators.Pdf.isPdf(pdf))
+      }
+      .toDF("doc_id", "n_pages", "title", "n_ops", "text", "is_pdf")
+  }
+
+  private val pdfTextSql =
+    """SELECT doc_id, CAST(2 AS BIGINT) AS n_pages,
+      |  'T-' || CAST(doc_id AS VARCHAR) AS title,
+      |  CAST(2 AS BIGINT) AS n_ops,
+      |  substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 40)
+      |    || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR) || ' by '
+      |    || source AS text,
+      |  true AS is_pdf
+      |FROM documents""".stripMargin
+
   /** CRAWL→MEDIA FLAGSHIP — crawl bytes feeding the MULTIMODAL side
    *  (the binary complement of `pipeline_crawl_corpus`'s text chain):
    *  each document's .warc.gz wraps an HTTP response whose body is a
@@ -1230,6 +1272,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_jpeg_exif"       -> (jpegExif _),
     "pipeline_crawl_media" -> (crawlMedia _),
     "mm_png_text"        -> (pngText _),
+    "mm_pdf_text"        -> (pdfText _),
     "mm_mp3_decode"      -> (mp3Decode _),
     "mm_png_tiers"       -> (pngTiers _),
     "mm_webp_roundtrip"  -> (webpRoundtrip _),
@@ -1261,6 +1304,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_jpeg_exif"       -> jpegExifSql,
     "pipeline_crawl_media" -> crawlMediaSql,
     "mm_png_text"        -> pngTextSql,
+    "mm_pdf_text"        -> pdfTextSql,
     "mm_mp3_decode"      -> mp3DecodeSql,
     "mm_png_tiers"       -> pngTiersSql,
     "mm_webp_roundtrip"  -> webpRoundtripSql,

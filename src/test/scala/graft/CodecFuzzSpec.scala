@@ -91,6 +91,24 @@ class CodecFuzzSpec extends AnyFunSuite {
         mutate(seeds(t % seeds.length), rnd, 1 + rnd.nextInt(5))))
   }
 
+  test("Pdf.extractText: random and mutated documents fail NAMED") {
+    val rnd = new scala.util.Random(0xF022A)
+    val valid = operators.Pdf.encodePdf(
+      Seq("page one text (with) escapes \\ here", "page two"),
+      title = "Fuzz Doc")
+    for (t <- 0 until Trials) {
+      val p =
+        if (t % 2 == 0) mutate(valid, rnd, 1 + rnd.nextInt(6))
+        else {
+          val r = new Array[Byte](16 + rnd.nextInt(400))
+          rnd.nextBytes(r)
+          System.arraycopy("%PDF-1.4\n".getBytes, 0, r, 0, 9)
+          r
+        }
+      attempt("pdf", t)(operators.Pdf.extractText(p))
+    }
+  }
+
   test("Mp3: meta walk and decode on random/mutated streams fail NAMED") {
     val rnd = new scala.util.Random(0xF0223)
     val valid = Mp3.encodeMp3Silence(7L, 9, nFrames = 2)
