@@ -339,6 +339,89 @@ object Warc {
    *  slim index picks to archives and range-reads selected records
    *  only; in-plan, the archive blob is scanned once per row and never
    *  shuffles (picks are aggregated per archive before the join). */
+  // -------------------------------------------------------------- zipnum
+
+  /** ZipNum cluster shard: SURT-sorted cdxj `lines` packed `perBlock`
+   *  per independently-gunzippable gzip member. Returns (shard blob,
+   *  cluster.idx lines `firstKey TAB timestamp TAB offset TAB length
+   *  TAB blockNo`) — the TWO-LEVEL index Common Crawl serves as
+   *  cdx-NNNNN.gz + cluster.idx: a consumer binary-searches the tiny
+   *  secondary index and decompresses ONE block instead of the shard.
+   *  Production uses 3000 lines/block; the cap mirrors that. */
+  def encodeZipnum(lines: Seq[String],
+      perBlock: Int): (Array[Byte], Seq[String]) = {
+    require(perBlock >= 1 && perBlock <= 3000,
+      s"encodeZipnum: perBlock $perBlock outside [1, 3000]")
+    require(lines.nonEmpty, "encodeZipnum: no cdxj lines")
+    lines.iterator.sliding(2).withPartial(false).foreach { w =>
+      require(w(0) <= w(1),
+        s"encodeZipnum: cdxj lines must be SURT-sorted " +
+          s"('${w(1).take(40)}' after '${w(0).take(40)}')")
+    }
+    val o = new ByteArrayOutputStream(1024)
+    val idx = Seq.newBuilder[String]
+    lines.grouped(perBlock).zipWithIndex.foreach { case (block, bno) =>
+      val before = o.size()
+      val gz = new java.util.zip.GZIPOutputStream(o)
+      gz.write((block.mkString("\n") + "\n").getBytes(UTF_8))
+      gz.finish()
+      val parts = block.head.split(" ", 3)
+      require(parts.length >= 2,
+        s"encodeZipnum: malformed cdxj line '${block.head.take(60)}'")
+      idx += s"${parts(0)}\t${parts(1)}\t$before\t${o.size() - before}\t$bno"
+    }
+    (o.toByteArray, idx.result())
+  }
+
+  /** Random-access lookup: binary-search the cluster.idx for `urlkey`,
+   *  gunzip ONLY the covering block(s), return (matching cdxj lines,
+   *  COMPRESSED bytes actually read) — the second value is the
+   *  at-scale cost and callers assert it stays one block for unique
+   *  keys. Straddle rule: the search lands on the LAST block whose
+   *  first key <= urlkey (every later block starts past the key, so
+   *  there is no forward extension); when that block's first key
+   *  EQUALS the query the run may have started earlier, so the scan
+   *  walks BACK through blocks whose first key is still the query plus
+   *  the one block before them (its tail can hold the run's head). */
+  def zipnumLookup(blob: Array[Byte], idxLines: Seq[String],
+      urlkey: String): (Seq[String], Long, Int) = {
+    require(idxLines.nonEmpty, "zipnumLookup: empty cluster.idx")
+    val entries = idxLines.map { l =>
+      val p = l.split("\t")
+      require(p.length == 5,
+        s"zipnumLookup: malformed cluster.idx line '${l.take(60)}'")
+      (p(0), p(2).toLong, p(3).toLong)
+    }
+    var lo = 0
+    var hi = entries.size - 1
+    var at = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (entries(mid)._1 <= urlkey) { at = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (at < 0) (Seq.empty, 0L, 0) // the key sorts before every block
+    else {
+      var start = at
+      while (start > 0 && entries(start)._1 == urlkey) start -= 1
+      var read = 0L
+      val out = Seq.newBuilder[String]
+      (start to at).foreach { b =>
+        val (_, off, len) = entries(b)
+        require(off >= 0 && len > 0 && off + len <= blob.length,
+          s"zipnumLookup: block [$off, ${off + len}) leaves the " +
+            s"${blob.length}-byte shard")
+        read += len
+        val bytes = gunzipAll(java.util.Arrays.copyOfRange(
+          blob, off.toInt, (off + len).toInt))
+        new String(bytes, UTF_8).split("\n").foreach { line =>
+          if (line.startsWith(urlkey + " ")) out += line
+        }
+      }
+      (out.result(), read, at - start + 1)
+    }
+  }
+
   def recordsAt(df: org.apache.spark.sql.DataFrame, payloadCol: String,
       picksCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row

@@ -374,6 +374,75 @@ object WebQueries extends QueryProvider {
       |    (sum(len) + sum(revs * len)) AS BIGINT) AS saved_ppm
       |FROM per_doc GROUP BY host""".stripMargin
 
+  /** ZIPNUM SECONDARY INDEX — the missing level of the CDX family:
+   *  Common Crawl serves its index as gzip-blocked cdx shards plus a
+   *  tiny cluster.idx of (first-key, offset, length) per block, and
+   *  consumers BINARY-SEARCH the idx then decompress ONE ~3000-line
+   *  block instead of the shard. Each 16-doc group packs its
+   *  SURT-sorted cdxj lines 4 per block ([[graft.operators.Warc
+   *  .encodeZipnum]]); every third doc then looks itself up
+   *  ([[graft.operators.Warc.zipnumLookup]]) and the row asserts the
+   *  lookup touched EXACTLY one block's compressed bytes — the oracle
+   *  expects single_block = true for every probe, so a lookup that
+   *  degrades to a shard scan hash-fails, not just slows down. mime
+   *  comes from the matched line's json, n_blocks from the shard
+   *  geometry. 100 TB shape: the whole point — random access reads
+   *  O(block), not O(shard); per-group work is partition-local. */
+  private def cdxZipnum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents")
+      .select(expr("doc_id div 16").as("shard_id"), col("doc_id"),
+        col("lang"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val W = graft.operators.Warc
+        val ds = it.toSeq
+        val lines = ds.map { case (_, id, lang) =>
+          val url = s"https://example.com/doc/$id"
+          W.cdxjLine(url, (20260101000000L + id).toString, Seq(
+            "url" -> url,
+            "mime" -> (if (id % 2 == 0) "text/html" else "text/plain"),
+            "lang" -> lang))
+        }.sorted
+        val (blob, idx) = W.encodeZipnum(lines, perBlock = 4)
+        val mimeRe = "\"mime\":\"([^\"]+)\"".r
+        ds.filter(_._2 % 3 == 0).map { case (_, id, _) =>
+          val key = W.surt(s"https://example.com/doc/$id")
+          val (hits, read, blocksRead) = W.zipnumLookup(blob, idx, key)
+          val mime = hits.headOption
+            .flatMap(h => mimeRe.findFirstMatchIn(h).map(_.group(1)))
+            .getOrElse("")
+          (id, hits.size.toLong, mime, blocksRead.toLong,
+            read < blob.length, idx.size.toLong)
+        }
+      }
+      .toDF("doc_id", "n_found", "mime", "blocks_read", "partial_read",
+        "n_blocks")
+  }
+
+  // blocks_read is EXACT cross-engine: 1 unless the key is its block's
+  // FIRST line (sorted rank ≡ 1 mod 4, rank > 1), where the backward
+  // straddle step honestly costs a second block. The oracle replays
+  // the SURT sort rank; partial_read pins that a lookup never touches
+  // the whole shard (except the degenerate one-block tail shard).
+  private val cdxZipnumSql =
+    """WITH ranked AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (PARTITION BY doc_id // 16
+      |      ORDER BY 'com,example)/doc/' || CAST(doc_id AS VARCHAR)) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id // 16) AS cnt
+      |  FROM documents)
+      |SELECT doc_id, CAST(1 AS BIGINT) AS n_found,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+      |    ELSE 'text/plain' END AS mime,
+      |  CAST(CASE WHEN rn > 1 AND (rn - 1) % 4 = 0 THEN 2
+      |    ELSE 1 END AS BIGINT) AS blocks_read,
+      |  (cnt + 3) // 4 > CASE WHEN rn > 1 AND (rn - 1) % 4 = 0 THEN 2
+      |    ELSE 1 END AS partial_read,
+      |  CAST((cnt + 3) // 4 AS BIGINT) AS n_blocks
+      |FROM ranked WHERE doc_id % 3 = 0""".stripMargin
+
   /** REDIRECT-CHAIN RESOLUTION — collapse a crawl's 3xx Location edges
    *  to final landing urls with loop detection
    *  ([[graft.operators.Redirects.resolve]], pointer doubling: 4
@@ -1582,6 +1651,7 @@ object WebQueries extends QueryProvider {
     "io_warc_revisit" -> (warcRevisit _),
     "pipeline_crawl_revisit" -> (crawlRevisit _),
     "pipeline_redirect_resolve" -> (redirectResolve _),
+    "io_cdx_zipnum" -> (cdxZipnum _),
     "io_cdx_extract" -> (cdxExtract _),
     "pipeline_cdx_fetch" -> (cdxFetch _),
     "text_html_tables" -> (htmlTables _),
@@ -1610,6 +1680,7 @@ object WebQueries extends QueryProvider {
     "io_warc_revisit" -> warcRevisitSql,
     "pipeline_crawl_revisit" -> crawlRevisitSql,
     "pipeline_redirect_resolve" -> redirectResolveSql,
+    "io_cdx_zipnum" -> cdxZipnumSql,
     "io_cdx_extract" -> cdxExtractSql,
     "pipeline_cdx_fetch" -> cdxFetchSql,
     "text_html_tables" -> htmlTablesSql,

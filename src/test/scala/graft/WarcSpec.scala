@@ -333,6 +333,42 @@ class WarcSpec extends AnyFunSuite {
       "T11", 2)))
   }
 
+  test("zipnum: lookups binary-search the cluster.idx and read ONE " +
+      "block; key runs straddling a block boundary extend the scan; " +
+      "absent keys return empty; hygiene failures are named") {
+    def line(key: String, ts: Long, v: String): String =
+      s"$key $ts" + " {\"v\":\"" + v + "\"}"
+    // 10 lines, 4 keys, key `c` RUNS across the block-2 boundary
+    val lines = Seq(
+      line("a)/1", 1, "a1"), line("a)/2", 2, "a2"), line("b)/1", 3, "b1"),
+      line("c)/x", 4, "c1"), line("c)/x", 5, "c2"), line("c)/x", 6, "c3"),
+      line("c)/x", 7, "c4"), line("c)/x", 8, "c5"), line("d)/1", 9, "d1"),
+      line("d)/2", 10, "d2"))
+    val (blob, idx) = Warc.encodeZipnum(lines, perBlock = 4)
+    assert(idx.size == 3)
+    val blockLens = idx.map(_.split("\t")(3).toLong)
+    // single-block hit
+    val (b1, rb, nb1) = Warc.zipnumLookup(blob, idx, "b)/1")
+    assert(b1.size == 1 && b1.head.contains("b1") && rb == blockLens(0) &&
+      nb1 == 1)
+    // block firsts are a)/1, c)/x, d)/1: the search lands on block 1
+    // (first == query) but the run's HEAD line c1 sits at the tail of
+    // block 0 — the backward straddle step must pick it up
+    val (cs, rc, nbc) = Warc.zipnumLookup(blob, idx, "c)/x")
+    assert(cs.size == 5, s"want the full c-run, got ${cs.size}")
+    assert(rc == blockLens(0) + blockLens(1) && nbc == 2)
+    // absent keys: before every block, and in a gap between keys
+    assert(Warc.zipnumLookup(blob, idx, "0)/zero")._1.isEmpty)
+    assert(Warc.zipnumLookup(blob, idx, "bzz)/gap")._1.isEmpty)
+    // unsorted input and malformed idx lines fail by name
+    val eSort = intercept[IllegalArgumentException](
+      Warc.encodeZipnum(Seq(line("z)/1", 1, "z"), line("a)/1", 2, "a")), 4))
+    assert(eSort.getMessage.contains("SURT-sorted"))
+    val eIdx = intercept[IllegalArgumentException](
+      Warc.zipnumLookup(blob, Seq("garbage"), "a)/1"))
+    assert(eIdx.getMessage.contains("cluster.idx"))
+  }
+
   test("revisit profile: writer emits identical-payload-digest records " +
       "(headers only, digest + refers-to), the walk keeps response + " +
       "revisit rows and gives revisits empty bodies") {
