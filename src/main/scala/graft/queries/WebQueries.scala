@@ -443,6 +443,83 @@ object WebQueries extends QueryProvider {
       |  CAST((cnt + 3) // 4 AS BIGINT) AS n_blocks
       |FROM ranked WHERE doc_id % 3 = 0""".stripMargin
 
+  /** ZIPNUM→ARCHIVE RANDOM ACCESS — the COMPLETE Common Crawl consumer
+   *  path in one plan: archives written record-per-member with a real
+   *  byte index (`encodeWarcGzIndexed`), cdxj lines carrying those
+   *  offsets, the lines zipnum-packed behind a cluster.idx, then every
+   *  third doc resolved END-TO-END — binary-search the cluster.idx,
+   *  gunzip one cdx block, parse the hit's offset/length json, slice
+   *  EXACTLY that member out of the archive (`recordsAt`) and decode
+   *  its HTTP body. The oracle predicts the final body text from
+   *  document columns, so a slip at ANY of the four levels (idx
+   *  search, block decode, json offsets, member framing) hash-fails.
+   *  100 TB shape: this is the anti-scan path — per probe the engine
+   *  touches O(cdx block) + O(one record), never O(shard); per-group
+   *  work is partition-local, the slim probe rows are all that move. */
+  private def zipnumFetch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val date = "2026-01-01T00:00:00Z"
+    T(s, dir, "documents")
+      .select(expr("doc_id div 16").as("shard_id"), col("doc_id"),
+        col("source"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val W = graft.operators.Warc
+        val ds = it.toSeq.sortBy(_._2)
+        val recs = (Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> date) ->
+          "software: graft\r\n".getBytes(UTF_8)) +:
+          ds.map { case (_, id, source) =>
+            Seq("WARC-Type" -> "response",
+              "WARC-Target-URI" -> s"https://example.com/doc/$id",
+              "WARC-Date" -> date) ->
+              W.httpResponseBytes(
+                s"zipnum body of doc $id by $source".getBytes(UTF_8),
+                "text/plain; charset=utf-8")
+          }
+        val (blob, memberIdx) = W.encodeWarcGzIndexed(recs)
+        val lines = ds.zip(memberIdx.drop(1)).map {
+          case ((_, id, _), (off, len)) =>
+            val url = s"https://example.com/doc/$id"
+            W.cdxjLine(url, (20260101000000L + id).toString, Seq(
+              "url" -> url, "offset" -> off.toString,
+              "length" -> len.toString))
+        }.sorted
+        val (cdxBlob, clusterIdx) = W.encodeZipnum(lines, perBlock = 4)
+        val offRe = "\"offset\":\"(\\d+)\"".r
+        val lenRe = "\"length\":\"(\\d+)\"".r
+        // ONE output row per shard: the blob rides once, every probe's
+        // (offset, length) pick rides beside it (the cdxFetch shape —
+        // a 100 TB caller must never replicate archive bytes per probe)
+        val picks = ds.filter(_._2 % 3 == 1).map { case (_, id, _) =>
+          val key = W.surt(s"https://example.com/doc/$id")
+          val (hits, _, _) = W.zipnumLookup(cdxBlob, clusterIdx, key)
+          require(hits.size == 1, s"zipnum probe for doc $id: ${hits.size}")
+          (offRe.findFirstMatchIn(hits.head).get.group(1).toLong,
+            lenRe.findFirstMatchIn(hits.head).get.group(1).toLong)
+        }.sorted
+        if (picks.isEmpty) Iterator.empty else Iterator((blob, picks))
+      }
+      .toDF("payload", "picks_raw")
+      .withColumn("picks", expr(
+        "transform(picks_raw, p -> struct(p._1 as offset, p._2 as length))"))
+      .drop("picks_raw")
+      .transform(df => graft.operators.Warc.recordsAt(df, "payload", "picks"))
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("target_uri"), col("http_status"), col("body").as("text"))
+  }
+
+  private val zipnumFetchSql =
+    """SELECT doc_id,
+      |  'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+      |    AS target_uri,
+      |  CAST(200 AS INTEGER) AS http_status,
+      |  'zipnum body of doc ' || CAST(doc_id AS VARCHAR) || ' by '
+      |    || source AS text
+      |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   /** REDIRECT-CHAIN RESOLUTION — collapse a crawl's 3xx Location edges
    *  to final landing urls with loop detection
    *  ([[graft.operators.Redirects.resolve]], pointer doubling: 4
@@ -1652,6 +1729,7 @@ object WebQueries extends QueryProvider {
     "pipeline_crawl_revisit" -> (crawlRevisit _),
     "pipeline_redirect_resolve" -> (redirectResolve _),
     "io_cdx_zipnum" -> (cdxZipnum _),
+    "pipeline_zipnum_fetch" -> (zipnumFetch _),
     "io_cdx_extract" -> (cdxExtract _),
     "pipeline_cdx_fetch" -> (cdxFetch _),
     "text_html_tables" -> (htmlTables _),
@@ -1681,6 +1759,7 @@ object WebQueries extends QueryProvider {
     "pipeline_crawl_revisit" -> crawlRevisitSql,
     "pipeline_redirect_resolve" -> redirectResolveSql,
     "io_cdx_zipnum" -> cdxZipnumSql,
+    "pipeline_zipnum_fetch" -> zipnumFetchSql,
     "io_cdx_extract" -> cdxExtractSql,
     "pipeline_cdx_fetch" -> cdxFetchSql,
     "text_html_tables" -> htmlTablesSql,
