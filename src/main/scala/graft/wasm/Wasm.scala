@@ -228,6 +228,27 @@ final case class BrOnCast(depth: Int, srcHt: Int, srcNullable: Boolean,
  *  hierarchies, which share one representation here. */
 case object AnyConvertExtern extends Instr
 case object ExternConvertAny extends Instr
+// function-references tier (late r16) — the call shapes wasm-gc
+// toolchains emit beyond plain call/call_indirect. Tail calls run with
+// CONSTANT JVM stack: the evaluator propagates a tail signal to the
+// frame loop instead of recursing (see WasmInterp.invokeByIndex0).
+/** call_ref $t (0x14): call through a typed function-reference value. */
+final case class CallRef(typeIdx: Int) extends Instr
+/** return_call (0x12) / return_call_indirect (0x13) /
+ *  return_call_ref (0x15): tail calls — the callee's results ARE the
+ *  caller's, with the caller's frame discarded first. */
+final case class ReturnCall(funcIdx: Int) extends Instr
+final case class ReturnCallIndirect(typeIdx: Int,
+    tableIdx: Int = 0) extends Instr
+final case class ReturnCallRef(typeIdx: Int) extends Instr
+/** ref.as_non_null (0xD4): trap on null, pass otherwise. */
+case object RefAsNonNull extends Instr
+/** br_on_null (0xD5): branch WITHOUT the ref when null, fall through
+ *  with it otherwise. br_on_non_null (0xD6): branch WITH the ref when
+ *  non-null, fall through without it otherwise. */
+final case class BrOnNull(depth: Int) extends Instr
+final case class BrOnNonNull(depth: Int) extends Instr
+
 /** Segment-seeded arrays: array.new_data / array.new_elem
  *  (0xFB 9/10) read [offset, size) of a data / elem segment at
  *  allocation; array.init_data / array.init_elem (0xFB 18/19) patch a
@@ -863,6 +884,12 @@ object WasmBinary {
         case 0x11 =>
           val typeIdx = r.u32()
           out += CallIndirect(typeIdx, r.u32()) // reference-types tableidx
+        case 0x12 => out += ReturnCall(r.u32())
+        case 0x13 =>
+          val typeIdx = r.u32()
+          out += ReturnCallIndirect(typeIdx, r.u32())
+        case 0x14 => out += CallRef(r.u32())
+        case 0x15 => out += ReturnCallRef(r.u32())
         case 0x1A => out += Drop
         case 0x1B => out += Select
         case 0x1C => // typed select (reference-types)
@@ -968,6 +995,9 @@ object WasmBinary {
         case 0xD1 => out += RefIsNull
         case 0xD2 => out += RefFunc(r.u32())
         case 0xD3 => out += RefEq
+        case 0xD4 => out += RefAsNonNull
+        case 0xD5 => out += BrOnNull(r.u32())
+        case 0xD6 => out += BrOnNonNull(r.u32())
         case 0xFB => // wasm-gc tier (r16): scalar-shaped subset executes
           r.u32() match {
             case 0 => out += StructNew(r.u32())
@@ -1235,6 +1265,13 @@ object WasmBinary {
       case Return => w.u8(0x0F)
       case Call(f) => w.u8(0x10); w.u32(f)
       case CallIndirect(t, tbl) => w.u8(0x11); w.u32(t); w.u32(tbl)
+      case ReturnCall(f) => w.u8(0x12); w.u32(f)
+      case ReturnCallIndirect(t, tbl) => w.u8(0x13); w.u32(t); w.u32(tbl)
+      case CallRef(t) => w.u8(0x14); w.u32(t)
+      case ReturnCallRef(t) => w.u8(0x15); w.u32(t)
+      case RefAsNonNull => w.u8(0xD4)
+      case BrOnNull(d) => w.u8(0xD5); w.u32(d)
+      case BrOnNonNull(d) => w.u8(0xD6); w.u32(d)
       case Drop => w.u8(0x1A)
       case Select => w.u8(0x1B)
       case SelectT(ts) =>

@@ -226,38 +226,64 @@ object WasmInterp {
       } finally activeDepth -= 1
     }
 
-    private def invokeByIndex0(funcIdx: Int, args: Vector[Long]): Vector[Long] = {
-      burn()
+    private def invokeByIndex0(funcIdx0: Int, args0: Vector[Long]): Vector[Long] = {
+      // TAIL-CALL FRAME LOOP (function-references tier, late r16): a
+      // return_call* in the body surfaces as the TAIL signal with the
+      // target + args parked in tailTarget/tailArgs, and this loop
+      // re-enters the next frame IN PLACE — chained tail calls run in
+      // constant JVM stack, as the proposal requires (fuel still burns
+      // per hop, so a tail-recursive spin trips the step budget, not
+      // the JVM stack). The v128 watermark is the ENTRY frame's: tail
+      // hops share one reclamation scope, settled at the final return.
+      var funcIdx = funcIdx0
+      var args = args0
       val nImports = module.imports.size
-      if (funcIdx < nImports) return importedFns(funcIdx)(args)
-      val localIdx = funcIdx - nImports
-      val ftype = module.types(module.funcTypeIdxs(localIdx))
-      val body = module.codes(localIdx)
-      val locals = new Array[Long](ftype.params.size + body.locals.size)
-      var i = 0
-      while (i < args.size) { locals(i) = args(i); i += 1 }
-      // reference-typed locals default to NULL (-1), not 0 — a zero
-      // default would alias function index 0 / a live extern value
-      var li = 0
-      while (li < body.locals.size) {
-        if (ValType.isRef(body.locals(li)))
-          locals(ftype.params.size + li) = -1L
-        li += 1
-      }
-      val stack = new OperandStack
-      // v128 pool discipline: handles cannot escape a call except
-      // through its RESULTS (locals die with the frame, memory holds
-      // bytes not handles, v128 globals are rejected at instantiation),
-      // so each call truncates the pool back to its entry watermark and
-      // compacts any v128 results down to it — a SIMD hot loop's
-      // allocations are reclaimed per call, not per entry invocation.
       val watermark = v128Pool.size
       var ok = false
+      var res: Vector[Long] = null
+      var ftype: FuncType = null
       try {
-        evalSeq(body.body, locals, stack) match {
-          case _ => // Fall, Branch(spent) or Ret all leave results on the stack top
+        var running = true
+        while (running) {
+          burn()
+          if (funcIdx < nImports) {
+            val out = importedFns(funcIdx)(args)
+            ok = true
+            return out
+          }
+          val localIdx = funcIdx - nImports
+          ftype = module.types(module.funcTypeIdxs(localIdx))
+          val body = module.codes(localIdx)
+          val locals = new Array[Long](ftype.params.size + body.locals.size)
+          var i = 0
+          while (i < args.size) { locals(i) = args(i); i += 1 }
+          // reference-typed locals default to NULL (-1), not 0 — a zero
+          // default would alias function index 0 / a live extern value
+          var li = 0
+          while (li < body.locals.size) {
+            if (ValType.isRef(body.locals(li)))
+              locals(ftype.params.size + li) = -1L
+            li += 1
+          }
+          val stack = new OperandStack
+          // v128 pool discipline: handles cannot escape a call except
+          // through its RESULTS (locals die with the frame, memory
+          // holds bytes not handles, v128 globals are rejected at
+          // instantiation), so each call truncates the pool back to
+          // its entry watermark and compacts any v128 results down to
+          // it — a SIMD hot loop's allocations are reclaimed per call,
+          // not per entry invocation.
+          evalSeq(body.body, locals, stack) match {
+            case TAIL =>
+              funcIdx = tailTarget
+              args = tailArgs
+              tailArgs = null
+            case _ =>
+              // Fall, Branch(spent) or Ret leave results on the stack
+              res = Vector.fill(ftype.results.size)(stack.pop()).reverse
+              running = false
+          }
         }
-        val res = Vector.fill(ftype.results.size)(stack.pop()).reverse
         val out =
           if (v128Pool.size > watermark) {
             // compact v128 results into the watermark region, in order.
@@ -442,6 +468,62 @@ object WasmInterp {
      *  n >= 0 = branch crossing n MORE labels outward. */
     private val FALL = -1
     private val RET = -2
+    /** Tail-call signal: like RET, but [[invokeByIndex0]]'s frame loop
+     *  re-enters [[tailTarget]] with [[tailArgs]] instead of popping
+     *  results — constant-stack return_call* (late r16). */
+    private val TAIL = -3
+    private var tailTarget: Int = 0
+    private var tailArgs: Vector[Long] = null
+
+    /** The declared FuncType of any function index (import or local). */
+    private def declaredType(f: Int): FuncType = {
+      val nImp = module.imports.size
+      module.types(
+        if (f < nImp) module.imports(f).typeIdx
+        else module.funcTypeIdxs(f - nImp))
+    }
+    /** call_indirect / return_call_indirect target resolution: slot
+     *  bounds, null slot, and the runtime type check. */
+    private def indirectTarget(stack: OperandStack, typeIdx: Int,
+        tableIdx: Int): Int = {
+      val slot = stack.pop().toInt
+      val table = tableAt(tableIdx)
+      if (slot < 0 || slot >= table.length || table(slot) < 0)
+        throw new WasmTrap(s"undefined element at table slot $slot")
+      val f = table(slot).toInt
+      if (declaredType(f) != module.types(typeIdx))
+        throw new WasmTrap("indirect call type mismatch")
+      f
+    }
+    /** Pop + vet a typed function-reference value (call_ref /
+     *  return_call_ref): null traps; the value must be a live function
+     *  index whose declared type matches the annotation structurally
+     *  (call_indirect's rule) or through a declared sub chain. */
+    private def popFuncRef(stack: OperandStack, typeIdx: Int,
+        what: String): Int = {
+      val v = stack.pop()
+      if (v == -1L) throw new WasmTrap(s"$what: null function reference")
+      val f = v.toInt
+      val nImp = module.imports.size
+      if (v < 0 || v > Int.MaxValue ||
+          f >= nImp + module.funcTypeIdxs.size)
+        throw new WasmTrap(s"$what: value is not a function reference")
+      val actual = if (f < nImp) module.imports(f).typeIdx
+        else module.funcTypeIdxs(f - nImp)
+      if (!(module.types(actual) == module.types(typeIdx) ||
+          chainMatches(actual, typeIdx)))
+        throw new WasmTrap(s"$what: function type mismatch")
+      f
+    }
+    /** Park a tail-call target + its popped args for the frame loop. */
+    private def setTail(f: Int, stack: OperandStack): Unit = {
+      val argc = declaredType(f).params.size
+      val a = new Array[Long](argc)
+      var j = argc - 1
+      while (j >= 0) { a(j) = stack.pop(); j -= 1 }
+      tailTarget = f
+      tailArgs = a.toVector
+    }
 
     private def evalSeq(body: Vector[Instr], locals: Array[Long],
         stack: OperandStack): Int = {
@@ -463,6 +545,7 @@ object WasmInterp {
             evalSeq(inner, locals, stack) match {
               case FALL => // values already in place
               case RET => return RET
+              case TAIL => return TAIL
               case 0 => unwind(stack, h, resultArity(bt))
               case d => return d - 1
             }
@@ -477,6 +560,7 @@ object WasmInterp {
               evalSeq(inner, locals, stack) match {
                 case FALL => looping = false
                 case RET => return RET
+              case TAIL => return TAIL
                 case 0 => unwind(stack, h, p)
                 case d => return d - 1
               }
@@ -487,6 +571,7 @@ object WasmInterp {
             evalSeq(if (cond) thn else els, locals, stack) match {
               case FALL =>
               case RET => return RET
+              case TAIL => return TAIL
               case 0 => unwind(stack, h, resultArity(bt))
               case d => return d - 1
             }
@@ -507,23 +592,42 @@ object WasmInterp {
             while (j >= 0) { args(j) = stack.pop(); j -= 1 }
             invokeByIndex(f, args.toVector).foreach(stack.push)
           case CallIndirect(typeIdx, tableIdx) =>
-            val slot = stack.pop().toInt
-            val table = tableAt(tableIdx)
-            if (slot < 0 || slot >= table.length || table(slot) < 0)
-              throw new WasmTrap(s"undefined element at table slot $slot")
-            val f = table(slot).toInt
-            val nImp = module.imports.size
-            val actualType =
-              if (f < nImp) module.imports(f).typeIdx
-              else module.funcTypeIdxs(f - nImp)
-            if (module.types(actualType) != module.types(typeIdx))
-              throw new WasmTrap("indirect call type mismatch")
+            val f = indirectTarget(stack, typeIdx, tableIdx)
             val ftype = module.types(typeIdx)
             val argc = ftype.params.size
             val args = new Array[Long](argc)
             var j = argc - 1
             while (j >= 0) { args(j) = stack.pop(); j -= 1 }
             invokeByIndex(f, args.toVector).foreach(stack.push)
+          case CallRef(typeIdx) =>
+            val f = popFuncRef(stack, typeIdx, "call_ref")
+            val ftype = module.types(typeIdx)
+            val argc = ftype.params.size
+            val args = new Array[Long](argc)
+            var j = argc - 1
+            while (j >= 0) { args(j) = stack.pop(); j -= 1 }
+            invokeByIndex(f, args.toVector).foreach(stack.push)
+          case ReturnCall(f) =>
+            setTail(f, stack)
+            return TAIL
+          case ReturnCallIndirect(typeIdx, tableIdx) =>
+            setTail(indirectTarget(stack, typeIdx, tableIdx), stack)
+            return TAIL
+          case ReturnCallRef(typeIdx) =>
+            setTail(popFuncRef(stack, typeIdx, "return_call_ref"), stack)
+            return TAIL
+          case RefAsNonNull =>
+            if (stack.peek == -1L)
+              throw new WasmTrap("ref.as_non_null: null reference")
+          case BrOnNull(d) =>
+            // branch WITHOUT the ref on null, keep it otherwise
+            val v = stack.pop()
+            if (v == -1L) return d
+            else stack.push(v)
+          case BrOnNonNull(d) =>
+            // branch WITH the ref when non-null, drop it otherwise
+            if (stack.peek != -1L) return d
+            else stack.pop()
           case Drop => stack.pop()
           case Select =>
             val c = stack.pop(); val b = stack.pop(); val a = stack.pop()

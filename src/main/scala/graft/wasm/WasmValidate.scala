@@ -638,6 +638,63 @@ object WasmValidate {
             s"${tyName(d.storage)} (storage types must match)")
         popExpect(I32); popExpect(I32); popExpect(Arrayref)
         popExpect(I32); popExpect(Arrayref)
+      // function-references tier (late r16): typed-ref calls, TAIL
+      // calls (callee results must be the caller's — the frame is
+      // discarded), and the null-branch forms
+      case CallRef(t) =>
+        val ft = typeAt(t)
+        popExpect(Funcref)
+        popVals(ft.params); pushVals(ft.results)
+      case ReturnCall(f) =>
+        if (f < 0 || f >= nFuncs)
+          err(s"return_call: function index $f of $nFuncs")
+        val t = funcType(f)
+        if (t.results != fType.results)
+          err("return_call: callee result types differ from the caller's")
+        popVals(t.params)
+        setUnreachable()
+      case ReturnCallIndirect(ti, tbl) =>
+        val tt = tableAt(tbl)
+        if (tt.elemType != Funcref)
+          err(s"return_call_indirect through a ${tyName(tt.elemType)} table")
+        popExpect(I32)
+        val t = typeAt(ti)
+        if (t.results != fType.results)
+          err("return_call_indirect: callee result types differ from " +
+            "the caller's")
+        popVals(t.params)
+        setUnreachable()
+      case ReturnCallRef(ti) =>
+        popExpect(Funcref)
+        val t = typeAt(ti)
+        if (t.results != fType.results)
+          err("return_call_ref: callee result types differ from the " +
+            "caller's")
+        popVals(t.params)
+        setUnreachable()
+      case RefAsNonNull =>
+        val a = pop()
+        if (a != Unknown && !isRef(a))
+          err(s"ref.as_non_null on ${tyName(a)}")
+        push(a)
+      case BrOnNull(d) =>
+        val a = pop()
+        if (a != Unknown && !isRef(a))
+          err(s"br_on_null on ${tyName(a)}")
+        val lt = labelAt(d)
+        popVals(lt); pushVals(lt) // the branch goes WITHOUT the ref
+        push(a) // the fallthrough keeps it
+      case BrOnNonNull(d) =>
+        val a = pop()
+        if (a != Unknown && !isRef(a))
+          err(s"br_on_non_null on ${tyName(a)}")
+        val lt = labelAt(d)
+        if (lt.isEmpty || !isRef(lt.last))
+          err("br_on_non_null: target label does not expect a " +
+            "reference value")
+        push(if (a == Unknown) lt.last else a)
+        popVals(lt); pushVals(lt)
+        pop() // the ref travels with the branch; the fallthrough drops it
       // wasm-gc casts + segment-seeded arrays (r16). Tests and casts
       // validate at KIND level like every reference position; the
       // runtime test on a concrete immediate is precise (declared

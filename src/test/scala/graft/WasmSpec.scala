@@ -830,6 +830,129 @@ class WasmSpec extends AnyFunSuite with Matchers {
     assert(eInv.getMessage.contains("invariant"), eInv.getMessage)
   }
 
+  test("function-references tier (late r16): return_call runs tail-" +
+      "recursive loops in CONSTANT JVM stack, mutual tail recursion " +
+      "works, call_ref/return_call_ref vet the typed reference, " +
+      "br_on_null/br_on_non_null dispatch, ref.as_non_null traps") {
+    import ValType._
+    val tI64 = FuncType(Vector(I64), Vector(I64))
+    val tAcc = FuncType(Vector(I64, I64), Vector(I64))
+    def mod(types: Vector[FuncType], funcTypeIdxs: Vector[Int],
+        codes: Vector[FuncBody], elems: Vector[ElemSeg] = Vector.empty,
+        tables: Vector[TableType] = Vector.empty) =
+      WasmModule(types = types, imports = Vector.empty,
+        funcTypeIdxs = funcTypeIdxs, memMinPages = 0, memMaxPages = None,
+        globals = Vector.empty,
+        exports = Vector(WasmExport("f", 0, 0)),
+        codes = codes, datas = Vector.empty, start = None,
+        tables = tables, elems = elems)
+    def run(m: WasmModule, args: Long*): Long =
+      new WasmInterp.Instance(m, Map.empty).invoke("f", args: _*).head
+
+    // sum(n) tail-accumulator: f(n) = go(n, 0); go(0, a) = a;
+    // go(n, a) = return_call go(n-1, a+n). Depth 200k would blow the
+    // JVM stack under call+return; constant-stack TCO must survive.
+    val mSum = mod(Vector(tI64, tAcc), Vector(0, 1), Vector(
+      FuncBody(Vector(), Vector(
+        LocalGet(0), I64Const(0L), ReturnCall(1))),
+      FuncBody(Vector(), Vector(
+        LocalGet(0), Num(0x50) /* eqz */,
+        If(0x40, Vector(LocalGet(1), Return), Vector.empty),
+        LocalGet(0), I64Const(1L), Num(0x7D) /* sub */,
+        LocalGet(1), LocalGet(0), Num(0x7C) /* add */,
+        ReturnCall(1)))))
+    val n = 200000L
+    assert(run(mSum, n) == n * (n + 1) / 2)
+    // round trip through the codec preserves the new instrs
+    assert(WasmBinary.decode(WasmBinary.encode(mSum)) == mSum)
+
+    // mutual tail recursion: even/odd over 100001 hops
+    val mEo = mod(Vector(tI64, tI64, tI64), Vector(0, 1, 2), Vector(
+      FuncBody(Vector(), Vector(LocalGet(0), ReturnCall(1))),
+      FuncBody(Vector(), Vector( // even?
+        LocalGet(0), Num(0x50),
+        If(0x40, Vector(I64Const(1L), Return), Vector.empty),
+        LocalGet(0), I64Const(1L), Num(0x7D), ReturnCall(2))),
+      FuncBody(Vector(), Vector( // odd? — tail call INSIDE the If arm,
+        // pinning TAIL-signal propagation through block frames
+        LocalGet(0), Num(0x50),
+        If(0x40, Vector(I64Const(0L), Return), Vector(
+          LocalGet(0), I64Const(1L), Num(0x7D), ReturnCall(1))),
+        Unreachable))))
+    assert(run(mEo, 100001L) == 0L)
+
+    // call_ref through a ref.func value; null call_ref traps named;
+    // return_call_ref chains
+    val mCr = mod(Vector(tI64, tI64), Vector(0, 1), Vector(
+      FuncBody(Vector(), Vector(
+        LocalGet(0), RefFunc(1), CallRef(1), I64Const(100L), Num(0x7C),
+        Return)),
+      FuncBody(Vector(), Vector(
+        LocalGet(0), I64Const(3L), Num(0x7C), Return))),
+      // declarative segment makes index 1 a legal ref.func target
+      elems = Vector(ElemSeg(-1, Vector(1), mode = 2)))
+    assert(run(mCr, 5L) == 108L)
+    val mNull = mod(Vector(tI64), Vector(0), Vector(
+      FuncBody(Vector(), Vector(
+        LocalGet(0), RefNull(0x70), CallRef(0), Return))))
+    val eNull = intercept[WasmTrap](run(mNull, 1L))
+    assert(eNull.getMessage.contains("null function reference"))
+    val mRcr = mod(Vector(tI64, tI64), Vector(0, 1), Vector(
+      FuncBody(Vector(), Vector(
+        LocalGet(0), RefFunc(1), ReturnCallRef(1))),
+      FuncBody(Vector(), Vector(
+        LocalGet(0), I64Const(7L), Num(0x7E) /* mul */, Return))),
+      elems = Vector(ElemSeg(-1, Vector(1), mode = 2)))
+    assert(run(mRcr, 6L) == 42L)
+
+    // return_call_indirect through a table
+    val mRci = mod(Vector(tI64, tI64), Vector(0, 1), Vector(
+      FuncBody(Vector(), Vector(
+        LocalGet(0), I32Const(0), ReturnCallIndirect(1))),
+      FuncBody(Vector(), Vector(
+        LocalGet(0), I64Const(11L), Num(0x7C), Return))),
+      elems = Vector(ElemSeg(0, Vector(1))),
+      tables = Vector(TableType(Funcref, 2, None)))
+    assert(run(mRci, 4L) == 15L)
+
+    // br_on_null / br_on_non_null / ref.as_non_null
+    val mBn = mod(Vector(tI64), Vector(0), Vector(
+      FuncBody(Vector(ValType.Funcref), Vector(
+        // null local: br_on_null takes the branch (no value carried)
+        Block(0x40, Vector(
+          LocalGet(1), BrOnNull(0), Drop, Unreachable)),
+        // non-null: br_on_non_null carries the ref to its label
+        Block(ValType.Funcref & 0xFF, Vector(
+          RefFunc(0), BrOnNonNull(0), Unreachable)),
+        RefAsNonNull, RefIsNull, Num(0xAD) /* extend_u */,
+        LocalGet(0), Num(0x7C), Return))),
+      elems = Vector(ElemSeg(-1, Vector(0), mode = 2)))
+    assert(run(mBn, 40L) == 40L) // is_null(func ref) = 0
+    val mAnn = mod(Vector(tI64), Vector(0), Vector(
+      FuncBody(Vector(), Vector(
+        RefNull(0x70), RefAsNonNull, Drop, LocalGet(0), Return))))
+    val eAnn = intercept[WasmTrap](run(mAnn, 1L))
+    assert(eAnn.getMessage.contains("ref.as_non_null"))
+
+    // validation: a tail call whose callee results differ is rejected
+    // by name; br_on_non_null needs a ref-carrying label
+    val tNone = FuncType(Vector(I64), Vector.empty)
+    val mBad = mod(Vector(tI64, tNone), Vector(0, 1), Vector(
+      FuncBody(Vector(), Vector(LocalGet(0), ReturnCall(1))),
+      FuncBody(Vector(), Vector(Drop))))
+    val eBad = intercept[WasmValidateError](
+      new WasmInterp.Instance(mBad, Map.empty))
+    assert(eBad.getMessage.contains("callee result types"))
+    val mBadLbl = mod(Vector(tI64), Vector(0), Vector(
+      FuncBody(Vector(), Vector(
+        Block(0x40, Vector(RefFunc(0), BrOnNonNull(0), Unreachable)),
+        LocalGet(0), Return))),
+      elems = Vector(ElemSeg(-1, Vector(0), mode = 2)))
+    val eLbl = intercept[WasmValidateError](
+      new WasmInterp.Instance(mBadLbl, Map.empty))
+    assert(eLbl.getMessage.contains("br_on_non_null"))
+  }
+
   test("memory limit hygiene at decode: duplicate memory, shared " +
       "without max, above-cap declared maxima") {
     val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
