@@ -205,6 +205,24 @@ object LensQueries extends QueryProvider {
       .withColumnRenamed("c_custkey", "shifted_key")
   }
 
+  /** The late-r16 EH tier end-to-end: the shift guest's sum is thrown
+   *  as a tag payload, captured as an exnref by catch_all_ref,
+   *  rethrown with throw_ref, and caught back by the outer tag handler
+   *  — every no-throw path is Unreachable, so a dispatch slip traps
+   *  instead of passing. 100 TB shape: identical to the other wasm
+   *  rows (per-partition interpretation, no extra exchange). */
+  private def wasmEhPipe(s: SparkSession, dir: String): DataFrame = {
+    val url = wasmDataUrl(
+      graft.wasm.LensGuestModules.shiftGuest("c_custkey", viaEh = true))
+    Pipeline.fromJson(
+      s"""{"lenses":[
+         |  {"path":"builtin:select","arguments":{"cols":["c_custkey","c_name"]}},
+         |  {"path":"$url","arguments":{"delta":4000000}}
+         |]}""".stripMargin)
+      .forward(T(s, dir, "customer"))
+      .withColumnRenamed("c_custkey", "shifted_key")
+  }
+
   private def wasmFilterPipe(s: SparkSession, dir: String): DataFrame = {
     val url = wasmDataUrl(graft.wasm.LensGuestModules.filterGuest("c_custkey"))
     Pipeline.fromJson(
@@ -229,6 +247,7 @@ object LensQueries extends QueryProvider {
     "lens_wasm_shift"   -> (wasmShiftPipe _),
     "lens_wasm_gc"      -> (wasmGcPipe _),
     "lens_wasm_cast"    -> (wasmGcCastPipe _),
+    "lens_wasm_eh"      -> (wasmEhPipe _),
     "lens_wasm_filter"  -> (wasmFilterPipe _),
     "lens_wasm_repeat"  -> (wasmRepeatPipe _),
     "lens_opaque"       -> (opaquePipe _),
@@ -249,6 +268,8 @@ object LensQueries extends QueryProvider {
       "SELECT c_custkey + 2000000 AS shifted_key, c_name FROM customer",
     "lens_wasm_cast" ->
       "SELECT c_custkey + 3000000 AS shifted_key, c_name FROM customer",
+    "lens_wasm_eh" ->
+      "SELECT c_custkey + 4000000 AS shifted_key, c_name FROM customer",
     "lens_wasm_filter" ->
       "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey >= 700",
     "lens_wasm_repeat" ->

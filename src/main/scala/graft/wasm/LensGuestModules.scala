@@ -344,9 +344,11 @@ object LensGuestModules {
       viaAtomics: Boolean = false,
       viaRelaxedSimd: Boolean = false,
       viaGc: Boolean = false,
-      viaGcCast: Boolean = false): Array[Byte] = {
+      viaGcCast: Boolean = false,
+      viaEh: Boolean = false): Array[Byte] = {
     require(Seq(viaFloatPath, viaMultiValueBulk, viaSimdPath, viaRefTypes,
-      viaAtomics, viaRelaxedSimd, viaGc, viaGcCast).count(identity) <= 1,
+      viaAtomics, viaRelaxedSimd, viaGc, viaGcCast, viaEh)
+      .count(identity) <= 1,
       "combine at most one value-path probe")
     val d = new DataPacker
     val pat = d.add("\"" + field + "\":")
@@ -358,6 +360,7 @@ object LensGuestModules {
     val TAdd = types.size // (i64, i64) -> i64, ref-types dispatch target
     val TS = types.size // gc probe: struct { mut i64 }
     val TA = types.size + 1 // gc probe: array of mut i64
+    val TEhTag = types.size // eh probe: tag payload sig (i64) -> ()
     val TSup = types.size // gc-cast probe: supertype struct { mut i64 }
     val TSc = types.size + 1 // gc-cast probe: declared sub of TSup
     val TAc = types.size + 2 // gc-cast probe: array of mut i64
@@ -388,6 +391,8 @@ object LensGuestModules {
         (if (viaAtomics) Vector[Byte](I64, I64) else Vector.empty[Byte]) ++
         // relaxed-simd scratch: 10 = delta*sign (i64)
         (if (viaRelaxedSimd) Vector[Byte](I64) else Vector.empty[Byte]) ++
+        // eh scratch: 10 = the sum riding through the throw chain
+        (if (viaEh) Vector[Byte](I64) else Vector.empty[Byte]) ++
         // gc scratch: 10 = delta*sign, 11 = the box struct, 12 = the
         // fan-out array (kind-typed ref locals, null-defaulted)
         (if (viaGc || viaGcCast)
@@ -521,6 +526,25 @@ object LensGuestModules {
           LocalGet(12), ic(0), ArrayGet(TAc, 0), lc(7L), subL, addL,
           LocalGet(12), ic(1), ArrayGet(TAc, 0), lc(100L), subL, addL,
           LocalSet(9))
+      else if (viaEh) Vector[Instr](
+        // stack: v, delta*sign — the EH tier (late r16): the sum is
+        // THROWN as a tag payload, captured as an exnref by an inner
+        // catch_all_ref, RETHROWN via throw_ref, and caught back by the
+        // outer tag handler — the whole dispatch chain (tag match, ref
+        // capture, rethrow, payload restore) is load-bearing for the
+        // oracle hash. Every no-throw path is Unreachable, so a
+        // dispatch slip traps rather than silently passing.
+        addL,
+        LocalSet(10),
+        Block(0x7E /* A: result i64 */, Vector(
+          TryTable(0x7E, Vector(CatchTag(0, 0)), Vector(
+            Block(ValType.Exnref & 0xFF, Vector(
+              TryTable(0x7E, Vector(CatchAllRef(0)), Vector(
+                LocalGet(10), Throw(0), Unreachable)),
+              Unreachable)),
+            ThrowRef, Unreachable)),
+          Unreachable)),
+        LocalSet(9))
       else if (viaRefTypes) Vector[Instr](
         // one-time table build (PEND latch): grow 0→2, init [null, add]
         // from the passive expr-form elem segment, drop it, then heal
@@ -591,6 +615,8 @@ object LensGuestModules {
             FuncType(Vector.empty, Vector.empty)
         else if (viaGcCast)
           types ++ Vector.fill(3)(FuncType(Vector.empty, Vector.empty))
+        else if (viaEh)
+          types :+ FuncType(Vector(I64), Vector.empty) // the tag's sig
         else types,
       imports = Vector(WasmImport("lens", "next", TNoArgPtr)),
       funcTypeIdxs = Vector(TPtrPtr, TFind, TParse, TWrite, TMkErr, // 1..5
@@ -636,7 +662,8 @@ object LensGuestModules {
       else Vector.empty,
       superTypes = if (viaGcCast)
         Vector.fill(types.size + 3)(-1).updated(TSc, TSup)
-      else Vector.empty))
+      else Vector.empty,
+      tags = if (viaEh) Vector(WasmTag(TEhTag)) else Vector.empty))
   }
 
   // ---------- guest: filter (1:<=1 pull loop, set_param) ----------

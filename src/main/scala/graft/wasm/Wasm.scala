@@ -127,6 +127,9 @@ object ValType {
   val Noneref: Byte = 0x71
   val NoExternref: Byte = 0x72
   val NoFuncref: Byte = 0x73
+  /** EH tier: exception references form their OWN hierarchy (exn with
+   *  bottom noexn) — never under any/func/extern. */
+  val Exnref: Byte = 0x69
   /** packed STORAGE types (struct field / array element position only,
    *  never on the operand stack; unpacked view is I32). */
   val PackedI8: Byte = 0x78
@@ -135,7 +138,7 @@ object ValType {
   val Empty: Int = 0x40
   def isRef(vt: Byte): Boolean = vt == Funcref || vt == Externref ||
     (vt >= Arrayref && vt <= Anyref) || vt == Noneref ||
-    vt == NoExternref || vt == NoFuncref
+    vt == NoExternref || vt == NoFuncref || vt == Exnref
   def isPacked(st: Byte): Boolean = st == PackedI8 || st == PackedI16
   /** a field's operand-stack type (packed i8/i16 load/store as i32). */
   def unpacked(st: Byte): Byte = if (isPacked(st)) I32 else st
@@ -156,6 +159,7 @@ object ValType {
   def hierTop(k: Byte): Byte = k match {
     case Funcref | NoFuncref => Funcref
     case Externref | NoExternref => Externref
+    case Exnref => Exnref
     case _ => Anyref
   }
 }
@@ -228,6 +232,29 @@ final case class BrOnCast(depth: Int, srcHt: Int, srcNullable: Boolean,
  *  hierarchies, which share one representation here. */
 case object AnyConvertExtern extends Instr
 case object ExternConvertAny extends Instr
+// exception-handling tier (late r16) — the STANDARDIZED EH proposal
+// (tags + throw/throw_ref + try_table + exnref), what
+// -fwasm-exceptions C++ toolchains emit; the superseded legacy
+// try/catch opcodes (0x06/0x07/0x09/0x18/0x19) stay named rejections.
+/** throw $tag (0x08): pop the tag's payload, unwind to the nearest
+ *  matching try_table catch (or out of the invocation as a trap). */
+final case class Throw(tagIdx: Int) extends Instr
+/** throw_ref (0x0A): rethrow a caught exception package. */
+case object ThrowRef extends Instr
+/** One try_table catch clause; `label` is resolved in the context
+ *  ENCLOSING the try_table (spec validation rule — the try_table's own
+ *  label is not in scope for its catches). */
+sealed trait CatchClause { def label: Int }
+final case class CatchTag(tag: Int, label: Int) extends CatchClause
+final case class CatchTagRef(tag: Int, label: Int) extends CatchClause
+final case class CatchAll(label: Int) extends CatchClause
+final case class CatchAllRef(label: Int) extends CatchClause
+/** try_table (0x1F): a block whose body's thrown exceptions dispatch
+ *  through `catches` in order — payload (and for the _ref forms the
+ *  exnref) is pushed at the catch target label. */
+final case class TryTable(blockType: Int, catches: Vector[CatchClause],
+    body: Vector[Instr]) extends Instr
+
 // function-references tier (late r16) — the call shapes wasm-gc
 // toolchains emit beyond plain call/call_indirect. Tail calls run with
 // CONSTANT JVM stack: the evaluator propagates a tail signal to the
@@ -275,8 +302,12 @@ final case class FuncType(params: Vector[Byte], results: Vector[Byte])
  *  (`lens.next`, reference: host-go/runtimes/wasmtime/runtime.go:87-91). */
 final case class WasmImport(module: String, name: String, typeIdx: Int)
 final case class WasmGlobal(valType: Byte, mutable: Boolean, init: Vector[Instr])
-/** kind: 0 = func, 2 = memory (the two the lens ABI exports). */
+/** kind: 0 = func, 2 = memory (the two the lens ABI exports);
+ *  4 = exception tag (EH tier). */
 final case class WasmExport(name: String, kind: Int, idx: Int)
+/** Exception tag (EH tier): `typeIdx` names a func type with EMPTY
+ *  results — the tag's payload signature. */
+final case class WasmTag(typeIdx: Int)
 final case class FuncBody(locals: Vector[Byte], body: Vector[Instr])
 /** `passive = true` (bulk-memory): no offset expr — the segment sits
  *  inert until `memory.init` copies from it / `data.drop` releases it. */
@@ -308,7 +339,8 @@ final case class WasmModule(
     tables: Vector[TableType] = Vector.empty,
     elems: Vector[ElemSeg] = Vector.empty,
     comps: Vector[CompType] = Vector.empty,
-    superTypes: Vector[Int] = Vector.empty) {
+    superTypes: Vector[Int] = Vector.empty,
+    tags: Vector[WasmTag] = Vector.empty) {
   def export(name: String): Option[WasmExport] = exports.find(_.name == name)
   /** The composite type at index `i`; a module with no GC forms (comps
    *  empty — every pre-GC construction site) is all-func. */
@@ -384,7 +416,8 @@ object WasmBinary {
         case b if b == 0x40 || (b >= 0x7B && b <= 0x7F) ||
           b == 0x70 || b == 0x6F => b
         case b if b == 0x6E || b == 0x6D || b == 0x6C || b == 0x6B ||
-          b == 0x6A || b == 0x71 || b == 0x72 || b == 0x73 => b
+          b == 0x6A || b == 0x71 || b == 0x72 || b == 0x73 ||
+          b == 0x69 => b
         case b if b == 0x63 || b == 0x64 =>
           heapKindByte(this, s64(), "blocktype") & 0xFF
         case other => throw new WasmDecodeError(
@@ -415,6 +448,7 @@ object WasmBinary {
     var exports = Vector.empty[WasmExport]
     var codes = Vector.empty[FuncBody]
     var datas = Vector.empty[DataSeg]
+    var tags = Vector.empty[WasmTag]
     var start = Option.empty[Int]
     var tables = Vector.empty[TableType]
     var elems = Vector.empty[ElemSeg]
@@ -583,6 +617,9 @@ object WasmBinary {
                 // exact single-agent semantics. Only FUNCTION imports
                 // join the func index space.
                 readMemLimits(r)
+              case 0x04 => throw new WasmDecodeError(
+                s"tag import $mod.$nm not supported by this engine " +
+                  "(declare tags in the module)")
               case k => throw new WasmDecodeError(
                 s"unsupported import kind $k for $mod.$nm " +
                   "(functions and memory)")
@@ -701,12 +738,20 @@ object WasmBinary {
                 s"only active-mem-0 and passive data segments supported (flag $flag)")
             }
           }
+        case 13 => // tag (EH tier): attribute byte must be 0 (exception)
+          tags = Vector.fill(r.u32()) {
+            val attr = r.u8()
+            if (attr != 0) throw new WasmDecodeError(
+              s"tag attribute $attr (only exception tags exist)")
+            WasmTag(r.u32())
+          }
         case _ => // custom / table / elem / datacount: skip
       }
       r.pos = end
     }
     WasmModule(types, imports, funcTypeIdxs, memMin, memMax, globals,
-      exports, codes, datas, start, tables, elems, comps, superTypes)
+      exports, codes, datas, start, tables, elems, comps, superTypes,
+      tags)
   }
 
   /** Value type with a NAMED rejection for anything outside the tiers
@@ -724,6 +769,7 @@ object WasmBinary {
     // KIND byte — the engine's documented kind-level typing model
     case vt if vt == 0x6E || vt == 0x6D || vt == 0x6C || vt == 0x6B ||
       vt == 0x6A || vt == 0x71 || vt == 0x72 || vt == 0x73 => vt.toByte
+    case vt if vt == 0x69 => vt.toByte // exnref (EH tier, late r16)
     case vt if vt == 0x63 || vt == 0x64 =>
       heapKindByte(r, r.s64(),
         if (vt == 0x63) "(ref null ht)" else "(ref ht)")
@@ -772,9 +818,7 @@ object WasmBinary {
       case 0x71 => ValType.Noneref
       case 0x72 => ValType.NoExternref
       case 0x73 => ValType.NoFuncref
-      case 0x69 => throw new WasmDecodeError(
-        s"$where: exception-handling heap type exn (0x69) not supported " +
-          "by this engine")
+      case 0x69 => ValType.Exnref // EH tier (late r16)
       case other => throw new WasmDecodeError(
         f"$where: unsupported heap type 0x$other%02X")
     }
@@ -874,6 +918,33 @@ object WasmBinary {
               e
             } else Vector.empty[Instr]
           out += If(bt, thn, els)
+        case 0x08 => out += Throw(r.u32())
+        case 0x0A => out += ThrowRef
+        case 0x1F =>
+          val bt = r.blocktype()
+          val catches = Vector.fill(r.u32()) {
+            (r.u8() & 0xFF) match {
+              case 0 =>
+                val t = r.u32()
+                CatchTag(t, r.u32()): CatchClause
+              case 1 =>
+                val t = r.u32()
+                CatchTagRef(t, r.u32())
+              case 2 => CatchAll(r.u32())
+              case 3 => CatchAllRef(r.u32())
+              case k => throw new WasmDecodeError(
+                s"try_table: unknown catch kind $k")
+            }
+          }
+          val (body, t) = decodeSeq(r)
+          if (t != 0x0B) throw new WasmDecodeError("try_table: expected end")
+          out += TryTable(bt, catches, body)
+        case legacy if legacy == 0x06 || legacy == 0x07 ||
+            legacy == 0x09 || legacy == 0x18 || legacy == 0x19 =>
+          throw new WasmDecodeError(
+            f"legacy exception-handling opcode 0x$legacy%02X not " +
+              "supported by this engine (use the standardized " +
+              "try_table form)")
         case 0x0C => out += Br(r.u32())
         case 0x0D => out += BrIf(r.u32())
         case 0x0E =>
@@ -1157,6 +1228,10 @@ object WasmBinary {
         case None      => s.u8(0x00); s.u32(m.memMinPages)
       }
     }
+    if (m.tags.nonEmpty) section(13) { s =>
+      s.u32(m.tags.size)
+      m.tags.foreach { t => s.u8(0x00); s.u32(t.typeIdx) }
+    }
     if (m.globals.nonEmpty) section(6) { s =>
       s.u32(m.globals.size)
       m.globals.foreach { g =>
@@ -1258,6 +1333,18 @@ object WasmBinary {
         w.u8(0x04); blocktype(w, bt); encodeSeq(w, t)
         if (e.nonEmpty) { w.u8(0x05); encodeSeq(w, e) }
         w.u8(0x0B)
+      case Throw(t) => w.u8(0x08); w.u32(t)
+      case ThrowRef => w.u8(0x0A)
+      case TryTable(bt, catches, b) =>
+        w.u8(0x1F); blocktype(w, bt)
+        w.u32(catches.size)
+        catches.foreach {
+          case CatchTag(t, l) => w.u8(0x00); w.u32(t); w.u32(l)
+          case CatchTagRef(t, l) => w.u8(0x01); w.u32(t); w.u32(l)
+          case CatchAll(l) => w.u8(0x02); w.u32(l)
+          case CatchAllRef(l) => w.u8(0x03); w.u32(l)
+        }
+        encodeSeq(w, b); w.u8(0x0B)
       case Br(d) => w.u8(0x0C); w.u32(d)
       case BrIf(d) => w.u8(0x0D); w.u32(d)
       case BrTable(ts, d) =>

@@ -32,6 +32,9 @@ object WasmInterp {
   // size, so a cross-kind confusion is caught by the named guards.
   private final val GcTag = 0x2000000000000000L
   private final val I31Tag = 0x4000000000000000L
+  /** EH tier (late r16): exnref slot encoding — arena index under its
+   *  own tag, disjoint from GcTag/I31Tag. */
+  private final val ExnTag = 0x1000000000000000L
   private final val GcHeapCap = 1 << 22
   private final val GcArrayCap = 1 << 24
   private sealed trait GcObj
@@ -39,6 +42,13 @@ object WasmInterp {
       val fields: Array[Long]) extends GcObj
   private final class GcArray(val typeIdx: Int,
       val elems: Array[Long]) extends GcObj
+  /** One thrown exception package (tag + payload). */
+  private final class ExnPackage(val tagIdx: Int, val args: Vector[Long])
+  /** Unwind carrier for `throw` — NOT a trap: try_table catches it and
+   *  only an uncaught escape becomes a named trap at the outermost
+   *  invocation. Stack trace suppressed: throwing is control flow. */
+  private final class WasmExn(val pkg: ExnPackage)
+      extends RuntimeException(null, null, false, false)
 
   /** Pages are 64 KiB (WebAssembly spec §4.2.8). */
   val PageSize: Int = 65536
@@ -208,10 +218,17 @@ object WasmInterp {
         // gc arena reset per outermost invocation — the per-item
         // discipline that keeps partition memory bounded (see gcHeap)
         if (gcHeap.nonEmpty) gcHeap.clear()
+        if (exnHeap.nonEmpty) exnHeap.clear()
       }
       activeDepth += 1
       try invokeByIndex0(funcIdx, args)
       catch {
+        // an exception no try_table caught leaves the invocation as a
+        // NAMED trap (the embedder-visible outcome the reference's
+        // runtimes report for an escaped exception)
+        case e: WasmExn if activeDepth == 1 =>
+          throw new WasmTrap(
+            s"uncaught wasm exception (tag ${e.pkg.tagIdx})")
         // unbounded recursion exhausts the JVM stack before fuel can —
         // convert to the named trap at the OUTERMOST frame, where the
         // stack has already unwound (wasmtime's stack-exhaustion trap).
@@ -338,6 +355,24 @@ object WasmInterp {
         s"gc allocation cap ($GcHeapCap live objects) exceeded")
       gcHeap += o
       GcTag | (gcHeap.size - 1).toLong
+    }
+    /** EH tier: caught-exception packages referenced by exnref slots;
+     *  reclaimed with the gc arena at each outermost invocation. */
+    private val exnHeap =
+      scala.collection.mutable.ArrayBuffer.empty[ExnPackage]
+    private def exnAlloc(p: ExnPackage): Long = {
+      if (exnHeap.size >= GcHeapCap) throw new WasmTrap(
+        s"exception arena cap ($GcHeapCap live packages) exceeded")
+      exnHeap += p
+      ExnTag | (exnHeap.size - 1).toLong
+    }
+    private def exnAt(ref: Long, what: String): ExnPackage = {
+      if ((ref & ExnTag) == 0L || (ref & (GcTag | I31Tag)) != 0L)
+        throw new WasmTrap(s"$what: operand is not an exception reference")
+      val i = (ref ^ ExnTag).toInt
+      if (i < 0 || i >= exnHeap.size) throw new WasmTrap(
+        s"$what: stale exception reference")
+      exnHeap(i)
     }
     private def gcAt(ref: Long, what: String): GcObj = {
       if (ref == -1L) throw new WasmTrap(s"$what: null reference")
@@ -616,6 +651,56 @@ object WasmInterp {
           case ReturnCallRef(typeIdx) =>
             setTail(popFuncRef(stack, typeIdx, "return_call_ref"), stack)
             return TAIL
+          case Throw(t) =>
+            val argc = module.types(module.tags(t).typeIdx).params.size
+            val a = new Array[Long](argc)
+            var j = argc - 1
+            while (j >= 0) { a(j) = stack.pop(); j -= 1 }
+            burn()
+            throw new WasmExn(new ExnPackage(t, a.toVector))
+          case ThrowRef =>
+            val v = stack.pop()
+            if (v == -1L)
+              throw new WasmTrap("throw_ref: null exception reference")
+            burn()
+            throw new WasmExn(exnAt(v, "throw_ref"))
+          case TryTable(bt, catches, inner) =>
+            val h = stack.size - paramArity(bt)
+            val caught =
+              try {
+                evalSeq(inner, locals, stack) match {
+                  case FALL => ()
+                  case RET => return RET
+                  case TAIL => return TAIL
+                  case 0 => unwind(stack, h, resultArity(bt))
+                  case d => return d - 1
+                }
+                null
+              } catch { case e: WasmExn => e }
+            if (caught != null) {
+              val pkg = caught.pkg
+              // first matching clause, in order (spec dispatch)
+              val clause = catches.find {
+                case CatchTag(t, _) => t == pkg.tagIdx
+                case CatchTagRef(t, _) => t == pkg.tagIdx
+                case _ => true
+              }
+              clause match {
+                case None => throw caught // no handler here: keep unwinding
+                case Some(c) =>
+                  while (stack.size > h) { stack.pop(); () }
+                  c match {
+                    case CatchTag(_, l) =>
+                      pkg.args.foreach(stack.push); return l
+                    case CatchTagRef(_, l) =>
+                      pkg.args.foreach(stack.push)
+                      stack.push(exnAlloc(pkg)); return l
+                    case CatchAll(l) => return l
+                    case CatchAllRef(l) =>
+                      stack.push(exnAlloc(pkg)); return l
+                  }
+              }
+            }
           case RefAsNonNull =>
             if (stack.peek == -1L)
               throw new WasmTrap("ref.as_non_null: null reference")

@@ -41,6 +41,7 @@ object WasmValidate {
     case Noneref => "nullref"
     case NoExternref => "nullexternref"
     case NoFuncref => "nullfuncref"
+    case Exnref => "exnref"
     case PackedI8 => "i8"
     case PackedI16 => "i16"
     case Unknown => "unknown"
@@ -129,6 +130,19 @@ object WasmValidate {
         }
       }
     }
+    // EH tier (late r16): a tag's type must be a function type with
+    // EMPTY results — the payload signature of throw/catch
+    m.tags.zipWithIndex.foreach { case (t, i) =>
+      if (t.typeIdx < 0 || t.typeIdx >= nTypes)
+        err(s"tag #$i: type index ${t.typeIdx} of $nTypes")
+      m.comp(t.typeIdx) match {
+        case CFunc(ft) =>
+          if (ft.results.nonEmpty)
+            err(s"tag #$i: tag type must have empty results")
+        case _ => err(s"tag #$i: type index ${t.typeIdx} is not a " +
+          "function type")
+      }
+    }
     if (m.funcTypeIdxs.size != m.codes.size)
       err(s"function section declares ${m.funcTypeIdxs.size} functions " +
         s"but the code section carries ${m.codes.size} bodies")
@@ -180,6 +194,8 @@ object WasmValidate {
           err(s"export `${e.name}`: memory index ${e.idx} (single memory)")
         case 3 => if (e.idx < 0 || e.idx >= m.globals.size)
           err(s"export `${e.name}`: global index ${e.idx} of ${m.globals.size}")
+        case 4 => if (e.idx < 0 || e.idx >= m.tags.size)
+          err(s"export `${e.name}`: tag index ${e.idx} of ${m.tags.size}")
         case k => err(s"export `${e.name}`: unknown export kind $k")
       }
     }
@@ -340,6 +356,12 @@ object WasmValidate {
           case CArray(_) => Arrayref
         }
       }
+    /** The payload signature of an exception tag (EH tier). */
+    private def tagSig(t: Int): FuncType = {
+      if (t < 0 || t >= m.tags.size)
+        err(s"tag index $t of ${m.tags.size}")
+      m.types(m.tags(t).typeIdx)
+    }
     private def btParams(bt: Int): Vector[Byte] =
       if (bt < 0) typeAt(-1 - bt).params else Vector.empty
     private def btResults(bt: Int): Vector[Byte] =
@@ -638,6 +660,37 @@ object WasmValidate {
             s"${tyName(d.storage)} (storage types must match)")
         popExpect(I32); popExpect(I32); popExpect(Arrayref)
         popExpect(I32); popExpect(Arrayref)
+      // exception-handling tier (late r16): tags + try_table + throw.
+      // Catch labels resolve in the context ENCLOSING the try_table
+      // (checked BEFORE its frame is pushed — the spec's rule).
+      case Throw(t) =>
+        popVals(tagSig(t).params)
+        setUnreachable()
+      case ThrowRef =>
+        popExpect(Exnref)
+        setUnreachable()
+      case TryTable(bt, catches, inner) =>
+        catches.foreach { c =>
+          val lt = labelAt(c.label)
+          def want(ts: Vector[Byte], what: String): Unit =
+            if (lt.size != ts.size || !lt.zip(ts).forall { case (l, v) =>
+                l == v || (isRef(l) && isRef(v) && subRef(v, l)) })
+              err(s"try_table: $what target label " +
+                s"[${lt.map(tyName).mkString(" ")}] does not accept " +
+                s"[${ts.map(tyName).mkString(" ")}]")
+          c match {
+            case CatchTag(t, _) => want(tagSig(t).params, "catch")
+            case CatchTagRef(t, _) =>
+              want(tagSig(t).params :+ Exnref, "catch_ref")
+            case CatchAll(_) => want(Vector.empty, "catch_all")
+            case CatchAllRef(_) => want(Vector(Exnref), "catch_all_ref")
+          }
+        }
+        val ps = btParams(bt); val rs = btResults(bt)
+        popVals(ps)
+        pushFrame(rs, rs, ps)
+        checkSeq(inner)
+        pushVals(popFrame())
       // function-references tier (late r16): typed-ref calls, TAIL
       // calls (callee results must be the caller's — the frame is
       // discarded), and the null-branch forms

@@ -184,6 +184,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("r16 crawl-consumer rows keep their 100TB shapes: revisit " +
+      "accounting joins by GROUPING (no Join node, two exchanges), " +
+      "zipnum random access never shuffles, and redirect resolution " +
+      "carries no forced broadcast") {
+    // pipeline_crawl_revisit: the digest grouping IS the dedup join
+    val rev = plan("pipeline_crawl_revisit")
+    assert(!rev.contains("Join"),
+      "revisit accounting must not plan a join — the (host, digest) " +
+        "grouping carries the dedup relation")
+    assert(rev.contains("partial_sum") || rev.contains("partial_count"),
+      "revisit accounting lost map-side partials")
+    // io_cdx_zipnum / pipeline_zipnum_fetch: partition-local group walks
+    // + the final slice — nothing blob-shaped may shuffle twice; no
+    // cartesian anywhere
+    for (q <- Seq("io_cdx_zipnum", "pipeline_zipnum_fetch")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // pipeline_redirect_resolve: the per-round localCheckpoint is the
+    // iteration discipline — the final plan must read the materialized
+    // last round (an RDD scan), not re-derive the whole doubling chain
+    val red = plan("pipeline_redirect_resolve")
+    assert(red.contains("ExistingRDD"),
+      "redirect resolution lost its per-round checkpoint materialization")
+    assert(!red.contains("Join"),
+      "the final redirect projection must sit on the checkpoint, not " +
+        "re-plan the doubling joins")
+  }
+
   test("pipeline_crawl_loop: the caller-materializes contract — the " +
       "localCheckpoint'ed production variant produces IDENTICAL rows " +
       "to the registered re-scanning face") {

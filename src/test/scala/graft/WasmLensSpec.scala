@@ -229,6 +229,25 @@ class WasmLensSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
   }
 
+  test("a guest built with the EH tier (throw -> catch_all_ref -> " +
+      "throw_ref -> tag catch) replays the MVP guest byte-identically " +
+      "through the lens path") {
+    val ehUrl = dataUrl(LensGuestModules.shiftGuest("Age", viaEh = true))
+    val in = Seq(("John", 32L), ("Ada", 36L), ("Neg", -7L), ("Zed", 0L),
+      ("Big", Long.MaxValue - 2L)).toDF("Name", "Age").coalesce(1)
+    val mvp = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    val eh = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$ehUrl","arguments":{"delta":5}}]}""")
+      .forward(in).as[(String, Long)].collect().toSet
+    eh shouldBe mvp
+    val fwd = Pipeline.fromJson(
+      s"""{"lenses":[{"path":"$ehUrl","arguments":{"delta":5}}]}""")
+    fwd.inverse.forward(fwd.forward(in)).as[(String, Long)]
+      .collect().toSet shouldBe in.as[(String, Long)].collect().toSet
+  }
+
   test("the module's inverse export drives `\"inverse\": true` stages") {
     val fwd = Pipeline.fromJson(
       s"""{"lenses":[{"path":"$shiftUrl","arguments":{"delta":9}}]}""")

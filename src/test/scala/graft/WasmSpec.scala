@@ -403,12 +403,15 @@ class WasmSpec extends AnyFunSuite with Matchers {
     assert(WasmBinary.decode(withBody(Array[Byte](0x25, 0x00, 0x0B)))
       .codes.head.body == Vector(TableGet(0)))
     // a GC heap type behind ref.null DECODES since r16 (kind byte);
-    // an exception-handling heap type still fails by name
+    // exn decodes too since the late-r16 EH tier; a genuinely
+    // unassigned heap type still fails by name
     assert(WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x6B, 0x0B)))
       .codes.head.body == Vector(RefNull(ValType.Structref & 0xFF)))
+    assert(WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x69, 0x0B)))
+      .codes.head.body == Vector(RefNull(ValType.Exnref & 0xFF)))
     val eH = intercept[WasmDecodeError](
-      WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x69, 0x0B))))
-    assert(eH.getMessage.contains("exn"), eH.getMessage)
+      WasmBinary.decode(withBody(Array[Byte](0xD0.toByte, 0x68, 0x0B))))
+    assert(eH.getMessage.contains("unsupported heap type"), eH.getMessage)
     // v128 local declaration: accepted
     val codeV128Local = Array[Byte](0x01, 0x04, 0x01, 0x01, 0x7B, 0x0B)
     assert(WasmBinary.decode(header ++ voidType ++ oneFunc ++
@@ -569,8 +572,10 @@ class WasmSpec extends AnyFunSuite with Matchers {
     gcNamed(Array[Byte](0xFB.toByte, 0x18, 0x09, 0x00, 0x6E, 0x6B, 0x0B),
       "bad flags byte")
     // a hostile s33 heap type on ref.test rejects by name, not as an
-    // opaque kind byte
-    gcNamed(Array[Byte](0xFB.toByte, 0x14, 0x69, 0x0B), "exn")
+    // opaque kind byte (0x68 is genuinely unassigned; 0x69/exn decodes
+    // since the late-r16 EH tier)
+    gcNamed(Array[Byte](0xFB.toByte, 0x14, 0x68, 0x0B),
+      "unsupported heap type")
   }
 
   test("wasm-gc EXECUTION (r16): i31 tag round-trips, struct fields " +
@@ -951,6 +956,133 @@ class WasmSpec extends AnyFunSuite with Matchers {
     val eLbl = intercept[WasmValidateError](
       new WasmInterp.Instance(mBadLbl, Map.empty))
     assert(eLbl.getMessage.contains("br_on_non_null"))
+  }
+
+  test("exception-handling tier (late r16): throw/catch by tag with " +
+      "payload, dispatch order, catch_all, catch_ref + throw_ref " +
+      "rethrow, unwinding through call frames, uncaught -> named trap, " +
+      "and the validation contract") {
+    import ValType._
+    val tI64 = FuncType(Vector(I64), Vector(I64))
+    val tagSig = FuncType(Vector(I64), Vector.empty)
+    val emptySig = FuncType(Vector.empty, Vector.empty)
+    def mod(types: Vector[FuncType], tags: Vector[WasmTag],
+        funcTypeIdxs: Vector[Int], codes: Vector[FuncBody]) =
+      WasmModule(types = types, imports = Vector.empty,
+        funcTypeIdxs = funcTypeIdxs, memMinPages = 0, memMaxPages = None,
+        globals = Vector.empty,
+        exports = Vector(WasmExport("f", 0, 0)),
+        codes = codes, datas = Vector.empty, start = None, tags = tags)
+    def run(m: WasmModule, args: Long*): Long =
+      new WasmInterp.Instance(m, Map.empty).invoke("f", args: _*).head
+
+    // even x: compute 2x in the try body (no throw); odd x: throw with
+    // payload x, catch reads it back +100
+    val mCatch = mod(Vector(tI64, tagSig), Vector(WasmTag(1)),
+      Vector(0), Vector(FuncBody(Vector(), Vector(
+        Block(0x7E, Vector(
+          TryTable(0x7E, Vector(CatchTag(0, 0)), Vector(
+            LocalGet(0), I64Const(1L), Num(0x83) /* and */, Num(0x50),
+            If(0x7E, Vector(LocalGet(0), I64Const(2L), Num(0x7E)),
+              Vector(LocalGet(0), Throw(0), Unreachable)))),
+          // fallthrough (no throw): result rides out; a branch from a
+          // catch lands HERE with the payload — add 100 only then? no:
+          // distinguish by range — keep simple: the catch pushes
+          // payload, and both paths exit this block with one i64
+          Br(0))),
+        Return))))
+    assert(run(mCatch, 8L) == 16L)
+    assert(run(mCatch, 9L) == 9L) // payload passed through the catch
+    // codec round-trips the tag section + try_table form
+    assert(WasmBinary.decode(WasmBinary.encode(mCatch)) == mCatch)
+
+    // dispatch order + catch_all: tag0 and tag1 declared; throwing
+    // tag1 must skip the tag0 clause and hit catch_all (no payload)
+    val mOrder = mod(Vector(tI64, tagSig, emptySig),
+      Vector(WasmTag(1), WasmTag(2)), Vector(0),
+      Vector(FuncBody(Vector(), Vector(
+        Block(0x40, Vector(
+          Block(0x7E, Vector(
+            TryTable(0x7E, Vector(CatchTag(0, 0), CatchAll(1)), Vector(
+              Throw(1), Unreachable)),
+            Br(0))),
+          // tag0 path would land here with a payload
+          Drop, Unreachable)),
+        // catch_all lands here: no payload
+        I64Const(77L), Return))))
+    assert(run(mOrder, 0L) == 77L)
+
+    // catch_all_ref + throw_ref: inner handler captures the package
+    // and rethrows it to the outer tag handler, payload intact
+    val mRethrow = mod(Vector(tI64, tagSig), Vector(WasmTag(1)),
+      Vector(0), Vector(FuncBody(Vector(ValType.Exnref), Vector(
+        Block(0x7E, Vector(
+          Block(ValType.Exnref & 0xFF, Vector(
+            TryTable(0x7E, Vector(CatchAllRef(0)), Vector(
+              LocalGet(0), Throw(0), Unreachable)),
+            Unreachable)),
+          // captured exnref parks in a local (a try body cannot reach
+          // below its own frame), then rethrows to the outer handler
+          LocalSet(1),
+          Block(0x7E, Vector(
+            TryTable(0x7E, Vector(CatchTag(0, 0)), Vector(
+              LocalGet(1), ThrowRef, Unreachable)),
+            Unreachable)),
+          I64Const(1000L), Num(0x7C))),
+        Return))))
+    assert(run(mRethrow, 42L) == 1042L)
+
+    // a throw unwinds THROUGH a call frame to the caller's handler
+    val mThrough = mod(Vector(tI64, tagSig), Vector(WasmTag(1)),
+      Vector(0, 0), Vector(
+        FuncBody(Vector(), Vector(
+          Block(0x7E, Vector(
+            TryTable(0x7E, Vector(CatchTag(0, 0)), Vector(
+              LocalGet(0), Call(1), Unreachable)),
+            Br(0))),
+          I64Const(500L), Num(0x7C), Return)),
+        FuncBody(Vector(), Vector(
+          LocalGet(0), Throw(0), Unreachable))))
+    assert(run(mThrough, 7L) == 507L)
+
+    // uncaught: named trap, not a raw exception
+    val mUncaught = mod(Vector(tI64, tagSig), Vector(WasmTag(1)),
+      Vector(0), Vector(FuncBody(Vector(), Vector(
+        LocalGet(0), Throw(0), Unreachable))))
+    val eUn = intercept[WasmTrap](run(mUncaught, 1L))
+    assert(eUn.getMessage.contains("uncaught wasm exception"),
+      eUn.getMessage)
+    // throw_ref on null traps named
+    val mNullRef = mod(Vector(tI64, tagSig), Vector(WasmTag(1)),
+      Vector(0), Vector(FuncBody(Vector(), Vector(
+        RefNull(ValType.Exnref & 0xFF), ThrowRef, Unreachable))))
+    val eNullT = intercept[WasmTrap](run(mNullRef, 1L))
+    assert(eNullT.getMessage.contains("null exception reference"))
+
+    // validation: tag types need empty results; a catch target label
+    // must accept the payload; legacy EH opcodes reject at decode
+    val eTagRes = intercept[WasmValidateError](new WasmInterp.Instance(
+      mod(Vector(tI64), Vector(WasmTag(0)), Vector(0),
+        Vector(FuncBody(Vector(), Vector(LocalGet(0), Return)))),
+      Map.empty))
+    assert(eTagRes.getMessage.contains("empty results"))
+    val eLbl = intercept[WasmValidateError](new WasmInterp.Instance(
+      mod(Vector(tI64, tagSig), Vector(WasmTag(1)), Vector(0),
+        Vector(FuncBody(Vector(), Vector(
+          Block(0x40, Vector(
+            TryTable(0x40, Vector(CatchTag(0, 0)), Vector.empty))),
+          LocalGet(0), Return)))), Map.empty))
+    assert(eLbl.getMessage.contains("try_table"), eLbl.getMessage)
+    val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
+    def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 128)
+      Array(id.toByte, payload.length.toByte) ++ payload
+    }
+    val eLegacy = intercept[WasmDecodeError](WasmBinary.decode(header ++
+      sec(1, Array[Byte](0x01, 0x60, 0x00, 0x00)) ++
+      sec(3, Array[Byte](0x01, 0x00)) ++
+      sec(10, Array[Byte](0x01, 0x04, 0x00, 0x06, 0x40, 0x0B))))
+    assert(eLegacy.getMessage.contains("legacy exception-handling"))
   }
 
   test("memory limit hygiene at decode: duplicate memory, shared " +
