@@ -634,85 +634,6 @@ object WasmInterp {
             var j = argc - 1
             while (j >= 0) { args(j) = stack.pop(); j -= 1 }
             invokeByIndex(f, args.toVector).foreach(stack.push)
-          case CallRef(typeIdx) =>
-            val f = popFuncRef(stack, typeIdx, "call_ref")
-            val ftype = module.types(typeIdx)
-            val argc = ftype.params.size
-            val args = new Array[Long](argc)
-            var j = argc - 1
-            while (j >= 0) { args(j) = stack.pop(); j -= 1 }
-            invokeByIndex(f, args.toVector).foreach(stack.push)
-          case ReturnCall(f) =>
-            setTail(f, stack)
-            return TAIL
-          case ReturnCallIndirect(typeIdx, tableIdx) =>
-            setTail(indirectTarget(stack, typeIdx, tableIdx), stack)
-            return TAIL
-          case ReturnCallRef(typeIdx) =>
-            setTail(popFuncRef(stack, typeIdx, "return_call_ref"), stack)
-            return TAIL
-          case Throw(t) =>
-            val argc = module.types(module.tags(t).typeIdx).params.size
-            val a = new Array[Long](argc)
-            var j = argc - 1
-            while (j >= 0) { a(j) = stack.pop(); j -= 1 }
-            burn()
-            throw new WasmExn(new ExnPackage(t, a.toVector))
-          case ThrowRef =>
-            val v = stack.pop()
-            if (v == -1L)
-              throw new WasmTrap("throw_ref: null exception reference")
-            burn()
-            throw new WasmExn(exnAt(v, "throw_ref"))
-          case TryTable(bt, catches, inner) =>
-            val h = stack.size - paramArity(bt)
-            val caught =
-              try {
-                evalSeq(inner, locals, stack) match {
-                  case FALL => ()
-                  case RET => return RET
-                  case TAIL => return TAIL
-                  case 0 => unwind(stack, h, resultArity(bt))
-                  case d => return d - 1
-                }
-                null
-              } catch { case e: WasmExn => e }
-            if (caught != null) {
-              val pkg = caught.pkg
-              // first matching clause, in order (spec dispatch)
-              val clause = catches.find {
-                case CatchTag(t, _) => t == pkg.tagIdx
-                case CatchTagRef(t, _) => t == pkg.tagIdx
-                case _ => true
-              }
-              clause match {
-                case None => throw caught // no handler here: keep unwinding
-                case Some(c) =>
-                  while (stack.size > h) { stack.pop(); () }
-                  c match {
-                    case CatchTag(_, l) =>
-                      pkg.args.foreach(stack.push); return l
-                    case CatchTagRef(_, l) =>
-                      pkg.args.foreach(stack.push)
-                      stack.push(exnAlloc(pkg)); return l
-                    case CatchAll(l) => return l
-                    case CatchAllRef(l) =>
-                      stack.push(exnAlloc(pkg)); return l
-                  }
-              }
-            }
-          case RefAsNonNull =>
-            if (stack.peek == -1L)
-              throw new WasmTrap("ref.as_non_null: null reference")
-          case BrOnNull(d) =>
-            // branch WITHOUT the ref on null, keep it otherwise
-            val v = stack.pop()
-            if (v == -1L) return d
-            else stack.push(v)
-          case BrOnNonNull(d) =>
-            // branch WITH the ref when non-null, drop it otherwise
-            if (stack.peek != -1L) return d
-            else stack.pop()
           case Drop => stack.pop()
           case Select =>
             val c = stack.pop(); val b = stack.pop(); val a = stack.pop()
@@ -826,91 +747,6 @@ object WasmInterp {
                   s"dst $di+$n of ${da.elems.length}")
             burn()
             System.arraycopy(sa.elems, si, da.elems, di, n)
-          case RefTest(ht, nl) =>
-            stack.push(if (refMatches(stack.pop(), ht, nl)) 1L else 0L)
-          case RefCast(ht, nl) =>
-            val v = stack.pop()
-            if (!refMatches(v, ht, nl)) throw new WasmTrap(
-              s"ref.cast: value does not match ${heapTName(ht)}")
-            stack.push(v)
-          case BrOnCast(d, _, _, dstHt, dstNl, onFail) =>
-            // the tested value travels with the branch (and with the
-            // fallthrough) — peek, don't pop
-            if (refMatches(stack.peek, dstHt, dstNl) != onFail) return d
-          case AnyConvertExtern | ExternConvertAny =>
-            () // identity in the shared 64-bit slot encoding; null → null
-          case ArrayNewData(t, di) =>
-            val e = arrayElem(t)
-            val n = stack.pop().toInt
-            val off = stack.pop().toInt
-            checkGcArrayLen(n)
-            val bytes = if (droppedData(di)) Vector.empty[Byte]
-              else module.datas(di).bytes
-            val w = storageWidth(e.storage)
-            if (off < 0 || n < 0 ||
-                off.toLong + n.toLong * w > bytes.length)
-              throw new WasmTrap(
-                s"array.new_data: $off+$n×$w of ${bytes.length}")
-            burn()
-            val arr = new Array[Long](n)
-            var j = 0
-            while (j < n) {
-              arr(j) = readSegLe(bytes, off + j * w, e.storage); j += 1
-            }
-            stack.push(gcAlloc(new GcArray(t, arr)))
-          case ArrayNewElem(t, ei) =>
-            arrayElem(t) // array-kind assert (validated; belt + braces)
-            val n = stack.pop().toInt
-            val off = stack.pop().toInt
-            checkGcArrayLen(n)
-            val items = if (droppedElems(ei)) Vector.empty[Int]
-              else module.elems(ei).funcIdxs
-            if (off < 0 || n < 0 || off.toLong + n > items.length)
-              throw new WasmTrap(
-                s"array.new_elem: $off+$n of ${items.length}")
-            burn()
-            val arr = new Array[Long](n)
-            var j = 0
-            while (j < n) { arr(j) = items(off + j).toLong; j += 1 }
-            stack.push(gcAlloc(new GcArray(t, arr)))
-          case ArrayInitData(t, di) =>
-            val e = arrayElem(t)
-            val n = stack.pop().toInt
-            val src = stack.pop().toInt
-            val dst = stack.pop().toInt
-            val a = gcArrayAt(stack.pop(), "array.init_data")
-            val bytes = if (droppedData(di)) Vector.empty[Byte]
-              else module.datas(di).bytes
-            val w = storageWidth(e.storage)
-            if (n < 0 || dst < 0 || src < 0 ||
-                dst.toLong + n > a.elems.length ||
-                src.toLong + n.toLong * w > bytes.length)
-              throw new WasmTrap(
-                s"array.init_data: dst $dst+$n of ${a.elems.length}, " +
-                  s"src $src+$n×$w of ${bytes.length}")
-            burn()
-            var j = 0
-            while (j < n) {
-              a.elems(dst + j) = readSegLe(bytes, src + j * w, e.storage)
-              j += 1
-            }
-          case ArrayInitElem(t, ei) =>
-            arrayElem(t)
-            val n = stack.pop().toInt
-            val src = stack.pop().toInt
-            val dst = stack.pop().toInt
-            val a = gcArrayAt(stack.pop(), "array.init_elem")
-            val items = if (droppedElems(ei)) Vector.empty[Int]
-              else module.elems(ei).funcIdxs
-            if (n < 0 || dst < 0 || src < 0 ||
-                dst.toLong + n > a.elems.length ||
-                src.toLong + n > items.length)
-              throw new WasmTrap(
-                s"array.init_elem: dst $dst+$n of ${a.elems.length}, " +
-                  s"src $src+$n of ${items.length}")
-            burn()
-            var j = 0
-            while (j < n) { a.elems(dst + j) = items(src + j).toLong; j += 1 }
           case TableGet(ti) =>
             val t = tableAt(ti); val i = stack.pop().toInt
             if (i < 0 || i >= t.length)
@@ -1051,10 +887,202 @@ object WasmInterp {
           case SimdOp(sub) => simdOp(sub, stack)
           case AtomicOp(sub, _, offset) => atomicOp(sub, offset, stack)
           case AtomicFence => () // single agent: nothing to order
+          case other =>
+            val sig = evalCold(other, locals, stack)
+            if (sig != FALL) return sig
         }
         i += 1
       }
       FALL
+    }
+
+    /** COLD-path instructions — the GC cast tier, segment-seeded
+     *  arrays, function references/tail calls and exception handling —
+     *  live OUTSIDE [[evalSeq]]'s hot match on purpose: HotSpot
+     *  refuses to JIT a method past its huge-method bytecode limit,
+     *  and folding these ~20 cases into evalSeq pushed it over that
+     *  cliff — EVERY guest then ran interpreted, a measured ~30×
+     *  wall-clock hit on the wasm bench rows (late r16). Returns a
+     *  branch signal; [[FALL]] = fell through, continue the
+     *  sequence. */
+    private def evalCold(in: Instr, locals: Array[Long],
+        stack: OperandStack): Int = in match {
+      case CallRef(typeIdx) =>
+        val f = popFuncRef(stack, typeIdx, "call_ref")
+        val ftype = module.types(typeIdx)
+        val argc = ftype.params.size
+        val args = new Array[Long](argc)
+        var j = argc - 1
+        while (j >= 0) { args(j) = stack.pop(); j -= 1 }
+        invokeByIndex(f, args.toVector).foreach(stack.push)
+        FALL
+      case ReturnCall(f) =>
+        setTail(f, stack)
+        TAIL
+      case ReturnCallIndirect(typeIdx, tableIdx) =>
+        setTail(indirectTarget(stack, typeIdx, tableIdx), stack)
+        TAIL
+      case ReturnCallRef(typeIdx) =>
+        setTail(popFuncRef(stack, typeIdx, "return_call_ref"), stack)
+        TAIL
+      case Throw(t) =>
+        val argc = module.types(module.tags(t).typeIdx).params.size
+        val a = new Array[Long](argc)
+        var j = argc - 1
+        while (j >= 0) { a(j) = stack.pop(); j -= 1 }
+        burn()
+        throw new WasmExn(new ExnPackage(t, a.toVector))
+      case ThrowRef =>
+        val v = stack.pop()
+        if (v == -1L)
+          throw new WasmTrap("throw_ref: null exception reference")
+        burn()
+        throw new WasmExn(exnAt(v, "throw_ref"))
+      case TryTable(bt, catches, inner) =>
+        val h = stack.size - paramArity(bt)
+        var sig = FALL
+        val caught =
+          try {
+            evalSeq(inner, locals, stack) match {
+              case FALL => ()
+              case RET => sig = RET
+              case TAIL => sig = TAIL
+              case 0 => unwind(stack, h, resultArity(bt))
+              case d => sig = d - 1
+            }
+            null
+          } catch { case e: WasmExn => e }
+        if (caught == null) sig
+        else {
+          val pkg = caught.pkg
+          // first matching clause, in order (spec dispatch)
+          val clause = catches.find {
+            case CatchTag(t, _) => t == pkg.tagIdx
+            case CatchTagRef(t, _) => t == pkg.tagIdx
+            case _ => true
+          }
+          clause match {
+            case None => throw caught // no handler here: keep unwinding
+            case Some(c) =>
+              while (stack.size > h) { stack.pop(); () }
+              c match {
+                case CatchTag(_, l) =>
+                  pkg.args.foreach(stack.push); l
+                case CatchTagRef(_, l) =>
+                  pkg.args.foreach(stack.push)
+                  stack.push(exnAlloc(pkg)); l
+                case CatchAll(l) => l
+                case CatchAllRef(l) =>
+                  stack.push(exnAlloc(pkg)); l
+              }
+          }
+        }
+      case RefAsNonNull =>
+        if (stack.peek == -1L)
+          throw new WasmTrap("ref.as_non_null: null reference")
+        FALL
+      case BrOnNull(d) =>
+        // branch WITHOUT the ref on null, keep it otherwise
+        val v = stack.pop()
+        if (v == -1L) d
+        else { stack.push(v); FALL }
+      case BrOnNonNull(d) =>
+        // branch WITH the ref when non-null, drop it otherwise
+        if (stack.peek != -1L) d
+        else { stack.pop(); FALL }
+      case RefTest(ht, nl) =>
+        stack.push(if (refMatches(stack.pop(), ht, nl)) 1L else 0L)
+        FALL
+      case RefCast(ht, nl) =>
+        val v = stack.pop()
+        if (!refMatches(v, ht, nl)) throw new WasmTrap(
+          s"ref.cast: value does not match ${heapTName(ht)}")
+        stack.push(v)
+        FALL
+      case BrOnCast(d, _, _, dstHt, dstNl, onFail) =>
+        // the tested value travels with the branch (and with the
+        // fallthrough) — peek, don't pop
+        if (refMatches(stack.peek, dstHt, dstNl) != onFail) d else FALL
+      case AnyConvertExtern | ExternConvertAny =>
+        FALL // identity in the shared 64-bit slot encoding; null → null
+      case ArrayNewData(t, di) =>
+        val e = arrayElem(t)
+        val n = stack.pop().toInt
+        val off = stack.pop().toInt
+        checkGcArrayLen(n)
+        val bytes = if (droppedData(di)) Vector.empty[Byte]
+          else module.datas(di).bytes
+        val w = storageWidth(e.storage)
+        if (off < 0 || n < 0 ||
+            off.toLong + n.toLong * w > bytes.length)
+          throw new WasmTrap(
+            s"array.new_data: $off+$n×$w of ${bytes.length}")
+        burn()
+        val arr = new Array[Long](n)
+        var j = 0
+        while (j < n) {
+          arr(j) = readSegLe(bytes, off + j * w, e.storage); j += 1
+        }
+        stack.push(gcAlloc(new GcArray(t, arr)))
+        FALL
+      case ArrayNewElem(t, ei) =>
+        arrayElem(t) // array-kind assert (validated; belt + braces)
+        val n = stack.pop().toInt
+        val off = stack.pop().toInt
+        checkGcArrayLen(n)
+        val items = if (droppedElems(ei)) Vector.empty[Int]
+          else module.elems(ei).funcIdxs
+        if (off < 0 || n < 0 || off.toLong + n > items.length)
+          throw new WasmTrap(
+            s"array.new_elem: $off+$n of ${items.length}")
+        burn()
+        val arr = new Array[Long](n)
+        var j = 0
+        while (j < n) { arr(j) = items(off + j).toLong; j += 1 }
+        stack.push(gcAlloc(new GcArray(t, arr)))
+        FALL
+      case ArrayInitData(t, di) =>
+        val e = arrayElem(t)
+        val n = stack.pop().toInt
+        val src = stack.pop().toInt
+        val dst = stack.pop().toInt
+        val a = gcArrayAt(stack.pop(), "array.init_data")
+        val bytes = if (droppedData(di)) Vector.empty[Byte]
+          else module.datas(di).bytes
+        val w = storageWidth(e.storage)
+        if (n < 0 || dst < 0 || src < 0 ||
+            dst.toLong + n > a.elems.length ||
+            src.toLong + n.toLong * w > bytes.length)
+          throw new WasmTrap(
+            s"array.init_data: dst $dst+$n of ${a.elems.length}, " +
+              s"src $src+$n×$w of ${bytes.length}")
+        burn()
+        var j = 0
+        while (j < n) {
+          a.elems(dst + j) = readSegLe(bytes, src + j * w, e.storage)
+          j += 1
+        }
+        FALL
+      case ArrayInitElem(t, ei) =>
+        arrayElem(t)
+        val n = stack.pop().toInt
+        val src = stack.pop().toInt
+        val dst = stack.pop().toInt
+        val a = gcArrayAt(stack.pop(), "array.init_elem")
+        val items = if (droppedElems(ei)) Vector.empty[Int]
+          else module.elems(ei).funcIdxs
+        if (n < 0 || dst < 0 || src < 0 ||
+            dst.toLong + n > a.elems.length ||
+            src.toLong + n > items.length)
+          throw new WasmTrap(
+            s"array.init_elem: dst $dst+$n of ${a.elems.length}, " +
+              s"src $src+$n of ${items.length}")
+        burn()
+        var j = 0
+        while (j < n) { a.elems(dst + j) = items(src + j).toLong; j += 1 }
+        FALL
+      case other => throw new IllegalStateException(
+        s"hot-path instruction $other reached evalCold")
     }
 
     /** Result count of a label: 0x40 empty, valtype byte = 1, negative =
