@@ -832,6 +832,59 @@ object MultimodalQueries extends QueryProvider {
       |  true AS is_pdf
       |FROM documents""".stripMargin
 
+  /** CRAWL→PDF FLAGSHIP — the DOCUMENT complement of
+   *  `pipeline_crawl_media`: each page rides a real .warc.gz whose
+   *  HTTP response body is an `application/pdf` payload
+   *  ([[graft.operators.Pdf.encodePdf]], filter path alternating by
+   *  doc parity), [[graft.operators.Warc.recordsBinary]] surfaces the
+   *  RAW body bytes (a text transcode would destroy the binary xref
+   *  region), the magic sniff gates on `%PDF-`, and
+   *  [[graft.operators.Pdf.extractText]] recovers page count, /Info
+   *  title and the exact text — all predicted by the oracle from
+   *  document columns through the same ASCII-sanitize regex. This is
+   *  the triage chain a corpus operator runs on the few percent of a
+   *  crawl that is PDF. 100 TB shape: per-payload linear decode end to
+   *  end; archive blobs and PDF bytes never shuffle, the slim
+   *  extracted rows do. */
+  private def crawlPdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val date = "2026-01-01T00:00:00Z"
+    val archives = T(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text0, source) =>
+        val clean = text0.replaceAll("[^ -~]", "").take(60)
+        val pdf = graft.operators.Pdf.encodePdf(Seq(clean),
+          s"D$id-$source", compress = id % 2 == 1)
+        val W = graft.operators.Warc
+        val gz = W.encodeWarcGz(Seq(
+          (Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> date),
+            "software: graft\r\n".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)),
+          (Seq("WARC-Type" -> "response",
+            "WARC-Target-URI" -> s"https://p.example.com/doc/$id.pdf",
+            "WARC-Date" -> date),
+            W.httpResponseBytes(pdf, "application/pdf"))))
+        (id, gz)
+      }.toDF("doc_id", "payload")
+    graft.operators.Warc.recordsBinary(archives, "payload")
+      .filter(col("warc_type") === "response" &&
+        col("content_type") === "application/pdf")
+      .select(col("doc_id"), col("body")).as[(Long, Array[Byte])]
+      .map { case (id, body) =>
+        require(graft.operators.Pdf.isPdf(body), s"doc $id: not a pdf")
+        val (pages, title, ops, txt) = graft.operators.Pdf.extractText(body)
+        (id, pages.toLong, title, ops.toLong, txt)
+      }.toDF("doc_id", "n_pages", "title", "n_ops", "text")
+  }
+
+  private val crawlPdfSql =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS n_pages,
+      |  'D' || CAST(doc_id AS VARCHAR) || '-' || source AS title,
+      |  CAST(1 AS BIGINT) AS n_ops,
+      |  substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 60) AS text
+      |FROM documents""".stripMargin
+
   /** CRAWL→MEDIA FLAGSHIP — crawl bytes feeding the MULTIMODAL side
    *  (the binary complement of `pipeline_crawl_corpus`'s text chain):
    *  each document's .warc.gz wraps an HTTP response whose body is a
@@ -1271,6 +1324,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_id3"         -> (mp3Id3 _),
     "mm_jpeg_exif"       -> (jpegExif _),
     "pipeline_crawl_media" -> (crawlMedia _),
+    "pipeline_crawl_pdf"   -> (crawlPdf _),
     "mm_png_text"        -> (pngText _),
     "mm_pdf_text"        -> (pdfText _),
     "mm_mp3_decode"      -> (mp3Decode _),
@@ -1303,6 +1357,7 @@ object MultimodalQueries extends QueryProvider {
     "mm_mp3_id3"         -> mp3Id3Sql,
     "mm_jpeg_exif"       -> jpegExifSql,
     "pipeline_crawl_media" -> crawlMediaSql,
+    "pipeline_crawl_pdf"   -> crawlPdfSql,
     "mm_png_text"        -> pngTextSql,
     "mm_pdf_text"        -> pdfTextSql,
     "mm_mp3_decode"      -> mp3DecodeSql,
