@@ -3,7 +3,7 @@ package graft.streaming
 import graft.engine.Pipeline
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /**
  * Structured-Streaming support for lens pipelines.
@@ -596,6 +596,64 @@ object StreamingLens {
         col("__eligible") && col("__wurl").isNotNull &&
           col(urlCol) === col("__wurl") && col(tsMsCol) === col("__wts"))
       .drop("__eligible", "__wts", "__wurl")
+  }
+
+  /**
+   * Streaming REVISIT-ACCOUNTING gate — the continuous face of the
+   * `pipeline_crawl_revisit` batch flagship: per micro-batch of crawl
+   * archives, [[graft.operators.Warc.revisitRecords]] walks response +
+   * revisit records and the batch's per-(host, digest) DELTAS —
+   * response count, revisit count, response body length — append to
+   * `ledgerDir` (the fetch-log discipline: an append-only log the
+   * accounting REFOLDS; a replayed batch appends duplicate deltas, so
+   * an idempotent sink keys appends by batchId like the other gates).
+   * [[revisitAccounting]] folds the ledger to the flagship's per-host
+   * rows; gate ≡ batch is spec-pinned on a split log, including a
+   * digest whose response and revisits arrive in DIFFERENT batches.
+   *
+   * 100 TB shape: blobs collapse to slim (host, digest, counts, len)
+   * deltas inside the batch before anything persists; the ledger grows
+   * by distinct (host, digest) per batch, not capture volume, and the
+   * fold is the flagship's two-level aggregate.
+   */
+  def revisitGate(payloadCol: String,
+      ledgerDir: String): (DataFrame, Long) => Unit = (batch, _) => {
+    graft.operators.Warc.revisitRecords(batch, payloadCol)
+      .select(
+        regexp_extract(col("target_uri"), "https://([^/]+)/", 1)
+          .as("host"),
+        col("warc_type"), col("payload_digest"), col("body_len"))
+      .groupBy(col("host"), col("payload_digest"))
+      .agg(
+        sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+          .as("n_resp"),
+        sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+          .as("n_rev"),
+        max(when(col("warc_type") === "response", col("body_len")))
+          .as("len"))
+      .write.mode("append").parquet(ledgerDir)
+  }
+
+  /** Fold the [[revisitGate]] ledger to the `pipeline_crawl_revisit`
+   *  per-host accounting rows. Digest-level merge runs first — a
+   *  digest's captures may arrive across many batches, and its
+   *  response may land in a different batch than its revisits — with
+   *  `len` max-merged (identical payloads have identical lengths, and
+   *  revisit-only deltas carry null). */
+  def revisitAccounting(spark: SparkSession,
+      ledgerDir: String): DataFrame = {
+    val perDigest = spark.read.parquet(ledgerDir)
+      .groupBy(col("host"), col("payload_digest"))
+      .agg(sum(col("n_resp")).as("n_resp"),
+        sum(col("n_rev")).as("n_rev"),
+        max(col("len")).as("len"))
+    perDigest.groupBy(col("host")).agg(
+      sum(col("n_resp") + col("n_rev")).as("n_fetches"),
+      sum(col("n_rev")).as("n_revisits"),
+      sum(col("n_resp") * col("len")).as("stored_bytes"),
+      sum(col("n_rev") * col("len")).as("saved_bytes"))
+      .withColumn("saved_ppm",
+        expr("saved_bytes * 1000000L div (stored_bytes + saved_bytes)"))
   }
 
   /** K-WAVE FRONTIER REPLAY — the batch fixed-point face of the

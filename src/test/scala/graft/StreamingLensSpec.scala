@@ -1243,4 +1243,78 @@ class StreamingLensSpec extends AnyFunSuite {
         "fixture drifted: batch composition rejected nothing")
     } finally q.stop()
   }
+
+  test("revisit gate: ledger deltas fold to the batch accounting, " +
+      "including a digest whose response and revisits arrive in " +
+      "DIFFERENT batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val W = graft.operators.Warc
+    val root = java.nio.file.Files.createTempDirectory("revgate").toString
+    val ldir = s"$root/ledger"
+    // docs 1-3: response + revisits in one archive each (the writer's
+    // shape); doc 9: response archive in batch 1, a SEPARATE
+    // revisit-only archive in batch 2 (the cross-batch merge case)
+    def docArchive(id: Long, text: String, captures: Int): Array[Byte] = {
+      val df = Seq((id, text, s"https://h${id % 2}.test/d/$id", captures))
+        .toDF("doc_id", "text", "uri", "captures")
+      W.withRevisitGzPayload(df, "text", "uri", "captures")
+        .select("payload").as[Array[Byte]].head()
+    }
+    def revisitOnly(id: Long, text: String): Array[Byte] = {
+      val dg = W.payloadDigest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      W.encodeWarcGz(Seq((Seq(
+        "WARC-Type" -> "revisit",
+        "WARC-Target-URI" -> s"https://h${id % 2}.test/d/$id",
+        "WARC-Date" -> "2026-02-01T00:00:00Z",
+        "WARC-Profile" ->
+          "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+        "WARC-Payload-Digest" -> dg,
+        "WARC-Refers-To-Target-URI" -> s"https://h${id % 2}.test/d/$id"),
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+    }
+    val batch1 = Seq(
+      (1L, docArchive(1L, "alpha body one", 2)),
+      (2L, docArchive(2L, "beta", 1)),
+      (9L, docArchive(9L, "gamma gamma", 1))).toDF("doc_id", "payload")
+    val batch2 = Seq(
+      (3L, docArchive(3L, "delta text", 3)),
+      (9L, revisitOnly(9L, "gamma gamma")),
+      (10L, revisitOnly(9L, "gamma gamma"))).toDF("doc_id", "payload")
+    val gate = StreamingLens.revisitGate("payload", ldir)
+    gate(batch1, 0L)
+    gate(batch2, 1L)
+    val got = StreamingLens.revisitAccounting(spark, ldir)
+      .orderBy("host")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // batch-face reference: the flagship aggregation over the UNION
+    val all = batch1.union(batch2)
+    val walk = W.revisitRecords(all, "payload").select(
+      regexp_extract(col("target_uri"), "https://([^/]+)/", 1).as("host"),
+      col("warc_type"), col("payload_digest"), col("body_len"))
+    val want = walk.groupBy(col("host"), col("payload_digest"))
+      .agg(
+        sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+          .as("n_resp"),
+        sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+          .as("n_rev"),
+        max(when(col("warc_type") === "response", col("body_len")))
+          .as("len"))
+      .groupBy(col("host")).agg(
+        sum(col("n_resp") + col("n_rev")).as("n_fetches"),
+        sum(col("n_rev")).as("n_revisits"),
+        sum(col("n_resp") * col("len")).as("stored_bytes"),
+        sum(col("n_rev") * col("len")).as("saved_bytes"))
+      .withColumn("saved_ppm",
+        expr("saved_bytes * 1000000L div (stored_bytes + saved_bytes)"))
+      .orderBy("host")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"gate fold != batch accounting: $got vs $want")
+    // the cross-batch digest really merged: doc 9 contributes
+    // 1 response + 2 revisits and its saved bytes use the batch-1 len
+    val h1 = got.find(_._1 == "h1.test").get
+    assert(h1._3 >= 2L, s"cross-batch revisits lost: $h1")
+  }
 }
+
