@@ -520,6 +520,79 @@ object WebQueries extends QueryProvider {
       |    || source AS text
       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
 
+  /** RECRAWL PLANNING — the step that closes the crawl lifecycle:
+   *  sitemap `lastmod` declarations full-outer-joined with the fetch
+   *  log ([[graft.operators.Recrawl.staleness]]) classify every url
+   *  as new / stale / fresh / undeclared, and
+   *  [[graft.operators.Recrawl.plan]] rolls up per host with a
+   *  deterministic most-overdue candidate pick (max_by on
+   *  (overdue, url) — no window). Fixture: declarations and fetches
+   *  derive from doc arithmetic so every class is populated and the
+   *  oracle replays the join, the classes, AND the pick tiebreak with
+   *  a row_number. 100 TB shape: one url-keyed full-outer join of two
+   *  slim one-row-per-url tables + one host-keyed aggregate with
+   *  map-side partials. */
+  private def recrawlPlan(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example.com/p/"), col("doc_id")).as("url"))
+    val declared = base.filter(col("doc_id") % 5 =!= 4)
+      .select(col("url"),
+        (lit(1000000L) + col("doc_id") * 50L).as("lastmod_ms"))
+    val fetched = base.filter(col("doc_id") % 3 =!= 0)
+      .select(col("url"),
+        (lit(1000000L) + col("doc_id") * 50L +
+          when(col("doc_id") % 2 === 0, -25L).otherwise(25L))
+          .as("fetch_ms"))
+    graft.operators.Recrawl.plan(
+      graft.operators.Recrawl.staleness(
+        declared, "url", "lastmod_ms", fetched, "fetch_ms"))
+  }
+
+  private val recrawlPlanSql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://h' || CAST(doc_id % 7 AS VARCHAR)
+      |      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+      |    CASE WHEN doc_id % 5 <> 4
+      |      THEN 1000000 + doc_id * 50 ELSE -1 END AS lm,
+      |    CASE WHEN doc_id % 3 <> 0
+      |      THEN 1000000 + doc_id * 50
+      |        + CASE WHEN doc_id % 2 = 0 THEN -25 ELSE 25 END
+      |      ELSE -1 END AS ft
+      |  FROM documents
+      |  WHERE doc_id % 5 <> 4 OR doc_id % 3 <> 0),
+      |cls AS (
+      |  SELECT *,
+      |    CASE WHEN ft < 0 THEN 'new' WHEN lm < 0 THEN 'undeclared'
+      |      WHEN lm > ft THEN 'stale' ELSE 'fresh' END AS status,
+      |    CASE WHEN ft < 0 THEN lm
+      |      WHEN lm > ft THEN lm - ft ELSE 0 END AS overdue
+      |  FROM u),
+      |pick AS (
+      |  SELECT host, url, overdue,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY overdue DESC, url DESC) AS rn
+      |  FROM cls WHERE overdue > 0)
+      |SELECT c.host, c.n_urls, c.n_new, c.n_stale, c.n_fresh,
+      |  c.n_undeclared,
+      |  coalesce(p.url, '') AS recrawl_url,
+      |  CAST(coalesce(p.overdue, 0) AS BIGINT) AS recrawl_overdue_ms
+      |FROM (
+      |  SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+      |    CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(sum(CASE WHEN status = 'stale' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_stale,
+      |    CAST(sum(CASE WHEN status = 'fresh' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_fresh,
+      |    CAST(sum(CASE WHEN status = 'undeclared' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_undeclared
+      |  FROM cls GROUP BY host) c
+      |LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p ON c.host = p.host"""
+      .stripMargin
+
   /** REDIRECT-CHAIN RESOLUTION — collapse a crawl's 3xx Location edges
    *  to final landing urls with loop detection
    *  ([[graft.operators.Redirects.resolve]], pointer doubling: 4
@@ -1728,6 +1801,7 @@ object WebQueries extends QueryProvider {
     "io_warc_revisit" -> (warcRevisit _),
     "pipeline_crawl_revisit" -> (crawlRevisit _),
     "pipeline_redirect_resolve" -> (redirectResolve _),
+    "pipeline_recrawl_plan" -> (recrawlPlan _),
     "io_cdx_zipnum" -> (cdxZipnum _),
     "pipeline_zipnum_fetch" -> (zipnumFetch _),
     "io_cdx_extract" -> (cdxExtract _),
@@ -1758,6 +1832,7 @@ object WebQueries extends QueryProvider {
     "io_warc_revisit" -> warcRevisitSql,
     "pipeline_crawl_revisit" -> crawlRevisitSql,
     "pipeline_redirect_resolve" -> redirectResolveSql,
+    "pipeline_recrawl_plan" -> recrawlPlanSql,
     "io_cdx_zipnum" -> cdxZipnumSql,
     "pipeline_zipnum_fetch" -> zipnumFetchSql,
     "io_cdx_extract" -> cdxExtractSql,
