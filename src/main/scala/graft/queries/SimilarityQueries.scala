@@ -41,6 +41,81 @@ object SimilarityQueries extends QueryProvider {
        |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
        |SELECT query_id, neighbor_id, rk FROM ranked WHERE rk <= 5""".stripMargin
 
+  /** MATRYOSHKA (MRL) TRUNCATION RECALL — the QA behind the modern
+   *  cheap-first-stage retrieval pattern: rank once with the FULL
+   *  64-dim cosine and once with only the FIRST 16 DIMS (an MRL-style
+   *  prefix slice — its own norms, its own ranking), then measure
+   *  per-query top-k agreement. Both rankings run through the same
+   *  `bruteForceTopK` machinery (map-side partial top-k, no window),
+   *  and the oracle replays BOTH rank orders (cosine desc, id
+   *  tiebreak) plus the overlap count — so the slice arithmetic, the
+   *  prefix norms, and the agreement math all hash-check. An operator
+   *  reads `n_overlap` to size the rerank window a truncated
+   *  first stage needs. 100 TB shape: identical to sim_topk_brute
+   *  twice — query side broadcast, corpus never shuffles, exchanges
+   *  carry ≤ k·16 B per (partition × query). */
+  private def mrlRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val emb16 = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val full = Similarity.bruteForceTopK(
+        corpus = emb, queries = emb.where(col("vec_id") < 10),
+        vecCol = "embedding", idCol = "vec_id", k = 5)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("neighbor_id"))).as("f"))
+    val pref = Similarity.bruteForceTopK(
+        corpus = emb16, queries = emb16.where(col("vec_id") < 10),
+        vecCol = "embedding", idCol = "vec_id", k = 5)
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("neighbor_id"))).as("p"))
+    full.join(pref, Seq("query_id"))
+      .select(col("query_id"),
+        array_join(col("f"), ",").as("full_ids"),
+        array_join(col("p"), ",").as("prefix_ids"),
+        size(array_intersect(col("f"), col("p"))).cast("long")
+          .as("n_overlap"))
+  }
+
+  private val mrlRecallSql =
+    s"""WITH n AS ($NORMED),
+       |n16 AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(range(1, 17),
+       |      i -> CAST(embedding[i] AS DOUBLE)
+       |        * CAST(embedding[i] AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |rf AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    rank() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $COS DESC, c.vec_id) AS rk
+       |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |rp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    rank() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_sum(list_transform(range(1, 17),
+       |        i -> CAST(q.embedding[i] AS DOUBLE)
+       |          * CAST(c.embedding[i] AS DOUBLE)))
+       |        / (q.nrm * c.nrm) DESC, c.vec_id) AS rk
+       |  FROM n16 q JOIN n16 c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |f AS (
+       |  SELECT query_id, string_agg(CAST(neighbor_id AS VARCHAR), ','
+       |    ORDER BY neighbor_id) AS full_ids
+       |  FROM rf WHERE rk <= 5 GROUP BY query_id),
+       |p AS (
+       |  SELECT query_id, string_agg(CAST(neighbor_id AS VARCHAR), ','
+       |    ORDER BY neighbor_id) AS prefix_ids
+       |  FROM rp WHERE rk <= 5 GROUP BY query_id),
+       |ov AS (
+       |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM (SELECT query_id, neighbor_id FROM rf WHERE rk <= 5) a
+       |  JOIN (SELECT query_id, neighbor_id FROM rp WHERE rk <= 5) b
+       |    USING (query_id, neighbor_id)
+       |  GROUP BY a.query_id)
+       |SELECT f.query_id, f.full_ids, p.prefix_ids,
+       |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+       |FROM f JOIN p USING (query_id)
+       |LEFT JOIN ov USING (query_id)""".stripMargin
+
   // Embedding drift: per-label centroid shift between the even-id
   // (reference) and odd-id (current) snapshot halves — the pre-reindex
   // audit. All-integer (shift + floored means, the EmbeddingQa
@@ -965,6 +1040,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_negatives" -> (negativesQ _),
     "sim_cluster_balance" -> (clusterBalanceQ _),
     "sim_topk_brute"  -> (topkBrute _),
+    "sim_mrl_recall"  -> (mrlRecall _),
     "sim_binary_topk" -> (binaryTopk _),
     "sim_drift"       -> (driftQ _),
     "sim_centroid_sep" -> (centroidSepQ _),
@@ -1001,6 +1077,7 @@ object SimilarityQueries extends QueryProvider {
     "sim_negatives" -> negativesSql,
     "sim_cluster_balance" -> clusterBalanceSql,
     "sim_topk_brute" -> topkBruteSql,
+    "sim_mrl_recall" -> mrlRecallSql,
     "sim_binary_topk" -> binaryTopkSql,
     "sim_drift"      -> driftSql,
     "sim_centroid_sep" -> centroidSepSql,
