@@ -340,7 +340,8 @@ final case class WasmModule(
     elems: Vector[ElemSeg] = Vector.empty,
     comps: Vector[CompType] = Vector.empty,
     superTypes: Vector[Int] = Vector.empty,
-    tags: Vector[WasmTag] = Vector.empty) {
+    tags: Vector[WasmTag] = Vector.empty,
+    mem64: Boolean = false) {
   def export(name: String): Option[WasmExport] = exports.find(_.name == name)
   /** The composite type at index `i`; a module with no GC forms (comps
    *  empty — every pre-GC construction site) is all-func. */
@@ -386,6 +387,16 @@ object WasmBinary {
         shift += 7
       } while ((byte & 0x80) != 0)
       result.toInt
+    }
+    /** Unsigned LEB up to 64 bits (memory64 limits). */
+    def u64(): Long = {
+      var result = 0L; var shift = 0; var byte = 0
+      do {
+        byte = u8()
+        result |= (byte & 0x7FL) << shift
+        shift += 7
+      } while ((byte & 0x80) != 0)
+      result
     }
     def s64(): Long = {
       var result = 0L; var shift = 0; var byte = 0
@@ -457,19 +468,31 @@ object WasmBinary {
     // spec: at most one memory across the import and memory sections —
     // without this, section 5 would silently overwrite imported limits
     var seenMemory = false
+    var mem64 = false
 
     def readMemLimits(r: Reader): Unit = {
       if (seenMemory) throw new WasmDecodeError(
         "duplicate memory: a module may declare or import at most one")
       seenMemory = true
       val flags = r.u8()
-      if (flags > 3) throw new WasmDecodeError(
+      if (flags > 7) throw new WasmDecodeError(
         s"bad memory limits flags $flags")
+      // memory64 (late r16): flags bit 2 = i64 index type. The limits
+      // are u64 LEBs, but the engine's 16384-page (1 GiB) cap applies
+      // either way, so oversized minima reject by name below.
+      mem64 = (flags & 4) != 0
       // threads spec: a SHARED memory (flags bit 1) must declare a max
-      if (flags == 2) throw new WasmDecodeError(
+      if ((flags & 3) == 2) throw new WasmDecodeError(
         "shared memory without a declared max (threads spec requires one)")
-      memMin = checkedMemPages(r.u32())
-      memMax = if ((flags & 1) != 0) Some(r.u32()) else None
+      def pages(): Int = {
+        val v = if (mem64) r.u64() else r.u32().toLong
+        if (v < 0 || v > 16384) throw new WasmDecodeError(
+          s"memory limit $v pages exceeds this engine's 16384-page " +
+            "(1 GiB) cap")
+        v.toInt
+      }
+      memMin = checkedMemPages(pages())
+      memMax = if ((flags & 1) != 0) Some(pages()) else None
       memMax.foreach { mx =>
         if (mx < memMin) throw new WasmDecodeError(
           s"bad memory limits: max $mx < min $memMin")
@@ -729,6 +752,12 @@ object WasmBinary {
               case 0 => // active, memory 0
                 val off = decodeExpr(r) match {
                   case Vector(I32Const(v)) => v
+                  // memory64: active offsets are i64 consts; the engine
+                  // cap (1 GiB) bounds them to Int range, checked here
+                  case Vector(I64Const(v)) if mem64 =>
+                    if (v < 0 || v > (16384L << 16)) throw new WasmDecodeError(
+                      s"data offset $v outside the 1 GiB memory64 cap")
+                    v.toInt
                   case other => throw new WasmDecodeError(s"bad data offset expr $other")
                 }
                 DataSeg(off, r.bytes(r.u32()).toVector)
@@ -751,7 +780,7 @@ object WasmBinary {
     }
     WasmModule(types, imports, funcTypeIdxs, memMin, memMax, globals,
       exports, codes, datas, start, tables, elems, comps, superTypes,
-      tags)
+      tags, mem64)
   }
 
   /** Value type with a NAMED rejection for anything outside the tiers
@@ -1223,9 +1252,10 @@ object WasmBinary {
     }
     if (m.memMinPages > 0 || m.memMaxPages.nonEmpty) section(5) { s =>
       s.u32(1)
+      val f64 = if (m.mem64) 4 else 0 // memory64 flag bit
       m.memMaxPages match {
-        case Some(max) => s.u8(0x01); s.u32(m.memMinPages); s.u32(max)
-        case None      => s.u8(0x00); s.u32(m.memMinPages)
+        case Some(max) => s.u8(0x01 | f64); s.u32(m.memMinPages); s.u32(max)
+        case None      => s.u8(0x00 | f64); s.u32(m.memMinPages)
       }
     }
     if (m.tags.nonEmpty) section(13) { s =>
@@ -1303,7 +1333,10 @@ object WasmBinary {
         if (d.passive) s.u32(1)
         else {
           s.u32(0)
-          s.u8(0x41); s.s32(d.offset); s.u8(0x0B)
+          // memory64 offsets are i64 consts
+          if (m.mem64) { s.u8(0x42); s.s64(d.offset.toLong) }
+          else { s.u8(0x41); s.s32(d.offset) }
+          s.u8(0x0B)
         }
         s.u32(d.bytes.size); s.raw(d.bytes.toArray)
       }

@@ -822,7 +822,9 @@ object WasmInterp {
           case MemStore(op, _, offset) => memStore(op, offset, stack)
           case MemorySize => stack.push(memory.length / PageSize)
           case MemoryGrow =>
-            val delta = stack.pop().toInt
+            val deltaL = popAddr(stack)
+            val delta =
+              if (deltaL > 65536L) 65536 else deltaL.toInt // cap-bounded
             val oldPages = memory.length / PageSize
             val newPages = oldPages.toLong + delta
             // engine cap 16384 pages (1 GiB): 32768+ pages would
@@ -835,18 +837,22 @@ object WasmInterp {
               stack.push(oldPages)
             }
           case MemoryCopy =>
-            val len = stack.pop().toInt; val src = stack.pop().toInt
-            val dst = stack.pop().toInt
-            checkBounds(src.toLong, len.toLong); checkBounds(dst.toLong, len.toLong)
-            System.arraycopy(memory, src, memory, dst, len)
+            val lenL = popAddr(stack); val srcL = popAddr(stack)
+            val dstL = popAddr(stack)
+            checkBounds(srcL, lenL); checkBounds(dstL, lenL)
+            System.arraycopy(memory, srcL.toInt, memory, dstL.toInt,
+              lenL.toInt)
           case MemoryFill =>
-            val len = stack.pop().toInt; val v = stack.pop().toByte
-            val dst = stack.pop().toInt
-            checkBounds(dst.toLong, len.toLong)
-            java.util.Arrays.fill(memory, dst, dst + len, v)
+            val lenL = popAddr(stack); val v = stack.pop().toByte
+            val dstL = popAddr(stack)
+            checkBounds(dstL, lenL)
+            java.util.Arrays.fill(memory, dstL.toInt,
+              (dstL + lenL).toInt, v)
           case MemoryInit(segIdx) =>
+            // spec: for memory64 only the DESTINATION is an i64; the
+            // segment offset and length stay i32
             val len = stack.pop().toInt; val src = stack.pop().toInt
-            val dst = stack.pop().toInt
+            val dstL = popAddr(stack)
             if (segIdx >= module.datas.size)
               throw new WasmTrap(s"memory.init: no data segment $segIdx")
             // a dropped segment behaves as size 0 (spec §4.5.9)
@@ -856,7 +862,8 @@ object WasmInterp {
             if (src < 0 || len < 0 || src.toLong + len > seg.size)
               throw new WasmTrap(
                 s"memory.init: segment range $src+$len of ${seg.size}")
-            checkBounds(dst.toLong, len.toLong)
+            checkBounds(dstL, len.toLong)
+            val dst = dstL.toInt
             var k = 0
             while (k < len) { memory(dst + k) = seg(src + k); k += 1 }
           case DataDrop(segIdx) =>
@@ -1110,14 +1117,27 @@ object WasmInterp {
       }
     }
 
+    // overflow-safe (memory64 addresses span the full i64 range, and
+    // two huge positives must not wrap past the length check)
     private def checkBounds(offset: Long, len: Long): Unit =
-      if (offset < 0 || len < 0 || offset + len > memory.length)
+      if (offset < 0 || len < 0 || len > memory.length ||
+          offset > memory.length - len)
         throw new WasmTrap(
           s"out of bounds memory access ($offset+$len of ${memory.length})")
 
+    /** Pop a memory address/count: full i64 under memory64, otherwise
+     *  the u32 interpretation of the i32 slot. Either way the engine's
+     *  1 GiB cap means anything past Int range traps at checkBounds
+     *  rather than silently truncating. */
+    private def popAddr(stack: OperandStack): Long =
+      if (module.mem64) stack.pop() else stack.pop() & 0xFFFFFFFFL
+
     private def addr(offset: Int, stack: OperandStack, width: Int): Int = {
-      val base = stack.pop().toInt
-      val ea = (base.toLong & 0xFFFFFFFFL) + (offset.toLong & 0xFFFFFFFFL)
+      val base = popAddr(stack)
+      if (base < 0 || base > Int.MaxValue.toLong) // memory64 far pointer
+        throw new WasmTrap(
+          s"out of bounds memory access ($base of ${memory.length})")
+      val ea = base + (offset.toLong & 0xFFFFFFFFL)
       checkBounds(ea, width.toLong)
       ea.toInt
     }

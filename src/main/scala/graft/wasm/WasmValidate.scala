@@ -260,6 +260,9 @@ object WasmValidate {
       m.types(m.funcTypeIdxs(fIdx - m.imports.size))
     private val locals: Array[Byte] = (fType.params ++ code.locals).toArray
 
+    /** Address operand type: i64 under memory64 (late r16), else i32. */
+    private val addrT: Byte = if (m.mem64) I64 else I32
+
     private val stack = scala.collection.mutable.ArrayBuffer.empty[Byte]
     private final class Frame(val labelTypes: Vector[Byte],
         val endTypes: Vector[Byte], val height: Int) {
@@ -520,19 +523,24 @@ object WasmValidate {
       case MemLoad(op, align, _) =>
         val (w, t) = loadSig(op)
         checkAlign(align, w, f"load 0x$op%02X")
-        popExpect(I32); push(t)
+        popExpect(addrT); push(t)
       case MemStore(op, align, _) =>
         val (w, t) = storeSig(op)
         checkAlign(align, w, f"store 0x$op%02X")
-        popExpect(t); popExpect(I32)
-      case MemorySize => push(I32)
-      case MemoryGrow => popExpect(I32); push(I32)
+        popExpect(t); popExpect(addrT)
+      case MemorySize => push(addrT)
+      case MemoryGrow => popExpect(addrT); push(addrT)
       case MemoryCopy | MemoryFill =>
-        popExpect(I32); popExpect(I32); popExpect(I32)
+        // memory64: dst and n are i64; fill's value stays i32 but a
+        // copy's src is i64 too — fill's middle operand is the value
+        popExpect(addrT); popExpect(
+          if (in == MemoryCopy) addrT else I32)
+        popExpect(addrT)
       case MemoryInit(seg) =>
         if (seg < 0 || seg >= m.datas.size)
           err(s"memory.init: data segment $seg of ${m.datas.size}")
-        popExpect(I32); popExpect(I32); popExpect(I32)
+        // for memory64 only the DESTINATION address widens to i64
+        popExpect(I32); popExpect(I32); popExpect(addrT)
       case DataDrop(seg) =>
         if (seg < 0 || seg >= m.datas.size)
           err(s"data.drop: data segment $seg of ${m.datas.size}")
@@ -550,6 +558,8 @@ object WasmValidate {
       case SimdShuffle(_) =>
         popExpect(V128); popExpect(V128); push(V128)
       case SimdMem(sub, align, _) =>
+        if (m.mem64) err(
+          "v128 memory access not supported with memory64 by this engine")
         val w = simdMemWidth(sub)
         checkAlign(align, w, s"simd mem subopcode $sub")
         if (sub == 11) { popExpect(V128); popExpect(I32) }
@@ -566,6 +576,8 @@ object WasmValidate {
         case other => err(s"simd lane subopcode $other")
       }
       case SimdMemLane(sub, align, _, _) =>
+        if (m.mem64) err(
+          "v128 memory access not supported with memory64 by this engine")
         val w = 1 << ((sub - 84) & 3)
         checkAlign(align, w, s"simd lane-mem subopcode $sub")
         popExpect(V128); popExpect(I32)
@@ -576,6 +588,8 @@ object WasmValidate {
           case None => err(s"unassigned simd128 subopcode $sub")
         }
       case AtomicOp(sub, align, _) =>
+        if (m.mem64) err(
+          "atomics not supported with memory64 by this engine")
         val (ps, rs, w) = atomicSig(sub)
         // atomics require EXACT natural alignment (threads spec §5.4.9)
         if ((1 << align) != w)

@@ -1085,6 +1085,73 @@ class WasmSpec extends AnyFunSuite with Matchers {
     assert(eLegacy.getMessage.contains("legacy exception-handling"))
   }
 
+  test("memory64 (late r16): i64 addresses load/store, size/grow speak " +
+      "i64 pages, bulk ops take i64 ranges, far pointers TRAP instead " +
+      "of wrapping, and the typing contract flips to i64") {
+    import ValType._
+    def mod(body: Vector[Instr], results: Vector[Byte] = Vector(I64),
+        datas: Vector[DataSeg] = Vector.empty) =
+      WasmModule(
+        types = Vector(FuncType(Vector(I64), results)),
+        imports = Vector.empty, funcTypeIdxs = Vector(0),
+        memMinPages = 2, memMaxPages = Some(4), globals = Vector.empty,
+        exports = Vector(WasmExport("f", 0, 0)),
+        codes = Vector(FuncBody(Vector(), body)),
+        datas = datas, start = None, mem64 = true)
+    def run(m: WasmModule, arg: Long): Long =
+      new WasmInterp.Instance(m, Map.empty).invoke("f", arg).head
+    // store at an i64 address on the SECOND page, read back
+    val mRw = mod(Vector(
+      I64Const(70000L), LocalGet(0), MemStore(0x37, 3, 0),
+      I64Const(70000L), MemLoad(0x29, 3, 0), Return))
+    assert(run(mRw, 0x1122334455667788L) == 0x1122334455667788L)
+    // round trip through the codec: flags bit 2 + i64 limits survive
+    val rt = WasmBinary.decode(WasmBinary.encode(mRw))
+    assert(rt.mem64 && rt.memMinPages == 2 && rt.memMaxPages.contains(4))
+    assert(run(rt, 7L) == 7L)
+    // size/grow as i64 pages
+    val mGrow = mod(Vector(
+      MemorySize, I64Const(1L), MemoryGrow, Num(0x7C) /* add */,
+      MemorySize, Num(0x7C), Return))
+    assert(run(mGrow, 0L) == 2L + 2L + 3L) // size + old-size + new-size
+    // far pointer: traps OOB, never wraps into the low pages
+    val mFar = mod(Vector(
+      LocalGet(0), MemLoad(0x29, 3, 0), Return))
+    val eFar = intercept[WasmTrap](run(mFar, (1L << 40) + 8L))
+    assert(eFar.getMessage.contains("out of bounds"), eFar.getMessage)
+    val eNeg = intercept[WasmTrap](run(mFar, -16L))
+    assert(eNeg.getMessage.contains("out of bounds"))
+    // bulk ops with i64 ranges + an i64 active data offset
+    val seg = DataSeg(65600, Vector[Byte](1, 2, 3, 4))
+    val mBulk = mod(Vector(
+      // copy the 4 seeded bytes down to 16, fill 2 bytes at 24
+      I64Const(16L), I64Const(65600L), I64Const(4L), MemoryCopy,
+      I64Const(24L), I32Const(0x5A), I64Const(2L), MemoryFill,
+      I64Const(16L), MemLoad(0x28, 2, 0), Num(0xAD) /* ext_u */,
+      I64Const(24L), MemLoad(0x2D, 0, 0) /* load8_u */, Num(0xAD),
+      Num(0x7C), Return), datas = Vector(seg))
+    assert(run(mBulk, 0L) == 0x04030201L + 0x5AL)
+    // typing: an i32 address in a memory64 module rejects by name
+    val eTy = intercept[WasmValidateError](new WasmInterp.Instance(
+      mod(Vector(I32Const(0), MemLoad(0x29, 3, 0), Return)), Map.empty))
+    assert(eTy.getMessage.contains("expected i64"), eTy.getMessage)
+    // bounded scope: atomics + memory64 reject by name
+    val eAt = intercept[WasmValidateError](new WasmInterp.Instance(
+      mod(Vector(I64Const(0L), AtomicOp(0x11, 3, 0), Return)), Map.empty))
+    assert(eAt.getMessage.contains("memory64"), eAt.getMessage)
+    // limits hygiene: a 2^48-page minimum rejects by name at decode
+    val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
+    def sec(id: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 128)
+      Array(id.toByte, payload.length.toByte) ++ payload
+    }
+    val eBig = intercept[WasmDecodeError](WasmBinary.decode(header ++
+      sec(5, Array[Byte](0x01, 0x04,
+        0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte,
+        0x80.toByte, 0x80.toByte, 0x80.toByte, 0x01))))
+    assert(eBig.getMessage.contains("16384-page"), eBig.getMessage)
+  }
+
   test("memory limit hygiene at decode: duplicate memory, shared " +
       "without max, above-cap declared maxima") {
     val header = Array[Byte](0x00, 0x61, 0x73, 0x6D, 0x01, 0x00, 0x00, 0x00)
