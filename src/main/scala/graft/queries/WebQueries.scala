@@ -374,6 +374,92 @@ object WebQueries extends QueryProvider {
       |    (sum(len) + sum(revs * len)) AS BIGINT) AS saved_ppm
       |FROM per_doc GROUP BY host""".stripMargin
 
+  /** CRAWL-OPS DASHBOARD — the per-host view a crawl operator actually
+   *  reads: REVISIT dedup savings (the `pipeline_crawl_revisit`
+   *  accounting, unchanged) joined with RECRAWL staleness (the
+   *  `Recrawl` classes over a host-aligned fixture) — storage wins on
+   *  one side, freshness debt and the next recrawl pick on the other,
+   *  one row per host. Both sides already have exact closed forms; the
+   *  composition certifies they agree on the HOST DIMENSION (a key
+   *  drift between operator families would null out the join).
+   *  100 TB shape: two host-bounded aggregates joined on the host
+   *  dimension — rows ≈ |hosts|, never corpus-shaped; no hints, AQE
+   *  sizes the join. */
+  private def crawlOps(s: SparkSession, dir: String): DataFrame = {
+    val acct = crawlRevisit(s, dir)
+    val base = T(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://h"), col("doc_id") % 5,
+        lit(".example.com/p/"), col("doc_id")).as("url"))
+    val declared = base.filter(col("doc_id") % 5 =!= 4)
+      .select(col("url"),
+        (lit(1000000L) + col("doc_id") * 50L).as("lastmod_ms"))
+    val fetched = base.filter(col("doc_id") % 3 =!= 0)
+      .select(col("url"),
+        (lit(1000000L) + col("doc_id") * 50L +
+          when(col("doc_id") % 2 === 0, -25L).otherwise(25L))
+          .as("fetch_ms"))
+    val plan = graft.operators.Recrawl.plan(
+      graft.operators.Recrawl.staleness(
+        declared, "url", "lastmod_ms", fetched, "fetch_ms"))
+    acct.join(plan, Seq("host"))
+      .select(col("host"), col("n_fetches"), col("n_revisits"),
+        col("saved_ppm"), col("n_urls"), col("n_new"), col("n_stale"),
+        col("recrawl_url"))
+  }
+
+  private val crawlOpsSql =
+    """WITH per_doc AS (
+      |  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+      |    1 + doc_id % 3 AS caps, doc_id % 3 AS revs,
+      |    strlen(text) AS len
+      |  FROM documents),
+      |acct AS (
+      |  SELECT host,
+      |    CAST(sum(caps) AS BIGINT) AS n_fetches,
+      |    CAST(sum(revs) AS BIGINT) AS n_revisits,
+      |    CAST(sum(revs * len) * 1000000 //
+      |      (sum(len) + sum(revs * len)) AS BIGINT) AS saved_ppm
+      |  FROM per_doc GROUP BY host),
+      |u AS (
+      |  SELECT doc_id,
+      |    'https://h' || CAST(doc_id % 5 AS VARCHAR)
+      |      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |    'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+      |    CASE WHEN doc_id % 5 <> 4
+      |      THEN 1000000 + doc_id * 50 ELSE -1 END AS lm,
+      |    CASE WHEN doc_id % 3 <> 0
+      |      THEN 1000000 + doc_id * 50
+      |        + CASE WHEN doc_id % 2 = 0 THEN -25 ELSE 25 END
+      |      ELSE -1 END AS ft
+      |  FROM documents
+      |  WHERE doc_id % 5 <> 4 OR doc_id % 3 <> 0),
+      |cls AS (
+      |  SELECT *,
+      |    CASE WHEN ft < 0 THEN 'new' WHEN lm < 0 THEN 'undeclared'
+      |      WHEN lm > ft THEN 'stale' ELSE 'fresh' END AS status,
+      |    CASE WHEN ft < 0 THEN lm
+      |      WHEN lm > ft THEN lm - ft ELSE 0 END AS overdue
+      |  FROM u),
+      |pick AS (
+      |  SELECT host, url, overdue,
+      |    row_number() OVER (PARTITION BY host
+      |      ORDER BY overdue DESC, url DESC) AS rn
+      |  FROM cls WHERE overdue > 0),
+      |plan AS (
+      |  SELECT c.host, c.n_urls, c.n_new, c.n_stale,
+      |    coalesce(p.url, '') AS recrawl_url
+      |  FROM (
+      |    SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+      |      CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+      |        AS BIGINT) AS n_new,
+      |      CAST(sum(CASE WHEN status = 'stale' THEN 1 ELSE 0 END)
+      |        AS BIGINT) AS n_stale
+      |    FROM cls GROUP BY host) c
+      |  LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p ON c.host = p.host)
+      |SELECT acct.host, acct.n_fetches, acct.n_revisits, acct.saved_ppm,
+      |  plan.n_urls, plan.n_new, plan.n_stale, plan.recrawl_url
+      |FROM acct JOIN plan ON acct.host = plan.host""".stripMargin
+
   /** ZIPNUM SECONDARY INDEX — the missing level of the CDX family:
    *  Common Crawl serves its index as gzip-blocked cdx shards plus a
    *  tiny cluster.idx of (first-key, offset, length) per block, and
@@ -1802,6 +1888,7 @@ object WebQueries extends QueryProvider {
     "pipeline_crawl_revisit" -> (crawlRevisit _),
     "pipeline_redirect_resolve" -> (redirectResolve _),
     "pipeline_recrawl_plan" -> (recrawlPlan _),
+    "pipeline_crawl_ops" -> (crawlOps _),
     "io_cdx_zipnum" -> (cdxZipnum _),
     "pipeline_zipnum_fetch" -> (zipnumFetch _),
     "io_cdx_extract" -> (cdxExtract _),
@@ -1833,6 +1920,7 @@ object WebQueries extends QueryProvider {
     "pipeline_crawl_revisit" -> crawlRevisitSql,
     "pipeline_redirect_resolve" -> redirectResolveSql,
     "pipeline_recrawl_plan" -> recrawlPlanSql,
+    "pipeline_crawl_ops" -> crawlOpsSql,
     "io_cdx_zipnum" -> cdxZipnumSql,
     "pipeline_zipnum_fetch" -> zipnumFetchSql,
     "io_cdx_extract" -> cdxExtractSql,
