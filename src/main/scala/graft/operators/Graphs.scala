@@ -98,23 +98,43 @@ object Graphs {
     // decomposition): left carries (salt, sb >= salt), right
     // (sa <= salt, salt); each unordered pair meets in exactly one
     // (cell, sa, sb) sub-cell, diagonals deduped by the id filter.
-    val base = d.withColumn("__salt",
-      pmod(xxhash64(col(idCol)), lit(saltBuckets)).cast("int"))
-    val left = base
-      .withColumn("__sb", explode(expr(s"sequence(__salt, ${saltBuckets - 1})")))
-      .select(col(idCol).as("__ida") +: cellCols.map(col) :+
-        col("__salt").as("__sa") :+ col("__sb"): _*)
-    val right = base
-      .withColumn("__sa", explode(expr("sequence(0, __salt)")))
-      .select(col(idCol).as("__idb") +: cellCols.map(col) :+
-        col("__sa") :+ col("__salt").as("__sb"): _*)
+    //
+    // saltBuckets == 1 takes a structurally reduced path, not just a
+    // degenerate constant: at S = 1 every salt is 0, both explodes emit
+    // exactly one row, and the (sa < sb) arm of the pair filter is
+    // vacuous — so the salt columns, the xxhash64, and the two Generate
+    // operators are pure overhead AND (the real cost) they make the two
+    // join inputs canonically DIFFERENT subtrees (sequence(salt, 0) vs
+    // sequence(0, salt)), which defeats ReuseExchange: the whole
+    // distinct+cap lineage under `d` executed once per side. Alias-only
+    // projections restore one shared Exchange. Output-identical (the
+    // filter reduces to ida < idb on the same candidate set).
+    val paired =
+      if (saltBuckets == 1) {
+        val left = d.select(col(idCol).as("__ida") +: cellCols.map(col): _*)
+        val right = d.select(col(idCol).as("__idb") +: cellCols.map(col): _*)
+        left.join(right, cellCols)
+          .where(col("__ida") < col("__idb"))
+      } else {
+        val base = d.withColumn("__salt",
+          pmod(xxhash64(col(idCol)), lit(saltBuckets)).cast("int"))
+        val left = base
+          .withColumn("__sb", explode(expr(s"sequence(__salt, ${saltBuckets - 1})")))
+          .select(col(idCol).as("__ida") +: cellCols.map(col) :+
+            col("__salt").as("__sa") :+ col("__sb"): _*)
+        val right = base
+          .withColumn("__sa", explode(expr("sequence(0, __salt)")))
+          .select(col(idCol).as("__idb") +: cellCols.map(col) :+
+            col("__sa") :+ col("__salt").as("__sb"): _*)
+        left.join(right, cellCols ++ Seq("__sa", "__sb"))
+          .where(col("__sa") < col("__sb") || col("__ida") < col("__idb"))
+      }
     // pair-keyed repartition before the weight aggregate: cell-keyed
     // partial aggregation would build near-|pairs|-sized maps per task
     // for a ~1.7× row reduction; pair-partitioned, both agg maps stay
     // small and on the codegen fast-map path (the resourceAllocation
     // wedge measurement, same shape)
-    left.join(right, cellCols ++ Seq("__sa", "__sb"))
-      .where(col("__sa") < col("__sb") || col("__ida") < col("__idb"))
+    paired
       .select(least(col("__ida"), col("__idb")).as("u"),
         greatest(col("__ida"), col("__idb")).as("v"))
       .repartition(col("u"), col("v"))
@@ -303,21 +323,34 @@ object Graphs {
     // Salted-triangle wedge enumeration keyed on the center (same
     // decomposition as [[cooccurrenceEdges]]): salt hashes the LEAF so
     // one hub center's neighbor list scatters over the sub-cells.
-    val base = wedgeAdj.select(col("n").as("c"), col("x").as("leaf"))
-      .withColumn("__salt",
-        pmod(xxhash64(col("leaf")), lit(saltBuckets)).cast("int"))
-    val l = base
-      .withColumn("__sb", explode(expr(s"sequence(__salt, ${saltBuckets - 1})")))
-      .select(col("c"), col("leaf").as("la"),
-        col("__salt").as("__sa"), col("__sb"))
-    val r = base
-      .withColumn("__sa", explode(expr("sequence(0, __salt)")))
-      .select(col("c"), col("leaf").as("lb"),
-        col("__sa"), col("__salt").as("__sb"))
+    // saltBuckets == 1 takes the structurally reduced path — no salt
+    // columns, no Generate operators, and alias-identical join inputs
+    // so ReuseExchange shares ONE exchange of the capped adjacency
+    // between both wedge sides (see [[cooccurrenceEdges]]);
+    // output-identical.
+    val wedgePairs =
+      if (saltBuckets == 1) {
+        val l = wedgeAdj.select(col("n").as("c"), col("x").as("la"))
+        val r = wedgeAdj.select(col("n").as("c"), col("x").as("lb"))
+        l.join(r, Seq("c")).where(col("la") < col("lb"))
+      } else {
+        val base = wedgeAdj.select(col("n").as("c"), col("x").as("leaf"))
+          .withColumn("__salt",
+            pmod(xxhash64(col("leaf")), lit(saltBuckets)).cast("int"))
+        val l = base
+          .withColumn("__sb", explode(expr(s"sequence(__salt, ${saltBuckets - 1})")))
+          .select(col("c"), col("leaf").as("la"),
+            col("__salt").as("__sa"), col("__sb"))
+        val r = base
+          .withColumn("__sa", explode(expr("sequence(0, __salt)")))
+          .select(col("c"), col("leaf").as("lb"),
+            col("__sa"), col("__salt").as("__sb"))
+        l.join(r, Seq("c", "__sa", "__sb"))
+          .where(col("__sa") < col("__sb") || col("la") < col("lb"))
+      }
     // pair-keyed repartition before the aggregate — same rationale and
     // measurement as [[resourceAllocation]]'s wedge pass
-    val cand = l.join(r, Seq("c", "__sa", "__sb"))
-      .where(col("__sa") < col("__sb") || col("la") < col("lb"))
+    val cand = wedgePairs
       .select(least(col("la"), col("lb")).as("a"),
         greatest(col("la"), col("lb")).as("b"))
       .repartition(col("a"), col("b"))
@@ -422,20 +455,36 @@ object Graphs {
       if (seedValid.getLong(0) >= k) seedValid.getLong(1) else 0L
     }
     lastRaTheta = theta // test introspection: proves the prune engaged
-    val baseW = (if (theta > 0L) {
+    val kept = if (theta > 0L) {
       val keep = pot.where(col("p") >= theta).select(col("leaf"))
       capped.join(keep, Seq("leaf"), "left_semi")
-    } else capped)
-      .withColumn("__salt",
-        pmod(xxhash64(col("leaf")), lit(saltBuckets)).cast("int"))
-    val l = baseW
-      .withColumn("__sb", explode(expr(s"sequence(__salt, ${saltBuckets - 1})")))
-      .select(col("c"), col("leaf").as("la"), col("raw"),
-        col("__salt").as("__sa"), col("__sb"))
-    val r = baseW
-      .withColumn("__sa", explode(expr("sequence(0, __salt)")))
-      .select(col("c"), col("leaf").as("lb"),
-        col("__sa"), col("__salt").as("__sb"))
+    } else capped
+    // saltBuckets == 1 takes the structurally reduced wedge path — no
+    // salt columns, no Generate operators (see [[cooccurrenceEdges]]).
+    // The sides stay canonically different regardless (only `l` carries
+    // `raw`, so each wedge contributes its weight once), hence no
+    // ReuseExchange either way; the win here is dropping the per-row
+    // hash + explode and the two extra join key columns.
+    // Output-identical (the pair filter reduces to la < lb).
+    val wedgePairs =
+      if (saltBuckets == 1) {
+        val l = kept.select(col("c"), col("leaf").as("la"), col("raw"))
+        val r = kept.select(col("c"), col("leaf").as("lb"))
+        l.join(r, Seq("c")).where(col("la") < col("lb"))
+      } else {
+        val baseW = kept.withColumn("__salt",
+          pmod(xxhash64(col("leaf")), lit(saltBuckets)).cast("int"))
+        val l = baseW
+          .withColumn("__sb", explode(expr(s"sequence(__salt, ${saltBuckets - 1})")))
+          .select(col("c"), col("leaf").as("la"), col("raw"),
+            col("__salt").as("__sa"), col("__sb"))
+        val r = baseW
+          .withColumn("__sa", explode(expr("sequence(0, __salt)")))
+          .select(col("c"), col("leaf").as("lb"),
+            col("__sa"), col("__salt").as("__sb"))
+        l.join(r, Seq("c", "__sa", "__sb"))
+          .where(col("__sa") < col("__sb") || col("la") < col("lb"))
+      }
     // repartition by PAIR before the aggregate: wedge rows repeat a
     // pair only ~1.4× within a center-partition, so center-partitioned
     // partial aggregation builds ~|pairs|-sized maps per task (slow
@@ -444,8 +493,7 @@ object Graphs {
     // codegen fast-map path (measured 10.5 s → 6.9 s on the sf0.1
     // wedge stage). The shuffle moves slim (a, b, raw) triples either
     // way.
-    val cand = l.join(r, Seq("c", "__sa", "__sb"))
-      .where(col("__sa") < col("__sb") || col("la") < col("lb"))
+    val cand = wedgePairs
       .select(least(col("la"), col("lb")).as("a"),
         greatest(col("la"), col("lb")).as("b"), col("raw"))
       .repartition(col("a"), col("b"))

@@ -651,18 +651,39 @@ object Jpeg {
     if (v < 0) 0 else if (v > 255) 255 else v.toInt
 
   /** Separable double IDCT of dequantized coefficients; output is
-   *  level-shifted (+128), rounded and clamped to [0, 255]. */
+   *  level-shifted (+128), rounded and clamped to [0, 255].
+   *
+   *  Zero coefficients are SKIPPED, bit-identically: a zero term's
+   *  contribution is `CosTab·0 = ±0.0`, and `s += ±0.0` never changes
+   *  `s` (the accumulator starts at the +0.0 literal and IEEE-754
+   *  round-to-nearest addition can never produce -0.0 from a +0.0
+   *  start, so even the sign of zero matches; `+128.0` would erase it
+   *  at the output anyway). Real and fixture JPEG blocks are sparse —
+   *  DC-only blocks (the oracle carve-out shape) drop from 512 to 8
+   *  multiplies, typical web blocks from 512 to ~100 — so this is the
+   *  decode hot loop's biggest constant-factor lever without touching
+   *  the arithmetic. */
   private def idct(coef: Array[Int], out: Array[Int]): Unit = {
-    val tmp = new Array[Double](64)
+    val tmp = new Array[Double](64) // zero-initialized: skipped rows stay 0.0
     var y = 0
     while (y < 8) { // rows: over u
-      var x = 0
-      while (x < 8) {
-        var s = 0.0
-        var u = 0
-        while (u < 8) { s += CosTab(u)(x) * coef(y * 8 + u); u += 1 }
-        tmp(y * 8 + x) = s
-        x += 1
+      // all-zero coefficient rows contribute an all-zero tmp row
+      var any = false
+      var u0 = 0
+      while (u0 < 8 && !any) { if (coef(y * 8 + u0) != 0) any = true; u0 += 1 }
+      if (any) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) {
+            val c = coef(y * 8 + u)
+            if (c != 0) s += CosTab(u)(x) * c
+            u += 1
+          }
+          tmp(y * 8 + x) = s
+          x += 1
+        }
       }
       y += 1
     }
@@ -672,7 +693,11 @@ object Jpeg {
       while (yy < 8) {
         var s = 0.0
         var v = 0
-        while (v < 8) { s += CosTab(v)(yy) * tmp(v * 8 + x); v += 1 }
+        while (v < 8) {
+          val t = tmp(v * 8 + x)
+          if (t != 0.0) s += CosTab(v)(yy) * t
+          v += 1
+        }
         out(yy * 8 + x) = clamp255(math.round(s + 128.0))
         yy += 1
       }

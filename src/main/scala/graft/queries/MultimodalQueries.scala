@@ -158,7 +158,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -196,7 +196,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -236,7 +236,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -275,7 +275,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -373,7 +373,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -410,7 +410,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -449,7 +449,7 @@ object MultimodalQueries extends QueryProvider {
         .select(col("doc_id"), lit(arm).as("arm"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.format").as("format"),
-          expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+          org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
             .as("pix_byte_sum"))
     }
     arms.reduce(_ unionAll _)
@@ -500,7 +500,7 @@ object MultimodalQueries extends QueryProvider {
         expr("CAST(round(pixels[0] * 255) AS BIGINT)").as("y0"),
         expr("CAST(round(pixels[1] * 255) AS BIGINT)").as("u0"),
         expr("CAST(round(pixels[2] * 255) AS BIGINT)").as("v0"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -558,7 +558,7 @@ object MultimodalQueries extends QueryProvider {
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
         expr("CAST(round(pixels[3] * 255) AS BIGINT)").as("a_first"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -606,7 +606,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"), col("frame_idx"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -658,7 +658,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"), lit("png16").as("arm"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.channels").as("channels"), col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(floor(x * 65535D + 0.5D) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledFloorHalfSum(col("pixels"), 65535.0)
           .as("pix_q_sum"))
     val gaSrc = T(s, dir, "documents").select(col("doc_id"),
       expr("substring(unhex(md5(text)), 1, 16)").as("src"))
@@ -669,7 +669,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"), lit("graya").as("arm"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.channels").as("channels"), col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_q_sum"))
     hi.unionAll(ga)
   }
@@ -1103,7 +1103,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"), col("frame_idx"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -1157,7 +1157,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"), col("kind"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 
@@ -1210,7 +1210,7 @@ object MultimodalQueries extends QueryProvider {
         "payload", codec = Multimodal.SniffCodec)
       .select(col("doc_id"), col("sample_rate"),
         size(col("samples")).cast("long").as("n_samples"),
-        expr("aggregate(samples, 0L, (acc, x) -> acc + CAST(round(x * 32768) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("samples"), 32768.0)
           .as("sample_sum"))
   }
 
@@ -1249,7 +1249,7 @@ object MultimodalQueries extends QueryProvider {
         "payload", codec = Multimodal.SniffCodec)
       .select(col("doc_id"), col("sample_rate"),
         size(col("samples")).cast("long").as("n_samples"),
-        expr("aggregate(samples, 0L, (acc, x) -> acc + CAST(round(x * 32768) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("samples"), 32768.0)
           .as("sample_sum"))
   }
 
@@ -1289,7 +1289,7 @@ object MultimodalQueries extends QueryProvider {
       .select(col("doc_id"), col("frame_idx"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.format").as("format"),
-        expr("aggregate(pixels, 0L, (acc, x) -> acc + CAST(round(x * 255) AS BIGINT))")
+        org.apache.spark.sql.graft.ScaledRoundSum.scaledRoundSum(col("pixels"), 255.0)
           .as("pix_byte_sum"))
   }
 

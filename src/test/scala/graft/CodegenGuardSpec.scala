@@ -72,6 +72,8 @@ class CodegenGuardSpec extends AnyFunSuite {
     "SubstringHits" -> SubstringHits(str, Seq("ab", "ba c")),
     "ContainsAnyPattern" -> ContainsAnyPattern(str, Seq("ab", "ba c")),
     "TopGram" -> TopGram(strs, 2),
+    "ScaledRoundSum" -> ScaledRoundSum(floats, 255.0, halfUpMode = true),
+    "ScaledRoundSum(floor)" -> ScaledRoundSum(floats, 65535.0, halfUpMode = false),
     "NfcNormalize" -> NfcNormalize(str),
     "MinShingleMd5" -> MinShingleMd5(strs),
     "AdjacentPairs" -> AdjacentPairs(strs))

@@ -149,4 +149,49 @@ class NativeExpressionsSpec extends AnyFunSuite {
     val oneHot = Seq(Some(1.0f))
     assert(ref(oneHot).toSet == Set(1000L, -1000L))
   }
+
+  test("scaledRoundSum == the interpreted aggregate-HOF fold, bit for bit") {
+    import org.apache.spark.sql.graft.ScaledRoundSum
+    // Adversarial values around the HALF_UP boundaries (exact n.5
+    // floats, values one ulp either side, negatives — where a naive
+    // rint/floor trick diverges from Spark's BigDecimal HALF_UP), plus
+    // the honest decoder shapes (byte/255f, sample/32768f) and a dense
+    // pseudo-random sweep.
+    val rnd = new scala.util.Random(42)
+    val adversarial = (0 to 512).flatMap { n =>
+      val h = (n.toFloat + 0.5f) / 255f
+      Seq(h, Math.nextUp(h), Math.nextDown(h), -h, -Math.nextUp(h))
+    }
+    val decoderish = (0 to 255).map(b => b / 255f) ++
+      (-64 to 64).map(s => s * 97 / 32768f)
+    val sweep = Seq.fill(4096)(rnd.nextFloat() * 300f - 20f)
+    val arrays: Seq[Seq[Float]] =
+      (adversarial ++ decoderish ++ sweep).grouped(64).toSeq ++
+        Seq(Seq.empty[Float])
+    val sch = StructType(Seq(StructField("pixels",
+      ArrayType(FloatType, containsNull = false), nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(arrays.map(Row(_)) :+ Row(null)), sch)
+    for (scale <- Seq(255, 32768)) {
+      val got = df.select(
+        expr(s"aggregate(pixels, 0L, (acc, x) -> acc + " +
+          s"CAST(round(x * $scale) AS BIGINT))").as("hof"),
+        ScaledRoundSum.scaledRoundSum(col("pixels"), scale.toDouble)
+          .as("native")).collect()
+      got.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch at scale $scale")
+        if (!r.isNullAt(0))
+          assert(r.getLong(0) == r.getLong(1), s"value mismatch at scale $scale")
+      }
+    }
+    val gotF = df.select(
+      expr("aggregate(pixels, 0L, (acc, x) -> acc + " +
+        "CAST(floor(x * 65535D + 0.5D) AS BIGINT))").as("hof"),
+      ScaledRoundSum.scaledFloorHalfSum(col("pixels"), 65535.0)
+        .as("native")).collect()
+    gotF.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
 }
