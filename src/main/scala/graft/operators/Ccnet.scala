@@ -44,9 +44,8 @@ object Ccnet {
       .select(col("doc_id"), col("para_idx").cast("long").as("para_idx"),
         TextAnalysis.wsTokens(col("ptext")).as("ws"))
     val pairs = toks.where(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("para_idx"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("bg"))
+      .select(col("doc_id"), col("para_idx"), explode(org.apache.spark.sql.graft.GraftBpe
+        .adjacentPairStructs(col("ws"))).as("bg"))
       .select(col("doc_id"), col("para_idx"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val model2 = pairs.groupBy(col("w1"), col("w2"))

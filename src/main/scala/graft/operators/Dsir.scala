@@ -42,9 +42,8 @@ object Dsir {
     df.select(col(idCol).as("doc_id"),
         TextAnalysis.wsTokens(col(textCol)).as("ws"))
       .where(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("bg"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft.GraftBpe
+        .adjacentPairStructs(col("ws"))).as("bg"))
       .select(col("doc_id"),
         pmod(xxhash64(col("bg.w1"), col("bg.w2")), lit(buckets.toLong))
           .as("bucket"))

@@ -659,9 +659,8 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("doc_id"),
       wsTokens(col(textCol)).as("ws"))
     val pairs = toks.where(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("bg"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft.GraftBpe
+        .adjacentPairStructs(col("ws"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val model2 = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
@@ -713,9 +712,8 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("doc_id"),
       wsTokens(col(textCol)).as("ws"))
     val pairs = toks.where(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("bg"))
+      .select(explode(org.apache.spark.sql.graft.GraftBpe
+        .adjacentPairStructs(col("ws"))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c12 = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
@@ -932,9 +930,8 @@ object TextAnalysis {
       k: Int = 100): DataFrame = {
     val toks = df.select(wsTokens(col(textCol)).as("ws"))
     val pairs = toks.where(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("bg"))
+      .select(explode(org.apache.spark.sql.graft.GraftBpe
+        .adjacentPairStructs(col("ws"))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val uni = toks.select(explode(col("ws")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))

@@ -47,6 +47,42 @@ case class AdjacentPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** Adjacent token pairs of a string array as (w1, w2) STRUCTS — the
+ *  native form of the bigram HOF every LM/PMI/bucket-profile operator
+ *  shared (`transform(sequence(1, size(ws)-1), i -> struct(ws[i-1],
+ *  ws[i]))`, an interpreted lambda per TOKEN). Output is bit-identical
+ *  on the guarded inputs all call sites use (they pre-filter
+ *  `size(ws) >= 2`; for n < 2 this returns empty where the raw HOF's
+ *  descending `sequence(1, n-1)` would index out of bounds). */
+case class AdjacentPairStructs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("w1", StringType), StructField("w2", StringType))),
+    containsNull = false)
+  override def prettyName: String = "adjacent_pair_structs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = arr.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      out(i - 1) = org.apache.spark.sql.catalyst.InternalRow(prev, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One BPE merge applied left-to-right: every adjacent ("left right")
  *  occurrence in the symbol array fuses to "leftright", non-overlapping,
  *  a single pass — ["l","o","w"] merge (l,o) → ["lo","w"]. The `pair`
@@ -169,6 +205,11 @@ case class BpeEncodeWords(child: Expression, merges: Seq[String])
 object GraftBpe {
   def adjacentPairs(symbols: Column): Column =
     ExpressionUtils.column(AdjacentPairs(ExpressionUtils.expression(symbols)))
+
+  /** (w1, w2) bigram structs — callers must pre-filter size >= 2. */
+  def adjacentPairStructs(tokens: Column): Column =
+    ExpressionUtils.column(
+      AdjacentPairStructs(ExpressionUtils.expression(tokens)))
 
   def applyMerge(symbols: Column, pair: Column): Column =
     ExpressionUtils.column(ApplyBpeMerge(

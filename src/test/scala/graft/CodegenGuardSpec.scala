@@ -76,7 +76,8 @@ class CodegenGuardSpec extends AnyFunSuite {
     "ScaledRoundSum(floor)" -> ScaledRoundSum(floats, 65535.0, halfUpMode = false),
     "NfcNormalize" -> NfcNormalize(str),
     "MinShingleMd5" -> MinShingleMd5(strs),
-    "AdjacentPairs" -> AdjacentPairs(strs))
+    "AdjacentPairs" -> AdjacentPairs(strs),
+    "AdjacentPairStructs" -> AdjacentPairStructs(strs))
 
   test("no native expression emits a generated line beginning with '|'") {
     for ((name, e) <- exprs) {

@@ -150,6 +150,25 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(ref(oneHot).toSet == Set(1000L, -1000L))
   }
 
+  test("adjacentPairStructs == the interpreted transform-HOF on guarded inputs") {
+    import org.apache.spark.sql.graft.GraftBpe
+    val docs = Seq(
+      "a b", "a b c d e", "x x x", "one two", "a",
+      "éléphant gris éléphant", "t1 t2 t3 t4 t5 t6 t7")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map(Row(_))),
+      StructType(Seq(StructField("text", StringType))))
+      .select(split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2) // the guard every call site applies
+    val hof = df.select(explode(expr(
+      "transform(sequence(1, size(ws) - 1), " +
+        "i -> struct(ws[i-1] as w1, ws[i] as w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2")).collect().map(r => (r.getString(0), r.getString(1)))
+    val nat = df.select(explode(GraftBpe.adjacentPairStructs(col("ws"))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2")).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(hof.toSeq == nat.toSeq)
+  }
+
   test("scaledRoundSum == the interpreted aggregate-HOF fold, bit for bit") {
     import org.apache.spark.sql.graft.ScaledRoundSum
     // Adversarial values around the HALF_UP boundaries (exact n.5
