@@ -13,6 +13,11 @@ Test / fork := true
 run / fork := true
 // LensCli reads the document array from stdin (the reference CLI contract).
 run / connectInput := true
+// Pass the forked JVM's stdout through RAW: sbt's default logger prefixes
+// every child line with "[info] ", and the bench→driver contract needs the
+// final JSON line to start with '{' so the driver's tail parse can find it
+// (BENCH_r01..r16 all carry "parsed": null — see VERDICT r16 #1).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

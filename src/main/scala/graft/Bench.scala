@@ -2,6 +2,72 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  private def fmt3(v: Double): String = {
+    val r = math.rint(v * 1000) / 1000
+    if (r == r.toLong.toDouble) r.toLong.toString else r.toString
+  }
+
+  /** The ONE machine-readable stdout line, SIZE-BOUNDED to survive the
+   *  driver's tail capture. BENCH_r15/BENCH_r16 both arrived with
+   *  `"parsed": null` because the driver keeps only the LAST ~2000 bytes
+   *  of stdout and the compact line for 297 queries is ~10 KB — the 297
+   *  full query names alone cost ~6.9 KB, so no complete per-query map can
+   *  fit the window (VERDICT r16, What's wrong #1). This line therefore
+   *  carries the summary fields plus as many per-query MEDIAN entries as
+   *  fit under `budget` bytes, SLOWEST FIRST (totals and multi-second
+   *  queries are what regressions are judged by — CLAUDE.md), and
+   *  summarizes the rest as {"omitted": n, "omitted_sec": s} so that
+   *  value == sum(queries) + omitted_sec stays auditable. The COMPLETE
+   *  record (all medians, mins, per-sample matrix, round timestamps)
+   *  still lands in bench_out.json, committed to the repo.
+   *
+   *  Budget: 2000-byte tail − ~90 bytes for sbt's trailing
+   *  "[success] Total time: …" line − newline slack ⇒ ≤1900 usable;
+   *  default 1750 leaves margin. Contract test: `tail -c 2000` of a real
+   *  run must contain this line IN FULL and it must json-parse
+   *  (BenchLineSpec pins the bound and the parse).
+   */
+  def driverLine(medians: Seq[(String, Double)], totalMed: Double,
+      totalMin: Double, errors: scala.collection.Map[String, String],
+      sfDir: String, runs: Int, budget: Int = 1750): String = {
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // Errors are exceptional but must surface: cap each message and the
+    // whole map so a mass failure cannot evict the timing payload.
+    val errEntries = errors.toSeq.map { case (k, v) =>
+      "\"" + esc(k) + "\":\"" + esc(v.take(60)) + "\"" }
+    val errKept = scala.collection.mutable.ArrayBuffer[String]()
+    var errLen = 0
+    errEntries.foreach { e =>
+      if (errLen + e.length + 1 <= 600) { errKept += e; errLen += e.length + 1 }
+    }
+    val errJson =
+      if (errKept.length < errEntries.length)
+        errKept.mkString("{", ",", ",\"_dropped\":" +
+          (errEntries.length - errKept.length) + "}")
+      else errKept.mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${fmt3(totalMed)},"unit":"sec","queries":{"""
+    def tailJson(omitted: Int, omittedSec: Double) =
+      s"""},"n_queries":${medians.length},"omitted":$omitted,"omitted_sec":${fmt3(omittedSec)},"total_min":${fmt3(totalMin)},"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs,"full_record":"bench_out.json"}"""
+    // Reserve the tail at its worst-case width so the greedy fill can
+    // never overshoot once the real omitted counts are substituted
+    // (+6 covers a sign and ".xxx" decimals the placeholder may lack).
+    val reserve = tailJson(medians.length, totalMed).length + 6
+    val bySlowest = medians.sortBy { case (n, v) => (-v, n) }
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var used = head.length + reserve
+    var nKept = 0
+    var keptSec = 0.0
+    bySlowest.foreach { case (n, v) =>
+      val e = "\"" + esc(n) + "\":" + fmt3(v)
+      if (used + e.length + 1 <= budget) {
+        kept += e; used += e.length + 1; nKept += 1; keptSec += v
+      }
+    }
+    head + kept.mkString(",") +
+      tailJson(medians.length - nKept, totalMed - keptSec)
+  }
+
   /** Per-query session hygiene. 252 query executions in one long-lived JVM
    *  accumulate cached blocks (gram tables), localCheckpoint blocks (CC
    *  rounds), and broadcasts; left alone, that unified-memory pressure
@@ -23,7 +89,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: per-query hygiene unpersists every localCheckpoint
+    // block, and the resulting per-RDD WARN line × thousands of rounds is
+    // most of the bench's stdout — noise between the driver's tail capture
+    // and the contract line.
+    spark.sparkContext.setLogLevel("ERROR")
     // Optional comma-separated query-name filter for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.benchQueries.filter { case (n, _) =>
@@ -132,20 +202,21 @@ object Bench {
     // unaffected; ADVICE r10).
     val countsJson = names.map(n =>
       "\"" + n + "\":" + timings(n).length).mkString("{", ",", "}")
-    // STDOUT gets the COMPACT line only (metric/medians/mins/errors):
-    // the r15 driver artifact arrived with `"parsed": null` because the
-    // tail-capture truncated the full record mid-JSON — the per-sample
-    // matrix (~270 queries × 3-5 samples) plus round timestamps made
-    // the line tens of KB. Those diagnostics now live ONLY in
-    // bench_out.json, which carries the complete parseable record.
-    val jsonCompact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs}"""
+    // STDOUT: the r15 "compact line" fix shrank the record but not below
+    // the driver's 2000-byte tail capture, so BENCH_r15 AND BENCH_r16 both
+    // arrived truncated and PERF came out empty two rounds running. The
+    // LAST stdout line is now the size-bounded driver line (see
+    // driverLine's contract note); everything else — full medians, mins,
+    // per-sample matrix, round timestamps — lives in bench_out.json.
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"errors":$errJson,"sf":"$sfDir","runs_per_query":$runs,"sample_counts":$countsJson,"samples":$samplesJson,"round_starts":$roundsJson}"""
-    println(jsonCompact)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), jsonFull + "\n")
     catch { case _: Throwable => () }
+    // Stop Spark BEFORE printing the contract line so no executor/log
+    // output can interleave with (or trail) the line the driver parses.
     spark.stop()
+    println(driverLine(results.toSeq, total, totalMin, errors, sfDir, runs))
+    System.out.flush()
   }
 }

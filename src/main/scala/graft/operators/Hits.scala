@@ -77,20 +77,20 @@ object Hits {
     // with the same coalesce-to-0 the oracle applies every round —
     // bit-identical results.
     def renorm(raw: DataFrame, keyCol: String, out: String): DataFrame = {
-      // Checkpoint the |V|-bounded raw aggregate ONCE; the normalizing
-      // sum is then a micro-job over the checkpoint and lands as a
-      // driver literal — previously the broadcast of the 1-row sum
-      // re-executed the whole join+agg a second time per half-step and
-      // built a broadcast exchange (pure fixed cost per round). The
-      // projection over the checkpoint is narrow, so both consumers
-      // (next half-step join, final output) reuse the cached blocks,
-      // and unpersistCheckpoint still finds the LogicalRDD under it.
-      val r = raw.localCheckpoint()
-      val s = math.max(
-        r.agg(coalesce(sum(col("raw")), lit(0L))).head().getLong(0), 1L)
-      r.select(col(keyCol).as("node_id"),
-        expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $ONE)" +
-          s" DIV $s AS BIGINT)").as(out))
+      // ONE action per half-step (r17 fold — was 2: raw checkpoint +
+      // sum micro-job): the normalizing sum rides the normalization as
+      // a 1-row broadcast aggregate over the SAME shuffle, which AQE
+      // exchange reuse materializes once (both subtrees are alias-
+      // identical below the Exchange — NOT the pre-r8 shape, where the
+      // sum was a separate ACTION and no reuse could apply).
+      // `greatest(s, 1)` == the old driver-side `math.max(s, 1)`, and
+      // DIV by the column replays DIV by the literal bit-exactly.
+      val sumDf = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("s"))
+      raw.crossJoin(broadcast(sumDf))
+        .select(col(keyCol).as("node_id"),
+          expr(s"CAST((CAST(raw AS DECIMAL(38,0)) * $ONE)" +
+            s" DIV greatest(s, CAST(1 AS BIGINT)) AS BIGINT)").as(out))
+        .localCheckpoint()
     }
 
     // Initial hubs: ONE on every node, but only src hubs are ever read.

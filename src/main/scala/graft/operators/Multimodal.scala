@@ -410,12 +410,11 @@ object Multimodal {
     }
 
     private def deflateRaw(raw: Array[Byte]): Array[Byte] = {
-      val defl = new java.util.zip.Deflater()
-      defl.setInput(raw); defl.finish()
+      val defl = graft.operators.ZlibPool.zlibDeflater() // reused, reset —
+      defl.setInput(raw); defl.finish()                  // identical bytes
       val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-      val tmp = new Array[Byte](8192)
+      val tmp = graft.operators.ZlibPool.scratch()
       while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
-      defl.end()
       zBuf.toByteArray
     }
 
@@ -618,7 +617,7 @@ object Multimodal {
      *  and a deflated kilobyte can declare megabytes. */
     private def inflateCapped(b: Array[Byte], off: Int, len: Int,
         cap: Int, what: String): Array[Byte] = {
-      val inf = new java.util.zip.Inflater()
+      val inf = graft.operators.ZlibPool.zlibInflater()
       inf.setInput(b, off, len)
       val o = new java.io.ByteArrayOutputStream(math.min(len * 4, cap))
       val tmp = new Array[Byte](4096)
@@ -639,7 +638,7 @@ object Multimodal {
           o.write(tmp, 0, n)
           require(o.size() <= cap, s"$what exceeds the $cap-byte cap")
         }
-      } finally inf.end()
+      } finally inf.reset() // pooled: release input reference, never end()
       o.toByteArray
     }
 
@@ -812,7 +811,7 @@ object Multimodal {
       }
       require(rawLen <= Int.MaxValue, "PNG too large to decode")
       val raw = new Array[Byte](rawLen.toInt)
-      val inf = new java.util.zip.Inflater()
+      val inf = graft.operators.ZlibPool.zlibInflater()
       inf.setInput(idat.toByteArray)
       var got = 0
       try {
@@ -832,7 +831,7 @@ object Multimodal {
         case e: java.util.zip.DataFormatException =>
           throw new IllegalArgumentException(
             s"corrupt PNG IDAT: ${Option(e.getMessage).getOrElse("bad zlib data")}")
-      } finally inf.end()
+      } finally inf.reset() // pooled: release input reference, never end()
       require(got == raw.length,
         s"PNG IDAT inflated to $got bytes, expected ${raw.length}")
       // per-pass filter reconstruction (RFC 2083 §6.6) + pixel placement

@@ -94,9 +94,13 @@ object Pagerank {
     try {
       for (_ <- 1 to iters) {
         // ONE pass over rank⋈outdeg: per-edge contributions keyed by dst,
-        // dangling rank parked under a NULL dst sentinel — the fused
-        // aggregate is |V|+1 rows, checkpointed, and both consumers (the
-        // dang scalar and the rank update join) read the checkpoint.
+        // dangling rank parked under a NULL dst sentinel. ONE action per
+        // round (r17 fold — was 3: agg checkpoint, dang collect, rank
+        // checkpoint): the dangling mass rides the rank update as a 1-row
+        // broadcast aggregate over the SAME dst-keyed shuffle, which AQE
+        // exchange reuse materializes once (both branches' subtrees are
+        // alias-identical below the Exchange), and `dang DIV n` replays
+        // the old driver-side `dang / n` bit-exactly (dang >= 0).
         val withDeg = ranks
           .join(outdeg, ranks("node_id") === outdeg("src"), "left")
         val contrib = withDeg.where(col("outdeg").isNotNull)
@@ -106,21 +110,18 @@ object Pagerank {
           .union(withDeg.where(col("outdeg").isNull)
             .select(lit(null).cast("long").as("dst"), col("pr").as("c")))
         val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-          .localCheckpoint()
-        val dang = agg.where(col("dst").isNull)
-          .select(col("inflow")).collect().headOption
-          .map(_.getLong(0)).getOrElse(0L)
-        val dangShare = dang / n
+        val dangDf = agg.where(col("dst").isNull)
+          .agg(coalesce(sum(col("inflow")), lit(0L)).as("dang"))
         val prev = ranks
         ranks = nodes
           .join(agg.where(col("dst").isNotNull),
             nodes("node_id") === col("dst"), "left")
+          .crossJoin(broadcast(dangDf))
           .select(nodes("node_id"),
             expr(s"CAST($base + ($dampingPct * (coalesce(inflow, 0) + " +
-              s"$dangShare)) DIV 100 AS BIGINT)").as("pr"))
+              s"dang DIV $n)) DIV 100 AS BIGINT)").as("pr"))
           .localCheckpoint()
         unpersistCheckpoint(prev)
-        unpersistCheckpoint(agg)
       }
     } finally {
       e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
@@ -195,8 +196,10 @@ object Pagerank {
       .localCheckpoint()
     try {
       for (_ <- 1 to iters) {
-        // Same fused single-pass shape as [[run]]: dangling rank rides
-        // the inflow aggregate under a NULL dst sentinel.
+        // Same fused single-pass shape as [[run]], including the r17
+        // one-action fold: the seed-directed dangling mass rides the
+        // update as a 1-row broadcast (`dang DIV s` == the old driver
+        // literal, dang >= 0).
         val withDeg = ranks
           .join(outdeg, ranks("node_id") === outdeg("src"), "left")
         val contrib = withDeg.where(col("outdeg").isNotNull)
@@ -206,23 +209,20 @@ object Pagerank {
           .union(withDeg.where(col("outdeg").isNull)
             .select(lit(null).cast("long").as("dst"), col("pr").as("c")))
         val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-          .localCheckpoint()
-        val dang = agg.where(col("dst").isNull)
-          .select(col("inflow")).collect().headOption
-          .map(_.getLong(0)).getOrElse(0L)
-        val dangShare = dang / s
+        val dangDf = agg.where(col("dst").isNull)
+          .agg(coalesce(sum(col("inflow")), lit(0L)).as("dang"))
         val prev = ranks
         ranks = nodes
           .join(agg.where(col("dst").isNotNull),
             nodes("node_id") === col("dst"), "left")
+          .crossJoin(broadcast(dangDf))
           .select(nodes("node_id"), nodes("is_seed"),
             expr(s"CAST(CASE WHEN is_seed = 1 THEN $seedBase ELSE 0 END" +
               s" + ($dampingPct * (coalesce(inflow, 0) + " +
-              s"CASE WHEN is_seed = 1 THEN $dangShare ELSE 0 END))" +
+              s"CASE WHEN is_seed = 1 THEN dang DIV $s ELSE 0 END))" +
               " DIV 100 AS BIGINT)").as("pr"))
           .localCheckpoint()
         unpersistCheckpoint(prev)
-        unpersistCheckpoint(agg)
       }
     } finally {
       e.unpersist(false); nodes.unpersist(false); outdeg.unpersist(false)
@@ -282,6 +282,7 @@ object Pagerank {
       .localCheckpoint()
     try {
       for (_ <- 1 to iters) {
+        // r17 one-action fold — see [[run]].
         val withW = ranks
           .join(outw, ranks("node_id") === outw("src"), "left")
         val contrib = withW.where(col("wsum").isNotNull)
@@ -292,21 +293,18 @@ object Pagerank {
           .union(withW.where(col("wsum").isNull)
             .select(lit(null).cast("long").as("dst"), col("pr").as("c")))
         val agg = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-          .localCheckpoint()
-        val dang = agg.where(col("dst").isNull)
-          .select(col("inflow")).collect().headOption
-          .map(_.getLong(0)).getOrElse(0L)
-        val dangShare = dang / n
+        val dangDf = agg.where(col("dst").isNull)
+          .agg(coalesce(sum(col("inflow")), lit(0L)).as("dang"))
         val prev = ranks
         ranks = nodes
           .join(agg.where(col("dst").isNotNull),
             nodes("node_id") === col("dst"), "left")
+          .crossJoin(broadcast(dangDf))
           .select(nodes("node_id"),
             expr(s"CAST($base + ($dampingPct * (coalesce(inflow, 0) + " +
-              s"$dangShare)) DIV 100 AS BIGINT)").as("pr"))
+              s"dang DIV $n)) DIV 100 AS BIGINT)").as("pr"))
           .localCheckpoint()
         unpersistCheckpoint(prev)
-        unpersistCheckpoint(agg)
       }
     } finally {
       e.unpersist(false); nodes.unpersist(false); outw.unpersist(false)

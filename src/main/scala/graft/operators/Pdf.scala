@@ -126,20 +126,19 @@ object Pdf {
   }
 
   private def deflate(p: Array[Byte]): Array[Byte] = {
-    val d = new java.util.zip.Deflater()
-    d.setInput(p); d.finish()
+    val d = ZlibPool.zlibDeflater() // reused thread-local, reset — output
+    d.setInput(p); d.finish()       // bytes identical to a fresh instance
     val out = new ByteArrayOutputStream(p.length / 2 + 16)
-    val buf = new Array[Byte](4096)
+    val buf = ZlibPool.scratch()
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    d.end()
     out.toByteArray
   }
 
   private def inflate(p: Array[Byte], what: String): Array[Byte] = {
-    val inf = new java.util.zip.Inflater()
+    val inf = ZlibPool.zlibInflater()
     inf.setInput(p)
     val out = new ByteArrayOutputStream(math.min(p.length * 4 + 64, 1 << 16))
-    val buf = new Array[Byte](8192)
+    val buf = ZlibPool.scratch()
     try {
       while (!inf.finished()) {
         val n =
@@ -157,7 +156,7 @@ object Pdf {
           throw new IllegalArgumentException(
             s"$what: FlateDecode output exceeds the $MaxInflate-byte cap")
       }
-    } finally inf.end()
+    } finally inf.reset() // pooled: release input reference, never end()
     out.toByteArray
   }
 

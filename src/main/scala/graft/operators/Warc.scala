@@ -60,18 +60,9 @@ object Warc {
    *  Common Crawl record-per-member layout reads as one stream. */
   private def gunzipAll(p: Array[Byte]): Array[Byte] =
     if (!isWarcGz(p)) p
-    else try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(p))
-      // size HINT only — clamp, since p.length * 4 overflows Int for
-      // >=512 MiB shards (production .warc.gz is commonly ~1 GiB)
-      val o = new ByteArrayOutputStream(
-        math.min(p.length.toLong * 4, Int.MaxValue - 8L).toInt)
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
-      o.toByteArray
-    } catch {
+    else try ZlibPool.gunzip(p) // thread-local Inflater, GZIPInputStream
+                                // semantics pinned by ZlibPoolSpec
+    catch {
       // crawl shards carry bit rot: name it instead of leaking a raw
       // ZipException/EOFException out of a task
       case e: java.io.IOException => throw new IllegalArgumentException(
@@ -249,9 +240,9 @@ object Warc {
       line("")
       r.write(payload, 0, payload.length)
       r.write('\r'); r.write('\n'); r.write('\r'); r.write('\n')
-      val gz = new java.util.zip.GZIPOutputStream(o)
-      gz.write(r.toByteArray)
-      gz.finish()
+      // byte-identical to GZIPOutputStream(write+finish) on a reused
+      // thread-local Deflater — the offsets below hash the byte geometry
+      ZlibPool.gzipMember(o, r.toByteArray)
       idx += ((before.toLong, (o.size() - before).toLong))
     }
     (o.toByteArray, idx.result())
@@ -362,9 +353,7 @@ object Warc {
     val idx = Seq.newBuilder[String]
     lines.grouped(perBlock).zipWithIndex.foreach { case (block, bno) =>
       val before = o.size()
-      val gz = new java.util.zip.GZIPOutputStream(o)
-      gz.write((block.mkString("\n") + "\n").getBytes(UTF_8))
-      gz.finish()
+      ZlibPool.gzipMember(o, (block.mkString("\n") + "\n").getBytes(UTF_8))
       val parts = block.head.split(" ", 3)
       require(parts.length >= 2,
         s"encodeZipnum: malformed cdxj line '${block.head.take(60)}'")

@@ -53,9 +53,17 @@ case class AdjacentPairs(child: Expression)
  *  ws[i]))`, an interpreted lambda per TOKEN). Output is bit-identical
  *  on the guarded inputs all call sites use (they pre-filter
  *  `size(ws) >= 2`; for n < 2 this returns empty where the raw HOF's
- *  descending `sequence(1, n-1)` would index out of bounds). */
+ *  descending `sequence(1, n-1)` would index out of bounds). A null
+ *  element yields a struct with the corresponding null FIELD, exactly
+ *  like the HOF's `struct(ws[i-1], ws[i])` (ADVICE r16 — unreachable
+ *  from the split()-fed call sites, pinned for reuse safety).
+ *
+ *  Full `doGenCode` (VERDICT r16 #6): the loop compiles into the
+ *  whole-stage body instead of paying CodegenFallback's per-row boxed
+ *  eval dispatch; constants as literals, no generated line begins with
+ *  an operator (CodegenGuardSpec pins both rules). */
 case class AdjacentPairStructs(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(
@@ -68,16 +76,42 @@ case class AdjacentPairStructs(child: Expression)
     val n = arr.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n - 1)
-    var prev = arr.getUTF8String(0)
+    var prev = if (arr.isNullAt(0)) null else arr.getUTF8String(0)
     var i = 1
     while (i < n) {
-      val cur = arr.getUTF8String(i)
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
       out(i - 1) = org.apache.spark.sql.catalyst.InternalRow(prev, cur)
       prev = cur
       i += 1
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val prev = ctx.freshName("prev"); val cur = ctx.freshName("cur")
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val row = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      s"""
+         |final int $n = $a.numElements();
+         |final Object[] $out = new Object[($n < 2) ? 0 : ($n - 1)];
+         |if ($n >= 2) {
+         |  $utf8 $prev = $a.isNullAt(0) ? null : $a.getUTF8String(0);
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    final $utf8 $cur = $a.isNullAt($i) ? null : $a.getUTF8String($i);
+         |    $out[$i - 1] = new $row(new Object[] { $prev, $cur });
+         |    $prev = $cur;
+         |  }
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

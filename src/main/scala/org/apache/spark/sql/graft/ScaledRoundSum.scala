@@ -19,11 +19,13 @@ import org.apache.spark.sql.types._
  * bigint)` whose double-typed `round` is `BigDecimal.valueOf(d)
  * .setScale(0, HALF_UP)` behind a NaN/Inf passthrough (verified against
  * the emitted whole-stage code). [[ScaledRoundSum.roundHalfUp]] replays
- * exactly that: for finite |d| <= 2^50 the decimal HALF_UP of the
- * shortest-repr double provably equals the sign-symmetric
- * `floor(|d| + 0.5)` (the addition is exact below 2^50 and a
- * shortest-decimal fraction of exactly .5 implies d IS n.5, both
- * representable there), and beyond 2^50 — unreachable for pixel/sample
+ * exactly that: |d| < 0.5 is answered 0 directly (the one binade where
+ * `floor(|d| + 0.5)` can diverge — ±0.49999999999999994 sits finer than
+ * 0.5 and the addition rounds up; ADVICE r16), for finite 0.5 <= |d| <=
+ * 2^50 the decimal HALF_UP of the shortest-repr double provably equals
+ * the sign-symmetric `floor(|d| + 0.5)` (the addition is exact in that
+ * range and a shortest-decimal fraction of exactly .5 implies d IS n.5,
+ * both representable there), and beyond 2^50 — unreachable for pixel/sample
  * products, kept for honesty — it falls back to the same BigDecimal
  * call Spark makes. A null element nulls the whole sum, matching the
  * HOF's null-poisoned accumulator.
@@ -98,7 +100,14 @@ object ScaledRoundSum {
   def roundHalfUpToLong(d: Double): Long = {
     val r =
       if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-      else if (d >= -FastPathBound && d <= FastPathBound) {
+      else if (d > -0.5 && d < 0.5) {
+        // |d| strictly below one half rounds to 0 under decimal HALF_UP.
+        // The float trick alone gets ±0.49999999999999994 wrong (it sits
+        // in a finer binade than 0.5, so d + 0.5 rounds UP to 1.0) — the
+        // single divergence value below 2^50 (ADVICE r16). Handling the
+        // open interval here makes the fast path exact everywhere.
+        0.0
+      } else if (d >= -FastPathBound && d <= FastPathBound) {
         if (d >= 0) Math.floor(d + 0.5) else -Math.floor(-d + 0.5)
       } else java.math.BigDecimal.valueOf(d)
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
